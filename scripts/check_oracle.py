@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the raw testdata tables, load the Verify.scala parquet dump of the
+same query, canonicalize (sort columns by name, round floats to 6dp), and
+hash-compare. Usage: check_oracle.py <sfDir> <verifyOutDir>"""
+import json, sys, math
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return f"{round(v, 6):.6f}"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return repr(v)
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        want = con.sql(sql).fetchall()
+        want_cols = [d[0] for d in con.sql(sql).description]
+        got_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        got_cols = [d[0] for d in got_rel.description]
+        got = got_rel.fetchall()
+        # sort columns by name (driver behavior)
+        wi = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
+        gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+        if sorted(want_cols) != sorted(got_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
+            fails += 1
+            continue
+        wrows = [tuple(canon(r[i]) for i in wi) for r in want]
+        grows = [tuple(canon(r[i]) for i in gi) for r in got]
+        if wrows == grows:
+            print(f"OK   {name} ({len(grows)} rows)")
+        else:
+            fails += 1
+            print(f"FAIL {name}: rows {len(grows)} vs {len(wrows)}")
+            for j, (w, g) in enumerate(zip(wrows, grows)):
+                if w != g:
+                    print(f"  first diff at row {j}:\n    oracle: {w}\n    spark:  {g}")
+                    break
+    except Exception as e:
+        fails += 1
+        print(f"ERROR {name}: {e}")
+print(f"\n{'ALL GREEN' if fails == 0 else str(fails) + ' FAILURES'}")
+sys.exit(1 if fails else 0)

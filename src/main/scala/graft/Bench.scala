@@ -1,24 +1,38 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs every declared query against
+  * SPARK_GRAFT_SF_DIR (default sf0.1) and prints one JSON line.
+  *
+  * Each query is fully materialized via the `noop` datasource — unlike
+  * `count()`, which would let Catalyst prune the projection work away, noop
+  * executes the complete physical plan and discards rows at the sink.
+  * One untimed warmup pass amortizes JIT/codegen compilation, mirroring how
+  * a long-running cluster actually executes (hot code, cold data).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.get("graft-bench")
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val names = SparkEntry.queries.keys.toList.sorted
+    names.foreach(runOnce) // warmup: JIT + codegen cache + parquet footers
+    val results = names.map(n => n -> runOnce(n))
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

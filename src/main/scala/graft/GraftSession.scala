@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for session defaults, tuned for the target execution model:
+  * local[N] while testing, many-executor clusters at 100 TB. Everything here
+  * is also correct on a real cluster — nothing is local-mode-only.
+  */
+object GraftSession {
+
+  def builder(appName: String): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      // size shuffles to the actual parallelism, not the 200 default
+      .config("spark.sql.shuffle.partitions", cpus)
+      // AQE: runtime coalescing, skew-join splitting, dynamic broadcast
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // push nested-struct pruning into the parquet scan — the core of P1
+      .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+      // events.ts is parquet TIMESTAMP(NANOS): read as long, never throw
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+  }
+
+  def get(appName: String): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,36 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * All variants are single-shuffle on the dedup key (hash partition by key,
+  * map-side partial where possible) — the access pattern that scales linearly
+  * with cluster width at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup keeping, per key group, the first row under `order`
+    * (deterministic — unlike `dropDuplicates`, whose surviving row is
+    * partition-order dependent). One shuffle on `keys`.
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact content dedup: group by a fingerprint of `contentCol` (not the
+    * content itself — shuffling a 64-char hex digest instead of multi-KB
+    * documents cuts shuffle bytes by orders of magnitude at 100 TB),
+    * keeping the row with the smallest `idCol`.
+    */
+  def exactByContent(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(contentCol), 256)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines, all pure
+  * `functions._` compositions (codegen'd, shuffle-free per row).
+  */
+object TextAnalysis {
+
+  /** Lowercased word tokens: split on runs of non-word characters.
+    * (`\W+` has identical semantics on ASCII in Java and RE2/DuckDB regex —
+    * the oracle relies on this.)
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => length(t) > 0)
+
+  /** Whitespace-delimited token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count estimate: words + digits + punctuation runs.
+    * Cheap proxy for LLM token accounting at ingest scale.
+    */
+  def subwordCountEstimate(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => length(trim(t)) > 0))
+
+  /** Canonical document fingerprint: lowercase, collapse whitespace, trim,
+    * then md5 — engine-portable (DuckDB md5 produces the identical digest),
+    * and 32 hex chars shuffle far cheaper than document bodies.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Per-language stopword hit ratio: |tokens ∩ stopwords| / |tokens|.
+    * Deterministic pure arithmetic → oracle-friendly.
+    */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0d))
+      .otherwise(size(array_intersect_count(toks, sw)).cast("double") / size(toks))
+  }
+
+  // array of tokens that are stopwords (with duplicates — a hit ratio over
+  // token OCCURRENCES, not distinct tokens)
+  private def array_intersect_count(toks: Column, sw: Column): Column =
+    filter(toks, t => array_contains(sw, t))
+
+  /** Tiny n-gram/stopword language-ID heuristic: score = occurrence ratio of
+    * each language's top stopwords; argmax wins, 'und' (undetermined) if all
+    * scores are zero. Ties break by language code order (deterministic).
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val langs: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sie"),
+      "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "que")
+    )
+    val scored = langs.map { case (code, sws) => (code, stopwordRatio(toks, sws)) }
+    // argmax via chained when(): deterministic (first match = lexicographically
+    // smallest language code on ties), fully codegen'd
+    val maxScore = scored.map(_._2).reduceLeft(greatest(_, _))
+    scored.foldRight(lit("und")) { case ((code, s), acc) =>
+      when(s === maxScore && maxScore > 0d, lit(code)).otherwise(acc)
+    }
+  }
+
+  /** Quality-score components: character count, token count, mean token
+    * length, punctuation ratio, stopword ratio, and a composite score in
+    * [0,1]. All deterministic arithmetic.
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks      = tokens(text)
+    val nChars    = length(text).cast("double")
+    val nToks     = size(toks).cast("double")
+    val meanLen   = when(nToks === 0, lit(0d))
+      .otherwise(aggregate(toks, lit(0d), (acc, t) => acc + length(t)) / nToks)
+    val punct     = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast("double")
+    val punctRatio = when(nChars === 0, lit(0d)).otherwise(punct / nChars)
+    val swRatio   = stopwordRatio(toks, Seq(
+      "the", "and", "of", "to", "a", "in", "is", "it", "that", "for"))
+    // composite: reward stopword presence & sane token length, punish punctuation soup
+    val score = greatest(lit(0d), least(lit(1d),
+      lit(0.5) * least(swRatio * 5, lit(1d)) +
+      lit(0.3) * when(meanLen.between(3d, 10d), 1d).otherwise(0d) +
+      lit(0.2) * (lit(1d) - least(punctRatio * 10, lit(1d)))))
+    Seq(
+      "n_chars_m"    -> nChars,
+      "n_tokens"     -> nToks,
+      "mean_tok_len" -> meanLen,
+      "punct_ratio"  -> punctRatio,
+      "stopword_ratio" -> swRatio,
+      "quality_score"  -> score
+    )
+  }
+}
