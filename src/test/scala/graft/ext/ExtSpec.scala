@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSpec
+import graft.functions.VectorFunctions
+
+/** EXT operators (SURVEY §2.10 U3): dedup, text analysis, vector math. */
+class ExtSpec extends GraftSpec {
+  import spark.implicits._
+
+  describe("Dedup.keepFirst") {
+    it("keeps the min-order row per key group, deterministically") {
+      val df = Seq((3L, "u1", "click"), (1L, "u1", "click"), (2L, "u2", "view"))
+        .toDF("event_id", "user_id", "event_type")
+      val out = Dedup.keepFirst(df, Seq("user_id", "event_type"), col("event_id"))
+      out.select("event_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+      out.columns should not contain "__rn"
+    }
+  }
+
+  describe("Dedup.exactByContent") {
+    it("dedups by content hash keeping the smallest id") {
+      val df = Seq((10L, "same text"), (2L, "same text"), (3L, "other"))
+        .toDF("id", "text")
+      Dedup.exactByContent(df, "text", "id")
+        .select("id").as[Long].collect().sorted shouldBe Array(2L, 3L)
+    }
+  }
+
+  describe("TextAnalysis") {
+    it("tokens: lowercase word split, empties dropped") {
+      Seq("Hello, World! 42").toDF("t")
+        .select(TextAnalysis.tokens($"t")).as[Seq[String]]
+        .head() shouldBe Seq("hello", "world", "42")
+    }
+    it("tokenCount") {
+      Seq("a b  c").toDF("t").select(TextAnalysis.tokenCount($"t")).as[Int].head() shouldBe 3
+    }
+    it("fingerprint is whitespace/case-canonical") {
+      val df = Seq(("A  b\tC", "a b c")).toDF("x", "y")
+      df.select(TextAnalysis.fingerprint($"x") === TextAnalysis.fingerprint($"y"))
+        .as[Boolean].head() shouldBe true
+    }
+    it("languageId picks the dominant stopword language, 'und' when none") {
+      Seq("the cat and the dog in the house").toDF("t")
+        .select(TextAnalysis.languageId($"t")).as[String].head() shouldBe "en"
+      Seq("der Hund und die Katze ist nicht hier").toDF("t")
+        .select(TextAnalysis.languageId($"t")).as[String].head() shouldBe "de"
+      Seq("zzz qqq xxx").toDF("t")
+        .select(TextAnalysis.languageId($"t")).as[String].head() shouldBe "und"
+    }
+    it("qualityColumns are bounded and deterministic") {
+      val cols = TextAnalysis.qualityColumns($"t").map { case (n, c) => c.as(n) }
+      val r = Seq("The quick brown fox jumps over the lazy dog.").toDF("t")
+        .select(cols: _*).head()
+      r.getAs[Double]("n_tokens") shouldBe 9d
+      val score = r.getAs[Double]("quality_score")
+      score should (be >= 0d and be <= 1d)
+    }
+  }
+
+  describe("VectorFunctions") {
+    val df = Seq((Seq(1f, 0f, 0f), Seq(0f, 1f, 0f), Seq(2f, 0f, 0f)))
+      .toDF("x", "y", "x2")
+    it("dot / l2Norm / cosine") {
+      df.select(VectorFunctions.dot($"x", $"x2")).as[Double].head() shouldBe 2d
+      df.select(VectorFunctions.l2Norm($"x2")).as[Double].head() shouldBe 2d
+      df.select(VectorFunctions.cosine($"x", $"y")).as[Double].head() shouldBe 0d
+      df.select(VectorFunctions.cosine($"x", $"x2")).as[Double].head() shouldBe 1d
+    }
+    it("cosine with a zero vector is null, not NaN") {
+      Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("z", "a")
+        .select(VectorFunctions.cosine($"z", $"a").isNull).as[Boolean].head() shouldBe true
+    }
+    it("l2DistanceSq") {
+      df.select(VectorFunctions.l2DistanceSq($"x", $"y")).as[Double].head() shouldBe 2d
+    }
+  }
+}
