@@ -1,0 +1,105 @@
+package graft.io
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+/** Distributed Avro container-file sink — the rebuild of the reference's
+  * `DataFileWriter` append loop (Main.scala:205-217, README.md:96-104), but
+  * one file per partition written in parallel on the executors instead of a
+  * single-threaded driver loop. Schema derivation (and therefore field order,
+  * union-null-first, defaults) comes from [[AvroSchemas]], mirroring the
+  * reference's derivation, not an opaque library default.
+  *
+  * At 100 TB this is embarrassingly parallel: no shuffle, each task streams
+  * its partition through one snappy-compressed container file on the
+  * destination filesystem.
+  */
+object AvroSink {
+
+  def write(df: DataFrame, path: String, recordName: String = "TopLevelRecord"): Unit = {
+    val schema     = df.schema
+    val avroJson   = AvroSchemas.toAvro(schema, recordName).toString
+    val hadoopConf = new SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
+
+    val fs  = FileSystem.get(new java.net.URI(path), hadoopConf.value)
+    val dir = new HPath(path)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+
+    df.rdd.foreachPartition { rows =>
+      // partition id from the task context — stable file naming
+      val pid    = org.apache.spark.TaskContext.getPartitionId()
+      val avro   = new Schema.Parser().parse(avroJson)
+      val out    = FileSystem.get(new java.net.URI(path), hadoopConf.value)
+        .create(new HPath(f"$path/part-$pid%05d.avro"), true)
+      val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](avro))
+        .setCodec(CodecFactory.snappyCodec())
+        .create(avro, out)
+      try rows.foreach(r => writer.append(toRecord(r, schema, avro)))
+      finally writer.close()
+    }
+  }
+
+  /** Row → GenericRecord, recursively, matching [[AvroSchemas]] unions. */
+  private[io] def toRecord(row: Row, st: StructType, avro: Schema): GenericRecord = {
+    val rec = new GenericData.Record(avro)
+    st.fields.zipWithIndex.foreach { case (f, i) =>
+      val fieldSchema = unwrapUnion(avro.getFields.get(i).schema())
+      rec.put(f.name, toAvroValue(if (row.isNullAt(i)) null else row.get(i), f.dataType, fieldSchema))
+    }
+    rec
+  }
+
+  private def unwrapUnion(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  private def toAvroValue(v: Any, dt: DataType, avro: Schema): AnyRef = v match {
+    case null => null
+    case r: Row => toRecord(r, dt.asInstanceOf[StructType], avro)
+    case s: scala.collection.Seq[_] => // rows hold mutable.ArraySeq in 2.13
+      val el = unwrapUnion(avro.getElementType)
+      val edt = dt.asInstanceOf[ArrayType].elementType
+      s.map(x => toAvroValue(x, edt, el)).asJava
+    case m: Map[_, _] =>
+      val vs  = unwrapUnion(avro.getValueType)
+      val vdt = dt.asInstanceOf[MapType].valueType
+      m.map { case (k, x) => k.toString -> toAvroValue(x, vdt, vs) }.asJava
+    case b: Array[Byte]           => java.nio.ByteBuffer.wrap(b)
+    case d: java.math.BigDecimal  => d.toPlainString
+    case d: BigDecimal            => d.bigDecimal.toPlainString
+    case d: java.sql.Date         => d.toString
+    case t: java.sql.Timestamp    => t.toInstant.toString
+    case i: java.time.LocalDate   => i.toString
+    case i: java.time.Instant     => i.toString
+    case b: Byte                  => java.lang.Integer.valueOf(b.toInt)
+    case sh: Short                => java.lang.Integer.valueOf(sh.toInt)
+    case other                    => other.asInstanceOf[AnyRef]
+  }
+
+  /** Read back a directory of container files (for tests / differential
+    * checks — production reads stay parquet).
+    */
+  def readToJsonStrings(spark: SparkSession, path: String): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    fs.listStatus(new HPath(path)).toSeq
+      .filter(_.getPath.getName.endsWith(".avro"))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val in     = new org.apache.avro.mapred.FsInput(st.getPath, new Configuration())
+        val reader = new DataFileReader(in, new GenericDatumReader[GenericRecord]())
+        try reader.iterator().asScala.map(_.toString).toList
+        finally reader.close()
+      }
+  }
+}

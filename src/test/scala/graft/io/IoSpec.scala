@@ -1,0 +1,98 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.avro.Schema
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.GraftSpec
+
+/** S2–S4 (SURVEY §2.1): avro sink round-trip, schema derivation rules,
+  * result cache hit/invalidate semantics.
+  */
+class IoSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  describe("AvroSchemas (ProtoMessageToAvroMappings.scala:221-269)") {
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = false), nullable = true),
+      StructField("meta", StructType(Seq(
+        StructField("flag", BooleanType, nullable = false))), nullable = true)))
+    val avro = AvroSchemas.toAvro(st, "Rec")
+
+    it("nullable field → union [null, T], null first (:241,:266)") {
+      val f = avro.getField("name").schema()
+      f.getType shouldBe Schema.Type.UNION
+      f.getTypes.get(0).getType shouldBe Schema.Type.NULL
+      f.getTypes.get(1).getType shouldBe Schema.Type.STRING
+    }
+    it("non-nullable scalar → bare type with zero default (:70-83)") {
+      avro.getField("id").schema().getType shouldBe Schema.Type.LONG
+      avro.getField("id").defaultVal() shouldBe 0
+    }
+    it("struct → record, array → array") {
+      val meta = avro.getField("meta").schema().getTypes.get(1)
+      meta.getType shouldBe Schema.Type.RECORD
+      meta.getField("flag").schema().getType shouldBe Schema.Type.BOOLEAN
+      avro.getField("tags").schema().getTypes.get(1).getType shouldBe Schema.Type.ARRAY
+    }
+    it("unsupported type → IllegalStateException (:234-237)") {
+      intercept[IllegalStateException](
+        AvroSchemas.toAvro(StructType(Seq(
+          StructField("x", CalendarIntervalType))), "Bad"))
+    }
+  }
+
+  describe("AvroSink (Main.scala:205-217)") {
+    it("writes container files per partition and round-trips values") {
+      val dir = tmp("avro") + "/out"
+      val df = Seq(
+        (1L, "alpha", Seq("x", "y"), ("2021-02-01", 10.5)),
+        (2L, null.asInstanceOf[String], Seq.empty[String], ("2021-02-02", 0.0)))
+        .toDF("id", "name", "tags", "info")
+      AvroSink.write(df.repartition(2), dir, "Report")
+
+      val lines = AvroSink.readToJsonStrings(spark, dir)
+      lines should have size 2
+      val all = lines.mkString("\n")
+      all should include(""""id": 1""")
+      all should include(""""alpha"""")
+      all should include(""""name": null""") // nullable union renders null
+      all should include(""""_2": 10.5""")
+    }
+  }
+
+  describe("ResultCache (Main.scala:67-121)") {
+    it("same plan → cache hit; different plan → recompute") {
+      val dir = tmp("cache") + "/c"
+      val base = spark.range(100).toDF("n")
+      val q1 = base.filter($"n" % 2 === 0)
+
+      ResultCache.readThrough(q1, dir).count() shouldBe 50
+      // hit: underlying data unchanged even if we tamper with the store
+      val fp1 = ResultCache.fingerprint(q1)
+      ResultCache.fingerprint(base.filter($"n" % 2 === 0)) shouldBe fp1
+      ResultCache.readThrough(base.filter($"n" % 2 === 0), dir).count() shouldBe 50
+
+      // a different query must NOT replay the stale cache
+      val q2 = base.filter($"n" % 2 === 1).withColumn("m", $"n" * 2)
+      ResultCache.fingerprint(q2) should not be fp1
+      val out = ResultCache.readThrough(q2, dir)
+      out.count() shouldBe 50
+      out.columns.toSeq shouldBe Seq("n", "m")
+    }
+  }
+
+  describe("JsonSink (Main.scala:234-246)") {
+    it("emits one JSON object per row") {
+      val df = Seq((1L, "a")).toDF("id", "name")
+      df.select(JsonSink.toJsonColumn(df).as("j")).as[String].head() shouldBe
+        """{"id":1,"name":"a"}"""
+    }
+  }
+}
