@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.plan.{FieldOrdering, MappingNode, Translator}
 import graft.plan.MappingNode.{Constant, Message, Scalar}
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Ann, Dedup, MinHashLSH, SimHash, TextAnalysis}
 import graft.functions.VectorFunctions
 
 /** Driver contract — declared queries (SURVEY.md §2.11) + DuckDB oracles.
@@ -208,6 +208,71 @@ object SparkEntry {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  /** DQ16 (EXT): n-gram-heuristic language ID — per-language doc counts. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang_pred")
+
+  /** DQ17 (EXT): quality-score components per document — pure arithmetic,
+    * shuffle-free, codegen'd. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val cols = TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+    t(s, dir, "documents")
+      .select(col("doc_id") +: cols: _*)
+      .orderBy("doc_id")
+  }
+
+  /** DQ18 (EXT): canonical md5 document fingerprint (rolling-hash stand-in;
+    * 32 hex chars shuffle instead of document bodies). */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** DQ19 (EXT): MinHash+LSH near-dup pairs, exact-Jaccard-verified.
+    * Banded signature join — candidates only, never N². */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 16, bands = 4, threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  /** DQ20 (EXT): frequency-weighted 64-bit SimHash near-dup pairs
+    * (hamming ≤ 3) via pigeonhole banding. */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        bits = 64, bands = 4, maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** DQ21 (EXT): character-4-gram Jaccard near-dups within source groups
+    * (bounded pair space via the group equi-join). */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextAnalysis.charShingles(col("text"), 4).as("sh"))
+    val a = d.as("a")
+    val b = d.as("b")
+    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        MinHashLSH.jaccard(col("a.sh"), col("b.sh")).as("jac"))
+      .filter(col("jac") > 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DQ22 (EXT): embedding near-dup pairs via IVF-style sign-bucket cells +
+    * in-cell cosine. */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 4, threshold = 0.4)
+      .orderBy("vec_a", "vec_b")
+
+  /** DQ23 (EXT): approximate top-5 neighbors for query vectors 1..3,
+    * probing only each query's own cell. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    Ann.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(1L, 2L, 3L), k = 5, dims = 4)
+      .orderBy("qid", "rnk")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -224,7 +289,15 @@ object SparkEntry {
     "dq12_aggregation"         -> (q12 _),
     "dq13_dedup_exact"         -> (q13 _),
     "dq14_similarity_topk"     -> (q14 _),
-    "dq15_text_tokens"         -> (q15 _)
+    "dq15_text_tokens"         -> (q15 _),
+    "dq16_lang_id"             -> (q16 _),
+    "dq17_quality_score"       -> (q17 _),
+    "dq18_fingerprint"         -> (q18 _),
+    "dq19_minhash_lsh"         -> (q19 _),
+    "dq20_simhash"             -> (q20 _),
+    "dq21_ngram_jaccard"       -> (q21 _),
+    "dq22_embedding_neardup"   -> (q22 _),
+    "dq23_ann_ivf"             -> (q23 _)
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same ORDER BY). */
@@ -299,6 +372,119 @@ object SparkEntry {
         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
         |    t -> len(t) > 0)) AS token
         |  FROM documents)
-        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "dq16_lang_id" ->
+      """WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |sc AS (SELECT
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','sie'], x)))::DOUBLE / len(toks) END de,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE / len(toks) END en,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x)))::DOUBLE / len(toks) END es,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une','du','que'], x)))::DOUBLE / len(toks) END fr
+        | FROM t)
+        |SELECT CASE WHEN greatest(de,en,es,fr) = 0 THEN 'und'
+        |  WHEN de = greatest(de,en,es,fr) THEN 'de'
+        |  WHEN en = greatest(de,en,es,fr) THEN 'en'
+        |  WHEN es = greatest(de,en,es,fr) THEN 'es' ELSE 'fr' END AS lang_pred,
+        |  count(*) AS n
+        |FROM sc GROUP BY 1 ORDER BY lang_pred""".stripMargin,
+    "dq17_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(text)::DOUBLE n_chars_m,
+        |  len(toks)::DOUBLE n_tokens,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) END mean_tok_len,
+        |  CASE WHEN len(text) = 0 THEN 0 ELSE len(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE / len(text) END punct_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE / len(toks) END stopword_ratio
+        | FROM t)
+        |SELECT doc_id, n_chars_m, n_tokens, mean_tok_len, punct_ratio, stopword_ratio,
+        |  greatest(0, least(1,
+        |    0.5 * least(stopword_ratio * 5, 1) +
+        |    0.3 * (CASE WHEN mean_tok_len BETWEEN 3 AND 10 THEN 1 ELSE 0 END) +
+        |    0.2 * (1 - least(punct_ratio * 10, 1)))) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "dq18_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dq19_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
+        |  FROM t WHERE len(toks) >= 3),
+        |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
+        |    k -> list_min(list_transform(sh, x -> md5(k || ':' || x)))) mh FROM s),
+        |bands AS (SELECT doc_id, b,
+        |    md5(mh[4*b+1] || '|' || mh[4*b+2] || '|' || mh[4*b+3] || '|' || mh[4*b+4]) bkey
+        |  FROM sig, unnest(range(0, 4)) AS u(b)),
+        |cand AS (SELECT DISTINCT a.doc_id ai, b.doc_id bi
+        |  FROM bands a JOIN bands b USING (b, bkey) WHERE a.doc_id < b.doc_id),
+        |pairs AS (SELECT ai, bi,
+        |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)) jac
+        |  FROM cand JOIN s x ON x.doc_id = ai JOIN s y ON y.doc_id = bi)
+        |SELECT ai AS doc_a, bi AS doc_b, jac FROM pairs WHERE jac > 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dq20_simhash" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |bits AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN floor((strpos('0123456789abcdef', substr(md5(tok), b//4 + 1, 1)) - 1)
+        |      / pow(2, 3 - b%4))::INT % 2 = 1 THEN 1 ELSE -1 END) s
+        |  FROM t, unnest(toks) AS u(tok), unnest(range(0, 64)) AS v(b)
+        |  GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) sim
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, sim, b, substr(sim, 16*b+1, 16) bkey
+        |  FROM sh, unnest(range(0, 4)) AS u(b)),
+        |cand AS (SELECT DISTINCT a.doc_id ai, a.sim sa, b.doc_id bi, b.sim sb
+        |  FROM bands a JOIN bands b USING (b, bkey) WHERE a.doc_id < b.doc_id)
+        |SELECT ai AS doc_a, bi AS doc_b,
+        |  len(list_filter(range(1, 65), i -> substr(sa, i, 1) != substr(sb, i, 1))) AS hamming
+        |FROM cand WHERE len(list_filter(range(1, 65), i -> substr(sa, i, 1) != substr(sb, i, 1))) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dq21_ngram_jaccard" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, greatest(len(text) - 3, 0) + 1),
+        |      i -> substr(text, i, 4))) sh
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) AS jac
+        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) > 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dq22_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+        |   CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
+        |   CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
+        |   CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) bucket FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |  / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |  / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) > 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "dq23_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+        |   CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
+        |   CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
+        |   CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) bucket FROM embeddings),
+        |q AS (SELECT vec_id qid, embedding qemb, bucket qbucket FROM e WHERE vec_id IN (1, 2, 3)),
+        |scored AS (SELECT q.qid, e.vec_id AS vid,
+        |    list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qemb[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(q.qemb, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |  FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.qid),
+        |ranked AS (SELECT qid, vid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
+        |  FROM scored)
+        |SELECT qid, vid, sim, rnk FROM ranked WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin
   )
 }

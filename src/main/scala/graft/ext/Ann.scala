@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over embedding columns (EXT).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact top-k vs a single query vector — broadcast
+  *    the query, one scan, TakeOrderedAndProject (no global sort). The
+  *    baseline, still linear in corpus size.
+  *  - sign-bucket partitioning ([[signBucket]]): an IVF-style coarse
+  *    quantizer using the sign pattern of the leading dimensions as the cell
+  *    id. Candidates come from an equi-join on the bucket id — the N² pair
+  *    space collapses to per-bucket blocks, and the join shuffles on a small
+  *    int key. Deterministic and data-independent (no trained centroids), so
+  *    any engine reproduces it exactly; recall/cost tunes via `dims`
+  *    (2^dims cells).
+  *
+  * All vector math is Catalyst higher-order functions (codegen; see
+  * [[VectorFunctions]]).
+  */
+object Ann {
+
+  /** IVF-style cell id: integer from the sign bits of the first `dims`
+    * components (component > 0 → 1).
+    */
+  def signBucket(embedding: Column, dims: Int = 4): Column =
+    (0 until dims).map(i =>
+      when(element_at(embedding, i + 1) > 0, lit(1 << (dims - 1 - i))).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Exact top-k neighbors of one query vector. */
+  def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = df.filter(col(idCol) === queryId).select(col(embCol).as("qv"))
+    df.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), VectorFunctions.cosine(col(embCol), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** In-bucket near-duplicate pairs above a cosine threshold. */
+  def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
+      dims: Int = 4, threshold: Double = 0.9): DataFrame = {
+    val e = df.select(col(idCol).as("vid"), col(embCol).as("emb"),
+      signBucket(col(embCol), dims).as("bucket"))
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"),
+        VectorFunctions.cosine(col("a.emb"), col("b.emb")).as("sim"))
+      .filter(col("sim") > threshold)
+  }
+
+  /** Approximate top-k per query id, probing only the query's own cell.
+    * The query rows are broadcast; ranking is a per-query-key window over
+    * in-bucket candidates only.
+    */
+  def annTopK(df: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], k: Int, dims: Int = 4): DataFrame = {
+    val e = df.select(col(idCol).as("vid"), col(embCol).as("emb"),
+      signBucket(col(embCol), dims).as("bucket"))
+    val q = e.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("emb").as("qemb"), col("bucket").as("qbucket"))
+    val scored = e.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        VectorFunctions.cosine(col("emb"), col("qemb")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -24,6 +24,15 @@ object TextAnalysis {
   def subwordCountEstimate(text: Column): Column =
     size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => length(trim(t)) > 0))
 
+  /** Sliding character n-gram shingles (distinct).
+    * (Spark's `sequence(1, 0)` counts DOWN — guard short texts explicitly.)
+    */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+
   /** Canonical document fingerprint: lowercase, collapse whitespace, trim,
     * then md5 — engine-portable (DuckDB md5 produces the identical digest),
     * and 32 hex chars shuffle far cheaper than document bodies.
