@@ -6,7 +6,8 @@ import org.apache.spark.sql.types._
 
 import graft.plan.{FieldOrdering, MappingNode, Translator}
 import graft.plan.MappingNode.{Constant, Message, Scalar}
-import graft.ext.{Ann, Dedup, MinHashLSH, SimHash, TextAnalysis}
+import graft.ext.{Ann, Dedup, MinHashLSH, Multimodal, SimHash, TextAnalysis}
+import graft.streaming.EventStream
 import graft.functions.VectorFunctions
 
 /** Driver contract — declared queries (SURVEY.md §2.11) + DuckDB oracles.
@@ -273,6 +274,31 @@ object SparkEntry {
         queryIds = Seq(1L, 2L, 3L), k = 5, dims = 4)
       .orderBy("qid", "rnk")
 
+  /** DQ24 (EXT): multimodal plumbing — binary payload column through the
+    * mapPartitions decode stub; features must match pure-SQL byte math. */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Multimodal.featuresOf(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** DQ25 (EXT): Structured Streaming windowed aggregation — hourly tumbling
+    * counts per event_type, run to completion via availableNow, checked
+    * against batch SQL (stream/batch parity). */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val res = EventStream.runToTable(
+      EventStream.hourlyTypeCounts(EventStream.readEvents(s, dir)),
+      "q25_hourly", org.apache.spark.sql.streaming.OutputMode.Complete())
+    res.orderBy("window_start", "event_type")
+  }
+
+  /** DQ26 (EXT): flatMapGroupsWithState sessionization (10-min gap),
+    * checked against a gaps-and-islands batch oracle. */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val res = EventStream.runToTable(
+      EventStream.sessionize(EventStream.readEvents(s, dir), gapMinutes = 10).toDF(),
+      "q26_sessions", org.apache.spark.sql.streaming.OutputMode.Append())
+    res.orderBy("user_id", "session_start")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -297,7 +323,10 @@ object SparkEntry {
     "dq20_simhash"             -> (q20 _),
     "dq21_ngram_jaccard"       -> (q21 _),
     "dq22_embedding_neardup"   -> (q22 _),
-    "dq23_ann_ivf"             -> (q23 _)
+    "dq23_ann_ivf"             -> (q23 _),
+    "dq24_multimodal_decode"   -> (q24 _),
+    "dq25_stream_window"       -> (q25 _),
+    "dq26_stream_sessions"     -> (q26 _)
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same ORDER BY). */
@@ -485,6 +514,33 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
         |  FROM scored)
         |SELECT qid, vid, sim, rnk FROM ranked WHERE rnk <= 5
-        |ORDER BY qid, rnk""".stripMargin
+        |ORDER BY qid, rnk""".stripMargin,
+    "dq24_multimodal_decode" ->
+      """SELECT doc_id,
+        |  len(text)::BIGINT AS byte_len,
+        |  ascii(substr(text, 1, 1)) AS first_byte,
+        |  (list_sum(list_transform(range(1, least(len(text), 16) + 1),
+        |    i -> ascii(substr(text, i, 1)))) % 256)::BIGINT AS checksum16,
+        |  (len(text) // 100)::BIGINT AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dq25_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "dq26_stream_sessions" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) us FROM events),
+        |g AS (SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 600000000
+        |      THEN 1 ELSE 0 END brk
+        |  FROM o),
+        |s AS (SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) sid
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(to_timestamp(min(us) // 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events,
+        |  (max(us) - min(us)) / 1000000.0 AS duration_sec
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
   )
 }

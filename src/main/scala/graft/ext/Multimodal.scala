@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (EXT): image/audio/video as opaque `binary`
+  * columns with a typed metadata struct, processed batch-at-a-time on the
+  * executors via `Dataset.mapPartitions` (the Scala analogue of
+  * `mapInPandas`: one iterator per partition, amortized per-batch setup,
+  * no per-row serialization boundary beyond the encoder).
+  *
+  * The actual codec call is STUBBED (no image/audio libraries in this
+  * environment): [[DecodeStub.decode]] derives deterministic features from
+  * the raw bytes. The Spark-side plumbing — schema, typed encoders,
+  * partition-preserving batch shape, feature extraction contract — is real
+  * and oracle-tested (DQ24).
+  */
+object Multimodal {
+
+  /** media struct: payload + mime + size, the schema an ingest pipeline
+    * carries for any modality.
+    */
+  def mediaStruct(bytes: Column, mime: String): Column =
+    struct(bytes.as("bytes"), lit(mime).as("mime"), length(bytes).as("size"))
+
+  final case class MediaRow(doc_id: Long, bytes: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, byte_len: Long, first_byte: Int,
+      checksum16: Long, n_frames: Long)
+
+  /** What a real decoder would return; here a deterministic function of the
+    * payload so any engine can reproduce it.
+    */
+  object DecodeStub {
+    def decode(m: MediaRow): MediaFeatures = {
+      // real implementation would hand m.bytes to an image/audio codec here
+      val head = m.bytes.take(16)
+      MediaFeatures(
+        doc_id = m.doc_id,
+        byte_len = m.bytes.length.toLong,
+        first_byte = if (m.bytes.isEmpty) 0 else m.bytes(0) & 0xff,
+        checksum16 = head.foldLeft(0L)((a, b) => a + (b & 0xff)) % 256,
+        n_frames = m.bytes.length / 100L)
+    }
+  }
+
+  /** Batch feature extraction: one decoder instance per partition, streaming
+    * through the rows — the shape that scales (decoder setup amortized,
+    * constant memory, no driver involvement).
+    */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here
+      rows.map(DecodeStub.decode)
+    }
+  }
+
+  /** Deterministic frame sampling stub for "video" payloads: every
+    * `stride`-th 100-byte block, up to `maxFrames`.
+    */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int, maxFrames: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val frames = m.bytes.grouped(100).toSeq
+      frames.indices.collect {
+        case i if i % stride == 0 => (m.doc_id, i, frames(i).length)
+      }.take(maxFrames)
+    }.toDF("doc_id", "frame_idx", "frame_len")
+  }
+
+  /** DQ24 pipeline: text payload → binary media column → mapPartitions
+    * decode → features frame.
+    */
+  def featuresOf(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val media = df.select(col(idCol).as("doc_id"),
+        col(payloadCol).cast("binary").as("bytes")).as[MediaRow]
+    decodeFeatures(media).toDF()
+  }
+}

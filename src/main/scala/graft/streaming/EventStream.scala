@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (SURVEY §2.9 — the reference
+  * only pseudo-streams a gRPC iterator; this is the Spark-native upgrade:
+  * real incremental execution with watermarks, windowed state, and custom
+  * per-key state machines).
+  *
+  * Batch/stream parity: every transform here is also valid on a batch frame,
+  * and the DuckDB oracles check the streamed results against batch SQL over
+  * the same parquet — the unification Structured Streaming promises.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS), read as a nanos LongType
+  * (spark.sql.legacy.parquet.nanosAsLong) and converted once at ingest.
+  */
+object EventStream {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of the events table with a proper event-time column.
+    * (The file source wants a directory; select the one table via glob.)
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Hourly tumbling-window counts+sums per event_type, 1h watermark.
+    * At scale: partial aggregation per micro-batch, state keyed by
+    * (window, event_type), watermark bounds the state store.
+    */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, user_id: Long, epochUs: Long, value: Double)
+  final case class Session(user_id: Long, session_start: String, n_events: Long,
+      duration_sec: Double)
+
+  /** Per-user sessionization with a 10-minute inactivity gap via
+    * flatMapGroupsWithState — the custom-state escape hatch
+    * (KeyValueGroupedDataset), state = open session summary per user.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 10): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L // microsecond arithmetic: exact cross-engine
+
+    val typed = events.select(
+      col("event_id"), col("user_id"),
+      expr("ts DIV 1000").as("epochUs"),
+      col("value")).as[Event]
+
+    def fmt(us: Long): String =
+      java.time.Instant.ofEpochSecond(us / 1000000L).atZone(java.time.ZoneOffset.UTC)
+        .toLocalDateTime.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, events, state: GroupState[List[Long]]) =>
+          // bounded data (availableNow): all of the user's events arrive in
+          // one group; split on inactivity gaps
+          val ts = (state.getOption.getOrElse(Nil) ++ events.map(_.epochUs)).sorted
+          state.remove()
+          if (ts.isEmpty) Iterator.empty
+          else {
+            val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+              if (t - acc.head.head <= gapUs) (t :: acc.head) :: acc.tail
+              else List(t) :: acc
+            }
+            sessions.reverse.iterator.map { s =>
+              val sorted = s.reverse
+              Session(user, fmt(sorted.head), sorted.size.toLong,
+                (sorted.last - sorted.head) / 1000000.0)
+            }
+          }
+      }
+  }
+
+  /** Run a streaming frame to completion (availableNow) into a memory sink
+    * and return the materialized result — used by the Verify/oracle harness
+    * to check stream/batch parity.
+    */
+  def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
