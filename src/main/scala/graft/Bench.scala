@@ -22,7 +22,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name done in $dt%.2fs")
+      dt
     }
 
     val names = SparkEntry.queries.keys.toList.sorted

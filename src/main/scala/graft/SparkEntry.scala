@@ -249,13 +249,17 @@ object SparkEntry {
   /** DQ21 (EXT): character-4-gram Jaccard near-dups within source groups
     * (bounded pair space via the group equi-join). */
   private def q21(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
-      TextAnalysis.charShingles(col("text"), 4).as("sh"))
+    val d = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        sort_array(TextAnalysis.charShingles(col("text"), 4)).as("sh"))
+      .persist() // consumed by both sides of the source self-join; sorted once
+    // for the zero-allocation two-pointer jaccard on 600k+ pairs
     val a = d.as("a")
     val b = d.as("b")
     a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        MinHashLSH.jaccard(col("a.sh"), col("b.sh")).as("jac"))
+        MinHashLSH.jaccardSorted(col("a.sh"), col("b.sh")).as("jac"))
       .filter(col("jac") > 0.5)
       .orderBy("doc_a", "doc_b")
   }

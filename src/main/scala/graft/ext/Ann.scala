@@ -44,16 +44,22 @@ object Ann {
       .limit(k)
   }
 
-  /** In-bucket near-duplicate pairs above a cosine threshold. */
+  /** In-bucket near-duplicate pairs above a cosine threshold.
+    * Norms are computed once per vector before the join (and the bucketed
+    * frame is tiny relative to the pair space), so each candidate pair costs
+    * exactly one codegen'd dot product.
+    */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
       dims: Int = 4, threshold: Double = 0.9): DataFrame = {
     val e = df.select(col(idCol).as("vid"), col(embCol).as("emb"),
-      signBucket(col(embCol), dims).as("bucket"))
+      signBucket(col(embCol), dims).as("bucket"),
+      VectorFunctions.l2Norm(col(embCol)).as("nrm"))
     val a = e.as("a")
     val b = e.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"),
-        VectorFunctions.cosine(col("a.emb"), col("b.emb")).as("sim"))
+        (VectorFunctions.dot(col("a.emb"), col("b.emb")) /
+          (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") > threshold)
   }
 
@@ -64,13 +70,16 @@ object Ann {
   def annTopK(df: DataFrame, idCol: String, embCol: String,
       queryIds: Seq[Long], k: Int, dims: Int = 4): DataFrame = {
     val e = df.select(col(idCol).as("vid"), col(embCol).as("emb"),
-      signBucket(col(embCol), dims).as("bucket"))
+      signBucket(col(embCol), dims).as("bucket"),
+      VectorFunctions.l2Norm(col(embCol)).as("nrm"))
     val q = e.filter(col("vid").isin(queryIds: _*))
-      .select(col("vid").as("qid"), col("emb").as("qemb"), col("bucket").as("qbucket"))
+      .select(col("vid").as("qid"), col("emb").as("qemb"), col("bucket").as("qbucket"),
+        col("nrm").as("qnrm"))
     val scored = e.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
-        VectorFunctions.cosine(col("emb"), col("qemb")).as("sim"))
+        (VectorFunctions.dot(col("emb"), col("qemb")) /
+          (col("nrm") * col("qnrm"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

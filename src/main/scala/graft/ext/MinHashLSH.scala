@@ -39,9 +39,24 @@ object MinHashLSH {
     transform(sequence(lit(0), lit(numHashes - 1)),
       k => array_min(transform(shingleSet, x => md5(concat(k.cast("string"), lit(":"), x)))))
 
-  /** Jaccard over two distinct-element arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Jaccard over two distinct-element arrays.
+    * |A∪B| = |A|+|B|−|A∩B|: one intersect instead of intersect+union —
+    * halves the dominant per-pair set-op cost on verification joins.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b)).cast("double")
+    i / (size(a) + size(b) - i)
+  }
+
+  /** Jaccard for ASC-SORTED distinct-element arrays: zero-allocation
+    * two-pointer merge ([[graft.functions.SortedIntersectSize]]) instead of a
+    * per-pair hash set — the form to use on large verification joins, with
+    * `sort_array` applied once on the build side.
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val i = graft.functions.SortedIntersectSize(a, b).cast("double")
+    i / (size(a) + size(b) - i)
+  }
 
   /** Near-duplicate pairs (idA < idB, Jaccard > threshold).
     *
@@ -59,9 +74,16 @@ object MinHashLSH {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
 
+    // Fan the heavy per-row work (tokenize + 16×md5 per shingle) across all
+    // cores even when the input is a single unsplittable row group, and
+    // materialize the shingle sets once — they are consumed three times
+    // (signature branch + both sides of the verification join).
     val sh = df
-      .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), sort_array(shingles(col("__text"))).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist()
 
     val sig = sh.select(col("doc_id"), col("sh"), signature(col("sh"), numHashes).as("mh"))
 
@@ -85,7 +107,7 @@ object MinHashLSH {
     val x = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val y = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     cand.join(x, "doc_a").join(y, "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .select(col("doc_a"), col("doc_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") > threshold)
   }
 }

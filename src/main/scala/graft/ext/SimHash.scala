@@ -28,10 +28,14 @@ object SimHash {
     when(shiftright(digit, 3 - b % 4) % 2 === 1, 1).otherwise(-1)
   }
 
-  /** (doc_id, bits array<int> of 0/1) per document. One shuffle. */
+  /** (doc_id, bits array<int> of 0/1) per document. One shuffle.
+    * The input is repartitioned first so the token explode + 64 bit-vote
+    * expressions spread across all cores even off a single row group.
+    */
   def simhashBits(df: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val toks = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("__text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
     val sums = toks.groupBy("doc_id")
       .agg(array((0 until bits).map(b => sum(vote(col("h"), b))): _*).as("sums"))
@@ -55,7 +59,8 @@ object SimHash {
   ): DataFrame = {
     require(bits % bands == 0, "bits must be divisible by bands")
     val rows = bits / bands
-    val sh = simhashBits(df, idCol, textCol, bits)
+    // materialized once: both sides of the band self-join consume it
+    val sh = simhashBits(df, idCol, textCol, bits).persist()
 
     val banded = sh.select(col("doc_id"), col("bits"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>

@@ -17,13 +17,13 @@ object VectorFunctions {
 
   private def d(c: Column): Column = c.cast("array<double>")
 
-  /** Σ aᵢ·bᵢ — left-to-right fold in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ — codegen'd primitive loop ([[DotProduct]]), double accumulation
+    * left to right (same fold order as the HOF formulation it replaced).
+    */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
   /** ‖a‖₂ */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(d(a), lit(0d), (acc, x) => acc + x * x))
+  def l2Norm(a: Column): Column = sqrt(DotProduct(a, a))
 
   /** cos(a,b) = a·b / (‖a‖‖b‖); null-safe on zero vectors (returns null). */
   def cosine(a: Column, b: Column): Column = {
@@ -31,7 +31,7 @@ object VectorFunctions {
     when(denom === 0d, lit(null).cast(DoubleType)).otherwise(dot(a, b) / denom)
   }
 
-  /** Squared euclidean distance. */
+  /** Squared euclidean distance: ‖a‖² + ‖b‖² − 2a·b, all codegen'd. */
   def l2DistanceSq(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0d), (acc, x) => acc + x)
+    DotProduct(a, a) + DotProduct(b, b) - lit(2d) * DotProduct(a, b)
 }

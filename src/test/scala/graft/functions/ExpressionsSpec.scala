@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSpec
+
+/** Custom codegen Catalyst expressions: DotProduct, SortedIntersectSize. */
+class ExpressionsSpec extends GraftSpec {
+  import spark.implicits._
+
+  describe("DotProduct") {
+    it("float and double arrays, mixed") {
+      val df = Seq((Seq(1f, 2f, 3f), Seq(4.0, 5.0, 6.0))).toDF("f", "d")
+      df.select(DotProduct($"f", $"d")).as[Double].head() shouldBe 32.0
+      df.select(DotProduct($"f", $"f")).as[Double].head() shouldBe 14.0
+    }
+    it("null elements contribute zero; shorter array bounds the loop") {
+      Seq((Seq(Some(1.0), None, Some(3.0)), Seq(2.0, 5.0, 7.0, 9.0))).toDF("a", "b")
+        .select(DotProduct($"a", $"b")).as[Double].head() shouldBe (2.0 + 21.0)
+    }
+    it("null array → null") {
+      Seq((Option.empty[Seq[Double]], Seq(1.0))).toDF("a", "b")
+        .select(DotProduct($"a", $"b").isNull).as[Boolean].head() shouldBe true
+    }
+    it("matches the higher-order-function formulation") {
+      val df = Seq((Seq(0.1f, -2.5f, 3.75f, 8f), Seq(1.5f, 0.25f, -1f, 2f))).toDF("a", "b")
+      val hof = df.select(aggregate(
+        zip_with($"a".cast("array<double>"), $"b".cast("array<double>"), (x, y) => x * y),
+        lit(0d), (acc, x) => acc + x)).as[Double].head()
+      df.select(DotProduct($"a", $"b")).as[Double].head() shouldBe hof
+    }
+    it("rejects non-array inputs at analysis") {
+      an[Exception] should be thrownBy
+        Seq((1, 2)).toDF("a", "b").select(DotProduct($"a", $"b")).collect()
+    }
+  }
+
+  describe("SortedIntersectSize") {
+    it("counts common elements of sorted arrays") {
+      Seq((Seq("a", "c", "e"), Seq("b", "c", "d", "e"))).toDF("x", "y")
+        .select(SortedIntersectSize($"x", $"y")).as[Int].head() shouldBe 2
+    }
+    it("disjoint and empty") {
+      Seq((Seq("a"), Seq("b"), Seq.empty[String])).toDF("x", "y", "z")
+        .select(SortedIntersectSize($"x", $"y"), SortedIntersectSize($"x", $"z"))
+        .as[(Int, Int)].head() shouldBe ((0, 0))
+    }
+    it("works on ints too") {
+      Seq((Seq(1, 3, 5, 7), Seq(2, 3, 5, 8))).toDF("x", "y")
+        .select(SortedIntersectSize($"x", $"y")).as[Int].head() shouldBe 2
+    }
+    it("agrees with array_intersect on sorted distinct arrays") {
+      val df = Seq((
+        Seq("ab", "cd", "ef", "gh", "ij"),
+        Seq("cd", "ef", "zz"))).toDF("x", "y")
+      val expected = df.select(
+        org.apache.spark.sql.functions.size(array_intersect($"x", $"y"))).as[Int].head()
+      df.select(SortedIntersectSize($"x", $"y")).as[Int].head() shouldBe expected
+    }
+  }
+
+  describe("jaccardSorted vs jaccard") {
+    it("identical results on sorted inputs") {
+      val df = Seq((Seq("a", "b", "c", "d"), Seq("b", "c", "x"))).toDF("x", "y")
+      val j1 = df.select(graft.ext.MinHashLSH.jaccard($"x", $"y")).as[Double].head()
+      val j2 = df.select(graft.ext.MinHashLSH.jaccardSorted($"x", $"y")).as[Double].head()
+      j2 shouldBe j1
+    }
+  }
+}
