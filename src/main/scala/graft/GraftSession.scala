@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def builder(appName: String): SparkSession.Builder = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
