@@ -29,12 +29,32 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Shape of the reference's production query
-    * (CampaignCriterionStructureReport.scala:48-51): filter + nested
-    * projection + lifted ids + metadata struct.
+    * The reference's full production pipeline shape
+    * (CampaignCriterionStructureReport.scala:48-51 + Main.scala:148-195):
+    * server-side WHERE (pushed-down filter) → nested projection with pruning
+    * → lifted id columns → metadata struct of constants + a report date →
+    * id-first/metadata-last column ordering.
     */
-  def entry(spark: SparkSession): DataFrame =
-    q09FieldOrdering(spark, "/root/testdata/sf0.001")
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val shaped = t(spark, dir, "orders")
+      .filter(col("o_orderdate").between(lit("1996-01-01"), lit("1996-12-31"))
+        && col("o_totalprice") > 0)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("totalprice")).as("info"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("report_date_src"))
+    Translator(
+      List("info.status", "info.totalprice"),
+      userDefinedMappings = List(
+        "order_id"    -> Scalar("o_orderkey"),
+        "customer_id" -> Scalar("o_custkey"),
+        metadataNode(DownloadDate)),
+      ordering = FieldOrdering.idFirst(List("order_id", "customer_id"))
+    )(shaped)
+  }
 
   // ---------------------------------------------------------------- shaping
   // The reference consumes an already-nested proto row; the testdata is flat

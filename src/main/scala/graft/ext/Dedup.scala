@@ -22,6 +22,23 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Skew-resistant keepFirst: two-phase with a deterministic salt. Phase 1
+    * resolves the winner within (keys, salt) partitions — a hot key's rows
+    * spread over `saltBuckets` tasks instead of one straggler; phase 2
+    * resolves across the (tiny) per-salt winners. Same result as
+    * [[keepFirst]] when `order` is unique within a key group.
+    */
+  def keepFirstSalted(df: DataFrame, keys: Seq[String], order: Column,
+      saltBuckets: Int = 16): DataFrame = {
+    val salt = pmod(hash(order), lit(saltBuckets))
+    val w1 = Window.partitionBy(keys.map(col) :+ salt: _*).orderBy(order)
+    val local = df.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1).drop("__rn")
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(order)
+    local.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Exact content dedup: group by a fingerprint of `contentCol` (not the
     * content itself — shuffling a 64-char hex digest instead of multi-KB
     * documents cuts shuffle bytes by orders of magnitude at 100 TB),

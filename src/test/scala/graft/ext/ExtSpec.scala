@@ -19,6 +19,20 @@ class ExtSpec extends GraftSpec {
     }
   }
 
+  describe("Dedup.keepFirstSalted") {
+    it("agrees with keepFirst on a skewed key") {
+      val rows = (1L to 500L).map(i => (i, "hot", "click")) ++
+        Seq((600L, "cold", "view"))
+      val df = rows.toDF("event_id", "user_id", "event_type")
+      val a = Dedup.keepFirst(df, Seq("user_id", "event_type"), col("event_id"))
+        .select("event_id").as[Long].collect().sorted
+      val b = Dedup.keepFirstSalted(df, Seq("user_id", "event_type"), col("event_id"), 8)
+        .select("event_id").as[Long].collect().sorted
+      b shouldBe a
+      b shouldBe Array(1L, 600L)
+    }
+  }
+
   describe("Dedup.exactByContent") {
     it("dedups by content hash keeping the smallest id") {
       val df = Seq((10L, "same text"), (2L, "same text"), (3L, "other"))
