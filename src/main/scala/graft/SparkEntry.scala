@@ -323,6 +323,28 @@ object SparkEntry {
     res.orderBy("user_id", "session_start")
   }
 
+  /** DQ27 (EXT, §2.5): window function — per-customer running revenue in
+    * event order. One shuffle on the partition key; state is the frame. */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice")).over(w).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** DQ28 (EXT, §2.7): set operation — customers active in 1995 but not in
+    * 1996 (EXCEPT = left-anti on distinct keys). */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def custsIn(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+    custsIn(1995).except(custsIn(1996)).orderBy("o_custkey")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -350,7 +372,9 @@ object SparkEntry {
     "dq23_ann_ivf"             -> (q23 _),
     "dq24_multimodal_decode"   -> (q24 _),
     "dq25_stream_window"       -> (q25 _),
-    "dq26_stream_sessions"     -> (q26 _)
+    "dq26_stream_sessions"     -> (q26 _),
+    "dq27_window_running"      -> (q27 _),
+    "dq28_set_except"          -> (q28 _)
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same ORDER BY). */
@@ -565,6 +589,16 @@ object SparkEntry {
         |  strftime(to_timestamp(min(us) // 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  count(*) AS n_events,
         |  (max(us) - min(us)) / 1000000.0 AS duration_sec
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "dq27_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "dq28_set_except" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin
   )
 }
