@@ -272,9 +272,9 @@ object SparkEntry {
     val d = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
-        sort_array(TextAnalysis.charShingles(col("text"), 4)).as("sh"))
+        sort_array(TextAnalysis.packedCharShingles(col("text"), 4)).as("sh"))
       .persist() // consumed by both sides of the source self-join; sorted once
-    // for the zero-allocation two-pointer jaccard on 600k+ pairs
+    // for the zero-allocation two-pointer jaccard (primitive ints) on 600k+ pairs
     val a = d.as("a")
     val b = d.as("b")
     a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))

@@ -51,6 +51,19 @@ class ExtSpec extends GraftSpec {
     it("tokenCount") {
       Seq("a b  c").toDF("t").select(TextAnalysis.tokenCount($"t")).as[Int].head() shouldBe 3
     }
+    it("packedCharShingles preserves set cardinalities vs charShingles") {
+      val df = Seq(("abcdefgab", "abcdefgXY")).toDF("x", "y")
+      val (ns, np) = df.select(
+        org.apache.spark.sql.functions.size(TextAnalysis.charShingles($"x", 4)),
+        org.apache.spark.sql.functions.size(TextAnalysis.packedCharShingles($"x", 4)))
+        .as[(Int, Int)].head()
+      np shouldBe ns
+      // identical 4-gram → identical packed code across documents
+      val inter = df.select(graft.functions.SortedIntersectSize(
+        sort_array(TextAnalysis.packedCharShingles($"x", 4)),
+        sort_array(TextAnalysis.packedCharShingles($"y", 4)))).as[Int].head()
+      inter shouldBe 4 // abcd, bcde, cdef, defg shared
+    }
     it("fingerprint is whitespace/case-canonical") {
       val df = Seq(("A  b\tC", "a b c")).toDF("x", "y")
       df.select(TextAnalysis.fingerprint($"x") === TextAnalysis.fingerprint($"y"))
