@@ -232,15 +232,18 @@ object SparkEntry {
   /** DQ16 (EXT): n-gram-heuristic language ID — per-language doc counts. */
   private def q16(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .select(TextAnalysis.tokens(col("text")).as("toks")) // tokenize once
+      .select(TextAnalysis.languageIdFrom(col("toks")).as("lang_pred"))
       .groupBy("lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang_pred")
 
   /** DQ17 (EXT): quality-score components per document — pure arithmetic,
     * shuffle-free, codegen'd. */
   private def q17(s: SparkSession, dir: String): DataFrame = {
-    val cols = TextAnalysis.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+    val cols = TextAnalysis.qualityColumnsFrom(col("text"), col("toks"))
+      .map { case (n, c) => c.as(n) }
     t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id") +: cols: _*)
       .orderBy("doc_id")
   }
@@ -492,7 +495,8 @@ object SparkEntry {
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
         |  FROM t WHERE len(toks) >= 3),
         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
-        |    k -> list_min(list_transform(sh, x -> md5(k || ':' || x)))) mh FROM s),
+        |    i -> list_min(list_transform(sh,
+        |      x -> substr(md5((i // 4) || ':' || x), (8 * (i % 4) + 1)::INT, 8)))) mh FROM s),
         |bands AS (SELECT doc_id, b,
         |    md5(mh[4*b+1] || '|' || mh[4*b+2] || '|' || mh[4*b+3] || '|' || mh[4*b+4]) bkey
         |  FROM sig, unnest(range(0, 4)) AS u(b)),

@@ -34,10 +34,32 @@ object MinHashLSH {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
   }
 
-  /** MinHash signature: for each seed k, min md5("k:shingle"). */
+  /** MinHash signature: for each seed k, min md5("k:shingle").
+    * (Reference formulation; see [[signatureColumns]] for the 4×-cheaper
+    * split-digest variant used by [[nearDupPairs]].)
+    */
   def signature(shingleSet: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       k => array_min(transform(shingleSet, x => md5(concat(k.cast("string"), lit(":"), x)))))
+
+  /** Split-digest signature: one md5 per (seed, shingle) yields FOUR hash
+    * values (its 8-hex-char quarters), so `numHashes` minhashes cost
+    * numHashes/4 digests per shingle. Returns the per-seed digest columns and
+    * the signature expression over them; the caller materializes the digest
+    * columns in their own projection so each is computed once (CollapseProject
+    * keeps multi-referenced non-trivial aliases in place).
+    */
+  def signatureColumns(shingleSet: Column, numHashes: Int): (Seq[(String, Column)], Column) = {
+    require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
+    val seeds = numHashes / 4
+    val hs = (0 until seeds).map { k =>
+      s"__hs_$k" -> transform(shingleSet, x => md5(concat(lit(k.toString), lit(":"), x)))
+    }
+    val mh = array((0 until numHashes).map { i =>
+      array_min(transform(col(s"__hs_${i / 4}"), h => substring(h, 8 * (i % 4) + 1, 8)))
+    }: _*)
+    (hs, mh)
+  }
 
   /** Jaccard over two distinct-element arrays.
     * |A∪B| = |A|+|B|−|A∩B|: one intersect instead of intersect+union —
@@ -85,7 +107,10 @@ object MinHashLSH {
       .filter(size(col("sh")) > 0)
       .persist()
 
-    val sig = sh.select(col("doc_id"), col("sh"), signature(col("sh"), numHashes).as("mh"))
+    val (hsCols, mh) = signatureColumns(col("sh"), numHashes)
+    val sig = sh
+      .select(col("doc_id") +: col("sh") +: hsCols.map { case (n, c) => c.as(n) }: _*)
+      .select(col("doc_id"), col("sh"), mh.as("mh"))
 
     // band key = md5 of the band's slice of the signature
     val banded = sig.select(

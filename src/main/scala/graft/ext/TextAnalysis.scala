@@ -73,8 +73,13 @@ object TextAnalysis {
     * each language's top stopwords; argmax wins, 'und' (undetermined) if all
     * scores are zero. Ties break by language code order (deterministic).
     */
-  def languageId(text: Column): Column = {
-    val toks = tokens(text)
+  def languageId(text: Column): Column = languageIdFrom(tokens(text))
+
+  /** [[languageId]] over a precomputed token array — materialize the tokens
+    * as their own projected column when combining several text metrics, so
+    * the tokenizer runs once per row instead of once per metric.
+    */
+  def languageIdFrom(toks: Column): Column = {
     val langs: Seq[(String, Seq[String])] = Seq(
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sie"),
       "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
@@ -94,8 +99,11 @@ object TextAnalysis {
     * length, punctuation ratio, stopword ratio, and a composite score in
     * [0,1]. All deterministic arithmetic.
     */
-  def qualityColumns(text: Column): Seq[(String, Column)] = {
-    val toks      = tokens(text)
+  def qualityColumns(text: Column): Seq[(String, Column)] =
+    qualityColumnsFrom(text, tokens(text))
+
+  /** [[qualityColumns]] over a precomputed token array (see [[languageIdFrom]]). */
+  def qualityColumnsFrom(text: Column, toks: Column): Seq[(String, Column)] = {
     val nChars    = length(text).cast("double")
     val nToks     = size(toks).cast("double")
     val meanLen   = when(nToks === 0, lit(0d))
