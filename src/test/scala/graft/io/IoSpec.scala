@@ -67,6 +67,21 @@ class IoSpec extends GraftSpec {
     }
   }
 
+  describe("AvroSink type coverage") {
+    it("dates, timestamps, decimals, and maps round-trip as declared") {
+      val dir = tmp("avro2") + "/out"
+      val df = spark.sql(
+        """SELECT DATE'2021-02-03' AS d, TIMESTAMP'2021-02-03 04:05:06' AS ts,
+          |CAST(12.34 AS DECIMAL(10,2)) AS dec, map('k', 42L) AS m""".stripMargin)
+      AvroSink.write(df, dir, "Typed")
+      val line = AvroSink.readToJsonStrings(spark, dir).head
+      line should include("2021-02-03")       // date as ISO string
+      line should include("2021-02-03T04:05:06Z") // timestamp as instant
+      line should include("12.34")            // decimal as plain string
+      line should include(""""k": 42""")      // map value
+    }
+  }
+
   describe("ResultCache (Main.scala:67-121)") {
     it("same plan → cache hit; different plan → recompute") {
       val dir = tmp("cache") + "/c"
