@@ -348,6 +348,23 @@ object SparkEntry {
     custsIn(1995).except(custsIn(1996)).orderBy("o_custkey")
   }
 
+  /** DQ29 (EXT, §2.4): distinct-count aggregation per dimension — exact
+    * (partial-aggregated); `approx_count_distinct` (HLL) is unit-tested
+    * instead, since sketches don't hash-match across engines. */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** DQ30 (EXT): multi-probe ANN — own cell + hamming-1 neighbor cells,
+    * recall beyond dq23 at a bounded extra probe cost. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    Ann.annTopKMultiProbe(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(1L, 2L, 3L), k = 5, dims = 4)
+      .orderBy("qid", "rnk")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -377,7 +394,9 @@ object SparkEntry {
     "dq25_stream_window"       -> (q25 _),
     "dq26_stream_sessions"     -> (q26 _),
     "dq27_window_running"      -> (q27 _),
-    "dq28_set_except"          -> (q28 _)
+    "dq28_set_except"          -> (q28 _),
+    "dq29_distinct_count"      -> (q29 _),
+    "dq30_ann_multiprobe"      -> (q30 _)
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same ORDER BY). */
@@ -603,6 +622,28 @@ object SparkEntry {
       """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |EXCEPT
         |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+    "dq29_distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "dq30_ann_multiprobe" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+        |   CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
+        |   CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
+        |   CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) bucket FROM embeddings),
+        |q AS (SELECT vec_id qid, embedding qemb, unnest([bucket, xor(bucket, 1),
+        |    xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) probe
+        |  FROM e WHERE vec_id IN (1, 2, 3)),
+        |scored AS (SELECT q.qid, e.vec_id AS vid,
+        |    list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qemb[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(q.qemb, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |  FROM e JOIN q ON e.bucket = q.probe AND e.vec_id <> q.qid),
+        |ranked AS (SELECT qid, vid, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
+        |  FROM scored)
+        |SELECT qid, vid, sim, rnk FROM ranked WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin
   )
 }

@@ -63,6 +63,35 @@ object Ann {
       .filter(col("sim") > threshold)
   }
 
+  /** Probe cells for multi-probe search: the query's own cell plus every
+    * cell at hamming distance 1 in sign-bit space (dims+1 cells total) —
+    * recall recovered for vectors near a quantization boundary at the cost
+    * of probing a few more (still tiny) cells.
+    */
+  def probeBuckets(bucket: Column, dims: Int): Column =
+    array((bucket +: (0 until dims).map(b => bucket.bitwiseXOR(lit(1 << b)))): _*)
+
+  /** Multi-probe variant of [[annTopK]]: candidates come from the query's
+    * cell and all hamming-1 neighbor cells.
+    */
+  def annTopKMultiProbe(df: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], k: Int, dims: Int = 4): DataFrame = {
+    val e = df.select(col(idCol).as("vid"), col(embCol).as("emb"),
+      signBucket(col(embCol), dims).as("bucket"),
+      VectorFunctions.l2Norm(col(embCol)).as("nrm"))
+    val q = e.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"),
+        explode(probeBuckets(col("bucket"), dims)).as("probe"))
+    val scored = e.join(broadcast(q),
+        col("bucket") === col("probe") && col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        (VectorFunctions.dot(col("emb"), col("qemb")) /
+          (col("nrm") * col("qnrm"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Approximate top-k per query id, probing only the query's own cell.
     * The query rows are broadcast; ranking is a per-query-key window over
     * in-bucket candidates only.

@@ -87,6 +87,16 @@ class ExtSpec extends GraftSpec {
     }
   }
 
+  describe("approx_count_distinct (HLL, SURVEY §2.4)") {
+    it("is within 5% of exact on real data") {
+      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val (approx, exact) = ev.select(
+        approx_count_distinct(col("user_id")),
+        countDistinct(col("user_id"))).as[(Long, Long)].head()
+      math.abs(approx - exact).toDouble / exact should be < 0.05
+    }
+  }
+
   describe("VectorFunctions") {
     val df = Seq((Seq(1f, 0f, 0f), Seq(0f, 1f, 0f), Seq(2f, 0f, 0f)))
       .toDF("x", "y", "x2")

@@ -69,6 +69,20 @@ class NearDupSpec extends GraftSpec {
       pairs should contain((1L, 2L))
       pairs.flatMap(p => Seq(p._1, p._2)) should not contain 3L
     }
+    it("probeBuckets yields the cell and its hamming-1 neighbors") {
+      Seq(5).toDF("b").select(Ann.probeBuckets($"b", 4)).as[Seq[Int]]
+        .head() shouldBe Seq(5, 4, 7, 1, 13)
+    }
+    it("annTopKMultiProbe finds cross-bucket neighbors annTopK misses") {
+      // vec 5 sits just across the dim-1 sign boundary from vec 1
+      val v = vecs.union(Seq((5L, Seq(-0.01f, 1f, 1f, 1f, 0.5f))).toDF("vec_id", "embedding"))
+      val single = Ann.annTopK(v, "vec_id", "embedding", Seq(1L), 4, 4)
+        .select("vid").as[Long].collect()
+      single should not contain 5L // bucket 7, not probed by single-cell
+      val multi = Ann.annTopKMultiProbe(v, "vec_id", "embedding", Seq(1L), 4, 4)
+        .select("vid").as[Long].collect()
+      multi should contain(5L)
+    }
     it("annTopK probes the query's own cell") {
       val top = Ann.annTopK(vecs, "vec_id", "embedding", Seq(1L), 2, 4)
         .select("vid", "rnk").as[(Long, Int)].collect()
