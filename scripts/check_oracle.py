@@ -16,8 +16,11 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 def canon(v):
     if isinstance(v, float):
+        # bit-exact: every declared query is engineered to produce identical
+        # doubles in Spark and DuckDB (decimal-routed sums, fixed fold
+        # order); comparing full precision catches association regressions
         if math.isnan(v): return "NaN"
-        return f"{round(v, 6):.6f}"
+        return repr(v)
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
     if isinstance(v, (list, tuple)):

@@ -333,9 +333,12 @@ object SparkEntry {
       .partitionBy("o_custkey")
       .orderBy("o_orderdate", "o_orderkey")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // DECIMAL accumulation: window-sum association differs across engines
+    // on doubles (segment trees reassociate); decimal addition doesn't care
     t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(col("o_totalprice")).over(w).as("running_total"))
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w)
+          .cast(DoubleType).as("running_total"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -615,8 +618,8 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "dq27_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  SUM(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS running_total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "dq28_set_except" ->
       """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
