@@ -34,7 +34,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // sbt-forked stdout gets an "[info] " prefix; leave an undecorated copy
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
   }
 }

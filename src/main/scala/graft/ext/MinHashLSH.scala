@@ -80,6 +80,15 @@ object MinHashLSH {
     i / (size(a) + size(b) - i)
   }
 
+  /** LSH candidate pairs only (no Jaccard verification) — exposed for
+    * tuning/diagnostics: candidate volume ≈ Σ_pairs P(J_pair^rowsPerBand
+    * collides in ≥1 band), the knob that controls cost on
+    * high-background-similarity corpora.
+    */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame =
+    shingleCandidates(df, idCol, textCol, numHashes, bands)._2
+
   /** Near-duplicate pairs (idA < idB, Jaccard > threshold).
     *
     * @param numHashes signature length (bands * rowsPerBand)
@@ -93,19 +102,39 @@ object MinHashLSH {
       bands: Int = 4,
       threshold: Double = 0.8
   ): DataFrame = {
+    val (sh, cand) = shingleCandidates(df, idCol, textCol, numHashes, bands)
+    // exact verification: join the (small) candidate list back to shingle sets
+    val x = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val y = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(x, "doc_a").join(y, "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") > threshold)
+  }
+
+  private def shingleCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int
+  ): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
 
-    // Fan the heavy per-row work (tokenize + 16×md5 per shingle) across all
+    // Fan the heavy per-row work (tokenize + md5 per shingle) across all
     // cores even when the input is a single unsplittable row group, and
     // materialize the shingle sets once — they are consumed three times
     // (signature branch + both sides of the verification join).
-    val sh = df
+    // The empty-shingle filter goes ABOVE the persist boundary: filtering
+    // the projection directly lets Catalyst substitute the full shingle
+    // expression into the filter and push it below the exchange, where it
+    // recomputes every doc's shingles on the unsplit input partition.
+    val projected = df
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), sort_array(shingles(col("__text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
       .persist()
+    val sh = projected.filter(size(col("sh")) > 0)
 
     val (hsCols, mh) = signatureColumns(col("sh"), numHashes)
     val sig = sh
@@ -127,12 +156,6 @@ object MinHashLSH {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-
-    // exact verification: join the (small) candidate list back to shingle sets
-    val x = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val y = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(x, "doc_a").join(y, "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jac"))
-      .filter(col("jac") > threshold)
+    (sh, cand)
   }
 }
