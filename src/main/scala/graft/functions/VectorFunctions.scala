@@ -15,8 +15,6 @@ import org.apache.spark.sql.types.DoubleType
   */
 object VectorFunctions {
 
-  private def d(c: Column): Column = c.cast("array<double>")
-
   /** Σ aᵢ·bᵢ — codegen'd primitive loop ([[DotProduct]]), double accumulation
     * left to right (same fold order as the HOF formulation it replaced).
     */
