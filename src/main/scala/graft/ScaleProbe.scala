@@ -43,6 +43,27 @@ object ScaleProbe {
       val t2 = System.nanoTime()
       println(f"""{"probe":"minhash","m":$m,"docs":$n,"hashes":$hashes,"bands":$bands,"candidates":$cand,"cand_sec":${(t1 - t0) / 1e9}%.1f,"pairs":$pairs,"total_sec":${(t2 - t1) / 1e9}%.1f}""")
       df.unpersist()
+      ()
+    }
+    // ANN probe: clone embeddings with small perturbations; the IVF lesson
+    // is that cell count (2^dims) must scale with corpus size to keep
+    // per-cell blocks bounded
+    if (sys.env.get("SCALE_ANN").contains("1")) {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      for (m <- Seq(10, 50); dims <- Seq(4, 8)) {
+        val df = emb.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("vec_id") * m + col("rep")).as("vec_id"),
+            transform(col("embedding"),
+              x => x + (col("rep") % 10).cast("float") * lit(0.01f)).as("embedding"))
+          .cache()
+        val n = df.count()
+        val t0 = System.nanoTime()
+        val k = graft.ext.Ann.annTopK(df, "vec_id", "embedding", Seq(1L, 2L, 3L), 5, dims).count()
+        val t1 = System.nanoTime()
+        println(f"""{"probe":"ann","vecs":$n,"dims":$dims,"topk_rows":$k,"sec":${(t1 - t0) / 1e9}%.1f}""")
+        df.unpersist()
+        ()
+      }
     }
     spark.stop()
   }
