@@ -60,6 +60,17 @@ object MappingNode {
     }
   }
 
+  /** The open extension point (reference U1: `UserDefinedProtoToAvroNode`,
+    * UserDefinedMappings.scala:20-33 — an "experimental API" trait users
+    * implement for arbitrary computed columns). Here the user function gets
+    * the input schema and returns any Catalyst `Column` — the full
+    * `functions._` algebra, custom Expressions included — while still
+    * composing with Message nesting, ordering, and plan-time validation.
+    */
+  final case class Custom(build: StructType => Column) extends MappingNode {
+    override def toColumn(schema: StructType): Column = build(schema)
+  }
+
   /** Build a new struct column from named child mappings, nested arbitrarily
     * (reference Message, UserDefinedMappings.scala:128-154). Child fields are
     * ordered lexicographically for determinism (the reference iterates an

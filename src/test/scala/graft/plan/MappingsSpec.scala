@@ -63,6 +63,29 @@ class MappingsSpec extends GraftSpec {
     }
   }
 
+  describe("Custom (U1, UserDefinedMappings.scala:20-33)") {
+    import graft.plan.MappingNode.Custom
+    import org.apache.spark.sql.functions._
+    it("user-supplied Column logic composes with the translator") {
+      val df = Translator(List("date"),
+        userDefinedMappings = List(
+          "date_len" -> Custom(_ => org.apache.spark.sql.functions.length(col("date"))),
+          "wrapped" -> Message("wrapped", Seq(
+            "upper_date" -> Custom(_ => upper(col("date")))))))(fixture)
+      df.where($"date" === "2021-02-01")
+        .select($"date_len", $"wrapped.upper_date").as[(Int, String)]
+        .head() shouldBe ((10, "2021-02-01"))
+    }
+    it("can use the schema for validation") {
+      val c = Custom(st => {
+        require(st.fieldNames.contains("date"), "needs a date column")
+        col("date")
+      })
+      an[IllegalArgumentException] should be thrownBy
+        c.toColumn(org.apache.spark.sql.types.StructType(Nil))
+    }
+  }
+
   describe("Message (P6, UserDefinedMappings.scala:128-154)") {
     it("builds a nested struct from constants and scalars, sorted by name") {
       val df = Translator(Nil,
