@@ -25,8 +25,12 @@ import graft.functions.VectorFunctions
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS); make the queries safe under ANY
+    // caller-provided session, not just GraftSession (runtime-settable conf)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's full production pipeline shape
