@@ -372,6 +372,34 @@ object SparkEntry {
         queryIds = Seq(1L, 2L, 3L), k = 5, dims = 4)
       .orderBy("qid", "rnk")
 
+  /** DQ31 (EXT): streaming dedup — dropDuplicates state over the stream,
+    * then order-independent distinct-key counts per type. */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val res = EventStream.runToTable(
+      EventStream.dedupCounts(EventStream.readEvents(s, dir)),
+      "q31_dedup", org.apache.spark.sql.streaming.OutputMode.Complete())
+    res.orderBy("event_type")
+  }
+
+  /** DQ32 (EXT, §2.3): left-anti join — customers with no 1995 orders. */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(year(col("o_orderdate")) === 1995),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** DQ33 (EXT, §2.3): left outer join + aggregation — order counts per
+    * customer including order-less customers (count of a null-keyed group
+    * is 0). */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).cast(DoubleType).as("total_spent"))
+      .orderBy("c_custkey")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -403,7 +431,10 @@ object SparkEntry {
     "dq27_window_running"      -> (q27 _),
     "dq28_set_except"          -> (q28 _),
     "dq29_distinct_count"      -> (q29 _),
-    "dq30_ann_multiprobe"      -> (q30 _)
+    "dq30_ann_multiprobe"      -> (q30 _),
+    "dq31_stream_dedup"        -> (q31 _),
+    "dq32_anti_join"           -> (q32 _),
+    "dq33_outer_join_agg"      -> (q33 _)
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same ORDER BY). */
@@ -651,6 +682,20 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
         |  FROM scored)
         |SELECT qid, vid, sim, rnk FROM ranked WHERE rnk <= 5
-        |ORDER BY qid, rnk""".stripMargin
+        |ORDER BY qid, rnk""".stripMargin,
+    "dq31_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_unique_users FROM (
+        |  SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "dq32_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+        |ORDER BY c_custkey""".stripMargin,
+    "dq33_outer_join_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
   )
 }

@@ -96,6 +96,19 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup on key columns + per-type distinct-key counts.
+    * `dropDuplicates` keeps the first arrival (state keyed by the cols,
+    * watermark-bounded in production); counting per type afterwards is
+    * arrival-order independent, which is what makes the result
+    * deterministic and oracle-checkable.
+    */
+  def dedupCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique_users"))
+
   /** Run a streaming frame to completion (availableNow) into a memory sink
     * and return the materialized result — used by the Verify/oracle harness
     * to check stream/batch parity.
