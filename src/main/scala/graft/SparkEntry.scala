@@ -400,6 +400,38 @@ object SparkEntry {
         sum(col("o_totalprice").cast(DecimalType(18, 6))).cast(DoubleType).as("total_spent"))
       .orderBy("c_custkey")
 
+  /** DQ34 (EXT, §2.4): ROLLUP grouping sets — revenue subtotals at
+    * (flag, status), (flag), and grand-total levels. NULLS FIRST ordering
+    * pinned on both engines (Spark's asc default; DuckDB needs it explicit). */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** DQ35 (EXT): pivot — yearly order counts spread over status columns.
+    * Explicit pivot values keep the output schema static (plan-time, no
+    * value-discovery scan); the oracle is the conditional-aggregation form
+    * pivot compiles to. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+      .groupBy("yr")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("yr")
+
+  /** DQ36 (EXT): JSON property extraction — parse events.props and
+    * aggregate by the extracted key (empty string → null, skipped). */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -434,7 +466,10 @@ object SparkEntry {
     "dq30_ann_multiprobe"      -> (q30 _),
     "dq31_stream_dedup"        -> (q31 _),
     "dq32_anti_join"           -> (q32 _),
-    "dq33_outer_join_agg"      -> (q33 _)
+    "dq33_outer_join_agg"      -> (q33 _),
+    "dq34_rollup"              -> (q34 _),
+    "dq35_pivot"               -> (q35 _),
+    "dq36_json_extract"        -> (q36 _)
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same ORDER BY). */
@@ -696,6 +731,22 @@ object SparkEntry {
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "dq34_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "dq35_pivot" ->
+      """SELECT year(o_orderdate) AS yr,
+        |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+    "dq36_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+        |FROM events WHERE props <> '' AND props IS NOT NULL
+        |GROUP BY 1 HAVING k IS NOT NULL ORDER BY k""".stripMargin
   )
 }
