@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the custom codegen expressions, so they're usable
+  * from `spark.sql(...)` and not just the Column API:
+  *
+  *  - `graft_dot(a, b)`                    — [[DotProduct]]
+  *  - `graft_sorted_intersect_size(a, b)`  — [[SortedIntersectSize]]
+  *
+  * Two entry points: [[GraftExtensions]] for config-driven injection
+  * (`spark.sql.extensions=graft.functions.GraftExtensions` — the way a
+  * cluster deployment ships them), and [[GraftFunctions.register]] for an
+  * already-running session.
+  */
+object GraftFunctions {
+
+  private def fns: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot expects 2 arguments")
+        DotProduct(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_sorted_intersect_size expects 2 arguments")
+        SortedIntersectSize(args(0), args(1))
+      }))
+
+  /** Register on a live session. */
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  private[functions] def inject(ext: SparkSessionExtensions): Unit =
+    fns.foreach(ext.injectFunction)
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+}

@@ -59,6 +59,18 @@ class ExpressionsSpec extends GraftSpec {
     }
   }
 
+  describe("SQL registration (GraftFunctions)") {
+    it("graft_dot and graft_sorted_intersect_size callable from spark.sql") {
+      GraftFunctions.register(spark)
+      Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b").createOrReplaceTempView("vecs")
+      spark.sql("SELECT graft_dot(a, b) FROM vecs").as[Double].head() shouldBe 11.0
+      Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+        .createOrReplaceTempView("sets")
+      spark.sql("SELECT graft_sorted_intersect_size(x, y) FROM sets")
+        .as[Int].head() shouldBe 2
+    }
+  }
+
   describe("jaccardSorted vs jaccard") {
     it("identical results on sorted inputs") {
       val df = Seq((Seq("a", "b", "c", "d"), Seq("b", "c", "x"))).toDF("x", "y")
