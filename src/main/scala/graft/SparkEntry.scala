@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.plan.{FieldOrdering, MappingNode, Translator}
 import graft.plan.MappingNode.{Constant, Message, Scalar}
-import graft.ext.{Ann, Dedup, MinHashLSH, Multimodal, SimHash, TextAnalysis}
+import graft.ext.{Ann, AsOfJoin, Dedup, MinHashLSH, Multimodal, SimHash, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.VectorFunctions
 
@@ -432,6 +432,22 @@ object SparkEntry {
       .groupBy("k").agg(count(lit(1)).as("n"))
       .orderBy("k")
 
+  /** DQ37 (EXT): as-of join — each click attributed to the user's most
+    * recent prior (or simultaneous) purchase; one shuffle via the
+    * union+running-window formulation (ext.AsOfJoin). */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    // micros on both sides: DuckDB truncates TIMESTAMP_NS to micros on read
+    val ev = t(s, dir, "events").withColumn("ts", expr("ts DIV 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    AsOfJoin.backward(clicks, purchases, "user_id", "ts", "ts", "value")
+      .select(col("event_id"), col("user_id"), col("asof_value"),
+        ((col("ts") - col("asof_time")) / 1000000.0).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -469,7 +485,8 @@ object SparkEntry {
     "dq33_outer_join_agg"      -> (q33 _),
     "dq34_rollup"              -> (q34 _),
     "dq35_pivot"               -> (q35 _),
-    "dq36_json_extract"        -> (q36 _)
+    "dq36_json_extract"        -> (q36 _),
+    "dq37_asof_join"           -> (q37 _)
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same ORDER BY). */
@@ -747,6 +764,22 @@ object SparkEntry {
     "dq36_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
         |FROM events WHERE props <> '' AND props IS NOT NULL
-        |GROUP BY 1 HAVING k IS NOT NULL ORDER BY k""".stripMargin
+        |GROUP BY 1 HAVING k IS NOT NULL ORDER BY k""".stripMargin,
+    "dq37_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) t, 1 side,
+        |    NULL::DOUBLE rv, NULL::BIGINT rt
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT NULL::BIGINT event_id, user_id, epoch_us(ts) t, 0 side,
+        |    value::DOUBLE rv, epoch_us(ts) rt
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |m AS (SELECT event_id, user_id, t, side,
+        |    last_value(rv IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t, side, rv ROWS UNBOUNDED PRECEDING) asof_value,
+        |    last_value(rt IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t, side, rv ROWS UNBOUNDED PRECEDING) asof_time
+        |  FROM u)
+        |SELECT event_id, user_id, asof_value, (t - asof_time) / 1000000.0 AS gap_sec
+        |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin
   )
 }
