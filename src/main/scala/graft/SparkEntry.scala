@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.plan.{FieldOrdering, MappingNode, Translator}
 import graft.plan.MappingNode.{Constant, Message, Scalar}
-import graft.ext.{Ann, AsOfJoin, Dedup, MinHashLSH, Multimodal, SimHash, TextAnalysis}
+import graft.ext.{Ann, AsOfJoin, Dedup, MinHashLSH, Multimodal, RangeJoin, SimHash, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.VectorFunctions
 
@@ -448,6 +448,23 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** DQ38 (EXT): range join — lineitems matched to quantity bands via the
+    * bucketed equi-join (ext.RangeJoin), never a nested-loop inequality
+    * join. Revenue per band. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(5).toDF("band_id")
+      .select(col("band_id"),
+        (col("band_id") * 10 + 1).cast(DoubleType).as("lo"),
+        (col("band_id") * 10 + 11).cast(DoubleType).as("hi"))
+    RangeJoin.pointInRange(
+        t(s, dir, "lineitem").select(col("l_quantity"), col("l_extendedprice")),
+        "l_quantity", bands, "lo", "hi", bucketWidth = 10.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"))
+      .orderBy("band_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -486,7 +503,8 @@ object SparkEntry {
     "dq34_rollup"              -> (q34 _),
     "dq35_pivot"               -> (q35 _),
     "dq36_json_extract"        -> (q36 _),
-    "dq37_asof_join"           -> (q37 _)
+    "dq37_asof_join"           -> (q37 _),
+    "dq38_range_join"          -> (q38 _)
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same ORDER BY). */
@@ -780,6 +798,13 @@ object SparkEntry {
         |      ORDER BY t, side, rv ROWS UNBOUNDED PRECEDING) asof_time
         |  FROM u)
         |SELECT event_id, user_id, asof_value, (t - asof_time) / 1000000.0 AS gap_sec
-        |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin
+        |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "dq38_range_join" ->
+      """WITH bands AS (SELECT b AS band_id, (b * 10 + 1)::DOUBLE lo, (b * 10 + 11)::DOUBLE hi
+        |  FROM unnest(range(0, 5)) AS u(b))
+        |SELECT band_id, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin
   )
 }

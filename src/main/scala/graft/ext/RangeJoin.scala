@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (band) join — match points to [lo, hi) intervals. Spark's planner
+  * turns a bare inequality join into BroadcastNestedLoopJoin (O(N·M));
+  * bucketing the range dimension makes it an EQUI-join on bucket ids:
+  * each interval is exploded to the buckets it spans, each point hashes to
+  * its own bucket, candidates meet in a hash shuffle, and the exact bound
+  * check filters the edges. Cost is O(N + M·spannedBuckets) shuffled rows —
+  * pick `bucketWidth` near the typical interval width so spannedBuckets
+  * stays small.
+  */
+object RangeJoin {
+
+  /** Inner-join `points` to `ranges` on pointCol ∈ [loCol, hiCol).
+    * All three columns must be numeric (compared as double).
+    */
+  def pointInRange(
+      points: DataFrame,
+      pointCol: String,
+      ranges: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double
+  ): DataFrame = {
+    val w = lit(bucketWidth)
+    val expanded = ranges.withColumn("__bucket",
+      explode(sequence(
+        floor(col(loCol) / w).cast("long"),
+        // hi is exclusive: a range ending exactly on a bucket boundary does
+        // not spill into the next bucket
+        floor((col(hiCol) - lit(1e-9)) / w).cast("long"))))
+    val bucketed = points.withColumn("__bucket", floor(col(pointCol) / w).cast("long"))
+    bucketed.join(expanded, "__bucket")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
+  }
+}
