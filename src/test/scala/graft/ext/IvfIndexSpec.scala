@@ -1,0 +1,33 @@
+package graft.ext
+
+import graft.GraftSpec
+
+/** Trained-centroid IVF index: recall vs the exact baseline. */
+class IvfIndexSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val index = IvfIndex.fit(emb, "vec_id", "embedding", k = 8)
+
+  it("probing all cells reproduces the exact brute-force top-k") {
+    val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", 1L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val ivf = index.query(1L, 10, nprobe = 8)
+      .select("vid").as[Long].collect().toSeq
+    ivf shouldBe exact
+  }
+
+  it("probing few cells returns a subset with nonzero recall") {
+    val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", 2L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = index.query(2L, 10, nprobe = 2)
+      .select("vid").as[Long].collect().toSet
+    approx.size should be <= 10
+    (approx intersect exact) should not be empty
+  }
+
+  it("every vector lands in exactly one of k cells") {
+    index.assigned.select("cell").distinct().count() should be <= 8L
+    index.assigned.count() shouldBe emb.count()
+  }
+}
