@@ -22,7 +22,11 @@ def canon(v):
         if math.isnan(v): return "NaN"
         return repr(v)
     if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
+        # the DRIVER's canonicalizer (pandas sort_values) cannot order dict
+        # cells — a struct-typed output column fails its gate even when
+        # values match. Surface that here instead of silently passing.
+        raise TypeError("struct-typed output column (driver-incompatible); "
+                        "render structs with to_json on both sides")
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return repr(v)

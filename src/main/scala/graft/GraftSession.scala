@@ -10,9 +10,14 @@ object GraftSession {
 
   def builder(appName: String): SparkSession.Builder = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    SparkSession.builder()
+    val b = SparkSession.builder()
       .appName(appName)
-      .master(s"local[$cpus]")
+    // local[N] is a FALLBACK, not an override: spark-submit --master (and
+    // any explicit spark.master) wins, so Bench/Verify deployed on a real
+    // cluster run distributed rather than silently single-node.
+    if (!sys.props.contains("spark.master") && !sys.env.contains("SPARK_MASTER"))
+      b.master(s"local[$cpus]")
+    b
       // size shuffles to the actual parallelism, not the 200 default
       .config("spark.sql.shuffle.partitions", cpus)
       // AQE: runtime coalescing, skew-join splitting, dynamic broadcast

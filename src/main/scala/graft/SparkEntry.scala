@@ -26,9 +26,12 @@ import graft.functions.VectorFunctions
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS); make the queries safe under ANY
-    // caller-provided session, not just GraftSession (runtime-settable conf)
+    // make the queries safe under ANY caller-provided session, not just
+    // GraftSession (both are runtime-settable confs):
+    //  - events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
+    //  - timestamp rendering (date_format/window) must match the UTC oracle
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -98,23 +101,38 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
+  /** Struct-valued output columns rendered as compact JSON strings for the
+    * driver compare (its canonicalizer sorts rows with pandas, which cannot
+    * order struct/dict cells). The JSON still encodes the full nested shape
+    * — field names, order, and pruning — so a projection regression (e.g. an
+    * unpruned sibling field) changes the string and fails the hash. */
+  private def jsonified(df: DataFrame, structCols: String*): DataFrame =
+    df.select(df.columns.map(c =>
+      if (structCols.contains(c)) to_json(col(c)).as(c) else col(c)).toIndexedSeq: _*)
+
   /** DQ1 (P1): path projection — keep exactly customer.{custkey,name},
     * pruning mktsegment inside the struct and acctbal beside it. */
   private def q01(s: SparkSession, dir: String): DataFrame =
-    Translator(List("customer.custkey", "customer.name"))(nestedCustomer(s, dir))
-      .orderBy(col("customer.custkey"))
+    jsonified(
+      Translator(List("customer.custkey", "customer.name"))(nestedCustomer(s, dir))
+        .withColumn("custkey", col("customer.custkey")),
+      "customer")
+      .orderBy("custkey")
 
   /** DQ2 (P1/P2): a path ending at a struct keeps the whole subtree. */
   private def q02(s: SparkSession, dir: String): DataFrame =
-    Translator(List("o_orderkey", "info"))(nestedOrders(s, dir))
+    jsonified(Translator(List("o_orderkey", "info"))(nestedOrders(s, dir)), "info")
       .orderBy("o_orderkey")
 
   /** DQ3 (P4): scalar flattening — lift customer.custkey to top level. */
   private def q03(s: SparkSession, dir: String): DataFrame =
-    Translator(
-      List("customer.custkey", "customer.name"),
-      userDefinedMappings = List("customer_id" -> Scalar("customer.custkey"))
-    )(nestedCustomer(s, dir)).orderBy("customer_id")
+    jsonified(
+      Translator(
+        List("customer.custkey", "customer.name"),
+        userDefinedMappings = List("customer_id" -> Scalar("customer.custkey"))
+      )(nestedCustomer(s, dir)),
+      "customer")
+      .orderBy("customer_id")
 
   /** DQ4 (P5): constant columns (mirrors ProtoToAvroMappingTest.scala:61-62). */
   private def q04(s: SparkSession, dir: String): DataFrame =
@@ -131,7 +149,9 @@ object SparkEntry {
     val shaped = t(s, dir, "orders").select(
       col("o_orderkey"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("report_date_src"))
-    Translator(List("o_orderkey"), userDefinedMappings = List(metadataNode(DownloadDate)))(shaped)
+    jsonified(
+      Translator(List("o_orderkey"), userDefinedMappings = List(metadataNode(DownloadDate)))(shaped),
+      "metadata")
       .orderBy("o_orderkey")
   }
 
@@ -161,21 +181,28 @@ object SparkEntry {
     val shaped = t(s, dir, "orders").select(
       col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("report_date_src"))
-    Translator(
-      List("o_totalprice"),
-      userDefinedMappings = List(
-        "order_id"    -> Scalar("o_orderkey"),
-        "customer_id" -> Scalar("o_custkey"),
-        metadataNode(DownloadDate)),
-      ordering = FieldOrdering.idFirst(List("order_id", "customer_id"))
-    )(shaped).orderBy("order_id")
+    // jsonified preserves the translator's column order (ids first,
+    // metadata last) — the ordering itself is additionally unit-tested,
+    // since the driver compare sorts columns by name before hashing
+    jsonified(
+      Translator(
+        List("o_totalprice"),
+        userDefinedMappings = List(
+          "order_id"    -> Scalar("o_orderkey"),
+          "customer_id" -> Scalar("o_custkey"),
+          metadataNode(DownloadDate)),
+        ordering = FieldOrdering.idFirst(List("order_id", "customer_id"))
+      )(shaped),
+      "metadata")
+      .orderBy("order_id")
   }
 
   /** DQ10 (S4): Avro-style JSON encoding of a projected struct. */
   private def q10(s: SparkSession, dir: String): DataFrame =
-    q01(s, dir).select(
-      col("customer.custkey").as("c_custkey"),
-      to_json(col("customer")).as("customer_json"))
+    Translator(List("customer.custkey", "customer.name"))(nestedCustomer(s, dir))
+      .select(
+        col("customer.custkey").as("c_custkey"),
+        to_json(col("customer")).as("customer_json"))
       .orderBy("c_custkey")
 
   /** DQ11 (EXT): equi-join on the lifted id — the downstream join the P4
@@ -276,19 +303,21 @@ object SparkEntry {
   /** DQ21 (EXT): character-4-gram Jaccard near-dups within source groups
     * (bounded pair space via the group equi-join). */
   private def q21(s: SparkSession, dir: String): DataFrame = {
+    // shingle sets sorted once for the zero-allocation two-pointer jaccard
+    // (primitive ints) on 600k+ pairs; cached only for the call (consumed by
+    // both sides of the source self-join), released on return
     val d = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         sort_array(TextAnalysis.packedCharShingles(col("text"), 4)).as("sh"))
-      .persist() // consumed by both sides of the source self-join; sorted once
-    // for the zero-allocation two-pointer jaccard (primitive ints) on 600k+ pairs
-    val a = d.as("a")
-    val b = d.as("b")
-    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        MinHashLSH.jaccardSorted(col("a.sh"), col("b.sh")).as("jac"))
-      .filter(col("jac") > 0.5)
-      .orderBy("doc_a", "doc_b")
+    graft.ext.CacheScope.withCached(d) {
+      val a = d.as("a")
+      val b = d.as("b")
+      a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          MinHashLSH.jaccardSorted(col("a.sh"), col("b.sh")).as("jac"))
+        .filter(col("jac") > 0.5)
+    }.orderBy("doc_a", "doc_b")
   }
 
   /** DQ22 (EXT): embedding near-dup pairs via IVF-style sign-bucket cells +
@@ -510,23 +539,25 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (same column names, same ORDER BY). */
   def oracleSql: Map[String, String] = Map(
     "dq01_nested_projection" ->
-      """SELECT {'custkey': c_custkey, 'name': c_name} AS customer
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+      """SELECT to_json({'custkey': c_custkey, 'name': c_name})::VARCHAR AS customer,
+        |  c_custkey AS custkey
+        |FROM customer ORDER BY custkey""".stripMargin,
     "dq02_select_all_expansion" ->
-      """SELECT o_orderkey, {'orderdate': strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+      """SELECT o_orderkey, to_json({'orderdate': strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
         |  'priority': o_orderpriority, 'status': o_orderstatus,
-        |  'totalprice': o_totalprice} AS info
+        |  'totalprice': o_totalprice})::VARCHAR AS info
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "dq03_scalar_flatten" ->
-      """SELECT {'custkey': c_custkey, 'name': c_name} AS customer,
+      """SELECT to_json({'custkey': c_custkey, 'name': c_name})::VARCHAR AS customer,
         |  c_custkey AS customer_id
         |FROM customer ORDER BY customer_id""".stripMargin,
     "dq04_constant_columns" ->
       """SELECT 'Ben' AS author, n_name, n_nationkey, 1 AS test_run
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "dq05_struct_construction" ->
-      """SELECT {'author': 'Ben', 'download_date': '2026-08-12',
-        |  'report_date': strftime(o_orderdate, '%Y-%m-%d')} AS metadata, o_orderkey
+      """SELECT to_json({'author': 'Ben', 'download_date': '2026-08-12',
+        |  'report_date': strftime(o_orderdate, '%Y-%m-%d')})::VARCHAR AS metadata,
+        |  o_orderkey
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "dq06_filter_predicates" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -541,8 +572,8 @@ object SparkEntry {
       "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus",
     "dq09_field_ordering" ->
       """SELECT o_orderkey AS order_id, o_custkey AS customer_id, o_totalprice,
-        |  {'author': 'Ben', 'download_date': '2026-08-12',
-        |   'report_date': strftime(o_orderdate, '%Y-%m-%d')} AS metadata
+        |  to_json({'author': 'Ben', 'download_date': '2026-08-12',
+        |   'report_date': strftime(o_orderdate, '%Y-%m-%d')})::VARCHAR AS metadata
         |FROM orders ORDER BY order_id""".stripMargin,
     "dq10_json_sink" ->
       """SELECT c_custkey,
@@ -698,8 +729,8 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(text)::BIGINT AS byte_len,
         |  ascii(substr(text, 1, 1)) AS first_byte,
-        |  (list_sum(list_transform(range(1, least(len(text), 16) + 1),
-        |    i -> ascii(substr(text, i, 1)))) % 256)::BIGINT AS checksum16,
+        |  (COALESCE(list_sum(list_transform(range(1, least(len(text), 16) + 1),
+        |    i -> ascii(substr(text, i, 1)))), 0) % 256)::BIGINT AS checksum16,
         |  (len(text) // 100)::BIGINT AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dq25_stream_window" ->

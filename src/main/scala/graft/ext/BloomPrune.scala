@@ -23,12 +23,34 @@ object BloomPrune {
       fpp: Double = 0.01): BloomFilter =
     dim.stat.bloomFilter(keyCol, expectedItems, fpp)
 
-  /** Prune `fact` to rows whose `keyCol` might be in the filter. */
+  /** Prune `fact` to rows whose `keyCol` might be in the filter.
+    *
+    * Probes with the column's NATIVE type — `buildFilter` inserts native
+    * values, so probing integral keys as long, strings as string, binary as
+    * bytes. A mismatched probe type would silently return false for every
+    * row (empty result, no error), hence the explicit dispatch + up-front
+    * rejection of unsupported key types. Nulls never match (no null was
+    * ever inserted).
+    */
   def prune(fact: DataFrame, keyCol: String, filter: BloomFilter): DataFrame = {
     val spark = fact.sparkSession
     val bc = spark.sparkContext.broadcast(filter)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    fact.filter(mightContain(col(keyCol).cast("long")))
+    import org.apache.spark.sql.types._
+    val probe: Column = fact.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+          .apply(col(keyCol).cast("long"))
+      case StringType =>
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+          .apply(col(keyCol))
+      case BinaryType =>
+        udf((k: Array[Byte]) => k != null && bc.value.mightContainBinary(k))
+          .apply(col(keyCol))
+      case dt => throw new IllegalArgumentException(
+        s"BloomPrune: unsupported key type $dt for column $keyCol " +
+          "(supported: byte/short/int/long, string, binary)")
+    }
+    fact.filter(probe)
   }
 
   /** Semi-join-shaped pipeline: prune the fact side with the dim's Bloom

@@ -25,6 +25,12 @@ final class IvfIndex private (
     val assigned: DataFrame, // vid, emb, nrm, cell
     k: Int) extends Serializable {
 
+  /** Release the cached cell assignment. The index caches `assigned` for its
+    * own lifetime (every query scans it); call this when done with the index
+    * so the blocks don't outlive it.
+    */
+  def release(): Unit = assigned.unpersist(blocking = false)
+
   /** Top-k cosine neighbors of `queryId` probing the `nprobe` nearest cells. */
   def query(queryId: Long, topK: Int, nprobe: Int): DataFrame = {
     val spark = assigned.sparkSession

@@ -86,10 +86,18 @@ object MinHashLSH {
     * high-background-similarity corpora.
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, bands: Int = 4): DataFrame =
-    shingleCandidates(df, idCol, textCol, numHashes, bands)._2
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val projected = shingleFrame(df, idCol, textCol)
+    CacheScope.withCached(projected) {
+      bandCandidates(projected.filter(size(col("sh")) > 0), numHashes, bands)
+    }
+  }
 
   /** Near-duplicate pairs (idA < idB, Jaccard > threshold).
+    *
+    * The shingle-set frame is cached only for the duration of the call
+    * (consumed by the signature branch and both sides of the verification
+    * join) and released before returning — see [[CacheScope]].
     *
     * @param numHashes signature length (bands * rowsPerBand)
     * @param bands     LSH bands; rowsPerBand = numHashes / bands
@@ -102,39 +110,35 @@ object MinHashLSH {
       bands: Int = 4,
       threshold: Double = 0.8
   ): DataFrame = {
-    val (sh, cand) = shingleCandidates(df, idCol, textCol, numHashes, bands)
-    // exact verification: join the (small) candidate list back to shingle sets
-    val x = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val y = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(x, "doc_a").join(y, "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jac"))
-      .filter(col("jac") > threshold)
+    val projected = shingleFrame(df, idCol, textCol)
+    CacheScope.withCached(projected) {
+      val sh = projected.filter(size(col("sh")) > 0)
+      val cand = bandCandidates(sh, numHashes, bands)
+      // exact verification: join the (small) candidate list back to shingle sets
+      val x = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val y = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      cand.join(x, "doc_a").join(y, "doc_b")
+        .select(col("doc_a"), col("doc_b"), jaccardSorted(col("sh_a"), col("sh_b")).as("jac"))
+        .filter(col("jac") > threshold)
+    }
   }
 
-  private def shingleCandidates(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      numHashes: Int,
-      bands: Int
-  ): (DataFrame, DataFrame) = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
-
-    // Fan the heavy per-row work (tokenize + md5 per shingle) across all
-    // cores even when the input is a single unsplittable row group, and
-    // materialize the shingle sets once — they are consumed three times
-    // (signature branch + both sides of the verification join).
-    // The empty-shingle filter goes ABOVE the persist boundary: filtering
-    // the projection directly lets Catalyst substitute the full shingle
-    // expression into the filter and push it below the exchange, where it
-    // recomputes every doc's shingles on the unsplit input partition.
-    val projected = df
-      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+  /** (doc_id, sorted shingle set) — the cache-worthy intermediate.
+    * Fans the heavy per-row work (tokenize + md5 per shingle) across all
+    * cores even when the input is a single unsplittable row group.
+    * The empty-shingle filter goes ABOVE the persist boundary: filtering
+    * the projection directly lets Catalyst substitute the full shingle
+    * expression into the filter and push it below the exchange, where it
+    * recomputes every doc's shingles on the unsplit input partition.
+    */
+  private def shingleFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), sort_array(shingles(col("__text"))).as("sh"))
-      .persist()
-    val sh = projected.filter(size(col("sh")) > 0)
+
+  private def bandCandidates(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
 
     val (hsCols, mh) = signatureColumns(col("sh"), numHashes)
     val sig = sh
@@ -151,11 +155,10 @@ object MinHashLSH {
 
     val a = banded.as("a")
     val b = banded.as("b")
-    val cand = a.join(b,
+    a.join(b,
         col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    (sh, cand)
   }
 }

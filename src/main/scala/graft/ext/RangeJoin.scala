@@ -26,12 +26,19 @@ object RangeJoin {
       bucketWidth: Double
   ): DataFrame = {
     val w = lit(bucketWidth)
-    val expanded = ranges.withColumn("__bucket",
-      explode(sequence(
-        floor(col(loCol) / w).cast("long"),
-        // hi is exclusive: a range ending exactly on a bucket boundary does
-        // not spill into the next bucket
-        floor((col(hiCol) - lit(1e-9)) / w).cast("long"))))
+    // Expand through floor(hi/w) unconditionally: when hi sits exactly on a
+    // bucket boundary this adds one spurious bucket whose candidates the
+    // exact bound filter below removes — an epsilon subtraction instead
+    // would DROP true matches whenever hi falls within epsilon above a
+    // boundary (the point hashes to a bucket the interval never expanded
+    // to). Empty/inverted intervals (hi <= lo) are guarded out rather than
+    // producing a descending (wrap-around) sequence.
+    val expanded = ranges
+      .filter(col(hiCol) > col(loCol))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(col(loCol) / w).cast("long"),
+          floor(col(hiCol) / w).cast("long"))))
     val bucketed = points.withColumn("__bucket", floor(col(pointCol) / w).cast("long"))
     bucketed.join(expanded, "__bucket")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))

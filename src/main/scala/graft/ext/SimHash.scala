@@ -59,23 +59,24 @@ object SimHash {
   ): DataFrame = {
     require(bits % bands == 0, "bits must be divisible by bands")
     val rows = bits / bands
-    // materialized once: both sides of the band self-join consume it
-    val sh = simhashBits(df, idCol, textCol, bits).persist()
+    // cached only for the call: both sides of the band self-join consume it
+    val sh = simhashBits(df, idCol, textCol, bits)
+    CacheScope.withCached(sh) {
+      val banded = sh.select(col("doc_id"), col("bits"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("b"), concat_ws(",", slice(col("bits"), b * rows + 1, lit(rows))).as("bkey")))).as("band"))
+        .select(col("doc_id"), col("bits"), col("band.b"), col("band.bkey"))
 
-    val banded = sh.select(col("doc_id"), col("bits"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("b"), concat_ws(",", slice(col("bits"), b * rows + 1, lit(rows))).as("bkey")))).as("band"))
-      .select(col("doc_id"), col("bits"), col("band.b"), col("band.bkey"))
-
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
-        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.bits").as("bits_a"), col("b.bits").as("bits_b"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"), hamming(col("bits_a"), col("bits_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      val a = banded.as("a")
+      val b = banded.as("b")
+      a.join(b,
+          col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.bits").as("bits_a"), col("b.bits").as("bits_b"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"), hamming(col("bits_a"), col("bits_b")).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    }
   }
 }

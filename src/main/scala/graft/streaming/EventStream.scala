@@ -30,12 +30,18 @@ object EventStream {
   /** File-source stream of the events table with a proper event-time column.
     * (The file source wants a directory; select the one table via glob.)
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // robust under any caller session: the nanos-as-long read applies to the
+    // stream's parquet scans, and window/date_format rendering must be UTC
+    // to match the oracle (runtime-settable confs, set before the stream)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** Hourly tumbling-window counts+sums per event_type, 1h watermark.
     * At scale: partial aggregation per micro-batch, state keyed by

@@ -30,4 +30,9 @@ class IvfIndexSpec extends GraftSpec {
     index.assigned.select("cell").distinct().count() should be <= 8L
     index.assigned.count() shouldBe emb.count()
   }
+
+  it("release() drops the index's cache blocks") {
+    index.release()
+    index.assigned.storageLevel.useMemory shouldBe false
+  }
 }
