@@ -15,6 +15,13 @@ object Bench {
     val spark = GraftSession.get("graft-bench")
 
     def runOnce(name: String): Double = {
+      // Reclaim the previous query's debt before timing this one, so each
+      // measurement reflects the query rather than its predecessors:
+      // terminated streaming queries keep state-store providers loaded
+      // until the 60s maintenance tick, and released cache/checkpoint
+      // blocks wait on a driver GC for the ContextCleaner to reap them.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
