@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.plan.{FieldOrdering, MappingNode, Translator}
 import graft.plan.MappingNode.{Constant, Message, Scalar}
-import graft.ext.{Ann, AsOfJoin, Dedup, MinHashLSH, Multimodal, RangeJoin, SimHash, TextAnalysis}
+import graft.ext.{Ann, AsOfJoin, ConnectedComponents, Dedup, MinHashLSH, Multimodal, RangeJoin, SimHash, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.VectorFunctions
 
@@ -494,6 +494,105 @@ object SparkEntry {
       .orderBy("band_id")
   }
 
+  /** DQ39 (EXT, §2.3): left-semi join — customers having at least one
+    * high-value order. The semi join shuffles only the key column of the
+    * probe side and never duplicates matches. */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** DQ40 (EXT, §2.7): INTERSECT — customers active in both 1995 and 1996
+    * (dq28's EXCEPT complement; distinct + hash semi join underneath). */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def custsIn(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+    custsIn(1995).intersect(custsIn(1996)).orderBy("o_custkey")
+  }
+
+  /** DQ41 (EXT, §2.4): CUBE grouping sets — all four aggregation levels of
+    * (flag, status) in one pass (partial-aggregated expand). */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** DQ42 (EXT, §2.4): exact percentiles — median and p90 of quantity per
+    * return flag (sort-based exact percentile; `approx_percentile` is the
+    * sketch alternative, unit-tested instead since sketches don't
+    * hash-match across engines). */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+      .orderBy("l_returnflag")
+
+  /** DQ43 (EXT, §2.8): ordered string aggregation — deterministic
+    * comma-joined distinct year list per order priority (collect_set is
+    * unordered by design; the explicit array_sort pins the result). */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        array_join(array_sort(collect_set(year(col("o_orderdate")).cast(StringType))), ",")
+          .as("years"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** DQ44 (EXT, §2.9): stream-static join — the streaming event feed
+    * enriched against the static customer dimension (broadcast; no state,
+    * re-planned per micro-batch), aggregated per market segment. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("mktsegment"))
+    val joined = EventStream.readEvents(s, dir)
+      .join(broadcast(cust), "user_id")
+      .groupBy("mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+    EventStream.runToTable(joined, "q44_enriched",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .orderBy("mktsegment")
+  }
+
+  /** DQ45 (EXT): dedup clustering — connected components over the MinHash
+    * near-dup pair graph (dq19's output), labeling every document with the
+    * min doc_id of its duplicate group: the step that turns PAIRS into the
+    * keep-one-per-group decision a dedup pipeline actually needs. */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+      numHashes = 16, bands = 4, threshold = 0.8)
+    ConnectedComponents.run(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** DQ46 (EXT, §2.9): built-in `session_window` sessionization — the
+    * declarative complement to dq26's flatMapGroupsWithState: Catalyst
+    * merges overlapping [t, t+gap) windows in the state store. Complete
+    * mode re-emits the final state of every session, so the availableNow
+    * run's last batch IS the full batch-parity answer. (Boundary: a gap of
+    * EXACTLY 10 min starts a new session — [t, t+gap) is half-open — hence
+    * `>=` in the oracle, where dq26's fold uses `>`.) */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val sess = EventStream.readEvents(s, dir)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("user_id"), session_window(col("event_time"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+    EventStream.runToTable(sess, "q46_sessions",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .orderBy("user_id", "session_start")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -533,8 +632,37 @@ object SparkEntry {
     "dq35_pivot"               -> (q35 _),
     "dq36_json_extract"        -> (q36 _),
     "dq37_asof_join"           -> (q37 _),
-    "dq38_range_join"          -> (q38 _)
+    "dq38_range_join"          -> (q38 _),
+    "dq39_semi_join"           -> (q39 _),
+    "dq40_set_intersect"       -> (q40 _),
+    "dq41_cube"                -> (q41 _),
+    "dq42_percentiles"         -> (q42 _),
+    "dq43_string_agg"          -> (q43 _),
+    "dq44_stream_static_join"  -> (q44 _),
+    "dq45_dedup_clusters"      -> (q45 _),
+    "dq46_session_window"      -> (q46 _)
   )
+
+  /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
+    * edge list of its clustering oracle, so the two stay in lockstep. */
+  private val Dq19Sql =
+    """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0) toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
+      |  FROM t WHERE len(toks) >= 3),
+      |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
+      |    i -> list_min(list_transform(sh,
+      |      x -> substr(md5((i // 4) || ':' || x), (8 * (i % 4) + 1)::INT, 8)))) mh FROM s),
+      |bands AS (SELECT doc_id, b,
+      |    md5(mh[4*b+1] || '|' || mh[4*b+2] || '|' || mh[4*b+3] || '|' || mh[4*b+4]) bkey
+      |  FROM sig, unnest(range(0, 4)) AS u(b)),
+      |cand AS (SELECT DISTINCT a.doc_id ai, b.doc_id bi
+      |  FROM bands a JOIN bands b USING (b, bkey) WHERE a.doc_id < b.doc_id),
+      |pairs AS (SELECT ai, bi,
+      |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)) jac
+      |  FROM cand JOIN s x ON x.doc_id = ai JOIN s y ON y.doc_id = bi)
+      |SELECT ai AS doc_a, bi AS doc_b, jac FROM pairs WHERE jac > 0.8""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same column names, same ORDER BY). */
   def oracleSql: Map[String, String] = Map(
@@ -646,25 +774,7 @@ object SparkEntry {
     "dq18_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "dq19_minhash_lsh" ->
-      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
-        |    x -> len(x) > 0) toks FROM documents),
-        |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
-        |  FROM t WHERE len(toks) >= 3),
-        |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
-        |    i -> list_min(list_transform(sh,
-        |      x -> substr(md5((i // 4) || ':' || x), (8 * (i % 4) + 1)::INT, 8)))) mh FROM s),
-        |bands AS (SELECT doc_id, b,
-        |    md5(mh[4*b+1] || '|' || mh[4*b+2] || '|' || mh[4*b+3] || '|' || mh[4*b+4]) bkey
-        |  FROM sig, unnest(range(0, 4)) AS u(b)),
-        |cand AS (SELECT DISTINCT a.doc_id ai, b.doc_id bi
-        |  FROM bands a JOIN bands b USING (b, bkey) WHERE a.doc_id < b.doc_id),
-        |pairs AS (SELECT ai, bi,
-        |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)) jac
-        |  FROM cand JOIN s x ON x.doc_id = ai JOIN s y ON y.doc_id = bi)
-        |SELECT ai AS doc_a, bi AS doc_b, jac FROM pairs WHERE jac > 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dq19_minhash_lsh" -> (Dq19Sql + "\nORDER BY doc_a, doc_b"),
     "dq20_simhash" ->
       """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
         |    x -> len(x) > 0) toks FROM documents),
@@ -836,6 +946,63 @@ object SparkEntry {
         |SELECT band_id, count(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
-        |GROUP BY band_id ORDER BY band_id""".stripMargin
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "dq39_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "dq40_set_intersect" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "dq41_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "dq42_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "dq43_string_agg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT strftime(o_orderdate, '%Y'), ','
+        |    ORDER BY strftime(o_orderdate, '%Y')) AS years,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "dq44_stream_static_join" ->
+      """SELECT c_mktsegment AS mktsegment, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY mktsegment""".stripMargin,
+    "dq45_dedup_clusters" ->
+      (s"""WITH RECURSIVE np AS ($Dq19Sql),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM np
+        |  UNION SELECT doc_b, doc_a FROM np),
+        |verts AS (SELECT DISTINCT a AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM verts
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+        |)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin),
+    "dq46_session_window" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) us FROM events),
+        |g AS (SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 600000000
+        |      THEN 1 ELSE 0 END brk
+        |  FROM o),
+        |s AS (SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) sid
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(to_timestamp(min(us) // 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
   )
 }

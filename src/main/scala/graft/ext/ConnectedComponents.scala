@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the clustering step a
+  * dedup pipeline needs AFTER near-dup pair generation ([[MinHashLSH]] /
+  * [[SimHash]] / [[Ann]] emit pairs; keeping one representative per
+  * duplicate GROUP requires the transitive closure of those pairs).
+  *
+  * Algorithm: iterative minimum-label propagation. Every vertex starts
+  * labeled with its own id; each round every vertex takes the min of its own
+  * and its neighbors' labels; converged when no label changes. Rounds needed
+  * = graph diameter (near-dup clusters are small and dense, so typically
+  * 2-3 rounds).
+  *
+  * Scale shape: one shuffle per round (edge⋈label hash join + min
+  * aggregation on vertex id — both partition by the same key, so AQE reuses
+  * the partitioning). Labels are `localCheckpoint`ed each round: iterative
+  * DataFrame plans otherwise nest one join deeper per round, and the
+  * lineage/codegen cost grows without bound. The edge list is cached for
+  * the duration of the call (consumed every round) and released on return.
+  */
+object ConnectedComponents {
+
+  /** Assign each vertex the minimum vertex id of its component.
+    *
+    * @param edges    undirected edges (each pair listed once is enough)
+    * @param srcCol   source vertex id column (integral)
+    * @param dstCol   destination vertex id column (integral)
+    * @param maxIter  safety bound on propagation rounds
+    * @return (id, component) — one row per vertex appearing in any edge
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+
+    val symC = sym.persist()
+    try {
+      var labels = symC.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id"))
+        .localCheckpoint(true)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        // neighbor labels flow along edges; min with own label
+        val viaEdges = symC
+          .join(labels.select(col("id").as("dst"), col("component")), "dst")
+          .select(col("src").as("id"), col("component"))
+        val next = labels.select(col("id"), col("component"))
+          .union(viaEdges)
+          .groupBy("id").agg(min(col("component")).as("component"))
+          .localCheckpoint(true)
+        val changed = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.component") =!= col("o.component"))
+          .limit(1).count()
+        // superseded rounds' checkpoint blocks are reaped by the
+        // ContextCleaner once the old frame is dropped here
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels
+    } finally symC.unpersist(blocking = false)
+  }
+}
