@@ -45,21 +45,24 @@ object ConnectedComponents {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
-        // neighbor labels flow along edges; min with own label
+        // neighbor labels flow along edges; min with own label. The self
+        // rows are tagged so the round's OLD label rides through the same
+        // aggregation — the convergence check is then a trivial scan of the
+        // checkpointed round output, not an extra join against the previous
+        // round.
         val viaEdges = symC
           .join(labels.select(col("id").as("dst"), col("component")), "dst")
-          .select(col("src").as("id"), col("component"))
-        val next = labels.select(col("id"), col("component"))
+          .select(col("src").as("id"), col("component"), lit(false).as("self"))
+        val next = labels.select(col("id"), col("component"), lit(true).as("self"))
           .union(viaEdges)
-          .groupBy("id").agg(min(col("component")).as("component"))
+          .groupBy("id")
+          .agg(min(col("component")).as("component"),
+            min(when(col("self"), col("component"))).as("__old"))
           .localCheckpoint(true)
-        val changed = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.component") =!= col("o.component"))
-          .limit(1).count()
+        val changed = next.filter(col("component") =!= col("__old")).limit(1).count()
         // superseded rounds' checkpoint blocks are reaped by the
         // ContextCleaner once the old frame is dropped here
-        labels = next
+        labels = next.select(col("id"), col("component"))
         converged = changed == 0
         iter += 1
       }
