@@ -97,6 +97,17 @@ class ExtSpec extends GraftSpec {
     }
   }
 
+  describe("approx_percentile (sketch counterpart of dq42's exact percentile)") {
+    it("brackets the exact median on real data") {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val (approx, exact) = li.select(
+        expr("approx_percentile(l_quantity, 0.5, 1000)"),
+        expr("percentile(l_quantity, 0.5)")).as[(Double, Double)].head()
+      // accuracy parameter 1000 → rank error ≤ n/1000; values are 1..50
+      math.abs(approx - exact) should be <= 1.0
+    }
+  }
+
   describe("VectorFunctions") {
     val df = Seq((Seq(1f, 0f, 0f), Seq(0f, 1f, 0f), Seq(2f, 0f, 0f)))
       .toDF("x", "y", "x2")
