@@ -593,6 +593,31 @@ object SparkEntry {
       .orderBy("user_id", "session_start")
   }
 
+  /** DQ47 (EXT): the complete near-dup dedup pipeline — detector pairs →
+    * transitive closure → keep ONE representative (min id) per duplicate
+    * group plus all unpaired documents (`ext.Dedup.keepCanonical`). */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, threshold = 0.8)
+    Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** DQ48 (EXT, §2.4): GROUPING SETS beyond rollup/cube — two disjoint
+    * single-column groupings in one pass, through the `spark.sql` entry
+    * point (the SQL surface of the same Catalyst Expand operator). */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql("""SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem_v GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+      .stripMargin)
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -640,7 +665,9 @@ object SparkEntry {
     "dq43_string_agg"          -> (q43 _),
     "dq44_stream_static_join"  -> (q44 _),
     "dq45_dedup_clusters"      -> (q45 _),
-    "dq46_session_window"      -> (q46 _)
+    "dq46_session_window"      -> (q46 _),
+    "dq47_dedup_canonical"     -> (q47 _),
+    "dq48_grouping_sets"       -> (q48 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1003,6 +1030,27 @@ object SparkEntry {
         |SELECT user_id,
         |  strftime(to_timestamp(min(us) // 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  count(*) AS n_events
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "dq47_dedup_canonical" ->
+      (s"""WITH RECURSIVE np AS ($Dq19Sql),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM np
+        |  UNION SELECT doc_b, doc_a FROM np),
+        |verts AS (SELECT DISTINCT a AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM verts
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+        |),
+        |clusters AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        |SELECT d.doc_id, d.source
+        |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+        |WHERE c.id IS NULL OR d.doc_id = c.rep
+        |ORDER BY d.doc_id""".stripMargin),
+    "dq48_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
   )
 }

@@ -50,4 +50,24 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** NEAR-dup dedup, end to end: given the near-dup PAIRS a detector
+    * emitted ([[MinHashLSH.nearDupPairs]] / [[SimHash.nearDupPairs]] /
+    * [[Ann.nearDupPairs]]), keep exactly one representative per duplicate
+    * group — the minimum id, via the transitive closure
+    * ([[ConnectedComponents]]) — plus every row that is in no group.
+    * This is the complete keep-decision a training-data pipeline runs.
+    * The cluster table is proportional to the DUPLICATES, not the corpus —
+    * usually small enough that AQE converts the left join to a broadcast at
+    * runtime (no hint pinned here, so a pathological all-dup corpus still
+    * degrades gracefully to a shuffle join).
+    */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+      pairACol: String = "doc_a", pairBCol: String = "doc_b"): DataFrame = {
+    val clusters = ConnectedComponents.run(pairs, pairACol, pairBCol)
+      .select(col("id").as("__cc_id"), col("component").as("__cc_rep"))
+    df.join(clusters, col(idCol) === col("__cc_id"), "left_outer")
+      .filter(col("__cc_id").isNull || col(idCol) === col("__cc_rep"))
+      .drop("__cc_id", "__cc_rep")
+  }
 }

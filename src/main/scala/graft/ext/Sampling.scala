@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-deterministic only for a FIXED partitioning — a
+  * repartition, AQE re-plan, or input split change reshuffles which rows the
+  * per-partition RNG visits. Corpus curation needs the opposite: membership
+  * decided by the ROW (its key), so the same document is in or out of the
+  * sample regardless of layout, cluster width, or engine. That's what
+  * hash-gate sampling gives: keep iff `xxhash64(key, seed) mod M < f·M`.
+  * It is also how you carve stable train/validation/test splits (disjoint
+  * gates over the same hash).
+  */
+object Sampling {
+
+  private val M = 1000000L // gate resolution: fractions to 1e-6
+
+  private def gate(keyCol: Column, seed: Long): Column =
+    pmod(xxhash64(keyCol, lit(seed)), lit(M))
+
+  /** Keep ~`fraction` of rows, membership a pure function of the key. */
+  def byKeyHash(df: DataFrame, keyCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.filter(gate(col(keyCol), seed) < lit((fraction * M).toLong))
+  }
+
+  /** Stratified keep-fractions per value of `strataCol`, same hash-gate
+    * determinism per key. Strata missing from `fractions` are dropped
+    * (mirrors `DataFrameStatFunctions.sampleBy`).
+    */
+  def stratifiedByKeyHash(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val bound = fractions.foldLeft(lit(-1L)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === lit(stratum), lit((f * M).toLong)).otherwise(acc)
+    }
+    df.filter(gate(col(keyCol), seed) < bound)
+  }
+
+  /** Disjoint train/validation/test split by hash range — every key lands
+    * in exactly one split, stable across runs, layouts, and engines.
+    * Returns (train, validation, test).
+    */
+  def split(df: DataFrame, keyCol: String, trainFrac: Double, valFrac: Double,
+      seed: Long = 42L): (DataFrame, DataFrame, DataFrame) = {
+    require(trainFrac + valFrac <= 1, "train + validation must be <= 1")
+    val g = gate(col(keyCol), seed)
+    val t = (trainFrac * M).toLong
+    val v = ((trainFrac + valFrac) * M).toLong
+    (df.filter(g < t), df.filter(g >= t && g < v), df.filter(g >= v))
+  }
+}

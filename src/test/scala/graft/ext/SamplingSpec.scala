@@ -1,0 +1,46 @@
+package graft.ext
+
+import graft.GraftSpec
+
+/** Hash-gate sampling: layout-independent membership, fractions, splits. */
+class SamplingSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  it("keeps approximately the requested fraction") {
+    val n = docs.count().toDouble
+    val kept = Sampling.byKeyHash(docs, "doc_id", 0.3).count().toDouble
+    kept / n shouldBe 0.3 +- 0.1
+  }
+
+  it("membership is a pure function of the key — layout independent") {
+    val a = Sampling.byKeyHash(docs, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Sampling.byKeyHash(docs.repartition(7), "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    b shouldBe a
+    // different seed → different sample
+    val c = Sampling.byKeyHash(docs, "doc_id", 0.5, seed = 7L)
+      .select("doc_id").as[Long].collect().sorted
+    c should not be a
+  }
+
+  it("stratified fractions apply per stratum; unlisted strata drop") {
+    val sources = docs.select("source").distinct().as[String].collect().sorted
+    val s0 = sources.head
+    val fr = Map(s0 -> 1.0) // keep all of one stratum, drop the rest
+    val kept = Sampling.stratifiedByKeyHash(docs, "source", "doc_id", fr)
+    kept.count() shouldBe docs.filter($"source" === s0).count()
+  }
+
+  it("split is a disjoint, exhaustive partition of the keys") {
+    val (tr, va, te) = Sampling.split(docs, "doc_id", 0.7, 0.2)
+    val n = docs.count()
+    tr.count() + va.count() + te.count() shouldBe n
+    tr.join(va, "doc_id").count() shouldBe 0
+    tr.join(te, "doc_id").count() shouldBe 0
+    va.join(te, "doc_id").count() shouldBe 0
+    tr.count().toDouble / n shouldBe 0.7 +- 0.1
+  }
+}
