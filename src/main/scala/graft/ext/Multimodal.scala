@@ -68,6 +68,20 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "frame_len")
   }
 
+  /** Deterministic "resize" stub: downsample the payload by an integer
+    * factor (every `factor`-th byte — a real implementation would hand the
+    * bytes to an image scaler). Output keeps the media-struct shape so
+    * resized media flows through the same downstream pipeline.
+    */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor >= 1, "factor must be >= 1")
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val out = m.bytes.indices.collect { case i if i % factor == 0 => m.bytes(i) }
+      MediaRow(m.doc_id, out.toArray)
+    }
+  }
+
   /** DQ24 pipeline: text payload → binary media column → mapPartitions
     * decode → features frame.
     */

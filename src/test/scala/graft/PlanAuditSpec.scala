@@ -54,6 +54,29 @@ class PlanAuditSpec extends GraftSpec {
     p should include("Exchange hashpartitioning(l_returnflag")
   }
 
+  it("range join plans as a bucketed equi-join, never a nested loop") {
+    import spark.implicits._
+    val points = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_quantity"), col("l_extendedprice"))
+    val bands = (0 until 5).map(b => (b.toLong, b * 10 + 1.0, b * 10 + 11.0))
+      .toDF("band_id", "lo", "hi")
+    val df = graft.ext.RangeJoin.pointInRange(points, "l_quantity",
+      bands, "lo", "hi", bucketWidth = 10.0)
+    val p = physical(df)
+    p should not include "NestedLoop" // the O(N·M) plan this operator exists to avoid
+    p should include("__bucket")      // joined on the derived bucket key
+  }
+
+  it("as-of join is one hash shuffle on the key (union+window, no range blowup)") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, 100L)).toDF("event_id", "user_id", "t")
+    val buys = Seq((10L, 50L, 1.5)).toDF("user_id", "t", "value")
+    val df = graft.ext.AsOfJoin.backward(clicks, buys, "user_id", "t", "t", "value")
+    val p = physical(df)
+    "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size shouldBe 1
+    "Exchange".r.findAllIn(p).size shouldBe 1 // and no other shuffle at all
+  }
+
   it("custom expressions participate in whole-stage codegen") {
     import spark.implicits._
     // non-foldable input (range), so the projection can't constant-fold away

@@ -32,6 +32,15 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  describe("resize") {
+    it("downsamples by the factor and stays pipeline-compatible") {
+      val r = resize(media.filter(_.doc_id == 2L), factor = 2).collect().head
+      r.bytes.length shouldBe 125 // 250 bytes, every 2nd kept
+      // resized media feeds the same decode pipeline
+      decodeFeatures(resize(media, 2)).count() shouldBe media.count()
+    }
+  }
+
   describe("mediaStruct") {
     it("carries payload + mime + size") {
       val r = Seq("hello").toDF("t")
