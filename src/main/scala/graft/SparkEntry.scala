@@ -618,6 +618,50 @@ object SparkEntry {
       .stripMargin)
   }
 
+  /** DQ49 (EXT, §2.9): stream-stream interval join — each click joined to
+    * the same user's purchases within the preceding hour; watermarks bound
+    * both join-state buffers (state eviction = watermark − interval).
+    * availableNow delivers in one batch, so the append-mode output is the
+    * complete interval-join answer the batch oracle computes. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val clicks = EventStream.readEvents(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val purchases = EventStream.readEvents(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_time").as("p_time"),
+        col("value"))
+      .withWatermark("p_time", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_time") <= col("click_time") &&
+        col("p_time") >= col("click_time") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("p_time")).as("p_us"), col("value").as("p_value"))
+    EventStream.runToTable(joined, "q49_attrib",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("click_id", "p_us", "p_value")
+  }
+
+  /** DQ50 (EXT, §2.10): custom TypedImperativeAggregate — per-cell embedding
+    * centroids via `functions.VectorSumMicros`: one long[dim] buffer per
+    * group folds vectors in place map-side (no posexplode row blowup), and
+    * integer micro-unit accumulation is associative, so the result is
+    * identical under any partial-aggregation tree and in the oracle. */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(Ann.signBucket(col("embedding"), dims = 4).as("bucket"),
+        col("embedding"))
+      .groupBy("bucket")
+      .agg(graft.functions.VectorSumMicros.of(col("embedding")).as("ms"),
+        count(lit(1)).as("n"))
+      .select(col("bucket"), col("n"), posexplode(col("ms")).as(Seq("pos", "m")))
+      .select(col("bucket"), (col("pos") + 1).as("d"),
+        ((col("m") / lit(1000000.0)) / col("n")).as("centroid"))
+      .orderBy("bucket", "d")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -667,7 +711,9 @@ object SparkEntry {
     "dq45_dedup_clusters"      -> (q45 _),
     "dq46_session_window"      -> (q46 _),
     "dq47_dedup_canonical"     -> (q47 _),
-    "dq48_grouping_sets"       -> (q48 _)
+    "dq48_grouping_sets"       -> (q48 _),
+    "dq49_stream_interval_join" -> (q49 _),
+    "dq50_vector_centroids"    -> (q50 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1051,6 +1097,25 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "dq49_stream_interval_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, epoch_us(p.ts) AS p_us, p.value AS p_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts) - 3600000000
+        |ORDER BY click_id, p_us, p_value""".stripMargin,
+    "dq50_vector_centroids" ->
+      """WITH e AS (SELECT embedding,
+        |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+        |   CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
+        |   CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
+        |   CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) bucket FROM embeddings),
+        |u AS (SELECT bucket, d,
+        |    CAST(FLOOR(embedding[d]::DOUBLE * 1000000) AS BIGINT) m
+        |  FROM e, unnest(range(1, 65)) AS t(d))
+        |SELECT bucket, d, (SUM(m) / 1000000.0) / COUNT(*) AS centroid
+        |FROM u GROUP BY bucket, d ORDER BY bucket, d""".stripMargin
   )
 }
