@@ -65,6 +65,63 @@ object ScaleProbe {
         ()
       }
     }
+    // Connected-components probe: chain graphs (n/l components of diameter
+    // l) — the worst case for label propagation, since rounds = diameter.
+    // Near-dup graphs are star-like (diameter ~2); chains bound the other
+    // end.
+    if (sys.env.get("SCALE_CC").contains("1")) {
+      for (n <- Seq(100000L, 1000000L); l <- Seq(4, 16)) {
+        val edges = spark.range(n).filter(col("id") % l =!= 0)
+          .select(col("id").as("a"), (col("id") - 1).as("b"))
+        val t0 = System.nanoTime()
+        val comps = graft.ext.ConnectedComponents.run(edges, "a", "b", maxIter = l + 2)
+        val ncomp = comps.select("component").distinct().count()
+        val t1 = System.nanoTime()
+        println(f"""{"probe":"cc","edges":${n - n / l},"chain_len":$l,"components":$ncomp,"sec":${(t1 - t0) / 1e9}%.1f}""")
+      }
+    }
+    // Proto wire-decode throughput: encode synthetic messages on the
+    // executors (inline encoder), then time io.ProtoIngest.decode — the
+    // number to compare against the reference's ~59k rows/s single-thread
+    // proto→Avro headline (README.md:213-215).
+    if (sys.env.get("SCALE_PROTO").contains("1")) {
+      import graft.io.ProtoIngest._
+      val msg = PMessage("m", Seq(
+        PField(1, "id", PInt64),
+        PField(2, "name", PString),
+        PField(3, "status", PEnum(Map(0 -> "A", 1 -> "B"))),
+        PField(4, "score", PDouble)))
+      def enc(id: Long): Array[Byte] = {
+        val name = s"row_$id".getBytes("UTF-8")
+        val out = new java.io.ByteArrayOutputStream()
+        def varint(v0: Long): Unit = {
+          var v = v0
+          while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+          out.write(v.toInt)
+        }
+        varint(8); varint(id)                       // field 1 varint
+        varint(18); varint(name.length); out.write(name) // field 2 string
+        varint(24); varint(id % 2)                  // field 3 enum
+        varint(33)                                  // field 4 fixed64
+        val bits = java.lang.Double.doubleToLongBits(id * 0.5)
+        (0 until 8).foreach(i => out.write(((bits >>> (8 * i)) & 0xff).toInt))
+        out.toByteArray
+      }
+      for (n <- Seq(1000000L, 5000000L)) {
+        import spark.implicits._
+        val payloads = spark.range(n)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .map(i => enc(i)).toDF("payload").cache()
+        payloads.count()
+        val t0 = System.nanoTime()
+        val decoded = graft.io.ProtoIngest.decode(payloads, "payload", msg)
+        decoded.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"proto","rows":$n,"sec":$sec%.1f,"rows_per_sec":${(n / sec).toLong}}""")
+        payloads.unpersist()
+        ()
+      }
+    }
     spark.stop()
   }
 }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *  - `graft_dot(a, b)`                    — [[DotProduct]]
   *  - `graft_sorted_intersect_size(a, b)`  — [[SortedIntersectSize]]
+  *  - `graft_vector_sum_micros(v)`         — [[VectorSumMicros]] (aggregate)
   *
   * Two entry points: [[GraftExtensions]] for config-driven injection
   * (`spark.sql.extensions=graft.functions.GraftExtensions` — the way a
@@ -30,6 +31,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_sorted_intersect_size expects 2 arguments")
         SortedIntersectSize(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_vector_sum_micros"),
+      new ExpressionInfo(classOf[VectorSumMicros].getName, "graft_vector_sum_micros"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_vector_sum_micros expects 1 argument")
+        VectorSumMicros(args.head).toAggregateExpression()
       }))
 
   /** Register on a live session. */

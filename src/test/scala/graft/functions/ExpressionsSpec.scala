@@ -69,6 +69,14 @@ class ExpressionsSpec extends GraftSpec {
       spark.sql("SELECT graft_sorted_intersect_size(x, y) FROM sets")
         .as[Int].head() shouldBe 2
     }
+
+    it("graft_vector_sum_micros callable as a SQL aggregate") {
+      GraftFunctions.register(spark)
+      Seq((1, Seq(1.5f, 2f)), (1, Seq(0.5f, 1f))).toDF("k", "v")
+        .createOrReplaceTempView("vs")
+      spark.sql("SELECT graft_vector_sum_micros(v) FROM vs GROUP BY k")
+        .as[Seq[Long]].head() shouldBe Seq(2000000L, 3000000L)
+    }
   }
 
   describe("jaccardSorted vs jaccard") {
