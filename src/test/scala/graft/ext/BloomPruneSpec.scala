@@ -32,4 +32,22 @@ class BloomPruneSpec extends GraftSpec {
     BloomPrune.prunedJoin(orders, hotCustomers, "o_custkey", "c_custkey",
       expectedItems = 200).count() shouldBe plain
   }
+
+  it("probes string keys natively — no silent empty result") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val dim = docs.select("source").distinct().limit(1)
+      .withColumnRenamed("source", "dim_source")
+    val plain = docs.join(dim, $"source" === $"dim_source").count()
+    plain should be > 0L
+    BloomPrune.prunedJoin(docs, dim, "source", "dim_source",
+      expectedItems = 4).count() shouldBe plain
+  }
+
+  it("rejects unsupported key types up front instead of filtering everything") {
+    val f = BloomPrune.buildFilter(Seq(1L).toDF("k"), "k", 1)
+    val doubles = Seq(1.5).toDF("d")
+    an[IllegalArgumentException] should be thrownBy
+      BloomPrune.prune(doubles, "d", f)
+  }
 }

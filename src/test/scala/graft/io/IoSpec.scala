@@ -110,4 +110,23 @@ class IoSpec extends GraftSpec {
         """{"id":1,"name":"a"}"""
     }
   }
+
+  describe("streaming into the Avro sink (foreachBatch)") {
+    it("streams events through foreachBatch into Avro container files") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-avro").toString
+      val src = graft.streaming.EventStream.readEvents(spark, "/root/testdata/sf0.001")
+        .select("event_id", "event_type")
+      val q = src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          AvroSink.write(batch, s"$dir/batch_$id", "Event")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+      val lines = AvroSink.readToJsonStrings(spark, s"$dir/batch_0")
+      lines.size.toLong shouldBe expected
+      lines.head should include("event_id")
+    }
+  }
 }
