@@ -45,10 +45,43 @@ object ProtoIngest {
   case object PBytes extends PType
   final case class PEnum(symbols: Map[Int, String]) extends PType
   final case class PNested(msg: PMessage) extends PType
+  /** Lazy nested reference — the cycle-bearing edge of a RECURSIVE proto
+    * schema (the reference supports these via a `seen` node cache,
+    * ProtoMessageToAvroMappings.scala:164-174). Spark types cannot be
+    * recursive, so [[unroll]] must be applied before use.
+    */
+  final class PNestedRec(msg0: => PMessage) extends PType {
+    lazy val msg: PMessage = msg0
+  }
+  object PNestedRec {
+    def apply(msg: => PMessage): PNestedRec = new PNestedRec(msg)
+  }
 
   final case class PField(number: Int, name: String, ptype: PType,
       repeated: Boolean = false)
   final case class PMessage(name: String, fields: Seq[PField])
+
+  /** Unroll a (possibly recursive) message to a finite descriptor: lazy
+    * recursive references expand `maxDepth` levels; beyond that the field
+    * is DROPPED from the descriptor, so deeper wire bytes are skipped as
+    * unknown fields — the same truncation contract as spark-protobuf's
+    * `recursive.fields.max.depth` (SURVEY §7.4, the one semantic-fidelity
+    * gap vs the reference's unbounded `seen`-cache recursion).
+    */
+  def unroll(msg: PMessage, maxDepth: Int): PMessage = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    def go(m: PMessage, depth: Int): PMessage =
+      PMessage(m.name, m.fields.flatMap { f =>
+        f.ptype match {
+          case PNested(sub) => Some(f.copy(ptype = PNested(go(sub, depth))))
+          case r: PNestedRec =>
+            if (depth >= maxDepth) None // drop: deeper bytes skip as unknown
+            else Some(f.copy(ptype = PNested(go(r.msg, depth + 1))))
+          case _ => Some(f)
+        }
+      })
+    go(msg, 1)
+  }
 
   /** Spark schema for a message, by the reference's rules. */
   def structTypeOf(msg: PMessage): StructType = StructType(msg.fields.map { f =>
@@ -62,6 +95,8 @@ object ProtoIngest {
       case PBytes                      => BinaryType
       case PEnum(_)                    => StringType
       case PNested(m)                  => structTypeOf(m)
+      case _: PNestedRec => throw new IllegalArgumentException(
+        s"recursive reference in ${msg.name}.${f.name}: apply ProtoIngest.unroll(msg, maxDepth) first")
     }
     val (dt, nullable) =
       if (f.repeated) (ArrayType(base, containsNull = false), false)
@@ -129,6 +164,8 @@ object ProtoIngest {
       val sub = new Reader(r.buf, r.pos, r.pos + n)
       r.pos += n
       decodeMessage(sub, m)
+    case _: PNestedRec => throw new IllegalArgumentException(
+      "recursive reference: apply ProtoIngest.unroll(msg, maxDepth) first")
   }
 
   // per-message plan-time artifacts, built once and reused across rows
@@ -190,6 +227,8 @@ object ProtoIngest {
     case PString | PBytes            => null
     case PEnum(sym)                  => sym.getOrElse(0, null)
     case PNested(_)                  => null // missing submessage → null (:314-318)
+    case _: PNestedRec => throw new IllegalArgumentException(
+      "recursive reference: apply ProtoIngest.unroll(msg, maxDepth) first")
   }
 
   /** Decode one serialized message. */

@@ -124,6 +124,38 @@ class ProtoIngestSpec extends GraftSpec {
     r.getAs[Seq[Int]]("clicks_by_day") shouldBe Seq(11, 13)
   }
 
+  it("unrolls recursive schemas to max depth; deeper wire bytes skip cleanly") {
+    // tree { int64 v = 1; tree child = 2; } — the reference's recursive case
+    // (ProtoMessageToAvroMappings.scala:164-174), depth-limited like
+    // spark-protobuf's recursive.fields.max.depth
+    lazy val tree: PMessage = PMessage("tree", Seq(
+      PField(1, "v", PInt64),
+      PField(2, "child", PNestedRec(tree))))
+    an[IllegalArgumentException] should be thrownBy structTypeOf(tree)
+
+    val unrolled = unroll(tree, maxDepth = 3)
+    val st = structTypeOf(unrolled)
+    // depth 3: v, child.v, child.child.v — and no deeper child field
+    st.fieldNames should contain("child")
+    val d3 = st("child").dataType.asInstanceOf[StructType]("child")
+      .dataType.asInstanceOf[StructType]
+    d3.fieldNames.toSeq shouldBe Seq("v")
+
+    // depth-4 payload: level-4 subtree bytes are skipped as unknown fields
+    def level(v: Long, child: Option[W]): W = {
+      val w = new W().tag(1, 0).varint(v)
+      child.fold(w)(c => w.nested(2, c))
+    }
+    val bytes = level(1, Some(level(2, Some(level(3, Some(level(4, None))))))).bytes
+    val r = decodeBytes(bytes, unrolled)
+    r.getAs[Long]("v") shouldBe 1L
+    val c2 = r.getAs[org.apache.spark.sql.Row]("child")
+    c2.getAs[Long]("v") shouldBe 2L
+    val c3 = c2.getAs[org.apache.spark.sql.Row]("child")
+    c3.getAs[Long]("v") shouldBe 3L
+    c3.schema.fieldNames.toSeq shouldBe Seq("v") // level 4 dropped, no error
+  }
+
   it("decodes a DataFrame of payloads and feeds the Translator pipeline") {
     val payloads = (1L to 50L).map { i =>
       val camp = new W().tag(1, 0).varint(i).str(2, s"campaign_$i")
