@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.plan.{FieldOrdering, MappingNode, Translator}
 import graft.plan.MappingNode.{Constant, Message, Scalar}
-import graft.ext.{Ann, AsOfJoin, ConnectedComponents, Dedup, MinHashLSH, Multimodal, RangeJoin, SimHash, TextAnalysis}
+import graft.ext.{Ann, AsOfJoin, ConnectedComponents, Dedup, IvfIndex, MinHashLSH, Multimodal, RangeJoin, SimHash, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.VectorFunctions
 
@@ -662,6 +662,41 @@ object SparkEntry {
         ((col("m") / lit(1000000.0)) / col("n")).as("centroid"))
       .orderBy("bucket", "d")
 
+  /** DQ51 (EXT): trained-centroid IVF ANN (`ext.IvfIndex`) — k-means cells
+    * + nprobe search for query vectors 1..3. No DuckDB oracle: MLlib's
+    * k-means||-initialized centroids aren't reproducible outside Spark, so
+    * the driver records the weaker rows-only check; cell structure and
+    * all-cells-probe==brute-force equivalence are unit-tested instead. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val index = IvfIndex.fit(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+    try {
+      val perQuery = Seq(1L, 2L, 3L).map { q =>
+        index.query(q, topK = 5, nprobe = 2)
+          .select(lit(q).as("qid"), col("vid"), col("sim"))
+      }
+      perQuery.reduce(_ unionAll _)
+        .orderBy("qid", "vid")
+        .localCheckpoint(true) // materialize before releasing the index cache
+    } finally index.release()
+  }
+
+  /** DQ52 (EXT, §2.3 scale note): bucketed co-located join — both sides
+    * written bucketed by the join key (io.Bucketing), so the sort-merge
+    * join reads bucket-aligned splits with NO exchange on either side; the
+    * result must equal the plain join the oracle computes. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    io.Bucketing.writeBucketed(t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice"), "dq52_orders", "o_custkey", 8)
+    io.Bucketing.writeBucketed(t(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment"), "dq52_customer", "c_custkey", 8)
+    io.Bucketing.colocatedJoin(s, "dq52_orders", "dq52_customer",
+        "o_custkey", "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -713,7 +748,9 @@ object SparkEntry {
     "dq47_dedup_canonical"     -> (q47 _),
     "dq48_grouping_sets"       -> (q48 _),
     "dq49_stream_interval_join" -> (q49 _),
-    "dq50_vector_centroids"    -> (q50 _)
+    "dq50_vector_centroids"    -> (q50 _),
+    "dq51_ann_trained_ivf"     -> (q51 _),
+    "dq52_bucketed_join"       -> (q52 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1098,6 +1135,13 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // dq51_ann_trained_ivf intentionally has NO oracle: MLlib k-means||
+    // centroids aren't reproducible outside Spark → driver rows-only check
+    "dq52_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "dq49_stream_interval_join" ->
       """SELECT c.event_id AS click_id, c.user_id, epoch_us(p.ts) AS p_us, p.value AS p_value
         |FROM events c JOIN events p
