@@ -13,14 +13,28 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed (and bucket-sorted) managed table. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Write `df` as a bucketed (and bucket-sorted) managed table.
+    * Overwrite-safe even when a PREVIOUS session left the warehouse
+    * directory behind without a catalog entry (the in-memory catalog dies
+    * with the session, the directory doesn't — and a dangling location
+    * fails CREATE with LOCATION_ALREADY_EXISTS).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(warehouse,
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table) // managed: lives under spark.sql.warehouse.dir
+  }
 
   /** Join two same-bucketed tables on their bucket key — shuffle-free. */
   def colocatedJoin(spark: SparkSession, left: String, right: String,
