@@ -697,6 +697,16 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** DQ53 (EXT): character-diversity quality signal — letter-frequency Gini
+    * impurity per document (`ext.TextAnalysis.charDiversity`; Gini, not
+    * Shannon: `ln` isn't bit-identical across engines, +,×,÷ are). */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val (n, gini) = TextAnalysis.charDiversity(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), n.as("n_letters"), gini.as("char_gini"))
+      .orderBy("doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -750,7 +760,8 @@ object SparkEntry {
     "dq49_stream_interval_join" -> (q49 _),
     "dq50_vector_centroids"    -> (q50 _),
     "dq51_ann_trained_ivf"     -> (q51 _),
-    "dq52_bucketed_join"       -> (q52 _)
+    "dq52_bucketed_join"       -> (q52 _),
+    "dq53_char_diversity"      -> (q53 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1142,6 +1153,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // built from the same a..z list as the Spark expression — the 26 terms
+    // and their fold order stay in lockstep by construction
+    "dq53_char_diversity" -> {
+      val terms = ('a' to 'z')
+        .map(ch => s"((len(s)-len(replace(s,'$ch','')))::DOUBLE / n) * ((len(s)-len(replace(s,'$ch','')))::DOUBLE / n)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') s
+        |  FROM documents),
+        |m AS (SELECT doc_id, s, len(s)::DOUBLE n FROM t)
+        |SELECT doc_id, n AS n_letters,
+        |  CASE WHEN n > 0 THEN 1.0 - ($terms) ELSE 0.0 END AS char_gini
+        |FROM m ORDER BY doc_id""".stripMargin
+    },
     "dq49_stream_interval_join" ->
       """SELECT c.event_id AS click_id, c.user_id, epoch_us(p.ts) AS p_us, p.value AS p_value
         |FROM events c JOIN events p

@@ -126,4 +126,23 @@ object TextAnalysis {
       "quality_score"  -> score
     )
   }
+
+  /** Letter-frequency Gini impurity, 1 − Σ (cₗ/n)² over a-z — a character-
+    * diversity quality signal (near 0 = one repeated letter, ~0.96 = all 26
+    * uniform). Deliberately Gini rather than Shannon entropy: `ln` is not
+    * guaranteed bit-identical between the JVM and other engines' libm, while
+    * +,×,÷ are IEEE-exact, so this metric hash-matches the oracle at full
+    * precision. Per-letter counts via `translate` deletion (static literal
+    * patterns, codegen'd; no per-row regex), summed in fixed a→z order.
+    */
+  def charDiversity(text: Column): (Column, Column) = {
+    val s = regexp_replace(lower(text), "[^a-z]", "")
+    val n = length(s).cast("double")
+    val terms = ('a' to 'z').map { ch =>
+      val c = (length(s) - length(translate(s, ch.toString, ""))).cast("double")
+      (c / n) * (c / n)
+    }
+    val gini = when(n > 0, lit(1.0) - terms.reduce(_ + _)).otherwise(lit(0.0))
+    (n, gini)
+  }
 }
