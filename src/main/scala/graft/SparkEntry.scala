@@ -703,6 +703,8 @@ object SparkEntry {
   private def q53(s: SparkSession, dir: String): DataFrame = {
     val (n, gini) = TextAnalysis.charDiversity(col("text"))
     t(s, dir, "documents")
+      // 26 translate-scans per row: spread off the single row group first
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), n.as("n_letters"), gini.as("char_gini"))
       .orderBy("doc_id")
   }
