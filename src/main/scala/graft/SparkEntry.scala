@@ -709,6 +709,35 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ54 (EXT, §2.3): skew-salted join through the gate — the salted
+    * (key, salt) equi-join must produce exactly the plain join's rows. */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    graft.ext.SaltedJoin.inner(
+        t(s, dir, "orders"), t(s, dir, "customer"),
+        "o_custkey", "c_custkey", saltBuckets = 8)
+      .select("o_orderkey", "c_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** DQ55 (EXT): Bloom-pruned join through the gate — pruning may pass
+    * false positives but never drops a true match, so after the real join
+    * the result equals the plain join exactly. */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val hot = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+    graft.ext.BloomPrune.prunedJoin(
+        t(s, dir, "orders"), hot, "o_custkey", "c_custkey", expectedItems = 1000)
+      .select("o_orderkey", "c_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** DQ56 (EXT): skew-salted dedup through the gate — two-phase salted
+    * keepFirst equals single-phase keepFirst when the order key is unique
+    * (event_id is), so dq13's oracle applies verbatim. */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepFirstSalted(t(s, dir, "events"), Seq("user_id", "event_type"),
+        col("event_id"), saltBuckets = 8)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("user_id", "event_type")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -763,7 +792,10 @@ object SparkEntry {
     "dq50_vector_centroids"    -> (q50 _),
     "dq51_ann_trained_ivf"     -> (q51 _),
     "dq52_bucketed_join"       -> (q52 _),
-    "dq53_char_diversity"      -> (q53 _)
+    "dq53_char_diversity"      -> (q53 _),
+    "dq54_salted_join"         -> (q54 _),
+    "dq55_bloom_pruned_join"   -> (q55 _),
+    "dq56_dedup_salted"        -> (q56 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1168,6 +1200,20 @@ object SparkEntry {
         |  CASE WHEN n > 0 THEN 1.0 - ($terms) ELSE 0.0 END AS char_gini
         |FROM m ORDER BY doc_id""".stripMargin
     },
+    "dq54_salted_join" ->
+      """SELECT o_orderkey, c_custkey, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "dq55_bloom_pruned_join" ->
+      """SELECT o_orderkey, c_custkey, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000
+        |ORDER BY o_orderkey""".stripMargin,
+    "dq56_dedup_salted" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     "dq49_stream_interval_join" ->
       """SELECT c.event_id AS click_id, c.user_id, epoch_us(p.ts) AS p_us, p.value AS p_value
         |FROM events c JOIN events p
