@@ -738,6 +738,18 @@ object SparkEntry {
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("user_id", "event_type")
 
+  /** DQ57 (EXT, §2.10 ladder (c)): the custom `TopKPerKey` LogicalPlan node
+    * + injected lowering rule (`plans.GraftPlans`) through the gate — top-2
+    * orders by price per customer must match the rank-window SQL. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftPlans.install(s)
+    graft.plans.GraftPlans.topKPerKey(
+        t(s, dir, "orders"),
+        Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey")), k = 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -795,7 +807,8 @@ object SparkEntry {
     "dq53_char_diversity"      -> (q53 _),
     "dq54_salted_join"         -> (q54 _),
     "dq55_bloom_pruned_join"   -> (q55 _),
-    "dq56_dedup_salted"        -> (q56 _)
+    "dq56_dedup_salted"        -> (q56 _),
+    "dq57_topk_per_key"        -> (q57 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1214,6 +1227,12 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    "dq57_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "dq49_stream_interval_join" ->
       """SELECT c.event_id AS click_id, c.user_id, epoch_us(p.ts) AS p_us, p.value AS p_value
         |FROM events c JOIN events p

@@ -45,8 +45,11 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 
-  private[functions] def inject(ext: SparkSessionExtensions): Unit =
+  private[functions] def inject(ext: SparkSessionExtensions): Unit = {
     fns.foreach(ext.injectFunction)
+    // custom logical operators (SURVEY §2.10 ladder (c)): lowering rules
+    ext.injectOptimizerRule(_ => graft.plans.LowerTopKPerKey)
+  }
 }
 
 /** `spark.sql.extensions` entry point. */

@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.Bridge
+
+/** The whole-operator extension rung (SURVEY §2.10 U1 ladder, option (c)):
+  * a custom `LogicalPlan` node + a `Rule[LogicalPlan]` that lowers it,
+  * registered through `SparkSessionExtensions` (config-driven deployments)
+  * or `spark.experimental.extraOptimizations` (live sessions).
+  *
+  * The operator: top-k rows per key group under an ordering — the "best k
+  * variants per document / nearest k per query" shape every training-data
+  * pipeline runs. Users call [[GraftPlans.topKPerKey]]; the plan carries an
+  * explicit [[TopKPerKey]] node through analysis (it is fully resolved at
+  * construction, so the analyzer passes it untouched), and the injected
+  * rule rewrites it to the rank-window formulation before physical
+  * planning. Centralizing the lowering in one rule means the efficient
+  * implementation can later change (e.g. to a bounded-heap physical
+  * operator) without touching ANY call site — which is the point of owning
+  * the logical node instead of inlining the window everywhere.
+  */
+final case class TopKPerKey(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** Lowers [[TopKPerKey]] to row_number-over-window + filter. */
+object LowerTopKPerKey extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case TopKPerKey(keys, order, k, child) =>
+      val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+      val rn = Alias(
+        WindowExpression(RowNumber(), WindowSpecDefinition(keys, order, frame)),
+        "__graft_rn")()
+      Project(child.output,
+        Filter(LessThanOrEqual(rn.toAttribute, Literal(k)),
+          Window(Seq(rn), keys, order, child)))
+  }
+}
+
+object GraftPlans {
+
+  /** Install the lowering rule on a live session (idempotent). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(LowerTopKPerKey))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LowerTopKPerKey
+
+  /** Top-k rows per key group under `order` (ties broken by window order).
+    * Requires [[install]] (or the `GraftExtensions` SQL extension) on the
+    * session — otherwise planning fails on the unlowered node.
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column],
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val child = Bridge.analyzed(df)
+    // bind column references against the child NOW — a hand-built node is
+    // outside the Dataset API's own resolution path
+    def bind(e: Expression): Expression = e.transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        val name = u.nameParts.mkString(".")
+        child.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"column $name not found in ${child.output.map(_.name).mkString(", ")}"))
+    }
+    val keys = keyCols.map(c => bind(Bridge.eagerExpression(c)))
+    val order = orderCols.map(c => bind(Bridge.eagerExpression(c))).map {
+      case s: SortOrder => s
+      case e            => SortOrder(e, Ascending)
+    }
+    Bridge.ofRows(df.sparkSession, TopKPerKey(keys, order, k, child))
+  }
+}

@@ -12,4 +12,32 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a hand-built LogicalPlan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — the entry point for custom logical operators.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed plan behind a DataFrame. */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Eagerly convert a Column to a catalyst Expression (the plain
+    * [[expression]] returns a LAZY ColumnNode wrapper that only the
+    * Dataset-API operators convert during their own construction — inside a
+    * hand-built LogicalPlan it survives to execution and fails as
+    * Unevaluable). Attribute references come back as `UnresolvedAttribute`s
+    * for the caller to bind against a child plan.
+    */
+  def eagerExpression(c: Column): Expression =
+    ExpressionUtils.expression(c) match {
+      case e if e.getClass.getSimpleName == "ColumnNodeExpression" =>
+        org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+      case e => e
+    }
 }

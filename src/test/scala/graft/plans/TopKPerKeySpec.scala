@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+/** Custom logical node + lowering rule: correctness vs the inline window
+  * formulation, plan carries the node until the rule fires.
+  */
+class TopKPerKeySpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val orders =
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  it("returns exactly the top-k rows per key") {
+    GraftPlans.install(spark)
+    val got = GraftPlans.topKPerKey(orders,
+        Seq($"o_custkey"), Seq($"o_totalprice".desc, $"o_orderkey"), k = 2)
+      .select("o_custkey", "o_orderkey")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val expected = orders
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .select("o_custkey", "o_orderkey")
+
+    got.exceptAll(expected).count() shouldBe 0
+    expected.exceptAll(got).count() shouldBe 0
+  }
+
+  it("the analyzed plan carries the custom node; the rule lowers it away") {
+    GraftPlans.install(spark)
+    val df = GraftPlans.topKPerKey(orders, Seq($"o_custkey"),
+      Seq($"o_totalprice".desc), k = 1)
+    df.queryExecution.analyzed.collect { case t: TopKPerKey => t } should have size 1
+    df.queryExecution.optimizedPlan.collect { case t: TopKPerKey => t } shouldBe empty
+    df.queryExecution.executedPlan.toString should include("row_number")
+  }
+
+  it("install is idempotent") {
+    GraftPlans.install(spark)
+    GraftPlans.install(spark)
+    spark.experimental.extraOptimizations
+      .count(_ == LowerTopKPerKey) shouldBe 1
+  }
+
+  it("keeps the child's full column set and schema") {
+    GraftPlans.install(spark)
+    val df = GraftPlans.topKPerKey(orders, Seq($"o_orderstatus"),
+      Seq($"o_orderdate"), k = 3)
+    df.schema shouldBe orders.schema
+    df.groupBy("o_orderstatus").count()
+      .agg(max("count")).as[Long].head() should be <= 3L
+  }
+}
