@@ -43,10 +43,12 @@ object SimHash {
       transform(col("sums"), s => when(s > 0, 1).otherwise(0)).as("bits"))
   }
 
-  /** Hamming distance between two equal-length 0/1 arrays. */
+  /** Hamming distance between two equal-length 0/1 arrays — the codegen'd
+    * [[graft.functions.HammingDistance]] (primitive loop; the
+    * `aggregate(zip_with(...))` HOF form it replaces ran interpreted).
+    */
   def hamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
+    graft.functions.HammingDistance(a, b)
 
   /** Near-duplicate pairs (idA < idB, hamming ≤ maxHamming) via banded LSH. */
   def nearDupPairs(

@@ -32,6 +32,12 @@ object GraftFunctions {
         require(args.length == 2, "graft_sorted_intersect_size expects 2 arguments")
         SortedIntersectSize(args(0), args(1))
       }),
+    (FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hamming expects 2 arguments")
+        HammingDistance(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_vector_sum_micros"),
       new ExpressionInfo(classOf[VectorSumMicros].getName, "graft_vector_sum_micros"),
       (args: Seq[Expression]) => {

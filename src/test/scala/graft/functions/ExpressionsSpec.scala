@@ -70,6 +70,24 @@ class ExpressionsSpec extends GraftSpec {
         .as[Int].head() shouldBe 2
     }
 
+    it("graft_hamming matches the HOF formulation and handles nulls") {
+      GraftFunctions.register(spark)
+      val df = Seq(
+        (Seq(0, 1, 1, 0), Seq(0, 1, 0, 1)),
+        (Seq(1, 1), Seq(1, 1))).toDF("a", "b")
+      df.select(HammingDistance($"a", $"b")).as[Int].collect().toSeq shouldBe Seq(2, 0)
+      df.createOrReplaceTempView("hd")
+      spark.sql("SELECT graft_hamming(a, b) FROM hd").as[Int].collect().toSeq shouldBe Seq(2, 0)
+      // HOF equivalence on 0/1 arrays (the SimHash shape)
+      val hof = df.select(aggregate(zip_with($"a", $"b",
+        (x, y) => when(x =!= y, 1).otherwise(0)), lit(0), (acc, x) => acc + x))
+        .as[Int].collect().toSeq
+      hof shouldBe Seq(2, 0)
+      // null element counts as differing unless both null
+      Seq((Seq(Some(1), None, None), Seq(Some(1), Some(0), None))).toDF("a", "b")
+        .select(HammingDistance($"a", $"b")).as[Int].head() shouldBe 1
+    }
+
     it("graft_vector_sum_micros callable as a SQL aggregate") {
       GraftFunctions.register(spark)
       Seq((1, Seq(1.5f, 2f)), (1, Seq(0.5f, 1f))).toDF("k", "v")
