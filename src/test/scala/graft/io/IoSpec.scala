@@ -111,6 +111,28 @@ class IoSpec extends GraftSpec {
     }
   }
 
+  describe("streaming parquet sink (exactly-once via checkpoint)") {
+    it("writes once and a restart with the same checkpoint adds nothing") {
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-pq").toString
+      def runOnce(): Unit = {
+        val q = graft.streaming.EventStream.readEvents(spark, "/root/testdata/sf0.001")
+          .select("event_id", "event_type")
+          .writeStream
+          .format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+      runOnce()
+      spark.read.parquet(s"$base/out").count() shouldBe expected
+      runOnce() // same checkpoint, no new input → exactly-once: no duplicates
+      spark.read.parquet(s"$base/out").count() shouldBe expected
+    }
+  }
+
   describe("streaming into the Avro sink (foreachBatch)") {
     it("streams events through foreachBatch into Avro container files") {
       val dir = java.nio.file.Files.createTempDirectory("graft-stream-avro").toString
