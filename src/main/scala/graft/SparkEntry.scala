@@ -819,14 +819,18 @@ object SparkEntry {
       |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
       |  FROM t WHERE len(toks) >= 3),
-      |sig AS (SELECT doc_id, sh, list_transform(range(0, 16),
-      |    i -> list_min(list_transform(sh,
-      |      x -> substr(md5((i // 4) || ':' || x), (8 * (i % 4) + 1)::INT, 8)))) mh FROM s),
+      |hp AS (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) ds FROM s),
+      |sig AS (SELECT doc_id, list_transform(range(0, 16),
+      |    i -> list_min(list_transform(ds,
+      |      d -> (('0x' || substr(d, 1, 8))::BIGINT + i * ('0x' || substr(d, 9, 8))::BIGINT)
+      |           % 2147483647))) mh FROM hp),
       |bands AS (SELECT doc_id, b,
-      |    md5(mh[4*b+1] || '|' || mh[4*b+2] || '|' || mh[4*b+3] || '|' || mh[4*b+4]) bkey
+      |    mh[4*b+1] || '|' || mh[4*b+2] || '|' || mh[4*b+3] || '|' || mh[4*b+4] bkey
       |  FROM sig, unnest(range(0, 4)) AS u(b)),
+      |sized AS (SELECT doc_id, b, bkey, count(*) OVER (PARTITION BY b, bkey) c FROM bands),
       |cand AS (SELECT DISTINCT a.doc_id ai, b.doc_id bi
-      |  FROM bands a JOIN bands b USING (b, bkey) WHERE a.doc_id < b.doc_id),
+      |  FROM sized a JOIN sized b USING (b, bkey)
+      |  WHERE a.doc_id < b.doc_id AND a.c <= 100),
       |pairs AS (SELECT ai, bi,
       |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)) jac
       |  FROM cand JOIN s x ON x.doc_id = ai JOIN s y ON y.doc_id = bi)

@@ -2,26 +2,41 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** MinHash + LSH near-duplicate detection (EXT, SURVEY §2.10 U3).
   *
-  * Pipeline: token 3-gram shingles → per-seed minhash signature → banded
-  * bucket keys → candidate pairs from same-bucket join → exact Jaccard
-  * verification on the candidates only.
+  * Pipeline: token 3-gram shingles → per-shingle hash pair → integer minhash
+  * signature → banded bucket keys → candidate pairs generated per bucket
+  * (capped) → exact Jaccard verification on the candidates only.
   *
   * Scale design (the reason this beats brute force at 100 TB):
-  *  - signatures are tiny (numHashes × 32-char md5 hex) regardless of doc size
-  *  - the only wide operation is an equi-join on (band, bucketKey) — a hash
-  *    shuffle on short keys; near-dup candidates are a vanishing fraction of
+  *  - ONE md5 digest per shingle; the `numHashes` minhash functions are
+  *    derived from its two 32-bit halves by integer double hashing
+  *    g_i(x) = (h1(x) + i·h2(x)) mod (2^31−1)  (Kirsch–Mitzenmacher
+  *    construction) — so signature cost is one digest + numHashes
+  *    multiply-adds per shingle, not numHashes digests
+  *  - signatures are tiny (numHashes longs) regardless of document size
+  *  - candidates come from grouping on (band, bucketKey): per-bucket id
+  *    lists, pair expansion bounded by `maxBucket` (oversized buckets are
+  *    degenerate — a stopword-like shingle profile — and are dropped, the
+  *    standard LSH guard against candidate blowup on high-background-
+  *    similarity corpora); near-dup candidates are a vanishing fraction of
   *    the N² pair space
-  *  - exact Jaccard runs only on candidates, joining the shingle-set table by
-  *    id twice, so full documents never ride through the pair shuffle
+  *  - exact Jaccard runs only on candidates, joining the shingle-set table
+  *    by id twice, so full documents never ride through the pair shuffle
   *  - every expression is a Catalyst higher-order function (codegen, no UDFs)
   *
-  * The hash is md5 over "seed:shingle", so any engine (the DuckDB oracle
-  * included) reproduces signatures bit-for-bit.
+  * The per-shingle hash is md5 of the shingle text and the derivation is pure
+  * 64-bit integer arithmetic, so any engine (the DuckDB oracle included)
+  * reproduces signatures bit-for-bit.
   */
 object MinHashLSH {
+
+  /** 2^31 − 1 (Mersenne prime) — the double-hashing modulus. h1 + i·h2 stays
+    * far below 2^63 for any sane numHashes, so the arithmetic never wraps.
+    */
+  val Prime: Long = 2147483647L
 
   /** Distinct token 3-gram shingles of a text column.
     * (Spark's `sequence(1, 0)` counts DOWN — guard short docs explicitly.)
@@ -34,32 +49,31 @@ object MinHashLSH {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
   }
 
-  /** MinHash signature: for each seed k, min md5("k:shingle").
-    * (Reference formulation; see [[signatureColumns]] for the 4×-cheaper
-    * split-digest variant used by [[nearDupPairs]].)
+  /** Per-shingle hash pair: the two 32-bit halves of one md5 digest, as
+    * longs. The caller materializes this in its own projection so the digest
+    * is computed once per shingle (CollapseProject keeps multi-referenced
+    * non-trivial aliases in place).
+    */
+  def hashPairs(shingleSet: Column): Column =
+    transform(transform(shingleSet, x => md5(x)), d =>
+      struct(
+        conv(substring(d, 1, 8), 16, 10).cast(LongType).as("h1"),
+        conv(substring(d, 9, 8), 16, 10).cast(LongType).as("h2")))
+
+  /** MinHash signature over a [[hashPairs]] column: element i is
+    * min over shingles of (h1 + i·h2) mod Prime.
+    */
+  def signatureFrom(hp: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(hp, h =>
+        (h.getField("h1") + i * h.getField("h2")) % Prime)))
+
+  /** Convenience single-expression signature (recomputes the digest per
+    * minhash function — use [[hashPairs]] + [[signatureFrom]] with a
+    * materialized hash-pair column on hot paths).
     */
   def signature(shingleSet: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(shingleSet, x => md5(concat(k.cast("string"), lit(":"), x)))))
-
-  /** Split-digest signature: one md5 per (seed, shingle) yields FOUR hash
-    * values (its 8-hex-char quarters), so `numHashes` minhashes cost
-    * numHashes/4 digests per shingle. Returns the per-seed digest columns and
-    * the signature expression over them; the caller materializes the digest
-    * columns in their own projection so each is computed once (CollapseProject
-    * keeps multi-referenced non-trivial aliases in place).
-    */
-  def signatureColumns(shingleSet: Column, numHashes: Int): (Seq[(String, Column)], Column) = {
-    require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
-    val seeds = numHashes / 4
-    val hs = (0 until seeds).map { k =>
-      s"__hs_$k" -> transform(shingleSet, x => md5(concat(lit(k.toString), lit(":"), x)))
-    }
-    val mh = array((0 until numHashes).map { i =>
-      array_min(transform(col(s"__hs_${i / 4}"), h => substring(h, 8 * (i % 4) + 1, 8)))
-    }: _*)
-    (hs, mh)
-  }
+    signatureFrom(hashPairs(shingleSet), numHashes)
 
   /** Jaccard over two distinct-element arrays.
     * |A∪B| = |A|+|B|−|A∩B|: one intersect instead of intersect+union —
@@ -81,16 +95,29 @@ object MinHashLSH {
   }
 
   /** LSH candidate pairs only (no Jaccard verification) — exposed for
-    * tuning/diagnostics: candidate volume ≈ Σ_pairs P(J_pair^rowsPerBand
-    * collides in ≥1 band), the knob that controls cost on
+    * tuning/diagnostics: candidate volume ≈ Σ_buckets C(size, 2) over
+    * buckets of size ≤ maxBucket, the knob that controls cost on
     * high-background-similarity corpora.
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4, maxBucket: Int = 100): DataFrame = {
     val projected = shingleFrame(df, idCol, textCol)
     CacheScope.withCached(projected) {
-      bandCandidates(projected.filter(size(col("sh")) > 0), numHashes, bands)
+      bandCandidates(projected.filter(size(col("sh")) > 0), numHashes, bands, maxBucket)
     }
+  }
+
+  /** Per-bucket population histogram — diagnostics for the `maxBucket` cap:
+    * (band, bucketKey, size). Bench records max size and the count of
+    * dropped (over-cap) buckets as evidence that candidate generation is not
+    * blowing up.
+    */
+  def bucketStats(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val projected = shingleFrame(df, idCol, textCol)
+    bandedKeys(projected.filter(size(col("sh")) > 0), numHashes, bands)
+      .groupBy(col("b"), col("bkey"))
+      .agg(count(lit(1)).as("bucket_size"))
   }
 
   /** Near-duplicate pairs (idA < idB, Jaccard > threshold).
@@ -101,6 +128,8 @@ object MinHashLSH {
     *
     * @param numHashes signature length (bands * rowsPerBand)
     * @param bands     LSH bands; rowsPerBand = numHashes / bands
+    * @param maxBucket drop LSH buckets holding more members than this —
+    *                  bounded candidate expansion (see class doc)
     */
   def nearDupPairs(
       df: DataFrame,
@@ -108,12 +137,13 @@ object MinHashLSH {
       textCol: String,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      maxBucket: Int = 100
   ): DataFrame = {
     val projected = shingleFrame(df, idCol, textCol)
     CacheScope.withCached(projected) {
       val sh = projected.filter(size(col("sh")) > 0)
-      val cand = bandCandidates(sh, numHashes, bands)
+      val cand = bandCandidates(sh, numHashes, bands, maxBucket)
       // exact verification: join the (small) candidate list back to shingle sets
       val x = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val y = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -136,29 +166,41 @@ object MinHashLSH {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), sort_array(shingles(col("__text"))).as("sh"))
 
-  private def bandCandidates(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** (doc_id, band index b, bucket key) — one row per document per band.
+    * The bucket key is the band's signature slice rendered as a '|'-joined
+    * string of longs: no second digest, and byte-identical in any engine.
+    */
+  private def bandedKeys(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
 
-    val (hsCols, mh) = signatureColumns(col("sh"), numHashes)
     val sig = sh
-      .select(col("doc_id") +: col("sh") +: hsCols.map { case (n, c) => c.as(n) }: _*)
-      .select(col("doc_id"), col("sh"), mh.as("mh"))
+      .select(col("doc_id"), hashPairs(col("sh")).as("__hp"))
+      .select(col("doc_id"), signatureFrom(col("__hp"), numHashes).as("mh"))
 
-    // band key = md5 of the band's slice of the signature
-    val banded = sig.select(
+    sig.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("b"),
-          md5(concat_ws("|", slice(col("mh"), b * rows + 1, lit(rows)))).as("bkey")))).as("band"))
+          concat_ws("|", transform(slice(col("mh"), b * rows + 1, lit(rows)),
+            v => v.cast("string"))).as("bkey")))).as("band"))
       .select(col("doc_id"), col("band.b"), col("band.bkey"))
-
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
-        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
   }
+
+  /** Candidate pairs from per-bucket id lists: one shuffle (the groupBy on
+    * the bucket key), pair expansion inline and bounded by `maxBucket`, then
+    * a distinct across bands. Replaces the banded self-join — same result,
+    * one less shuffled side, and a structural cap on expansion.
+    */
+  private def bandCandidates(sh: DataFrame, numHashes: Int, bands: Int,
+      maxBucket: Int): DataFrame =
+    bandedKeys(sh, numHashes, bands)
+      .groupBy(col("b"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
 }
