@@ -662,22 +662,20 @@ object SparkEntry {
         ((col("m") / lit(1000000.0)) / col("n")).as("centroid"))
       .orderBy("bucket", "d")
 
-  /** DQ51 (EXT): trained-centroid IVF ANN (`ext.IvfIndex`) — k-means cells
-    * + nprobe search for query vectors 1..3. No DuckDB oracle: MLlib's
-    * k-means||-initialized centroids aren't reproducible outside Spark, so
-    * the driver records the weaker rows-only check; cell structure and
-    * all-cells-probe==brute-force equivalence are unit-tested instead. */
+  /** DQ51 (EXT): trained-centroid IVF ANN (`ext.IvfIndex`) — deterministic
+    * Lloyd's cells (seeded-hash init, micro-unit centroid arithmetic) +
+    * batched nprobe search for query vectors 1..3 in ONE job
+    * (`IvfIndex.queryAll`: probe cells ranked against the centroid literal,
+    * no per-query driver round-trip). Every arithmetic step is
+    * engine-reproducible, so the DuckDB oracle derives identical centroids
+    * and the full rows/schema/hash check applies. */
   private def q51(s: SparkSession, dir: String): DataFrame = {
-    val index = IvfIndex.fit(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
-    try {
-      val perQuery = Seq(1L, 2L, 3L).map { q =>
-        index.query(q, topK = 5, nprobe = 2)
-          .select(lit(q).as("qid"), col("vid"), col("sim"))
-      }
-      perQuery.reduce(_ unionAll _)
-        .orderBy("qid", "vid")
-        .localCheckpoint(true) // materialize before releasing the index cache
-    } finally index.release()
+    val index = IvfIndex.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, iters = 2)
+    try index.queryAll(Seq(1L, 2L, 3L), topK = 5, nprobe = 2)
+      .orderBy("qid", "vid")
+      .localCheckpoint(true) // materialize before releasing the index cache
+    finally index.release()
   }
 
   /** DQ52 (EXT, §2.3 scale note): bucketed co-located join — both sides
@@ -835,6 +833,54 @@ object SparkEntry {
       |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)) jac
       |  FROM cand JOIN s x ON x.doc_id = ai JOIN s y ON y.doc_id = bi)
       |SELECT ai AS doc_a, bi AS doc_b, jac FROM pairs WHERE jac > 0.8""".stripMargin
+
+  /** dq51's deterministic-Lloyd's IVF pipeline as DuckDB SQL, generated from
+    * the same constants as q51 (k=8, 2 iterations, nprobe=2, top-5, queries
+    * 1..3) so the unrolled CTE chain stays in lockstep with
+    * `IvfIndex.fit`/`queryAll`: c0 = seeded-hash init; per iteration,
+    * assignment by squared-distance argmin (tie → lower cell) then centroid
+    * update in integer micro-units; final assignment; probe the nprobe
+    * nearest cells per query; cosine top-k within probed cells.
+    */
+  private val Dq51Sql: String = {
+    val (k, iters, nprobe, topK) = (8, 2, 2, 5)
+    def dist(emb: String, c: String) =
+      s"list_sum(list_transform(range(1, 65), i -> ($emb[i]::DOUBLE - $c.c[i]) * ($emb[i]::DOUBLE - $c.c[i])))"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id vid, embedding emb FROM embeddings),
+      |c0 AS (SELECT rn - 1 AS cell, c FROM (
+      |  SELECT row_number() OVER (ORDER BY md5(vid::VARCHAR), vid) rn,
+      |         list_transform(emb, x -> x::DOUBLE) c FROM e) WHERE rn <= $k),
+      |""".stripMargin
+    for (i <- 1 to iters)
+      sb ++= s"""d$i AS (SELECT e.vid, e.emb, c.cell, ${dist("e.emb", "c")} dist
+        |  FROM e CROSS JOIN c${i - 1} c),
+        |a$i AS (SELECT vid, emb, cell FROM (SELECT vid, emb, cell,
+        |    row_number() OVER (PARTITION BY vid ORDER BY dist, cell) rn FROM d$i) WHERE rn = 1),
+        |u$i AS (SELECT cell, d,
+        |    (SUM(CAST(FLOOR(emb[d]::DOUBLE * 1000000) AS BIGINT)) / 1000000.0) / COUNT(*) cd
+        |  FROM a$i, unnest(range(1, 65)) t(d) GROUP BY cell, d),
+        |c$i AS (SELECT cell, list(cd ORDER BY d) c FROM u$i GROUP BY cell),
+        |""".stripMargin
+    sb ++= s"""df AS (SELECT e.vid, e.emb, c.cell, ${dist("e.emb", "c")} dist
+      |  FROM e CROSS JOIN c$iters c),
+      |af AS (SELECT vid, emb, cell FROM (SELECT vid, emb, cell,
+      |    row_number() OVER (PARTITION BY vid ORDER BY dist, cell) rn FROM df) WHERE rn = 1),
+      |q AS (SELECT vid qid, emb qemb FROM e WHERE vid IN (1, 2, 3)),
+      |qd AS (SELECT q.qid, q.qemb, c.cell, ${dist("q.qemb", "c")} dist
+      |  FROM q CROSS JOIN c$iters c),
+      |probe AS (SELECT qid, qemb, cell FROM (SELECT qid, qemb, cell,
+      |    row_number() OVER (PARTITION BY qid ORDER BY dist, cell) rn FROM qd) WHERE rn <= $nprobe),
+      |scored AS (SELECT p.qid, a.vid,
+      |    list_sum(list_transform(range(1, 65), i -> a.emb[i]::DOUBLE * p.qemb[i]::DOUBLE))
+      |    / (sqrt(list_sum(list_transform(a.emb, x -> x::DOUBLE * x::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(p.qemb, x -> x::DOUBLE * x::DOUBLE)))) sim
+      |  FROM af a JOIN probe p ON a.cell = p.cell AND a.vid <> p.qid)
+      |SELECT qid, vid, sim FROM (SELECT qid, vid, sim,
+      |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) rnk FROM scored)
+      |WHERE rnk <= $topK ORDER BY qid, vid""".stripMargin
+    sb.toString
+  }
 
   /** DuckDB-equivalent SQL per query (same column names, same ORDER BY). */
   def oracleSql: Map[String, String] = Map(
@@ -1197,8 +1243,7 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-    // dq51_ann_trained_ivf intentionally has NO oracle: MLlib k-means||
-    // centroids aren't reproducible outside Spark → driver rows-only check
+    "dq51_ann_trained_ivf" -> Dq51Sql,
     "dq52_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue

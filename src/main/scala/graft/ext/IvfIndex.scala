@@ -1,79 +1,131 @@
 package graft.ext
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{SquaredDistance, VectorFunctions, VectorSumMicros}
 
 /** IVF (inverted-file) ANN index with TRAINED centroids — the data-adaptive
-  * upgrade over [[Ann.signBucket]]'s fixed sign cells: k-means (seeded,
-  * k-means|| init) learns the cell structure from the data, vectors are
+  * upgrade over [[Ann.signBucket]]'s fixed sign cells: a deterministic
+  * Lloyd's iteration learns the cell structure from the data, vectors are
   * assigned to their nearest centroid, and a query probes only the `nprobe`
   * cells whose centroids are closest to it.
   *
-  * Scale shape: training samples/aggregates through MLlib's distributed
-  * k-means; assignment is one model.transform projection; a query touches
-  * ~nprobe/k of the corpus via a cell-id equi-filter that prunes to the
-  * probed cells. Centroids live on the driver (k × dim floats — tiny) and
-  * broadcast with the query.
+  * Why hand-rolled Lloyd's rather than MLlib k-means: every arithmetic step
+  * is engine-reproducible, so the DuckDB oracle derives byte-identical
+  * centroids —
+  *  - seeded-hash init: the k vectors ranked first by md5(id) seed the cells
+  *  - assignment: argmin of [[SquaredDistance]] (fixed left-to-right fold),
+  *    ties broken toward the lower cell id
+  *  - update: [[VectorSumMicros]] integer micro-unit sums — associative, so
+  *    any partial-aggregation tree yields the same centroid; cells that
+  *    capture no vectors die (k can only shrink)
+  *
+  * Scale shape: assignment is a map-only pass against a BROADCAST literal of
+  * k×dim centroid doubles (no shuffle, whole-stage codegen'd); each update is
+  * one partial aggregation producing k rows; a query touches ~nprobe/k of
+  * the corpus via a cell-id equi-join. Centroids live on the driver (k × dim
+  * floats — tiny by construction) and travel inside the plan as literals.
   */
 final class IvfIndex private (
-    val model: KMeansModel,
-    val assigned: DataFrame, // vid, emb, nrm, cell
-    k: Int) extends Serializable {
+    /** (cell id, centroid), driver-side — k × dim doubles. */
+    val centroids: Seq[(Int, Array[Double])],
+    /** vid, emb, nrm, cell — cached for the index's lifetime. */
+    val assigned: DataFrame) extends Serializable {
 
   /** Release the cached cell assignment. The index caches `assigned` for its
     * own lifetime (every query scans it); call this when done with the index
     * so the blocks don't outlive it.
     */
-  def release(): Unit = assigned.unpersist(blocking = false)
+  def release(): Unit = { assigned.unpersist(blocking = false); () }
 
-  /** Top-k cosine neighbors of `queryId` probing the `nprobe` nearest cells. */
-  def query(queryId: Long, topK: Int, nprobe: Int): DataFrame = {
-    val spark = assigned.sparkSession
-    val qRow = assigned.filter(col("vid") === queryId)
-      .select("emb", "nrm").head()
-    val qEmb = qRow.getSeq[Float](0).toArray
-    val qNrm = qRow.getDouble(1)
-
-    // nearest centroids on the driver: k × dim — microscopic
-    val cells = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val arr = c.toArray
-        val dist = qEmb.zip(arr).map { case (a, b) => (a - b) * (a - b) }.sum
-        (i, dist)
-      }
-      .sortBy(_._2).take(nprobe).map(_._1)
-
-    val qCol = typedLit(qEmb.toSeq)
-    assigned
-      .filter(col("cell").isin(cells.toIndexedSeq: _*) && col("vid") =!= queryId)
-      .select(col("vid"),
-        (VectorFunctions.dot(col("emb"), qCol) / (col("nrm") * lit(qNrm))).as("sim"))
-      .orderBy(col("sim").desc, col("vid"))
-      .limit(topK)
+  /** Top-k cosine neighbors for EVERY query id in one Spark job: the query
+    * rows are filtered from the assignment, exploded to their `nprobe`
+    * nearest probe cells (ranked against the centroid literal — no driver
+    * round-trip), broadcast, and equi-joined on cell id; ranking is a
+    * per-query window over in-cell candidates only.
+    * Output: (qid, vid, sim), top-k rows per qid.
+    */
+  def queryAll(queryIds: Seq[Long], topK: Int, nprobe: Int): DataFrame = {
+    val q = assigned.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"),
+        explode(transform(
+          slice(array_sort(IvfIndex.cellDistances(col("emb"), centroids)), 1, nprobe),
+          s => s.getField("cell"))).as("probe"))
+    val scored = assigned.join(broadcast(q),
+        col("cell") === col("probe") && col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        (VectorFunctions.dot(col("emb"), col("qemb")) / (col("nrm") * col("qnrm"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("qid", "vid", "sim")
   }
+
+  /** Single-query convenience over [[queryAll]] — still one job, no
+    * driver-side vector fetch.
+    */
+  def query(queryId: Long, topK: Int, nprobe: Int): DataFrame =
+    queryAll(Seq(queryId), topK, nprobe).select("vid", "sim")
 }
 
 object IvfIndex {
 
-  /** Train centroids and assign every vector to its cell. Deterministic for
-    * a fixed seed.
+  /** array<struct<dist, cell>> of squared distances from `emb` to every
+    * centroid — `array_min`/`array_sort` over it is the deterministic argmin
+    * (distance first, then cell id).
+    */
+  private def cellDistances(emb: Column, centroids: Seq[(Int, Array[Double])]): Column =
+    array(centroids.map { case (id, c) =>
+      struct(
+        SquaredDistance(emb, typedlit(c.toSeq)).as("dist"),
+        lit(id).as("cell"))
+    }: _*)
+
+  private def nearestCell(emb: Column, centroids: Seq[(Int, Array[Double])]): Column =
+    array_min(cellDistances(emb, centroids)).getField("cell")
+
+  /** Train centroids with `iters` Lloyd's rounds and assign every vector to
+    * its final cell. Fully deterministic — no RNG, no float accumulation
+    * order dependence (see class doc).
     */
   def fit(df: DataFrame, idCol: String, embCol: String, k: Int,
-      seed: Long = 42L): IvfIndex = {
+      iters: Int = 2): IvfIndex = {
     val base = df.select(col(idCol).as("vid"), col(embCol).as("emb"),
-      VectorFunctions.l2Norm(col(embCol)).as("nrm"),
-      array_to_vector(col(embCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
-      .fit(base)
-    val assigned = model.transform(base)
-      .select(col("vid"), col("emb"), col("nrm"),
-        col(model.getPredictionCol).as("cell"))
+      VectorFunctions.l2Norm(col(embCol)).as("nrm"))
       .persist()
-    new IvfIndex(model, assigned, k)
+
+    // seeded-hash init: the k vectors ranked first by (md5 of id, id)
+    var centroids: Seq[(Int, Array[Double])] =
+      base.select(col("vid"), col("emb"))
+        .orderBy(md5(col("vid").cast("string")), col("vid"))
+        .limit(k)
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble).toArray) }
+        .toSeq
+
+    for (_ <- 1 to iters) {
+      val upd = base
+        .select(nearestCell(col("emb"), centroids).as("cell"), col("emb"))
+        .groupBy("cell")
+        .agg(VectorSumMicros.of(col("emb")).as("ms"), count(lit(1)).as("n"))
+        .collect()
+      // empty cells die; (sum_micros / 1e6) / n is the exact arithmetic the
+      // oracle reproduces (integer sum, then two double divisions)
+      centroids = upd.map { r =>
+        val n = r.getLong(2)
+        (r.getInt(0), r.getSeq[Long](1).map(m => (m / 1000000.0) / n).toArray)
+      }.toSeq.sortBy(_._1)
+    }
+
+    val assigned = base
+      .select(col("vid"), col("emb"), col("nrm"),
+        nearestCell(col("emb"), centroids).as("cell"))
+      .persist()
+    assigned.count() // materialize so base's blocks can be dropped
+    base.unpersist(blocking = false)
+    new IvfIndex(centroids, assigned)
   }
 }

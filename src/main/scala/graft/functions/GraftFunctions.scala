@@ -38,6 +38,12 @@ object GraftFunctions {
         require(args.length == 2, "graft_hamming expects 2 arguments")
         HammingDistance(args(0), args(1))
       }),
+    (FunctionIdentifier("graft_sq_dist"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "graft_sq_dist"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_sq_dist expects 2 arguments")
+        SquaredDistance(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_vector_sum_micros"),
       new ExpressionInfo(classOf[VectorSumMicros].getName, "graft_vector_sum_micros"),
       (args: Seq[Expression]) => {

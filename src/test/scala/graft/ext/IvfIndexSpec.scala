@@ -2,7 +2,9 @@ package graft.ext
 
 import graft.GraftSpec
 
-/** Trained-centroid IVF index: recall vs the exact baseline. */
+/** Trained-centroid IVF index: determinism, recall vs the exact baseline,
+  * and the batched query path.
+  */
 class IvfIndexSpec extends GraftSpec {
   import spark.implicits._
 
@@ -26,9 +28,29 @@ class IvfIndexSpec extends GraftSpec {
     (approx intersect exact) should not be empty
   }
 
-  it("every vector lands in exactly one of k cells") {
+  it("every vector lands in exactly one cell") {
     index.assigned.select("cell").distinct().count() should be <= 8L
     index.assigned.count() shouldBe emb.count()
+  }
+
+  it("training is deterministic: a second fit yields identical centroids") {
+    val again = IvfIndex.fit(emb, "vec_id", "embedding", k = 8)
+    try {
+      again.centroids.map(_._1) shouldBe index.centroids.map(_._1)
+      again.centroids.zip(index.centroids).foreach { case ((_, a), (_, b)) =>
+        a.toSeq shouldBe b.toSeq // exact double equality — no RNG, no drift
+      }
+    } finally again.release()
+  }
+
+  it("queryAll batches every query into one plan, equal to per-id queries") {
+    val batched = index.queryAll(Seq(1L, 2L, 3L), topK = 4, nprobe = 2)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val singles = Seq(1L, 2L, 3L).flatMap { q =>
+      index.queryAll(Seq(q), topK = 4, nprobe = 2)
+        .select("qid", "vid").as[(Long, Long)].collect()
+    }.toSet
+    batched shouldBe singles
   }
 
   it("release() drops the index's cache blocks") {
