@@ -62,7 +62,19 @@ object EventStream {
 
   /** Per-user sessionization with a 10-minute inactivity gap via
     * flatMapGroupsWithState — the custom-state escape hatch
-    * (KeyValueGroupedDataset), state = open session summary per user.
+    * (KeyValueGroupedDataset).
+    *
+    * SCOPE: this is the U-ladder demonstration of arbitrary per-key state,
+    * correct under BOUNDED input (availableNow / batch-parity harness),
+    * where each key's events arrive in one group call and state never
+    * outlives the batch. It accumulates a key's timestamps in memory to
+    * sort them, so an unbounded continuous deployment would grow state
+    * without limit. The PRODUCTION path for continuous sessionization is
+    * [[SparkEntry]] dq46's `session_window` aggregation: Catalyst merges
+    * windows incrementally in the state store and the watermark both closes
+    * sessions and evicts state — no per-key accumulation. Use this hatch
+    * only for session logic `session_window` cannot express, and then with
+    * an event-time timeout and an explicit per-key cap.
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 10): Dataset[Session] = {
     val spark = events.sparkSession
@@ -115,19 +127,38 @@ object EventStream {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_unique_users"))
 
-  /** Run a streaming frame to completion (availableNow) into a memory sink
-    * and return the materialized result — used by the Verify/oracle harness
-    * to check stream/batch parity.
+  /** Run a streaming frame to completion (availableNow) through the
+    * PRODUCTION sink path and return the written result — used by the
+    * Verify/oracle harness to check stream/batch parity.
+    *
+    * Append-mode streams go through the native parquet file sink
+    * (exactly-once via the checkpoint's file manifest — restart-tested in
+    * `IoSpec`). Complete-mode aggregations — which the file sink cannot
+    * take — go through `foreachBatch` with an idempotent full overwrite per
+    * batch, the standard file-sink pattern for complete-mode state.
+    * Either way the result lives in executor-written parquet, never a
+    * driver-resident memory sink, so the harness path is the same shape
+    * that runs at 100 TB.
     */
   def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
+    val base = java.nio.file.Files.createTempDirectory(s"graft-stream-$name").toString
+    val out = s"$base/out"
+    val q = (if (mode == OutputMode.Append()) {
+      df.writeStream
+        .format("parquet")
+        .option("path", out)
+    } else {
+      df.writeStream
+        .outputMode(mode)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+    })
+      .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(out)
   }
 }
