@@ -2,7 +2,8 @@ package graft.io
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.Schema
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types._
 
 /** Catalyst `StructType` → Avro `Schema`, following the reference's schema
@@ -10,17 +11,40 @@ import org.apache.spark.sql.types._
   *  - nullable field → union `[null, T]` (null first, default null, :241,:266)
   *  - non-nullable scalar → bare type with its zero default (:70-83)
   *  - struct → record, array → array, nested records named by field path
-  *  - enum-as-string parity: Spark strings stay Avro strings (declared
-  *    value-level parity, SURVEY §7 "Enum fidelity")
+  *  - enum fidelity: a string column tagged with [[EnumNameKey]] /
+  *    [[EnumSymbolsKey]] metadata (as `ProtoIngest.structTypeOf` emits for
+  *    proto enum fields) becomes a NAMED Avro `enum` with the descriptor's
+  *    symbol list (:230-233) — the schema a typed downstream Avro consumer
+  *    expects; untagged strings stay Avro strings
   */
 object AvroSchemas {
+
+  /** Column-metadata key: the proto enum type's name. */
+  val EnumNameKey = "graft.enum.name"
+  /** Column-metadata key: enum symbols in descriptor number order. */
+  val EnumSymbolsKey = "graft.enum.symbols"
+
+  /** Metadata marking a string column as a named enum. */
+  def enumMetadata(name: String, symbols: Seq[String]): Metadata =
+    new MetadataBuilder()
+      .putString(EnumNameKey, name)
+      .putStringArray(EnumSymbolsKey, symbols.toArray)
+      .build()
+
+  /** Tag a string column as a named enum so the Avro sink writes
+    * `enum(name, symbols)` instead of `string` for it.
+    */
+  def markEnum(df: DataFrame, colName: String, enumName: String,
+      symbols: Seq[String]): DataFrame =
+    df.withColumn(colName,
+      df(colName).as(colName, enumMetadata(enumName, symbols)))
 
   def toAvro(schema: StructType, recordName: String, namespace: String = "graft"): Schema =
     record(schema, recordName, namespace)
 
   private def record(st: StructType, name: String, ns: String): Schema = {
     val fields = st.fields.map { f =>
-      val base = fieldType(f.dataType, s"${name}_${f.name}", ns)
+      val base = fieldType(f.dataType, s"${name}_${f.name}", ns, f.metadata)
       if (f.nullable) {
         val union = Schema.createUnion(List(Schema.create(Schema.Type.NULL), base).asJava)
         new Schema.Field(f.name, union, null, Schema.Field.NULL_DEFAULT_VALUE)
@@ -31,10 +55,16 @@ object AvroSchemas {
     rec
   }
 
-  private def fieldType(dt: DataType, name: String, ns: String): Schema = dt match {
+  private def enumOf(md: Metadata, ns: String): Schema =
+    Schema.createEnum(md.getString(EnumNameKey), null, ns,
+      md.getStringArray(EnumSymbolsKey).toList.asJava)
+
+  private def fieldType(dt: DataType, name: String, ns: String,
+      md: Metadata = Metadata.empty): Schema = dt match {
     case BooleanType         => Schema.create(Schema.Type.BOOLEAN)
     case FloatType           => Schema.create(Schema.Type.FLOAT)
     case DoubleType          => Schema.create(Schema.Type.DOUBLE)
+    case StringType if md.contains(EnumNameKey) => enumOf(md, ns)
     case StringType          => Schema.create(Schema.Type.STRING)
     case BinaryType          => Schema.create(Schema.Type.BYTES)
     case ByteType | ShortType | IntegerType => Schema.create(Schema.Type.INT)
@@ -44,7 +74,7 @@ object AvroSchemas {
     case d: DecimalType      => Schema.create(Schema.Type.STRING)
     case st: StructType      => record(st, name, ns)
     case ArrayType(e, containsNull) =>
-      val el = fieldType(e, name, ns)
+      val el = fieldType(e, name, ns, md) // repeated enum → array(enum) (:231,:244)
       Schema.createArray(
         if (containsNull) Schema.createUnion(List(Schema.create(Schema.Type.NULL), el).asJava)
         else el)

@@ -66,6 +66,8 @@ object AvroSink {
 
   private def toAvroValue(v: Any, dt: DataType, avro: Schema): AnyRef = v match {
     case null => null
+    case s: String if avro.getType == Schema.Type.ENUM =>
+      new GenericData.EnumSymbol(avro, s) // named-enum columns (AvroSchemas)
     case r: Row => toRecord(r, dt.asInstanceOf[StructType], avro)
     case s: scala.collection.Seq[_] => // rows hold mutable.ArraySeq in 2.13
       val el = unwrapUnion(avro.getElementType)

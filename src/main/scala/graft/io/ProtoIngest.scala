@@ -43,7 +43,20 @@ object ProtoIngest {
   case object PBool extends PType
   case object PString extends PType
   case object PBytes extends PType
-  final case class PEnum(symbols: Map[Int, String]) extends PType
+  /** Proto enum: number→symbol map plus the descriptor's enum NAME, carried
+    * through the Spark schema as column metadata so the Avro sink can emit a
+    * named `enum` schema with the symbol list (reference
+    * ProtoMessageToAvroMappings.scala:230-233) instead of a plain string.
+    */
+  final case class PEnum(symbols: Map[Int, String], name: String = "Enum") extends PType
+  /** Proto `map<k,v>`: wire-encoded as a repeated nested entry message
+    * (field 1 = key, field 2 = value) → Spark `MapType`; duplicate keys keep
+    * the LAST entry, missing key/value take their proto3 zero defaults, an
+    * absent map decodes to {} — proto3 map semantics. (The reference throws
+    * on map fields, ProtoMessageToAvroMappings.scala:234-237; this is the
+    * declared superset.)
+    */
+  final case class PMap(key: PType, value: PType) extends PType
   final case class PNested(msg: PMessage) extends PType
   /** Lazy nested reference — the cycle-bearing edge of a RECURSIVE proto
     * schema (the reference supports these via a `seen` node cache,
@@ -77,34 +90,56 @@ object ProtoIngest {
           case r: PNestedRec =>
             if (depth >= maxDepth) None // drop: deeper bytes skip as unknown
             else Some(f.copy(ptype = PNested(go(r.msg, depth + 1))))
+          case PMap(k, PNested(sub)) => Some(f.copy(ptype = PMap(k, PNested(go(sub, depth)))))
+          case PMap(k, r: PNestedRec) =>
+            if (depth >= maxDepth) None
+            else Some(f.copy(ptype = PMap(k, PNested(go(r.msg, depth + 1)))))
           case _ => Some(f)
         }
       })
     go(msg, 1)
   }
 
-  /** Spark schema for a message, by the reference's rules. */
+  private def baseTypeOf(t: PType, owner: String, fname: String): DataType = t match {
+    case PInt32 | PSInt32 | PFixed32 => IntegerType
+    case PInt64 | PSInt64 | PFixed64 => LongType
+    case PFloat                      => FloatType
+    case PDouble                     => DoubleType
+    case PBool                       => BooleanType
+    case PString                     => StringType
+    case PBytes                      => BinaryType
+    case PEnum(_, _)                 => StringType
+    case PNested(m)                  => structTypeOf(m)
+    case PMap(k, v) =>
+      MapType(baseTypeOf(k, owner, fname), baseTypeOf(v, owner, fname),
+        valueContainsNull = v match {
+          case PString | PBytes | PNested(_) => true
+          case _                             => false
+        })
+    case _: PNestedRec => throw new IllegalArgumentException(
+      s"recursive reference in $owner.$fname: apply ProtoIngest.unroll(msg, maxDepth) first")
+  }
+
+  /** Spark schema for a message, by the reference's rules. Enum fields carry
+    * [[AvroSchemas.EnumNameKey]]/[[AvroSchemas.EnumSymbolsKey]] metadata
+    * (symbols in descriptor number order), which the Avro sink turns back
+    * into a named `enum` schema.
+    */
   def structTypeOf(msg: PMessage): StructType = StructType(msg.fields.map { f =>
-    val base = f.ptype match {
-      case PInt32 | PSInt32 | PFixed32 => IntegerType
-      case PInt64 | PSInt64 | PFixed64 => LongType
-      case PFloat                      => FloatType
-      case PDouble                     => DoubleType
-      case PBool                       => BooleanType
-      case PString                     => StringType
-      case PBytes                      => BinaryType
-      case PEnum(_)                    => StringType
-      case PNested(m)                  => structTypeOf(m)
-      case _: PNestedRec => throw new IllegalArgumentException(
-        s"recursive reference in ${msg.name}.${f.name}: apply ProtoIngest.unroll(msg, maxDepth) first")
-    }
+    val base = baseTypeOf(f.ptype, msg.name, f.name)
     val (dt, nullable) =
       if (f.repeated) (ArrayType(base, containsNull = false), false)
       else base match {
+        case _: MapType => (base, false) // absent map → {}
         case StringType | BinaryType | _: StructType => (base, true)
         case _ => (base, false) // proto3 zero-default scalars
       }
-    StructField(f.name, dt, nullable)
+    val metadata = f.ptype match {
+      case PEnum(symbols, name) =>
+        AvroSchemas.enumMetadata(name, symbols.toSeq.sortBy(_._1).map(_._2))
+      case _ => Metadata.empty
+    }
+    StructField(f.name, dt, nullable, metadata)
   })
 
   // ---------------------------------------------------------------- decode
@@ -158,14 +193,40 @@ object ProtoIngest {
     case PBool      => r.varint() != 0L
     case PString    => new String(r.bytes(r.varint().toInt), "UTF-8")
     case PBytes     => r.bytes(r.varint().toInt)
-    case PEnum(sym) => val v = r.varint().toInt; sym.getOrElse(v, s"UNKNOWN_$v")
+    case PEnum(sym, _) => val v = r.varint().toInt; sym.getOrElse(v, s"UNKNOWN_$v")
     case PNested(m) =>
       val n = r.varint().toInt
       val sub = new Reader(r.buf, r.pos, r.pos + n)
       r.pos += n
       decodeMessage(sub, m)
+    case PMap(kt, vt) =>
+      // one wire occurrence = one entry message: field 1 key, field 2 value;
+      // missing key/value take their proto3 zero defaults (string → "")
+      val n = r.varint().toInt
+      val stop = r.pos + n
+      var k: Any = mapEntryDefault(kt)
+      var v: Any = mapEntryDefault(vt)
+      while (r.pos < stop) {
+        val tag = r.varint()
+        val num = (tag >>> 3).toInt
+        if (num == 1) k = scalarOf(kt, r)
+        else if (num == 2) v = scalarOf(vt, r)
+        else r.skip((tag & 7).toInt)
+      }
+      (k, v)
     case _: PNestedRec => throw new IllegalArgumentException(
       "recursive reference: apply ProtoIngest.unroll(msg, maxDepth) first")
+  }
+
+  /** Proto3 zero default INSIDE a map entry — unlike top-level fields, a
+    * missing string key/value is the empty string (map keys cannot be null
+    * in Spark's MapType), and a missing nested value is null.
+    */
+  private def mapEntryDefault(t: PType): Any = t match {
+    case PString        => ""
+    case PBytes         => Array.emptyByteArray
+    case PNested(_)     => null
+    case other          => defaultOf(other)
   }
 
   // per-message plan-time artifacts, built once and reused across rows
@@ -190,10 +251,11 @@ object ProtoIngest {
         case Some(i) =>
           val f = msg.fields(i)
           val lenDelimited = f.ptype match {
-            case PString | PBytes | _: PNested => true
+            case PString | PBytes | _: PNested | _: PMap => true
             case _ => false
           }
-          if (f.repeated) {
+          if (f.repeated || f.ptype.isInstanceOf[PMap]) {
+            // maps ride the repeated machinery: each occurrence is one entry
             if (repeats(i) == null)
               repeats(i) = scala.collection.mutable.ArrayBuffer.empty[Any]
             if (wireType == 2 && !lenDelimited) {
@@ -208,7 +270,12 @@ object ProtoIngest {
 
     new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
       msg.fields.zipWithIndex.map { case (f, i) =>
-        if (f.repeated) { if (repeats(i) == null) Seq.empty else repeats(i).toSeq }
+        if (f.ptype.isInstanceOf[PMap]) {
+          // last entry wins on duplicate keys (proto3); absent map → {}
+          if (repeats(i) == null) Map.empty
+          else repeats(i).iterator.map(_.asInstanceOf[(Any, Any)]).toMap
+        }
+        else if (f.repeated) { if (repeats(i) == null) Seq.empty else repeats(i).toSeq }
         else values(i) match {
           case null => defaultOf(f.ptype) // unset
           case ""   => null               // set-but-empty string → null (:210)
@@ -225,7 +292,8 @@ object ProtoIngest {
     case PDouble                     => 0d
     case PBool                       => false
     case PString | PBytes            => null
-    case PEnum(sym)                  => sym.getOrElse(0, null)
+    case PEnum(sym, _)               => sym.getOrElse(0, null)
+    case _: PMap                     => Map.empty // absent map → {}
     case PNested(_)                  => null // missing submessage → null (:314-318)
     case _: PNestedRec => throw new IllegalArgumentException(
       "recursive reference: apply ProtoIngest.unroll(msg, maxDepth) first")

@@ -48,6 +48,51 @@ class IoSpec extends GraftSpec {
     }
   }
 
+  describe("named-enum schema fidelity (:230-233,:51-53)") {
+    it("an enum-tagged string column becomes a NAMED Avro enum and the " +
+       "written container carries it, symbols round-tripping") {
+      val dir = tmp("avro-enum") + "/out"
+      val df = AvroSchemas.markEnum(
+        Seq((1L, "ENABLED"), (2L, "PAUSED")).toDF("id", "status"),
+        "status", "CampaignStatus", Seq("UNSPECIFIED", "ENABLED", "PAUSED"))
+      AvroSink.write(df.coalesce(1), dir, "Report")
+
+      // the WRITTEN file's embedded schema, not just the derived one
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), new org.apache.hadoop.conf.Configuration())
+      val avroFile = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath).find(_.getName.endsWith(".avro")).get
+      val reader = new org.apache.avro.file.DataFileReader(
+        new org.apache.avro.mapred.FsInput(avroFile, new org.apache.hadoop.conf.Configuration()),
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      try {
+        val statusSchema = reader.getSchema.getField("status").schema()
+          .getTypes.get(1) // [null, enum]
+        statusSchema.getType shouldBe Schema.Type.ENUM
+        statusSchema.getName shouldBe "CampaignStatus"
+        statusSchema.getEnumSymbols.toArray.toSeq shouldBe
+          Seq("UNSPECIFIED", "ENABLED", "PAUSED")
+        val rows = new scala.collection.mutable.ArrayBuffer[(Long, String)]
+        while (reader.hasNext) {
+          val r = reader.next()
+          rows += ((r.get("id").asInstanceOf[Long], r.get("status").toString))
+        }
+        rows.sortBy(_._1).toSeq shouldBe Seq((1L, "ENABLED"), (2L, "PAUSED"))
+      } finally reader.close()
+    }
+    it("ProtoIngest enum fields arrive pre-tagged for the Avro sink") {
+      import ProtoIngest._
+      val msg = PMessage("m", Seq(
+        PField(1, "status", PEnum(Map(0 -> "UNKNOWN", 1 -> "OK"), "StatusEnum"))))
+      val st = structTypeOf(msg)
+      val avro = AvroSchemas.toAvro(st, "M")
+      val en = avro.getField("status").schema().getTypes.get(1)
+      en.getType shouldBe Schema.Type.ENUM
+      en.getName shouldBe "StatusEnum"
+      en.getEnumSymbols.toArray.toSeq shouldBe Seq("UNKNOWN", "OK")
+    }
+  }
+
   describe("AvroSink (Main.scala:205-217)") {
     it("writes container files per partition and round-trips values") {
       val dir = tmp("avro") + "/out"

@@ -96,6 +96,58 @@ class ProtoWirePropertySpec extends AnyFunSpec with Matchers {
     }
   }
 
+  it("proto map<k,v> round-trips: last duplicate key wins, defaults apply") {
+    val mmsg = PMessage("mm", Seq(
+      PField(1, "id", PInt64),
+      PField(2, "attrs", PMap(PString, PInt32))))
+    def encEntry(w: W, k: String, v: Int): Unit = {
+      val e = new W()
+      val kb = k.getBytes("UTF-8")
+      e.tag(1, 2).varint(kb.length); e.out.write(kb)
+      e.tag(2, 0).varint(v.toLong)
+      val eb = e.bytes
+      w.tag(2, 2).varint(eb.length); w.out.write(eb)
+    }
+    val genEntries = for {
+      es <- Gen.listOfN(4, for {
+        k <- Gen.alphaNumStr.map(_.take(8))
+        v <- Gen.chooseNum(0, 1000)
+      } yield (k, v))
+      dupFirst <- Gen.oneOf(true, false)
+    } yield if (dupFirst && es.nonEmpty) es :+ ((es.head._1, es.head._2 + 1)) else es
+    forAll(genEntries) { entries =>
+      val w = new W()
+      w.tag(1, 0).varint(7L)
+      entries.foreach { case (k, v) => encEntry(w, k, v) }
+      decodeBytes(w.bytes, mmsg).getAs[Map[String, Int]]("attrs") shouldBe
+        entries.toMap // toMap keeps the LAST duplicate — proto3 map rule
+    }
+    // absent map decodes to {}
+    decodeBytes(new W().tag(1, 0).varint(1L).bytes, mmsg)
+      .getAs[Map[String, Int]]("attrs") shouldBe Map.empty
+    // empty entry message: key/value take proto3 zero defaults ("" -> 0)
+    val we = new W(); we.tag(2, 2).varint(0)
+    decodeBytes(we.bytes, mmsg).getAs[Map[String, Int]]("attrs") shouldBe Map("" -> 0)
+  }
+
+  it("map schema derives MapType and unroll bounds recursive map values") {
+    val mmsg = PMessage("mm", Seq(PField(1, "attrs", PMap(PString, PInt64))))
+    val st = structTypeOf(mmsg)
+    st("attrs").dataType shouldBe
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType, valueContainsNull = false)
+    st("attrs").nullable shouldBe false
+    lazy val rec: PMessage = PMessage("node", Seq(
+      PField(1, "name", PString),
+      PField(2, "children", PMap(PString, PNestedRec(rec)))))
+    val bounded = unroll(rec, maxDepth = 2)
+    // depth 2: the leaf level's recursive map field is dropped
+    val lvl2 = bounded.fields(1).ptype.asInstanceOf[PMap]
+      .value.asInstanceOf[PNested].msg
+    lvl2.fields.map(_.name) shouldBe Seq("name")
+  }
+
   it("unknown fields interleaved anywhere never change the result") {
     val gen = for {
       v <- genV
