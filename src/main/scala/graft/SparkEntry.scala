@@ -300,23 +300,23 @@ object SparkEntry {
         bits = 64, bands = 4, maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
-  /** DQ21 (EXT): character-4-gram Jaccard near-dups within source groups
-    * (bounded pair space via the group equi-join). */
+  /** DQ21 (EXT): character-4-gram Jaccard near-dups within source groups —
+    * through `ext.AllPairs` prefix filtering (WWW'07), which is LOSSLESS:
+    * the result is identical to the brute-force within-group self-join the
+    * oracle computes, but the pair space is candidates-sharing-a-rare-token
+    * instead of O(group²) — group sizes here grow linearly with the corpus,
+    * so the plain self-join is the scale-killer this replaces. */
   private def q21(s: SparkSession, dir: String): DataFrame = {
     // shingle sets sorted once for the zero-allocation two-pointer jaccard
-    // (primitive ints) on 600k+ pairs; cached only for the call (consumed by
-    // both sides of the source self-join), released on return
+    // (primitive ints); cached only for the call (consumed by the candidate
+    // generator and both verification sides), released on return
     val d = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         sort_array(TextAnalysis.packedCharShingles(col("text"), 4)).as("sh"))
     graft.ext.CacheScope.withCached(d) {
-      val a = d.as("a")
-      val b = d.as("b")
-      a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          MinHashLSH.jaccardSorted(col("a.sh"), col("b.sh")).as("jac"))
-        .filter(col("jac") > 0.5)
+      graft.ext.AllPairs.jaccardPairsAdaptive(d, "doc_id", "sh", Seq("source"), 0.5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jac"))
     }.orderBy("doc_a", "doc_b")
   }
 
