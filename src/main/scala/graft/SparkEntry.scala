@@ -712,7 +712,8 @@ object SparkEntry {
   private def q54(s: SparkSession, dir: String): DataFrame =
     graft.ext.SaltedJoin.inner(
         t(s, dir, "orders"), t(s, dir, "customer"),
-        "o_custkey", "c_custkey", saltBuckets = 8)
+        "o_custkey", "c_custkey", saltBuckets = 8,
+        saltCols = Seq("o_orderkey")) // PK salt: narrow hash, full spread
       .select("o_orderkey", "c_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 

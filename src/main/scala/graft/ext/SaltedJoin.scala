@@ -23,14 +23,21 @@ object SaltedJoin {
     * @param saltBuckets number of ways to split each hot key (≈ the skew
     *                    factor to neutralize; cost = dim replicated this
     *                    many times)
+    * @param saltCols    columns the deterministic salt hashes — pass ONE
+    *                    stable high-cardinality column (a row PK is ideal):
+    *                    it must vary within a hot key's rows to spread them,
+    *                    and hashing one narrow column beats hashing the whole
+    *                    row on wide facts. Empty (default) falls back to all
+    *                    fact columns.
     */
   def inner(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
-      saltBuckets: Int = 16): DataFrame = {
+      saltBuckets: Int = 16, saltCols: Seq[String] = Nil): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
-    // deterministic salt (hash of the whole fact row modulo buckets) rather
-    // than rand(): retries/speculative tasks must re-derive the same salt
+    // deterministic salt (hash modulo buckets) rather than rand():
+    // retries/speculative tasks must re-derive the same salt
+    val discriminator = if (saltCols.nonEmpty) saltCols else fact.columns.toSeq
     val salted = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+      pmod(hash(discriminator.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated,

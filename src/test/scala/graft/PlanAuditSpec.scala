@@ -77,6 +77,54 @@ class PlanAuditSpec extends GraftSpec {
     "Exchange".r.findAllIn(p).size shouldBe 1 // and no other shuffle at all
   }
 
+  it("salted join (dq54) joins on (key, salt) and hashes ONLY the declared " +
+     "salt column") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val df = graft.ext.SaltedJoin.inner(orders, cust, "o_custkey", "c_custkey",
+      saltBuckets = 8, saltCols = Seq("o_orderkey"))
+    val p = physical(df)
+    p should include("__salt")            // the join key carries the salt
+    p should include("hash(o_orderkey")   // narrow PK hash, not the full row
+    p should not include "hash(o_comment" // the wide column stays unhashed
+  }
+
+  it("bloom-pruned join (dq55) probes the filter on the fact side BELOW the join") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val hot = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_acctbal") > 9000)
+    val df = graft.ext.BloomPrune.prunedJoin(orders, hot,
+      "o_custkey", "c_custkey", expectedItems = 1000)
+    val p = physical(df)
+    // the probe UDF appears in a Filter, and that Filter sits under the join
+    // (prune-then-join, not join-then-prune)
+    val joinAt = p.indexOf("Join")
+    val probeAt = p.indexOf("UDF")
+    joinAt should be >= 0
+    probeAt should be > joinAt // deeper in the tree = printed after the join
+  }
+
+  it("salted dedup (dq56) resolves winners in two window phases, salt first") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val df = graft.ext.Dedup.keepFirstSalted(events,
+      Seq("user_id", "event_type"), col("event_id"), saltBuckets = 8)
+    val p = physical(df)
+    "Window ".r.findAllIn(p).size should be >= 2
+    p should include("pmod(hash(event_id") // phase-1 partition key carries the salt
+  }
+
+  it("TopKPerKey (dq57) lowers to the rank window — no custom node survives " +
+     "to the physical plan") {
+    graft.plans.GraftPlans.install(spark)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val df = graft.plans.GraftPlans.topKPerKey(orders,
+      Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey")), k = 2)
+    val p = physical(df)
+    p should not include "TopKPerKey"
+    p should include("__graft_rn")
+    "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size shouldBe 1
+  }
+
   it("custom expressions participate in whole-stage codegen") {
     import spark.implicits._
     // non-foldable input (range), so the projection can't constant-fold away
