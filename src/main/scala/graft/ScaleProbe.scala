@@ -65,6 +65,61 @@ object ScaleProbe {
         ()
       }
     }
+    // AllPairs probe: scale the corpus so groups cross the adaptive cap and
+    // the prefix-filtered path engages; candidates vs quadratic pair space
+    // is the number that matters (lossless — results equal brute force).
+    if (sys.env.get("SCALE_ALLPAIRS").contains("1")) {
+      for (m <- Seq(2, 10)) {
+        val df = base.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"), col("source"),
+            array_join(transform(split(col("text"), " "),
+              (t, i) => when(i % 3 === 0, concat(t, lit("u"), col("rep"))).otherwise(t)), " ")
+              .as("text"))
+        val sets = df.repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("source"),
+            sort_array(graft.ext.TextAnalysis.packedCharShingles(col("text"), 4)).as("sh"))
+          .cache()
+        val n = sets.count()
+        val groups = sets.select("source").distinct().count()
+        val quad = sets.groupBy("source").count()
+          .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+          .head().getLong(0)
+        val t0 = System.nanoTime()
+        val cand = graft.ext.AllPairs.candidatePairs(
+          sets, "doc_id", "sh", Seq("source"), 0.5).count()
+        val t1 = System.nanoTime()
+        val pairs = graft.ext.AllPairs.jaccardPairsAdaptive(
+          sets, "doc_id", "sh", Seq("source"), 0.5, bruteMaxGroup = 300).count()
+        val t2 = System.nanoTime()
+        println(f"""{"probe":"allpairs","docs":$n,"groups":$groups,"quad_pairs":$quad,"prefix_candidates":$cand,"cand_sec":${(t1 - t0) / 1e9}%.1f,"verified":$pairs,"adaptive_sec":${(t2 - t1) / 1e9}%.1f}""")
+        sets.unpersist()
+        ()
+      }
+    }
+    // Trained-IVF probe: fit cost grows with corpus x iters (map-only
+    // assignment + one partial agg per round); queryAll is ONE job for any
+    // query-id count, touching ~nprobe/k of the corpus.
+    if (sys.env.get("SCALE_IVF").contains("1")) {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      for (m <- Seq(10, 50)) {
+        val df = emb.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("vec_id") * m + col("rep")).as("vec_id"),
+            transform(col("embedding"),
+              x => x + (col("rep") % 10).cast("float") * lit(0.01f)).as("embedding"))
+          .cache()
+        df.count() // materialize the clone corpus outside the fit timer
+        val t0 = System.nanoTime()
+        val index = graft.ext.IvfIndex.fit(df, "vec_id", "embedding", k = 32)
+        val t1 = System.nanoTime()
+        val qids = (1L to 100L).map(_ * m)
+        val rows = index.queryAll(qids, topK = 10, nprobe = 4).count()
+        val t2 = System.nanoTime()
+        val n = index.assigned.count()
+        index.release()
+        df.unpersist()
+        println(f"""{"probe":"ivf","vecs":$n,"k":32,"fit_sec":${(t1 - t0) / 1e9}%.1f,"queries":${qids.size},"topk_rows":$rows,"query_sec":${(t2 - t1) / 1e9}%.1f}""")
+      }
+    }
     // Connected-components probe: chain graphs (n/l components of diameter
     // l) — the worst case for label propagation, since rounds = diameter.
     // Near-dup graphs are star-like (diameter ~2); chains bound the other

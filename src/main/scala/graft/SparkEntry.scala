@@ -749,6 +749,20 @@ object SparkEntry {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** DQ58 (EXT): hash-gate train/validation/test split (`ext.Sampling`) —
+    * membership is a pure function of the KEY (portable md5 gate), so the
+    * same document lands in the same split under any layout, cluster width,
+    * or engine; the oracle re-derives every label independently. Also
+    * aggregates per-split × per-source counts (the stratification report a
+    * curation pipeline actually reads). */
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.ext.Sampling.splitLabelPortable(col("doc_id"), 0.8, 0.1).as("split"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+      .orderBy("split", "source")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -807,7 +821,8 @@ object SparkEntry {
     "dq54_salted_join"         -> (q54 _),
     "dq55_bloom_pruned_join"   -> (q55 _),
     "dq56_dedup_salted"        -> (q56 _),
-    "dq57_topk_per_key"        -> (q57 _)
+    "dq57_topk_per_key"        -> (q57 _),
+    "dq58_sample_split"        -> (q58 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1291,6 +1306,14 @@ object SparkEntry {
         |  AND epoch_us(p.ts) <= epoch_us(c.ts)
         |  AND epoch_us(p.ts) >= epoch_us(c.ts) - 3600000000
         |ORDER BY click_id, p_us, p_value""".stripMargin,
+    "dq58_sample_split" ->
+      """WITH g AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT % 1000000 gt
+        |  FROM documents)
+        |SELECT CASE WHEN gt < 800000 THEN 'train'
+        |            WHEN gt < 900000 THEN 'validation' ELSE 'test' END AS split,
+        |  source, count(*) AS n, min(doc_id) AS min_doc
+        |FROM g GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
     "dq50_vector_centroids" ->
       """WITH e AS (SELECT embedding,
         |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +

@@ -54,4 +54,28 @@ object Sampling {
     val v = ((trainFrac + valFrac) * M).toLong
     (df.filter(g < t), df.filter(g >= t && g < v), df.filter(g >= v))
   }
+
+  /** CROSS-ENGINE portable gate: md5-derived instead of xxhash64, so any
+    * engine (the DuckDB oracle, a Python curation script, ...) reproduces
+    * membership bit-for-bit: first 8 hex chars of md5("key:seed") as an
+    * integer, mod the gate resolution. Costlier per row than xxhash64 —
+    * use when the split must be re-derivable OUTSIDE Spark; the semantics
+    * are identical.
+    */
+  def gatePortable(keyCol: Column, seed: Long): Column =
+    pmod(conv(substring(
+      md5(concat(keyCol.cast("string"), lit(":" + seed))), 1, 8), 16, 10)
+      .cast("long"), lit(M))
+
+  /** Split label ('train' / 'validation' / 'test') from the portable gate —
+    * the labeled-column form of [[split]] for engine-portable lineage.
+    */
+  def splitLabelPortable(keyCol: Column, trainFrac: Double, valFrac: Double,
+      seed: Long = 42L): Column = {
+    require(trainFrac + valFrac <= 1, "train + validation must be <= 1")
+    val g = gatePortable(keyCol, seed)
+    when(g < lit((trainFrac * M).toLong), "train")
+      .when(g < lit(((trainFrac + valFrac) * M).toLong), "validation")
+      .otherwise("test")
+  }
 }
