@@ -46,7 +46,7 @@ class ProtoIngestSpec extends GraftSpec {
   private val campaign = PMessage("campaign", Seq(
     PField(1, "id", PInt64),
     PField(2, "name", PString),
-    PField(3, "status", PEnum(Map(0 -> "UNSPECIFIED", 2 -> "ENABLED", 3 -> "PAUSED")))))
+    PField(3, "status", PEnum(Map(0 -> "UNSPECIFIED", 2 -> "ENABLED", 3 -> "PAUSED"), "CampaignStatus"))))
 
   private val row = PMessage("ads_row", Seq(
     PField(1, "campaign", PNested(campaign)),
@@ -190,5 +190,46 @@ class ProtoIngestSpec extends GraftSpec {
     projected.schema.fieldNames shouldBe Array("campaign")
     projected.select(col("campaign.id")).as[Long].collect().sorted shouldBe (1L to 50L)
     projected.filter(col("campaign.status") === "ENABLED").count() shouldBe 25
+  }
+
+  it("full reference shape end-to-end: wire decode → flatten → NAMED-enum " +
+     "Avro container (the proto→Avro contract, schema included)") {
+    val payloads = (1L to 10L).map { i =>
+      val camp = new W().tag(1, 0).varint(i).str(2, s"c_$i")
+        .tag(3, 0).varint(if (i % 2 == 0) 2 else 3)
+      new W().nested(1, camp).tag(2, 0).varint(i * 10).bytes
+    }.toDF("payload")
+    val decoded = ProtoIngest.decode(payloads, "payload", row)
+
+    // P4 flatten lifts the enum out of the struct; struct-field extraction
+    // drops column metadata, so the sink-facing frame re-tags from the
+    // descriptor — the documented markEnum pattern
+    val statusEnum = row.fields.find(_.name == "campaign").get.ptype
+      .asInstanceOf[PNested].msg.fields.find(_.name == "status").get.ptype
+      .asInstanceOf[PEnum]
+    val shaped = AvroSchemas.markEnum(
+      decoded.select(col("campaign.id").as("campaign_id"),
+        col("campaign.status").as("status"), col("impressions")),
+      "status", statusEnum.name, statusEnum.symbols.toSeq.sortBy(_._1).map(_._2))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e-avro").toString + "/out"
+    AvroSink.write(shaped.coalesce(1), dir, "AdsRow")
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), new org.apache.hadoop.conf.Configuration())
+    val avroFile = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).find(_.getName.endsWith(".avro")).get
+    val reader = new org.apache.avro.file.DataFileReader(
+      new org.apache.avro.mapred.FsInput(avroFile, new org.apache.hadoop.conf.Configuration()),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      val en = reader.getSchema.getField("status").schema().getTypes.get(1)
+      en.getType shouldBe org.apache.avro.Schema.Type.ENUM
+      en.getName shouldBe statusEnum.name
+      val statuses = new scala.collection.mutable.ArrayBuffer[String]
+      while (reader.hasNext) statuses += reader.next().get("status").toString
+      statuses.sorted.toSeq shouldBe
+        (1L to 10L).map(i => if (i % 2 == 0) "ENABLED" else "PAUSED").sorted
+    } finally reader.close()
   }
 }
