@@ -107,6 +107,14 @@ object MinHashLSH {
     }
   }
 
+  /** Un-materialized candidate plan (no call-scoped cache/checkpoint) —
+    * exposed so plan audits can assert the join-free candidate shape.
+    */
+  private[graft] def candidatePlanFor(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, maxBucket: Int = 100): DataFrame =
+    bandCandidates(shingleFrame(df, idCol, textCol).filter(size(col("sh")) > 0),
+      numHashes, bands, maxBucket)
+
   /** Per-bucket population histogram — diagnostics for the `maxBucket` cap:
     * (band, bucketKey, size). Bench records max size and the count of
     * dropped (over-cap) buckets as evidence that candidate generation is not

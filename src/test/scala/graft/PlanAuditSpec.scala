@@ -125,6 +125,28 @@ class PlanAuditSpec extends GraftSpec {
     "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size shouldBe 1
   }
 
+  it("MinHash candidate generation is JOIN-FREE: per-bucket grouping + " +
+     "inline pair expansion, one hash shuffle on the bucket key") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ext.MinHashLSH.candidatePlanFor(docs, "doc_id", "text")
+    val p = physical(df)
+    p should not include "Join" // the banded self-join is gone
+    p should include("Exchange hashpartitioning(b")  // the one bucket shuffle
+    p should include("collect_list")                 // per-bucket id lists
+  }
+
+  it("IvfIndex.queryAll is ONE broadcast-joined plan for all query ids — " +
+     "no per-query driver round-trips") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = graft.ext.IvfIndex.fit(emb, "vec_id", "embedding", k = 4)
+    try {
+      val p = physical(idx.queryAll(Seq(1L, 2L, 3L), topK = 5, nprobe = 2))
+      p should include("BroadcastHashJoin") // probe rows broadcast onto cells
+      p should include("squareddistance")   // probe ranking inside the plan
+      p should include("Window ")           // per-query top-k ranking window
+    } finally idx.release()
+  }
+
   it("custom expressions participate in whole-stage codegen") {
     import spark.implicits._
     // non-foldable input (range), so the projection can't constant-fold away
