@@ -305,11 +305,16 @@ object ProtoIngest {
 
   /** Decode `binCol` of `df` into the message's full column set —
     * `spark.read` + this = the reference's S1 scan for proto payloads.
+    * The trailing `.to(schema)` re-applies the descriptor schema's field
+    * METADATA (the row Encoder normalizes it away): enum columns keep their
+    * `graft.enum.*` tags all the way to the Avro sink.
     */
-  def decode(df: DataFrame, binCol: String, msg: PMessage): DataFrame =
+  def decode(df: DataFrame, binCol: String, msg: PMessage): DataFrame = {
+    val schema = structTypeOf(msg)
     df.select(col(binCol)).mapPartitions { it =>
       it.map(r => decodeBytes(r.getAs[Array[Byte]](0), msg))
-    }(Encoders.row(structTypeOf(msg)))
+    }(Encoders.row(schema)).to(schema)
+  }
 
   /** The reference's S2 replay-cache format, byte-exact (Main.scala:67-120):
     * a text file whose FIRST line is base64(query text) and every following

@@ -15,6 +15,12 @@ sealed trait MappingNode {
     * time, mirroring the reference's construction-time checks.
     */
   def toColumn(schema: StructType): Column
+
+  /** Column metadata the Translator attaches at the OUTPUT alias (an outer
+    * rename does not inherit an inner alias's metadata in the Column-node
+    * model, so it must travel out of band). Default: none.
+    */
+  def metadata(schema: StructType): Metadata = Metadata.empty
 }
 
 object MappingNode {
@@ -32,32 +38,49 @@ object MappingNode {
     * repeated segment.
     */
   final case class Scalar(path: String) extends MappingNode {
-    override def toColumn(schema: StructType): Column = {
+
+    /** Walk the path; returns the leaf's (type, metadata). All the
+      * reference's validation errors (continuity, no repeated segment,
+      * scalar terminal) surface here.
+      */
+    private def leafOf(schema: StructType): (DataType, Metadata) = {
       val segments = path.split('.').toList
       if (segments.isEmpty || path.isEmpty)
         throw new IllegalArgumentException("Expected a non empty list of fields")
-      val leafType = segments.foldLeft[DataType](schema) {
-        case (st: StructType, seg) =>
-          val f = st.fields.find(_.name == seg).getOrElse(
+      val (leafType, leafMeta) =
+        segments.foldLeft[(DataType, Metadata)]((schema, Metadata.empty)) {
+          case ((st: StructType, _), seg) =>
+            val f = st.fields.find(_.name == seg).getOrElse(
+              throw new IllegalArgumentException(
+                s"The path must be continuous path from child to parent (no field '$seg' in '$path')"))
+            f.dataType match {
+              case ArrayType(_, _) =>
+                throw new IllegalArgumentException("None of the field elements may be repeated")
+              case dt => (dt, f.metadata)
+            }
+          case (_, seg) =>
             throw new IllegalArgumentException(
-              s"The path must be continuous path from child to parent (no field '$seg' in '$path')"))
-          f.dataType match {
-            case ArrayType(_, _) =>
-              throw new IllegalArgumentException("None of the field elements may be repeated")
-            case dt => dt
-          }
-        case (_, seg) =>
-          throw new IllegalArgumentException(
-            s"The path must be continuous path from child to parent ('$seg' in '$path' descends into a scalar)")
-      }
+              s"The path must be continuous path from child to parent ('$seg' in '$path' descends into a scalar)")
+        }
       leafType match {
         case _: StructType =>
           throw new IllegalArgumentException("The last element's type must be a scalar value")
-        case dt =>
-          val c = segments.tail.foldLeft(col(s"`${segments.head}`"))(_.getField(_))
-          Semantics.coerceScalar(c, dt)
+        case dt => (dt, leafMeta)
       }
     }
+
+    override def toColumn(schema: StructType): Column = {
+      val (dt, _) = leafOf(schema)
+      val segments = path.split('.').toList
+      val c = segments.tail.foldLeft(col(s"`${segments.head}`"))(_.getField(_))
+      Semantics.coerceScalar(c, dt)
+    }
+
+    /** Struct-field extraction drops column metadata — surface the leaf's
+      * (e.g. the graft.enum.* tags) so flattened enum columns still write
+      * as NAMED Avro enums.
+      */
+    override def metadata(schema: StructType): Metadata = leafOf(schema)._2
   }
 
   /** The open extension point (reference U1: `UserDefinedProtoToAvroNode`,

@@ -37,9 +37,18 @@ final case class Translator(
     (udm ++ base).sortBy(_._1)(ordering)
   }
 
-  /** Apply the projection. One narrow, codegen'd select — no shuffle. */
+  /** Apply the projection. One narrow, codegen'd select — no shuffle.
+    * User-defined mappings that carry column metadata (e.g. a flattened
+    * enum leaf's `graft.enum.*` tags) get it re-attached at the output
+    * alias, since a rename does not inherit inner-alias metadata.
+    */
   def apply(df: DataFrame): DataFrame = {
-    val cols = columns(df.schema)
-    df.select(cols.map { case (n, c) => c.as(n) }: _*)
+    val schema = df.schema
+    val meta = userDefinedMappings.map { case (n, m) => n -> m.metadata(schema) }.toMap
+    val cols = columns(schema)
+    df.select(cols.map { case (n, c) =>
+      meta.get(n).filterNot(_ == org.apache.spark.sql.types.Metadata.empty)
+        .fold(c.as(n))(md => c.as(n, md))
+    }: _*)
   }
 }

@@ -201,16 +201,18 @@ class ProtoIngestSpec extends GraftSpec {
     }.toDF("payload")
     val decoded = ProtoIngest.decode(payloads, "payload", row)
 
-    // P4 flatten lifts the enum out of the struct; struct-field extraction
-    // drops column metadata, so the sink-facing frame re-tags from the
-    // descriptor — the documented markEnum pattern
+    // P4 flatten through the Translator: Scalar re-attaches the leaf field's
+    // metadata, so the enum tag survives flattening with no manual re-tag
     val statusEnum = row.fields.find(_.name == "campaign").get.ptype
       .asInstanceOf[PNested].msg.fields.find(_.name == "status").get.ptype
       .asInstanceOf[PEnum]
-    val shaped = AvroSchemas.markEnum(
-      decoded.select(col("campaign.id").as("campaign_id"),
-        col("campaign.status").as("status"), col("impressions")),
-      "status", statusEnum.name, statusEnum.symbols.toSeq.sortBy(_._1).map(_._2))
+    val shaped = graft.plan.Translator(
+      List("impressions"),
+      userDefinedMappings = List(
+        "campaign_id" -> graft.plan.MappingNode.Scalar("campaign.id"),
+        "status"      -> graft.plan.MappingNode.Scalar("campaign.status")))(decoded)
+    shaped.schema("status").metadata.getString(AvroSchemas.EnumNameKey) shouldBe
+      statusEnum.name
 
     val dir = java.nio.file.Files.createTempDirectory("graft-e2e-avro").toString + "/out"
     AvroSink.write(shaped.coalesce(1), dir, "AdsRow")
