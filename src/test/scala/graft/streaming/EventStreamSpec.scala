@@ -42,4 +42,27 @@ class EventStreamSpec extends GraftSpec {
         ("1970-01-01 00:00:00", "view", 2L, 6.0))
     }
   }
+
+  describe("RocksDB state store (the production backend for state > heap)") {
+    it("stateful windowed aggregation produces identical results on RocksDB") {
+      import org.apache.spark.sql.streaming.OutputMode
+      def run(name: String): Set[(String, String, Long, Double)] =
+        EventStream.runToTable(
+          EventStream.hourlyTypeCounts(
+            EventStream.readEvents(spark, "/root/testdata/sf0.001")),
+          name, OutputMode.Complete())
+          .as[(String, String, Long, Double)].collect().toSet
+
+      val default = run("ss_default")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val rocks = run("ss_rocksdb")
+        rocks shouldBe default
+        rocks should not be empty
+      } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
 }
