@@ -1,0 +1,79 @@
+package graft.io
+
+import graft.GraftSpec
+import graft.io.ProtoIngest._
+import org.apache.spark.sql.functions._
+
+/** DSv2 proto source: reads the reference cache format, prunes columns into
+  * the wire decoder, enforces the S2 query-validity check.
+  */
+class ProtoSourceSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val msg = PMessage("ads_row", Seq(
+    PField(1, "id", PInt64),
+    PField(2, "name", PString),
+    PField(3, "impressions", PInt64),
+    PField(4, "status", PEnum(Map(0 -> "UNKNOWN", 1 -> "OK"), "Status"))))
+
+  private def varint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def enc(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    varint(out, 8); varint(out, id)                  // field 1
+    val n = s"row_$id".getBytes("UTF-8")
+    varint(out, 18); varint(out, n.length); out.write(n) // field 2
+    varint(out, 24); varint(out, id * 100)           // field 3
+    varint(out, 32); varint(out, id % 2)             // field 4
+    out.toByteArray
+  }
+
+  private val query = "SELECT ads_row FROM server WHERE x"
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-proto-src")
+    val b64 = java.util.Base64.getEncoder
+    // two cache files → two input partitions
+    Seq(1L to 5L, 6L to 9L).zipWithIndex.foreach { case (ids, i) =>
+      val lines = b64.encodeToString(query.getBytes("UTF-8")) +:
+        ids.map(id => b64.encodeToString(enc(id)))
+      java.nio.file.Files.write(d.resolve(s"cache_$i.txt"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    ProtoSource.registerDescriptor("ads_row", msg)
+    d.toString
+  }
+
+  private def read = spark.read.format("graft.io.ProtoSource")
+    .option("descriptor", "ads_row")
+
+  it("reads the cache format across files with full proto semantics") {
+    val df = read.load(dir)
+    df.count() shouldBe 9
+    df.select("id", "impressions", "status")
+      .as[(Long, Long, String)].collect().sortBy(_._1).take(2) shouldBe
+      Array((1L, 100L, "OK"), (2L, 200L, "UNKNOWN"))
+    // rdd partitions = files
+    df.rdd.getNumPartitions shouldBe 2
+  }
+
+  it("prunes the projection into the DECODER: the scan reads only the " +
+     "selected fields") {
+    val df = read.load(dir).select("impressions")
+    val p = df.queryExecution.executedPlan.toString
+    p should include("ReadFields: [impressions]") // descriptor pruned
+    df.as[Long].collect().sorted shouldBe (1L to 9L).map(_ * 100)
+  }
+
+  it("enforces the S2 cache-validity rule: mismatched query → refetch error") {
+    read.option("expectedQuery", query).load(dir).count() shouldBe 9
+    val ex = intercept[Exception] {
+      read.option("expectedQuery", "other query").load(dir).count()
+    }
+    ex.getMessage should include("refetch")
+  }
+}
