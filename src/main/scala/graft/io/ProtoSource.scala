@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -93,27 +94,40 @@ object ProtoSource {
 
   private final class ProtoScanBuilder(msg: PMessage, path: String,
       expectedQuery: Option[String])
-      extends ScanBuilder with SupportsPushDownRequiredColumns {
+      extends ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters {
     private var required: StructType = ProtoIngest.structTypeOf(msg)
+    private var pushed: Array[sources.Filter] = Array.empty
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
+
+    override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+      // accept filters the row-gate can evaluate; Spark re-evaluates every
+      // filter above the scan anyway (we return them all as residual), so
+      // the gate only ever SKIPS work, never changes results
+      pushed = filters.filter(f => RowGate.supports(f, msg))
+      filters
+    }
+    override def pushedFilters(): Array[sources.Filter] = pushed
 
     override def build(): Scan = {
       // prune the DESCRIPTOR to the required fields, in required-column
       // order — the decoder then wire-skips everything else
       val pruned = PMessage(msg.name,
         required.fieldNames.flatMap(n => msg.fields.find(_.name == n)).toSeq)
-      new ProtoScan(pruned, path, expectedQuery)
+      new ProtoScan(pruned, msg, pushed, path, expectedQuery)
     }
   }
 
-  private final class ProtoScan(msg: PMessage, path: String,
+  private final class ProtoScan(msg: PMessage, fullMsg: PMessage,
+      filters: Array[sources.Filter], path: String,
       expectedQuery: Option[String]) extends Scan with Batch {
     override def readSchema(): StructType = ProtoIngest.structTypeOf(msg)
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft-proto ${msg.name} ReadFields: [${msg.fields.map(_.name).mkString(", ")}]"
+      s"graft-proto ${msg.name} ReadFields: [${msg.fields.map(_.name).mkString(", ")}]" +
+        s" PushedRowGate: [${filters.mkString(", ")}]"
 
     override def planInputPartitions(): Array[InputPartition] = {
       val fs = FileSystem.get(new java.net.URI(path), new Configuration())
@@ -126,19 +140,22 @@ object ProtoSource {
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new ProtoReaderFactory(msg, expectedQuery)
+      new ProtoReaderFactory(msg, fullMsg, filters, expectedQuery)
   }
 
   private final case class ProtoFilePartition(file: String) extends InputPartition
 
-  private final class ProtoReaderFactory(msg: PMessage,
+  private final class ProtoReaderFactory(msg: PMessage, fullMsg: PMessage,
+      filters: Array[sources.Filter],
       expectedQuery: Option[String]) extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       new ProtoPartitionReader(
-        partition.asInstanceOf[ProtoFilePartition].file, msg, expectedQuery)
+        partition.asInstanceOf[ProtoFilePartition].file, msg, fullMsg, filters,
+        expectedQuery)
   }
 
   private final class ProtoPartitionReader(file: String, msg: PMessage,
+      fullMsg: PMessage, filters: Array[sources.Filter],
       expectedQuery: Option[String]) extends PartitionReader[InternalRow] {
     private val schema = ProtoIngest.structTypeOf(msg)
     private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
@@ -159,19 +176,99 @@ object ProtoSource {
       }
     }
 
+    // two-phase decode (lazy materialization): when filters are pushed,
+    // decode ONLY their fields first and skip the full decode for rows that
+    // fail — the selective-scan shape where most bytes are never parsed
+    private val gate: Option[(Array[Byte]) => Boolean] =
+      if (filters.isEmpty) None
+      else {
+        val gateFields = filters.flatMap(RowGate.references).distinct
+        val gateMsg = PMessage(fullMsg.name,
+          gateFields.flatMap(n => fullMsg.fields.find(_.name == n)).toSeq)
+        Some((bytes: Array[Byte]) => {
+          val r = ProtoIngest.decodeBytes(bytes, gateMsg)
+          filters.forall(f => RowGate.eval(f, r))
+        })
+      }
+
     private var current: InternalRow = _
 
     override def next(): Boolean = {
-      val line = lines.readLine()
-      if (line == null || line.isEmpty) false
-      else {
-        current = toCatalyst(ProtoIngest.decodeBytes(b64.decode(line), msg))
-          .asInstanceOf[InternalRow]
-        true
+      var line = lines.readLine()
+      while (line != null && line.nonEmpty) {
+        val bytes = b64.decode(line)
+        if (gate.forall(_(bytes))) {
+          current = toCatalyst(ProtoIngest.decodeBytes(bytes, msg))
+            .asInstanceOf[InternalRow]
+          return true
+        }
+        line = lines.readLine()
       }
+      false
     }
 
     override def get(): InternalRow = current
     override def close(): Unit = lines.close()
+  }
+
+  /** Conservative evaluator for pushed filters against a decoded gate row:
+    * supports simple comparisons on top-level non-repeated scalar fields.
+    * Unsupported filters are simply not pushed (Spark evaluates everything
+    * above the scan regardless), so this can only skip work, never change a
+    * result. Null semantics: any comparison on null is false (SQL), matching
+    * the residual Spark filter.
+    */
+  private object RowGate {
+    import org.apache.spark.sql.sources._
+
+    private def gateable(name: String, msg: PMessage): Boolean =
+      msg.fields.exists(f => f.name == name && !f.repeated && (f.ptype match {
+        case ProtoIngest.PNested(_) | _: ProtoIngest.PNestedRec |
+             _: ProtoIngest.PMap | ProtoIngest.PBytes => false
+        case _ => true
+      }))
+
+    def supports(f: Filter, msg: PMessage): Boolean = f match {
+      case EqualTo(a, v)            => gateable(a, msg) && comparable(v)
+      case GreaterThan(a, v)        => gateable(a, msg) && comparable(v)
+      case GreaterThanOrEqual(a, v) => gateable(a, msg) && comparable(v)
+      case LessThan(a, v)           => gateable(a, msg) && comparable(v)
+      case LessThanOrEqual(a, v)    => gateable(a, msg) && comparable(v)
+      case In(a, vs)                => gateable(a, msg) && vs.forall(comparable)
+      case IsNull(a)                => gateable(a, msg)
+      case IsNotNull(a)             => gateable(a, msg)
+      case And(l, r)                => supports(l, msg) && supports(r, msg)
+      case _                        => false
+    }
+
+    private def comparable(v: Any): Boolean = v match {
+      case _: Long | _: Int | _: Short | _: Byte | _: Double | _: Float |
+           _: String | _: Boolean => true
+      case _ => false
+    }
+
+    def references(f: Filter): Seq[String] = f.references.toSeq
+
+    private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+      case (null, _) => None
+      case (a: Number, b: Number) =>
+        Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+      case (a: String, b: String) => Some(a.compareTo(b))
+      case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
+      case _ => None
+    }
+
+    def eval(f: Filter, r: org.apache.spark.sql.Row): Boolean = f match {
+      case EqualTo(a, v)            => cmp(r.getAs[Any](a), v).contains(0)
+      case GreaterThan(a, v)        => cmp(r.getAs[Any](a), v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(r.getAs[Any](a), v).exists(_ >= 0)
+      case LessThan(a, v)           => cmp(r.getAs[Any](a), v).exists(_ < 0)
+      case LessThanOrEqual(a, v)    => cmp(r.getAs[Any](a), v).exists(_ <= 0)
+      case In(a, vs)                => vs.exists(v => cmp(r.getAs[Any](a), v).contains(0))
+      case IsNull(a)                => r.getAs[Any](a) == null
+      case IsNotNull(a)             => r.getAs[Any](a) != null
+      case And(l, rr)               => eval(l, r) && eval(rr, r)
+      case _                        => true // never pushed; defensive
+    }
   }
 }

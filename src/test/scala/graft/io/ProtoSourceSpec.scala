@@ -69,6 +69,29 @@ class ProtoSourceSpec extends GraftSpec {
     df.as[Long].collect().sorted shouldBe (1L to 9L).map(_ * 100)
   }
 
+  it("pushes filters into a two-phase decode: gate fields first, full " +
+     "decode only for passing rows — plan shows the pushed row gate") {
+    val df = read.load(dir).filter(col("impressions") > 500).select("id", "name")
+    val p = df.queryExecution.executedPlan.toString
+    p should include("PushedRowGate: [")
+    p should include("GreaterThan(impressions")
+    // the residual Filter above the scan needs the gate column, so the scan
+    // outputs it too; the gate's win is skipping FULL decodes of failing rows
+    p should include("ReadFields: [id, name, impressions]")
+    df.as[(Long, String)].collect().sortBy(_._1) shouldBe
+      (6L to 9L).map(i => (i, s"row_$i"))
+  }
+
+  it("gates on enum symbols and conjunctions; unsupported filters still " +
+     "evaluate above the scan") {
+    val df = read.load(dir)
+      .filter(col("status") === "OK" && col("id") <= 7 &&
+        org.apache.spark.sql.functions.length(col("name")) === 5) // not gateable — residual only
+    df.select("id").as[Long].collect().sorted shouldBe Seq(1L, 3L, 5L, 7L)
+    val p = df.queryExecution.executedPlan.toString
+    p should include("EqualTo(status,OK)")
+  }
+
   it("enforces the S2 cache-validity rule: mismatched query → refetch error") {
     read.option("expectedQuery", query).load(dir).count() shouldBe 9
     val ex = intercept[Exception] {
