@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -84,7 +85,7 @@ object ProtoSource {
     override def name(): String = s"graft-proto(${msg.name})"
     override def schema(): StructType = ProtoIngest.structTypeOf(msg)
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
     override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
       new ProtoScanBuilder(msg,
         Option(opts.get("path")).orElse(Option(options.get("path"))).getOrElse(
@@ -120,6 +121,15 @@ object ProtoSource {
     }
   }
 
+  private def listCacheFiles(path: String): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val p = new HPath(path)
+    val files =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq.map(_.getPath)
+      else Seq(p)
+    files.filterNot(_.getName.startsWith("_")).map(_.toString).sorted
+  }
+
   private final class ProtoScan(msg: PMessage, fullMsg: PMessage,
       filters: Array[sources.Filter], path: String,
       expectedQuery: Option[String]) extends Scan with Batch {
@@ -129,18 +139,54 @@ object ProtoSource {
       s"graft-proto ${msg.name} ReadFields: [${msg.fields.map(_.name).mkString(", ")}]" +
         s" PushedRowGate: [${filters.mkString(", ")}]"
 
-    override def planInputPartitions(): Array[InputPartition] = {
-      val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-      val p = new HPath(path)
-      val files =
-        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq.map(_.getPath)
-        else Seq(p)
-      files.filterNot(_.getName.startsWith("_")).sortBy(_.toString)
-        .map(f => ProtoFilePartition(f.toString): InputPartition).toArray
+    override def planInputPartitions(): Array[InputPartition] =
+      listCacheFiles(path)
+        .map(f => ProtoFilePartition(f): InputPartition).toArray
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new ProtoReaderFactory(msg, fullMsg, filters, expectedQuery)
+
+    override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+      new ProtoMicroBatchStream(msg, fullMsg, filters, path, expectedQuery)
+  }
+
+  /** Offset = count of (name-sorted) cache files consumed. The cache
+    * contract is append-only with monotonically named files (the reference
+    * writes one file per fetch), so the sorted prefix is stable and each
+    * file is delivered EXACTLY once across restarts from the checkpoint.
+    */
+  private final case class ProtoOffset(files: Long)
+      extends streaming.Offset {
+    override def json(): String = files.toString
+  }
+
+  /** Micro-batch stream over the cache directory: each batch = the files
+    * that appeared since the last committed offset — the streaming shape of
+    * the reference's gRPC iterator (S1), landing on its cache format (S2).
+    */
+  private final class ProtoMicroBatchStream(msg: PMessage, fullMsg: PMessage,
+      filters: Array[sources.Filter], path: String,
+      expectedQuery: Option[String]) extends streaming.MicroBatchStream {
+
+    override def initialOffset(): streaming.Offset = ProtoOffset(0L)
+    override def latestOffset(): streaming.Offset =
+      ProtoOffset(listCacheFiles(path).size.toLong)
+    override def deserializeOffset(json: String): streaming.Offset =
+      ProtoOffset(json.trim.toLong)
+
+    override def planInputPartitions(start: streaming.Offset,
+        end: streaming.Offset): Array[InputPartition] = {
+      val (s, e) = (start.asInstanceOf[ProtoOffset].files,
+        end.asInstanceOf[ProtoOffset].files)
+      listCacheFiles(path).slice(s.toInt, e.toInt)
+        .map(f => ProtoFilePartition(f): InputPartition).toArray
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
       new ProtoReaderFactory(msg, fullMsg, filters, expectedQuery)
+
+    override def commit(end: streaming.Offset): Unit = ()
+    override def stop(): Unit = ()
   }
 
   private final case class ProtoFilePartition(file: String) extends InputPartition

@@ -92,6 +92,43 @@ class ProtoSourceSpec extends GraftSpec {
     p should include("EqualTo(status,OK)")
   }
 
+  it("streams the cache directory micro-batch: new files only, exactly " +
+     "once across restarts from the checkpoint") {
+    val d = java.nio.file.Files.createTempDirectory("graft-proto-stream")
+    val out = java.nio.file.Files.createTempDirectory("graft-proto-stream-out")
+    val b64 = java.util.Base64.getEncoder
+    def writeCache(name: String, ids: Seq[Long]): Unit = {
+      val lines = b64.encodeToString(query.getBytes("UTF-8")) +:
+        ids.map(id => b64.encodeToString(enc(id)))
+      java.nio.file.Files.write(d.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+      ()
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.io.ProtoSource")
+        .option("descriptor", "ads_row")
+        .load(d.toString)
+        .select("id", "impressions")
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeCache("c0.txt", Seq(1L, 2L))
+    runOnce()
+    spark.read.parquet(s"$out/data").select("id").as[Long].collect().sorted shouldBe
+      Seq(1L, 2L)
+    writeCache("c1.txt", Seq(3L))
+    runOnce() // restart from checkpoint: only the NEW file is delivered
+    spark.read.parquet(s"$out/data").select("id").as[Long].collect().sorted shouldBe
+      Seq(1L, 2L, 3L)
+    runOnce() // nothing new → nothing duplicated
+    spark.read.parquet(s"$out/data").count() shouldBe 3
+  }
+
   it("enforces the S2 cache-validity rule: mismatched query → refetch error") {
     read.option("expectedQuery", query).load(dir).count() shouldBe 9
     val ex = intercept[Exception] {
