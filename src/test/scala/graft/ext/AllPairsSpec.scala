@@ -56,6 +56,34 @@ class AllPairsSpec extends GraftSpec {
     smallPairs should be <= cap * docs
   }
 
+  it("lossless on RANDOM set families across random thresholds (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genRow = for {
+      grp <- Gen.chooseNum(0, 2)
+      n <- Gen.chooseNum(1, 12)
+      elems <- Gen.listOfN(n, Gen.chooseNum(0, 30))
+    } yield (grp.toString, elems.distinct.sorted)
+    (0 until 5).foreach { round =>
+      val rows = Gen.listOfN(40, genRow)
+        .apply(Gen.Parameters.default, Seed(101L + round)).get
+        .zipWithIndex.map { case ((g, es), i) => (i.toLong, g, es) }
+      val df = rows.toDF("id", "grp", "sh")
+      val t = Seq(0.2, 0.5, 0.7)(round % 3)
+      val got = AllPairs.jaccardPairs(df, "id", "sh", Seq("grp"), t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // driver-side brute force over the same rows
+      val want = (for {
+        (a, ga, sa) <- rows; (b, gb, sb) <- rows
+        if ga == gb && a < b && sa.nonEmpty && sb.nonEmpty
+        inter = sa.toSet.intersect(sb.toSet).size.toDouble
+        jac = inter / (sa.size + sb.size - inter)
+        if jac > t
+      } yield (a, b)).toSet
+      got shouldBe want
+    }
+  }
+
   it("works ungrouped (global similarity join)") {
     val global = AllPairs.jaccardPairs(sets, "doc_id", "sh", Nil, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
