@@ -56,11 +56,11 @@ object PathProjection {
     def selectFields(st: StructType, paths: List[String], where: String): Seq[StructField] =
       resolve(st, paths, where).map { case (name, sub) =>
         val f = st(name)
-        StructField(name, fieldType(f, sub), nullable = f.nullable)
+        StructField(name, fieldType(f, sub), nullable = f.nullable, f.metadata)
       }
     StructType(resolve(schema, includedPaths, "root").map { case (name, sub) =>
       val f = schema(name)
-      StructField(name, fieldType(f, sub), nullable = f.nullable)
+      StructField(name, fieldType(f, sub), nullable = f.nullable, f.metadata)
     })
   }
 
@@ -123,13 +123,13 @@ object PathProjection {
   ): Column = field.dataType match {
     case st: StructType =>
       val kids = children(st, sub, n => c.getField(n), path, sem)
-      val built = struct(kids.map { case (n, cc) => cc.as(n) }: _*)
+      val built = struct(kids.map { case (n, cc) => aliased(cc, n, st) }: _*)
       // missing submessage → null, not an empty struct (reference :314-318)
       if (field.nullable) when(c.isNull, lit(null)).otherwise(built) else built
     case ArrayType(st: StructType, containsNull) =>
       val projected = transform(c, x => {
         val kids = children(st, sub, n => x.getField(n), path, sem)
-        struct(kids.map { case (n, cc) => cc.as(n) }: _*)
+        struct(kids.map { case (n, cc) => aliased(cc, n, st) }: _*)
       })
       if (sem) {
         // unset repeated message → [] (reference :311-313: getField on a
@@ -139,5 +139,15 @@ object PathProjection {
       } else projected
     case leafType =>
       if (sem) Semantics.coerceLeaf(c, leafType) else c
+  }
+
+  /** Alias a rebuilt struct child, carrying the source field's METADATA
+    * (e.g. `graft.enum.*` tags) into the new struct's field — struct
+    * reconstruction would otherwise silently drop it, and the Avro sink
+    * reads enum-ness from exactly this metadata.
+    */
+  private def aliased(c: Column, name: String, parent: StructType): Column = {
+    val md = parent(name).metadata
+    if (md == Metadata.empty) c.as(name) else c.as(name, md)
   }
 }

@@ -44,7 +44,11 @@ final case class Translator(
     */
   def apply(df: DataFrame): DataFrame = {
     val schema = df.schema
-    val meta = userDefinedMappings.map { case (n, m) => n -> m.metadata(schema) }.toMap
+    // UDM metadata (e.g. a flattened enum leaf's tags) plus the projected
+    // base columns' own top-level metadata
+    val meta = PathProjection.projectedSchema(schema, fields).fields
+      .map(f => f.name -> f.metadata).toMap ++
+      userDefinedMappings.map { case (n, m) => n -> m.metadata(schema) }
     val cols = columns(schema)
     df.select(cols.map { case (n, c) =>
       meta.get(n).filterNot(_ == org.apache.spark.sql.types.Metadata.empty)

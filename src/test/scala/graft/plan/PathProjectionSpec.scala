@@ -111,4 +111,26 @@ class PathProjectionSpec extends GraftSpec {
             StructField("impressions", LongType))), nullable = true)))
     }
   }
+
+  describe("field metadata through projection") {
+    val enumMd = graft.io.AvroSchemas.enumMetadata("Status", Seq("A", "B"))
+    val mdSchema = StructType(Seq(
+      StructField("campaign", StructType(Seq(
+        StructField("id", LongType),
+        StructField("status", StringType, nullable = true, enumMd))), nullable = true),
+      StructField("kind", StringType, nullable = true, enumMd)))
+
+    it("survives struct rebuilding (nested) and top-level aliasing") {
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(Row(1L, "A"), "B")), mdSchema)
+      val out = Translator(List("campaign.status", "kind"))(df)
+      out.schema("kind").metadata shouldBe enumMd
+      out.schema("campaign").dataType.asInstanceOf[StructType]("status")
+        .metadata shouldBe enumMd
+      // and the plan-time schema agrees
+      val ps = PathProjection.projectedSchema(mdSchema, List("campaign.status", "kind"))
+      ps("kind").metadata shouldBe enumMd
+      ps("campaign").dataType.asInstanceOf[StructType]("status").metadata shouldBe enumMd
+    }
+  }
 }
