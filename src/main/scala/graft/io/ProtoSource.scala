@@ -125,7 +125,8 @@ object ProtoSource {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     val p = new HPath(path)
     val files =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq.map(_.getPath)
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
       else Seq(p)
     files.filterNot(_.getName.startsWith("_")).map(_.toString).sorted
   }
