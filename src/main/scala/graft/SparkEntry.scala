@@ -763,6 +763,69 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
       .orderBy("split", "source")
 
+  /** DQ59 (EXT, §2.6 scale note): dynamic partition pruning over a
+    * hive-partitioned layout (`io.Layout.partitionedWrite`). The fact table
+    * is re-laid-out partitioned by order month; the query filters a derived
+    * month DIMENSION on an attribute (quarter) and joins on the partition
+    * column. Catalyst's DPP turns the broadcast dim into a runtime partition
+    * filter on the fact scan — at 100 TB the scan reads 3 of ~80 month
+    * directories instead of all of them. `PlanAuditSpec` asserts the
+    * `dynamicpruning` expression in the executed plan's PartitionFilters. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "orders")
+    val path = s.conf.getOption("spark.local.dir").getOrElse("/tmp") +
+      "/graft_dq59_orders"
+    io.Layout.partitionedWrite(
+      raw.select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_month")),
+      path, "o_month")
+    val fact = s.read.parquet(path)
+    val dim = raw.select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("d_month"),
+        concat(year(col("o_orderdate")), lit("-Q"),
+          quarter(col("o_orderdate"))).as("d_quarter"))
+      .distinct()
+    // explicit broadcast: DPP (reuseBroadcastOnly mode, the default) only
+    // inserts the runtime filter when the dim side is STATICALLY planned as
+    // a broadcast — a distinct-aggregate's unknown stats would otherwise
+    // pick SMJ at plan time and forfeit the pruning even if AQE later
+    // broadcasts it
+    fact.join(broadcast(dim.filter(col("d_quarter") === "1996-Q2")),
+        col("o_month") === col("d_month"))
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"))
+      .orderBy("o_month")
+  }
+
+  /** DQ60 (EXT): int8 scalar-quantized similarity search
+    * (`ext.QuantizedAnn`) — 4× fewer scan/shuffle bytes than float32 and an
+    * integer scoring kernel; quantization and scoring are bit-exactly
+    * engine-reproducible (portable round-half-up), so the full hash oracle
+    * applies where float cosine would drift. */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    graft.ext.QuantizedAnn.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(1L, 2L, 3L), k = 5)
+      .orderBy("qid", "rnk")
+
+  /** DQ61 (§2.7): unpivot/melt — the inverse of dq35's pivot. A wide
+    * per-segment aggregate row becomes (segment, metric, value) long form
+    * via the native `Dataset.unpivot` (no UDF, no explode-of-struct). */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).cast(DoubleType).as("n_customers"),
+        sum(col("c_acctbal").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_acctbal"),
+        min(col("c_acctbal")).as("min_acctbal"),
+        max(col("c_acctbal")).as("max_acctbal"))
+    wide.unpivot(
+        Array(col("c_mktsegment")),
+        Array(col("n_customers"), col("sum_acctbal"),
+          col("min_acctbal"), col("max_acctbal")),
+        "metric", "value")
+      .orderBy("c_mktsegment", "metric")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -822,7 +885,10 @@ object SparkEntry {
     "dq55_bloom_pruned_join"   -> (q55 _),
     "dq56_dedup_salted"        -> (q56 _),
     "dq57_topk_per_key"        -> (q57 _),
-    "dq58_sample_split"        -> (q58 _)
+    "dq58_sample_split"        -> (q58 _),
+    "dq59_partition_pruning"   -> (q59 _),
+    "dq60_quantized_ann"       -> (q60 _),
+    "dq61_unpivot"             -> (q61 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1314,6 +1380,35 @@ object SparkEntry {
         |            WHEN gt < 900000 THEN 'validation' ELSE 'test' END AS split,
         |  source, count(*) AS n, min(doc_id) AS min_doc
         |FROM g GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq59_partition_pruning" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) = 2
+        |GROUP BY 1 ORDER BY o_month""".stripMargin,
+    "dq60_quantized_ann" ->
+      """WITH q AS (SELECT vec_id qid, list_transform(embedding,
+        |    x -> greatest(-127, least(127, CAST(floor(x * 127.0 + 0.5) AS BIGINT)))) qv
+        |  FROM embeddings WHERE vec_id IN (1, 2, 3)),
+        |v AS (SELECT vec_id vid, list_transform(embedding,
+        |    x -> greatest(-127, least(127, CAST(floor(x * 127.0 + 0.5) AS BIGINT)))) dv
+        |  FROM embeddings),
+        |s AS (SELECT qid, vid,
+        |    CAST(list_dot_product(qv::DOUBLE[], dv::DOUBLE[]) AS BIGINT) AS score
+        |  FROM q, v WHERE vid <> qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) rnk
+        |  FROM s)
+        |SELECT qid, vid, score, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "dq61_unpivot" ->
+      """WITH w AS (SELECT c_mktsegment, CAST(count(*) AS DOUBLE) n_customers,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) sum_acctbal,
+        |    min(c_acctbal) min_acctbal, max(c_acctbal) max_acctbal
+        |  FROM customer GROUP BY 1)
+        |SELECT c_mktsegment, metric, value FROM (
+        |  SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM w
+        |  UNION ALL SELECT c_mktsegment, 'sum_acctbal', sum_acctbal FROM w
+        |  UNION ALL SELECT c_mktsegment, 'min_acctbal', min_acctbal FROM w
+        |  UNION ALL SELECT c_mktsegment, 'max_acctbal', max_acctbal FROM w)
+        |ORDER BY c_mktsegment, metric""".stripMargin,
     "dq50_vector_centroids" ->
       """WITH e AS (SELECT embedding,
         |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Int8 scalar-quantized similarity search (EXT) — the standard memory/IO
+  * scale path for embedding retrieval at 100 TB.
+  *
+  * A float32 embedding column is 4 bytes/dim; at 100 TB of corpus the scan
+  * and every shuffle of it move those bytes. Quantizing each component to a
+  * signed byte (scale 127) cuts scan + shuffle bytes 4× and turns the
+  * scoring kernel into integer multiply-adds, at a recall cost that is
+  * typically negligible for inner-product ranking (LSQ/SQ8 in the FAISS
+  * taxonomy — public knowledge, e.g. Johnson et al., "Billion-scale
+  * similarity search with GPUs", 2017).
+  *
+  * Everything here is exactly engine-reproducible — quantization uses
+  * `floor(x·127 + 0.5)` (portable round-half-up; no engine-specific
+  * `round`), scoring is integer arithmetic with a fixed left-to-right fold
+  * — so unlike float cosine pipelines the whole query has a bit-exact
+  * DuckDB oracle (dq60).
+  *
+  * Reference anchor: the reference engine has no vector surface at all
+  * (README.md:1-40 — proto→Avro projection only); this module is part of
+  * the EXT training-data-pipeline tier layered on the same session/source
+  * machinery.
+  */
+object QuantizedAnn {
+
+  /** `array<float>` → `array<long>` of int8-range values: clamp(round(x·s))
+    * with portable round-half-up (`floor(x·s + 0.5)` — identical in Spark
+    * and DuckDB, where `round`/`cast` half-rule semantics differ).
+    */
+  def quantize(embedding: Column, scale: Int = 127): Column =
+    transform(embedding, x =>
+      greatest(lit(-scale.toLong),
+        least(lit(scale.toLong),
+          floor(x.cast(DoubleType) * lit(scale.toDouble) + lit(0.5)))))
+
+  /** Integer dot product over two `array<long>` columns — zip_with +
+    * left-to-right aggregate, all codegen'd Catalyst HOFs, zero UDFs.
+    */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact top-k by quantized inner product for every query id in ONE job:
+    * quantize once per row, broadcast the (tiny) quantized query rows,
+    * score with integer dot products, rank per query with a window.
+    * Deterministic ties → lower vid wins.
+    */
+  def topK(df: DataFrame, idCol: String, embCol: String,
+      queryIds: Seq[Long], k: Int, scale: Int = 127): DataFrame = {
+    val e = df.select(col(idCol).as("vid"),
+      quantize(col(embCol), scale).as("qemb"))
+    val q = e.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("qemb").as("qv"))
+    val scored = e.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        intDot(col("qv"), col("qemb")).cast(LongType).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -147,6 +147,27 @@ class PlanAuditSpec extends GraftSpec {
     } finally idx.release()
   }
 
+  it("dq59's fact scan carries a DYNAMIC partition-pruning filter — the " +
+     "runtime dim filter reaches the partitioned read") {
+    val df = SparkEntry.queries("dq59_partition_pruning")(spark, dir)
+    val p = physical(df)
+    // Catalyst DPP: the hive-partitioned scan's PartitionFilters include a
+    // dynamicpruningexpression fed by the broadcast dim — at 100 TB this is
+    // the difference between reading 3 month directories and all ~80
+    p should include("PartitionFilters")
+    p should include("dynamicpruningexpression(o_month")
+  }
+
+  it("quantized ANN (dq60) broadcasts the query rows and keeps integer " +
+     "scoring inside the plan") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.ext.QuantizedAnn.topK(emb, "vec_id", "embedding", Seq(1L), k = 5)
+    val p = physical(df)
+    p should include("BroadcastNestedLoopJoin") // 1-3 query rows, broadcast side
+    p should include("aggregate(zip_with")      // integer dot product as HOFs
+    p should include("Window ")                 // per-query ranking
+  }
+
   it("custom expressions participate in whole-stage codegen") {
     import spark.implicits._
     // non-foldable input (range), so the projection can't constant-fold away
