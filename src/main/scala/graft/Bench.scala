@@ -49,12 +49,16 @@ object Bench {
       n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }
 
-    // dq19 stage evidence (untimed, after the timed passes): candidate-pair
-    // volume and LSH bucket histogram — distinguishes "bucket-collision
-    // blowup" (a genuine scale problem) from "box load" when the wall
-    // number looks off. See VERDICT r2.
-    val evidence: String =
-      if (!names.exists(_.startsWith("dq19"))) ""
+    // Stage evidence (untimed, after the timed passes) — turns "the wall
+    // number looks off" into a diagnosable claim. See VERDICT r2.
+    //  - dq19: candidate-pair volume and LSH bucket histogram, which
+    //    distinguishes bucket-collision blowup (a genuine scale problem)
+    //    from box load.
+    //  - dq59: partitions actually READ by the partitioned fact scan
+    //    (post-DPP runtime metric) vs the total partition count — proof the
+    //    dynamic filter pruned the scan, not just that the plan promised to.
+    val evidenceParts = List(
+      if (!names.exists(_.startsWith("dq19"))) None
       else try {
         import org.apache.spark.sql.functions._
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -65,12 +69,39 @@ object Bench {
           .agg(count(lit(1)).as("n"), max(col("bucket_size")).as("mx"),
             sum(when(col("bucket_size") > 100, 1).otherwise(0)).as("dropped"))
           .head()
-        f""","evidence":{"dq19_candidates":$cand,"dq19_cand_sec":$candSec%.3f,""" +
+        Some(f""""dq19_candidates":$cand,"dq19_cand_sec":$candSec%.3f,""" +
           f""""dq19_buckets":${stats.getLong(0)},"dq19_max_bucket":${stats.getLong(1)},""" +
-          f""""dq19_dropped_buckets":${stats.getLong(2)}}"""
+          f""""dq19_dropped_buckets":${stats.getLong(2)}""")
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] evidence failed: ${e.getMessage}"); ""
+        System.err.println(s"[bench] dq19 evidence failed: ${e.getMessage}"); None
+      },
+      if (!names.exists(_.startsWith("dq59"))) None
+      else try {
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.functions._
+        val df = SparkEntry.queries("dq59_partition_pruning")(spark, sfDir)
+        df.collect() // 3 rows; populates the scan's runtime metrics
+        def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: QueryStageExec        => scans(q.plan)
+          case f: FileSourceScanExec    => Seq(f)
+          case other                    => other.children.flatMap(scans)
+        }
+        val read = scans(df.queryExecution.executedPlan)
+          .flatMap(_.metrics.get("numPartitions").map(_.value))
+          .headOption.getOrElse(-1L)
+        val total = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+          .distinct().count()
+        Some(s""""dq59_partitions_read":$read,"dq59_partitions_total":$total""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq59 evidence failed: ${e.getMessage}"); None
       }
+    ).flatten
+    val evidence: String =
+      if (evidenceParts.isEmpty) ""
+      else evidenceParts.mkString(""","evidence":{""", ",", "}")
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
