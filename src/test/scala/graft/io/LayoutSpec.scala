@@ -27,6 +27,40 @@ class LayoutSpec extends GraftSpec {
     spark.read.parquet(dir).count() shouldBe li.count()
   }
 
+  it("zorderWrite bounds file extents in BOTH dimensions — a band filter " +
+     "on the second key skips files that a linear sort cannot") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_quantity", "l_extendedprice")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val xDir = java.nio.file.Files.createTempDirectory("graft-x").toString
+    Layout.zorderWrite(li, zDir, numFiles = 16, "l_quantity", "l_extendedprice")
+    Layout.sortedWrite(li, xDir, numFiles = 16, "l_quantity")
+
+    // per-file min/max extents of the SECOND dimension
+    def priceExtents(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      .select("lo", "hi").as[(Double, Double)].collect()
+
+    // a 10%-of-range band on price, mid-distribution
+    val (pLo, pHi) = li.agg(min("l_extendedprice"), max("l_extendedprice"))
+      .as[(Double, Double)].head()
+    val bandLo = pLo + (pHi - pLo) * 0.45
+    val bandHi = pLo + (pHi - pLo) * 0.55
+    def overlapping(ext: Array[(Double, Double)]): Int =
+      ext.count { case (lo, hi) => lo <= bandHi && hi >= bandLo }
+
+    val zFiles = priceExtents(zDir)
+    val xFiles = priceExtents(xDir)
+    zFiles.length shouldBe 16
+    // linear-by-quantity leaves price uniform across every file: no skipping
+    overlapping(xFiles) shouldBe xFiles.length
+    // z-order bounds price per file: a min/max-aware reader skips some files
+    overlapping(zFiles) should be < xFiles.length
+    // and correctness: both layouts hold the full dataset
+    spark.read.parquet(zDir).count() shouldBe li.count()
+  }
+
   it("partitionedWrite prunes directories for an equality filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout-p").toString
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
