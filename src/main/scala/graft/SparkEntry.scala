@@ -773,9 +773,11 @@ object SparkEntry {
     * `dynamicpruning` expression in the executed plan's PartitionFilters. */
   private def q59(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "orders")
+    // one layout per source dir; the fingerprint sidecar makes the rewrite
+    // once-per-input (lay out once, query many), not once-per-run
     val path = s.conf.getOption("spark.local.dir").getOrElse("/tmp") +
-      "/graft_dq59_orders"
-    io.Layout.partitionedWrite(
+      "/graft_dq59_orders_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    io.Layout.partitionedWriteCached(
       raw.select(col("o_orderkey"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM").as("o_month")),
       path, "o_month")

@@ -30,6 +30,52 @@ object Layout {
   def partitionedWrite(df: DataFrame, path: String, partCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
+  /** [[partitionedWrite]] guarded by an input fingerprint — the production
+    * layout lifecycle is "lay out once, query many", so the expensive
+    * rewrite should happen once per distinct input, not once per query run.
+    * The fingerprint covers the canonicalized plan AND every input file's
+    * (path, length, mtime), so both a different query and regenerated
+    * source data invalidate the layout; a matching sidecar skips straight
+    * to the existing directory (same replay contract as
+    * [[ResultCache.readThrough]], which rebuilds the reference's
+    * query-text-gated cache — Main.scala:67-121).
+    */
+  def partitionedWriteCached(df: DataFrame, path: String, partCols: String*): Unit = {
+    val spark = df.sparkSession
+    val fp = inputFingerprint(df)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val key = new org.apache.hadoop.fs.Path(s"$path/_graft_layout")
+    val hit = fs.exists(key) && {
+      val in = fs.open(key)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) == fp
+      finally in.close()
+    }
+    if (!hit) {
+      partitionedWrite(df, path, partCols: _*)
+      val out = fs.create(key, true)
+      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Plan + input-file identity: canonicalized optimized plan, and each
+    * input file's path, size, and modification time.
+    */
+  private def inputFingerprint(df: DataFrame): String = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val files = df.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }
+    val plan = df.queryExecution.optimizedPlan.canonicalized.toString
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest((plan + files.mkString("\n"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
   /** Z-order (Morton-curve) clustering on TWO numeric dimensions.
     *
     * [[sortedWrite]] prunes selective scans on its leading key only — a

@@ -61,6 +61,32 @@ class LayoutSpec extends GraftSpec {
     spark.read.parquet(zDir).count() shouldBe li.count()
   }
 
+  it("partitionedWriteCached rewrites once per input: same plan+data skips, " +
+     "changed data re-lays-out") {
+    val src = java.nio.file.Files.createTempDirectory("graft-lc-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-lc-out").toString + "/layout"
+    def files(): Set[String] = spark.read.parquet(out)
+      .select(input_file_name()).distinct().as[String].collect().toSet
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .write.mode("overwrite").parquet(src)
+    Layout.partitionedWriteCached(spark.read.parquet(src), out, "k")
+    val first = files()
+
+    // identical plan over identical input: the layout must NOT be rewritten
+    // (part-file names are fresh UUIDs on every write, so identity of the
+    // file set proves the skip)
+    Layout.partitionedWriteCached(spark.read.parquet(src), out, "k")
+    files() shouldBe first
+
+    // new input data at the same path: fingerprint miss, fresh layout
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "k")
+      .write.mode("overwrite").parquet(src)
+    Layout.partitionedWriteCached(spark.read.parquet(src), out, "k")
+    files() should not be first
+    spark.read.parquet(out).count() shouldBe 3
+  }
+
   it("partitionedWrite prunes directories for an equality filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout-p").toString
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
