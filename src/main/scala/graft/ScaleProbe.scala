@@ -177,6 +177,93 @@ object ScaleProbe {
         ()
       }
     }
+    // SQ8 probe: the at-rest + scan story for packed-int8 embeddings. Both
+    // layouts are written to parquet, then the SAME top-k query runs from
+    // disk against each: float32 (array<float> column + float cosine
+    // kernel) vs packed int8 (binary column + ByteDot kernel). Reported:
+    // parquet bytes and end-to-end query seconds — the 100 TB claim is the
+    // bytes column; the seconds column shows the integer kernel doesn't
+    // give the savings back.
+    if (sys.env.get("SCALE_SQ8").contains("1")) {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      def dirBytes(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.getContentSummary(hp).getLength
+      }
+      for (m <- Seq(20, 100)) {
+        val df = emb.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("vec_id") * m + col("rep")).as("vec_id"),
+            transform(col("embedding"),
+              x => x + (col("rep") % 10).cast("float") * lit(0.01f)).as("embedding"))
+        val fDir = s"/tmp/graft_sq8_float_$m"
+        val bDir = s"/tmp/graft_sq8_packed_$m"
+        df.write.mode("overwrite").parquet(fDir)
+        df.select(col("vec_id"),
+            graft.ext.QuantizedAnn.quantizePacked(col("embedding")).as("qemb"))
+          .write.mode("overwrite").parquet(bDir)
+        val n = spark.read.parquet(fDir).count()
+        val qids = (1L to 50L).map(_ * m)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
+
+        // packed: read binary column, ByteDot pairs
+        val t0 = System.nanoTime()
+        val pe = spark.read.parquet(bDir)
+          .select(col("vec_id").as("vid"), col("qemb"))
+        val pq = pe.filter(col("vid").isin(qids: _*))
+          .select(col("vid").as("qid"), col("qemb").as("qv"))
+        val pRows = pe.join(broadcast(pq), col("vid") =!= col("qid"))
+          .select(col("qid"), col("vid"),
+            graft.functions.ByteDot(col("qv"), col("qemb")).as("score"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+          .count()
+        val t1 = System.nanoTime()
+        // float: read array<float> column, codegen float dot pairs
+        val fe = spark.read.parquet(fDir)
+          .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+        val fq = fe.filter(col("vid").isin(qids: _*))
+          .select(col("vid").as("qid"), col("emb").as("qv"))
+        val fRows = fe.join(broadcast(fq), col("vid") =!= col("qid"))
+          .select(col("qid"), col("vid"),
+            graft.functions.VectorFunctions.dot(col("emb"), col("qv")).as("score"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+          .count()
+        val t2 = System.nanoTime()
+        println(f"""{"probe":"sq8","vecs":$n,"queries":${qids.size},"packed_bytes":${dirBytes(bDir)},"float_bytes":${dirBytes(fDir)},"packed_rows":$pRows,"packed_sec":${(t1 - t0) / 1e9}%.1f,"float_rows":$fRows,"float_sec":${(t2 - t1) / 1e9}%.1f}""")
+      }
+    }
+    // DPP probe: the same selective dim-join against the month-partitioned
+    // layout vs the unpartitioned file — wall-clock gap = scan bytes saved
+    // by runtime partition pruning (3 of ~80 directories read).
+    if (sys.env.get("SCALE_DPP").contains("1")) {
+      val dir = "/root/testdata/sf0.1"
+      def agg(fact: org.apache.spark.sql.DataFrame, monthCol: org.apache.spark.sql.Column) = {
+        val raw = spark.read.parquet(s"$dir/orders.parquet")
+        val dim = raw.select(date_format(col("o_orderdate"), "yyyy-MM").as("d_month"),
+            concat(year(col("o_orderdate")), lit("-Q"),
+              quarter(col("o_orderdate"))).as("d_quarter"))
+          .distinct()
+        fact.join(broadcast(dim.filter(col("d_quarter") === "1996-Q2")),
+            monthCol === col("d_month"))
+          .groupBy(monthCol.as("m")).agg(count(lit(1)).as("n"))
+      }
+      val path = "/tmp/graft_dq59_orders_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.io.Layout.partitionedWriteCached(
+        spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("o_month")),
+        path, "o_month")
+      for (_ <- 1 to 2) { // two passes; read the second (warm footers)
+        val t0 = System.nanoTime()
+        agg(spark.read.parquet(path), col("o_month")).count()
+        val t1 = System.nanoTime()
+        agg(spark.read.parquet(s"$dir/orders.parquet"),
+          date_format(col("o_orderdate"), "yyyy-MM")).count()
+        val t2 = System.nanoTime()
+        println(f"""{"probe":"dpp","pruned_sec":${(t1 - t0) / 1e9}%.2f,"full_sec":${(t2 - t1) / 1e9}%.2f}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.DoubleType
 
 /** Int8 scalar-quantized similarity search (EXT) — the standard memory/IO
   * scale path for embedding retrieval at 100 TB.
@@ -40,25 +40,39 @@ object QuantizedAnn {
           floor(x.cast(DoubleType) * lit(scale.toDouble) + lit(0.5)))))
 
   /** Integer dot product over two `array<long>` columns — zip_with +
-    * left-to-right aggregate, all codegen'd Catalyst HOFs, zero UDFs.
+    * left-to-right aggregate, all Catalyst HOFs, zero UDFs. This is the
+    * executable SPEC of the scoring kernel (HOFs run interpreted); the
+    * fast paths are the codegen'd [[graft.functions.LongDot]] (array<long>)
+    * and [[graft.functions.ByteDot]] (packed int8 binary), both
+    * property-checked bit-identical to this formulation.
     */
   def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** `array<float>` → packed int8 `binary` (1 byte/element — 4× smaller
+    * than float32 at rest, on the wire, and in broadcasts). Same
+    * quantization rule as [[quantize]], bit-identical values.
+    */
+  def quantizePacked(embedding: Column, scale: Int = 127): Column =
+    graft.functions.QuantizeToBytes(embedding, scale)
+
   /** Exact top-k by quantized inner product for every query id in ONE job:
-    * quantize once per row, broadcast the (tiny) quantized query rows,
-    * score with integer dot products, rank per query with a window.
-    * Deterministic ties → lower vid wins.
+    * pack-quantize once per ROW (O(N), 1 byte/dim), broadcast the (tiny,
+    * 4×-smaller) query rows, score each candidate PAIR (O(N·Q)) with the
+    * codegen'd [[graft.functions.ByteDot]] byte-array loop, and rank per
+    * query with a window. ([[graft.functions.QuantizedDot]] is the fused
+    * zero-materialization variant for single-pass scoring where no
+    * pre-quantized column exists.) Deterministic ties → lower vid wins.
     */
   def topK(df: DataFrame, idCol: String, embCol: String,
       queryIds: Seq[Long], k: Int, scale: Int = 127): DataFrame = {
     val e = df.select(col(idCol).as("vid"),
-      quantize(col(embCol), scale).as("qemb"))
+      quantizePacked(col(embCol), scale).as("qemb"))
     val q = e.filter(col("vid").isin(queryIds: _*))
       .select(col("vid").as("qid"), col("qemb").as("qv"))
     val scored = e.join(broadcast(q), col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
-        intDot(col("qv"), col("qemb")).cast(LongType).as("score"))
+        graft.functions.ByteDot(col("qv"), col("qemb")).as("score"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -164,7 +164,7 @@ class PlanAuditSpec extends GraftSpec {
     val df = graft.ext.QuantizedAnn.topK(emb, "vec_id", "embedding", Seq(1L), k = 5)
     val p = physical(df)
     p should include("BroadcastNestedLoopJoin") // 1-3 query rows, broadcast side
-    p should include("aggregate(zip_with")      // integer dot product as HOFs
+    p should include("bytedot")                 // codegen packed-int8 kernel
     p should include("Window ")                 // per-query ranking
   }
 

@@ -28,6 +28,28 @@ class QuantizedAnnSpec extends GraftSpec {
     d shouldBe (4 - 10 - 18)
   }
 
+  it("all three kernels are bit-identical to the HOF spec on every corpus " +
+     "pair (kernel swaps can't drift the oracle)") {
+    val q1 = emb.filter(col("vec_id") === 1L)
+      .select(col("embedding").as("qv"), lit(1).as("j"))
+    val both = emb.limit(200).withColumn("j", lit(1)).join(q1, "j")
+      .select(
+        QuantizedAnn.intDot(QuantizedAnn.quantize(col("qv")),
+          QuantizedAnn.quantize(col("embedding"))).as("hof"),
+        graft.functions.QuantizedDot(col("qv"), col("embedding"), 127).as("fused"),
+        graft.functions.LongDot(QuantizedAnn.quantize(col("qv")),
+          QuantizedAnn.quantize(col("embedding"))).as("longdot"),
+        graft.functions.ByteDot(QuantizedAnn.quantizePacked(col("qv")),
+          QuantizedAnn.quantizePacked(col("embedding"))).as("bytedot"))
+      .as[(Long, Long, Long, Long)].collect()
+    both should not be empty
+    both.foreach { case (hof, fused, ld, bd) =>
+      fused shouldBe hof
+      ld shouldBe hof
+      bd shouldBe hof
+    }
+  }
+
   it("topK ranks every query in one frame with deterministic ties") {
     val top = QuantizedAnn.topK(emb, "vec_id", "embedding", Seq(1L, 2L), k = 3)
       .orderBy("qid", "rnk")
