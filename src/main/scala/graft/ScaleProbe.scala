@@ -254,14 +254,35 @@ object ScaleProbe {
           .select(col("o_orderkey"), col("o_totalprice"),
             date_format(col("o_orderdate"), "yyyy-MM").as("o_month")),
         path, "o_month")
+      // scan BYTES are the honest scale metric here — at sf0.1 the whole
+      // table is one 20 MB file, so wall-clock is dominated by fixed job
+      // overhead; at 100 TB the bytes ratio IS the wall-clock ratio
+      def scanBytes(df: org.apache.spark.sql.DataFrame): Long = {
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        df.collect()
+        def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: QueryStageExec        => scans(q.plan)
+          case f: FileSourceScanExec    => Seq(f)
+          case other                    => other.children.flatMap(scans)
+        }
+        // the FACT scan: the partitioned one if present (it carries a
+        // numPartitions metric), else the largest scan (dim side reads the
+        // same source file, so max = fact on the unpartitioned variant)
+        val all = scans(df.queryExecution.executedPlan)
+        all.find(_.metrics.contains("numPartitions"))
+          .flatMap(_.metrics.get("filesSize").map(_.value))
+          .getOrElse(all.flatMap(_.metrics.get("filesSize").map(_.value)).max)
+      }
       for (_ <- 1 to 2) { // two passes; read the second (warm footers)
         val t0 = System.nanoTime()
-        agg(spark.read.parquet(path), col("o_month")).count()
+        val pb = scanBytes(agg(spark.read.parquet(path), col("o_month")))
         val t1 = System.nanoTime()
-        agg(spark.read.parquet(s"$dir/orders.parquet"),
-          date_format(col("o_orderdate"), "yyyy-MM")).count()
+        val fb = scanBytes(agg(spark.read.parquet(s"$dir/orders.parquet"),
+          date_format(col("o_orderdate"), "yyyy-MM")))
         val t2 = System.nanoTime()
-        println(f"""{"probe":"dpp","pruned_sec":${(t1 - t0) / 1e9}%.2f,"full_sec":${(t2 - t1) / 1e9}%.2f}""")
+        println(f"""{"probe":"dpp","pruned_bytes":$pb,"full_bytes":$fb,"pruned_sec":${(t1 - t0) / 1e9}%.2f,"full_sec":${(t2 - t1) / 1e9}%.2f}""")
       }
     }
     spark.stop()
