@@ -828,6 +828,52 @@ object SparkEntry {
       .orderBy("c_mktsegment", "metric")
   }
 
+  /** DQ62 (EXT): the composed curation pipeline a training-data run
+    * actually executes, end to end in ONE declarative plan: quality-score
+    * filter (dq17's arithmetic) → exact content dedup (sha-256 of the
+    * body, smallest doc_id survives — shuffles digests, not documents) →
+    * portable hash-gate split labels (dq58's gate) → stratified per-split ×
+    * per-source report. Every stage is an already-verified operator; this
+    * query locks their COMPOSITION (and its oracle re-derives all four
+    * stages independently in SQL). */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val qs = TextAnalysis.qualityColumns(col("text")).toMap.apply("quality_score")
+    val kept = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"), qs.as("q"))
+      .filter(col("q") >= 0.5)
+    Dedup.exactByContent(kept, "text", "doc_id")
+      .select(col("source"),
+        graft.ext.Sampling.splitLabelPortable(col("doc_id"), 0.8, 0.1).as("split"),
+        col("q"), col("doc_id"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_q"),
+        min("doc_id").as("min_doc"))
+      .orderBy("split", "source")
+  }
+
+  /** DQ63 (EXT, §2.6 scale note): selective band query over the Z-ORDERED
+    * layout (`io.Layout.zorderWriteCached`) — both-dimension predicates
+    * reach the scan as PushedFilters, and because every file has bounded
+    * extents in BOTH keys (LayoutSpec), parquet row-group min/max stats
+    * skip most of the data. Result gate: equals the same filter on the raw
+    * table. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val path = s.conf.getOption("spark.local.dir").getOrElse("/tmp") +
+      "/graft_dq63_lineitem_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    io.Layout.zorderWriteCached(raw, path, numFiles = 16,
+      "l_quantity", "l_extendedprice")
+    s.read.parquet(path)
+      .filter(col("l_quantity").between(10, 15) &&
+        col("l_extendedprice").between(20000, 30000))
+      .groupBy("l_quantity")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"))
+      .orderBy("l_quantity")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -890,7 +936,9 @@ object SparkEntry {
     "dq58_sample_split"        -> (q58 _),
     "dq59_partition_pruning"   -> (q59 _),
     "dq60_quantized_ann"       -> (q60 _),
-    "dq61_unpivot"             -> (q61 _)
+    "dq61_unpivot"             -> (q61 _),
+    "dq62_curation_pipeline"   -> (q62 _),
+    "dq63_zorder_band"         -> (q63 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1411,6 +1459,39 @@ object SparkEntry {
         |  UNION ALL SELECT c_mktsegment, 'min_acctbal', min_acctbal FROM w
         |  UNION ALL SELECT c_mktsegment, 'max_acctbal', max_acctbal FROM w)
         |ORDER BY c_mktsegment, metric""".stripMargin,
+    "dq62_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, text, source,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, text, source,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks) END mean_tok_len,
+        |  CASE WHEN len(text) = 0 THEN 0 ELSE len(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))::DOUBLE / len(text) END punct_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE / len(toks) END stopword_ratio
+        | FROM t),
+        |q AS (SELECT doc_id, text, source,
+        |  greatest(0, least(1,
+        |    0.5 * least(stopword_ratio * 5, 1) +
+        |    0.3 * (CASE WHEN mean_tok_len BETWEEN 3 AND 10 THEN 1 ELSE 0 END) +
+        |    0.2 * (1 - least(punct_ratio * 10, 1)))) AS qs
+        | FROM m),
+        |kept AS (SELECT * FROM q WHERE qs >= 0.5),
+        |dd AS (SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) rn
+        |  FROM kept),
+        |lab AS (SELECT doc_id, source, qs,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT % 1000000 gt
+        |  FROM dd WHERE rn = 1)
+        |SELECT CASE WHEN gt < 800000 THEN 'train'
+        |            WHEN gt < 900000 THEN 'validation' ELSE 'test' END AS split,
+        |  source, count(*) AS n,
+        |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
+        |  min(doc_id) AS min_doc
+        |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq63_zorder_band" ->
+      """SELECT l_quantity, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 15 AND l_extendedprice BETWEEN 20000 AND 30000
+        |GROUP BY 1 ORDER BY l_quantity""".stripMargin,
     "dq50_vector_centroids" ->
       """WITH e AS (SELECT embedding,
         |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +

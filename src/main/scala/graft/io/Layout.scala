@@ -40,9 +40,25 @@ object Layout {
     * [[ResultCache.readThrough]], which rebuilds the reference's
     * query-text-gated cache — Main.scala:67-121).
     */
-  def partitionedWriteCached(df: DataFrame, path: String, partCols: String*): Unit = {
+  def partitionedWriteCached(df: DataFrame, path: String, partCols: String*): Unit =
+    writeCached(df, path, "partitioned:" + partCols.mkString(",")) {
+      partitionedWrite(df, path, partCols: _*)
+    }
+
+  /** [[zorderWrite]] under the same fingerprint guard. */
+  def zorderWriteCached(df: DataFrame, path: String, numFiles: Int,
+      colA: String, colB: String): Unit =
+    writeCached(df, path, s"zorder:$numFiles:$colA:$colB") {
+      zorderWrite(df, path, numFiles, colA, colB)
+    }
+
+  /** Run `write` only when the layout sidecar doesn't match the current
+    * (plan, input files, layout-params) fingerprint.
+    */
+  private def writeCached(df: DataFrame, path: String, layoutTag: String)
+      (write: => Unit): Unit = {
     val spark = df.sparkSession
-    val fp = inputFingerprint(df)
+    val fp = inputFingerprint(df) + ":" + layoutTag
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val key = new org.apache.hadoop.fs.Path(s"$path/_graft_layout")
@@ -52,7 +68,7 @@ object Layout {
       finally in.close()
     }
     if (!hit) {
-      partitionedWrite(df, path, partCols: _*)
+      write
       val out = fs.create(key, true)
       try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()

@@ -168,6 +168,29 @@ class PlanAuditSpec extends GraftSpec {
     p should include("Window ")                 // per-query ranking
   }
 
+  it("dq63's band predicates reach the z-ordered scan as PushedFilters on " +
+     "BOTH dimensions") {
+    val df = SparkEntry.queries("dq63_zorder_band")(spark, dir)
+    // read the scan's own metadata (plan toString truncates long filter
+    // lists): both range predicates must reach the scan, where parquet
+    // row-group min/max stats apply — and the z-order layout makes those
+    // stats selective in both keys
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other                    => other.children.flatMap(scans)
+    }
+    val pushed = scans(df.queryExecution.executedPlan)
+      .map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    pushed should include("GreaterThanOrEqual(l_quantity,10")
+    pushed should include("LessThanOrEqual(l_quantity,15")
+    pushed should include("GreaterThanOrEqual(l_extendedprice,20000")
+    pushed should include("LessThanOrEqual(l_extendedprice,30000")
+  }
+
   it("custom expressions participate in whole-stage codegen") {
     import spark.implicits._
     // non-foldable input (range), so the projection can't constant-fold away
