@@ -874,6 +874,14 @@ object SparkEntry {
       .orderBy("l_quantity")
   }
 
+  /** DQ64 (EXT): Gopher-style top-bigram repetition ratio
+    * (`TextAnalysis.repetitionRatio`) — the boilerplate/spam filter signal
+    * from Rae et al. 2021; explode → two-level aggregation, map-side
+    * partial, no quadratic HOFs. */
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionRatio(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -938,7 +946,8 @@ object SparkEntry {
     "dq60_quantized_ann"       -> (q60 _),
     "dq61_unpivot"             -> (q61 _),
     "dq62_curation_pipeline"   -> (q62 _),
-    "dq63_zorder_band"         -> (q63 _)
+    "dq63_zorder_band"         -> (q63 _),
+    "dq64_repetition_ratio"    -> (q64 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1486,6 +1495,16 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq64_repetition_ratio" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) bg
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) c FROM b GROUP BY 1, 2)
+        |SELECT doc_id, max(c) / sum(c) AS rep_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dq63_zorder_band" ->
       """SELECT l_quantity, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue

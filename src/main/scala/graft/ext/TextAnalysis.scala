@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for training-data pipelines, all pure
@@ -125,6 +125,31 @@ object TextAnalysis {
       "stopword_ratio" -> swRatio,
       "quality_score"  -> score
     )
+  }
+
+  /** Gopher-style repetition signal: the fraction of all token BIGRAMS
+    * taken by the single most frequent one (Rae et al. 2021 §A1.1 use
+    * exactly this family of top-n-gram-fraction filters to drop
+    * boilerplate/spam). High ratio = repetitive text.
+    *
+    * Shape at 100 TB: bigrams explode then aggregate — the (doc_id, bigram)
+    * shuffle pre-aggregates map-side, and the per-doc max/sum is a second
+    * tiny aggregation keyed on doc_id only. No N², no per-row quadratic HOF.
+    * Docs with < 2 tokens have no bigrams and are dropped (explode of an
+    * empty array), mirroring the oracle's HAVING-style filter.
+    */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = when(size(col("__toks")) >= 2,
+      transform(sequence(lit(0), size(col("__toks")) - 2),
+        i => concat_ws(" ", element_at(col("__toks"), i + 1),
+          element_at(col("__toks"), i + 2))))
+      .otherwise(array())
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), explode(bigrams).as("__bg"))
+      .groupBy(idCol, "__bg").agg(count(lit(1)).as("__c"))
+      .groupBy(idCol).agg(max("__c").as("__mx"), sum("__c").as("__tot"))
+      .select(col(idCol), (col("__mx") / col("__tot")).as("rep_ratio"))
   }
 
   /** Letter-frequency Gini impurity, 1 − Σ (cₗ/n)² over a-z — a character-
