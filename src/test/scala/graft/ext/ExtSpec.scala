@@ -51,6 +51,16 @@ class ExtSpec extends GraftSpec {
     it("tokenCount") {
       Seq("a b  c").toDF("t").select(TextAnalysis.tokenCount($"t")).as[Int].head() shouldBe 3
     }
+    it("repetitionRatio: top-bigram fraction; <2-token docs drop") {
+      val df = Seq(
+        (1L, "a b a b a b"),   // bigrams: ab,ba,ab,ba,ab → 3/5
+        (2L, "w x y z"),       // wx,xy,yz all unique → 1/3
+        (3L, "single")         // no bigrams → dropped
+      ).toDF("doc_id", "text")
+      TextAnalysis.repetitionRatio(df, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, Double)].collect() shouldBe
+        Array((1L, 3d / 5d), (2L, 1d / 3d))
+    }
     it("packedCharShingles preserves set cardinalities vs charShingles") {
       val df = Seq(("abcdefgab", "abcdefgXY")).toDF("x", "y")
       val (ns, np) = df.select(
