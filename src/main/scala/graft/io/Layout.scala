@@ -124,6 +124,33 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction: rewrite `srcPath` into `destPath` with file
+    * count sized from actual bytes (ceil(total/targetFileBytes), min 1).
+    *
+    * The operational complement of the layout writers: streaming sinks and
+    * fine-grained partition writes accumulate small files, and at 100 TB
+    * the scan cost of a million 1 MB files is dominated by open/footer
+    * overhead, not bytes. Optionally re-clusters by `sortCols` during the
+    * rewrite (repartitionByRange + sortWithinPartitions, same
+    * min/max-friendliness as [[sortedWrite]]); otherwise a plain
+    * round-robin coalescing rewrite. Returns the output file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+      destPath: String, targetFileBytes: Long, sortCols: Seq[String] = Nil): Int = {
+    val hp = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val totalBytes = fs.getContentSummary(hp).getLength
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(srcPath)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(numFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(numFiles)
+    shaped.write.mode("overwrite").parquet(destPath)
+    numFiles
+  }
+
   /** Morton interleave of two 16-bit non-negative ints: a's bit i lands at
     * position 2i+1, b's at 2i. 32 codegen'd shift/and/or ops, no UDF.
     */

@@ -87,6 +87,36 @@ class LayoutSpec extends GraftSpec {
     spark.read.parquet(out).count() shouldBe 3
   }
 
+  it("compact collapses a small-file mess into byte-sized output files") {
+    val src = java.nio.file.Files.createTempDirectory("graft-cp-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-cp-dst").toString + "/out"
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.repartition(64).write.mode("overwrite").parquet(src) // the mess
+    def fileCount(dir: String): Int = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count().toInt
+    fileCount(src) shouldBe 64
+
+    val srcBytes = {
+      val hp = new org.apache.hadoop.fs.Path(src)
+      hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .getContentSummary(hp).getLength
+    }
+    val n = Layout.compact(spark, src, dst, targetFileBytes = srcBytes / 4,
+      sortCols = Seq("l_shipdate"))
+    fileCount(dst) shouldBe n
+    n should be <= 6 // ceil(total/(total/4)) = 4-ish; far fewer than 64
+    spark.read.parquet(dst).count() shouldBe li.count()
+    // and the rewrite re-clustered: non-overlapping l_shipdate file ranges
+    val ranges = spark.read.parquet(dst)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
+      .orderBy("lo").select("lo", "hi").as[(String, String)].collect()
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => hi1 should be <= lo2
+      case _ =>
+    }
+  }
+
   it("partitionedWrite prunes directories for an equality filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout-p").toString
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")

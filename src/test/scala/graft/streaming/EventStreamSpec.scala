@@ -43,6 +43,71 @@ class EventStreamSpec extends GraftSpec {
     }
   }
 
+  describe("streaming observability (what a 100 TB pipeline alarms on)") {
+    it("observe() metrics surface per-batch row counts and sums in progress") {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-obs").toString
+      events.drop("event_time").write.mode("overwrite")
+        .parquet(s"$base/in/data.parquet")
+      val stream = spark.readStream
+        .schema(EventStream.eventsSchema)
+        .parquet(s"$base/in/*")
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+        .observe("ingest", count(lit(1)).as("rows"),
+          sum(col("value")).as("sum_value"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val observed = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("ingest")))
+      observed should not be empty
+      observed.map(_.getAs[Long]("rows")).sum shouldBe 4L
+      observed.map(_.getAs[Double]("sum_value")).sum shouldBe 10.0
+    }
+
+    it("watermark drops late arrivals and ACCOUNTS for them " +
+       "(numRowsDroppedByWatermark)") {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-late").toString
+      val in = s"$base/in"
+      // batch 1: events at t=2h,3h → watermark advances to 3h - 1h = 2h
+      Seq((1L, 7200L * us, 1L, "click", 1.0, ""),
+          (2L, 10800L * us, 1L, "click", 1.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", $"ts" * 1000)
+        .write.parquet(s"$in/f1.parquet")
+      // batch 2: an event at t=0 — an hour behind the watermark → dropped
+      Seq((3L, 0L * us, 1L, "click", 1.0, ""),
+          (4L, 10900L * us, 1L, "click", 1.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", $"ts" * 1000)
+        .write.parquet(s"$in/f2.parquet")
+      val stream = spark.readStream
+        .schema(EventStream.eventsSchema)
+        .option("maxFilesPerTrigger", "1") // one file per micro-batch
+        .parquet(s"$in/*")
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(window(col("event_time"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      dropped shouldBe 1L
+    }
+  }
+
   describe("RocksDB state store (the production backend for state > heap)") {
     it("stateful windowed aggregation produces identical results on RocksDB") {
       import org.apache.spark.sql.streaming.OutputMode
