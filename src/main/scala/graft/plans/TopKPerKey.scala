@@ -54,6 +54,18 @@ object GraftPlans {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LowerTopKPerKey
 
+  /** Install the PHYSICAL bounded-heap strategy ([[TopKPerKeyExec]])
+    * instead, removing the lowering rule if present — the two are mutually
+    * exclusive takes on the same logical node (idempotent).
+    */
+  def installPhysical(spark: SparkSession): Unit = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == LowerTopKPerKey)
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+  }
+
   /** Top-k rows per key group under `order` (ties broken by window order).
     * Requires [[install]] (or the `GraftExtensions` SQL extension) on the
     * session — otherwise planning fails on the unlowered node.

@@ -113,8 +113,17 @@ class PlanAuditSpec extends GraftSpec {
     p should include("pmod(hash(event_id") // phase-1 partition key carries the salt
   }
 
-  it("TopKPerKey (dq57) lowers to the rank window — no custom node survives " +
-     "to the physical plan") {
+  it("dq57 executes as the bounded-heap pair around ONE exchange — " +
+     "no window, no full sort") {
+    val df = SparkEntry.queries("dq57_topk_per_key")(spark, dir)
+    val p = physical(df)
+    "TopKPerKey".r.findAllIn(p).size shouldBe 2 // partial + final heap
+    "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size shouldBe 1
+    p should not include "row_number"
+  }
+
+  it("TopKPerKey's ALTERNATE rule lowering compiles to the rank window — " +
+     "no custom node survives to the physical plan") {
     graft.plans.GraftPlans.install(spark)
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     val df = graft.plans.GraftPlans.topKPerKey(orders,

@@ -37,6 +37,53 @@ class TopKPerKeySpec extends GraftSpec {
     df.queryExecution.executedPlan.toString should include("row_number")
   }
 
+  it("physical strategy: bounded-heap TopKPerKeyExec pair around ONE " +
+     "exchange, result equals the window formulation") {
+    try {
+      GraftPlans.installPhysical(spark)
+      val got = GraftPlans.topKPerKey(orders,
+          Seq($"o_custkey"), Seq($"o_totalprice".desc, $"o_orderkey"), k = 2)
+        .select("o_custkey", "o_orderkey")
+      val p = got.queryExecution.executedPlan.toString
+      // partial heap (map-side, O(keys·k) forwarded) → exchange → final
+      // heap (SparkPlan.nodeName strips the Exec suffix in plan strings)
+      "TopKPerKey".r.findAllIn(p).size shouldBe 2
+      "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size shouldBe 1
+      p should not include "Window"    // the rule did NOT fire
+      p should not include "row_number"
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      val expected = orders
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+        .select("o_custkey", "o_orderkey")
+      got.exceptAll(expected).count() shouldBe 0
+      expected.exceptAll(got).count() shouldBe 0
+    } finally {
+      // restore the rule-lowering default for the shared session
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+      GraftPlans.install(spark)
+    }
+  }
+
+  it("physical strategy bounds partial output: the map side forwards at " +
+     "most k rows per key per partition") {
+    try {
+      GraftPlans.installPhysical(spark)
+      // 1000 rows, ONE key, k=3, several input partitions: the exchange
+      // must move ≤ 3 rows per input partition, and the final result is 3
+      val df = spark.range(1000).repartition(4)
+        .select(lit(1L).as("key"), $"id".as("v"))
+      val top = GraftPlans.topKPerKey(df, Seq($"key"), Seq($"v".desc), k = 3)
+      top.select("v").as[Long].collect().sorted shouldBe Array(997L, 998L, 999L)
+    } finally {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+      GraftPlans.install(spark)
+    }
+  }
+
   it("install is idempotent") {
     GraftPlans.install(spark)
     GraftPlans.install(spark)
