@@ -233,6 +233,47 @@ object ScaleProbe {
         println(f"""{"probe":"sq8","vecs":$n,"queries":${qids.size},"packed_bytes":${dirBytes(bDir)},"float_bytes":${dirBytes(fDir)},"packed_rows":$pRows,"packed_sec":${(t1 - t0) / 1e9}%.1f,"float_rows":$fRows,"float_sec":${(t2 - t1) / 1e9}%.1f}""")
       }
     }
+    // Top-k-per-key probe: the bounded-heap physical operator vs the
+    // rank-window lowering on the same logical node. The claim under test:
+    // the heap pair's exchange moves O(keys·k) rows while the window sorts
+    // and shuffles EVERYTHING — shuffle records/bytes are read from the
+    // exchange node's runtime metrics.
+    if (sys.env.get("SCALE_TOPK").contains("1")) {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def shuffleMetrics(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+          case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+          case q: QueryStageExec        => exchanges(q.plan)
+          case e: ShuffleExchangeExec   => e +: e.children.flatMap(exchanges)
+          case other                    => other.children.flatMap(exchanges)
+        }
+        val ex = exchanges(df.queryExecution.executedPlan)
+        (ex.flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value)).sum,
+          ex.flatMap(_.metrics.get("shuffleBytesWritten").map(_.value)).sum)
+      }
+      for (n <- Seq(2000000L, 10000000L)) {
+        val base = spark.range(n).repartition(32)
+          .select((col("id") % 1000).as("key"), col("id").as("v"),
+            concat(lit("pad_pad_pad_pad_pad_pad_"), col("id")).as("pad"))
+        graft.plans.GraftPlans.installPhysical(spark)
+        val t0 = System.nanoTime()
+        val heap = graft.plans.GraftPlans.topKPerKey(base,
+          Seq(col("key")), Seq(col("v").desc), k = 5)
+        val hRows = heap.collect().length
+        val t1 = System.nanoTime()
+        val (hRecs, hBytes) = shuffleMetrics(heap)
+        graft.plans.GraftPlans.install(spark) // rank-window lowering back on
+        val t2 = System.nanoTime()
+        val win = graft.plans.GraftPlans.topKPerKey(base,
+          Seq(col("key")), Seq(col("v").desc), k = 5)
+        val wRows = win.collect().length
+        val t3 = System.nanoTime()
+        val (wRecs, wBytes) = shuffleMetrics(win)
+        println(f"""{"probe":"topk","rows":$n,"keys":1000,"k":5,"heap_out":$hRows,"heap_sec":${(t1 - t0) / 1e9}%.1f,"heap_shuffle_recs":$hRecs,"heap_shuffle_bytes":$hBytes,"win_out":$wRows,"win_sec":${(t3 - t2) / 1e9}%.1f,"win_shuffle_recs":$wRecs,"win_shuffle_bytes":$wBytes}""")
+      }
+    }
     // DPP probe: the same selective dim-join against the month-partitioned
     // layout vs the unpartitioned file — wall-clock gap = scan bytes saved
     // by runtime partition pruning (3 of ~80 directories read).
