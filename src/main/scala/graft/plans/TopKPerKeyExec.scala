@@ -43,14 +43,31 @@ case class TopKPerKeyExec(
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
-  override protected def doExecute(): RDD[InternalRow] =
+  override protected def doExecute(): RDD[InternalRow] = {
+    // memory bound for the PARTIAL phase: the map side sees arbitrary key
+    // cardinality, so when the heap map exceeds this many keys it is
+    // flushed downstream and restarted. Flushing early from the partial
+    // phase only ever forwards a SUPERSET per key — the final phase still
+    // reduces exactly — so correctness is unaffected (the same
+    // safety-valve shape as Spark's hash-aggregate fallback). The final
+    // phase is key-clustered, so its per-partition key count is already
+    // 1/numPartitions of the total and is not flushed. Read from
+    // spark.graft.topk.maxKeysInMemory on the driver at execution time.
+    val maxKeys =
+      if (!partial) Int.MaxValue
+      else session.conf.get("spark.graft.topk.maxKeysInMemory", "100000").toInt
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keys, child.output)
       val ord = RowOrdering.create(order, child.output)
       // max-heap per key under the sort order: head = worst retained row, so
       // a better (earlier-sorting) arrival evicts it in O(log k)
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      def drain(): Iterator[InternalRow] = {
+        val out = heaps.values.flatten.toArray
+        heaps.clear()
+        out.iterator
+      }
+      val flushed = iter.flatMap { row =>
         val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
           mutable.PriorityQueue.empty(ord))
         if (heap.size < k) heap.enqueue(row.copy())
@@ -58,9 +75,11 @@ case class TopKPerKeyExec(
           heap.dequeue()
           heap.enqueue(row.copy())
         }
+        if (heaps.size > maxKeys) drain() else Iterator.empty
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      flushed ++ drain()
     }
+  }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)

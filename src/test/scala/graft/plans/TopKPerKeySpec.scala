@@ -84,6 +84,30 @@ class TopKPerKeySpec extends GraftSpec {
     }
   }
 
+  it("partial-phase flush valve: a tiny maxKeysInMemory bound still yields " +
+     "exact results (flushes forward supersets, the final phase reduces)") {
+    val key = "spark.graft.topk.maxKeysInMemory"
+    try {
+      GraftPlans.installPhysical(spark)
+      spark.conf.set(key, "3") // force many flushes across 50 keys
+      val df = spark.range(10000).repartition(4)
+        .select(($"id" % 50).as("key"), $"id".as("v"))
+      val top = GraftPlans.topKPerKey(df, Seq($"key"), Seq($"v".desc), k = 2)
+        .select("key", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy($"v".desc)
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2).select("key", "v")
+      top.exceptAll(expected).count() shouldBe 0
+      expected.exceptAll(top).count() shouldBe 0
+    } finally {
+      spark.conf.unset(key)
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+      GraftPlans.install(spark)
+    }
+  }
+
   it("install is idempotent") {
     GraftPlans.install(spark)
     GraftPlans.install(spark)
