@@ -77,18 +77,14 @@ object Bench {
       },
       if (!names.exists(_.startsWith("dq59"))) None
       else try {
-        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.FileSourceScanExec
         import org.apache.spark.sql.functions._
         val df = SparkEntry.queries("dq59_partition_pruning")(spark, sfDir)
         df.collect() // 3 rows; populates the scan's runtime metrics
-        def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-          case q: QueryStageExec        => scans(q.plan)
-          case f: FileSourceScanExec    => Seq(f)
-          case other                    => other.children.flatMap(scans)
-        }
-        val read = scans(df.queryExecution.executedPlan)
+        val read = graft.plans.PlanWalk
+          .collectAll(df.queryExecution.executedPlan) {
+            case f: FileSourceScanExec => f
+          }
           .flatMap(_.metrics.get("numPartitions").map(_.value))
           .headOption.getOrElse(-1L)
         val total = spark.read.parquet(s"$sfDir/orders.parquet")

@@ -239,17 +239,12 @@ object ScaleProbe {
     // and shuffles EVERYTHING — shuffle records/bytes are read from the
     // exchange node's runtime metrics.
     if (sys.env.get("SCALE_TOPK").contains("1")) {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
       def shuffleMetrics(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-        def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
-          case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
-          case q: QueryStageExec        => exchanges(q.plan)
-          case e: ShuffleExchangeExec   => e +: e.children.flatMap(exchanges)
-          case other                    => other.children.flatMap(exchanges)
-        }
-        val ex = exchanges(df.queryExecution.executedPlan)
+        val ex = graft.plans.PlanWalk
+          .collectAll(df.queryExecution.executedPlan) {
+            case e: ShuffleExchangeExec => e
+          }
         (ex.flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value)).sum,
           ex.flatMap(_.metrics.get("shuffleBytesWritten").map(_.value)).sum)
       }
@@ -279,49 +274,42 @@ object ScaleProbe {
     // by runtime partition pruning (3 of ~80 directories read).
     if (sys.env.get("SCALE_DPP").contains("1")) {
       val dir = "/root/testdata/sf0.1"
-      def agg(fact: org.apache.spark.sql.DataFrame, monthCol: org.apache.spark.sql.Column) = {
+      // pruned side: dq59 ITSELF (one source of truth for the layout path,
+      // projection, and join — the probe measures the real query). Full
+      // side: the equivalent plan against the unpartitioned file.
+      def pruned = SparkEntry.queries("dq59_partition_pruning")(spark, dir)
+      def full = {
         val raw = spark.read.parquet(s"$dir/orders.parquet")
         val dim = raw.select(date_format(col("o_orderdate"), "yyyy-MM").as("d_month"),
             concat(year(col("o_orderdate")), lit("-Q"),
               quarter(col("o_orderdate"))).as("d_quarter"))
           .distinct()
-        fact.join(broadcast(dim.filter(col("d_quarter") === "1996-Q2")),
-            monthCol === col("d_month"))
-          .groupBy(monthCol.as("m")).agg(count(lit(1)).as("n"))
+        raw.join(broadcast(dim.filter(col("d_quarter") === "1996-Q2")),
+            date_format(col("o_orderdate"), "yyyy-MM") === col("d_month"))
+          .groupBy(col("d_month")).agg(count(lit(1)).as("n"))
       }
-      val path = "/tmp/graft_dq59_orders_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      graft.io.Layout.partitionedWriteCached(
-        spark.read.parquet(s"$dir/orders.parquet")
-          .select(col("o_orderkey"), col("o_totalprice"),
-            date_format(col("o_orderdate"), "yyyy-MM").as("o_month")),
-        path, "o_month")
       // scan BYTES are the honest scale metric here — at sf0.1 the whole
       // table is one 20 MB file, so wall-clock is dominated by fixed job
       // overhead; at 100 TB the bytes ratio IS the wall-clock ratio
       def scanBytes(df: org.apache.spark.sql.DataFrame): Long = {
-        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.FileSourceScanExec
         df.collect()
-        def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-          case q: QueryStageExec        => scans(q.plan)
-          case f: FileSourceScanExec    => Seq(f)
-          case other                    => other.children.flatMap(scans)
-        }
         // the FACT scan: the partitioned one if present (it carries a
         // numPartitions metric), else the largest scan (dim side reads the
         // same source file, so max = fact on the unpartitioned variant)
-        val all = scans(df.queryExecution.executedPlan)
+        val all = graft.plans.PlanWalk
+          .collectAll(df.queryExecution.executedPlan) {
+            case f: FileSourceScanExec => f
+          }
         all.find(_.metrics.contains("numPartitions"))
           .flatMap(_.metrics.get("filesSize").map(_.value))
           .getOrElse(all.flatMap(_.metrics.get("filesSize").map(_.value)).max)
       }
       for (_ <- 1 to 2) { // two passes; read the second (warm footers)
         val t0 = System.nanoTime()
-        val pb = scanBytes(agg(spark.read.parquet(path), col("o_month")))
+        val pb = scanBytes(pruned)
         val t1 = System.nanoTime()
-        val fb = scanBytes(agg(spark.read.parquet(s"$dir/orders.parquet"),
-          date_format(col("o_orderdate"), "yyyy-MM")))
+        val fb = scanBytes(full)
         val t2 = System.nanoTime()
         println(f"""{"probe":"dpp","pruned_bytes":$pb,"full_bytes":$fb,"pruned_sec":${(t1 - t0) / 1e9}%.2f,"full_sec":${(t2 - t1) / 1e9}%.2f}""")
       }

@@ -44,10 +44,13 @@ object QuantizedAnn {
     * executable SPEC of the scoring kernel (HOFs run interpreted); the
     * fast paths are the codegen'd [[graft.functions.LongDot]] (array<long>)
     * and [[graft.functions.ByteDot]] (packed int8 binary), both
-    * property-checked bit-identical to this formulation.
+    * property-checked bit-identical to this formulation — including on
+    * null elements, which contribute 0 here (the coalesce) exactly as the
+    * codegen kernels' null-skip does.
     */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    aggregate(zip_with(a, b, (x, y) => coalesce(x * y, lit(0L))),
+      lit(0L), (acc, v) => acc + v)
 
   /** `array<float>` → packed int8 `binary` (1 byte/element — 4× smaller
     * than float32 at rest, on the wire, and in broadcasts). Same

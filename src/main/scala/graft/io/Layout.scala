@@ -45,10 +45,15 @@ object Layout {
       partitionedWrite(df, path, partCols: _*)
     }
 
-  /** [[zorderWrite]] under the same fingerprint guard. */
+  /** [[zorderWrite]] under the same fingerprint guard. The tag carries an
+    * implementation VERSION: the fingerprint sees plan + inputs but not the
+    * writer's code, so a clustering-algorithm change (e.g. the v2
+    * sign-wrap fix in [[interleave16]]) must bump it to invalidate layouts
+    * written by the old code.
+    */
   def zorderWriteCached(df: DataFrame, path: String, numFiles: Int,
       colA: String, colB: String): Unit =
-    writeCached(df, path, s"zorder:$numFiles:$colA:$colB") {
+    writeCached(df, path, s"zorder:v2:$numFiles:$colA:$colB") {
       zorderWrite(df, path, numFiles, colA, colB)
     }
 
@@ -153,10 +158,17 @@ object Layout {
 
   /** Morton interleave of two 16-bit non-negative ints: a's bit i lands at
     * position 2i+1, b's at 2i. 32 codegen'd shift/and/or ops, no UDF.
+    * Computed in LONG: a's bit 15 lands at position 31, which in 32-bit
+    * arithmetic is the sign bit — an Int z-code would order the top half
+    * of the `a` range before the bottom half and give the wrap-straddling
+    * file full extents in both dimensions.
     */
-  private[io] def interleave16(a: Column, b: Column): Column =
+  private[io] def interleave16(a: Column, b: Column): Column = {
+    val (al, bl) = (a.cast(org.apache.spark.sql.types.LongType),
+      b.cast(org.apache.spark.sql.types.LongType))
     (0 until 16).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i))
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i))
     }.reduce(_ bitwiseOR _)
+  }
 }

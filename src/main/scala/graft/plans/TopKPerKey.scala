@@ -32,35 +32,52 @@ final case class TopKPerKey(
     copy(child = newChild)
 }
 
-/** Lowers [[TopKPerKey]] to row_number-over-window + filter. */
+/** Lowers [[TopKPerKey]] to row_number-over-window + filter.
+  *
+  * Gated on `spark.graft.topk.physical`: when a deployment installs this
+  * rule through `spark.sql.extensions` (`GraftExtensions`) it cannot be
+  * removed at runtime, so [[GraftPlans.installPhysical]] flips the conf
+  * instead and the rule steps aside — otherwise the extension-injected
+  * rule would rewrite the node before planning and the physical strategy
+  * would silently never fire.
+  */
 object LowerTopKPerKey extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case TopKPerKey(keys, order, k, child) =>
-      val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
-      val rn = Alias(
-        WindowExpression(RowNumber(), WindowSpecDefinition(keys, order, frame)),
-        "__graft_rn")()
-      Project(child.output,
-        Filter(LessThanOrEqual(rn.toAttribute, Literal(k)),
-          Window(Seq(rn), keys, order, child)))
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString("spark.graft.topk.physical", "false").toBoolean) plan
+    else plan.transformUp {
+      case TopKPerKey(keys, order, k, child) =>
+        val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+        val rn = Alias(
+          WindowExpression(RowNumber(), WindowSpecDefinition(keys, order, frame)),
+          "__graft_rn")()
+        Project(child.output,
+          Filter(LessThanOrEqual(rn.toAttribute, Literal(k)),
+            Window(Seq(rn), keys, order, child)))
+    }
 }
 
 object GraftPlans {
 
-  /** Install the lowering rule on a live session (idempotent). */
-  def install(spark: SparkSession): Unit =
+  /** Install the rank-window lowering mode (idempotent, symmetric with
+    * [[installPhysical]]: removes the strategy and un-gates the rule).
+    */
+  def install(spark: SparkSession): Unit = {
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+    spark.conf.set("spark.graft.topk.physical", "false")
     if (!spark.experimental.extraOptimizations.contains(LowerTopKPerKey))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LowerTopKPerKey
+  }
 
-  /** Install the PHYSICAL bounded-heap strategy ([[TopKPerKeyExec]])
-    * instead, removing the lowering rule if present — the two are mutually
-    * exclusive takes on the same logical node (idempotent).
+  /** Install the PHYSICAL bounded-heap mode ([[TopKPerKeyExec]]) instead —
+    * the two are mutually exclusive takes on the same logical node
+    * (idempotent). The rule is gated OFF by conf rather than removed, so
+    * this also works when `GraftExtensions` injected it through
+    * `spark.sql.extensions`, where runtime removal is impossible.
     */
   def installPhysical(spark: SparkSession): Unit = {
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == LowerTopKPerKey)
+    spark.conf.set("spark.graft.topk.physical", "true")
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy

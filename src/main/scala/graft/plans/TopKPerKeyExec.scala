@@ -68,8 +68,16 @@ case class TopKPerKeyExec(
         out.iterator
       }
       val flushed = iter.flatMap { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty(ord))
+        // probe with the reused projection row; copy the key ONLY on first
+        // sight of it (getOrElseUpdate would copy on every input row)
+        val probe = keyProj(row)
+        val heap = heaps.get(probe) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(probe.copy(), h)
+            h
+        }
         if (heap.size < k) heap.enqueue(row.copy())
         else if (ord.lt(row, heap.head)) {
           heap.dequeue()

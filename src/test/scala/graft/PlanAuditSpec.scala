@@ -184,16 +184,11 @@ class PlanAuditSpec extends GraftSpec {
     // lists): both range predicates must reach the scan, where parquet
     // row-group min/max stats apply — and the z-order layout makes those
     // stats selective in both keys
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec        => scans(q.plan)
-      case f: FileSourceScanExec    => Seq(f)
-      case other                    => other.children.flatMap(scans)
-    }
-    val pushed = scans(df.queryExecution.executedPlan)
-      .map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    val pushed = graft.plans.PlanWalk
+      .collectAll(df.queryExecution.executedPlan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("PushedFilters", "")
+      }.mkString
     pushed should include("GreaterThanOrEqual(l_quantity,10")
     pushed should include("LessThanOrEqual(l_quantity,15")
     pushed should include("GreaterThanOrEqual(l_extendedprice,20000")

@@ -87,6 +87,20 @@ class LayoutSpec extends GraftSpec {
     spark.read.parquet(out).count() shouldBe 3
   }
 
+  it("interleave16 stays non-negative across the full 16-bit range (the " +
+     "32-bit sign-wrap regression)") {
+    val z = Seq((65535, 65535), (32768, 0), (32767, 65535), (0, 0))
+      .toDF("a", "b")
+      .select(Layout.interleave16(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    z(0) shouldBe 0xFFFFFFFFL // all 32 bits set, POSITIVE in long
+    z(1) shouldBe 0x80000000L // a's bit 15 at position 31, not a sign bit
+    z(2) shouldBe 0x7FFFFFFFL
+    z(3) shouldBe 0L
+    // ordering sanity: the top half of the a-range sorts AFTER the bottom
+    z(1) should be > z(2)
+  }
+
   it("compact collapses a small-file mess into byte-sized output files") {
     val src = java.nio.file.Files.createTempDirectory("graft-cp-src").toString
     val dst = java.nio.file.Files.createTempDirectory("graft-cp-dst").toString + "/out"

@@ -59,12 +59,7 @@ class TopKPerKeySpec extends GraftSpec {
         .select("o_custkey", "o_orderkey")
       got.exceptAll(expected).count() shouldBe 0
       expected.exceptAll(got).count() shouldBe 0
-    } finally {
-      // restore the rule-lowering default for the shared session
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
-      GraftPlans.install(spark)
-    }
+    } finally GraftPlans.install(spark) // symmetric: restores rule mode
   }
 
   it("physical strategy bounds partial output: the map side forwards at " +
@@ -77,11 +72,7 @@ class TopKPerKeySpec extends GraftSpec {
         .select(lit(1L).as("key"), $"id".as("v"))
       val top = GraftPlans.topKPerKey(df, Seq($"key"), Seq($"v".desc), k = 3)
       top.select("v").as[Long].collect().sorted shouldBe Array(997L, 998L, 999L)
-    } finally {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
-      GraftPlans.install(spark)
-    }
+    } finally GraftPlans.install(spark)
   }
 
   it("partial-phase flush valve: a tiny maxKeysInMemory bound still yields " +
@@ -102,8 +93,6 @@ class TopKPerKeySpec extends GraftSpec {
       expected.exceptAll(top).count() shouldBe 0
     } finally {
       spark.conf.unset(key)
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
       GraftPlans.install(spark)
     }
   }
