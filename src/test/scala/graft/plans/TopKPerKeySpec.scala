@@ -97,6 +97,23 @@ class TopKPerKeySpec extends GraftSpec {
     }
   }
 
+  it("the conf gate lets the physical strategy win even when the lowering " +
+     "rule stays registered (the spark.sql.extensions deployment shape)") {
+    try {
+      // emulate GraftExtensions injection: rule AND strategy both present,
+      // with no way to remove the rule — only the conf flips the mode
+      GraftPlans.install(spark)
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+      spark.conf.set("spark.graft.topk.physical", "true")
+      val df = GraftPlans.topKPerKey(orders, Seq($"o_custkey"),
+        Seq($"o_totalprice".desc), k = 1)
+      val p = df.queryExecution.executedPlan.toString
+      "TopKPerKey".r.findAllIn(p).size shouldBe 2 // heap pair, not window
+      p should not include "row_number"
+    } finally GraftPlans.install(spark)
+  }
+
   it("install is idempotent") {
     GraftPlans.install(spark)
     GraftPlans.install(spark)
