@@ -53,6 +53,21 @@ class IvfIndexSpec extends GraftSpec {
     batched shouldBe singles
   }
 
+  it("packed-int8 scoring (IVF+SQ8) returns full top-k per query and " +
+     "tracks the float cosine ranking") {
+    val f = index.queryAll(Seq(1L, 2L), topK = 10, nprobe = 8)
+      .select("qid", "vid").as[(Long, Long)].collect().groupBy(_._1)
+    val p = index.queryAllPacked(Seq(1L, 2L), topK = 10, nprobe = 8)
+      .select("qid", "vid").as[(Long, Long)].collect().groupBy(_._1)
+    p.keySet shouldBe f.keySet
+    p.foreach { case (qid, rows) =>
+      rows.length shouldBe 10
+      // integer inner product vs float cosine: substantial overlap on this
+      // near-uniform-norm corpus
+      (rows.map(_._2).toSet intersect f(qid).map(_._2).toSet).size should be >= 5
+    }
+  }
+
   it("release() drops the index's cache blocks") {
     index.release()
     index.assigned.storageLevel.useMemory shouldBe false
