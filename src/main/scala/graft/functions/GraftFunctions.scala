@@ -49,6 +49,32 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_vector_sum_micros expects 1 argument")
         VectorSumMicros(args.head).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_quantize_bytes"),
+      new ExpressionInfo(classOf[QuantizeToBytes].getName, "graft_quantize_bytes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_quantize_bytes expects (array, scale)")
+        QuantizeToBytes(args(0),
+          args(1).eval().asInstanceOf[Number].intValue())
+      }),
+    (FunctionIdentifier("graft_byte_dot"),
+      new ExpressionInfo(classOf[ByteDot].getName, "graft_byte_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_byte_dot expects 2 arguments")
+        ByteDot(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_long_dot"),
+      new ExpressionInfo(classOf[LongDot].getName, "graft_long_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_long_dot expects 2 arguments")
+        LongDot(args(0), args(1))
+      }),
+    (FunctionIdentifier("graft_quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, "graft_quantized_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_quantized_dot expects (a, b, scale)")
+        QuantizedDot(args(0), args(1),
+          args(2).eval().asInstanceOf[Number].intValue())
       }))
 
   /** Register on a live session. */

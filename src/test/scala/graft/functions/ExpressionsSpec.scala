@@ -70,6 +70,19 @@ class ExpressionsSpec extends GraftSpec {
         .as[Int].head() shouldBe 2
     }
 
+    it("the quantized kernels are callable from spark.sql") {
+      GraftFunctions.register(spark)
+      Seq((Seq(0.5f, -0.5f, 1.0f), Seq(1.0f, 1.0f, -1.0f))).toDF("a", "b")
+        .createOrReplaceTempView("qv")
+      // q(a)=[64,-63,127], q(b)=[127,127,-127] → 64·127 − 63·127 − 127·127
+      val want = 64L * 127 - 63L * 127 - 127L * 127
+      spark.sql("SELECT graft_quantized_dot(a, b, 127) FROM qv")
+        .as[Long].head() shouldBe want
+      spark.sql(
+        "SELECT graft_byte_dot(graft_quantize_bytes(a, 127), graft_quantize_bytes(b, 127)) FROM qv")
+        .as[Long].head() shouldBe want
+    }
+
     it("graft_hamming matches the HOF formulation and handles nulls") {
       GraftFunctions.register(spark)
       val df = Seq(
