@@ -885,6 +885,13 @@ object SparkEntry {
     TextAnalysis.repetitionRatio(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** DQ65 (EXT): fixed-window chunking with overlap
+    * (`TextAnalysis.chunks`) — 200-char windows every 150 chars; shuffle-
+    * free declarative blow-up, chunk identity independent of layout. */
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunks(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -950,7 +957,8 @@ object SparkEntry {
     "dq61_unpivot"             -> (q61 _),
     "dq62_curation_pipeline"   -> (q62 _),
     "dq63_zorder_band"         -> (q63 _),
-    "dq64_repetition_ratio"    -> (q64 _)
+    "dq64_repetition_ratio"    -> (q64 _),
+    "dq65_chunking"            -> (q65 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1498,6 +1506,11 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq65_chunking" ->
+      """SELECT doc_id, CAST((p - 1) / 150 AS BIGINT) AS chunk_idx,
+        |  substring(text, CAST(p AS INT), 200) AS chunk
+        |FROM documents, unnest(range(1, len(text) + 1, 150)) t(p)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "dq64_repetition_ratio" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) toks

@@ -152,6 +152,24 @@ object TextAnalysis {
       .select(col(idCol), (col("__mx") / col("__tot")).as("rep_ratio"))
   }
 
+  /** Fixed-window document chunking with overlap — the context-length prep
+    * step of a training pipeline: each document becomes ⌈len/stride⌉ chunks
+    * of up to `size` chars starting every `stride` chars (overlap =
+    * size − stride). Pure `sequence` + explode + `substr`: the blow-up is
+    * declarative, so it pipelines inside the scan stage with no shuffle,
+    * and chunk identity (doc_id, chunk_idx) is layout-independent.
+    */
+  def chunks(df: DataFrame, idCol: String, textCol: String,
+      size: Int = 200, stride: Int = 150): DataFrame = {
+    require(size >= stride && stride > 0, "need size >= stride > 0")
+    df.select(col(idCol), col(textCol),
+        explode(sequence(lit(1),
+          greatest(length(col(textCol)), lit(1)), lit(stride))).as("__p"))
+      .select(col(idCol),
+        ((col("__p") - 1) / stride).cast("long").as("chunk_idx"),
+        col(textCol).substr(col("__p"), lit(size)).as("chunk"))
+  }
+
   /** Letter-frequency Gini impurity, 1 − Σ (cₗ/n)² over a-z — a character-
     * diversity quality signal (near 0 = one repeated letter, ~0.96 = all 26
     * uniform). Deliberately Gini rather than Shannon entropy: `ln` is not
