@@ -114,10 +114,12 @@ object ScaleProbe {
         val qids = (1L to 100L).map(_ * m)
         val rows = index.queryAll(qids, topK = 10, nprobe = 4).count()
         val t2 = System.nanoTime()
+        val prows = index.queryAllPacked(qids, topK = 10, nprobe = 4).count()
+        val t3 = System.nanoTime()
         val n = index.assigned.count()
         index.release()
         df.unpersist()
-        println(f"""{"probe":"ivf","vecs":$n,"k":32,"fit_sec":${(t1 - t0) / 1e9}%.1f,"queries":${qids.size},"topk_rows":$rows,"query_sec":${(t2 - t1) / 1e9}%.1f}""")
+        println(f"""{"probe":"ivf","vecs":$n,"k":32,"fit_sec":${(t1 - t0) / 1e9}%.1f,"queries":${qids.size},"topk_rows":$rows,"query_sec":${(t2 - t1) / 1e9}%.1f,"packed_rows":$prows,"packed_query_sec":${(t3 - t2) / 1e9}%.1f}""")
       }
     }
     // Connected-components probe: chain graphs (n/l components of diameter
