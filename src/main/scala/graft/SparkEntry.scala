@@ -892,6 +892,21 @@ object SparkEntry {
     TextAnalysis.chunks(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id", "chunk_idx")
 
+  /** DQ66 (EXT): greedy sequence packing (`ext.Packing.packGreedy`) —
+    * deterministic bin assignment (ascending doc_id per source, 1000-char
+    * capacity) aggregated to the per-bin report; the oracle replays the
+    * same greedy recurrence as a recursive CTE. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ext.Packing.packGreedy(docs, "source", "doc_id", "n_chars",
+        capacity = 1000)
+      .join(docs.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+        min("doc_id").as("first_doc"))
+      .orderBy("source", "bin")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -958,7 +973,8 @@ object SparkEntry {
     "dq62_curation_pipeline"   -> (q62 _),
     "dq63_zorder_band"         -> (q63 _),
     "dq64_repetition_ratio"    -> (q64 _),
-    "dq65_chunking"            -> (q65 _)
+    "dq65_chunking"            -> (q65 _),
+    "dq66_sequence_packing"    -> (q66 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1506,6 +1522,22 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq66_sequence_packing" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, n_chars, rn, CAST(0 AS BIGINT) AS bin, n_chars AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.n_chars, d.rn,
+        |    CASE WHEN p.fill + d.n_chars > 1000 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + d.n_chars > 1000 THEN d.n_chars ELSE p.fill + d.n_chars END
+        |  FROM d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, bin, count(*) AS n_docs, sum(n_chars) AS chars,
+        |  min(doc_id) AS first_doc
+        |FROM packed GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
     "dq65_chunking" ->
       """SELECT doc_id, CAST((p - 1) / 150 AS BIGINT) AS chunk_idx,
         |  substring(text, CAST(p AS INT), 200) AS chunk

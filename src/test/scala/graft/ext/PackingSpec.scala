@@ -1,0 +1,43 @@
+package graft.ext
+
+import graft.GraftSpec
+
+/** Greedy sequence packing: deterministic bin boundaries, oversized docs,
+  * per-group independence.
+  */
+class PackingSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def pack(rows: Seq[(String, Long, Long)], cap: Long) =
+    Packing.packGreedy(rows.toDF("src", "id", "n"), "src", "id", "n", cap)
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  describe("Packing.packGreedy") {
+    it("fills bins greedily in ascending id order and rolls on overflow") {
+      val got = pack(Seq(("a", 1L, 4L), ("a", 2L, 4L), ("a", 3L, 3L),
+        ("a", 4L, 9L), ("a", 5L, 1L)), cap = 10)
+      // 4+4=8, +3 would be 11 > 10 -> bin 1; 3+9=12 > 10 -> bin 2; 9+1=10 fits
+      got shouldBe Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L),
+        ("a", 4L, 2L), ("a", 5L, 2L))
+    }
+
+    it("gives an oversized document its own bin without stalling the stream") {
+      val got = pack(Seq(("a", 1L, 25L), ("a", 2L, 2L), ("a", 3L, 25L)),
+        cap = 10)
+      got shouldBe Seq(("a", 1L, 0L), ("a", 2L, 1L), ("a", 3L, 2L))
+    }
+
+    it("packs each group independently") {
+      val got = pack(Seq(("a", 1L, 6L), ("b", 1L, 6L), ("a", 2L, 6L),
+        ("b", 2L, 3L)), cap = 10)
+      got shouldBe Seq(("a", 1L, 0L), ("a", 2L, 1L),
+        ("b", 1L, 0L), ("b", 2L, 0L))
+    }
+
+    it("an exact-capacity fit stays in the bin (strict-overflow boundary)") {
+      val got = pack(Seq(("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 1L)),
+        cap = 10)
+      got shouldBe Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L))
+    }
+  }
+}
