@@ -31,11 +31,27 @@ def canon(v):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return repr(v)
 
+# Types the DRIVER's pandas canonicalizer renders lossily: DuckDB HUGEINT and
+# DECIMAL become float64 in pandas (3 -> 3.0), so the driver's hash can NEVER
+# match Spark's integer/double rendering even when values are identical (this
+# is exactly how dq66 shipped red in round 3 while this script passed — its
+# fetchall() yields Python ints, not pandas floats). Gate them at the schema.
+DRIVER_LOSSY = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
-        want = con.sql(sql).fetchall()
-        want_cols = [d[0] for d in con.sql(sql).description]
+        rel = con.sql(sql)
+        lossy = [(c[0], str(t)) for c, t in zip(rel.description, rel.types)
+                 if str(t).upper().startswith(DRIVER_LOSSY)]
+        if lossy:
+            fails += 1
+            print(f"FAIL {name}: oracle column(s) {lossy} have driver-lossy "
+                  f"types (pandas renders HUGEINT/DECIMAL as float64; "
+                  f"CAST to BIGINT/DOUBLE in the SQL)")
+            continue
+        want = rel.fetchall()
+        want_cols = [d[0] for d in rel.description]
         got_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         got_cols = [d[0] for d in got_rel.description]
         got = got_rel.fetchall()

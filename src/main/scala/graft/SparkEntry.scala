@@ -1535,7 +1535,7 @@ object SparkEntry {
         |    CASE WHEN p.fill + d.n_chars > 1000 THEN p.bin + 1 ELSE p.bin END,
         |    CASE WHEN p.fill + d.n_chars > 1000 THEN d.n_chars ELSE p.fill + d.n_chars END
         |  FROM d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1)
-        |SELECT source, bin, count(*) AS n_docs, sum(n_chars) AS chars,
+        |SELECT source, bin, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
         |  min(doc_id) AS first_doc
         |FROM packed GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
     "dq65_chunking" ->

@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Greedy sequence packing (EXT) — concatenating short documents into
   * fixed-capacity training sequences is the standard way to avoid padding
@@ -13,36 +14,46 @@ import org.apache.spark.sql.functions.col
   * a new bin starts (an oversized document gets its own bin). Packing is
   * inherently SEQUENTIAL per stream — the parallelism unit is the group, so
   * at 100 TB the group key must be granular enough (source × date × shard)
-  * to spread streams across executors. `flatMapSortedGroups` streams each
-  * group's iterator in sorted order without materializing the group.
+  * to spread streams across executors.
+  *
+  * Shape: ONE hash shuffle on the group key, a partition-local sort, and a
+  * streaming scan over each sorted partition (group boundaries detected by
+  * key change — no per-group materialization, no join-back). Both the group
+  * and id columns keep their ORIGINAL types in the output; only `bin` is
+  * synthesized. Group keys must be scalar (equality-comparable) values.
   */
 object Packing {
 
-  /** (group, doc_id, bin) assignment. `sizeCol` must be a non-negative
-    * integral column (e.g. `n_chars` or a token count).
+  /** (group, doc_id, bin) assignment with the input's own column types.
+    * `sizeCol` must be a non-negative integral column (e.g. `n_chars` or a
+    * token count).
     */
   def packGreedy(df: DataFrame, groupCol: String, idCol: String,
       sizeCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(groupCol).cast("string"), col(idCol).cast("long"),
-        col(sizeCol).cast("long"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      // sort exprs resolve against the child's DATA attributes (the
-      // original column names), not the tuple-encoder accessors
-      .flatMapSortedGroups(col(idCol)) { (group, docs) =>
+    val proj = df.select(col(groupCol), col(idCol),
+      col(sizeCol).cast("long").as("__gsz"))
+    val outSchema = StructType(Seq(
+      proj.schema(0), proj.schema(1),
+      StructField("bin", LongType, nullable = false)))
+    proj.repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(idCol))
+      .mapPartitions { rows =>
+        // groups are contiguous after the partition-local sort; a key change
+        // resets the greedy state, so one pass packs every group in the
+        // partition without materializing any of them
+        var cur: Any = null
+        var started = false
         var bin = 0L
         var fill = 0L
-        var first = true
-        docs.map { case (_, id, n) =>
-          if (first) { fill = n; first = false }
+        rows.map { r =>
+          val g = r.get(0)
+          val n = r.getLong(2)
+          if (!started || g != cur) { cur = g; started = true; bin = 0L; fill = n }
           else if (fill + n > capacity) { bin += 1; fill = n }
           else fill += n
-          (group, id, bin)
+          Row(g, r.get(1), bin)
         }
-      }
-      .toDF(groupCol, idCol, "bin")
+      }(Encoders.row(outSchema))
   }
 }

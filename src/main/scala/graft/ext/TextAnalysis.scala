@@ -158,13 +158,17 @@ object TextAnalysis {
     * size − stride). Pure `sequence` + explode + `substr`: the blow-up is
     * declarative, so it pipelines inside the scan stage with no shuffle,
     * and chunk identity (doc_id, chunk_idx) is layout-independent.
+    *
+    * Empty/null documents produce ZERO chunks (the document is dropped) —
+    * the same semantics as generating start positions with
+    * `range(1, len+1, stride)`: an empty text has no valid start position.
     */
   def chunks(df: DataFrame, idCol: String, textCol: String,
       size: Int = 200, stride: Int = 150): DataFrame = {
     require(size >= stride && stride > 0, "need size >= stride > 0")
-    df.select(col(idCol), col(textCol),
-        explode(sequence(lit(1),
-          greatest(length(col(textCol)), lit(1)), lit(stride))).as("__p"))
+    df.where(length(col(textCol)) >= 1)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(1), length(col(textCol)), lit(stride))).as("__p"))
       .select(col(idCol),
         ((col("__p") - 1) / stride).cast("long").as("chunk_idx"),
         col(textCol).substr(col("__p"), lit(size)).as("chunk"))

@@ -8,6 +8,7 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.sources
@@ -117,12 +118,34 @@ object ProtoSource {
       // order — the decoder then wire-skips everything else
       val pruned = PMessage(msg.name,
         required.fieldNames.flatMap(n => msg.fields.find(_.name == n)).toSeq)
-      new ProtoScan(pruned, msg, pushed, path, expectedQuery)
+      // capture the SESSION's Hadoop conf at plan time (driver-side): it
+      // carries configured fs credentials the executors cannot re-derive
+      val hconf = new SerializableHadoopConf(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      new ProtoScan(pruned, msg, pushed, path, expectedQuery, hconf)
     }
   }
 
-  private def listCacheFiles(path: String): Seq[String] = {
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+  /** Java-serializable Hadoop `Configuration` carrier: the session's
+    * configured filesystem settings/credentials must reach both driver-side
+    * listings and executor-side readers — `new Configuration()` would
+    * silently drop them on any configured remote filesystem.
+    */
+  private final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  private def listCacheFiles(path: String, conf: Configuration): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(path), conf)
     val p = new HPath(path)
     val files =
       if (fs.getFileStatus(p).isDirectory)
@@ -131,34 +154,63 @@ object ProtoSource {
     files.filterNot(_.getName.startsWith("_")).map(_.toString).sorted
   }
 
+  /** Evidence metrics for the two skipped-work claims this source makes:
+    * `rowsGated` counts rows the pushed row-gate rejected from the cheap
+    * gate-field decode (their full decode never ran), and `fieldsSkipped`
+    * counts field decodes avoided by descriptor pruning (pruned fields ×
+    * emitted rows). Both surface in the SQL UI per scan and are asserted in
+    * `ProtoSourceSpec`.
+    */
+  private final class RowsGatedMetric extends metric.CustomSumMetric {
+    override def name(): String = "rowsGated"
+    override def description(): String =
+      "rows rejected by the pushed row gate (full decode skipped)"
+  }
+  private final class FieldsSkippedMetric extends metric.CustomSumMetric {
+    override def name(): String = "fieldsSkipped"
+    override def description(): String =
+      "field decodes avoided by descriptor pruning"
+  }
+  private final case class ProtoTaskMetric(metricName: String, value: Long)
+      extends metric.CustomTaskMetric {
+    override def name(): String = metricName
+  }
+
   private final class ProtoScan(msg: PMessage, fullMsg: PMessage,
       filters: Array[sources.Filter], path: String,
-      expectedQuery: Option[String]) extends Scan with Batch {
+      expectedQuery: Option[String], hconf: SerializableHadoopConf)
+      extends Scan with Batch {
     override def readSchema(): StructType = ProtoIngest.structTypeOf(msg)
     override def toBatch: Batch = this
     override def description(): String =
       s"graft-proto ${msg.name} ReadFields: [${msg.fields.map(_.name).mkString(", ")}]" +
         s" PushedRowGate: [${filters.mkString(", ")}]"
+    override def supportedCustomMetrics(): Array[metric.CustomMetric] =
+      Array(new RowsGatedMetric, new FieldsSkippedMetric)
 
     override def planInputPartitions(): Array[InputPartition] =
-      listCacheFiles(path)
+      listCacheFiles(path, hconf.value)
         .map(f => ProtoFilePartition(f): InputPartition).toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new ProtoReaderFactory(msg, fullMsg, filters, expectedQuery)
+      new ProtoReaderFactory(msg, fullMsg, filters, expectedQuery, hconf)
 
     override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-      new ProtoMicroBatchStream(msg, fullMsg, filters, path, expectedQuery)
+      new ProtoMicroBatchStream(msg, fullMsg, filters, path, expectedQuery, hconf)
   }
 
-  /** Offset = count of (name-sorted) cache files consumed. The cache
-    * contract is append-only with monotonically named files (the reference
-    * writes one file per fetch), so the sorted prefix is stable and each
-    * file is delivered EXACTLY once across restarts from the checkpoint.
+  /** Offset = the LAST CONSUMED file path ("" before any batch). A
+    * self-describing offset makes exactly-once independent of listing
+    * stability: a batch is "every file strictly greater than the last
+    * consumed name", so a file appearing between `latestOffset` and
+    * `planInputPartitions` can shift nothing — ranges are by name, not by
+    * index. A file sorting BELOW the consumed watermark (a non-monotonic
+    * writer) or a deleted watermark file is detected and failed fast
+    * rather than silently skipped or double-delivered.
     */
-  private final case class ProtoOffset(files: Long)
+  private final case class ProtoOffset(lastFile: String)
       extends streaming.Offset {
-    override def json(): String = files.toString
+    override def json(): String = lastFile
   }
 
   /** Micro-batch stream over the cache directory: each batch = the files
@@ -167,24 +219,47 @@ object ProtoSource {
     */
   private final class ProtoMicroBatchStream(msg: PMessage, fullMsg: PMessage,
       filters: Array[sources.Filter], path: String,
-      expectedQuery: Option[String]) extends streaming.MicroBatchStream {
+      expectedQuery: Option[String], hconf: SerializableHadoopConf)
+      extends streaming.MicroBatchStream {
 
-    override def initialOffset(): streaming.Offset = ProtoOffset(0L)
+    // every file path this stream instance has ever listed (null until the
+    // first planning call establishes the baseline). A file that shows up
+    // LATER sorting at-or-below a batch start would be silently skipped by
+    // name-range batching — that's the contract violation we fail fast on.
+    // Size ∝ cache file count (one file per reference fetch), not data.
+    private var seen: Set[String] = null
+
+    override def initialOffset(): streaming.Offset = ProtoOffset("")
     override def latestOffset(): streaming.Offset =
-      ProtoOffset(listCacheFiles(path).size.toLong)
+      ProtoOffset(listCacheFiles(path, hconf.value).lastOption.getOrElse(""))
     override def deserializeOffset(json: String): streaming.Offset =
-      ProtoOffset(json.trim.toLong)
+      ProtoOffset(json)
 
     override def planInputPartitions(start: streaming.Offset,
         end: streaming.Offset): Array[InputPartition] = {
-      val (s, e) = (start.asInstanceOf[ProtoOffset].files,
-        end.asInstanceOf[ProtoOffset].files)
-      listCacheFiles(path).slice(s.toInt, e.toInt)
+      val s = start.asInstanceOf[ProtoOffset].lastFile
+      val e = end.asInstanceOf[ProtoOffset].lastFile
+      val files = listCacheFiles(path, hconf.value)
+      if (e.nonEmpty && !files.contains(e))
+        throw new IllegalStateException(
+          s"proto cache offset file '$e' disappeared from $path — " +
+            "the cache is not append-only; cannot guarantee exactly-once")
+      val late = synchronized {
+        val prior = seen
+        seen = if (prior == null) files.toSet else prior ++ files
+        if (prior == null) Nil // restart baseline: checkpoint vouches for <= s
+        else files.filterNot(prior.contains).filter(_ <= s)
+      }
+      if (late.nonEmpty)
+        throw new IllegalStateException(
+          s"proto cache file(s) ${late.mkString(", ")} appeared at-or-below " +
+            s"the consumed offset '$s' — non-monotonic naming breaks exactly-once")
+      files.filter(f => f > s && f <= e)
         .map(f => ProtoFilePartition(f): InputPartition).toArray
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new ProtoReaderFactory(msg, fullMsg, filters, expectedQuery)
+      new ProtoReaderFactory(msg, fullMsg, filters, expectedQuery, hconf)
 
     override def commit(end: streaming.Offset): Unit = ()
     override def stop(): Unit = ()
@@ -193,20 +268,21 @@ object ProtoSource {
   private final case class ProtoFilePartition(file: String) extends InputPartition
 
   private final class ProtoReaderFactory(msg: PMessage, fullMsg: PMessage,
-      filters: Array[sources.Filter],
-      expectedQuery: Option[String]) extends PartitionReaderFactory {
+      filters: Array[sources.Filter], expectedQuery: Option[String],
+      hconf: SerializableHadoopConf) extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       new ProtoPartitionReader(
         partition.asInstanceOf[ProtoFilePartition].file, msg, fullMsg, filters,
-        expectedQuery)
+        expectedQuery, hconf.value)
   }
 
   private final class ProtoPartitionReader(file: String, msg: PMessage,
       fullMsg: PMessage, filters: Array[sources.Filter],
-      expectedQuery: Option[String]) extends PartitionReader[InternalRow] {
+      expectedQuery: Option[String], conf: Configuration)
+      extends PartitionReader[InternalRow] {
     private val schema = ProtoIngest.structTypeOf(msg)
     private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
-    private val stream = FileSystem.get(new java.net.URI(file), new Configuration())
+    private val stream = FileSystem.get(new java.net.URI(file), conf)
       .open(new HPath(file))
     private val lines = new java.io.BufferedReader(
       new java.io.InputStreamReader(stream, "UTF-8"))
@@ -239,6 +315,9 @@ object ProtoSource {
       }
 
     private var current: InternalRow = _
+    private var gated = 0L
+    private var emitted = 0L
+    private val prunedFields = (fullMsg.fields.size - msg.fields.size).toLong
 
     override def next(): Boolean = {
       var line = lines.readLine()
@@ -247,8 +326,10 @@ object ProtoSource {
         if (gate.forall(_(bytes))) {
           current = toCatalyst(ProtoIngest.decodeBytes(bytes, msg))
             .asInstanceOf[InternalRow]
+          emitted += 1
           return true
         }
+        gated += 1
         line = lines.readLine()
       }
       false
@@ -256,6 +337,10 @@ object ProtoSource {
 
     override def get(): InternalRow = current
     override def close(): Unit = lines.close()
+
+    override def currentMetricsValues(): Array[metric.CustomTaskMetric] = Array(
+      ProtoTaskMetric("rowsGated", gated),
+      ProtoTaskMetric("fieldsSkipped", emitted * prunedFields))
   }
 
   /** Conservative evaluator for pushed filters against a decoded gate row:
@@ -296,10 +381,36 @@ object ProtoSource {
 
     def references(f: Filter): Seq[String] = f.references.toSeq
 
+    private def integral(n: Number): Boolean = n match {
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+           _: java.lang.Byte => true
+      case _ => false
+    }
+
+    // Integral pairs compare as longs — int64 values >= 2^53 are not
+    // representable in double, and a lossy compare here SKIPS rows at the
+    // scan that the residual Spark filter never sees again (silent wrong
+    // results, not just wasted work). Mixed integral/fractional pairs
+    // compare exactly through BigDecimal (both conversions are exact);
+    // NaN sorts greater than everything, matching Spark's ordering.
     private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
       case (null, _) => None
+      case (a: Number, b: Number) if integral(a) && integral(b) =>
+        Some(java.lang.Long.compare(a.longValue(), b.longValue()))
       case (a: Number, b: Number) =>
-        Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+        (integral(a), integral(b)) match {
+          case (false, false) =>
+            Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+          case (true, false) =>
+            if (java.lang.Double.isNaN(b.doubleValue())) Some(-1)
+            else Some(java.math.BigDecimal.valueOf(a.longValue())
+              .compareTo(new java.math.BigDecimal(b.doubleValue())))
+          case (false, true) =>
+            if (java.lang.Double.isNaN(a.doubleValue())) Some(1)
+            else Some(new java.math.BigDecimal(a.doubleValue())
+              .compareTo(java.math.BigDecimal.valueOf(b.longValue())))
+          case _ => None // unreachable
+        }
       case (a: String, b: String) => Some(a.compareTo(b))
       case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
       case _ => None

@@ -57,6 +57,12 @@ object EventStream {
         col("event_type"), col("n"), col("sum_value"))
 
   final case class Event(event_id: Long, user_id: Long, epochUs: Long, value: Double)
+  /** [[Event]] plus the watermark column — the event-time-timeout checker
+    * requires the watermarked attribute to SURVIVE the projection feeding
+    * flatMapGroupsWithState.
+    */
+  final case class TimedEvent(event_id: Long, user_id: Long, epochUs: Long,
+      value: Double, event_time: java.sql.Timestamp)
   final case class Session(user_id: Long, session_start: String, n_events: Long,
       duration_sec: Double)
 
@@ -72,9 +78,10 @@ object EventStream {
     * without limit. The PRODUCTION path for continuous sessionization is
     * [[SparkEntry]] dq46's `session_window` aggregation: Catalyst merges
     * windows incrementally in the state store and the watermark both closes
-    * sessions and evicts state — no per-key accumulation. Use this hatch
-    * only for session logic `session_window` cannot express, and then with
-    * an event-time timeout and an explicit per-key cap.
+    * sessions and evicts state — no per-key accumulation. For session logic
+    * `session_window` cannot express on a CONTINUOUS stream, use
+    * [[sessionizeContinuous]] — same semantics plus event-time timeout and
+    * a per-key cap.
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 10): Dataset[Session] = {
     val spark = events.sparkSession
@@ -109,6 +116,95 @@ object EventStream {
               val sorted = s.reverse
               Session(user, fmt(sorted.head), sorted.size.toLong,
                 (sorted.last - sorted.head) / 1000000.0)
+            }
+          }
+      }
+  }
+
+  /** Continuous-safe sessionization — the same 10-minute-gap semantics as
+    * [[sessionize]], but with every safety valve an UNBOUNDED deployment
+    * needs:
+    *
+    *   - **watermark-driven emission**: a session is emitted once the
+    *     watermark passes its last event + gap (no on-time event can extend
+    *     it anymore) — append-mode, each session exactly once;
+    *   - **event-time timeout**: an idle key's state fires
+    *     `GroupStateTimeout.EventTimeTimeout` at (last event + gap), so the
+    *     open tail flushes and its state is evicted without waiting for the
+    *     key to ever speak again;
+    *   - **per-key cap**: a key buffering more than `maxBufferedPerKey`
+    *     timestamps force-flushes everything as sessions and resets —
+    *     pathological hot keys degrade to split sessions instead of OOM.
+    *
+    * State per key is only the OPEN tail (closed sessions leave state every
+    * batch), so steady-state memory is bounded by gap-window activity, not
+    * history. [[sessionize]] stays the bounded-input/batch-parity variant
+    * (it flushes open sessions at end of input, which a true stream cannot
+    * know to do); prefer `session_window` (dq46) when the per-session
+    * aggregate is expressible declaratively.
+    */
+  def sessionizeContinuous(events: DataFrame, gapMinutes: Int = 10,
+      watermarkDelay: String = "10 minutes",
+      maxBufferedPerKey: Int = 100000): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+
+    val typed = events
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("epochUs"), col("value"), col("event_time"))
+      .as[TimedEvent]
+
+    def fmt(us: Long): String =
+      java.time.Instant.ofEpochSecond(us / 1000000L).atZone(java.time.ZoneOffset.UTC)
+        .toLocalDateTime.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+    // split sorted timestamps into sessions on > gap
+    def split(ts: List[Long]): List[List[Long]] =
+      if (ts.isEmpty) Nil
+      else ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+        if (t - acc.head.head <= gapUs) (t :: acc.head) :: acc.tail
+        else List(t) :: acc
+      }.map(_.reverse).reverse
+
+    def emit(user: Long, sessions: List[List[Long]]): Iterator[Session] =
+      sessions.iterator.map { s =>
+        Session(user, fmt(s.head), s.size.toLong, (s.last - s.head) / 1000000.0)
+      }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, events: Iterator[TimedEvent], state: GroupState[List[Long]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed (last event + gap) with no new data: every
+            // buffered session is closed — flush and evict
+            val ts = state.getOption.getOrElse(Nil).sorted
+            state.remove()
+            emit(user, split(ts))
+          } else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val buf = (state.getOption.getOrElse(Nil) ++ events.map(_.epochUs))
+              .sorted
+            val sessions = split(buf)
+            if (buf.size > maxBufferedPerKey) {
+              // cap breached: force-flush (documented split-session behavior)
+              state.remove()
+              emit(user, sessions)
+            } else {
+              val (closed, open) =
+                sessions.partition(s => s.last + gapUs < wmUs)
+              val kept = open.flatten
+              if (kept.isEmpty) state.remove()
+              else {
+                state.update(kept)
+                // strictly above the watermark by construction (kept means
+                // last + gap >= wm); +1ms for the boundary equality
+                state.setTimeoutTimestamp((kept.max + gapUs) / 1000L + 1L)
+              }
+              emit(user, closed)
             }
           }
       }

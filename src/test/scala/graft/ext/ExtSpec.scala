@@ -87,6 +87,13 @@ class ExtSpec extends GraftSpec {
       Seq("zzz qqq xxx").toDF("t")
         .select(TextAnalysis.languageId($"t")).as[String].head() shouldBe "und"
     }
+    it("chunks: empty and null documents produce zero chunks (oracle range semantics)") {
+      val df = Seq((1L, "abcdef"), (2L, ""), (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.chunks(df, "doc_id", "text", size = 4, stride = 3)
+        .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      got shouldBe Seq((1L, 0L, "abcd"), (1L, 1L, "def"))
+    }
     it("qualityColumns are bounded and deterministic") {
       val cols = TextAnalysis.qualityColumns($"t").map { case (n, c) => c.as(n) }
       val r = Seq("The quick brown fox jumps over the lazy dog.").toDF("t")

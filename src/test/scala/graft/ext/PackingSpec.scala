@@ -34,6 +34,18 @@ class PackingSpec extends GraftSpec {
         ("b", 1L, 0L), ("b", 2L, 0L))
     }
 
+    it("preserves the group and id column types (no string cast in the output)") {
+      val df = Seq((10, java.sql.Date.valueOf("2024-01-01"), 6L),
+        (10, java.sql.Date.valueOf("2024-01-02"), 6L))
+        .toDF("grp", "day", "n")
+      val out = Packing.packGreedy(df, "grp", "day", "n", capacity = 10)
+      out.schema("grp").dataType shouldBe org.apache.spark.sql.types.IntegerType
+      out.schema("day").dataType shouldBe org.apache.spark.sql.types.DateType
+      out.as[(Int, java.sql.Date, Long)].collect().sortBy(_._2.toString).toSeq shouldBe
+        Seq((10, java.sql.Date.valueOf("2024-01-01"), 0L),
+          (10, java.sql.Date.valueOf("2024-01-02"), 1L))
+    }
+
     it("an exact-capacity fit stays in the bin (strict-overflow boundary)") {
       val got = pack(Seq(("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 1L)),
         cap = 10)

@@ -82,6 +82,38 @@ class ProtoSourceSpec extends GraftSpec {
       (6L to 9L).map(i => (i, s"row_$i"))
   }
 
+  it("emits skipped-work evidence metrics: rowsGated counts gate-rejected " +
+     "rows, fieldsSkipped counts pruned field decodes") {
+    val df = read.load(dir).filter(col("impressions") > 500).select("id")
+    df.collect().length shouldBe 4
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .find(_.getClass.getSimpleName == "BatchScanExec")
+      .getOrElse(fail("no BatchScanExec in plan"))
+    // ids 1..5 fail impressions>500 at the gate — their full decode never ran
+    scan.metrics("rowsGated").value shouldBe 5
+    // scan reads (id, impressions) of the 4-field message → 2 fields wire-
+    // skipped per emitted row × 4 emitted rows
+    scan.metrics("fieldsSkipped").value shouldBe 8
+  }
+
+  it("gates on int64 values beyond 2^53 without double-precision loss") {
+    val d = java.nio.file.Files.createTempDirectory("graft-proto-bigid")
+    val b64 = java.util.Base64.getEncoder
+    val big = (1L << 53) // 9007199254740992; +1 is not representable in double
+    def encId(id: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      varint(out, 8); varint(out, id)
+      out.toByteArray
+    }
+    val lines = b64.encodeToString(query.getBytes("UTF-8")) +:
+      Seq(big, big + 1, big + 2).map(id => b64.encodeToString(encId(id)))
+    java.nio.file.Files.write(d.resolve("c.txt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    // double rounds big+1 down to big, so a lossy gate would reject it
+    read.load(d.toString).filter(col("id") > big)
+      .select("id").as[Long].collect().sorted shouldBe Seq(big + 1, big + 2)
+  }
+
   it("gates on enum symbols and conjunctions; unsupported filters still " +
      "evaluate above the scan") {
     val df = read.load(dir)

@@ -32,6 +32,70 @@ class EventStreamSpec extends GraftSpec {
     }
   }
 
+  describe("sessionizeContinuous (event-time timeout + per-key cap)") {
+    import org.apache.spark.sql.streaming.Trigger
+
+    def runStream(in: String, out: String,
+        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_]): Unit = {
+      val events = spark.readStream
+        .schema(EventStream.eventsSchema)
+        .option("maxFilesPerTrigger", "1") // one file per micro-batch
+        .parquet(s"$in/*")
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      val q = f(events).toDF().writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    def writeBatch(dir: String, name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      rows.map { case (id, t, u) => (id, t * us, u, "click", 1.0, "") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", $"ts" * 1000)
+        .coalesce(1) // ONE file → one data micro-batch, deterministic order
+        .write.parquet(s"$dir/$name.parquet")
+      ()
+    }
+
+    it("flushes an idle key via the event-time timeout; open sessions are " +
+       "not emitted") {
+      val base = java.nio.file.Files.createTempDirectory("graft-sess-cont").toString
+      // user 1 at t=1h,1h+30s; user 2 at t=1h+5000s drives the watermark to
+      // 1h+5000s after the data batch. AvailableNow then runs the timeout
+      // batch (stateful ops request it after a watermark advance): user 1's
+      // timeout (last event + 10 min = 1h+630s << watermark) fires with no
+      // new data, flushing its session; user 2's open session stays in state
+      writeBatch(s"$base/in", "f1",
+        Seq((1L, 3600L, 1L), (2L, 3630L, 1L), (3L, 8600L, 2L)))
+      runStream(s"$base/in", s"$base/out",
+        ev => EventStream.sessionizeContinuous(ev, gapMinutes = 10,
+          watermarkDelay = "0 seconds"))
+      val got = spark.read.parquet(s"$base/out/data")
+        .as[EventStream.Session].collect().toSeq
+      got.map(s => (s.user_id, s.n_events, s.duration_sec)) shouldBe
+        Seq((1L, 2L, 30.0))
+      got.head.session_start shouldBe "1970-01-01 01:00:00"
+    }
+
+    it("force-flushes a key that exceeds the per-key buffer cap") {
+      val base = java.nio.file.Files.createTempDirectory("graft-sess-cap").toString
+      // 3 events within the gap — buffer of 3 > cap of 2 → forced flush even
+      // though the session is not watermark-closed
+      writeBatch(s"$base/in", "f1",
+        Seq((1L, 3600L, 1L), (2L, 3610L, 1L), (3L, 3620L, 1L)))
+      runStream(s"$base/in", s"$base/out",
+        ev => EventStream.sessionizeContinuous(ev, gapMinutes = 10,
+          watermarkDelay = "0 seconds", maxBufferedPerKey = 2))
+      val got = spark.read.parquet(s"$base/out/data")
+        .as[EventStream.Session].collect().toSeq
+      got.map(s => (s.user_id, s.n_events, s.duration_sec)) shouldBe
+        Seq((1L, 3L, 20.0))
+    }
+  }
+
   describe("hourlyTypeCounts") {
     it("tumbling hourly windows per type") {
       val r = EventStream.hourlyTypeCounts(events)
