@@ -102,6 +102,61 @@ object Bench {
         Some(graft.io.LayoutProbe.zorderFileSkip(spark, sfDir, m = 10).json)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq63 evidence failed: ${e.getMessage}"); None
+      },
+      //  - proto source: rowsGated / fieldsSkipped runtime task metrics
+      //    from the DSv2 scan over a synthetic replay cache — proof the
+      //    two-phase row gate skips full decodes and descriptor pruning
+      //    skips field decodes (not just that the plan promised to).
+      try {
+        import graft.io.ProtoIngest._
+        val msg = PMessage("bench_row", Seq(
+          PField(1, "id", PInt64),
+          PField(2, "name", PString),
+          PField(3, "impressions", PInt64),
+          PField(4, "score", PDouble)))
+        def enc(id: Long): Array[Byte] = {
+          val out = new java.io.ByteArrayOutputStream()
+          def varint(v0: Long): Unit = {
+            var v = v0
+            while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+            out.write(v.toInt)
+          }
+          varint(8); varint(id)
+          val n = s"row_$id".getBytes("UTF-8")
+          varint(18); varint(n.length); out.write(n, 0, n.length)
+          varint(24); varint(id % 1000)
+          varint(33)
+          val bits = java.lang.Double.doubleToLongBits(id * 0.5)
+          (0 until 8).foreach(i => out.write(((bits >>> (8 * i)) & 0xff).toInt))
+          out.toByteArray
+        }
+        val rows = 100000
+        val d = java.nio.file.Files.createTempDirectory("graft-bench-proto")
+        val b64 = java.util.Base64.getEncoder
+        val w = java.nio.file.Files.newBufferedWriter(d.resolve("c0.txt"))
+        w.write(b64.encodeToString("bench".getBytes("UTF-8")))
+        (0 until rows).foreach { i =>
+          w.newLine(); w.write(b64.encodeToString(enc(i.toLong)))
+        }
+        w.close()
+        graft.io.ProtoSource.registerDescriptor("bench_row", msg)
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val q = spark.read.format("graft.io.ProtoSource")
+          .option("descriptor", "bench_row").load(d.toString)
+          .filter(col("impressions") >= 900) // gates 90% of rows
+          .select("id")
+          .agg(count(lit(1)))
+        q.collect() // NOT head(): head() plans a separate limited execution
+                    // and THIS queryExecution would never run (no metrics)
+        val scan = graft.plans.PlanWalk
+          .collectAll(q.queryExecution.executedPlan) {
+            case b if b.getClass.getSimpleName == "BatchScanExec" => b
+          }.head
+        val gated = scan.metrics("rowsGated").value
+        val skipped = scan.metrics("fieldsSkipped").value
+        Some(s""""proto_rows":$rows,"proto_rows_gated":$gated,"proto_fields_skipped":$skipped""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] proto evidence failed: ${e.getMessage}"); None
       }
     ).flatten
     val evidence: String =

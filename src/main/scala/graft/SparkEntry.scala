@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.plan.{FieldOrdering, MappingNode, Translator}
 import graft.plan.MappingNode.{Constant, Message, Scalar}
-import graft.ext.{Ann, AsOfJoin, ConnectedComponents, Dedup, IvfIndex, MinHashLSH, Multimodal, RangeJoin, SimHash, TextAnalysis}
+import graft.ext.{Ann, AsOfJoin, ConnectedComponents, Decontamination, Dedup, IvfIndex, MinHashLSH, Multimodal, RangeJoin, Sampling, SimHash, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.VectorFunctions
 
@@ -907,6 +907,42 @@ object SparkEntry {
       .orderBy("source", "bin")
   }
 
+  /** DQ67 (EXT): benchmark decontamination
+    * (`ext.Decontamination.contaminationReport`) — training docs sharing
+    * any word 4-gram with the eval slice (doc_id % 97 == 0); eval grams
+    * broadcast, corpus scanned once, bodies never shuffle. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Decontamination.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+  }
+
+  /** DQ68 (EXT): weighted source mixing
+    * (`ext.Sampling.stratifiedPortable`) — per-source keep rates
+    * (1.0 / 0.5 / 0.1 by source index mod 3) through the engine-portable
+    * md5 gate; the report is the post-mix source histogram. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val rates = (0 to 19).map(i => s"src$i" -> (i % 3 match {
+      case 0 => 1.0
+      case 1 => 0.5
+      case _ => 0.1
+    })).toMap
+    Sampling.stratifiedPortable(t(s, dir, "documents"), "source", "doc_id", rates)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_doc"))
+      .orderBy("source")
+  }
+
+  /** DQ69 (EXT): most distinctive term per document
+    * (`ext.TextAnalysis.topTfIdfTerm`) — rational-idf TF-IDF argmax,
+    * bit-portable (no log); two keyed aggregations + a vocabulary join. */
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTfIdfTerm(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -974,7 +1010,10 @@ object SparkEntry {
     "dq63_zorder_band"         -> (q63 _),
     "dq64_repetition_ratio"    -> (q64 _),
     "dq65_chunking"            -> (q65 _),
-    "dq66_sequence_packing"    -> (q66 _)
+    "dq66_sequence_packing"    -> (q66 _),
+    "dq67_decontamination"     -> (q67 _),
+    "dq68_source_mix"          -> (q68 _),
+    "dq69_tfidf_top_term"      -> (q69 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1522,6 +1561,40 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq67_decontamination" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+        |    i -> array_to_string(toks[i:i+3], ' ')))) AS gram
+        |  FROM t WHERE len(toks) >= 4),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
+        |FROM g JOIN e USING (gram)
+        |WHERE g.doc_id % 97 != 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "dq68_source_mix" ->
+      """WITH gated AS (SELECT source, doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT % 1000000 g,
+        |    CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 3 tier
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc
+        |FROM gated
+        |WHERE g < CASE tier WHEN 0 THEN 1000000 WHEN 1 THEN 500000 ELSE 100000 END
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "dq69_tfidf_top_term" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)) term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term) rn
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, score FROM s WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dq66_sequence_packing" ->
       """WITH RECURSIVE d AS (
         |  SELECT source, doc_id, n_chars,

@@ -67,6 +67,22 @@ object Sampling {
       md5(concat(keyCol.cast("string"), lit(":" + seed))), 1, 8), 16, 10)
       .cast("long"), lit(M))
 
+  /** [[stratifiedByKeyHash]] with the CROSS-ENGINE portable gate — the
+    * source-mixing primitive: down-weight overrepresented sources (or
+    * up-weight rare ones toward a target mixture) with membership that any
+    * engine re-derives bit-for-bit. Strata missing from `fractions` are
+    * dropped.
+    */
+  def stratifiedPortable(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val bound = fractions.foldLeft(lit(-1L)) { case (acc, (stratum, f)) =>
+      when(col(strataCol) === lit(stratum), lit((f * M).toLong)).otherwise(acc)
+    }
+    df.filter(gatePortable(col(keyCol), seed) < bound)
+  }
+
   /** Split label ('train' / 'validation' / 'test') from the portable gate —
     * the labeled-column form of [[split]] for engine-portable lineage.
     */

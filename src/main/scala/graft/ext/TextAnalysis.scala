@@ -174,6 +174,35 @@ object TextAnalysis {
         col(textCol).substr(col("__p"), lit(size)).as("chunk"))
   }
 
+  /** Most distinctive term per document — TF-IDF with a RATIONAL idf:
+    * score = tf · N / df instead of tf · log(N/df). The log variant is the
+    * textbook weighting, but `ln` is not guaranteed bit-identical across
+    * engines' libm, while integer multiply + one double division is — so
+    * this ranking hash-matches the DuckDB oracle at full precision. (The
+    * rational idf weights rarity more aggressively than log-idf; for the
+    * "most distinctive term" argmax both favor rare terms, and this one is
+    * exactly reproducible.)
+    *
+    * Shape at 100 TB: explode → (doc, term) aggregation with map-side
+    * partials; doc-frequency is a second vocabulary-sized aggregation; the
+    * corpus-size literal joins as a broadcast 1-row frame (no driver
+    * action); the final top-1 is a per-doc window. Document bodies never
+    * shuffle — (doc_id, term) pairs do.
+    */
+  def topTfIdfTerm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        ((col("__tf") * col("__n")).cast("double") / col("__df")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(idCol, "term", "score")
+  }
+
   /** Letter-frequency Gini impurity, 1 − Σ (cₗ/n)² over a-z — a character-
     * diversity quality signal (near 0 = one repeated letter, ~0.96 = all 26
     * uniform). Deliberately Gini rather than Shannon entropy: `ln` is not

@@ -94,6 +94,15 @@ class ExtSpec extends GraftSpec {
         .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
       got shouldBe Seq((1L, 0L, "abcd"), (1L, 1L, "def"))
     }
+    it("topTfIdfTerm picks the rarest-weighted term with deterministic ties") {
+      val df = Seq(
+        (1L, "common rare common"),  // tf(common)=2 df=2 N=2 → 2; tf(rare)=1 df=1 → 2; tie → 'common' (asc)
+        (2L, "common unique")        // unique: 1*2/1=2 beats common 1*2/2=1
+      ).toDF("doc_id", "text")
+      val got = TextAnalysis.topTfIdfTerm(df, "doc_id", "text")
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+      got shouldBe Seq((1L, "common", 2.0), (2L, "unique", 2.0))
+    }
     it("qualityColumns are bounded and deterministic") {
       val cols = TextAnalysis.qualityColumns($"t").map { case (n, c) => c.as(n) }
       val r = Seq("The quick brown fox jumps over the lazy dog.").toDF("t")

@@ -34,6 +34,24 @@ class SamplingSpec extends GraftSpec {
     kept.count() shouldBe docs.filter($"source" === s0).count()
   }
 
+  it("stratifiedPortable mixes sources by rate through the md5 gate — " +
+     "layout independent, full-rate strata intact, unlisted strata dropped") {
+    val sources = docs.select("source").distinct().as[String].collect().sorted
+    val (keepAll, half) = (sources.head, sources(1))
+    val fr = Map(keepAll -> 1.0, half -> 0.5)
+    val kept = Sampling.stratifiedPortable(docs, "source", "doc_id", fr)
+    kept.filter($"source" === keepAll).count() shouldBe
+      docs.filter($"source" === keepAll).count()
+    val halfKept = kept.filter($"source" === half).count().toDouble
+    val halfAll = docs.filter($"source" === half).count().toDouble
+    halfKept / halfAll shouldBe 0.5 +- 0.25
+    kept.filter(!$"source".isin(keepAll, half)).count() shouldBe 0
+    // layout independence: same membership after a repartition
+    val again = Sampling.stratifiedPortable(docs.repartition(7), "source", "doc_id", fr)
+      .select("doc_id").as[Long].collect().sorted
+    again shouldBe kept.select("doc_id").as[Long].collect().sorted
+  }
+
   it("split is a disjoint, exhaustive partition of the keys") {
     val (tr, va, te) = Sampling.split(docs, "doc_id", 0.7, 0.2)
     val n = docs.count()
