@@ -943,6 +943,20 @@ object SparkEntry {
     TextAnalysis.topTfIdfTerm(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** DQ70: config-driven report (`plan.ReportConfig`) — the reference
+    * runner's declare-a-report-in-config workflow (Main.scala:28-39,146),
+    * oracle-gated: table + fields + WHERE parsed from a JSON literal and
+    * executed as one declarative plan. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val report = plan.ReportConfig.parse(
+      """{
+        |  "table": "customer",
+        |  "fields": ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+        |  "where": "c_acctbal > 9000 AND c_mktsegment = 'BUILDING'"
+        |}""".stripMargin)
+    report.run(s, dir).orderBy("c_custkey")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1013,7 +1027,8 @@ object SparkEntry {
     "dq66_sequence_packing"    -> (q66 _),
     "dq67_decontamination"     -> (q67 _),
     "dq68_source_mix"          -> (q68 _),
-    "dq69_tfidf_top_term"      -> (q69 _)
+    "dq69_tfidf_top_term"      -> (q69 _),
+    "dq70_config_report"       -> (q70 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1561,6 +1576,11 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq70_config_report" ->
+      """SELECT c_acctbal, c_custkey, c_mktsegment, c_name
+        |FROM customer
+        |WHERE c_acctbal > 9000 AND c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
     "dq67_decontamination" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) toks

@@ -21,10 +21,20 @@ object Decontamination {
 
   /** Distinct lowercase word n-grams of `text` (empty array when the
     * document has fewer than `n` tokens).
+    *
+    * Convenience form — inside the gram lambda the tokenizer subtree is
+    * re-evaluated PER POSITION (HOF lambdas run interpreted; no
+    * common-subexpression elimination), so for anything beyond a one-off,
+    * project the tokens to their own column and use
+    * [[wordNgramsFromTokens]] (that's what [[contaminationReport]] does —
+    * it was measured 5× slower inline).
     */
-  def wordNgrams(text: Column, n: Int): Column = {
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsFromTokens(TextAnalysis.tokens(text), n)
+
+  /** [[wordNgrams]] over a pre-projected token-array column. */
+  def wordNgramsFromTokens(toks: Column, n: Int): Column = {
     require(n >= 1, "n must be positive")
-    val toks = TextAnalysis.tokens(text)
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
@@ -37,10 +47,13 @@ object Decontamination {
     */
   def contaminationReport(train: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
-    val tg = train.select(col(idCol),
-      explode(wordNgrams(col(textCol), n)).as("__gram"))
-    val eg = evalSet.select(explode(wordNgrams(col(textCol), n)).as("__gram"))
-      .distinct()
+    // tokens materialize as their own projection below the Generate, so the
+    // regex tokenizer runs once per DOCUMENT, not once per gram position
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
+        .select(cols :+ explode(wordNgramsFromTokens(col("__toks"), n)).as("__gram"): _*)
+    val tg = grams(train, col(idCol))
+    val eg = grams(evalSet).distinct()
     tg.join(broadcast(eg), "__gram")
       .groupBy(idCol)
       .agg(count_distinct(col("__gram")).as("n_shared"))

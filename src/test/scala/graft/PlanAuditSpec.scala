@@ -67,6 +67,29 @@ class PlanAuditSpec extends GraftSpec {
     p should include("__bucket")      // joined on the derived bucket key
   }
 
+  it("decontamination (dq67) broadcasts the eval grams — the corpus side " +
+     "never shuffles its exploded grams to a join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ext.Decontamination.contaminationReport(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 4)
+    val p = physical(df)
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  it("tfidf top term (dq69) pre-aggregates map-side and joins the corpus " +
+     "size as a broadcast 1-row frame (no driver action)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.ext.TextAnalysis.topTfIdfTerm(docs, "doc_id", "text")
+    val p = physical(df)
+    // tf and df aggregations each partial+final
+    "HashAggregate".r.findAllIn(p).size should be >= 4
+    // corpus count enters as a broadcast single-row cross join
+    p should include("BroadcastNestedLoopJoin BuildRight, Cross")
+  }
+
   it("as-of join is one hash shuffle on the key (union+window, no range blowup)") {
     import spark.implicits._
     val clicks = Seq((1L, 10L, 100L)).toDF("event_id", "user_id", "t")
