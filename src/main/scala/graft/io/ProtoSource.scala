@@ -223,15 +223,37 @@ object ProtoSource {
       extends streaming.MicroBatchStream {
 
     // every file path this stream instance has ever listed (null until the
-    // first planning call establishes the baseline). A file that shows up
-    // LATER sorting at-or-below a batch start would be silently skipped by
-    // name-range batching — that's the contract violation we fail fast on.
+    // first listing establishes the baseline). A file that shows up LATER
+    // sorting at-or-below an already-reported offset is INVISIBLE to
+    // name-range batching (latestOffset = max name doesn't change, so no
+    // batch is even planned) — silent data loss. Every listing therefore
+    // checks new files against the prior watermark and fails fast.
     // Size ∝ cache file count (one file per reference fetch), not data.
     private var seen: Set[String] = null
 
+    /** Register a listing; returns files that violate the append-only
+      * monotonic-naming contract (new, but sorting at-or-below `bound`).
+      */
+    private def observe(files: Seq[String], bound: Set[String] => String)
+        : Seq[String] = synchronized {
+      val prior = seen
+      seen = if (prior == null) files.toSet else prior ++ files
+      if (prior == null || prior.isEmpty) Nil // restart/first-listing baseline
+      else files.filterNot(prior.contains).filter(_ <= bound(prior))
+    }
+
+    private def failLate(late: Seq[String], bound: String): Nothing =
+      throw new IllegalStateException(
+        s"proto cache file(s) ${late.mkString(", ")} appeared at-or-below " +
+          s"'$bound' — non-monotonic naming breaks exactly-once delivery")
+
     override def initialOffset(): streaming.Offset = ProtoOffset("")
-    override def latestOffset(): streaming.Offset =
-      ProtoOffset(listCacheFiles(path, hconf.value).lastOption.getOrElse(""))
+    override def latestOffset(): streaming.Offset = {
+      val files = listCacheFiles(path, hconf.value)
+      val late = observe(files, _.max)
+      if (late.nonEmpty) failLate(late, "the last reported offset")
+      ProtoOffset(files.lastOption.getOrElse(""))
+    }
     override def deserializeOffset(json: String): streaming.Offset =
       ProtoOffset(json)
 
@@ -244,16 +266,9 @@ object ProtoSource {
         throw new IllegalStateException(
           s"proto cache offset file '$e' disappeared from $path — " +
             "the cache is not append-only; cannot guarantee exactly-once")
-      val late = synchronized {
-        val prior = seen
-        seen = if (prior == null) files.toSet else prior ++ files
-        if (prior == null) Nil // restart baseline: checkpoint vouches for <= s
-        else files.filterNot(prior.contains).filter(_ <= s)
-      }
-      if (late.nonEmpty)
-        throw new IllegalStateException(
-          s"proto cache file(s) ${late.mkString(", ")} appeared at-or-below " +
-            s"the consumed offset '$s' — non-monotonic naming breaks exactly-once")
+      // catches the listing race between latestOffset and here
+      val late = observe(files, _ => s)
+      if (late.nonEmpty) failLate(late, s"the consumed offset '$s'")
       files.filter(f => f > s && f <= e)
         .map(f => ProtoFilePartition(f): InputPartition).toArray
     }

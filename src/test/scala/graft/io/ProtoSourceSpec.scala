@@ -161,6 +161,39 @@ class ProtoSourceSpec extends GraftSpec {
     spark.read.parquet(s"$out/data").count() shouldBe 3
   }
 
+  it("fails fast when a file appears BELOW the consumed offset (non-" +
+     "monotonic naming breaks exactly-once, and must not be silent)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-proto-nonmono")
+    val out = java.nio.file.Files.createTempDirectory("graft-proto-nonmono-out")
+    val b64 = java.util.Base64.getEncoder
+    def writeCache(name: String, ids: Seq[Long]): Unit = {
+      val lines = b64.encodeToString(query.getBytes("UTF-8")) +:
+        ids.map(id => b64.encodeToString(enc(id)))
+      java.nio.file.Files.write(d.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+      ()
+    }
+    writeCache("c5.txt", Seq(1L))
+    ProtoSource.registerDescriptor("ads_row", msg)
+    val q = spark.readStream.format("graft.io.ProtoSource")
+      .option("descriptor", "ads_row")
+      .load(d.toString)
+      .select("id")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try {
+      q.processAllAvailable() // batch 1 consumes c5.txt; offset = ...c5.txt
+      // a LATE file sorting below the consumed offset: name-range batching
+      // would silently skip it — the stream must fail instead
+      writeCache("c1.txt", Seq(2L))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      ex.getMessage should include("non-monotonic")
+    } finally q.stop()
+  }
+
   it("enforces the S2 cache-validity rule: mismatched query → refetch error") {
     read.option("expectedQuery", query).load(dir).count() shouldBe 9
     val ex = intercept[Exception] {
