@@ -150,6 +150,32 @@ object ScaleProbe {
         df.unpersist()
       }
     }
+    // Decontamination probe: gram volume grows linearly with the corpus and
+    // the eval side stays a broadcast — the claim is linear scaling with NO
+    // train×eval pair blowup at any size.
+    if (sys.env.get("SCALE_DECON").contains("1")) {
+      for (m <- Seq(1, 10)) {
+        val df = base.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              (t, i) => when(i % 5 === 0, concat(t, lit("v"), col("rep"))).otherwise(t)), " ")
+              .as("text"))
+          .cache()
+        val n = df.count()
+        val evalSet = df.filter(col("doc_id") % 97 === 0)
+        val train = df.filter(col("doc_id") % 97 =!= 0)
+        val t0 = System.nanoTime()
+        val contaminated = graft.ext.Decontamination
+          .contaminationReport(train, evalSet, "doc_id", "text", n = 8).count()
+        val t1 = System.nanoTime()
+        val clean = graft.ext.Decontamination
+          .decontaminate(train, evalSet, "doc_id", "text", n = 8).count()
+        val t2 = System.nanoTime()
+        println(f"""{"probe":"decon","docs":$n,"contaminated":$contaminated,"report_sec":${(t1 - t0) / 1e9}%.1f,"clean_docs":$clean,"decon_sec":${(t2 - t1) / 1e9}%.1f}""")
+        df.unpersist()
+        ()
+      }
+    }
     // Z-order file-skip probe: the second-dimension band against the
     // z-ordered layout vs a first-key-sorted baseline at m× data — files
     // whose min/max extent intersects the band are the files a pruning

@@ -23,6 +23,19 @@ object AvroSchemas {
   val EnumNameKey = "graft.enum.name"
   /** Column-metadata key: enum symbols in descriptor number order. */
   val EnumSymbolsKey = "graft.enum.symbols"
+  /** Column-metadata key: the proto MESSAGE type's name for a struct
+    * column — the written Avro record then keeps the proto type name
+    * instead of a path-derived one, and nests its namespace under the
+    * enclosing record (the avro-protobuf `ProtobufData` naming convention
+    * the reference delegates to, ProtoMessageToAvroMappings.scala:51-53).
+    */
+  val RecordNameKey = "graft.record.name"
+
+  /** Metadata naming a struct column's Avro record after its proto message
+    * type.
+    */
+  def recordMetadata(messageName: String): Metadata =
+    new MetadataBuilder().putString(RecordNameKey, messageName).build()
 
   /** Metadata marking a string column as a named enum. */
   def enumMetadata(name: String, symbols: Seq[String]): Metadata =
@@ -43,8 +56,11 @@ object AvroSchemas {
     record(schema, recordName, namespace)
 
   private def record(st: StructType, name: String, ns: String): Schema = {
+    // nested named types live under the enclosing record's namespace
+    // (ProtobufData convention: package.Outer for types nested in Outer)
+    val childNs = s"$ns.$name"
     val fields = st.fields.map { f =>
-      val base = fieldType(f.dataType, s"${name}_${f.name}", ns, f.metadata)
+      val base = fieldType(f.dataType, s"${name}_${f.name}", childNs, f.metadata)
       if (f.nullable) {
         val union = Schema.createUnion(List(Schema.create(Schema.Type.NULL), base).asJava)
         new Schema.Field(f.name, union, null, Schema.Field.NULL_DEFAULT_VALUE)
@@ -72,7 +88,10 @@ object AvroSchemas {
     case DateType            => Schema.create(Schema.Type.STRING) // ISO string, GAQL-style
     case TimestampType       => Schema.create(Schema.Type.STRING)
     case d: DecimalType      => Schema.create(Schema.Type.STRING)
-    case st: StructType      => record(st, name, ns)
+    case st: StructType      =>
+      val recName =
+        if (md.contains(RecordNameKey)) md.getString(RecordNameKey) else name
+      record(st, recName, ns)
     case ArrayType(e, containsNull) =>
       val el = fieldType(e, name, ns, md) // repeated enum → array(enum) (:231,:244)
       Schema.createArray(

@@ -137,6 +137,7 @@ object ProtoIngest {
     val metadata = f.ptype match {
       case PEnum(symbols, name) =>
         AvroSchemas.enumMetadata(name, symbols.toSeq.sortBy(_._1).map(_._2))
+      case PNested(m) => AvroSchemas.recordMetadata(m.name)
       case _ => Metadata.empty
     }
     StructField(f.name, dt, nullable, metadata)

@@ -91,6 +91,22 @@ class IoSpec extends GraftSpec {
       en.getName shouldBe "StatusEnum"
       en.getEnumSymbols.toArray.toSeq shouldBe Seq("UNKNOWN", "OK")
     }
+    it("nested messages keep their proto type name and nest the namespace " +
+       "under the enclosing record (ProtobufData naming convention)") {
+      import ProtoIngest._
+      val msg = PMessage("AdsRow", Seq(
+        PField(1, "campaign", PNested(PMessage("Campaign", Seq(
+          PField(1, "id", PInt64),
+          PField(2, "status", PEnum(Map(0 -> "UNKNOWN"), "Status"))))))))
+      val avro = AvroSchemas.toAvro(structTypeOf(msg), "AdsRow")
+      avro.getFullName shouldBe "graft.AdsRow"
+      val campaign = avro.getField("campaign").schema().getTypes.get(1)
+      campaign.getType shouldBe Schema.Type.RECORD
+      campaign.getName shouldBe "Campaign"        // proto type name, not a path
+      campaign.getNamespace shouldBe "graft.AdsRow"
+      val status = campaign.getField("status").schema().getTypes.get(1)
+      status.getFullName shouldBe "graft.AdsRow.Campaign.Status"
+    }
   }
 
   describe("AvroSink (Main.scala:205-217)") {
