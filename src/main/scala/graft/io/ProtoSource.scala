@@ -97,12 +97,19 @@ object ProtoSource {
   private final class ProtoScanBuilder(msg: PMessage, path: String,
       expectedQuery: Option[String])
       extends ScanBuilder with SupportsPushDownRequiredColumns
-      with SupportsPushDownFilters {
+      with SupportsPushDownFilters with SupportsPushDownLimit {
     private var required: StructType = ProtoIngest.structTypeOf(msg)
     private var pushed: Array[sources.Filter] = Array.empty
+    private var limit: Int = -1
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
+
+    // PARTIAL push: each partition reader stops decoding after `limit`
+    // emitted rows (post-gate), but partitions are independent, so Spark
+    // keeps its global limit above the scan
+    override def pushLimit(l: Int): Boolean = { limit = l; true }
+    override def isPartiallyPushed(): Boolean = true
 
     override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
       // accept filters the row-gate can evaluate; Spark re-evaluates every
@@ -122,7 +129,7 @@ object ProtoSource {
       // carries configured fs credentials the executors cannot re-derive
       val hconf = new SerializableHadoopConf(
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-      new ProtoScan(pruned, msg, pushed, path, expectedQuery, hconf)
+      new ProtoScan(pruned, msg, pushed, path, expectedQuery, hconf, limit)
     }
   }
 
@@ -178,22 +185,43 @@ object ProtoSource {
 
   private final class ProtoScan(msg: PMessage, fullMsg: PMessage,
       filters: Array[sources.Filter], path: String,
-      expectedQuery: Option[String], hconf: SerializableHadoopConf)
-      extends Scan with Batch {
+      expectedQuery: Option[String], hconf: SerializableHadoopConf,
+      limit: Int)
+      extends Scan with Batch with SupportsReportStatistics {
     override def readSchema(): StructType = ProtoIngest.structTypeOf(msg)
     override def toBatch: Batch = this
     override def description(): String =
       s"graft-proto ${msg.name} ReadFields: [${msg.fields.map(_.name).mkString(", ")}]" +
-        s" PushedRowGate: [${filters.mkString(", ")}]"
+        s" PushedRowGate: [${filters.mkString(", ")}]" +
+        (if (limit >= 0) s" PushedLimit: $limit" else "")
     override def supportedCustomMetrics(): Array[metric.CustomMetric] =
       Array(new RowsGatedMetric, new FieldsSkippedMetric)
+
+    /** Size from the cache listing: base64 inflates payloads 4/3, so the
+      * decoded relation is ~3/4 of the file bytes. Reporting it lets the
+      * optimizer make broadcast/AQE decisions for proto scans instead of
+      * assuming `defaultSizeInBytes` (which disables broadcasting).
+      */
+    override def estimateStatistics(): Statistics = new Statistics {
+      private val bytes =
+        try {
+          val fs = FileSystem.get(new java.net.URI(path), hconf.value)
+          listCacheFiles(path, hconf.value)
+            .map(f => fs.getFileStatus(new HPath(f)).getLen).sum
+        } catch { case _: Exception => -1L }
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (bytes < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(math.max(1L, bytes * 3 / 4))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
     override def planInputPartitions(): Array[InputPartition] =
       listCacheFiles(path, hconf.value)
         .map(f => ProtoFilePartition(f): InputPartition).toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new ProtoReaderFactory(msg, fullMsg, filters, expectedQuery, hconf)
+      new ProtoReaderFactory(msg, fullMsg, filters, expectedQuery, hconf, limit)
 
     override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
       new ProtoMicroBatchStream(msg, fullMsg, filters, path, expectedQuery, hconf)
@@ -274,7 +302,8 @@ object ProtoSource {
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new ProtoReaderFactory(msg, fullMsg, filters, expectedQuery, hconf)
+      new ProtoReaderFactory(msg, fullMsg, filters, expectedQuery, hconf,
+        limit = -1) // limits are not pushed into streams
 
     override def commit(end: streaming.Offset): Unit = ()
     override def stop(): Unit = ()
@@ -284,16 +313,16 @@ object ProtoSource {
 
   private final class ProtoReaderFactory(msg: PMessage, fullMsg: PMessage,
       filters: Array[sources.Filter], expectedQuery: Option[String],
-      hconf: SerializableHadoopConf) extends PartitionReaderFactory {
+      hconf: SerializableHadoopConf, limit: Int) extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
       new ProtoPartitionReader(
         partition.asInstanceOf[ProtoFilePartition].file, msg, fullMsg, filters,
-        expectedQuery, hconf.value)
+        expectedQuery, hconf.value, limit)
   }
 
   private final class ProtoPartitionReader(file: String, msg: PMessage,
       fullMsg: PMessage, filters: Array[sources.Filter],
-      expectedQuery: Option[String], conf: Configuration)
+      expectedQuery: Option[String], conf: Configuration, limit: Int)
       extends PartitionReader[InternalRow] {
     private val schema = ProtoIngest.structTypeOf(msg)
     private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
@@ -335,6 +364,7 @@ object ProtoSource {
     private val prunedFields = (fullMsg.fields.size - msg.fields.size).toLong
 
     override def next(): Boolean = {
+      if (limit >= 0 && emitted >= limit) return false // pushed (partial) limit
       var line = lines.readLine()
       while (line != null && line.nonEmpty) {
         val bytes = b64.decode(line)

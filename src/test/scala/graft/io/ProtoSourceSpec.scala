@@ -114,6 +114,31 @@ class ProtoSourceSpec extends GraftSpec {
       .select("id").as[Long].collect().sorted shouldBe Seq(big + 1, big + 2)
   }
 
+  it("pushes LIMIT into the readers (partial: per-partition stop, global " +
+     "limit stays above the scan)") {
+    val df = read.load(dir).limit(3)
+    df.count() shouldBe 3
+    val p = df.queryExecution.executedPlan.toString
+    p should include("PushedLimit: 3")
+    // partial push — a Spark-side limit stays above the scan
+    p should include regex "(GlobalLimit|CollectLimit)"
+    // composes with the row gate: limit counts EMITTED (post-gate) rows
+    val gated = read.load(dir).filter(col("impressions") > 500).limit(2)
+    gated.count() shouldBe 2
+  }
+
+  it("reports listing-derived statistics so the optimizer can broadcast " +
+     "small proto relations") {
+    val df = read.load(dir)
+    val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // ~3/4 of the base64 cache bytes: far below the 10MB broadcast
+    // threshold and far above zero
+    stats.toLong should be > 0L
+    stats.toLong should be < 10L * 1024 * 1024
+    val joined = spark.range(20).toDF("id").join(broadcast(df), "id")
+    joined.count() should be > 0L
+  }
+
   it("gates on enum symbols and conjunctions; unsupported filters still " +
      "evaluate above the scan") {
     val df = read.load(dir)
