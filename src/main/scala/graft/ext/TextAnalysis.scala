@@ -208,10 +208,23 @@ object TextAnalysis {
     * uniform). Deliberately Gini rather than Shannon entropy: `ln` is not
     * guaranteed bit-identical between the JVM and other engines' libm, while
     * +,×,÷ are IEEE-exact, so this metric hash-matches the oracle at full
-    * precision. Per-letter counts via `translate` deletion (static literal
-    * patterns, codegen'd; no per-row regex), summed in fixed a→z order.
+    * precision.
+    *
+    * Production path: the single-pass codegen'd
+    * [[graft.functions.LetterGini]] kernel (one byte loop per row);
+    * [[charDiversitySpec]] is the 26-`translate`-scan Column formulation it
+    * is property-checked against (measured ~2.5× on dq53).
     */
   def charDiversity(text: Column): (Column, Column) = {
+    val lg = graft.functions.LetterGini(text)
+    (lg.getField("n_letters"), lg.getField("gini"))
+  }
+
+  /** Executable SPEC of [[charDiversity]]: per-letter counts via `translate`
+    * deletion, summed in fixed a→z order — 26 string scans per row, so the
+    * kernel is the hot-path form.
+    */
+  def charDiversitySpec(text: Column): (Column, Column) = {
     val s = regexp_replace(lower(text), "[^a-z]", "")
     val n = length(s).cast("double")
     val terms = ('a' to 'z').map { ch =>

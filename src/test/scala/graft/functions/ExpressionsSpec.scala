@@ -8,6 +8,26 @@ import graft.GraftSpec
 class ExpressionsSpec extends GraftSpec {
   import spark.implicits._
 
+  describe("LetterGini") {
+    it("one-pass kernel equals the 26-translate spec formulation " +
+       "bit-for-bit on ASCII (incl. empty / single-letter / mixed-case)") {
+      val rnd = new scala.util.Random(42)
+      val strings = Seq("", "a", "zzzz", "The quick brown Fox! 123",
+        "aAbB cC", "!@#$%^ 987") ++
+        (1 to 200).map(_ =>
+          rnd.alphanumeric.take(rnd.nextInt(80)).mkString + " ,.!?")
+      val (kn, kg) = graft.ext.TextAnalysis.charDiversity($"t")
+      val (sn, sg) = graft.ext.TextAnalysis.charDiversitySpec($"t")
+      strings.toDF("t")
+        .select(kn.as("kn"), kg.as("kg"), sn.as("sn"), sg.as("sg"))
+        .as[(Double, Double, Double, Double)].collect()
+        .foreach { case (knV, kgV, snV, sgV) =>
+          knV shouldBe snV
+          kgV shouldBe sgV // exact double equality — same fold order
+        }
+    }
+  }
+
   describe("DotProduct") {
     it("float and double arrays, mixed") {
       val df = Seq((Seq(1f, 2f, 3f), Seq(4.0, 5.0, 6.0))).toDF("f", "d")
