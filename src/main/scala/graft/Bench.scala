@@ -107,7 +107,10 @@ object Bench {
       //    from the DSv2 scan over a synthetic replay cache — proof the
       //    two-phase row gate skips full decodes and descriptor pruning
       //    skips field decodes (not just that the plan promised to).
-      try {
+      //    Full runs only: it's not tied to a dq, so a filtered local
+      //    iteration shouldn't pay for cache synthesis.
+      if (only.nonEmpty) None
+      else try {
         import graft.io.ProtoIngest._
         val msg = PMessage("bench_row", Seq(
           PField(1, "id", PInt64),
@@ -154,6 +157,8 @@ object Bench {
           }.head
         val gated = scan.metrics("rowsGated").value
         val skipped = scan.metrics("fieldsSkipped").value
+        java.nio.file.Files.delete(d.resolve("c0.txt"))
+        java.nio.file.Files.delete(d)
         Some(s""""proto_rows":$rows,"proto_rows_gated":$gated,"proto_fields_skipped":$skipped""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] proto evidence failed: ${e.getMessage}"); None

@@ -1477,7 +1477,7 @@ object SparkEntry {
       val terms = ('a' to 'z')
         .map(ch => s"((len(s)-len(replace(s,'$ch','')))::DOUBLE / n) * ((len(s)-len(replace(s,'$ch','')))::DOUBLE / n)")
         .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') s
+      s"""WITH t AS (SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z]', '', 'g')) s
         |  FROM documents),
         |m AS (SELECT doc_id, s, len(s)::DOUBLE n FROM t)
         |SELECT doc_id, n AS n_letters,

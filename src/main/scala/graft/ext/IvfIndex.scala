@@ -84,25 +84,6 @@ final class IvfIndex private (
     * assignment; [[packed]] is the stored variant.
     * Output: (qid, vid, score: long), top-k rows per qid.
     */
-  /** Materialize the packed candidate tier ONCE — the STORED-index shape
-    * [[queryAllPacked]]'s scaladoc promises: every assigned vector is
-    * quantized at build time into a cached `(vid, cell, pemb)` relation of
-    * its own, so packed queries join against a scan whose schema contains
-    * no float embedding at all (1 B/dim at rest and in flight). The float
-    * assignment is retained ONLY as the query-id lookup side (a pruned
-    * filter of a handful of ids). Ranking is identical to
-    * [[queryAllPacked]] by construction — same probe selection, same
-    * quantization, same `ByteDot` scoring (spec-checked).
-    */
-  def packed(scale: Int = 127): IvfPackedIndex = {
-    val p = assigned.select(col("vid"), col("cell"),
-      QuantizedAnn.quantizePacked(IvfIndex.unit(col("emb"), col("nrm")), scale)
-        .as("pemb"))
-      .persist()
-    p.count() // materialize: queries must scan bytes, not recompute floats
-    new IvfPackedIndex(centroids, p, assigned, scale)
-  }
-
   def queryAllPacked(queryIds: Seq[Long], topK: Int, nprobe: Int,
       scale: Int = 127): DataFrame = {
     val packed = assigned.select(col("vid"), col("cell"),
@@ -123,6 +104,25 @@ final class IvfIndex private (
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select("qid", "vid", "score")
+  }
+
+  /** Materialize the packed candidate tier ONCE — the STORED-index shape
+    * [[queryAllPacked]]'s scaladoc promises: every assigned vector is
+    * quantized at build time into a cached `(vid, cell, pemb)` relation of
+    * its own, so packed queries join against a scan whose schema contains
+    * no float embedding at all (1 B/dim at rest and in flight). The float
+    * assignment is retained ONLY as the query-id lookup side (a pruned
+    * filter of a handful of ids). Ranking is identical to
+    * [[queryAllPacked]] by construction — same probe selection, same
+    * quantization, same `ByteDot` scoring (spec-checked).
+    */
+  def packed(scale: Int = 127): IvfPackedIndex = {
+    val p = assigned.select(col("vid"), col("cell"),
+      QuantizedAnn.quantizePacked(IvfIndex.unit(col("emb"), col("nrm")), scale)
+        .as("pemb"))
+      .persist()
+    p.count() // materialize: queries must scan bytes, not recompute floats
+    new IvfPackedIndex(centroids, p, assigned, scale)
   }
 }
 

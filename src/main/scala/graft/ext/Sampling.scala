@@ -33,13 +33,18 @@ object Sampling {
     * (mirrors `DataFrameStatFunctions.sampleBy`).
     */
   def stratifiedByKeyHash(df: DataFrame, strataCol: String, keyCol: String,
-      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.filter(gate(col(keyCol), seed) < strataBound(strataCol, fractions))
+
+  // per-stratum gate bound: the single place the fraction → gate-threshold
+  // arithmetic lives, shared by the xxhash64 and portable-md5 variants
+  private def strataBound(strataCol: String,
+      fractions: Map[String, Double]): Column = {
     require(fractions.values.forall(f => f >= 0 && f <= 1),
       "fractions must be in [0,1]")
-    val bound = fractions.foldLeft(lit(-1L)) { case (acc, (stratum, f)) =>
+    fractions.foldLeft(lit(-1L)) { case (acc, (stratum, f)) =>
       when(col(strataCol) === lit(stratum), lit((f * M).toLong)).otherwise(acc)
     }
-    df.filter(gate(col(keyCol), seed) < bound)
   }
 
   /** Disjoint train/validation/test split by hash range — every key lands
@@ -74,14 +79,8 @@ object Sampling {
     * dropped.
     */
   def stratifiedPortable(df: DataFrame, strataCol: String, keyCol: String,
-      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
-    require(fractions.values.forall(f => f >= 0 && f <= 1),
-      "fractions must be in [0,1]")
-    val bound = fractions.foldLeft(lit(-1L)) { case (acc, (stratum, f)) =>
-      when(col(strataCol) === lit(stratum), lit((f * M).toLong)).otherwise(acc)
-    }
-    df.filter(gatePortable(col(keyCol), seed) < bound)
-  }
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.filter(gatePortable(col(keyCol), seed) < strataBound(strataCol, fractions))
 
   /** Split label ('train' / 'validation' / 'test') from the portable gate —
     * the labeled-column form of [[split]] for engine-portable lineage.

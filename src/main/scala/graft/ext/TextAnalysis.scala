@@ -222,10 +222,14 @@ object TextAnalysis {
 
   /** Executable SPEC of [[charDiversity]]: per-letter counts via `translate`
     * deletion, summed in fixed a→z order — 26 string scans per row, so the
-    * kernel is the hot-path form.
+    * kernel is the hot-path form. Non-ASCII strips BEFORE case-folding
+    * (`[^a-zA-Z]` on the raw text), so the metric counts exactly the ASCII
+    * letters on every engine — a Unicode-aware `lower()` can otherwise fold
+    * exotic characters (Kelvin sign, dotted İ) INTO a–z and diverge from
+    * both the kernel and any byte-oriented reimplementation.
     */
   def charDiversitySpec(text: Column): (Column, Column) = {
-    val s = regexp_replace(lower(text), "[^a-z]", "")
+    val s = lower(regexp_replace(text, "[^a-zA-Z]", ""))
     val n = length(s).cast("double")
     val terms = ('a' to 'z').map { ch =>
       val c = (length(s) - length(translate(s, ch.toString, ""))).cast("double")

@@ -151,15 +151,23 @@ object ProtoSource {
     }
   }
 
-  private def listCacheFiles(path: String, conf: Configuration): Seq[String] = {
+  /** One listing RPC; callers take paths AND lengths from it (statistics
+    * estimation must not re-fetch per-file status).
+    */
+  private def listCacheStatuses(path: String,
+      conf: Configuration): Seq[(String, Long)] = {
     val fs = FileSystem.get(new java.net.URI(path), conf)
     val p = new HPath(path)
     val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
-      else Seq(p)
-    files.filterNot(_.getName.startsWith("_")).map(_.toString).sorted
+        fs.listStatus(p).toSeq.filter(_.isFile)
+      else Seq(fs.getFileStatus(p))
+    files.filterNot(_.getPath.getName.startsWith("_"))
+      .map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
   }
+
+  private def listCacheFiles(path: String, conf: Configuration): Seq[String] =
+    listCacheStatuses(path, conf).map(_._1)
 
   /** Evidence metrics for the two skipped-work claims this source makes:
     * `rowsGated` counts rows the pushed row-gate rejected from the cheap
@@ -204,11 +212,8 @@ object ProtoSource {
       */
     override def estimateStatistics(): Statistics = new Statistics {
       private val bytes =
-        try {
-          val fs = FileSystem.get(new java.net.URI(path), hconf.value)
-          listCacheFiles(path, hconf.value)
-            .map(f => fs.getFileStatus(new HPath(f)).getLen).sum
-        } catch { case _: Exception => -1L }
+        try listCacheStatuses(path, hconf.value).map(_._2).sum
+        catch { case _: Exception => -1L }
       override def sizeInBytes(): java.util.OptionalLong =
         if (bytes < 0) java.util.OptionalLong.empty()
         else java.util.OptionalLong.of(math.max(1L, bytes * 3 / 4))
@@ -250,25 +255,30 @@ object ProtoSource {
       expectedQuery: Option[String], hconf: SerializableHadoopConf)
       extends streaming.MicroBatchStream {
 
-    // every file path this stream instance has ever listed (null until the
-    // first listing establishes the baseline). A file that shows up LATER
-    // sorting at-or-below an already-reported offset is INVISIBLE to
-    // name-range batching (latestOffset = max name doesn't change, so no
-    // batch is even planned) — silent data loss. Every listing therefore
-    // checks new files against the prior watermark and fails fast.
-    // Size ∝ cache file count (one file per reference fetch), not data.
+    // A file that shows up sorting at-or-below an already-REPORTED offset
+    // is invisible to name-range batching (latestOffset = max name doesn't
+    // change, so no batch is even planned) — silent data loss, failed fast
+    // instead. The bound must be the last offset this stream actually
+    // reported/consumed, NOT the max of everything ever listed: files
+    // above the reported offset may legitimately become visible in any
+    // order and will be range-delivered by the next batch. `seen`
+    // distinguishes new files from re-listed ones; size ∝ cache file count
+    // (one file per reference fetch), not data.
     private var seen: Set[String] = null
+    private var reported: String = null // highest offset handed to the engine
 
     /** Register a listing; returns files that violate the append-only
-      * monotonic-naming contract (new, but sorting at-or-below `bound`).
+      * monotonic-naming contract: NEW (never listed before) but sorting
+      * at-or-below `bound`. The first listing is the restart baseline —
+      * the checkpoint vouches for everything already present.
       */
-    private def observe(files: Seq[String], bound: Set[String] => String)
-        : Seq[String] = synchronized {
-      val prior = seen
-      seen = if (prior == null) files.toSet else prior ++ files
-      if (prior == null || prior.isEmpty) Nil // restart/first-listing baseline
-      else files.filterNot(prior.contains).filter(_ <= bound(prior))
-    }
+    private def observe(files: Seq[String], bound: String): Seq[String] =
+      synchronized {
+        val prior = seen
+        seen = if (prior == null) files.toSet else prior ++ files
+        if (prior == null || bound == null || bound.isEmpty) Nil
+        else files.filterNot(prior.contains).filter(_ <= bound)
+      }
 
     private def failLate(late: Seq[String], bound: String): Nothing =
       throw new IllegalStateException(
@@ -278,12 +288,24 @@ object ProtoSource {
     override def initialOffset(): streaming.Offset = ProtoOffset("")
     override def latestOffset(): streaming.Offset = {
       val files = listCacheFiles(path, hconf.value)
-      val late = observe(files, _.max)
-      if (late.nonEmpty) failLate(late, "the last reported offset")
-      ProtoOffset(files.lastOption.getOrElse(""))
+      val bound = synchronized(reported)
+      val late = observe(files, bound)
+      if (late.nonEmpty) failLate(late, s"the last reported offset '$bound'")
+      val latest = files.lastOption.getOrElse("")
+      synchronized {
+        if (reported == null || latest > reported) reported = latest
+      }
+      ProtoOffset(latest)
     }
-    override def deserializeOffset(json: String): streaming.Offset =
+    override def deserializeOffset(json: String): streaming.Offset = {
+      // pre-filename checkpoints stored a plain file COUNT; fail with the
+      // real diagnosis instead of a bogus "file disappeared" later
+      if (json.nonEmpty && json.forall(_.isDigit))
+        throw new IllegalStateException(
+          s"checkpoint offset '$json' uses the old file-count format; " +
+            "clear the checkpoint directory to restart this stream")
       ProtoOffset(json)
+    }
 
     override def planInputPartitions(start: streaming.Offset,
         end: streaming.Offset): Array[InputPartition] = {
@@ -294,8 +316,13 @@ object ProtoSource {
         throw new IllegalStateException(
           s"proto cache offset file '$e' disappeared from $path — " +
             "the cache is not append-only; cannot guarantee exactly-once")
+      // restart replay: the checkpointed END is an offset this instance has
+      // reported even if latestOffset never ran in this process
+      synchronized {
+        if (e.nonEmpty && (reported == null || e > reported)) reported = e
+      }
       // catches the listing race between latestOffset and here
-      val late = observe(files, _ => s)
+      val late = observe(files, s)
       if (late.nonEmpty) failLate(late, s"the consumed offset '$s'")
       files.filter(f => f > s && f <= e)
         .map(f => ProtoFilePartition(f): InputPartition).toArray
@@ -443,16 +470,23 @@ object ProtoSource {
       case (a: Number, b: Number) if integral(a) && integral(b) =>
         Some(java.lang.Long.compare(a.longValue(), b.longValue()))
       case (a: Number, b: Number) =>
+        // NaN sorts greatest (Spark ordering); ±Infinity would blow up
+        // BigDecimal's double constructor, so it compares directly — both
+        // are non-finite guards on the mixed paths below
+        def nonFinite(d: Double): Boolean =
+          java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)
         (integral(a), integral(b)) match {
           case (false, false) =>
             Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
           case (true, false) =>
-            if (java.lang.Double.isNaN(b.doubleValue())) Some(-1)
+            val d = b.doubleValue()
+            if (nonFinite(d)) Some(if (d == Double.NegativeInfinity) 1 else -1)
             else Some(java.math.BigDecimal.valueOf(a.longValue())
-              .compareTo(new java.math.BigDecimal(b.doubleValue())))
+              .compareTo(new java.math.BigDecimal(d)))
           case (false, true) =>
-            if (java.lang.Double.isNaN(a.doubleValue())) Some(1)
-            else Some(new java.math.BigDecimal(a.doubleValue())
+            val d = a.doubleValue()
+            if (nonFinite(d)) Some(if (d == Double.NegativeInfinity) -1 else 1)
+            else Some(new java.math.BigDecimal(d)
               .compareTo(java.math.BigDecimal.valueOf(b.longValue())))
           case _ => None // unreachable
         }

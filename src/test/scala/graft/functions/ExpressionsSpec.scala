@@ -10,10 +10,12 @@ class ExpressionsSpec extends GraftSpec {
 
   describe("LetterGini") {
     it("one-pass kernel equals the 26-translate spec formulation " +
-       "bit-for-bit on ASCII (incl. empty / single-letter / mixed-case)") {
+       "bit-for-bit — including Unicode that a naive lower() would fold " +
+       "INTO a-z (Kelvin sign, dotted I)") {
       val rnd = new scala.util.Random(42)
       val strings = Seq("", "a", "zzzz", "The quick brown Fox! 123",
-        "aAbB cC", "!@#$%^ 987") ++
+        "aAbB cC", "!@#$%^ 987",
+        "Kelvin K sign", "dotted İ I", "café Éclair") ++
         (1 to 200).map(_ =>
           rnd.alphanumeric.take(rnd.nextInt(80)).mkString + " ,.!?")
       val (kn, kg) = graft.ext.TextAnalysis.charDiversity($"t")
