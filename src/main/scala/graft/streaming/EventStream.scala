@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the `events` table (SURVEY §2.9 — the reference
@@ -150,31 +150,7 @@ object EventStream {
     import spark.implicits._
     val gapUs = gapMinutes * 60000000L
 
-    val typed = events
-      .withWatermark("event_time", watermarkDelay)
-      .select(col("event_id"), col("user_id"),
-        expr("ts DIV 1000").as("epochUs"), col("value"), col("event_time"))
-      .as[TimedEvent]
-
-    def fmt(us: Long): String =
-      java.time.Instant.ofEpochSecond(us / 1000000L).atZone(java.time.ZoneOffset.UTC)
-        .toLocalDateTime.format(java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd HH:mm:ss"))
-
-    // split sorted timestamps into sessions on > gap
-    def split(ts: List[Long]): List[List[Long]] =
-      if (ts.isEmpty) Nil
-      else ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
-        if (t - acc.head.head <= gapUs) (t :: acc.head) :: acc.tail
-        else List(t) :: acc
-      }.map(_.reverse).reverse
-
-    def emit(user: Long, sessions: List[List[Long]]): Iterator[Session] =
-      sessions.iterator.map { s =>
-        Session(user, fmt(s.head), s.size.toLong, (s.last - s.head) / 1000000.0)
-      }
-
-    typed.groupByKey(_.user_id)
+    typedWithWatermark(events, watermarkDelay).groupByKey(_.user_id)
       .flatMapGroupsWithState[List[Long], Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, events: Iterator[TimedEvent], state: GroupState[List[Long]]) =>
@@ -183,16 +159,16 @@ object EventStream {
             // buffered session is closed — flush and evict
             val ts = state.getOption.getOrElse(Nil).sorted
             state.remove()
-            emit(user, split(ts))
+            mkSessions(user, splitByGap(ts, gapUs))
           } else {
             val wmUs = state.getCurrentWatermarkMs() * 1000L
             val buf = (state.getOption.getOrElse(Nil) ++ events.map(_.epochUs))
               .sorted
-            val sessions = split(buf)
+            val sessions = splitByGap(buf, gapUs)
             if (buf.size > maxBufferedPerKey) {
               // cap breached: force-flush (documented split-session behavior)
               state.remove()
-              emit(user, sessions)
+              mkSessions(user, sessions)
             } else {
               val (closed, open) =
                 sessions.partition(s => s.last + gapUs < wmUs)
@@ -204,11 +180,114 @@ object EventStream {
                 // last + gap >= wm); +1ms for the boundary equality
                 state.setTimeoutTimestamp((kept.max + gapUs) / 1000L + 1L)
               }
-              emit(user, closed)
+              mkSessions(user, closed)
             }
           }
       }
   }
+
+  /** [[sessionizeContinuous]] on Spark 4's `transformWithState` — the
+    * current arbitrary-state operator: named typed state variables on the
+    * processor handle (a `ListState` of buffered event times here) and
+    * explicit event-time TIMERS instead of the single implicit
+    * per-key timeout. Same semantics and safety valves as
+    * [[sessionizeContinuous]] (watermark-driven emission, idle-key timer
+    * flush, per-key cap) — spec-checked on the same scenarios. Requires the
+    * RocksDB state store (`spark.sql.streaming.stateStore.providerClass` =
+    * `RocksDBStateStoreProvider`); transformWithState does not run on the
+    * default HDFS-backed store.
+    */
+  def sessionizeTws(events: DataFrame, gapMinutes: Int = 10,
+      watermarkDelay: String = "10 minutes",
+      maxBufferedPerKey: Int = 100000): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    typedWithWatermark(events, watermarkDelay).groupByKey(_.user_id)
+      .transformWithState(
+        new SessionProcessor(gapMinutes * 60000000L, maxBufferedPerKey),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The [[sessionizeTws]] state machine: one `ListState` of buffered event
+    * times and exactly ONE registered timer per key — every update deletes
+    * the previous timer, so a stale early timer can never flush a session
+    * the next batch extended (the expired-timer path still re-checks the
+    * watermark defensively and re-arms for anything still open).
+    */
+  private final class SessionProcessor(gapUs: Long, maxBufferedPerKey: Int)
+      extends StatefulProcessor[Long, TimedEvent, Session] {
+    @transient private var ts: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ts = getHandle.getListState[Long]("ts",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    private def rearm(kept: List[Long]): Unit =
+      if (kept.isEmpty) ts.clear()
+      else {
+        ts.put(kept.toArray)
+        getHandle.registerTimer((kept.max + gapUs) / 1000L + 1L)
+      }
+
+    override def handleInputRows(user: Long, rows: Iterator[TimedEvent],
+        timers: TimerValues): Iterator[Session] = {
+      val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+      val buf = (ts.get().toList ++ rows.map(_.epochUs)).sorted
+      val sessions = splitByGap(buf, gapUs)
+      getHandle.listTimers().foreach(getHandle.deleteTimer) // one-timer policy
+      if (buf.size > maxBufferedPerKey) {
+        ts.clear()
+        mkSessions(user, sessions) // cap breached: force-flush
+      } else {
+        val (closed, open) = sessions.partition(s => s.last + gapUs < wmUs)
+        rearm(open.flatten)
+        mkSessions(user, closed)
+      }
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+      val buf = ts.get().toList.sorted
+      ts.clear()
+      val (closed, open) =
+        splitByGap(buf, gapUs).partition(s => s.last + gapUs < wmUs)
+      rearm(open.flatten)
+      mkSessions(user, closed)
+    }
+  }
+
+  // ------------- shared greedy-session machinery (Continuous / Tws) -------
+
+  private def typedWithWatermark(events: DataFrame,
+      watermarkDelay: String): Dataset[TimedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("epochUs"), col("value"), col("event_time"))
+      .as[TimedEvent]
+  }
+
+  /** Split SORTED timestamps into sessions on a > gap jump. */
+  private def splitByGap(ts: List[Long], gapUs: Long): List[List[Long]] =
+    if (ts.isEmpty) Nil
+    else ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+      if (t - acc.head.head <= gapUs) (t :: acc.head) :: acc.tail
+      else List(t) :: acc
+    }.map(_.reverse).reverse
+
+  private def mkSessions(user: Long,
+      sessions: List[List[Long]]): Iterator[Session] =
+    sessions.iterator.map { s =>
+      Session(user, fmtUs(s.head), s.size.toLong, (s.last - s.head) / 1000000.0)
+    }
+
+  private def fmtUs(us: Long): String =
+    java.time.Instant.ofEpochSecond(us / 1000000L).atZone(java.time.ZoneOffset.UTC)
+      .toLocalDateTime.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
 
   /** Streaming exact dedup on key columns + per-type distinct-key counts.
     * `dropDuplicates` keeps the first arrival (state keyed by the cols,

@@ -96,6 +96,67 @@ class EventStreamSpec extends GraftSpec {
     }
   }
 
+  describe("sessionizeTws (transformWithState: typed state + timers)") {
+    import org.apache.spark.sql.streaming.Trigger
+
+    def withRocksDb[A](body: => A): A = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+
+    def runTws(in: String, out: String, cap: Int = 100000): Unit = withRocksDb {
+      val events = spark.readStream
+        .schema(EventStream.eventsSchema)
+        .parquet(s"$in/*")
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      val q = EventStream.sessionizeTws(events, gapMinutes = 10,
+          watermarkDelay = "0 seconds", maxBufferedPerKey = cap)
+        .toDF().writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    def writeBatch(dir: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      rows.map { case (id, t, u) => (id, t * us, u, "click", 1.0, "") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", $"ts" * 1000)
+        .coalesce(1)
+        .write.parquet(s"$dir/f1.parquet")
+      ()
+    }
+
+    it("matches sessionizeContinuous: idle key flushes via its timer, open " +
+       "sessions stay in state") {
+      val base = java.nio.file.Files.createTempDirectory("graft-tws").toString
+      writeBatch(s"$base/in",
+        Seq((1L, 3600L, 1L), (2L, 3630L, 1L), (3L, 8600L, 2L)))
+      runTws(s"$base/in", s"$base/out")
+      val got = spark.read.parquet(s"$base/out/data")
+        .as[EventStream.Session].collect().toSeq
+      got.map(s => (s.user_id, s.n_events, s.duration_sec)) shouldBe
+        Seq((1L, 2L, 30.0))
+      got.head.session_start shouldBe "1970-01-01 01:00:00"
+    }
+
+    it("force-flushes past the per-key cap") {
+      val base = java.nio.file.Files.createTempDirectory("graft-tws-cap").toString
+      writeBatch(s"$base/in",
+        Seq((1L, 3600L, 1L), (2L, 3610L, 1L), (3L, 3620L, 1L)))
+      runTws(s"$base/in", s"$base/out", cap = 2)
+      spark.read.parquet(s"$base/out/data")
+        .as[EventStream.Session].collect().toSeq
+        .map(s => (s.user_id, s.n_events, s.duration_sec)) shouldBe
+        Seq((1L, 3L, 20.0))
+    }
+  }
+
   describe("hourlyTypeCounts") {
     it("tumbling hourly windows per type") {
       val r = EventStream.hourlyTypeCounts(events)
