@@ -75,6 +75,12 @@ object GraftFunctions {
         require(args.length == 3, "graft_quantized_dot expects (a, b, scale)")
         QuantizedDot(args(0), args(1),
           args(2).eval().asInstanceOf[Number].intValue())
+      }),
+    (FunctionIdentifier("graft_letter_gini"),
+      new ExpressionInfo(classOf[LetterGini].getName, "graft_letter_gini"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_letter_gini expects 1 argument")
+        LetterGini(args.head)
       }))
 
   /** Register on a live session. */

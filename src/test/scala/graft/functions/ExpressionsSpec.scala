@@ -91,6 +91,15 @@ class ExpressionsSpec extends GraftSpec {
       spark.sql("SELECT graft_sorted_intersect_size(x, y) FROM sets")
         .as[Int].head() shouldBe 2
     }
+    it("graft_letter_gini callable from spark.sql") {
+      GraftFunctions.register(spark)
+      Seq("aabb").toDF("t").createOrReplaceTempView("lg")
+      val (n, g) = spark.sql(
+        "SELECT graft_letter_gini(t).n_letters, graft_letter_gini(t).gini FROM lg")
+        .as[(Double, Double)].head()
+      n shouldBe 4.0
+      g shouldBe 0.5 // 1 - (0.5^2 + 0.5^2)
+    }
 
     it("the quantized kernels are callable from spark.sql") {
       GraftFunctions.register(spark)
