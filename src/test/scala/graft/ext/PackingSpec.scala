@@ -51,5 +51,32 @@ class PackingSpec extends GraftSpec {
         cap = 10)
       got shouldBe Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L))
     }
+
+    it("property: equals the sequential greedy fold on random corpora " +
+       "regardless of partitioning") {
+      val rnd = new scala.util.Random(7)
+      def simulate(rows: Seq[(String, Long, Long)], cap: Long): Seq[(String, Long, Long)] =
+        rows.groupBy(_._1).toSeq.flatMap { case (g, docs) =>
+          var bin = 0L; var fill = 0L; var first = true
+          docs.sortBy(_._2).map { case (_, id, n) =>
+            if (first) { fill = n; first = false }
+            else if (fill + n > cap) { bin += 1; fill = n }
+            else fill += n
+            (g, id, bin)
+          }
+        }.sortBy(r => (r._1, r._2))
+      for (trial <- 1 to 10) {
+        val cap = 1 + rnd.nextInt(40)
+        val rows = (1 to (20 + rnd.nextInt(180))).map { i =>
+          (s"g${rnd.nextInt(5)}", i.toLong, rnd.nextInt(30).toLong)
+        }
+        val df = rows.toDF("src", "id", "n").repartition(1 + rnd.nextInt(7))
+        val got = Packing.packGreedy(df, "src", "id", "n", cap)
+          .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+        withClue(s"trial $trial cap=$cap: ") {
+          got shouldBe simulate(rows, cap)
+        }
+      }
+    }
   }
 }
