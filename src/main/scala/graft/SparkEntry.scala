@@ -957,6 +957,26 @@ object SparkEntry {
     report.run(s, dir).orderBy("c_custkey")
   }
 
+  /** DQ71 (EXT): per-source length-outlier filtering — drop documents
+    * outside their source's [p5, p95] length band (the distribution-aware
+    * length filter of a curation pipeline, vs a fixed global cutoff that
+    * over-trims verbose sources and under-trims terse ones). The per-source
+    * bounds table is one tiny aggregation joined back by BROADCAST —
+    * the corpus scans once, bodies never shuffle. `percentile` ↔
+    * `quantile_cont` is the proven cross-engine pair (dq42). */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bounds = docs.groupBy("source").agg(
+      expr("percentile(n_chars, 0.05)").as("lo"),
+      expr("percentile(n_chars, 0.95)").as("hi"))
+    docs.join(broadcast(bounds), "source")
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), min("n_chars").as("min_len"),
+        max("n_chars").as("max_len"))
+      .orderBy("source")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1028,7 +1048,8 @@ object SparkEntry {
     "dq67_decontamination"     -> (q67 _),
     "dq68_source_mix"          -> (q68 _),
     "dq69_tfidf_top_term"      -> (q69 _),
-    "dq70_config_report"       -> (q70 _)
+    "dq70_config_report"       -> (q70 _),
+    "dq71_length_outliers"     -> (q71 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1576,6 +1597,15 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq71_length_outliers" ->
+      """WITH b AS (SELECT source,
+        |    quantile_cont(n_chars, 0.05) lo, quantile_cont(n_chars, 0.95) hi
+        |  FROM documents GROUP BY source)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  min(d.n_chars) AS min_len, max(d.n_chars) AS max_len
+        |FROM documents d JOIN b USING (source)
+        |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "dq70_config_report" ->
       """SELECT c_acctbal, c_custkey, c_mktsegment, c_name
         |FROM customer

@@ -32,12 +32,15 @@ import org.json4s.jackson.JsonMethods
   */
 object ReportConfig {
 
+  final case class SinkDef(format: String, path: String)
+
   final case class ReportDef(
       table: String,
       fields: List[String],
       where: Option[String],
       mappings: List[(String, MappingNode)],
-      ordering: Ordering[String]) {
+      ordering: Ordering[String],
+      sinks: List[SinkDef]) {
 
     def translator: Translator =
       Translator(fields, userDefinedMappings = mappings, ordering = ordering)
@@ -48,6 +51,24 @@ object ReportConfig {
     def run(spark: SparkSession, dir: String): DataFrame = {
       val raw = spark.read.parquet(s"$dir/$table.parquet")
       translator(where.fold(raw)(raw.filter))
+    }
+
+    /** [[run]] then fan the result out to every declared sink — the
+      * reference runner writes the same rows to Avro AND JSON
+      * (Main.scala:205-217); here each sink is one write of the same plan.
+      */
+    def runAndWrite(spark: SparkSession, dir: String): DataFrame = {
+      val df = run(spark, dir)
+      sinks.foreach { s =>
+        s.format match {
+          case "avro"    => graft.io.AvroSink.write(df, s.path, table)
+          case "json"    => graft.io.JsonSink.write(df, s.path)
+          case "parquet" => df.write.mode("overwrite").parquet(s.path)
+          case other => fail(s"unsupported sink format '$other' " +
+            "(avro | json | parquet)")
+        }
+      }
+      df
     }
   }
 
@@ -87,9 +108,20 @@ object ReportConfig {
       case JNothing => FieldOrdering.Lexicographic
       case other => fail(s"'idOrdering' must be an array, got $other")
     }
+    val sinks = j \ "sinks" match {
+      case JArray(ss) => ss.map { sj =>
+        (sj \ "format", sj \ "path") match {
+          case (JString(f), JString(p)) => SinkDef(f, p)
+          case _ => fail("each sink needs 'format' and 'path' strings: " +
+            JsonMethods.compact(sj))
+        }
+      }
+      case JNothing => Nil
+      case other => fail(s"'sinks' must be an array, got $other")
+    }
     if (fields.isEmpty && mappings.isEmpty)
       fail("a report needs at least one of 'fields' or 'mappings'")
-    ReportDef(table, fields, where, mappings, ordering)
+    ReportDef(table, fields, where, mappings, ordering, sinks)
   }
 
   /** One user-defined mapping: `record` (struct, P6) | `scalar` (flatten,

@@ -66,6 +66,27 @@ class EntrySpec extends GraftSpec {
         include("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)")
     }
 
+    it("runAndWrite fans the report out to declared avro + json sinks " +
+       "(the reference runner's dual-sink shape)") {
+      val base = java.nio.file.Files.createTempDirectory("graft-report-sinks")
+      val report = ReportConfig.parse(
+        s"""{
+          |  "table": "region",
+          |  "fields": ["r_regionkey", "r_name"],
+          |  "sinks": [
+          |    { "format": "avro", "path": "$base/avro" },
+          |    { "format": "json", "path": "$base/json" }
+          |  ]
+          |}""".stripMargin)
+      val df = report.runAndWrite(spark, dir)
+      val n = df.count()
+      n shouldBe 5
+      // no spark-avro module in this environment — AvroSink reads its own
+      // container files back (same helper IoSpec round-trips with)
+      graft.io.AvroSink.readToJsonStrings(spark, s"$base/avro").size.toLong shouldBe n
+      spark.read.json(s"$base/json").count() shouldBe n
+    }
+
     it("rejects malformed configs with a named error") {
       val ex = intercept[IllegalArgumentException] {
         ReportConfig.parse("""{ "fields": ["x"] }""")
