@@ -977,6 +977,17 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** DQ72 (EXT): winnowing fingerprint overlap (`ext.Winnow`) — the
+    * MOSS-style rolling-hash fingerprinter: pairs of documents sharing
+    * ≥ 3 winnowed k-gram fingerprints (position-robust shared-passage
+    * detection, a different modality from MinHash's whole-document
+    * similarity). Integer-only arithmetic; the oracle re-derives every
+    * rolling hash in DuckDB. */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Winnow.sharedFingerprintPairs(t(s, dir, "documents"),
+        "doc_id", "text", k = 16, w = 8, minShared = 3, maxFpFreq = 100)
+      .orderBy("doc_a", "doc_b")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1049,7 +1060,8 @@ object SparkEntry {
     "dq68_source_mix"          -> (q68 _),
     "dq69_tfidf_top_term"      -> (q69 _),
     "dq70_config_report"       -> (q70 _),
-    "dq71_length_outliers"     -> (q71 _)
+    "dq71_length_outliers"     -> (q71 _),
+    "dq72_winnow_overlap"      -> (q72 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1597,6 +1609,29 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq72_winnow_overlap" -> {
+      // identical rolling-hash arithmetic to ext.Winnow (same B^j mod M
+      // constants — integer-only, so every hash matches bit-for-bit)
+      val (k, w) = (16, 8)
+      val pows = graft.ext.Winnow.powers(k)
+      val terms = (0 until k)
+        .map(j => s"ascii(substr(s, i+$j, 1))::BIGINT * ${pows(k - 1 - j)}")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, lower(text) s FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(1, len(s) - ${k - 2}),
+        |    i -> ($terms) % 2147483647) hs
+        |  FROM t WHERE len(s) >= $k),
+        |fp AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs) - ${w - 2}),
+        |    i -> list_min(hs[i:i+${w - 1}])))) f
+        |  FROM h WHERE len(hs) >= $w),
+        |ok AS (SELECT f FROM fp GROUP BY f HAVING count(*) BETWEEN 2 AND 100)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+        |JOIN ok ON ok.f = a.f
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dq71_length_outliers" ->
       """WITH b AS (SELECT source,
         |    quantile_cont(n_chars, 0.05) lo, quantile_cont(n_chars, 0.95) hi
