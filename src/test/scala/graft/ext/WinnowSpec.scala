@@ -39,6 +39,22 @@ class WinnowSpec extends GraftSpec {
     shared shouldBe trials.size.toLong
   }
 
+  it("property: the rolling-hash kernel equals the per-position Column " +
+     "spec formulation on random strings (values AND per-doc sets)") {
+    val rnd = new scala.util.Random(3)
+    val docs = ((1 to 60).map { i =>
+      val n = rnd.nextInt(120) // includes < k and < k+w-1 lengths
+      (i.toLong, (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    } :+ (999L, "")).toDF("doc_id", "text")
+    val kernel = Winnow.fingerprints(docs, "doc_id", "text", k, w)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (d, r) => (d, r.map(_._2).toSet) }
+    val spec = Winnow.fingerprintsSpec(docs, "doc_id", "text", k, w)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (d, r) => (d, r.map(_._2).toSet) }
+    kernel shouldBe spec
+  }
+
   it("sharedFingerprintPairs finds planted passages and the frequency cap " +
      "drops boilerplate fingerprints") {
     val passage = "the exact same lifted paragraph of text here"
