@@ -135,31 +135,38 @@ object Bench {
         }
         val rows = 100000
         val d = java.nio.file.Files.createTempDirectory("graft-bench-proto")
-        val b64 = java.util.Base64.getEncoder
-        val w = java.nio.file.Files.newBufferedWriter(d.resolve("c0.txt"))
-        w.write(b64.encodeToString("bench".getBytes("UTF-8")))
-        (0 until rows).foreach { i =>
-          w.newLine(); w.write(b64.encodeToString(enc(i.toLong)))
+        try {
+          val b64 = java.util.Base64.getEncoder
+          val w = java.nio.file.Files.newBufferedWriter(d.resolve("c0.txt"))
+          w.write(b64.encodeToString("bench".getBytes("UTF-8")))
+          (0 until rows).foreach { i =>
+            w.newLine(); w.write(b64.encodeToString(enc(i.toLong)))
+          }
+          w.close()
+          graft.io.ProtoSource.registerDescriptor("bench_row", msg)
+          import org.apache.spark.sql.functions.{col, count, lit}
+          val q = spark.read.format("graft.io.ProtoSource")
+            .option("descriptor", "bench_row").load(d.toString)
+            .filter(col("impressions") >= 900) // gates 90% of rows
+            .select("id")
+            .agg(count(lit(1)))
+          q.collect() // NOT head(): head() plans a separate limited execution
+                      // and THIS queryExecution would never run (no metrics)
+          val scan = graft.plans.PlanWalk
+            .collectAll(q.queryExecution.executedPlan) {
+              case b if b.getClass.getSimpleName == "BatchScanExec" => b
+            }.head
+          val gated = scan.metrics("rowsGated").value
+          val skipped = scan.metrics("fieldsSkipped").value
+          Some(s""""proto_rows":$rows,"proto_rows_gated":$gated,"proto_fields_skipped":$skipped""")
+        } finally { // evidence survives a cleanup failure; no leak on error
+          try {
+            java.nio.file.Files.deleteIfExists(d.resolve("c0.txt"))
+            java.nio.file.Files.deleteIfExists(d)
+          } catch { case e: Exception =>
+            System.err.println(s"[bench] proto temp cleanup failed: ${e.getMessage}")
+          }
         }
-        w.close()
-        graft.io.ProtoSource.registerDescriptor("bench_row", msg)
-        import org.apache.spark.sql.functions.{col, count, lit}
-        val q = spark.read.format("graft.io.ProtoSource")
-          .option("descriptor", "bench_row").load(d.toString)
-          .filter(col("impressions") >= 900) // gates 90% of rows
-          .select("id")
-          .agg(count(lit(1)))
-        q.collect() // NOT head(): head() plans a separate limited execution
-                    // and THIS queryExecution would never run (no metrics)
-        val scan = graft.plans.PlanWalk
-          .collectAll(q.queryExecution.executedPlan) {
-            case b if b.getClass.getSimpleName == "BatchScanExec" => b
-          }.head
-        val gated = scan.metrics("rowsGated").value
-        val skipped = scan.metrics("fieldsSkipped").value
-        java.nio.file.Files.delete(d.resolve("c0.txt"))
-        java.nio.file.Files.delete(d)
-        Some(s""""proto_rows":$rows,"proto_rows_gated":$gated,"proto_fields_skipped":$skipped""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] proto evidence failed: ${e.getMessage}"); None
       }

@@ -700,9 +700,10 @@ object SparkEntry {
     * Shannon: `ln` isn't bit-identical across engines, +,×,÷ are). */
   private def q53(s: SparkSession, dir: String): DataFrame = {
     val (n, gini) = TextAnalysis.charDiversity(col("text"))
+    // no repartition: the LetterGini kernel made per-row work one byte
+    // loop, so the old "spread the 26 translate-scans off the single row
+    // group" shuffle costs more than it buys (0.22s without vs 0.47s with)
     t(s, dir, "documents")
-      // 26 translate-scans per row: spread off the single row group first
-      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), n.as("n_letters"), gini.as("char_gini"))
       .orderBy("doc_id")
   }

@@ -202,13 +202,11 @@ object MinHashLSH {
     */
   private def bandCandidates(sh: DataFrame, numHashes: Int, bands: Int,
       maxBucket: Int): DataFrame =
-    bandedKeys(sh, numHashes, bands)
-      .groupBy(col("b"), col("bkey"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    Pairs.explodeSortedIdPairs(
+      bandedKeys(sh, numHashes, bands)
+        .groupBy(col("b"), col("bkey"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, maxBucket)),
+      "ids")
       .distinct()
 }

@@ -27,12 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
-  private val M = 2147483647L // 2^31 - 1, multiplication-safe in a long
-  private val B = 257L
+  // single source of truth for the rolling-hash constants: the kernel, this
+  // spec formulation, and the dq72 oracle all derive from them
+  private val M = graft.functions.WinnowFingerprints.M
 
   /** B^0..B^(k-1) mod M — shared with the oracle-SQL builder. */
   private[graft] def powers(k: Int): Array[Long] =
-    Array.iterate(1L, k)(p => p * B % M)
+    graft.functions.WinnowFingerprints.powers(k)
 
   /** (idCol, fp): the exploded winnowed fingerprint set per document.
     * Documents shorter than k+w−1 characters yield no fingerprints.
@@ -85,14 +86,12 @@ object Winnow {
   def sharedFingerprintPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 3,
       maxFpFreq: Int = 100): DataFrame =
-    fingerprints(df, idCol, textCol, k, w)
-      .groupBy("fp")
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")).between(2, maxFpFreq))
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
-          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    Pairs.explodeSortedIdPairs(
+      fingerprints(df, idCol, textCol, k, w)
+        .groupBy("fp")
+        .agg(sort_array(collect_list(col(idCol))).as("ids"))
+        .filter(size(col("ids")).between(2, maxFpFreq)),
+      "ids")
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -40,13 +40,8 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       s"winnow_fingerprints expects a string input, got ${other.simpleString}")
   }
 
-  private val M = 2147483647L
-  private val B = 257L
-  private val powK1 = { // B^(k-1) mod M
-    var p = 1L; var j = 0
-    while (j < k - 1) { p = p * B % M; j += 1 }
-    p
-  }
+  import WinnowFingerprints.{B, M}
+  private val powK1 = WinnowFingerprints.powers(k)(k - 1) // B^(k-1) mod M
 
   override def nullSafeEval(input: Any): Any = {
     val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
@@ -91,6 +86,16 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 }
 
 object WinnowFingerprints {
+  /** THE rolling-hash constants — the kernel, the Column spec
+    * (`ext.Winnow.fingerprintsSpec`), and the dq72 DuckDB oracle must all
+    * derive from these or the bit-identity contract silently breaks.
+    */
+  val M = 2147483647L // 2^31 - 1, multiplication-safe in a long
+  val B = 257L
+
+  /** B^0..B^(k-1) mod M. */
+  def powers(k: Int): Array[Long] = Array.iterate(1L, k)(p => p * B % M)
+
   def apply(text: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(text), k, w))
 }

@@ -314,8 +314,11 @@ object ProtoSource {
       val files = listCacheFiles(path, hconf.value)
       if (e.nonEmpty && !files.contains(e))
         throw new IllegalStateException(
-          s"proto cache offset file '$e' disappeared from $path — " +
-            "the cache is not append-only; cannot guarantee exactly-once")
+          s"proto cache offset file '$e' not in the current listing of " +
+            s"$path (${files.size} files) — either the cache is not " +
+            "append-only (deleted/renamed file) or the checkpoint was " +
+            "written against a different path form; clear the checkpoint " +
+            "if the cache itself is intact. Cannot guarantee exactly-once.")
       // restart replay: the checkpointed END is an offset this instance has
       // reported even if latestOffset never ran in this process
       synchronized {

@@ -55,22 +55,28 @@ object ReportConfig {
 
     /** [[run]] then fan the result out to every declared sink — the
       * reference runner writes the same rows to Avro AND JSON
-      * (Main.scala:205-217); here each sink is one write of the same plan.
+      * (Main.scala:205-217); here each sink writes the same computed rows
+      * (persisted across the fan-out, so the plan executes once, not once
+      * per sink). Formats were validated at parse time — no sink can fail
+      * on format after another already wrote.
       */
     def runAndWrite(spark: SparkSession, dir: String): DataFrame = {
       val df = run(spark, dir)
-      sinks.foreach { s =>
-        s.format match {
-          case "avro"    => graft.io.AvroSink.write(df, s.path, table)
-          case "json"    => graft.io.JsonSink.write(df, s.path)
-          case "parquet" => df.write.mode("overwrite").parquet(s.path)
-          case other => fail(s"unsupported sink format '$other' " +
-            "(avro | json | parquet)")
-        }
+      if (sinks.nonEmpty) {
+        df.persist()
+        try sinks.foreach { s =>
+          s.format match {
+            case "avro"    => graft.io.AvroSink.write(df, s.path, table)
+            case "json"    => graft.io.JsonSink.write(df, s.path)
+            case "parquet" => df.write.mode("overwrite").parquet(s.path)
+          }
+        } finally df.unpersist(blocking = false)
       }
       df
     }
   }
+
+  private val SinkFormats = Set("avro", "json", "parquet")
 
   def load(path: String): ReportDef =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
@@ -111,7 +117,13 @@ object ReportConfig {
     val sinks = j \ "sinks" match {
       case JArray(ss) => ss.map { sj =>
         (sj \ "format", sj \ "path") match {
-          case (JString(f), JString(p)) => SinkDef(f, p)
+          case (JString(f), JString(p)) =>
+            // reject HERE: a bad format failing mid-write would leave a
+            // partial set of report outputs from an invalid config
+            if (!SinkFormats.contains(f))
+              fail(s"unsupported sink format '$f' " +
+                s"(${SinkFormats.toSeq.sorted.mkString(" | ")})")
+            SinkDef(f, p)
           case _ => fail("each sink needs 'format' and 'path' strings: " +
             JsonMethods.compact(sj))
         }

@@ -96,6 +96,14 @@ class EntrySpec extends GraftSpec {
         ReportConfig.parse("""{ "table": "orders" }""")
       }
       ex2.getMessage should include("at least one")
+      // sink formats validate at PARSE time — a bad format must never fail
+      // mid-write after earlier sinks already wrote
+      val ex3 = intercept[IllegalArgumentException] {
+        ReportConfig.parse(
+          """{ "table": "orders", "fields": ["o_orderkey"],
+            |  "sinks": [ { "format": "csv", "path": "/tmp/x" } ] }""".stripMargin)
+      }
+      ex3.getMessage should include("unsupported sink format 'csv'")
     }
   }
 }
