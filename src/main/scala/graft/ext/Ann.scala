@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -87,14 +86,14 @@ object Ann {
       .select(col("qid"), col("vid"),
         (VectorFunctions.dot(col("emb"), col("qemb")) /
           (col("nrm") * col("qnrm"))).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    CandidateTopK.rankedTopPerQuery(scored, "sim", k)
   }
 
   /** Approximate top-k per query id, probing only the query's own cell.
-    * The query rows are broadcast; ranking is a per-query-key window over
-    * in-bucket candidates only.
+    * The query rows are broadcast; ranking is the bounded-heap
+    * [[graft.plans.TopKPerKeyExec]] over in-bucket candidates (`rnk` is
+    * computed over the O(qids·k) survivors — identical under the total
+    * order; see [[CandidateTopK]]).
     */
   def annTopK(df: DataFrame, idCol: String, embCol: String,
       queryIds: Seq[Long], k: Int, dims: Int = 4): DataFrame = {
@@ -109,8 +108,6 @@ object Ann {
       .select(col("qid"), col("vid"),
         (VectorFunctions.dot(col("emb"), col("qemb")) /
           (col("nrm") * col("qnrm"))).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    CandidateTopK.rankedTopPerQuery(scored, "sim", k)
   }
 }

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SquaredDistance, VectorFunctions, VectorSumMicros}
@@ -43,8 +42,9 @@ final class IvfIndex private (
   /** Top-k cosine neighbors for EVERY query id in one Spark job: the query
     * rows are filtered from the assignment, exploded to their `nprobe`
     * nearest probe cells (ranked against the centroid literal — no driver
-    * round-trip), broadcast, and equi-joined on cell id; ranking is a
-    * per-query window over in-cell candidates only.
+    * round-trip), broadcast, and equi-joined on cell id; ranking is the
+    * bounded-heap [[graft.plans.TopKPerKeyExec]] over in-cell candidates —
+    * the exchange moves O(qids·topK) rows, never the candidate set.
     * Output: (qid, vid, sim), top-k rows per qid.
     */
   def queryAll(queryIds: Seq[Long], topK: Int, nprobe: Int): DataFrame = {
@@ -57,17 +57,16 @@ final class IvfIndex private (
         col("cell") === col("probe") && col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
         (VectorFunctions.dot(col("emb"), col("qemb")) / (col("nrm") * col("qnrm"))).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select("qid", "vid", "sim")
+    CandidateTopK.topPerQuery(scored, "sim", topK).select("qid", "vid", "sim")
   }
 
   /** Single-query convenience over [[queryAll]] — still one job, no
-    * driver-side vector fetch.
+    * driver-side vector fetch. Rows come back rank-ordered (best first);
+    * the sort input is the k survivors, not the candidate set.
     */
   def query(queryId: Long, topK: Int, nprobe: Int): DataFrame =
-    queryAll(Seq(queryId), topK, nprobe).select("vid", "sim")
+    queryAll(Seq(queryId), topK, nprobe)
+      .orderBy(col("sim").desc, col("vid")).select("vid", "sim")
 
   /** [[queryAll]] with the packed-int8 scoring tier (FAISS's IVF+SQ8 shape):
     * same trained probe-cell selection, but candidates are ranked by the
@@ -100,10 +99,7 @@ final class IvfIndex private (
         col("cell") === col("probe") && col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
         graft.functions.ByteDot(col("qpemb"), col("pemb")).as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select("qid", "vid", "score")
+    CandidateTopK.topPerQuery(scored, "score", topK).select("qid", "vid", "score")
   }
 
   /** Materialize the packed candidate tier ONCE — the STORED-index shape
@@ -159,10 +155,7 @@ final class IvfPackedIndex private[ext] (
         col("cell") === col("probe") && col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
         graft.functions.ByteDot(col("qpemb"), col("pemb")).as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select("qid", "vid", "score")
+    CandidateTopK.topPerQuery(scored, "score", topK).select("qid", "vid", "score")
   }
 }
 

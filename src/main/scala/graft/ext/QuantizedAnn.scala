@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -63,7 +62,7 @@ object QuantizedAnn {
     * pack-quantize once per ROW (O(N), 1 byte/dim), broadcast the (tiny,
     * 4×-smaller) query rows, score each candidate PAIR (O(N·Q)) with the
     * codegen'd [[graft.functions.ByteDot]] byte-array loop, and rank per
-    * query with a window. ([[graft.functions.QuantizedDot]] is the fused
+    * query with the bounded-heap [[graft.plans.TopKPerKeyExec]]. ([[graft.functions.QuantizedDot]] is the fused
     * zero-materialization variant for single-pass scoring where no
     * pre-quantized column exists.) Deterministic ties → lower vid wins.
     */
@@ -76,8 +75,6 @@ object QuantizedAnn {
     val scored = e.join(broadcast(q), col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
         graft.functions.ByteDot(col("qv"), col("qemb")).as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    CandidateTopK.rankedTopPerQuery(scored, "score", k)
   }
 }

@@ -83,6 +83,18 @@ object GraftPlans {
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
   }
 
+  /** Install the PHYSICAL mode iff no [[TopKPerKey]] handling is present on
+    * the session at all — library entry points (the ANN query paths) call
+    * this so their plans work on a fresh session without overriding a mode
+    * the caller chose deliberately (an explicitly-installed rank-window
+    * lowering is respected; results are identical either way).
+    */
+  def ensureInstalled(spark: SparkSession): Unit = {
+    val hasRule = spark.experimental.extraOptimizations.contains(LowerTopKPerKey)
+    val hasStrategy = spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)
+    if (!hasRule && !hasStrategy) installPhysical(spark)
+  }
+
   /** Top-k rows per key group under `order` (ties broken by window order).
     * Requires [[install]] (or the `GraftExtensions` SQL extension) on the
     * session — otherwise planning fails on the unlowered node.

@@ -172,10 +172,12 @@ class PlanAuditSpec extends GraftSpec {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val idx = graft.ext.IvfIndex.fit(emb, "vec_id", "embedding", k = 4)
     try {
+      graft.plans.GraftPlans.installPhysical(spark) // shared session: pin mode
       val p = physical(idx.queryAll(Seq(1L, 2L, 3L), topK = 5, nprobe = 2))
       p should include("BroadcastHashJoin") // probe rows broadcast onto cells
       p should include("squareddistance")   // probe ranking inside the plan
-      p should include("Window ")           // per-query top-k ranking window
+      p should include("TopKPerKey")        // bounded-heap ranking, no window
+      p should not include "Window"
     } finally idx.release()
   }
 
@@ -193,11 +195,14 @@ class PlanAuditSpec extends GraftSpec {
   it("quantized ANN (dq60) broadcasts the query rows and keeps integer " +
      "scoring inside the plan") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.plans.GraftPlans.installPhysical(spark) // shared session: pin mode
     val df = graft.ext.QuantizedAnn.topK(emb, "vec_id", "embedding", Seq(1L), k = 5)
     val p = physical(df)
     p should include("BroadcastNestedLoopJoin") // 1-3 query rows, broadcast side
     p should include("bytedot")                 // codegen packed-int8 kernel
-    p should include("Window ")                 // per-query ranking
+    p should include("TopKPerKey")              // heap reduces candidates first
+    // the rnk window survives, but ABOVE the heap: its input is k rows/query
+    p.indexOf("Window") should be < p.indexOf("TopKPerKey")
   }
 
   it("dq63's band predicates reach the z-ordered scan as PushedFilters on " +

@@ -93,6 +93,40 @@ class IvfIndexSpec extends GraftSpec {
     } finally pidx.release()
   }
 
+  it("all three batched query paths plan through the bounded-heap " +
+     "TopKPerKeyExec — no rank window over the candidate set") {
+    graft.plans.GraftPlans.installPhysical(spark) // shared session: pin mode
+    def audit(df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      "TopKPerKey".r.findAllIn(p).size shouldBe 2 // partial + final heap
+      p should not include "row_number"
+      p should not include "Window"
+      // exactly one hash exchange — the heap final's qid clustering; the
+      // window formulation would add nothing less
+      "Exchange hashpartitioning\\(qid".r.findAllIn(p).size shouldBe 1
+    }
+    audit(index.queryAll(Seq(1L, 2L), topK = 5, nprobe = 2))
+    audit(index.queryAllPacked(Seq(1L, 2L), topK = 5, nprobe = 2))
+    val pidx = index.packed()
+    try audit(pidx.queryAll(Seq(1L, 2L), topK = 5, nprobe = 2))
+    finally pidx.release()
+  }
+
+  it("ranked surfaces (annTopK / annTopKMultiProbe / quantized topK) rank " +
+     "AFTER the heap: the window's input is the O(qids·k) survivor set") {
+    graft.plans.GraftPlans.installPhysical(spark)
+    def audit(df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      "TopKPerKey".r.findAllIn(p).size shouldBe 2
+      // executedPlan prints parents first: the rank window must sit ABOVE
+      // the heap (consume its output), not below it on the candidate join
+      p.indexOf("Window") should (be >= 0 and be < p.indexOf("TopKPerKey"))
+    }
+    audit(Ann.annTopK(emb, "vec_id", "embedding", Seq(1L, 2L), k = 5))
+    audit(Ann.annTopKMultiProbe(emb, "vec_id", "embedding", Seq(1L, 2L), k = 5))
+    audit(QuantizedAnn.topK(emb, "vec_id", "embedding", Seq(1L, 2L), k = 5))
+  }
+
   it("release() drops the index's cache blocks") {
     index.release()
     index.assigned.storageLevel.useMemory shouldBe false
