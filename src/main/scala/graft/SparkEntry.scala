@@ -989,6 +989,20 @@ object SparkEntry {
         "doc_id", "text", k = 16, w = 8, minShared = 3, maxFpFreq = 100)
       .orderBy("doc_a", "doc_b")
 
+  /** DQ73 (EXT): REAL multimodal decode — synthesize byte-exact PNG/JPEG
+    * payloads (variable-length JPEG segments, so dimensions sit at
+    * data-dependent offsets) plus non-image rows, then parse format/width/
+    * height back out of the BYTES with the [[graft.functions.ImageMeta]]
+    * header kernel; non-images are rejected by the parse, not by the
+    * synthesis rule. The oracle builds identical blobs in DuckDB and
+    * re-parses them independently (hex-string marker walk). */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents").select(col("doc_id"),
+      graft.ext.Multimodal.syntheticImagePayload(col("doc_id")).as("payload"))
+    graft.ext.Multimodal.imageMeta(media, "doc_id", "payload")
+      .orderBy("doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1062,7 +1076,8 @@ object SparkEntry {
     "dq69_tfidf_top_term"      -> (q69 _),
     "dq70_config_report"       -> (q70 _),
     "dq71_length_outliers"     -> (q71 _),
-    "dq72_winnow_overlap"      -> (q72 _)
+    "dq72_winnow_overlap"      -> (q72 _),
+    "dq73_image_meta"          -> (q73 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1610,6 +1625,62 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq73_image_meta" ->
+      // construct byte-identical blobs, then RE-PARSE them from the bytes:
+      // PNG dims at fixed IHDR offsets; JPEG via a data-driven marker walk
+      // (read APP0's length, hop, read COM's length, hop, expect FFC0) —
+      // the same walk ImageMeta.parseJpeg does, expressed over hex(payload)
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 1897 + 16 AS w0, (doc_id * 7) % 1061 + 16 AS h0,
+        |    doc_id % 8 + 14 AS ap, (doc_id * 3) % 5 + 2 AS cp
+        |  FROM documents),
+        |payload AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN ('not an image ' || doc_id::VARCHAR)::BLOB
+        |    WHEN doc_id % 2 = 0 THEN
+        |      unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
+        |        || lpad(to_hex(w0), 8, '0') || lpad(to_hex(h0), 8, '0') || '0806000000')
+        |    ELSE
+        |      unhex('FFD8' || 'FFE0' || lpad(to_hex(ap + 2), 4, '0') || repeat('4A', ap)
+        |        || 'FFFE' || lpad(to_hex(cp + 2), 4, '0') || repeat('43', cp)
+        |        || 'FFC0' || '000B' || '08'
+        |        || lpad(to_hex(h0), 4, '0') || lpad(to_hex(w0), 4, '0')
+        |        || '012200' || 'FFD9')
+        |    END AS payload
+        |  FROM m),
+        |hx AS (SELECT doc_id, upper(hex(payload)) AS h FROM payload),
+        |j1 AS (SELECT doc_id, h,
+        |    CASE WHEN substr(h, 1, 4) = 'FFD8'
+        |      THEN 5 + 4 + TRY_CAST(('0x' || substr(h, 9, 4)) AS BIGINT) * 2 END AS p2
+        |  FROM hx),
+        |j2 AS (SELECT doc_id, h, p2,
+        |    CASE WHEN p2 IS NOT NULL
+        |      THEN p2 + 4 + TRY_CAST(('0x' || substr(h, p2::INT + 4, 4)) AS BIGINT) * 2
+        |    END AS p3
+        |  FROM j1),
+        |parsed AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN substr(h, 1, 16) = '89504E470D0A1A0A' AND substr(h, 17, 8) = '0000000D'
+        |           AND substr(h, 25, 8) = '49484452' THEN 'png'
+        |      WHEN p3 IS NOT NULL AND substr(h, p3::INT, 4) = 'FFC0' THEN 'jpeg'
+        |    END AS format,
+        |    CASE
+        |      WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+        |        THEN TRY_CAST(('0x' || substr(h, 33, 8)) AS BIGINT)
+        |      WHEN p3 IS NOT NULL AND substr(h, p3::INT, 4) = 'FFC0'
+        |        THEN TRY_CAST(('0x' || substr(h, p3::INT + 14, 4)) AS BIGINT)
+        |    END AS width,
+        |    CASE
+        |      WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+        |        THEN TRY_CAST(('0x' || substr(h, 41, 8)) AS BIGINT)
+        |      WHEN p3 IS NOT NULL AND substr(h, p3::INT, 4) = 'FFC0'
+        |        THEN TRY_CAST(('0x' || substr(h, p3::INT + 10, 4)) AS BIGINT)
+        |    END AS height
+        |  FROM j2)
+        |SELECT doc_id, format, CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height
+        |FROM parsed WHERE format IS NOT NULL ORDER BY doc_id""".stripMargin,
     "dq72_winnow_overlap" -> {
       // identical rolling-hash arithmetic to ext.Winnow (same B^j mod M
       // constants — integer-only, so every hash matches bit-for-bit)

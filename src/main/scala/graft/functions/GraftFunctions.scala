@@ -81,6 +81,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_letter_gini expects 1 argument")
         LetterGini(args.head)
+      }),
+    (FunctionIdentifier("graft_image_meta"),
+      new ExpressionInfo(classOf[ImageMeta].getName, "graft_image_meta"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_image_meta expects 1 argument")
+        ImageMeta(args.head)
       }))
 
   /** Register on a live session. */
