@@ -1003,6 +1003,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ74 (EXT): Gopher duplicate-line fraction (Rae et al. §A1.1). The
+    * corpus is single-line word soup, so line structure is SYNTHESIZED
+    * deterministically first (token pairs joined by newlines — the dq73
+    * pattern: fixture synthesis in engine-portable Column algebra), then
+    * [[graft.ext.TextAnalysis.duplicateLineStats]] computes the real
+    * dup-line / dup-char fractions over the newline-delimited text. */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      graft.ext.TextAnalysis.tokens(col("text")).as("__toks"))
+    val pairLines = when(size(col("__toks")) >= 2,
+      transform(sequence(lit(0), floor(size(col("__toks")) / 2).cast("int") - 1),
+        i => concat_ws(" ", element_at(col("__toks"), i * 2 + 1),
+          element_at(col("__toks"), i * 2 + 2))))
+      .otherwise(array().cast("array<string>"))
+    val synth = docs.select(col("doc_id"), concat_ws("\n", pairLines).as("text"))
+    graft.ext.TextAnalysis.duplicateLineStats(synth, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1077,7 +1096,8 @@ object SparkEntry {
     "dq70_config_report"       -> (q70 _),
     "dq71_length_outliers"     -> (q71 _),
     "dq72_winnow_overlap"      -> (q72 _),
-    "dq73_image_meta"          -> (q73 _)
+    "dq73_image_meta"          -> (q73 _),
+    "dq74_dup_lines"           -> (q74 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1625,6 +1645,26 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq74_dup_lines" ->
+      // same synthesis (token pairs as lines), then an independent
+      // re-derivation of the dup-line/dup-char fractions; integer
+      // numerators + one double division each → bit-exact
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) toks
+        |  FROM documents),
+        |syn AS (SELECT doc_id, list_transform(range(0, len(toks) // 2),
+        |    i -> toks[2*i+1] || ' ' || toks[2*i+2]) lines FROM t),
+        |e AS (SELECT doc_id, unnest(lines) AS line FROM syn),
+        |c AS (SELECT doc_id, line, count(*) AS cnt, len(line) AS ln
+        |  FROM e GROUP BY doc_id, line),
+        |agg AS (SELECT doc_id,
+        |    CAST(sum(cnt) AS BIGINT) n, CAST(count(*) AS BIGINT) nd,
+        |    CAST(sum((cnt - 1) * ln) AS BIGINT) dupc, CAST(sum(cnt * ln) AS BIGINT) totc
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n AS n_lines,
+        |  (n - nd) / n::DOUBLE AS dup_line_frac,
+        |  dupc / totc::DOUBLE AS dup_char_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "dq73_image_meta" ->
       // construct byte-identical blobs, then RE-PARSE them from the bytes:
       // PNG dims at fixed IHDR offsets; JPEG via a data-driven marker walk

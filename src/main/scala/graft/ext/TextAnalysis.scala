@@ -152,6 +152,40 @@ object TextAnalysis {
       .select(col(idCol), (col("__mx") / col("__tot")).as("rep_ratio"))
   }
 
+  /** Gopher duplicate-LINE statistics (Rae et al. 2021 §A1.1 gate on the
+    * full family: duplicate line fraction, duplicate PARAGRAPH fraction —
+    * pass `delimRegex = "\\n{2,}"` — and the duplicate-character variants,
+    * all computed here): per document,
+    *  - `dup_line_frac`  = (lines − distinct lines) / lines — the fraction
+    *    of line OCCURRENCES that repeat an earlier line
+    *  - `dup_char_frac`  = characters inside those repeat occurrences /
+    *    total line characters
+    * Lines are the non-empty segments between `delimRegex` matches.
+    * Documents with zero non-empty lines drop out (no denominator).
+    *
+    * All-integer numerators/denominators with ONE double division each, so
+    * the fractions are bit-identical on any engine. Shape at 100 TB: same
+    * two-level aggregation as [[repetitionRatio]] — (doc, line) pairs
+    * shuffle with map-side partials, never document bodies, and the second
+    * aggregation is keyed on doc_id only.
+    */
+  def duplicateLineStats(df: DataFrame, idCol: String, textCol: String,
+      delimRegex: String = "\n"): DataFrame = {
+    val lines = filter(split(col(textCol), delimRegex), l => length(l) > 0)
+    df.select(col(idCol), explode(lines).as("__line"))
+      .groupBy(idCol, "__line").agg(count(lit(1)).as("__cnt"))
+      .select(col(idCol), col("__cnt"), length(col("__line")).as("__ln"))
+      .groupBy(idCol).agg(
+        sum("__cnt").as("__n"), count(lit(1)).as("__nd"),
+        sum((col("__cnt") - 1) * col("__ln")).as("__dupc"),
+        sum(col("__cnt") * col("__ln")).as("__totc"))
+      .select(col(idCol), col("__n").as("n_lines"),
+        ((col("__n") - col("__nd")).cast("double") / col("__n").cast("double"))
+          .as("dup_line_frac"),
+        (col("__dupc").cast("double") / col("__totc").cast("double"))
+          .as("dup_char_frac"))
+  }
+
   /** Fixed-window document chunking with overlap — the context-length prep
     * step of a training pipeline: each document becomes ⌈len/stride⌉ chunks
     * of up to `size` chars starting every `stride` chars (overlap =

@@ -61,6 +61,25 @@ class ExtSpec extends GraftSpec {
         .orderBy("doc_id").as[(Long, Double)].collect() shouldBe
         Array((1L, 3d / 5d), (2L, 1d / 3d))
     }
+    it("duplicateLineStats: Gopher dup-line and dup-char fractions") {
+      val df = Seq(
+        (1L, "abc\nde\nabc\nabc\nxy"), // 5 lines, 3 distinct; dups: 2×"abc"=6 chars of 13
+        (2L, "one\ntwo\nthree"),       // no duplicates
+        (3L, "\n\n"),                  // no non-empty lines → dropped
+        (4L, "p\np")                   // 2 lines, 1 distinct → frac 1/2
+      ).toDF("doc_id", "text")
+      TextAnalysis.duplicateLineStats(df, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, Long, Double, Double)].collect() shouldBe Array(
+        (1L, 5L, 2d / 5d, 6d / 13d),
+        (2L, 3L, 0d, 0d),
+        (4L, 2L, 1d / 2d, 1d / 2d))
+    }
+    it("duplicateLineStats: paragraph mode via the delimiter regex") {
+      val df = Seq((1L, "para one\n\npara two\n\npara one")).toDF("doc_id", "text")
+      TextAnalysis.duplicateLineStats(df, "doc_id", "text", delimRegex = "\n{2,}")
+        .as[(Long, Long, Double, Double)].head() shouldBe
+        ((1L, 3L, 1d / 3d, 8d / 24d))
+    }
     it("packedCharShingles preserves set cardinalities vs charShingles") {
       val df = Seq(("abcdefgab", "abcdefgXY")).toDF("x", "y")
       val (ns, np) = df.select(
