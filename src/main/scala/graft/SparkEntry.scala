@@ -1022,6 +1022,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ75 (EXT): SemDeDup-shaped semantic dedup (Abbas et al. 2023) — the
+    * embedding-space complement of dq47's MinHash pipeline, composed
+    * entirely from verified parts: embedding cells ([[Ann.nearDupPairs]]'s
+    * sign-bucket coarse quantizer), within-cell cosine > τ edges (dq22's
+    * exact formulation), [[ConnectedComponents]] clustering, and
+    * [[Dedup.keepCanonical]] (keep the min-id representative per cluster).
+    * Cells bound the pair space (never N²), edges/cluster tables are ∝
+    * duplicates, and bodies/embeddings never ride the CC iteration. */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val pairs = Ann.nearDupPairs(emb, "vec_id", "embedding",
+      dims = 4, threshold = 0.4)
+    Dedup.keepCanonical(emb, "vec_id", pairs,
+        pairACol = "vec_a", pairBCol = "vec_b")
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1097,7 +1115,8 @@ object SparkEntry {
     "dq71_length_outliers"     -> (q71 _),
     "dq72_winnow_overlap"      -> (q72 _),
     "dq73_image_meta"          -> (q73 _),
-    "dq74_dup_lines"           -> (q74 _)
+    "dq74_dup_lines"           -> (q74 _),
+    "dq75_semdedup"            -> (q75 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1124,6 +1143,23 @@ object SparkEntry {
       |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)) jac
       |  FROM cand JOIN s x ON x.doc_id = ai JOIN s y ON y.doc_id = bi)
       |SELECT ai AS doc_a, bi AS doc_b, jac FROM pairs WHERE jac > 0.8""".stripMargin
+
+  /** dq22's pipeline as reusable SQL (no ORDER BY) — dq75 embeds it as the
+    * edge list of its SemDeDup oracle, the same way dq45 embeds [[Dq19Sql]]. */
+  private val Dq22Sql =
+    """WITH e22 AS (SELECT vec_id, embedding,
+      |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+      |   CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
+      |   CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
+      |   CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) bucket FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |  / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+      |     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+      |FROM e22 a JOIN e22 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |  / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+      |     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) > 0.4""".stripMargin
 
   /** dq51's deterministic-Lloyd's IVF pipeline as DuckDB SQL, generated from
     * the same constants as q51 (k=8, 2 iterations, nprobe=2, top-5, queries
@@ -1312,21 +1348,7 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) > 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "dq22_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding,
-        |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
-        |   CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
-        |   CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
-        |   CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) bucket FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-        |  / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-        |     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim
-        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-        |  / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-        |     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) > 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin,
+    "dq22_embedding_neardup" -> s"$Dq22Sql\nORDER BY vec_a, vec_b",
     "dq23_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding,
         |  (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
@@ -1645,6 +1667,22 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq75_semdedup" ->
+      // dq22's pairs as the edge list; min-reachable-id = the cluster
+      // representative keepCanonical retains (dq45's recursive-CTE shape)
+      (s"""WITH RECURSIVE np AS ($Dq22Sql),
+        |e AS (SELECT vec_a AS a, vec_b AS b FROM np
+        |  UNION SELECT vec_b, vec_a FROM np),
+        |verts AS (SELECT DISTINCT a AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM verts
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+        |),
+        |cc AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        |SELECT v.vec_id FROM embeddings v LEFT JOIN cc ON v.vec_id = cc.id
+        |WHERE cc.id IS NULL OR v.vec_id = cc.rep
+        |ORDER BY vec_id""".stripMargin),
     "dq74_dup_lines" ->
       // same synthesis (token pairs as lines), then an independent
       // re-derivation of the dup-line/dup-char fractions; integer
