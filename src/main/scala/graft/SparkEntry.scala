@@ -1040,6 +1040,45 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** DQ76 (EXT): curation pipeline v2 — the round-4 operators composed
+    * end-to-end the way dq62 locked the round-1/2 stages: per-source
+    * length-band filter (dq71) → benchmark decontamination (dq67) →
+    * shared-passage winnow dedup with canonical keep (dq72 edges + dq47
+    * keep rule) → weighted source mixing (dq68) → stratified split report
+    * (dq62). Everything flows as DataFrame plans; only digests,
+    * fingerprints (ints) and (doc, gram) pairs shuffle — document bodies
+    * stay in their scan partitions until the final tiny report
+    * aggregation. (A production run would persist the curated intermediate
+    * consumed by both the fingerprint branch and the keep join; at bench
+    * scale recomputation is cheaper than the cache round-trip.) */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bounds = docs.groupBy("source").agg(
+      expr("percentile(n_chars, 0.05)").as("lo"),
+      expr("percentile(n_chars, 0.95)").as("hi"))
+    val banded = docs.join(broadcast(bounds), "source")
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .select("doc_id", "source", "text")
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val clean = Decontamination.decontaminate(
+      banded.filter(col("doc_id") % 97 =!= 0), evalSet, "doc_id", "text", n = 4)
+    val pairs = graft.ext.Winnow.sharedFingerprintPairs(clean, "doc_id", "text",
+      k = 16, w = 8, minShared = 3, maxFpFreq = 100)
+    val deduped = Dedup.keepCanonical(clean, "doc_id", pairs)
+    val rates = (0 to 19).map(i => s"src$i" -> (i % 3 match {
+      case 0 => 1.0
+      case 1 => 0.5
+      case _ => 0.1
+    })).toMap
+    val mixed = Sampling.stratifiedPortable(deduped, "source", "doc_id", rates)
+    mixed.select(col("source"),
+        Sampling.splitLabelPortable(col("doc_id"), 0.8, 0.1).as("split"),
+        col("doc_id"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
+      .orderBy("split", "source")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1116,7 +1155,8 @@ object SparkEntry {
     "dq72_winnow_overlap"      -> (q72 _),
     "dq73_image_meta"          -> (q73 _),
     "dq74_dup_lines"           -> (q74 _),
-    "dq75_semdedup"            -> (q75 _)
+    "dq75_semdedup"            -> (q75 _),
+    "dq76_curation_v2"         -> (q76 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1143,6 +1183,32 @@ object SparkEntry {
       |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)) jac
       |  FROM cand JOIN s x ON x.doc_id = ai JOIN s y ON y.doc_id = bi)
       |SELECT ai AS doc_a, bi AS doc_b, jac FROM pairs WHERE jac > 0.8""".stripMargin
+
+  /** dq72's winnow shared-passage pairs as reusable SQL over a named
+    * (doc_id, text) relation (no ORDER BY) — identical rolling-hash
+    * arithmetic to `ext.Winnow` (same B^j mod M constants; integer-only, so
+    * every hash matches bit-for-bit). dq76 embeds it over its curated
+    * subset the way dq45 embeds [[Dq19Sql]]. */
+  private def winnowPairsSql(src: String): String = {
+    val (k, w) = (16, 8)
+    val pows = graft.ext.Winnow.powers(k)
+    val terms = (0 until k)
+      .map(j => s"ascii(substr(s, i+$j, 1))::BIGINT * ${pows(k - 1 - j)}")
+      .mkString(" + ")
+    s"""WITH wt AS (SELECT doc_id, lower(text) s FROM $src),
+      |wh AS (SELECT doc_id, list_transform(range(1, len(s) - ${k - 2}),
+      |    i -> ($terms) % 2147483647) hs
+      |  FROM wt WHERE len(s) >= $k),
+      |wfp AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs) - ${w - 2}),
+      |    i -> list_min(hs[i:i+${w - 1}])))) f
+      |  FROM wh WHERE len(hs) >= $w),
+      |wok AS (SELECT f FROM wfp GROUP BY f HAVING count(*) BETWEEN 2 AND 100)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM wfp a JOIN wfp b ON a.f = b.f AND a.doc_id < b.doc_id
+      |JOIN wok ON wok.f = a.f
+      |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
+  }
 
   /** dq22's pipeline as reusable SQL (no ORDER BY) — dq75 embeds it as the
     * edge list of its SemDeDup oracle, the same way dq45 embeds [[Dq19Sql]]. */
@@ -1667,6 +1733,49 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq76_curation_v2" ->
+      // every stage re-derived independently: length band (quantile_cont),
+      // 4-gram decontamination, winnow pairs over the CURATED subset
+      // (embedded winnowPairsSql), recursive-CTE clustering + min-id keep,
+      // md5 gate mixing, then the dq62-shaped split report
+      (s"""WITH RECURSIVE
+        |b AS (SELECT source, quantile_cont(n_chars, 0.05) lo,
+        |    quantile_cont(n_chars, 0.95) hi FROM documents GROUP BY source),
+        |band AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN b USING (source)
+        |  WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi),
+        |dt AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> len(x) > 0) toks
+        |  FROM documents),
+        |dg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+        |    i -> array_to_string(toks[i:i+3], ' ')))) AS gram
+        |  FROM dt WHERE len(toks) >= 4),
+        |eg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+        |contam AS (SELECT DISTINCT dg.doc_id FROM dg JOIN eg USING (gram)
+        |  WHERE dg.doc_id % 97 != 0),
+        |clean AS (SELECT * FROM band WHERE doc_id % 97 != 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |wp AS (${winnowPairsSql("clean")}),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM wp
+        |  UNION SELECT doc_b, doc_a FROM wp),
+        |verts AS (SELECT DISTINCT a AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM verts
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b
+        |),
+        |cc AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+        |dedup AS (SELECT c.* FROM clean c LEFT JOIN cc ON c.doc_id = cc.id
+        |  WHERE cc.id IS NULL OR c.doc_id = cc.rep),
+        |gated AS (SELECT source, doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT % 1000000 g,
+        |    CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) % 3 tier
+        |  FROM dedup),
+        |mixed AS (SELECT source, doc_id, g FROM gated
+        |  WHERE g < CASE tier WHEN 0 THEN 1000000 WHEN 1 THEN 500000 ELSE 100000 END)
+        |SELECT CASE WHEN g < 800000 THEN 'train'
+        |            WHEN g < 900000 THEN 'validation' ELSE 'test' END AS split,
+        |  source, count(*) AS n, min(doc_id) AS min_doc
+        |FROM mixed GROUP BY 1, 2 ORDER BY split, source""".stripMargin),
     "dq75_semdedup" ->
       // dq22's pairs as the edge list; min-reachable-id = the cluster
       // representative keepCanonical retains (dq45's recursive-CTE shape)
@@ -1759,29 +1868,8 @@ object SparkEntry {
         |SELECT doc_id, format, CAST(width AS INTEGER) AS width,
         |  CAST(height AS INTEGER) AS height
         |FROM parsed WHERE format IS NOT NULL ORDER BY doc_id""".stripMargin,
-    "dq72_winnow_overlap" -> {
-      // identical rolling-hash arithmetic to ext.Winnow (same B^j mod M
-      // constants — integer-only, so every hash matches bit-for-bit)
-      val (k, w) = (16, 8)
-      val pows = graft.ext.Winnow.powers(k)
-      val terms = (0 until k)
-        .map(j => s"ascii(substr(s, i+$j, 1))::BIGINT * ${pows(k - 1 - j)}")
-        .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, lower(text) s FROM documents),
-        |h AS (SELECT doc_id, list_transform(range(1, len(s) - ${k - 2}),
-        |    i -> ($terms) % 2147483647) hs
-        |  FROM t WHERE len(s) >= $k),
-        |fp AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs) - ${w - 2}),
-        |    i -> list_min(hs[i:i+${w - 1}])))) f
-        |  FROM h WHERE len(hs) >= $w),
-        |ok AS (SELECT f FROM fp GROUP BY f HAVING count(*) BETWEEN 2 AND 100)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(count(*) AS BIGINT) AS n_shared
-        |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
-        |JOIN ok ON ok.f = a.f
-        |GROUP BY 1, 2 HAVING count(*) >= 3
-        |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "dq72_winnow_overlap" ->
+      s"${winnowPairsSql("documents")}\nORDER BY doc_a, doc_b",
     "dq71_length_outliers" ->
       """WITH b AS (SELECT source,
         |    quantile_cont(n_chars, 0.05) lo, quantile_cont(n_chars, 0.95) hi
