@@ -29,13 +29,25 @@ object EventStream {
 
   /** File-source stream of the events table with a proper event-time column.
     * (The file source wants a directory; select the one table via glob.)
+    *
+    * The two session confs the stream depends on are VALIDATED, not
+    * mutated: a library call silently rewriting a shared session's
+    * timezone/parquet semantics would surprise every other query on that
+    * session — and a set-then-restore scope is unsound for streams, whose
+    * micro-batches keep reading the conf long after this builder returns.
+    * `GraftSession.builder` sets both; any other session needs them set
+    * once at construction.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    // robust under any caller session: the nanos-as-long read applies to the
-    // stream's parquet scans, and window/date_format rendering must be UTC
-    // to match the oracle (runtime-settable confs, set before the stream)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    require(
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.ts is parquet TIMESTAMP(NANOS): set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true on the session " +
+        "(GraftSession.builder does) before building event streams")
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "event-time rendering is defined in UTC: set " +
+        "spark.sql.session.timeZone=UTC on the session " +
+        "(GraftSession.builder does) before building event streams")
     spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")

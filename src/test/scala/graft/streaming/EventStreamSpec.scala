@@ -233,6 +233,29 @@ class EventStreamSpec extends GraftSpec {
     }
   }
 
+  describe("session-conf contract (VERDICT r4: library calls must not " +
+           "mutate the shared session)") {
+    it("readEvents validates instead of mutating: a misconfigured session " +
+       "fails fast and is left untouched") {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      val e = intercept[IllegalArgumentException] {
+        EventStream.readEvents(s2, "/root/testdata/sf0.001")
+      }
+      e.getMessage should include("nanosAsLong")
+      // the failed call did not rewrite the caller's conf
+      s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") shouldBe "false"
+
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e2 = intercept[IllegalArgumentException] {
+        EventStream.readEvents(s2, "/root/testdata/sf0.001")
+      }
+      e2.getMessage should include("timeZone")
+      s2.conf.get("spark.sql.session.timeZone") shouldBe "America/New_York"
+    }
+  }
+
   describe("RocksDB state store (the production backend for state > heap)") {
     it("stateful windowed aggregation produces identical results on RocksDB") {
       import org.apache.spark.sql.streaming.OutputMode
