@@ -66,6 +66,9 @@ case class LetterGini(child: Expression) extends UnaryExpression {
       val acc = ctx.freshName("acc")
       val r = ctx.freshName("r")
       val l = ctx.freshName("l")
+      // doubles are boxed EXPLICITLY below: an Object[] initializer that
+      // relies on Janino autoboxing can fail to compile, silently dropping
+      // the whole stage to interpreted eval (correct but slow)
       s"""
          |java.util.Arrays.fill($cnt, 0);
          |int $nb = $in.numBytes();
@@ -84,7 +87,8 @@ case class LetterGini(child: Expression) extends UnaryExpression {
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[] { $nd, ($n > 0) ? (1.0d - $acc) : 0.0d });
+         |  new Object[] { java.lang.Double.valueOf($nd),
+         |    java.lang.Double.valueOf(($n > 0) ? (1.0d - $acc) : 0.0d) });
        """.stripMargin
     })
   }

@@ -31,33 +31,51 @@ object LayoutProbe {
     val df = li.crossJoin(spark.range(m.toLong).toDF("rep"))
       .select((col("l_orderkey") * m + col("rep")).as("l_orderkey"),
         col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
-    val zDir = s"/tmp/graft_zprobe_z_$m"
-    val lDir = s"/tmp/graft_zprobe_lin_$m"
-    Layout.zorderWrite(df, zDir, numFiles, "l_quantity", "l_extendedprice")
-    Layout.sortedWrite(df, lDir, numFiles, "l_quantity")
-    val rows = spark.read.parquet(zDir).count()
+    // fresh temp dirs, deleted in finally: the probe runs inside every full
+    // Bench pass, and fixed /tmp paths would leak a few hundred MB per run
+    val base = java.nio.file.Files.createTempDirectory("graft-zprobe")
+    val zDir = base.resolve("z").toString
+    val lDir = base.resolve("lin").toString
+    try {
+      Layout.zorderWrite(df, zDir, numFiles, "l_quantity", "l_extendedprice")
+      Layout.sortedWrite(df, lDir, numFiles, "l_quantity")
+      val rows = spark.read.parquet(zDir).count()
 
-    // files a min/max-pruning reader must OPEN for the band: extent
-    // intersects [lo, hi]
-    def filesHit(dir: String): (Long, Long) = {
-      val ext = spark.read.parquet(dir)
-        .groupBy(input_file_name().as("f"))
-        .agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
-        .cache()
-      val total = ext.count()
-      val hits = ext.filter(col("mx") >= lo && col("mn") <= hi).count()
-      ext.unpersist(blocking = false)
-      (hits, total)
+      // files a min/max-pruning reader must OPEN for the band: extent
+      // intersects [lo, hi]
+      def filesHit(dir: String): (Long, Long) = {
+        val ext = spark.read.parquet(dir)
+          .groupBy(input_file_name().as("f"))
+          .agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+          .cache()
+        val total = ext.count()
+        val hits = ext.filter(col("mx") >= lo && col("mn") <= hi).count()
+        ext.unpersist(blocking = false)
+        (hits, total)
+      }
+      def bandSec(dir: String): Double = {
+        val t0 = System.nanoTime()
+        spark.read.parquet(dir)
+          .filter(col("l_extendedprice").between(lo, hi))
+          .agg(count(lit(1))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (zHit, zTotal) = filesHit(zDir)
+      val (lHit, _) = filesHit(lDir)
+      ZorderSkip(rows, zTotal, zHit, lHit, bandSec(zDir), bandSec(lDir))
+    } finally {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        Files.deleteIfExists(p)
+        ()
+      }
+      try rm(base)
+      catch { case e: Exception =>
+        System.err.println(s"[probe] zorder temp cleanup failed: ${e.getMessage}")
+      }
     }
-    def bandSec(dir: String): Double = {
-      val t0 = System.nanoTime()
-      spark.read.parquet(dir)
-        .filter(col("l_extendedprice").between(lo, hi))
-        .agg(count(lit(1))).head()
-      (System.nanoTime() - t0) / 1e9
-    }
-    val (zHit, zTotal) = filesHit(zDir)
-    val (lHit, _) = filesHit(lDir)
-    ZorderSkip(rows, zTotal, zHit, lHit, bandSec(zDir), bandSec(lDir))
   }
 }

@@ -205,15 +205,21 @@ object ProtoSource {
     override def supportedCustomMetrics(): Array[metric.CustomMetric] =
       Array(new RowsGatedMetric, new FieldsSkippedMetric)
 
+    // ONE listing RPC per Scan, shared by statistics and partition
+    // planning: Spark may request statistics several times while planning a
+    // single query, and a batch Scan is created fresh per query, so the
+    // snapshot can't go stale. Try-wrapped: statistics degrade to "unknown"
+    // on a listing failure, while partition planning still surfaces it.
+    private lazy val listed: scala.util.Try[Seq[(String, Long)]] =
+      scala.util.Try(listCacheStatuses(path, hconf.value))
+
     /** Size from the cache listing: base64 inflates payloads 4/3, so the
       * decoded relation is ~3/4 of the file bytes. Reporting it lets the
       * optimizer make broadcast/AQE decisions for proto scans instead of
       * assuming `defaultSizeInBytes` (which disables broadcasting).
       */
     override def estimateStatistics(): Statistics = new Statistics {
-      private val bytes =
-        try listCacheStatuses(path, hconf.value).map(_._2).sum
-        catch { case _: Exception => -1L }
+      private val bytes = listed.map(_.map(_._2).sum).getOrElse(-1L)
       override def sizeInBytes(): java.util.OptionalLong =
         if (bytes < 0) java.util.OptionalLong.empty()
         else java.util.OptionalLong.of(math.max(1L, bytes * 3 / 4))
@@ -222,8 +228,7 @@ object ProtoSource {
     }
 
     override def planInputPartitions(): Array[InputPartition] =
-      listCacheFiles(path, hconf.value)
-        .map(f => ProtoFilePartition(f): InputPartition).toArray
+      listed.get.map(f => ProtoFilePartition(f._1): InputPartition).toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
       new ProtoReaderFactory(msg, fullMsg, filters, expectedQuery, hconf, limit)
@@ -271,6 +276,15 @@ object ProtoSource {
       * monotonic-naming contract: NEW (never listed before) but sorting
       * at-or-below `bound`. The first listing is the restart baseline —
       * the checkpoint vouches for everything already present.
+      *
+      * KNOWN LIMITATION (also in the README's proto-source section): the
+      * baseline makes the fail-fast blind across restarts — a file written
+      * at-or-below the checkpointed offset WHILE THE STREAM WAS DOWN is
+      * present in the first post-restart listing, gets vouched for, and is
+      * silently never delivered. Detecting it would need the seen-set
+      * persisted alongside the checkpoint (one name per cache file); until
+      * then, operators must treat downtime writes below the offset as
+      * unrecoverable.
       */
     private def observe(files: Seq[String], bound: String): Seq[String] =
       synchronized {
@@ -293,6 +307,15 @@ object ProtoSource {
       if (late.nonEmpty) failLate(late, s"the last reported offset '$bound'")
       val latest = files.lastOption.getOrElse("")
       synchronized {
+        // a latest sorting BELOW an already-reported bound means a consumed
+        // cache file vanished from the listing: handing the engine the
+        // regressed offset would silently rewind the checkpoint watermark
+        if (reported != null && reported.nonEmpty && latest < reported)
+          throw new IllegalStateException(
+            s"listing of $path regressed below the last reported offset " +
+              s"'$reported' (latest visible: '$latest') — a consumed cache " +
+              "file disappeared; the cache is not append-only. Cannot " +
+              "guarantee exactly-once delivery.")
         if (reported == null || latest > reported) reported = latest
       }
       ProtoOffset(latest)

@@ -219,6 +219,39 @@ class ProtoSourceSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  it("fails fast when the newest consumed cache file DISAPPEARS (a " +
+     "regressed listing must not silently rewind the checkpoint watermark)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-proto-rewind")
+    val out = java.nio.file.Files.createTempDirectory("graft-proto-rewind-out")
+    val b64 = java.util.Base64.getEncoder
+    def writeCache(name: String, ids: Seq[Long]): Unit = {
+      val lines = b64.encodeToString(query.getBytes("UTF-8")) +:
+        ids.map(id => b64.encodeToString(enc(id)))
+      java.nio.file.Files.write(d.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+      ()
+    }
+    writeCache("c5.txt", Seq(1L))
+    ProtoSource.registerDescriptor("ads_row", msg)
+    val q = spark.readStream.format("graft.io.ProtoSource")
+      .option("descriptor", "ads_row")
+      .load(d.toString)
+      .select("id")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      writeCache("c7.txt", Seq(2L))
+      q.processAllAvailable() // reported offset is now ...c7.txt
+      java.nio.file.Files.delete(d.resolve("c7.txt"))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      ex.getMessage should include("regressed")
+    } finally q.stop()
+  }
+
   it("enforces the S2 cache-validity rule: mismatched query → refetch error") {
     read.option("expectedQuery", query).load(dir).count() shouldBe 9
     val ex = intercept[Exception] {
