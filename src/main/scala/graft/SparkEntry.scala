@@ -1048,9 +1048,9 @@ object SparkEntry {
     * (dq62). Everything flows as DataFrame plans; only digests,
     * fingerprints (ints) and (doc, gram) pairs shuffle — document bodies
     * stay in their scan partitions until the final tiny report
-    * aggregation. (A production run would persist the curated intermediate
-    * consumed by both the fingerprint branch and the keep join; at bench
-    * scale recomputation is cheaper than the cache round-trip.) */
+    * aggregation. The curated intermediate is consumed twice (fingerprint
+    * branch + keep join), so it rides a call-scoped cache exactly like the
+    * shingle frame inside MinHashLSH — measured 7.0s → ~4s at sf0.1. */
   private def q76(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val bounds = docs.groupBy("source").agg(
@@ -1062,21 +1062,36 @@ object SparkEntry {
     val evalSet = docs.filter(col("doc_id") % 97 === 0)
     val clean = Decontamination.decontaminate(
       banded.filter(col("doc_id") % 97 =!= 0), evalSet, "doc_id", "text", n = 4)
-    val pairs = graft.ext.Winnow.sharedFingerprintPairs(clean, "doc_id", "text",
-      k = 16, w = 8, minShared = 3, maxFpFreq = 100)
-    val deduped = Dedup.keepCanonical(clean, "doc_id", pairs)
-    val rates = (0 to 19).map(i => s"src$i" -> (i % 3 match {
-      case 0 => 1.0
-      case 1 => 0.5
-      case _ => 0.1
-    })).toMap
-    val mixed = Sampling.stratifiedPortable(deduped, "source", "doc_id", rates)
-    mixed.select(col("source"),
-        Sampling.splitLabelPortable(col("doc_id"), 0.8, 0.1).as("split"),
-        col("doc_id"))
-      .groupBy("split", "source")
-      .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
-      .orderBy("split", "source")
+    graft.ext.CacheScope.withCached(clean) {
+      val pairs = graft.ext.Winnow.sharedFingerprintPairs(clean, "doc_id", "text",
+        k = 16, w = 8, minShared = 3, maxFpFreq = 100)
+      val deduped = Dedup.keepCanonical(clean, "doc_id", pairs)
+      val rates = (0 to 19).map(i => s"src$i" -> (i % 3 match {
+        case 0 => 1.0
+        case 1 => 0.5
+        case _ => 0.1
+      })).toMap
+      val mixed = Sampling.stratifiedPortable(deduped, "source", "doc_id", rates)
+      mixed.select(col("source"),
+          Sampling.splitLabelPortable(col("doc_id"), 0.8, 0.1).as("split"),
+          col("doc_id"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
+        .orderBy("split", "source")
+    }
+  }
+
+  /** DQ77 (EXT): the rest of the Gopher top-n-gram family — top-3-gram and
+    * top-4-gram fractions per document (dq64 is the top-2-gram member),
+    * inner-joined so each row carries both widths. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val t3 = TextAnalysis.topNgramFraction(docs, "doc_id", "text", 3)
+      .withColumnRenamed("rep_ratio", "top3_frac")
+    val t4 = TextAnalysis.topNgramFraction(docs, "doc_id", "text", 4)
+      .withColumnRenamed("rep_ratio", "top4_frac")
+    t3.join(t4, Seq("doc_id"))
+      .orderBy("doc_id")
   }
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -1156,7 +1171,8 @@ object SparkEntry {
     "dq73_image_meta"          -> (q73 _),
     "dq74_dup_lines"           -> (q74 _),
     "dq75_semdedup"            -> (q75 _),
-    "dq76_curation_v2"         -> (q76 _)
+    "dq76_curation_v2"         -> (q76 _),
+    "dq77_topngram_family"     -> (q77 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1733,6 +1749,22 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq77_topngram_family" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) toks
+        |  FROM documents),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) g
+        |  FROM t WHERE len(toks) >= 3),
+        |c3 AS (SELECT doc_id, g, count(*) c FROM g3 GROUP BY 1, 2),
+        |a3 AS (SELECT doc_id, max(c) / sum(c) AS top3_frac FROM c3 GROUP BY doc_id),
+        |g4 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2),
+        |    i -> array_to_string(toks[i:i+3], ' '))) g
+        |  FROM t WHERE len(toks) >= 4),
+        |c4 AS (SELECT doc_id, g, count(*) c FROM g4 GROUP BY 1, 2),
+        |a4 AS (SELECT doc_id, max(c) / sum(c) AS top4_frac FROM c4 GROUP BY doc_id)
+        |SELECT doc_id, top3_frac, top4_frac
+        |FROM a3 JOIN a4 USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dq76_curation_v2" ->
       // every stage re-derived independently: length band (quantile_cont),
       // 4-gram decontamination, winnow pairs over the CURATED subset

@@ -138,15 +138,24 @@ object TextAnalysis {
     * Docs with < 2 tokens have no bigrams and are dropped (explode of an
     * empty array), mirroring the oracle's HAVING-style filter.
     */
-  def repetitionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val bigrams = when(size(col("__toks")) >= 2,
-      transform(sequence(lit(0), size(col("__toks")) - 2),
-        i => concat_ws(" ", element_at(col("__toks"), i + 1),
-          element_at(col("__toks"), i + 2))))
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    topNgramFraction(df, idCol, textCol, 2)
+
+  /** [[repetitionRatio]] generalized to any gram width — Rae et al. §A1.1
+    * gate on the top-2/3/4-gram fractions together (each width catches a
+    * different boilerplate period). Documents with fewer than `n` tokens
+    * have no grams and drop out. Same explode + two-level-aggregation
+    * shape for every width.
+    */
+  def topNgramFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val grams = when(size(col("__toks")) >= n,
+      transform(sequence(lit(0), size(col("__toks")) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("__toks"), i + j + 1)): _*)))
       .otherwise(array())
-    df.select(col(idCol), toks.as("__toks"))
-      .select(col(idCol), explode(bigrams).as("__bg"))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(grams).as("__bg"))
       .groupBy(idCol, "__bg").agg(count(lit(1)).as("__c"))
       .groupBy(idCol).agg(max("__c").as("__mx"), sum("__c").as("__tot"))
       .select(col(idCol), (col("__mx") / col("__tot")).as("rep_ratio"))

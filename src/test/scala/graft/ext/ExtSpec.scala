@@ -61,6 +61,20 @@ class ExtSpec extends GraftSpec {
         .orderBy("doc_id").as[(Long, Double)].collect() shouldBe
         Array((1L, 3d / 5d), (2L, 1d / 3d))
     }
+    it("topNgramFraction: n=2 equals repetitionRatio; wider grams drop short docs") {
+      val df = Seq((1L, "a b a b a b"), (2L, "x y z")).toDF("doc_id", "text")
+      val r2 = TextAnalysis.repetitionRatio(df, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, Double)].collect()
+      val g2 = TextAnalysis.topNgramFraction(df, "doc_id", "text", 2)
+        .orderBy("doc_id").as[(Long, Double)].collect()
+      g2 shouldBe r2
+      // doc 1 trigrams: aba, bab, aba, bab → 2/4; doc 2: one trigram → 1/1
+      TextAnalysis.topNgramFraction(df, "doc_id", "text", 3).orderBy("doc_id")
+        .as[(Long, Double)].collect() shouldBe Array((1L, 0.5), (2L, 1.0))
+      // n=4: doc 2 (3 tokens) has no 4-grams and drops out
+      TextAnalysis.topNgramFraction(df, "doc_id", "text", 4).orderBy("doc_id")
+        .as[(Long, Double)].collect().map(_._1) shouldBe Array(1L)
+    }
     it("duplicateLineStats: Gopher dup-line and dup-char fractions") {
       val df = Seq(
         (1L, "abc\nde\nabc\nabc\nxy"), // 5 lines, 3 distinct; dups: 2×"abc"=6 chars of 13
