@@ -335,6 +335,46 @@ object ScaleProbe {
         println(f"""{"probe":"topk","rows":$n,"keys":1000,"k":5,"heap_out":$hRows,"heap_sec":${(t1 - t0) / 1e9}%.1f,"heap_shuffle_recs":$hRecs,"heap_shuffle_bytes":$hBytes,"win_out":$wRows,"win_sec":${(t3 - t2) / 1e9}%.1f,"win_shuffle_recs":$wRecs,"win_shuffle_bytes":$wBytes}""")
       }
     }
+    // ANN ranking-tail probe (round 5): the SAME IvfIndex.queryAll under the
+    // two TopKPerKey modes — bounded-heap physical vs rank-window lowering.
+    // The claim under test: ANN candidate ranking is the largest
+    // intermediate of a query batch, and the heap keeps it out of the
+    // exchange (O(qids·k) forwarded) while the window shuffles and sorts
+    // every scored candidate.
+    if (sys.env.get("SCALE_ANNTOPK").contains("1")) {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def shuffleRecs(df: org.apache.spark.sql.DataFrame): Long =
+        graft.plans.PlanWalk.collectAll(df.queryExecution.executedPlan) {
+          case e: ShuffleExchangeExec => e
+        }.flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value)).sum
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val m = 10
+      val df = emb.crossJoin(spark.range(m.toLong).toDF("rep"))
+        .select((col("vec_id") * m + col("rep")).as("vec_id"),
+          transform(col("embedding"),
+            x => x + (col("rep") % 10).cast("float") * lit(0.01f)).as("embedding"))
+        .cache()
+      df.count()
+      val index = graft.ext.IvfIndex.fit(df, "vec_id", "embedding", k = 32)
+      val qids = (1L to 200L).map(_ * m)
+      try {
+        graft.plans.GraftPlans.installPhysical(spark)
+        val t0 = System.nanoTime()
+        val heap = index.queryAll(qids, topK = 10, nprobe = 8)
+        val hRows = heap.collect().length
+        val t1 = System.nanoTime()
+        graft.plans.GraftPlans.install(spark) // rank-window lowering
+        val t2 = System.nanoTime()
+        val win = index.queryAll(qids, topK = 10, nprobe = 8)
+        val wRows = win.collect().length
+        val t3 = System.nanoTime()
+        println(f"""{"probe":"ann_topk","vecs":${index.assigned.count()},"queries":${qids.size},"nprobe":8,"topk":10,"heap_rows":$hRows,"heap_sec":${(t1 - t0) / 1e9}%.1f,"heap_shuffle_recs":${shuffleRecs(heap)},"win_rows":$wRows,"win_sec":${(t3 - t2) / 1e9}%.1f,"win_shuffle_recs":${shuffleRecs(win)}}""")
+      } finally {
+        graft.plans.GraftPlans.installPhysical(spark)
+        index.release()
+        df.unpersist()
+      }
+    }
     // DPP probe: the same selective dim-join against the month-partitioned
     // layout vs the unpartitioned file — wall-clock gap = scan bytes saved
     // by runtime partition pruning (3 of ~80 directories read).
