@@ -1094,6 +1094,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ78 (EXT): [[graft.streaming.EventStream.sessionizeTws]] under the
+    * ORACLE gate (dq26 gates the bounded flatMapGroupsWithState surface;
+    * the transformWithState path was previously spec-checked only). With a
+    * real watermark delay the operator's emission rule is deterministic —
+    * a session is emitted iff `last_event + gap < final watermark`, where
+    * the final watermark is `(max_event_time_ms − delay_ms)` — so the
+    * DuckDB oracle reconstructs the sessions in batch SQL and applies the
+    * SAME closure criterion. Runs on RocksDB (transformWithState does not
+    * run on the default HDFS-backed store); the provider conf is restored
+    * after the stream terminates. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val res = EventStream.runToTable(
+        EventStream.sessionizeTws(EventStream.readEvents(s, dir),
+          gapMinutes = 10, watermarkDelay = "10 minutes").toDF(),
+        "q78_sessions_tws", org.apache.spark.sql.streaming.OutputMode.Append())
+      res.orderBy("user_id", "session_start")
+    } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1172,7 +1196,8 @@ object SparkEntry {
     "dq74_dup_lines"           -> (q74 _),
     "dq75_semdedup"            -> (q75 _),
     "dq76_curation_v2"         -> (q76 _),
-    "dq77_topngram_family"     -> (q77 _)
+    "dq77_topngram_family"     -> (q77 _),
+    "dq78_sessions_tws"        -> (q78 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1749,6 +1774,30 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq78_sessions_tws" ->
+      // dq26's session reconstruction + the streaming closure criterion:
+      // emitted iff last_event + gap < final watermark, wm_us =
+      // ((max_us // 1000) - delay_ms) * 1000 (Spark tracks event-time
+      // stats in ms). Open-tail sessions stay in state and are NOT rows.
+      """WITH o AS (SELECT user_id, epoch_us(ts) us FROM events),
+        |wm AS (SELECT ((max(us) // 1000) - 600000) * 1000 AS wm_us FROM o),
+        |g AS (SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 600000000
+        |      THEN 1 ELSE 0 END brk
+        |  FROM o),
+        |s AS (SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) sid
+        |  FROM g),
+        |sess AS (SELECT user_id, min(us) mn, max(us) mx, count(*) n
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id,
+        |  strftime(to_timestamp(mn // 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  n AS n_events,
+        |  (mx - mn) / 1000000.0 AS duration_sec
+        |FROM sess, wm
+        |WHERE mx + 600000000 < wm_us
+        |ORDER BY user_id, session_start""".stripMargin,
     "dq77_topngram_family" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) toks

@@ -141,9 +141,12 @@ object EventStream {
     *     watermark passes its last event + gap (no on-time event can extend
     *     it anymore) — append-mode, each session exactly once;
     *   - **event-time timeout**: an idle key's state fires
-    *     `GroupStateTimeout.EventTimeTimeout` at (last event + gap), so the
-    *     open tail flushes and its state is evicted without waiting for the
-    *     key to ever speak again;
+    *     `GroupStateTimeout.EventTimeTimeout` at the EARLIEST buffered
+    *     session's close boundary (first session's last event + gap), so
+    *     closed sessions flush the moment the watermark allows — without
+    *     waiting for the key to ever speak again, and without stranding
+    *     behind a still-open tail (the timeout handler re-checks the
+    *     watermark, emits what closed, and re-arms for the rest);
     *   - **per-key cap**: a key buffering more than `maxBufferedPerKey`
     *     timestamps force-flushes everything as sessions and resets —
     *     pathological hot keys degrade to split sessions instead of OOM.
@@ -167,11 +170,15 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, events: Iterator[TimedEvent], state: GroupState[List[Long]]) =>
           if (state.hasTimedOut) {
-            // watermark passed (last event + gap) with no new data: every
-            // buffered session is closed — flush and evict
+            // the EARLIEST buffered session's close boundary passed with no
+            // new data: flush everything the watermark has closed, keep (and
+            // re-arm for) anything still open
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
             val ts = state.getOption.getOrElse(Nil).sorted
-            state.remove()
-            mkSessions(user, splitByGap(ts, gapUs))
+            val (closed, open) =
+              splitByGap(ts, gapUs).partition(s => s.last + gapUs < wmUs)
+            rearmContinuous(state, open, gapUs)
+            mkSessions(user, closed)
           } else {
             val wmUs = state.getCurrentWatermarkMs() * 1000L
             val buf = (state.getOption.getOrElse(Nil) ++ events.map(_.epochUs))
@@ -184,19 +191,29 @@ object EventStream {
             } else {
               val (closed, open) =
                 sessions.partition(s => s.last + gapUs < wmUs)
-              val kept = open.flatten
-              if (kept.isEmpty) state.remove()
-              else {
-                state.update(kept)
-                // strictly above the watermark by construction (kept means
-                // last + gap >= wm); +1ms for the boundary equality
-                state.setTimeoutTimestamp((kept.max + gapUs) / 1000L + 1L)
-              }
+              rearmContinuous(state, open, gapUs)
               mkSessions(user, closed)
             }
           }
       }
   }
+
+  /** Keep `open` sessions in state with the timeout at the EARLIEST open
+    * session's close boundary (first session's last + gap), not the key's
+    * last event — so an already-closed session flushes as soon as the
+    * watermark passes ITS boundary instead of stranding behind an idle
+    * tail until the key sees input again. Emission contract (and the dq78
+    * oracle criterion): a session is emitted exactly when
+    * `last_event + gap < watermark`. Strictly above the watermark by
+    * construction (open means last + gap >= wm); +1ms for equality.
+    */
+  private def rearmContinuous(state: GroupState[List[Long]],
+      open: List[List[Long]], gapUs: Long): Unit =
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(open.flatten)
+      state.setTimeoutTimestamp((open.head.last + gapUs) / 1000L + 1L)
+    }
 
   /** [[sessionizeContinuous]] on Spark 4's `transformWithState` — the
     * current arbitrary-state operator: named typed state variables on the
@@ -234,11 +251,12 @@ object EventStream {
       ts = getHandle.getListState[Long]("ts",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
 
-    private def rearm(kept: List[Long]): Unit =
-      if (kept.isEmpty) ts.clear()
+    // timer at the EARLIEST open session's boundary (see [[rearmContinuous]])
+    private def rearm(open: List[List[Long]]): Unit =
+      if (open.isEmpty) ts.clear()
       else {
-        ts.put(kept.toArray)
-        getHandle.registerTimer((kept.max + gapUs) / 1000L + 1L)
+        ts.put(open.flatten.toArray)
+        getHandle.registerTimer((open.head.last + gapUs) / 1000L + 1L)
       }
 
     override def handleInputRows(user: Long, rows: Iterator[TimedEvent],
@@ -252,7 +270,7 @@ object EventStream {
         mkSessions(user, sessions) // cap breached: force-flush
       } else {
         val (closed, open) = sessions.partition(s => s.last + gapUs < wmUs)
-        rearm(open.flatten)
+        rearm(open)
         mkSessions(user, closed)
       }
     }
@@ -264,7 +282,7 @@ object EventStream {
       ts.clear()
       val (closed, open) =
         splitByGap(buf, gapUs).partition(s => s.last + gapUs < wmUs)
-      rearm(open.flatten)
+      rearm(open)
       mkSessions(user, closed)
     }
   }

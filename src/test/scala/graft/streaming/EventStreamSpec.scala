@@ -80,6 +80,24 @@ class EventStreamSpec extends GraftSpec {
       got.head.session_start shouldBe "1970-01-01 01:00:00"
     }
 
+    it("a closed session flushes even while the key's tail is still open " +
+       "(timer at the EARLIEST boundary, not the last event)") {
+      val base = java.nio.file.Files.createTempDirectory("graft-sess-early").toString
+      // user 1: session A at t=3600, session B at t=8000 (> gap apart).
+      // user 2 at t=8600 drives the watermark. A's boundary (3600+600)
+      // passes the watermark; B's (8000+600 = 8600) does NOT — the old
+      // last-event timer (8600) would never fire, stranding A
+      writeBatch(s"$base/in", "f1",
+        Seq((1L, 3600L, 1L), (2L, 8000L, 1L), (3L, 8600L, 2L)))
+      runStream(s"$base/in", s"$base/out",
+        ev => EventStream.sessionizeContinuous(ev, gapMinutes = 10,
+          watermarkDelay = "0 seconds"))
+      spark.read.parquet(s"$base/out/data")
+        .as[EventStream.Session].collect().toSeq
+        .map(s => (s.user_id, s.n_events, s.session_start)) shouldBe
+        Seq((1L, 1L, "1970-01-01 01:00:00"))
+    }
+
     it("force-flushes a key that exceeds the per-key buffer cap") {
       val base = java.nio.file.Files.createTempDirectory("graft-sess-cap").toString
       // 3 events within the gap — buffer of 3 > cap of 2 → forced flush even
@@ -143,6 +161,18 @@ class EventStreamSpec extends GraftSpec {
       got.map(s => (s.user_id, s.n_events, s.duration_sec)) shouldBe
         Seq((1L, 2L, 30.0))
       got.head.session_start shouldBe "1970-01-01 01:00:00"
+    }
+
+    it("a closed session flushes even while the key's tail is still open " +
+       "(same earliest-boundary timer as the continuous variant)") {
+      val base = java.nio.file.Files.createTempDirectory("graft-tws-early").toString
+      writeBatch(s"$base/in",
+        Seq((1L, 3600L, 1L), (2L, 8000L, 1L), (3L, 8600L, 2L)))
+      runTws(s"$base/in", s"$base/out")
+      spark.read.parquet(s"$base/out/data")
+        .as[EventStream.Session].collect().toSeq
+        .map(s => (s.user_id, s.n_events, s.session_start)) shouldBe
+        Seq((1L, 1L, "1970-01-01 01:00:00"))
     }
 
     it("force-flushes past the per-key cap") {
