@@ -202,7 +202,7 @@ class PlanAuditSpec extends GraftSpec {
     p should include("bytedot")                 // codegen packed-int8 kernel
     p should include("TopKPerKey")              // heap reduces candidates first
     // the rnk window survives, but ABOVE the heap: its input is k rows/query
-    p.indexOf("Window") should be < p.indexOf("TopKPerKey")
+    p.indexOf("Window") should (be >= 0 and be < p.indexOf("TopKPerKey"))
   }
 
   it("dq63's band predicates reach the z-ordered scan as PushedFilters on " +
