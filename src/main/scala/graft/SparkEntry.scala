@@ -1050,7 +1050,8 @@ object SparkEntry {
     * stay in their scan partitions until the final tiny report
     * aggregation. The curated intermediate is consumed twice (fingerprint
     * branch + keep join), so it rides a call-scoped cache exactly like the
-    * shingle frame inside MinHashLSH — measured 7.0s → ~4s at sf0.1. */
+    * shingle frame inside MinHashLSH — measured 7.0s → 5.75s at sf0.1 (the
+    * remaining floor is CC's fixed per-iteration job overhead). */
   private def q76(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val bounds = docs.groupBy("source").agg(

@@ -4,6 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+/** Stage-separated wall times from [[MinHashLSH.stageTimings]]. */
+final case class MinHashStageTimings(
+    shingleSec: Double, candSec: Double, verifySec: Double,
+    candidates: Long, pairs: Long)
+
 /** MinHash + LSH near-duplicate detection (EXT, SURVEY §2.10 U3).
   *
   * Pipeline: token 3-gram shingles → per-shingle hash pair → integer minhash
@@ -31,11 +36,6 @@ import org.apache.spark.sql.types.LongType
   * 64-bit integer arithmetic, so any engine (the DuckDB oracle included)
   * reproduces signatures bit-for-bit.
   */
-/** Stage-separated wall times from [[MinHashLSH.stageTimings]]. */
-final case class MinHashStageTimings(
-    shingleSec: Double, candSec: Double, verifySec: Double,
-    candidates: Long, pairs: Long)
-
 object MinHashLSH {
 
   /** 2^31 − 1 (Mersenne prime) — the double-hashing modulus. h1 + i·h2 stays
