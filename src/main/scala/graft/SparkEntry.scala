@@ -1119,6 +1119,20 @@ object SparkEntry {
     } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
   }
 
+  /** DQ79 (EXT): REAL audio decode — the dq73 pattern for WAV/RIFF:
+    * synthesize byte-exact chunk tables (variable-length LIST chunk, so
+    * the walk is load-bearing; all fields little-endian) plus non-audio
+    * rows, parse channels/rate/bits/declared-sample-count back out of the
+    * BYTES with [[graft.functions.AudioMeta]]. The oracle re-parses
+    * identical blobs in DuckDB (hex walk with reversed byte pairs for the
+    * little-endian fields). */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents").select(col("doc_id"),
+      graft.ext.Multimodal.syntheticWavPayload(col("doc_id")).as("payload"))
+    graft.ext.Multimodal.audioMeta(media, "doc_id", "payload")
+      .orderBy("doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1198,7 +1212,8 @@ object SparkEntry {
     "dq75_semdedup"            -> (q75 _),
     "dq76_curation_v2"         -> (q76 _),
     "dq77_topngram_family"     -> (q77 _),
-    "dq78_sessions_tws"        -> (q78 _)
+    "dq78_sessions_tws"        -> (q78 _),
+    "dq79_audio_meta"          -> (q79 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1775,6 +1790,66 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq79_audio_meta" ->
+      // byte-identical WAV synthesis, then an independent re-parse: the
+      // chunk walk reads LIST's length field to locate 'fmt ' (data-driven,
+      // like dq73's JPEG walk) and every field decodes little-endian by
+      // reversing hex byte pairs
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |    doc_id % 2 + 1 AS ch,
+        |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+        |    (doc_id % 9 + 2) * 2 AS ll,
+        |    doc_id % 997 + 10 AS ns
+        |  FROM documents),
+        |m2 AS (SELECT *, ch * (bits // 8) AS al, ns * ch * (bits // 8) AS ds FROM m),
+        |payload AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN ('not audio ' || doc_id::VARCHAR)::BLOB
+        |    ELSE
+        |      'RIFF'::BLOB ||
+        |      unhex(substr(lpad(to_hex(44 + ll + ds),8,'0'),7,2) || substr(lpad(to_hex(44 + ll + ds),8,'0'),5,2) || substr(lpad(to_hex(44 + ll + ds),8,'0'),3,2) || substr(lpad(to_hex(44 + ll + ds),8,'0'),1,2)) ||
+        |      'WAVE'::BLOB || 'LIST'::BLOB ||
+        |      unhex(substr(lpad(to_hex(ll),8,'0'),7,2) || substr(lpad(to_hex(ll),8,'0'),5,2) || substr(lpad(to_hex(ll),8,'0'),3,2) || substr(lpad(to_hex(ll),8,'0'),1,2)) ||
+        |      repeat('J', ll)::BLOB ||
+        |      'fmt '::BLOB || unhex('10000000') || unhex('0100') ||
+        |      unhex(substr(lpad(to_hex(ch),4,'0'),3,2) || substr(lpad(to_hex(ch),4,'0'),1,2)) ||
+        |      unhex(substr(lpad(to_hex(rate),8,'0'),7,2) || substr(lpad(to_hex(rate),8,'0'),5,2) || substr(lpad(to_hex(rate),8,'0'),3,2) || substr(lpad(to_hex(rate),8,'0'),1,2)) ||
+        |      unhex(substr(lpad(to_hex(rate*al),8,'0'),7,2) || substr(lpad(to_hex(rate*al),8,'0'),5,2) || substr(lpad(to_hex(rate*al),8,'0'),3,2) || substr(lpad(to_hex(rate*al),8,'0'),1,2)) ||
+        |      unhex(substr(lpad(to_hex(al),4,'0'),3,2) || substr(lpad(to_hex(al),4,'0'),1,2)) ||
+        |      unhex(substr(lpad(to_hex(bits),4,'0'),3,2) || substr(lpad(to_hex(bits),4,'0'),1,2)) ||
+        |      'data'::BLOB ||
+        |      unhex(substr(lpad(to_hex(ds),8,'0'),7,2) || substr(lpad(to_hex(ds),8,'0'),5,2) || substr(lpad(to_hex(ds),8,'0'),3,2) || substr(lpad(to_hex(ds),8,'0'),1,2))
+        |    END AS payload
+        |  FROM m2),
+        |hx AS (SELECT doc_id, upper(hex(payload)) AS h FROM payload),
+        |w1 AS (SELECT doc_id, h,
+        |    CASE WHEN substr(h,1,8) = '52494646' AND substr(h,17,8) = '57415645'
+        |         AND substr(h,25,8) = '4C495354'
+        |      THEN 41 + TRY_CAST(('0x' || substr(h,39,2) || substr(h,37,2) || substr(h,35,2) || substr(h,33,2)) AS BIGINT) * 2
+        |    END AS p2
+        |  FROM hx),
+        |w2 AS (SELECT doc_id, h, p2,
+        |    CASE WHEN p2 IS NOT NULL AND substr(h, p2::INT, 8) = '666D7420'
+        |         AND substr(h, p2::INT + 16, 4) = '0100'
+        |      THEN p2 + 48 END AS p3
+        |  FROM w1),
+        |parsed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN p3 IS NOT NULL AND substr(h, p3::INT, 8) = '64617461' THEN
+        |      TRY_CAST(('0x' || substr(h, p2::INT + 22, 2) || substr(h, p2::INT + 20, 2)) AS BIGINT)
+        |    END AS channels,
+        |    TRY_CAST(('0x' || substr(h, p2::INT + 30, 2) || substr(h, p2::INT + 28, 2) || substr(h, p2::INT + 26, 2) || substr(h, p2::INT + 24, 2)) AS BIGINT) AS sample_rate,
+        |    TRY_CAST(('0x' || substr(h, p2::INT + 46, 2) || substr(h, p2::INT + 44, 2)) AS BIGINT) AS bits,
+        |    TRY_CAST(('0x' || substr(h, p2::INT + 42, 2) || substr(h, p2::INT + 40, 2)) AS BIGINT) AS align,
+        |    TRY_CAST(('0x' || substr(h, p3::INT + 14, 2) || substr(h, p3::INT + 12, 2) || substr(h, p3::INT + 10, 2) || substr(h, p3::INT + 8, 2)) AS BIGINT) AS data_size
+        |  FROM w2)
+        |SELECT doc_id, CAST(channels AS INTEGER) channels,
+        |  CAST(sample_rate AS INTEGER) sample_rate, CAST(bits AS INTEGER) bits,
+        |  CAST(data_size // align AS BIGINT) n_samples
+        |FROM parsed WHERE channels IS NOT NULL ORDER BY doc_id""".stripMargin,
     "dq78_sessions_tws" ->
       // dq26's session reconstruction + the streaming closure criterion:
       // emitted iff last_event + gap < final watermark, wm_us =

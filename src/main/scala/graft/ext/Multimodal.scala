@@ -140,4 +140,56 @@ object Multimodal {
       .when(docId % 2 === 0, png)
       .otherwise(jpeg)
   }
+
+  /** REAL audio metadata decode (DQ79) — [[graft.functions.AudioMeta]]'s
+    * WAV/RIFF chunk walk over payload bytes, keeping only rows that parse:
+    * the "clip is usable audio" ingest gate plus declared-duration
+    * accounting (`n_samples / sample_rate`) with no sample decode.
+    * Output: (doc_id, channels, sample_rate, bits, n_samples).
+    */
+  def audioMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.AudioMeta(col(payloadCol)).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("doc_id"), col("m.channels").as("channels"),
+        col("m.sample_rate").as("sample_rate"), col("m.bits").as("bits"),
+        col("m.n_samples").as("n_samples"))
+
+  /** Deterministic WAV-header synthesis for the DQ79 fixture — the audio
+    * sibling of [[syntheticImagePayload]]: a REAL RIFF chunk table whose
+    * LIST filler chunk VARIES in length with doc_id (the chunk walk is
+    * load-bearing), everything little-endian, fmt/data fields derived from
+    * doc_id; doc_id ≡ 0 mod 7 yields a non-audio payload for the reject
+    * path. Headers only — the data chunk declares its size with no body,
+    * which is exactly what a header gate must not read.
+    */
+  def syntheticWavPayload(docId: Column): Column = {
+    // little-endian: reversed byte pairs of the fixed-width hex rendering
+    def le(v: Column, hexChars: Int): Column = {
+      val h = lpad(hex(v), hexChars, "0")
+      unhex(concat((hexChars - 2 to 0 by -2).map(i => substring(h, i + 1, 2)): _*))
+    }
+    val rate = when(docId % 4 === 0, 8000).when(docId % 4 === 1, 16000)
+      .when(docId % 4 === 2, 22050).otherwise(44100)
+    val channels = (docId % 2 + 1).cast("int")
+    val bits = when(docId % 3 === 0, 8).otherwise(16)
+    val align = channels * (bits / 8)
+    val listLen = ((docId % 9 + 2) * 2).cast("int") // even, 4..20 bytes
+    val nSamples = (docId % 997 + 10).cast("int")
+    val dataSize = nSamples * align
+    val riffSize = lit(4) + (lit(8) + listLen) + lit(8 + 16) + lit(8) + dataSize
+    val wav = concat(
+      lit("RIFF").cast("binary"), le(riffSize, 8), lit("WAVE").cast("binary"),
+      lit("LIST").cast("binary"), le(listLen, 8),
+      repeat(lit("J"), listLen).cast("binary"),
+      lit("fmt ").cast("binary"), le(lit(16), 8),
+      le(lit(1), 4),            // PCM format tag
+      le(channels, 4), le(rate, 8),
+      le(rate * align, 8),      // byte rate
+      le(align, 4), le(bits, 4),
+      lit("data").cast("binary"), le(dataSize, 8))
+    when(docId % 7 === 0,
+      concat(lit("not audio "), docId.cast("string")).cast("binary"))
+      .otherwise(wav)
+  }
 }

@@ -87,6 +87,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_image_meta expects 1 argument")
         ImageMeta(args.head)
+      }),
+    (FunctionIdentifier("graft_audio_meta"),
+      new ExpressionInfo(classOf[AudioMeta].getName, "graft_audio_meta"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_audio_meta expects 1 argument")
+        AudioMeta(args.head)
       }))
 
   /** Register on a live session. */
