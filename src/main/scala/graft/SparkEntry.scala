@@ -1133,6 +1133,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ80 (EXT): REAL video decode — MP4 / ISO BMFF box walk
+    * ([[graft.functions.VideoMeta]]): ftyp brand + mvhd timescale/duration
+    * (the clip-length curation gate) parsed from the box tree, with
+    * variable-length `free` and `udta` filler boxes making BOTH the
+    * top-level and child walks data-driven. Completes the modality triple:
+    * dq73 image (big-endian fixed offsets + marker stream), dq79 audio
+    * (little-endian chunk table), dq80 video (nested box tree). */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents").select(col("doc_id"),
+      graft.ext.Multimodal.syntheticMp4Payload(col("doc_id")).as("payload"))
+    graft.ext.Multimodal.videoMeta(media, "doc_id", "payload")
+      .orderBy("doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1213,7 +1227,8 @@ object SparkEntry {
     "dq76_curation_v2"         -> (q76 _),
     "dq77_topngram_family"     -> (q77 _),
     "dq78_sessions_tws"        -> (q78 _),
-    "dq79_audio_meta"          -> (q79 _)
+    "dq79_audio_meta"          -> (q79 _),
+    "dq80_video_meta"          -> (q80 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1790,6 +1805,57 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq80_video_meta" ->
+      // byte-identical MP4 synthesis, then an independent re-parse: the
+      // walk reads free's size to find moov and udta's size to find mvhd
+      // (data-driven at both levels); box sizes are big-endian so hex
+      // substrings cast directly
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |    doc_id % 16 + 8 AS fl,
+        |    (doc_id * 5) % 12 + 8 AS ul,
+        |    CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |      WHEN 2 THEN 24000 ELSE 90000 END AS ts,
+        |    (doc_id % 9000 + 30) * 100 AS dur
+        |  FROM documents),
+        |payload AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN ('not a video ' || doc_id::VARCHAR)::BLOB
+        |    ELSE
+        |      unhex('00000010') || 'ftyp'::BLOB || brand::BLOB || unhex('00000000') ||
+        |      unhex(lpad(to_hex(fl), 8, '0')) || 'free'::BLOB || repeat('J', fl - 8)::BLOB ||
+        |      unhex(lpad(to_hex(8 + ul + 108), 8, '0')) || 'moov'::BLOB ||
+        |      unhex(lpad(to_hex(ul), 8, '0')) || 'udta'::BLOB || repeat('C', ul - 8)::BLOB ||
+        |      unhex('0000006C') || 'mvhd'::BLOB || unhex('00000000') ||
+        |      unhex('00000000') || unhex('00000000') ||
+        |      unhex(lpad(to_hex(ts), 8, '0')) || unhex(lpad(to_hex(dur), 8, '0')) ||
+        |      unhex(repeat('00', 80))
+        |    END AS payload
+        |  FROM m),
+        |hx AS (SELECT doc_id, upper(hex(payload)) AS h FROM payload),
+        |v1 AS (SELECT doc_id, h,
+        |    CASE WHEN substr(h, 1, 8) = '00000010' AND substr(h, 9, 8) = '66747970'
+        |         AND substr(h, 41, 8) = '66726565'
+        |      THEN 33 + TRY_CAST(('0x' || substr(h, 33, 8)) AS BIGINT) * 2 END AS p1
+        |  FROM hx),
+        |v2 AS (SELECT doc_id, h, p1,
+        |    CASE WHEN p1 IS NOT NULL AND substr(h, p1::INT + 8, 8) = '6D6F6F76'
+        |         AND substr(h, p1::INT + 24, 8) = '75647461'
+        |      THEN p1 + 16 + TRY_CAST(('0x' || substr(h, p1::INT + 16, 8)) AS BIGINT) * 2
+        |    END AS q1
+        |  FROM v1),
+        |parsed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN q1 IS NOT NULL AND substr(h, q1::INT + 8, 8) = '6D766864'
+        |         AND substr(h, q1::INT + 16, 2) = '00'
+        |      THEN decode(unhex(substr(h, 17, 8))) END AS brand,
+        |    TRY_CAST(('0x' || substr(h, q1::INT + 40, 8)) AS BIGINT) AS timescale,
+        |    TRY_CAST(('0x' || substr(h, q1::INT + 48, 8)) AS BIGINT) AS duration
+        |  FROM v2)
+        |SELECT doc_id, brand, CAST(timescale AS INTEGER) timescale,
+        |  CAST(duration AS BIGINT) duration
+        |FROM parsed WHERE brand IS NOT NULL ORDER BY doc_id""".stripMargin,
     "dq79_audio_meta" ->
       // byte-identical WAV synthesis, then an independent re-parse: the
       // chunk walk reads LIST's length field to locate 'fmt ' (data-driven,

@@ -192,4 +192,52 @@ object Multimodal {
       concat(lit("not audio "), docId.cast("string")).cast("binary"))
       .otherwise(wav)
   }
+
+  /** REAL video metadata decode (DQ80) — [[graft.functions.VideoMeta]]'s
+    * MP4 box walk: keep rows that parse, with the declared clip length
+    * (`duration / timescale`) available for duration gating.
+    * Output: (doc_id, brand, timescale, duration).
+    */
+  def videoMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.VideoMeta(col(payloadCol)).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("doc_id"), col("m.brand").as("brand"),
+        col("m.timescale").as("timescale"), col("m.duration").as("duration"))
+
+  /** Deterministic MP4 synthesis for the DQ80 fixture — the video sibling
+    * of [[syntheticImagePayload]]/[[syntheticWavPayload]]: a real box tree
+    * (`ftyp` + variable-length `free` + `moov[udta + mvhd v0]`) whose
+    * filler boxes VARY with doc_id so both the top-level and the child box
+    * walks are data-driven; doc_id ≡ 0 mod 3 yields a non-video payload
+    * for the reject path. All sizes big-endian; mvhd is the full 108-byte
+    * version-0 box (fields past duration zeroed).
+    */
+  def syntheticMp4Payload(docId: Column): Column = {
+    def be(v: Column, hexChars: Int): Column =
+      unhex(lpad(hex(v), hexChars, "0"))
+    val brand = when(docId % 2 === 0, lit("isom")).otherwise(lit("mp42"))
+    val freeLen = (docId % 16 + 8).cast("int")         // free box total size
+    val udtaLen = ((docId * 5) % 12 + 8).cast("int")   // udta box total size
+    val timescale = when(docId % 4 === 0, 600).when(docId % 4 === 1, 1000)
+      .when(docId % 4 === 2, 24000).otherwise(90000)
+    val duration = (docId % 9000 + 30) * 100
+    val moovLen = lit(8) + udtaLen + lit(108)
+    val mp4 = concat(
+      be(lit(16), 8), lit("ftyp").cast("binary"),     // ftyp, size 16
+      brand.cast("binary"), be(lit(0), 8),            // major brand + minor version
+      be(freeLen, 8), lit("free").cast("binary"),
+      repeat(lit("J"), freeLen - 8).cast("binary"),
+      be(moovLen, 8), lit("moov").cast("binary"),
+      be(udtaLen, 8), lit("udta").cast("binary"),
+      repeat(lit("C"), udtaLen - 8).cast("binary"),
+      be(lit(108), 8), lit("mvhd").cast("binary"),
+      be(lit(0), 8),                                  // version 0 + flags
+      be(lit(0), 8), be(lit(0), 8),                   // ctime, mtime
+      be(timescale, 8), be(duration, 8),
+      unhex(lit("00" * 80)))                        // rate..next_track_id
+    when(docId % 3 === 0,
+      concat(lit("not a video "), docId.cast("string")).cast("binary"))
+      .otherwise(mp4)
+  }
 }

@@ -93,6 +93,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_audio_meta expects 1 argument")
         AudioMeta(args.head)
+      }),
+    (FunctionIdentifier("graft_video_meta"),
+      new ExpressionInfo(classOf[VideoMeta].getName, "graft_video_meta"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_video_meta expects 1 argument")
+        VideoMeta(args.head)
       }))
 
   /** Register on a live session. */
