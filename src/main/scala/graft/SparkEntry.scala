@@ -1147,6 +1147,46 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ81 (EXT): incremental-ingest dedup ([[Dedup.keepUnseen]]) — the
+    * daily-batch shape. The corpus has no natural cross-batch duplicates,
+    * so the incoming batch is SYNTHESIZED from it (the dq73 pattern):
+    * replayed docs under fresh ids (a re-crawl — same text, must be
+    * DROPPED against history) plus revised docs (text suffixed — new
+    * fingerprints, must be KEPT). History = the corpus itself. */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val replayed = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("source"), col("text"))
+    val revised = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("source"),
+        concat(col("text"), lit(" rev"), col("doc_id").cast("string")).as("text"))
+    val incoming = replayed.union(revised)
+    Dedup.keepUnseen(incoming, docs, "text")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** DQ82 (EXT): packed-sequence MATERIALIZATION — dq66 assigns documents
+    * to bins; this produces the training sequences themselves: per bin,
+    * the documents concatenated in id order with a separator token, hashed
+    * (the md5 keeps the verified artifact small while still byte-checking
+    * the exact concatenation and order). */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val packed = graft.ext.Packing.packGreedy(docs, "source", "doc_id",
+      "n_chars", capacity = 1000)
+    val seq = array_join(
+      transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+        s => s.getField("text")),
+      "<|doc|>")
+    packed.join(docs.select("doc_id", "text"), "doc_id")
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), seq.as("__seq"))
+      .select(col("source"), col("bin"), col("n_docs"),
+        length(col("__seq")).as("seq_chars"), md5(col("__seq")).as("seq_md5"))
+      .orderBy("source", "bin")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1228,7 +1268,9 @@ object SparkEntry {
     "dq77_topngram_family"     -> (q77 _),
     "dq78_sessions_tws"        -> (q78 _),
     "dq79_audio_meta"          -> (q79 _),
-    "dq80_video_meta"          -> (q80 _)
+    "dq80_video_meta"          -> (q80 _),
+    "dq81_incremental_dedup"   -> (q81 _),
+    "dq82_sequence_materialize" -> (q82 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1805,6 +1847,48 @@ object SparkEntry {
         |  CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) AS sum_q,
         |  min(doc_id) AS min_doc
         |FROM lab GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "dq81_incremental_dedup" ->
+      // same batch synthesis; membership re-derived via the canonical
+      // fingerprint (dq18's formulation) and an exact NOT IN — the Bloom
+      // split is a plan optimization with no semantic surface
+      """WITH f AS (SELECT doc_id, source, text,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) fp
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM f),
+        |incoming AS (
+        |  SELECT doc_id + 100000 AS doc_id, source,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, source,
+        |    md5(trim(regexp_replace(lower(text || ' rev' || doc_id::VARCHAR),
+        |      '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id, source FROM incoming
+        |WHERE fp NOT IN (SELECT fp FROM hist)
+        |ORDER BY doc_id""".stripMargin,
+    "dq82_sequence_materialize" ->
+      // dq66's recursive greedy fold assigns the bins; the sequence is the
+      // in-bin id-ordered concatenation, verified by md5
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id, n_chars, text,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) rn
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, n_chars, text, rn,
+        |    CAST(0 AS BIGINT) AS bin, n_chars AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.n_chars, d.text, d.rn,
+        |    CASE WHEN p.fill + d.n_chars > 1000 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + d.n_chars > 1000 THEN d.n_chars ELSE p.fill + d.n_chars END
+        |  FROM d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1),
+        |seqs AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |    string_agg(text, '<|doc|>' ORDER BY doc_id) AS seq
+        |  FROM packed GROUP BY 1, 2)
+        |SELECT source, bin, n_docs, CAST(length(seq) AS INTEGER) AS seq_chars,
+        |  md5(seq) AS seq_md5
+        |FROM seqs ORDER BY source, bin""".stripMargin,
     "dq80_video_meta" ->
       // byte-identical MP4 synthesis, then an independent re-parse: the
       // walk reads free's size to find moov and udta's size to find mvhd

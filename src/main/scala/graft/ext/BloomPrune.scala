@@ -32,7 +32,23 @@ object BloomPrune {
     * rejection of unsupported key types. Nulls never match (no null was
     * ever inserted).
     */
-  def prune(fact: DataFrame, keyCol: String, filter: BloomFilter): DataFrame = {
+  def prune(fact: DataFrame, keyCol: String, filter: BloomFilter): DataFrame =
+    fact.filter(probeColumn(fact, keyCol, filter))
+
+  /** Partition `fact` by filter membership:
+    * (might-be-in-filter, definitely-NOT-in-filter). The complement view is
+    * what ANTI-join pruning needs — "definitely not" rows can skip the
+    * anti-join entirely (no false negatives ⇒ they cannot have a match),
+    * so only the might-match minority rides the shuffle.
+    */
+  def split(fact: DataFrame, keyCol: String,
+      filter: BloomFilter): (DataFrame, DataFrame) = {
+    val probe = probeColumn(fact, keyCol, filter)
+    (fact.filter(probe), fact.filter(!probe))
+  }
+
+  private def probeColumn(fact: DataFrame, keyCol: String,
+      filter: BloomFilter): Column = {
     val spark = fact.sparkSession
     val bc = spark.sparkContext.broadcast(filter)
     import org.apache.spark.sql.types._
@@ -50,7 +66,7 @@ object BloomPrune {
         s"BloomPrune: unsupported key type $dt for column $keyCol " +
           "(supported: byte/short/int/long, string, binary)")
     }
-    fact.filter(probe)
+    probe
   }
 
   /** Semi-join-shaped pipeline: prune the fact side with the dim's Bloom

@@ -51,6 +51,33 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** INCREMENTAL-ingest dedup — the daily-batch shape: keep only incoming
+    * rows whose canonical content fingerprint ([[TextAnalysis.fingerprint]])
+    * has never been seen in the historical corpus.
+    *
+    * Scale path: a Bloom filter over the HISTORICAL fingerprints (32-hex
+    * digests, never bodies) is broadcast and splits the incoming batch —
+    * "definitely new" rows (no false negatives ⇒ provably unseen) skip the
+    * anti-join entirely, and only the might-seen minority rides the
+    * fingerprint shuffle for exact verification. At 100 TB the history
+    * side's filter would be built once and persisted with the corpus;
+    * here it is built per call (one aggregation over digests).
+    */
+  def keepUnseen(incoming: DataFrame, history: DataFrame, textCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val inc = incoming.withColumn("__fp", fp)
+    val hist = history.select(fp.as("__fp")).distinct()
+    val filter = BloomPrune.buildFilter(hist, "__fp",
+      expectedItems = math.max(1L, hist.count()), fpp = fpp)
+    val (maybeSeen, definitelyNew) = BloomPrune.split(inc, "__fp", filter)
+    // the USING-join reorders __fp to the front; realign before the
+    // position-based union
+    val verifiedNew = maybeSeen.join(hist, Seq("__fp"), "left_anti")
+      .select(definitelyNew.columns.map(col): _*)
+    definitelyNew.union(verifiedNew).drop("__fp")
+  }
+
   /** NEAR-dup dedup, end to end: given the near-dup PAIRS a detector
     * emitted ([[MinHashLSH.nearDupPairs]] / [[SimHash.nearDupPairs]] /
     * [[Ann.nearDupPairs]]), keep exactly one representative per duplicate

@@ -22,6 +22,32 @@ class BloomPruneSpec extends GraftSpec {
     joined.count() shouldBe trueMatches
   }
 
+  it("split partitions by membership: the complement is provably unseen " +
+     "and the two halves reassemble the input") {
+    val fact = (1L to 5000L).map(i => (i, i % 50)).toDF("row_id", "key")
+    val dim = Seq(7L, 8L).toDF("dim_key")
+    val f = BloomPrune.buildFilter(dim, "dim_key", expectedItems = 2)
+    val (maybe, definitelyNot) = BloomPrune.split(fact, "key", f)
+    maybe.count() + definitelyNot.count() shouldBe fact.count()
+    // no false negatives: every true match is on the maybe side
+    definitelyNot.filter($"key".isin(7L, 8L)).count() shouldBe 0L
+    maybe.filter($"key".isin(7L, 8L)).count() shouldBe
+      fact.filter($"key".isin(7L, 8L)).count()
+  }
+
+  it("keepUnseen drops replayed content and keeps revised content " +
+     "(incremental-ingest dedup)") {
+    val history = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha  BETA "),  // canonicalizes to a seen fingerprint → dropped
+      (11L, "gamma delta v2"),// revised → kept
+      (12L, "zeta")           // brand new → kept
+    ).toDF("doc_id", "text")
+    Dedup.keepUnseen(incoming, history, "text")
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(11L, 12L)
+  }
+
   it("matches the plain join result exactly on real tables") {
     val dir = "/root/testdata/sf0.001"
     val orders = spark.read.parquet(s"$dir/orders.parquet")
