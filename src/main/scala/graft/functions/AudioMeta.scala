@@ -92,7 +92,8 @@ object AudioMeta {
         rate = le32(b, body + 4)
         blockAlign = le16(b, body + 12)
         bits = le16(b, body + 14)
-        if (channels < 1 || rate < 1 || bits < 1 || blockAlign < 1) return null
+        if (channels < 1 || rate < 1 || rate > Int.MaxValue ||
+            bits < 1 || blockAlign < 1) return null // u32 rate must fit an int
         // block align must be consistent, or n_samples would lie
         if (blockAlign != channels * ((bits + 7) / 8)) return null
       } else if (tag(b, p, "data")) {

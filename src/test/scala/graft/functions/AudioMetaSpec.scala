@@ -67,6 +67,12 @@ class AudioMetaSpec extends GraftSpec {
     parse(hexBytes(badAlign)) shouldBe None
     parse("not audio".getBytes("UTF-8")) shouldBe None
     parse(Array.empty[Byte]) shouldBe None
+    // a u32 sample rate above Int.MaxValue must reject, not wrap negative
+    val hugeRate = ascii("RIFF") + le(60, 4) + ascii("WAVE") +
+      (ascii("fmt ") + le(16, 4) + le(1, 2) + le(1, 2) + le(0xFFFFFFF0L, 4) +
+        le(0, 4) + le(1, 2) + le(8, 2)) +
+      ascii("data") + le(40, 4)
+    parse(hexBytes(hugeRate)) shouldBe None
     // data before fmt violates the spec order
     val dataFirst = ascii("RIFF") + le(60, 4) + ascii("WAVE") +
       ascii("data") + le(4, 4) + "00000000" + fmtChunk(1, 8000, 8)
