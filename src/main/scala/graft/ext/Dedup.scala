@@ -62,20 +62,34 @@ object Dedup {
     * fingerprint shuffle for exact verification. At 100 TB the history
     * side's filter would be built once and persisted with the corpus;
     * here it is built per call (one aggregation over digests).
+    *
+    * `expectedItems` sizes the Bloom filter. At 100 TB it should come from
+    * catalog/layout statistics (a distinct-count estimate), NOT a count
+    * pass over the history: overestimating only costs filter memory
+    * (bits ∝ n·ln(1/fpp), ~9.6 bits/item at fpp 0.01 — 2× over-estimate =
+    * 2× filter size and a LOWER realized fpp), while underestimating
+    * raises the realized fpp, sending more provably-prunable rows through
+    * the anti-join — never wrong results either way (no false negatives).
+    * When no estimate is given, the distinct digests are counted off the
+    * call-scoped cache, so the history is still scanned exactly once.
     */
   def keepUnseen(incoming: DataFrame, history: DataFrame, textCol: String,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, expectedItems: Option[Long] = None): DataFrame = {
     val fp = TextAnalysis.fingerprint(col(textCol))
     val inc = incoming.withColumn("__fp", fp)
     val hist = history.select(fp.as("__fp")).distinct()
-    val filter = BloomPrune.buildFilter(hist, "__fp",
-      expectedItems = math.max(1L, hist.count()), fpp = fpp)
-    val (maybeSeen, definitelyNew) = BloomPrune.split(inc, "__fp", filter)
-    // the USING-join reorders __fp to the front; realign before the
-    // position-based union
-    val verifiedNew = maybeSeen.join(hist, Seq("__fp"), "left_anti")
-      .select(definitelyNew.columns.map(col): _*)
-    definitelyNew.union(verifiedNew).drop("__fp")
+    // one computation of the history projection, shared by the (optional)
+    // sizing count, the filter aggregation, and the verification anti-join
+    CacheScope.withCached(hist) {
+      val items = math.max(1L, expectedItems.getOrElse(hist.count()))
+      val filter = BloomPrune.buildFilter(hist, "__fp", items, fpp)
+      val (maybeSeen, definitelyNew) = BloomPrune.split(inc, "__fp", filter)
+      // the USING-join reorders __fp to the front; realign before the
+      // position-based union
+      val verifiedNew = maybeSeen.join(hist, Seq("__fp"), "left_anti")
+        .select(definitelyNew.columns.map(col): _*)
+      definitelyNew.union(verifiedNew).drop("__fp")
+    }
   }
 
   /** NEAR-dup dedup, end to end: given the near-dup PAIRS a detector

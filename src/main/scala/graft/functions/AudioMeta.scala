@@ -100,7 +100,13 @@ object AudioMeta {
         if (channels < 0) return null // fmt must precede data (spec order)
         dataSize = size
       }
-      p = body + size.toInt + (size % 2).toInt // RIFF pads odd chunks
+      // Advance in Long: a declared size near Int.MaxValue would wrap an Int
+      // cursor negative and the next le32 read would throw instead of
+      // honoring the null-on-unparseable contract. A chunk running past the
+      // buffer just ends the walk (same as the pre-Long behavior for
+      // truncated tails), leaving the final both-chunks-seen check to decide.
+      val next = body.toLong + size + (size % 2) // RIFF pads odd chunks
+      p = if (next > b.length) b.length else next.toInt
     }
     if (channels < 0 || dataSize < 0) return null
     new GenericInternalRow(Array[Any](

@@ -67,8 +67,12 @@ object LayoutProbe {
       import java.nio.file.{Files, Path}
       import scala.jdk.CollectionConverters._
       def rm(p: Path): Unit = {
-        if (Files.isDirectory(p))
-          Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        if (Files.isDirectory(p)) {
+          // Files.list leaks a directory fd unless the stream is closed
+          val children = Files.list(p)
+          val listed = try children.iterator().asScala.toList finally children.close()
+          listed.foreach(rm)
+        }
         Files.deleteIfExists(p)
         ()
       }

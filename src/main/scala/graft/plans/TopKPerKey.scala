@@ -86,13 +86,40 @@ object GraftPlans {
   /** Install the PHYSICAL mode iff no [[TopKPerKey]] handling is present on
     * the session at all — library entry points (the ANN query paths) call
     * this so their plans work on a fresh session without overriding a mode
-    * the caller chose deliberately (an explicitly-installed rank-window
-    * lowering is respected; results are identical either way).
+    * the caller chose deliberately (results are identical either way).
+    *
+    * "Handling present" covers all three installation channels: a runtime
+    * [[install]]/[[installPhysical]] (visible in the experimental lists),
+    * a `GraftExtensions` deployment (rule+strategy injected through
+    * `SparkSessionExtensions`, detected via the planner's strategy list),
+    * and — decisive on its own — an explicitly-set
+    * `spark.graft.topk.physical` conf: both installers pin it, and a
+    * deployment that deliberately left it `false` for window mode must not
+    * have a library call silently flip it. When the conf is set but the
+    * matching machinery is absent (a caller who set the conf alone, no
+    * extension), the chosen mode's handling is supplemented so the node
+    * still plans — the MODE choice is never overridden.
     */
   def ensureInstalled(spark: SparkSession): Unit = {
     val hasRule = spark.experimental.extraOptimizations.contains(LowerTopKPerKey)
     val hasStrategy = spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)
-    if (!hasRule && !hasStrategy) installPhysical(spark)
+    spark.conf.getOption("spark.graft.topk.physical") match {
+      case Some(mode) =>
+        val viaExtension = Bridge.hasPlannerStrategy(spark, TopKPerKeyStrategy)
+        if (mode.toBoolean) {
+          if (!hasStrategy && !viaExtension)
+            spark.experimental.extraStrategies =
+              spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+        } else {
+          // extension deployments inject the rule alongside the strategy,
+          // so its presence in the planner implies the rule is there too
+          if (!hasRule && !viaExtension)
+            spark.experimental.extraOptimizations =
+              spark.experimental.extraOptimizations :+ LowerTopKPerKey
+        }
+      case None =>
+        if (!hasRule && !hasStrategy) installPhysical(spark)
+    }
   }
 
   /** Top-k rows per key group under `order` (ties broken by window order).

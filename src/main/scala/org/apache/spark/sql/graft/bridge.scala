@@ -27,6 +27,17 @@ object Bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Whether the session's planner already carries `strategy` — including
+    * strategies injected through `SparkSessionExtensions`
+    * (`spark.sql.extensions`), which are invisible to
+    * `spark.experimental.extraStrategies` (the planner is `private[sql]`,
+    * hence this lives in the bridge).
+    */
+  def hasPlannerStrategy(spark: org.apache.spark.sql.SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.planner.strategies.contains(strategy)
+
   /** Eagerly convert a Column to a catalyst Expression (the plain
     * [[expression]] returns a LAZY ColumnNode wrapper that only the
     * Dataset-API operators convert during their own construction — inside a

@@ -46,6 +46,10 @@ class BloomPruneSpec extends GraftSpec {
     ).toDF("doc_id", "text")
     Dedup.keepUnseen(incoming, history, "text")
       .select("doc_id").as[Long].collect().sorted shouldBe Array(11L, 12L)
+    // a caller-supplied sizing estimate (the 100 TB path: statistics, not a
+    // count pass) — identical result, even badly overestimated
+    Dedup.keepUnseen(incoming, history, "text", expectedItems = Some(1000000L))
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(11L, 12L)
   }
 
   it("matches the plain join result exactly on real tables") {

@@ -80,6 +80,16 @@ class AudioMetaSpec extends GraftSpec {
     // truncated: fmt claims 16 bytes but the payload ends early
     parse(hexBytes(ascii("RIFF") + le(60, 4) + ascii("WAVE") +
       ascii("fmt ") + le(16, 4) + le(1, 2))) shouldBe None
+    // a chunk declaring a size near Int.MaxValue must not wrap the cursor
+    // negative (Int overflow → AIOOBE) — null, per the unparseable contract
+    parse(hexBytes(ascii("RIFF") + le(32, 4) + ascii("WAVE") +
+      ascii("LIST") + le(0x7FFFFFFEL, 4) + "AA" * 20)) shouldBe None
+    // same overflow shape but with fmt+data already seen before the huge
+    // chunk: the walk ends and the parsed row is still returned
+    val wavThenHuge = ascii("RIFF") + le(100, 4) + ascii("WAVE") +
+      fmtChunk(1, 8000, 16) + ascii("data") + le(32, 4) + "AA" * 32 +
+      ascii("LIST") + le(0x7FFFFFFEL, 4)
+    parse(hexBytes(wavThenHuge)) shouldBe Some((1, 8000, 16, 16L))
   }
 
   it("is registered as graft_audio_meta for SQL callers") {

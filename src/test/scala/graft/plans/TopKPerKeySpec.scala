@@ -114,6 +114,37 @@ class TopKPerKeySpec extends GraftSpec {
     } finally GraftPlans.install(spark)
   }
 
+  it("ensureInstalled respects an explicitly-set mode conf instead of " +
+     "silently flipping a deployment's deliberate window-mode choice") {
+    try {
+      // conf pinned false with the rule present (the install()/extension
+      // shape): a library ANN call must leave the mode alone
+      GraftPlans.install(spark) // sets conf=false, registers the rule
+      GraftPlans.ensureInstalled(spark)
+      spark.conf.get("spark.graft.topk.physical") shouldBe "false"
+      spark.experimental.extraStrategies should not contain TopKPerKeyStrategy
+      val df = GraftPlans.topKPerKey(orders, Seq($"o_custkey"),
+        Seq($"o_totalprice".desc), k = 1)
+      df.queryExecution.executedPlan.toString should include("row_number")
+
+      // conf set alone with NO handling anywhere: the chosen mode's
+      // machinery is supplemented (so the node plans), the mode is kept
+      spark.experimental.extraOptimizations = Seq.empty
+      spark.experimental.extraStrategies = Seq.empty
+      GraftPlans.ensureInstalled(spark)
+      spark.conf.get("spark.graft.topk.physical") shouldBe "false"
+      spark.experimental.extraOptimizations should contain(LowerTopKPerKey)
+      spark.experimental.extraStrategies should not contain TopKPerKeyStrategy
+
+      // no conf, no handling: the library default (physical) installs
+      spark.conf.unset("spark.graft.topk.physical")
+      spark.experimental.extraOptimizations = Seq.empty
+      GraftPlans.ensureInstalled(spark)
+      spark.conf.get("spark.graft.topk.physical") shouldBe "true"
+      spark.experimental.extraStrategies should contain(TopKPerKeyStrategy)
+    } finally GraftPlans.install(spark)
+  }
+
   it("install is idempotent") {
     GraftPlans.install(spark)
     GraftPlans.install(spark)
