@@ -150,6 +150,13 @@ object ScaleProbe {
         df.unpersist()
       }
     }
+    // Large-k IVF probe (k=1024): fit+query walls on the broadcast-kernel
+    // path, three-way assignment parity (literal / kernel / join), and the
+    // kernel-vs-join full-corpus walls — the evidence that large k must NOT
+    // ride a plan literal, and that map-only beats the join's re-exchange.
+    if (sys.env.get("SCALE_IVFK").contains("1")) {
+      println(graft.ext.IvfScaleProbe.run(spark))
+    }
     // Decontamination probe: gram volume grows linearly with the corpus and
     // the eval side stays a broadcast — the claim is linear scaling with NO
     // train×eval pair blowup at any size.

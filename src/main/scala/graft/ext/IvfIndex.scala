@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{SquaredDistance, VectorFunctions, VectorSumMicros}
+import graft.functions.{NearestCells, SquaredDistance, VectorFunctions, VectorSumMicros}
 
 /** IVF (inverted-file) ANN index with TRAINED centroids — the data-adaptive
   * upgrade over [[Ann.signBucket]]'s fixed sign cells: a deterministic
@@ -21,11 +21,16 @@ import graft.functions.{SquaredDistance, VectorFunctions, VectorSumMicros}
   *    any partial-aggregation tree yields the same centroid; cells that
   *    capture no vectors die (k can only shrink)
   *
-  * Scale shape: assignment is a map-only pass against a BROADCAST literal of
-  * k×dim centroid doubles (no shuffle, whole-stage codegen'd); each update is
-  * one partial aggregation producing k rows; a query touches ~nprobe/k of
-  * the corpus via a cell-id equi-join. Centroids live on the driver (k × dim
-  * floats — tiny by construction) and travel inside the plan as literals.
+  * Scale shape: assignment is a map-only pass against the centroid matrix
+  * (no shuffle, whole-stage codegen'd); each update is one partial
+  * aggregation producing k rows; a query touches ~nprobe/k of the corpus
+  * via a cell-id equi-join. Centroids live on the driver and ship to
+  * executors by k ([[IvfIndex.LiteralMaxKConf]]): up to the threshold as a
+  * plan-literal expression fold (oracle-derivable, harmless at that size),
+  * above it inside a Spark broadcast probed by the codegen'd
+  * [[graft.functions.NearestCells]] kernel — same map-only plan, no k×dim
+  * literal in any task, no Janino limits at k in the thousands. The two
+  * paths are spec-gated bit-identical.
   */
 final class IvfIndex private (
     /** (cell id, centroid), driver-side — k × dim doubles. */
@@ -50,9 +55,8 @@ final class IvfIndex private (
   def queryAll(queryIds: Seq[Long], topK: Int, nprobe: Int): DataFrame = {
     val q = assigned.filter(col("vid").isin(queryIds: _*))
       .select(col("vid").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"),
-        explode(transform(
-          slice(array_sort(IvfIndex.cellDistances(col("emb"), centroids)), 1, nprobe),
-          s => s.getField("cell"))).as("probe"))
+        explode(IvfIndex.probeCells(col("emb"), centroids, nprobe,
+          assigned.sparkSession)).as("probe"))
     val scored = assigned.join(broadcast(q),
         col("cell") === col("probe") && col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
@@ -92,9 +96,8 @@ final class IvfIndex private (
       .select(col("vid").as("qid"),
         QuantizedAnn.quantizePacked(IvfIndex.unit(col("emb"), col("nrm")), scale)
           .as("qpemb"),
-        explode(transform(
-          slice(array_sort(IvfIndex.cellDistances(col("emb"), centroids)), 1, nprobe),
-          s => s.getField("cell"))).as("probe"))
+        explode(IvfIndex.probeCells(col("emb"), centroids, nprobe,
+          assigned.sparkSession)).as("probe"))
     val scored = packed.join(broadcast(q),
         col("cell") === col("probe") && col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
@@ -148,9 +151,8 @@ final class IvfPackedIndex private[ext] (
       .select(col("vid").as("qid"),
         QuantizedAnn.quantizePacked(IvfIndex.unit(col("emb"), col("nrm")), scale)
           .as("qpemb"),
-        explode(transform(
-          slice(array_sort(IvfIndex.cellDistances(col("emb"), centroids)), 1, nprobe),
-          s => s.getField("cell"))).as("probe"))
+        explode(IvfIndex.probeCells(col("emb"), centroids, nprobe,
+          queryLookup.sparkSession)).as("probe"))
     val scored = packed.join(broadcast(q),
         col("cell") === col("probe") && col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
@@ -161,9 +163,28 @@ final class IvfPackedIndex private[ext] (
 
 object IvfIndex {
 
+  /** Above this k the centroids stop travelling as a plan literal and move
+    * into a Spark broadcast probed by the codegen'd
+    * [[graft.functions.NearestCells]] kernel. The literal fold is kept for
+    * small k (it is what the DuckDB oracle can re-derive, and a k×dim
+    * literal is harmless there); past the threshold it would bloat every
+    * serialized task and eventually hit Janino constant-pool/method-size
+    * limits. Both paths are spec-gated bit-identical, so the switch is
+    * purely a physical choice.
+    */
+  val LiteralMaxKConf = "spark.graft.ivf.literalMaxK"
+
+  private def literalMaxK(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(LiteralMaxKConf, "128").toInt
+
+  private def bcMatrix(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Int, Array[Double])]): org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] =
+    spark.sparkContext.broadcast(centroids.map(_._2).toArray)
+
   /** array<struct<dist, cell>> of squared distances from `emb` to every
     * centroid — `array_min`/`array_sort` over it is the deterministic argmin
-    * (distance first, then cell id).
+    * (distance first, then cell id). The SMALL-k formulation: one literal
+    * per centroid in the plan tree.
     */
   private[ext] def cellDistances(emb: Column, centroids: Seq[(Int, Array[Double])]): Column =
     array(centroids.map { case (id, c) =>
@@ -174,6 +195,65 @@ object IvfIndex {
 
   private def nearestCell(emb: Column, centroids: Seq[(Int, Array[Double])]): Column =
     array_min(cellDistances(emb, centroids)).getField("cell")
+
+  /** Nearest-cell id, routed by k: plan-literal fold below the
+    * [[LiteralMaxKConf]] threshold, broadcast-matrix kernel above it.
+    * Either way the assignment is MAP-ONLY — no shuffle at any k.
+    */
+  private def cellCol(emb: Column, centroids: Seq[(Int, Array[Double])],
+      spark: org.apache.spark.sql.SparkSession): Column =
+    if (centroids.size <= literalMaxK(spark)) nearestCell(emb, centroids)
+    else NearestCells(emb, bcMatrix(spark, centroids),
+      centroids.map(_._1).toArray, 1).getItem(0)
+
+  /** The `nprobe` nearest cell ids as `array<int>` (dist asc, cell asc),
+    * routed by k like [[cellCol]].
+    */
+  private[ext] def probeCells(emb: Column, centroids: Seq[(Int, Array[Double])],
+      nprobe: Int, spark: org.apache.spark.sql.SparkSession): Column =
+    if (centroids.size <= literalMaxK(spark))
+      transform(slice(array_sort(cellDistances(emb, centroids)), 1, nprobe),
+        s => s.getField("cell"))
+    else NearestCells(emb, bcMatrix(spark, centroids),
+      centroids.map(_._1).toArray, nprobe)
+
+  /** One literal-fold assignment pass (probe/spec surface — [[cellCol]]
+    * routes production calls).
+    */
+  private[ext] def assignLiteral(df: DataFrame, embCol: String,
+      centroids: Seq[(Int, Array[Double])]): DataFrame =
+    df.withColumn("cell", nearestCell(col(embCol), centroids))
+
+  /** One broadcast-kernel assignment pass (probe/spec surface). */
+  private[ext] def assignKernel(df: DataFrame, embCol: String,
+      centroids: Seq[(Int, Array[Double])]): DataFrame =
+    df.withColumn("cell", NearestCells(col(embCol),
+      bcMatrix(df.sparkSession, centroids), centroids.map(_._1).toArray, 1).getItem(0))
+
+  /** The broadcast-JOIN assignment formulation — centroids as a small
+    * DataFrame, broadcast cross-join, bounded-heap argmin
+    * ([[graft.plans.TopKPerKeyExec]] k=1). Kept as a comparison baseline
+    * for the SCALE_IVF probe and the parity spec: it avoids the literal's
+    * codegen limits like the kernel path does, but its final heap phase
+    * re-EXCHANGES every row by `keyCol`, so assignment costs a full shuffle
+    * of the corpus — the probe shows the map-only kernel beating it, which
+    * is why [[cellCol]] routes large k through the kernel instead.
+    * Output: input columns + `cell`, bit-identical to both other paths.
+    */
+  private[ext] def assignViaJoin(df: DataFrame, embCol: String, keyCol: String,
+      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cdf = centroids.map { case (id, c) => (id, c.toSeq) }.toDF("__cell", "__cvec")
+    val joined = df.crossJoin(broadcast(cdf))
+      .withColumn("__dist", SquaredDistance(col(embCol), col("__cvec")))
+      .drop("__cvec")
+    graft.plans.GraftPlans.ensureInstalled(spark)
+    graft.plans.GraftPlans.topKPerKey(joined, Seq(col(keyCol)),
+        Seq(col("__dist").asc, col("__cell").asc), 1)
+      .withColumnRenamed("__cell", "cell")
+      .drop("__dist")
+  }
 
   /** L2-normalize an embedding (unit vector); zero vectors pass through
     * unscaled instead of dividing by zero.
@@ -201,9 +281,10 @@ object IvfIndex {
         .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble).toArray) }
         .toSeq
 
+    val spark = df.sparkSession
     for (_ <- 1 to iters) {
       val upd = base
-        .select(nearestCell(col("emb"), centroids).as("cell"), col("emb"))
+        .select(cellCol(col("emb"), centroids, spark).as("cell"), col("emb"))
         .groupBy("cell")
         .agg(VectorSumMicros.of(col("emb")).as("ms"), count(lit(1)).as("n"))
         .collect()
@@ -217,7 +298,7 @@ object IvfIndex {
 
     val assigned = base
       .select(col("vid"), col("emb"), col("nrm"),
-        nearestCell(col("emb"), centroids).as("cell"))
+        cellCol(col("emb"), centroids, spark).as("cell"))
       .persist()
     assigned.count() // materialize so base's blocks can be dropped
     base.unpersist(blocking = false)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -33,8 +33,7 @@ import org.apache.spark.sql.types._
   * Per-payload cost is the chunk TABLE, never the sample data — the 'data'
   * chunk body is skipped by its size field.
   */
-case class AudioMeta(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class AudioMeta(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("channels", IntegerType, nullable = false),
@@ -52,6 +51,20 @@ case class AudioMeta(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     AudioMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  /** Codegen = one static call into the same parser the interpreted path
+    * runs (the chunk walk is row-local imperative work — duplicating it as
+    * generated Java buys nothing), which keeps the enclosing stage inside
+    * WholeStageCodegen: no `CodegenFallback` boxing, no per-row
+    * `Expression.eval` dispatch, a media-gate filter stays fused with its
+    * scan. Bit-identity of the two paths is free — they ARE the same code.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.AudioMeta.parse($in);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): AudioMeta =
     copy(child = newChild)

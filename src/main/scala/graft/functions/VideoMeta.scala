@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -32,8 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Per-payload cost is the box table, never media data — `mdat` is skipped
   * by its size field like every other box.
   */
-case class VideoMeta(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class VideoMeta(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("brand", StringType, nullable = false),
@@ -50,6 +49,18 @@ case class VideoMeta(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     VideoMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  /** Codegen = one static call into the same parser the interpreted path
+    * runs (see [[AudioMeta.doGenCode]] — same rationale): keeps the stage
+    * in WholeStageCodegen with no fallback boxing, and the two paths are
+    * bit-identical because they are the same code.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.functions.VideoMeta.parse($in);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): VideoMeta =
     copy(child = newChild)

@@ -127,6 +127,55 @@ class IvfIndexSpec extends GraftSpec {
     audit(QuantizedAnn.topK(emb, "vec_id", "embedding", Seq(1L, 2L), k = 5))
   }
 
+  it("large-k broadcast-kernel path (and the broadcast-join formulation) " +
+     "are bit-identical to the literal fold: centroids, assignment, and " +
+     "every query surface") {
+    val q = Seq(1L, 2L, 3L)
+    // literal-path truth, captured BEFORE the conf flips (probe selection
+    // reads the conf at query-build time)
+    val litIdx = IvfIndex.fit(emb, "vec_id", "embedding", k = 8)
+    val litCentroids = litIdx.centroids
+    val litAssigned = litIdx.assigned.select("vid", "cell")
+      .as[(Long, Int)].collect().toSet
+    val litQ = litIdx.queryAll(q, topK = 5, nprobe = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val litP = litIdx.queryAllPacked(q, topK = 5, nprobe = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    litIdx.release()
+
+    // the broadcast-JOIN formulation (cross-join + bounded-heap argmin)
+    // assigns identically
+    val viaJoin = IvfIndex.assignViaJoin(
+        emb.select($"vec_id".as("vid"), $"embedding".as("emb")),
+        "emb", "vid", litCentroids)
+      .select("vid", "cell").as[(Long, Int)].collect().toSet
+    viaJoin shouldBe litAssigned
+
+    try {
+      spark.conf.set(IvfIndex.LiteralMaxKConf, "0") // kernel path at any k
+      val bcIdx = IvfIndex.fit(emb, "vec_id", "embedding", k = 8)
+      try {
+        bcIdx.centroids.map(_._1) shouldBe litCentroids.map(_._1)
+        bcIdx.centroids.zip(litCentroids).foreach { case ((_, a), (_, b)) =>
+          a.toSeq shouldBe b.toSeq // exact doubles — same fold, same ties
+        }
+        bcIdx.assigned.select("vid", "cell")
+          .as[(Long, Int)].collect().toSet shouldBe litAssigned
+        bcIdx.queryAll(q, topK = 5, nprobe = 3)
+          .as[(Long, Long, Double)].collect().toSet shouldBe litQ
+        bcIdx.queryAllPacked(q, topK = 5, nprobe = 3)
+          .as[(Long, Long, Long)].collect().toSet shouldBe litP
+        // interpreted eval of the kernel agrees with its codegen (the DF
+        // runs codegen'd; NO_CODEGEN forces the interpreted Projection)
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        try {
+          bcIdx.queryAll(q, topK = 5, nprobe = 3)
+            .as[(Long, Long, Double)].collect().toSet shouldBe litQ
+        } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+      } finally bcIdx.release()
+    } finally spark.conf.unset(IvfIndex.LiteralMaxKConf)
+  }
+
   it("release() drops the index's cache blocks") {
     index.release()
     index.assigned.storageLevel.useMemory shouldBe false

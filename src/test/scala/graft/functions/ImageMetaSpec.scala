@@ -78,6 +78,26 @@ class ImageMetaSpec extends GraftSpec {
     got shouldBe (("png", 640, 480))
   }
 
+  it("codegen path: real doGenCode (static parse call, no CodegenFallback), " +
+     "bit-identical to interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback}
+    import org.apache.spark.sql.types.BinaryType
+    classOf[CodegenFallback].isAssignableFrom(classOf[ImageMeta]) shouldBe false
+    val gen = ImageMeta(BoundReference(0, BinaryType, nullable = true))
+      .genCode(new CodegenContext)
+    gen.code.toString should include("graft.functions.ImageMeta.parse")
+
+    val media = spark.range(1, 200).toDF("doc_id").select(col("doc_id"),
+      graft.ext.Multimodal.syntheticImagePayload(col("doc_id")).as("payload"))
+    def run(): Set[Row] =
+      graft.ext.Multimodal.imageMeta(media, "doc_id", "payload").collect().toSet
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try run() shouldBe codegen
+    finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   it("end-to-end synthesis+parse agrees with the synthesis parameters") {
     val docs = spark.range(1, 200).toDF("doc_id")
     val media = docs.select(col("doc_id"),

@@ -82,6 +82,26 @@ class VideoMetaSpec extends GraftSpec {
     got shouldBe (("mp42", 24000, 480000L))
   }
 
+  it("codegen path: real doGenCode (static parse call, no CodegenFallback), " +
+     "bit-identical to interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback}
+    import org.apache.spark.sql.types.BinaryType
+    classOf[CodegenFallback].isAssignableFrom(classOf[VideoMeta]) shouldBe false
+    val gen = VideoMeta(BoundReference(0, BinaryType, nullable = true))
+      .genCode(new CodegenContext)
+    gen.code.toString should include("graft.functions.VideoMeta.parse")
+
+    val media = spark.range(1, 200).toDF("doc_id").select(col("doc_id"),
+      graft.ext.Multimodal.syntheticMp4Payload(col("doc_id")).as("payload"))
+    def run(): Set[Row] =
+      graft.ext.Multimodal.videoMeta(media, "doc_id", "payload").collect().toSet
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try run() shouldBe codegen
+    finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   it("end-to-end synthesis+parse agrees with the synthesis parameters") {
     val docs = spark.range(1, 150).toDF("doc_id")
     val media = docs.select(col("doc_id"),
