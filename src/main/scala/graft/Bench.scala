@@ -93,6 +93,41 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq19 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq47: the near-dup CANONICAL pipeline staged at cache
+      //    boundaries (pairs / transitive closure / keep-join) with
+      //    PER-ROUND connected-components walls and edge/vertex counts —
+      //    the attribution for the dq45/dq47/dq75/dq76 family, whose
+      //    shared floor is CC's fixed per-round job overhead.
+      if (!names.exists(_.startsWith("dq47"))) None
+      else try {
+        import org.apache.spark.sql.functions._
+        spark.conf.set("spark.graft.cc.instrument", "true")
+        try {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          val t0 = System.nanoTime()
+          val pairs = graft.ext.MinHashLSH.nearDupPairs(docs, "doc_id", "text",
+            numHashes = 16, bands = 4, threshold = 0.8).persist()
+          val nPairs = pairs.count()
+          val t1 = System.nanoTime()
+          val clusters = graft.ext.ConnectedComponents
+            .run(pairs, "doc_a", "doc_b").persist()
+          clusters.count()
+          val t2 = System.nanoTime()
+          val kept = graft.ext.Dedup.keepByClusters(docs, "doc_id", clusters)
+            .select("doc_id").count()
+          val t3 = System.nanoTime()
+          val cc = graft.ext.ConnectedComponents.lastStats.get
+          pairs.unpersist(blocking = false)
+          clusters.unpersist(blocking = false)
+          val rounds = cc.roundSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+          Some(f""""dq47_pairs":$nPairs,"dq47_pairs_sec":${(t1 - t0) / 1e9}%.3f,""" +
+            f""""dq47_cc_sec":${(t2 - t1) / 1e9}%.3f,"dq47_cc_round_secs":$rounds,""" +
+            f""""dq47_cc_edges":${cc.edges},"dq47_cc_vertices":${cc.vertices},""" +
+            f""""dq47_keepjoin_sec":${(t3 - t2) / 1e9}%.3f,"dq47_kept":$kept""")
+        } finally spark.conf.unset("spark.graft.cc.instrument")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq47 evidence failed: ${e.getMessage}"); None
+      },
       if (!names.exists(_.startsWith("dq59"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec

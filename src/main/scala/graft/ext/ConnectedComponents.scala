@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Telemetry from the most recent [[run]] on this driver: per-round wall
+    * seconds, and (when `spark.graft.cc.instrument` is true) the symmetric
+    * edge and vertex counts — the numbers that attribute a CC-composed
+    * query's wall to rounds-times-job-overhead vs data volume. Harness
+    * evidence only (Bench reads it after an untimed rerun); `@volatile` for
+    * visibility, last-writer-wins like the rest of the bench's
+    * single-driver assumptions.
+    */
+  final case class RunStats(edges: Long, vertices: Long, roundSecs: Seq[Double])
+  @volatile var lastStats: Option[RunStats] = None
+
   /** Assign each vertex the minimum vertex id of its component.
     *
     * @param edges    undirected edges (each pair listed once is enough)
@@ -43,12 +54,16 @@ object ConnectedComponents {
 
     val symC = sym.persist()
     try {
+      val instrument = edges.sparkSession.conf
+        .get("spark.graft.cc.instrument", "false").toBoolean
+      val roundSecs = Seq.newBuilder[Double]
       var labels = symC.select(col("src").as("id")).distinct()
         .withColumn("component", col("id"))
         .localCheckpoint(true)
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
+        val roundT0 = System.nanoTime()
         // neighbor labels flow along edges; min with own label. The self
         // rows are tagged so the round's OLD label rides through the same
         // aggregation — the convergence check is then a trivial scan of the
@@ -80,7 +95,12 @@ object ConnectedComponents {
         labels = next.select(col("id"), col("component"))
         converged = changed == 0
         iter += 1
+        roundSecs += (System.nanoTime() - roundT0) / 1e9
       }
+      lastStats = Some(RunStats(
+        if (instrument) symC.count() else -1L,
+        if (instrument) labels.count() else -1L,
+        roundSecs.result()))
       labels
     } finally symC.unpersist(blocking = false)
   }

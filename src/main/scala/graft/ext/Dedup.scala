@@ -104,10 +104,18 @@ object Dedup {
     * degrades gracefully to a shuffle join).
     */
   def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
-      pairACol: String = "doc_a", pairBCol: String = "doc_b"): DataFrame = {
-    val clusters = ConnectedComponents.run(pairs, pairACol, pairBCol)
+      pairACol: String = "doc_a", pairBCol: String = "doc_b"): DataFrame =
+    keepByClusters(df, idCol, ConnectedComponents.run(pairs, pairACol, pairBCol))
+
+  /** The keep-join half of [[keepCanonical]] over an ALREADY-computed
+    * cluster table (`(id, component)` as [[ConnectedComponents.run]]
+    * emits) — for pipelines that materialize the closure once and reuse
+    * it (several keep policies, stage-level benchmarking).
+    */
+  def keepByClusters(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val c = clusters
       .select(col("id").as("__cc_id"), col("component").as("__cc_rep"))
-    df.join(clusters, col(idCol) === col("__cc_id"), "left_outer")
+    df.join(c, col(idCol) === col("__cc_id"), "left_outer")
       .filter(col("__cc_id").isNull || col(idCol) === col("__cc_rep"))
       .drop("__cc_id", "__cc_rep")
   }
