@@ -1187,6 +1187,31 @@ object SparkEntry {
       .orderBy("source", "bin")
   }
 
+  /** DQ83 (EXT): incremental NEAR-dup dedup
+    * ([[MinHashLSH.keepUnseenNear]]) — dq81's exact-fingerprint ingest
+    * gate upgraded to similarity: keep only incoming docs that are no
+    * near-duplicate of ANY history document, via the persisted band-bucket
+    * index + Bloom split + candidate-only Jaccard verification. The
+    * incoming batch is synthesized (dq81's pattern): near-replays (a
+    * one-token tail appended — Jaccard (t−2)/(t−1) vs the original, well
+    * above 0.8 for real docs → DROPPED) and heavy revisions (every 3rd
+    * space-token mutated — every 3-gram shingle window contains a mutated
+    * index, Jaccard ≈ 0 → KEPT). */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nearReplay = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("source"),
+        concat(col("text"), lit(" zzztail")).as("text"))
+    val novel = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("source"),
+        array_join(transform(split(col("text"), " "),
+          (tok, i) => when(i % 3 === 0, concat(tok, lit("x"))).otherwise(tok)),
+          " ").as("text"))
+    MinHashLSH.keepUnseenNear(nearReplay.union(novel), docs, "doc_id", "text")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1270,7 +1295,8 @@ object SparkEntry {
     "dq79_audio_meta"          -> (q79 _),
     "dq80_video_meta"          -> (q80 _),
     "dq81_incremental_dedup"   -> (q81 _),
-    "dq82_sequence_materialize" -> (q82 _)
+    "dq82_sequence_materialize" -> (q82 _),
+    "dq83_incremental_neardup"  -> (q83 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1866,6 +1892,60 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 13 = 0)
         |SELECT doc_id, source FROM incoming
         |WHERE fp NOT IN (SELECT fp FROM hist)
+        |ORDER BY doc_id""".stripMargin,
+    "dq83_incremental_neardup" ->
+      // same batch synthesis; near-dup membership re-derived with dq19's
+      // signature arithmetic — history band buckets (capped on the HISTORY
+      // side, mirroring the index-build cap), incoming keys joined against
+      // them, candidate-only Jaccard, then an exact NOT IN. The Bloom
+      // split is a plan optimization with no semantic surface (no false
+      // negatives), exactly like dq81's.
+      """WITH incoming AS (
+        |  SELECT doc_id + 100000 AS doc_id, source, text || ' zzztail' AS text
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, source,
+        |    array_to_string(list_transform(range(1, len(tk) + 1),
+        |      i -> CASE WHEN (i - 1) % 3 = 0 THEN tk[i] || 'x' ELSE tk[i] END),
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') tk
+        |        FROM documents WHERE doc_id % 13 = 0)),
+        |ht AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |it AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) toks FROM incoming),
+        |hs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
+        |  FROM ht WHERE len(toks) >= 3),
+        |iss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
+        |  FROM it WHERE len(toks) >= 3),
+        |hhp AS (SELECT doc_id, list_transform(sh, x -> md5(x)) ds FROM hs),
+        |ihp AS (SELECT doc_id, list_transform(sh, x -> md5(x)) ds FROM iss),
+        |hsig AS (SELECT doc_id, list_transform(range(0, 16),
+        |    i -> list_min(list_transform(ds,
+        |      d -> (('0x' || substr(d, 1, 8))::BIGINT + i * ('0x' || substr(d, 9, 8))::BIGINT)
+        |           % 2147483647))) mh FROM hhp),
+        |isig AS (SELECT doc_id, list_transform(range(0, 16),
+        |    i -> list_min(list_transform(ds,
+        |      d -> (('0x' || substr(d, 1, 8))::BIGINT + i * ('0x' || substr(d, 9, 8))::BIGINT)
+        |           % 2147483647))) mh FROM ihp),
+        |hb AS (SELECT doc_id, b,
+        |    mh[4*b+1] || '|' || mh[4*b+2] || '|' || mh[4*b+3] || '|' || mh[4*b+4] bkey
+        |  FROM hsig, unnest(range(0, 4)) AS u(b)),
+        |ib AS (SELECT doc_id, b,
+        |    mh[4*b+1] || '|' || mh[4*b+2] || '|' || mh[4*b+3] || '|' || mh[4*b+4] bkey
+        |  FROM isig, unnest(range(0, 4)) AS u(b)),
+        |hok AS (SELECT doc_id, b, bkey FROM
+        |    (SELECT doc_id, b, bkey, count(*) OVER (PARTITION BY b, bkey) c FROM hb)
+        |  WHERE c <= 100),
+        |cand AS (SELECT DISTINCT i.doc_id inc_id, h.doc_id hist_id
+        |  FROM ib i JOIN hok h USING (b, bkey)),
+        |pairs AS (SELECT inc_id,
+        |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)) jac
+        |  FROM cand JOIN iss x ON x.doc_id = inc_id JOIN hs y ON y.doc_id = hist_id)
+        |SELECT doc_id, source FROM incoming
+        |WHERE doc_id NOT IN (SELECT inc_id FROM pairs WHERE jac > 0.8)
         |ORDER BY doc_id""".stripMargin,
     "dq82_sequence_materialize" ->
       // dq66's recursive greedy fold assigns the bins; the sequence is the

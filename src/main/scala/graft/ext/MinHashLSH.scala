@@ -204,6 +204,89 @@ object MinHashLSH {
     }
   }
 
+  /** The PERSISTABLE history index for incremental near-dup detection:
+    * the banded signature relation `(doc_id, b, bkey)` — one row per
+    * document per band, the same relation [[nearDupPairs]] buckets on. At
+    * 100 TB this is what an ingest loop stores with the corpus and appends
+    * each accepted batch to; it is tiny relative to the corpus (bands
+    * integer-string keys per doc, no text, no shingles).
+    */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame =
+    bandedKeys(shingleFrame(df, idCol, textCol).filter(size(col("sh")) > 0),
+      numHashes, bands)
+
+  /** Batch-vs-HISTORY near-dup pairs — the incremental complement of
+    * [[nearDupPairs]] (which is batch-internal): `(doc_inc, doc_hist,
+    * jac)` for every incoming document whose Jaccard against some history
+    * document exceeds `threshold`.
+    *
+    * Scale shape, mirroring [[Dedup.keepUnseen]]'s Bloom split:
+    *  1. the history side is its [[bandIndex]] relation with degenerate
+    *     buckets (> `maxBucket` members — stopword-profile shingles)
+    *     dropped AT THE INDEX, so no join can expand on them;
+    *  2. a Bloom filter over the history's distinct band keys is broadcast
+    *     and splits the incoming band keys — keys provably absent from
+    *     history (no false negatives) never enter the candidate join;
+    *  3. surviving keys equi-join the index → candidate (inc, hist) id
+    *     pairs; exact Jaccard verification touches only those candidates.
+    * History documents are shingled once per call here (cached in-scope);
+    * a production loop would read the persisted index instead and shingle
+    * only the candidate history rows. `expectedBandKeys` sizes the Bloom
+    * filter from layout statistics (the [[Dedup.keepUnseen]] lesson:
+    * overestimating costs filter bits, underestimating costs join traffic,
+    * never correctness); absent, the distinct keys are counted off the
+    * call-scoped cache.
+    */
+  def nearDupPairsVsHistory(incoming: DataFrame, history: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8, maxBucket: Int = 100, fpp: Double = 0.01,
+      expectedBandKeys: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val histSh = shingleFrame(history, idCol, textCol).filter(size(col("sh")) > 0)
+    val incSh = shingleFrame(incoming, idCol, textCol).filter(size(col("sh")) > 0)
+    val histIdx = bandedKeys(histSh, numHashes, bands)
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("b", "bkey")))
+      .filter(col("__c") <= maxBucket)
+      .drop("__c")
+    CacheScope.withCached(histSh, incSh, histIdx) {
+      val keyStr = concat_ws("|", col("b"), col("bkey"))
+      val histKeys = histIdx.select(keyStr.as("__k")).distinct()
+      val filter = BloomPrune.buildFilter(histKeys, "__k",
+        math.max(1L, expectedBandKeys.getOrElse(histKeys.count())), fpp)
+      val (maybeSeen, _) = BloomPrune.split(
+        bandedKeys(incSh, numHashes, bands).withColumn("__k", keyStr), "__k", filter)
+      val cand = maybeSeen
+        .join(histIdx.select(col("doc_id").as("__hist_id"), col("b"), col("bkey")),
+          Seq("b", "bkey"))
+        .select(col("doc_id").as("doc_inc"), col("__hist_id").as("doc_hist"))
+        .distinct()
+      val x = incSh.select(col("doc_id").as("doc_inc"), col("sh").as("sh_a"))
+      val y = histSh.select(col("doc_id").as("doc_hist"), col("sh").as("sh_b"))
+      cand.join(x, "doc_inc").join(y, "doc_hist")
+        .select(col("doc_inc"), col("doc_hist"),
+          jaccardSorted(col("sh_a"), col("sh_b")).as("jac"))
+        .filter(col("jac") > threshold)
+    }
+  }
+
+  /** Incremental NEAR-dup ingest gate: keep only incoming rows that are
+    * not a near-duplicate of any HISTORY document — the companion of
+    * [[Dedup.keepUnseen]] (exact fingerprints) for the "daily batch vs
+    * 100 TB corpus" loop. The anti-join's right side is the (small)
+    * verified-pair id set, so incoming bodies never ride a shuffle beyond
+    * their one shingle pass.
+    */
+  def keepUnseenNear(incoming: DataFrame, history: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8, maxBucket: Int = 100, fpp: Double = 0.01,
+      expectedBandKeys: Option[Long] = None): DataFrame = {
+    val dup = nearDupPairsVsHistory(incoming, history, idCol, textCol,
+      numHashes, bands, threshold, maxBucket, fpp, expectedBandKeys)
+      .select(col("doc_inc")).distinct()
+    incoming.join(dup, incoming(idCol) === col("doc_inc"), "left_anti")
+  }
+
   /** (doc_id, sorted shingle set) — the cache-worthy intermediate.
     * Fans the heavy per-row work (tokenize + md5 per shingle) across all
     * cores even when the input is a single unsplittable row group.

@@ -29,6 +29,36 @@ class NearDupSpec extends GraftSpec {
       Seq((Seq("a", "b"), Seq("b", "a"))).toDF("x", "y")
         .select(MinHashLSH.jaccard($"x", $"y")).as[Double].head() shouldBe 1d
     }
+    it("incremental gate: near-replays of history drop, revisions and " +
+       "novel docs keep; pairs name the history doc") {
+      val history = docs
+      val incoming = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog and runs far away home tail"), // near-replay of 1
+        (11L, "entirely new material on bloom filters and banded lsh indexes today"),     // novel
+        (12L, "tiny")                                                                     // < 3 tokens: no signature, kept
+      ).toDF("doc_id", "text")
+      val pairs = MinHashLSH.nearDupPairsVsHistory(incoming, history,
+        "doc_id", "text", threshold = 0.5)
+        .select("doc_inc", "doc_hist").as[(Long, Long)].collect().toSet
+      pairs shouldBe Set((10L, 1L), (10L, 2L))
+      MinHashLSH.keepUnseenNear(incoming, history, "doc_id", "text",
+        threshold = 0.5)
+        .select("doc_id").as[Long].collect().sorted shouldBe Array(11L, 12L)
+      // a caller-supplied index-size estimate changes nothing (Bloom split
+      // is semantics-free)
+      MinHashLSH.keepUnseenNear(incoming, history, "doc_id", "text",
+        threshold = 0.5, expectedBandKeys = Some(100000L))
+        .select("doc_id").as[Long].collect().sorted shouldBe Array(11L, 12L)
+    }
+    it("bandIndex is the persistable (doc_id, b, bkey) relation nearDupPairs buckets on") {
+      val idx = MinHashLSH.bandIndex(docs, "doc_id", "text", 16, 4)
+      idx.columns.toSeq shouldBe Seq("doc_id", "b", "bkey")
+      idx.count() shouldBe 3 * 4 // doc 4 has < 3 tokens → no signature
+      // near-dups 1 and 2 share at least one band bucket
+      idx.as[(Long, Int, String)].collect()
+        .groupBy(r => (r._2, r._3)).values
+        .exists(g => g.map(_._1).toSet == Set(1L, 2L)) shouldBe true
+    }
   }
 
   describe("SimHash") {
