@@ -128,6 +128,28 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq47 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq49/dq78 streaming state: per-run state-store totals and
+      //    watermark lag from the progress events — the numbers behind
+      //    "the cost is intrinsic micro-batch machinery" for the two
+      //    heaviest streaming queries (dq49 buffers BOTH interval-join
+      //    sides; dq78 holds RocksDB typed state + timers).
+      {
+        def streamStats(dq: String): Option[String] =
+          if (!names.exists(_.startsWith(dq))) None
+          else try {
+            val qn = SparkEntry.queries.keys.find(_.startsWith(dq)).get
+            // runToTable executes the stream during query construction
+            SparkEntry.queries(qn)(spark, sfDir)
+            graft.streaming.EventStream.lastRunStats.map { st =>
+              s""""${dq}_batches":${st.batches},"${dq}_state_rows":${st.stateRowsTotal},""" +
+                s""""${dq}_state_bytes":${st.stateBytes},"${dq}_wm_lag_ms":${st.watermarkLagMs}"""
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $dq stream evidence failed: ${e.getMessage}"); None
+          }
+        val parts = Seq(streamStats("dq49"), streamStats("dq78")).flatten
+        if (parts.isEmpty) None else Some(parts.mkString(","))
+      },
       if (!names.exists(_.startsWith("dq59"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec

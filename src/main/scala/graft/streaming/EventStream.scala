@@ -19,6 +19,18 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** State-store telemetry from the most recent [[runToTable]] on this
+    * driver, read off the terminated query's progress events: total state
+    * rows and state memory across stateful operators at the final stateful
+    * batch, watermark lag (max observed event time − final watermark), and
+    * the batch count. Turns "streaming cost is intrinsic machinery" into
+    * numbers in the Bench evidence block (round-5 directive #6). Harness
+    * surface, last-writer-wins like [[graft.ext.ConnectedComponents.lastStats]].
+    */
+  final case class StreamRunStats(batches: Int, stateRowsTotal: Long,
+      stateBytes: Long, watermarkLagMs: Long)
+  @volatile var lastRunStats: Option[StreamRunStats] = None
+
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // nanos
@@ -364,6 +376,35 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    lastRunStats = extractStats(q.recentProgress)
     spark.read.parquet(out)
   }
+
+  /** Fold a run's progress events into [[StreamRunStats]]: state totals
+    * from the LAST progress carrying stateful-operator metrics (earlier
+    * batches understate the final store), watermark lag from the latest
+    * max-event-time and watermark stamps seen anywhere in the run (the
+    * final no-data batch reports a watermark but no max).
+    */
+  private def extractStats(
+      progress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress])
+      : Option[StreamRunStats] = try {
+    if (progress.isEmpty) None else {
+      def instant(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+      val lastStateful = progress.reverse.find(_.stateOperators.nonEmpty)
+      val (rows, bytes) = lastStateful.fold((0L, 0L)) { p =>
+        (p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.memoryUsedBytes).sum)
+      }
+      val maxEvent = progress.flatMap(p => Option(p.eventTime.get("max")))
+        .map(instant).maxOption
+      val watermark = progress.flatMap(p => Option(p.eventTime.get("watermark")))
+        .map(instant).filter(_ > 0).maxOption
+      val lag = (maxEvent, watermark) match {
+        case (Some(m), Some(w)) => m - w
+        case _                  => -1L
+      }
+      Some(StreamRunStats(progress.length, rows, bytes, lag))
+    }
+  } catch { case _: Exception => None }
 }
