@@ -157,6 +157,115 @@ object ScaleProbe {
     if (sys.env.get("SCALE_IVFK").contains("1")) {
       println(graft.ext.IvfScaleProbe.run(spark))
     }
+    // Bloom pruning comparison (round-5 directive #7): the dq55 shape as a
+    // SHUFFLE join (autoBroadcast off — the 100 TB regime where the dim is
+    // too big to broadcast whole but its KEY SET still blooms) — plain
+    // join vs explicit BloomPrune vs Spark's native runtime bloom filter
+    // (spark.sql.optimizer.runtime.bloomFilter.*, application-side scan
+    // threshold dropped to force injection at probe scale).
+    if (sys.env.get("SCALE_BLOOM").contains("1")) {
+      // file-scan inputs throughout: Spark's InjectRuntimeFilter only fires
+      // when the application side is a real scan (a cached relation has
+      // nothing to push toward), and BloomPrune's value is pre-scan-join
+      // row reduction — both need the honest shape
+      def hotDf = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+        .filter(col("c_acctbal") > 9000).select("c_custkey")
+      val nHot = hotDf.count()
+      for (m <- Seq(1, 10)) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+        val o0 = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+          .select("o_orderkey", "o_custkey")
+        (if (m == 1) o0.repartition(16)
+         else o0.crossJoin(spark.range(m.toLong).toDF("rep"))
+           .select((col("o_orderkey") * m + col("rep")).as("o_orderkey"),
+             col("o_custkey"))
+           .repartition(64))
+          .write.mode("overwrite").parquet(tmp)
+        def ordersDf = spark.read.parquet(tmp)
+        val nOrders = ordersDf.count()
+        // (rows, records through every shuffle exchange) — the volume
+        // number that separates the variants where probe-scale walls can't
+        def runJoin(mk: => org.apache.spark.sql.DataFrame): (Long, Long) = {
+          // walk the COUNT's own execution — df.count() plans a separate
+          // query, and df.queryExecution would hold never-run zero metrics
+          // (the dq59/head() lesson); the count agg's own exchange adds
+          // only ~numPartitions records of noise
+          val cnt = mk.groupBy().count()
+          val n = cnt.collect()(0).getLong(0)
+          val shuffled = graft.plans.PlanWalk
+            .collectAll(cnt.queryExecution.executedPlan) {
+              case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+            }
+            .flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value)).sum
+          (n, shuffled)
+        }
+        def withConfs(kv: Seq[(String, String)])(body: => (Long, Long)): (Double, Long, Long) = {
+          val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+          kv.foreach { case (k, v) => spark.conf.set(k, v) }
+          try {
+            body // warmup pass (JIT, codegen, parquet footers)
+            val walls = (1 to 2).map { _ =>
+              val t0 = System.nanoTime(); val r = body
+              ((System.nanoTime() - t0) / 1e9, r)
+            }
+            (walls.map(_._1).min, walls.head._2._1, walls.head._2._2)
+          } finally olds.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None)    => spark.conf.unset(k)
+          }
+        }
+        val noBroadcast = Seq(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+        val nativeOff = noBroadcast :+
+          ("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false")
+        val nativeOn = noBroadcast ++ Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+        val (plainSec, nPlain, shPlain) = withConfs(nativeOff) {
+          runJoin(ordersDf.join(hotDf, col("o_custkey") === col("c_custkey")))
+        }
+        val (pruneSec, nPrune, shPrune) = withConfs(nativeOff) {
+          runJoin(graft.ext.BloomPrune.prunedJoin(ordersDf, hotDf, "o_custkey",
+            "c_custkey", expectedItems = nHot))
+        }
+        val (nativeSec, nNative, shNative) = withConfs(nativeOn) {
+          runJoin(ordersDf.join(hotDf, col("o_custkey") === col("c_custkey")))
+        }
+        val injected = {
+          val olds = nativeOn.map { case (k, _) => k -> spark.conf.getOption(k) }
+          nativeOn.foreach { case (k, v) => spark.conf.set(k, v) }
+          try ordersDf.join(hotDf, col("o_custkey") === col("c_custkey"))
+            .queryExecution.executedPlan.toString.contains("might_contain")
+          finally olds.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None)    => spark.conf.unset(k)
+          }
+        }
+        require(nPlain == nPrune && nPlain == nNative,
+          s"bloom variants disagree: $nPlain/$nPrune/$nNative")
+        println(f"""{"probe":"bloom","orders":$nOrders,"hot":$nHot,"matches":$nPlain,"plain_sec":$plainSec%.2f,"bloomprune_sec":$pruneSec%.2f,"native_sec":$nativeSec%.2f,"plain_shuffled":$shPlain,"bloomprune_shuffled":$shPrune,"native_shuffled":$shNative,"native_injected":$injected}""")
+        // temp cleanup (stream-closing rm — the LayoutProbe lesson)
+        locally {
+          import java.nio.file.{Files, Path, Paths}
+          import scala.jdk.CollectionConverters._
+          def rm(p: Path): Unit = {
+            if (Files.isDirectory(p)) {
+              val children = Files.list(p)
+              val listed = try children.iterator().asScala.toList finally children.close()
+              listed.foreach(rm)
+            }
+            Files.deleteIfExists(p)
+            ()
+          }
+          try rm(Paths.get(tmp))
+          catch { case e: Exception =>
+            System.err.println(s"[probe] bloom temp cleanup failed: ${e.getMessage}")
+          }
+        }
+      }
+      ()
+    }
     // Decontamination probe: gram volume grows linearly with the corpus and
     // the eval side stays a broadcast — the claim is linear scaling with NO
     // train×eval pair blowup at any size.

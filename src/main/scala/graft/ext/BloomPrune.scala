@@ -12,9 +12,24 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Uses Spark's own sketch (`DataFrameStatFunctions.bloomFilter` /
   * `org.apache.spark.util.sketch.BloomFilter`), serialized into a broadcast
-  * and probed by a scalar predicate. (Spark's runtime row-level filtering
-  * does this automatically in some shapes; this utility makes it explicit
-  * and composable for pipelines that pre-filter long before the join.)
+  * and probed by a scalar predicate.
+  *
+  * vs Spark's NATIVE runtime Bloom filter
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, on by default) —
+  * measured head-to-head on the dq55 shuffle-join shape (`SCALE_BLOOM`
+  * probe, PERF.md round 6): when the native rule fires it prunes
+  * marginally better (10.7× vs 9.7× shuffled-record reduction at 10×
+  * data; walls identical at probe scale), so plain scan-backed joins
+  * should just leave it on. This utility earns its keep where the native
+  * rule CANNOT fire: the application side is a derived/cached relation
+  * rather than a file scan (verified: no `might_contain` injected there),
+  * or the filter is applied far from any join — [[split]]'s
+  * definitely-absent half skipping an anti-join entirely
+  * ([[Dedup.keepUnseen]], [[MinHashLSH.nearDupPairsVsHistory]]) has no
+  * join-time equivalent. The probe membership stays a scalar `udf` (not
+  * codegen) because Spark's `might_contain` is non-public API; at one
+  * virtual call per row it has never surfaced in a profile next to the
+  * shuffle it saves.
   */
 object BloomPrune {
 
