@@ -1212,6 +1212,32 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ84 (EXT): the LARGE-k IVF assignment path under the oracle gate —
+    * dq51's exact pipeline with `spark.graft.ivf.literalMaxK` forced to 0,
+    * so training, assignment, and probe selection all run through the
+    * broadcast [[graft.functions.NearestCells]] kernel instead of the
+    * plan-literal fold. Same oracle as dq51: the paths are bit-identical
+    * by contract, and this row has the DuckDB gate prove it every round
+    * (the SCALE_IVFK probe proves it at k=1024, where the literal can't
+    * go). Conf is saved/restored; the result is materialized before the
+    * restore so the lazy plan can't observe the rollback. */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val key = IvfIndex.LiteralMaxKConf
+    val old = s.conf.getOption(key)
+    s.conf.set(key, "0")
+    try {
+      val index = IvfIndex.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)
+      try index.queryAll(Seq(1L, 2L, 3L), topK = 5, nprobe = 2)
+        .orderBy("qid", "vid")
+        .localCheckpoint(true)
+      finally index.release()
+    } finally old match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1296,7 +1322,8 @@ object SparkEntry {
     "dq80_video_meta"          -> (q80 _),
     "dq81_incremental_dedup"   -> (q81 _),
     "dq82_sequence_materialize" -> (q82 _),
-    "dq83_incremental_neardup"  -> (q83 _)
+    "dq83_incremental_neardup"  -> (q83 _),
+    "dq84_ann_ivf_kernel"       -> (q84 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1763,6 +1790,9 @@ object SparkEntry {
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "dq51_ann_trained_ivf" -> Dq51Sql,
+    // the broadcast-kernel path must produce byte-identical results to the
+    // literal fold — same oracle, separately executed query
+    "dq84_ann_ivf_kernel" -> Dq51Sql,
     "dq52_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
