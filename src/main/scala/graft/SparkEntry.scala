@@ -1238,6 +1238,29 @@ object SparkEntry {
     }
   }
 
+  /** DQ85 (EXT): PII scrubbing ([[TextAnalysis.redactPii]]) — emails and
+    * phone numbers planted deterministically into each document (the
+    * corpus has none), then redacted to placeholder tokens; the oracle
+    * re-plants and re-redacts with the same Java∩RE2 regexes and the
+    * redacted text is byte-checked via md5. Counts surface the removal
+    * report a curation pipeline logs. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val salted = docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example"), (col("doc_id") % 7).cast("string"), lit(".com or +"),
+        (col("doc_id") % 90 + 10).cast("string"), lit("-"),
+        (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+        (col("doc_id") % 9000 + 1000).cast("string")).as("text"))
+    val (nEmails, nPhones) = TextAnalysis.piiCounts(col("text"))
+    salted.select(col("doc_id"),
+      nEmails.as("n_emails"), nPhones.as("n_phones"),
+      md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"),
+      length(TextAnalysis.redactPii(col("text"))).as("n_chars_redacted"))
+      .orderBy("doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1323,7 +1346,8 @@ object SparkEntry {
     "dq81_incremental_dedup"   -> (q81 _),
     "dq82_sequence_materialize" -> (q82 _),
     "dq83_incremental_neardup"  -> (q83 _),
-    "dq84_ann_ivf_kernel"       -> (q84 _)
+    "dq84_ann_ivf_kernel"       -> (q84 _),
+    "dq85_pii_redaction"        -> (q85 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1793,6 +1817,27 @@ object SparkEntry {
     // the broadcast-kernel path must produce byte-identical results to the
     // literal fold — same oracle, separately executed query
     "dq84_ann_ivf_kernel" -> Dq51Sql,
+    "dq85_pii_redaction" ->
+      // same deterministic PII planting, same Java∩RE2 regexes (DuckDB
+      // needs the explicit 'g' flag; Spark replaces globally by default);
+      // the redacted text is byte-compared via md5
+      """WITH salted AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example' || (doc_id % 7)
+        |      || '.com or +' || (doc_id % 90 + 10) || '-' || (doc_id % 900 + 100)
+        |      || '-' || (doc_id % 9000 + 1000) AS text
+        |  FROM documents),
+        |red AS (SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS r
+        |  FROM salted)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INTEGER AS n_emails,
+        |  len(regexp_extract_all(text, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}'))::INTEGER AS n_phones,
+        |  md5(r) AS redacted_md5,
+        |  length(r)::INTEGER AS n_chars_redacted
+        |FROM red ORDER BY doc_id""".stripMargin,
     "dq52_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue

@@ -55,6 +55,28 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** PII scrubbing for training corpora: replace email addresses and
+    * (separator-structured) phone numbers with stable placeholder tokens.
+    * Pure `regexp_replace` — codegen'd, fused into the scan stage, no
+    * shuffle, no UDF; the patterns stay in the Java∩RE2 regex subset so
+    * the DuckDB oracle (dq85) applies the identical expressions with its
+    * 'g' flag (Spark's regexp_replace is global by default). Redaction is
+    * conservative by construction: placeholders are plain tokens, so every
+    * downstream operator (shingles, fingerprints, token counts) treats
+    * scrubbed text uniformly. Counting surfaces via `regexp_count` for the
+    * removal report a curation pipeline logs.
+    */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRegex, "<EMAIL>"),
+      PhoneRegex, "<PHONE>")
+
+  /** (n_emails, n_phones) found in `text` — the redaction report columns. */
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(EmailRegex)), regexp_count(text, lit(PhoneRegex)))
+
   /** Per-language stopword hit ratio: |tokens ∩ stopwords| / |tokens|.
     * Deterministic pure arithmetic → oracle-friendly.
     */

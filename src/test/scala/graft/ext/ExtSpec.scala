@@ -112,6 +112,17 @@ class ExtSpec extends GraftSpec {
       df.select(TextAnalysis.fingerprint($"x") === TextAnalysis.fingerprint($"y"))
         .as[Boolean].head() shouldBe true
     }
+    it("redactPii scrubs emails and structured phones, leaves clean text alone") {
+      val df = Seq(
+        "reach me at jane.doe+spam@sub.example.co.uk or +49-123-4567 now",
+        "no pii here, just 12345 and a.b notation"
+      ).toDF("t")
+      val red = df.select(TextAnalysis.redactPii($"t").as("r")).as[String].collect()
+      red(0) shouldBe "reach me at <EMAIL> or <PHONE> now"
+      red(1) shouldBe "no pii here, just 12345 and a.b notation"
+      val (ne, np) = TextAnalysis.piiCounts($"t")
+      df.select(ne, np).as[(Int, Int)].collect().toSeq shouldBe Seq((1, 1), (0, 0))
+    }
     it("languageId picks the dominant stopword language, 'und' when none") {
       Seq("the cat and the dog in the house").toDF("t")
         .select(TextAnalysis.languageId($"t")).as[String].head() shouldBe "en"
