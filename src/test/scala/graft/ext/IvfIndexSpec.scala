@@ -176,6 +176,27 @@ class IvfIndexSpec extends GraftSpec {
     } finally spark.conf.unset(IvfIndex.LiteralMaxKConf)
   }
 
+  it("NearestCells edge cases: nprobe past k truncates, ties break to the " +
+     "lower cell id, short/null-element inputs fold like SquaredDistance") {
+    import org.apache.spark.sql.functions.col
+    val cents = Seq(0 -> Array(0.0, 0.0), 1 -> Array(1.0, 1.0), 2 -> Array(0.0, 0.0))
+    val bc = spark.sparkContext.broadcast(cents.map(_._2).toArray)
+    def cellsOf(emb: Seq[java.lang.Float], nprobe: Int): Seq[Int] = {
+      val df = Seq(Tuple1(emb)).toDF("emb")
+      df.select(graft.functions.NearestCells(col("emb"), bc,
+        cents.map(_._1).toArray, nprobe).as("c")).as[Seq[Int]].head()
+    }
+    // cells 0 and 2 are identical → tie breaks toward cell 0, then 2
+    cellsOf(Seq(0.1f, 0.1f), 3) shouldBe Seq(0, 2, 1)
+    // nprobe beyond k returns exactly k cells
+    cellsOf(Seq(0.9f, 0.9f), 99) shouldBe Seq(1, 0, 2)
+    // a short embedding folds over min(len, dim) dims — cell 1 contributes
+    // (1-0.9)^2 over one dim, beating the zero centroids' 0.81
+    cellsOf(Seq(0.9f), 1) shouldBe Seq(1)
+    // null elements contribute 0 to every distance (SquaredDistance parity)
+    cellsOf(Seq(null, 0.9f), 1) shouldBe Seq(1)
+  }
+
   it("release() drops the index's cache blocks") {
     index.release()
     index.assigned.storageLevel.useMemory shouldBe false
