@@ -212,9 +212,18 @@ object MinHashLSH {
     * integer-string keys per doc, no text, no shingles).
     */
   def bandIndex(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, bands: Int = 4): DataFrame =
-    bandedKeys(shingleFrame(df, idCol, textCol).filter(size(col("sh")) > 0),
-      numHashes, bands)
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    // cache boundary BELOW the empty-shingle filter (the shingleFrame
+    // rule): filtering the lazy projection directly lets Catalyst push
+    // size(shingles(text)) > 0 under the repartition exchange, where it
+    // recomputes every document's shingles on the unsplit input partition
+    // — single-core. The scope also materializes the result, which is what
+    // an index-build API should hand back.
+    val projected = shingleFrame(df, idCol, textCol)
+    CacheScope.withCached(projected) {
+      bandedKeys(projected.filter(size(col("sh")) > 0), numHashes, bands)
+    }
+  }
 
   /** Batch-vs-HISTORY near-dup pairs — the incremental complement of
     * [[nearDupPairs]] (which is batch-internal): `(doc_inc, doc_hist,
@@ -243,30 +252,38 @@ object MinHashLSH {
       threshold: Double = 0.8, maxBucket: Int = 100, fpp: Double = 0.01,
       expectedBandKeys: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val histSh = shingleFrame(history, idCol, textCol).filter(size(col("sh")) > 0)
-    val incSh = shingleFrame(incoming, idCol, textCol).filter(size(col("sh")) > 0)
-    val histIdx = bandedKeys(histSh, numHashes, bands)
-      .withColumn("__c", count(lit(1)).over(Window.partitionBy("b", "bkey")))
-      .filter(col("__c") <= maxBucket)
-      .drop("__c")
-    CacheScope.withCached(histSh, incSh, histIdx) {
-      val keyStr = concat_ws("|", col("b"), col("bkey"))
-      val histKeys = histIdx.select(keyStr.as("__k")).distinct()
-      val filter = BloomPrune.buildFilter(histKeys, "__k",
-        math.max(1L, expectedBandKeys.getOrElse(histKeys.count())), fpp)
-      val (maybeSeen, _) = BloomPrune.split(
-        bandedKeys(incSh, numHashes, bands).withColumn("__k", keyStr), "__k", filter)
-      val cand = maybeSeen
-        .join(histIdx.select(col("doc_id").as("__hist_id"), col("b"), col("bkey")),
-          Seq("b", "bkey"))
-        .select(col("doc_id").as("doc_inc"), col("__hist_id").as("doc_hist"))
-        .distinct()
-      val x = incSh.select(col("doc_id").as("doc_inc"), col("sh").as("sh_a"))
-      val y = histSh.select(col("doc_id").as("doc_hist"), col("sh").as("sh_b"))
-      cand.join(x, "doc_inc").join(y, "doc_hist")
-        .select(col("doc_inc"), col("doc_hist"),
-          jaccardSorted(col("sh_a"), col("sh_b")).as("jac"))
-        .filter(col("jac") > threshold)
+    // cache the UNFILTERED projections (the shingleFrame rule — see
+    // [[bandIndex]]): an empty-shingle filter inside the cached plan gets
+    // pushed under the repartition exchange and recomputes every shingle
+    // single-core on the unsplit input (measured 16.8s → 3.1s at sf0.1)
+    val histProj = shingleFrame(history, idCol, textCol)
+    val incProj = shingleFrame(incoming, idCol, textCol)
+    CacheScope.withCached(histProj, incProj) {
+      val histSh = histProj.filter(size(col("sh")) > 0)
+      val incSh = incProj.filter(size(col("sh")) > 0)
+      val histIdx = bandedKeys(histSh, numHashes, bands)
+        .withColumn("__c", count(lit(1)).over(Window.partitionBy("b", "bkey")))
+        .filter(col("__c") <= maxBucket)
+        .drop("__c")
+      CacheScope.withCached(histIdx) {
+        val keyStr = concat_ws("|", col("b"), col("bkey"))
+        val histKeys = histIdx.select(keyStr.as("__k")).distinct()
+        val filter = BloomPrune.buildFilter(histKeys, "__k",
+          math.max(1L, expectedBandKeys.getOrElse(histKeys.count())), fpp)
+        val (maybeSeen, _) = BloomPrune.split(
+          bandedKeys(incSh, numHashes, bands).withColumn("__k", keyStr), "__k", filter)
+        val cand = maybeSeen
+          .join(histIdx.select(col("doc_id").as("__hist_id"), col("b"), col("bkey")),
+            Seq("b", "bkey"))
+          .select(col("doc_id").as("doc_inc"), col("__hist_id").as("doc_hist"))
+          .distinct()
+        val x = incSh.select(col("doc_id").as("doc_inc"), col("sh").as("sh_a"))
+        val y = histSh.select(col("doc_id").as("doc_hist"), col("sh").as("sh_b"))
+        cand.join(x, "doc_inc").join(y, "doc_hist")
+          .select(col("doc_inc"), col("doc_hist"),
+            jaccardSorted(col("sh_a"), col("sh_b")).as("jac"))
+          .filter(col("jac") > threshold)
+      }
     }
   }
 
