@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.plan.{FieldOrdering, MappingNode, Translator}
 import graft.plan.MappingNode.{Constant, Message, Scalar}
-import graft.ext.{Ann, AsOfJoin, ConnectedComponents, Decontamination, Dedup, IvfIndex, MinHashLSH, Multimodal, RangeJoin, Sampling, SimHash, TextAnalysis}
+import graft.ext.{Ann, AsOfJoin, Bm25, ConnectedComponents, Decontamination, Dedup, IvfIndex, MinHashLSH, Multimodal, RangeJoin, Sampling, SimHash, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.VectorFunctions
 
@@ -1261,6 +1261,72 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ86 (EXT): BM25 retrieval top-k ([[graft.ext.Bm25]]) — lexical
+    * ranking for a query set over the corpus, the retrieval loop of
+    * dedup-by-retrieval / hard-negative mining. Queries: every doc with
+    * doc_id % 101 == 0, terms = its first 4 tokens (distinct); k = 3;
+    * identity hits excluded. Rational idf + micro-unit score sums (no
+    * `ln`, no float reassociation) make the ranking hash-exact vs the
+    * DuckDB re-derivation. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, 4)))
+          .as("term"))
+    Bm25.topK(docs, "doc_id", "text", queries, k = 3)
+      .orderBy("qid", "rnk")
+  }
+
+  /** DQ87 (EXT): STREAMING ingest near-dup gate — dq83's batch-vs-history
+    * gate run as a Structured Streaming ingest loop: the incoming batch
+    * (same synthesis as dq83) arrives as a file-source STREAM, and each
+    * micro-batch passes through [[MinHashLSH.keepUnseenNear]] against the
+    * static history corpus inside `foreachBatch`, landing in per-batch
+    * idempotent parquet ([[EventStream.runIngestGate]]). Same oracle as
+    * dq83 — the gate result must be identical streamed or batched, which
+    * is exactly the batch/stream parity Structured Streaming promises and
+    * the continuous-crawl shape the incremental dedup family exists for. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val stream = EventStream.readDocuments(s, dir)
+    val nearReplay = stream.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("source"),
+        concat(col("text"), lit(" zzztail")).as("text"))
+    val novel = stream.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("source"),
+        array_join(transform(split(col("text"), " "),
+          (tok, i) => when(i % 3 === 0, concat(tok, lit("x"))).otherwise(tok)),
+          " ").as("text"))
+    EventStream.runIngestGate(nearReplay.union(novel), "q87") { batch =>
+      MinHashLSH.keepUnseenNear(batch, docs, "doc_id", "text")
+        .select("doc_id", "source")
+    }.orderBy("doc_id")
+  }
+
+  /** DQ88 (EXT): corpus-level boilerplate-line removal
+    * ([[TextAnalysis.removeBoilerplateLines]]) — the CCNet/RefinedWeb
+    * chrome gate: lines appearing in > 5% of documents are dropped from
+    * every document, order preserved. Line structure is synthesized
+    * exactly as dq74 (token pairs joined by newlines); the cleaned text is
+    * byte-checked via md5 and the kept/removed counts surface the
+    * curation report. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("__toks"))
+    val pairLines = when(size(col("__toks")) >= 2,
+      transform(sequence(lit(0), floor(size(col("__toks")) / 2).cast("int") - 1),
+        i => concat_ws(" ", element_at(col("__toks"), i * 2 + 1),
+          element_at(col("__toks"), i * 2 + 2))))
+      .otherwise(array().cast("array<string>"))
+    val synth = docs.select(col("doc_id"), concat_ws("\n", pairLines).as("text"))
+    TextAnalysis.removeBoilerplateLines(synth, "doc_id", "text",
+        maxDocFrac = 0.05)
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+        col("n_lines_kept"), col("n_lines_removed"))
+      .orderBy("doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1347,7 +1413,10 @@ object SparkEntry {
     "dq82_sequence_materialize" -> (q82 _),
     "dq83_incremental_neardup"  -> (q83 _),
     "dq84_ann_ivf_kernel"       -> (q84 _),
-    "dq85_pii_redaction"        -> (q85 _)
+    "dq85_pii_redaction"        -> (q85 _),
+    "dq86_bm25_topk"            -> (q86 _),
+    "dq87_stream_ingest_gate"   -> (q87 _),
+    "dq88_boilerplate_lines"    -> (q88 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1374,6 +1443,58 @@ object SparkEntry {
       |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)) jac
       |  FROM cand JOIN s x ON x.doc_id = ai JOIN s y ON y.doc_id = bi)
       |SELECT ai AS doc_a, bi AS doc_b, jac FROM pairs WHERE jac > 0.8""".stripMargin
+
+  /** dq83's batch-vs-history near-dup gate as reusable SQL — shared with
+    * dq87, which runs the SAME gate as a foreachBatch stream (stream/batch
+    * parity: one oracle for both). */
+  private val Dq83Sql =
+    """WITH incoming AS (
+      |  SELECT doc_id + 100000 AS doc_id, source, text || ' zzztail' AS text
+      |  FROM documents WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, source,
+      |    array_to_string(list_transform(range(1, len(tk) + 1),
+      |      i -> CASE WHEN (i - 1) % 3 = 0 THEN tk[i] || 'x' ELSE tk[i] END),
+      |      ' ') AS text
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') tk
+      |        FROM documents WHERE doc_id % 13 = 0)),
+      |ht AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0) toks FROM documents),
+      |it AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0) toks FROM incoming),
+      |hs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
+      |  FROM ht WHERE len(toks) >= 3),
+      |iss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
+      |  FROM it WHERE len(toks) >= 3),
+      |hhp AS (SELECT doc_id, list_transform(sh, x -> md5(x)) ds FROM hs),
+      |ihp AS (SELECT doc_id, list_transform(sh, x -> md5(x)) ds FROM iss),
+      |hsig AS (SELECT doc_id, list_transform(range(0, 16),
+      |    i -> list_min(list_transform(ds,
+      |      d -> (('0x' || substr(d, 1, 8))::BIGINT + i * ('0x' || substr(d, 9, 8))::BIGINT)
+      |           % 2147483647))) mh FROM hhp),
+      |isig AS (SELECT doc_id, list_transform(range(0, 16),
+      |    i -> list_min(list_transform(ds,
+      |      d -> (('0x' || substr(d, 1, 8))::BIGINT + i * ('0x' || substr(d, 9, 8))::BIGINT)
+      |           % 2147483647))) mh FROM ihp),
+      |hb AS (SELECT doc_id, b,
+      |    mh[4*b+1] || '|' || mh[4*b+2] || '|' || mh[4*b+3] || '|' || mh[4*b+4] bkey
+      |  FROM hsig, unnest(range(0, 4)) AS u(b)),
+      |ib AS (SELECT doc_id, b,
+      |    mh[4*b+1] || '|' || mh[4*b+2] || '|' || mh[4*b+3] || '|' || mh[4*b+4] bkey
+      |  FROM isig, unnest(range(0, 4)) AS u(b)),
+      |hok AS (SELECT doc_id, b, bkey FROM
+      |    (SELECT doc_id, b, bkey, count(*) OVER (PARTITION BY b, bkey) c FROM hb)
+      |  WHERE c <= 100),
+      |cand AS (SELECT DISTINCT i.doc_id inc_id, h.doc_id hist_id
+      |  FROM ib i JOIN hok h USING (b, bkey)),
+      |pairs AS (SELECT inc_id,
+      |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)) jac
+      |  FROM cand JOIN iss x ON x.doc_id = inc_id JOIN hs y ON y.doc_id = hist_id)
+      |SELECT doc_id, source FROM incoming
+      |WHERE doc_id NOT IN (SELECT inc_id FROM pairs WHERE jac > 0.8)
+      |ORDER BY doc_id""".stripMargin
 
   /** dq72's winnow shared-passage pairs as reusable SQL over a named
     * (doc_id, text) relation (no ORDER BY) — identical rolling-hash
@@ -1838,6 +1959,59 @@ object SparkEntry {
         |  md5(r) AS redacted_md5,
         |  length(r)::INTEGER AS n_chars_redacted
         |FROM red ORDER BY doc_id""".stripMargin,
+    "dq86_bm25_topk" ->
+      // the same rational-idf BM25 (no ln — not bit-portable across libm),
+      // every per-term factor a fixed IEEE expression tree, per-term scores
+      // floored into micro-units whose BIGINT sum is associative: the
+      // ranking hash-matches at full precision. Parenthesization mirrors
+      // the Spark expression EXACTLY.
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |wl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) dl FROM t),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM wl),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM wl)
+        |  GROUP BY 1, 2, 3),
+        |q AS (SELECT doc_id AS qid, unnest(list_distinct(toks[1:4])) AS term
+        |  FROM t WHERE doc_id % 101 = 0),
+        |posts AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM q) qv USING (term)),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM posts GROUP BY 1),
+        |scored AS (SELECT q.qid, p.doc_id AS vid,
+        |    CAST(sum(CAST(floor(
+        |      ((CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) *
+        |      1000000.0) AS BIGINT)) AS BIGINT) score_micro
+        |  FROM posts p JOIN q USING (term) JOIN dfq USING (term), stats s
+        |  WHERE p.doc_id <> q.qid GROUP BY 1, 2),
+        |r AS (SELECT qid, vid, score_micro,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, vid) rnk
+        |  FROM scored)
+        |SELECT qid, vid, score_micro, rnk FROM r WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin,
+    "dq88_boilerplate_lines" ->
+      // dq74's line synthesis (token pairs), then an independent
+      // re-derivation of the removal: per-doc-distinct line digests →
+      // document frequency → lines in > 5% of docs become the boilerplate
+      // set → order-preserving list filter; the cleaned text is
+      // byte-compared via md5 of the newline re-join
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |syn AS (SELECT doc_id, list_transform(range(0, len(toks) // 2),
+        |    i -> toks[2*i+1] || ' ' || toks[2*i+2]) lines FROM t),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) nd FROM syn),
+        |h AS (SELECT doc_id, unnest(list_distinct(list_transform(lines, l -> md5(l)))) AS hh
+        |  FROM syn),
+        |dfl AS (SELECT hh, CAST(count(*) AS BIGINT) c FROM h GROUP BY 1),
+        |boil AS (SELECT hh FROM dfl, nn WHERE CAST(c AS DOUBLE) / nd > 0.05),
+        |bs AS (SELECT coalesce(list(hh), []::VARCHAR[]) bl FROM boil),
+        |r AS (SELECT doc_id, lines,
+        |    list_filter(lines, l -> NOT list_contains(bs.bl, md5(l))) kept
+        |  FROM syn, bs)
+        |SELECT doc_id, md5(array_to_string(kept, chr(10))) AS clean_md5,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_removed
+        |FROM r ORDER BY doc_id""".stripMargin,
     "dq52_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -1968,60 +2142,16 @@ object SparkEntry {
         |SELECT doc_id, source FROM incoming
         |WHERE fp NOT IN (SELECT fp FROM hist)
         |ORDER BY doc_id""".stripMargin,
-    "dq83_incremental_neardup" ->
-      // same batch synthesis; near-dup membership re-derived with dq19's
-      // signature arithmetic — history band buckets (capped on the HISTORY
-      // side, mirroring the index-build cap), incoming keys joined against
-      // them, candidate-only Jaccard, then an exact NOT IN. The Bloom
-      // split is a plan optimization with no semantic surface (no false
-      // negatives), exactly like dq81's.
-      """WITH incoming AS (
-        |  SELECT doc_id + 100000 AS doc_id, source, text || ' zzztail' AS text
-        |  FROM documents WHERE doc_id % 17 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 200000 AS doc_id, source,
-        |    array_to_string(list_transform(range(1, len(tk) + 1),
-        |      i -> CASE WHEN (i - 1) % 3 = 0 THEN tk[i] || 'x' ELSE tk[i] END),
-        |      ' ') AS text
-        |  FROM (SELECT doc_id, source, string_split(text, ' ') tk
-        |        FROM documents WHERE doc_id % 13 = 0)),
-        |ht AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
-        |    x -> len(x) > 0) toks FROM documents),
-        |it AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
-        |    x -> len(x) > 0) toks FROM incoming),
-        |hs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
-        |  FROM ht WHERE len(toks) >= 3),
-        |iss AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
-        |  FROM it WHERE len(toks) >= 3),
-        |hhp AS (SELECT doc_id, list_transform(sh, x -> md5(x)) ds FROM hs),
-        |ihp AS (SELECT doc_id, list_transform(sh, x -> md5(x)) ds FROM iss),
-        |hsig AS (SELECT doc_id, list_transform(range(0, 16),
-        |    i -> list_min(list_transform(ds,
-        |      d -> (('0x' || substr(d, 1, 8))::BIGINT + i * ('0x' || substr(d, 9, 8))::BIGINT)
-        |           % 2147483647))) mh FROM hhp),
-        |isig AS (SELECT doc_id, list_transform(range(0, 16),
-        |    i -> list_min(list_transform(ds,
-        |      d -> (('0x' || substr(d, 1, 8))::BIGINT + i * ('0x' || substr(d, 9, 8))::BIGINT)
-        |           % 2147483647))) mh FROM ihp),
-        |hb AS (SELECT doc_id, b,
-        |    mh[4*b+1] || '|' || mh[4*b+2] || '|' || mh[4*b+3] || '|' || mh[4*b+4] bkey
-        |  FROM hsig, unnest(range(0, 4)) AS u(b)),
-        |ib AS (SELECT doc_id, b,
-        |    mh[4*b+1] || '|' || mh[4*b+2] || '|' || mh[4*b+3] || '|' || mh[4*b+4] bkey
-        |  FROM isig, unnest(range(0, 4)) AS u(b)),
-        |hok AS (SELECT doc_id, b, bkey FROM
-        |    (SELECT doc_id, b, bkey, count(*) OVER (PARTITION BY b, bkey) c FROM hb)
-        |  WHERE c <= 100),
-        |cand AS (SELECT DISTINCT i.doc_id inc_id, h.doc_id hist_id
-        |  FROM ib i JOIN hok h USING (b, bkey)),
-        |pairs AS (SELECT inc_id,
-        |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)) jac
-        |  FROM cand JOIN iss x ON x.doc_id = inc_id JOIN hs y ON y.doc_id = hist_id)
-        |SELECT doc_id, source FROM incoming
-        |WHERE doc_id NOT IN (SELECT inc_id FROM pairs WHERE jac > 0.8)
-        |ORDER BY doc_id""".stripMargin,
+    // same batch synthesis; near-dup membership re-derived with dq19's
+    // signature arithmetic — history band buckets (capped on the HISTORY
+    // side, mirroring the index-build cap), incoming keys joined against
+    // them, candidate-only Jaccard, then an exact NOT IN. The Bloom
+    // split is a plan optimization with no semantic surface (no false
+    // negatives), exactly like dq81's. Shared by dq83 (batch) and dq87
+    // (the same gate as a foreachBatch STREAM) — stream/batch parity means
+    // one oracle for both.
+    "dq83_incremental_neardup" -> Dq83Sql,
+    "dq87_stream_ingest_gate" -> Dq83Sql,
     "dq82_sequence_materialize" ->
       // dq66's recursive greedy fold assigns the bins; the sequence is the
       // in-bin id-ordered concatenation, verified by md5

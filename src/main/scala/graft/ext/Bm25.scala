@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval over a document corpus — the ranking half of a
+  * training-data pipeline's retrieval loops (dedup-by-retrieval, hard-negative
+  * mining, contamination triage). Complements [[TextAnalysis.topTfIdfTerm]]
+  * (per-document argmax) with cross-document RANKING for a query set.
+  *
+  * Bit-portability (the dq69/dq53 rule): the textbook BM25 idf is
+  * `ln((N - df + 0.5)/(df + 0.5) + 1)`, but `ln` is not guaranteed
+  * bit-identical across engines' libm — so this scorer uses the RATIONAL idf
+  * `(N - df + 0.5)/(df + 0.5)` (the same monotone-in-rarity core, no log; it
+  * weights rarity more aggressively, like dq69's rational TF-IDF). Every
+  * per-term factor is then IEEE +,×,÷ over a fixed expression tree —
+  * bit-identical on any conforming engine — and the per-term score is floored
+  * into integer MICRO-UNITS whose per-(query,doc) sum is associative, so the
+  * aggregation is reassociation-proof under any partial-aggregation plan.
+  * (Micro-unit magnitude is ~idf·(k1+1)·10⁶ ≤ ~2.2e6·N/df — long-safe far
+  * past any realistic corpus.)
+  *
+  * Shape at 100 TB: document bodies never shuffle — the corpus explodes to
+  * (doc, dl, term) and aggregates term frequencies with map-side partials
+  * (the one corpus-sized exchange). The query set broadcasts; joining it
+  * FIRST prunes the postings to query vocabulary before document frequencies
+  * are counted, so the df aggregation and everything after it is
+  * query-vocabulary-sized, not corpus-vocabulary-sized. Corpus length
+  * statistics ride a broadcast 1-row frame (no driver action), and the final
+  * top-k ranks through the bounded-heap `TopKPerKeyExec` — O(qids·k) through
+  * the exchange, not the scored candidate set.
+  */
+object Bm25 {
+
+  /** Top-k BM25 documents per query.
+    *
+    * @param corpus  documents; `idCol` (long), `textCol` (string)
+    * @param queries exploded query terms: (`qid` long, `term` string) — one
+    *                row per distinct query term. Assumed SMALL (broadcast).
+    * @return (qid, vid, score_micro, rnk) — `score_micro` is the BM25 score
+    *         in integer micro-units; rows with no term overlap are absent.
+    *         A query's own document (vid == qid) is excluded: the retrieval
+    *         use cases this serves (near-dup triage, negative mining) never
+    *         want the identity hit.
+    */
+  def topK(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = corpus.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val withLen = toks.select(col("__id"), col("__toks"),
+      size(col("__toks")).cast("long").as("__dl"))
+
+    // corpus length statistics: one tiny aggregate, broadcast as a 1-row frame
+    val stats = withLen.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+
+    val terms = withLen.select(col("__id"), col("__dl"),
+      explode(col("__toks")).as("term"))
+    val tf = terms.groupBy("__id", "__dl", "term")
+      .agg(count(lit(1)).as("__tf"))
+
+    // prune postings to the query vocabulary BEFORE counting df: df over the
+    // pruned postings equals df over the full corpus for every query term,
+    // and the vocabulary-sized aggregation never happens
+    val qvocab = queries.select(col("term")).distinct()
+    val postings = tf.join(broadcast(qvocab), Seq("term"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("__df"))
+
+    val idf = (col("__n").cast("double") - col("__df") + lit(0.5)) /
+      (col("__df") + lit(0.5))
+    val tfPart = (col("__tf") * lit(k1 + 1)) /
+      (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("__dl") / col("__avgdl"))))
+    val termMicro = floor(idf * tfPart * lit(1000000.0)).cast("long")
+
+    val scored = postings
+      .join(broadcast(queries.select(col("qid"), col("term"))), Seq("term"))
+      .filter(col("__id") =!= col("qid"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("__id").as("vid"), termMicro.as("__m"))
+      .groupBy("qid", "vid")
+      .agg(sum(col("__m")).as("score_micro"))
+
+    CandidateTopK.rankedTopPerQuery(scored, "score_micro", k)
+  }
+}

@@ -217,6 +217,49 @@ object TextAnalysis {
           .as("dup_char_frac"))
   }
 
+  /** Corpus-level boilerplate-line removal (the CCNet/RefinedWeb paragraph
+    * gate): drop every line that appears in more than `maxDocFrac` of the
+    * corpus's documents (navigation chrome, cookie banners, license
+    * footers), preserving the order of the surviving lines. Returns one row
+    * per input document: (id, clean_text, n_lines_kept, n_lines_removed) —
+    * documents whose every line is boilerplate come back with an empty
+    * `clean_text`, not dropped.
+    *
+    * Shape at 100 TB: line TEXT never shuffles — the document-frequency
+    * aggregation runs over md5 digests (distinct per doc first, so
+    * within-doc repeats don't inflate df), and the boilerplate set is
+    * intrinsically small — at most avgLinesPerDoc / maxDocFrac distinct
+    * lines can each appear in > maxDocFrac of documents — so it collapses
+    * to a single broadcast array. Removal is then a map-side array filter on the
+    * original lines column — the corpus's bodies stay in their scan
+    * partitions end-to-end. The per-line `md5` inside the filter lambda
+    * runs interpreted (HOF rule), but it is per-LINE work against a small
+    * broadcast set, not a per-pair join.
+    */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      delimRegex: String = "\n", joinDelim: String = "\n",
+      maxDocFrac: Double = 0.5): DataFrame = {
+    val lines = filter(split(col(textCol), delimRegex), l => length(l) > 0)
+    val withLines = df.select(col(idCol), lines.as("__lines"))
+    CacheScope.withCached(withLines) {
+      val hashes = withLines.select(col(idCol),
+        explode(array_distinct(transform(col("__lines"), l => md5(l)))).as("__h"))
+      val n = withLines.agg(count(lit(1)).as("__n"))
+      val boil = hashes.groupBy("__h").agg(count(lit(1)).as("__docs"))
+        .crossJoin(broadcast(n))
+        .filter(col("__docs").cast("double") / col("__n") > maxDocFrac)
+      val boilSet = boil.agg(coalesce(collect_list(col("__h")),
+        array().cast("array<string>")).as("__boil"))
+      val kept = filter(col("__lines"),
+        l => !array_contains(col("__boil"), md5(l)))
+      withLines.crossJoin(broadcast(boilSet))
+        .select(col(idCol),
+          concat_ws(joinDelim, kept).as("clean_text"),
+          size(kept).cast("long").as("n_lines_kept"),
+          (size(col("__lines")) - size(kept)).cast("long").as("n_lines_removed"))
+    }
+  }
+
   /** Fixed-window document chunking with overlap — the context-length prep
     * step of a training pipeline: each document becomes ⌈len/stride⌉ chunks
     * of up to `size` chars starting every `stride` chars (overlap =

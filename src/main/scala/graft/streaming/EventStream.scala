@@ -39,6 +39,50 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream of the documents table — the ingest-side stream of a
+    * continuously-crawled corpus (each arriving parquet file is one
+    * micro-batch of new documents; the harness corpus is one file, so one
+    * batch — the plumbing is what multi-file production runs use unchanged).
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Run an incoming document stream through a per-batch ingest transform
+    * (e.g. [[graft.ext.MinHashLSH.keepUnseenNear]] against a static history)
+    * and return the union of the surviving rows. `foreachBatch` is the
+    * production shape for batch-library reuse inside a stream; each batch
+    * writes to its own `batch=<id>` directory with overwrite, so a replayed
+    * batch after failure lands idempotently (the standard exactly-once
+    * file-sink pattern for foreachBatch, same idempotence rule as
+    * [[runToTable]]'s complete-mode overwrite).
+    */
+  def runIngestGate(incoming: DataFrame, name: String)
+      (gate: DataFrame => DataFrame): DataFrame = {
+    val spark = incoming.sparkSession
+    val base = java.nio.file.Files.createTempDirectory(s"graft-ingest-$name").toString
+    val out = s"$base/out"
+    val q = incoming.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        gate(batch).write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastRunStats = extractStats(q.recentProgress)
+    spark.read.parquet(out).drop("batch") // batch=<id> partition dirs
+  }
+
   /** File-source stream of the events table with a proper event-time column.
     * (The file source wants a directory; select the one table via glob.)
     *

@@ -94,6 +94,36 @@ class ExtSpec extends GraftSpec {
         .as[(Long, Long, Double, Double)].head() shouldBe
         ((1L, 3L, 1d / 3d, 8d / 24d))
     }
+    it("removeBoilerplateLines drops corpus-frequent lines, preserves order") {
+      val df = Seq(
+        (1L, "common\nunique1"),
+        (2L, "a\ncommon\nb"),        // order check: survivors keep position
+        (3L, "common"),              // all-boilerplate → empty, not dropped
+        (4L, "rare\nunique4"),
+        (5L, "x\nx\nx"),             // within-doc repeats don't inflate df
+        (6L, "unique6"),
+        (7L, "unique7")
+      ).toDF("doc_id", "text")
+      // "common" in 3/7 docs = 0.43 > 0.3 → boilerplate; everything else ≤ 1/7
+      val out = TextAnalysis.removeBoilerplateLines(df, "doc_id", "text",
+        maxDocFrac = 0.3)
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+      out shouldBe Array(
+        (1L, "unique1", 1L, 1L),
+        (2L, "a\nb", 2L, 1L),
+        (3L, "", 0L, 1L),
+        (4L, "rare\nunique4", 2L, 0L),
+        (5L, "x\nx\nx", 3L, 0L),
+        (6L, "unique6", 1L, 0L),
+        (7L, "unique7", 1L, 0L))
+    }
+    it("removeBoilerplateLines with no frequent line is the identity (empty " +
+        "boilerplate set path)") {
+      val df = Seq((1L, "a\nb"), (2L, "c\nd")).toDF("doc_id", "text")
+      TextAnalysis.removeBoilerplateLines(df, "doc_id", "text", maxDocFrac = 0.99)
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect() shouldBe
+        Array((1L, "a\nb", 2L, 0L), (2L, "c\nd", 2L, 0L))
+    }
     it("packedCharShingles preserves set cardinalities vs charShingles") {
       val df = Seq(("abcdefgab", "abcdefgXY")).toDF("x", "y")
       val (ns, np) = df.select(
@@ -154,6 +184,46 @@ class ExtSpec extends GraftSpec {
       r.getAs[Double]("n_tokens") shouldBe 9d
       val score = r.getAs[Double]("quality_score")
       score should (be >= 0d and be <= 1d)
+    }
+  }
+
+  describe("Bm25.topK") {
+    // the exact per-term arithmetic of Bm25.topK (same IEEE ops, same
+    // order), pinned here so any formula drift breaks loudly
+    def micro(n: Long, dfT: Long, tf: Long, dl: Long, avgdl: Double): Long =
+      math.floor(((n.toDouble - dfT + 0.5) / (dfT + 0.5)) *
+        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) *
+        1000000.0).toLong
+
+    val corpus = Seq(
+      (1L, "apple banana apple"),           // dl 3
+      (2L, "apple cherry"),                 // dl 2
+      (3L, "banana banana banana cherry"),  // dl 4
+      (4L, "durian durian")                 // dl 2
+    )
+    val avgdl = 11.0 / 4 // N = 4
+
+    it("ranks by the rational-idf BM25 micro score; rare terms outweigh " +
+        "common, identity hits excluded, non-matching docs absent") {
+      val docs = corpus.toDF("doc_id", "text")
+      val queries = Seq((1L, "apple"), (1L, "durian"), (100L, "banana"))
+        .toDF("qid", "term")
+      val out = Bm25.topK(docs, "doc_id", "text", queries, k = 3)
+        .orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect()
+      out shouldBe Array(
+        // qid 1: doc 1 has apple×2 but IS the query doc → excluded; the
+        // single-df durian doc outscores the apple match
+        (1L, 4L, micro(4, 1, 2, 2, avgdl), 1),
+        (1L, 2L, micro(4, 2, 1, 2, avgdl), 2),
+        // qid 100: tf=3 banana doc first; cherry-only doc absent
+        (100L, 3L, micro(4, 2, 3, 4, avgdl), 1),
+        (100L, 1L, micro(4, 2, 1, 3, avgdl), 2))
+    }
+    it("k bounds the result per query") {
+      val docs = corpus.toDF("doc_id", "text")
+      val queries = Seq((1L, "apple"), (1L, "durian")).toDF("qid", "term")
+      Bm25.topK(docs, "doc_id", "text", queries, k = 1)
+        .select("vid").as[Long].collect() shouldBe Array(4L)
     }
   }
 

@@ -198,6 +198,30 @@ class EventStreamSpec extends GraftSpec {
     }
   }
 
+  describe("runIngestGate (foreachBatch batch-library reuse)") {
+    it("runs the gate per micro-batch and unions the surviving rows with " +
+        "no batch partition column") {
+      val base = java.nio.file.Files.createTempDirectory("graft-gate").toString
+      def doc(id: Long, text: String) = (id, text, "en", "src0", text.length.toLong)
+      // two files → two micro-batches
+      Seq(doc(1L, "aa"), doc(2L, "bb")).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$base/in/b0.parquet")
+      Seq(doc(3L, "cc"), doc(4L, "dd")).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$base/in/b1.parquet")
+      val incoming = spark.readStream
+        .schema(EventStream.documentsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in/*")
+      val res = EventStream.runIngestGate(incoming, "spec") { batch =>
+        batch.filter(col("doc_id") % 2 === 0).select("doc_id", "source")
+      }
+      res.columns.toSeq shouldBe Seq("doc_id", "source")
+      res.select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 4L)
+      // the gate really ran per micro-batch: two batch=<id> directories
+      EventStream.lastRunStats.map(_.batches).getOrElse(0) should be >= 2
+    }
+  }
+
   describe("streaming observability (what a 100 TB pipeline alarms on)") {
     it("observe() metrics surface per-batch row counts and sums in progress") {
       import org.apache.spark.sql.streaming.Trigger
