@@ -1327,6 +1327,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ89 (EXT): greedy longest-match subword tokenization
+    * ([[graft.functions.SubwordTokenize]]) — the WordPiece-inference
+    * algorithm over a fixed demo vocabulary, applied to the canonical
+    * token stream: real subword token counts per document (the training
+    * budget arithmetic dq15's whitespace counts approximate), unknown
+    * fallback counted separately, full token sequence byte-checked via
+    * md5. Map-only inside WholeStageCodegen — no shuffle; the oracle
+    * replays the same greedy recurrence as a DuckDB recursive CTE over
+    * the corpus's DISTINCT words. */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val stream = docs.select(col("doc_id"),
+      concat_ws(" ", TextAnalysis.tokens(col("text"))).as("__stream"))
+    val sub = stream.select(col("doc_id"),
+      graft.functions.SubwordTokenize(col("__stream"),
+        graft.functions.SubwordTokenize.DemoVocab).as("__sub"))
+    sub.select(col("doc_id"),
+      size(col("__sub")).cast("long").as("n_subtokens"),
+      size(filter(col("__sub"), x => x === "?")).cast("long").as("n_unk"),
+      md5(array_join(col("__sub"), " ")).as("subtok_md5"))
+      .orderBy("doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1416,7 +1439,8 @@ object SparkEntry {
     "dq85_pii_redaction"        -> (q85 _),
     "dq86_bm25_topk"            -> (q86 _),
     "dq87_stream_ingest_gate"   -> (q87 _),
-    "dq88_boilerplate_lines"    -> (q88 _)
+    "dq88_boilerplate_lines"    -> (q88 _),
+    "dq89_subword_tokenize"     -> (q89 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2012,6 +2036,44 @@ object SparkEntry {
         |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
         |  CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_removed
         |FROM r ORDER BY doc_id""".stripMargin,
+    // vocab VALUES list interpolated from SubwordTokenize.DemoVocab — the
+    // Spark kernel and the oracle recurrence share one vocabulary by
+    // construction; the CTE replays greedy longest-match per DISTINCT word
+    // (correlated max-length probe, '?' fallback advancing one char) and
+    // joins tokenizations back to word occurrences
+    "dq89_subword_tokenize" -> {
+      val vals = graft.functions.SubwordTokenize.DemoVocab
+        .map(v => s"('$v')").mkString(", ")
+      s"""WITH RECURSIVE vocab(v) AS (SELECT * FROM (VALUES $vals) t(v)),
+        |t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |w AS (SELECT doc_id, i AS wid, toks[CAST(i AS INT)] AS word
+        |  FROM t, unnest(range(1, len(toks) + 1)) r(i)),
+        |dw AS (SELECT DISTINCT word FROM w),
+        |steps AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS sub
+        |  FROM dw
+        |  UNION ALL
+        |  SELECT s.word,
+        |    s.pos + COALESCE((SELECT max(len(v)) FROM vocab
+        |      WHERE substr(s.word, CAST(s.pos AS INT), len(v)) = v), 1),
+        |    s.sub || CASE WHEN s.pos = 1 THEN '' ELSE ' ' END ||
+        |      COALESCE((SELECT v FROM vocab
+        |        WHERE substr(s.word, CAST(s.pos AS INT), len(v)) = v
+        |        ORDER BY len(v) DESC LIMIT 1), '?')
+        |  FROM steps s WHERE s.pos <= len(s.word)),
+        |done AS (SELECT word, sub, CAST(len(string_split(sub, ' ')) AS BIGINT) nt,
+        |    CAST(len(list_filter(string_split(sub, ' '), x -> x = '?')) AS BIGINT) nu
+        |  FROM steps WHERE pos > len(word)),
+        |ds AS (SELECT w.doc_id, string_agg(d.sub, ' ' ORDER BY w.wid) AS stream,
+        |    CAST(sum(d.nt) AS BIGINT) AS nt, CAST(sum(d.nu) AS BIGINT) AS nu
+        |  FROM w JOIN done d USING (word) GROUP BY w.doc_id)
+        |SELECT doc_id, COALESCE(ds.nt, 0) AS n_subtokens,
+        |  COALESCE(ds.nu, 0) AS n_unk,
+        |  md5(COALESCE(ds.stream, '')) AS subtok_md5
+        |FROM documents LEFT JOIN ds USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    },
     "dq52_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
