@@ -1350,6 +1350,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ90 (EXT): hard-negative mining ([[Bm25.hardNegatives]]) — the
+    * contrastive-training data prep step (DPR-style BM25 negatives):
+    * dq86's query set, labeled positives = same-source documents with
+    * vid % 3 == 0 (a deterministic relevance-label stand-in), negatives =
+    * top-5 BM25 candidates AFTER the broadcast anti-join removes
+    * positives, so each removed positive frees its rank. Oracle = dq86's
+    * scoring chain + the positive-pair anti-join re-derived in SQL. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val qdocs = docs.filter(col("doc_id") % 101 === 0)
+    val queries = qdocs.select(col("doc_id").as("qid"),
+      explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, 4)))
+        .as("term"))
+    val positives = qdocs.select(col("doc_id").as("qid"), col("source").as("__qsrc"))
+      .join(docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("vid"), col("source").as("__vsrc")),
+        col("__qsrc") === col("__vsrc"))
+      .select("qid", "vid")
+    Bm25.hardNegatives(docs, "doc_id", "text", queries, positives, k = 5)
+      .orderBy("qid", "rnk")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1440,7 +1462,8 @@ object SparkEntry {
     "dq86_bm25_topk"            -> (q86 _),
     "dq87_stream_ingest_gate"   -> (q87 _),
     "dq88_boilerplate_lines"    -> (q88 _),
-    "dq89_subword_tokenize"     -> (q89 _)
+    "dq89_subword_tokenize"     -> (q89 _),
+    "dq90_hard_negatives"       -> (q90 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2012,6 +2035,39 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, vid) rnk
         |  FROM scored)
         |SELECT qid, vid, score_micro, rnk FROM r WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin,
+    "dq90_hard_negatives" ->
+      // dq86's scoring chain verbatim, then the positive-label anti-join
+      // BEFORE ranking (a removed positive frees its rank) and k = 5
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |wl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) dl FROM t),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM wl),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM wl)
+        |  GROUP BY 1, 2, 3),
+        |q AS (SELECT doc_id AS qid, unnest(list_distinct(toks[1:4])) AS term
+        |  FROM t WHERE doc_id % 101 = 0),
+        |posts AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM q) qv USING (term)),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM posts GROUP BY 1),
+        |scored AS (SELECT q.qid, p.doc_id AS vid,
+        |    CAST(sum(CAST(floor(
+        |      ((CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) *
+        |      1000000.0) AS BIGINT)) AS BIGINT) score_micro
+        |  FROM posts p JOIN q USING (term) JOIN dfq USING (term), stats s
+        |  WHERE p.doc_id <> q.qid GROUP BY 1, 2),
+        |pos AS (SELECT qd.doc_id AS qid, d.doc_id AS vid
+        |  FROM documents qd JOIN documents d ON d.source = qd.source
+        |  WHERE qd.doc_id % 101 = 0 AND d.doc_id % 3 = 0),
+        |neg AS (SELECT s.* FROM scored s LEFT JOIN pos
+        |    ON s.qid = pos.qid AND s.vid = pos.vid
+        |  WHERE pos.qid IS NULL),
+        |r AS (SELECT qid, vid, score_micro,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, vid) rnk
+        |  FROM neg)
+        |SELECT qid, vid, score_micro, rnk FROM r WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
     "dq88_boilerplate_lines" ->
       // dq74's line synthesis (token pairs), then an independent

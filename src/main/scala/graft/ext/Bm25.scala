@@ -44,7 +44,37 @@ object Bm25 {
     *         want the identity hit.
     */
   def topK(corpus: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    CandidateTopK.rankedTopPerQuery(
+      scores(corpus, idCol, textCol, queries, k1, b), "score_micro", k)
+
+  /** Hard-negative mining (the contrastive-training data prep step, e.g.
+    * the BM25-negative selection in DPR, Karpukhin et al. 2020 §4.2): the
+    * top-k ranked documents per query AFTER removing the query's known
+    * positives — the highest-scoring lexical matches that are NOT
+    * relevant, which is exactly what contrastive training wants as
+    * negatives. `positives` is (qid, vid), small relative to the corpus
+    * (labeled pairs) — the exclusion is a broadcast LEFT ANTI on the
+    * scored candidates BEFORE ranking, so a removed positive frees its
+    * rank for the next candidate (filtering after top-k would return
+    * short lists); identity hits are already excluded by [[topK]]'s
+    * contract.
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, positives: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = scores(corpus, idCol, textCol, queries, k1, b)
+    val negatives = scored.join(
+      broadcast(positives.select(col("qid"), col("vid"))),
+      Seq("qid", "vid"), "left_anti")
+    CandidateTopK.rankedTopPerQuery(negatives, "score_micro", k)
+  }
+
+  /** The shared scoring pipeline: (qid, vid, score_micro) for every
+    * (query, document) pair with term overlap, identity hits excluded.
+    */
+  private def scores(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k1: Double, b: Double): DataFrame = {
     val toks = corpus.select(col(idCol).as("__id"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
     val withLen = toks.select(col("__id"), col("__toks"),
@@ -72,7 +102,7 @@ object Bm25 {
       (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("__dl") / col("__avgdl"))))
     val termMicro = floor(idf * tfPart * lit(1000000.0)).cast("long")
 
-    val scored = postings
+    postings
       .join(broadcast(queries.select(col("qid"), col("term"))), Seq("term"))
       .filter(col("__id") =!= col("qid"))
       .join(broadcast(dfreq), Seq("term"))
@@ -80,7 +110,5 @@ object Bm25 {
       .select(col("qid"), col("__id").as("vid"), termMicro.as("__m"))
       .groupBy("qid", "vid")
       .agg(sum(col("__m")).as("score_micro"))
-
-    CandidateTopK.rankedTopPerQuery(scored, "score_micro", k)
   }
 }

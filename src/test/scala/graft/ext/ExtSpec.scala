@@ -225,6 +225,16 @@ class ExtSpec extends GraftSpec {
       Bm25.topK(docs, "doc_id", "text", queries, k = 1)
         .select("vid").as[Long].collect() shouldBe Array(4L)
     }
+    it("hardNegatives removes positives BEFORE ranking so the next " +
+        "candidate takes the freed rank") {
+      val docs = corpus.toDF("doc_id", "text")
+      val queries = Seq((1L, "apple"), (1L, "durian")).toDF("qid", "term")
+      // doc 4 is qid 1's top hit (see above); labeling it positive must
+      // promote doc 2 to rank 1 — not return an empty/truncated list
+      val positives = Seq((1L, 4L)).toDF("qid", "vid")
+      Bm25.hardNegatives(docs, "doc_id", "text", queries, positives, k = 1)
+        .select("vid", "rnk").as[(Long, Int)].collect() shouldBe Array((2L, 1))
+    }
   }
 
   describe("approx_count_distinct (HLL, SURVEY §2.4)") {
