@@ -1372,6 +1372,22 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
+  /** DQ91 (EXT): semantic decontamination
+    * ([[Decontamination.semanticReport]]) — the embedding-space complement
+    * of dq67's n-gram gate: training vectors whose cosine against ANY
+    * broadcast eval vector (vec_id % 97 == 0) exceeds 0.3, with hit count
+    * and max similarity. Exact by design (a decontamination false negative
+    * ships leakage); fixed-fold cosine keeps the doubles hash-identical
+    * cross-engine. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val evalSet = e.filter(col("vec_id") % 97 === 0)
+    val train = e.filter(col("vec_id") % 97 =!= 0)
+    Decontamination.semanticReport(train, evalSet, "vec_id", "embedding",
+        threshold = 0.3)
+      .orderBy("vec_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1463,7 +1479,8 @@ object SparkEntry {
     "dq87_stream_ingest_gate"   -> (q87 _),
     "dq88_boilerplate_lines"    -> (q88 _),
     "dq89_subword_tokenize"     -> (q89 _),
-    "dq90_hard_negatives"       -> (q90 _)
+    "dq90_hard_negatives"       -> (q90 _),
+    "dq91_semantic_decon"       -> (q91 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2069,6 +2086,20 @@ object SparkEntry {
         |  FROM neg)
         |SELECT qid, vid, score_micro, rnk FROM r WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    "dq91_semantic_decon" ->
+      // dq23's cosine formulation (same fold order as the codegen'd
+      // DotProduct) over train × broadcast-eval; max is order-independent
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |ev AS (SELECT embedding FROM e WHERE vec_id % 97 = 0),
+        |tr AS (SELECT vec_id, embedding FROM e WHERE vec_id % 97 <> 0),
+        |s AS (SELECT tr.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> tr.embedding[i]::DOUBLE * ev.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(tr.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(ev.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |  FROM tr, ev)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits, max(sim) AS max_sim
+        |FROM s WHERE sim > 0.3 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "dq88_boilerplate_lines" ->
       // dq74's line synthesis (token pairs), then an independent
       // re-derivation of the removal: per-doc-distinct line digests →

@@ -65,4 +65,43 @@ object Decontamination {
     train.join(
       contaminationReport(train, evalSet, idCol, textCol, n).select(idCol),
       Seq(idCol), "left_anti")
+
+  /** SEMANTIC decontamination report — the embedding-space complement of
+    * [[contaminationReport]]: training vectors whose cosine against ANY
+    * eval vector exceeds `threshold` (the paraphrase-leakage guard n-gram
+    * overlap cannot see — same eval item reworded). One row per flagged
+    * training vector: (idCol, n_eval_hits, max_sim).
+    *
+    * Shape at 100 TB: identical to the n-gram path — the eval set is tiny
+    * by construction, so it BROADCASTS and the train side is ONE scan with
+    * a codegen'd dot-product kernel per (train, eval) pair; no shuffle
+    * until the per-id aggregate (flagged rows only, threshold-pruned).
+    * This is EXACT (brute-force against the broadcast eval set) — for a
+    * decontamination gate, cell-bucketed recall tricks (dq75) are the
+    * wrong trade: a false negative ships a contaminated document.
+    * `max_sim` is order-independent (max of per-pair fixed IEEE
+    * expression trees), so the report hash-matches cross-engine.
+    */
+  def semanticReport(train: DataFrame, evalSet: DataFrame, idCol: String,
+      embCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val tr = train.select(col(idCol), col(embCol).as("__emb"),
+      VectorFunctions.l2Norm(col(embCol)).as("__nrm"))
+    val ev = evalSet.select(col(embCol).as("__eemb"),
+      VectorFunctions.l2Norm(col(embCol)).as("__enrm"))
+    tr.crossJoin(broadcast(ev))
+      .select(col(idCol),
+        (VectorFunctions.dot(col("__emb"), col("__eemb")) /
+          (col("__nrm") * col("__enrm"))).as("__sim"))
+      .filter(col("__sim") > threshold)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("__sim")).as("max_sim"))
+  }
+
+  /** The semantically-clean corpus: `train` minus every flagged vector. */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+      idCol: String, embCol: String, threshold: Double): DataFrame =
+    train.join(
+      semanticReport(train, evalSet, idCol, embCol, threshold).select(idCol),
+      Seq(idCol), "left_anti")
 }

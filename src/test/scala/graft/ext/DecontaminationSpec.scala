@@ -35,5 +35,35 @@ class DecontaminationSpec extends GraftSpec {
       Decontamination.decontaminate(train, evalSet, "doc_id", "text", n = 2)
         .select("doc_id").as[Long].collect().toSeq shouldBe Seq(2L)
     }
+
+    it("semanticReport flags cosine-near vectors against the whole eval " +
+       "set; semanticDecontaminate keeps the rest") {
+      val train = Seq(
+        (1L, Seq(1f, 0f, 0f, 0f)),       // = eval 100 (cos 1.0)
+        (2L, Seq(0.9f, 0.1f, 0f, 0f)),   // near eval 100
+        (3L, Seq(0f, 0f, 1f, 0f)),       // orthogonal to both
+        (4L, Seq(0.7f, 0.7f, 0f, 0f))    // near BOTH eval vectors
+      ).toDF("vec_id", "embedding")
+      val evalSet = Seq(
+        (100L, Seq(1f, 0f, 0f, 0f)),
+        (101L, Seq(0f, 1f, 0f, 0f))
+      ).toDF("vec_id", "embedding")
+
+      val report = Decontamination
+        .semanticReport(train, evalSet, "vec_id", "embedding", threshold = 0.9)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      report.map(r => (r._1, r._2)) shouldBe Seq((1L, 1L), (2L, 1L)) // not 3, not 4
+      report.head._3 shouldBe 1.0 +- 1e-9
+
+      // vec 4 hits both eval vectors at a looser threshold
+      Decontamination
+        .semanticReport(train, evalSet, "vec_id", "embedding", threshold = 0.6)
+        .filter($"vec_id" === 4L).as[(Long, Long, Double)].collect()
+        .head._2 shouldBe 2L
+
+      Decontamination
+        .semanticDecontaminate(train, evalSet, "vec_id", "embedding", 0.9)
+        .select("vec_id").as[Long].collect().sorted.toSeq shouldBe Seq(3L, 4L)
+    }
   }
 }
