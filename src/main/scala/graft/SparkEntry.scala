@@ -1388,6 +1388,15 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** DQ92 (EXT): bigram LM fluency scoring ([[graft.ext.NgramLm]]) — the
+    * CCNet-family perplexity quality filter with the model trained on the
+    * corpus itself: per-document mean conditional bigram probability in
+    * pure-integer micro-units (no `log`, no float sums — exact integer
+    * division on both engines), short documents scoring 0 over 0 bigrams. */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    graft.ext.NgramLm.fluencyReport(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1480,7 +1489,8 @@ object SparkEntry {
     "dq88_boilerplate_lines"    -> (q88 _),
     "dq89_subword_tokenize"     -> (q89 _),
     "dq90_hard_negatives"       -> (q90 _),
-    "dq91_semantic_decon"       -> (q91 _)
+    "dq91_semantic_decon"       -> (q91 _),
+    "dq92_lm_fluency"           -> (q92 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2100,6 +2110,28 @@ object SparkEntry {
         |  FROM tr, ev)
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits, max(sim) AS max_sim
         |FROM s WHERE sim > 0.3 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "dq92_lm_fluency" ->
+      // the same all-integer recurrence: model = bigram counts, prefix
+      // totals aggregated FROM the model, per-bigram micro-probability by
+      // exact integer division, per-doc sum/mean; short docs restored as 0s
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |model AS (SELECT bg, CAST(count(*) AS BIGINT) c12 FROM b GROUP BY 1),
+        |pc AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) c1
+        |  FROM model GROUP BY 1),
+        |m AS (SELECT bg, (1000000 * c12) // c1 AS micro
+        |  FROM model JOIN pc ON string_split(model.bg, ' ')[1] = pc.w1),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+        |    CAST(sum(micro) AS BIGINT) sum_micro
+        |  FROM b JOIN m USING (bg) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(s.sum_micro, 0) AS sum_micro,
+        |  COALESCE(s.sum_micro // s.n_bigrams, 0) AS mean_micro
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dq88_boilerplate_lines" ->
       // dq74's line synthesis (token pairs), then an independent
       // re-derivation of the removal: per-doc-distinct line digests →

@@ -225,6 +225,23 @@ class ExtSpec extends GraftSpec {
       Bm25.topK(docs, "doc_id", "text", queries, k = 1)
         .select("vid").as[Long].collect() shouldBe Array(4L)
     }
+    it("NgramLm.fluencyReport: corpus-trained integer micro-probabilities, " +
+        "hand-checked; short docs score 0 over 0 bigrams") {
+      val docs = Seq(
+        (1L, "a b a b"), // bigrams: "a b"×2, "b a"
+        (2L, "a c"),     // "a c"
+        (3L, "x")        // no bigrams
+      ).toDF("doc_id", "text")
+      // model: c("a b")=2 c("b a")=1 c("a c")=1; prefixes: a·=3, b·=1
+      // micro: "a b" → 2000000/3 = 666666, "b a" → 1000000, "a c" → 333333
+      val out = graft.ext.NgramLm.fluencyReport(docs, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+      out shouldBe Array(
+        (1L, 3L, 666666L + 1000000L + 666666L, 2333332L / 3),
+        (2L, 1L, 333333L, 333333L),
+        (3L, 0L, 0L, 0L))
+    }
+
     it("hardNegatives removes positives BEFORE ranking so the next " +
         "candidate takes the freed rank") {
       val docs = corpus.toDF("doc_id", "text")
