@@ -1397,6 +1397,32 @@ object SparkEntry {
     graft.ext.NgramLm.fluencyReport(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** DQ93 (EXT): chunk-level retrieval — the RAG indexing shape: the
+    * corpus chunked (dq65's 200/150 windows), each chunk a retrieval unit
+    * with a synthetic `chunk_id = 10⁶ + doc_id·1000 + chunk_idx` (offset
+    * keeps chunk ids disjoint from query ids so [[Bm25.topK]]'s identity
+    * exclusion never fires on a chunk), BM25-ranked against dq86's query
+    * set with k = 3, source doc and chunk index re-derived from the id.
+    * Retrieval granularity below the document is what grounds a context
+    * window; the whole pipeline (chunk → score → bounded-heap rank)
+    * composes already-verified operators in ONE plan. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val chunks = TextAnalysis.chunks(docs, "doc_id", "text")
+      .select((lit(1000000L) + col("doc_id") * 1000 + col("chunk_idx"))
+        .as("chunk_id"), col("chunk"))
+    val queries = docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, 4)))
+          .as("term"))
+    Bm25.topK(chunks, "chunk_id", "chunk", queries, k = 3)
+      .select(col("qid"),
+        expr("(vid - 1000000) div 1000").as("doc_id"),
+        (col("vid") % 1000).as("chunk_idx"),
+        col("score_micro"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1490,7 +1516,8 @@ object SparkEntry {
     "dq89_subword_tokenize"     -> (q89 _),
     "dq90_hard_negatives"       -> (q90 _),
     "dq91_semantic_decon"       -> (q91 _),
-    "dq92_lm_fluency"           -> (q92 _)
+    "dq92_lm_fluency"           -> (q92 _),
+    "dq93_chunk_retrieval"      -> (q93 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2132,6 +2159,38 @@ object SparkEntry {
         |  COALESCE(s.sum_micro // s.n_bigrams, 0) AS mean_micro
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "dq93_chunk_retrieval" ->
+      // dq65's chunking + dq86's BM25 chain with chunks as the retrieval
+      // units; chunk_id offset keeps the identity exclusion inert
+      """WITH ch AS (SELECT 1000000 + doc_id * 1000 + CAST((p - 1) / 150 AS BIGINT) AS cid,
+        |    substring(text, CAST(p AS INT), 200) AS chunk
+        |  FROM documents, unnest(range(1, len(text) + 1, 150)) t(p)),
+        |t AS (SELECT cid, list_filter(regexp_split_to_array(lower(chunk), '\W+'),
+        |    x -> len(x) > 0) toks FROM ch),
+        |wl AS (SELECT cid, toks, CAST(len(toks) AS BIGINT) dl FROM t),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM wl),
+        |tf AS (SELECT cid, dl, term, CAST(count(*) AS BIGINT) tf
+        |  FROM (SELECT cid, dl, unnest(toks) AS term FROM wl)
+        |  GROUP BY 1, 2, 3),
+        |q AS (SELECT doc_id AS qid, unnest(list_distinct(list_filter(
+        |      regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)[1:4])) AS term
+        |  FROM documents WHERE doc_id % 101 = 0),
+        |posts AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM q) qv USING (term)),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM posts GROUP BY 1),
+        |scored AS (SELECT q.qid, p.cid AS vid,
+        |    CAST(sum(CAST(floor(
+        |      ((CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) *
+        |      1000000.0) AS BIGINT)) AS BIGINT) score_micro
+        |  FROM posts p JOIN q USING (term) JOIN dfq USING (term), stats s
+        |  WHERE p.cid <> q.qid GROUP BY 1, 2),
+        |r AS (SELECT qid, vid, score_micro,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, vid) rnk
+        |  FROM scored)
+        |SELECT qid, (vid - 1000000) // 1000 AS doc_id, vid % 1000 AS chunk_idx,
+        |  score_micro, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "dq88_boilerplate_lines" ->
       // dq74's line synthesis (token pairs), then an independent
       // re-derivation of the removal: per-doc-distinct line digests →
