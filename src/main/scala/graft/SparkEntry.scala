@@ -1423,6 +1423,20 @@ object SparkEntry {
       .orderBy("qid", "rnk")
   }
 
+  /** DQ94 (EXT): BOUNDED-state streaming dedup
+    * ([[EventStream.dedupCountsWithinWatermark]]) —
+    * `dropDuplicatesWithinWatermark`, whose per-key state is evicted as
+    * the watermark passes (dq31's `dropDuplicates` state never expires).
+    * The testdata's duplicates all fall within the horizon, so the gated
+    * result equals dq31's exact-distinct oracle; the eviction/re-emit
+    * behavior past the horizon is scenario-spec'd in `EventStreamSpec`. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val res = EventStream.runToTable(
+      EventStream.dedupCountsWithinWatermark(EventStream.readEvents(s, dir)),
+      "q94_dedup_ww", org.apache.spark.sql.streaming.OutputMode.Complete())
+    res.orderBy("event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1517,7 +1531,8 @@ object SparkEntry {
     "dq90_hard_negatives"       -> (q90 _),
     "dq91_semantic_decon"       -> (q91 _),
     "dq92_lm_fluency"           -> (q92 _),
-    "dq93_chunk_retrieval"      -> (q93 _)
+    "dq93_chunk_retrieval"      -> (q93 _),
+    "dq94_stream_dedup_ww"      -> (q94 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1905,6 +1920,13 @@ object SparkEntry {
         |SELECT qid, vid, sim, rnk FROM ranked WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
     "dq31_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_unique_users FROM (
+        |  SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // dq94 = dq31's exact-distinct contract under the BOUNDED-state
+    // operator (every testdata duplicate falls within the horizon);
+    // stream/batch parity is the checked promise, eviction is spec-driven
+    "dq94_stream_dedup_ww" ->
       """SELECT event_type, count(*) AS n_unique_users FROM (
         |  SELECT DISTINCT user_id, event_type FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

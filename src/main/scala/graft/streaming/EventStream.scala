@@ -388,6 +388,26 @@ object EventStream {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_unique_users"))
 
+  /** [[dedupCounts]] with BOUNDED state — `dropDuplicatesWithinWatermark`:
+    * each key's dedup state is EVICTED once the watermark passes its event
+    * time plus the delay, so the state store holds only keys seen within
+    * the watermark horizon instead of every key ever (plain
+    * `dropDuplicates` state never expires — the shape that eventually OOMs
+    * a long-running 100 TB stream; this one's state is O(keys per
+    * horizon)). The contract every bounded-state dedup accepts: duplicates
+    * arriving within the horizon of the retained occurrence are dropped,
+    * and a duplicate arriving after eviction re-emits as a fresh first
+    * occurrence (spec-driven in `EventStreamSpec`). Counted downstream per
+    * type so the checked result is arrival-order independent.
+    */
+  def dedupCountsWithinWatermark(events: DataFrame,
+      delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique_users"))
+
   /** Run a streaming frame to completion (availableNow) through the
     * PRODUCTION sink path and return the written result — used by the
     * Verify/oracle harness to check stream/batch parity.

@@ -187,6 +187,58 @@ class EventStreamSpec extends GraftSpec {
     }
   }
 
+  describe("dropDuplicatesWithinWatermark (bounded dedup state)") {
+    import org.apache.spark.sql.streaming.Trigger
+
+    it("drops duplicates within the horizon, re-emits after eviction, " +
+       "and keeps state bounded by the watermark") {
+      val base = java.nio.file.Files.createTempDirectory("graft-dedup-ww").toString
+      def write(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+        rows.map { case (id, t, u) => (id, t * us, u, "click", 1.0, "") }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .withColumn("ts", $"ts" * 1000)
+          .coalesce(1)
+          .write.parquet(s"$base/in/$name.parquet")
+        ()
+      }
+      val h = 3600L
+      // batch a: user 1 @ 1h, user 99 @ 1h+10000s → watermark commits to
+      // 1h+6400s after the batch, past user 1's expiry (event + 1h delay)
+      write("a", Seq((1L, h, 1L), (2L, h + 10000, 99L)))
+      Thread.sleep(1100) // distinct mtimes pin the file→batch order
+      // batch b: user 1 again @ 1h+6500s — user 1's state is EXPIRED but
+      // eviction runs at batch COMMIT, so the lingering entry still
+      // suppresses this row (allowed: the contract only guarantees drops
+      // WITHIN the horizon); commit then cleans user 1's state
+      write("b", Seq((3L, h + 6500, 1L), (4L, h + 10000, 99L)))
+      Thread.sleep(1100)
+      // batch c: user 1 again @ 1h+12000s — state evicted → re-emitted as
+      // a fresh first occurrence; user 99 (expiry 1h+13600s) still in
+      // state → its duplicate stays dropped
+      write("c", Seq((5L, h + 12000, 1L), (6L, h + 10000, 99L)))
+
+      val in = spark.readStream
+        .schema(EventStream.eventsSchema)
+        .option("maxFilesPerTrigger", "1") // file a, then file b
+        .parquet(s"$base/in/*")
+        .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      val q = in
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("event_id")
+        .writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+
+      spark.read.parquet(s"$base/out").as[Long].collect().sorted.toSeq shouldBe
+        Seq(1L, 2L, 5L) // 3,4,6 dropped; 5 re-emitted after eviction
+    }
+  }
+
   describe("hourlyTypeCounts") {
     it("tumbling hourly windows per type") {
       val r = EventStream.hourlyTypeCounts(events)
