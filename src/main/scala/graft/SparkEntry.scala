@@ -1338,15 +1338,25 @@ object SparkEntry {
     * the corpus's DISTINCT words. */
   private def q89(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // HOF-free canonical stream (lambdas run interpreted and would drop the
+    // stage out of WholeStageCodegen — PlanAuditSpec locks this in): non-word
+    // runs become single spaces; the kernel skips empty words, so the word
+    // sequence equals TextAnalysis.tokens' exactly
     val stream = docs.select(col("doc_id"),
-      concat_ws(" ", TextAnalysis.tokens(col("text"))).as("__stream"))
+      regexp_replace(lower(col("text")), "\\W+", " ").as("__stream"))
     val sub = stream.select(col("doc_id"),
       graft.functions.SubwordTokenize(col("__stream"),
         graft.functions.SubwordTokenize.DemoVocab).as("__sub"))
-    sub.select(col("doc_id"),
+    // '?' can only be the unknown token (vocab entries are space-free word
+    // chars), so counting it on the joined stream is a codegen'd translate,
+    // not an interpreted filter lambda
+    val joined = sub.select(col("doc_id"), col("__sub"),
+      array_join(col("__sub"), " ").as("__joined"))
+    joined.select(col("doc_id"),
       size(col("__sub")).cast("long").as("n_subtokens"),
-      size(filter(col("__sub"), x => x === "?")).cast("long").as("n_unk"),
-      md5(array_join(col("__sub"), " ")).as("subtok_md5"))
+      (length(col("__joined")) -
+        length(translate(col("__joined"), "?", ""))).cast("long").as("n_unk"),
+      md5(col("__joined")).as("subtok_md5"))
       .orderBy("doc_id")
   }
 

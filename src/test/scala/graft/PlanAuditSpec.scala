@@ -223,6 +223,18 @@ class PlanAuditSpec extends GraftSpec {
     pushed should include("LessThanOrEqual(l_extendedprice,30000")
   }
 
+  it("dq89's subword tokenization is MAP-ONLY: no exchange below the " +
+      "final sort, kernel inside WholeStageCodegen") {
+    val df = SparkEntry.queries("dq89_subword_tokenize")(spark, dir)
+    df.collect() // finalize the adaptive plan so codegen stages are marked
+    val p = physical(df)
+    // only the rangepartitioning exchange of the final ORDER BY — no
+    // hash exchange anywhere: tokenize/metrics/md5 all ride the scan stage
+    p should include("Exchange rangepartitioning")
+    p should not include "Exchange hashpartitioning"
+    p should include regex """\*\(\d+\) Project \[.*subword_tokenize"""
+  }
+
   it("custom expressions participate in whole-stage codegen") {
     import spark.implicits._
     // non-foldable input (range), so the projection can't constant-fold away
