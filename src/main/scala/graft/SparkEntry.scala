@@ -1447,6 +1447,35 @@ object SparkEntry {
     res.orderBy("event_type")
   }
 
+  /** DQ95 (EXT): CROSS-MODAL curation pipeline in one plan — the round-6
+    * operators composed: bigram-LM fluency band (dq92) gates text quality,
+    * semantic decontamination (dq91, embeddings joined by doc_id = vec_id)
+    * drops eval-near documents AND the eval members themselves, and the
+    * survivors' training budget is computed with the real subword
+    * tokenizer (dq89) as a per-source token report. The oracle re-derives
+    * all three stages plus the budget in one SQL chain. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val flu = graft.ext.NgramLm.fluencyReport(docs, "doc_id", "text")
+      .filter(col("mean_micro").between(34000, 40000)).select("doc_id")
+    val evalSet = emb.filter(col("vec_id") % 97 === 0)
+    val train = emb.filter(col("vec_id") % 97 =!= 0)
+    val flagged = Decontamination
+      .semanticReport(train, evalSet, "vec_id", "embedding", threshold = 0.3)
+      .select(col("vec_id").as("doc_id"))
+    val kept = docs.filter(col("doc_id") % 97 =!= 0)
+      .join(flu, "doc_id")
+      .join(flagged, Seq("doc_id"), "left_anti")
+    val sub = kept.select(col("source"),
+      size(graft.functions.SubwordTokenize(
+        regexp_replace(lower(col("text")), "\\W+", " "),
+        graft.functions.SubwordTokenize.DemoVocab)).cast("long").as("__nt"))
+    sub.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_subtokens"))
+      .orderBy("source")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1542,7 +1571,8 @@ object SparkEntry {
     "dq91_semantic_decon"       -> (q91 _),
     "dq92_lm_fluency"           -> (q92 _),
     "dq93_chunk_retrieval"      -> (q93 _),
-    "dq94_stream_dedup_ww"      -> (q94 _)
+    "dq94_stream_dedup_ww"      -> (q94 _),
+    "dq95_curation_v3"          -> (q95 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2223,6 +2253,57 @@ object SparkEntry {
         |SELECT qid, (vid - 1000000) // 1000 AS doc_id, vid % 1000 AS chunk_idx,
         |  score_micro, rnk
         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // dq92's fluency chain + dq91's flag chain + dq89's token recurrence,
+    // composed exactly as the Spark plan composes the operators
+    "dq95_curation_v3" -> {
+      val vals = graft.functions.SubwordTokenize.DemoVocab
+        .map(v => s"('$v')").mkString(", ")
+      s"""WITH RECURSIVE vocab(v) AS (SELECT * FROM (VALUES $vals) t(v)),
+        |t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bgr
+        |  FROM t WHERE len(toks) >= 2),
+        |model AS (SELECT bgr, CAST(count(*) AS BIGINT) c12 FROM bg GROUP BY 1),
+        |pc AS (SELECT string_split(bgr, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) c1
+        |  FROM model GROUP BY 1),
+        |mm AS (SELECT bgr, (1000000 * c12) // c1 AS micro
+        |  FROM model JOIN pc ON string_split(model.bgr, ' ')[1] = pc.w1),
+        |flu AS (SELECT doc_id FROM (
+        |    SELECT doc_id, CAST(sum(micro) AS BIGINT) // CAST(count(*) AS BIGINT) mean_micro
+        |    FROM bg JOIN mm USING (bgr) GROUP BY 1)
+        |  WHERE mean_micro BETWEEN 34000 AND 40000),
+        |ev AS (SELECT embedding FROM embeddings WHERE vec_id % 97 = 0),
+        |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+        |sflag AS (SELECT DISTINCT tr.vec_id FROM tr, ev
+        |  WHERE list_sum(list_transform(range(1, 65),
+        |      i -> tr.embedding[i]::DOUBLE * ev.embedding[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(tr.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(ev.embedding, x -> x::DOUBLE * x::DOUBLE)))) > 0.3),
+        |w AS (SELECT doc_id, i AS wid, toks[CAST(i AS INT)] AS word
+        |  FROM t, unnest(range(1, len(toks) + 1)) r(i)),
+        |dw AS (SELECT DISTINCT word FROM w),
+        |steps AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS nt
+        |  FROM dw
+        |  UNION ALL
+        |  SELECT s.word,
+        |    s.pos + COALESCE((SELECT max(len(v)) FROM vocab
+        |      WHERE substr(s.word, CAST(s.pos AS INT), len(v)) = v), 1),
+        |    s.nt + 1
+        |  FROM steps s WHERE s.pos <= len(s.word)),
+        |done AS (SELECT word, nt FROM steps WHERE pos > len(word)),
+        |dn AS (SELECT w.doc_id, CAST(sum(d.nt) AS BIGINT) n
+        |  FROM w JOIN done d USING (word) GROUP BY 1),
+        |kept AS (SELECT d.doc_id, d.source FROM documents d
+        |  WHERE d.doc_id % 97 <> 0
+        |    AND d.doc_id IN (SELECT doc_id FROM flu)
+        |    AND d.doc_id NOT IN (SELECT vec_id FROM sflag))
+        |SELECT kept.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dn.n) AS BIGINT) AS total_subtokens
+        |FROM kept JOIN dn USING (doc_id)
+        |GROUP BY 1 ORDER BY source""".stripMargin
+    },
     "dq88_boilerplate_lines" ->
       // dq74's line synthesis (token pairs), then an independent
       // re-derivation of the removal: per-doc-distinct line digests →
