@@ -536,6 +536,49 @@ object ScaleProbe {
         println(f"""{"probe":"dpp","pruned_bytes":$pb,"full_bytes":$fb,"pruned_sec":${(t1 - t0) / 1e9}%.2f,"full_sec":${(t2 - t1) / 1e9}%.2f}""")
       }
     }
+    // Subword tokenizer throughput: map-only kernel, so the number that
+    // matters is rows/s per core — the operator scales with scan bandwidth,
+    // and the probe proves the wall stays flat per unit of input.
+    if (sys.env.get("SCALE_TOKENIZE").contains("1")) {
+      for (m <- Seq(1, 10, 50)) {
+        val df = base.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            regexp_replace(lower(col("text")), "\\W+", " ").as("s"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .cache()
+        val n = df.count()
+        val t0 = System.nanoTime()
+        val toks = df.select(size(graft.functions.SubwordTokenize(col("s"),
+            graft.functions.SubwordTokenize.DemoVocab)).cast("long").as("nt"))
+          .agg(sum(col("nt"))).head().getLong(0)
+        val t1 = System.nanoTime()
+        val sec = (t1 - t0) / 1e9
+        println(f"""{"probe":"tokenize","m":$m,"docs":$n,"subtokens":$toks,"sec":$sec%.2f,"docs_per_sec":${n / sec}%.0f}""")
+        df.unpersist()
+        ()
+      }
+    }
+    // Bigram-LM fluency at m×: two corpus-sized shuffles ((bigram) model
+    // counts + the (doc, bigram)⋈model join) — wall should track input
+    // volume linearly, never the vocabulary² upper bound.
+    if (sys.env.get("SCALE_LM").contains("1")) {
+      for (m <- Seq(1, 10)) {
+        val df = base.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              (t, i) => when(i % 5 === 0, concat(t, lit("w"), col("rep"))).otherwise(t)), " ")
+              .as("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .cache()
+        val n = df.count()
+        val t0 = System.nanoTime()
+        val scored = graft.ext.NgramLm.fluencyReport(df, "doc_id", "text").count()
+        val t1 = System.nanoTime()
+        println(f"""{"probe":"lm","m":$m,"docs":$n,"scored":$scored,"sec":${(t1 - t0) / 1e9}%.1f}""")
+        df.unpersist()
+        ()
+      }
+    }
     spark.stop()
   }
 }
