@@ -1476,6 +1476,50 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** DQ96 (EXT): chained streaming window aggregations
+    * ([[EventStream.hourlyToDaily]]) — hourly partials re-windowed into
+    * daily totals inside ONE streaming query (multiple stateful
+    * operators, append mode). The oracle re-derives the rollup AND the
+    * append-mode emission boundary: the final partial day is held in
+    * state, so only days whose window end precedes the final watermark
+    * (max event time − 1h) appear. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val res = EventStream.runToTable(
+      EventStream.hourlyToDaily(EventStream.readEvents(s, dir)),
+      "q96_daily", org.apache.spark.sql.streaming.OutputMode.Append())
+    res.orderBy("day", "event_type")
+  }
+
+  /** DQ97 (EXT, §2.9): stream-stream LEFT OUTER interval join — dq49 with
+    * unmatched clicks EMITTED as null-matches once the watermark proves no
+    * purchase can still arrive for them (state eviction at watermark >
+    * click_time). The append-mode boundary is part of the contract: a
+    * click younger than the final global watermark (min of both sides'
+    * max event time − 1h) stays in state un-emitted, and the oracle
+    * re-derives exactly that set. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val clicks = EventStream.readEvents(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val purchases = EventStream.readEvents(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_time").as("p_time"),
+        col("value"))
+      .withWatermark("p_time", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_time") <= col("click_time") &&
+        col("p_time") >= col("click_time") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("p_time")).as("p_us"), col("value").as("p_value"))
+    EventStream.runToTable(joined, "q97_attrib_outer",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("click_id", "p_us", "p_value")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1572,7 +1616,9 @@ object SparkEntry {
     "dq92_lm_fluency"           -> (q92 _),
     "dq93_chunk_retrieval"      -> (q93 _),
     "dq94_stream_dedup_ww"      -> (q94 _),
-    "dq95_curation_v3"          -> (q95 _)
+    "dq95_curation_v3"          -> (q95 _),
+    "dq96_stream_daily_rollup"  -> (q96 _),
+    "dq97_stream_outer_join"    -> (q97 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1912,6 +1958,20 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n, sum(value) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "dq96_stream_daily_rollup" ->
+      // hourly partials → daily rollup, DECIMAL-routed value re-sum, and
+      // the append-mode boundary: the last (partial) day never emits
+      """WITH h AS (SELECT date_trunc('hour', ts) hw, event_type,
+        |    CAST(count(*) AS BIGINT) n, sum(value) sv
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT strftime(date_trunc('day', hw), '%Y-%m-%d') AS day, event_type,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(CAST(sv AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM h GROUP BY 1, 2),
+        |m AS (SELECT max(ts) mx FROM events)
+        |SELECT day, event_type, n, sum_value FROM d, m
+        |WHERE CAST(day AS DATE) + INTERVAL 1 DAY <= mx - INTERVAL 1 HOUR
+        |ORDER BY day, event_type""".stripMargin,
     "dq26_stream_sessions" ->
       """WITH o AS (SELECT user_id, epoch_us(ts) us FROM events),
         |g AS (SELECT user_id, us,
@@ -2411,6 +2471,28 @@ object SparkEntry {
         |  AND epoch_us(p.ts) <= epoch_us(c.ts)
         |  AND epoch_us(p.ts) >= epoch_us(c.ts) - 3600000000
         |ORDER BY click_id, p_us, p_value""".stripMargin,
+    "dq97_stream_outer_join" ->
+      // dq49's matches UNION the null-extended unmatched clicks the
+      // watermark has released: click_time < min(both sides' max) − 1h;
+      // NULLS FIRST pinned to Spark's ascending default
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts, epoch_us(ts) cus
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id pu, epoch_us(ts) pus, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |    - INTERVAL 1 HOUR AS w),
+        |j AS (SELECT c.click_id, c.user_id, p.pus AS p_us, p.value AS p_value
+        |  FROM c JOIN p ON c.user_id = p.pu
+        |    AND p.pus <= c.cus AND p.pus >= c.cus - 3600000000),
+        |unm AS (SELECT c.click_id, c.user_id,
+        |    CAST(NULL AS BIGINT) AS p_us, CAST(NULL AS DOUBLE) AS p_value
+        |  FROM c, wm WHERE c.ts < wm.w AND NOT EXISTS (
+        |    SELECT 1 FROM p WHERE p.pu = c.user_id
+        |      AND p.pus <= c.cus AND p.pus >= c.cus - 3600000000))
+        |SELECT * FROM j UNION ALL SELECT * FROM unm
+        |ORDER BY click_id, p_us NULLS FIRST, p_value NULLS FIRST""".stripMargin,
     "dq58_sample_split" ->
       """WITH g AS (SELECT doc_id, source,
         |    ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT % 1000000 gt

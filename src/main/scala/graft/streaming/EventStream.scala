@@ -124,6 +124,33 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** CHAINED time-window aggregations in one streaming query — the
+    * hourly → daily rollup (multiple stateful operators, supported since
+    * Spark 3.4): the first aggregation's window struct is re-windowed by
+    * the second (`window(col("window"), "1 day")`), so daily totals build
+    * from hourly PARTIALS — each day's state upstream is 24 closed hourly
+    * rows, not that day's raw events. Append mode (chained stateful
+    * operators require it): a daily window emits once the watermark
+    * passes its end, so under availableNow the final partial day stays in
+    * state and is NOT emitted — the dq96 oracle encodes exactly that
+    * boundary (day end ≤ max event time − delay).
+    *
+    * The daily value sum routes through DECIMAL(18,6): it re-aggregates
+    * the hourly DOUBLE sums, and only a fixed-point carrier makes the
+    * re-aggregation association-proof cross-engine (the file-header
+    * convention).
+    */
+  def hourlyToDaily(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("__n"), sum(col("value")).as("__sv"))
+      .groupBy(window(col("window"), "1 day"), col("event_type"))
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__sv").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_value"))
+
   final case class Event(event_id: Long, user_id: Long, epochUs: Long, value: Double)
   /** [[Event]] plus the watermark column — the event-time-timeout checker
     * requires the watermarked attribute to SURVIVE the projection feeding
