@@ -147,7 +147,11 @@ object Bench {
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $dq stream evidence failed: ${e.getMessage}"); None
           }
-        val parts = Seq(streamStats("dq49"), streamStats("dq78")).flatten
+        // dq96 (chained window aggs — TWO stateful operators' stores) and
+        // dq97 (outer interval join — state held until watermark release)
+        // join the watch list alongside the round-5 pair
+        val parts = Seq(streamStats("dq49"), streamStats("dq78"),
+          streamStats("dq96"), streamStats("dq97")).flatten
         if (parts.isEmpty) None else Some(parts.mkString(","))
       },
       if (!names.exists(_.startsWith("dq59"))) None

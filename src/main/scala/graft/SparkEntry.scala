@@ -1520,6 +1520,28 @@ object SparkEntry {
       .orderBy("click_id", "p_us", "p_value")
   }
 
+  /** DQ98 (EXT): DSIR-style importance scoring
+    * ([[graft.ext.NgramLm.scoreAgainst]]) — data selection by domain
+    * resemblance (Xie et al. 2023): every document scored under a bigram
+    * model trained on the TARGET domain (source src0) and under the
+    * full-corpus model; the importance signal is the integer micro-unit
+    * difference, top-25 by difference. Out-of-domain transitions score 0
+    * under the target model, dragging its mean down — the ranking
+    * surfaces documents whose token statistics look like the target. */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val target = docs.filter(col("source") === "src0")
+    val tgt = graft.ext.NgramLm.scoreAgainst(docs, target, "doc_id", "text")
+      .select(col("doc_id"), col("mean_micro").as("target_mean_micro"))
+    val raw = graft.ext.NgramLm.fluencyReport(docs, "doc_id", "text")
+      .select(col("doc_id"), col("mean_micro").as("raw_mean_micro"))
+    tgt.join(raw, "doc_id")
+      .select(col("doc_id"), col("target_mean_micro"), col("raw_mean_micro"),
+        (col("target_mean_micro") - col("raw_mean_micro")).as("diff_micro"))
+      .orderBy(col("diff_micro").desc, col("doc_id"))
+      .limit(25)
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1618,7 +1640,8 @@ object SparkEntry {
     "dq94_stream_dedup_ww"      -> (q94 _),
     "dq95_curation_v3"          -> (q95 _),
     "dq96_stream_daily_rollup"  -> (q96 _),
-    "dq97_stream_outer_join"    -> (q97 _)
+    "dq97_stream_outer_join"    -> (q97 _),
+    "dq98_dsir_importance"      -> (q98 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2259,6 +2282,40 @@ object SparkEntry {
         |  FROM tr, ev)
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits, max(sim) AS max_sim
         |FROM s WHERE sim > 0.3 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "dq98_dsir_importance" ->
+      // dq92's chain twice: the full-corpus model and the src0-trained
+      // target model (OOV bigrams contribute 0 but still count), ranked
+      // by the integer difference
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |model AS (SELECT bg, CAST(count(*) AS BIGINT) c12 FROM b GROUP BY 1),
+        |pc AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) c1
+        |  FROM model GROUP BY 1),
+        |m AS (SELECT bg, (1000000 * c12) // c1 AS micro
+        |  FROM model JOIN pc ON string_split(model.bg, ' ')[1] = pc.w1),
+        |raws AS (SELECT doc_id, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(micro) AS BIGINT) s
+        |  FROM b JOIN m USING (bg) GROUP BY 1),
+        |tb AS (SELECT b.bg FROM b JOIN documents d USING (doc_id)
+        |  WHERE d.source = 'src0'),
+        |tmodel AS (SELECT bg, CAST(count(*) AS BIGINT) c12 FROM tb GROUP BY 1),
+        |tpc AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) c1
+        |  FROM tmodel GROUP BY 1),
+        |tm AS (SELECT bg, (1000000 * c12) // c1 AS micro
+        |  FROM tmodel JOIN tpc ON string_split(tmodel.bg, ' ')[1] = tpc.w1),
+        |tgt AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(COALESCE(tm.micro, 0)) AS BIGINT) s
+        |  FROM b LEFT JOIN tm USING (bg) GROUP BY 1),
+        |sc AS (SELECT d.doc_id,
+        |    COALESCE(tgt.s // tgt.n, 0) AS target_mean_micro,
+        |    COALESCE(raws.s // raws.n, 0) AS raw_mean_micro
+        |  FROM documents d LEFT JOIN tgt USING (doc_id) LEFT JOIN raws USING (doc_id))
+        |SELECT doc_id, target_mean_micro, raw_mean_micro,
+        |  target_mean_micro - raw_mean_micro AS diff_micro
+        |FROM sc ORDER BY diff_micro DESC, doc_id LIMIT 25""".stripMargin,
     "dq92_lm_fluency" ->
       // the same all-integer recurrence: model = bigram counts, prefix
       // totals aggregated FROM the model, per-bigram micro-probability by

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-trained bigram language-model fluency scoring — the
@@ -36,25 +36,43 @@ object NgramLm {
     * mean_micro) where mean_micro = Σ floor(1e6·P(w₂|w₁)) div n_bigrams.
     * Documents with fewer than 2 tokens score 0 over 0 bigrams.
     */
-  def fluencyReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-    val grams = when(size(col("__toks")) >= 2,
-      transform(sequence(lit(0), size(col("__toks")) - 2),
-        i => concat_ws(" ", element_at(col("__toks"), i + 1),
-          element_at(col("__toks"), i + 2))))
-      .otherwise(array())
-    val bg = toks.select(col(idCol), explode(grams).as("__bg"))
+  def fluencyReport(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreAgainst(docs, docs, idCol, textCol)
+
+  /** [[fluencyReport]] generalized to a model trained on a DIFFERENT
+    * corpus — the cross-domain scoring primitive behind DSIR-style data
+    * selection (Xie et al. 2023: select raw documents whose n-gram
+    * statistics look like the target domain's): score `docs` under the
+    * bigram model of `modelDocs`. Bigrams absent from the model
+    * contribute 0 micro-units (they still count in `n_bigrams`, so
+    * out-of-domain transitions drag the mean down — exactly the signal).
+    * When `modelDocs` eq `docs` every bigram is in-model and this is
+    * [[fluencyReport]].
+    */
+  def scoreAgainst(docs: DataFrame, modelDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def bigramsOf(df: DataFrame, cols: Column*): DataFrame = {
+      val grams = when(size(col("__toks")) >= 2,
+        transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => concat_ws(" ", element_at(col("__toks"), i + 1),
+            element_at(col("__toks"), i + 2))))
+        .otherwise(array())
+      df.select(cols :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
+        .select(cols :+ explode(grams).as("__bg"): _*)
+    }
+    val bg = bigramsOf(docs, col(idCol))
 
     // the model: bigram counts, then prefix totals aggregated FROM the model
-    val model = bg.groupBy("__bg").agg(count(lit(1)).as("__c12"))
+    val model = bigramsOf(modelDocs).groupBy("__bg").agg(count(lit(1)).as("__c12"))
     val withPrefix = model.withColumn("__w1", split(col("__bg"), " ").getItem(0))
     val prefix = withPrefix.groupBy("__w1").agg(sum(col("__c12")).as("__c1"))
     val scoredModel = withPrefix.join(prefix, "__w1")
       .select(col("__bg"), expr("(1000000 * __c12) div __c1").as("__micro"))
 
-    val perDoc = bg.join(scoredModel, "__bg")
+    val perDoc = bg.join(scoredModel, Seq("__bg"), "left_outer")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__micro")).as("sum_micro"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("__micro"), lit(0L))).as("sum_micro"))
 
     // short documents (< 2 tokens) have no bigram rows — restore them as 0s
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")

@@ -99,6 +99,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_video_meta expects 1 argument")
         VideoMeta(args.head)
+      }),
+    (FunctionIdentifier("graft_subword_tokenize"),
+      new ExpressionInfo(classOf[SubwordTokenize].getName, "graft_subword_tokenize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_subword_tokenize expects (text, vocab array literal)")
+        require(args(1).foldable, "the vocab argument must be a literal array")
+        val arr = args(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val vocab = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        SubwordTokenize(args(0), vocab)
       }))
 
   /** Register on a live session. */

@@ -242,6 +242,18 @@ class ExtSpec extends GraftSpec {
         (3L, 0L, 0L, 0L))
     }
 
+    it("NgramLm.scoreAgainst: cross-corpus model, OOV bigrams count in " +
+        "the denominator but contribute 0") {
+      val target = Seq((10L, "a b")).toDF("doc_id", "text") // model: P(b|a)=1
+      val docs = Seq(
+        (1L, "a b a c"), // "a b"=1e6, "b a" OOV, "a c" OOV → mean 333333
+        (2L, "x y")      // fully OOV → 0 over 1 bigram
+      ).toDF("doc_id", "text")
+      graft.ext.NgramLm.scoreAgainst(docs, target, "doc_id", "text")
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect() shouldBe
+        Array((1L, 3L, 1000000L, 333333L), (2L, 1L, 0L, 0L))
+    }
+
     it("hardNegatives removes positives BEFORE ranking so the next " +
         "candidate takes the freed rank") {
       val docs = corpus.toDF("doc_id", "text")

@@ -101,6 +101,14 @@ class ExpressionsSpec extends GraftSpec {
       g shouldBe 0.5 // 1 - (0.5^2 + 0.5^2)
     }
 
+    it("graft_subword_tokenize callable from spark.sql with a literal vocab") {
+      GraftFunctions.register(spark)
+      Seq("spark key").toDF("t").createOrReplaceTempView("swt")
+      spark.sql(
+        "SELECT graft_subword_tokenize(t, array('sp','ark','ke')) FROM swt")
+        .as[Seq[String]].head() shouldBe Seq("sp", "ark", "ke", "?")
+    }
+
     it("the quantized kernels are callable from spark.sql") {
       GraftFunctions.register(spark)
       Seq((Seq(0.5f, -0.5f, 1.0f), Seq(1.0f, 1.0f, -1.0f))).toDF("a", "b")
