@@ -1542,6 +1542,18 @@ object SparkEntry {
       .limit(25)
   }
 
+  /** DQ99 (EXT): kNN majority-vote classification ([[Ann.knnClassify]]) —
+    * weak labeling by exact nearest neighbors: queries = every vec_id
+    * divisible by 173, k = 7, ties toward the smaller label; candidates
+    * ranked through the bounded heap, the vote aggregated over exactly
+    * the k survivors. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.knnClassify(e, "vec_id", "embedding", "label",
+        col("vec_id") % 173 === 0, k = 7)
+      .orderBy("qid")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1641,7 +1653,8 @@ object SparkEntry {
     "dq95_curation_v3"          -> (q95 _),
     "dq96_stream_daily_rollup"  -> (q96 _),
     "dq97_stream_outer_join"    -> (q97 _),
-    "dq98_dsir_importance"      -> (q98 _)
+    "dq98_dsir_importance"      -> (q98 _),
+    "dq99_knn_classify"         -> (q99 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1881,6 +1894,25 @@ object SparkEntry {
         |     * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
         |FROM embeddings e, q WHERE e.vec_id <> 1
         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "dq99_knn_classify" ->
+      // exact cosine kNN (fixed fold), rank by (sim desc, vid), vote over
+      // the k survivors, winner by (votes desc, label asc)
+      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+        |q AS (SELECT vec_id qid, embedding qv FROM e WHERE vec_id % 173 = 0),
+        |s AS (SELECT q.qid, e.vec_id vid, e.label,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |  FROM e, q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) rn
+        |  FROM s),
+        |v AS (SELECT qid, label, CAST(count(*) AS BIGINT) n_votes, max(sim) best_sim
+        |  FROM r WHERE rn <= 7 GROUP BY 1, 2),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) rr
+        |  FROM v)
+        |SELECT qid, label, n_votes, best_sim FROM w WHERE rr = 1
+        |ORDER BY qid""".stripMargin,
     "dq15_text_tokens" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),

@@ -110,4 +110,43 @@ object Ann {
           (col("nrm") * col("qnrm"))).as("sim"))
     CandidateTopK.rankedTopPerQuery(scored, "sim", k)
   }
+
+  /** kNN majority-vote classification — the weak-labeling / label-audit
+    * primitive of a training-data pipeline (label a new item, or flag a
+    * labeled item whose neighbors disagree): for each query vector, the
+    * EXACT k nearest by cosine (brute force against the broadcast query
+    * set — the recall yardstick, like [[bruteForceTopK]]) vote with their
+    * `labelCol`; ties break toward the smaller label, so the winner is
+    * deterministic. Returns (qid, label, n_votes, best_sim).
+    *
+    * Shape at 100 TB: the query set broadcasts, the corpus is ONE scan
+    * with a codegen'd dot product per (row, query), the k survivors per
+    * query come out of the bounded-heap [[graft.plans.TopKPerKeyExec]] —
+    * the exchange moves O(qids·k) rows, and the vote is an aggregation
+    * over exactly those survivors. Swap the scored frame for an IVF/cell
+    * candidate set (annTopK's join) when the corpus scan itself is the
+    * bottleneck and approximate recall is acceptable.
+    */
+  def knnClassify(df: DataFrame, idCol: String, embCol: String,
+      labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    val e = df.select(col(idCol).as("vid"), col(embCol).as("emb"),
+      col(labelCol).as("label"), VectorFunctions.l2Norm(col(embCol)).as("nrm"))
+    // the query set is declared by PREDICATE, not a collected id list — no
+    // driver round-trip; it stays a (broadcast) subquery of the same plan
+    val q = df.filter(queryPred)
+      .select(col(idCol).as("qid"), col(embCol).as("qemb"),
+        VectorFunctions.l2Norm(col(embCol)).as("qnrm"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), col("label"),
+        (VectorFunctions.dot(col("emb"), col("qemb")) /
+          (col("nrm") * col("qnrm"))).as("sim"))
+    val topk = CandidateTopK.topPerQuery(scored, "sim", k)
+    val votes = topk.groupBy("qid", "label")
+      .agg(count(lit(1)).as("n_votes"), max(col("sim")).as("best_sim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1).drop("__r")
+  }
 }

@@ -242,6 +242,24 @@ class ExtSpec extends GraftSpec {
         (3L, 0L, 0L, 0L))
     }
 
+    it("Ann.knnClassify: majority vote over the exact k nearest, ties " +
+        "toward the smaller label") {
+      val vecs = Seq(
+        (1L, Seq(1.0f, 0.0f, 0f, 0f), 7),    // the query (label ignored)
+        (2L, Seq(0.99f, 0.1f, 0f, 0f), 1),   // nearest
+        (3L, Seq(0.98f, 0.15f, 0f, 0f), 2),  // 2nd
+        (4L, Seq(0.97f, 0.2f, 0f, 0f), 1),   // 3rd
+        (5L, Seq(0f, 1f, 0f, 0f), 2)         // far — outside k=3
+      ).toDF("vec_id", "embedding", "label")
+      val win = Ann.knnClassify(vecs, "vec_id", "embedding", "label",
+        col("vec_id") === 1, k = 3).as[(Long, Int, Long, Double)].collect()
+      win.map(r => (r._1, r._2, r._3)) shouldBe Array((1L, 1, 2L)) // 1 beats 2
+      // k=2 → one vote each → tie breaks toward label 1
+      Ann.knnClassify(vecs, "vec_id", "embedding", "label",
+        col("vec_id") === 1, k = 2).as[(Long, Int, Long, Double)].collect()
+        .map(r => r._2) shouldBe Array(1)
+    }
+
     it("NgramLm.scoreAgainst: cross-corpus model, OOV bigrams count in " +
         "the denominator but contribute 0") {
       val target = Seq((10L, "a b")).toDF("doc_id", "text") // model: P(b|a)=1
