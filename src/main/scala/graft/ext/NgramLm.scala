@@ -63,7 +63,10 @@ object NgramLm {
     val bg = bigramsOf(docs, col(idCol))
 
     // the model: bigram counts, then prefix totals aggregated FROM the model
-    val model = bigramsOf(modelDocs).groupBy("__bg").agg(count(lit(1)).as("__c12"))
+    // (the same-corpus case reuses the scored side's bigrams — one tokenize)
+    val modelBg =
+      if (modelDocs eq docs) bg.select(col("__bg")) else bigramsOf(modelDocs)
+    val model = modelBg.groupBy("__bg").agg(count(lit(1)).as("__c12"))
     val withPrefix = model.withColumn("__w1", split(col("__bg"), " ").getItem(0))
     val prefix = withPrefix.groupBy("__w1").agg(sum(col("__c12")).as("__c1"))
     val scoredModel = withPrefix.join(prefix, "__w1")

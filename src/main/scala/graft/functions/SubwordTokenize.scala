@@ -79,24 +79,33 @@ case class SubwordTokenize(child: Expression, vocab: Seq[String])
   * rebuilt lazily after deserialization.
   */
 final class SubwordVocab(val entries: Array[String]) extends Serializable {
-  @transient private var byLen: Array[java.util.HashSet[String]] = _
-  @transient private var max = 0
+  // single volatile holder: tasks normally deserialize their own copy, but
+  // if an instance IS ever shared across local-mode threads, publishing
+  // byLen and max separately could expose max=0 to a reader that already
+  // sees byLen — silently tokenizing everything to '?'. One volatile
+  // reference to an immutable pair cannot be seen half-built; a redundant
+  // concurrent build is idempotent.
+  @transient @volatile
+  private var lookup: (Array[java.util.HashSet[String]], Int) = _
 
-  private def ensure(): Unit = {
-    if (byLen != null) return
-    val m = entries.iterator.map(_.length).max
-    val b = new Array[java.util.HashSet[String]](m + 1)
-    entries.foreach { e =>
-      if (b(e.length) == null) b(e.length) = new java.util.HashSet[String]()
-      b(e.length).add(e)
+  private def ensure(): (Array[java.util.HashSet[String]], Int) = {
+    var l = lookup
+    if (l == null) {
+      val m = entries.iterator.map(_.length).max
+      val b = new Array[java.util.HashSet[String]](m + 1)
+      entries.foreach { e =>
+        if (b(e.length) == null) b(e.length) = new java.util.HashSet[String]()
+        b(e.length).add(e)
+      }
+      l = (b, m)
+      lookup = l
     }
-    byLen = b
-    max = m
+    l
   }
 
   /** Length of the longest vocab entry matching `word` at `pos`, or -1. */
   def longestMatch(word: String, pos: Int): Int = {
-    ensure()
+    val (byLen, max) = ensure()
     var l = math.min(max, word.length - pos)
     while (l >= 1) {
       val s = byLen(l)
