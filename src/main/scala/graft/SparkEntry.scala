@@ -1554,6 +1554,27 @@ object SparkEntry {
       .orderBy("qid")
   }
 
+  /** DQ100 (EXT): sequence packing by TOKEN budget — dq66's greedy
+    * packing with the capacity measured in REAL subword tokens (dq89's
+    * kernel) instead of characters: the actual batch-prep arithmetic of
+    * LLM pre-training (a 2048-token context packs by tokenizer counts,
+    * not byte lengths). The oracle chains the tokenizer recurrence into
+    * the packing recurrence — two recursive CTEs, one WITH. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val withTok = docs.select(col("doc_id"), col("source"),
+      size(graft.functions.SubwordTokenize(
+        regexp_replace(lower(col("text")), "\\W+", " "),
+        graft.functions.SubwordTokenize.DemoVocab)).cast("long").as("n_tok"))
+    graft.ext.Packing.packGreedy(withTok, "source", "doc_id", "n_tok",
+        capacity = 2048)
+      .join(withTok.select("doc_id", "n_tok"), "doc_id")
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("toks"),
+        min("doc_id").as("first_doc"))
+      .orderBy("source", "bin")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1654,7 +1675,8 @@ object SparkEntry {
     "dq96_stream_daily_rollup"  -> (q96 _),
     "dq97_stream_outer_join"    -> (q97 _),
     "dq98_dsir_importance"      -> (q98 _),
-    "dq99_knn_classify"         -> (q99 _)
+    "dq99_knn_classify"         -> (q99 _),
+    "dq100_token_packing"       -> (q100 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2513,6 +2535,44 @@ object SparkEntry {
         |  md5(COALESCE(ds.stream, '')) AS subtok_md5
         |FROM documents LEFT JOIN ds USING (doc_id)
         |ORDER BY doc_id""".stripMargin
+    },
+    // dq89's tokenizer recurrence feeding dq66's packing recurrence —
+    // both recursive CTEs under one WITH RECURSIVE
+    "dq100_token_packing" -> {
+      val vals = graft.functions.SubwordTokenize.DemoVocab
+        .map(v => s"('$v')").mkString(", ")
+      s"""WITH RECURSIVE vocab(v) AS (SELECT * FROM (VALUES $vals) t(v)),
+        |t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |w AS (SELECT doc_id, i AS wid, toks[CAST(i AS INT)] AS word
+        |  FROM t, unnest(range(1, len(toks) + 1)) r(i)),
+        |dw AS (SELECT DISTINCT word FROM w),
+        |steps AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS nt
+        |  FROM dw
+        |  UNION ALL
+        |  SELECT s.word,
+        |    s.pos + COALESCE((SELECT max(len(v)) FROM vocab
+        |      WHERE substr(s.word, CAST(s.pos AS INT), len(v)) = v), 1),
+        |    s.nt + 1
+        |  FROM steps s WHERE s.pos <= len(s.word)),
+        |done AS (SELECT word, nt FROM steps WHERE pos > len(word)),
+        |dn AS (SELECT w.doc_id, CAST(sum(d.nt) AS BIGINT) n
+        |  FROM w JOIN done d USING (word) GROUP BY 1),
+        |d AS (SELECT doc.source, doc.doc_id, dn.n AS ntok,
+        |    row_number() OVER (PARTITION BY doc.source ORDER BY doc.doc_id) rn
+        |  FROM documents doc JOIN dn USING (doc_id)),
+        |packed AS (
+        |  SELECT source, doc_id, ntok, rn, CAST(0 AS BIGINT) AS bin, ntok AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.ntok, d.rn,
+        |    CASE WHEN p.fill + d.ntok > 2048 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + d.ntok > 2048 THEN d.ntok ELSE p.fill + d.ntok END
+        |  FROM d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS toks, min(doc_id) AS first_doc
+        |FROM packed GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
     },
     "dq52_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n,
