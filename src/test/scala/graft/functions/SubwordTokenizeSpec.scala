@@ -49,6 +49,34 @@ class SubwordTokenizeSpec extends GraftSpec {
     r.isNullAt(0) shouldBe true
   }
 
+  it("every tokenization tiles the input exactly once — each piece matches " +
+      "at its position, '?' consumes one char (vocab-independent invariant)") {
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val streams = (1 to 500).map { i =>
+      (i, (0 to rnd.nextInt(4)).map(_ =>
+        (0 until 1 + rnd.nextInt(10)).map(_ =>
+          alpha(rnd.nextInt(alpha.length))).mkString).mkString(" "))
+    }
+    val out = streams.toDF("i", "s")
+      .select(col("i"), col("s"), SubwordTokenize(col("s"), V).as("t"))
+      .as[(Int, String, Seq[String])].collect()
+    out.length shouldBe 500
+    out.foreach { case (_, stream, pieces) =>
+      // replay the pieces against the concatenated word stream
+      val flat = stream.replace(" ", "")
+      var pos = 0
+      pieces.foreach { p =>
+        if (p == "?") pos += 1
+        else {
+          assert(flat.startsWith(p, pos), s"'$p' !@ $pos in '$flat'")
+          pos += p.length
+        }
+      }
+      pos shouldBe flat.length
+    }
+  }
+
   it("participates in codegen (no fallback) and matches interpreted eval") {
     val expr = SubwordTokenize(
       org.apache.spark.sql.catalyst.expressions.BoundReference(
