@@ -62,26 +62,30 @@ object NgramLm {
     }
     val bg = bigramsOf(docs, col(idCol))
 
-    // the model: bigram counts, then prefix totals aggregated FROM the model
-    // (the same-corpus case reuses the scored side's bigrams — one tokenize)
-    val modelBg =
-      if (modelDocs eq docs) bg.select(col("__bg")) else bigramsOf(modelDocs)
-    val model = modelBg.groupBy("__bg").agg(count(lit(1)).as("__c12"))
-    val withPrefix = model.withColumn("__w1", split(col("__bg"), " ").getItem(0))
-    val prefix = withPrefix.groupBy("__w1").agg(sum(col("__c12")).as("__c1"))
-    val scoredModel = withPrefix.join(prefix, "__w1")
-      .select(col("__bg"), expr("(1000000 * __c12) div __c1").as("__micro"))
+    // the bigram frame feeds BOTH the model aggregation (same-corpus case)
+    // and the scoring join — cache it for the call so the tokenizer and
+    // explode run once (the MinHashLSH pattern)
+    CacheScope.withCached(bg) {
+      // the model: bigram counts, then prefix totals aggregated FROM the model
+      val modelBg =
+        if (modelDocs eq docs) bg.select(col("__bg")) else bigramsOf(modelDocs)
+      val model = modelBg.groupBy("__bg").agg(count(lit(1)).as("__c12"))
+      val withPrefix = model.withColumn("__w1", split(col("__bg"), " ").getItem(0))
+      val prefix = withPrefix.groupBy("__w1").agg(sum(col("__c12")).as("__c1"))
+      val scoredModel = withPrefix.join(prefix, "__w1")
+        .select(col("__bg"), expr("(1000000 * __c12) div __c1").as("__micro"))
 
-    val perDoc = bg.join(scoredModel, Seq("__bg"), "left_outer")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(coalesce(col("__micro"), lit(0L))).as("sum_micro"))
+      val perDoc = bg.join(scoredModel, Seq("__bg"), "left_outer")
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("__micro"), lit(0L))).as("sum_micro"))
 
-    // short documents (< 2 tokens) have no bigram rows — restore them as 0s
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("sum_micro"), lit(0L)).as("sum_micro"),
-        coalesce(expr("sum_micro div n_bigrams"), lit(0L)).as("mean_micro"))
+      // short documents (< 2 tokens) have no bigram rows — restore them as 0s
+      docs.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+        .select(col(idCol),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("sum_micro"), lit(0L)).as("sum_micro"),
+          coalesce(expr("sum_micro div n_bigrams"), lit(0L)).as("mean_micro"))
+    }
   }
 }

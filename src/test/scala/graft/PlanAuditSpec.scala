@@ -235,6 +235,15 @@ class PlanAuditSpec extends GraftSpec {
     p should include regex """\*\(\d+\) Project \[.*subword_tokenize"""
   }
 
+  it("dq91's semantic decon broadcasts the eval set — never a cartesian " +
+      "product") {
+    val df = SparkEntry.queries("dq91_semantic_decon")(spark, dir)
+    df.collect()
+    val p = physical(df)
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
   it("custom expressions participate in whole-stage codegen") {
     import spark.implicits._
     // non-foldable input (range), so the projection can't constant-fold away
