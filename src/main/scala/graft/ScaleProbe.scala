@@ -558,6 +558,33 @@ object ScaleProbe {
         ()
       }
     }
+    // BM25 retrieval at m×: postings prune to the query vocabulary BEFORE
+    // df counting, so the wall should track corpus volume (the one
+    // corpus-sized tf aggregation) plus candidate volume — never the
+    // corpus×query product.
+    if (sys.env.get("SCALE_BM25").contains("1")) {
+      for (m <- Seq(1, 10)) {
+        val df = base.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              (t, i) => when(i % 5 === 0, concat(t, lit("b"), col("rep"))).otherwise(t)), " ")
+              .as("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .cache()
+        val n = df.count()
+        val queries = df.filter(col("doc_id") % 1009 === 0)
+          .select(col("doc_id").as("qid"),
+            explode(array_distinct(slice(
+              graft.ext.TextAnalysis.tokens(col("text")), 1, 4))).as("term"))
+        val nq = queries.select("qid").distinct().count()
+        val t0 = System.nanoTime()
+        val hits = graft.ext.Bm25.topK(df, "doc_id", "text", queries, k = 3).count()
+        val t1 = System.nanoTime()
+        println(f"""{"probe":"bm25","m":$m,"docs":$n,"queries":$nq,"hits":$hits,"sec":${(t1 - t0) / 1e9}%.1f}""")
+        df.unpersist()
+        ()
+      }
+    }
     // Bigram-LM fluency at m×: two corpus-sized shuffles ((bigram) model
     // counts + the (doc, bigram)⋈model join) — wall should track input
     // volume linearly, never the vocabulary² upper bound.

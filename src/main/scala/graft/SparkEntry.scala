@@ -1575,6 +1575,20 @@ object SparkEntry {
       .orderBy("source", "bin")
   }
 
+  /** DQ101 (EXT): deterministic portable epoch shuffle
+    * ([[Sampling.epochShuffleKey]]) — reproducible per-epoch training
+    * order from `md5("<epoch>:<id>")`: two epochs' first 10 documents,
+    * each via orderBy+limit (TakeOrderedAndProject, no global sort
+    * materialization); the oracle re-derives both permutations from the
+    * ids alone. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def top(epoch: Int) = docs.select(lit(epoch).as("epoch"), col("doc_id"),
+        Sampling.epochShuffleKey(col("doc_id"), epoch).as("skey"))
+      .orderBy("skey").limit(10)
+    top(1).union(top(2)).orderBy("epoch", "skey")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1676,7 +1690,8 @@ object SparkEntry {
     "dq97_stream_outer_join"    -> (q97 _),
     "dq98_dsir_importance"      -> (q98 _),
     "dq99_knn_classify"         -> (q99 _),
-    "dq100_token_packing"       -> (q100 _)
+    "dq100_token_packing"       -> (q100 _),
+    "dq101_epoch_shuffle"       -> (q101 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2642,6 +2657,13 @@ object SparkEntry {
         |      AND p.pus <= c.cus AND p.pus >= c.cus - 3600000000))
         |SELECT * FROM j UNION ALL SELECT * FROM unm
         |ORDER BY click_id, p_us NULLS FIRST, p_value NULLS FIRST""".stripMargin,
+    "dq101_epoch_shuffle" ->
+      """WITH e1 AS (SELECT 1 AS epoch, doc_id, md5('1:' || doc_id::VARCHAR) skey
+        |  FROM documents ORDER BY skey LIMIT 10),
+        |e2 AS (SELECT 2 AS epoch, doc_id, md5('2:' || doc_id::VARCHAR) skey
+        |  FROM documents ORDER BY skey LIMIT 10)
+        |SELECT * FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        |ORDER BY epoch, skey""".stripMargin,
     "dq58_sample_split" ->
       """WITH g AS (SELECT doc_id, source,
         |    ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT % 1000000 gt

@@ -93,4 +93,15 @@ object Sampling {
       .when(g < lit(((trainFrac + valFrac) * M).toLong), "validation")
       .otherwise("test")
   }
+
+  /** Deterministic, engine-portable EPOCH SHUFFLE key: ordering training
+    * data by `md5("<epoch>:<id>")` gives every epoch an independent,
+    * reproducible permutation that any engine (and any later audit)
+    * re-derives from the id alone — no stateful RNG, no layout
+    * dependence. Sorting by the key is a range-partitioned global sort at
+    * scale; epoch-to-epoch the permutation decorrelates because the hash
+    * input changes, which is what per-epoch reshuffling is for.
+    */
+  def epochShuffleKey(idCol: Column, epoch: Int): Column =
+    md5(concat_ws(":", lit(epoch), idCol))
 }

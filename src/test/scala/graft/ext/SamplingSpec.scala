@@ -61,4 +61,16 @@ class SamplingSpec extends GraftSpec {
     va.join(te, "doc_id").count() shouldBe 0
     tr.count().toDouble / n shouldBe 0.7 +- 0.1
   }
+
+  it("epochShuffleKey: each epoch is a full deterministic permutation, " +
+      "and different epochs decorrelate") {
+    import org.apache.spark.sql.functions.col
+    def order(epoch: Int): Seq[Long] = docs
+      .select(col("doc_id"), Sampling.epochShuffleKey(col("doc_id"), epoch).as("k"))
+      .orderBy("k").select("doc_id").as[Long].collect().toSeq
+    val e1 = order(1)
+    e1 shouldBe order(1)                        // reproducible
+    e1.sorted shouldBe order(2).sorted          // same elements...
+    e1 should not be order(2)                   // ...different order
+  }
 }
