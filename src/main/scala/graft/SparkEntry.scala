@@ -1589,6 +1589,39 @@ object SparkEntry {
     top(1).union(top(2)).orderBy("epoch", "skey")
   }
 
+  /** DQ102 (EXT): the Gopher-rules composite quality gate (Rae et al.
+    * 2021 §A1.1 apply the repetition family as a CONJUNCTION) — one
+    * keep/drop report per document from four already-verified signals in
+    * ONE plan: token-count bounds, top-2-gram fraction (dq64), top-3-gram
+    * fraction (dq77), duplicate-line fraction (dq74's synthesized lines).
+    * Every signal is bit-exact (integer numerators, one double division),
+    * so the boolean gate is too; the oracle re-derives all four signals
+    * and the conjunction. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val len = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val rep2 = TextAnalysis.topNgramFraction(docs, "doc_id", "text", 2)
+      .withColumnRenamed("rep_ratio", "rep2")
+    val top3 = TextAnalysis.topNgramFraction(docs, "doc_id", "text", 3)
+      .withColumnRenamed("rep_ratio", "top3")
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+    val pairLines = when(size(col("__toks")) >= 2,
+      transform(sequence(lit(0), floor(size(col("__toks")) / 2).cast("int") - 1),
+        i => concat_ws(" ", element_at(col("__toks"), i * 2 + 1),
+          element_at(col("__toks"), i * 2 + 2))))
+      .otherwise(array().cast("array<string>"))
+    val synth = toks.select(col("doc_id"), concat_ws("\n", pairLines).as("text"))
+    val dup = TextAnalysis.duplicateLineStats(synth, "doc_id", "text")
+      .select(col("doc_id"), col("dup_line_frac"))
+    len.join(rep2, "doc_id").join(top3, "doc_id").join(dup, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("rep2"), col("top3"),
+        col("dup_line_frac"),
+        (col("n_tokens") >= 20 && col("rep2") <= 0.06 &&
+          col("top3") <= 0.05 && col("dup_line_frac") <= 0.05).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1691,7 +1724,8 @@ object SparkEntry {
     "dq98_dsir_importance"      -> (q98 _),
     "dq99_knn_classify"         -> (q99 _),
     "dq100_token_packing"       -> (q100 _),
-    "dq101_epoch_shuffle"       -> (q101 _)
+    "dq101_epoch_shuffle"       -> (q101 _),
+    "dq102_quality_gate"        -> (q102 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2990,6 +3024,37 @@ object SparkEntry {
         |SELECT v.vec_id FROM embeddings v LEFT JOIN cc ON v.vec_id = cc.id
         |WHERE cc.id IS NULL OR v.vec_id = cc.rep
         |ORDER BY vec_id""".stripMargin),
+    "dq102_quality_gate" ->
+      // the four signals re-derived (dq64's bigram fraction, dq77's
+      // trigram fraction, dq74's line synthesis + dup fraction, token
+      // counts) and the same conjunction
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) toks
+        |  FROM documents),
+        |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) n_tokens FROM t),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) g
+        |  FROM t WHERE len(toks) >= 2),
+        |c2 AS (SELECT doc_id, g, count(*) c FROM g2 GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, max(c) / sum(c) AS rep2 FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) g
+        |  FROM t WHERE len(toks) >= 3),
+        |c3 AS (SELECT doc_id, g, count(*) c FROM g3 GROUP BY 1, 2),
+        |a3 AS (SELECT doc_id, max(c) / sum(c) AS top3 FROM c3 GROUP BY doc_id),
+        |syn AS (SELECT doc_id, list_transform(range(0, len(toks) // 2),
+        |    i -> toks[2*i+1] || ' ' || toks[2*i+2]) lines FROM t),
+        |e AS (SELECT doc_id, unnest(lines) AS line FROM syn),
+        |c AS (SELECT doc_id, line, count(*) AS cnt FROM e GROUP BY doc_id, line),
+        |d AS (SELECT doc_id,
+        |    (CAST(sum(cnt) AS BIGINT) - CAST(count(*) AS BIGINT))::DOUBLE
+        |      / CAST(sum(cnt) AS BIGINT)::DOUBLE AS dup_line_frac
+        |  FROM c GROUP BY doc_id)
+        |SELECT nt.doc_id, nt.n_tokens, a2.rep2, a3.top3, d.dup_line_frac,
+        |  (nt.n_tokens >= 20 AND a2.rep2 <= 0.06 AND a3.top3 <= 0.05
+        |   AND d.dup_line_frac <= 0.05) AS keep
+        |FROM nt JOIN a2 USING (doc_id) JOIN a3 USING (doc_id) JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dq74_dup_lines" ->
       // same synthesis (token pairs as lines), then an independent
       // re-derivation of the dup-line/dup-char fractions; integer
