@@ -1622,6 +1622,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ103 (EXT): dense hourly resampling with gap fill — the time-series
+    * densification every monitoring/feature pipeline needs: the full hour
+    * spine (min→max event hour, built with `sequence`, no driver loop)
+    * cross-joined with the distinct type dimension, left-joined to the
+    * hourly aggregates, gaps filled with 0. The spine is
+    * hours × types (tiny — it broadcasts); the event aggregation is the
+    * only corpus-sized shuffle. Emitted per type for a 24h slice so the
+    * gated result stays review-sized; zero-filled rows are the point. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(date_trunc("hour", timestamp_micros(expr("ts DIV 1000"))).as("hh"),
+        col("event_type"), col("value"))
+    val hourly = ev.groupBy("hh", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    val bounds = ev.agg(min(col("hh")).as("__lo"), max(col("hh")).as("__hi"))
+    val spine = bounds
+      .select(explode(sequence(col("__lo"), col("__hi"),
+        expr("INTERVAL 1 HOUR"))).as("hh"))
+      .crossJoin(ev.select("event_type").distinct())
+    spine.join(hourly, Seq("hh", "event_type"), "left_outer")
+      .select(date_format(col("hh"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0d)).as("sum_value"))
+      .filter(col("hour") >= "2024-01-10 00:00:00" &&
+        col("hour") < "2024-01-11 00:00:00")
+      .orderBy("hour", "event_type")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1725,7 +1755,8 @@ object SparkEntry {
     "dq99_knn_classify"         -> (q99 _),
     "dq100_token_packing"       -> (q100 _),
     "dq101_epoch_shuffle"       -> (q101 _),
-    "dq102_quality_gate"        -> (q102 _)
+    "dq102_quality_gate"        -> (q102 _),
+    "dq103_dense_resample"      -> (q103 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2145,6 +2176,23 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, vid, sim, rnk FROM ranked WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    "dq103_dense_resample" ->
+      // the hour spine from generate_series, the type dimension from the
+      // data, gaps zero-filled; DECIMAL-routed hourly value sums
+      """WITH ev AS (SELECT date_trunc('hour', ts) hh, event_type, value FROM events),
+        |hourly AS (SELECT hh, event_type, CAST(count(*) AS BIGINT) n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) sum_value
+        |  FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(hh) lo, max(hh) hi FROM ev),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hh FROM b),
+        |st AS (SELECT spine.hh, t.event_type
+        |  FROM spine, (SELECT DISTINCT event_type FROM ev) t)
+        |SELECT strftime(st.hh, '%Y-%m-%d %H:%M:%S') AS hour, st.event_type,
+        |  COALESCE(h.n, 0) AS n, COALESCE(h.sum_value, 0) AS sum_value
+        |FROM st LEFT JOIN hourly h ON st.hh = h.hh AND st.event_type = h.event_type
+        |WHERE strftime(st.hh, '%Y-%m-%d %H:%M:%S') >= '2024-01-10 00:00:00'
+        |  AND strftime(st.hh, '%Y-%m-%d %H:%M:%S') < '2024-01-11 00:00:00'
+        |ORDER BY hour, st.event_type""".stripMargin,
     "dq31_stream_dedup" ->
       """SELECT event_type, count(*) AS n_unique_users FROM (
         |  SELECT DISTINCT user_id, event_type FROM events)
