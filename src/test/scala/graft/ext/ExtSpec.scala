@@ -258,6 +258,10 @@ class ExtSpec extends GraftSpec {
       Ann.knnClassify(vecs, "vec_id", "embedding", "label",
         col("vec_id") === 1, k = 2).as[(Long, Int, Long, Double)].collect()
         .map(r => r._2) shouldBe Array(1)
+      // k beyond the candidate count → every non-query vector votes
+      val all = Ann.knnClassify(vecs, "vec_id", "embedding", "label",
+        col("vec_id") === 1, k = 100).as[(Long, Int, Long, Double)].collect()
+      all.map(r => (r._2, r._3)) shouldBe Array((1, 2L)) // 1:{2,4} beats 2:{3,5}
     }
 
     it("NgramLm.scoreAgainst: cross-corpus model, OOV bigrams count in " +
@@ -281,6 +285,15 @@ class ExtSpec extends GraftSpec {
       val positives = Seq((1L, 4L)).toDF("qid", "vid")
       Bm25.hardNegatives(docs, "doc_id", "text", queries, positives, k = 1)
         .select("vid", "rnk").as[(Long, Int)].collect() shouldBe Array((2L, 1))
+    }
+    it("hardNegatives with no positive labels degenerates to topK") {
+      val docs = corpus.toDF("doc_id", "text")
+      val queries = Seq((1L, "apple"), (100L, "banana")).toDF("qid", "term")
+      val none = Seq.empty[(Long, Long)].toDF("qid", "vid")
+      Bm25.hardNegatives(docs, "doc_id", "text", queries, none, k = 3)
+        .orderBy("qid", "rnk").collect() shouldBe
+        Bm25.topK(docs, "doc_id", "text", queries, k = 3)
+          .orderBy("qid", "rnk").collect()
     }
   }
 
