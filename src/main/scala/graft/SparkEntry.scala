@@ -1409,9 +1409,11 @@ object SparkEntry {
 
   /** DQ93 (EXT): chunk-level retrieval — the RAG indexing shape: the
     * corpus chunked (dq65's 200/150 windows), each chunk a retrieval unit
-    * with a synthetic `chunk_id = 10⁶ + doc_id·1000 + chunk_idx` (offset
+    * with a synthetic `chunk_id = 10⁹ + doc_id·10⁶ + chunk_idx` (offset
     * keeps chunk ids disjoint from query ids so [[Bm25.topK]]'s identity
-    * exclusion never fires on a chunk), BM25-ranked against dq86's query
+    * exclusion never fires on a chunk; the 10⁶ stride means a document
+    * would need >150 GB of text at stride 150 before chunk ids collide,
+    * vs ~150 kB under the previous 10³ stride), BM25-ranked against dq86's query
     * set with k = 3, source doc and chunk index re-derived from the id.
     * Retrieval granularity below the document is what grounds a context
     * window; the whole pipeline (chunk → score → bounded-heap rank)
@@ -1419,7 +1421,7 @@ object SparkEntry {
   private def q93(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val chunks = TextAnalysis.chunks(docs, "doc_id", "text")
-      .select((lit(1000000L) + col("doc_id") * 1000 + col("chunk_idx"))
+      .select((lit(1000000000L) + col("doc_id") * 1000000L + col("chunk_idx"))
         .as("chunk_id"), col("chunk"))
     val queries = docs.filter(col("doc_id") % 101 === 0)
       .select(col("doc_id").as("qid"),
@@ -1427,8 +1429,8 @@ object SparkEntry {
           .as("term"))
     Bm25.topK(chunks, "chunk_id", "chunk", queries, k = 3)
       .select(col("qid"),
-        expr("(vid - 1000000) div 1000").as("doc_id"),
-        (col("vid") % 1000).as("chunk_idx"),
+        expr("(vid - 1000000000L) div 1000000L").as("doc_id"),
+        (col("vid") % 1000000L).as("chunk_idx"),
         col("score_micro"), col("rnk"))
       .orderBy("qid", "rnk")
   }
@@ -1628,20 +1630,37 @@ object SparkEntry {
     * cross-joined with the distinct type dimension, left-joined to the
     * hourly aggregates, gaps filled with 0. The spine is
     * hours × types (tiny — it broadcasts); the event aggregation is the
-    * only corpus-sized shuffle. Emitted per type for a 24h slice so the
-    * gated result stays review-sized; zero-filled rows are the point. */
+    * only corpus-sized work, and it runs over the SLICED scan: the 24h
+    * window is applied below the groupBy as raw-nanos bounds on `ts`
+    * (hour-truncation maps an event into the slice iff its raw ts lies in
+    * [lo, hi), so the predicate is exact — and it reaches the parquet scan
+    * as PushedFilters, r6 directive #2). The spine bounds and the type
+    * dimension still come from the FULL corpus (column-pruned single-column
+    * scans — types absent from the slice must still zero-fill), and the
+    * formatted-string filter stays only as the final presentation slice.
+    * Emitted per type for a 24h slice so the gated result stays
+    * review-sized; zero-filled rows are the point. */
   private def q103(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(date_trunc("hour", timestamp_micros(expr("ts DIV 1000"))).as("hh"),
-        col("event_type"), col("value"))
-    val hourly = ev.groupBy("hh", "event_type")
+    val raw = t(s, dir, "events")
+    val sliceLoNs = java.time.Instant.parse("2024-01-10T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    val sliceHiNs = java.time.Instant.parse("2024-01-11T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    val hh = date_trunc("hour", timestamp_micros(expr("ts DIV 1000"))).as("hh")
+    val hourly = raw
+      .filter(col("ts") >= sliceLoNs && col("ts") < sliceHiNs)
+      .select(hh, col("event_type"), col("value"))
+      .groupBy("hh", "event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-    val bounds = ev.agg(min(col("hh")).as("__lo"), max(col("hh")).as("__hi"))
+    val bounds = raw.select(hh).agg(min(col("hh")).as("__lo"),
+      max(col("hh")).as("__hi"))
     val spine = bounds
       .select(explode(sequence(col("__lo"), col("__hi"),
         expr("INTERVAL 1 HOUR"))).as("hh"))
-      .crossJoin(ev.select("event_type").distinct())
+      .filter(col("hh") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("hh") < lit("2024-01-11 00:00:00").cast("timestamp"))
+      .crossJoin(raw.select("event_type").distinct())
     spine.join(hourly, Seq("hh", "event_type"), "left_outer")
       .select(date_format(col("hh"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"),
@@ -2492,7 +2511,7 @@ object SparkEntry {
     "dq93_chunk_retrieval" ->
       // dq65's chunking + dq86's BM25 chain with chunks as the retrieval
       // units; chunk_id offset keeps the identity exclusion inert
-      """WITH ch AS (SELECT 1000000 + doc_id * 1000 + CAST((p - 1) / 150 AS BIGINT) AS cid,
+      """WITH ch AS (SELECT 1000000000 + doc_id * 1000000 + CAST((p - 1) / 150 AS BIGINT) AS cid,
         |    substring(text, CAST(p AS INT), 200) AS chunk
         |  FROM documents, unnest(range(1, len(text) + 1, 150)) t(p)),
         |t AS (SELECT cid, list_filter(regexp_split_to_array(lower(chunk), '\W+'),
@@ -2518,7 +2537,7 @@ object SparkEntry {
         |r AS (SELECT qid, vid, score_micro,
         |    row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, vid) rnk
         |  FROM scored)
-        |SELECT qid, (vid - 1000000) // 1000 AS doc_id, vid % 1000 AS chunk_idx,
+        |SELECT qid, (vid - 1000000000) // 1000000 AS doc_id, vid % 1000000 AS chunk_idx,
         |  score_micro, rnk
         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     // dq92's fluency chain + dq91's flag chain + dq89's token recurrence,
@@ -2568,8 +2587,8 @@ object SparkEntry {
         |    AND d.doc_id IN (SELECT doc_id FROM flu)
         |    AND d.doc_id NOT IN (SELECT vec_id FROM sflag))
         |SELECT kept.source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(dn.n) AS BIGINT) AS total_subtokens
-        |FROM kept JOIN dn USING (doc_id)
+        |  CAST(sum(COALESCE(dn.n, 0)) AS BIGINT) AS total_subtokens
+        |FROM kept LEFT JOIN dn USING (doc_id)
         |GROUP BY 1 ORDER BY source""".stripMargin
     },
     "dq88_boilerplate_lines" ->

@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{NearestCells, SquaredDistance, VectorFunctions, VectorSumMicros}
@@ -36,13 +37,39 @@ final class IvfIndex private (
     /** (cell id, centroid), driver-side — k × dim doubles. */
     val centroids: Seq[(Int, Array[Double])],
     /** vid, emb, nrm, cell — cached for the index's lifetime. */
-    val assigned: DataFrame) extends Serializable {
+    val assigned: DataFrame,
+    /** the ONE executor-shipped copy of the centroid matrix (large-k path);
+      * created at fit (or on first large-k query) and destroyed in
+      * [[release]]. Per-call re-broadcast left every query's copy alive
+      * until ContextCleaner GC — on a long-lived session with repeated
+      * large-k queries that accumulates executor-held broadcasts. */
+    @transient private var bcHandle: Option[Broadcast[Array[Array[Double]]]])
+  extends Serializable {
 
-  /** Release the cached cell assignment. The index caches `assigned` for its
-    * own lifetime (every query scans it); call this when done with the index
-    * so the blocks don't outlive it.
+  /** The index-lifetime broadcast of the k×dim centroid matrix, memoized on
+    * first use. Callers on the large-k path share this single handle; the
+    * small-k literal path never touches it (no broadcast is created for an
+    * index that never needs one).
     */
-  def release(): Unit = { assigned.unpersist(blocking = false); () }
+  private[ext] def matrixBroadcast(spark: SparkSession): Broadcast[Array[Array[Double]]] =
+    synchronized {
+      bcHandle.getOrElse {
+        val b = IvfIndex.bcMatrix(spark, centroids)
+        bcHandle = Some(b)
+        b
+      }
+    }
+
+  /** Release the cached cell assignment and the centroid broadcast. The
+    * index caches `assigned` for its own lifetime (every query scans it);
+    * call this when done with the index so neither the blocks nor the
+    * executor-held centroid matrix outlive it.
+    */
+  def release(): Unit = synchronized {
+    assigned.unpersist(blocking = false)
+    bcHandle.foreach(_.destroy())
+    bcHandle = None
+  }
 
   /** Top-k cosine neighbors for EVERY query id in one Spark job: the query
     * rows are filtered from the assignment, exploded to their `nprobe`
@@ -56,7 +83,8 @@ final class IvfIndex private (
     val q = assigned.filter(col("vid").isin(queryIds: _*))
       .select(col("vid").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"),
         explode(IvfIndex.probeCells(col("emb"), centroids, nprobe,
-          assigned.sparkSession)).as("probe"))
+          assigned.sparkSession,
+          Some(() => matrixBroadcast(assigned.sparkSession)))).as("probe"))
     val scored = assigned.join(broadcast(q),
         col("cell") === col("probe") && col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
@@ -97,7 +125,8 @@ final class IvfIndex private (
         QuantizedAnn.quantizePacked(IvfIndex.unit(col("emb"), col("nrm")), scale)
           .as("qpemb"),
         explode(IvfIndex.probeCells(col("emb"), centroids, nprobe,
-          assigned.sparkSession)).as("probe"))
+          assigned.sparkSession,
+          Some(() => matrixBroadcast(assigned.sparkSession)))).as("probe"))
     val scored = packed.join(broadcast(q),
         col("cell") === col("probe") && col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
@@ -121,7 +150,7 @@ final class IvfIndex private (
         .as("pemb"))
       .persist()
     p.count() // materialize: queries must scan bytes, not recompute floats
-    new IvfPackedIndex(centroids, p, assigned, scale)
+    new IvfPackedIndex(centroids, p, assigned, scale, this)
   }
 }
 
@@ -138,7 +167,10 @@ final class IvfPackedIndex private[ext] (
     /** vid, cell, pemb — the only relation queries scan at volume. */
     val packed: DataFrame,
     queryLookup: DataFrame,
-    scale: Int) extends Serializable {
+    scale: Int,
+    /** the building index — shares its one centroid broadcast (and owns its
+      * destruction in [[IvfIndex.release]]). */
+    parent: IvfIndex) extends Serializable {
 
   def release(): Unit = { packed.unpersist(blocking = false); () }
 
@@ -152,7 +184,8 @@ final class IvfPackedIndex private[ext] (
         QuantizedAnn.quantizePacked(IvfIndex.unit(col("emb"), col("nrm")), scale)
           .as("qpemb"),
         explode(IvfIndex.probeCells(col("emb"), centroids, nprobe,
-          queryLookup.sparkSession)).as("probe"))
+          queryLookup.sparkSession,
+          Some(() => parent.matrixBroadcast(queryLookup.sparkSession)))).as("probe"))
     val scored = packed.join(broadcast(q),
         col("cell") === col("probe") && col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
@@ -174,11 +207,17 @@ object IvfIndex {
     */
   val LiteralMaxKConf = "spark.graft.ivf.literalMaxK"
 
-  private def literalMaxK(spark: org.apache.spark.sql.SparkSession): Int =
+  private def literalMaxK(spark: SparkSession): Int =
     spark.conf.get(LiteralMaxKConf, "128").toInt
 
-  private def bcMatrix(spark: org.apache.spark.sql.SparkSession,
-      centroids: Seq[(Int, Array[Double])]): org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] =
+  /** One fresh broadcast of the centroid matrix. Call-scoped users (probe
+    * surfaces, fit's per-iteration passes) own cleanup; index-lifetime users
+    * go through [[IvfIndex.matrixBroadcast]], which memoizes exactly one
+    * handle and destroys it in `release()` (r6 advice: per-call re-broadcast
+    * accumulated executor-held copies until ContextCleaner GC).
+    */
+  private[ext] def bcMatrix(spark: SparkSession,
+      centroids: Seq[(Int, Array[Double])]): Broadcast[Array[Array[Double]]] =
     spark.sparkContext.broadcast(centroids.map(_._2).toArray)
 
   /** array<struct<dist, cell>> of squared distances from `emb` to every
@@ -199,22 +238,27 @@ object IvfIndex {
   /** Nearest-cell id, routed by k: plan-literal fold below the
     * [[LiteralMaxKConf]] threshold, broadcast-matrix kernel above it.
     * Either way the assignment is MAP-ONLY — no shuffle at any k.
+    * `bc` supplies the shared index-lifetime broadcast on the large-k
+    * branch; absent, a call-scoped broadcast is created (the caller owns
+    * its cleanup).
     */
   private def cellCol(emb: Column, centroids: Seq[(Int, Array[Double])],
-      spark: org.apache.spark.sql.SparkSession): Column =
+      spark: SparkSession,
+      bc: Option[() => Broadcast[Array[Array[Double]]]] = None): Column =
     if (centroids.size <= literalMaxK(spark)) nearestCell(emb, centroids)
-    else NearestCells(emb, bcMatrix(spark, centroids),
+    else NearestCells(emb, bc.fold(bcMatrix(spark, centroids))(_.apply()),
       centroids.map(_._1).toArray, 1).getItem(0)
 
   /** The `nprobe` nearest cell ids as `array<int>` (dist asc, cell asc),
-    * routed by k like [[cellCol]].
+    * routed by k like [[cellCol]] (same `bc` contract).
     */
   private[ext] def probeCells(emb: Column, centroids: Seq[(Int, Array[Double])],
-      nprobe: Int, spark: org.apache.spark.sql.SparkSession): Column =
+      nprobe: Int, spark: SparkSession,
+      bc: Option[() => Broadcast[Array[Array[Double]]]] = None): Column =
     if (centroids.size <= literalMaxK(spark))
       transform(slice(array_sort(cellDistances(emb, centroids)), 1, nprobe),
         s => s.getField("cell"))
-    else NearestCells(emb, bcMatrix(spark, centroids),
+    else NearestCells(emb, bc.fold(bcMatrix(spark, centroids))(_.apply()),
       centroids.map(_._1).toArray, nprobe)
 
   /** One literal-fold assignment pass (probe/spec surface — [[cellCol]]
@@ -283,11 +327,18 @@ object IvfIndex {
 
     val spark = df.sparkSession
     for (_ <- 1 to iters) {
+      // each iteration's centroids are transient: the large-k broadcast
+      // (when taken) is destroyed as soon as the update pass collects
+      val iterBc =
+        if (centroids.size > literalMaxK(spark)) Some(bcMatrix(spark, centroids))
+        else None
       val upd = base
-        .select(cellCol(col("emb"), centroids, spark).as("cell"), col("emb"))
+        .select(cellCol(col("emb"), centroids, spark,
+          iterBc.map(b => () => b)).as("cell"), col("emb"))
         .groupBy("cell")
         .agg(VectorSumMicros.of(col("emb")).as("ms"), count(lit(1)).as("n"))
         .collect()
+      iterBc.foreach(_.destroy())
       // empty cells die; (sum_micros / 1e6) / n is the exact arithmetic the
       // oracle reproduces (integer sum, then two double divisions)
       centroids = upd.map { r =>
@@ -296,12 +347,19 @@ object IvfIndex {
       }.toSeq.sortBy(_._1)
     }
 
+    // the FINAL centroids' broadcast (large k only) becomes the index's one
+    // lifetime handle — the assignment pass below and every later query
+    // share it; IvfIndex.release() destroys it
+    val finalBc =
+      if (centroids.size > literalMaxK(spark)) Some(bcMatrix(spark, centroids))
+      else None
     val assigned = base
       .select(col("vid"), col("emb"), col("nrm"),
-        cellCol(col("emb"), centroids, spark).as("cell"))
+        cellCol(col("emb"), centroids, spark,
+          finalBc.map(b => () => b)).as("cell"))
       .persist()
     assigned.count() // materialize so base's blocks can be dropped
     base.unpersist(blocking = false)
-    new IvfIndex(centroids, assigned)
+    new IvfIndex(centroids, assigned, finalBc)
   }
 }

@@ -105,8 +105,16 @@ object GraftPlans {
     val hasStrategy = spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)
     spark.conf.getOption("spark.graft.topk.physical") match {
       case Some(mode) =>
+        // strict parse with a message naming the conf: a malformed value
+        // ("1", "yes") must not surface as a bare IllegalArgumentException
+        // from library entry points that otherwise never throw
+        val physical =
+          if (mode.equalsIgnoreCase("true")) true
+          else if (mode.equalsIgnoreCase("false")) false
+          else throw new IllegalArgumentException(
+            s"spark.graft.topk.physical must be 'true' or 'false', got '$mode'")
         val viaExtension = Bridge.hasPlannerStrategy(spark, TopKPerKeyStrategy)
-        if (mode.toBoolean) {
+        if (physical) {
           if (!hasStrategy && !viaExtension)
             spark.experimental.extraStrategies =
               spark.experimental.extraStrategies :+ TopKPerKeyStrategy

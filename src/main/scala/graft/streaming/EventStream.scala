@@ -69,8 +69,13 @@ object EventStream {
   def runIngestGate(incoming: DataFrame, name: String)
       (gate: DataFrame => DataFrame): DataFrame = {
     val spark = incoming.sparkSession
-    val base = java.nio.file.Files.createTempDirectory(s"graft-ingest-$name").toString
+    val basePath = java.nio.file.Files.createTempDirectory(s"graft-ingest-$name")
+    deleteOnExit(basePath) // result parquet is read lazily, so the tree
+    val base = basePath.toString // must outlive this call; reap at JVM exit
     val out = s"$base/out"
+    // foreachBatch only creates batch dirs when a batch fires; pre-create
+    // the parent so a zero-input stream doesn't leave a missing path.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     val q = incoming.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         gate(batch).write.mode("overwrite").parquet(s"$out/batch=$id")
@@ -80,8 +85,28 @@ object EventStream {
       .start()
     q.awaitTermination()
     lastRunStats = extractStats(q.recentProgress)
-    spark.read.parquet(out).drop("batch") // batch=<id> partition dirs
+    val batchDirs = Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("batch="))
+    if (batchDirs.isEmpty) {
+      // Zero input files → no batch ever fired. The gate's output schema on
+      // an empty static frame of the incoming schema IS the contract shape.
+      gate(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema))
+    } else spark.read.parquet(out).drop("batch") // batch=<id> partition dirs
   }
+
+  /** Register a JVM-exit sweep of a temp tree. The result DataFrames these
+    * runners return read their parquet lazily, so an eager delete after the
+    * runner returns would race the caller's first action — exit-time reaping
+    * is the correct scope for a driver-lifetime harness dir. */
+  private def deleteOnExit(root: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
 
   /** File-source stream of the events table with a proper event-time column.
     * (The file source wants a directory; select the one table via glob.)
@@ -450,7 +475,9 @@ object EventStream {
     */
   def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
-    val base = java.nio.file.Files.createTempDirectory(s"graft-stream-$name").toString
+    val basePath = java.nio.file.Files.createTempDirectory(s"graft-stream-$name")
+    deleteOnExit(basePath)
+    val base = basePath.toString
     val out = s"$base/out"
     val q = (if (mode == OutputMode.Append()) {
       df.writeStream

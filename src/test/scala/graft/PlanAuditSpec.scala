@@ -244,6 +244,20 @@ class PlanAuditSpec extends GraftSpec {
     p should not include "CartesianProduct"
   }
 
+  it("dq103's 24h slice reaches the aggregation-side events scan as raw " +
+      "ts bounds in PushedFilters — the corpus-sized groupBy reads only " +
+      "the sliced window") {
+    val df = SparkEntry.queries("dq103_dense_resample")(spark, dir)
+    val pushed = graft.plans.PlanWalk
+      .collectAll(df.queryExecution.executedPlan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("PushedFilters", "")
+      }.mkString
+    // 2024-01-10T00:00:00Z / 2024-01-11T00:00:00Z as epoch nanos
+    pushed should include("GreaterThanOrEqual(ts,1704844800000000000)")
+    pushed should include("LessThan(ts,1704931200000000000)")
+  }
+
   it("custom expressions participate in whole-stage codegen") {
     import spark.implicits._
     // non-foldable input (range), so the projection can't constant-fold away

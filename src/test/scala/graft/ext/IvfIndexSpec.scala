@@ -197,6 +197,20 @@ class IvfIndexSpec extends GraftSpec {
     cellsOf(Seq(null, 0.9f), 1) shouldBe Seq(1)
   }
 
+  it("the centroid matrix broadcast is ONE memoized handle per index, " +
+     "destroyed by release()") {
+    val idx = IvfIndex.fit(emb, "vec_id", "embedding", k = 4)
+    try {
+      val b1 = idx.matrixBroadcast(spark)
+      val b2 = idx.matrixBroadcast(spark)
+      (b1 eq b2) shouldBe true // repeated large-k queries share one copy
+      b1.value.length shouldBe idx.centroids.size
+      idx.release()
+      // destroyed: the handle no longer serves values
+      an[Exception] should be thrownBy b1.value
+    } finally idx.release()
+  }
+
   it("release() drops the index's cache blocks") {
     index.release()
     index.assigned.storageLevel.useMemory shouldBe false

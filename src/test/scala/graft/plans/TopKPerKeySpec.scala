@@ -145,6 +145,21 @@ class TopKPerKeySpec extends GraftSpec {
     } finally GraftPlans.install(spark)
   }
 
+  it("ensureInstalled rejects a malformed mode conf with a message naming " +
+     "the key, not a bare toBoolean IllegalArgumentException") {
+    try {
+      spark.conf.set("spark.graft.topk.physical", "yes")
+      val e = intercept[IllegalArgumentException] {
+        GraftPlans.ensureInstalled(spark)
+      }
+      e.getMessage should include("spark.graft.topk.physical")
+      e.getMessage should include("'yes'")
+    } finally {
+      spark.conf.unset("spark.graft.topk.physical")
+      GraftPlans.install(spark)
+    }
+  }
+
   it("install is idempotent") {
     GraftPlans.install(spark)
     GraftPlans.install(spark)

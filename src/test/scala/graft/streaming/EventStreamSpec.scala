@@ -272,6 +272,20 @@ class EventStreamSpec extends GraftSpec {
       // the gate really ran per micro-batch: two batch=<id> directories
       EventStream.lastRunStats.map(_.batches).getOrElse(0) should be >= 2
     }
+
+    it("a zero-input stream returns an EMPTY frame in the gate's output " +
+        "schema instead of throwing path-does-not-exist") {
+      val base = java.nio.file.Files.createTempDirectory("graft-gate-empty")
+      java.nio.file.Files.createDirectories(base.resolve("in"))
+      val incoming = spark.readStream
+        .schema(EventStream.documentsSchema)
+        .parquet(s"$base/in/*.parquet") // matches nothing → no batch fires
+      val res = EventStream.runIngestGate(incoming, "spec-empty") { batch =>
+        batch.filter(col("doc_id") % 2 === 0).select("doc_id", "source")
+      }
+      res.columns.toSeq shouldBe Seq("doc_id", "source")
+      res.count() shouldBe 0L
+    }
   }
 
   describe("streaming observability (what a 100 TB pipeline alarms on)") {
