@@ -58,9 +58,20 @@ object Bench {
     val load2 = loadAvg()
     val pass2 = names.map(n => n -> runOnce(n)).toMap
     val load3 = loadAvg()
-    val results = names.map { n =>
+    // third pass ONLY where the first two disagree by >1.5× (r6 directive
+    // #5): the shared box swings ±40% run-to-run, and a 1.5× split between
+    // two passes means at least one was load-inflated — a third sample
+    // makes the min a load-free comparison number without manual loadavg
+    // adjudication (dq83's 19.0/4.67 pair auto-resolves here).
+    val disagreeing = names.filter { n =>
       val (t1, t2) = (pass1(n), pass2(n))
-      n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+      t1 > 0 && t2 > 0 && math.max(t1, t2) / math.min(t1, t2) > 1.5
+    }
+    val pass3 = disagreeing.map(n => n -> runOnce(n)).toMap
+    val load4 = loadAvg()
+    val results = names.map { n =>
+      val ts = (Seq(pass1(n), pass2(n)) ++ pass3.get(n)).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
 
     // Stage evidence (untimed, after the timed passes) — turns "the wall
@@ -153,6 +164,50 @@ object Bench {
         val parts = Seq(streamStats("dq49"), streamStats("dq78"),
           streamStats("dq96"), streamStats("dq97")).flatten
         if (parts.isEmpty) None else Some(parts.mkString(","))
+      },
+      //  - dq104: the persisted-index gate's history-side bytes — every
+      //    file scan in the batch-2-shaped gate lives under the index
+      //    layout (digests/bands/counts), and the history TEXT bytes the
+      //    per-call path would re-read are reported alongside for scale:
+      //    proof the loop reads the index, not the corpus.
+      if (!names.exists(_.startsWith("dq104"))) None
+      else try {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-bench-ndidx").toString + "/idx"
+        val t0 = System.nanoTime()
+        val idx = graft.ext.NearDupIndex.build(docs, "doc_id", "text", path)
+        val t1 = System.nanoTime()
+        // batch-2-shaped incoming, MATERIALIZED (localCheckpoint) so the
+        // gate plan can't hold a documents scan through the incoming side
+        val inc = docs.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"), col("source"),
+            concat(col("text"), lit(" zzztail")).as("text"))
+          .localCheckpoint(true)
+        val gate = idx.pairsPlanFor(inc, "doc_id", "text")
+        // collect, NOT count(): count() plans a separate execution and
+        // THIS queryExecution's scan metrics would never populate
+        val nDup = gate.collect().length
+        val t2 = System.nanoTime()
+        val scans = graft.plans.PlanWalk
+          .collectAll(gate.queryExecution.executedPlan) {
+            case f: FileSourceScanExec => f
+          }
+        def underIdx(f: FileSourceScanExec): Boolean =
+          f.relation.location.rootPaths.exists(_.toString.contains(path))
+        val idxBytes = scans.filter(underIdx)
+          .flatMap(_.metrics.get("filesSize").map(_.value)).sum
+        val outside = scans.count(f => !underIdx(f))
+        val histTextBytes = java.nio.file.Files.size(
+          java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+        Some(f""""dq104_build_sec":${(t1 - t0) / 1e9}%.3f,""" +
+          f""""dq104_gate_sec":${(t2 - t1) / 1e9}%.3f,"dq104_gate_dups":$nDup,""" +
+          s""""dq104_idx_bytes_read":$idxBytes,"dq104_nonindex_file_scans":$outside,""" +
+          s""""dq104_history_text_bytes":$histTextBytes""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq104 evidence failed: ${e.getMessage}"); None
       },
       if (!names.exists(_.startsWith("dq59"))) None
       else try {
@@ -254,15 +309,25 @@ object Bench {
       if (evidenceParts.isEmpty) ""
       else evidenceParts.mkString(""","evidence":{""", ",", "}")
 
+    // "queries" IS the best-of-passes comparison number (min over 2–3
+    // passes); "passes" carries every raw sample (3 entries where the
+    // disagreement pass ran) and "disagreement" the pre-resolution ratio.
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val passes = names.map(n => "\"" + n + f"\":[${pass1(n)}%.3f,${pass2(n)}%.3f]")
-      .mkString("{", ",", "}")
-    val loads = f"[$load0%.2f,$load1%.2f,$load2%.2f,$load3%.2f]"
+    val passes = names.map { n =>
+      val ts = Seq(pass1(n), pass2(n)) ++ pass3.get(n)
+      "\"" + n + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val disagreement = disagreeing.map { n =>
+      val r = math.max(pass1(n), pass2(n)) / math.min(pass1(n), pass2(n))
+      "\"" + n + f"\":$r%.2f"
+    }.mkString("{", ",", "}")
+    val loads = f"[$load0%.2f,$load1%.2f,$load2%.2f,$load3%.2f,$load4%.2f]"
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""passes":$passes,"loadavg":$loads,"sf":"$sfDir"$evidence}"""
+        f""""passes":$passes,"disagreement":$disagreement,""" +
+        f""""loadavg":$loads,"sf":"$sfDir"$evidence}"""
     println(line)
     // sbt-forked stdout gets an "[info] " prefix; leave an undecorated copy
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")

@@ -1671,6 +1671,57 @@ object SparkEntry {
       .orderBy("hour", "event_type")
   }
 
+  /** Mutate every `step`-th space-token (0-based) by appending `suffix` —
+    * the dq83 "heavy revision" synthesis: every 3-gram shingle window
+    * contains a mutated index, so Jaccard vs the original is ≈ 0.
+    */
+  private def mutateTokens(text: Column, step: Int, suffix: String): Column =
+    array_join(transform(split(text, " "),
+      (tok, i) => when(i % step === 0, concat(tok, lit(suffix))).otherwise(tok)),
+      " ")
+
+  /** DQ104 (EXT): the PERSISTED-index incremental near-dup ingest LOOP
+    * ([[graft.ext.NearDupIndex]]) — dq83's gate productionized (r6
+    * directive #1): history is shingled once into a stored layout
+    * (digests + band keys + bucket-count partials + statistics), then TWO
+    * consecutive batches run the gate against the STORE — batch 2's
+    * history side is parquet the loop itself wrote, with Bloom sizing fed
+    * from stored statistics (no count job) and exact verification on
+    * stored digests (history text is never re-read; the
+    * `NearDupIndexSpec` plan audit proves batch 2's scans touch only the
+    * index). Batch 1 is dq83's synthesis; its survivors are APPENDED, and
+    * batch 2 then carries (a) near-replays of batch-1 survivors — dropped
+    * ONLY because the append indexed them, (b) near-replays of original
+    * history — dropped via the build, (c) fresh revisions — kept. The
+    * oracle re-derives both rounds including the append semantics. */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val b1 = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("source"),
+        concat(col("text"), lit(" zzztail")).as("text"))
+      .union(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("source"),
+          mutateTokens(col("text"), 3, "x").as("text")))
+    val b2 = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"), col("source"),
+        concat(mutateTokens(col("text"), 3, "x"), lit(" zzztail")).as("text"))
+      .union(docs.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"), col("source"),
+          concat(col("text"), lit(" zzztail")).as("text")))
+      .union(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("source"),
+          mutateTokens(col("text"), 2, "y").as("text")))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ndidx").toString + "/idx"
+    val idx = graft.ext.NearDupIndex.build(docs, "doc_id", "text", path)
+    val kept1 = idx.keepUnseen(b1, "doc_id", "text").localCheckpoint(true)
+    idx.append(kept1, "doc_id", "text")
+    val kept2 = idx.keepUnseen(b2, "doc_id", "text")
+    kept1.select(lit(1L).as("batch"), col("doc_id"), col("source"))
+      .union(kept2.select(lit(2L).as("batch"), col("doc_id"), col("source")))
+      .orderBy("batch", "doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1775,7 +1826,8 @@ object SparkEntry {
     "dq100_token_packing"       -> (q100 _),
     "dq101_epoch_shuffle"       -> (q101 _),
     "dq102_quality_gate"        -> (q102 _),
-    "dq103_dense_resample"      -> (q103 _)
+    "dq103_dense_resample"      -> (q103 _),
+    "dq104_neardup_index_loop"  -> (q104 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -1854,6 +1906,89 @@ object SparkEntry {
       |SELECT doc_id, source FROM incoming
       |WHERE doc_id NOT IN (SELECT inc_id FROM pairs WHERE jac > 0.8)
       |ORDER BY doc_id""".stripMargin
+
+  /** One digest/signature/band derivation for dq104, over a named
+    * (doc_id, text) relation: sorted md5 digests of the distinct 3-gram
+    * shingles (`${p}s.ds` — byte-identical to the [[graft.ext.NearDupIndex]]
+    * stored payload), the 16-hash signature derived from the digests'
+    * 32-bit halves, and the 4 banded keys (`${p}b`). Same arithmetic as
+    * [[Dq83Sql]]; the difference is that every downstream stage (including
+    * exact Jaccard) runs on the digests, never the shingle text.
+    */
+  private def dq104Chain(src: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+      |    x -> len(x) > 0) toks FROM $src),
+      |${p}s AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+      |      range(1, len(toks) - 1),
+      |      i -> substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 16)))) ds
+      |  FROM ${p}t WHERE len(toks) >= 3),
+      |${p}g AS (SELECT doc_id, list_transform(range(0, 16),
+      |    i -> list_min(list_transform(ds,
+      |      d -> (('0x' || substr(d, 1, 8))::BIGINT + i * ('0x' || substr(d, 9, 8))::BIGINT)
+      |           % 2147483647))) mh FROM ${p}s),
+      |${p}b AS (SELECT doc_id, b,
+      |    mh[4*b+1] || '|' || mh[4*b+2] || '|' || mh[4*b+3] || '|' || mh[4*b+4] bkey
+      |  FROM ${p}g, unnest(range(0, 4)) AS u(b))""".stripMargin
+
+  /** dq104's two-round persisted-index loop: build from documents, gate
+    * batch 1, append survivors, gate batch 2 against the UNIONED index.
+    */
+  private lazy val Dq104Sql = {
+    def mut(step: Int, sfx: Char): String =
+      s"""array_to_string(list_transform(range(1, len(tk) + 1),
+        |      i -> CASE WHEN (i - 1) % $step = 0 THEN tk[i] || '$sfx' ELSE tk[i] END),
+        |      ' ')""".stripMargin
+    s"""WITH b1 AS (
+      |  SELECT doc_id + 100000 AS doc_id, source, text || ' zzztail' AS text
+      |  FROM documents WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, source, ${mut(3, 'x')} AS text
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') tk
+      |        FROM documents WHERE doc_id % 13 = 0)),
+      |b2 AS (
+      |  SELECT doc_id + 300000 AS doc_id, source,
+      |    ${mut(3, 'x')} || ' zzztail' AS text
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') tk
+      |        FROM documents WHERE doc_id % 13 = 0)
+      |  UNION ALL
+      |  SELECT doc_id + 400000 AS doc_id, source, text || ' zzztail' AS text
+      |  FROM documents WHERE doc_id % 19 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 500000 AS doc_id, source, ${mut(2, 'y')} AS text
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') tk
+      |        FROM documents WHERE doc_id % 11 = 0)),
+      |${dq104Chain("documents", "h")},
+      |${dq104Chain("b1", "p")},
+      |${dq104Chain("b2", "q")},
+      |hok AS (SELECT doc_id, b, bkey FROM
+      |    (SELECT doc_id, b, bkey, count(*) OVER (PARTITION BY b, bkey) c FROM hb)
+      |  WHERE c <= 100),
+      |c1 AS (SELECT DISTINCT i.doc_id inc_id, h.doc_id hist_id
+      |  FROM pb i JOIN hok h USING (b, bkey)),
+      |v1 AS (SELECT inc_id,
+      |    len(list_intersect(x.ds, y.ds))::DOUBLE / len(list_distinct(x.ds || y.ds)) jac
+      |  FROM c1 JOIN ps x ON x.doc_id = inc_id JOIN hs y ON y.doc_id = hist_id),
+      |k1 AS (SELECT doc_id, source FROM b1
+      |  WHERE doc_id NOT IN (SELECT inc_id FROM v1 WHERE jac > 0.8)),
+      |h2s AS (SELECT doc_id, ds FROM hs
+      |  UNION ALL SELECT ps.doc_id, ps.ds FROM ps JOIN k1 USING (doc_id)),
+      |h2b AS (SELECT doc_id, b, bkey FROM hb
+      |  UNION ALL SELECT pb.doc_id, pb.b, pb.bkey FROM pb JOIN k1 USING (doc_id)),
+      |h2ok AS (SELECT doc_id, b, bkey FROM
+      |    (SELECT doc_id, b, bkey, count(*) OVER (PARTITION BY b, bkey) c FROM h2b)
+      |  WHERE c <= 100),
+      |c2 AS (SELECT DISTINCT i.doc_id inc_id, h.doc_id hist_id
+      |  FROM qb i JOIN h2ok h USING (b, bkey)),
+      |v2 AS (SELECT inc_id,
+      |    len(list_intersect(x.ds, y.ds))::DOUBLE / len(list_distinct(x.ds || y.ds)) jac
+      |  FROM c2 JOIN qs x ON x.doc_id = inc_id JOIN h2s y ON y.doc_id = hist_id),
+      |k2 AS (SELECT doc_id, source FROM b2
+      |  WHERE doc_id NOT IN (SELECT inc_id FROM v2 WHERE jac > 0.8))
+      |SELECT CAST(1 AS BIGINT) AS batch, doc_id, source FROM k1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS batch, doc_id, source FROM k2
+      |ORDER BY batch, doc_id""".stripMargin
+  }
 
   /** dq72's winnow shared-passage pairs as reusable SQL over a named
     * (doc_id, text) relation (no ORDER BY) — identical rolling-hash
@@ -2212,6 +2347,11 @@ object SparkEntry {
         |WHERE strftime(st.hh, '%Y-%m-%d %H:%M:%S') >= '2024-01-10 00:00:00'
         |  AND strftime(st.hh, '%Y-%m-%d %H:%M:%S') < '2024-01-11 00:00:00'
         |ORDER BY hour, st.event_type""".stripMargin,
+    // the persisted-index loop: the chain below derives, per relation, the
+    // EXACT stored payload (sorted digest sets, digest-derived signatures,
+    // banded keys); round 2's index side is the round-1 index UNION the
+    // batch-1 survivors — the append semantics re-derived in SQL
+    "dq104_neardup_index_loop" -> Dq104Sql,
     "dq31_stream_dedup" ->
       """SELECT event_type, count(*) AS n_unique_users FROM (
         |  SELECT DISTINCT user_id, event_type FROM events)

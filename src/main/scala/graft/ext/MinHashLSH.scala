@@ -54,13 +54,32 @@ object MinHashLSH {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
   }
 
+  /** Sorted distinct shingle digests — the persistable per-document
+    * verification payload ([[NearDupIndex]]): Jaccard over digest sets
+    * equals Jaccard over the shingle sets they hash, signatures derive from
+    * the digests' 32-bit halves ([[hashPairsFromDigests]]), and md5 is
+    * engine-reproducible, so a stored digest relation replaces the text for
+    * every downstream stage. Only the first 16 hex chars are kept — exactly
+    * the (h1, h2) halves the signature arithmetic reads — halving the
+    * stored payload vs the full digest (64 collision bits; the digest IS
+    * the defined dedup identity on both engines).
+    */
+  def shingleDigests(text: Column): Column =
+    sort_array(transform(shingles(text), x => substring(md5(x), 1, 16)))
+
   /** Per-shingle hash pair: the two 32-bit halves of one md5 digest, as
     * longs. The caller materializes this in its own projection so the digest
     * is computed once per shingle (CollapseProject keeps multi-referenced
     * non-trivial aliases in place).
     */
   def hashPairs(shingleSet: Column): Column =
-    transform(transform(shingleSet, x => md5(x)), d =>
+    hashPairsFromDigests(transform(shingleSet, x => md5(x)))
+
+  /** [[hashPairs]] over an already-digested shingle set ([[shingleDigests]])
+    * — no second md5 pass; the digest IS the hash source.
+    */
+  def hashPairsFromDigests(digests: Column): Column =
+    transform(digests, d =>
       struct(
         conv(substring(d, 1, 8), 16, 10).cast(LongType).as("h1"),
         conv(substring(d, 9, 8), 16, 10).cast(LongType).as("h2")))
@@ -321,14 +340,27 @@ object MinHashLSH {
     * The bucket key is the band's signature slice rendered as a '|'-joined
     * string of longs: no second digest, and byte-identical in any engine.
     */
-  private def bandedKeys(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private def bandedKeys(sh: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandExplode(
+      sh.select(col("doc_id"), hashPairs(col("sh")).as("__hp"))
+        .select(col("doc_id"), signatureFrom(col("__hp"), numHashes).as("mh")),
+      numHashes, bands)
+
+  /** [[bandedKeys]] over a `(doc_id, ds)` digest frame ([[shingleDigests]])
+    * — the [[NearDupIndex]] ingest path, where the shingle text no longer
+    * exists. Signatures are order-independent mins, so digest-derived bands
+    * are bit-identical to shingle-derived ones.
+    */
+  private[ext] def bandedKeysFromDigests(ds: DataFrame, numHashes: Int,
+      bands: Int): DataFrame =
+    bandExplode(
+      ds.select(col("doc_id"), hashPairsFromDigests(col("ds")).as("__hp"))
+        .select(col("doc_id"), signatureFrom(col("__hp"), numHashes).as("mh")),
+      numHashes, bands)
+
+  private def bandExplode(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-
-    val sig = sh
-      .select(col("doc_id"), hashPairs(col("sh")).as("__hp"))
-      .select(col("doc_id"), signatureFrom(col("__hp"), numHashes).as("mh"))
-
     sig.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
