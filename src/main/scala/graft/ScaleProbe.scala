@@ -292,6 +292,60 @@ object ScaleProbe {
         ()
       }
     }
+    // Cell-pruned semantic decon probe (r6 directive #3): the corpus×eval
+    // brute product vs the corpus×(probed cells) candidate count at m×
+    // embeddings — the reduction that makes a large eval battery
+    // affordable — with the pruned report's flag recall vs the exact
+    // report recorded alongside at a near-dup gate threshold (exact stays
+    // the gated default; the recall number is the honesty line).
+    if (sys.env.get("SCALE_DECONP").contains("1")) {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      // kernel assignment path (the production shape at k=32): the literal
+      // fold at this k de-codegens the pruned plan's map stage
+      spark.conf.set(graft.ext.IvfIndex.LiteralMaxKConf, "0")
+      for (m <- Seq(1, 10)) {
+        val df = emb.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("vec_id") * m + col("rep")).as("vec_id"),
+            transform(col("embedding"),
+              x => x + (col("rep") % 10).cast("float") * lit(0.01f)).as("embedding"))
+          .cache()
+        df.count()
+        val evalSet = df.filter(col("vec_id") % 97 === 0).cache()
+        val train = df.filter(col("vec_id") % 97 =!= 0).cache()
+        val (nEval, nTrain) = (evalSet.count(), train.count())
+        val tFit0 = System.nanoTime()
+        val index = graft.ext.IvfIndex.fit(train, "vec_id", "embedding", k = 32)
+        val tFit1 = System.nanoTime()
+        val nprobe = 4
+        // candidate volume: in-cell (train, eval-probe) pairs vs the brute
+        // product the exact path scores
+        val tr = index.withCell(
+          train.select(col("vec_id"), col("embedding").as("__emb")), "__emb")
+        val ev = evalSet.select(
+          explode(index.probesFor(col("embedding"), nprobe, spark)).as("__probe"))
+        val cand = tr.join(broadcast(ev), col("cell") === col("__probe")).count()
+        val thr = 0.99
+        val t0 = System.nanoTime()
+        val exact = graft.ext.Decontamination
+          .semanticReport(train, evalSet, "vec_id", "embedding", thr).cache()
+        val exactFlags = exact.count()
+        val t1 = System.nanoTime()
+        val pruned = graft.ext.Decontamination
+          .semanticReportPruned(train, evalSet, "vec_id", "embedding", thr,
+            index, nprobe).cache()
+        val prunedFlags = pruned.count()
+        val t2 = System.nanoTime()
+        val hit = pruned.select("vec_id")
+          .join(exact.select("vec_id"), Seq("vec_id"), "left_semi").count()
+        val recall = if (exactFlags == 0) 1.0 else hit.toDouble / exactFlags
+        println(f"""{"probe":"decon_pruned","vecs":${nTrain + nEval},"train":$nTrain,"eval":$nEval,"k":32,"nprobe":$nprobe,"fit_sec":${(tFit1 - tFit0) / 1e9}%.1f,"brute_pairs":${nTrain * nEval},"cand_pairs":$cand,"exact_sec":${(t1 - t0) / 1e9}%.1f,"pruned_sec":${(t2 - t1) / 1e9}%.1f,"exact_flags":$exactFlags,"pruned_flags":$prunedFlags,"flag_recall":$recall%.3f}""")
+        exact.unpersist(); pruned.unpersist()
+        index.release()
+        evalSet.unpersist(); train.unpersist(); df.unpersist()
+        ()
+      }
+      spark.conf.unset(graft.ext.IvfIndex.LiteralMaxKConf)
+    }
     // Z-order file-skip probe: the second-dimension band against the
     // z-ordered layout vs a first-key-sorted baseline at m× data — files
     // whose min/max extent intersects the band are the files a pruning

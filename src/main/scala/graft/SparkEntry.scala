@@ -1722,6 +1722,29 @@ object SparkEntry {
       .orderBy("batch", "doc_id")
   }
 
+  /** DQ105 (EXT): CELL-PRUNED semantic decontamination
+    * ([[Decontamination.semanticReportPruned]], r6 directive #3) — dq91's
+    * eval battery run through the trained-IVF candidate machinery: train
+    * rows carry their dq51-trained cell (map-only), each eval vector
+    * probes its 2 nearest of 8 cells, and the exact cosine threshold
+    * report runs on in-cell candidates only — corpus×(probed cells)
+    * instead of corpus×eval. The EXACT variant (dq91) remains the gated
+    * default; this row locks the pruned computation itself under the
+    * oracle (the DuckDB chain re-derives training, assignment, probes,
+    * and the pruned report bit-for-bit), while `CellPrunedSpec` checks
+    * pruned-vs-exact recall on this corpus and the SCALE_DECON probe
+    * records the candidate reduction. */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val evalSet = e.filter(col("vec_id") % 97 === 0)
+    val train = e.filter(col("vec_id") % 97 =!= 0)
+    val index = IvfIndex.fit(train, "vec_id", "embedding", k = 8, iters = 2)
+    try graft.ext.Decontamination.semanticReportPruned(train, evalSet,
+        "vec_id", "embedding", threshold = 0.3, index, nprobe = 2)
+      .orderBy("vec_id").localCheckpoint(true)
+    finally index.release()
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1827,7 +1850,8 @@ object SparkEntry {
     "dq101_epoch_shuffle"       -> (q101 _),
     "dq102_quality_gate"        -> (q102 _),
     "dq103_dense_resample"      -> (q103 _),
-    "dq104_neardup_index_loop"  -> (q104 _)
+    "dq104_neardup_index_loop"  -> (q104 _),
+    "dq105_semantic_decon_pruned" -> (q105 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2041,18 +2065,25 @@ object SparkEntry {
     * update in integer micro-units; final assignment; probe the nprobe
     * nearest cells per query; cosine top-k within probed cells.
     */
-  private val Dq51Sql: String = {
-    val (k, iters, nprobe, topK) = (8, 2, 2, 5)
-    def dist(emb: String, c: String) =
-      s"list_sum(list_transform(range(1, 65), i -> ($emb[i]::DOUBLE - $c.c[i]) * ($emb[i]::DOUBLE - $c.c[i])))"
+  private def ivfDistSql(emb: String, c: String) =
+    s"list_sum(list_transform(range(1, 65), i -> ($emb[i]::DOUBLE - $c.c[i]) * ($emb[i]::DOUBLE - $c.c[i])))"
+
+  /** The deterministic-Lloyd's training + assignment + probe chain shared
+    * by the IVF oracles (dq51/dq84/dq105): `e` (optionally filtered) →
+    * seeded-hash `c0` → `iters` assignment/update rounds → final assignment
+    * `af` → per-query probe cells `probe` (from the `q` CTE the caller
+    * appends before this string is closed — see usage).
+    */
+  private def ivfChainSql(k: Int, iters: Int, nprobe: Int,
+      eWhere: String, qSelect: String): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT vec_id vid, embedding emb FROM embeddings),
+    sb ++= s"""WITH e AS (SELECT vec_id vid, embedding emb FROM embeddings$eWhere),
       |c0 AS (SELECT rn - 1 AS cell, c FROM (
       |  SELECT row_number() OVER (ORDER BY md5(vid::VARCHAR), vid) rn,
       |         list_transform(emb, x -> x::DOUBLE) c FROM e) WHERE rn <= $k),
       |""".stripMargin
     for (i <- 1 to iters)
-      sb ++= s"""d$i AS (SELECT e.vid, e.emb, c.cell, ${dist("e.emb", "c")} dist
+      sb ++= s"""d$i AS (SELECT e.vid, e.emb, c.cell, ${ivfDistSql("e.emb", "c")} dist
         |  FROM e CROSS JOIN c${i - 1} c),
         |a$i AS (SELECT vid, emb, cell FROM (SELECT vid, emb, cell,
         |    row_number() OVER (PARTITION BY vid ORDER BY dist, cell) rn FROM d$i) WHERE rn = 1),
@@ -2061,15 +2092,22 @@ object SparkEntry {
         |  FROM a$i, unnest(range(1, 65)) t(d) GROUP BY cell, d),
         |c$i AS (SELECT cell, list(cd ORDER BY d) c FROM u$i GROUP BY cell),
         |""".stripMargin
-    sb ++= s"""df AS (SELECT e.vid, e.emb, c.cell, ${dist("e.emb", "c")} dist
+    sb ++= s"""df AS (SELECT e.vid, e.emb, c.cell, ${ivfDistSql("e.emb", "c")} dist
       |  FROM e CROSS JOIN c$iters c),
       |af AS (SELECT vid, emb, cell FROM (SELECT vid, emb, cell,
       |    row_number() OVER (PARTITION BY vid ORDER BY dist, cell) rn FROM df) WHERE rn = 1),
-      |q AS (SELECT vid qid, emb qemb FROM e WHERE vid IN (1, 2, 3)),
-      |qd AS (SELECT q.qid, q.qemb, c.cell, ${dist("q.qemb", "c")} dist
+      |q AS ($qSelect),
+      |qd AS (SELECT q.qid, q.qemb, c.cell, ${ivfDistSql("q.qemb", "c")} dist
       |  FROM q CROSS JOIN c$iters c),
       |probe AS (SELECT qid, qemb, cell FROM (SELECT qid, qemb, cell,
-      |    row_number() OVER (PARTITION BY qid ORDER BY dist, cell) rn FROM qd) WHERE rn <= $nprobe),
+      |    row_number() OVER (PARTITION BY qid ORDER BY dist, cell) rn FROM qd) WHERE rn <= $nprobe)""".stripMargin
+    sb.toString
+  }
+
+  private val Dq51Sql: String = {
+    val topK = 5
+    ivfChainSql(8, 2, 2, "", "SELECT vid qid, emb qemb FROM e WHERE vid IN (1, 2, 3)") +
+      s""",
       |scored AS (SELECT p.qid, a.vid,
       |    list_sum(list_transform(range(1, 65), i -> a.emb[i]::DOUBLE * p.qemb[i]::DOUBLE))
       |    / (sqrt(list_sum(list_transform(a.emb, x -> x::DOUBLE * x::DOUBLE)))
@@ -2078,8 +2116,25 @@ object SparkEntry {
       |SELECT qid, vid, sim FROM (SELECT qid, vid, sim,
       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) rnk FROM scored)
       |WHERE rnk <= $topK ORDER BY qid, vid""".stripMargin
-    sb.toString
   }
+
+  /** dq105: the cell-pruned semantic-decon report — dq51's trained chain
+    * over the TRAIN split, dq91's eval battery probing `nprobe` cells, the
+    * exact cosine threshold report on in-cell candidates only.
+    */
+  private val Dq105Sql: String =
+    ivfChainSql(8, 2, 2, " WHERE vec_id % 97 <> 0",
+      "SELECT vec_id qid, embedding qemb FROM embeddings WHERE vec_id % 97 = 0") +
+      s""",
+      |scored AS (SELECT a.vid,
+      |    list_sum(list_transform(range(1, 65), i -> a.emb[i]::DOUBLE * p.qemb[i]::DOUBLE))
+      |    / (sqrt(list_sum(list_transform(a.emb, x -> x::DOUBLE * x::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(p.qemb, x -> x::DOUBLE * x::DOUBLE)))) sim
+      |  FROM af a JOIN probe p ON a.cell = p.cell)
+      |SELECT vid AS vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+      |  max(sim) AS max_sim
+      |FROM scored WHERE sim > 0.3
+      |GROUP BY 1 ORDER BY vec_id""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same column names, same ORDER BY). */
   def oracleSql: Map[String, String] = Map(
@@ -2352,6 +2407,7 @@ object SparkEntry {
     // banded keys); round 2's index side is the round-1 index UNION the
     // batch-1 survivors — the append semantics re-derived in SQL
     "dq104_neardup_index_loop" -> Dq104Sql,
+    "dq105_semantic_decon_pruned" -> Dq105Sql,
     "dq31_stream_dedup" ->
       """SELECT event_type, count(*) AS n_unique_users FROM (
         |  SELECT DISTINCT user_id, event_type FROM events)

@@ -142,6 +142,42 @@ object Ann {
         (VectorFunctions.dot(col("emb"), col("qemb")) /
           (col("nrm") * col("qnrm"))).as("sim"))
     val topk = CandidateTopK.topPerQuery(scored, "sim", k)
+    voteOver(topk)
+  }
+
+  /** CELL-PRUNED [[knnClassify]] (r6 directive #3) — the corpus×queries
+    * product shrunk to corpus×(probed cells): corpus rows are assigned to
+    * the `index`'s trained cells (map-only, shared centroid broadcast),
+    * each query probes its `nprobe` nearest cells, and scoring/voting runs
+    * only on in-cell candidates — [[IvfIndex.queryAll]]'s candidate shape
+    * with the vote on top. Exact [[knnClassify]] stays the default (labels
+    * want exactness); this is the triage form for large query workloads,
+    * with the `CellPrunedSpec` planting showing the parity check to run.
+    */
+  def knnClassifyPruned(df: DataFrame, idCol: String, embCol: String,
+      labelCol: String, queryPred: Column, k: Int,
+      index: IvfIndex, nprobe: Int): DataFrame = {
+    val spark = df.sparkSession
+    val e = index.withCell(
+      df.select(col(idCol).as("vid"), col(embCol).as("emb"),
+        col(labelCol).as("label"),
+        VectorFunctions.l2Norm(col(embCol)).as("nrm")), "emb")
+    val q = df.filter(queryPred)
+      .select(col(idCol).as("qid"), col(embCol).as("qemb"),
+        VectorFunctions.l2Norm(col(embCol)).as("qnrm"),
+        explode(index.probesFor(col(embCol), nprobe, spark)).as("probe"))
+    val scored = e.join(broadcast(q),
+        col("cell") === col("probe") && col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), col("label"),
+        (VectorFunctions.dot(col("emb"), col("qemb")) /
+          (col("nrm") * col("qnrm"))).as("sim"))
+    voteOver(CandidateTopK.topPerQuery(scored, "sim", k))
+  }
+
+  /** Majority vote over a per-query top-k frame (qid, vid, label, sim):
+    * (votes desc, label asc) — ties toward the smaller label.
+    */
+  private def voteOver(topk: DataFrame): DataFrame = {
     val votes = topk.groupBy("qid", "label")
       .agg(count(lit(1)).as("n_votes"), max(col("sim")).as("best_sim"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))

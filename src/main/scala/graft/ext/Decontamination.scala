@@ -104,4 +104,43 @@ object Decontamination {
     train.join(
       semanticReport(train, evalSet, idCol, embCol, threshold).select(idCol),
       Seq(idCol), "left_anti")
+
+  /** CELL-PRUNED [[semanticReport]] (r6 directive #3) — the scale path for
+    * a 10⁶-item eval battery, where even a broadcast map-side product makes
+    * corpus×eval compute real: train rows are assigned to the `index`'s
+    * trained cells (map-only), each eval vector probes its `nprobe` nearest
+    * cells, and the exact cosine runs only on corpus×(probed cells) —
+    * the same candidate shape as [[IvfIndex.queryAll]], ~nprobe/k of the
+    * brute product per eval item.
+    *
+    * EXACTNESS CAVEAT, by design: a train vector whose cosine clears the
+    * threshold can sit outside its eval hit's probed cells, so this variant
+    * can under-report — [[semanticReport]] (exact) stays the gated default
+    * because a decon false negative ships leakage. Use this form for
+    * triage/scale passes and verify the survivors of ITS flags exactly, or
+    * when the probe set is provably sufficient for the battery (the
+    * `CellPrunedSpec` recall-1.0 planting shows the check to run).
+    */
+  def semanticReportPruned(train: DataFrame, evalSet: DataFrame,
+      idCol: String, embCol: String, threshold: Double,
+      index: IvfIndex, nprobe: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    val spark = train.sparkSession
+    val tr = index.withCell(
+      train.select(col(idCol), col(embCol).as("__emb"),
+        VectorFunctions.l2Norm(col(embCol)).as("__nrm")), "__emb")
+    val ev = evalSet.select(col(embCol).as("__eemb"),
+        VectorFunctions.l2Norm(col(embCol)).as("__enrm"),
+        explode(index.probesFor(col(embCol), nprobe, spark)).as("__probe"))
+    // a train row has ONE cell and an eval's probes are distinct, so each
+    // (train, eval) pair survives the join at most once — hit counts need
+    // no dedup
+    tr.join(broadcast(ev), col("cell") === col("__probe"))
+      .select(col(idCol),
+        (VectorFunctions.dot(col("__emb"), col("__eemb")) /
+          (col("__nrm") * col("__enrm"))).as("__sim"))
+      .filter(col("__sim") > threshold)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("__sim")).as("max_sim"))
+  }
 }

@@ -60,6 +60,22 @@ final class IvfIndex private (
       }
     }
 
+  /** Assign each row of `df` to its nearest trained cell (adds `cell`) —
+    * the composition surface for cell-pruned variants of exact operators
+    * ([[Decontamination.semanticReportPruned]], [[Ann.knnClassifyPruned]]):
+    * MAP-ONLY at any k (literal fold below `literalMaxK`, the shared
+    * [[matrixBroadcast]] kernel above), no shuffle.
+    */
+  def withCell(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("cell", IvfIndex.cellColFor(this, col(embCol), df.sparkSession))
+
+  /** The `nprobe` nearest cell ids for an embedding column — rank-ordered
+    * `array<int>`, same routing as [[withCell]].
+    */
+  def probesFor(emb: Column, nprobe: Int, spark: SparkSession): Column =
+    IvfIndex.probeCells(emb, centroids, nprobe, spark,
+      Some(() => matrixBroadcast(spark)))
+
   /** Release the cached cell assignment and the centroid broadcast. The
     * index caches `assigned` for its own lifetime (every query scans it);
     * call this when done with the index so neither the blocks nor the
@@ -234,6 +250,11 @@ object IvfIndex {
 
   private def nearestCell(emb: Column, centroids: Seq[(Int, Array[Double])]): Column =
     array_min(cellDistances(emb, centroids)).getField("cell")
+
+  private[ext] def cellColFor(index: IvfIndex, emb: Column,
+      spark: SparkSession): Column =
+    cellCol(emb, index.centroids, spark,
+      Some(() => index.matrixBroadcast(spark)))
 
   /** Nearest-cell id, routed by k: plan-literal fold below the
     * [[LiteralMaxKConf]] threshold, broadcast-matrix kernel above it.
