@@ -25,7 +25,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // push nested-struct pruning into the parquet scan — the core of P1
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
-      // events.ts is parquet TIMESTAMP(NANOS): read as long, never throw
+      // legacy fallback: if events.ts is ever regenerated as parquet
+      // TIMESTAMP(NANOS) again, read it as a Long instead of throwing.
+      // A no-op for the current TIMESTAMP(MICROS) files — consumers
+      // detect the scanned unit either way (graft.io.EventTime).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
   }

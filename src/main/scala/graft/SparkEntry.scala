@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.plan.{FieldOrdering, MappingNode, Translator}
 import graft.plan.MappingNode.{Constant, Message, Scalar}
 import graft.ext.{Ann, AsOfJoin, Bm25, ConnectedComponents, Decontamination, Dedup, IvfIndex, MinHashLSH, Multimodal, RangeJoin, Sampling, SimHash, TextAnalysis}
+import graft.io.EventTime
 import graft.streaming.EventStream
 import graft.functions.VectorFunctions
 
@@ -28,7 +29,10 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // make the queries safe under ANY caller-provided session, not just
     // GraftSession (both are runtime-settable confs):
-    //  - events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
+    //  - if events.ts is parquet TIMESTAMP(NANOS) (legacy testdata unit),
+    //    read it as long nanos instead of throwing; a no-op for the
+    //    current TIMESTAMP(MICROS) unit (EventTime detects the scanned
+    //    type either way)
     //  - timestamp rendering (date_format/window) must match the UTC oracle
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
@@ -465,8 +469,9 @@ object SparkEntry {
     * recent prior (or simultaneous) purchase; one shuffle via the
     * union+running-window formulation (ext.AsOfJoin). */
   private def q37(s: SparkSession, dir: String): DataFrame = {
-    // micros on both sides: DuckDB truncates TIMESTAMP_NS to micros on read
-    val ev = t(s, dir, "events").withColumn("ts", expr("ts DIV 1000"))
+    // canonical epoch-micros ts on both sides, whatever unit the parquet
+    // scans as (oracle side: DuckDB epoch_us over its native timestamp)
+    val ev = EventTime.withTsMicros(t(s, dir, "events"))
     val clicks = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts")
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -1631,10 +1636,11 @@ object SparkEntry {
     * hourly aggregates, gaps filled with 0. The spine is
     * hours × types (tiny — it broadcasts); the event aggregation is the
     * only corpus-sized work, and it runs over the SLICED scan: the 24h
-    * window is applied below the groupBy as raw-nanos bounds on `ts`
+    * window is applied below the groupBy as raw-unit bounds on `ts`
     * (hour-truncation maps an event into the slice iff its raw ts lies in
     * [lo, hi), so the predicate is exact — and it reaches the parquet scan
-    * as PushedFilters, r6 directive #2). The spine bounds and the type
+    * as PushedFilters, r6 directive #2; EventTime.tsLiteral keeps that
+    * true in whichever unit the parquet scans as). The spine bounds and the type
     * dimension still come from the FULL corpus (column-pruned single-column
     * scans — types absent from the slice must still zero-fill), and the
     * formatted-string filter stays only as the final presentation slice.
@@ -1642,13 +1648,16 @@ object SparkEntry {
     * review-sized; zero-filled rows are the point. */
   private def q103(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
-    val sliceLoNs = java.time.Instant.parse("2024-01-10T00:00:00Z")
-      .getEpochSecond * 1000000000L
-    val sliceHiNs = java.time.Instant.parse("2024-01-11T00:00:00Z")
-      .getEpochSecond * 1000000000L
-    val hh = date_trunc("hour", timestamp_micros(expr("ts DIV 1000"))).as("hh")
+    // slice bounds as literals in the RAW ts column's own unit/type, so
+    // the comparison pushes down to the parquet scan in any unit
+    val tsType = raw.schema("ts").dataType
+    val sliceLo = EventTime.tsLiteral(tsType,
+      java.time.Instant.parse("2024-01-10T00:00:00Z"))
+    val sliceHi = EventTime.tsLiteral(tsType,
+      java.time.Instant.parse("2024-01-11T00:00:00Z"))
+    val hh = date_trunc("hour", EventTime.eventTimeCol(tsType, "ts")).as("hh")
     val hourly = raw
-      .filter(col("ts") >= sliceLoNs && col("ts") < sliceHiNs)
+      .filter(col("ts") >= sliceLo && col("ts") < sliceHi)
       .select(hh, col("event_type"), col("value"))
       .groupBy("hh", "event_type")
       .agg(count(lit(1)).as("n"),

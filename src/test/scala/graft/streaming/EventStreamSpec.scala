@@ -358,21 +358,26 @@ class EventStreamSpec extends GraftSpec {
     it("readEvents validates instead of mutating: a misconfigured session " +
        "fails fast and is left untouched") {
       val s2 = spark.newSession()
-      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-      val e = intercept[IllegalArgumentException] {
-        EventStream.readEvents(s2, "/root/testdata/sf0.001")
-      }
-      e.getMessage should include("nanosAsLong")
-      // the failed call did not rewrite the caller's conf
-      s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") shouldBe "false"
-
-      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s2.conf.set("spark.sql.session.timeZone", "America/New_York")
       val e2 = intercept[IllegalArgumentException] {
         EventStream.readEvents(s2, "/root/testdata/sf0.001")
       }
       e2.getMessage should include("timeZone")
       s2.conf.get("spark.sql.session.timeZone") shouldBe "America/New_York"
+    }
+
+    it("ts-unit auto-detection: micros events.ts streams without the " +
+       "legacy nanos conf, and event_time is a proper TimestampType") {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.session.timeZone", "UTC")
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      val ev = EventStream.readEvents(s2, "/root/testdata/sf0.001")
+      ev.schema("event_time").dataType shouldBe
+        org.apache.spark.sql.types.TimestampType
+      // declared stream schema matches the file's probed unit, not a
+      // hard-coded one
+      ev.schema("ts").dataType shouldBe
+        graft.io.EventTime.tsTypeOf(s2, "/root/testdata/sf0.001")
     }
   }
 
