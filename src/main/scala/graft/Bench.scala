@@ -139,6 +139,27 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq47 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq106 exact-substring removal mass: how many tokens ExactSubstr
+      //    would delete at this SF (the Lee et al. removal-share number) —
+      //    the "did the span merge find real verbatim mass" evidence.
+      if (!names.exists(_.startsWith("dq106"))) None
+      else try {
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val corpusTokens = docs.select(
+          size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .cast("long").as("n")).agg(sum(col("n"))).head().getLong(0)
+        val rep = graft.ext.ExactSubstring
+          .removalReport(docs, "doc_id", "text", k = 8)
+          .agg(count(lit(1)).as("docs"), sum(col("n_spans")).as("spans"),
+            sum(col("removed_tokens")).as("removed")).head()
+        Some(s""""dq106_docs_affected":${rep.getLong(0)},""" +
+          s""""dq106_spans":${rep.getLong(1)},""" +
+          s""""dq106_removed_tokens":${rep.getLong(2)},""" +
+          s""""dq106_corpus_tokens":$corpusTokens""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq106 evidence failed: ${e.getMessage}"); None
+      },
       //  - dq49/dq78 streaming state: per-run state-store totals and
       //    watermark lag from the progress events — the numbers behind
       //    "the cost is intrinsic micro-batch machinery" for the two

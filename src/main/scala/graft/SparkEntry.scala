@@ -1754,6 +1754,54 @@ object SparkEntry {
     finally index.release()
   }
 
+  /** DQ106 (EXT): exact substring dedup (Lee et al. 2022 ExactSubstr) —
+    * maximal token spans whose k-token windows each occur more than once
+    * corpus-wide, localized per document (the verbatim-duplicate mass the
+    * similarity detectors dq19/dq20/dq72 rank but never localize). k=8
+    * keeps the span set review-sized on the synthetic corpus; production
+    * uses Lee et al.'s k=50-token threshold unchanged. */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    graft.ext.ExactSubstring
+      .duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
+      .orderBy("doc_id", "span_start")
+
+  /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
+    * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
+    * 6 deterministic merges (argmax pair count, lexicographic tie-break),
+    * emitted as the ordered merge table. The oracle replays the full
+    * relational recurrence — distinct-word symbol table, pair counting,
+    * greedy left-to-right merge — unrolled step by step in SQL. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.ext.BpeTrain.learn(t(s, dir, "documents"), "text",
+      numMerges = BpeMerges)
+    s.createDataFrame(model.merges)
+      .select(col("step").cast("long").as("step"),
+        col("left").as("left_sym"), col("right").as("right_sym"),
+        col("pairCount").as("pair_count"))
+      .orderBy("step")
+  }
+
+  /** DQ108 (EXT): the TRAINED vocabulary feeding dq89's inference kernel —
+    * vocab = alphabet ∪ merge products from dq107's training run, consumed
+    * by [[graft.functions.SubwordTokenize]] over the same corpus (dq89's
+    * exact result shape). The oracle derives the SAME vocab from the
+    * unrolled BPE chain and replays the greedy longest-match recurrence
+    * against it — training and inference checked end-to-end. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.ext.BpeTrain.learn(t(s, dir, "documents"), "text",
+      numMerges = BpeMerges)
+    val stream = t(s, dir, "documents").select(col("doc_id"),
+      regexp_replace(lower(col("text")), "\\W+", " ").as("__stream"))
+    val sub = stream.select(col("doc_id"),
+      graft.functions.SubwordTokenize(col("__stream"), model.vocab).as("__sub"))
+    sub.select(col("doc_id"), col("__sub"),
+        array_join(col("__sub"), " ").as("__joined"))
+      .select(col("doc_id"),
+        size(col("__sub")).cast("long").as("n_subtokens"),
+        md5(col("__joined")).as("subtok_md5"))
+      .orderBy("doc_id")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq01_nested_projection"   -> (q01 _),
@@ -1860,7 +1908,10 @@ object SparkEntry {
     "dq102_quality_gate"        -> (q102 _),
     "dq103_dense_resample"      -> (q103 _),
     "dq104_neardup_index_loop"  -> (q104 _),
-    "dq105_semantic_decon_pruned" -> (q105 _)
+    "dq105_semantic_decon_pruned" -> (q105 _),
+    "dq106_exact_substring"     -> (q106 _),
+    "dq107_bpe_train"           -> (q107 _),
+    "dq108_bpe_tokenize"        -> (q108 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2145,6 +2196,95 @@ object SparkEntry {
       |FROM scored WHERE sim > 0.3
       |GROUP BY 1 ORDER BY vec_id""".stripMargin
 
+  /** Merge count shared by dq107's training run, dq108's trained-vocab
+    * tokenization, and their oracles' unrolled replay. */
+  private val BpeMerges = 6
+
+  /** The relational-BPE recurrence of [[graft.ext.BpeTrain.learn]]
+    * unrolled as a chain of CTEs, one (p,c,d,e,s) block per merge step:
+    * p$i the argmax pair (count desc, lexicographic tie-break), c$i the
+    * candidate flags, d$i the gaps-and-islands key over candidate row
+    * numbers, e$i the greedy even-offset winners, s${i+1} the merged
+    * symbol state. `w0` is the distinct-word table (dq89 normalization),
+    * `s1` the character-level start state. */
+  private def bpeChainSql(n: Int): String = {
+    val base =
+      """w0 AS (SELECT word, CAST(count(*) AS BIGINT) cnt FROM (
+        |    SELECT u.x word FROM (SELECT list_filter(
+        |        regexp_split_to_array(lower(text), '\W+'),
+        |        x -> len(x) > 0) toks FROM documents) t0, unnest(t0.toks) u(x))
+        |  GROUP BY word),
+        |s1 AS (SELECT word, cnt, i AS pos, substr(word, CAST(i AS INT), 1) sym
+        |  FROM w0, unnest(range(1, len(word) + 1)) r(i))""".stripMargin
+    val steps = (1 to n).map { i =>
+      s"""p$i AS (SELECT sym a, nsym b, CAST(sum(cnt) AS BIGINT) pc FROM (
+        |    SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) nsym, cnt
+        |    FROM s$i)
+        |  WHERE nsym IS NOT NULL GROUP BY 1, 2 ORDER BY pc DESC, a, b LIMIT 1),
+        |c$i AS (SELECT s.word, s.cnt, s.pos, s.sym, p.a, p.b,
+        |    (s.sym = p.a AND lead(s.sym) OVER wn$i = p.b) isc,
+        |    row_number() OVER wn$i rn
+        |  FROM s$i s CROSS JOIN p$i p
+        |  WINDOW wn$i AS (PARTITION BY s.word ORDER BY s.pos)),
+        |d$i AS (SELECT *, rn - sum(CASE WHEN isc THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY word ORDER BY rn ROWS UNBOUNDED PRECEDING) isl
+        |  FROM c$i),
+        |e$i AS (SELECT *, COALESCE(isc AND
+        |      (rn - min(CASE WHEN isc THEN rn END) OVER (PARTITION BY word, isl))
+        |      % 2 = 0, FALSE) vm
+        |  FROM d$i),
+        |s${i + 1} AS (SELECT word, cnt, pos,
+        |    CASE WHEN vm THEN a || b ELSE sym END sym
+        |  FROM (SELECT *, lag(vm) OVER (PARTITION BY word ORDER BY pos) pvm
+        |        FROM e$i)
+        |  WHERE NOT COALESCE(pvm, FALSE))""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** dq107: the learned merge table off the unrolled chain. */
+  private lazy val Dq107Sql = {
+    val union = (1 to BpeMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) step, a AS left_sym, b AS right_sym, " +
+        s"pc AS pair_count FROM p$i").mkString(" UNION ALL ")
+    s"WITH ${bpeChainSql(BpeMerges)}\nSELECT * FROM ($union) ORDER BY step"
+  }
+
+  /** dq108: vocab = alphabet (distinct s1 symbols) ∪ merge products, then
+    * dq89's greedy longest-match recurrence replayed against it. */
+  private lazy val Dq108Sql = {
+    val vocabUnion = (1 to BpeMerges)
+      .map(i => s"SELECT a || b AS v FROM p$i").mkString(" UNION ")
+    s"""WITH RECURSIVE ${bpeChainSql(BpeMerges)},
+      |vocab(v) AS (SELECT DISTINCT sym FROM s1 UNION $vocabUnion),
+      |t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+      |    x -> len(x) > 0) toks FROM documents),
+      |w AS (SELECT doc_id, i AS wid, toks[CAST(i AS INT)] AS word
+      |  FROM t, unnest(range(1, len(toks) + 1)) r(i)),
+      |dw AS (SELECT DISTINCT word FROM w),
+      |steps AS (
+      |  SELECT word, CAST(1 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS sub
+      |  FROM dw
+      |  UNION ALL
+      |  SELECT s.word,
+      |    s.pos + COALESCE((SELECT max(len(v)) FROM vocab
+      |      WHERE substr(s.word, CAST(s.pos AS INT), len(v)) = v), 1),
+      |    s.sub || CASE WHEN s.pos = 1 THEN '' ELSE ' ' END ||
+      |      COALESCE((SELECT v FROM vocab
+      |        WHERE substr(s.word, CAST(s.pos AS INT), len(v)) = v
+      |        ORDER BY len(v) DESC LIMIT 1), '?')
+      |  FROM steps s WHERE s.pos <= len(s.word)),
+      |done AS (SELECT word, sub, CAST(len(string_split(sub, ' ')) AS BIGINT) nt
+      |  FROM steps WHERE pos > len(word)),
+      |ds AS (SELECT w.doc_id, string_agg(d.sub, ' ' ORDER BY w.wid) AS stream,
+      |    CAST(sum(d.nt) AS BIGINT) AS nt
+      |  FROM w JOIN done d USING (word) GROUP BY w.doc_id)
+      |SELECT doc_id, COALESCE(ds.nt, 0) AS n_subtokens,
+      |  md5(COALESCE(ds.stream, '')) AS subtok_md5
+      |FROM documents LEFT JOIN ds USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL per query (same column names, same ORDER BY). */
   def oracleSql: Map[String, String] = Map(
     "dq01_nested_projection" ->
@@ -2417,6 +2557,38 @@ object SparkEntry {
     // batch-1 survivors — the append semantics re-derived in SQL
     "dq104_neardup_index_loop" -> Dq104Sql,
     "dq105_semantic_decon_pruned" -> Dq105Sql,
+    "dq107_bpe_train" -> Dq107Sql,
+    "dq108_bpe_tokenize" -> Dq108Sql,
+    // ExactSubstr re-derived: k-token window digests → corpus-duplicated
+    // digests → gaps-and-islands span merge (windows at p and q merge iff
+    // p <= q + k: overlapping-or-touching token ranges) → span content
+    // digest from the token-array slice. Window/span digests are md5 of
+    // the space-joined tokens on BOTH sides, bit-identical cross-engine.
+    "dq106_exact_substring" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |w AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+        |  FROM t, unnest(range(1, len(toks) - 6)) r(i)),
+        |d AS (SELECT dg FROM w GROUP BY dg HAVING count(*) > 1),
+        |c AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (dg)),
+        |m AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |      OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |      THEN 1 ELSE 0 END brk
+        |  FROM c),
+        |i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) isl FROM m),
+        |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) span_start,
+        |    CAST(max(pos) + 7 AS BIGINT) span_end
+        |  FROM i GROUP BY doc_id, isl)
+        |SELECT sp.doc_id, sp.span_start,
+        |  CAST(sp.span_end - sp.span_start + 1 AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(
+        |    t.toks[CAST(sp.span_start AS INT):CAST(sp.span_end AS INT)], ' '))
+        |    AS span_md5
+        |FROM sp JOIN t USING (doc_id)
+        |ORDER BY doc_id, span_start""".stripMargin,
     "dq31_stream_dedup" ->
       """SELECT event_type, count(*) AS n_unique_users FROM (
         |  SELECT DISTINCT user_id, event_type FROM events)

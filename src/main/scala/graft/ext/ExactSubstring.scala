@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring deduplication (the ExactSubstr family of Lee et al.
+  * 2022, "Deduplicating Training Data Makes Language Models Better"):
+  * find every maximal token span whose k-token windows all occur MORE THAN
+  * ONCE in the corpus — the verbatim boilerplate/lifted-passage mass that
+  * similarity detectors ([[MinHashLSH]], [[SimHash]], [[Winnow]]) rank but
+  * never localize. Lee et al. build a corpus suffix array; the
+  * Spark-native equivalent of its "duplicated substring of length ≥ k"
+  * query is window fingerprinting:
+  *
+  *   1. tokenize (whitespace; positions are 1-based token indices),
+  *   2. digest every k-token window (md5 of the space-joined window — the
+  *      repo's portable exact-dedup gate, identical in DuckDB, so the
+  *      oracle re-derives every digest bit-for-bit),
+  *   3. count digests corpus-wide; a window is DUPLICATED iff its digest
+  *      occurs ≥ 2 times (across documents or within one — Lee et al.
+  *      remove both),
+  *   4. per document, merge overlapping/adjacent duplicated windows into
+  *      maximal spans (gaps-and-islands over window start positions: a
+  *      window starting at p extends a span whose previous window started
+  *      at q iff p ≤ q + k, i.e. their token ranges overlap or touch).
+  *
+  * A span's tokens are exactly the tokens covered by SOME duplicated
+  * window — the "every length-k substring of it is duplicated" region
+  * whose removal Lee et al. 6.1 prescribes (removing the span, not the
+  * document, is the point: the unique remainder survives).
+  *
+  * Scale shape (100 TB): document BODIES never shuffle — step 2 projects
+  * each window to (digest, doc_id, pos) before any exchange, so the
+  * shuffled width is ~50 B/window regardless of text size; step 3 is a
+  * partial-aggregated count on the digest; step 4 shuffles only the
+  * surviving duplicated window positions. The one body-sized exchange is
+  * the final span-content join back to the tokenized documents, keyed by
+  * `idCol` — co-locatable with a bucketed documents table
+  * ([[graft.io.Bucketing]]), and it moves only span-BEARING documents
+  * (the semi-joined minority).
+  */
+object ExactSubstring {
+
+  /** Maximal duplicated spans per document:
+    * (idCol, span_start, n_tokens, span_md5) — 1-based token positions,
+    * `span_md5` the digest of the space-joined span content (content
+    * identity, oracle-checkable). Documents with < k tokens, and spans
+    * none of whose windows repeat, yield no rows.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "need k >= 2 (k=1 would flag every repeated token)")
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+
+    val toks = df.select(col(idCol),
+      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
+
+    // (digest, doc, pos) — the only corpus-wide-shuffled shape
+    val wins = toks
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("__toks")) - (k - 1))).as("pos"),
+        col("__toks"))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(col("__toks"), col("pos"), lit(k)))).as("dg"))
+
+    // corpus-wide duplicated digests (partial-aggregated count; the
+    // overwhelmingly-unique tail combines map-side to count 1 and drops)
+    val dup = wins.groupBy("dg").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1).select("dg")
+
+    // duplicated window starts, merged into maximal spans per document
+    val starts = wins.join(dup, "dg").select(col(idCol), col("pos"))
+    val spans = starts
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull
+          || col("pos") > lag(col("pos"), 1).over(byDoc) + k, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("__span_end"))
+
+    // content digest of each span — the join back to token arrays, keyed
+    // by idCol (bucket documents on idCol to make this exchange-free)
+    spans.join(toks, idCol)
+      .select(col(idCol), col("span_start"),
+        (col("__span_end") - col("span_start") + 1).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("__toks"), col("span_start").cast("int"),
+          (col("__span_end") - col("span_start") + 1).cast("int")))).as("span_md5"))
+  }
+
+  /** Removal accounting over [[duplicatedSpans]] — the "how much does
+    * ExactSubstr delete" number Lee et al. report (Bench evidence
+    * surface): per span-bearing document, the span count, removed token
+    * total, and the document's total token count (removal share =
+    * removed_tokens / total_tokens).
+    */
+  def removalReport(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
+    duplicatedSpans(df, idCol, textCol, k)
+      .groupBy(idCol)
+      .agg(sum(col("n_tokens")).as("removed_tokens"),
+        count(lit(1)).as("n_spans"))
+      .join(toks, idCol)
+      .select(col(idCol), col("n_spans"), col("removed_tokens"),
+        size(col("__toks")).cast("long").as("total_tokens"))
+  }
+}

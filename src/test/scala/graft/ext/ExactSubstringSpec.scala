@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSpec
+
+/** Exact substring dedup (Lee et al. ExactSubstr semantics): duplicated
+  * k-token windows, merged to maximal per-document spans.
+  */
+class ExactSubstringSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val k = 4
+
+  private def spans(docs: Seq[(Long, String)]) =
+    ExactSubstring.duplicatedSpans(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .orderBy("doc_id", "span_start")
+      .select($"doc_id", $"span_start", $"n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+
+  it("localizes a shared passage as one maximal span in BOTH documents") {
+    val passage = "one two three four five six" // 6 tokens: 3 dup windows
+    val result = spans(Seq(
+      (1L, s"alpha beta $passage gamma delta"),
+      (2L, s"x $passage y z w")))
+    // doc 1: passage at tokens 3..8; doc 2: at tokens 2..7 — every
+    // overlapping duplicated window merges into ONE span per doc
+    result shouldBe Seq((1L, 3L, 6L), (2L, 2L, 6L))
+  }
+
+  it("flags within-document verbatim repetition (count>1, not distinct " +
+     "docs) and keeps disjoint repeats as separate spans") {
+    val run = "p q r s" // exactly k tokens, repeated twice in one doc
+    val result = spans(Seq((7L, s"$run a b c d e $run")))
+    result shouldBe Seq((7L, 1L, 4L), (7L, 10L, 4L))
+  }
+
+  it("merges ADJACENT (touching) duplicated windows into one span") {
+    // doc 3 shares tokens 1..4 with doc 1 and tokens 5..8 with doc 2:
+    // two duplicated windows at pos 1 and 5 touch (5 <= 1 + k) -> merged
+    val result = spans(Seq(
+      (1L, "a b c d zz1 zz2 zz3"),
+      (2L, "e f g h yy1 yy2 yy3"),
+      (3L, "a b c d e f g h")))
+    result.filter(_._1 == 3L) shouldBe Seq((3L, 1L, 8L))
+  }
+
+  it("emits nothing for unique text or sub-k documents") {
+    spans(Seq(
+      (1L, "all tokens here are entirely unique in this corpus"),
+      (2L, "tiny doc"))) shouldBe Seq.empty
+  }
+
+  it("span_md5 is the digest of the space-joined span content") {
+    val passage = "m n o p q" // 5 tokens
+    val df = ExactSubstring.duplicatedSpans(
+      Seq((1L, s"$passage tail1"), (2L, s"head1 $passage")).toDF("doc_id", "text"),
+      "doc_id", "text", k)
+    val md5s = df.select($"span_md5").distinct().as[String].collect()
+    md5s should have length 1
+    md5s.head shouldBe java.security.MessageDigest.getInstance("MD5")
+      .digest(passage.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  it("removalReport accounts removed vs total tokens per affected doc") {
+    val passage = "one two three four five six"
+    val rep = ExactSubstring.removalReport(
+      Seq((1L, s"alpha beta $passage gamma delta"), (2L, s"x $passage y z w"))
+        .toDF("doc_id", "text"), "doc_id", "text", k)
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_spans", $"removed_tokens", $"total_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    rep shouldBe Seq((1L, 1L, 6L, 10L), (2L, 1L, 6L, 10L))
+  }
+}
