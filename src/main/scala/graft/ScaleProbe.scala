@@ -303,7 +303,7 @@ object ScaleProbe {
       // kernel assignment path (the production shape at k=32): the literal
       // fold at this k de-codegens the pruned plan's map stage
       spark.conf.set(graft.ext.IvfIndex.LiteralMaxKConf, "0")
-      for (m <- Seq(1, 10)) {
+      try for (m <- Seq(1, 10)) {
         val df = emb.crossJoin(spark.range(m.toLong).toDF("rep"))
           .select((col("vec_id") * m + col("rep")).as("vec_id"),
             transform(col("embedding"),
@@ -343,8 +343,9 @@ object ScaleProbe {
         index.release()
         evalSet.unpersist(); train.unpersist(); df.unpersist()
         ()
-      }
-      spark.conf.unset(graft.ext.IvfIndex.LiteralMaxKConf)
+      } finally spark.conf.unset(graft.ext.IvfIndex.LiteralMaxKConf)
+      // restore even on a mid-probe failure: a leaked kernel-path conf
+      // would silently de-codegen every later probe's assignment stage
     }
     // Z-order file-skip probe: the second-dimension band against the
     // z-ordered layout vs a first-key-sorted baseline at m× data — files

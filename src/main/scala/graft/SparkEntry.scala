@@ -1416,9 +1416,10 @@ object SparkEntry {
     * corpus chunked (dq65's 200/150 windows), each chunk a retrieval unit
     * with a synthetic `chunk_id = 10⁹ + doc_id·10⁶ + chunk_idx` (offset
     * keeps chunk ids disjoint from query ids so [[Bm25.topK]]'s identity
-    * exclusion never fires on a chunk; the 10⁶ stride means a document
-    * would need >150 GB of text at stride 150 before chunk ids collide,
-    * vs ~150 kB under the previous 10³ stride), BM25-ranked against dq86's query
+    * exclusion never fires on a chunk; the 10⁶ stride allows 10⁶ chunks
+    * per document — ~1.5·10⁸ tokens ≈ 1 GB of text at stride 150 —
+    * before ids collide into the next document's range, vs ~1 MB under
+    * the previous 10³ stride), BM25-ranked against dq86's query
     * set with k = 3, source doc and chunk index re-derived from the id.
     * Retrieval granularity below the document is what grounds a context
     * window; the whole pipeline (chunk → score → bounded-heap rank)
@@ -1703,8 +1704,11 @@ object SparkEntry {
     * ONLY because the append indexed them, (b) near-replays of original
     * history — dropped via the build, (c) fresh revisions — kept. The
     * oracle re-derives both rounds including the append semantics. */
-  private def q104(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  /** The dq104/dq109 two-batch fixture: batch 1 = near-replays of history
+    * (dropped via the build) + fresh revisions (kept, then appended);
+    * batch 2 = near-replays of batch-1 SURVIVORS (dropped only because the
+    * append indexed them) + more history replays + fresh revisions. */
+  private def nearDupBatches(docs: DataFrame): (DataFrame, DataFrame) = {
     val b1 = docs.filter(col("doc_id") % 17 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("source"),
         concat(col("text"), lit(" zzztail")).as("text"))
@@ -1720,8 +1724,15 @@ object SparkEntry {
       .union(docs.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 500000).as("doc_id"), col("source"),
           mutateTokens(col("text"), 2, "y").as("text")))
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-ndidx").toString + "/idx"
+    (b1, b2)
+  }
+
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (b1, b2) = nearDupBatches(docs)
+    // reaped at JVM exit (TempReaper): kept2 reads the index lazily, so
+    // the tree must outlive this call — but not the bench/driver process
+    val path = graft.io.TempReaper.tempDir("graft-ndidx").toString + "/idx"
     val idx = graft.ext.NearDupIndex.build(docs, "doc_id", "text", path)
     val kept1 = idx.keepUnseen(b1, "doc_id", "text").localCheckpoint(true)
     idx.append(kept1, "doc_id", "text")
@@ -1752,6 +1763,39 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.3, index, nprobe = 2)
       .orderBy("vec_id").localCheckpoint(true)
     finally index.release()
+  }
+
+  /** DQ109 (EXT, §2.9): the dq104 loop STREAMED — the two ingest batches
+    * arrive as micro-batches of a file-source stream, and each gates
+    * against the persisted [[graft.ext.NearDupIndex]] then appends its
+    * survivors inside `foreachBatch`
+    * ([[EventStream.runIndexedIngest]]) — so batch 2 is deduplicated
+    * against batch 1's survivors through the STORED index (dq87's
+    * per-batch gate re-derives history instead; here history text is
+    * never read). Append idempotence (`appendOnce` + batch token) plus
+    * gate-time self-exclusion make micro-batch replay exactly-once —
+    * spec-driven in `NearDupIndexSpec`/`EventStreamSpec`. Identical
+    * result contract to dq104, so it shares the oracle SQL verbatim. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (b1, b2) = nearDupBatches(docs)
+    // stage the batches as one file each with strictly increasing mtimes
+    // (the file source orders by modification time) -> two micro-batches
+    val in = graft.io.TempReaper.tempDir("graft-dq109-in").toString
+    b1.coalesce(1).write.parquet(s"$in/b1.parquet")
+    b2.coalesce(1).write.parquet(s"$in/b2.parquet")
+    val later = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 120000L)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b2.parquet"))
+      .forEach(p => { java.nio.file.Files.setLastModifiedTime(p, later); () })
+    val idxPath = graft.io.TempReaper.tempDir("graft-dq109-idx").toString + "/idx"
+    val idx = graft.ext.NearDupIndex.build(docs, "doc_id", "text", idxPath)
+    val incoming = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    EventStream.runIndexedIngest(incoming, idx, "doc_id", "text", "dq109")
+      .select(col("batch"), col("doc_id"), col("source"))
+      .orderBy("batch", "doc_id")
   }
 
   /** DQ106 (EXT): exact substring dedup (Lee et al. 2022 ExactSubstr) —
@@ -1911,7 +1955,8 @@ object SparkEntry {
     "dq105_semantic_decon_pruned" -> (q105 _),
     "dq106_exact_substring"     -> (q106 _),
     "dq107_bpe_train"           -> (q107 _),
-    "dq108_bpe_tokenize"        -> (q108 _)
+    "dq108_bpe_tokenize"        -> (q108 _),
+    "dq109_stream_index_loop"   -> (q109 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2556,6 +2601,10 @@ object SparkEntry {
     // banded keys); round 2's index side is the round-1 index UNION the
     // batch-1 survivors — the append semantics re-derived in SQL
     "dq104_neardup_index_loop" -> Dq104Sql,
+    // the STREAMED loop makes the same promise over the same batches —
+    // batch/stream parity against one SQL derivation (the dq31/dq94 and
+    // dq83/dq87 precedent)
+    "dq109_stream_index_loop" -> Dq104Sql,
     "dq105_semantic_decon_pruned" -> Dq105Sql,
     "dq107_bpe_train" -> Dq107Sql,
     "dq108_bpe_tokenize" -> Dq108Sql,

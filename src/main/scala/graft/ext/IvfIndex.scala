@@ -53,6 +53,10 @@ final class IvfIndex private (
     */
   private[ext] def matrixBroadcast(spark: SparkSession): Broadcast[Array[Array[Double]]] =
     synchronized {
+      // a deserialized copy (the index rode a closure) arrives with the
+      // @transient var NULL, not None — re-arm instead of NPEing; the copy
+      // then builds its own broadcast on first large-k use
+      if (bcHandle == null) bcHandle = None
       bcHandle.getOrElse {
         val b = IvfIndex.bcMatrix(spark, centroids)
         bcHandle = Some(b)
@@ -81,8 +85,15 @@ final class IvfIndex private (
     * call this when done with the index so neither the blocks nor the
     * executor-held centroid matrix outlive it.
     */
+  /** End-of-life: unpersist the assignment and destroy the centroid
+    * broadcast. CONTRACT: call exactly once, on the ORIGINAL fit-returned
+    * instance, after the last action on any plan derived from this index —
+    * a destroyed broadcast fails late (at task time) if a live plan still
+    * references it. Deserialized copies own no broadcast until they take
+    * the large-k path themselves; releasing such a copy only unpersists. */
   def release(): Unit = synchronized {
     assigned.unpersist(blocking = false)
+    if (bcHandle == null) bcHandle = None // transient var after deserialization
     bcHandle.foreach(_.destroy())
     bcHandle = None
   }
@@ -332,6 +343,13 @@ object IvfIndex {
     */
   def fit(df: DataFrame, idCol: String, embCol: String, k: Int,
       iters: Int = 2): IvfIndex = {
+    // the init and every update pass collect k centroid rows to the driver
+    // (the model-sized aggregate of Lloyd's) — bound k so a typo'd call
+    // cannot turn that into a corpus-sized driver pull. 1<<16 cells × a
+    // few-KB vector is comfortably driver-resident; real deployments sit
+    // far below it (IVF cell counts ~ sqrt(corpus)).
+    require(k >= 1 && k <= (1 << 16),
+      s"k=$k out of range [1, ${1 << 16}]: centroids are driver-collected")
     val base = df.select(col(idCol).as("vid"), col(embCol).as("emb"),
       VectorFunctions.l2Norm(col(embCol)).as("nrm"))
       .persist()

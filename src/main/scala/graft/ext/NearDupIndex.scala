@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,20 +23,46 @@ final case class NearDupIndexStats(docs: Long, bandKeys: Long,
   * (md5 per distinct shingle), and md5 is engine-reproducible, so the DuckDB
   * oracle re-derives every stage including the digests themselves.
   *
-  * Layout under `path` (plain parquet, append-only except `stats`):
-  *  - `digests/`  (doc_id, ds: sorted array<md5-hex>) — the verification
-  *    relation, the only per-document payload queries re-read; candidates
-  *    reach it through an id equi-join, so non-candidate rows are never
-  *    deserialized past the scan
-  *  - `bands/`    (doc_id, b, bkey) — the LSH candidate relation (keys
-  *    only, ~`bands` short rows per doc — tiny relative to the corpus)
-  *  - `counts/`   (b, bkey, c) — per-append bucket-population partials;
-  *    the degenerate-bucket cap is an aggregation of THIS relation (one
-  *    row per distinct key per append), never a window over `bands/`
-  *  - `stats/`    single row ([[NearDupIndexStats]]), overwritten per
-  *    append: `band_keys` sizes the Bloom filter, so no query runs a
-  *    count job over the index (the statistics-fed [[Dedup.keepUnseen]]
-  *    treatment, r5 directive #5)
+  * == Layout (manifest-committed, append-only) ==
+  *
+  * Data lives under per-commit subdirectories; a commit MARKER under
+  * `_commits/` — written last, via create-temp-then-rename (atomic on
+  * POSIX and HDFS) — is what makes an append visible:
+  *  - `digests/append=<id>/`  (doc_id, ds: sorted array<md5-hex>) — the
+  *    verification relation, the only per-document payload queries re-read;
+  *    candidates reach it through an id equi-join, so non-candidate rows
+  *    are never deserialized past the scan
+  *  - `bands/append=<id>/`    (doc_id, b, bkey) — the LSH candidate
+  *    relation (keys only, ~`bands` short rows per doc)
+  *  - `counts/append=<id>/`   (b, bkey, c) — per-append bucket-population
+  *    partials; the degenerate-bucket cap is an aggregation of THIS
+  *    relation, never a window over `bands/`
+  *  - `_commits/m<seq>`       one line-oriented manifest per commit naming
+  *    the relation dirs it publishes (and, for compactions, the counts
+  *    dirs it supersedes). Readers resolve every relation through the
+  *    manifest list — data dirs without a marker (a crashed append) are
+  *    INVISIBLE, so a multi-relation append is all-or-nothing without a
+  *    table format.
+  *  - `stats/`                single row ([[NearDupIndexStats]]),
+  *    overwritten after each commit: `band_keys` sizes the Bloom filter so
+  *    no query runs a count job over the index (the statistics-fed
+  *    [[Dedup.keepUnseen]] treatment). Advisory only: a crash between
+  *    marker and stats leaves it one append stale, which costs Bloom bits
+  *    (fpp), never correctness — the filter's CONTENT is always built from
+  *    the committed key relation itself.
+  *
+  * `counts/` partials accumulate one dir per append; past
+  * `spark.graft.neardupindex.compactThreshold` (default 16) active dirs,
+  * the next append folds them into one summed dir published by a
+  * superseding commit. Superseded dirs stay on disk (a running query may
+  * still hold their paths); a maintenance vacuum can unlink them once no
+  * such reader exists.
+  *
+  * SINGLE WRITER assumed, as with any manifest-on-files layout this side
+  * of a lock service: marker names are sequential, and the atomic
+  * no-overwrite rename makes a second concurrent writer FAIL its commit
+  * (leaving only invisible orphan dirs) rather than corrupt the index.
+  * Readers are unaffected by writers (they see the last committed set).
   *
   * Query shape ([[pairsVs]]/[[keepUnseen]]), mirroring
   * [[MinHashLSH.nearDupPairsVsHistory]] stage for stage:
@@ -54,6 +81,8 @@ final case class NearDupIndexStats(docs: Long, bandKeys: Long,
 final class NearDupIndex private (
     private val spark: SparkSession, val path: String) {
 
+  import NearDupIndex.Manifest
+
   /** Current stored statistics (re-read per call — appends move it). */
   def stats: NearDupIndexStats = {
     val r = spark.read.parquet(s"$path/stats").head()
@@ -62,24 +91,110 @@ final class NearDupIndex private (
       r.getAs[Int]("max_bucket"))
   }
 
-  private def digestsRel: DataFrame = spark.read.parquet(s"$path/digests")
-  private def bandsRel: DataFrame = spark.read.parquet(s"$path/bands")
-  private def countsRel: DataFrame = spark.read.parquet(s"$path/counts")
+  // ---------------- manifest plumbing ----------------
+
+  private def fs: FileSystem =
+    new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def commitsDir = new HPath(s"$path/_commits")
+
+  private def readManifests(): Seq[Manifest] = {
+    val f = fs
+    if (!f.exists(commitsDir)) Nil
+    else f.listStatus(commitsDir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val in = f.open(s.getPath)
+        val bytes = new Array[Byte](s.getLen.toInt)
+        try in.readFully(bytes) finally in.close()
+        Manifest.parse(new String(bytes, "UTF-8"))
+      }
+  }
+
+  /** The commit point: marker content staged to a dot-file, then renamed
+    * (no-overwrite) into place — a second writer racing the same sequence
+    * number fails here instead of publishing over us. */
+  private def commit(m: Manifest, seq: Int): Unit = {
+    val f = fs
+    f.mkdirs(commitsDir)
+    val name = f"m$seq%06d"
+    val tmp = new HPath(commitsDir, s".$name.tmp")
+    val out = f.create(tmp, false)
+    try out.write(m.render.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, new HPath(commitsDir, name)))
+      throw new IllegalStateException(
+        s"commit collision on $name under $path — concurrent writer? " +
+          "(the layout is single-writer)")
+  }
+
+  /** Active dir ids per relation: all published, minus (for counts) any a
+    * later compaction superseded. */
+  private def activeIds(ms: Seq[Manifest]): (Seq[String], Seq[String], Seq[String]) = {
+    val sup = ms.flatMap(_.supersedesCounts).toSet
+    (ms.flatMap(_.digests), ms.flatMap(_.bands),
+      ms.flatMap(_.counts).filterNot(sup))
+  }
+
+  private def rel(name: String, ids: Seq[String]): DataFrame = {
+    require(ids.nonEmpty, s"no committed $name dirs under $path")
+    spark.read.parquet(ids.map(id => s"$path/$name/append=$id"): _*)
+  }
+
+  /** Manifests visible to a gate, with the dirs of `excludeToken`'s
+    * commit (if any) dropped — the micro-batch REPLAY view: a rerun of
+    * batch N gates against the index as it stood before its own append.
+    * Guaranteed only while that commit is the newest data append
+    * (compaction never folds the newest counts dir), which is exactly the
+    * window in which a streaming engine can replay the batch. */
+  private def visible(excludeToken: Option[String]): Seq[Manifest] =
+    readManifests().filterNot(m => excludeToken.exists(m.token.contains))
+
+  private def digestsRel: DataFrame = digestsRelOf(visible(None))
+  private def bandsRel: DataFrame = bandsRelOf(visible(None))
+  private def countsRel: DataFrame = countsRelOf(visible(None))
+
+  private def digestsRelOf(ms: Seq[Manifest]): DataFrame = rel("digests", activeIds(ms)._1)
+  private def bandsRelOf(ms: Seq[Manifest]): DataFrame = rel("bands", activeIds(ms)._2)
+  private def countsRelOf(ms: Seq[Manifest]): DataFrame = rel("counts", activeIds(ms)._3)
+
+  // ---------------- writes ----------------
 
   /** Index an accepted batch: its digests, band keys, and bucket-count
-    * partials are APPENDED (no existing file is rewritten); `stats/` is
-    * recomputed from the tiny `counts/` relation and overwritten. Call with
-    * the rows a [[keepUnseen]] gate accepted — materialize that result
-    * first (e.g. `localCheckpoint(true)`): its plan reads this index, and
-    * appending underneath an unmaterialized gate result would let a later
-    * re-evaluation see the batch's own rows as history.
+    * partials land in fresh `append=<id>` dirs, then ONE marker commit
+    * makes all three visible atomically; `stats/` is refreshed after the
+    * commit. Call with the rows a [[keepUnseen]] gate accepted —
+    * materialize that result first (e.g. `localCheckpoint(true)`): its
+    * plan reads this index, and appending underneath an unmaterialized
+    * gate result would let a later re-evaluation see the batch's own rows
+    * as history.
     */
   def append(df: DataFrame, idCol: String, textCol: String): NearDupIndexStats =
-    writeBatch(df, idCol, textCol, stats, first = false)
+    writeBatch(df, idCol, textCol, stats, first = false, token = None)
+
+  /** [[append]] with an idempotence token — the EXACTLY-ONCE append for
+    * streaming loops ([[graft.streaming.EventStream.runIndexedIngest]]): if
+    * a committed manifest already carries `token`, the call is a no-op (the
+    * batch was fully indexed before a crash/replay), so a replayed
+    * micro-batch can never double-index its survivors. Pair with
+    * `keepUnseen(..., excludeToken = Some(token))` so the replayed GATE
+    * also reproduces its original answer. */
+  def appendOnce(df: DataFrame, idCol: String, textCol: String,
+      token: String): NearDupIndexStats = {
+    require(token.nonEmpty && !token.contains("\n"), "token: non-empty, one line")
+    if (readManifests().exists(_.token.contains(token))) stats
+    else writeBatch(df, idCol, textCol, stats, first = false,
+      token = Some(token))
+  }
 
   private def writeBatch(df: DataFrame, idCol: String, textCol: String,
-      prev: NearDupIndexStats, first: Boolean): NearDupIndexStats = {
-    val mode = if (first) "errorifexists" else "append"
+      prev: NearDupIndexStats, first: Boolean,
+      token: Option[String]): NearDupIndexStats = {
+    val before = readManifests()
+    require(!first || before.isEmpty,
+      s"$path already holds a committed index (build() wants a fresh path)")
+    val seq = before.size + 1
+    val id = f"a$seq%06d"
     // the shingleFrame rule (MinHashLSH): cache the UNFILTERED projection,
     // filter above the boundary, so the empty-digest predicate can't be
     // pushed below the fan-out exchange and recompute digests single-core
@@ -89,21 +204,56 @@ final class NearDupIndex private (
     proj.persist()
     try {
       val nonEmpty = proj.filter(size(col("ds")) > 0)
-      nonEmpty.write.mode(mode).parquet(s"$path/digests")
+      nonEmpty.write.mode("errorifexists").parquet(s"$path/digests/append=$id")
       val bk = MinHashLSH.bandedKeysFromDigests(nonEmpty, prev.numHashes,
         prev.bands)
-      bk.write.mode(mode).parquet(s"$path/bands")
+      bk.write.mode("errorifexists").parquet(s"$path/bands/append=$id")
       bk.groupBy("b", "bkey").agg(count(lit(1)).as("c"))
-        .write.mode(mode).parquet(s"$path/counts")
+        .write.mode("errorifexists").parquet(s"$path/counts/append=$id")
+      // stats inputs BEFORE the marker: the new partials are read off their
+      // (not yet visible) dir directly; everything else off committed dirs
+      val newCounts = spark.read.parquet(s"$path/counts/append=$id")
+      val allKeys =
+        if (first) newCounts.select("b", "bkey")
+        else countsRel.select("b", "bkey").union(newCounts.select("b", "bkey"))
+      val bandKeys = allKeys.distinct().count()
       val docs = prev.docs + nonEmpty.count()
-      // distinct keys across ALL appends — off counts/, never bands/
-      val bandKeys = countsRel.select("b", "bkey").distinct().count()
+      commit(Manifest(Seq(id), Seq(id), Seq(id), Nil, token), seq) // now visible
       val st = NearDupIndexStats(docs, bandKeys, prev.numHashes, prev.bands,
         prev.maxBucket)
       NearDupIndex.writeStats(spark, path, st)
+      maybeCompactCounts()
       st
     } finally { proj.unpersist(blocking = false); () }
   }
+
+  /** Fold the counts partials into one summed dir once the active dir
+    * count passes the threshold — bounds the per-query file listing of the
+    * hottest relation (every gate aggregates `counts/` first) across
+    * unbounded append loops. Published as a superseding commit; the old
+    * dirs become invisible but stay on disk (see class doc).
+    */
+  private def maybeCompactCounts(): Unit = {
+    val threshold = spark.conf
+      .getOption("spark.graft.neardupindex.compactThreshold")
+      .map(_.toInt).getOrElse(16)
+    val ms = readManifests()
+    val ids = activeIds(ms)._3
+    // never fold the NEWEST counts dir: it may belong to a token append a
+    // streaming engine could still replay (see [[visible]]'s contract)
+    val foldable = ids.dropRight(1)
+    if (foldable.size > threshold) {
+      val seq = ms.size + 1
+      val cid = f"c$seq%06d"
+      rel("counts", foldable)
+        .groupBy("b", "bkey").agg(sum(col("c")).cast("long").as("c"))
+        .coalesce(4)
+        .write.mode("errorifexists").parquet(s"$path/counts/append=$cid")
+      commit(Manifest(Nil, Nil, Seq(cid), foldable), seq)
+    }
+  }
+
+  // ---------------- queries ----------------
 
   /** `(doc_inc, doc_hist, jac)` for every incoming document whose digest
     * Jaccard against some INDEXED document exceeds `threshold` — the stored
@@ -111,10 +261,11 @@ final class NearDupIndex private (
     * the stage map).
     */
   def pairsVs(incoming: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, fpp: Double = 0.01): DataFrame = {
+      threshold: Double = 0.8, fpp: Double = 0.01,
+      excludeToken: Option[String] = None): DataFrame = {
     val incProj = incomingProjection(incoming, idCol, textCol)
     CacheScope.withCached(incProj) {
-      pairsPlan(incProj, threshold, fpp)
+      pairsPlan(incProj, threshold, fpp, excludeToken)
     }
   }
 
@@ -126,7 +277,8 @@ final class NearDupIndex private (
     */
   private[graft] def pairsPlanFor(incoming: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.8, fpp: Double = 0.01): DataFrame =
-    pairsPlan(incomingProjection(incoming, idCol, textCol), threshold, fpp)
+    pairsPlan(incomingProjection(incoming, idCol, textCol), threshold, fpp,
+      excludeToken = None)
 
   private def incomingProjection(incoming: DataFrame, idCol: String,
       textCol: String): DataFrame =
@@ -136,16 +288,17 @@ final class NearDupIndex private (
       .select(col("doc_id"), MinHashLSH.shingleDigests(col("__text")).as("ds"))
 
   private def pairsPlan(incProj: DataFrame, threshold: Double,
-      fpp: Double): DataFrame = {
+      fpp: Double, excludeToken: Option[String]): DataFrame = {
     val st = stats
+    val ms = visible(excludeToken)
     locally {
       val incDs = incProj.filter(size(col("ds")) > 0)
       val keyStr = concat_ws("|", col("b"), col("bkey"))
       // degenerate buckets across all appends: aggregate the counts
       // partials (tiny) and anti-join the stored band relation
-      val totals = countsRel.groupBy("b", "bkey").agg(sum(col("c")).as("__c"))
+      val totals = countsRelOf(ms).groupBy("b", "bkey").agg(sum(col("c")).as("__c"))
       val okKeys = totals.filter(col("__c") <= st.maxBucket).select("b", "bkey")
-      val histIdx = bandsRel.join(okKeys, Seq("b", "bkey"), "left_semi")
+      val histIdx = bandsRelOf(ms).join(okKeys, Seq("b", "bkey"), "left_semi")
       // Bloom over the surviving stored keys, sized from stored statistics
       // (band_keys counts pre-cap keys — a slight overestimate, which costs
       // filter bits, never correctness)
@@ -160,7 +313,8 @@ final class NearDupIndex private (
         .select(col("doc_id").as("doc_inc"), col("__hist_id").as("doc_hist"))
         .distinct()
       val x = incDs.select(col("doc_id").as("doc_inc"), col("ds").as("ds_a"))
-      val y = digestsRel.select(col("doc_id").as("doc_hist"), col("ds").as("ds_b"))
+      val y = digestsRelOf(ms)
+        .select(col("doc_id").as("doc_hist"), col("ds").as("ds_b"))
       cand.join(x, "doc_inc").join(y, "doc_hist")
         .select(col("doc_inc"), col("doc_hist"),
           MinHashLSH.jaccardSorted(col("ds_a"), col("ds_b")).as("jac"))
@@ -174,14 +328,41 @@ final class NearDupIndex private (
     * .localCheckpoint(true); idx.append(kept, ...)`.
     */
   def keepUnseen(incoming: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, fpp: Double = 0.01): DataFrame = {
-    val dup = pairsVs(incoming, idCol, textCol, threshold, fpp)
+      threshold: Double = 0.8, fpp: Double = 0.01,
+      excludeToken: Option[String] = None): DataFrame = {
+    val dup = pairsVs(incoming, idCol, textCol, threshold, fpp, excludeToken)
       .select(col("doc_inc")).distinct()
     incoming.join(dup, incoming(idCol) === col("doc_inc"), "left_anti")
   }
 }
 
 object NearDupIndex {
+
+  /** One commit's manifest: the relation dirs it publishes, plus (for
+    * compactions) the counts dirs it supersedes, plus an optional caller
+    * idempotence `token` ([[NearDupIndex.appendOnce]]). Line-oriented
+    * `key=id[,id...]` text — no JSON dependency, human-greppable. */
+  private[ext] final case class Manifest(digests: Seq[String],
+      bands: Seq[String], counts: Seq[String], supersedesCounts: Seq[String],
+      token: Option[String] = None) {
+    def render: String = (Seq(
+      "digests" -> digests, "bands" -> bands, "counts" -> counts,
+      "supersedes_counts" -> supersedesCounts)
+      .collect { case (k, v) if v.nonEmpty => s"$k=${v.mkString(",")}" } ++
+      token.map(t => s"token=$t"))
+      .mkString("\n")
+  }
+
+  private[ext] object Manifest {
+    def parse(s: String): Manifest = {
+      val kv = s.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k, v.split(",").toSeq) }
+        .toMap
+      Manifest(kv.getOrElse("digests", Nil), kv.getOrElse("bands", Nil),
+        kv.getOrElse("counts", Nil), kv.getOrElse("supersedes_counts", Nil),
+        kv.get("token").flatMap(_.headOption))
+    }
+  }
 
   /** Build a new index at `path` (must not already hold one) from the
     * history corpus — the one time history text is read.
@@ -191,7 +372,8 @@ object NearDupIndex {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val idx = new NearDupIndex(history.sparkSession, path)
     idx.writeBatch(history, idCol, textCol,
-      NearDupIndexStats(0L, 0L, numHashes, bands, maxBucket), first = true)
+      NearDupIndexStats(0L, 0L, numHashes, bands, maxBucket), first = true,
+      token = None)
     idx
   }
 

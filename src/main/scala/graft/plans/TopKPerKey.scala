@@ -42,8 +42,19 @@ final case class TopKPerKey(
   * would silently never fire.
   */
 object LowerTopKPerKey extends Rule[LogicalPlan] {
+  /** Strict conf parse: only "true"/"false" steer the lowering; anything
+    * else fails HERE with the conf name instead of surfacing as a bare
+    * IllegalArgumentException from deep inside the optimizer. */
+  private def physicalMode: Boolean =
+    conf.getConfString("spark.graft.topk.physical", "false") match {
+      case s if s.equalsIgnoreCase("true")  => true
+      case s if s.equalsIgnoreCase("false") => false
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.topk.physical must be true or false, got '$other'")
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (conf.getConfString("spark.graft.topk.physical", "false").toBoolean) plan
+    if (physicalMode) plan
     else plan.transformUp {
       case TopKPerKey(keys, order, k, child) =>
         val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)

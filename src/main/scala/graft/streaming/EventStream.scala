@@ -107,18 +107,67 @@ object EventStream {
     } else spark.read.parquet(out).drop("batch") // batch=<id> partition dirs
   }
 
+  /** One micro-batch of the INDEXED ingest loop — exposed separately so a
+    * spec can invoke it twice with the same batch id and prove the replay
+    * contract directly: gate against the index EXCLUDING this batch's own
+    * (possibly already committed) append, idempotent output overwrite,
+    * then [[graft.ext.NearDupIndex.appendOnce]] under the batch token. Any
+    * crash point replays to the identical gate answer, output, and index
+    * state — exactly-once without a transactional sink.
+    */
+  def indexedIngestBatch(idx: graft.ext.NearDupIndex, idCol: String,
+      textCol: String, out: String, name: String)
+      (batch: DataFrame, id: Long): Unit = {
+    val token = s"$name#$id"
+    val kept = idx
+      .keepUnseen(batch, idCol, textCol, excludeToken = Some(token))
+      .localCheckpoint(true) // materialize BEFORE appending underneath it
+    kept.write.mode("overwrite").parquet(s"$out/batch=$id")
+    idx.appendOnce(kept, idCol, textCol, token)
+    ()
+  }
+
+  /** [[runIngestGate]] upgraded to the STORED-index loop (dq104's batch
+    * shape made streaming): every micro-batch gates against the persisted
+    * [[graft.ext.NearDupIndex]] and appends its survivors before the next
+    * batch fires — so batch N+1 is deduplicated against batch N's
+    * survivors through the INDEX, not a per-batch re-derivation of
+    * history (dq87's `keepUnseenNear` re-shingles history every batch;
+    * here history text is never read at all). Returns the union of
+    * surviving rows with their 1-based batch number.
+    */
+  def runIndexedIngest(incoming: DataFrame, idx: graft.ext.NearDupIndex,
+      idCol: String, textCol: String, name: String): DataFrame = {
+    val spark = incoming.sparkSession
+    val basePath = java.nio.file.Files.createTempDirectory(s"graft-ndingest-$name")
+    deleteOnExit(basePath)
+    val out = s"${basePath.toString}/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val q = incoming.writeStream
+      .foreachBatch(indexedIngestBatch(idx, idCol, textCol, out, name) _)
+      .option("checkpointLocation", s"${basePath.toString}/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastRunStats = extractStats(q.recentProgress)
+    val batchDirs = Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("batch="))
+    if (batchDirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        incoming.schema.add("batch", LongType))
+    else spark.read.parquet(out)
+      .withColumn("batch", col("batch").cast(LongType) + 1L)
+  }
+
   /** Register a JVM-exit sweep of a temp tree. The result DataFrames these
     * runners return read their parquet lazily, so an eager delete after the
     * runner returns would race the caller's first action — exit-time reaping
-    * is the correct scope for a driver-lifetime harness dir. */
+    * is the correct scope for a driver-lifetime harness dir. ONE shared
+    * hook for the whole driver ([[graft.io.TempReaper]]) — per-call hooks
+    * accumulate in the JVM shutdown registry over a long Bench run. */
   private def deleteOnExit(root: java.nio.file.Path): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(root.toFile)
-    }))
+    graft.io.TempReaper.register(root)
 
   /** File-source stream of the events table with a proper event-time column.
     * (The file source wants a directory; select the one table via glob.)

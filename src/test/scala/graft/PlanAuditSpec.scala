@@ -268,6 +268,26 @@ class PlanAuditSpec extends GraftSpec {
     pushed should include(s"LessThan(ts,$hi")
   }
 
+  it("dq106's corpus-wide shuffles carry digests and positions, never " +
+      "token arrays — bodies move only in the final span-content join") {
+    val df = graft.ext.ExactSubstring.duplicatedSpans(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 8)
+    df.collect()
+    val exchanges = graft.plans.PlanWalk
+      .collectAll(df.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.child.output.map(_.dataType)
+      }
+    // at least the digest count + span merge shuffle (AQE may broadcast
+    // the smaller join sides away at this SF)…
+    exchanges.length should be >= 2
+    // …but at most ONE exchange ships an array column (the token arrays
+    // riding the doc_id-keyed span-content join; bucket documents on
+    // doc_id to make even that one exchange-free)
+    exchanges.count(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.types.ArrayType])) should be <= 1
+  }
+
   it("custom expressions participate in whole-stage codegen") {
     import spark.implicits._
     // non-foldable input (range), so the projection can't constant-fold away

@@ -11,6 +11,14 @@ class IvfIndexSpec extends GraftSpec {
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
   private lazy val index = IvfIndex.fit(emb, "vec_id", "embedding", k = 8)
 
+  it("fit bounds k: centroids are driver-collected, so an unbounded k " +
+     "is refused up front") {
+    an[IllegalArgumentException] should be thrownBy
+      IvfIndex.fit(emb, "vec_id", "embedding", k = (1 << 16) + 1)
+    an[IllegalArgumentException] should be thrownBy
+      IvfIndex.fit(emb, "vec_id", "embedding", k = 0)
+  }
+
   it("probing all cells reproduces the exact brute-force top-k") {
     val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", 1L, 10)
       .select("vec_id").as[Long].collect().toSeq

@@ -102,4 +102,106 @@ class NearDupIndexSpec extends GraftSpec {
     an[Exception] should be thrownBy
       NearDupIndex.build(docs, "doc_id", "text", path)
   }
+
+  it("counts/ partials compact past the threshold: the gate result is " +
+     "unchanged and the active dir count stays bounded across appends") {
+    val path = tmp()
+    val key = "spark.graft.neardupindex.compactThreshold"
+    spark.conf.set(key, "2")
+    try {
+      val idx = NearDupIndex.build(docs, "doc_id", "text", path)
+      // several disjoint novel batches — each append adds a counts dir,
+      // so the threshold (2) is crossed and compaction folds them
+      (1 to 4).foreach { i =>
+        val b = docs.filter(col("doc_id") % 7 === i % 7)
+          .select((col("doc_id") + i * 1000000L).as("doc_id"), col("source"),
+            concat(lit(s"novelbatch$i "), col("text")).as("text"))
+        val kept = idx.keepUnseen(b, "doc_id", "text").localCheckpoint(true)
+        idx.append(kept, "doc_id", "text")
+      }
+      val commits = new java.io.File(s"$path/_commits").listFiles()
+        .map(_.getName).filterNot(_.startsWith(".")).sorted
+      commits.length should be > 5 // 5 appends + >=1 compaction commit
+      // a compaction published a folded counts dir
+      new java.io.File(s"$path/counts").listFiles()
+        .map(_.getName).count(_.startsWith("append=c")) should be >= 1
+      // and the gate over the compacted index still equals the per-call
+      // pipeline against the same accumulated history
+      val history = spark.read.parquet(
+        new java.io.File(s"$path/digests").listFiles()
+          .map(_.getPath): _*) // all committed digests = indexed corpus ids
+      val probe = incomingOf(docs)
+      val stored = idx.keepUnseen(probe, "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted
+      stored.length should be > 0
+      // near-replays of ROUND-3-appended docs are caught post-compaction
+      val b3replay = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 9000000L).as("doc_id"), col("source"),
+          concat(lit("novelbatch3 "), col("text")).as("text"))
+      idx.keepUnseen(b3replay, "doc_id", "text").count() shouldBe 0L
+      history.count() should be > 0L
+    } finally spark.conf.unset(key)
+  }
+
+  it("appendOnce is idempotent under its token, and a token-excluded gate " +
+     "reproduces the pre-append answer (the micro-batch replay contract)") {
+    val idx = NearDupIndex.build(docs, "doc_id", "text", tmp())
+    val batch = incomingOf(docs)
+    val token = "stream#0"
+    val original = idx.keepUnseen(batch, "doc_id", "text",
+        excludeToken = Some(token)).localCheckpoint(true)
+    val st1 = idx.appendOnce(original, "doc_id", "text", token)
+    // replayed append: same token -> no-op, stats and doc count unchanged
+    val st2 = idx.appendOnce(original, "doc_id", "text", token)
+    st2 shouldBe st1
+    // replayed GATE: excluding its own committed append, the batch sees
+    // the index as it stood before -> identical survivors
+    val replay = idx.keepUnseen(batch, "doc_id", "text",
+      excludeToken = Some(token))
+    replay.select("doc_id").as[Long].collect().sorted shouldBe
+      original.select("doc_id").as[Long].collect().sorted
+    // while a NON-excluded gate sees the appended rows and drops replays
+    val vs = idx.keepUnseen(batch, "doc_id", "text")
+    vs.count() shouldBe 0L
+  }
+
+  it("the streamed index loop equals the batch loop, and a replayed " +
+     "micro-batch converges to the same output and index state") {
+    import graft.streaming.EventStream
+    val path = tmp()
+    val idx = NearDupIndex.build(docs, "doc_id", "text", path)
+    val batch = incomingOf(docs).localCheckpoint(true)
+    val out = java.nio.file.Files.createTempDirectory("graft-replay-out").toString
+    // first delivery of micro-batch 0
+    EventStream.indexedIngestBatch(idx, "doc_id", "text", out, "t")(batch, 0L)
+    val kept1 = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").as[Long].collect().sorted
+    val commits1 = new java.io.File(s"$path/_commits").listFiles().length
+    // simulated crash-and-replay of the SAME micro-batch
+    EventStream.indexedIngestBatch(idx, "doc_id", "text", out, "t")(batch, 0L)
+    val kept2 = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").as[Long].collect().sorted
+    kept2 shouldBe kept1 // output identical
+    new java.io.File(s"$path/_commits").listFiles().length shouldBe commits1
+    kept1.length should be > 0
+  }
+
+  it("a crashed (uncommitted) append is invisible: orphan data dirs " +
+     "without a marker never reach a reader's plan") {
+    val path = tmp()
+    val idx = NearDupIndex.build(docs, "doc_id", "text", path)
+    val before = idx.keepUnseen(incomingOf(docs), "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    // simulate a writer that died after data writes but BEFORE its commit
+    // marker: junk rows in fresh append dirs, no manifest
+    docs.limit(5).select(col("doc_id"), MinHashLSH.shingleDigests(col("text")).as("ds"))
+      .write.parquet(s"$path/digests/append=a999999")
+    spark.range(3).select(lit(0).as("b"), lit("junk").as("bkey"),
+      col("id").as("doc_id")).write.parquet(s"$path/bands/append=a999999")
+    spark.range(3).select(lit(0).as("b"), lit("junk").as("bkey"),
+      lit(1L).as("c")).write.parquet(s"$path/counts/append=a999999")
+    val after = idx.keepUnseen(incomingOf(docs), "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    after shouldBe before
+  }
 }

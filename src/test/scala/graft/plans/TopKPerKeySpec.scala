@@ -160,6 +160,24 @@ class TopKPerKeySpec extends GraftSpec {
     }
   }
 
+  it("the lowering RULE itself rejects a malformed mode conf with the " +
+     "key named (strict parse inside the optimizer too)") {
+    try {
+      GraftPlans.install(spark) // rule registered, window mode
+      spark.conf.set("spark.graft.topk.physical", "1")
+      val e = intercept[Exception] {
+        GraftPlans.topKPerKey(orders, Seq($"o_custkey"),
+          Seq($"o_totalprice".desc), k = 1).collect()
+      }
+      // Spark may wrap optimizer failures; the cause chain keeps the name
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(_.getMessage.contains("spark.graft.topk.physical")) shouldBe true
+    } finally {
+      spark.conf.unset("spark.graft.topk.physical")
+      GraftPlans.install(spark)
+    }
+  }
+
   it("install is idempotent") {
     GraftPlans.install(spark)
     GraftPlans.install(spark)
