@@ -1809,6 +1809,31 @@ object SparkEntry {
       .duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
       .orderBy("doc_id", "span_start")
 
+  /** DQ110 (EXT): the CLEANED corpus — dq106's spans APPLIED
+    * ([[graft.ext.ExactSubstring.removeSpans]]): duplicated-span tokens
+    * deleted, unique remainder kept per document (Lee et al.'s actual
+    * deliverable; dq106 localizes, this removes). The md5 of each
+    * cleaned text is the byte-level contract the oracle re-derives. */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    graft.ext.ExactSubstring
+      .removeSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
+  /** DQ111 (EXT): cluster-balanced subsampling
+    * ([[Sampling.clusterBalanced]]) — dq51's trained IVF cells with at
+    * most 20 md5-ranked representatives each: the "cluster, then cap"
+    * diversity-preserving subsample (a plain hash gate keeps topic skew;
+    * this flattens it). The oracle replays Lloyd's training, final
+    * assignment, and the per-cell rank cap. */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val index = IvfIndex.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    try Sampling.clusterBalanced(emb, "vec_id", "embedding", index,
+        perCell = 20)
+      .orderBy("cell", "vec_id").localCheckpoint(true)
+    finally index.release()
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -1956,7 +1981,9 @@ object SparkEntry {
     "dq106_exact_substring"     -> (q106 _),
     "dq107_bpe_train"           -> (q107 _),
     "dq108_bpe_tokenize"        -> (q108 _),
-    "dq109_stream_index_loop"   -> (q109 _)
+    "dq109_stream_index_loop"   -> (q109 _),
+    "dq110_exact_substring_clean" -> (q110 _),
+    "dq111_cluster_balanced"    -> (q111 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2240,6 +2267,28 @@ object SparkEntry {
       |  max(sim) AS max_sim
       |FROM scored WHERE sim > 0.3
       |GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+  /** The dq106/dq110 shared ExactSubstr derivation (k=8): tokens →
+    * window digests → corpus-duplicated digests → merged maximal spans
+    * (`sp`: doc_id, span_start, span_end; `t`: doc_id, toks). */
+  private val ExactSubstrChainSql =
+    """t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |    x -> len(x) > 0) toks FROM documents),
+      |w AS (SELECT doc_id, i AS pos,
+      |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+      |  FROM t, unnest(range(1, len(toks) - 6)) r(i)),
+      |d AS (SELECT dg FROM w GROUP BY dg HAVING count(*) > 1),
+      |c AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (dg)),
+      |m AS (SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |      OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+      |      THEN 1 ELSE 0 END brk
+      |  FROM c),
+      |i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+      |    ORDER BY pos ROWS UNBOUNDED PRECEDING) isl FROM m),
+      |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) span_start,
+      |    CAST(max(pos) + 7 AS BIGINT) span_end
+      |  FROM i GROUP BY doc_id, isl)""".stripMargin
 
   /** Merge count shared by dq107's training run, dq108's trained-vocab
     * tokenization, and their oracles' unrolled replay. */
@@ -2614,23 +2663,7 @@ object SparkEntry {
     // digest from the token-array slice. Window/span digests are md5 of
     // the space-joined tokens on BOTH sides, bit-identical cross-engine.
     "dq106_exact_substring" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
-        |    x -> len(x) > 0) toks FROM documents),
-        |w AS (SELECT doc_id, i AS pos,
-        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
-        |  FROM t, unnest(range(1, len(toks) - 6)) r(i)),
-        |d AS (SELECT dg FROM w GROUP BY dg HAVING count(*) > 1),
-        |c AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (dg)),
-        |m AS (SELECT doc_id, pos,
-        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-        |      OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
-        |      THEN 1 ELSE 0 END brk
-        |  FROM c),
-        |i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
-        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) isl FROM m),
-        |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) span_start,
-        |    CAST(max(pos) + 7 AS BIGINT) span_end
-        |  FROM i GROUP BY doc_id, isl)
+      s"""WITH $ExactSubstrChainSql
         |SELECT sp.doc_id, sp.span_start,
         |  CAST(sp.span_end - sp.span_start + 1 AS BIGINT) AS n_tokens,
         |  md5(array_to_string(
@@ -2638,6 +2671,25 @@ object SparkEntry {
         |    AS span_md5
         |FROM sp JOIN t USING (doc_id)
         |ORDER BY doc_id, span_start""".stripMargin,
+    // the cleaned corpus off the same span chain: token positions covered
+    // by NO span, re-joined with single spaces; md5 is the byte contract
+    "dq110_exact_substring_clean" ->
+      s"""WITH $ExactSubstrChainSql,
+        |tok AS (SELECT doc_id, i AS pos, toks[CAST(i AS INT)] tok
+        |  FROM t, unnest(range(1, len(toks) + 1)) r(i)),
+        |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = k.doc_id
+        |      AND k.pos BETWEEN sp.span_start AND sp.span_end)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) kept_tokens,
+        |    string_agg(tok, ' ' ORDER BY pos) s
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(a.kept_tokens, 0) AS kept_tokens,
+        |  CAST(len(t.toks) AS BIGINT) - COALESCE(a.kept_tokens, 0)
+        |    AS removed_tokens,
+        |  md5(COALESCE(a.s, '')) AS clean_md5
+        |FROM t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dq31_stream_dedup" ->
       """SELECT event_type, count(*) AS n_unique_users FROM (
         |  SELECT DISTINCT user_id, event_type FROM events)
@@ -2777,6 +2829,17 @@ object SparkEntry {
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "dq51_ann_trained_ivf" -> Dq51Sql,
+    // dq51's trained chain to the final assignment (af), then the
+    // deterministic per-cell rank cap (probe CTEs go unreferenced and are
+    // pruned by the optimizer)
+    "dq111_cluster_balanced" ->
+      (ivfChainSql(8, 2, 1, "",
+        "SELECT vid qid, emb qemb FROM e WHERE vid = 1") +
+        """
+        |SELECT cell, vid AS vec_id FROM (SELECT cell, vid,
+        |  row_number() OVER (PARTITION BY cell
+        |    ORDER BY md5(vid::VARCHAR), vid) rnk FROM af)
+        |WHERE rnk <= 20 ORDER BY cell, vec_id""".stripMargin),
     // the broadcast-kernel path must produce byte-identical results to the
     // literal fold — same oracle, separately executed query
     "dq84_ann_ivf_kernel" -> Dq51Sql,

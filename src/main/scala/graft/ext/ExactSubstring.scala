@@ -91,6 +91,41 @@ object ExactSubstring {
           (col("__span_end") - col("span_start") + 1).cast("int")))).as("span_md5"))
   }
 
+  /** The CLEANED corpus — [[duplicatedSpans]] applied: every duplicated
+    * span's tokens deleted, the remainder re-joined with single spaces
+    * (the Lee et al. 6.1 deliverable: remove the span, keep the unique
+    * remainder, never drop whole documents). Per document:
+    * (idCol, kept_tokens, removed_tokens, clean_md5) — the md5 of the
+    * cleaned text is the byte-level contract the oracle re-derives.
+    *
+    * Span deletion is per-document LOCAL work: spans arrive as one
+    * doc-keyed array (same join key as the span-content digest), and the
+    * token drop is an indexed `filter` HOF over the already-held token
+    * array — no token-level shuffle.
+    */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
+    val spans = duplicatedSpans(df, idCol, textCol, k)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("n_tokens"))).as("__spans"))
+    val covered = (i: org.apache.spark.sql.Column) =>
+      exists(col("__spans"), s =>
+        i + 1 >= s.getField("span_start") &&
+          i + 1 < s.getField("span_start") + s.getField("n_tokens"))
+    toks.join(spans, Seq(idCol), "left_outer")
+      .select(col(idCol), col("__toks"),
+        when(col("__spans").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"), (_, i) => !covered(i)))
+          .as("__kept"))
+      .select(col(idCol),
+        size(col("__kept")).cast("long").as("kept_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("removed_tokens"),
+        md5(concat_ws(" ", col("__kept"))).as("clean_md5"))
+  }
+
   /** Removal accounting over [[duplicatedSpans]] — the "how much does
     * ExactSubstr delete" number Lee et al. report (Bench evidence
     * surface): per span-bearing document, the span count, removed token

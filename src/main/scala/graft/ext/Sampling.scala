@@ -104,4 +104,29 @@ object Sampling {
     */
   def epochShuffleKey(idCol: Column, epoch: Int): Column =
     md5(concat_ws(":", lit(epoch), idCol))
+
+  /** CLUSTER-BALANCED subsampling: at most `perCell` representatives per
+    * trained-IVF cell, ranked by the engine-portable md5 gate — the
+    * "cluster, then cap per cluster" diversity-preserving subsample of
+    * corpus curation (a uniform hash gate keeps the corpus's topic skew;
+    * capping per embedding-space cell flattens it). Deterministic end to
+    * end: the cells come from [[IvfIndex.fit]]'s seeded Lloyd's, the
+    * within-cell order from `(md5(id), id)` — both engine-reproducible,
+    * so the oracle re-derives the exact member set.
+    *
+    * Scale shape: cell assignment is map-only (broadcast centroid
+    * matrix); ranking runs through the bounded-heap
+    * [[graft.plans.TopKPerKeyExec]], so the exchange moves
+    * O(cells · perCell) rows — never the corpus.
+    */
+  def clusterBalanced(df: DataFrame, idCol: String, embCol: String,
+      index: IvfIndex, perCell: Int): DataFrame = {
+    require(perCell > 0, "perCell must be positive")
+    graft.plans.GraftPlans.ensureInstalled(df.sparkSession)
+    val assigned = index.withCell(
+      df.select(col(idCol), col(embCol).as("__emb")), "__emb")
+    graft.plans.GraftPlans.topKPerKey(assigned, Seq(col("cell")),
+      Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc), perCell)
+      .select(col("cell"), col(idCol))
+  }
 }

@@ -63,6 +63,28 @@ class ExactSubstringSpec extends GraftSpec {
       .digest(passage.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  it("removeSpans deletes exactly the span tokens and keeps the unique " +
+     "remainder — full docs pass through, fully-covered docs empty out") {
+    val passage = "one two three four five six"
+    val cleaned = ExactSubstring.removeSpans(
+      Seq(
+        (1L, s"alpha beta $passage gamma delta"),
+        (2L, s"x $passage y z w"),
+        (3L, "a wholly unique document body here"),
+        (4L, passage), (5L, passage)) // identical docs: fully covered
+        .toDF("doc_id", "text"), "doc_id", "text", k)
+      .orderBy("doc_id")
+      .select($"doc_id", $"kept_tokens", $"removed_tokens", $"clean_md5")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    cleaned shouldBe Seq(
+      (1L, 4L, 6L, m("alpha beta gamma delta")),
+      (2L, 4L, 6L, m("x y z w")),
+      (3L, 6L, 0L, m("a wholly unique document body here")),
+      (4L, 0L, 6L, m("")), (5L, 0L, 6L, m("")))
+  }
+
   it("removalReport accounts removed vs total tokens per affected doc") {
     val passage = "one two three four five six"
     val rep = ExactSubstring.removalReport(

@@ -73,4 +73,23 @@ class SamplingSpec extends GraftSpec {
     e1.sorted shouldBe order(2).sorted          // same elements...
     e1 should not be order(2)                   // ...different order
   }
+
+  it("clusterBalanced caps every IVF cell at perCell, deterministically") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = IvfIndex.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    try {
+      def run() = Sampling
+        .clusterBalanced(emb, "vec_id", "embedding", index, perCell = 5)
+        .orderBy("cell", "vec_id")
+        .select($"cell", $"vec_id").as[(Int, Long)].collect().toSeq
+      val sel = run()
+      sel shouldBe run() // deterministic member set
+      val perCell = sel.groupBy(_._1).view.mapValues(_.size)
+      all(perCell.values.toSeq) should be <= 5
+      perCell.keys.toSet.size should be > 1 // multiple cells represented
+      // members are real corpus ids
+      val ids = emb.select("vec_id").as[Long].collect().toSet
+      sel.map(_._2).foreach(v => ids should contain(v))
+    } finally index.release()
+  }
 }
