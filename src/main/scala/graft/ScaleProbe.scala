@@ -591,6 +591,59 @@ object ScaleProbe {
         println(f"""{"probe":"dpp","pruned_bytes":$pb,"full_bytes":$fb,"pruned_sec":${(t1 - t0) / 1e9}%.2f,"full_sec":${(t2 - t1) / 1e9}%.2f}""")
       }
     }
+    // Exact-substring dedup at m×: replicas share their source doc's text
+    // verbatim except a per-replica token mutation, so duplicated-window
+    // mass grows with m (the realistic regime — more corpus, more verbatim
+    // overlap). The wall should track the window count (the digest
+    // aggregation is THE corpus-sized stage); span-merge and content
+    // verification ride the duplicated minority.
+    if (sys.env.get("SCALE_EXSUB").contains("1")) {
+      for (m <- Seq(1, 10)) {
+        val df = base.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              (t, i) => when(i % 17 === 0, concat(t, lit("e"), col("rep"))).otherwise(t)), " ")
+              .as("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .cache()
+        val n = df.count()
+        val t0 = System.nanoTime()
+        val rep = graft.ext.ExactSubstring
+          .removalReport(df, "doc_id", "text", k = 8)
+          .agg(sum(col("n_spans")), sum(col("removed_tokens")),
+            sum(col("total_tokens"))).head()
+        val t1 = System.nanoTime()
+        val sec = (t1 - t0) / 1e9
+        println(f"""{"probe":"exsub","m":$m,"docs":$n,"spans":${rep.getLong(0)},"removed_tokens":${rep.getLong(1)},"affected_tokens":${rep.getLong(2)},"sec":$sec%.2f,"docs_per_sec":${n / sec}%.0f}""")
+        df.unpersist()
+        ()
+      }
+    }
+    // BPE training at m×: replicas mutate every 5th token into a fresh
+    // word, so the DISTINCT-WORD symbol table (the per-merge working set)
+    // grows with m while the corpus-sized word count runs once. Per-merge
+    // wall should track vocab size, not corpus size — the separation that
+    // makes merge learning affordable on a 100 TB corpus.
+    if (sys.env.get("SCALE_BPE").contains("1")) {
+      for (m <- Seq(1, 10)) {
+        val df = base.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              (t, i) => when(i % 5 === 0, concat(t, lit("v"), col("rep"))).otherwise(t)), " ")
+              .as("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .cache()
+        val n = df.count()
+        val vocabRows = graft.ext.BpeTrain.wordCounts(df, "text").count()
+        val t0 = System.nanoTime()
+        val model = graft.ext.BpeTrain.learn(df, "text", numMerges = 6)
+        val t1 = System.nanoTime()
+        val sec = (t1 - t0) / 1e9
+        println(f"""{"probe":"bpe","m":$m,"docs":$n,"distinct_words":$vocabRows,"merges":${model.merges.size},"alphabet":${model.alphabet.size},"sec":$sec%.2f,"sec_per_merge":${sec / math.max(1, model.merges.size)}%.2f}""")
+        df.unpersist()
+        ()
+      }
+    }
     // Subword tokenizer throughput: map-only kernel, so the number that
     // matters is rows/s per core — the operator scales with scan bandwidth,
     // and the probe proves the wall stays flat per unit of input.
