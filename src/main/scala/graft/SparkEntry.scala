@@ -1834,6 +1834,23 @@ object SparkEntry {
     finally index.release()
   }
 
+  /** DQ112 (EXT): linear quality-probe TRAINING
+    * ([[graft.ext.QualityProbe]]) — the normal-equations moment table for
+    * regressing dq92's integer LM-fluency score on integer-milli surface
+    * features (mean token length, stopword ratio, type-token ratio):
+    * ONE corpus pass of map-side-combined Long sums; the d×d solve is
+    * driver-side and spec-checked. The cluster-side computation is
+    * all-integer, so the oracle re-derives every moment bit-for-bit
+    * (dq92's fluency chain embedded as the target). */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val y = graft.ext.NgramLm.fluencyReport(docs, "doc_id", "text")
+      .select(col("doc_id"), col("mean_micro"))
+    val xy = graft.ext.QualityProbe.features(docs, "doc_id", "text")
+      .join(y, "doc_id")
+    graft.ext.QualityProbe.moments(xy, "mean_micro").orderBy("term")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -1983,7 +2000,8 @@ object SparkEntry {
     "dq108_bpe_tokenize"        -> (q108 _),
     "dq109_stream_index_loop"   -> (q109 _),
     "dq110_exact_substring_clean" -> (q110 _),
-    "dq111_cluster_balanced"    -> (q111 _)
+    "dq111_cluster_balanced"    -> (q111 _),
+    "dq112_quality_probe"       -> (q112 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2289,6 +2307,48 @@ object SparkEntry {
       |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) span_start,
       |    CAST(max(pos) + 7 AS BIGINT) span_end
       |  FROM i GROUP BY doc_id, isl)""".stripMargin
+
+  /** dq112: integer-milli features + dq92's fluency chain as the target,
+    * then every normal-equation moment as an exact BIGINT sum. */
+  private lazy val Dq112Sql = {
+    val sw = graft.ext.QualityProbe.Stopwords.map(s => s"'$s'").mkString(", ")
+    val terms =
+      (for (i <- 0 until 4; j <- i until 4) yield (s"m_${i}_$j", s"x$i * x$j")) ++
+        (0 until 4).map(i => (s"v_$i", s"x$i * y"))
+    val unions = terms.map { case (t, e) =>
+      s"SELECT '$t' AS term, CAST(sum($e) AS BIGINT) AS value FROM j"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+      |    x -> len(x) > 0) toks FROM documents),
+      |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |model AS (SELECT bg, CAST(count(*) AS BIGINT) c12 FROM b GROUP BY 1),
+      |pc AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) c1
+      |  FROM model GROUP BY 1),
+      |m AS (SELECT bg, (1000000 * c12) // c1 AS micro
+      |  FROM model JOIN pc ON string_split(model.bg, ' ')[1] = pc.w1),
+      |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+      |    CAST(sum(micro) AS BIGINT) sum_micro
+      |  FROM b JOIN m USING (bg) GROUP BY 1),
+      |y AS (SELECT d.doc_id, COALESCE(s.sum_micro // s.n_bigrams, 0) AS y
+      |  FROM documents d LEFT JOIN s USING (doc_id)),
+      |f AS (SELECT d.doc_id,
+      |    CAST(1 AS BIGINT) x0,
+      |    CASE WHEN len(t.toks) = 0 THEN 0
+      |      ELSE (1000 * CAST(list_sum(list_transform(t.toks, x -> len(x))) AS BIGINT))
+      |        // len(t.toks) END x1,
+      |    CASE WHEN len(t.toks) = 0 THEN 0
+      |      ELSE (1000 * len(list_filter(t.toks,
+      |        x -> list_contains([$sw], x)))) // len(t.toks) END x2,
+      |    CASE WHEN len(t.toks) = 0 THEN 0
+      |      ELSE (1000 * len(list_distinct(t.toks))) // len(t.toks) END x3
+      |  FROM documents d JOIN t USING (doc_id)),
+      |j AS (SELECT f.x0, f.x1, f.x2, f.x3, y.y FROM f JOIN y USING (doc_id))
+      |SELECT term, value FROM (
+      |  $unions
+      |) ORDER BY term""".stripMargin
+  }
 
   /** Merge count shared by dq107's training run, dq108's trained-vocab
     * tokenization, and their oracles' unrolled replay. */
@@ -2657,6 +2717,7 @@ object SparkEntry {
     "dq105_semantic_decon_pruned" -> Dq105Sql,
     "dq107_bpe_train" -> Dq107Sql,
     "dq108_bpe_tokenize" -> Dq108Sql,
+    "dq112_quality_probe" -> Dq112Sql,
     // ExactSubstr re-derived: k-token window digests → corpus-duplicated
     // digests → gaps-and-islands span merge (windows at p and q merge iff
     // p <= q + k: overlapping-or-touching token ranges) → span content
