@@ -1851,6 +1851,21 @@ object SparkEntry {
     graft.ext.QualityProbe.moments(xy, "mean_micro").orderBy("term")
   }
 
+  /** DQ113 (EXT): incremental exact-substring gate
+    * ([[graft.ext.ExactSubstring.dupWindowReport]]) — dq104's batch-1
+    * fixture gated against the history corpus by k-token WINDOW digests:
+    * per batch document, how many of its windows already occur verbatim
+    * in history (the zzztail near-replays carry their source's windows;
+    * the every-3rd-token mutants share none at k=8). The
+    * Bloom-split/digest-join treatment dq81/dq83 give their modalities,
+    * applied to verbatim spans. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (b1, _) = nearDupBatches(docs)
+    graft.ext.ExactSubstring.dupWindowReport(b1, docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2001,7 +2016,8 @@ object SparkEntry {
     "dq109_stream_index_loop"   -> (q109 _),
     "dq110_exact_substring_clean" -> (q110 _),
     "dq111_cluster_balanced"    -> (q111 _),
-    "dq112_quality_probe"       -> (q112 _)
+    "dq112_quality_probe"       -> (q112 _),
+    "dq113_exact_substring_gate" -> (q113 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2718,6 +2734,39 @@ object SparkEntry {
     "dq107_bpe_train" -> Dq107Sql,
     "dq108_bpe_tokenize" -> Dq108Sql,
     "dq112_quality_probe" -> Dq112Sql,
+    // batch-1's windows vs the DISTINCT history window digests: matched
+    // window count per batch doc (wh is distinct, so the join multiplies
+    // nothing); the Bloom split on the Spark side is a pure pruning
+    // optimization invisible to the result
+    "dq113_exact_substring_gate" ->
+      """WITH b1 AS (
+        |  SELECT doc_id + 100000 AS doc_id, text || ' zzztail' AS text
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    array_to_string(list_transform(range(1, len(tk) + 1),
+        |      i -> CASE WHEN (i - 1) % 3 = 0 THEN tk[i] || 'x' ELSE tk[i] END),
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') tk
+        |        FROM documents WHERE doc_id % 13 = 0)),
+        |th AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |wh AS (SELECT DISTINCT
+        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+        |  FROM th, unnest(range(1, len(toks) - 6)) r(i)),
+        |tb AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) toks FROM b1),
+        |wb AS (SELECT doc_id,
+        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+        |  FROM tb, unnest(range(1, len(toks) - 6)) r(i)),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_windows
+        |  FROM wb GROUP BY 1),
+        |dup AS (SELECT wb.doc_id, CAST(count(*) AS BIGINT) n_dup
+        |  FROM wb JOIN wh USING (dg) GROUP BY 1)
+        |SELECT b1.doc_id, COALESCE(tot.n_windows, 0) AS n_windows,
+        |  COALESCE(dup.n_dup, 0) AS n_dup_windows
+        |FROM b1 LEFT JOIN tot USING (doc_id) LEFT JOIN dup USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // ExactSubstr re-derived: k-token window digests → corpus-duplicated
     // digests → gaps-and-islands span merge (windows at p and q merge iff
     // p <= q + k: overlapping-or-touching token ranges) → span content

@@ -48,6 +48,19 @@ object ExactSubstring {
     * identity, oracle-checkable). Documents with < k tokens, and spans
     * none of whose windows repeat, yield no rows.
     */
+  /** (idCol, pos, dg): every k-token window's position and content digest
+    * — the only corpus-wide-shuffled shape of this family. */
+  private def windowDigests(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol),
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(1), size(col("__toks")) - (k - 1))).as("pos"),
+        col("__toks"))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(col("__toks"), col("pos"), lit(k)))).as("dg"))
+
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 2, "need k >= 2 (k=1 would flag every repeated token)")
@@ -56,14 +69,7 @@ object ExactSubstring {
     val toks = df.select(col(idCol),
       filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
 
-    // (digest, doc, pos) — the only corpus-wide-shuffled shape
-    val wins = toks
-      .where(size(col("__toks")) >= k)
-      .select(col(idCol),
-        explode(sequence(lit(1), size(col("__toks")) - (k - 1))).as("pos"),
-        col("__toks"))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        md5(concat_ws(" ", slice(col("__toks"), col("pos"), lit(k)))).as("dg"))
+    val wins = windowDigests(df, idCol, textCol, k)
 
     // corpus-wide duplicated digests (partial-aggregated count; the
     // overwhelmingly-unique tail combines map-side to count 1 and drops)
@@ -124,6 +130,43 @@ object ExactSubstring {
         (size(col("__toks")) - size(col("__kept"))).cast("long")
           .as("removed_tokens"),
         md5(concat_ws(" ", col("__kept"))).as("clean_md5"))
+  }
+
+  /** INCREMENTAL exact-substring gate — the batch-vs-history form of this
+    * modality (the [[Dedup.keepUnseen]]/[[MinHashLSH.keepUnseenNear]]
+    * treatment for verbatim spans): per BATCH document, how many of its
+    * k-token windows already occur in the history corpus. A document with
+    * `n_dup_windows > 0` contains verbatim history text (Lee et al.'s
+    * between-corpus ExactSubstr direction — train/new-crawl overlap).
+    *
+    * Scale shape: history is touched as DISTINCT window digests only
+    * (never text past the scan); a Bloom filter over them splits the
+    * batch's windows so provably-fresh windows skip the digest join —
+    * only the might-seen minority shuffles. Per-call the filter is built
+    * from one history pass; a production LOOP stores the digest relation
+    * and its count the [[NearDupIndex]] way instead of re-deriving.
+    */
+  def dupWindowReport(batch: DataFrame, history: DataFrame, idCol: String,
+      textCol: String, k: Int, fpp: Double = 0.01): DataFrame = {
+    val hw = windowDigests(history, idCol, textCol, k)
+      .select("dg").distinct()
+    CacheScope.withCached(hw) {
+      val expected = math.max(1L, hw.count())
+      val bloom = BloomPrune.buildFilter(hw, "dg", expected, fpp)
+      val bw = windowDigests(batch, idCol, textCol, k)
+      CacheScope.withCached(bw) {
+        val (maybeSeen, _) = BloomPrune.split(bw, "dg", bloom)
+        val dup = maybeSeen.join(hw, Seq("dg"), "left_semi")
+          .groupBy(idCol).agg(count(lit(1)).as("n_dup_windows"))
+        val totals = bw.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
+        batch.select(col(idCol))
+          .join(totals, Seq(idCol), "left_outer")
+          .join(dup, Seq(idCol), "left_outer")
+          .select(col(idCol),
+            coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+            coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      }
+    }
   }
 
   /** Removal accounting over [[duplicatedSpans]] — the "how much does

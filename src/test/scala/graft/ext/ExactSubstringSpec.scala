@@ -85,6 +85,26 @@ class ExactSubstringSpec extends GraftSpec {
       (4L, 0L, 6L, m("")), (5L, 0L, 6L, m("")))
   }
 
+  it("dupWindowReport counts a batch doc's windows already in history — " +
+     "verbatim replays all-dup, fresh text zero, short docs zero windows") {
+    val passage = "h1 h2 h3 h4 h5 h6 h7 h8 h9"   // 9 tokens -> 6 windows at k=4
+    val history = Seq((1L, passage), (2L, "other hist words entirely here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, passage),                       // verbatim replay: 6/6 dup
+      (11L, s"fresh unique words $passage"), // tail replay: 6 of 9 dup
+      (12L, "wholly novel content with no history overlap at all"),
+      (13L, "tiny"))                        // < k tokens: 0 windows
+      .toDF("doc_id", "text")
+    val got = ExactSubstring
+      .dupWindowReport(batch, history, "doc_id", "text", k)
+      .orderBy("doc_id")
+      .select($"doc_id", $"n_windows", $"n_dup_windows")
+      .as[(Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((10L, 6L, 6L), (11L, 9L, 6L), (12L, 6L, 0L),
+      (13L, 0L, 0L))
+  }
+
   it("removalReport accounts removed vs total tokens per affected doc") {
     val passage = "one two three four five six"
     val rep = ExactSubstring.removalReport(
