@@ -160,6 +160,24 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq106 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq113 Bloom-split effectiveness: of the batch's windows, how
+      //    many pass the history Bloom (the digest join's real input) and
+      //    how many actually match — the "provably-fresh windows never
+      //    shuffle" claim as counts.
+      if (!names.exists(_.startsWith("dq113"))) None
+      else try {
+        spark.conf.set("spark.graft.exsub.instrument", "true")
+        try {
+          SparkEntry.queries("dq113_exact_substring_gate")(spark, sfDir)
+            .collect()
+          val st = graft.ext.ExactSubstring.lastGateStats.get
+          Some(s""""dq113_batch_windows":${st.batchWindows},""" +
+            s""""dq113_bloom_passed":${st.bloomPassed},""" +
+            s""""dq113_dup_windows":${st.dupWindows}""")
+        } finally spark.conf.unset("spark.graft.exsub.instrument")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq113 evidence failed: ${e.getMessage}"); None
+      },
       //  - dq49/dq78 streaming state: per-run state-store totals and
       //    watermark lag from the progress events — the numbers behind
       //    "the cost is intrinsic micro-batch machinery" for the two

@@ -146,6 +146,15 @@ object ExactSubstring {
     * from one history pass; a production LOOP stores the digest relation
     * and its count the [[NearDupIndex]] way instead of re-deriving.
     */
+  /** Bloom-split telemetry from the most recent INSTRUMENTED
+    * [[dupWindowReport]] (conf `spark.graft.exsub.instrument=true`, the
+    * [[ConnectedComponents.lastStats]] pattern — extra count jobs, so
+    * harness-only): how many batch windows existed, how many passed the
+    * history Bloom (the join's real input), and how many matched. */
+  final case class GateStats(batchWindows: Long, bloomPassed: Long,
+      dupWindows: Long)
+  @volatile var lastGateStats: Option[GateStats] = None
+
   def dupWindowReport(batch: DataFrame, history: DataFrame, idCol: String,
       textCol: String, k: Int, fpp: Double = 0.01): DataFrame = {
     val hw = windowDigests(history, idCol, textCol, k)
@@ -156,6 +165,10 @@ object ExactSubstring {
       val bw = windowDigests(batch, idCol, textCol, k)
       CacheScope.withCached(bw) {
         val (maybeSeen, _) = BloomPrune.split(bw, "dg", bloom)
+        if (batch.sparkSession.conf
+            .getOption("spark.graft.exsub.instrument").contains("true"))
+          lastGateStats = Some(GateStats(bw.count(), maybeSeen.count(),
+            maybeSeen.join(hw, Seq("dg"), "left_semi").count()))
         val dup = maybeSeen.join(hw, Seq("dg"), "left_semi")
           .groupBy(idCol).agg(count(lit(1)).as("n_dup_windows"))
         val totals = bw.groupBy(idCol).agg(count(lit(1)).as("n_windows"))

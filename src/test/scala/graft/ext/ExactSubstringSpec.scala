@@ -105,6 +105,29 @@ class ExactSubstringSpec extends GraftSpec {
       (13L, 0L, 0L))
   }
 
+  it("dupWindowReport instrumentation is conf-gated: stats populate only " +
+     "under the harness conf, and the result is identical either way") {
+    val history = Seq((1L, "p1 p2 p3 p4 p5 p6")).toDF("doc_id", "text")
+    val batch = Seq((10L, "p1 p2 p3 p4 p5 p6 novel1 novel2 novel3 novel4"))
+      .toDF("doc_id", "text")
+    def run() = ExactSubstring
+      .dupWindowReport(batch, history, "doc_id", "text", k)
+      .select($"doc_id", $"n_windows", $"n_dup_windows")
+      .as[(Long, Long, Long)].collect().toSeq
+    ExactSubstring.lastGateStats = None
+    val plain = run()
+    ExactSubstring.lastGateStats shouldBe None // no stats without the conf
+    spark.conf.set("spark.graft.exsub.instrument", "true")
+    try {
+      run() shouldBe plain
+      val st = ExactSubstring.lastGateStats.get
+      st.batchWindows shouldBe 7L // 10 tokens, k=4
+      st.dupWindows shouldBe 3L   // the 3 all-history windows of p1..p6
+      st.bloomPassed should be >= st.dupWindows
+      st.bloomPassed should be <= st.batchWindows
+    } finally spark.conf.unset("spark.graft.exsub.instrument")
+  }
+
   it("removalReport accounts removed vs total tokens per affected doc") {
     val passage = "one two three four five six"
     val rep = ExactSubstring.removalReport(
