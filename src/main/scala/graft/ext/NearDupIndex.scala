@@ -355,12 +355,17 @@ object NearDupIndex {
 
   private[ext] object Manifest {
     def parse(s: String): Manifest = {
+      // values stay RAW here: only the id-list keys split on ',' — the
+      // token is caller-chosen text (commas legal per [[appendOnce]]'s
+      // contract) and must round-trip byte-exact or a replayed micro-batch
+      // misses the committed-token check and double-indexes its survivors
       val kv = s.linesIterator.filter(_.contains("="))
-        .map { l => val Array(k, v) = l.split("=", 2); (k, v.split(",").toSeq) }
+        .map { l => val Array(k, v) = l.split("=", 2); (k, v) }
         .toMap
-      Manifest(kv.getOrElse("digests", Nil), kv.getOrElse("bands", Nil),
-        kv.getOrElse("counts", Nil), kv.getOrElse("supersedes_counts", Nil),
-        kv.get("token").flatMap(_.headOption))
+      def ids(k: String): Seq[String] =
+        kv.get(k).map(_.split(",").toSeq).getOrElse(Nil)
+      Manifest(ids("digests"), ids("bands"), ids("counts"),
+        ids("supersedes_counts"), kv.get("token"))
     }
   }
 

@@ -186,6 +186,22 @@ class NearDupIndexSpec extends GraftSpec {
     kept1.length should be > 0
   }
 
+  it("a manifest token round-trips byte-exact — including commas, which " +
+     "the id-list fields split on (exactly-once depends on this)") {
+    import NearDupIndex.Manifest
+    val m = Manifest(Seq("a000001"), Seq("a000001"), Seq("a000001"), Nil,
+      Some("stream,epoch=3,attempt=2"))
+    Manifest.parse(m.render) shouldBe m
+    // and end-to-end: appendOnce under a comma token is still a no-op on replay
+    val idx = NearDupIndex.build(docs, "doc_id", "text", tmp())
+    val token = "job=ingest,batch=0"
+    val kept = idx.keepUnseen(incomingOf(docs), "doc_id", "text",
+      excludeToken = Some(token)).localCheckpoint(true)
+    val st1 = idx.appendOnce(kept, "doc_id", "text", token)
+    val st2 = idx.appendOnce(kept, "doc_id", "text", token)
+    st2 shouldBe st1
+  }
+
   it("a crashed (uncommitted) append is invisible: orphan data dirs " +
      "without a marker never reach a reader's plan") {
     val path = tmp()
