@@ -640,6 +640,15 @@ object ScaleProbe {
         val t1 = System.nanoTime()
         val sec = (t1 - t0) / 1e9
         println(f"""{"probe":"bpe","m":$m,"docs":$n,"distinct_words":$vocabRows,"merges":${model.merges.size},"alphabet":${model.alphabet.size},"sec":$sec%.2f,"sec_per_merge":${sec / math.max(1, model.merges.size)}%.2f}""")
+        // the production path: batched rounds (pulled-sub-state simulation
+        // + distributed fallback), sequential-exact by construction — the
+        // amortization number is merges per round of Spark jobs
+        val b0 = System.nanoTime()
+        val bat = graft.ext.BpeTrain.learnBatched(df, "text", numMerges = 60)
+        val bsec = (System.nanoTime() - b0) / 1e9
+        val nm = bat.model.merges.size
+        val nr = bat.roundSizes.size
+        println(f"""{"probe":"bpe_batched","m":$m,"docs":$n,"merges":$nm,"rounds":$nr,"merges_per_round":${nm.toDouble / math.max(1, nr)}%.1f,"sec":$bsec%.2f,"sec_per_merge":${bsec / math.max(1, nm)}%.3f}""")
         df.unpersist()
         ()
       }

@@ -42,59 +42,124 @@ import org.apache.spark.sql.functions._
   */
 object ExactSubstring {
 
-  /** Maximal duplicated spans per document:
-    * (idCol, span_start, n_tokens, span_md5) — 1-based token positions,
-    * `span_md5` the digest of the space-joined span content (content
-    * identity, oracle-checkable). Documents with < k tokens, and spans
-    * none of whose windows repeat, yield no rows.
+  /** The ONE corpus tokenization of this family: (idCol, __toks).
+    * Repartitioned BEFORE the split so the projection (and its call-scoped
+    * cache build) fans out past single-row-group parquet inputs — the
+    * [[MinHashLSH]] shingle-frame rule (PERF round-1 finding #4). Every
+    * public operator caches this frame for its call and derives windows,
+    * span content, and removal accounting from it — the corpus is split
+    * exactly once per call.
     */
+  private def tokenize(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
+
   /** (idCol, pos, dg): every k-token window's position and content digest
     * — the only corpus-wide-shuffled shape of this family. */
-  private def windowDigests(df: DataFrame, idCol: String, textCol: String,
+  private def windowDigestsOf(toks: DataFrame, idCol: String,
       k: Int): DataFrame =
-    df.select(col(idCol),
-        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
-      .where(size(col("__toks")) >= k)
+    toks.where(size(col("__toks")) >= k)
       .select(col(idCol),
         explode(sequence(lit(1), size(col("__toks")) - (k - 1))).as("pos"),
         col("__toks"))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         md5(concat_ws(" ", slice(col("__toks"), col("pos"), lit(k)))).as("dg"))
 
+  /** Duplicated-digest occurrence threshold above which a digest is
+    * routed through the BROADCAST side of the starts join (strict-parsed
+    * conf `spark.graft.exsub.hotDigestCap`, default 10000). A window this
+    * frequent is corpus boilerplate; hash-joining its positions would put
+    * every occurrence in one shuffle partition — the degenerate-bucket
+    * skew [[MinHashLSH]] caps with `maxBucket`. The hot SET is tiny by
+    * pigeonhole (≤ duplicated windows / cap), so broadcasting it flags
+    * those positions map-side; only bounded-multiplicity (≤ cap) digests
+    * reach the shuffled semi-join. Result-invariant: duplicated means
+    * count ≥ 2 on both routes.
+    */
+  private def hotDigestCap(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.exsub.hotDigestCap")
+      .map { v =>
+        val n = try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.exsub.hotDigestCap must be a positive long, got '$v'")
+        }
+        require(n >= 2, s"spark.graft.exsub.hotDigestCap must be >= 2, got $n")
+        n
+      }.getOrElse(10000L)
+
+  /** [[duplicatedSpans]] body over an (ideally cached) token frame. The
+    * window digests are NOT separately cached: re-deriving them from the
+    * cached tokens is a map-side md5 pass, cheaper than materializing a
+    * window-sized block store relation (measured: caching `wins` cost
+    * ~2x wall at SCALE_EXSUB 50k). */
+  private def spansOf(toks: DataFrame, idCol: String, k: Int): DataFrame =
+    spansPlan(toks, windowDigestsOf(toks, idCol, k), idCol, k)
+
+  /** The caller-managed-frame plan-audit hooks ([[NearDupIndex.pairsPlanFor]]
+    * precedent): the UN-materialized spans plan over an explicit token /
+    * window frame, so specs can persist the inputs and assert the
+    * single-tokenization and broadcast-split shapes structurally — the
+    * production wrappers collapse their result with a call-scoped
+    * checkpoint before a test could walk it. */
+  private[graft] def tokenizeFor(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = tokenize(df, idCol, textCol)
+
+  private[graft] def spansPlanOver(toks: DataFrame, idCol: String,
+      k: Int): DataFrame =
+    spansPlan(toks, windowDigestsOf(toks, idCol, k), idCol, k)
+
+  private def spansPlan(toks: DataFrame, wins: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val cap = hotDigestCap(toks)
+    locally {
+      // corpus-wide duplicated digests (partial-aggregated count; the
+      // overwhelmingly-unique tail combines map-side to count 1 and drops)
+      val dupCounts = wins.groupBy("dg").agg(count(lit(1)).as("__n"))
+        .where(col("__n") > 1)
+      val hot = dupCounts.where(col("__n") > cap).select("dg")
+      val warm = dupCounts.where(col("__n") <= cap).select("dg")
+
+      // duplicated window starts — boilerplate digests flagged map-side
+      // via broadcast, the bounded rest shuffled — merged into maximal
+      // spans per document
+      val starts = wins.join(broadcast(hot), Seq("dg"), "left_semi")
+        .unionByName(wins.join(warm, Seq("dg"), "left_semi"))
+        .select(col(idCol), col("pos"))
+      val spans = starts
+        .withColumn("__brk",
+          when(lag(col("pos"), 1).over(byDoc).isNull
+            || col("pos") > lag(col("pos"), 1).over(byDoc) + k, 1).otherwise(0))
+        .withColumn("__isl", sum(col("__brk")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col(idCol), col("__isl"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + (k - 1)).as("__span_end"))
+
+      // content digest of each span — the join back to token arrays, keyed
+      // by idCol (bucket documents on idCol to make this exchange-free)
+      spans.join(toks, idCol)
+        .select(col(idCol), col("span_start"),
+          (col("__span_end") - col("span_start") + 1).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", slice(col("__toks"), col("span_start").cast("int"),
+            (col("__span_end") - col("span_start") + 1).cast("int")))).as("span_md5"))
+    }
+  }
+
+  /** Maximal duplicated spans per document:
+    * (idCol, span_start, n_tokens, span_md5) — 1-based token positions,
+    * `span_md5` the digest of the space-joined span content (content
+    * identity, oracle-checkable). Documents with < k tokens, and spans
+    * none of whose windows repeat, yield no rows.
+    */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 2, "need k >= 2 (k=1 would flag every repeated token)")
-    val byDoc = Window.partitionBy(idCol).orderBy("pos")
-
-    val toks = df.select(col(idCol),
-      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
-
-    val wins = windowDigests(df, idCol, textCol, k)
-
-    // corpus-wide duplicated digests (partial-aggregated count; the
-    // overwhelmingly-unique tail combines map-side to count 1 and drops)
-    val dup = wins.groupBy("dg").agg(count(lit(1)).as("__n"))
-      .where(col("__n") > 1).select("dg")
-
-    // duplicated window starts, merged into maximal spans per document
-    val starts = wins.join(dup, "dg").select(col(idCol), col("pos"))
-    val spans = starts
-      .withColumn("__brk",
-        when(lag(col("pos"), 1).over(byDoc).isNull
-          || col("pos") > lag(col("pos"), 1).over(byDoc) + k, 1).otherwise(0))
-      .withColumn("__isl", sum(col("__brk")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(idCol), col("__isl"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + (k - 1)).as("__span_end"))
-
-    // content digest of each span — the join back to token arrays, keyed
-    // by idCol (bucket documents on idCol to make this exchange-free)
-    spans.join(toks, idCol)
-      .select(col(idCol), col("span_start"),
-        (col("__span_end") - col("span_start") + 1).cast("long").as("n_tokens"),
-        md5(concat_ws(" ", slice(col("__toks"), col("span_start").cast("int"),
-          (col("__span_end") - col("span_start") + 1).cast("int")))).as("span_md5"))
+    val toks = tokenize(df, idCol, textCol)
+    CacheScope.withCached(toks)(spansOf(toks, idCol, k))
   }
 
   /** The CLEANED corpus — [[duplicatedSpans]] applied: every duplicated
@@ -111,25 +176,27 @@ object ExactSubstring {
     */
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val toks = df.select(col(idCol),
-      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
-    val spans = duplicatedSpans(df, idCol, textCol, k)
-      .groupBy(idCol)
-      .agg(collect_list(struct(col("span_start"), col("n_tokens"))).as("__spans"))
-    val covered = (i: org.apache.spark.sql.Column) =>
-      exists(col("__spans"), s =>
-        i + 1 >= s.getField("span_start") &&
-          i + 1 < s.getField("span_start") + s.getField("n_tokens"))
-    toks.join(spans, Seq(idCol), "left_outer")
-      .select(col(idCol), col("__toks"),
-        when(col("__spans").isNull, col("__toks"))
-          .otherwise(filter(col("__toks"), (_, i) => !covered(i)))
-          .as("__kept"))
-      .select(col(idCol),
-        size(col("__kept")).cast("long").as("kept_tokens"),
-        (size(col("__toks")) - size(col("__kept"))).cast("long")
-          .as("removed_tokens"),
-        md5(concat_ws(" ", col("__kept"))).as("clean_md5"))
+    require(k >= 2, "need k >= 2 (k=1 would flag every repeated token)")
+    val toks = tokenize(df, idCol, textCol)
+    CacheScope.withCached(toks) {
+      val spans = spansOf(toks, idCol, k)
+        .groupBy(idCol)
+        .agg(collect_list(struct(col("span_start"), col("n_tokens"))).as("__spans"))
+      val covered = (i: org.apache.spark.sql.Column) =>
+        exists(col("__spans"), s =>
+          i + 1 >= s.getField("span_start") &&
+            i + 1 < s.getField("span_start") + s.getField("n_tokens"))
+      toks.join(spans, Seq(idCol), "left_outer")
+        .select(col(idCol), col("__toks"),
+          when(col("__spans").isNull, col("__toks"))
+            .otherwise(filter(col("__toks"), (_, i) => !covered(i)))
+            .as("__kept"))
+        .select(col(idCol),
+          size(col("__kept")).cast("long").as("kept_tokens"),
+          (size(col("__toks")) - size(col("__kept"))).cast("long")
+            .as("removed_tokens"),
+          md5(concat_ws(" ", col("__kept"))).as("clean_md5"))
+    }
   }
 
   /** INCREMENTAL exact-substring gate — the batch-vs-history form of this
@@ -157,12 +224,12 @@ object ExactSubstring {
 
   def dupWindowReport(batch: DataFrame, history: DataFrame, idCol: String,
       textCol: String, k: Int, fpp: Double = 0.01): DataFrame = {
-    val hw = windowDigests(history, idCol, textCol, k)
+    val hw = windowDigestsOf(tokenize(history, idCol, textCol), idCol, k)
       .select("dg").distinct()
     CacheScope.withCached(hw) {
       val expected = math.max(1L, hw.count())
       val bloom = BloomPrune.buildFilter(hw, "dg", expected, fpp)
-      val bw = windowDigests(batch, idCol, textCol, k)
+      val bw = windowDigestsOf(tokenize(batch, idCol, textCol), idCol, k)
       CacheScope.withCached(bw) {
         val (maybeSeen, _) = BloomPrune.split(bw, "dg", bloom)
         if (batch.sparkSession.conf
@@ -190,14 +257,16 @@ object ExactSubstring {
     */
   def removalReport(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val toks = df.select(col(idCol),
-      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__toks"))
-    duplicatedSpans(df, idCol, textCol, k)
-      .groupBy(idCol)
-      .agg(sum(col("n_tokens")).as("removed_tokens"),
-        count(lit(1)).as("n_spans"))
-      .join(toks, idCol)
-      .select(col(idCol), col("n_spans"), col("removed_tokens"),
-        size(col("__toks")).cast("long").as("total_tokens"))
+    require(k >= 2, "need k >= 2 (k=1 would flag every repeated token)")
+    val toks = tokenize(df, idCol, textCol)
+    CacheScope.withCached(toks) {
+      spansOf(toks, idCol, k)
+        .groupBy(idCol)
+        .agg(sum(col("n_tokens")).as("removed_tokens"),
+          count(lit(1)).as("n_spans"))
+        .join(toks, idCol)
+        .select(col(idCol), col("n_spans"), col("removed_tokens"),
+          size(col("__toks")).cast("long").as("total_tokens"))
+    }
   }
 }

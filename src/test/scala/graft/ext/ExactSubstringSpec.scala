@@ -128,6 +128,66 @@ class ExactSubstringSpec extends GraftSpec {
     } finally spark.conf.unset("spark.graft.exsub.instrument")
   }
 
+  it("the family tokenizes the corpus exactly ONCE per call: with the " +
+     "token frame cached, no split expression survives above the cache " +
+     "and both consumers read it") {
+    import org.apache.spark.sql.catalyst.expressions.StringSplit
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e x"))
+      .toDF("doc_id", "text")
+    val toks = ExactSubstring.tokenizeFor(docs, "doc_id", "text")
+    toks.persist()
+    try {
+      val plan = ExactSubstring.spansPlanOver(toks, "doc_id", k)
+      plan.collect() // settle AQE so the walked plan is the executed one
+      val exec = plan.queryExecution.executedPlan
+      // every tokenization consumer is an in-memory scan of the ONE
+      // cached frame...
+      val caches = graft.plans.PlanWalk.collectAll(exec) {
+        case s: InMemoryTableScanExec => s
+      }
+      caches.length should be >= 2
+      // ...and no node above the cache re-splits the corpus
+      val splitsAbove = graft.plans.PlanWalk.collectAll(exec) {
+        case p if !p.isInstanceOf[InMemoryTableScanExec] =>
+          p.expressions.flatMap(_.collect { case s: StringSplit => s }).length
+      }.sum
+      splitsAbove shouldBe 0
+      // the single split lives in the cached build plan
+      val inCache = graft.plans.PlanWalk
+        .collectAll(caches.head.relation.cachedPlan) {
+          case p => p.expressions
+            .flatMap(_.collect { case s: StringSplit => s }).length
+        }.sum
+      inCache shouldBe 1
+    } finally { toks.unpersist(); () }
+  }
+
+  it("hot-digest broadcast split is result-invariant: capped (cap below " +
+     "the boilerplate count) equals uncapped on a dense shared-block corpus") {
+    // every doc shares one boilerplate block -> its windows' digests have
+    // occurrence count = numDocs, far above a cap of 2
+    val block = "copy right footer text shared by all documents here"
+    val docs = (1L to 40L).map(i => (i, s"unique$i words before $block and unique tail $i"))
+    def run() = spans(docs)
+    val uncapped = run()
+    spark.conf.set("spark.graft.exsub.hotDigestCap", "2")
+    val capped = try run() finally spark.conf.unset("spark.graft.exsub.hotDigestCap")
+    capped shouldBe uncapped
+    capped.length should be >= 40
+  }
+
+  it("hotDigestCap conf is strict-parsed: junk and sub-2 values fail loudly") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    for (bad <- Seq("nope", "1", "0", "-5")) {
+      spark.conf.set("spark.graft.exsub.hotDigestCap", bad)
+      try {
+        an[Exception] should be thrownBy
+          ExactSubstring.duplicatedSpans(docs, "doc_id", "text", k).count()
+      } finally spark.conf.unset("spark.graft.exsub.hotDigestCap")
+    }
+  }
+
   it("removalReport accounts removed vs total tokens per affected doc") {
     val passage = "one two three four five six"
     val rep = ExactSubstring.removalReport(
