@@ -160,6 +160,56 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq106 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq76 stage walls (the dq19/dq47 pattern): curation v2 is the
+      //    most expensive non-streaming query — per-stage timing separates
+      //    the decontaminated-intermediate build, the winnow self-join,
+      //    and the dedup+sample+split tail, so a regression names its
+      //    stage instead of hiding in the composed wall.
+      if (!names.exists(_.startsWith("dq76"))) None
+      else try {
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val bounds = docs.groupBy("source").agg(
+          expr("percentile(n_chars, 0.05)").as("lo"),
+          expr("percentile(n_chars, 0.95)").as("hi"))
+        val banded = docs.join(broadcast(bounds), "source")
+          .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+          .select("doc_id", "source", "text")
+        val evalSet = docs.filter(col("doc_id") % 97 === 0)
+        val t0 = System.nanoTime()
+        val clean = graft.ext.Decontamination.decontaminate(
+          banded.filter(col("doc_id") % 97 =!= 0), evalSet, "doc_id", "text",
+          n = 4).persist()
+        val nClean = clean.count()
+        val t1 = System.nanoTime()
+        val pairs = graft.ext.Winnow.sharedFingerprintPairs(clean, "doc_id",
+          "text", k = 16, w = 8, minShared = 3, maxFpFreq = 100).persist()
+        val nPairs = pairs.count()
+        val t2 = System.nanoTime()
+        try {
+          val deduped = graft.ext.Dedup.keepCanonical(clean, "doc_id", pairs)
+          val rates = (0 to 19).map(i => s"src$i" -> (i % 3 match {
+            case 0 => 1.0
+            case 1 => 0.5
+            case _ => 0.1
+          })).toMap
+          val mixed = graft.ext.Sampling
+            .stratifiedPortable(deduped, "source", "doc_id", rates)
+          val nOut = mixed.select(col("source"),
+              graft.ext.Sampling.splitLabelPortable(col("doc_id"), 0.8, 0.1)
+                .as("split"), col("doc_id"))
+            .groupBy("split", "source").agg(count(lit(1)).as("n")).count()
+          val t3 = System.nanoTime()
+          Some(f""""dq76_clean_docs":$nClean,"dq76_clean_sec":${(t1 - t0) / 1e9}%.3f,""" +
+            f""""dq76_winnow_pairs":$nPairs,"dq76_winnow_sec":${(t2 - t1) / 1e9}%.3f,""" +
+            f""""dq76_tail_sec":${(t3 - t2) / 1e9}%.3f,"dq76_out_groups":$nOut""")
+        } finally {
+          clean.unpersist(blocking = false)
+          pairs.unpersist(blocking = false)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq76 evidence failed: ${e.getMessage}"); None
+      },
       //  - dq113 Bloom-split effectiveness: of the batch's windows, how
       //    many pass the history Bloom (the digest join's real input) and
       //    how many actually match — the "provably-fresh windows never

@@ -653,6 +653,61 @@ object ScaleProbe {
         ()
       }
     }
+    // Streaming-machinery overhead for the indexed ingest loop (dq109 vs
+    // dq104's batch twin): the same two batches against a fresh stored
+    // index, three ways — direct foreachBatch calls (no streaming), ONE
+    // availableNow query (dq109's shape), and one query restart PER batch.
+    // The deltas price the session/checkpoint machinery so PERF can
+    // adjudicate "intrinsic, amortized at production batch counts".
+    if (sys.env.get("SCALE_STREAMOVH").contains("1")) {
+      import graft.streaming.EventStream
+      val docs = base
+      val (b1r, b2r) = SparkEntry.nearDupBatches(docs)
+      val b1 = b1r.localCheckpoint(true)
+      val b2 = b2r.localCheckpoint(true)
+      def freshIdx(tag: String) = graft.ext.NearDupIndex.build(docs, "doc_id",
+        "text", graft.io.TempReaper.tempDir(s"graft-ovh-$tag").toString + "/idx")
+      def outDir(tag: String) =
+        graft.io.TempReaper.tempDir(s"graft-ovh-out-$tag").toString
+      def stage(tag: String, dfs: Seq[org.apache.spark.sql.DataFrame]): String = {
+        val in = graft.io.TempReaper.tempDir(s"graft-ovh-in-$tag").toString
+        dfs.zipWithIndex.foreach { case (df, i) =>
+          df.coalesce(1).write.parquet(s"$in/b$i.parquet")
+          val later = java.nio.file.attribute.FileTime
+            .fromMillis(System.currentTimeMillis() + (i + 1) * 120000L)
+          java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b$i.parquet"))
+            .forEach(p => { java.nio.file.Files.setLastModifiedTime(p, later); () })
+        }
+        in
+      }
+      // (a) direct foreachBatch calls — zero streaming machinery
+      val ia = freshIdx("direct"); val oa = outDir("direct")
+      val t0 = System.nanoTime()
+      EventStream.indexedIngestBatch(ia, "doc_id", "text", oa, "ovhA")(b1, 0L)
+      EventStream.indexedIngestBatch(ia, "doc_id", "text", oa, "ovhA")(b2, 1L)
+      val directSec = (System.nanoTime() - t0) / 1e9
+      // (b) ONE availableNow query over both staged files (dq109's shape)
+      val ib = freshIdx("stream")
+      val inB = stage("stream", Seq(b1, b2))
+      val t1 = System.nanoTime()
+      val sOne = EventStream.runIndexedIngest(
+        spark.readStream.schema(b1.schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$inB/*"), ib, "doc_id", "text", "ovhB").count()
+      val streamSec = (System.nanoTime() - t1) / 1e9
+      // (c) a query RESTART per batch — worst-case machinery
+      val ic = freshIdx("restart")
+      val inC1 = stage("restart1", Seq(b1))
+      val inC2 = stage("restart2", Seq(b2))
+      val t2 = System.nanoTime()
+      val r1 = EventStream.runIndexedIngest(
+        spark.readStream.schema(b1.schema).parquet(s"$inC1/*"),
+        ic, "doc_id", "text", "ovhC1").count()
+      val r2 = EventStream.runIndexedIngest(
+        spark.readStream.schema(b1.schema).parquet(s"$inC2/*"),
+        ic, "doc_id", "text", "ovhC2").count()
+      val restartSec = (System.nanoTime() - t2) / 1e9
+      println(f"""{"probe":"stream_overhead","batches":2,"direct_sec":$directSec%.2f,"one_stream_sec":$streamSec%.2f,"restart_per_batch_sec":$restartSec%.2f,"stream_machinery_sec":${streamSec - directSec}%.2f,"restart_machinery_sec":${restartSec - directSec}%.2f,"survivors":${r1 + r2},"one_stream_survivors":$sOne}""")
+    }
     // Subword tokenizer throughput: map-only kernel, so the number that
     // matters is rows/s per core — the operator scales with scan bandwidth,
     // and the probe proves the wall stays flat per unit of input.

@@ -36,7 +36,12 @@ object SparkEntry {
     //  - timestamp rendering (date_format/window) must match the UTC oracle
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
-    s.read.parquet(s"$dir/$name.parquet")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // fail fast (naming the regeneration) if a silent testdata regen
+    // changed a physical shape the kernels bake in — the EventTime
+    // lesson, generalized (footer-only: no data is read here)
+    graft.io.SchemaGuard.check(name, df.schema)
+    df
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -1708,7 +1713,7 @@ object SparkEntry {
     * (dropped via the build) + fresh revisions (kept, then appended);
     * batch 2 = near-replays of batch-1 SURVIVORS (dropped only because the
     * append indexed them) + more history replays + fresh revisions. */
-  private def nearDupBatches(docs: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def nearDupBatches(docs: DataFrame): (DataFrame, DataFrame) = {
     val b1 = docs.filter(col("doc_id") % 17 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("source"),
         concat(col("text"), lit(" zzztail")).as("text"))
@@ -1851,6 +1856,54 @@ object SparkEntry {
     graft.ext.QualityProbe.moments(xy, "mean_micro").orderBy("term")
   }
 
+  /** DQ115 (EXT): quality-probe INFERENCE + GATE
+    * ([[graft.ext.QualityProbe.milliWeights]]/[[graft.ext.QualityProbe.gate]])
+    * — dq112's training composed with scoring in one query: the moment
+    * table is collected (14 Longs), the weights come out of Cramer's rule
+    * as EXACT rationals rounded half-up to integer milli-units (BigInt —
+    * no floating point anywhere), every document is scored with the
+    * integer dot product, and the gate keeps documents at or above the
+    * corpus-mean score (exact integer floor). The oracle re-derives the
+    * moments, the four 4×4 determinants (HUGEINT Leibniz expansion), the
+    * same floor-division rounding, and the gate — train → score →
+    * threshold checked end-to-end bit for bit. */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val y = graft.ext.NgramLm.fluencyReport(docs, "doc_id", "text")
+      .select(col("doc_id"), col("mean_micro"))
+    val xy = graft.ext.QualityProbe.features(docs, "doc_id", "text")
+      .join(y, "doc_id")
+    val mom = graft.ext.QualityProbe.moments(xy, "mean_micro")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = graft.ext.QualityProbe.milliWeights(mom)
+    graft.ext.QualityProbe.gate(docs, "doc_id", "text", w.toSeq)
+      .orderBy("doc_id")
+  }
+
+  /** dq116's pipeline declaration — fixed config so the oracle can chain
+    * the same stages; [[graft.plan.CurationConfig]] parses and compiles it. */
+  private val Dq116Config =
+    """{"table": "documents", "id": "doc_id", "text": "text",
+      | "stages": [
+      |   {"stage": "exact_dedup"},
+      |   {"stage": "quality_gate", "minTokens": 24, "maxTokens": 10000},
+      |   {"stage": "fluency_band", "loMicro": 33900, "hiMicro": 35300}]}"""
+      .stripMargin
+
+  /** DQ116 (EXT): CONFIG-DRIVEN curation pipeline
+    * ([[graft.plan.CurationConfig]]) — the declare-then-run workflow of the
+    * reference runner applied to curation: a JSON document declares
+    * exact-dedup → token-count gate → fluency band, and the three stages
+    * compile into ONE composed plan (the fluency model trains on the
+    * DEDUPED, GATED survivors — the composition the config expresses).
+    * Oracle: the same three stages chained as CTEs. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val pipeline = graft.plan.CurationConfig.parse(Dq116Config)
+    pipeline.run(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   /** DQ113 (EXT): incremental exact-substring gate
     * ([[graft.ext.ExactSubstring.dupWindowReport]]) — dq104's batch-1
     * fixture gated against the history corpus by k-token WINDOW digests:
@@ -1864,6 +1917,24 @@ object SparkEntry {
     val (b1, _) = nearDupBatches(docs)
     graft.ext.ExactSubstring.dupWindowReport(b1, docs, "doc_id", "text", k = 8)
       .orderBy("doc_id")
+  }
+
+  /** DQ114 (EXT): BATCHED BPE training ([[graft.ext.BpeTrain.learnBatched]])
+    * — the production path for 30k-merge vocabularies: per round, the
+    * touched-word sub-state (model-sized, cap-guarded) is pulled and
+    * sequential BPE simulated in memory to the exactness horizon, then the
+    * state is rebuilt in one distributed pass; the trigram-guarded
+    * distributed prefix tier covers refused pulls. Twice dq107's merge
+    * depth, and the oracle replays the SEQUENTIAL recurrence — the result
+    * matching IS the proof that batching changed nothing. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val bat = graft.ext.BpeTrain.learnBatched(t(s, dir, "documents"), "text",
+      numMerges = BpeBatchMerges)
+    s.createDataFrame(bat.model.merges)
+      .select(col("step").cast("long").as("step"),
+        col("left").as("left_sym"), col("right").as("right_sym"),
+        col("pairCount").as("pair_count"))
+      .orderBy("step")
   }
 
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
@@ -2017,7 +2088,10 @@ object SparkEntry {
     "dq110_exact_substring_clean" -> (q110 _),
     "dq111_cluster_balanced"    -> (q111 _),
     "dq112_quality_probe"       -> (q112 _),
-    "dq113_exact_substring_gate" -> (q113 _)
+    "dq113_exact_substring_gate" -> (q113 _),
+    "dq114_bpe_train_batched"   -> (q114 _),
+    "dq115_quality_probe_gate"  -> (q115 _),
+    "dq116_curation_config"     -> (q116 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2326,15 +2400,12 @@ object SparkEntry {
 
   /** dq112: integer-milli features + dq92's fluency chain as the target,
     * then every normal-equation moment as an exact BIGINT sum. */
-  private lazy val Dq112Sql = {
+  /** The dq112/dq115 shared derivation: dq92's fluency target `y` plus
+    * the integer-milli feature frame `f`, as a CTE block (`t` through
+    * `f`); callers append their own `j` join and consumers. */
+  private lazy val QualityBaseSql = {
     val sw = graft.ext.QualityProbe.Stopwords.map(s => s"'$s'").mkString(", ")
-    val terms =
-      (for (i <- 0 until 4; j <- i until 4) yield (s"m_${i}_$j", s"x$i * x$j")) ++
-        (0 until 4).map(i => (s"v_$i", s"x$i * y"))
-    val unions = terms.map { case (t, e) =>
-      s"SELECT '$t' AS term, CAST(sum($e) AS BIGINT) AS value FROM j"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+    s"""t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
       |    x -> len(x) > 0) toks FROM documents),
       |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
       |    i -> toks[i] || ' ' || toks[i+1])) AS bg
@@ -2359,16 +2430,123 @@ object SparkEntry {
       |        x -> list_contains([$sw], x)))) // len(t.toks) END x2,
       |    CASE WHEN len(t.toks) = 0 THEN 0
       |      ELSE (1000 * len(list_distinct(t.toks))) // len(t.toks) END x3
-      |  FROM documents d JOIN t USING (doc_id)),
+      |  FROM documents d JOIN t USING (doc_id))""".stripMargin
+  }
+
+  private lazy val Dq112Sql = {
+    val terms =
+      (for (i <- 0 until 4; j <- i until 4) yield (s"m_${i}_$j", s"x$i * x$j")) ++
+        (0 until 4).map(i => (s"v_$i", s"x$i * y"))
+    val unions = terms.map { case (t, e) =>
+      s"SELECT '$t' AS term, CAST(sum($e) AS BIGINT) AS value FROM j"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $QualityBaseSql,
       |j AS (SELECT f.x0, f.x1, f.x2, f.x3, y.y FROM f JOIN y USING (doc_id))
       |SELECT term, value FROM (
       |  $unions
       |) ORDER BY term""".stripMargin
   }
 
+  /** 4-element permutations with parity — the Leibniz expansion feeding
+    * [[Dq115Sql]]'s HUGEINT determinants. */
+  private lazy val Perms4: Seq[(IndexedSeq[Int], Int)] =
+    (0 to 3).permutations.map { p =>
+      val inv = (for (i <- 0 until 4; j <- i + 1 until 4 if p(i) > p(j))
+        yield 1).sum
+      (p, if (inv % 2 == 0) 1 else -1)
+    }.toSeq
+
+  /** det of the moment matrix (or, with `repl = Some(j)`, of the matrix
+    * with column j replaced by the v-vector — Cramer's numerators), as a
+    * SQL expression over the single-row `mom` CTE's HUGEINT columns. */
+  private def detExprSql(repl: Option[Int]): String =
+    Perms4.map { case (p, sgn) =>
+      val prod = (0 until 4).map { i =>
+        val c = p(i)
+        if (repl.contains(c)) s"hv_$i"
+        else s"hm_${math.min(i, c)}_${math.max(i, c)}"
+      }.mkString(" * ")
+      (if (sgn > 0) "+ " else "- ") + prod
+    }.mkString(" ")
+
+  /** dq115: train → score → threshold-gate, one derivation — moments as
+    * HUGEINT, the four Cramer determinants via [[detExprSql]], the SAME
+    * half-up rounding to milli-weights as
+    * [[graft.ext.QualityProbe.milliWeights]] (sign-normalized floor
+    * division — `//` after subtracting the non-negative remainder is
+    * exact), then the integer dot-product score and the corpus-mean
+    * floor threshold. */
+  private lazy val Dq115Sql = {
+    val momCols =
+      ((for (i <- 0 until 4; j <- i until 4)
+        yield s"CAST(sum(x$i * x$j) AS HUGEINT) AS hm_${i}_$j") ++
+        (0 until 4).map(i => s"CAST(sum(x$i * y) AS HUGEINT) AS hv_$i"))
+        .mkString(", ")
+    val dcols = (s"(${detExprSql(None)}) AS dt0" +:
+      (0 until 4).map(j => s"(${detExprSql(Some(j))}) AS e$j")).mkString(",\n    ")
+    val ncols = ("CASE WHEN dt0 < 0 THEN -dt0 ELSE dt0 END AS dt" +:
+      (0 until 4).map(j => s"CASE WHEN dt0 < 0 THEN -e$j ELSE e$j END AS d$j"))
+      .mkString(",\n    ")
+    val wcols = (0 until 4).map { j =>
+      s"CAST(((2000 * d$j + dt) - (((2000 * d$j + dt) % (2 * dt) + (2 * dt))" +
+        s" % (2 * dt))) // (2 * dt) AS BIGINT) AS w$j"
+    }.mkString(",\n    ")
+    s"""WITH $QualityBaseSql,
+      |j AS (SELECT f.doc_id, f.x0, f.x1, f.x2, f.x3, y.y FROM f JOIN y USING (doc_id)),
+      |mom AS (SELECT $momCols FROM j),
+      |dz AS (SELECT $dcols FROM mom),
+      |dn AS (SELECT $ncols FROM dz),
+      |w AS (SELECT $wcols FROM dn),
+      |sc AS (SELECT j.doc_id,
+      |    CAST(w.w0 * j.x0 + w.w1 * j.x1 + w.w2 * j.x2 + w.w3 * j.x3 AS BIGINT)
+      |      AS score_micro
+      |  FROM j CROSS JOIN w),
+      |th AS (SELECT CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS thr
+      |  FROM (SELECT CAST(sum(score_micro) AS HUGEINT) s,
+      |        CAST(count(*) AS HUGEINT) n FROM sc) z)
+      |SELECT sc.doc_id, sc.score_micro,
+      |  CAST(sc.score_micro >= th.thr AS BIGINT) AS keep
+      |FROM sc CROSS JOIN th ORDER BY doc_id""".stripMargin
+  }
+
+  /** dq116: the configured pipeline's stages chained as CTEs — s1 the
+    * content dedup (lowest id per sha256), s2 the token-count band, then
+    * the dq92 fluency chain TRAINED ON s2 (the composition the config
+    * expresses), s3 the band gate. */
+  private lazy val Dq116Sql =
+    """WITH s1 AS (SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) rn
+      |    FROM documents) z WHERE rn = 1),
+      |s2 AS (SELECT * FROM s1
+      |  WHERE len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0)) BETWEEN 24 AND 10000),
+      |t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0) toks FROM s2),
+      |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |model AS (SELECT bg, CAST(count(*) AS BIGINT) c12 FROM b GROUP BY 1),
+      |pc AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) c1
+      |  FROM model GROUP BY 1),
+      |m AS (SELECT bg, (1000000 * c12) // c1 AS micro
+      |  FROM model JOIN pc ON string_split(model.bg, ' ')[1] = pc.w1),
+      |fl AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+      |    CAST(sum(micro) AS BIGINT) sum_micro
+      |  FROM b JOIN m USING (bg) GROUP BY 1),
+      |y AS (SELECT s2.doc_id, COALESCE(fl.sum_micro // fl.n_bigrams, 0) AS mm
+      |  FROM s2 LEFT JOIN fl USING (doc_id)),
+      |s3 AS (SELECT s2.doc_id, s2.text FROM s2 JOIN y USING (doc_id)
+      |  WHERE y.mm BETWEEN 33900 AND 35300)
+      |SELECT doc_id, md5(text) AS text_md5 FROM s3 ORDER BY doc_id""".stripMargin
+
   /** Merge count shared by dq107's training run, dq108's trained-vocab
     * tokenization, and their oracles' unrolled replay. */
   private val BpeMerges = 6
+
+  /** dq114's merge depth: twice dq107's, so the batched trainer is checked
+    * past the first simulated round's easy region. */
+  private val BpeBatchMerges = 12
 
   /** The relational-BPE recurrence of [[graft.ext.BpeTrain.learn]]
     * unrolled as a chain of CTEs, one (p,c,d,e,s) block per merge step:
@@ -2377,17 +2555,18 @@ object SparkEntry {
     * numbers, e$i the greedy even-offset winners, s${i+1} the merged
     * symbol state. `w0` is the distinct-word table (dq89 normalization),
     * `s1` the character-level start state. */
-  private def bpeChainSql(n: Int): String = {
+  private def bpeChainSql(n: Int, materialized: Boolean = true): String = {
+    val m = if (materialized) " MATERIALIZED" else ""
     val base =
-      """w0 AS (SELECT word, CAST(count(*) AS BIGINT) cnt FROM (
+      s"""w0 AS$m (SELECT word, CAST(count(*) AS BIGINT) cnt FROM (
         |    SELECT u.x word FROM (SELECT list_filter(
-        |        regexp_split_to_array(lower(text), '\W+'),
+        |        regexp_split_to_array(lower(text), '\\W+'),
         |        x -> len(x) > 0) toks FROM documents) t0, unnest(t0.toks) u(x))
         |  GROUP BY word),
-        |s1 AS (SELECT word, cnt, i AS pos, substr(word, CAST(i AS INT), 1) sym
+        |s1 AS$m (SELECT word, cnt, i AS pos, substr(word, CAST(i AS INT), 1) sym
         |  FROM w0, unnest(range(1, len(word) + 1)) r(i))""".stripMargin
     val steps = (1 to n).map { i =>
-      s"""p$i AS (SELECT sym a, nsym b, CAST(sum(cnt) AS BIGINT) pc FROM (
+      s"""p$i AS$m (SELECT sym a, nsym b, CAST(sum(cnt) AS BIGINT) pc FROM (
         |    SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) nsym, cnt
         |    FROM s$i)
         |  WHERE nsym IS NOT NULL GROUP BY 1, 2 ORDER BY pc DESC, a, b LIMIT 1),
@@ -2403,7 +2582,7 @@ object SparkEntry {
         |      (rn - min(CASE WHEN isc THEN rn END) OVER (PARTITION BY word, isl))
         |      % 2 = 0, FALSE) vm
         |  FROM d$i),
-        |s${i + 1} AS (SELECT word, cnt, pos,
+        |s${i + 1} AS$m (SELECT word, cnt, pos,
         |    CASE WHEN vm THEN a || b ELSE sym END sym
         |  FROM (SELECT *, lag(vm) OVER (PARTITION BY word ORDER BY pos) pvm
         |        FROM e$i)
@@ -2420,12 +2599,21 @@ object SparkEntry {
     s"WITH ${bpeChainSql(BpeMerges)}\nSELECT * FROM ($union) ORDER BY step"
   }
 
+  /** dq114: the same sequential recurrence unrolled to [[BpeBatchMerges]]
+    * steps — the ground truth the BATCHED trainer must reproduce. */
+  private lazy val Dq114Sql = {
+    val union = (1 to BpeBatchMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) step, a AS left_sym, b AS right_sym, " +
+        s"pc AS pair_count FROM p$i").mkString(" UNION ALL ")
+    s"WITH ${bpeChainSql(BpeBatchMerges)}\nSELECT * FROM ($union) ORDER BY step"
+  }
+
   /** dq108: vocab = alphabet (distinct s1 symbols) ∪ merge products, then
     * dq89's greedy longest-match recurrence replayed against it. */
   private lazy val Dq108Sql = {
     val vocabUnion = (1 to BpeMerges)
       .map(i => s"SELECT a || b AS v FROM p$i").mkString(" UNION ")
-    s"""WITH RECURSIVE ${bpeChainSql(BpeMerges)},
+    s"""WITH RECURSIVE ${bpeChainSql(BpeMerges, materialized = false)},
       |vocab(v) AS (SELECT DISTINCT sym FROM s1 UNION $vocabUnion),
       |t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
       |    x -> len(x) > 0) toks FROM documents),
@@ -2733,7 +2921,12 @@ object SparkEntry {
     "dq105_semantic_decon_pruned" -> Dq105Sql,
     "dq107_bpe_train" -> Dq107Sql,
     "dq108_bpe_tokenize" -> Dq108Sql,
+    // the batched trainer vs the SEQUENTIAL unrolled chain at 2x depth:
+    // matching this oracle is the batched == sequential proof
+    "dq114_bpe_train_batched" -> Dq114Sql,
     "dq112_quality_probe" -> Dq112Sql,
+    "dq115_quality_probe_gate" -> Dq115Sql,
+    "dq116_curation_config" -> Dq116Sql,
     // batch-1's windows vs the DISTINCT history window digests: matched
     // window count per batch doc (wh is distinct, so the join multiplies
     // nothing); the Bloom split on the Spark side is a pure pruning

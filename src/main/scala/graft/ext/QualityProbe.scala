@@ -72,6 +72,80 @@ object QualityProbe {
       terms.map(t => s"'$t', $t").mkString(", ") + ") AS (term, value)")
   }
 
+  /** EXACT integer milli-weights via Cramer's rule on BigInt
+    * determinants — the INFERENCE form of the probe: `w_j` as the
+    * rational `det_j / det` rounded half-up to milli-units, entirely in
+    * integer arithmetic, so the scoring plan ([[score]]) is
+    * engine-reproducible bit for bit (the DuckDB oracle re-derives the
+    * same determinants in HUGEINT and the same floor-division rounding).
+    * The sign is normalized (det > 0) first so the rounding direction is
+    * identical on both sides. [[solve]] remains the floating-point
+    * reference; milli-rounding its output would NOT be oracle-safe —
+    * double rounding at .5 boundaries diverges across engines, exact
+    * rationals cannot.
+    */
+  def milliWeights(moments: Map[String, Long]): Array[Long] = {
+    val m = Array.tabulate(D, D) { (i, j) =>
+      val (lo, hi) = (math.min(i, j), math.max(i, j))
+      BigInt(moments(s"m_${lo}_$hi"))
+    }
+    val v = Array.tabulate(D)(i => BigInt(moments(s"v_$i")))
+    def det4(a: Array[Array[BigInt]]): BigInt = {
+      def det3(r: Seq[Int], c: Seq[Int]): BigInt =
+        a(r(0))(c(0)) * (a(r(1))(c(1)) * a(r(2))(c(2)) - a(r(1))(c(2)) * a(r(2))(c(1))) -
+        a(r(0))(c(1)) * (a(r(1))(c(0)) * a(r(2))(c(2)) - a(r(1))(c(2)) * a(r(2))(c(0))) +
+        a(r(0))(c(2)) * (a(r(1))(c(0)) * a(r(2))(c(1)) - a(r(1))(c(1)) * a(r(2))(c(0)))
+      (0 until 4).map { c =>
+        val rest = (0 until 4).filterNot(_ == c)
+        val term = a(0)(c) * det3(Seq(1, 2, 3), rest)
+        if (c % 2 == 0) term else -term
+      }.sum
+    }
+    val dt0 = det4(m)
+    require(dt0 != 0, "singular moment matrix (no unique least-squares fit)")
+    val sign = if (dt0 < 0) BigInt(-1) else BigInt(1)
+    val dt = dt0 * sign
+    def floorDiv(a: BigInt, b: BigInt): BigInt = { // b > 0
+      val q = a / b
+      if (a % b != 0 && a < 0) q - 1 else q
+    }
+    Array.tabulate(D) { j =>
+      val repl = m.map(_.clone())
+      for (i <- 0 until D) repl(i)(j) = v(i)
+      val dj = det4(repl) * sign
+      floorDiv(2000 * dj + dt, 2 * dt).toLong // round-half-up of 1000*dj/dt
+    }
+  }
+
+  /** The probe's SCORE column over an x0..x3 feature frame: micro-unit
+    * integer `Σ w_milli_j · x_milli_j` — a codegen'd integer dot product,
+    * map-side only. */
+  def score(milliWeights: Seq[Long]): org.apache.spark.sql.Column = {
+    require(milliWeights.length == D, s"need $D weights")
+    milliWeights.zipWithIndex
+      .map { case (w, j) => lit(w) * col(s"x$j") }
+      .reduce(_ + _).cast("long")
+  }
+
+  /** The quality GATE: per-document micro score under trained
+    * milli-weights, kept iff score ≥ the corpus-mean score (exact integer
+    * floor — one aggregate round-trip, the threshold-as-literal
+    * aggregate-then-broadcast shape). Output: (idCol, score_micro, keep
+    * ∈ {0,1}). Composes into curation pipelines like any other quality
+    * signal (dq17/dq92/dq102). */
+  def gate(df: DataFrame, idCol: String, textCol: String,
+      milliWeights: Seq[Long]): DataFrame = {
+    val scored = features(df, idCol, textCol)
+      .withColumn("score_micro", score(milliWeights))
+    CacheScope.withCached(scored) {
+      val r = scored.agg(sum(col("score_micro")).cast("long"),
+        count(lit(1))).head()
+      val thr = Math.floorDiv(r.getLong(0), r.getLong(1))
+      scored.select(col(idCol), col("score_micro"),
+        (col("score_micro") >= thr).cast("long").as("keep"))
+    }
+  }
+
   /** Solve `M·w = v` from a collected moment table (Gaussian elimination
     * with partial pivoting — d=4, driver-side, the model-sized step). */
   def solve(moments: Map[String, Long]): Array[Double] = {

@@ -1,0 +1,133 @@
+package graft.plan
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.ext.{Dedup, NgramLm, TextAnalysis}
+
+/** Config-driven CURATION pipeline — the EXT analogue of [[ReportConfig]]'s
+  * declare-a-report-then-run workflow (the reference runner loads a typed
+  * config and executes it, Main.scala:28-39,146): a small JSON document
+  * declares dedup / quality / fluency stages over a text table, and the
+  * pipeline compiles to ONE composed DataFrame plan — Catalyst sees the
+  * whole chain, not a sequence of independently-run jobs, so filters fold
+  * and each stage's work feeds the next without materialization.
+  *
+  * {{{
+  * {
+  *   "table":  "documents",
+  *   "id":     "doc_id",
+  *   "text":   "text",
+  *   "stages": [
+  *     { "stage": "exact_dedup" },
+  *     { "stage": "quality_gate", "minTokens": 6, "maxTokens": 10000 },
+  *     { "stage": "fluency_band", "loMicro": 30000, "hiMicro": 42000 }
+  *   ]
+  * }
+  * }}}
+  *
+  * Stages (each delegating to the EXT operator it names, so pipeline
+  * behavior and standalone behavior can never drift):
+  *  - `exact_dedup` — [[Dedup.exactByContent]]: keep the lowest-id row
+  *    per content digest (dq13's semantics on text).
+  *  - `quality_gate` — token-count band over [[TextAnalysis.tokens]]:
+  *    `minTokens` (required, ≥ 0) and optional `maxTokens`.
+  *  - `fluency_band` — [[NgramLm.fluencyReport]] TRAINED ON THE CURRENT
+  *    SURVIVORS (the composition point: dedup first means the model is
+  *    not skewed by duplicates), keeping docs whose integer micro-unit
+  *    mean lies in `[loMicro, hiMicro]`.
+  *
+  * Parsing is strict: an unknown stage name or a missing/ill-typed
+  * parameter fails at parse time with the offending stage named — a
+  * pipeline can never fail mid-run on config it already accepted (the
+  * [[ReportConfig]] sink-format rule).
+  */
+object CurationConfig {
+
+  sealed trait Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame
+  }
+
+  case object ExactDedup extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      Dedup.exactByContent(df, textCol, idCol)
+  }
+
+  final case class QualityGate(minTokens: Long,
+      maxTokens: Option[Long]) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val n = size(TextAnalysis.tokens(col(textCol))).cast("long")
+      val lo = df.filter(n >= minTokens)
+      maxTokens.fold(lo)(mx => lo.filter(n <= mx))
+    }
+  }
+
+  final case class FluencyBand(loMicro: Long, hiMicro: Long) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val keep = NgramLm.fluencyReport(df, idCol, textCol)
+        .filter(col("mean_micro").between(loMicro, hiMicro))
+        .select(col(idCol))
+      df.join(keep, Seq(idCol), "left_semi")
+    }
+  }
+
+  final case class PipelineDef(table: String, idCol: String, textCol: String,
+      stages: List[Stage]) {
+
+    /** Load the table and fold every stage into one plan. */
+    def run(spark: SparkSession, dir: String): DataFrame = {
+      val raw = spark.read.parquet(s"$dir/$table.parquet")
+      stages.foldLeft(raw)((df, st) => st(df, idCol, textCol))
+    }
+  }
+
+  def parse(json: String): PipelineDef = {
+    val j = JsonMethods.parse(json)
+    def str(field: String): String = j \ field match {
+      case JString(s) => s
+      case _ => fail(s"'$field' (string) is required")
+    }
+    val stages = j \ "stages" match {
+      case JArray(ss) if ss.nonEmpty => ss.map(stageNode)
+      case JArray(_) | JNothing => fail("'stages' must be a non-empty array")
+      case other => fail(s"'stages' must be an array, got $other")
+    }
+    PipelineDef(str("table"), str("id"), str("text"), stages)
+  }
+
+  private def stageNode(j: JValue): Stage = {
+    val name = j \ "stage" match {
+      case JString(n) => n
+      case _ => fail(s"every stage needs a 'stage' name: ${JsonMethods.compact(j)}")
+    }
+    def long(field: String): Option[Long] = j \ field match {
+      case JInt(i) => Some(i.toLong)
+      case JLong(l) => Some(l)
+      case JNothing => None
+      case other => fail(s"stage '$name': '$field' must be an integer, got $other")
+    }
+    name match {
+      case "exact_dedup" => ExactDedup
+      case "quality_gate" =>
+        val min = long("minTokens").getOrElse(
+          fail(s"stage 'quality_gate' needs 'minTokens'"))
+        if (min < 0) fail(s"stage 'quality_gate': minTokens must be >= 0, got $min")
+        val max = long("maxTokens")
+        max.filter(_ < min).foreach(mx =>
+          fail(s"stage 'quality_gate': maxTokens ($mx) < minTokens ($min)"))
+        QualityGate(min, max)
+      case "fluency_band" =>
+        val lo = long("loMicro").getOrElse(fail("stage 'fluency_band' needs 'loMicro'"))
+        val hi = long("hiMicro").getOrElse(fail("stage 'fluency_band' needs 'hiMicro'"))
+        if (lo > hi) fail(s"stage 'fluency_band': loMicro ($lo) > hiMicro ($hi)")
+        FluencyBand(lo, hi)
+      case other =>
+        fail(s"unknown stage '$other' (exact_dedup | quality_gate | fluency_band)")
+    }
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"curation config: $msg")
+}

@@ -270,9 +270,14 @@ class PlanAuditSpec extends GraftSpec {
 
   it("dq106's corpus-wide shuffles carry digests and positions, never " +
       "token arrays — bodies move only in the final span-content join") {
-    val df = graft.ext.ExactSubstring.duplicatedSpans(
-      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 8)
-    df.collect()
+    // the production wrapper collapses its result with a call-scoped
+    // checkpoint, so audit the exposed un-materialized plan over a
+    // persisted token frame (the operator's own execution shape)
+    val toks = graft.ext.ExactSubstring.tokenizeFor(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    toks.persist()
+    val df = graft.ext.ExactSubstring.spansPlanOver(toks, "doc_id", k = 8)
+    try df.collect() finally { toks.unpersist(blocking = false); () }
     val exchanges = graft.plans.PlanWalk
       .collectAll(df.queryExecution.executedPlan) {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>

@@ -87,4 +87,50 @@ class QualityProbeSpec extends GraftSpec {
 
   private def corr_c(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column) = corr(a, b)
+
+  it("milliWeights recovers exact rational weights on a hand-built " +
+     "system, rounding half-up and normalizing the determinant sign") {
+    // identity-ish moment matrix: M = diag(2,2,2,2), v = (1,3,2,5) ->
+    // w = (0.5, 1.5, 1.0, 2.5) -> milli (500, 1500, 1000, 2500)
+    val m = (for (i <- 0 until 4; j <- i until 4)
+      yield s"m_${i}_$j" -> (if (i == j) 2L else 0L)).toMap ++
+      Map("v_0" -> 1L, "v_1" -> 3L, "v_2" -> 2L, "v_3" -> 5L)
+    QualityProbe.milliWeights(m).toSeq shouldBe Seq(500L, 1500L, 1000L, 2500L)
+    // negative determinant: flip one diagonal entry's sign; w_j = v_j/m_jj
+    val neg = m + ("m_1_1" -> -2L)
+    QualityProbe.milliWeights(neg).toSeq shouldBe Seq(500L, -1500L, 1000L, 2500L)
+    // .5 rounds UP (3/2000 of a unit below never): v0=1, m00=3 -> 1/3 ->
+    // 333.33 -> 333; v0=1, m00=2 -> exactly 500; 1/1 with m00=2... use
+    // w = 1/2000-grained case: M=diag(4,..), v0=2 -> 0.5 -> 500
+    val half = m + ("m_0_0" -> 4L) + ("v_0" -> 2L)
+    QualityProbe.milliWeights(half).head shouldBe 500L
+    // singular matrix refuses
+    an[IllegalArgumentException] should be thrownBy
+      QualityProbe.milliWeights(m + ("m_0_0" -> 0L) + ("v_0" -> 0L))
+  }
+
+  it("milliWeights tracks the floating-point solve to within one milli " +
+     "on the real corpus, and the gate keeps a sane fraction") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val y = NgramLm.fluencyReport(docs, "doc_id", "text")
+      .select(col("doc_id"), col("mean_micro"))
+    val xy = QualityProbe.features(docs, "doc_id", "text").join(y, "doc_id")
+    val m = QualityProbe.moments(xy, "mean_micro")
+      .as[(String, Long)].collect().toMap
+    val exact = QualityProbe.milliWeights(m)
+    val float = QualityProbe.solve(m)
+    exact.indices.foreach { j =>
+      math.abs(exact(j) - float(j) * 1000) should be <= 1.0
+    }
+    val gated = QualityProbe.gate(docs, "doc_id", "text", exact.toSeq)
+    val n = gated.count()
+    n shouldBe docs.count()
+    val kept = gated.where(col("keep") === 1).count()
+    kept should be > 0L
+    kept should be < n
+    // threshold semantics: keep == score >= floor(mean)
+    val rows = gated.select($"score_micro", $"keep").as[(Long, Long)].collect()
+    val thr = Math.floorDiv(rows.map(_._1).sum, rows.length.toLong)
+    rows.foreach { case (s, kf) => kf shouldBe (if (s >= thr) 1L else 0L) }
+  }
 }

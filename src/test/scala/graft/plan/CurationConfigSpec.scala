@@ -1,0 +1,86 @@
+package graft.plan
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSpec
+
+/** Config-driven curation pipeline: strict parsing (the ReportConfig
+  * fail-at-parse rule) and stage composition semantics.
+  */
+class CurationConfigSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def dir: String = {
+    // a tiny parquet table the pipeline can load like testdata
+    val d = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"), // dup of 1
+      (3L, "short text"),                                              // < minTokens
+      (4L, "the quick brown fox naps under the shady oak tree nearby"),
+      // rare continuations of the corpus-common prefix "the": low mean
+      (5L, "the zz the yy the xx the ww the vv the uu"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private val okConfig =
+    """{"table": "documents", "id": "doc_id", "text": "text",
+      | "stages": [
+      |   {"stage": "exact_dedup"},
+      |   {"stage": "quality_gate", "minTokens": 5}]}""".stripMargin
+
+  it("parses and runs a pipeline as one composed plan: dedup keeps the " +
+     "lowest id, the gate drops short docs") {
+    val p = CurationConfig.parse(okConfig)
+    p.stages should have length 2
+    val kept = p.run(spark, dir).select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 4L, 5L) // 2 deduped away, 3 under the gate
+  }
+
+  it("fluency_band trains on the CURRENT survivors and drops the " +
+     "rare-transition document (exact integer means)") {
+    val d = dir
+    val full =
+      """{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "exact_dedup"},
+        |   {"stage": "quality_gate", "minTokens": 5},
+        |   {"stage": "fluency_band", "loMicro": 600000, "hiMicro": 1000000}]}"""
+        .stripMargin
+    // post-dedup+gate survivors {1,4,5}; under THAT model c1(the)=10, so
+    // docs 1/4 mean exactly 780000 micro while doc 5's "the <rare>"
+    // transitions average 509090 — the band keeps 1 and 4 only
+    val kept = CurationConfig.parse(full).run(spark, d)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 4L)
+  }
+
+  it("rejects unknown stages and bad parameters AT PARSE TIME, naming " +
+     "the stage") {
+    def bad(json: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](CurationConfig.parse(json))
+      e.getMessage should include(needle)
+    }
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"near_dup"}]}""".stripMargin, "unknown stage")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"quality_gate"}]}""".stripMargin, "minTokens")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"quality_gate","minTokens":-1}]}""".stripMargin,
+      ">= 0")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"quality_gate","minTokens":9,"maxTokens":3}]}"""
+      .stripMargin, "maxTokens")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"fluency_band","loMicro":5,"hiMicro":1}]}"""
+      .stripMargin, "loMicro")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"quality_gate","minTokens":"lots"}]}""".stripMargin,
+      "integer")
+    bad("""{"table":"documents","id":"i","text":"t","stages":[]}""",
+      "non-empty")
+    bad("""{"id":"i","text":"t","stages":[{"stage":"exact_dedup"}]}""",
+      "'table'")
+  }
+}
