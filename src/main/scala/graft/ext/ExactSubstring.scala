@@ -50,7 +50,7 @@ object ExactSubstring {
     * span content, and removal accounting from it — the corpus is split
     * exactly once per call.
     */
-  private def tokenize(df: DataFrame, idCol: String,
+  private[ext] def tokenize(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     df.select(col(idCol), col(textCol))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -59,7 +59,7 @@ object ExactSubstring {
 
   /** (idCol, pos, dg): every k-token window's position and content digest
     * — the only corpus-wide-shuffled shape of this family. */
-  private def windowDigestsOf(toks: DataFrame, idCol: String,
+  private[ext] def windowDigestsOf(toks: DataFrame, idCol: String,
       k: Int): DataFrame =
     toks.where(size(col("__toks")) >= k)
       .select(col(idCol),
@@ -232,19 +232,26 @@ object ExactSubstring {
       val bw = windowDigestsOf(tokenize(batch, idCol, textCol), idCol, k)
       CacheScope.withCached(bw) {
         val (maybeSeen, _) = BloomPrune.split(bw, "dg", bloom)
-        if (batch.sparkSession.conf
-            .getOption("spark.graft.exsub.instrument").contains("true"))
-          lastGateStats = Some(GateStats(bw.count(), maybeSeen.count(),
-            maybeSeen.join(hw, Seq("dg"), "left_semi").count()))
-        val dup = maybeSeen.join(hw, Seq("dg"), "left_semi")
-          .groupBy(idCol).agg(count(lit(1)).as("n_dup_windows"))
-        val totals = bw.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
-        batch.select(col(idCol))
-          .join(totals, Seq(idCol), "left_outer")
-          .join(dup, Seq(idCol), "left_outer")
-          .select(col(idCol),
-            coalesce(col("n_windows"), lit(0L)).as("n_windows"),
-            coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+        val matched = maybeSeen.join(hw, Seq("dg"), "left_semi")
+        val instrument = batch.sparkSession.conf
+          .getOption("spark.graft.exsub.instrument").contains("true")
+        def result: DataFrame = {
+          if (instrument) // gate join counted off the SAME (cached) frame
+            lastGateStats = Some(GateStats(bw.count(), maybeSeen.count(),
+              matched.count()))
+          val dup = matched
+            .groupBy(idCol).agg(count(lit(1)).as("n_dup_windows"))
+          val totals = bw.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
+          batch.select(col(idCol))
+            .join(totals, Seq(idCol), "left_outer")
+            .join(dup, Seq(idCol), "left_outer")
+            .select(col(idCol),
+              coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+              coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+        }
+        // the instrumented branch consumes `matched` twice (count + dup):
+        // cache it for the call so the gate join runs once either way
+        if (instrument) CacheScope.withCached(matched)(result) else result
       }
     }
   }
