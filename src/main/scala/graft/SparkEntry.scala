@@ -1937,6 +1937,32 @@ object SparkEntry {
       .orderBy("step")
   }
 
+  /** DQ117 (EXT): the PERSISTED exact-substring gate LOOP
+    * ([[graft.ext.SubstrIndex]]) — dq113's incremental gate
+    * productionized the dq104 way: history's window digests are stored
+    * ONCE (manifest-committed layout), batch 1 is reported and gated
+    * against the stored relation, its fresh survivors' windows are
+    * APPENDED, and batch 2's report then sees batch 1's survivors through
+    * the index — history text is never re-read (spec-pinned plan
+    * property). Output: both batch reports. The oracle re-derives the
+    * stored digest set, the gate, the survivor append, and the second
+    * report as one SQL chain. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (b1, b2) = nearDupBatches(docs)
+    val path = graft.io.TempReaper.tempDir("graft-dq117-idx").toString + "/idx"
+    val idx = graft.ext.SubstrIndex.build(docs, "doc_id", "text", path, k = 8)
+    val r1 = idx.dupWindowReport(b1, "doc_id", "text")
+    val kept1 = idx.keepFresh(b1, "doc_id", "text").localCheckpoint(true)
+    idx.append(kept1, "doc_id", "text")
+    val r2 = idx.dupWindowReport(b2, "doc_id", "text")
+    r1.select(lit(1L).as("batch"), col("doc_id"), col("n_windows"),
+        col("n_dup_windows"))
+      .unionByName(r2.select(lit(2L).as("batch"), col("doc_id"),
+        col("n_windows"), col("n_dup_windows")))
+      .orderBy("batch", "doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2091,7 +2117,8 @@ object SparkEntry {
     "dq113_exact_substring_gate" -> (q113 _),
     "dq114_bpe_train_batched"   -> (q114 _),
     "dq115_quality_probe_gate"  -> (q115 _),
-    "dq116_curation_config"     -> (q116 _)
+    "dq116_curation_config"     -> (q116 _),
+    "dq117_substr_index_loop"   -> (q117 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2315,7 +2342,8 @@ object SparkEntry {
     * appends before this string is closed — see usage).
     */
   private def ivfChainSql(k: Int, iters: Int, nprobe: Int,
-      eWhere: String, qSelect: String): String = {
+      eWhere: String, qSelect: String,
+      assignSql: String = "SELECT vid, emb FROM e"): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (SELECT vec_id vid, embedding emb FROM embeddings$eWhere),
       |c0 AS (SELECT rn - 1 AS cell, c FROM (
@@ -2332,8 +2360,9 @@ object SparkEntry {
         |  FROM a$i, unnest(range(1, 65)) t(d) GROUP BY cell, d),
         |c$i AS (SELECT cell, list(cd ORDER BY d) c FROM u$i GROUP BY cell),
         |""".stripMargin
-    sb ++= s"""df AS (SELECT e.vid, e.emb, c.cell, ${ivfDistSql("e.emb", "c")} dist
-      |  FROM e CROSS JOIN c$iters c),
+    sb ++= s"""ef AS ($assignSql),
+      |df AS (SELECT ef.vid, ef.emb, c.cell, ${ivfDistSql("ef.emb", "c")} dist
+      |  FROM ef CROSS JOIN c$iters c),
       |af AS (SELECT vid, emb, cell FROM (SELECT vid, emb, cell,
       |    row_number() OVER (PARTITION BY vid ORDER BY dist, cell) rn FROM df) WHERE rn = 1),
       |q AS ($qSelect),
@@ -2960,6 +2989,74 @@ object SparkEntry {
         |  COALESCE(dup.n_dup, 0) AS n_dup_windows
         |FROM b1 LEFT JOIN tot USING (doc_id) LEFT JOIN dup USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // the stored-index LOOP: dq113's chain extended — batch-1 report vs
+    // history digests, fresh survivors' windows appended (wh2 = wh ∪
+    // survivor windows; UNION dedups, matching the membership semi-join),
+    // batch-2 report vs the grown set
+    "dq117_substr_index_loop" ->
+      """WITH b1 AS (
+        |  SELECT doc_id + 100000 AS doc_id, text || ' zzztail' AS text
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    array_to_string(list_transform(range(1, len(tk) + 1),
+        |      i -> CASE WHEN (i - 1) % 3 = 0 THEN tk[i] || 'x' ELSE tk[i] END),
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') tk
+        |        FROM documents WHERE doc_id % 13 = 0)),
+        |b2 AS (
+        |  SELECT doc_id + 300000 AS doc_id,
+        |    array_to_string(list_transform(range(1, len(tk) + 1),
+        |      i -> CASE WHEN (i - 1) % 3 = 0 THEN tk[i] || 'x' ELSE tk[i] END),
+        |      ' ') || ' zzztail' AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') tk
+        |        FROM documents WHERE doc_id % 13 = 0)
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id, text || ' zzztail' AS text
+        |  FROM documents WHERE doc_id % 19 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id,
+        |    array_to_string(list_transform(range(1, len(tk) + 1),
+        |      i -> CASE WHEN (i - 1) % 2 = 0 THEN tk[i] || 'y' ELSE tk[i] END),
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') tk
+        |        FROM documents WHERE doc_id % 11 = 0)),
+        |th AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |wh AS (SELECT DISTINCT
+        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+        |  FROM th, unnest(range(1, len(toks) - 6)) r(i)),
+        |tb1 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) toks FROM b1),
+        |wb1 AS (SELECT doc_id,
+        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+        |  FROM tb1, unnest(range(1, len(toks) - 6)) r(i)),
+        |tot1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_windows
+        |  FROM wb1 GROUP BY 1),
+        |dup1 AS (SELECT wb1.doc_id, CAST(count(*) AS BIGINT) n_dup
+        |  FROM wb1 JOIN wh USING (dg) GROUP BY 1),
+        |r1 AS (SELECT b1.doc_id, COALESCE(tot1.n_windows, 0) AS n_windows,
+        |    COALESCE(dup1.n_dup, 0) AS n_dup_windows
+        |  FROM b1 LEFT JOIN tot1 USING (doc_id) LEFT JOIN dup1 USING (doc_id)),
+        |fresh1 AS (SELECT doc_id FROM r1 WHERE n_dup_windows = 0),
+        |wh2 AS (SELECT dg FROM wh
+        |  UNION SELECT wb1.dg FROM wb1 JOIN fresh1 USING (doc_id)),
+        |tb2 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) toks FROM b2),
+        |wb2 AS (SELECT doc_id,
+        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+        |  FROM tb2, unnest(range(1, len(toks) - 6)) r(i)),
+        |tot2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_windows
+        |  FROM wb2 GROUP BY 1),
+        |dup2 AS (SELECT wb2.doc_id, CAST(count(*) AS BIGINT) n_dup
+        |  FROM wb2 JOIN wh2 USING (dg) GROUP BY 1),
+        |r2 AS (SELECT b2.doc_id, COALESCE(tot2.n_windows, 0) AS n_windows,
+        |    COALESCE(dup2.n_dup, 0) AS n_dup_windows
+        |  FROM b2 LEFT JOIN tot2 USING (doc_id) LEFT JOIN dup2 USING (doc_id))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS batch, * FROM r1
+        |  UNION ALL SELECT CAST(2 AS BIGINT) AS batch, * FROM r2)
+        |ORDER BY batch, doc_id""".stripMargin,
     // ExactSubstr re-derived: k-token window digests → corpus-duplicated
     // digests → gaps-and-islands span merge (windows at p and q merge iff
     // p <= q + k: overlapping-or-touching token ranges) → span content

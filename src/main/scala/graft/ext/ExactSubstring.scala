@@ -210,8 +210,8 @@ object ExactSubstring {
     * (never text past the scan); a Bloom filter over them splits the
     * batch's windows so provably-fresh windows skip the digest join —
     * only the might-seen minority shuffles. Per-call the filter is built
-    * from one history pass; a production LOOP stores the digest relation
-    * and its count the [[NearDupIndex]] way instead of re-deriving.
+    * from one history pass; the production LOOP that stores the digest
+    * relation and its count instead of re-deriving is [[SubstrIndex]].
     */
   /** Bloom-split telemetry from the most recent INSTRUMENTED
     * [[dupWindowReport]] (conf `spark.graft.exsub.instrument=true`, the

@@ -1,0 +1,24 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** The contract a persisted dedup index offers an exactly-once ingest
+  * loop ([[graft.streaming.EventStream.runIndexedIngest]]): gate a batch
+  * against the stored layout (excluding the batch's OWN possibly-committed
+  * append on replay), then append the survivors idempotently under the
+  * batch token. [[NearDupIndex]] (near-duplicate documents) and
+  * [[SubstrIndex]] (verbatim window overlap) both implement it, so one
+  * streaming loop serves every dedup modality.
+  */
+trait IngestIndex {
+
+  /** The batch rows the gate accepts, with `excludeToken`'s committed
+    * append (if any) invisible — the micro-batch replay view. */
+  def gateKeep(batch: DataFrame, idCol: String, textCol: String,
+      excludeToken: Option[String]): DataFrame
+
+  /** Append `df` (a materialized gate result) under an idempotence token:
+    * a replay with the same token is a no-op. */
+  def appendToken(df: DataFrame, idCol: String, textCol: String,
+      token: String): Unit
+}

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** One commit's manifest: the relation dirs it publishes, plus (for
+  * compactions) the counts dirs it supersedes, plus an optional caller
+  * idempotence `token` (the exactly-once append contract). Line-oriented
+  * `key=id[,id...]` text — no JSON dependency, human-greppable. Shared by
+  * every persisted index layout ([[NearDupIndex]], [[SubstrIndex]]); an
+  * index that doesn't use a relation leaves its list empty.
+  */
+private[ext] final case class Manifest(digests: Seq[String],
+    bands: Seq[String], counts: Seq[String], supersedesCounts: Seq[String],
+    token: Option[String] = None) {
+  def render: String = (Seq(
+    "digests" -> digests, "bands" -> bands, "counts" -> counts,
+    "supersedes_counts" -> supersedesCounts)
+    .collect { case (k, v) if v.nonEmpty => s"$k=${v.mkString(",")}" } ++
+    token.map(t => s"token=$t"))
+    .mkString("\n")
+}
+
+private[ext] object Manifest {
+  def parse(s: String): Manifest = {
+    // values stay RAW here: only the id-list keys split on ',' — the
+    // token is caller-chosen text (commas legal per the appendOnce
+    // contracts) and must round-trip byte-exact or a replayed micro-batch
+    // misses the committed-token check and double-indexes its survivors
+    val kv = s.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); (k, v) }
+      .toMap
+    def ids(k: String): Seq[String] =
+      kv.get(k).map(_.split(",").toSeq).getOrElse(Nil)
+    Manifest(ids("digests"), ids("bands"), ids("counts"),
+      ids("supersedes_counts"), kv.get("token"))
+  }
+}
+
+/** The marker-commit log under an index path: sequential manifests in
+  * `_commits/`, each staged to a dot-file then renamed (no-overwrite —
+  * atomic on POSIX and HDFS) into place, so a multi-relation append
+  * becomes visible all-or-nothing and a second concurrent writer FAILS
+  * its commit instead of publishing over the first (single-writer layout;
+  * readers always see the last committed set). Extracted from
+  * [[NearDupIndex]] so every persisted index shares one implementation.
+  */
+private[ext] final class ManifestLog(spark: SparkSession, path: String) {
+
+  private[ext] def fileSystem: FileSystem =
+    new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+  private def fs: FileSystem = fileSystem
+
+  private def commitsDir = new HPath(s"$path/_commits")
+
+  def read(): Seq[Manifest] = {
+    val f = fs
+    if (!f.exists(commitsDir)) Nil
+    else f.listStatus(commitsDir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val in = f.open(s.getPath)
+        val bytes = new Array[Byte](s.getLen.toInt)
+        try in.readFully(bytes) finally in.close()
+        Manifest.parse(new String(bytes, "UTF-8"))
+      }
+  }
+
+  /** The commit point: marker content staged to a dot-file, then renamed
+    * (no-overwrite) into place — a second writer racing the same sequence
+    * number fails here instead of publishing over us. */
+  def commit(m: Manifest, seq: Int): Unit = {
+    val f = fs
+    f.mkdirs(commitsDir)
+    val name = f"m$seq%06d"
+    val tmp = new HPath(commitsDir, s".$name.tmp")
+    val out = f.create(tmp, false)
+    try out.write(m.render.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, new HPath(commitsDir, name)))
+      throw new IllegalStateException(
+        s"commit collision on $name under $path — concurrent writer? " +
+          "(the layout is single-writer)")
+  }
+}

@@ -1,6 +1,5 @@
 package graft.ext
 
-import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -55,8 +54,8 @@ final case class NearDupIndexStats(docs: Long, bandKeys: Long,
   * `spark.graft.neardupindex.compactThreshold` (default 16) active dirs,
   * the next append folds them into one summed dir published by a
   * superseding commit. Superseded dirs stay on disk (a running query may
-  * still hold their paths); a maintenance vacuum can unlink them once no
-  * such reader exists.
+  * still hold their paths) until [[vacuum]] unlinks them once no such
+  * reader exists.
   *
   * SINGLE WRITER assumed, as with any manifest-on-files layout this side
   * of a lock service: marker names are sequential, and the atomic
@@ -79,9 +78,7 @@ final case class NearDupIndexStats(docs: Long, bandKeys: Long,
   * digest rows — the bytes-read evidence the Bench block records.
   */
 final class NearDupIndex private (
-    private val spark: SparkSession, val path: String) {
-
-  import NearDupIndex.Manifest
+    private val spark: SparkSession, val path: String) extends IngestIndex {
 
   /** Current stored statistics (re-read per call — appends move it). */
   def stats: NearDupIndexStats = {
@@ -91,42 +88,11 @@ final class NearDupIndex private (
       r.getAs[Int]("max_bucket"))
   }
 
-  // ---------------- manifest plumbing ----------------
+  // ---------------- manifest plumbing ([[ManifestLog]]) ----------------
 
-  private def fs: FileSystem =
-    new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
-
-  private def commitsDir = new HPath(s"$path/_commits")
-
-  private def readManifests(): Seq[Manifest] = {
-    val f = fs
-    if (!f.exists(commitsDir)) Nil
-    else f.listStatus(commitsDir).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
-      .map { s =>
-        val in = f.open(s.getPath)
-        val bytes = new Array[Byte](s.getLen.toInt)
-        try in.readFully(bytes) finally in.close()
-        Manifest.parse(new String(bytes, "UTF-8"))
-      }
-  }
-
-  /** The commit point: marker content staged to a dot-file, then renamed
-    * (no-overwrite) into place — a second writer racing the same sequence
-    * number fails here instead of publishing over us. */
-  private def commit(m: Manifest, seq: Int): Unit = {
-    val f = fs
-    f.mkdirs(commitsDir)
-    val name = f"m$seq%06d"
-    val tmp = new HPath(commitsDir, s".$name.tmp")
-    val out = f.create(tmp, false)
-    try out.write(m.render.getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, new HPath(commitsDir, name)))
-      throw new IllegalStateException(
-        s"commit collision on $name under $path — concurrent writer? " +
-          "(the layout is single-writer)")
-  }
+  private val log = new ManifestLog(spark, path)
+  private def readManifests(): Seq[Manifest] = log.read()
+  private def commit(m: Manifest, seq: Int): Unit = log.commit(m, seq)
 
   /** Active dir ids per relation: all published, minus (for counts) any a
     * later compaction superseded. */
@@ -253,6 +219,22 @@ final class NearDupIndex private (
     }
   }
 
+  /** Maintenance VACUUM (the class doc's deferred deletion): unlink
+    * `counts/` dirs a compaction SUPERSEDED. They stayed on disk only for
+    * readers that resolved their paths before the superseding commit —
+    * call from the single writer once no such reader can remain. The
+    * manifest history is untouched (readers resolve through manifests, so
+    * the superseded ids simply keep pointing at nothing); data relations
+    * (`digests/`, `bands/`) are never superseded and never touched.
+    * Returns the number of dirs actually removed. */
+  def vacuum(): Int = {
+    val sup = readManifests().flatMap(_.supersedesCounts).distinct
+    val f = log.fileSystem
+    sup.count { id =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/counts/append=$id"), true)
+    }
+  }
+
   // ---------------- queries ----------------
 
   /** `(doc_inc, doc_hist, jac)` for every incoming document whose digest
@@ -334,40 +316,18 @@ final class NearDupIndex private (
       .select(col("doc_inc")).distinct()
     incoming.join(dup, incoming(idCol) === col("doc_inc"), "left_anti")
   }
+
+  // ---------------- IngestIndex ----------------
+
+  def gateKeep(batch: DataFrame, idCol: String, textCol: String,
+      excludeToken: Option[String]): DataFrame =
+    keepUnseen(batch, idCol, textCol, excludeToken = excludeToken)
+
+  def appendToken(df: DataFrame, idCol: String, textCol: String,
+      token: String): Unit = { appendOnce(df, idCol, textCol, token); () }
 }
 
 object NearDupIndex {
-
-  /** One commit's manifest: the relation dirs it publishes, plus (for
-    * compactions) the counts dirs it supersedes, plus an optional caller
-    * idempotence `token` ([[NearDupIndex.appendOnce]]). Line-oriented
-    * `key=id[,id...]` text — no JSON dependency, human-greppable. */
-  private[ext] final case class Manifest(digests: Seq[String],
-      bands: Seq[String], counts: Seq[String], supersedesCounts: Seq[String],
-      token: Option[String] = None) {
-    def render: String = (Seq(
-      "digests" -> digests, "bands" -> bands, "counts" -> counts,
-      "supersedes_counts" -> supersedesCounts)
-      .collect { case (k, v) if v.nonEmpty => s"$k=${v.mkString(",")}" } ++
-      token.map(t => s"token=$t"))
-      .mkString("\n")
-  }
-
-  private[ext] object Manifest {
-    def parse(s: String): Manifest = {
-      // values stay RAW here: only the id-list keys split on ',' — the
-      // token is caller-chosen text (commas legal per [[appendOnce]]'s
-      // contract) and must round-trip byte-exact or a replayed micro-batch
-      // misses the committed-token check and double-indexes its survivors
-      val kv = s.linesIterator.filter(_.contains("="))
-        .map { l => val Array(k, v) = l.split("=", 2); (k, v) }
-        .toMap
-      def ids(k: String): Seq[String] =
-        kv.get(k).map(_.split(",").toSeq).getOrElse(Nil)
-      Manifest(ids("digests"), ids("bands"), ids("counts"),
-        ids("supersedes_counts"), kv.get("token"))
-    }
-  }
 
   /** Build a new index at `path` (must not already hold one) from the
     * history corpus — the one time history text is read.

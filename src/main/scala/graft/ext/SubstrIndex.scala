@@ -1,0 +1,195 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored statistics for [[SubstrIndex]]: `digests` the (advisory) stored
+  * digest count — the Bloom sizing feed, an over-count across appends is
+  * harmless — and `k`, the window width, so a reader can't probe a stored
+  * index with mismatched windowing. */
+final case class SubstrIndexStats(digests: Long, k: Int)
+
+/** PERSISTED exact-substring gate index — the production form of
+  * [[ExactSubstring.dupWindowReport]]'s incremental loop (that call
+  * re-derives history's window digests per batch; the class doc promises
+  * a stored layout, this is it): history is tokenized and window-digested
+  * ONCE, at [[SubstrIndex.build]]/[[append]] time, and every later batch
+  * gates against the stored digest relation. History TEXT is never read
+  * again — the gate's only history input is `digests/` (16-byte md5 keys).
+  *
+  * == Layout ==
+  *
+  * [[NearDupIndex]]'s manifest-committed append-only scheme
+  * ([[ManifestLog]]), specialized to one relation:
+  *  - `digests/append=<id>/` (dg) — the per-append DISTINCT window
+  *    digests (cross-append duplicates are fine: the gate is a
+  *    membership semi-join);
+  *  - `_commits/m<seq>` — marker manifests; un-committed data dirs from
+  *    a crashed writer stay invisible;
+  *  - `stats/` — one [[SubstrIndexStats]] row, refreshed after each
+  *    commit: `digests` sizes the gate's Bloom filter so no query runs a
+  *    count job over the index (statistics-fed, advisory: staleness
+  *    costs filter bits, never correctness), `k` pins the window width.
+  *
+  * == Gate shape ([[dupWindowReport]]/[[keepFresh]]) ==
+  *
+  * Identical to the per-call [[ExactSubstring.dupWindowReport]] stage for
+  * stage — Bloom split (sized from stored stats) so provably-fresh batch
+  * windows never enter the digest join; only the might-seen minority
+  * shuffles against `digests/` — with the history derivation replaced by
+  * the stored relation. Exactly-once streaming loops use
+  * [[appendToken]] + `excludeToken` (the [[IngestIndex]] contract): a
+  * replayed micro-batch gates against the index as it stood before its
+  * own committed append and the re-append is a no-op.
+  */
+final class SubstrIndex private (
+    private val spark: SparkSession, val path: String) extends IngestIndex {
+
+  /** Current stored statistics (re-read per call — appends move it). */
+  def stats: SubstrIndexStats = {
+    val r = spark.read.parquet(s"$path/stats").head()
+    SubstrIndexStats(r.getAs[Long]("digests"), r.getAs[Int]("k"))
+  }
+
+  private val log = new ManifestLog(spark, path)
+
+  private def visible(excludeToken: Option[String]): Seq[Manifest] =
+    log.read().filterNot(m => excludeToken.exists(m.token.contains))
+
+  private def digestsRelOf(ms: Seq[Manifest]): DataFrame = {
+    val ids = ms.flatMap(_.digests)
+    require(ids.nonEmpty, s"no committed digest dirs under $path")
+    spark.read.parquet(ids.map(id => s"$path/digests/append=$id"): _*)
+  }
+
+  // ---------------- writes ----------------
+
+  /** Index a batch's window digests: one fresh `append=<id>` dir, one
+    * marker commit, stats refreshed. Call with the rows a [[keepFresh]]
+    * gate accepted, MATERIALIZED first (`localCheckpoint(true)`) — the
+    * gate result's plan reads this index. */
+  def append(df: DataFrame, idCol: String, textCol: String): SubstrIndexStats =
+    writeBatch(df, idCol, textCol, stats, first = false, token = None)
+
+  /** [[append]] with an idempotence token — the exactly-once append: a
+    * committed manifest carrying `token` makes the call a no-op. */
+  def appendOnce(df: DataFrame, idCol: String, textCol: String,
+      token: String): SubstrIndexStats = {
+    require(token.nonEmpty && !token.contains("\n"), "token: non-empty, one line")
+    if (log.read().exists(_.token.contains(token))) stats
+    else writeBatch(df, idCol, textCol, stats, first = false,
+      token = Some(token))
+  }
+
+  private def writeBatch(df: DataFrame, idCol: String, textCol: String,
+      prev: SubstrIndexStats, first: Boolean,
+      token: Option[String]): SubstrIndexStats = {
+    val before = log.read()
+    require(!first || before.isEmpty,
+      s"$path already holds a committed index (build() wants a fresh path)")
+    val seq = before.size + 1
+    val id = f"a$seq%06d"
+    val dgs = ExactSubstring
+      .windowDigestsOf(ExactSubstring.tokenize(df, idCol, textCol),
+        idCol, prev.k)
+      .select("dg").distinct()
+    dgs.write.mode("errorifexists").parquet(s"$path/digests/append=$id")
+    val added = spark.read.parquet(s"$path/digests/append=$id").count()
+    log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq) // now visible
+    val st = SubstrIndexStats(prev.digests + added, prev.k)
+    SubstrIndex.writeStats(spark, path, st)
+    st
+  }
+
+  // ---------------- queries ----------------
+
+  /** Per batch document: total k-window count and how many of its windows
+    * already occur in the INDEXED history —
+    * [[ExactSubstring.dupWindowReport]] against the stored relation.
+    * The Bloom filter is sized from stored stats (no count job); its
+    * content is always built from the committed digest relation itself.
+    */
+  def dupWindowReport(batch: DataFrame, idCol: String, textCol: String,
+      fpp: Double = 0.01, excludeToken: Option[String] = None): DataFrame = {
+    val bw = ExactSubstring.windowDigestsOf(
+      ExactSubstring.tokenize(batch, idCol, textCol), idCol, stats.k)
+    CacheScope.withCached(bw)(
+      reportPlan(batch, bw, idCol, fpp, excludeToken))
+  }
+
+  /** The gate's UN-materialized plan — plan-audit hook (the
+    * [[NearDupIndex.pairsPlanFor]] precedent): the production wrapper
+    * collapses its result with a call-scoped checkpoint before a spec
+    * could walk it for the no-history-scan property. */
+  private[graft] def reportPlanFor(batch: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    reportPlan(batch, ExactSubstring.windowDigestsOf(
+      ExactSubstring.tokenize(batch, idCol, textCol), idCol, stats.k),
+      idCol, 0.01, None)
+
+  private def reportPlan(batch: DataFrame, bw: DataFrame, idCol: String,
+      fpp: Double, excludeToken: Option[String]): DataFrame = {
+    val st = stats
+    val hw = digestsRelOf(visible(excludeToken))
+    val bloom = BloomPrune.buildFilter(hw, "dg",
+      math.max(1L, st.digests), fpp)
+    val (maybeSeen, _) = BloomPrune.split(bw, "dg", bloom)
+    val dup = maybeSeen.join(hw, Seq("dg"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_windows"))
+    val totals = bw.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
+    batch.select(col(idCol))
+      .join(totals, Seq(idCol), "left_outer")
+      .join(dup, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
+  /** Keep batch documents with at most `maxDupWindows` windows already in
+    * history (default 0: no verbatim overlap at all) — the ingest gate. */
+  def keepFresh(batch: DataFrame, idCol: String, textCol: String,
+      maxDupWindows: Long = 0L, fpp: Double = 0.01,
+      excludeToken: Option[String] = None): DataFrame = {
+    val keep = dupWindowReport(batch, idCol, textCol, fpp, excludeToken)
+      .where(col("n_dup_windows") <= maxDupWindows)
+      .select(col(idCol))
+    batch.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ---------------- IngestIndex ----------------
+
+  def gateKeep(batch: DataFrame, idCol: String, textCol: String,
+      excludeToken: Option[String]): DataFrame =
+    keepFresh(batch, idCol, textCol, excludeToken = excludeToken)
+
+  def appendToken(df: DataFrame, idCol: String, textCol: String,
+      token: String): Unit = { appendOnce(df, idCol, textCol, token); () }
+}
+
+object SubstrIndex {
+
+  /** Build a new index at `path` (must not already hold one) from the
+    * history corpus — the one time history text is read. */
+  def build(history: DataFrame, idCol: String, textCol: String, path: String,
+      k: Int = 8): SubstrIndex = {
+    require(k >= 2, "need k >= 2")
+    val idx = new SubstrIndex(history.sparkSession, path)
+    idx.writeBatch(history, idCol, textCol, SubstrIndexStats(0L, k),
+      first = true, token = None)
+    idx
+  }
+
+  /** Open a stored index; `k` comes from its `stats/` row. */
+  def open(spark: SparkSession, path: String): SubstrIndex = {
+    val idx = new SubstrIndex(spark, path)
+    idx.stats // fail fast on a missing/foreign layout
+    idx
+  }
+
+  private def writeStats(spark: SparkSession, path: String,
+      st: SubstrIndexStats): Unit = {
+    import spark.implicits._
+    Seq((st.digests, st.k)).toDF("digests", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+}

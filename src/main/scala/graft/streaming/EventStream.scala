@@ -115,15 +115,15 @@ object EventStream {
     * crash point replays to the identical gate answer, output, and index
     * state — exactly-once without a transactional sink.
     */
-  def indexedIngestBatch(idx: graft.ext.NearDupIndex, idCol: String,
+  def indexedIngestBatch(idx: graft.ext.IngestIndex, idCol: String,
       textCol: String, out: String, name: String)
       (batch: DataFrame, id: Long): Unit = {
     val token = s"$name#$id"
     val kept = idx
-      .keepUnseen(batch, idCol, textCol, excludeToken = Some(token))
+      .gateKeep(batch, idCol, textCol, excludeToken = Some(token))
       .localCheckpoint(true) // materialize BEFORE appending underneath it
     kept.write.mode("overwrite").parquet(s"$out/batch=$id")
-    idx.appendOnce(kept, idCol, textCol, token)
+    idx.appendToken(kept, idCol, textCol, token)
     ()
   }
 
@@ -136,7 +136,7 @@ object EventStream {
     * here history text is never read at all). Returns the union of
     * surviving rows with their 1-based batch number.
     */
-  def runIndexedIngest(incoming: DataFrame, idx: graft.ext.NearDupIndex,
+  def runIndexedIngest(incoming: DataFrame, idx: graft.ext.IngestIndex,
       idCol: String, textCol: String, name: String): DataFrame = {
     val spark = incoming.sparkSession
     val basePath = java.nio.file.Files.createTempDirectory(s"graft-ndingest-$name")

@@ -140,6 +140,17 @@ class NearDupIndexSpec extends GraftSpec {
           concat(lit("novelbatch3 "), col("text")).as("text"))
       idx.keepUnseen(b3replay, "doc_id", "text").count() shouldBe 0L
       history.count() should be > 0L
+      // VACUUM unlinks the superseded counts dirs; the active set (and
+      // therefore every gate answer) is untouched
+      val preVacuum = new java.io.File(s"$path/counts").listFiles().length
+      val removed = idx.vacuum()
+      removed should be > 0
+      new java.io.File(s"$path/counts").listFiles().length shouldBe
+        preVacuum - removed
+      idx.vacuum() shouldBe 0 // idempotent: nothing left to unlink
+      idx.keepUnseen(b3replay, "doc_id", "text").count() shouldBe 0L
+      idx.keepUnseen(probe, "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted shouldBe stored
     } finally spark.conf.unset(key)
   }
 
@@ -188,7 +199,6 @@ class NearDupIndexSpec extends GraftSpec {
 
   it("a manifest token round-trips byte-exact — including commas, which " +
      "the id-list fields split on (exactly-once depends on this)") {
-    import NearDupIndex.Manifest
     val m = Manifest(Seq("a000001"), Seq("a000001"), Seq("a000001"), Nil,
       Some("stream,epoch=3,attempt=2"))
     Manifest.parse(m.render) shouldBe m
