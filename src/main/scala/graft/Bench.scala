@@ -298,6 +298,54 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq104 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq117/dq118 stored-index scale properties at this SF: the
+      //    substring gate's plan must scan nothing outside its index path
+      //    (history text untouched), and the IVF store's candidate scan
+      //    must read exactly nprobe of the cell partitions (static
+      //    partition pruning at file listing).
+      if (!names.exists(_.startsWith("dq117"))) None
+      else try {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .localCheckpoint(true) // in-memory: index files are the only scans
+        val path = graft.io.TempReaper.tempDir("graft-bench-ssidx").toString + "/idx"
+        val idx = graft.ext.SubstrIndex.build(docs, "doc_id", "text", path, k = 8)
+        val probe = docs.limit(50).select(col("doc_id"), col("text"))
+          .localCheckpoint(true)
+        val plan = idx.reportPlanFor(probe, "doc_id", "text")
+        plan.collect()
+        val scans = graft.plans.PlanWalk
+          .collectAll(plan.queryExecution.executedPlan) {
+            case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.map(_.toString)
+          }.flatten
+        val outside = scans.count(!_.contains(path))
+        Some(s""""dq117_gate_file_scans":${scans.length},""" +
+          s""""dq117_nonindex_file_scans":$outside""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq117 evidence failed: ${e.getMessage}"); None
+      },
+      if (!names.exists(_.startsWith("dq118"))) None
+      else try {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.functions._
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val path = graft.io.TempReaper.tempDir("graft-bench-ivfstore").toString + "/idx"
+        val store = graft.ext.IvfStore.create(emb, "vec_id", "embedding",
+          path, k = 8)
+        val res = store.searchAll(Seq(1L), topK = 5, nprobe = 2)
+        res.collect()
+        val parts = graft.plans.PlanWalk
+          .collectAll(res.queryExecution.executedPlan) {
+            case f: FileSourceScanExec =>
+              f.metrics.get("numPartitions").map(_.value)
+          }.flatten
+        Some(s""""dq118_cells":${store.stats.cells},"dq118_nprobe":2,""" +
+          s""""dq118_partitions_read":${parts.min}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq118 evidence failed: ${e.getMessage}"); None
+      },
       if (!names.exists(_.startsWith("dq59"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec

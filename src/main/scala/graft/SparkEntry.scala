@@ -1963,6 +1963,28 @@ object SparkEntry {
       .orderBy("batch", "doc_id")
   }
 
+  /** DQ118 (EXT): the PERSISTED IVF ANN index ([[graft.ext.IvfStore]]) —
+    * the FAISS train-then-add contract as a stored layout: centroids
+    * trained once on the 80% split (dq51's oracle-exact Lloyd's), the
+    * assignment relation written partitioned BY CELL, then the held-out
+    * 20% appended against the FROZEN centroids (map-only, never a refit)
+    * and searched — queries include an appended vector, proving appends
+    * are both candidates and query-able. Probes are a STATIC partition
+    * filter (driver-ranked cells), so the candidate scan reads nprobe of
+    * the cell partitions at file-listing time. The oracle trains on the
+    * 80% chain but assigns/queries the FULL table against the frozen
+    * final centroids — exactly the store's semantics. */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = graft.io.TempReaper.tempDir("graft-dq118-idx").toString + "/idx"
+    val store = graft.ext.IvfStore.create(emb.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", path, k = 8, iters = 2)
+    store.appendOnce(emb.filter(col("vec_id") % 5 === 0), "vec_id",
+      "embedding", "dq118#b1")
+    store.searchAll(Seq(1L, 2L, 5L), topK = 5, nprobe = 2)
+      .orderBy("qid", "vid")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2118,7 +2140,8 @@ object SparkEntry {
     "dq114_bpe_train_batched"   -> (q114 _),
     "dq115_quality_probe_gate"  -> (q115 _),
     "dq116_curation_config"     -> (q116 _),
-    "dq117_substr_index_loop"   -> (q117 _)
+    "dq117_substr_index_loop"   -> (q117 _),
+    "dq118_ivf_store"           -> (q118 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2376,6 +2399,25 @@ object SparkEntry {
   private val Dq51Sql: String = {
     val topK = 5
     ivfChainSql(8, 2, 2, "", "SELECT vid qid, emb qemb FROM e WHERE vid IN (1, 2, 3)") +
+      s""",
+      |scored AS (SELECT p.qid, a.vid,
+      |    list_sum(list_transform(range(1, 65), i -> a.emb[i]::DOUBLE * p.qemb[i]::DOUBLE))
+      |    / (sqrt(list_sum(list_transform(a.emb, x -> x::DOUBLE * x::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(p.qemb, x -> x::DOUBLE * x::DOUBLE)))) sim
+      |  FROM af a JOIN probe p ON a.cell = p.cell AND a.vid <> p.qid)
+      |SELECT qid, vid, sim FROM (SELECT qid, vid, sim,
+      |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) rnk FROM scored)
+      |WHERE rnk <= $topK ORDER BY qid, vid""".stripMargin
+  }
+
+  /** dq118: centroids trained on the 80% split, the FULL table assigned
+    * against the frozen result (`ef` = all embeddings — the store's
+    * append semantics), queries incl. the appended vec_id 5. */
+  private val Dq118Sql: String = {
+    val topK = 5
+    ivfChainSql(8, 2, 2, " WHERE vec_id % 5 <> 0",
+      "SELECT vid qid, emb qemb FROM ef WHERE vid IN (1, 2, 5)",
+      assignSql = "SELECT vec_id vid, embedding emb FROM embeddings") +
       s""",
       |scored AS (SELECT p.qid, a.vid,
       |    list_sum(list_transform(range(1, 65), i -> a.emb[i]::DOUBLE * p.qemb[i]::DOUBLE))
@@ -2993,6 +3035,9 @@ object SparkEntry {
     // history digests, fresh survivors' windows appended (wh2 = wh ∪
     // survivor windows; UNION dedups, matching the membership semi-join),
     // batch-2 report vs the grown set
+    // the stored IVF index: train-80% / assign-all against frozen
+    // centroids / probe — matching the chain IS the frozen-append proof
+    "dq118_ivf_store" -> Dq118Sql,
     "dq117_substr_index_loop" ->
       """WITH b1 AS (
         |  SELECT doc_id + 100000 AS doc_id, text || ' zzztail' AS text
