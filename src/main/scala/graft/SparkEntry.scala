@@ -1985,6 +1985,40 @@ object SparkEntry {
       .orderBy("qid", "vid")
   }
 
+  /** DQ119 (EXT): TOKEN-BUDGET source mixture
+    * ([[graft.ext.Sampling.tokenBudgetPortable]]) — "N tokens per source",
+    * the unit data mixes are specified in: per source, the maximal
+    * portable-hash-ordered prefix of documents whose running token total
+    * fits the budget. Even sources get 900 tokens, odd 400. The Spark
+    * side runs the bucketed two-phase exact form (driver prefix over 256
+    * hash-prefix bucket sums, window only inside the cutoff bucket); the
+    * oracle replays the naive full window — equality IS the two-phase
+    * correctness proof. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val budgets = (0 to 19).map(i =>
+      s"src$i" -> (if (i % 2 == 0) 900L else 400L)).toMap
+    graft.ext.Sampling.tokenBudgetPortable(t(s, dir, "documents"),
+        "source", "doc_id", "text", budgets)
+      .select(col("doc_id"), col("source"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** DQ120 (EXT): FRACTIONAL-EPOCH repetition
+    * ([[graft.ext.Sampling.repeatEpochsPortable]]) — the repeat factor of
+    * weighted data mixes (factor 2.3: every doc twice, a stable 30%
+    * key-gated sample a third time), each copy carrying its dq101
+    * epoch-shuffle key so every epoch orders independently. The oracle
+    * re-derives the epoch explosion, the md5 gate, and the shuffle keys. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    graft.ext.Sampling.repeatEpochsPortable(
+        t(s, dir, "documents"), "doc_id", factor = 2.3)
+      .select(col("doc_id"), col("epoch"),
+        md5(concat_ws(":", col("epoch"), col("doc_id"))).as("shuffle_key"))
+      .orderBy("epoch", "doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2141,7 +2175,9 @@ object SparkEntry {
     "dq115_quality_probe_gate"  -> (q115 _),
     "dq116_curation_config"     -> (q116 _),
     "dq117_substr_index_loop"   -> (q117 _),
-    "dq118_ivf_store"           -> (q118 _)
+    "dq118_ivf_store"           -> (q118 _),
+    "dq119_token_budget"        -> (q119 _),
+    "dq120_epoch_repeat"        -> (q120 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3038,6 +3074,31 @@ object SparkEntry {
     // the stored IVF index: train-80% / assign-all against frozen
     // centroids / probe — matching the chain IS the frozen-append proof
     "dq118_ivf_store" -> Dq118Sql,
+    // token-budget mixture: the oracle runs the NAIVE per-source running
+    // sum over the full portable hash order; the Spark side's bucketed
+    // two-phase form must land on the identical prefix
+    "dq119_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    md5(doc_id::VARCHAR || ':42') ok,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |      x -> len(x) > 0)) AS BIGINT) nt
+        |  FROM documents),
+        |c AS (SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY ok, doc_id
+        |    ROWS UNBOUNDED PRECEDING) cum FROM t)
+        |SELECT doc_id, source, nt AS n_tokens FROM c
+        |WHERE cum <= CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |  THEN 900 ELSE 400 END
+        |ORDER BY doc_id""".stripMargin,
+    // fractional-epoch repetition: 2 full epochs + the md5-gated 30%
+    // third epoch, each copy with its per-epoch shuffle key
+    "dq120_epoch_repeat" ->
+      """SELECT doc_id, CAST(e AS BIGINT) AS epoch,
+        |  md5(e::VARCHAR || ':' || doc_id::VARCHAR) AS shuffle_key
+        |FROM documents, unnest(range(1, 4)) r(e)
+        |WHERE e <= 2 OR
+        |  ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+        |    % 1000000 < 300000
+        |ORDER BY epoch, doc_id""".stripMargin,
     "dq117_substr_index_loop" ->
       """WITH b1 AS (
         |  SELECT doc_id + 100000 AS doc_id, text || ' zzztail' AS text

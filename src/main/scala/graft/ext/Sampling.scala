@@ -129,4 +129,102 @@ object Sampling {
       Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc), perCell)
       .select(col("cell"), col(idCol))
   }
+
+  /** TOKEN-BUDGET mixture: per stratum, keep documents in the portable
+    * hash order (`md5("<id>:<seed>")`, then id) until the running token
+    * total reaches the stratum's budget — "give me N tokens of source X",
+    * the unit data mixes are actually specified in (a document-count
+    * fraction over-/under-shoots when sources have different document
+    * lengths). A document is kept iff the running total INCLUDING it fits
+    * the budget; strata missing from `budgets` are dropped.
+    *
+    * Scale shape — the naive formulation is a running sum over each
+    * stratum's ENTIRE hash order: one window partition per stratum, i.e.
+    * a single reducer walking terabytes. This implementation is the exact
+    * two-phase form: the hash order is pre-split into 256 hash-prefix
+    * buckets, per-(stratum, bucket) token sums (a tiny aggregate) are
+    * prefix-summed on the DRIVER to locate each stratum's CUTOFF bucket,
+    * whole buckets before it are kept outright, buckets after it are
+    * dropped, and the exact running sum runs only INSIDE the cutoff
+    * bucket — ~1/256 of the stratum, with the budget already reduced by
+    * the kept-bucket mass. Bit-identical to the naive window by
+    * construction (same order, same cumulative arithmetic); the oracle
+    * replays the naive form.
+    */
+  def tokenBudgetPortable(df: DataFrame, strataCol: String, idCol: String,
+      textCol: String, budgets: Map[String, Long],
+      seed: Long = 42L): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val keyed = df
+      .withColumn("__ok",
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .withColumn("__bk",
+        conv(substring(col("__ok"), 1, 2), 16, 10).cast("int"))
+      .withColumn("__nt",
+        TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .filter(col(strataCol).isin(budgets.keys.toSeq: _*))
+    CacheScope.withCached(keyed) {
+      // phase 1: per-(stratum, bucket) token mass — strata×256 rows
+      val bucketSums = keyed.groupBy(strataCol, "__bk")
+        .agg(sum(col("__nt")).as("__bt"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      // driver prefix-sum per stratum: cutoff bucket + tokens kept before it
+      val cut: Map[String, (Int, Long)] = bucketSums.groupBy(_._1).map {
+        case (stratum, rows) =>
+          val budget = budgets(stratum)
+          var acc = 0L
+          var cutoff = 256 // past the last bucket: whole stratum fits
+          var base = 0L
+          rows.sortBy(_._2).foreach { case (_, bk, bt) =>
+            if (cutoff == 256) {
+              if (acc + bt > budget) { cutoff = bk; base = acc }
+              else acc += bt
+            }
+          }
+          stratum -> (cutoff, base)
+      }
+      val cutoffCol = budgets.keys.foldLeft(lit(-1)) { (acc, s) =>
+        when(col(strataCol) === lit(s), lit(cut.get(s).fold(256)(_._1)))
+          .otherwise(acc)
+      }
+      val remainingCol = budgets.keys.foldLeft(lit(-1L)) { (acc, s) =>
+        when(col(strataCol) === lit(s),
+          lit(budgets(s) - cut.get(s).fold(0L)(_._2))).otherwise(acc)
+      }
+      val whole = keyed.filter(col("__bk") < cutoffCol)
+      // phase 2: the exact running sum, cutoff bucket only (~1/256)
+      val byOrder = org.apache.spark.sql.expressions.Window
+        .partitionBy(strataCol).orderBy(col("__ok"), col(idCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val edge = keyed.filter(col("__bk") === cutoffCol)
+        .withColumn("__cum", sum(col("__nt")).over(byOrder))
+        .filter(col("__cum") <= remainingCol)
+        .drop("__cum")
+      whole.unionByName(edge).drop("__ok", "__bk", "__nt")
+    }
+  }
+
+  /** FRACTIONAL-EPOCH repetition — the data-mixing repeat factor (a
+    * source weighted 2.3 epochs appears twice, plus a stable 30% sample a
+    * third time): each row yields `floor(factor)` full epochs, and epoch
+    * `floor(factor)+1` keeps the rows whose portable gate falls under the
+    * fractional remainder — the same key-determined membership as every
+    * gate here, so the partial epoch is identical across runs, layouts,
+    * and engines. Output: input columns + `epoch` (1-based); pair with
+    * [[epochShuffleKey]] to order each epoch independently.
+    */
+  def repeatEpochsPortable(df: DataFrame, idCol: String, factor: Double,
+      seed: Long = 42L): DataFrame = {
+    require(factor > 0, "factor must be positive")
+    val full = math.floor(factor).toLong
+    val frac = factor - full
+    val epochs = df.withColumn("epoch",
+      explode(sequence(lit(1L), lit(full + 1))))
+    // round, not truncate: 2.3 - 2.0 is 0.2999…98 in binary, and the gate
+    // threshold must be the 300000 the caller meant (and the oracle writes)
+    epochs.filter(col("epoch") <= full ||
+      gatePortable(col(idCol), seed) < lit(math.round(frac * M)))
+  }
 }

@@ -74,6 +74,94 @@ class SamplingSpec extends GraftSpec {
     e1 should not be order(2)                   // ...different order
   }
 
+  it("tokenBudgetPortable keeps per stratum the maximal hash-ordered " +
+     "prefix fitting the budget — matching a hand-derived naive window") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "a", "one two three"),          // 3 tokens
+      (2L, "a", "four five"),              // 2
+      (3L, "a", "six seven eight nine"),   // 4
+      (4L, "b", "ten"),                    // 1
+      (5L, "b", "eleven twelve"))          // 2
+      .toDF("doc_id", "source", "text")
+    // naive derivation in-test: portable order, running sum, budget cut
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val naive = Seq((1L, "a", 3L), (2L, "a", 2L), (3L, "a", 4L),
+      (4L, "b", 1L), (5L, "b", 2L))
+      .map { case (id, src, nt) => (src, md5hex(s"$id:42"), id, nt) }
+      .groupBy(_._1).flatMap { case (src, rows) =>
+        val budget = if (src == "a") 5L else 10L
+        var cum = 0L
+        rows.sortBy(r => (r._2, r._3)).flatMap { case (_, _, id, nt) =>
+          cum += nt
+          if (cum <= budget) Some(id) else None
+        }
+      }.toSeq.sorted
+    val got = Sampling.tokenBudgetPortable(df, "source", "doc_id", "text",
+        Map("a" -> 5L, "b" -> 10L))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    got shouldBe naive
+    // stratum "b" fits whole (3 <= 10); "a" is cut at its budget
+    got.count(Seq(4L, 5L).contains) shouldBe 2
+    // strata missing from the budgets map are dropped
+    Sampling.tokenBudgetPortable(df, "source", "doc_id", "text",
+      Map("a" -> 100L)).select("source").distinct().as[String]
+      .collect() shouldBe Array("a")
+  }
+
+  it("tokenBudgetPortable's two-phase form equals the naive window on " +
+     "the documents corpus (bucket cutoffs actually exercised)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val budgets = (0 to 19).map(i => s"src$i" -> 120L).toMap
+    val got = Sampling.tokenBudgetPortable(docs, "source", "doc_id", "text",
+        budgets)
+      .select("doc_id").as[Long].collect().sorted
+    val byOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("__ok"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = docs
+      .withColumn("__ok", md5(concat(col("doc_id").cast("string"), lit(":42"))))
+      .withColumn("__nt", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("__cum", sum(col("__nt")).over(byOrder))
+      .filter(col("__cum") <= 120L)
+      .select("doc_id").as[Long].collect().sorted
+    got shouldBe naive
+    got.length should be > 0
+    got.length should be < docs.count().toInt
+  }
+
+  it("repeatEpochsPortable: floor(factor) full epochs plus a stable " +
+     "key-gated partial epoch; whole factors emit no partial") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val reps = Sampling.repeatEpochsPortable(docs, "doc_id", 2.3)
+    reps.filter(col("epoch") <= 2).count() shouldBe 2 * n
+    val partial = reps.filter(col("epoch") === 3)
+      .select("doc_id").as[Long].collect().sorted
+    partial.length should be > 0
+    partial.length should be < n.toInt
+    // stable: the partial epoch is the SAME gated sample every run
+    Sampling.repeatEpochsPortable(docs, "doc_id", 2.3)
+      .filter(col("epoch") === 3)
+      .select("doc_id").as[Long].collect().sorted shouldBe partial
+    // membership is the portable gate at round(0.3e6)
+    val gated = docs.filter(
+      Sampling.gatePortable(col("doc_id"), 42L) < 300000L)
+      .select("doc_id").as[Long].collect().sorted
+    partial shouldBe gated
+    // whole factor: exactly f copies, no partial epoch
+    Sampling.repeatEpochsPortable(docs, "doc_id", 2.0).count() shouldBe 2 * n
+    // sub-1 factor: a single gated partial epoch
+    Sampling.repeatEpochsPortable(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().sorted shouldBe gated
+  }
+
   it("clusterBalanced caps every IVF cell at perCell, deterministically") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val index = IvfIndex.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
