@@ -708,6 +708,42 @@ object ScaleProbe {
       val restartSec = (System.nanoTime() - t2) / 1e9
       println(f"""{"probe":"stream_overhead","batches":2,"direct_sec":$directSec%.2f,"one_stream_sec":$streamSec%.2f,"restart_per_batch_sec":$restartSec%.2f,"stream_machinery_sec":${streamSec - directSec}%.2f,"restart_machinery_sec":${restartSec - directSec}%.2f,"survivors":${r1 + r2},"one_stream_survivors":$sOne}""")
     }
+    // Token-budget mixture at m×: the naive formulation is ONE window
+    // partition per stratum (a single reducer walks the stratum's whole
+    // hash order); the shipped two-phase form keeps the running sum inside
+    // the cutoff bucket only. Same answer, and the wall gap is the reason
+    // the two-phase form exists.
+    if (sys.env.get("SCALE_TOKBUDGET").contains("1")) {
+      import org.apache.spark.sql.expressions.{Window => W}
+      for (m <- Seq(10, 50)) {
+        val df = base.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            concat(lit("src"), (col("doc_id") % 4).cast("string")).as("source"),
+            col("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .cache()
+        val n = df.count()
+        val budgets = (0 to 3).map(i => s"src$i" -> 40000L).toMap
+        val t0 = System.nanoTime()
+        val kept = graft.ext.Sampling.tokenBudgetPortable(df, "source",
+          "doc_id", "text", budgets).count()
+        val t1 = System.nanoTime()
+        val byOrder = W.partitionBy("source").orderBy(col("__ok"), col("doc_id"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val naive = df
+          .withColumn("__ok",
+            md5(concat(col("doc_id").cast("string"), lit(":42"))))
+          .withColumn("__nt",
+            graft.ext.TextAnalysis.tokenCount(col("text")).cast("long"))
+          .withColumn("__cum", sum(col("__nt")).over(byOrder))
+          .filter(col("__cum") <= 40000L)
+          .count()
+        val t2 = System.nanoTime()
+        println(f"""{"probe":"tokbudget","m":$m,"docs":$n,"kept":$kept,"two_phase_sec":${(t1 - t0) / 1e9}%.2f,"naive_window_sec":${(t2 - t1) / 1e9}%.2f,"equal":${kept == naive}}""")
+        df.unpersist()
+        ()
+      }
+    }
     // Subword tokenizer throughput: map-only kernel, so the number that
     // matters is rows/s per core — the operator scales with scan bandwidth,
     // and the probe proves the wall stays flat per unit of input.
