@@ -51,8 +51,15 @@ final class IvfStore private (private val spark: SparkSession,
   private def visible(excludeToken: Option[String]): Seq[Manifest] =
     log.read().filterNot(m => excludeToken.exists(m.token.contains))
 
+  /** Active assigned dir ids: all published, minus any a later compaction
+    * superseded. */
+  private def activeIds(ms: Seq[Manifest]): Seq[String] = {
+    val sup = ms.flatMap(_.supersedesDigests).toSet
+    ms.flatMap(_.digests).filterNot(sup)
+  }
+
   private def assignedRelOf(ms: Seq[Manifest]): DataFrame = {
-    val ids = ms.flatMap(_.digests)
+    val ids = activeIds(ms)
     require(ids.nonEmpty, s"no committed assigned dirs under $path")
     // basePath anchors partition discovery when several append roots are
     // listed (each holding cell=<c> subdirs); only the manifest-listed
@@ -99,7 +106,45 @@ final class IvfStore private (private val spark: SparkSession,
       centroids.head._2.length, 0L) else stats
     val st = IvfStoreStats(prev.cells, prev.dims, prev.vectors + added)
     IvfStore.writeStats(spark, path, st)
+    maybeCompact()
     st
+  }
+
+  /** Rewrite the assigned dirs into one cell-partitioned relation once
+    * the active dir count passes
+    * `spark.graft.ivfstore.compactThreshold` (default 16) — bounds the
+    * per-search file listing AND merges the per-cell small files that
+    * per-append partitioning accumulates. The newest dir is never folded
+    * (the token-replay window, as everywhere); superseded dirs stay on
+    * disk for in-flight readers until [[vacuum]]. Row-identical: a
+    * straight union rewrite, no re-assignment.
+    */
+  private def maybeCompact(): Unit = {
+    val threshold = spark.conf
+      .getOption("spark.graft.ivfstore.compactThreshold")
+      .map(_.toInt).getOrElse(16)
+    val ms = log.read()
+    val foldable = activeIds(ms).dropRight(1)
+    if (foldable.size > threshold) {
+      val seq = ms.size + 1
+      val cid = f"c$seq%06d"
+      spark.read.option("basePath", s"$path/assigned")
+        .parquet(foldable.map(id => s"$path/assigned/append=$id"): _*)
+        .select("vid", "emb", "nrm", "cell")
+        .write.partitionBy("cell").mode("errorifexists")
+        .parquet(s"$path/assigned/append=$cid")
+      log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)
+    }
+  }
+
+  /** Unlink assigned dirs a compaction superseded (single writer, once no
+    * pre-compaction reader remains). Returns the number removed. */
+  def vacuum(): Int = {
+    val sup = log.read().flatMap(_.supersedesDigests).distinct
+    val f = log.fileSystem
+    sup.count { id =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/append=$id"), true)
+    }
   }
 
   // ---------------- queries ----------------

@@ -12,10 +12,11 @@ import org.apache.spark.sql.SparkSession
   */
 private[ext] final case class Manifest(digests: Seq[String],
     bands: Seq[String], counts: Seq[String], supersedesCounts: Seq[String],
-    token: Option[String] = None) {
+    token: Option[String] = None, supersedesDigests: Seq[String] = Nil) {
   def render: String = (Seq(
     "digests" -> digests, "bands" -> bands, "counts" -> counts,
-    "supersedes_counts" -> supersedesCounts)
+    "supersedes_counts" -> supersedesCounts,
+    "supersedes_digests" -> supersedesDigests)
     .collect { case (k, v) if v.nonEmpty => s"$k=${v.mkString(",")}" } ++
     token.map(t => s"token=$t"))
     .mkString("\n")
@@ -33,7 +34,7 @@ private[ext] object Manifest {
     def ids(k: String): Seq[String] =
       kv.get(k).map(_.split(",").toSeq).getOrElse(Nil)
     Manifest(ids("digests"), ids("bands"), ids("counts"),
-      ids("supersedes_counts"), kv.get("token"))
+      ids("supersedes_counts"), kv.get("token"), ids("supersedes_digests"))
   }
 }
 

@@ -56,8 +56,15 @@ final class SubstrIndex private (
   private def visible(excludeToken: Option[String]): Seq[Manifest] =
     log.read().filterNot(m => excludeToken.exists(m.token.contains))
 
+  /** Active digest dir ids: all published, minus any a later compaction
+    * superseded. */
+  private def activeIds(ms: Seq[Manifest]): Seq[String] = {
+    val sup = ms.flatMap(_.supersedesDigests).toSet
+    ms.flatMap(_.digests).filterNot(sup)
+  }
+
   private def digestsRelOf(ms: Seq[Manifest]): DataFrame = {
-    val ids = ms.flatMap(_.digests)
+    val ids = activeIds(ms)
     require(ids.nonEmpty, s"no committed digest dirs under $path")
     spark.read.parquet(ids.map(id => s"$path/digests/append=$id"): _*)
   }
@@ -98,7 +105,46 @@ final class SubstrIndex private (
     log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq) // now visible
     val st = SubstrIndexStats(prev.digests + added, prev.k)
     SubstrIndex.writeStats(spark, path, st)
+    maybeCompact()
     st
+  }
+
+  /** Fold the digest dirs into one DISTINCT relation once the active dir
+    * count passes `spark.graft.substrindex.compactThreshold` (default 16)
+    * — bounds the gate's file listing across unbounded append loops, and
+    * de-duplicates cross-append digests (shrinking both the scan and the
+    * Bloom over-count). The NEWEST dir is never folded: it may belong to
+    * a token append a streaming engine could still replay (the
+    * `excludeToken` view must be able to drop it). Published as a
+    * superseding commit; superseded dirs stay on disk for in-flight
+    * readers until [[vacuum]].
+    */
+  private def maybeCompact(): Unit = {
+    val threshold = spark.conf
+      .getOption("spark.graft.substrindex.compactThreshold")
+      .map(_.toInt).getOrElse(16)
+    val ms = log.read()
+    val foldable = activeIds(ms).dropRight(1)
+    if (foldable.size > threshold) {
+      val seq = ms.size + 1
+      val cid = f"c$seq%06d"
+      spark.read.parquet(foldable.map(id => s"$path/digests/append=$id"): _*)
+        .distinct()
+        .coalesce(4)
+        .write.mode("errorifexists").parquet(s"$path/digests/append=$cid")
+      log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)
+    }
+  }
+
+  /** Unlink digest dirs a compaction superseded (the [[NearDupIndex.vacuum]]
+    * contract: single writer, once no pre-compaction reader remains).
+    * Returns the number of dirs removed. */
+  def vacuum(): Int = {
+    val sup = log.read().flatMap(_.supersedesDigests).distinct
+    val f = log.fileSystem
+    sup.count { id =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/digests/append=$id"), true)
+    }
   }
 
   // ---------------- queries ----------------

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.ext.{Dedup, NgramLm, TextAnalysis}
+import graft.ext.{Dedup, NgramLm, Sampling, TextAnalysis}
 
 /** Config-driven CURATION pipeline — the EXT analogue of [[ReportConfig]]'s
   * declare-a-report-then-run workflow (the reference runner loads a typed
@@ -73,6 +73,19 @@ object CurationConfig {
     }
   }
 
+  final case class TokenBudget(strataCol: String,
+      budgets: Map[String, Long]) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      Sampling.tokenBudgetPortable(df, strataCol, idCol, textCol, budgets)
+  }
+
+  /** Multiplies rows (adds `epoch`): declare it LAST — a dedup or gate
+    * downstream of the repeat would see every copy. */
+  final case class RepeatEpochs(factor: Double) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      Sampling.repeatEpochsPortable(df, idCol, factor)
+  }
+
   final case class PipelineDef(table: String, idCol: String, textCol: String,
       stages: List[Stage]) {
 
@@ -123,8 +136,34 @@ object CurationConfig {
         val hi = long("hiMicro").getOrElse(fail("stage 'fluency_band' needs 'hiMicro'"))
         if (lo > hi) fail(s"stage 'fluency_band': loMicro ($lo) > hiMicro ($hi)")
         FluencyBand(lo, hi)
+      case "token_budget" =>
+        val strata = j \ "strata" match {
+          case JString(s) => s
+          case _ => fail("stage 'token_budget' needs a 'strata' column name")
+        }
+        val budgets = j \ "budgets" match {
+          case JObject(fields) if fields.nonEmpty => fields.map {
+            case (k, JInt(v)) if v >= 0 => k -> v.toLong
+            case (k, JLong(v)) if v >= 0 => k -> v
+            case (k, other) => fail(s"stage 'token_budget': budget '$k' " +
+              s"must be a non-negative integer, got $other")
+          }.toMap
+          case _ => fail("stage 'token_budget' needs a non-empty 'budgets' object")
+        }
+        TokenBudget(strata, budgets)
+      case "repeat_epochs" =>
+        val f = j \ "factor" match {
+          case JDouble(d) => d
+          case JInt(i) => i.toDouble
+          case JLong(l) => l.toDouble
+          case JDecimal(d) => d.toDouble
+          case _ => fail("stage 'repeat_epochs' needs a numeric 'factor'")
+        }
+        if (f <= 0) fail(s"stage 'repeat_epochs': factor must be > 0, got $f")
+        RepeatEpochs(f)
       case other =>
-        fail(s"unknown stage '$other' (exact_dedup | quality_gate | fluency_band)")
+        fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
+          "fluency_band | token_budget | repeat_epochs)")
     }
   }
 

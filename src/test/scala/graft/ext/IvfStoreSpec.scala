@@ -87,6 +87,33 @@ class IvfStoreSpec extends GraftSpec {
     all(partitionsRead) should be < store.stats.cells.toLong
   }
 
+  it("assigned dirs compact past the threshold: search results unchanged, " +
+     "vacuum unlinks superseded dirs") {
+    val path = tmp()
+    val key = "spark.graft.ivfstore.compactThreshold"
+    spark.conf.set(key, "2")
+    try {
+      val store = IvfStore.create(emb.filter($"vec_id" % 4 === 0),
+        "vec_id", "embedding", path, k = 4)
+      (1 to 3).foreach { i =>
+        store.append(emb.filter($"vec_id" % 4 === i), "vec_id", "embedding")
+      }
+      new java.io.File(s"$path/assigned").listFiles()
+        .map(_.getName).count(_.startsWith("append=c")) should be >= 1
+      val res = store.searchAll(Seq(1L, 2L, 3L), topK = 5, nprobe = 2)
+        .orderBy("qid", "vid").as[(Long, Long, Double)].collect().toSeq
+      res.length shouldBe 15
+      val before = new java.io.File(s"$path/assigned").listFiles().length
+      val removed = store.vacuum()
+      removed should be > 0
+      new java.io.File(s"$path/assigned").listFiles().length shouldBe
+        before - removed
+      store.searchAll(Seq(1L, 2L, 3L), topK = 5, nprobe = 2)
+        .orderBy("qid", "vid").as[(Long, Long, Double)]
+        .collect().toSeq shouldBe res
+    } finally spark.conf.unset(key)
+  }
+
   it("open() restores centroids exactly; a missing layout is refused; " +
      "create refuses an occupied path") {
     val path = tmp()

@@ -119,6 +119,42 @@ class SubstrIndexSpec extends GraftSpec {
     kept1 shouldBe Array(12L, 13L)
   }
 
+  it("digest dirs compact past the threshold: gate answers unchanged, " +
+     "active listing bounded, vacuum unlinks the superseded dirs") {
+    val path = tmp()
+    val key = "spark.graft.substrindex.compactThreshold"
+    spark.conf.set(key, "2")
+    try {
+      val idx = SubstrIndex.build(history, "doc_id", "text", path, k)
+      (1 to 4).foreach { i =>
+        val b = Seq((100L + i, s"novel batch $i words alpha$i beta$i gamma$i delta$i"))
+          .toDF("doc_id", "text")
+        idx.append(b, "doc_id", "text")
+      }
+      // a compaction commit published a folded dir
+      new java.io.File(s"$path/digests").listFiles()
+        .map(_.getName).count(_.startsWith("append=c")) should be >= 1
+      // replays of every appended batch (including pre-compaction ones)
+      // are still caught through the folded relation
+      (1 to 4).foreach { i =>
+        val replay = Seq((200L + i, s"novel batch $i words alpha$i beta$i gamma$i delta$i"))
+          .toDF("doc_id", "text")
+        idx.keepFresh(replay, "doc_id", "text").count() shouldBe 0L
+      }
+      val before = new java.io.File(s"$path/digests").listFiles().length
+      val removed = idx.vacuum()
+      removed should be > 0
+      new java.io.File(s"$path/digests").listFiles().length shouldBe
+        before - removed
+      idx.vacuum() shouldBe 0
+      idx.keepFresh(batch, "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted shouldBe
+        ExactSubstring.dupWindowReport(batch, history, "doc_id", "text", k)
+          .where($"n_dup_windows" === 0).select("doc_id")
+          .as[Long].collect().sorted
+    } finally spark.conf.unset(key)
+  }
+
   it("open() restores k from stats, rejects missing layouts, and build " +
      "refuses an occupied path; crashed (uncommitted) appends are invisible") {
     val path = tmp()

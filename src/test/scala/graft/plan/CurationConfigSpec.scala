@@ -56,6 +56,31 @@ class CurationConfigSpec extends GraftSpec {
     kept shouldBe Array(1L, 4L)
   }
 
+  it("token_budget and repeat_epochs stages compose into the pipeline " +
+     "(mixture then repetition, schema growing an epoch column)") {
+    val d = dir
+    val cfg =
+      """{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "exact_dedup"},
+        |   {"stage": "token_budget", "strata": "source",
+        |    "budgets": {"srcA": 100, "srcB": 100}},
+        |   {"stage": "repeat_epochs", "factor": 2.0}]}""".stripMargin
+    // the tiny corpus has no source column -> build one via a table copy
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .withColumn("source",
+        org.apache.spark.sql.functions.when($"doc_id" <= 3, "srcA")
+          .otherwise("srcB"))
+    val d2 = java.nio.file.Files.createTempDirectory("graft-curation2").toString
+    docs.write.parquet(s"$d2/documents.parquet")
+    val out = CurationConfig.parse(cfg).run(spark, d2)
+    out.columns should contain("epoch")
+    // dedup drops doc 2; budgets fit everything else; factor 2 doubles
+    out.count() shouldBe 2 * 4
+    out.select("epoch").distinct().as[Long].collect().sorted shouldBe
+      Array(1L, 2L)
+  }
+
   it("rejects unknown stages and bad parameters AT PARSE TIME, naming " +
      "the stage") {
     def bad(json: String, needle: String): Unit = {
@@ -82,5 +107,19 @@ class CurationConfigSpec extends GraftSpec {
       "non-empty")
     bad("""{"id":"i","text":"t","stages":[{"stage":"exact_dedup"}]}""",
       "'table'")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"token_budget","strata":"source",
+          |   "budgets":{}}]}""".stripMargin, "non-empty 'budgets'")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"token_budget","strata":"source",
+          |   "budgets":{"a":-5}}]}""".stripMargin, "non-negative")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"token_budget","budgets":{"a":5}}]}"""
+      .stripMargin, "'strata'")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"repeat_epochs","factor":0}]}""".stripMargin,
+      "> 0")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"repeat_epochs"}]}""".stripMargin, "factor")
   }
 }
