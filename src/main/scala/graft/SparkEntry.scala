@@ -2019,6 +2019,35 @@ object SparkEntry {
       .orderBy("epoch", "doc_id")
   }
 
+  /** DQ121 (EXT, §2.9): dq117's stored-gate loop STREAMED — the two
+    * batches arrive as file-source micro-batches and the GENERIC ingest
+    * loop ([[EventStream.runIndexedIngest]] over the [[graft.ext.IngestIndex]]
+    * contract) gates each against the persisted [[graft.ext.SubstrIndex]]
+    * and appends its fresh survivors' windows before the next batch fires
+    * — exactly-once via batch tokens + the replay-view gate. Output: the
+    * surviving rows per batch. Shares dq117's derivation: the oracle's
+    * kept sets are its reports' zero-overlap documents — stream/batch
+    * parity against one chain (the dq109/dq104 precedent). */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (b1, b2) = nearDupBatches(docs)
+    val in = graft.io.TempReaper.tempDir("graft-dq121-in").toString
+    b1.coalesce(1).write.parquet(s"$in/b1.parquet")
+    b2.coalesce(1).write.parquet(s"$in/b2.parquet")
+    val later = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 120000L)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b2.parquet"))
+      .forEach(p => { java.nio.file.Files.setLastModifiedTime(p, later); () })
+    val idxPath = graft.io.TempReaper.tempDir("graft-dq121-idx").toString + "/idx"
+    val idx = graft.ext.SubstrIndex.build(docs, "doc_id", "text", idxPath, k = 8)
+    val incoming = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    EventStream.runIndexedIngest(incoming, idx, "doc_id", "text", "dq121")
+      .select(col("batch"), col("doc_id"), col("source"))
+      .orderBy("batch", "doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2177,7 +2206,8 @@ object SparkEntry {
     "dq117_substr_index_loop"   -> (q117 _),
     "dq118_ivf_store"           -> (q118 _),
     "dq119_token_budget"        -> (q119 _),
-    "dq120_epoch_repeat"        -> (q120 _)
+    "dq120_epoch_repeat"        -> (q120 _),
+    "dq121_stream_substr_loop"  -> (q121 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2464,6 +2494,94 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) rnk FROM scored)
       |WHERE rnk <= $topK ORDER BY qid, vid""".stripMargin
   }
+
+  /** dq117/dq121 shared derivation: history window digests, batch-1
+    * report vs them, fresh-survivor append, batch-2 report vs the grown
+    * set (`source` carried for dq121's kept-row output). */
+  private lazy val SubstrLoopChainSql: String =
+    """b1 AS (
+        |  SELECT doc_id + 100000 AS doc_id, source, text || ' zzztail' AS text
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, source,
+        |    array_to_string(list_transform(range(1, len(tk) + 1),
+        |      i -> CASE WHEN (i - 1) % 3 = 0 THEN tk[i] || 'x' ELSE tk[i] END),
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') tk
+        |        FROM documents WHERE doc_id % 13 = 0)),
+        |b2 AS (
+        |  SELECT doc_id + 300000 AS doc_id, source,
+        |    array_to_string(list_transform(range(1, len(tk) + 1),
+        |      i -> CASE WHEN (i - 1) % 3 = 0 THEN tk[i] || 'x' ELSE tk[i] END),
+        |      ' ') || ' zzztail' AS text
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') tk
+        |        FROM documents WHERE doc_id % 13 = 0)
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id, source, text || ' zzztail' AS text
+        |  FROM documents WHERE doc_id % 19 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, source,
+        |    array_to_string(list_transform(range(1, len(tk) + 1),
+        |      i -> CASE WHEN (i - 1) % 2 = 0 THEN tk[i] || 'y' ELSE tk[i] END),
+        |      ' ') AS text
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') tk
+        |        FROM documents WHERE doc_id % 11 = 0)),
+        |th AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) toks FROM documents),
+        |wh AS (SELECT DISTINCT
+        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+        |  FROM th, unnest(range(1, len(toks) - 6)) r(i)),
+        |tb1 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) toks FROM b1),
+        |wb1 AS (SELECT doc_id,
+        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+        |  FROM tb1, unnest(range(1, len(toks) - 6)) r(i)),
+        |tot1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_windows
+        |  FROM wb1 GROUP BY 1),
+        |dup1 AS (SELECT wb1.doc_id, CAST(count(*) AS BIGINT) n_dup
+        |  FROM wb1 JOIN wh USING (dg) GROUP BY 1),
+        |r1 AS (SELECT b1.doc_id, COALESCE(tot1.n_windows, 0) AS n_windows,
+        |    COALESCE(dup1.n_dup, 0) AS n_dup_windows
+        |  FROM b1 LEFT JOIN tot1 USING (doc_id) LEFT JOIN dup1 USING (doc_id)),
+        |fresh1 AS (SELECT doc_id FROM r1 WHERE n_dup_windows = 0),
+        |wh2 AS (SELECT dg FROM wh
+        |  UNION SELECT wb1.dg FROM wb1 JOIN fresh1 USING (doc_id)),
+        |tb2 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) toks FROM b2),
+        |wb2 AS (SELECT doc_id,
+        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+        |  FROM tb2, unnest(range(1, len(toks) - 6)) r(i)),
+        |tot2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_windows
+        |  FROM wb2 GROUP BY 1),
+        |dup2 AS (SELECT wb2.doc_id, CAST(count(*) AS BIGINT) n_dup
+        |  FROM wb2 JOIN wh2 USING (dg) GROUP BY 1),
+        |r2 AS (SELECT b2.doc_id, COALESCE(tot2.n_windows, 0) AS n_windows,
+        |    COALESCE(dup2.n_dup, 0) AS n_dup_windows
+        |  FROM b2 LEFT JOIN tot2 USING (doc_id) LEFT JOIN dup2 USING (doc_id))"""
+      .stripMargin
+
+  /** dq117: both batch reports off the chain. */
+  private lazy val Dq117Sql: String =
+    s"""WITH $SubstrLoopChainSql,
+      |x AS (
+      |  SELECT CAST(1 AS BIGINT) AS batch, doc_id, n_windows, n_dup_windows
+      |  FROM r1
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS batch, doc_id, n_windows, n_dup_windows
+      |  FROM r2)
+      |SELECT * FROM x ORDER BY batch, doc_id""".stripMargin
+
+  /** dq121: the kept rows per streamed micro-batch = the chain's
+    * zero-overlap documents. */
+  private lazy val Dq121Sql: String =
+    s"""WITH $SubstrLoopChainSql,
+      |k AS (
+      |  SELECT CAST(1 AS BIGINT) AS batch, b1.doc_id, b1.source
+      |  FROM b1 JOIN r1 USING (doc_id) WHERE r1.n_dup_windows = 0
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT) AS batch, b2.doc_id, b2.source
+      |  FROM b2 JOIN r2 USING (doc_id) WHERE r2.n_dup_windows = 0)
+      |SELECT * FROM k ORDER BY batch, doc_id""".stripMargin
 
   /** dq105: the cell-pruned semantic-decon report — dq51's trained chain
     * over the TRAIN split, dq91's eval battery probing `nprobe` cells, the
@@ -3099,70 +3217,11 @@ object SparkEntry {
         |  ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
         |    % 1000000 < 300000
         |ORDER BY epoch, doc_id""".stripMargin,
-    "dq117_substr_index_loop" ->
-      """WITH b1 AS (
-        |  SELECT doc_id + 100000 AS doc_id, text || ' zzztail' AS text
-        |  FROM documents WHERE doc_id % 17 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 200000 AS doc_id,
-        |    array_to_string(list_transform(range(1, len(tk) + 1),
-        |      i -> CASE WHEN (i - 1) % 3 = 0 THEN tk[i] || 'x' ELSE tk[i] END),
-        |      ' ') AS text
-        |  FROM (SELECT doc_id, string_split(text, ' ') tk
-        |        FROM documents WHERE doc_id % 13 = 0)),
-        |b2 AS (
-        |  SELECT doc_id + 300000 AS doc_id,
-        |    array_to_string(list_transform(range(1, len(tk) + 1),
-        |      i -> CASE WHEN (i - 1) % 3 = 0 THEN tk[i] || 'x' ELSE tk[i] END),
-        |      ' ') || ' zzztail' AS text
-        |  FROM (SELECT doc_id, string_split(text, ' ') tk
-        |        FROM documents WHERE doc_id % 13 = 0)
-        |  UNION ALL
-        |  SELECT doc_id + 400000 AS doc_id, text || ' zzztail' AS text
-        |  FROM documents WHERE doc_id % 19 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 500000 AS doc_id,
-        |    array_to_string(list_transform(range(1, len(tk) + 1),
-        |      i -> CASE WHEN (i - 1) % 2 = 0 THEN tk[i] || 'y' ELSE tk[i] END),
-        |      ' ') AS text
-        |  FROM (SELECT doc_id, string_split(text, ' ') tk
-        |        FROM documents WHERE doc_id % 11 = 0)),
-        |th AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
-        |    x -> len(x) > 0) toks FROM documents),
-        |wh AS (SELECT DISTINCT
-        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
-        |  FROM th, unnest(range(1, len(toks) - 6)) r(i)),
-        |tb1 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
-        |    x -> len(x) > 0) toks FROM b1),
-        |wb1 AS (SELECT doc_id,
-        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
-        |  FROM tb1, unnest(range(1, len(toks) - 6)) r(i)),
-        |tot1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_windows
-        |  FROM wb1 GROUP BY 1),
-        |dup1 AS (SELECT wb1.doc_id, CAST(count(*) AS BIGINT) n_dup
-        |  FROM wb1 JOIN wh USING (dg) GROUP BY 1),
-        |r1 AS (SELECT b1.doc_id, COALESCE(tot1.n_windows, 0) AS n_windows,
-        |    COALESCE(dup1.n_dup, 0) AS n_dup_windows
-        |  FROM b1 LEFT JOIN tot1 USING (doc_id) LEFT JOIN dup1 USING (doc_id)),
-        |fresh1 AS (SELECT doc_id FROM r1 WHERE n_dup_windows = 0),
-        |wh2 AS (SELECT dg FROM wh
-        |  UNION SELECT wb1.dg FROM wb1 JOIN fresh1 USING (doc_id)),
-        |tb2 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
-        |    x -> len(x) > 0) toks FROM b2),
-        |wb2 AS (SELECT doc_id,
-        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
-        |  FROM tb2, unnest(range(1, len(toks) - 6)) r(i)),
-        |tot2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_windows
-        |  FROM wb2 GROUP BY 1),
-        |dup2 AS (SELECT wb2.doc_id, CAST(count(*) AS BIGINT) n_dup
-        |  FROM wb2 JOIN wh2 USING (dg) GROUP BY 1),
-        |r2 AS (SELECT b2.doc_id, COALESCE(tot2.n_windows, 0) AS n_windows,
-        |    COALESCE(dup2.n_dup, 0) AS n_dup_windows
-        |  FROM b2 LEFT JOIN tot2 USING (doc_id) LEFT JOIN dup2 USING (doc_id))
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS batch, * FROM r1
-        |  UNION ALL SELECT CAST(2 AS BIGINT) AS batch, * FROM r2)
-        |ORDER BY batch, doc_id""".stripMargin,
+    "dq117_substr_index_loop" -> Dq117Sql,
+    // the STREAMED loop over the same stored index makes the same promise
+    // over the same batches: kept rows are the chain's zero-overlap docs
+    // per batch (stream/batch parity — the dq109/dq104 precedent)
+    "dq121_stream_substr_loop" -> Dq121Sql,
     // ExactSubstr re-derived: k-token window digests → corpus-duplicated
     // digests → gaps-and-islands span merge (windows at p and q merge iff
     // p <= q + k: overlapping-or-touching token ranges) → span content
