@@ -266,6 +266,7 @@ object Bench {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         val path = java.nio.file.Files
           .createTempDirectory("graft-bench-ndidx").toString + "/idx"
+        val buildLoad = loadAvg() // build-wall canary stamp (verdict r10 #3)
         val t0 = System.nanoTime()
         val idx = graft.ext.NearDupIndex.build(docs, "doc_id", "text", path)
         val t1 = System.nanoTime()
@@ -291,7 +292,7 @@ object Bench {
         val outside = scans.count(f => !underIdx(f))
         val histTextBytes = java.nio.file.Files.size(
           java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
-        Some(f""""dq104_build_sec":${(t1 - t0) / 1e9}%.3f,""" +
+        Some(f""""dq104_build_sec":${(t1 - t0) / 1e9}%.3f,"dq104_build_loadavg":$buildLoad%.2f,""" +
           f""""dq104_gate_sec":${(t2 - t1) / 1e9}%.3f,"dq104_gate_dups":$nDup,""" +
           s""""dq104_idx_bytes_read":$idxBytes,"dq104_nonindex_file_scans":$outside,""" +
           s""""dq104_history_text_bytes":$histTextBytes""")
@@ -310,7 +311,13 @@ object Bench {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           .localCheckpoint(true) // in-memory: index files are the only scans
         val path = graft.io.TempReaper.tempDir("graft-bench-ssidx").toString + "/idx"
+        // BUILD-WALL CANARY (round-10 verdict #3): the bare index build
+        // with its loadavg stamp, so a cross-round build-wall move is
+        // attributable to load vs a real regression without forensics
+        val buildLoad = loadAvg()
+        val tb0 = System.nanoTime()
         val idx = graft.ext.SubstrIndex.build(docs, "doc_id", "text", path, k = 8)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
         val probe = docs.limit(50).select(col("doc_id"), col("text"))
           .localCheckpoint(true)
         val plan = idx.reportPlanFor(probe, "doc_id", "text")
@@ -321,7 +328,8 @@ object Bench {
               f.relation.location.rootPaths.map(_.toString)
           }.flatten
         val outside = scans.count(!_.contains(path))
-        Some(s""""dq117_gate_file_scans":${scans.length},""" +
+        Some(f""""dq117_build_sec":$buildSec%.3f,"dq117_build_loadavg":$buildLoad%.2f,""" +
+          s""""dq117_gate_file_scans":${scans.length},""" +
           s""""dq117_nonindex_file_scans":$outside""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq117 evidence failed: ${e.getMessage}"); None
@@ -334,17 +342,72 @@ object Bench {
         val path = graft.io.TempReaper.tempDir("graft-bench-ivfstore").toString + "/idx"
         val store = graft.ext.IvfStore.create(emb, "vec_id", "embedding",
           path, k = 8)
-        val res = store.searchAll(Seq(1L), topK = 5, nprobe = 2)
-        res.collect()
-        val parts = graft.plans.PlanWalk
-          .collectAll(res.queryExecution.executedPlan) {
-            case f: FileSourceScanExec =>
+        // the stored-id LOOKUP (vidmap sidecar + home-cell fetch): its
+        // vector-relation scan must be pruned, not a full pass (r10 #2)
+        val lp = store.lookupPlan(Seq(1L), None)
+        lp.collect()
+        val lookupParts = graft.plans.PlanWalk
+          .collectAll(lp.queryExecution.executedPlan) {
+            case f: FileSourceScanExec
+                if f.relation.location.rootPaths
+                  .exists(_.toString.contains("/assigned")) =>
               f.metrics.get("numPartitions").map(_.value)
           }.flatten
+        val res = store.searchAll(Seq(1L), topK = 5, nprobe = 2)
+        res.collect()
+        val searchScans = graft.plans.PlanWalk
+          .collectAll(res.queryExecution.executedPlan) {
+            case f: FileSourceScanExec => f
+          }
+        val parts = searchScans
+          .flatMap(_.metrics.get("numPartitions").map(_.value))
+        // reduceOption (not .min): if no scan exposes the metric on this
+        // Spark version, emit an explicit marker instead of tripping the
+        // catch-all and mislabeling working pruning as failed evidence
+        def orUnavailable(v: Option[Long]): String =
+          v.map(_.toString).getOrElse("\"metric unavailable\"")
         Some(s""""dq118_cells":${store.stats.cells},"dq118_nprobe":2,""" +
-          s""""dq118_partitions_read":${parts.min}""")
+          s""""dq118_partitions_read":${orUnavailable(parts.reduceOption(_ min _))},""" +
+          s""""dq118_search_assigned_scans":${searchScans.count(
+            _.relation.location.rootPaths.exists(_.toString.contains("/assigned")))},""" +
+          s""""dq118_lookup_partitions_read":${orUnavailable(lookupParts.reduceOption(_ min _))}""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq118 evidence failed: ${e.getMessage}"); None
+      },
+      //  - dq122: the SEMANTIC ingest gate's scale property — the gate's
+      //    only file scans live under the index path (batch checkpointed)
+      //    and the stored-relation scan is pruned to the batch's probed
+      //    cells at file listing (the third modality's nonindex/pruning
+      //    evidence, mirroring dq104/dq117/dq118).
+      if (!names.exists(_.startsWith("dq122"))) None
+      else try {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.functions._
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val path = graft.io.TempReaper.tempDir("graft-bench-semidx").toString + "/idx"
+        val store = graft.ext.IvfStore.create(
+          emb.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding",
+          path, k = 8)
+        // a daily-batch-sized probe (2 vectors): probed cells ≪ k at scale
+        val batch = emb.filter(col("vec_id").isin(0L, 6L)).localCheckpoint(true)
+        val plan = store.gatePlanFor(batch, "vec_id", "embedding", 0.5, 2)
+        plan.collect()
+        val scans = graft.plans.PlanWalk
+          .collectAll(plan.queryExecution.executedPlan) {
+            case f: FileSourceScanExec => f
+          }
+        val outside = scans.count(!_.relation.location.rootPaths
+          .exists(_.toString.contains(path)))
+        val parts = scans
+          .filter(_.relation.location.rootPaths
+            .exists(_.toString.contains("/assigned")))
+          .flatMap(_.metrics.get("numPartitions").map(_.value))
+        Some(s""""dq122_cells":${store.stats.cells},""" +
+          s""""dq122_gate_partitions_read":${parts.reduceOption(_ min _)
+            .map(_.toString).getOrElse("\"metric unavailable\"")},""" +
+          s""""dq122_nonindex_file_scans":$outside""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq122 evidence failed: ${e.getMessage}"); None
       },
       if (!names.exists(_.startsWith("dq59"))) None
       else try {
@@ -461,10 +524,27 @@ object Bench {
     }.mkString("{", ",", "}")
     val loads = f"[$load0%.2f,$load1%.2f,$load2%.2f,$load3%.2f,$load4%.2f]"
     val total = results.map(_._2).filter(_ >= 0).sum
+    // run provenance (round-10 verdict #8): which checkout produced this
+    // JSON, when, on how loaded a box — so official vs local runs are
+    // distinguishable from the file itself, without forensics
+    val gitSha: String = try {
+      val head = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(".git/HEAD")).trim
+      if (head.startsWith("ref: ")) {
+        val refPath = java.nio.file.Paths.get(".git", head.drop(5))
+        if (java.nio.file.Files.exists(refPath))
+          java.nio.file.Files.readString(refPath).trim.take(12)
+        else "unknown"
+      } else head.take(12)
+    } catch { case _: Throwable => "unknown" }
+    val provenance =
+      s""""provenance":{"git_sha":"$gitSha","ts_ms":${System.currentTimeMillis()},""" +
+        f""""loadavg_start":$load0%.2f,"loadavg_end":$load4%.2f,""" +
+        s""""host_cores":${Runtime.getRuntime.availableProcessors()}}"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""passes":$passes,"disagreement":$disagreement,""" +
-        f""""loadavg":$loads,"sf":"$sfDir"$evidence}"""
+        f""""loadavg":$loads,"sf":"$sfDir",$provenance$evidence}"""
     println(line)
     // sbt-forked stdout gets an "[info] " prefix; leave an undecorated copy
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")

@@ -150,6 +150,59 @@ object ScaleProbe {
         df.unpersist()
       }
     }
+    // STORED-tier recall probe (round-10 verdict #6): IvfIndex.packed()
+    // published recall@10 vs nprobe; the persisted IvfStore had none. Same
+    // clone corpus, same query battery: stored searchAll vs its own
+    // exact ranking (nprobe=k probes every cell partition = exact cosine)
+    // next to the session tier's curve — the two must match, since the
+    // deterministic fit freezes identical centroids for both.
+    if (sys.env.get("SCALE_IVFSTORE").contains("1")) {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      for (m <- Seq(40)) {
+        val df = emb.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("vec_id") * m + col("rep")).as("vec_id"),
+            transform(col("embedding"),
+              x => x + (col("rep") % 10).cast("float") * lit(0.01f)).as("embedding"))
+          .cache()
+        val n = df.count()
+        val path = graft.io.TempReaper.tempDir("graft-scale-ivfstore")
+          .toString + "/idx"
+        val tc0 = System.nanoTime()
+        val store = graft.ext.IvfStore.create(df, "vec_id", "embedding",
+          path, k = 32)
+        val tc1 = System.nanoTime()
+        val index = graft.ext.IvfIndex.fit(df, "vec_id", "embedding", k = 32)
+        val qids = (1L to 100L).map(_ * m)
+        def recallVs(exact: Map[Long, Set[Long]],
+            got: Array[org.apache.spark.sql.Row]): Double = {
+          val byQ = got.groupBy(_.getLong(0))
+            .map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
+          qids.map { q =>
+            val e = exact.getOrElse(q, Set.empty[Long])
+            if (e.isEmpty) 1.0
+            else (byQ.getOrElse(q, Set.empty[Long]) intersect e).size.toDouble / e.size
+          }.sum / qids.size
+        }
+        val exactStored = store.searchAll(qids, topK = 10, nprobe = 32)
+          .select("qid", "vid").collect().groupBy(_.getLong(0))
+          .map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
+        val exactMem = index.queryAll(qids, topK = 10, nprobe = 32)
+          .select("qid", "vid").collect().groupBy(_.getLong(0))
+          .map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
+        for (np <- Seq(1, 2, 4, 8)) {
+          val ts0 = System.nanoTime()
+          val storedRows = store.searchAll(qids, topK = 10, nprobe = np)
+            .select("qid", "vid").collect()
+          val ts1 = System.nanoTime()
+          val memRows = index.queryAll(qids, topK = 10, nprobe = np)
+            .select("qid", "vid").collect()
+          val ts2 = System.nanoTime()
+          println(f"""{"probe":"ivfstore_recall","vecs":$n,"k":32,"topk":10,"nprobe":$np,"recall_stored":${recallVs(exactStored, storedRows)}%.3f,"recall_session":${recallVs(exactMem, memRows)}%.3f,"stored_sec":${(ts1 - ts0) / 1e9}%.2f,"session_sec":${(ts2 - ts1) / 1e9}%.2f,"create_sec":${(tc1 - tc0) / 1e9}%.1f}""")
+        }
+        index.release()
+        df.unpersist()
+      }
+    }
     // Large-k IVF probe (k=1024): fit+query walls on the broadcast-kernel
     // path, three-way assignment parity (literal / kernel / join), and the
     // kernel-vs-join full-corpus walls — the evidence that large k must NOT

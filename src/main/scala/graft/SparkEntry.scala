@@ -2048,6 +2048,121 @@ object SparkEntry {
       .orderBy("batch", "doc_id")
   }
 
+  /** The dq122/dq123 two-batch fixture over `embeddings` (the dq104
+    * pattern for the semantic modality): history = vec_id % 3 != 0;
+    * batch 1 = exact copies of history vectors (+100000 — semantic dups,
+    * dropped via the build) + held-out fresh vectors (kept, appended);
+    * batch 2 = copies of batch-1's fresh candidates (+300000 — dropped
+    * ONLY because the append indexed their originals) + more history
+    * copies (+400000) + the remaining held-out fresh vectors. */
+  private[graft] def semBatches(emb: DataFrame): (DataFrame, DataFrame) = {
+    val hist = emb.filter(col("vec_id") % 3 =!= 0)
+    val b1 = hist.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      .union(emb.filter(col("vec_id") % 6 === 0)
+        .select(col("vec_id"), col("embedding")))
+    val b2 = emb.filter(col("vec_id") % 6 === 0)
+      .select((col("vec_id") + 300000).as("vec_id"), col("embedding"))
+      .union(hist.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 400000).as("vec_id"), col("embedding")))
+      .union(emb.filter((col("vec_id") % 3 === 0) && (col("vec_id") % 2 === 1))
+        .select(col("vec_id"), col("embedding")))
+    (b1, b2)
+  }
+
+  private def semStore(s: SparkSession, emb: DataFrame,
+      tag: String): graft.ext.IvfStore = {
+    val path = graft.io.TempReaper.tempDir(s"graft-$tag-idx").toString + "/idx"
+    graft.ext.IvfStore.create(emb.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", path, k = 8, iters = 2,
+      gateTau = 0.5, gateNprobe = 2)
+  }
+
+  /** DQ122 (EXT): the SEMANTIC ingest gate over the persisted IVF store
+    * ([[graft.ext.IvfStore.semanticKeepUnseen]]) — the third gated index
+    * modality (MinHash dq104, substring dq117, embeddings HERE): history
+    * embeddings are trained+stored once, then two consecutive batches are
+    * gated by SemDeDup's rule against the STORE — drop an incoming vector
+    * whose max cosine vs stored vectors in its 2 probed cells exceeds
+    * 0.5 — with batch 1's survivors APPENDED (map-only, frozen centroids)
+    * before batch 2 gates. The probe is map-only and the batch's distinct
+    * probed cells become a literal partition filter, so the gate reads
+    * only probed cell partitions (Bench evidence). The oracle re-derives
+    * training, the frozen assignment, both probe rounds, the cosine
+    * edges, and the append semantics. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (b1, b2) = semBatches(emb)
+    val store = semStore(s, emb, "dq122")
+    val kept1 = store.semanticKeepUnseen(b1, "vec_id", "embedding",
+      tau = 0.5, nprobe = 2).localCheckpoint(true)
+    store.append(kept1, "vec_id", "embedding")
+    val kept2 = store.semanticKeepUnseen(b2, "vec_id", "embedding",
+      tau = 0.5, nprobe = 2)
+    kept1.select(lit(1L).as("batch"), col("vec_id"))
+      .union(kept2.select(lit(2L).as("batch"), col("vec_id")))
+      .orderBy("batch", "vec_id")
+  }
+
+  /** DQ123 (EXT, §2.9): dq122's semantic gate STREAMED — the two
+    * embedding batches arrive as file-source micro-batches and the
+    * UNCHANGED generic ingest loop ([[EventStream.runIndexedIngest]] over
+    * [[graft.ext.IngestIndex]]) gates each against the persisted
+    * [[graft.ext.IvfStore]] and appends its survivors before the next
+    * batch fires — the same loop that serves both text modalities
+    * (dq109/dq121), now serving embeddings. Exactly-once via batch
+    * tokens + the replay-view gate. Shares dq122's oracle verbatim
+    * (stream/batch parity, the dq109/dq104 precedent). */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (b1, b2) = semBatches(emb)
+    val in = graft.io.TempReaper.tempDir("graft-dq123-in").toString
+    b1.coalesce(1).write.parquet(s"$in/b1.parquet")
+    b2.coalesce(1).write.parquet(s"$in/b2.parquet")
+    val later = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 120000L)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b2.parquet"))
+      .forEach(p => { java.nio.file.Files.setLastModifiedTime(p, later); () })
+    val store = semStore(s, emb, "dq123")
+    val incoming = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    EventStream.runIndexedIngest(incoming, store, "vec_id", "embedding", "dq123")
+      .select(col("batch"), col("vec_id"))
+      .orderBy("batch", "vec_id")
+  }
+
+  /** dq124's pipeline declaration, parameterized by the index path and
+    * the round's batch selector (the config-driven ingest round). */
+  private def dq124Config(path: String, whereExpr: String): String =
+    s"""{"table": "documents", "id": "doc_id", "text": "text",
+      | "stages": [
+      |   {"stage": "where", "expr": "$whereExpr"},
+      |   {"stage": "substr_gate", "path": "$path", "k": 8, "maxDupWindows": 0}]}"""
+      .stripMargin
+
+  /** DQ124 (EXT): CONFIG-DRIVEN incremental ingest
+    * ([[graft.plan.CurationConfig.SubstrGate]], round-10 verdict #5) —
+    * the persisted-index loop as a declared pipeline: a JSON config names
+    * a `where` batch selector and a `substr_gate` stage pointing at a
+    * stored index path. Round 1 (batch = doc_id % 4 = 1) finds no index
+    * and SEEDS it from the batch (all kept — the bootstrap round); round
+    * 2 re-parses a config with a wider selector (% 4 IN (1, 2)) against
+    * the SAME path, so the re-sent % 4 = 1 documents are dropped through
+    * the store (their own windows are indexed) while % 4 = 2 documents
+    * survive unless they share an 8-token window with round 1. The
+    * oracle re-derives the seeded digest set and the round-2 gate. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.io.TempReaper.tempDir("graft-dq124-idx").toString + "/idx"
+    val r1 = graft.plan.CurationConfig
+      .parse(dq124Config(path, "doc_id % 4 = 1")).run(s, dir)
+    val r2 = graft.plan.CurationConfig
+      .parse(dq124Config(path, "doc_id % 4 = 1 OR doc_id % 4 = 2")).run(s, dir)
+    r1.select(lit(1L).as("round"), col("doc_id"))
+      .union(r2.select(lit(2L).as("round"), col("doc_id")))
+      .orderBy("round", "doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2207,7 +2322,10 @@ object SparkEntry {
     "dq118_ivf_store"           -> (q118 _),
     "dq119_token_budget"        -> (q119 _),
     "dq120_epoch_repeat"        -> (q120 _),
-    "dq121_stream_substr_loop"  -> (q121 _)
+    "dq121_stream_substr_loop"  -> (q121 _),
+    "dq122_sem_index_loop"      -> (q122 _),
+    "dq123_stream_sem_loop"     -> (q123 _),
+    "dq124_config_ingest"       -> (q124 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2493,6 +2611,55 @@ object SparkEntry {
       |SELECT qid, vid, sim FROM (SELECT qid, vid, sim,
       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) rnk FROM scored)
       |WHERE rnk <= $topK ORDER BY qid, vid""".stripMargin
+  }
+
+  /** dq122/dq123: the semantic gate's two-round persisted-index loop —
+    * centroids trained on history (vec_id % 3 <> 0), history assigned
+    * against the frozen result (`af`), batch 1 probed (2 nearest cells
+    * per vector vs the final centroids), dropped when cosine > 0.5 vs a
+    * stored vector in a probed cell; survivors assigned to their frozen
+    * cell and APPENDED (`af2`); batch 2 probed against the grown
+    * relation. Both rounds' kept ids are the contract (the [[Dq104Sql]]
+    * pattern for the embedding modality); dq123 shares it verbatim. */
+  private lazy val Dq122Sql: String = {
+    def cos(a: String, q: String): String =
+      s"""list_sum(list_transform(range(1, 65), i -> $a.emb[i]::DOUBLE * $q.qemb[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform($a.emb, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform($q.qemb, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
+    ivfChainSql(8, 2, 2, " WHERE vec_id % 3 <> 0",
+      """SELECT vec_id + 100000 qid, embedding qemb FROM embeddings
+        |    WHERE vec_id % 3 <> 0 AND vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 6 = 0""".stripMargin) +
+      s""",
+        |dup1 AS (SELECT DISTINCT p.qid FROM af a JOIN probe p ON a.cell = p.cell
+        |  WHERE ${cos("a", "p")} > 0.5),
+        |k1 AS (SELECT qid, qemb FROM q WHERE qid NOT IN (SELECT qid FROM dup1)),
+        |kd AS (SELECT k1.qid vid, k1.qemb emb, c.cell, ${ivfDistSql("k1.qemb", "c")} dist
+        |  FROM k1 CROSS JOIN c2 c),
+        |ka AS (SELECT vid, emb, cell FROM (SELECT vid, emb, cell,
+        |    row_number() OVER (PARTITION BY vid ORDER BY dist, cell) rn FROM kd) WHERE rn = 1),
+        |af2 AS (SELECT vid, emb, cell FROM af
+        |  UNION ALL SELECT vid, emb, cell FROM ka),
+        |q2 AS (SELECT vec_id + 300000 qid, embedding qemb FROM embeddings
+        |    WHERE vec_id % 6 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 400000, embedding FROM embeddings
+        |    WHERE vec_id % 3 <> 0 AND vec_id % 11 = 0
+        |  UNION ALL
+        |  SELECT vec_id, embedding FROM embeddings
+        |    WHERE vec_id % 3 = 0 AND vec_id % 2 = 1),
+        |qd2 AS (SELECT q2.qid, q2.qemb, c.cell, ${ivfDistSql("q2.qemb", "c")} dist
+        |  FROM q2 CROSS JOIN c2 c),
+        |probe2 AS (SELECT qid, qemb, cell FROM (SELECT qid, qemb, cell,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist, cell) rn FROM qd2) WHERE rn <= 2),
+        |dup2 AS (SELECT DISTINCT p.qid FROM af2 a JOIN probe2 p ON a.cell = p.cell
+        |  WHERE ${cos("a", "p")} > 0.5),
+        |k2 AS (SELECT qid FROM q2 WHERE qid NOT IN (SELECT qid FROM dup2))
+        |SELECT CAST(1 AS BIGINT) AS batch, qid AS vec_id FROM k1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS batch, qid AS vec_id FROM k2
+        |ORDER BY batch, vec_id""".stripMargin
   }
 
   /** dq117/dq121 shared derivation: history window digests, batch-1
@@ -3222,6 +3389,35 @@ object SparkEntry {
     // over the same batches: kept rows are the chain's zero-overlap docs
     // per batch (stream/batch parity — the dq109/dq104 precedent)
     "dq121_stream_substr_loop" -> Dq121Sql,
+    "dq122_sem_index_loop" -> Dq122Sql,
+    // the STREAMED semantic loop gates the same batches through the same
+    // stored IVF index: identical kept sets (stream/batch parity)
+    "dq123_stream_sem_loop" -> Dq122Sql,
+    // config-driven ingest: round 1 seeds the store with the % 4 = 1
+    // batch (all kept); round 2's wider batch gates against the seeded
+    // window digests (k=8, zero-overlap keep) — same window arithmetic
+    // as the dq117 chain
+    "dq124_config_ingest" ->
+      """WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+        |t1 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) toks FROM b1),
+        |w1 AS (SELECT DISTINCT
+        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+        |  FROM t1, unnest(range(1, len(toks) - 6)) r(i)),
+        |b2 AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 4 = 1 OR doc_id % 4 = 2),
+        |t2 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) toks FROM b2),
+        |wb2 AS (SELECT doc_id,
+        |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+        |  FROM t2, unnest(range(1, len(toks) - 6)) r(i)),
+        |dup2 AS (SELECT DISTINCT wb2.doc_id FROM wb2 JOIN w1 USING (dg)),
+        |k2 AS (SELECT doc_id FROM b2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dup2))
+        |SELECT CAST(1 AS BIGINT) AS round, doc_id FROM b1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS round, doc_id FROM k2
+        |ORDER BY round, doc_id""".stripMargin,
     // ExactSubstr re-derived: k-token window digests → corpus-duplicated
     // digests → gaps-and-islands span merge (windows at p and q merge iff
     // p <= q + k: overlapping-or-touching token ranges) → span content

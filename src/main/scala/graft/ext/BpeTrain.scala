@@ -40,6 +40,26 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
+  /** `a < b` in UTF-8 BYTE order — the ordering Spark's UTF8String binary
+    * comparison (and so the distributed candidate sort) uses. Java
+    * String's `<` compares UTF-16 code units, which diverges for
+    * supplementary-plane characters (e.g. CJK Ext-B): a surrogate pair's
+    * lead unit (0xD800+) sorts BELOW a BMP char ≥ 0xE000 in UTF-16 but
+    * ABOVE it in UTF-8 bytes. Driver-side tie-breaks must use THIS
+    * compare or batched could pick a different merge than sequential. */
+  private[ext] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** One learned merge: at `step`, `left`+`right` (occurring together
     * `pairCount` weighted times) became the new symbol `left+right`. */
   final case class Merge(step: Int, left: String, right: String,
@@ -306,7 +326,8 @@ object BpeTrain {
     def beatsFloor(pc: Long, a: String, b: String): Boolean = floor match {
       case None => true
       case Some((fc, fa, fb)) =>
-        pc > fc || (pc == fc && (a < fa || (a == fa && b < fb)))
+        pc > fc || (pc == fc && (BpeTrain.utf8Lt(a, fa) ||
+          (a == fa && BpeTrain.utf8Lt(b, fb))))
     }
 
     val known = scala.collection.mutable.Set[String](knownSymbols.toSeq: _*)
@@ -318,8 +339,9 @@ object BpeTrain {
       tracked.foreach { p =>
         val c = pairCnt(p)
         if (c > 0 && (best == null || c > best._2 ||
-            (c == best._2 && (p._1 < best._1._1 ||
-              (p._1 == best._1._1 && p._2 < best._1._2))))) best = (p, c)
+            (c == best._2 && (BpeTrain.utf8Lt(p._1, best._1._1) ||
+              (p._1 == best._1._1 && BpeTrain.utf8Lt(p._2, best._1._2))))))
+          best = (p, c)
       }
       if (best == null) stop = true // sub-state drained; outer loop re-probes
       else {

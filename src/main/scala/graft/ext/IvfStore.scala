@@ -1,13 +1,17 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 
-/** Stored statistics for [[IvfStore]]: live `cells`, vector `dims`, and
-  * the (advisory) total vector count. */
-final case class IvfStoreStats(cells: Int, dims: Int, vectors: Long)
+/** Stored statistics for [[IvfStore]]: live `cells`, vector `dims`, the
+  * (advisory) total vector count, and the semantic-gate parameters
+  * (`gateTau` cosine threshold, `gateNprobe` probed cells) pinned at
+  * create time so a reader can't gate a stored index with mismatched
+  * parameters (the [[SubstrIndexStats]] `k` rule). */
+final case class IvfStoreStats(cells: Int, dims: Int, vectors: Long,
+    gateTau: Double, gateNprobe: Int)
 
 /** PERSISTED IVF ANN index — [[IvfIndex]]'s session-lifetime model made a
   * stored layout, completing the index-maintenance story across the
@@ -26,24 +30,46 @@ final case class IvfStoreStats(cells: Int, dims: Int, vectors: Long)
   *    relation, PARTITIONED BY CELL: a probe of `nprobe` cells reads
   *    `nprobe/cells` of the files, falling out of partition pruning
   *    rather than a runtime filter (the dq59 treatment applied to ANN);
+  *    files are vid-sorted within each cell so a `vid IN (...)` fetch
+  *    prunes at parquet row-group min/max;
+  *  - `vidmap/append=<id>/`  (vid, cell) — the vid-keyed SIDECAR: a
+  *    stored-id query resolves its home cells here (a 12-byte-row
+  *    relation, vid-sorted for row-group pruning) instead of scanning
+  *    every cell partition of the full vector relation;
   *  - `_commits/m<seq>`      marker manifests (crashed appends invisible);
   *  - `stats/`               one [[IvfStoreStats]] row (advisory).
   *
   * == Query shape ==
-  * [[searchAll]] mirrors [[IvfIndex.queryAll]] stage for stage — query
-  * rows pruned from the stored relation, probe cells ranked against the
-  * driver-held centroids, broadcast, cell equi-join, bounded-heap top-k —
-  * with the cached assignment replaced by the cell-partitioned scan.
+  * [[search]] takes caller-supplied query vectors (the production API —
+  * real queries are usually not already in the index): probe cells are
+  * ranked on the driver against the k held centroids and the ONLY scan of
+  * the stored relation is the nprobe-pruned candidate scan.
+  * [[searchAll]] is the stored-id convenience form; its lookup goes
+  * through `vidmap/` + a home-cell-pruned fetch, never a full pass.
   * Exactly-once appends via [[appendOnce]] tokens; a gate-style
   * `excludeToken` view gives replayed batches their original answer.
+  *
+  * == Ingest gate ([[IngestIndex]]) ==
+  * The third gated modality (round-10 verdict #1): [[semanticKeepUnseen]]
+  * drops an incoming embedding whose max cosine against the STORED
+  * vectors in its `gateNprobe` probed cells exceeds `gateTau` — SemDeDup's
+  * dedup rule (dq75) as a daily-batch-vs-stored-corpus gate. Probing is
+  * map-only (the frozen-centroid kernel); the batch's distinct probed
+  * cells (≤ k, driver-sized) become a LITERAL partition filter, so the
+  * gate reads only probed cell partitions at file listing. With
+  * [[appendToken]], the unchanged generic ingest loop
+  * ([[graft.streaming.EventStream.runIndexedIngest]]) serves embeddings
+  * exactly as it serves the two text modalities.
   */
 final class IvfStore private (private val spark: SparkSession,
-    val path: String, val centroids: Seq[(Int, Array[Double])]) {
+    val path: String, val centroids: Seq[(Int, Array[Double])])
+    extends IngestIndex {
 
   def stats: IvfStoreStats = {
     val r = spark.read.parquet(s"$path/stats").head()
     IvfStoreStats(r.getAs[Int]("cells"), r.getAs[Int]("dims"),
-      r.getAs[Long]("vectors"))
+      r.getAs[Long]("vectors"), r.getAs[Double]("gate_tau"),
+      r.getAs[Int]("gate_nprobe"))
   }
 
   private val log = new ManifestLog(spark, path)
@@ -68,16 +94,24 @@ final class IvfStore private (private val spark: SparkSession,
       .parquet(ids.map(id => s"$path/assigned/append=$id"): _*)
   }
 
+  /** The vid→cell sidecar over the same active dir ids. */
+  private def vidmapRelOf(ms: Seq[Manifest]): DataFrame = {
+    val ids = activeIds(ms)
+    require(ids.nonEmpty, s"no committed vidmap dirs under $path")
+    spark.read.parquet(ids.map(id => s"$path/vidmap/append=$id"): _*)
+  }
+
   /** Nearest STORED cell for an embedding column — the frozen-centroid
     * assignment every append rides (map-only; literal fold vs broadcast
     * kernel routed by k like every IVF surface). */
-  private def cellOf(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def cellOf(emb: Column): Column =
     element_at(IvfIndex.probeCells(emb, centroids, 1, spark), 1)
 
   // ---------------- writes ----------------
 
   /** Append a vector batch: assign to the frozen centroids, write one
-    * `append=<id>` dir partitioned by cell, one marker commit. */
+    * `append=<id>` dir partitioned by cell (+ its vidmap sidecar), one
+    * marker commit. */
   def append(df: DataFrame, idCol: String, embCol: String): IvfStoreStats =
     writeBatch(df, idCol, embCol, token = None)
 
@@ -95,23 +129,55 @@ final class IvfStore private (private val spark: SparkSession,
     val before = log.read()
     val seq = before.size + 1
     val id = f"a$seq%06d"
-    df.select(col(idCol).as("vid"), col(embCol).as("emb"),
+    val added = writeAssigned(
+      df.select(col(idCol).as("vid"), col(embCol).as("emb"),
         VectorFunctions.l2Norm(col(embCol)).as("nrm"),
-        cellOf(col(embCol)).as("cell"))
-      .write.partitionBy("cell").mode("errorifexists")
-      .parquet(s"$path/assigned/append=$id")
-    val added = spark.read.parquet(s"$path/assigned/append=$id").count()
+        cellOf(col(embCol)).as("cell")), id)
     log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
-    val prev = if (before.isEmpty) IvfStoreStats(centroids.size,
-      centroids.head._2.length, 0L) else stats
-    val st = IvfStoreStats(prev.cells, prev.dims, prev.vectors + added)
+    // a store instance only exists for a committed layout (create commits
+    // the first append before returning), so prev stats always exist
+    val prev = stats
+    val st = IvfStoreStats(prev.cells, prev.dims, prev.vectors + added,
+      prev.gateTau, prev.gateNprobe)
     IvfStore.writeStats(spark, path, st)
     maybeCompact()
     st
   }
 
-  /** Rewrite the assigned dirs into one cell-partitioned relation once
-    * the active dir count passes
+  /** Write one (vid, emb, nrm, cell) relation dir `append=<id>`:
+    * cell-partitioned vid-sorted vector files plus the vidmap sidecar
+    * (derived from a column-pruned read-back of the written files — the
+    * assignment kernel runs once, not twice). Any same-named UNCOMMITTED
+    * dir a crashed predecessor left is cleared first (invisible by
+    * construction), so a replayed micro-batch can't wedge on
+    * `errorifexists`. Returns the row count, summed from parquet footers
+    * (no count job). */
+  private def writeAssigned(rows: DataFrame, id: String): Long = {
+    val aDir = s"$path/assigned/append=$id"
+    val vDir = s"$path/vidmap/append=$id"
+    log.clearOrphan(aDir)
+    log.clearOrphan(vDir)
+    rows.sortWithinPartitions("cell", "vid")
+      .write.partitionBy("cell").mode("errorifexists").parquet(aDir)
+    val added = graft.io.ParquetMeta.rowCount(spark, aDir)
+    if (added == 0)
+      // a fully-dropped gated batch: the empty write left no parquet file
+      // to read back, so stage the (empty, schema-carrying) sidecar from
+      // an explicit one-partition frame instead of wedging the loop on
+      // schema inference
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+          org.apache.spark.sql.types.StructType(
+            rows.schema("vid") :: rows.schema("cell") :: Nil))
+        .write.mode("errorifexists").parquet(vDir)
+    else spark.read.option("basePath", s"$path/assigned").parquet(aDir)
+      .select("vid", "cell").sort("vid")
+      .write.mode("errorifexists").parquet(vDir)
+    added
+  }
+
+  /** Rewrite the assigned dirs (and their vidmap sidecars) into one
+    * cell-partitioned relation once the active dir count passes
     * `spark.graft.ivfstore.compactThreshold` (default 16) — bounds the
     * per-search file listing AND merges the per-cell small files that
     * per-append partitioning accumulates. The newest dir is never folded
@@ -120,62 +186,97 @@ final class IvfStore private (private val spark: SparkSession,
     * straight union rewrite, no re-assignment.
     */
   private def maybeCompact(): Unit = {
-    val threshold = spark.conf
-      .getOption("spark.graft.ivfstore.compactThreshold")
-      .map(_.toInt).getOrElse(16)
+    val threshold = IndexConf.strictInt(spark,
+      "spark.graft.ivfstore.compactThreshold", default = 16, min = 1)
     val ms = log.read()
     val foldable = activeIds(ms).dropRight(1)
     if (foldable.size > threshold) {
       val seq = ms.size + 1
       val cid = f"c$seq%06d"
-      spark.read.option("basePath", s"$path/assigned")
-        .parquet(foldable.map(id => s"$path/assigned/append=$id"): _*)
-        .select("vid", "emb", "nrm", "cell")
-        .write.partitionBy("cell").mode("errorifexists")
-        .parquet(s"$path/assigned/append=$cid")
+      writeAssigned(
+        spark.read.option("basePath", s"$path/assigned")
+          .parquet(foldable.map(id => s"$path/assigned/append=$id"): _*)
+          .select("vid", "emb", "nrm", "cell"), cid)
       log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)
     }
   }
 
-  /** Unlink assigned dirs a compaction superseded (single writer, once no
-    * pre-compaction reader remains). Returns the number removed. */
+  /** Unlink assigned+vidmap dirs a compaction superseded, under the
+    * retention guard ([[ManifestLog.vacuumEligible]]): only dirs whose
+    * superseding commit is at least `spark.graft.index.vacuumRetentionMs`
+    * old (default 1h) are touched, so a reader that planned its scan just
+    * before the compaction can't race an eager vacuum. Single writer.
+    * Returns the number of dirs removed. */
   def vacuum(): Int = {
-    val sup = log.read().flatMap(_.supersedesDigests).distinct
     val f = log.fileSystem
-    sup.count { id =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/append=$id"), true)
+    log.vacuumEligible(_.supersedesDigests).count { id =>
+      val a = f.delete(
+        new org.apache.hadoop.fs.Path(s"$path/assigned/append=$id"), true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/vidmap/append=$id"), true)
+      a
     }
   }
 
   // ---------------- queries ----------------
 
-  /** Top-k cosine neighbors for every stored query id —
-    * [[IvfIndex.queryAll]]'s contract over the stored layout, with the
-    * probe turned into a STATIC partition filter: the query rows are a
-    * query-count-sized driver pull, their probe cells are ranked against
-    * the driver-held centroids (bit-identical to [[IvfIndex.probeCells]]:
-    * same left-to-right double fold as [[graft.functions.SquaredDistance]],
-    * same (dist, cell) tie-break), and the candidate scan is filtered to
-    * `cell IN (probed)` — a literal predicate on the PARTITION column, so
-    * pruning happens at file listing (the dq59 class of evidence), not as
-    * a runtime join filter. Output: (qid, vid, sim), top-k per qid.
-    */
+  /** Top-k cosine neighbors for caller-supplied `(qid, vector)` queries —
+    * the PRIMARY search API (round-10 verdict #2: real queries are
+    * usually not already in the index). Probe cells are ranked on the
+    * driver with EXACTLY the executor kernel's arithmetic, and the ONLY
+    * scan over the stored relation is the nprobe-pruned candidate scan
+    * (a literal predicate on the PARTITION column — pruning at file
+    * listing, the dq59 class of evidence). Output: (qid, vid, sim),
+    * top-k per qid; stored rows sharing a query's id are excluded (the
+    * self-match rule of [[IvfIndex.queryAll]]). */
+  def search(queries: Seq[(Long, Array[Float])], topK: Int, nprobe: Int,
+      excludeToken: Option[String] = None): DataFrame =
+    searchRows(
+      queries.map { case (qid, emb) =>
+        (qid, emb.toSeq, IvfStore.l2NormDriver(emb))
+      }, topK, nprobe, excludeToken)
+
+  /** Top-k cosine neighbors for every STORED query id — the convenience
+    * form of [[search]]: the query vectors are resolved through the
+    * `vidmap/` sidecar (home cells first, then a fetch pruned to those
+    * cell partitions with `vid IN` pushed to parquet row groups), never a
+    * full pass over the vector relation. */
   def searchAll(queryIds: Seq[Long], topK: Int, nprobe: Int,
-      excludeToken: Option[String] = None): DataFrame = {
+      excludeToken: Option[String] = None): DataFrame =
+    searchRows(
+      lookupPlan(queryIds, excludeToken).collect().toSeq.map { r =>
+        (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))
+      }, topK, nprobe, excludeToken)
+
+  /** The stored-id lookup BEFORE its collect — plan-audit hook: the spec
+    * asserts its vector-relation scan is pruned to the queries' home
+    * cells (and carries the pushed `vid` filter), proving the lookup
+    * shares the candidate scan's scale class instead of a full pass. */
+  private[graft] def lookupPlan(queryIds: Seq[Long],
+      excludeToken: Option[String]): DataFrame = {
+    val ms = visible(excludeToken)
+    val homeCells = vidmapRelOf(ms)
+      .filter(col("vid").isin(queryIds: _*))
+      .select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ min(#queries, k) rows
+    if (homeCells.isEmpty)
+      assignedRelOf(ms).select("vid", "emb", "nrm").limit(0)
+    else assignedRelOf(ms)
+      .where(col("cell").isin(homeCells: _*) && col("vid").isin(queryIds: _*))
+      .select("vid", "emb", "nrm")
+  }
+
+  /** The shared probe→prune→score→top-k tail of both search forms. */
+  private def searchRows(qRows: Seq[(Long, Seq[Float], Double)], topK: Int,
+      nprobe: Int, excludeToken: Option[String]): DataFrame = {
     import spark.implicits._
-    val assigned = assignedRelOf(visible(excludeToken))
-    val qRows = assigned.filter(col("vid").isin(queryIds: _*))
-      .select("vid", "emb", "nrm").collect()
-    val probes = qRows.toSeq.flatMap { r =>
-      val emb = r.getSeq[Float](1)
-      nearestCellsDriver(emb, nprobe)
-        .map(c => (r.getLong(0), emb, r.getDouble(2), c))
+    val probes = qRows.flatMap { case (qid, emb, nrm) =>
+      nearestCellsDriver(emb, nprobe).map(c => (qid, emb, nrm, c))
     }
     if (probes.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)]
         .toDF("qid", "vid", "sim")
     val probeDf = probes.toDF("qid", "qemb", "qnrm", "probe")
-    val scored = assigned
+    val scored = assignedRelOf(visible(excludeToken))
       .where(col("cell").isin(probes.map(_._4).distinct: _*))
       .join(broadcast(probeDf),
         col("cell") === col("probe") && col("vid") =!= col("qid"))
@@ -189,27 +290,109 @@ final class IvfStore private (private val spark: SparkSession,
     * the driver with EXACTLY the executor kernel's arithmetic (left-to-
     * right double accumulation of squared component deltas; ties to the
     * lower cell id). */
-  private def nearestCellsDriver(emb: Seq[Float], nprobe: Int): Seq[Int] =
+  private def nearestCellsDriver(emb: Seq[Float], nprobe: Int): Seq[Int] = {
+    require(emb.length == centroids.head._2.length,
+      s"query vector has ${emb.length} dims, stored centroids have " +
+        s"${centroids.head._2.length}")
     centroids.map { case (cell, c) =>
       var acc = 0.0
       var i = 0
-      val n = math.min(emb.length, c.length)
-      while (i < n) {
+      while (i < emb.length) {
         val d = emb(i).toDouble - c(i)
         acc += d * d
         i += 1
       }
       (acc, cell)
     }.sortBy(identity).take(nprobe).map(_._2)
+  }
+
+  // ---------------- semantic ingest gate ----------------
+
+  /** `(qid, vid, sim)` for every incoming embedding whose cosine against
+    * some STORED vector in its `nprobe` probed cells exceeds `tau` — the
+    * semantic near-duplicate evidence the gate acts on. Map-only probe
+    * (frozen-centroid kernel), then the batch's DISTINCT probed cells
+    * (≤ k, driver-sized) become a literal partition filter on the stored
+    * relation: the join touches only probed cell partitions. */
+  def semanticPairs(batch: DataFrame, idCol: String, embCol: String,
+      tau: Double, nprobe: Int,
+      excludeToken: Option[String] = None): DataFrame = {
+    val probes = probeProjection(batch, idCol, embCol, nprobe)
+    CacheScope.withCached(probes)(
+      pairsPlan(probes, tau, excludeToken))
+  }
+
+  /** The gate's UN-materialized plan — plan-audit hook (the
+    * [[NearDupIndex.pairsPlanFor]] precedent): the production wrapper
+    * collapses its result with a call-scoped checkpoint before a spec
+    * could walk it for the probed-cells-only scan property. */
+  private[graft] def gatePlanFor(batch: DataFrame, idCol: String,
+      embCol: String, tau: Double, nprobe: Int): DataFrame =
+    pairsPlan(probeProjection(batch, idCol, embCol, nprobe), tau, None)
+
+  private def probeProjection(batch: DataFrame, idCol: String,
+      embCol: String, nprobe: Int): DataFrame =
+    batch.select(col(idCol).as("__qid"), col(embCol).as("__qemb"),
+        VectorFunctions.l2Norm(col(embCol)).as("__qnrm"),
+        IvfIndex.probeCells(col(embCol), centroids, nprobe, spark)
+          .as("__probes"))
+      .select(col("__qid"), col("__qemb"), col("__qnrm"),
+        explode(col("__probes")).as("__probe"))
+
+  private def pairsPlan(probes: DataFrame, tau: Double,
+      excludeToken: Option[String]): DataFrame = {
+    val cells = probes.select("__probe").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ k rows by construction
+    if (cells.isEmpty)
+      // empty batch (the streaming loop's schema probe): an empty result
+      // in the contract shape, id-typed from the batch itself
+      return probes.select(col("__qid").as("qid"),
+        col("__qid").cast("long").as("vid"), lit(0.0).as("sim"))
+    assignedRelOf(visible(excludeToken))
+      .where(col("cell").isin(cells: _*))
+      .join(probes, col("cell") === col("__probe"))
+      .select(col("__qid").as("qid"), col("vid"),
+        (VectorFunctions.dot(col("emb"), col("__qemb")) /
+          (col("nrm") * col("__qnrm"))).as("sim"))
+      .filter(col("sim") > tau)
+  }
+
+  /** Keep only incoming embeddings that semantically duplicate NO stored
+    * vector (max probed-cell cosine ≤ `tau`) — the embedding-modality
+    * ingest gate, SemDeDup's rule against a persisted corpus. */
+  def semanticKeepUnseen(batch: DataFrame, idCol: String, embCol: String,
+      tau: Double, nprobe: Int,
+      excludeToken: Option[String] = None): DataFrame = {
+    val dup = semanticPairs(batch, idCol, embCol, tau, nprobe, excludeToken)
+      .select(col("qid")).distinct()
+    batch.join(dup, batch(idCol) === col("qid"), "left_anti")
+  }
+
+  // ---------------- IngestIndex ----------------
+
+  def gateKeep(batch: DataFrame, idCol: String, textCol: String,
+      excludeToken: Option[String]): DataFrame = {
+    val st = stats
+    semanticKeepUnseen(batch, idCol, textCol, st.gateTau, st.gateNprobe,
+      excludeToken)
+  }
+
+  def appendToken(df: DataFrame, idCol: String, textCol: String,
+      token: String): Unit = { appendOnce(df, idCol, textCol, token); () }
 }
 
 object IvfStore {
 
   /** Train on `df` ([[IvfIndex.fit]] — oracle-exact Lloyd's), then write
     * the layout at `path` (must be fresh): centroids, the first assigned
-    * append, stats, one commit. */
+    * append (+ vidmap sidecar), stats, one commit. `gateTau`/`gateNprobe`
+    * parameterize the [[IngestIndex]] semantic gate and are pinned in
+    * `stats/`. */
   def create(df: DataFrame, idCol: String, embCol: String, path: String,
-      k: Int, iters: Int = 2): IvfStore = {
+      k: Int, iters: Int = 2, gateTau: Double = 0.5,
+      gateNprobe: Int = 2): IvfStore = {
+    require(gateTau > 0.0 && gateTau < 1.0, "gateTau in (0, 1)")
+    require(gateNprobe >= 1, "gateNprobe >= 1")
     val spark = df.sparkSession
     val idx = IvfIndex.fit(df, idCol, embCol, k, iters)
     try {
@@ -222,13 +405,11 @@ object IvfStore {
         .coalesce(1).write.mode("errorifexists").parquet(s"$path/centroids")
       // the fit already computed the assignment; persist ITS rows rather
       // than re-assigning (bit-identical either way — same centroids)
-      idx.assigned.select("vid", "emb", "nrm", "cell")
-        .write.partitionBy("cell").mode("errorifexists")
-        .parquet(s"$path/assigned/append=a000001")
-      val n = spark.read.parquet(s"$path/assigned/append=a000001").count()
+      val n = store.writeAssigned(
+        idx.assigned.select("vid", "emb", "nrm", "cell"), "a000001")
       store.log.commit(Manifest(Seq("a000001"), Nil, Nil, Nil, None), 1)
       writeStats(spark, path, IvfStoreStats(idx.centroids.size,
-        idx.centroids.head._2.length, n))
+        idx.centroids.head._2.length, n, gateTau, gateNprobe))
       store
     } finally idx.release()
   }
@@ -243,10 +424,26 @@ object IvfStore {
     new IvfStore(spark, path, cs)
   }
 
+  /** ‖v‖₂ with the executor kernel's exact arithmetic — [[VectorFunctions.l2Norm]]
+    * is sqrt of the left-to-right double dot fold; this is that fold on
+    * the driver, so caller-supplied query norms are bit-identical to
+    * stored ones. */
+  private[ext] def l2NormDriver(emb: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < emb.length) {
+      val x = emb(i).toDouble
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
   private def writeStats(spark: SparkSession, path: String,
       st: IvfStoreStats): Unit = {
     import spark.implicits._
-    Seq((st.cells, st.dims, st.vectors)).toDF("cells", "dims", "vectors")
+    Seq((st.cells, st.dims, st.vectors, st.gateTau, st.gateNprobe))
+      .toDF("cells", "dims", "vectors", "gate_tau", "gate_nprobe")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 }

@@ -54,7 +54,14 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
 
   private def commitsDir = new HPath(s"$path/_commits")
 
-  def read(): Seq[Manifest] = {
+  def read(): Seq[Manifest] = readWithMtimes().map(_._1)
+
+  /** Manifests with their commit files' modification times — the vacuum
+    * retention guard's input: a superseded dir may only be unlinked once
+    * its SUPERSEDING commit is older than the retention window (an
+    * in-flight reader that resolved paths before that commit has had the
+    * window to finish). */
+  def readWithMtimes(): Seq[(Manifest, Long)] = {
     val f = fs
     if (!f.exists(commitsDir)) Nil
     else f.listStatus(commitsDir).toSeq
@@ -64,7 +71,7 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
         val in = f.open(s.getPath)
         val bytes = new Array[Byte](s.getLen.toInt)
         try in.readFully(bytes) finally in.close()
-        Manifest.parse(new String(bytes, "UTF-8"))
+        (Manifest.parse(new String(bytes, "UTF-8")), s.getModificationTime)
       }
   }
 
@@ -82,5 +89,62 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
       throw new IllegalStateException(
         s"commit collision on $name under $path — concurrent writer? " +
           "(the layout is single-writer)")
+  }
+
+  /** Delete an UNCOMMITTED relation dir a crashed predecessor left behind
+    * (it is invisible by construction — no manifest names it), so a
+    * replayed append with the recomputed sequence number can't wedge on
+    * `errorifexists`. Call only for a dir id about to be (re)written. */
+  def clearOrphan(dir: String): Unit = {
+    fs.delete(new HPath(dir), true)
+    ()
+  }
+
+  /** The dir ids [[vacuum]]-ELIGIBLE under the retention guard: ids some
+    * manifest supersedes, restricted to those whose SUPERSEDING commit is
+    * at least `spark.graft.index.vacuumRetentionMs` old (default 1h). A
+    * reader that planned its scan before the superseding compaction holds
+    * the old paths; the age guard gives it the retention window to finish
+    * before the single writer may unlink them. Set the conf to 0 to
+    * vacuum eagerly (tests; a quiesced pipeline). */
+  def vacuumEligible(supersededOf: Manifest => Seq[String]): Seq[String] = {
+    val retention = IndexConf.strictLong(spark,
+      "spark.graft.index.vacuumRetentionMs", default = 3600000L, min = 0L)
+    val now = System.currentTimeMillis()
+    readWithMtimes()
+      .filter { case (_, mtime) => now - mtime >= retention }
+      .flatMap { case (m, _) => supersededOf(m) }
+      .distinct
+  }
+}
+
+/** Strict parsing for the persisted-index session confs — a junk value
+  * fails NAMING the conf and its constraint at the call site, instead of
+  * an anonymous NumberFormatException from inside a committed append
+  * (the `hotDigestCap` rule, shared by every index layout). */
+private[ext] object IndexConf {
+
+  def strictInt(spark: SparkSession, key: String, default: Int,
+      min: Int): Int = {
+    val v = spark.conf.getOption(key).map { s =>
+      try s.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be an integer, got '$s'")
+      }
+    }.getOrElse(default)
+    require(v >= min, s"$key must be >= $min, got $v")
+    v
+  }
+
+  def strictLong(spark: SparkSession, key: String, default: Long,
+      min: Long): Long = {
+    val v = spark.conf.getOption(key).map { s =>
+      try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be an integer, got '$s'")
+      }
+    }.getOrElse(default)
+    require(v >= min, s"$key must be >= $min, got $v")
+    v
   }
 }

@@ -169,6 +169,10 @@ final class NearDupIndex private (
       .select(col("doc_id"), MinHashLSH.shingleDigests(col("__text")).as("ds"))
     proj.persist()
     try {
+      // a crashed predecessor's uncommitted dirs (invisible by
+      // construction) must not wedge the replay on errorifexists
+      Seq("digests", "bands", "counts")
+        .foreach(r => log.clearOrphan(s"$path/$r/append=$id"))
       val nonEmpty = proj.filter(size(col("ds")) > 0)
       nonEmpty.write.mode("errorifexists").parquet(s"$path/digests/append=$id")
       val bk = MinHashLSH.bandedKeysFromDigests(nonEmpty, prev.numHashes,
@@ -177,13 +181,19 @@ final class NearDupIndex private (
       bk.groupBy("b", "bkey").agg(count(lit(1)).as("c"))
         .write.mode("errorifexists").parquet(s"$path/counts/append=$id")
       // stats inputs BEFORE the marker: the new partials are read off their
-      // (not yet visible) dir directly; everything else off committed dirs
-      val newCounts = spark.read.parquet(s"$path/counts/append=$id")
+      // (not yet visible) dir directly; everything else off committed dirs.
+      // A fully-dropped batch leaves a zero-file dir — skip its read-back
+      // (nothing to count) instead of failing schema inference.
+      val batchDocs = nonEmpty.count()
       val allKeys =
-        if (first) newCounts.select("b", "bkey")
-        else countsRel.select("b", "bkey").union(newCounts.select("b", "bkey"))
+        if (first) spark.read.parquet(s"$path/counts/append=$id")
+          .select("b", "bkey")
+        else if (batchDocs == 0) countsRel.select("b", "bkey")
+        else countsRel.select("b", "bkey")
+          .union(spark.read.parquet(s"$path/counts/append=$id")
+            .select("b", "bkey"))
       val bandKeys = allKeys.distinct().count()
-      val docs = prev.docs + nonEmpty.count()
+      val docs = prev.docs + batchDocs
       commit(Manifest(Seq(id), Seq(id), Seq(id), Nil, token), seq) // now visible
       val st = NearDupIndexStats(docs, bandKeys, prev.numHashes, prev.bands,
         prev.maxBucket)
@@ -200,9 +210,8 @@ final class NearDupIndex private (
     * dirs become invisible but stay on disk (see class doc).
     */
   private def maybeCompactCounts(): Unit = {
-    val threshold = spark.conf
-      .getOption("spark.graft.neardupindex.compactThreshold")
-      .map(_.toInt).getOrElse(16)
+    val threshold = IndexConf.strictInt(spark,
+      "spark.graft.neardupindex.compactThreshold", default = 16, min = 1)
     val ms = readManifests()
     val ids = activeIds(ms)._3
     // never fold the NEWEST counts dir: it may belong to a token append a
@@ -211,6 +220,7 @@ final class NearDupIndex private (
     if (foldable.size > threshold) {
       val seq = ms.size + 1
       val cid = f"c$seq%06d"
+      log.clearOrphan(s"$path/counts/append=$cid")
       rel("counts", foldable)
         .groupBy("b", "bkey").agg(sum(col("c")).cast("long").as("c"))
         .coalesce(4)
@@ -220,17 +230,18 @@ final class NearDupIndex private (
   }
 
   /** Maintenance VACUUM (the class doc's deferred deletion): unlink
-    * `counts/` dirs a compaction SUPERSEDED. They stayed on disk only for
-    * readers that resolved their paths before the superseding commit —
-    * call from the single writer once no such reader can remain. The
-    * manifest history is untouched (readers resolve through manifests, so
-    * the superseded ids simply keep pointing at nothing); data relations
-    * (`digests/`, `bands/`) are never superseded and never touched.
+    * `counts/` dirs a compaction SUPERSEDED, under the retention guard
+    * ([[ManifestLog.vacuumEligible]]): only dirs whose superseding commit
+    * is at least `spark.graft.index.vacuumRetentionMs` old (default 1h)
+    * are touched — a reader that resolved its paths just before the
+    * compaction gets the window to finish. The manifest history is
+    * untouched (readers resolve through manifests, so the superseded ids
+    * simply keep pointing at nothing); data relations (`digests/`,
+    * `bands/`) are never superseded and never touched. Single writer.
     * Returns the number of dirs actually removed. */
   def vacuum(): Int = {
-    val sup = readManifests().flatMap(_.supersedesCounts).distinct
     val f = log.fileSystem
-    sup.count { id =>
+    log.vacuumEligible(_.supersedesCounts).count { id =>
       f.delete(new org.apache.hadoop.fs.Path(s"$path/counts/append=$id"), true)
     }
   }
@@ -341,6 +352,12 @@ object NearDupIndex {
       token = None)
     idx
   }
+
+  /** Whether `path` holds at least one committed index manifest — the
+    * build-if-absent probe of config-driven gate stages
+    * ([[graft.plan.CurationConfig]]). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    new ManifestLog(spark, path).read().nonEmpty
 
   /** Open a stored index; parameters come from its `stats/` row. */
   def open(spark: SparkSession, path: String): NearDupIndex = {

@@ -100,8 +100,12 @@ final class SubstrIndex private (
       .windowDigestsOf(ExactSubstring.tokenize(df, idCol, textCol),
         idCol, prev.k)
       .select("dg").distinct()
+    // a crashed predecessor's uncommitted dir (invisible by construction)
+    // must not wedge the replay on errorifexists
+    log.clearOrphan(s"$path/digests/append=$id")
     dgs.write.mode("errorifexists").parquet(s"$path/digests/append=$id")
-    val added = spark.read.parquet(s"$path/digests/append=$id").count()
+    // footer-summed row count: no re-scan job over the dir just written
+    val added = graft.io.ParquetMeta.rowCount(spark, s"$path/digests/append=$id")
     log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq) // now visible
     val st = SubstrIndexStats(prev.digests + added, prev.k)
     SubstrIndex.writeStats(spark, path, st)
@@ -120,14 +124,14 @@ final class SubstrIndex private (
     * readers until [[vacuum]].
     */
   private def maybeCompact(): Unit = {
-    val threshold = spark.conf
-      .getOption("spark.graft.substrindex.compactThreshold")
-      .map(_.toInt).getOrElse(16)
+    val threshold = IndexConf.strictInt(spark,
+      "spark.graft.substrindex.compactThreshold", default = 16, min = 1)
     val ms = log.read()
     val foldable = activeIds(ms).dropRight(1)
     if (foldable.size > threshold) {
       val seq = ms.size + 1
       val cid = f"c$seq%06d"
+      log.clearOrphan(s"$path/digests/append=$cid")
       spark.read.parquet(foldable.map(id => s"$path/digests/append=$id"): _*)
         .distinct()
         .coalesce(4)
@@ -136,13 +140,15 @@ final class SubstrIndex private (
     }
   }
 
-  /** Unlink digest dirs a compaction superseded (the [[NearDupIndex.vacuum]]
-    * contract: single writer, once no pre-compaction reader remains).
+  /** Unlink digest dirs a compaction superseded, under the retention
+    * guard ([[ManifestLog.vacuumEligible]]): only dirs whose superseding
+    * commit is at least `spark.graft.index.vacuumRetentionMs` old
+    * (default 1h) are touched — an in-flight reader that planned its scan
+    * before the compaction gets the window to finish. Single writer.
     * Returns the number of dirs removed. */
   def vacuum(): Int = {
-    val sup = log.read().flatMap(_.supersedesDigests).distinct
     val f = log.fileSystem
-    sup.count { id =>
+    log.vacuumEligible(_.supersedesDigests).count { id =>
       f.delete(new org.apache.hadoop.fs.Path(s"$path/digests/append=$id"), true)
     }
   }
@@ -224,6 +230,13 @@ object SubstrIndex {
       first = true, token = None)
     idx
   }
+
+  /** Whether `path` holds at least one committed index manifest — the
+    * build-if-absent probe of config-driven gate stages
+    * ([[graft.plan.CurationConfig]]). Uncommitted orphan dirs do not
+    * count (they are invisible to every reader). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    new ManifestLog(spark, path).read().nonEmpty
 
   /** Open a stored index; `k` comes from its `stats/` row. */
   def open(spark: SparkSession, path: String): SubstrIndex = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.ext.{Dedup, NgramLm, Sampling, TextAnalysis}
+import graft.ext.{Dedup, NearDupIndex, NgramLm, Sampling, SubstrIndex, TextAnalysis}
 
 /** Config-driven CURATION pipeline — the EXT analogue of [[ReportConfig]]'s
   * declare-a-report-then-run workflow (the reference runner loads a typed
@@ -86,6 +86,74 @@ object CurationConfig {
       Sampling.repeatEpochsPortable(df, idCol, factor)
   }
 
+  /** Row filter on a SQL boolean expression over the table's columns —
+    * the reference runner's WHERE as a pipeline stage (and the batch
+    * selector in front of the persisted-index gates below). */
+  final case class WhereExpr(exprStr: String) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
+      df.filter(expr(exprStr))
+  }
+
+  /** PERSISTED-INDEX gate stages — the config-driven form of the
+    * production ingest loop (round-10 verdict #5): the stage points at a
+    * stored index path; if no committed index exists there the incoming
+    * batch SEEDS it (built from the batch, which is then fully kept —
+    * the bootstrap round), otherwise the batch is gated against the
+    * store and the survivors are appended. Each run of the pipeline is
+    * one ingest round; the index carries state across runs.
+    *
+    * Unlike the pure stages, a gate stage is a MATERIALIZATION BOUNDARY:
+    * its result is checkpointed before the append (the established
+    * gate-then-append contract — appending underneath an unmaterialized
+    * gate plan would let a re-evaluation see the batch's own rows), so
+    * Catalyst composes the stages before and after it, not across it.
+    */
+  final case class SubstrGate(path: String, k: Int,
+      maxDupWindows: Long) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val spark = df.sparkSession
+      if (!SubstrIndex.exists(spark, path)) {
+        val seeded = df.localCheckpoint(true)
+        SubstrIndex.build(seeded, idCol, textCol, path, k)
+        seeded
+      } else {
+        val idx = SubstrIndex.open(spark, path)
+        require(idx.stats.k == k,
+          s"substr_gate at $path was built with k=${idx.stats.k}; " +
+            s"the config declares k=$k")
+        val kept = idx.keepFresh(df, idCol, textCol, maxDupWindows)
+          .localCheckpoint(true)
+        idx.append(kept, idCol, textCol)
+        kept
+      }
+    }
+  }
+
+  final case class NearDupGate(path: String, numHashes: Int, bands: Int,
+      maxBucket: Int, threshold: Double) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val spark = df.sparkSession
+      if (!NearDupIndex.exists(spark, path)) {
+        val seeded = df.localCheckpoint(true)
+        NearDupIndex.build(seeded, idCol, textCol, path, numHashes, bands,
+          maxBucket)
+        seeded
+      } else {
+        val idx = NearDupIndex.open(spark, path)
+        val st = idx.stats
+        require(st.numHashes == numHashes && st.bands == bands &&
+          st.maxBucket == maxBucket,
+          s"neardup_gate at $path was built with (numHashes=${st.numHashes}, " +
+            s"bands=${st.bands}, maxBucket=${st.maxBucket}); the config " +
+            s"declares ($numHashes, $bands, $maxBucket)")
+        val kept = idx.keepUnseen(df, idCol, textCol, threshold)
+          .localCheckpoint(true)
+        idx.append(kept, idCol, textCol)
+        kept
+      }
+    }
+  }
+
   final case class PipelineDef(table: String, idCol: String, textCol: String,
       stages: List[Stage]) {
 
@@ -161,9 +229,49 @@ object CurationConfig {
         }
         if (f <= 0) fail(s"stage 'repeat_epochs': factor must be > 0, got $f")
         RepeatEpochs(f)
+      case "where" =>
+        j \ "expr" match {
+          case JString(e) if e.trim.nonEmpty => WhereExpr(e)
+          case _ => fail("stage 'where' needs a non-empty 'expr' string")
+        }
+      case "substr_gate" =>
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'substr_gate' needs a non-empty 'path' string")
+        }
+        val k = long("k").getOrElse(fail("stage 'substr_gate' needs 'k'"))
+        if (k < 2) fail(s"stage 'substr_gate': k must be >= 2, got $k")
+        val maxDup = long("maxDupWindows").getOrElse(0L)
+        if (maxDup < 0)
+          fail(s"stage 'substr_gate': maxDupWindows must be >= 0, got $maxDup")
+        SubstrGate(path, k.toInt, maxDup)
+      case "neardup_gate" =>
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'neardup_gate' needs a non-empty 'path' string")
+        }
+        val numHashes = long("numHashes").getOrElse(16L).toInt
+        val bands = long("bands").getOrElse(4L).toInt
+        if (bands < 1 || numHashes < 1 || numHashes % bands != 0)
+          fail(s"stage 'neardup_gate': numHashes ($numHashes) must be a " +
+            s"positive multiple of bands ($bands)")
+        val maxBucket = long("maxBucket").getOrElse(100L).toInt
+        if (maxBucket < 1)
+          fail(s"stage 'neardup_gate': maxBucket must be >= 1, got $maxBucket")
+        val threshold = j \ "threshold" match {
+          case JDouble(d) => d
+          case JDecimal(d) => d.toDouble
+          case JNothing => 0.8
+          case other =>
+            fail(s"stage 'neardup_gate': 'threshold' must be a number, got $other")
+        }
+        if (threshold <= 0.0 || threshold >= 1.0)
+          fail(s"stage 'neardup_gate': threshold must be in (0, 1), got $threshold")
+        NearDupGate(path, numHashes, bands, maxBucket, threshold)
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
-          "fluency_band | token_budget | repeat_epochs)")
+          "fluency_band | token_budget | repeat_epochs | where | " +
+          "substr_gate | neardup_gate)")
     }
   }
 

@@ -104,14 +104,163 @@ class IvfStoreSpec extends GraftSpec {
         .orderBy("qid", "vid").as[(Long, Long, Double)].collect().toSeq
       res.length shouldBe 15
       val before = new java.io.File(s"$path/assigned").listFiles().length
+      // retention guard: superseded dirs younger than the window are kept
+      store.vacuum() shouldBe 0
+      new java.io.File(s"$path/assigned").listFiles().length shouldBe before
+      spark.conf.set("spark.graft.index.vacuumRetentionMs", "0")
       val removed = store.vacuum()
       removed should be > 0
       new java.io.File(s"$path/assigned").listFiles().length shouldBe
         before - removed
+      // the vidmap sidecar's superseded dirs unlink with their appends
+      new java.io.File(s"$path/vidmap").listFiles().length shouldBe
+        new java.io.File(s"$path/assigned").listFiles().length
       store.searchAll(Seq(1L, 2L, 3L), topK = 5, nprobe = 2)
         .orderBy("qid", "vid").as[(Long, Long, Double)]
         .collect().toSeq shouldBe res
-    } finally spark.conf.unset(key)
+    } finally {
+      spark.conf.unset(key)
+      spark.conf.unset("spark.graft.index.vacuumRetentionMs")
+    }
+  }
+
+  it("search with caller-supplied query vectors equals the stored-id " +
+     "searchAll bit for bit (driver norm = executor kernel norm)") {
+    val store = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
+    val qs = emb.filter($"vec_id".isin(1L, 2L, 3L))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val supplied = store.search(qs, topK = 5, nprobe = 2)
+      .orderBy("qid", "vid").as[(Long, Long, Double)].collect().toSeq
+    val storedIds = store.searchAll(Seq(1L, 2L, 3L), topK = 5, nprobe = 2)
+      .orderBy("qid", "vid").as[(Long, Long, Double)].collect().toSeq
+    supplied shouldBe storedIds
+  }
+
+  it("a caller-supplied query vector with mismatched dims is refused") {
+    val store = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
+    an[IllegalArgumentException] should be thrownBy
+      store.search(Seq((1L, Array(1f, 2f))), topK = 5, nprobe = 2)
+  }
+
+  it("the stored-id lookup resolves home cells through the vidmap sidecar " +
+     "and prunes the vector fetch to them — never a full pass (round-10 " +
+     "verdict #2)") {
+    val store = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
+    val lp = store.lookupPlan(Seq(1L), None)
+    lp.collect()
+    val scans = graft.plans.PlanWalk
+      .collectAll(lp.queryExecution.executedPlan) {
+        case f: FileSourceScanExec => f
+      }
+    val assignedScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("/assigned")))
+    assignedScans should have size 1
+    // one query vector lives in exactly one cell: the fetch reads ONE of
+    // the k cell partitions (static pruning at file listing)
+    assignedScans.head.metrics.get("numPartitions")
+      .map(_.value) shouldBe Some(1L)
+    // and the vid predicate reaches the parquet reader (row-group min/max
+    // pruning within the vid-sorted cell files)
+    assignedScans.head.metadata.getOrElse("PushedFilters", "") should
+      include("vid")
+  }
+
+  it("semantic gate: stored-vector copies are dropped, fresh vectors kept; " +
+     "copies of APPENDED survivors are dropped only because of the append; " +
+     "the excludeToken view replays the pre-append gate") {
+    val hist = emb.filter($"vec_id" % 3 =!= 0)
+    val store = IvfStore.create(hist, "vec_id", "embedding", tmp(), k = 8,
+      gateTau = 0.5, gateNprobe = 2)
+    val copies = hist.filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" + 1000).as("vec_id"), $"embedding")
+    val fresh = emb.filter($"vec_id" % 6 === 0)
+      .select("vec_id", "embedding")
+    val b1 = copies.union(fresh)
+    val kept1 = store.gateKeep(b1, "vec_id", "embedding", None)
+      .localCheckpoint(true)
+    val keptIds = kept1.select("vec_id").as[Long].collect().toSet
+    // every exact copy probes its original's cell first: cosine 1.0 > tau
+    val copyIds = copies.select("vec_id").as[Long].collect().toSet
+    keptIds.intersect(copyIds) shouldBe empty
+    keptIds should not be empty // random held-out vectors survive tau 0.5
+    store.appendToken(kept1, "vec_id", "embedding", "g#1")
+    // copies of the appended survivors: only the append knows them
+    val replays = kept1.select(($"vec_id" + 5000).as("vec_id"), $"embedding")
+      .localCheckpoint(true)
+    store.gateKeep(replays, "vec_id", "embedding", None).count() shouldBe 0L
+    // replay view: with its own append excluded, the gate reproduces the
+    // pre-append answer (survivor vectors were all fresh vs history)
+    store.gateKeep(replays, "vec_id", "embedding", Some("g#1"))
+      .count() shouldBe keptIds.size.toLong
+    // and the token re-append is a no-op
+    val st = store.stats
+    store.appendToken(kept1, "vec_id", "embedding", "g#1")
+    store.stats shouldBe st
+  }
+
+  it("the semantic gate reads ONLY the batch's probed cell partitions of " +
+     "the stored relation (the distinct probes become a literal partition " +
+     "filter)") {
+    val hist = emb.filter($"vec_id" % 3 =!= 0)
+    val store = IvfStore.create(hist, "vec_id", "embedding", tmp(), k = 8)
+    // a small batch probes few cells — the 100 TB shape: a daily batch's
+    // probe set is tiny against a large-k production index
+    val batch = emb.filter($"vec_id".isin(0L, 6L)).localCheckpoint(true)
+    val plan = store.gatePlanFor(batch, "vec_id", "embedding", 0.5, 2)
+    plan.collect()
+    val scans = graft.plans.PlanWalk
+      .collectAll(plan.queryExecution.executedPlan) {
+        case f: FileSourceScanExec => f
+      }
+    val assignedScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("/assigned")))
+    assignedScans should have size 1
+    val parts = assignedScans.head.metrics.get("numPartitions").map(_.value)
+    parts should not be empty
+    // 2 vectors × 2 probes → at most 4 of the 8 cell partitions listed
+    parts.get should be <= 4L
+    // the checkpointed batch contributes no file scan: every scan in the
+    // gate plan is under the index layout
+    scans.size shouldBe assignedScans.size
+  }
+
+  it("a crashed append's orphan dir is cleared on replay instead of " +
+     "wedging errorifexists; orphan rows never join the committed relation") {
+    val path = tmp()
+    val store = IvfStore.create(emb.filter($"vec_id" % 5 =!= 0),
+      "vec_id", "embedding", path, k = 8)
+    val histN = store.stats.vectors
+    // a predecessor that wrote data for append 2 but died before commit
+    Seq((999999L, Seq.fill(64)(0.1f), 1.0, 0))
+      .toDF("vid", "emb", "nrm", "cell")
+      .write.partitionBy("cell").parquet(s"$path/assigned/append=a000002")
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val st = store.append(batch, "vec_id", "embedding")
+    st.vectors shouldBe histN + batch.count() // orphan replaced, not merged
+    // the orphan's row is gone from the layout entirely
+    store.searchAll(Seq(999999L), topK = 3, nprobe = 2).count() shouldBe 0L
+  }
+
+  it("the generic ingest loop's micro-batch replay is exactly-once for " +
+     "the semantic index (same output, no second append)") {
+    val path = tmp()
+    val store = IvfStore.create(emb.filter($"vec_id" % 3 =!= 0),
+      "vec_id", "embedding", path, k = 8)
+    val batch = emb.filter($"vec_id" % 6 === 0).select("vec_id", "embedding")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-ivf-replay").toString
+    graft.streaming.EventStream
+      .indexedIngestBatch(store, "vec_id", "embedding", out, "t")(batch, 0L)
+    val kept = spark.read.parquet(s"$out/batch=0")
+      .select("vec_id").as[Long].collect().sorted
+    val commits = new java.io.File(s"$path/_commits").listFiles().length
+    // simulated crash-and-replay of the SAME micro-batch
+    graft.streaming.EventStream
+      .indexedIngestBatch(store, "vec_id", "embedding", out, "t")(batch, 0L)
+    spark.read.parquet(s"$out/batch=0")
+      .select("vec_id").as[Long].collect().sorted shouldBe kept
+    new java.io.File(s"$path/_commits").listFiles().length shouldBe commits
   }
 
   it("open() restores centroids exactly; a missing layout is refused; " +

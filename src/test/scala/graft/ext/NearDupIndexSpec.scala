@@ -143,6 +143,10 @@ class NearDupIndexSpec extends GraftSpec {
       // VACUUM unlinks the superseded counts dirs; the active set (and
       // therefore every gate answer) is untouched
       val preVacuum = new java.io.File(s"$path/counts").listFiles().length
+      // retention guard: superseded dirs younger than the window are kept
+      idx.vacuum() shouldBe 0
+      new java.io.File(s"$path/counts").listFiles().length shouldBe preVacuum
+      spark.conf.set("spark.graft.index.vacuumRetentionMs", "0")
       val removed = idx.vacuum()
       removed should be > 0
       new java.io.File(s"$path/counts").listFiles().length shouldBe
@@ -151,7 +155,10 @@ class NearDupIndexSpec extends GraftSpec {
       idx.keepUnseen(b3replay, "doc_id", "text").count() shouldBe 0L
       idx.keepUnseen(probe, "doc_id", "text")
         .select("doc_id").as[Long].collect().sorted shouldBe stored
-    } finally spark.conf.unset(key)
+    } finally {
+      spark.conf.unset(key)
+      spark.conf.unset("spark.graft.index.vacuumRetentionMs")
+    }
   }
 
   it("appendOnce is idempotent under its token, and a token-excluded gate " +

@@ -142,6 +142,16 @@ class SubstrIndexSpec extends GraftSpec {
         idx.keepFresh(replay, "doc_id", "text").count() shouldBe 0L
       }
       val before = new java.io.File(s"$path/digests").listFiles().length
+      // RETENTION GUARD: under the default 1h window the just-superseded
+      // dirs are too young to unlink — the vacuum is refused, and a
+      // reader that resolved its paths before the compaction still scans
+      val reader = spark.read.parquet(
+        new java.io.File(s"$path/digests").listFiles().map(_.getPath): _*)
+      idx.vacuum() shouldBe 0
+      reader.count() should be > 0L // every planned file survived
+      new java.io.File(s"$path/digests").listFiles().length shouldBe before
+      // retention 0 (a quiesced pipeline): the superseded dirs unlink
+      spark.conf.set("spark.graft.index.vacuumRetentionMs", "0")
       val removed = idx.vacuum()
       removed should be > 0
       new java.io.File(s"$path/digests").listFiles().length shouldBe
@@ -152,7 +162,10 @@ class SubstrIndexSpec extends GraftSpec {
         ExactSubstring.dupWindowReport(batch, history, "doc_id", "text", k)
           .where($"n_dup_windows" === 0).select("doc_id")
           .as[Long].collect().sorted
-    } finally spark.conf.unset(key)
+    } finally {
+      spark.conf.unset(key)
+      spark.conf.unset("spark.graft.index.vacuumRetentionMs")
+    }
   }
 
   it("open() restores k from stats, rejects missing layouts, and build " +
@@ -170,5 +183,39 @@ class SubstrIndexSpec extends GraftSpec {
     Seq("deadbeef").toDF("dg").write.parquet(s"$path/digests/append=a999999")
     idx.dupWindowReport(batch, "doc_id", "text")
       .agg(sum("n_dup_windows")).as[Long].head() shouldBe before
+  }
+
+  it("a crashed append's orphan dir is cleared on replay instead of " +
+     "wedging errorifexists, and its rows never become visible") {
+    val path = tmp()
+    val idx = SubstrIndex.build(history, "doc_id", "text", path, k)
+    // the NEXT append seq is 2; a predecessor wrote its data dir for that
+    // seq but died before the marker commit
+    Seq("deadbeefdeadbeefdeadbeefdeadbeef").toDF("dg")
+      .write.parquet(s"$path/digests/append=a000002")
+    val fresh = Seq((50L, "totally new sentence with unique words here"))
+      .toDF("doc_id", "text") // 7 tokens, k=4 → exactly 4 distinct windows
+    val before = idx.stats.digests
+    val st = idx.append(fresh, "doc_id", "text")
+    // stats counted only the replayed append's digests — the orphan's row
+    // was cleared, not merged
+    st.digests shouldBe before + 4
+    spark.read.parquet(s"$path/digests/append=a000002")
+      .filter($"dg" === "deadbeefdeadbeefdeadbeefdeadbeef")
+      .count() shouldBe 0L
+  }
+
+  it("a junk compactThreshold conf fails NAMING the conf, not with an " +
+     "anonymous NumberFormatException mid-append") {
+    val key = "spark.graft.substrindex.compactThreshold"
+    val idx = SubstrIndex.build(history, "doc_id", "text", tmp(), k)
+    spark.conf.set(key, "lots")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        idx.append(Seq((60L, "some novel appended words flowing along here"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      }
+      e.getMessage should include(key)
+    } finally spark.conf.unset(key)
   }
 }

@@ -81,6 +81,97 @@ class CurationConfigSpec extends GraftSpec {
       Array(1L, 2L)
   }
 
+  private def gateCfg(path: String, whereExpr: String, k: Int = 4): String =
+    s"""{"table":"documents","id":"doc_id","text":"text",
+      | "stages":[{"stage":"where","expr":"$whereExpr"},
+      |   {"stage":"substr_gate","path":"$path","k":$k}]}""".stripMargin
+
+  it("substr_gate: round 1 SEEDS the store from the batch (all kept); " +
+     "later pipeline runs gate their batches through it and append " +
+     "survivors — the config-driven ingest loop") {
+    val d = dir
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-ssg").toString + "/idx"
+    val r1 = CurationConfig.parse(gateCfg(path, "doc_id <= 2"))
+      .run(spark, d).select("doc_id").as[Long].collect().sorted
+    r1 shouldBe Array(1L, 2L) // bootstrap round: everything kept, index seeded
+    // round 2: 1 and 2 re-sent (their own windows are stored → dropped);
+    // 3 has < k tokens (no windows → passes); 4 shares the 4-token window
+    // "the quick brown fox" with stored doc 1 → dropped
+    val r2 = CurationConfig.parse(gateCfg(path, "doc_id <= 4"))
+      .run(spark, d).select("doc_id").as[Long].collect().sorted
+    r2 shouldBe Array(3L)
+    // round 3: doc 5 is fresh → kept AND appended ...
+    CurationConfig.parse(gateCfg(path, "doc_id = 5"))
+      .run(spark, d).select("doc_id").as[Long].collect() shouldBe Array(5L)
+    // ... so round 4's re-send drops through round 3's append
+    CurationConfig.parse(gateCfg(path, "doc_id = 5"))
+      .run(spark, d).count() shouldBe 0L
+  }
+
+  it("neardup_gate: bootstrap, then replays drop through the stored " +
+     "index across pipeline runs; dissimilar docs survive") {
+    val d = dir
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-ndg").toString + "/idx"
+    def cfg(whereExpr: String): String =
+      s"""{"table":"documents","id":"doc_id","text":"text",
+        | "stages":[{"stage":"where","expr":"$whereExpr"},
+        |   {"stage":"neardup_gate","path":"$path"}]}""".stripMargin
+    CurationConfig.parse(cfg("doc_id <= 2")).run(spark, d)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+    // a replay of doc 2 is Jaccard 1.0 against the seeded store → dropped
+    CurationConfig.parse(cfg("doc_id = 2")).run(spark, d).count() shouldBe 0L
+    // doc 4 shares only 2 of ~16 distinct shingles with doc 1 → kept
+    CurationConfig.parse(cfg("doc_id = 4")).run(spark, d)
+      .select("doc_id").as[Long].collect() shouldBe Array(4L)
+  }
+
+  it("a gate stage refuses a stored index whose parameters differ from " +
+     "the config's (fail fast, naming both)") {
+    val d = dir
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-kmm").toString + "/idx"
+    CurationConfig.parse(gateCfg(path, "doc_id <= 2", k = 4)).run(spark, d)
+      .count()
+    val e = intercept[IllegalArgumentException] {
+      CurationConfig.parse(gateCfg(path, "doc_id <= 4", k = 6)).run(spark, d)
+        .count()
+    }
+    e.getMessage should (include("k=4") and include("k=6"))
+  }
+
+  it("persisted-gate and where stages parse strictly, naming the stage " +
+     "and the constraint") {
+    def bad(json: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](CurationConfig.parse(json))
+      e.getMessage should include(needle)
+    }
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"where"}]}""".stripMargin, "'expr'")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"where","expr":"  "}]}""".stripMargin, "'expr'")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"substr_gate","k":4}]}""".stripMargin, "'path'")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"substr_gate","path":"/tmp/x"}]}""".stripMargin,
+      "'k'")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"substr_gate","path":"/tmp/x","k":1}]}"""
+      .stripMargin, ">= 2")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"substr_gate","path":"/tmp/x","k":4,
+          |   "maxDupWindows":-1}]}""".stripMargin, ">= 0")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"neardup_gate","path":"/tmp/x",
+          |   "numHashes":5,"bands":4}]}""".stripMargin, "multiple of bands")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"neardup_gate","path":"/tmp/x",
+          |   "threshold":1.5}]}""".stripMargin, "(0, 1)")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"neardup_gate"}]}""".stripMargin, "'path'")
+  }
+
   it("rejects unknown stages and bad parameters AT PARSE TIME, naming " +
      "the stage") {
     def bad(json: String, needle: String): Unit = {
