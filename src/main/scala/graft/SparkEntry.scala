@@ -2163,6 +2163,36 @@ object SparkEntry {
       .orderBy("round", "doc_id")
   }
 
+  /** dq125's pipeline declaration over `embeddings` — the `text` column
+    * of the pipeline contract is the embedding payload here. */
+  private def dq125Config(path: String, whereExpr: String): String =
+    s"""{"table": "embeddings", "id": "vec_id", "text": "embedding",
+      | "stages": [
+      |   {"stage": "where", "expr": "$whereExpr"},
+      |   {"stage": "semantic_gate", "path": "$path", "k": 8,
+      |    "tau": 0.5, "nprobe": 2}]}""".stripMargin
+
+  /** DQ125 (EXT): CONFIG-DRIVEN semantic ingest
+    * ([[graft.plan.CurationConfig.SemanticGate]]) — dq124's
+    * declare-then-run ingest round for the EMBEDDING modality, so all
+    * three persisted-index gates now have the config-driven form. Round 1
+    * (vec_id % 3 != 0) seeds the store — trains the frozen centroids on
+    * the batch, everything kept; round 2 re-parses the config with the
+    * held-out selector (% 3 = 0) against the SAME path: each vector
+    * probes its 2 nearest frozen cells and is dropped when its cosine
+    * against a STORED vector there exceeds 0.5. The oracle replays the
+    * training chain, the assignment, the probes, and the gate. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.io.TempReaper.tempDir("graft-dq125-idx").toString + "/idx"
+    val r1 = graft.plan.CurationConfig
+      .parse(dq125Config(path, "vec_id % 3 <> 0")).run(s, dir)
+    val r2 = graft.plan.CurationConfig
+      .parse(dq125Config(path, "vec_id % 3 = 0")).run(s, dir)
+    r1.select(lit(1L).as("round"), col("vec_id"))
+      .union(r2.select(lit(2L).as("round"), col("vec_id")))
+      .orderBy("round", "vec_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2325,7 +2355,8 @@ object SparkEntry {
     "dq121_stream_substr_loop"  -> (q121 _),
     "dq122_sem_index_loop"      -> (q122 _),
     "dq123_stream_sem_loop"     -> (q123 _),
-    "dq124_config_ingest"       -> (q124 _)
+    "dq124_config_ingest"       -> (q124 _),
+    "dq125_config_sem_ingest"   -> (q125 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2660,6 +2691,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS batch, qid AS vec_id FROM k2
         |ORDER BY batch, vec_id""".stripMargin
+  }
+
+  /** dq125: the config-driven semantic ingest — the dq122 training chain
+    * (history = round-1 batch) with ONE gate round over the held-out
+    * selector; round 1 is the bootstrap (all kept). */
+  private lazy val Dq125Sql: String = {
+    def cos(a: String, q: String): String =
+      s"""list_sum(list_transform(range(1, 65), i -> $a.emb[i]::DOUBLE * $q.qemb[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform($a.emb, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform($q.qemb, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
+    ivfChainSql(8, 2, 2, " WHERE vec_id % 3 <> 0",
+      "SELECT vec_id qid, embedding qemb FROM embeddings WHERE vec_id % 3 = 0") +
+      s""",
+        |dup1 AS (SELECT DISTINCT p.qid FROM af a JOIN probe p ON a.cell = p.cell
+        |  WHERE ${cos("a", "p")} > 0.5),
+        |k1 AS (SELECT qid FROM q WHERE qid NOT IN (SELECT qid FROM dup1))
+        |SELECT CAST(1 AS BIGINT) AS round, vec_id FROM embeddings
+        |WHERE vec_id % 3 <> 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS round, qid AS vec_id FROM k1
+        |ORDER BY round, vec_id""".stripMargin
   }
 
   /** dq117/dq121 shared derivation: history window digests, batch-1
@@ -3418,6 +3470,9 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS round, doc_id FROM k2
         |ORDER BY round, doc_id""".stripMargin,
+    // config-driven SEMANTIC ingest: round 1 seeds (trains) the store on
+    // the % 3 <> 0 batch; round 2 gates the held-out vectors against it
+    "dq125_config_sem_ingest" -> Dq125Sql,
     // ExactSubstr re-derived: k-token window digests → corpus-duplicated
     // digests → gaps-and-islands span merge (windows at p and q merge iff
     // p <= q + k: overlapping-or-touching token ranges) → span content

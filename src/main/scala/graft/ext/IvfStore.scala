@@ -414,6 +414,12 @@ object IvfStore {
     } finally idx.release()
   }
 
+  /** Whether `path` holds at least one committed index manifest — the
+    * build-if-absent probe of config-driven gate stages
+    * ([[graft.plan.CurationConfig]]). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    new ManifestLog(spark, path).read().nonEmpty
+
   /** Open a stored index: centroids re-read driver-side (k rows). */
   def open(spark: SparkSession, path: String): IvfStore = {
     val cs = spark.read.parquet(s"$path/centroids")

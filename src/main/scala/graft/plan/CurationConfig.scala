@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.ext.{Dedup, NearDupIndex, NgramLm, Sampling, SubstrIndex, TextAnalysis}
+import graft.ext.{Dedup, IvfStore, NearDupIndex, NgramLm, Sampling, SubstrIndex, TextAnalysis}
 
 /** Config-driven CURATION pipeline — the EXT analogue of [[ReportConfig]]'s
   * declare-a-report-then-run workflow (the reference runner loads a typed
@@ -124,6 +124,40 @@ object CurationConfig {
         val kept = idx.keepFresh(df, idCol, textCol, maxDupWindows)
           .localCheckpoint(true)
         idx.append(kept, idCol, textCol)
+        kept
+      }
+    }
+  }
+
+  /** The EMBEDDING-modality gate ([[IvfStore]]'s semantic dedup): the
+    * pipeline's `text` column is the embedding `array<float>` column
+    * here. Round 1 seeds the store (trains the frozen centroids on the
+    * batch); later rounds drop rows whose max cosine vs STORED vectors
+    * in their `nprobe` probed cells exceeds `tau`, and append the
+    * survivors — all three persisted-index modalities now have the same
+    * declare-then-run form. */
+  final case class SemanticGate(path: String, k: Int, tau: Double,
+      nprobe: Int) extends Stage {
+    def apply(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+      val spark = df.sparkSession
+      if (!IvfStore.exists(spark, path)) {
+        val seeded = df.localCheckpoint(true)
+        IvfStore.create(seeded, idCol, embCol, path, k, iters = 2,
+          gateTau = tau, gateNprobe = nprobe)
+        seeded
+      } else {
+        val store = IvfStore.open(spark, path)
+        val st = store.stats
+        // `k` only parameterizes the CREATE-time training (stats.cells is
+        // the LIVE cell count — Lloyd's may collapse empty cells below
+        // the declared k); the gate's stored identity is (tau, nprobe)
+        require(st.gateTau == tau && st.gateNprobe == nprobe,
+          s"semantic_gate at $path was built with (tau=${st.gateTau}, " +
+            s"nprobe=${st.gateNprobe}); the config declares " +
+            s"(tau=$tau, nprobe=$nprobe)")
+        val kept = store.gateKeep(df, idCol, embCol, excludeToken = None)
+          .localCheckpoint(true)
+        store.append(kept, idCol, embCol)
         kept
       }
     }
@@ -268,10 +302,30 @@ object CurationConfig {
         if (threshold <= 0.0 || threshold >= 1.0)
           fail(s"stage 'neardup_gate': threshold must be in (0, 1), got $threshold")
         NearDupGate(path, numHashes, bands, maxBucket, threshold)
+      case "semantic_gate" =>
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'semantic_gate' needs a non-empty 'path' string")
+        }
+        val k = long("k").getOrElse(fail("stage 'semantic_gate' needs 'k'"))
+        if (k < 1) fail(s"stage 'semantic_gate': k must be >= 1, got $k")
+        val tau = j \ "tau" match {
+          case JDouble(d) => d
+          case JDecimal(d) => d.toDouble
+          case JNothing => 0.5
+          case other =>
+            fail(s"stage 'semantic_gate': 'tau' must be a number, got $other")
+        }
+        if (tau <= 0.0 || tau >= 1.0)
+          fail(s"stage 'semantic_gate': tau must be in (0, 1), got $tau")
+        val nprobe = long("nprobe").getOrElse(2L)
+        if (nprobe < 1)
+          fail(s"stage 'semantic_gate': nprobe must be >= 1, got $nprobe")
+        SemanticGate(path, k.toInt, tau, nprobe.toInt)
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
           "fluency_band | token_budget | repeat_epochs | where | " +
-          "substr_gate | neardup_gate)")
+          "substr_gate | neardup_gate | semantic_gate)")
     }
   }
 

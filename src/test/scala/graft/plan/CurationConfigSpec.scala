@@ -141,6 +141,39 @@ class CurationConfigSpec extends GraftSpec {
     e.getMessage should (include("k=4") and include("k=6"))
   }
 
+  it("semantic_gate: bootstrap trains+seeds the store; replays of seeded " +
+     "vectors drop by cosine; orthogonal vectors survive; mismatched " +
+     "params are refused") {
+    val d = java.nio.file.Files.createTempDirectory("graft-curation-sem").toString
+    def oneHot(i: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == i) 1f else 0f)
+    Seq((1L, oneHot(0)), (2L, oneHot(1)), (3L, oneHot(2)), (4L, oneHot(3)),
+        (5L, oneHot(0)), (11L, oneHot(0)), (12L, oneHot(5)))
+      .toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-semg").toString + "/idx"
+    def cfg(whereExpr: String, tau: Double = 0.5): String =
+      s"""{"table":"embeddings","id":"vec_id","text":"embedding",
+        | "stages":[{"stage":"where","expr":"$whereExpr"},
+        |   {"stage":"semantic_gate","path":"$path","k":4,
+        |    "tau":$tau,"nprobe":2}]}""".stripMargin
+    CurationConfig.parse(cfg("vec_id <= 5")).run(spark, d)
+      .select("vec_id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 3L, 4L, 5L) // bootstrap: trained + seeded, all kept
+    // vec 11 duplicates stored e1 (cosine 1.0 in its probed cell) →
+    // dropped; vec 12 is orthogonal to every stored vector (cosine 0) →
+    // kept and appended
+    CurationConfig.parse(cfg("vec_id > 10")).run(spark, d)
+      .select("vec_id").as[Long].collect() shouldBe Array(12L)
+    // vec 12 re-sent: now it drops through ITS OWN append
+    CurationConfig.parse(cfg("vec_id = 12")).run(spark, d)
+      .count() shouldBe 0L
+    // the gate's stored identity is (tau, nprobe): a drifted config fails
+    val e = intercept[IllegalArgumentException] {
+      CurationConfig.parse(cfg("vec_id <= 5", tau = 0.7)).run(spark, d).count()
+    }
+    e.getMessage should (include("tau=0.5") and include("tau=0.7"))
+  }
+
   it("persisted-gate and where stages parse strictly, naming the stage " +
      "and the constraint") {
     def bad(json: String, needle: String): Unit = {
@@ -170,6 +203,15 @@ class CurationConfigSpec extends GraftSpec {
           |   "threshold":1.5}]}""".stripMargin, "(0, 1)")
     bad("""{"table":"documents","id":"i","text":"t",
           | "stages":[{"stage":"neardup_gate"}]}""".stripMargin, "'path'")
+    bad("""{"table":"embeddings","id":"i","text":"t",
+          | "stages":[{"stage":"semantic_gate","path":"/tmp/x"}]}"""
+      .stripMargin, "'k'")
+    bad("""{"table":"embeddings","id":"i","text":"t",
+          | "stages":[{"stage":"semantic_gate","path":"/tmp/x","k":4,
+          |   "tau":1.5}]}""".stripMargin, "(0, 1)")
+    bad("""{"table":"embeddings","id":"i","text":"t",
+          | "stages":[{"stage":"semantic_gate","path":"/tmp/x","k":4,
+          |   "nprobe":0}]}""".stripMargin, ">= 1")
   }
 
   it("rejects unknown stages and bad parameters AT PARSE TIME, naming " +
