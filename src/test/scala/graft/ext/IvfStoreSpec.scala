@@ -263,6 +263,21 @@ class IvfStoreSpec extends GraftSpec {
     new java.io.File(s"$path/_commits").listFiles().length shouldBe commits
   }
 
+  it("appending a fully-dropped (empty) gated batch commits cleanly " +
+     "instead of wedging the loop on the sidecar read-back") {
+    val store = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
+    val st0 = store.stats
+    val st = store.appendOnce(emb.filter(lit(false)), "vec_id", "embedding",
+      "empty#1")
+    st.vectors shouldBe st0.vectors
+    // the layout stays fully queryable across the empty append
+    store.searchAll(Seq(1L), topK = 3, nprobe = 2).count() shouldBe 3
+    // and a following NON-empty gate/append round still works
+    store.gateKeep(emb.filter($"vec_id" === 1L)
+      .select(($"vec_id" + 7777).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", None).count() shouldBe 0L // dup of stored 1
+  }
+
   it("open() restores centroids exactly; a missing layout is refused; " +
      "create refuses an occupied path") {
     val path = tmp()

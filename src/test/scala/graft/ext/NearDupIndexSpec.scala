@@ -161,6 +161,21 @@ class NearDupIndexSpec extends GraftSpec {
     }
   }
 
+  it("appending a fully-dropped (empty) gated batch commits cleanly; the " +
+     "gate stays correct across it") {
+    val idx = NearDupIndex.build(docs, "doc_id", "text", tmp())
+    val before = idx.stats
+    val st = idx.appendOnce(docs.filter(lit(false)), "doc_id", "text",
+      "empty#1")
+    st.docs shouldBe before.docs
+    st.bandKeys shouldBe before.bandKeys
+    // replays of indexed docs are still caught across the empty append
+    val replay = docs.limit(5)
+      .select((col("doc_id") + 7000000L).as("doc_id"), col("source"),
+        col("text"))
+    idx.keepUnseen(replay, "doc_id", "text").count() shouldBe 0L
+  }
+
   it("appendOnce is idempotent under its token, and a token-excluded gate " +
      "reproduces the pre-append answer (the micro-batch replay contract)") {
     val idx = NearDupIndex.build(docs, "doc_id", "text", tmp())

@@ -205,6 +205,20 @@ class SubstrIndexSpec extends GraftSpec {
       .count() shouldBe 0L
   }
 
+  it("appending a fully-dropped (empty) gated batch commits cleanly; the " +
+     "gate stays correct across it") {
+    val idx = SubstrIndex.build(history, "doc_id", "text", tmp(), k)
+    val before = idx.stats
+    val st = idx.appendOnce(history.filter(lit(false)), "doc_id", "text",
+      "empty#1")
+    st.digests shouldBe before.digests
+    idx.keepFresh(batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted shouldBe
+      ExactSubstring.dupWindowReport(batch, history, "doc_id", "text", k)
+        .where($"n_dup_windows" === 0).select("doc_id")
+        .as[Long].collect().sorted
+  }
+
   it("a junk compactThreshold conf fails NAMING the conf, not with an " +
      "anonymous NumberFormatException mid-append") {
     val key = "spark.graft.substrindex.compactThreshold"
