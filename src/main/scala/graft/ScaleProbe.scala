@@ -203,6 +203,48 @@ object ScaleProbe {
         df.unpersist()
       }
     }
+    // Semantic-gate scaling (round 11): a FIXED 500-vector batch gated
+    // against stored corpora of growing size. The gate's candidate work is
+    // (stored vectors in the batch's probed cells) × (batch probes) — at a
+    // fixed cell count the probed fraction is nprobe/k of the corpus, and
+    // the brute-force contrast (batch × FULL corpus cosine) shows what the
+    // partition pruning is buying. Recall-style exactness is dq122's
+    // oracle's job; this records walls + the candidate-row ratio.
+    if (sys.env.get("SCALE_SEMGATE").contains("1")) {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val batch = emb.limit(500)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      for (m <- Seq(10, 40)) {
+        val corpus = emb.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("vec_id") * m + col("rep")).as("vec_id"),
+            transform(col("embedding"),
+              x => x + (col("rep") % 10).cast("float") * lit(0.01f)).as("embedding"))
+          .localCheckpoint(true)
+        val n = corpus.count()
+        val path = graft.io.TempReaper.tempDir("graft-scale-semgate")
+          .toString + "/idx"
+        val store = graft.ext.IvfStore.create(corpus, "vec_id", "embedding",
+          path, k = 32)
+        val tg0 = System.nanoTime()
+        val kept = store.semanticKeepUnseen(batch, "vec_id", "embedding",
+          tau = 0.9, nprobe = 2).count()
+        val tg1 = System.nanoTime()
+        // brute force: every batch vector against the FULL corpus
+        val bf = corpus.select(col("vec_id").as("cvid"),
+            col("embedding").as("cemb"))
+          .crossJoin(broadcast(batch.select(col("vec_id").as("qid"),
+            col("embedding").as("qemb"))))
+          .select(graft.functions.VectorFunctions
+            .cosine(col("cemb"), col("qemb")).as("sim"), col("qid"))
+          .filter(col("sim") > 0.9)
+          .select("qid").distinct().count()
+        val tg2 = System.nanoTime()
+        println(f"""{"probe":"semgate","corpus":$n,"batch":500,"k":32,"nprobe":2,"kept":$kept,"gate_sec":${(tg1 - tg0) / 1e9}%.2f,"bruteforce_dropped":$bf,"bruteforce_sec":${(tg2 - tg1) / 1e9}%.2f}""")
+        corpus.unpersist()
+        ()
+      }
+    }
     // Large-k IVF probe (k=1024): fit+query walls on the broadcast-kernel
     // path, three-way assignment parity (literal / kernel / join), and the
     // kernel-vs-join full-corpus walls — the evidence that large k must NOT
