@@ -366,11 +366,21 @@ object Bench {
         // catch-all and mislabeling working pruning as failed evidence
         def orUnavailable(v: Option[Long]): String =
           v.map(_.toString).getOrElse("\"metric unavailable\"")
+        // at-rest size of the float relation vs the SQ8 tier — what the
+        // packed candidate scan (dq126) reads instead of the floats
+        def bytesUnder(dir: String): Long = {
+          val p = java.nio.file.Paths.get(dir)
+          if (!java.nio.file.Files.exists(p)) -1L
+          else java.nio.file.Files.walk(p).filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+        }
         Some(s""""dq118_cells":${store.stats.cells},"dq118_nprobe":2,""" +
           s""""dq118_partitions_read":${orUnavailable(parts.reduceOption(_ min _))},""" +
           s""""dq118_search_assigned_scans":${searchScans.count(
             _.relation.location.rootPaths.exists(_.toString.contains("/assigned")))},""" +
-          s""""dq118_lookup_partitions_read":${orUnavailable(lookupParts.reduceOption(_ min _))}""")
+          s""""dq118_lookup_partitions_read":${orUnavailable(lookupParts.reduceOption(_ min _))},""" +
+          s""""dq118_assigned_bytes":${bytesUnder(s"$path/assigned")},""" +
+          s""""dq126_packed_bytes":${bytesUnder(s"$path/packed")}""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq118 evidence failed: ${e.getMessage}"); None
       },

@@ -2193,6 +2193,29 @@ object SparkEntry {
       .orderBy("round", "vec_id")
   }
 
+  /** DQ126 (EXT): the STORED SQ8 candidate tier of the persisted IVF
+    * index ([[graft.ext.IvfStore.searchAllPacked]]) — dq118's layout with
+    * the search moved onto the `packed/` relation: every stored vector's
+    * unit form is quantized to packed int8 at WRITE time (1 B/dim), the
+    * probe is the same static partition filter, and scoring is the
+    * codegen'd integer ByteDot — the candidate scan reads a quarter of
+    * the float bytes on top of reading only nprobe of the cell
+    * partitions. Same fixture as dq118 (train on the 80% split, append
+    * the held-out 20% against frozen centroids, query an appended id);
+    * the oracle re-derives training, assignment, probes, the unit-vector
+    * SQ8 quantization (floor(x·127 + 0.5) clamp — the engine-portable
+    * rounding), and the integer ranking. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = graft.io.TempReaper.tempDir("graft-dq126-idx").toString + "/idx"
+    val store = graft.ext.IvfStore.create(emb.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", path, k = 8, iters = 2)
+    store.appendOnce(emb.filter(col("vec_id") % 5 === 0), "vec_id",
+      "embedding", "dq126#b1")
+    store.searchAllPacked(Seq(1L, 2L, 5L), topK = 5, nprobe = 2)
+      .orderBy("qid", "vid")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2356,7 +2379,8 @@ object SparkEntry {
     "dq122_sem_index_loop"      -> (q122 _),
     "dq123_stream_sem_loop"     -> (q123 _),
     "dq124_config_ingest"       -> (q124 _),
-    "dq125_config_sem_ingest"   -> (q125 _)
+    "dq125_config_sem_ingest"   -> (q125 _),
+    "dq126_ivf_store_packed"    -> (q126 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2712,6 +2736,36 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS round, qid AS vec_id FROM k1
         |ORDER BY round, vec_id""".stripMargin
+  }
+
+  /** dq126: dq118's trained/appended store, searched on the SQ8 tier —
+    * the unit-vector quantization (portable floor(x·127 + 0.5) clamp,
+    * zero vectors passed through unscaled) and integer dot ranking. */
+  private lazy val Dq126Sql: String = {
+    def sq8(src: String, vec: String): String =
+      s"""list_transform($vec, x -> greatest(-127, least(127,
+        |      CAST(floor((CASE WHEN $src.nrm = 0 THEN x::DOUBLE
+        |                       ELSE x::DOUBLE / $src.nrm END) * 127.0 + 0.5)
+        |        AS BIGINT))))""".stripMargin
+    ivfChainSql(8, 2, 2, " WHERE vec_id % 5 <> 0",
+      "SELECT vid qid, emb qemb FROM ef WHERE vid IN (1, 2, 5)",
+      assignSql = "SELECT vec_id vid, embedding emb FROM embeddings") +
+      s""",
+        |pn AS (SELECT vid, cell, emb,
+        |    sqrt(list_sum(list_transform(emb, y -> y::DOUBLE * y::DOUBLE))) nrm
+        |  FROM af),
+        |pv AS (SELECT vid, cell, ${sq8("pn", "emb")} dv FROM pn),
+        |qn AS (SELECT qid, cell, qemb,
+        |    sqrt(list_sum(list_transform(qemb, y -> y::DOUBLE * y::DOUBLE))) nrm
+        |  FROM probe),
+        |qv AS (SELECT qid, cell, ${sq8("qn", "qemb")} qd FROM qn),
+        |scored AS (SELECT q.qid, a.vid,
+        |    CAST(list_dot_product(q.qd::DOUBLE[], a.dv::DOUBLE[]) AS BIGINT) score
+        |  FROM pv a JOIN qv q ON a.cell = q.cell AND a.vid <> q.qid)
+        |SELECT qid, vid, score FROM (SELECT qid, vid, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY qid, vid""".stripMargin
   }
 
   /** dq117/dq121 shared derivation: history window digests, batch-1
@@ -3473,6 +3527,9 @@ object SparkEntry {
     // config-driven SEMANTIC ingest: round 1 seeds (trains) the store on
     // the % 3 <> 0 batch; round 2 gates the held-out vectors against it
     "dq125_config_sem_ingest" -> Dq125Sql,
+    // the stored SQ8 candidate tier: same trained/appended layout as
+    // dq118, integer ByteDot ranking over the packed relation
+    "dq126_ivf_store_packed" -> Dq126Sql,
     // ExactSubstr re-derived: k-token window digests → corpus-duplicated
     // digests → gaps-and-islands span merge (windows at p and q merge iff
     // p <= q + k: overlapping-or-touching token ranges) → span content

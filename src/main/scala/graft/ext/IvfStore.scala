@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
 /** Stored statistics for [[IvfStore]]: live `cells`, vector `dims`, the
-  * (advisory) total vector count, and the semantic-gate parameters
-  * (`gateTau` cosine threshold, `gateNprobe` probed cells) pinned at
-  * create time so a reader can't gate a stored index with mismatched
-  * parameters (the [[SubstrIndexStats]] `k` rule). */
+  * (advisory) total vector count, the semantic-gate parameters
+  * (`gateTau` cosine threshold, `gateNprobe` probed cells), and the SQ8
+  * `packedScale` — all pinned at create time so a reader can't gate or
+  * packed-search a stored index with mismatched parameters (the
+  * [[SubstrIndexStats]] `k` rule). */
 final case class IvfStoreStats(cells: Int, dims: Int, vectors: Long,
-    gateTau: Double, gateNprobe: Int)
+    gateTau: Double, gateNprobe: Int, packedScale: Int)
 
 /** PERSISTED IVF ANN index — [[IvfIndex]]'s session-lifetime model made a
   * stored layout, completing the index-maintenance story across the
@@ -36,6 +37,11 @@ final case class IvfStoreStats(cells: Int, dims: Int, vectors: Long,
   *    stored-id query resolves its home cells here (a 12-byte-row
   *    relation, vid-sorted for row-group pruning) instead of scanning
   *    every cell partition of the full vector relation;
+  *  - `packed/append=<id>/cell=<c>/` (vid, pemb: binary) — the STORED
+  *    SQ8 candidate tier ([[IvfIndex.packed]]'s shape persisted): every
+  *    vector's unit form quantized to packed int8 at write time, so
+  *    [[searchAllPacked]] scans 1 B/dim instead of 4 — a 4× cut of the
+  *    candidate read on top of the nprobe/cells partition pruning;
   *  - `_commits/m<seq>`      marker manifests (crashed appends invisible);
   *  - `stats/`               one [[IvfStoreStats]] row (advisory).
   *
@@ -69,7 +75,7 @@ final class IvfStore private (private val spark: SparkSession,
     val r = spark.read.parquet(s"$path/stats").head()
     IvfStoreStats(r.getAs[Int]("cells"), r.getAs[Int]("dims"),
       r.getAs[Long]("vectors"), r.getAs[Double]("gate_tau"),
-      r.getAs[Int]("gate_nprobe"))
+      r.getAs[Int]("gate_nprobe"), r.getAs[Int]("packed_scale"))
   }
 
   private val log = new ManifestLog(spark, path)
@@ -129,50 +135,64 @@ final class IvfStore private (private val spark: SparkSession,
     val before = log.read()
     val seq = before.size + 1
     val id = f"a$seq%06d"
-    val added = writeAssigned(
-      df.select(col(idCol).as("vid"), col(embCol).as("emb"),
-        VectorFunctions.l2Norm(col(embCol)).as("nrm"),
-        cellOf(col(embCol)).as("cell")), id)
-    log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
     // a store instance only exists for a committed layout (create commits
     // the first append before returning), so prev stats always exist
     val prev = stats
+    val added = writeAssigned(
+      df.select(col(idCol).as("vid"), col(embCol).as("emb"),
+        VectorFunctions.l2Norm(col(embCol)).as("nrm"),
+        cellOf(col(embCol)).as("cell")), id, prev.packedScale)
+    log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
     val st = IvfStoreStats(prev.cells, prev.dims, prev.vectors + added,
-      prev.gateTau, prev.gateNprobe)
+      prev.gateTau, prev.gateNprobe, prev.packedScale)
     IvfStore.writeStats(spark, path, st)
     maybeCompact()
     st
   }
 
   /** Write one (vid, emb, nrm, cell) relation dir `append=<id>`:
-    * cell-partitioned vid-sorted vector files plus the vidmap sidecar
-    * (derived from a column-pruned read-back of the written files — the
-    * assignment kernel runs once, not twice). Any same-named UNCOMMITTED
-    * dir a crashed predecessor left is cleared first (invisible by
-    * construction), so a replayed micro-batch can't wedge on
-    * `errorifexists`. Returns the row count, summed from parquet footers
-    * (no count job). */
-  private def writeAssigned(rows: DataFrame, id: String): Long = {
+    * cell-partitioned vid-sorted vector files plus the vidmap sidecar and
+    * the SQ8 packed tier (both derived from a column-pruned read-back of
+    * the written files — the assignment kernel runs once, not thrice).
+    * Any same-named UNCOMMITTED dir a crashed predecessor left is cleared
+    * first (invisible by construction), so a replayed micro-batch can't
+    * wedge on `errorifexists`. Returns the row count, summed from parquet
+    * footers (no count job). */
+  private def writeAssigned(rows: DataFrame, id: String, scale: Int): Long = {
     val aDir = s"$path/assigned/append=$id"
     val vDir = s"$path/vidmap/append=$id"
+    val pDir = s"$path/packed/append=$id"
     log.clearOrphan(aDir)
     log.clearOrphan(vDir)
+    log.clearOrphan(pDir)
     rows.sortWithinPartitions("cell", "vid")
       .write.partitionBy("cell").mode("errorifexists").parquet(aDir)
     val added = graft.io.ParquetMeta.rowCount(spark, aDir)
-    if (added == 0)
+    if (added == 0) {
       // a fully-dropped gated batch: the empty write left no parquet file
-      // to read back, so stage the (empty, schema-carrying) sidecar from
-      // an explicit one-partition frame instead of wedging the loop on
+      // to read back, so stage the (empty, schema-carrying) sidecars from
+      // explicit one-partition frames instead of wedging the loop on
       // schema inference
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
-          org.apache.spark.sql.types.StructType(
-            rows.schema("vid") :: rows.schema("cell") :: Nil))
+      def emptyOf(fields: Seq[org.apache.spark.sql.types.StructField],
+          dir: String): Unit =
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+            org.apache.spark.sql.types.StructType(fields))
+          .write.mode("errorifexists").parquet(dir)
+      emptyOf(Seq(rows.schema("vid"), rows.schema("cell")), vDir)
+      emptyOf(Seq(rows.schema("vid"), rows.schema("cell"),
+        org.apache.spark.sql.types.StructField("pemb",
+          org.apache.spark.sql.types.BinaryType)), pDir)
+    } else {
+      val back = spark.read.option("basePath", s"$path/assigned").parquet(aDir)
+      back.select("vid", "cell").sort("vid")
         .write.mode("errorifexists").parquet(vDir)
-    else spark.read.option("basePath", s"$path/assigned").parquet(aDir)
-      .select("vid", "cell").sort("vid")
-      .write.mode("errorifexists").parquet(vDir)
+      back.select(col("vid"), col("cell"),
+          QuantizedAnn.quantizePacked(
+            IvfIndex.unit(col("emb"), col("nrm")), scale).as("pemb"))
+        .sortWithinPartitions("cell", "vid")
+        .write.partitionBy("cell").mode("errorifexists").parquet(pDir)
+    }
     added
   }
 
@@ -196,7 +216,7 @@ final class IvfStore private (private val spark: SparkSession,
       writeAssigned(
         spark.read.option("basePath", s"$path/assigned")
           .parquet(foldable.map(id => s"$path/assigned/append=$id"): _*)
-          .select("vid", "emb", "nrm", "cell"), cid)
+          .select("vid", "emb", "nrm", "cell"), cid, stats.packedScale)
       log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)
     }
   }
@@ -213,6 +233,7 @@ final class IvfStore private (private val spark: SparkSession,
       val a = f.delete(
         new org.apache.hadoop.fs.Path(s"$path/assigned/append=$id"), true)
       f.delete(new org.apache.hadoop.fs.Path(s"$path/vidmap/append=$id"), true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/packed/append=$id"), true)
       a
     }
   }
@@ -284,6 +305,66 @@ final class IvfStore private (private val spark: SparkSession,
         (VectorFunctions.dot(col("emb"), col("qemb")) /
           (col("nrm") * col("qnrm"))).as("sim"))
     CandidateTopK.topPerQuery(scored, "sim", topK).select("qid", "vid", "sim")
+  }
+
+  /** The stored SQ8 relation over the active dir ids. */
+  private def packedRelOf(ms: Seq[Manifest]): DataFrame = {
+    val ids = activeIds(ms)
+    require(ids.nonEmpty, s"no committed packed dirs under $path")
+    spark.read.option("basePath", s"$path/packed")
+      .parquet(ids.map(id => s"$path/packed/append=$id"): _*)
+  }
+
+  /** [[search]] on the STORED SQ8 tier: candidates come exclusively from
+    * the `packed/` relation (1 B/dim — the candidate scan reads a quarter
+    * of the float bytes, on top of the nprobe/cells partition pruning),
+    * scored with the codegen'd [[graft.functions.ByteDot]] integer
+    * kernel. Query vectors are quantized through the SAME expression the
+    * write path used, so ranking is bit-identical to
+    * [[IvfPackedIndex.queryAll]] on identical centroids. Output:
+    * (qid, vid, score: long), top-k per qid. */
+  def searchPacked(queries: Seq[(Long, Array[Float])], topK: Int,
+      nprobe: Int, excludeToken: Option[String] = None): DataFrame =
+    searchRowsPacked(
+      queries.map { case (qid, emb) =>
+        (qid, emb.toSeq, IvfStore.l2NormDriver(emb))
+      }, topK, nprobe, excludeToken)
+
+  /** [[searchAll]]'s stored-id convenience form on the SQ8 tier — the
+    * lookup rides the same vidmap-pruned path; only the candidate scan
+    * switches to `packed/`. */
+  def searchAllPacked(queryIds: Seq[Long], topK: Int, nprobe: Int,
+      excludeToken: Option[String] = None): DataFrame =
+    searchRowsPacked(
+      lookupPlan(queryIds, excludeToken).collect().toSeq.map { r =>
+        (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))
+      }, topK, nprobe, excludeToken)
+
+  private def searchRowsPacked(qRows: Seq[(Long, Seq[Float], Double)],
+      topK: Int, nprobe: Int, excludeToken: Option[String]): DataFrame = {
+    import spark.implicits._
+    val scale = stats.packedScale
+    val probes = qRows.flatMap { case (qid, emb, nrm) =>
+      nearestCellsDriver(emb, nprobe).map(c => (qid, emb, nrm, c))
+    }
+    if (probes.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long)]
+        .toDF("qid", "vid", "score")
+    // quantize the query rows with the WRITE path's expression (same
+    // unit-vector + floor(x·s + 0.5) clamp), not a driver reimplementation
+    val probeDf = probes.toDF("qid", "qemb", "qnrm", "probe")
+      .select(col("qid"),
+        QuantizedAnn.quantizePacked(
+          IvfIndex.unit(col("qemb"), col("qnrm")), scale).as("qpemb"),
+        col("probe"))
+    val scored = packedRelOf(visible(excludeToken))
+      .where(col("cell").isin(probes.map(_._4).distinct: _*))
+      .join(broadcast(probeDf),
+        col("cell") === col("probe") && col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        graft.functions.ByteDot(col("qpemb"), col("pemb")).as("score"))
+    CandidateTopK.topPerQuery(scored, "score", topK)
+      .select("qid", "vid", "score")
   }
 
   /** The `nprobe` nearest stored cells for one query vector, computed on
@@ -390,9 +471,10 @@ object IvfStore {
     * `stats/`. */
   def create(df: DataFrame, idCol: String, embCol: String, path: String,
       k: Int, iters: Int = 2, gateTau: Double = 0.5,
-      gateNprobe: Int = 2): IvfStore = {
+      gateNprobe: Int = 2, packedScale: Int = 127): IvfStore = {
     require(gateTau > 0.0 && gateTau < 1.0, "gateTau in (0, 1)")
     require(gateNprobe >= 1, "gateNprobe >= 1")
+    require(packedScale >= 1 && packedScale <= 127, "packedScale in [1, 127]")
     val spark = df.sparkSession
     val idx = IvfIndex.fit(df, idCol, embCol, k, iters)
     try {
@@ -406,10 +488,11 @@ object IvfStore {
       // the fit already computed the assignment; persist ITS rows rather
       // than re-assigning (bit-identical either way — same centroids)
       val n = store.writeAssigned(
-        idx.assigned.select("vid", "emb", "nrm", "cell"), "a000001")
+        idx.assigned.select("vid", "emb", "nrm", "cell"), "a000001",
+        packedScale)
       store.log.commit(Manifest(Seq("a000001"), Nil, Nil, Nil, None), 1)
       writeStats(spark, path, IvfStoreStats(idx.centroids.size,
-        idx.centroids.head._2.length, n, gateTau, gateNprobe))
+        idx.centroids.head._2.length, n, gateTau, gateNprobe, packedScale))
       store
     } finally idx.release()
   }
@@ -448,8 +531,10 @@ object IvfStore {
   private def writeStats(spark: SparkSession, path: String,
       st: IvfStoreStats): Unit = {
     import spark.implicits._
-    Seq((st.cells, st.dims, st.vectors, st.gateTau, st.gateNprobe))
-      .toDF("cells", "dims", "vectors", "gate_tau", "gate_nprobe")
+    Seq((st.cells, st.dims, st.vectors, st.gateTau, st.gateNprobe,
+        st.packedScale))
+      .toDF("cells", "dims", "vectors", "gate_tau", "gate_nprobe",
+        "packed_scale")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 }

@@ -263,6 +263,47 @@ class IvfStoreSpec extends GraftSpec {
     new java.io.File(s"$path/_commits").listFiles().length shouldBe commits
   }
 
+  it("the STORED SQ8 tier ranks bit-identically to the session " +
+     "IvfPackedIndex (same centroids, same quantization, same ByteDot)") {
+    val store = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
+    val idx = IvfIndex.fit(emb, "vec_id", "embedding", k = 8)
+    val pidx = idx.packed()
+    try {
+      val stored = store.searchAllPacked(Seq(1L, 2L, 3L), topK = 5, nprobe = 2)
+        .orderBy("qid", "vid").as[(Long, Long, Long)].collect().toSeq
+      val mem = pidx.queryAll(Seq(1L, 2L, 3L), topK = 5, nprobe = 2)
+        .orderBy("qid", "vid").as[(Long, Long, Long)].collect().toSeq
+      stored shouldBe mem
+      stored.length shouldBe 15
+      // caller-supplied vectors rank identically for stored ids
+      val qs = emb.filter($"vec_id".isin(1L, 2L, 3L))
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      store.searchPacked(qs, topK = 5, nprobe = 2)
+        .orderBy("qid", "vid").as[(Long, Long, Long)]
+        .collect().toSeq shouldBe stored
+    } finally { pidx.release(); idx.release() }
+  }
+
+  it("a packed search scans ONLY the probed partitions of the packed " +
+     "relation — no float-embedding scan anywhere in its plan") {
+    val store = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
+    val res = store.searchAllPacked(Seq(1L), topK = 5, nprobe = 2)
+    res.collect()
+    val scans = graft.plans.PlanWalk
+      .collectAll(res.queryExecution.executedPlan) {
+        case f: FileSourceScanExec => f
+      }
+    val packedScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("/packed")))
+    packedScans should have size 1
+    packedScans.head.metrics.get("numPartitions")
+      .map(_.value) shouldBe Some(2L)
+    // the candidate side never touches the float relation
+    scans.count(_.relation.location.rootPaths
+      .exists(_.toString.contains("/assigned"))) shouldBe 0
+  }
+
   it("appending a fully-dropped (empty) gated batch commits cleanly " +
      "instead of wedging the loop on the sidecar read-back") {
     val store = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
