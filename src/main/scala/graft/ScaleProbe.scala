@@ -197,7 +197,10 @@ object ScaleProbe {
           val memRows = index.queryAll(qids, topK = 10, nprobe = np)
             .select("qid", "vid").collect()
           val ts2 = System.nanoTime()
-          println(f"""{"probe":"ivfstore_recall","vecs":$n,"k":32,"topk":10,"nprobe":$np,"recall_stored":${recallVs(exactStored, storedRows)}%.3f,"recall_session":${recallVs(exactMem, memRows)}%.3f,"stored_sec":${(ts1 - ts0) / 1e9}%.2f,"session_sec":${(ts2 - ts1) / 1e9}%.2f,"create_sec":${(tc1 - tc0) / 1e9}%.1f}""")
+          val packedRows = store.searchAllPacked(qids, topK = 10, nprobe = np)
+            .select("qid", "vid").collect()
+          val ts3 = System.nanoTime()
+          println(f"""{"probe":"ivfstore_recall","vecs":$n,"k":32,"topk":10,"nprobe":$np,"recall_stored":${recallVs(exactStored, storedRows)}%.3f,"recall_session":${recallVs(exactMem, memRows)}%.3f,"recall_stored_packed":${recallVs(exactStored, packedRows)}%.3f,"stored_sec":${(ts1 - ts0) / 1e9}%.2f,"session_sec":${(ts2 - ts1) / 1e9}%.2f,"stored_packed_sec":${(ts3 - ts2) / 1e9}%.2f,"create_sec":${(tc1 - tc0) / 1e9}%.1f}""")
         }
         index.release()
         df.unpersist()
