@@ -2216,6 +2216,31 @@ object SparkEntry {
       .orderBy("qid", "vid")
   }
 
+  /** DQ127 (EXT): the PERSISTED BM25 inverted index
+    * ([[graft.ext.Bm25Store]]) — the retrieval modality's stored layout,
+    * completing the index family: the corpus is tokenized ONCE into a
+    * term-hash-bucket-partitioned posting relation (80% at build, the
+    * held-out 20% appended exactly-once under a token), corpus statistics
+    * (N, Σdl) accumulate as exact Longs, and a search reads ONLY its own
+    * query terms' buckets (partition pruning at file listing, `term IN`
+    * pushed to row groups) — document text is never re-read. Scoring runs
+    * the SAME expression tree as the session scorer (dq86), so the oracle
+    * is dq86's chain verbatim: stored search over build+append must rank
+    * exactly like session BM25 over the whole corpus. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, 4)))
+          .as("term"))
+    val path = graft.io.TempReaper.tempDir("graft-dq127-idx").toString + "/idx"
+    val store = graft.ext.Bm25Store.build(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", path)
+    store.appendOnce(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+      "dq127#b1")
+    store.search(queries, k = 3).orderBy("qid", "rnk")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2380,7 +2405,8 @@ object SparkEntry {
     "dq123_stream_sem_loop"     -> (q123 _),
     "dq124_config_ingest"       -> (q124 _),
     "dq125_config_sem_ingest"   -> (q125 _),
-    "dq126_ivf_store_packed"    -> (q126 _)
+    "dq126_ivf_store_packed"    -> (q126 _),
+    "dq127_bm25_store"          -> (q127 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2767,6 +2793,40 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rnk <= 5 ORDER BY qid, vid""".stripMargin
   }
+
+  /** dq86/dq127 shared scoring chain: the rational-idf BM25 (no ln — not
+    * bit-portable across libm), every per-term factor a fixed IEEE
+    * expression tree, per-term scores floored into micro-units whose
+    * BIGINT sum is associative: the ranking hash-matches at full
+    * precision. Parenthesization mirrors the Spark expression EXACTLY.
+    * dq127 (the PERSISTED inverted index, built 80% + appended 20%)
+    * shares it verbatim: stored df/tf/dl/N/avgdl equal their corpus-wide
+    * values, so stored search ≡ session scoring. */
+  private lazy val Dq86Sql: String =
+    """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |    x -> len(x) > 0) toks FROM documents),
+      |wl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) dl FROM t),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) n,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM wl),
+      |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM wl)
+      |  GROUP BY 1, 2, 3),
+      |q AS (SELECT doc_id AS qid, unnest(list_distinct(toks[1:4])) AS term
+      |  FROM t WHERE doc_id % 101 = 0),
+      |posts AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM q) qv USING (term)),
+      |dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM posts GROUP BY 1),
+      |scored AS (SELECT q.qid, p.doc_id AS vid,
+      |    CAST(sum(CAST(floor(
+      |      ((CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+      |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) *
+      |      1000000.0) AS BIGINT)) AS BIGINT) score_micro
+      |  FROM posts p JOIN q USING (term) JOIN dfq USING (term), stats s
+      |  WHERE p.doc_id <> q.qid GROUP BY 1, 2),
+      |r AS (SELECT qid, vid, score_micro,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, vid) rnk
+      |  FROM scored)
+      |SELECT qid, vid, score_micro, rnk FROM r WHERE rnk <= 3
+      |ORDER BY qid, rnk""".stripMargin
 
   /** dq117/dq121 shared derivation: history window digests, batch-1
     * report vs them, fresh-survivor append, batch-2 report vs the grown
@@ -3737,36 +3797,11 @@ object SparkEntry {
         |  md5(r) AS redacted_md5,
         |  length(r)::INTEGER AS n_chars_redacted
         |FROM red ORDER BY doc_id""".stripMargin,
-    "dq86_bm25_topk" ->
-      // the same rational-idf BM25 (no ln — not bit-portable across libm),
-      // every per-term factor a fixed IEEE expression tree, per-term scores
-      // floored into micro-units whose BIGINT sum is associative: the
-      // ranking hash-matches at full precision. Parenthesization mirrors
-      // the Spark expression EXACTLY.
-      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
-        |    x -> len(x) > 0) toks FROM documents),
-        |wl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) dl FROM t),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) n,
-        |    CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM wl),
-        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) tf
-        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM wl)
-        |  GROUP BY 1, 2, 3),
-        |q AS (SELECT doc_id AS qid, unnest(list_distinct(toks[1:4])) AS term
-        |  FROM t WHERE doc_id % 101 = 0),
-        |posts AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM q) qv USING (term)),
-        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM posts GROUP BY 1),
-        |scored AS (SELECT q.qid, p.doc_id AS vid,
-        |    CAST(sum(CAST(floor(
-        |      ((CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
-        |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) *
-        |      1000000.0) AS BIGINT)) AS BIGINT) score_micro
-        |  FROM posts p JOIN q USING (term) JOIN dfq USING (term), stats s
-        |  WHERE p.doc_id <> q.qid GROUP BY 1, 2),
-        |r AS (SELECT qid, vid, score_micro,
-        |    row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, vid) rnk
-        |  FROM scored)
-        |SELECT qid, vid, score_micro, rnk FROM r WHERE rnk <= 3
-        |ORDER BY qid, rnk""".stripMargin,
+    "dq86_bm25_topk" -> Dq86Sql,
+    // the STORED inverted index built as 80% + appended 20% must rank
+    // exactly like the session scorer over the whole corpus — one oracle
+    // for both (stored/session parity, the dq104/dq109 precedent)
+    "dq127_bm25_store" -> Dq86Sql,
     "dq90_hard_negatives" ->
       // dq86's scoring chain verbatim, then the positive-label anti-join
       // BEFORE ranking (a removed positive frees its rank) and k = 5

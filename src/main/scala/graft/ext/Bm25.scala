@@ -70,6 +70,51 @@ object Bm25 {
     CandidateTopK.rankedTopPerQuery(negatives, "score_micro", k)
   }
 
+  /** The exploded posting relation of a corpus: one row per distinct
+    * (document, term) — `(__id, __dl, term, __tf)`. This is what
+    * [[Bm25Store]] persists; the session path derives it per call. */
+  private[ext] def postingsOf(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val withLen = corpus.select(col(idCol).as("__id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"), col("__toks"),
+        size(col("__toks")).cast("long").as("__dl"))
+    withLen.select(col("__id"), col("__dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy("__id", "__dl", "term")
+      .agg(count(lit(1)).as("__tf"))
+  }
+
+  /** The shared scoring TAIL over a query-vocabulary-pruned posting
+    * relation — one expression tree, used verbatim by the per-call path
+    * and the stored index ([[Bm25Store.search]]), so session and stored
+    * ranking can never drift.
+    *
+    * @param postings (__id, __dl, term, __tf) PRUNED to the query
+    *                 vocabulary (df over it equals corpus df for every
+    *                 query term)
+    * @param stats    one row: (__n: long total docs, __avgdl: double)
+    */
+  private[ext] def scoreFromPostings(postings: DataFrame, queries: DataFrame,
+      stats: DataFrame, k1: Double, b: Double): DataFrame = {
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("__df"))
+
+    val idf = (col("__n").cast("double") - col("__df") + lit(0.5)) /
+      (col("__df") + lit(0.5))
+    val tfPart = (col("__tf") * lit(k1 + 1)) /
+      (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("__dl") / col("__avgdl"))))
+    val termMicro = floor(idf * tfPart * lit(1000000.0)).cast("long")
+
+    postings
+      .join(broadcast(queries.select(col("qid"), col("term"))), Seq("term"))
+      .filter(col("__id") =!= col("qid"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("__id").as("vid"), termMicro.as("__m"))
+      .groupBy("qid", "vid")
+      .agg(sum(col("__m")).as("score_micro"))
+  }
+
   /** The shared scoring pipeline: (qid, vid, score_micro) for every
     * (query, document) pair with term overlap, identity hits excluded.
     */
@@ -94,21 +139,6 @@ object Bm25 {
     // and the vocabulary-sized aggregation never happens
     val qvocab = queries.select(col("term")).distinct()
     val postings = tf.join(broadcast(qvocab), Seq("term"))
-    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("__df"))
-
-    val idf = (col("__n").cast("double") - col("__df") + lit(0.5)) /
-      (col("__df") + lit(0.5))
-    val tfPart = (col("__tf") * lit(k1 + 1)) /
-      (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("__dl") / col("__avgdl"))))
-    val termMicro = floor(idf * tfPart * lit(1000000.0)).cast("long")
-
-    postings
-      .join(broadcast(queries.select(col("qid"), col("term"))), Seq("term"))
-      .filter(col("__id") =!= col("qid"))
-      .join(broadcast(dfreq), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .select(col("qid"), col("__id").as("vid"), termMicro.as("__m"))
-      .groupBy("qid", "vid")
-      .agg(sum(col("__m")).as("score_micro"))
+    scoreFromPostings(postings, queries, stats, k1, b)
   }
 }
