@@ -419,6 +419,35 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq122 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq127: the stored inverted index's scale property — a search's
+      //    posting scan prunes to the query terms' hash buckets at file
+      //    listing, with the term predicate pushed to row groups.
+      if (!names.exists(_.startsWith("dq127"))) None
+      else try {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val path = graft.io.TempReaper.tempDir("graft-bench-bm25idx").toString + "/idx"
+        val buildLoad = loadAvg()
+        val tb0 = System.nanoTime()
+        val store = graft.ext.Bm25Store.build(docs, "doc_id", "text", path,
+          buckets = 16)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        val q1 = Seq((1L, "the"), (1L, "data")).toDF("qid", "term")
+        val pruned = store.prunedPostingsFor(q1)
+        pruned.collect()
+        val scans = graft.plans.PlanWalk
+          .collectAll(pruned.queryExecution.executedPlan) {
+            case f: FileSourceScanExec =>
+              f.metrics.get("numPartitions").map(_.value)
+          }.flatten
+        Some(f""""dq127_build_sec":$buildSec%.3f,"dq127_build_loadavg":$buildLoad%.2f,""" +
+          s""""dq127_buckets":16,"dq127_partitions_read":${scans.reduceOption(_ min _)
+            .map(_.toString).getOrElse("\"metric unavailable\"")}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq127 evidence failed: ${e.getMessage}"); None
+      },
       if (!names.exists(_.startsWith("dq59"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec

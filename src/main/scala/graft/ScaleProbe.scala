@@ -248,6 +248,42 @@ object ScaleProbe {
         ()
       }
     }
+    // Stored BM25 scaling (round 11): per-query cost of the persisted
+    // inverted index vs the per-call session scorer as the corpus grows.
+    // The session path re-tokenizes the WHOLE corpus every call (its one
+    // corpus-sized pass); the stored search reads only the query terms'
+    // bucket partitions — per-query cost bounded by query vocabulary × df,
+    // independent of corpus size. Build is the once-per-document cost.
+    if (sys.env.get("SCALE_BM25STORE").contains("1")) {
+      import spark.implicits._
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val queries = docs.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("qid"),
+          explode(array_distinct(slice(
+            graft.ext.TextAnalysis.tokens(col("text")), 1, 4))).as("term"))
+        .localCheckpoint(true)
+      for (m <- Seq(4, 16)) {
+        val corpus = docs.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              (t, i) => when(i % 3 === 0, concat(t, lit("u"), col("rep")))
+                .otherwise(t)), " ").as("text"))
+          .localCheckpoint(true)
+        val n = corpus.count()
+        val path = graft.io.TempReaper.tempDir("graft-scale-bm25store")
+          .toString + "/idx"
+        val tb0 = System.nanoTime()
+        val store = graft.ext.Bm25Store.build(corpus, "doc_id", "text", path,
+          buckets = 32)
+        val tb1 = System.nanoTime()
+        val storedRows = store.search(queries, k = 3).count()
+        val tb2 = System.nanoTime()
+        val sessionRows = graft.ext.Bm25
+          .topK(corpus, "doc_id", "text", queries, k = 3).count()
+        val tb3 = System.nanoTime()
+        println(f"""{"probe":"bm25store","corpus":$n,"build_sec":${(tb1 - tb0) / 1e9}%.1f,"stored_rows":$storedRows,"stored_sec":${(tb2 - tb1) / 1e9}%.2f,"session_rows":$sessionRows,"session_sec":${(tb3 - tb2) / 1e9}%.2f}""")
+      }
+    }
     // Large-k IVF probe (k=1024): fit+query walls on the broadcast-kernel
     // path, three-way assignment parity (literal / kernel / join), and the
     // kernel-vs-join full-corpus walls — the evidence that large k must NOT
