@@ -2241,6 +2241,57 @@ object SparkEntry {
     store.search(queries, k = 3).orderBy("qid", "rnk")
   }
 
+  /** DQ128 (EXT): the PERSISTED bigram LM as an incremental fluency gate
+    * ([[graft.ext.NgramLmStore]]) — the fifth stored modality: bigram
+    * counts are associative, so history is tokenized ONCE into count
+    * partials and each batch scores against the SUMMED stored model
+    * (integer micro-probabilities, the dq92 arithmetic), keeps documents
+    * whose mean is in the stored band (replays of corpus-shaped text
+    * pass; token-mutated text's unseen transitions drag the mean down),
+    * and APPENDS the survivors' counts — the model update IS the append,
+    * so batch 2 scores against history + batch-1 survivors, including
+    * the integer-division shifts the grown prefix totals cause. The
+    * oracle replays both rounds' models, scores, bands, and the count
+    * union. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (b1, b2) = nearDupBatches(docs)
+    val path = graft.io.TempReaper.tempDir("graft-dq128-idx").toString + "/idx"
+    val store = graft.ext.NgramLmStore.build(docs, "doc_id", "text", path,
+      loMicro = 20000L)
+    val kept1 = store.gateKeep(b1, "doc_id", "text", None).localCheckpoint(true)
+    store.append(kept1, "doc_id", "text")
+    val kept2 = store.gateKeep(b2, "doc_id", "text", None)
+    kept1.select(lit(1L).as("batch"), col("doc_id"))
+      .union(kept2.select(lit(2L).as("batch"), col("doc_id")))
+      .orderBy("batch", "doc_id")
+  }
+
+  /** DQ129 (EXT, §2.9): dq128's stored-model gate STREAMED through the
+    * UNCHANGED generic ingest loop — [[EventStream.runIndexedIngest]]
+    * now serves all FIVE gated modalities; exactly-once via batch tokens
+    * + the replay-view gate. Shares dq128's oracle verbatim. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (b1, b2) = nearDupBatches(docs)
+    val in = graft.io.TempReaper.tempDir("graft-dq129-in").toString
+    b1.coalesce(1).write.parquet(s"$in/b1.parquet")
+    b2.coalesce(1).write.parquet(s"$in/b2.parquet")
+    val later = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 120000L)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b2.parquet"))
+      .forEach(p => { java.nio.file.Files.setLastModifiedTime(p, later); () })
+    val idxPath = graft.io.TempReaper.tempDir("graft-dq129-idx").toString + "/idx"
+    val store = graft.ext.NgramLmStore.build(docs, "doc_id", "text", idxPath,
+      loMicro = 20000L)
+    val incoming = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    EventStream.runIndexedIngest(incoming, store, "doc_id", "text", "dq129")
+      .select(col("batch"), col("doc_id"))
+      .orderBy("batch", "doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2406,7 +2457,9 @@ object SparkEntry {
     "dq124_config_ingest"       -> (q124 _),
     "dq125_config_sem_ingest"   -> (q125 _),
     "dq126_ivf_store_packed"    -> (q126 _),
-    "dq127_bm25_store"          -> (q127 _)
+    "dq127_bm25_store"          -> (q127 _),
+    "dq128_lm_store_gate"       -> (q128 _),
+    "dq129_stream_lm_loop"      -> (q129 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2827,6 +2880,67 @@ object SparkEntry {
       |  FROM scored)
       |SELECT qid, vid, score_micro, rnk FROM r WHERE rnk <= 3
       |ORDER BY qid, rnk""".stripMargin
+
+  /** dq128/dq129: the stored bigram model's two-round gate — model 1 from
+    * history counts, batch 1 scored (dq92's all-integer arithmetic,
+    * absent bigrams 0-micro but counted), band-kept, survivors' counts
+    * UNIONED into model 2, batch 2 scored against it. The batch fixture
+    * is [[Dq104Sql]]'s b1/b2 verbatim. */
+  private lazy val Dq128Sql: String = {
+    def mut(step: Int, sfx: Char): String =
+      s"""array_to_string(list_transform(range(1, len(tk) + 1),
+        |      i -> CASE WHEN (i - 1) % $step = 0 THEN tk[i] || '$sfx' ELSE tk[i] END),
+        |      ' ')""".stripMargin
+    def grams(src: String, p: String): String =
+      s"""${p}t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+        |    x -> len(x) > 0) toks FROM $src),
+        |${p}g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM ${p}t WHERE len(toks) >= 2)""".stripMargin
+    def scoreRound(model: String, batchG: String, batch: String,
+        p: String): String =
+      s"""${p}m AS (SELECT bg, CAST(count(*) AS BIGINT) c12 FROM $model GROUP BY 1),
+        |${p}pc AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) c1
+        |  FROM ${p}m GROUP BY 1),
+        |${p}mm AS (SELECT bg, (1000000 * c12) // c1 AS micro
+        |  FROM ${p}m JOIN ${p}pc ON string_split(${p}m.bg, ' ')[1] = ${p}pc.w1),
+        |${p}s AS (SELECT doc_id, CAST(count(*) AS BIGINT) nb,
+        |    CAST(sum(COALESCE(micro, 0)) AS BIGINT) sm
+        |  FROM $batchG LEFT JOIN ${p}mm USING (bg) GROUP BY 1),
+        |${p}k AS (SELECT $batch.doc_id FROM $batch LEFT JOIN ${p}s USING (doc_id)
+        |  WHERE COALESCE(sm // nb, 0) >= 20000)""".stripMargin
+    s"""WITH b1 AS (
+      |  SELECT doc_id + 100000 AS doc_id, source, text || ' zzztail' AS text
+      |  FROM documents WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, source, ${mut(3, 'x')} AS text
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') tk
+      |        FROM documents WHERE doc_id % 13 = 0)),
+      |b2 AS (
+      |  SELECT doc_id + 300000 AS doc_id, source,
+      |    ${mut(3, 'x')} || ' zzztail' AS text
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') tk
+      |        FROM documents WHERE doc_id % 13 = 0)
+      |  UNION ALL
+      |  SELECT doc_id + 400000 AS doc_id, source, text || ' zzztail' AS text
+      |  FROM documents WHERE doc_id % 19 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 500000 AS doc_id, source, ${mut(2, 'y')} AS text
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') tk
+      |        FROM documents WHERE doc_id % 11 = 0)),
+      |${grams("documents", "h")},
+      |${grams("b1", "p")},
+      |${grams("b2", "q")},
+      |hbg AS (SELECT bg FROM hg),
+      |${scoreRound("hbg", "pg", "b1", "r1")},
+      |h2 AS (SELECT bg FROM hbg
+      |  UNION ALL SELECT pg.bg FROM pg JOIN r1k USING (doc_id)),
+      |${scoreRound("h2", "qg", "b2", "r2")}
+      |SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM r1k
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS batch, doc_id FROM r2k
+      |ORDER BY batch, doc_id""".stripMargin
+  }
 
   /** dq117/dq121 shared derivation: history window digests, batch-1
     * report vs them, fresh-survivor append, batch-2 report vs the grown
@@ -3802,6 +3916,10 @@ object SparkEntry {
     // exactly like the session scorer over the whole corpus — one oracle
     // for both (stored/session parity, the dq104/dq109 precedent)
     "dq127_bm25_store" -> Dq86Sql,
+    // the stored bigram LM's incremental fluency gate — and its streamed
+    // twin through the generic loop (stream/batch parity)
+    "dq128_lm_store_gate" -> Dq128Sql,
+    "dq129_stream_lm_loop" -> Dq128Sql,
     "dq90_hard_negatives" ->
       // dq86's scoring chain verbatim, then the positive-label anti-join
       // BEFORE ranking (a removed positive frees its rank) and k = 5

@@ -49,17 +49,24 @@ object NgramLm {
     * When `modelDocs` eq `docs` every bigram is in-model and this is
     * [[fluencyReport]].
     */
+  /** One row per bigram occurrence of `textCol`, carrying `cols` through:
+    * `(cols..., __bg)` — the shared derivation of the per-call paths and
+    * the persisted model ([[NgramLmStore]]), so counts can never drift. */
+  private[ext] def bigramsOf(df: DataFrame, textCol: String,
+      cols: Column*): DataFrame = {
+    val grams = when(size(col("__toks")) >= 2,
+      transform(sequence(lit(0), size(col("__toks")) - 2),
+        i => concat_ws(" ", element_at(col("__toks"), i + 1),
+          element_at(col("__toks"), i + 2))))
+      .otherwise(array())
+    df.select(cols :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
+      .select(cols :+ explode(grams).as("__bg"): _*)
+  }
+
   def scoreAgainst(docs: DataFrame, modelDocs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    def bigramsOf(df: DataFrame, cols: Column*): DataFrame = {
-      val grams = when(size(col("__toks")) >= 2,
-        transform(sequence(lit(0), size(col("__toks")) - 2),
-          i => concat_ws(" ", element_at(col("__toks"), i + 1),
-            element_at(col("__toks"), i + 2))))
-        .otherwise(array())
-      df.select(cols :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
-        .select(cols :+ explode(grams).as("__bg"): _*)
-    }
+    def bigramsOf(df: DataFrame, cols: Column*): DataFrame =
+      NgramLm.bigramsOf(df, textCol, cols: _*)
     val bg = bigramsOf(docs, col(idCol))
 
     // the bigram frame feeds BOTH the model aggregation (same-corpus case)
