@@ -2292,6 +2292,31 @@ object SparkEntry {
       .orderBy("batch", "doc_id")
   }
 
+  /** DQ130 (EXT): CONFIG-DRIVEN LM-gated ingest
+    * ([[graft.plan.CurationConfig.LmGate]]) — the declare-then-run form of
+    * dq128's stored-model loop, completing the config family over FOUR
+    * gated modalities (substr dq124, semantic dq125, LM here): round 1
+    * (doc_id % 4 = 1) seeds the model from the batch (counts = training,
+    * all kept); round 2 re-parses with the wider selector against the
+    * SAME path and band-gates every document against the seeded model,
+    * folding survivors' counts back in. The oracle replays the seed
+    * model, the integer scoring, and the band. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.io.TempReaper.tempDir("graft-dq130-idx").toString + "/idx"
+    def cfg(whereExpr: String): String =
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "where", "expr": "$whereExpr"},
+        |   {"stage": "lm_gate", "path": "$path", "loMicro": 20000}]}"""
+        .stripMargin
+    val r1 = graft.plan.CurationConfig.parse(cfg("doc_id % 4 = 1")).run(s, dir)
+    val r2 = graft.plan.CurationConfig
+      .parse(cfg("doc_id % 4 = 1 OR doc_id % 4 = 2")).run(s, dir)
+    r1.select(lit(1L).as("round"), col("doc_id"))
+      .union(r2.select(lit(2L).as("round"), col("doc_id")))
+      .orderBy("round", "doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2459,7 +2484,8 @@ object SparkEntry {
     "dq126_ivf_store_packed"    -> (q126 _),
     "dq127_bm25_store"          -> (q127 _),
     "dq128_lm_store_gate"       -> (q128 _),
-    "dq129_stream_lm_loop"      -> (q129 _)
+    "dq129_stream_lm_loop"      -> (q129 _),
+    "dq130_config_lm_ingest"    -> (q130 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3920,6 +3946,36 @@ object SparkEntry {
     // twin through the generic loop (stream/batch parity)
     "dq128_lm_store_gate" -> Dq128Sql,
     "dq129_stream_lm_loop" -> Dq128Sql,
+    // config-driven LM ingest: round 1 seeds the model (all kept), round
+    // 2 band-gates the wider batch against it (dq92's integer scoring)
+    "dq130_config_lm_ingest" ->
+      """WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+        |b2 AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 4 = 1 OR doc_id % 4 = 2),
+        |ht AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) toks FROM b1),
+        |hg AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM ht WHERE len(toks) >= 2),
+        |bt AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) toks FROM b2),
+        |bgq AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM bt WHERE len(toks) >= 2),
+        |m AS (SELECT bg, CAST(count(*) AS BIGINT) c12 FROM hg GROUP BY 1),
+        |pc AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) c1
+        |  FROM m GROUP BY 1),
+        |mm AS (SELECT bg, (1000000 * c12) // c1 AS micro
+        |  FROM m JOIN pc ON string_split(m.bg, ' ')[1] = pc.w1),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) nb,
+        |    CAST(sum(COALESCE(micro, 0)) AS BIGINT) sm
+        |  FROM bgq LEFT JOIN mm USING (bg) GROUP BY 1),
+        |k2 AS (SELECT b2.doc_id FROM b2 LEFT JOIN s USING (doc_id)
+        |  WHERE COALESCE(sm // nb, 0) >= 20000)
+        |SELECT CAST(1 AS BIGINT) AS round, doc_id FROM b1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS round, doc_id FROM k2
+        |ORDER BY round, doc_id""".stripMargin,
     "dq90_hard_negatives" ->
       // dq86's scoring chain verbatim, then the positive-label anti-join
       // BEFORE ranking (a removed positive frees its rank) and k = 5

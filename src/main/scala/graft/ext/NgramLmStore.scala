@@ -247,6 +247,12 @@ object NgramLmStore {
     idx
   }
 
+  /** Whether `path` holds at least one committed model manifest — the
+    * build-if-absent probe of config-driven gate stages
+    * ([[graft.plan.CurationConfig]]). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    new ManifestLog(spark, path).read().nonEmpty
+
   /** Open a stored model; parameters come from its `stats/` row. */
   def open(spark: SparkSession, path: String): NgramLmStore = {
     val idx = new NgramLmStore(spark, path)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.ext.{Dedup, IvfStore, NearDupIndex, NgramLm, Sampling, SubstrIndex, TextAnalysis}
+import graft.ext.{Dedup, IvfStore, NearDupIndex, NgramLm, NgramLmStore, Sampling, SubstrIndex, TextAnalysis}
 
 /** Config-driven CURATION pipeline — the EXT analogue of [[ReportConfig]]'s
   * declare-a-report-then-run workflow (the reference runner loads a typed
@@ -158,6 +158,34 @@ object CurationConfig {
         val kept = store.gateKeep(df, idCol, embCol, excludeToken = None)
           .localCheckpoint(true)
         store.append(kept, idCol, embCol)
+        kept
+      }
+    }
+  }
+
+  /** The stored-model fluency gate ([[NgramLmStore]]): round 1 seeds the
+    * model from the batch (trains = counts, everything kept); later
+    * rounds band-gate against the persisted model and fold survivors'
+    * counts back in — [[FluencyBand]]'s semantics with the per-call
+    * retrain replaced by incremental model maintenance. */
+  final case class LmGate(path: String, loMicro: Long,
+      hiMicro: Long) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val spark = df.sparkSession
+      if (!NgramLmStore.exists(spark, path)) {
+        val seeded = df.localCheckpoint(true)
+        NgramLmStore.build(seeded, idCol, textCol, path,
+          loMicro = loMicro, hiMicro = hiMicro)
+        seeded
+      } else {
+        val store = NgramLmStore.open(spark, path)
+        val st = store.stats
+        require(st.loMicro == loMicro && st.hiMicro == hiMicro,
+          s"lm_gate at $path was built with band [${st.loMicro}, " +
+            s"${st.hiMicro}]; the config declares [$loMicro, $hiMicro]")
+        val kept = store.gateKeep(df, idCol, textCol, excludeToken = None)
+          .localCheckpoint(true)
+        store.append(kept, idCol, textCol)
         kept
       }
     }
@@ -322,10 +350,20 @@ object CurationConfig {
         if (nprobe < 1)
           fail(s"stage 'semantic_gate': nprobe must be >= 1, got $nprobe")
         SemanticGate(path, k.toInt, tau, nprobe.toInt)
+      case "lm_gate" =>
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'lm_gate' needs a non-empty 'path' string")
+        }
+        val lo = long("loMicro").getOrElse(fail("stage 'lm_gate' needs 'loMicro'"))
+        if (lo < 0) fail(s"stage 'lm_gate': loMicro must be >= 0, got $lo")
+        val hi = long("hiMicro").getOrElse(Long.MaxValue)
+        if (hi < lo) fail(s"stage 'lm_gate': hiMicro ($hi) < loMicro ($lo)")
+        LmGate(path, lo, hi)
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
           "fluency_band | token_budget | repeat_epochs | where | " +
-          "substr_gate | neardup_gate | semantic_gate)")
+          "substr_gate | neardup_gate | semantic_gate | lm_gate)")
     }
   }
 

@@ -174,6 +174,30 @@ class CurationConfigSpec extends GraftSpec {
     e.getMessage should (include("tau=0.5") and include("tau=0.7"))
   }
 
+  it("lm_gate: bootstrap seeds the stored model (all kept); later runs " +
+     "band-gate against it; a drifted band is refused") {
+    val d = dir
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-lmg").toString + "/idx"
+    def cfg(whereExpr: String, lo: Long = 20000L): String =
+      s"""{"table":"documents","id":"doc_id","text":"text",
+        | "stages":[{"stage":"where","expr":"$whereExpr"},
+        |   {"stage":"lm_gate","path":"$path","loMicro":$lo}]}""".stripMargin
+    CurationConfig.parse(cfg("doc_id <= 2")).run(spark, d)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+    // doc 1 re-sent: every bigram in the seeded model → high mean → kept
+    CurationConfig.parse(cfg("doc_id = 1")).run(spark, d)
+      .select("doc_id").as[Long].collect() shouldBe Array(1L)
+    // doc 5's rare-transition bigrams are all unseen → mean 0 → dropped
+    CurationConfig.parse(cfg("doc_id = 5")).run(spark, d)
+      .count() shouldBe 0L
+    val e = intercept[IllegalArgumentException] {
+      CurationConfig.parse(cfg("doc_id = 1", lo = 30000L)).run(spark, d)
+        .count()
+    }
+    e.getMessage should (include("20000") and include("30000"))
+  }
+
   it("persisted-gate and where stages parse strictly, naming the stage " +
      "and the constraint") {
     def bad(json: String, needle: String): Unit = {
@@ -212,6 +236,15 @@ class CurationConfigSpec extends GraftSpec {
     bad("""{"table":"embeddings","id":"i","text":"t",
           | "stages":[{"stage":"semantic_gate","path":"/tmp/x","k":4,
           |   "nprobe":0}]}""".stripMargin, ">= 1")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"lm_gate","path":"/tmp/x"}]}""".stripMargin,
+      "'loMicro'")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"lm_gate","path":"/tmp/x","loMicro":9,
+          |   "hiMicro":3}]}""".stripMargin, "hiMicro")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"lm_gate","loMicro":5}]}""".stripMargin,
+      "'path'")
   }
 
   it("rejects unknown stages and bad parameters AT PARSE TIME, naming " +
