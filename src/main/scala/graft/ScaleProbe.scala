@@ -284,6 +284,38 @@ object ScaleProbe {
         println(f"""{"probe":"bm25store","corpus":$n,"build_sec":${(tb1 - tb0) / 1e9}%.1f,"stored_rows":$storedRows,"stored_sec":${(tb2 - tb1) / 1e9}%.2f,"session_rows":$sessionRows,"session_sec":${(tb3 - tb2) / 1e9}%.2f}""")
       }
     }
+    // Stored bigram-LM scaling (round 11): scoring a FIXED batch against
+    // the persisted model vs the per-call scoreAgainst, which re-tokenizes
+    // and re-counts the WHOLE model corpus every call. Stored scoring is
+    // model-sized (vocabulary-bounded, prefix-pruned); per-call is
+    // corpus-sized — the linear-vs-flat contrast build cost buys.
+    if (sys.env.get("SCALE_LMSTORE").contains("1")) {
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val batch = docs.limit(500)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      for (m <- Seq(4, 16)) {
+        val corpus = docs.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              (t, i) => when(i % 3 === 0, concat(t, lit("u"), col("rep")))
+                .otherwise(t)), " ").as("text"))
+          .localCheckpoint(true)
+        val n = corpus.count()
+        val path = graft.io.TempReaper.tempDir("graft-scale-lmstore")
+          .toString + "/idx"
+        val tb0 = System.nanoTime()
+        val store = graft.ext.NgramLmStore.build(corpus, "doc_id", "text",
+          path, buckets = 32)
+        val tb1 = System.nanoTime()
+        val storedRows = store.scoreBatch(batch, "doc_id", "text").count()
+        val tb2 = System.nanoTime()
+        val sessionRows = graft.ext.NgramLm
+          .scoreAgainst(batch, corpus, "doc_id", "text").count()
+        val tb3 = System.nanoTime()
+        println(f"""{"probe":"lmstore","corpus":$n,"build_sec":${(tb1 - tb0) / 1e9}%.1f,"stored_rows":$storedRows,"stored_sec":${(tb2 - tb1) / 1e9}%.2f,"session_rows":$sessionRows,"session_sec":${(tb3 - tb2) / 1e9}%.2f}""")
+      }
+    }
     // Large-k IVF probe (k=1024): fit+query walls on the broadcast-kernel
     // path, three-way assignment parity (literal / kernel / join), and the
     // kernel-vs-join full-corpus walls — the evidence that large k must NOT
