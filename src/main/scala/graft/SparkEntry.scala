@@ -2269,7 +2269,7 @@ object SparkEntry {
 
   /** DQ129 (EXT, §2.9): dq128's stored-model gate STREAMED through the
     * UNCHANGED generic ingest loop — [[EventStream.runIndexedIngest]]
-    * now serves all FIVE gated modalities; exactly-once via batch tokens
+    * now serves all FOUR gated modalities; exactly-once via batch tokens
     * + the replay-view gate. Shares dq128's oracle verbatim. */
   private def q129(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
