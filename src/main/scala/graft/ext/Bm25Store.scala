@@ -114,6 +114,11 @@ final class Bm25Store private (
       val agg = posts.select(col("__id"), col("__dl")).distinct()
         .agg(count(lit(1)).as("n"), coalesce(sum(col("__dl")), lit(0L)).as("s"))
         .head()
+      // a FIRST append with zero postings would leave the index unreadable
+      // (every later read infers schema over only-empty dirs): refuse the
+      // degenerate build with a clear error instead of wedging later
+      require(!first || agg.getLong(0) > 0,
+        s"cannot build a stored index at $path from a corpus with no postings")
       log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
       val st = Bm25StoreStats(prev.docs + agg.getLong(0),
         prev.dlSum + agg.getLong(1), prev.buckets)

@@ -113,6 +113,11 @@ final class NgramLmStore private (
       .sortWithinPartitions("wb", "__w1", "__bg")
       .write.partitionBy("wb").mode("errorifexists").parquet(dir)
     val added = graft.io.ParquetMeta.rowCount(spark, dir)
+    // a FIRST append with zero rows would leave the model unreadable
+    // (every later read infers schema over only-empty dirs): refuse the
+    // degenerate build with a clear error instead of wedging later
+    require(!first || added > 0,
+      s"cannot build a stored model at $path from a corpus with no bigrams")
     log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
     val st = NgramLmStoreStats(prev.bigramRows + added, prev.buckets,
       prev.loMicro, prev.hiMicro)

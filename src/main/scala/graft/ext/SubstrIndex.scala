@@ -106,6 +106,12 @@ final class SubstrIndex private (
     dgs.write.mode("errorifexists").parquet(s"$path/digests/append=$id")
     // footer-summed row count: no re-scan job over the dir just written
     val added = graft.io.ParquetMeta.rowCount(spark, s"$path/digests/append=$id")
+    // a FIRST append with zero digests would leave the index unreadable
+    // (every later read infers schema over only-empty dirs): refuse the
+    // degenerate build with a clear error instead of wedging later
+    require(!first || added > 0,
+      s"cannot build a stored index at $path from a corpus with no " +
+        s"${prev.k}-token windows")
     log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq) // now visible
     val st = SubstrIndexStats(prev.digests + added, prev.k)
     SubstrIndex.writeStats(spark, path, st)

@@ -82,6 +82,20 @@ class NgramLmStoreSpec extends GraftSpec {
     } finally spark.conf.unset(key)
   }
 
+  it("a degenerate FIRST build (no bigrams/postings/windows) is refused " +
+     "with a clear error instead of wedging every later read") {
+    val shorts = Seq((1L, "single"), (2L, "word")).toDF("doc_id", "text")
+    (intercept[IllegalArgumentException] {
+      NgramLmStore.build(shorts, "doc_id", "text", tmp())
+    }).getMessage should include("no bigrams")
+    (intercept[IllegalArgumentException] {
+      Bm25Store.build(shorts.filter(lit(false)), "doc_id", "text", tmp())
+    }).getMessage should include("no postings")
+    (intercept[IllegalArgumentException] {
+      SubstrIndex.build(shorts, "doc_id", "text", tmp(), k = 8)
+    }).getMessage should include("8-token windows")
+  }
+
   it("scoring a batch scans ONLY the stored model — history text never " +
      "appears in the plan (the 100 TB seam)") {
     val path = tmp()
