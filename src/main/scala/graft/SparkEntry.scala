@@ -2317,6 +2317,28 @@ object SparkEntry {
       .orderBy("round", "doc_id")
   }
 
+  /** DQ131 (EXT): PERSISTED quality-probe statistics
+    * ([[graft.ext.QualityProbeStore]]) — dq112's normal-equations moment
+    * table maintained INCREMENTALLY: moments are associative Long sums,
+    * so the store accumulates per-append partials, with each batch's
+    * regression target scored against a FROZEN reference LM (an
+    * [[graft.ext.NgramLmStore]] built once from history — the fixed
+    * model that makes the sums associative; for the seed batch it IS the
+    * self-model, so the seed equals dq112's table). The held-out 20% is
+    * appended exactly-once and the output is the SUMMED table — the
+    * oracle re-derives the frozen model, both batches' targets
+    * (absent-bigram zeros included), the integer-milli features, and the
+    * moment sums over the union. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = graft.io.TempReaper.tempDir("graft-dq131-idx").toString + "/idx"
+    val store = graft.ext.QualityProbeStore.create(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", path)
+    store.appendOnce(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+      "dq131#b1")
+    store.moments().orderBy("term")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2485,7 +2507,8 @@ object SparkEntry {
     "dq127_bm25_store"          -> (q127 _),
     "dq128_lm_store_gate"       -> (q128 _),
     "dq129_stream_lm_loop"      -> (q129 _),
-    "dq130_config_lm_ingest"    -> (q130 _)
+    "dq130_config_lm_ingest"    -> (q130 _),
+    "dq131_probe_stats_store"   -> (q131 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2966,6 +2989,54 @@ object SparkEntry {
       |UNION ALL
       |SELECT CAST(2 AS BIGINT) AS batch, doc_id FROM r2k
       |ORDER BY batch, doc_id""".stripMargin
+  }
+
+  /** dq131: the incremental moment table — features over ALL documents,
+    * target `y` scored against the FROZEN history model (absent bigrams
+    * contribute 0 micro but count — the [[graft.ext.NgramLmStore]]
+    * scoring semantics), moments summed over the union (create batch +
+    * append batch ≡ one pass, by associativity). */
+  private lazy val Dq131Sql: String = {
+    val sw = graft.ext.QualityProbe.Stopwords.map(s => s"'$s'").mkString(", ")
+    val terms =
+      (for (i <- 0 until 4; j <- i until 4) yield (s"m_${i}_$j", s"x$i * x$j")) ++
+        (0 until 4).map(i => (s"v_$i", s"x$i * y"))
+    val unions = terms.map { case (t, e) =>
+      s"SELECT '$t' AS term, CAST(sum($e) AS BIGINT) AS value FROM j"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+      |    x -> len(x) > 0) toks FROM documents),
+      |hb AS (SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM t WHERE doc_id % 5 <> 0 AND len(toks) >= 2),
+      |model AS (SELECT bg, CAST(count(*) AS BIGINT) c12 FROM hb GROUP BY 1),
+      |pc AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) c1
+      |  FROM model GROUP BY 1),
+      |m AS (SELECT bg, (1000000 * c12) // c1 AS micro
+      |  FROM model JOIN pc ON string_split(model.bg, ' ')[1] = pc.w1),
+      |ball AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) nb,
+      |    CAST(sum(COALESCE(micro, 0)) AS BIGINT) sm
+      |  FROM ball LEFT JOIN m USING (bg) GROUP BY 1),
+      |y AS (SELECT d.doc_id, COALESCE(s.sm // s.nb, 0) AS y
+      |  FROM documents d LEFT JOIN s USING (doc_id)),
+      |f AS (SELECT d.doc_id,
+      |    CAST(1 AS BIGINT) x0,
+      |    CASE WHEN len(t.toks) = 0 THEN 0
+      |      ELSE (1000 * CAST(list_sum(list_transform(t.toks, x -> len(x))) AS BIGINT))
+      |        // len(t.toks) END x1,
+      |    CASE WHEN len(t.toks) = 0 THEN 0
+      |      ELSE (1000 * len(list_filter(t.toks,
+      |        x -> list_contains([$sw], x)))) // len(t.toks) END x2,
+      |    CASE WHEN len(t.toks) = 0 THEN 0
+      |      ELSE (1000 * len(list_distinct(t.toks))) // len(t.toks) END x3
+      |  FROM documents d JOIN t USING (doc_id)),
+      |j AS (SELECT f.x0, f.x1, f.x2, f.x3, y.y FROM f JOIN y USING (doc_id))
+      |SELECT term, value FROM (
+      |  $unions
+      |) ORDER BY term""".stripMargin
   }
 
   /** dq117/dq121 shared derivation: history window digests, batch-1
@@ -3623,6 +3694,9 @@ object SparkEntry {
     // matching this oracle is the batched == sequential proof
     "dq114_bpe_train_batched" -> Dq114Sql,
     "dq112_quality_probe" -> Dq112Sql,
+    // the INCREMENTAL moment table: frozen history model as the target's
+    // reference, partials summed over create + append
+    "dq131_probe_stats_store" -> Dq131Sql,
     "dq115_quality_probe_gate" -> Dq115Sql,
     "dq116_curation_config" -> Dq116Sql,
     // batch-1's windows vs the DISTINCT history window digests: matched

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftSpec
+
+/** The persisted quality-probe statistics: seed parity with the per-call
+  * dq112 table, associative incremental appends against the frozen
+  * reference LM, exactly-once tokens, and weight re-derivation. */
+class QualityProbeStoreSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-qpstore-spec")
+      .toString + "/idx"
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  private def tableOf(df: DataFrame): Seq[(String, Long)] =
+    df.orderBy("term").as[(String, Long)].collect().toSeq
+
+  private def perCallMoments(batch: DataFrame, modelDocs: DataFrame): DataFrame = {
+    val y = NgramLm.scoreAgainst(batch, modelDocs, "doc_id", "text")
+      .select(col("doc_id"), col("mean_micro"))
+    QualityProbe.moments(
+      QualityProbe.features(batch, "doc_id", "text").join(y, "doc_id"),
+      "mean_micro")
+  }
+
+  it("the seed table equals the per-call self-trained moments (the frozen " +
+     "model IS the self-model at create)") {
+    val store = QualityProbeStore.create(docs, "doc_id", "text", tmp())
+    tableOf(store.moments()) shouldBe tableOf(perCallMoments(docs, docs))
+  }
+
+  it("create + append equals one per-call pass over the union with the " +
+     "FROZEN history model as the target's reference (associativity)") {
+    val hist = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val store = QualityProbeStore.create(hist, "doc_id", "text", tmp())
+    store.appendOnce(batch, "doc_id", "text", "b#1")
+    tableOf(store.moments()) shouldBe tableOf(perCallMoments(docs, hist))
+    // and the exact Cramer weights re-derive from the summed table
+    store.milliWeights().toSeq shouldBe QualityProbe.milliWeights(
+      perCallMoments(docs, hist).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap).toSeq
+  }
+
+  it("appendOnce is idempotent under its token; the excludeToken view " +
+     "replays the pre-append table") {
+    val hist = docs.filter($"doc_id" % 5 =!= 0)
+    val store = QualityProbeStore.create(hist, "doc_id", "text", tmp())
+    val seed = tableOf(store.moments())
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    store.appendOnce(batch, "doc_id", "text", "b#1")
+    val after = tableOf(store.moments())
+    store.appendOnce(batch, "doc_id", "text", "b#1") // replay: no-op
+    tableOf(store.moments()) shouldBe after
+    tableOf(store.moments(excludeToken = Some("b#1"))) shouldBe seed
+  }
+
+  it("open() restores the store and its frozen LM; a missing layout is " +
+     "refused; create refuses an occupied path") {
+    val path = tmp()
+    QualityProbeStore.create(docs, "doc_id", "text", path)
+    val reopened = QualityProbeStore.open(spark, path)
+    reopened.moments().count() shouldBe 14
+    an[Exception] should be thrownBy QualityProbeStore.open(spark, tmp())
+    an[Exception] should be thrownBy
+      QualityProbeStore.create(docs, "doc_id", "text", path)
+  }
+}
