@@ -419,6 +419,40 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq122 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq132: the STATISTICS gate's scale property — the model and
+      //    its mean threshold come off the 14·appends-row moment table
+      //    (one driver-sized read), so the gate plan over a checkpointed
+      //    batch scans ZERO files: the cheapest index of the five gated
+      //    modalities. Build-wall canary included (the dq117 precedent —
+      //    create() pays the one corpus pass: frozen LM + seed moments).
+      if (!names.exists(_.startsWith("dq132"))) None
+      else try {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .localCheckpoint(true)
+        val path = graft.io.TempReaper.tempDir("graft-bench-qpidx").toString + "/idx"
+        val buildLoad = loadAvg()
+        val tb0 = System.nanoTime()
+        val store = graft.ext.QualityProbeStore.create(docs, "doc_id", "text", path)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        val probe = docs.limit(200).select(col("doc_id"), col("text"))
+          .localCheckpoint(true)
+        val kept = store.gateKeep(probe, "doc_id", "text", None)
+        kept.collect()
+        val scans = graft.plans.PlanWalk
+          .collectAll(kept.queryExecution.executedPlan) {
+            case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.map(_.toString)
+          }.flatten
+        val outside = scans.count(!_.contains(path))
+        Some(f""""dq132_build_sec":$buildSec%.3f,"dq132_build_loadavg":$buildLoad%.2f,""" +
+          s""""dq132_model_rows":${store.moments().count()},""" +
+          s""""dq132_gate_file_scans":${scans.length},""" +
+          s""""dq132_nonindex_file_scans":$outside""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq132 evidence failed: ${e.getMessage}"); None
+      },
       //  - dq127: the stored inverted index's scale property — a search's
       //    posting scan prunes to the query terms' hash buckets at file
       //    listing, with the term predicate pushed to row groups.

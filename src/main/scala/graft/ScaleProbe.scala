@@ -316,6 +316,52 @@ object ScaleProbe {
         println(f"""{"probe":"lmstore","corpus":$n,"build_sec":${(tb1 - tb0) / 1e9}%.1f,"stored_rows":$storedRows,"stored_sec":${(tb2 - tb1) / 1e9}%.2f,"session_rows":$sessionRows,"session_sec":${(tb3 - tb2) / 1e9}%.2f}""")
       }
     }
+    // Stored quality-probe gate vs the per-call retrain: the stored gate's
+    // model+threshold come off the 14·appends-row table (flat in corpus
+    // size); the session equivalent re-trains per call — frozen-LM target
+    // over the FULL corpus + moment aggregation — which is linear. Kept
+    // sets must match exactly (same weights, same moments-only mean).
+    if (sys.env.get("SCALE_QPSTORE").contains("1")) {
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val batch = docs.limit(500)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      for (m <- Seq(4, 16)) {
+        val corpus = docs.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              (t, i) => when(i % 3 === 0, concat(t, lit("u"), col("rep")))
+                .otherwise(t)), " ").as("text"))
+          .localCheckpoint(true)
+        val n = corpus.count()
+        val path = graft.io.TempReaper.tempDir("graft-scale-qpstore")
+          .toString + "/idx"
+        val tb0 = System.nanoTime()
+        val store = graft.ext.QualityProbeStore.create(corpus, "doc_id",
+          "text", path)
+        val tb1 = System.nanoTime()
+        val storedKept = store.gateKeep(batch, "doc_id", "text", None).count()
+        val tb2 = System.nanoTime()
+        // session path: per-call retrain — frozen-LM self-target + moments
+        val y = graft.ext.NgramLm
+          .scoreAgainst(corpus, corpus, "doc_id", "text")
+          .select(col("doc_id"), col("mean_micro"))
+        val mom = graft.ext.QualityProbe.moments(
+          graft.ext.QualityProbe.features(corpus, "doc_id", "text")
+            .join(y, "doc_id"), "mean_micro")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val w = graft.ext.QualityProbe.milliWeights(mom)
+        val num = (0 until 4).map(j => BigInt(w(j)) * BigInt(mom(s"m_0_$j"))).sum
+        val den = BigInt(mom("m_0_0"))
+        val q = num / den
+        val thr = (if (num % den != 0 && num < 0) q - 1 else q).toLong
+        val sessionKept = graft.ext.QualityProbe
+          .features(batch, "doc_id", "text")
+          .where(graft.ext.QualityProbe.score(w.toSeq) >= thr).count()
+        val tb3 = System.nanoTime()
+        println(f"""{"probe":"qpstore","corpus":$n,"build_sec":${(tb1 - tb0) / 1e9}%.1f,"stored_kept":$storedKept,"stored_sec":${(tb2 - tb1) / 1e9}%.2f,"session_kept":$sessionKept,"session_sec":${(tb3 - tb2) / 1e9}%.2f,"parity":${storedKept == sessionKept}}""")
+      }
+    }
     // Large-k IVF probe (k=1024): fit+query walls on the broadcast-kernel
     // path, three-way assignment parity (literal / kernel / join), and the
     // kernel-vs-join full-corpus walls — the evidence that large k must NOT

@@ -2268,9 +2268,9 @@ object SparkEntry {
   }
 
   /** DQ129 (EXT, §2.9): dq128's stored-model gate STREAMED through the
-    * UNCHANGED generic ingest loop — [[EventStream.runIndexedIngest]]
-    * now serves all FOUR gated modalities; exactly-once via batch tokens
-    * + the replay-view gate. Shares dq128's oracle verbatim. */
+    * UNCHANGED generic ingest loop ([[EventStream.runIndexedIngest]]);
+    * exactly-once via batch tokens + the replay-view gate. Shares
+    * dq128's oracle verbatim. */
   private def q129(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val (b1, b2) = nearDupBatches(docs)
@@ -2294,8 +2294,8 @@ object SparkEntry {
 
   /** DQ130 (EXT): CONFIG-DRIVEN LM-gated ingest
     * ([[graft.plan.CurationConfig.LmGate]]) — the declare-then-run form of
-    * dq128's stored-model loop, completing the config family over FOUR
-    * gated modalities (substr dq124, semantic dq125, LM here): round 1
+    * dq128's stored-model loop, extending the config family to a fourth
+    * gated modality (substr dq124, semantic dq125, LM here): round 1
     * (doc_id % 4 = 1) seeds the model from the batch (counts = training,
     * all kept); round 2 re-parses with the wider selector against the
     * SAME path and band-gates every document against the seeded model,
@@ -2337,6 +2337,75 @@ object SparkEntry {
     store.appendOnce(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
       "dq131#b1")
     store.moments().orderBy("term")
+  }
+
+  /** DQ132 (EXT): the stored statistics as the FIFTH gated modality —
+    * [[graft.ext.QualityProbeStore.gateKeep]] keeps batch documents
+    * scoring at or above the stored corpus's mean quality under the
+    * CURRENT Cramer weights (threshold ⌊Σ w_j·m_0_j / m_0_0⌋ — both
+    * model and threshold off the 14-row table, no history rescan), and
+    * survivors' moments fold back in, moving the model for round 2.
+    * The oracle re-derives the frozen LM, both rounds' exact-rational
+    * weights and mean thresholds in HUGEINT, and the integer scores. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (b1, b2) = nearDupBatches(docs)
+    val path = graft.io.TempReaper.tempDir("graft-dq132-idx").toString + "/idx"
+    val store = graft.ext.QualityProbeStore.create(docs, "doc_id", "text", path)
+    val kept1 = store.gateKeep(b1, "doc_id", "text", None).localCheckpoint(true)
+    store.append(kept1, "doc_id", "text")
+    val kept2 = store.gateKeep(b2, "doc_id", "text", None)
+    kept1.select(lit(1L).as("batch"), col("doc_id"))
+      .union(kept2.select(lit(2L).as("batch"), col("doc_id")))
+      .orderBy("batch", "doc_id")
+  }
+
+  /** DQ133 (EXT, §2.9): dq132's stored-statistics gate STREAMED through
+    * the UNCHANGED generic ingest loop — [[EventStream.runIndexedIngest]]
+    * now serves all FIVE gated modalities; exactly-once via batch tokens
+    * + the replay-view gate. Shares dq132's oracle verbatim. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (b1, b2) = nearDupBatches(docs)
+    val in = graft.io.TempReaper.tempDir("graft-dq133-in").toString
+    b1.coalesce(1).write.parquet(s"$in/b1.parquet")
+    b2.coalesce(1).write.parquet(s"$in/b2.parquet")
+    val later = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 120000L)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b2.parquet"))
+      .forEach(p => { java.nio.file.Files.setLastModifiedTime(p, later); () })
+    val idxPath = graft.io.TempReaper.tempDir("graft-dq133-idx").toString + "/idx"
+    val store = graft.ext.QualityProbeStore.create(docs, "doc_id", "text", idxPath)
+    val incoming = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    EventStream.runIndexedIngest(incoming, store, "doc_id", "text", "dq133")
+      .select(col("batch"), col("doc_id"))
+      .orderBy("batch", "doc_id")
+  }
+
+  /** DQ134 (EXT): CONFIG-DRIVEN probe-gated ingest
+    * ([[graft.plan.CurationConfig.ProbeGate]]) — the declare-then-run
+    * form of dq132's loop, completing the config family over all FIVE
+    * gated modalities: round 1 (doc_id % 4 = 1) seeds the statistics
+    * (frozen LM + self-model moments, all kept); round 2 re-parses with
+    * the wider selector against the SAME path and mean-gates every
+    * document against the stored model, folding survivors' moments back
+    * in. The oracle replays the seed model, the Cramer weights, the
+    * moments-only threshold, and the integer scoring. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.io.TempReaper.tempDir("graft-dq134-idx").toString + "/idx"
+    def cfg(whereExpr: String): String =
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "where", "expr": "$whereExpr"},
+        |   {"stage": "probe_gate", "path": "$path"}]}""".stripMargin
+    val r1 = graft.plan.CurationConfig.parse(cfg("doc_id % 4 = 1")).run(s, dir)
+    val r2 = graft.plan.CurationConfig
+      .parse(cfg("doc_id % 4 = 1 OR doc_id % 4 = 2")).run(s, dir)
+    r1.select(lit(1L).as("round"), col("doc_id"))
+      .union(r2.select(lit(2L).as("round"), col("doc_id")))
+      .orderBy("round", "doc_id")
   }
 
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
@@ -2508,7 +2577,10 @@ object SparkEntry {
     "dq128_lm_store_gate"       -> (q128 _),
     "dq129_stream_lm_loop"      -> (q129 _),
     "dq130_config_lm_ingest"    -> (q130 _),
-    "dq131_probe_stats_store"   -> (q131 _)
+    "dq131_probe_stats_store"   -> (q131 _),
+    "dq132_probe_gate_loop"     -> (q132 _),
+    "dq133_stream_probe_loop"   -> (q133 _),
+    "dq134_config_probe_ingest" -> (q134 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3038,6 +3110,173 @@ object SparkEntry {
       |  $unions
       |) ORDER BY term""".stripMargin
   }
+
+  // ---- dq132/dq133/dq134 shared oracle machinery: the probe chain as
+  // composable CTE blocks — tokenization, the frozen bigram micro model,
+  // the per-doc fluency target, integer-milli features, and the Cramer
+  // weights + MOMENTS-ONLY mean threshold (x0 = 1 ⇒ Σ score =
+  // Σ_j w_j·m_0_j and docs = m_0_0, so the gate threshold derives from
+  // the 14-term table with no corpus rescan — mirroring
+  // [[graft.ext.QualityProbeStore.model]]).
+
+  private def probeTokSql(src: String, out: String): String =
+    s"""$out AS MATERIALIZED (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\\W+'),
+      |    x -> len(x) > 0) toks FROM $src)""".stripMargin
+
+  /** Frozen bigram micro model over the `$toks` CTE: `$out` = (bg, micro). */
+  private def probeModelSql(toks: String, out: String): String =
+    s"""${out}bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM $toks WHERE len(toks) >= 2),
+      |${out}c AS (SELECT bg, CAST(count(*) AS BIGINT) c12 FROM ${out}bg GROUP BY 1),
+      |${out}p AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) c1
+      |  FROM ${out}c GROUP BY 1),
+      |$out AS MATERIALIZED (SELECT bg, (1000000 * c12) // c1 AS micro
+      |  FROM ${out}c JOIN ${out}p ON string_split(${out}c.bg, ' ')[1] = ${out}p.w1)"""
+      .stripMargin
+
+  /** Per-doc fluency target vs the frozen model `$model`: `{p}y` =
+    * (doc_id, y) for every row of `$docs` — absent bigrams contribute 0
+    * micro but count; <2-token docs score 0. */
+  private def probeYSql(docs: String, toks: String, model: String,
+      p: String): String =
+    s"""${p}bgl AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM $toks WHERE len(toks) >= 2),
+      |${p}sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) nb,
+      |    CAST(sum(COALESCE(micro, 0)) AS BIGINT) sm
+      |  FROM ${p}bgl LEFT JOIN $model USING (bg) GROUP BY 1),
+      |${p}y AS (SELECT d.doc_id, COALESCE(s.sm // s.nb, 0) AS y
+      |  FROM $docs d LEFT JOIN ${p}sc s USING (doc_id))""".stripMargin
+
+  /** Integer-milli features over `$docs` × `$toks`: `$out` =
+    * (doc_id, x0..x3) — the Dq131Sql feature block, parameterized. */
+  private def probeFeatSql(docs: String, toks: String, out: String): String = {
+    val sw = graft.ext.QualityProbe.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""$out AS MATERIALIZED (SELECT d.doc_id,
+      |    CAST(1 AS BIGINT) x0,
+      |    CASE WHEN len(t.toks) = 0 THEN 0
+      |      ELSE (1000 * CAST(list_sum(list_transform(t.toks, x -> len(x))) AS BIGINT))
+      |        // len(t.toks) END x1,
+      |    CASE WHEN len(t.toks) = 0 THEN 0
+      |      ELSE (1000 * len(list_filter(t.toks,
+      |        x -> list_contains([$sw], x)))) // len(t.toks) END x2,
+      |    CASE WHEN len(t.toks) = 0 THEN 0
+      |      ELSE (1000 * len(list_distinct(t.toks))) // len(t.toks) END x3
+      |  FROM $docs d JOIN $toks t USING (doc_id))""".stripMargin
+  }
+
+  /** The Cramer block over a (x0..x3, y) CTE `$src`: `{p}w` = the four
+    * exact milli-weights (HUGEINT determinants, the Dq115Sql
+    * expressions), `{p}th` = the moments-only mean threshold. */
+  private def probeCramerSql(p: String, src: String): String = {
+    val momCols =
+      ((for (i <- 0 until 4; j <- i until 4)
+        yield s"CAST(sum(x$i * x$j) AS HUGEINT) AS hm_${i}_$j") ++
+        (0 until 4).map(i => s"CAST(sum(x$i * y) AS HUGEINT) AS hv_$i"))
+        .mkString(", ")
+    val dcols = (s"(${detExprSql(None)}) AS dt0" +:
+      (0 until 4).map(j => s"(${detExprSql(Some(j))}) AS e$j")).mkString(",\n    ")
+    val ncols = ("CASE WHEN dt0 < 0 THEN -dt0 ELSE dt0 END AS dt" +:
+      (0 until 4).map(j => s"CASE WHEN dt0 < 0 THEN -e$j ELSE e$j END AS d$j"))
+      .mkString(",\n    ")
+    val wcols = (0 until 4).map { j =>
+      s"CAST(((2000 * d$j + dt) - (((2000 * d$j + dt) % (2 * dt) + (2 * dt))" +
+        s" % (2 * dt))) // (2 * dt) AS BIGINT) AS w$j"
+    }.mkString(",\n    ")
+    s"""${p}mom AS MATERIALIZED (SELECT $momCols FROM $src),
+      |${p}dz AS (SELECT $dcols FROM ${p}mom),
+      |${p}dn AS (SELECT $ncols FROM ${p}dz),
+      |${p}w AS MATERIALIZED (SELECT $wcols FROM ${p}dn),
+      |${p}th AS (SELECT CAST((a - ((a % n + n) % n)) // n AS BIGINT) AS thr
+      |  FROM (SELECT CAST(w0 * hm_0_0 + w1 * hm_0_1 + w2 * hm_0_2 + w3 * hm_0_3
+      |      AS HUGEINT) AS a, hm_0_0 AS n
+      |    FROM ${p}mom CROSS JOIN ${p}w) z)""".stripMargin
+  }
+
+  /** Score + mean-gate a feature CTE against `{p}w`/`{p}th`: `{p}k` =
+    * the kept doc_ids (integer dot product, ≥ threshold). */
+  private def probeKeepSql(p: String, featSrc: String): String =
+    s"""${p}k AS (SELECT f.doc_id
+      |  FROM $featSrc f CROSS JOIN ${p}w CROSS JOIN ${p}th
+      |  WHERE CAST(${p}w.w0 * f.x0 + ${p}w.w1 * f.x1 + ${p}w.w2 * f.x2 +
+      |    ${p}w.w3 * f.x3 AS BIGINT) >= ${p}th.thr)""".stripMargin
+
+  /** dq132 (and dq133 verbatim — batch/stream parity): the stored
+    * statistics gate over two ingest rounds. Round 1's model trains on
+    * the full corpus (create's seed, self-model target); kept batch-1
+    * docs fold their moments in (target vs the FROZEN model); round 2
+    * re-derives weights and threshold from the GROWN table. */
+  private lazy val Dq132Sql: String = {
+    def mut(step: Int, sfx: Char): String =
+      s"""array_to_string(list_transform(range(1, len(tk) + 1),
+        |      i -> CASE WHEN (i - 1) % $step = 0 THEN tk[i] || '$sfx' ELSE tk[i] END),
+        |      ' ')""".stripMargin
+    s"""WITH b1 AS (
+      |  SELECT doc_id + 100000 AS doc_id, text || ' zzztail' AS text
+      |  FROM documents WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, ${mut(3, 'x')} AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') tk
+      |        FROM documents WHERE doc_id % 13 = 0)),
+      |b2 AS (
+      |  SELECT doc_id + 300000 AS doc_id, ${mut(3, 'x')} || ' zzztail' AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') tk
+      |        FROM documents WHERE doc_id % 13 = 0)
+      |  UNION ALL
+      |  SELECT doc_id + 400000 AS doc_id, text || ' zzztail' AS text
+      |  FROM documents WHERE doc_id % 19 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 500000 AS doc_id, ${mut(2, 'y')} AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') tk
+      |        FROM documents WHERE doc_id % 11 = 0)),
+      |${probeTokSql("documents", "ht")},
+      |${probeModelSql("ht", "fm")},
+      |${probeYSql("documents", "ht", "fm", "h")},
+      |${probeFeatSql("documents", "ht", "hf")},
+      |j1 AS MATERIALIZED (SELECT hf.x0, hf.x1, hf.x2, hf.x3, hy.y
+      |  FROM hf JOIN hy USING (doc_id)),
+      |${probeCramerSql("r1", "j1")},
+      |${probeTokSql("b1", "b1t")},
+      |${probeFeatSql("b1", "b1t", "b1f")},
+      |${probeKeepSql("r1", "b1f")},
+      |${probeYSql("b1", "b1t", "fm", "p")},
+      |j2 AS (SELECT x0, x1, x2, x3, y FROM j1
+      |  UNION ALL
+      |  SELECT f.x0, f.x1, f.x2, f.x3, py.y
+      |  FROM b1f f JOIN py USING (doc_id) JOIN r1k USING (doc_id)),
+      |${probeCramerSql("r2", "j2")},
+      |${probeTokSql("b2", "b2t")},
+      |${probeFeatSql("b2", "b2t", "b2f")},
+      |${probeKeepSql("r2", "b2f")}
+      |SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM r1k
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS batch, doc_id FROM r2k
+      |ORDER BY batch, doc_id""".stripMargin
+  }
+
+  /** dq134: the config-driven probe gate — round 1 (doc_id % 4 = 1)
+    * seeds the statistics (all kept); round 2's wider selector is
+    * mean-gated against the seeded model. */
+  private lazy val Dq134Sql: String =
+    s"""WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+      |b2 AS (SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 4 = 1 OR doc_id % 4 = 2),
+      |${probeTokSql("b1", "ht")},
+      |${probeModelSql("ht", "fm")},
+      |${probeYSql("b1", "ht", "fm", "h")},
+      |${probeFeatSql("b1", "ht", "hf")},
+      |j1 AS (SELECT hf.x0, hf.x1, hf.x2, hf.x3, hy.y
+      |  FROM hf JOIN hy USING (doc_id)),
+      |${probeCramerSql("r1", "j1")},
+      |${probeTokSql("b2", "b2t")},
+      |${probeFeatSql("b2", "b2t", "b2f")},
+      |${probeKeepSql("r1", "b2f")}
+      |SELECT CAST(1 AS BIGINT) AS round, doc_id FROM b1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS round, doc_id FROM r1k
+      |ORDER BY round, doc_id""".stripMargin
 
   /** dq117/dq121 shared derivation: history window digests, batch-1
     * report vs them, fresh-survivor append, batch-2 report vs the grown
@@ -3697,6 +3936,14 @@ object SparkEntry {
     // the INCREMENTAL moment table: frozen history model as the target's
     // reference, partials summed over create + append
     "dq131_probe_stats_store" -> Dq131Sql,
+    // the stored statistics as the FIFTH gated modality: two mean-gated
+    // ingest rounds, the second against the survivor-grown table — and
+    // its streamed twin through the generic loop (batch/stream parity)
+    "dq132_probe_gate_loop" -> Dq132Sql,
+    "dq133_stream_probe_loop" -> Dq132Sql,
+    // config-driven probe ingest: round 1 seeds the statistics (all
+    // kept), round 2 mean-gates the wider batch against them
+    "dq134_config_probe_ingest" -> Dq134Sql,
     "dq115_quality_probe_gate" -> Dq115Sql,
     "dq116_curation_config" -> Dq116Sql,
     // batch-1's windows vs the DISTINCT history window digests: matched

@@ -2,13 +2,15 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 
-/** The contract a persisted dedup index offers an exactly-once ingest
+/** The contract a persisted gate index offers an exactly-once ingest
   * loop ([[graft.streaming.EventStream.runIndexedIngest]]): gate a batch
   * against the stored layout (excluding the batch's OWN possibly-committed
   * append on replay), then append the survivors idempotently under the
-  * batch token. [[NearDupIndex]] (near-duplicate documents) and
-  * [[SubstrIndex]] (verbatim window overlap) both implement it, so one
-  * streaming loop serves every dedup modality.
+  * batch token. Five modalities implement it — [[NearDupIndex]]
+  * (near-duplicate documents), [[SubstrIndex]] (verbatim window
+  * overlap), [[IvfStore]] (semantic cosine dedup), [[NgramLmStore]]
+  * (fluency band), and [[QualityProbeStore]] (mean-quality gate) — so
+  * ONE streaming loop serves every gated curation modality.
   */
 trait IngestIndex {
 

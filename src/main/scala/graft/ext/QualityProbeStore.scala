@@ -33,9 +33,22 @@ import org.apache.spark.sql.functions._
   * needed at any realistic append count (a century of daily appends is
   * ~500k tiny rows); [[moments]] sums the partials, [[milliWeights]]
   * hands the summed table to the exact Cramer solve.
+  *
+  * == Ingest gate ([[IngestIndex]]) ==
+  *
+  * The store is also the fifth gated modality: [[gateKeep]] keeps batch
+  * documents scoring at or above the STORED corpus's mean quality under
+  * the CURRENT stored weights (dq115's train→score→mean-gate with the
+  * per-call retrain replaced by incremental statistics), and
+  * [[appendToken]] folds survivors' moments back in, so accepted
+  * documents move the model for the next round. Both the weights and
+  * the threshold come off the 14-row summed table alone: since x0 = 1,
+  * Σ_docs score = Σ_j w_j·m_0_j and the document count is m_0_0, so
+  * thr = ⌊Σ_j w_j·m_0_j / m_0_0⌋ — the gate never reads a stored
+  * document (there are none; the index IS the statistics).
   */
 final class QualityProbeStore private (
-    private val spark: SparkSession, val path: String) {
+    private val spark: SparkSession, val path: String) extends IngestIndex {
 
   private val log = new ManifestLog(spark, path)
 
@@ -97,6 +110,41 @@ final class QualityProbeStore private (
     QualityProbe.milliWeights(
       moments(excludeToken).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+  /** (milli-weights, gate threshold) off ONE read of the stored table.
+    * The threshold is the stored corpus's mean score under its own
+    * weights, derived from the moments alone (class doc): exact BigInt
+    * floor of Σ_j w_j·m_0_j over m_0_0 — the same corpus-mean floor as
+    * [[QualityProbe.gate]], without rescanning any document. */
+  def model(excludeToken: Option[String] = None): (Array[Long], Long) = {
+    val m = moments(excludeToken).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = QualityProbe.milliWeights(m)
+    val num = (0 until w.length).map(j => BigInt(w(j)) * BigInt(m(s"m_0_$j"))).sum
+    val n = BigInt(m("m_0_0"))
+    require(n > 0, s"empty stored corpus under $path (m_0_0 = 0)")
+    val q = num / n
+    val thr = (if (num % n != 0 && num < 0) q - 1 else q).toLong
+    (w, thr)
+  }
+
+  // ---------------- IngestIndex ----------------
+
+  /** Keep batch documents whose integer probe score under the stored
+    * weights is ≥ the stored-corpus mean threshold ([[model]]) — a
+    * map-only codegen'd dot product over the batch; the only store read
+    * is the 14·appends-row moment aggregation. */
+  def gateKeep(batch: DataFrame, idCol: String, textCol: String,
+      excludeToken: Option[String]): DataFrame = {
+    val (w, thr) = model(excludeToken)
+    val keep = QualityProbe.features(batch, idCol, textCol)
+      .where(QualityProbe.score(w) >= thr)
+      .select(col(idCol))
+    batch.join(keep, Seq(idCol), "left_semi")
+  }
+
+  def appendToken(df: DataFrame, idCol: String, textCol: String,
+      token: String): Unit = appendOnce(df, idCol, textCol, token)
 }
 
 object QualityProbeStore {
@@ -116,6 +164,12 @@ object QualityProbeStore {
     store.writeBatch(history, idCol, textCol, token = None)
     store
   }
+
+  /** Whether `path` holds at least one committed statistics manifest —
+    * the build-if-absent probe of config-driven gate stages
+    * ([[graft.plan.CurationConfig]]). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    new ManifestLog(spark, path).read().nonEmpty
 
   /** Open a stored statistics table (+ its frozen reference LM). */
   def open(spark: SparkSession, path: String): QualityProbeStore = {

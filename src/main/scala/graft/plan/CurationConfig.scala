@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.ext.{Dedup, IvfStore, NearDupIndex, NgramLm, NgramLmStore, Sampling, SubstrIndex, TextAnalysis}
+import graft.ext.{Dedup, IvfStore, NearDupIndex, NgramLm, NgramLmStore, QualityProbeStore, Sampling, SubstrIndex, TextAnalysis}
 
 /** Config-driven CURATION pipeline — the EXT analogue of [[ReportConfig]]'s
   * declare-a-report-then-run workflow (the reference runner loads a typed
@@ -191,6 +191,31 @@ object CurationConfig {
     }
   }
 
+  /** The stored-statistics quality gate ([[graft.ext.QualityProbeStore]]):
+    * round 1 seeds the statistics (frozen reference LM + self-model
+    * moments, everything kept); later rounds keep documents scoring at
+    * or above the stored corpus's mean quality under the CURRENT Cramer
+    * weights and fold survivors' moments back in — dq115's
+    * train→score→mean-gate with the per-call retrain replaced by
+    * incremental statistics maintenance. No tunables: the threshold IS
+    * the stored mean, derived from the moment table alone. */
+  final case class ProbeGate(path: String) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val spark = df.sparkSession
+      if (!QualityProbeStore.exists(spark, path)) {
+        val seeded = df.localCheckpoint(true)
+        QualityProbeStore.create(seeded, idCol, textCol, path)
+        seeded
+      } else {
+        val store = QualityProbeStore.open(spark, path)
+        val kept = store.gateKeep(df, idCol, textCol, excludeToken = None)
+          .localCheckpoint(true)
+        store.append(kept, idCol, textCol)
+        kept
+      }
+    }
+  }
+
   final case class NearDupGate(path: String, numHashes: Int, bands: Int,
       maxBucket: Int, threshold: Double) extends Stage {
     def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -360,10 +385,17 @@ object CurationConfig {
         val hi = long("hiMicro").getOrElse(Long.MaxValue)
         if (hi < lo) fail(s"stage 'lm_gate': hiMicro ($hi) < loMicro ($lo)")
         LmGate(path, lo, hi)
+      case "probe_gate" =>
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'probe_gate' needs a non-empty 'path' string")
+        }
+        ProbeGate(path)
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
           "fluency_band | token_budget | repeat_epochs | where | " +
-          "substr_gate | neardup_gate | semantic_gate | lm_gate)")
+          "substr_gate | neardup_gate | semantic_gate | lm_gate | " +
+          "probe_gate)")
     }
   }
 

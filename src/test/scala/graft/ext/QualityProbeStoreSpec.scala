@@ -61,6 +61,47 @@ class QualityProbeStoreSpec extends GraftSpec {
     tableOf(store.moments(excludeToken = Some("b#1"))) shouldBe seed
   }
 
+  it("gateKeep equals the hand-derived mean gate: stored Cramer weights, " +
+     "threshold from the moments alone (no corpus rescan)") {
+    val store = QualityProbeStore.create(docs, "doc_id", "text", tmp())
+    val batch = docs.select($"doc_id" + 900000 as "doc_id", $"text")
+    // by-hand: weights from the stored table, threshold from the same
+    // 14 terms (x0 = 1 ⇒ Σ score = Σ_j w_j·m_0_j over m_0_0 docs)
+    val m = store.moments().as[(String, Long)].collect().toMap
+    val w = QualityProbe.milliWeights(m)
+    val num = (0 until 4).map(j => BigInt(w(j)) * BigInt(m(s"m_0_$j"))).sum
+    val thr = (num / BigInt(m("m_0_0")) -
+      (if (num % BigInt(m("m_0_0")) != 0 && num < 0) 1 else 0)).toLong
+    val expect = QualityProbe.features(batch, "doc_id", "text")
+      .withColumn("s", QualityProbe.score(w))
+      .where($"s" >= thr).select("doc_id")
+      .as[Long].collect().sorted
+    store.gateKeep(batch, "doc_id", "text", None)
+      .select("doc_id").as[Long].collect().sorted shouldBe expect
+    // and the threshold equals the directly-computed stored-corpus mean
+    val scores = QualityProbe.features(docs, "doc_id", "text")
+      .withColumn("s", QualityProbe.score(w))
+      .agg(sum($"s").cast("long"), count(lit(1))).head()
+    thr shouldBe Math.floorDiv(scores.getLong(0), scores.getLong(1))
+    store.model()._2 shouldBe thr
+  }
+
+  it("the ingest-loop contract: appendToken is exactly-once and the " +
+     "excludeToken gate replays the pre-append model") {
+    val hist = docs.filter($"doc_id" % 5 =!= 0)
+    val store = QualityProbeStore.create(hist, "doc_id", "text", tmp())
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val keptBefore = store.gateKeep(batch, "doc_id", "text", Some("t#1"))
+      .select("doc_id").as[Long].collect().sorted
+    store.appendToken(
+      batch.join(keptBefore.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"),
+      "doc_id", "text", "t#1")
+    store.appendToken(batch, "doc_id", "text", "t#1") // replay: no-op
+    // the replay view (excluding the committed token) gates identically
+    store.gateKeep(batch, "doc_id", "text", Some("t#1"))
+      .select("doc_id").as[Long].collect().sorted shouldBe keptBefore
+  }
+
   it("open() restores the store and its frozen LM; a missing layout is " +
      "refused; create refuses an occupied path") {
     val path = tmp()

@@ -245,6 +245,44 @@ class CurationConfigSpec extends GraftSpec {
     bad("""{"table":"documents","id":"i","text":"t",
           | "stages":[{"stage":"lm_gate","loMicro":5}]}""".stripMargin,
       "'path'")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"probe_gate"}]}""".stripMargin, "'path'")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"probe_gate","path":"  "}]}""".stripMargin,
+      "'path'")
+  }
+
+  it("probe_gate: bootstrap seeds the stored statistics (all kept); " +
+     "later runs mean-gate against them and fold survivors in") {
+    // the probe regresses 4 features — the tiny 5-doc fixture's seed half
+    // is a singular design matrix, so this stage gets a varied corpus
+    val d = java.nio.file.Files.createTempDirectory("graft-curation-pgd").toString
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "the", "and", "of", "to", "in", "is")
+    Seq.tabulate(12) { i =>
+      val n = 6 + (i * 7) % 11
+      val toks = Seq.tabulate(n)(k => words((i * 5 + k * (1 + i % 3)) % words.size))
+      (i.toLong + 1L, toks.mkString(" "))
+    }.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-pg").toString + "/idx"
+    def cfg(whereExpr: String): String =
+      s"""{"table":"documents","id":"doc_id","text":"text",
+        | "stages":[{"stage":"where","expr":"$whereExpr"},
+        |   {"stage":"probe_gate","path":"$path"}]}""".stripMargin
+    val seedIds = spark.read.parquet(s"$d/documents.parquet")
+      .filter($"doc_id" % 2 === 1).select("doc_id").as[Long].collect().sorted
+    CurationConfig.parse(cfg("doc_id % 2 = 1")).run(spark, d)
+      .select("doc_id").as[Long].collect().sorted shouldBe seedIds
+    // round 2: the gate must equal the store's own gateKeep over the
+    // seeded statistics (the stage is the loop, declared)
+    val store = graft.ext.QualityProbeStore.open(spark, path)
+    val all = spark.read.parquet(s"$d/documents.parquet")
+    val expect = store
+      .gateKeep(all, "doc_id", "text", None)
+      .select("doc_id").as[Long].collect().sorted
+    CurationConfig.parse(cfg("TRUE")).run(spark, d)
+      .select("doc_id").as[Long].collect().sorted shouldBe expect
   }
 
   it("rejects unknown stages and bad parameters AT PARSE TIME, naming " +
