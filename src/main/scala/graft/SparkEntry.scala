@@ -2408,6 +2408,35 @@ object SparkEntry {
       .orderBy("round", "doc_id")
   }
 
+  /** DQ135 (EXT): the FULL config-declared CURATION LOOP — one JSON
+    * pipeline chaining exact dedup and THREE persisted gates
+    * (exact_dedup → substr_gate → lm_gate → probe_gate) over the same
+    * store family, run for two ingest rounds: round 1 seeds all three
+    * stores from the deduped batch (each gate bootstraps, all kept);
+    * round 2's wider selector is deduped, then window-gated against the
+    * stored digests, band-gated against the stored LM, and mean-gated
+    * against the stored statistics — each stage over the previous
+    * stage's survivors, each appending its survivors back. The
+    * reference's declare-then-run workflow composed across the index
+    * family; the oracle replays all four stages per round. */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.io.TempReaper.tempDir("graft-dq135-idx").toString
+    def cfg(whereExpr: String): String =
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "where", "expr": "$whereExpr"},
+        |   {"stage": "exact_dedup"},
+        |   {"stage": "substr_gate", "path": "$base/ss", "k": 8, "maxDupWindows": 0},
+        |   {"stage": "lm_gate", "path": "$base/lm", "loMicro": 20000},
+        |   {"stage": "probe_gate", "path": "$base/qp"}]}""".stripMargin
+    val r1 = graft.plan.CurationConfig.parse(cfg("doc_id % 4 = 1")).run(s, dir)
+    val r2 = graft.plan.CurationConfig
+      .parse(cfg("doc_id % 4 = 1 OR doc_id % 4 = 2")).run(s, dir)
+    r1.select(lit(1L).as("round"), col("doc_id"))
+      .union(r2.select(lit(2L).as("round"), col("doc_id")))
+      .orderBy("round", "doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2580,7 +2609,8 @@ object SparkEntry {
     "dq131_probe_stats_store"   -> (q131 _),
     "dq132_probe_gate_loop"     -> (q132 _),
     "dq133_stream_probe_loop"   -> (q133 _),
-    "dq134_config_probe_ingest" -> (q134 _)
+    "dq134_config_probe_ingest" -> (q134 _),
+    "dq135_config_curation_loop" -> (q135 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3255,6 +3285,57 @@ object SparkEntry {
       |SELECT CAST(2 AS BIGINT) AS batch, doc_id FROM r2k
       |ORDER BY batch, doc_id""".stripMargin
   }
+
+  /** dq135: the FULL declared curation loop — four chained stages per
+    * round, each over the previous stage's survivors. Round 1 (doc_id %
+    * 4 = 1): dedup keeps the lowest id per exact text, every gate seeds
+    * (all kept) → s1. Round 2 (% 4 ∈ {1, 2}): dedup within the batch,
+    * then the stored-window gate (any 8-token whitespace window seen in
+    * s1 drops the doc), then the stored-LM band (bigram mean micro vs
+    * the s1-trained model, ≥ 20000), then the stored-statistics mean
+    * gate (s1's Cramer weights + moments-only threshold). */
+  private lazy val Dq135Sql: String =
+    s"""WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+      |s1 AS MATERIALIZED (SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) rn
+      |    FROM b1) z WHERE rn = 1),
+      |s1t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+      |    x -> len(x) > 0) toks FROM s1),
+      |w1 AS MATERIALIZED (SELECT DISTINCT
+      |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+      |  FROM s1t, unnest(range(1, len(toks) - 6)) r(i)),
+      |${probeTokSql("s1", "ht")},
+      |${probeModelSql("ht", "fm")},
+      |${probeYSql("s1", "ht", "fm", "h")},
+      |${probeFeatSql("s1", "ht", "hf")},
+      |j1 AS (SELECT hf.x0, hf.x1, hf.x2, hf.x3, hy.y
+      |  FROM hf JOIN hy USING (doc_id)),
+      |${probeCramerSql("r1", "j1")},
+      |b2 AS (SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 4 = 1 OR doc_id % 4 = 2),
+      |d2 AS MATERIALIZED (SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) rn
+      |    FROM b2) z WHERE rn = 1),
+      |d2t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+      |    x -> len(x) > 0) toks FROM d2),
+      |wb2 AS (SELECT doc_id,
+      |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+      |  FROM d2t, unnest(range(1, len(toks) - 6)) r(i)),
+      |dup2 AS (SELECT DISTINCT wb2.doc_id FROM wb2 JOIN w1 USING (dg)),
+      |s2 AS MATERIALIZED (SELECT doc_id, text FROM d2
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM dup2)),
+      |${probeTokSql("s2", "s2t")},
+      |${probeYSql("s2", "s2t", "fm", "q")},
+      |s3 AS MATERIALIZED (SELECT s2.doc_id, s2.text FROM s2
+      |  JOIN qy USING (doc_id) WHERE qy.y >= 20000),
+      |${probeFeatSql("s3", "s2t", "s3f")},
+      |${probeKeepSql("r1", "s3f")}
+      |SELECT CAST(1 AS BIGINT) AS round, doc_id FROM s1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS round, doc_id FROM r1k
+      |ORDER BY round, doc_id""".stripMargin
 
   /** dq134: the config-driven probe gate — round 1 (doc_id % 4 = 1)
     * seeds the statistics (all kept); round 2's wider selector is
@@ -3944,6 +4025,9 @@ object SparkEntry {
     // config-driven probe ingest: round 1 seeds the statistics (all
     // kept), round 2 mean-gates the wider batch against them
     "dq134_config_probe_ingest" -> Dq134Sql,
+    // the FULL declared curation loop: dedup + three persisted gates
+    // chained in one config, two ingest rounds, every stage replayed
+    "dq135_config_curation_loop" -> Dq135Sql,
     "dq115_quality_probe_gate" -> Dq115Sql,
     "dq116_curation_config" -> Dq116Sql,
     // batch-1's windows vs the DISTINCT history window digests: matched
