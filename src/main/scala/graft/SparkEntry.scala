@@ -2437,6 +2437,49 @@ object SparkEntry {
       .orderBy("round", "doc_id")
   }
 
+  /** DQ136 (EXT): the PERSISTED BPE state ([[graft.ext.BpeStore]]) —
+    * training consumes only the distinct-word count table, and word
+    * counts are associative, so the store accumulates per-append
+    * (word, cnt) partials (text read once per document ever) and
+    * [[graft.ext.BpeStore.retrain]] learns from the SUMMED table: the
+    * result is EXACTLY [[graft.ext.BpeTrain.learn]] over the union
+    * corpus, so the oracle is dq107's full unrolled merge chain
+    * verbatim (history create + held-out append = the whole corpus). */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = graft.io.TempReaper.tempDir("graft-dq136-idx").toString + "/idx"
+    val store = graft.ext.BpeStore.create(
+      docs.filter(col("doc_id") % 5 =!= 0), "text", path,
+      numMerges = BpeMerges)
+    store.appendOnce(docs.filter(col("doc_id") % 5 === 0), "text",
+      "dq136#b1")
+    val model = store.retrain(BpeMerges)
+    s.createDataFrame(model.merges)
+      .select(col("step").cast("long").as("step"),
+        col("left").as("left_sym"), col("right").as("right_sym"),
+        col("pairCount").as("pair_count"))
+      .orderBy("step")
+  }
+
+  /** DQ137 (EXT): STORED-vocabulary subword tokenization —
+    * [[graft.ext.BpeStore.tokenize]] reads the committed merge table
+    * (no training at open time) and runs dq108's codegen'd inference
+    * kernel under it; a store created from the corpus tokenizes it
+    * bit-identically to the per-call train+tokenize, so the oracle is
+    * dq108's chain verbatim (the dq127/dq86 stored-reuses-session
+    * pattern). */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = graft.io.TempReaper.tempDir("graft-dq137-idx").toString + "/idx"
+    graft.ext.BpeStore.create(docs, "text", path, numMerges = BpeMerges)
+    val store = graft.ext.BpeStore.open(s, path)
+    store.tokenize(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        size(col("subtokens")).cast("long").as("n_subtokens"),
+        md5(array_join(col("subtokens"), " ")).as("subtok_md5"))
+      .orderBy("doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2610,7 +2653,9 @@ object SparkEntry {
     "dq132_probe_gate_loop"     -> (q132 _),
     "dq133_stream_probe_loop"   -> (q133 _),
     "dq134_config_probe_ingest" -> (q134 _),
-    "dq135_config_curation_loop" -> (q135 _)
+    "dq135_config_curation_loop" -> (q135 _),
+    "dq136_bpe_store"           -> (q136 _),
+    "dq137_bpe_store_tokenize"  -> (q137 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4010,6 +4055,12 @@ object SparkEntry {
     "dq105_semantic_decon_pruned" -> Dq105Sql,
     "dq107_bpe_train" -> Dq107Sql,
     "dq108_bpe_tokenize" -> Dq108Sql,
+    // the persisted BPE state: retrain-from-summed-counts must equal the
+    // from-scratch chain over the union corpus (history + append = all
+    // documents), and the stored-vocabulary tokenize must equal the
+    // per-call train+tokenize — both session oracles reused verbatim
+    "dq136_bpe_store" -> Dq107Sql,
+    "dq137_bpe_store_tokenize" -> Dq108Sql,
     // the batched trainer vs the SEQUENTIAL unrolled chain at 2x depth:
     // matching this oracle is the batched == sequential proof
     "dq114_bpe_train_batched" -> Dq114Sql,

@@ -134,9 +134,15 @@ object BpeTrain {
 
   /** Learn `numMerges` merges from the corpus text column. Stops early if
     * the pair space drains (every word a single symbol). */
-  def learn(df: DataFrame, textCol: String, numMerges: Int): Model = {
+  def learn(df: DataFrame, textCol: String, numMerges: Int): Model =
+    learnFromCounts(wordCounts(df, textCol), numMerges)
+
+  /** [[learn]] from a pre-aggregated (word, cnt) table — the training
+    * state derives ONLY from word counts, so summed stored partials
+    * ([[BpeStore]]) train the exact model of the corpus they count:
+    * text is read once per document ever, retraining is model-sized. */
+  def learnFromCounts(words: DataFrame, numMerges: Int): Model = {
     require(numMerges >= 1, "need numMerges >= 1")
-    val words = wordCounts(df, textCol)
     val alphabet = alphabetOf(words)
     var state = initialState(words).localCheckpoint()
     val merges = Seq.newBuilder[Merge]
