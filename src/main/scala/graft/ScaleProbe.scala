@@ -362,6 +362,34 @@ object ScaleProbe {
         println(f"""{"probe":"qpstore","corpus":$n,"build_sec":${(tb1 - tb0) / 1e9}%.1f,"stored_kept":$storedKept,"stored_sec":${(tb2 - tb1) / 1e9}%.2f,"session_kept":$sessionKept,"session_sec":${(tb3 - tb2) / 1e9}%.2f,"parity":${storedKept == sessionKept}}""")
       }
     }
+    // Stored BPE state vs from-scratch training: retrain consumes the
+    // summed distinct-word counts (model-sized), while learn-from-text
+    // pays the corpus tokenize+count pass per call — the gap that grows
+    // with corpus size. Merge tables must match exactly.
+    if (sys.env.get("SCALE_BPESTORE").contains("1")) {
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      for (m <- Seq(4, 16)) {
+        val corpus = docs.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              (t, i) => when(i % 3 === 0, concat(t, lit("u"), col("rep")))
+                .otherwise(t)), " ").as("text"))
+          .localCheckpoint(true)
+        val n = corpus.count()
+        val path = graft.io.TempReaper.tempDir("graft-scale-bpestore")
+          .toString + "/idx"
+        val tb0 = System.nanoTime()
+        val store = graft.ext.BpeStore.create(corpus, "text", path,
+          numMerges = 6)
+        val tb1 = System.nanoTime()
+        val stored = store.retrain(6)
+        val tb2 = System.nanoTime()
+        val session = graft.ext.BpeTrain.learn(corpus, "text", numMerges = 6)
+        val tb3 = System.nanoTime()
+        val parity = stored.merges == session.merges
+        println(f"""{"probe":"bpestore","corpus":$n,"create_sec":${(tb1 - tb0) / 1e9}%.1f,"retrain_sec":${(tb2 - tb1) / 1e9}%.2f,"learn_sec":${(tb3 - tb2) / 1e9}%.2f,"merges":${stored.merges.size},"parity":$parity}""")
+      }
+    }
     // Large-k IVF probe (k=1024): fit+query walls on the broadcast-kernel
     // path, three-way assignment parity (literal / kernel / join), and the
     // kernel-vs-join full-corpus walls — the evidence that large k must NOT

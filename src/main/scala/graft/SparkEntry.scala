@@ -2480,6 +2480,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ138 (EXT): the config-declared CURATE-THEN-TOKENIZE pipeline
+    * ([[graft.plan.CurationConfig.BpeTokenize]]) — a JSON pipeline whose
+    * terminal stage seeds the stored BPE state
+    * ([[graft.ext.BpeStore]]) from the dedup survivors and emits their
+    * subtoken stream under that vocabulary: the end of a production
+    * training-data pipeline (curated documents out as training-ready
+    * tokens). The oracle runs the full unrolled merge chain AND the
+    * greedy longest-match inference recurrence over the survivor
+    * selection. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.io.TempReaper.tempDir("graft-dq138-idx").toString + "/idx"
+    val cfg =
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "where", "expr": "doc_id % 3 = 1"},
+        |   {"stage": "exact_dedup"},
+        |   {"stage": "bpe_tokenize", "path": "$path", "numMerges": $BpeMerges}]}"""
+        .stripMargin
+    graft.plan.CurationConfig.parse(cfg).run(s, dir)
+      .select(col("doc_id"),
+        size(col("subtokens")).cast("long").as("n_subtokens"),
+        md5(array_join(col("subtokens"), " ")).as("subtok_md5"))
+      .orderBy("doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2655,7 +2680,8 @@ object SparkEntry {
     "dq134_config_probe_ingest" -> (q134 _),
     "dq135_config_curation_loop" -> (q135 _),
     "dq136_bpe_store"           -> (q136 _),
-    "dq137_bpe_store_tokenize"  -> (q137 _)
+    "dq137_bpe_store_tokenize"  -> (q137 _),
+    "dq138_config_bpe_tokenize" -> (q138 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3689,13 +3715,14 @@ object SparkEntry {
     * numbers, e$i the greedy even-offset winners, s${i+1} the merged
     * symbol state. `w0` is the distinct-word table (dq89 normalization),
     * `s1` the character-level start state. */
-  private def bpeChainSql(n: Int, materialized: Boolean = true): String = {
+  private def bpeChainSql(n: Int, materialized: Boolean = true,
+      src: String = "documents"): String = {
     val m = if (materialized) " MATERIALIZED" else ""
     val base =
       s"""w0 AS$m (SELECT word, CAST(count(*) AS BIGINT) cnt FROM (
         |    SELECT u.x word FROM (SELECT list_filter(
         |        regexp_split_to_array(lower(text), '\\W+'),
-        |        x -> len(x) > 0) toks FROM documents) t0, unnest(t0.toks) u(x))
+        |        x -> len(x) > 0) toks FROM $src) t0, unnest(t0.toks) u(x))
         |  GROUP BY word),
         |s1 AS$m (SELECT word, cnt, i AS pos, substr(word, CAST(i AS INT), 1) sym
         |  FROM w0, unnest(range(1, len(word) + 1)) r(i))""".stripMargin
@@ -3742,15 +3769,19 @@ object SparkEntry {
     s"WITH ${bpeChainSql(BpeBatchMerges)}\nSELECT * FROM ($union) ORDER BY step"
   }
 
-  /** dq108: vocab = alphabet (distinct s1 symbols) ∪ merge products, then
-    * dq89's greedy longest-match recurrence replayed against it. */
-  private lazy val Dq108Sql = {
-    val vocabUnion = (1 to BpeMerges)
+  /** dq108 (and dq137/dq138 with a different `src`): vocab = alphabet
+    * (distinct s1 symbols) ∪ merge products, then dq89's greedy
+    * longest-match recurrence replayed against it. `prelude` injects
+    * CTEs (e.g. a survivor selection) ahead of the chain; `src` is the
+    * corpus both the training chain and the tokenization read. */
+  private def bpeTokenizeSql(nMerges: Int, src: String,
+      prelude: String = ""): String = {
+    val vocabUnion = (1 to nMerges)
       .map(i => s"SELECT a || b AS v FROM p$i").mkString(" UNION ")
-    s"""WITH RECURSIVE ${bpeChainSql(BpeMerges, materialized = false)},
+    s"""WITH RECURSIVE $prelude${bpeChainSql(nMerges, materialized = false, src = src)},
       |vocab(v) AS (SELECT DISTINCT sym FROM s1 UNION $vocabUnion),
       |t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
-      |    x -> len(x) > 0) toks FROM documents),
+      |    x -> len(x) > 0) toks FROM $src),
       |w AS (SELECT doc_id, i AS wid, toks[CAST(i AS INT)] AS word
       |  FROM t, unnest(range(1, len(toks) + 1)) r(i)),
       |dw AS (SELECT DISTINCT word FROM w),
@@ -3773,9 +3804,22 @@ object SparkEntry {
       |  FROM w JOIN done d USING (word) GROUP BY w.doc_id)
       |SELECT doc_id, COALESCE(ds.nt, 0) AS n_subtokens,
       |  md5(COALESCE(ds.stream, '')) AS subtok_md5
-      |FROM documents LEFT JOIN ds USING (doc_id)
+      |FROM $src LEFT JOIN ds USING (doc_id)
       |ORDER BY doc_id""".stripMargin
   }
+
+  private lazy val Dq108Sql = bpeTokenizeSql(BpeMerges, "documents")
+
+  /** dq138: the config-declared curate-then-tokenize pipeline — dedup
+    * survivors of the selector seed the stored BPE state and are
+    * tokenized under its vocabulary (the chain + inference recurrence
+    * over `sel` instead of the full corpus). */
+  private lazy val Dq138Sql = bpeTokenizeSql(BpeMerges, "sel", prelude =
+    """sel AS (SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) rn
+      |    FROM documents WHERE doc_id % 3 = 1) z WHERE rn = 1),
+      |""".stripMargin)
 
   /** DuckDB-equivalent SQL per query (same column names, same ORDER BY). */
   def oracleSql: Map[String, String] = Map(
@@ -4061,6 +4105,9 @@ object SparkEntry {
     // per-call train+tokenize — both session oracles reused verbatim
     "dq136_bpe_store" -> Dq107Sql,
     "dq137_bpe_store_tokenize" -> Dq108Sql,
+    // the declared curate-then-tokenize pipeline: chain + inference
+    // recurrence over the dedup survivors of the selector
+    "dq138_config_bpe_tokenize" -> Dq138Sql,
     // the batched trainer vs the SEQUENTIAL unrolled chain at 2x depth:
     // matching this oracle is the batched == sequential proof
     "dq114_bpe_train_batched" -> Dq114Sql,

@@ -229,6 +229,12 @@ object BpeStore {
     store
   }
 
+  /** Whether `path` holds at least one committed manifest — the
+    * build-if-absent probe of config-driven stages
+    * ([[graft.plan.CurationConfig]]). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    new ManifestLog(spark, path).read().nonEmpty
+
   /** Open a stored vocabulary (+ counts). */
   def open(spark: SparkSession, path: String): BpeStore = {
     val store = new BpeStore(spark, path)

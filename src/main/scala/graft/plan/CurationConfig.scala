@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.ext.{Dedup, IvfStore, NearDupIndex, NgramLm, NgramLmStore, QualityProbeStore, Sampling, SubstrIndex, TextAnalysis}
+import graft.ext.{BpeStore, Dedup, IvfStore, NearDupIndex, NgramLm, NgramLmStore, QualityProbeStore, Sampling, SubstrIndex, TextAnalysis}
 
 /** Config-driven CURATION pipeline — the EXT analogue of [[ReportConfig]]'s
   * declare-a-report-then-run workflow (the reference runner loads a typed
@@ -216,6 +216,30 @@ object CurationConfig {
     }
   }
 
+  /** The curate-then-TOKENIZE terminal stage ([[graft.ext.BpeStore]]):
+    * the first run seeds the stored BPE state from the current
+    * survivors (word counts + a `numMerges`-merge vocabulary); later
+    * runs tokenize against the COMMITTED vocabulary with no training at
+    * all (vocabulary stability — the property a training pipeline
+    * needs). Adds a `subtokens` column; id/text pass through. */
+  final case class BpeTokenize(path: String, numMerges: Int) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val spark = df.sparkSession
+      val (store, input) =
+        if (!BpeStore.exists(spark, path)) {
+          val seeded = df.localCheckpoint(true)
+          (BpeStore.create(seeded, textCol, path, numMerges), seeded)
+        } else {
+          val st = BpeStore.open(spark, path)
+          require(st.stats.numMerges == numMerges,
+            s"bpe_tokenize at $path was trained with numMerges=" +
+              s"${st.stats.numMerges}; the config declares $numMerges")
+          (st, df)
+        }
+      input.join(store.tokenize(input, idCol, textCol), Seq(idCol))
+    }
+  }
+
   final case class NearDupGate(path: String, numHashes: Int, bands: Int,
       maxBucket: Int, threshold: Double) extends Stage {
     def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -391,11 +415,20 @@ object CurationConfig {
           case _ => fail("stage 'probe_gate' needs a non-empty 'path' string")
         }
         ProbeGate(path)
+      case "bpe_tokenize" =>
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'bpe_tokenize' needs a non-empty 'path' string")
+        }
+        val n = long("numMerges")
+          .getOrElse(fail("stage 'bpe_tokenize' needs 'numMerges'"))
+        if (n < 1) fail(s"stage 'bpe_tokenize': numMerges must be >= 1, got $n")
+        BpeTokenize(path, n.toInt)
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
           "fluency_band | token_budget | repeat_epochs | where | " +
           "substr_gate | neardup_gate | semantic_gate | lm_gate | " +
-          "probe_gate)")
+          "probe_gate | bpe_tokenize)")
     }
   }
 

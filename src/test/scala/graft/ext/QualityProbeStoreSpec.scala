@@ -102,6 +102,21 @@ class QualityProbeStoreSpec extends GraftSpec {
       .select("doc_id").as[Long].collect().sorted shouldBe keptBefore
   }
 
+  it("the gate plan scans NO files at all over a checkpointed batch — " +
+     "model and threshold are driver-side constants off the moment table " +
+     "(the 100 TB seam: zero corpus-sized reads per gate)") {
+    val store = QualityProbeStore.create(docs, "doc_id", "text", tmp())
+    val batch = docs.select($"doc_id" + 70000 as "doc_id", $"text")
+      .localCheckpoint(true)
+    val kept = store.gateKeep(batch, "doc_id", "text", None)
+    kept.collect()
+    val scans = graft.plans.PlanWalk
+      .collectAll(kept.queryExecution.executedPlan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    scans shouldBe empty
+  }
+
   it("open() restores the store and its frozen LM; a missing layout is " +
      "refused; create refuses an occupied path") {
     val path = tmp()

@@ -250,6 +250,50 @@ class CurationConfigSpec extends GraftSpec {
     bad("""{"table":"documents","id":"i","text":"t",
           | "stages":[{"stage":"probe_gate","path":"  "}]}""".stripMargin,
       "'path'")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"bpe_tokenize","numMerges":4}]}""".stripMargin,
+      "'path'")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"bpe_tokenize","path":"/tmp/x"}]}""".stripMargin,
+      "'numMerges'")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"bpe_tokenize","path":"/tmp/x",
+          |   "numMerges":0}]}""".stripMargin, ">= 1")
+  }
+
+  it("bpe_tokenize: the first run seeds the stored vocabulary from the " +
+     "survivors and tokenizes them; later runs reuse the COMMITTED " +
+     "vocabulary (no retraining); a drifted numMerges is refused") {
+    val d = dir
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-bpe").toString + "/idx"
+    def cfg(whereExpr: String, n: Int = 4): String =
+      s"""{"table":"documents","id":"doc_id","text":"text",
+        | "stages":[{"stage":"where","expr":"$whereExpr"},
+        |   {"stage":"bpe_tokenize","path":"$path","numMerges":$n}]}""".stripMargin
+    val r1 = CurationConfig.parse(cfg("doc_id <= 4")).run(spark, d)
+      .select($"doc_id", array_join($"subtokens", " ").as("j"))
+      .as[(Long, String)].collect().toMap
+    r1.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    // the seeded vocabulary equals a per-call train over the same docs
+    val docs14 = spark.read.parquet(s"$d/documents.parquet")
+      .filter($"doc_id" <= 4)
+    val session = graft.ext.BpeTrain.learn(docs14, "text", numMerges = 4)
+    graft.ext.BpeStore.open(spark, path).model.vocab shouldBe session.vocab
+    // round 2: a NEW doc tokenizes under the ROUND-1 vocabulary
+    val r2 = CurationConfig.parse(cfg("doc_id = 5")).run(spark, d)
+      .select($"doc_id", array_join($"subtokens", " ").as("j"))
+      .as[(Long, String)].collect().toMap
+    val expect5 = spark.read.parquet(s"$d/documents.parquet")
+      .filter($"doc_id" === 5)
+      .select(graft.functions.SubwordTokenize(
+        regexp_replace(lower($"text"), "\\W+", " "), session.vocab).as("s"))
+      .select(array_join($"s", " ")).as[String].head()
+    r2(5L) shouldBe expect5
+    val e = intercept[IllegalArgumentException] {
+      CurationConfig.parse(cfg("doc_id = 5", n = 3)).run(spark, d).count()
+    }
+    e.getMessage should (include("numMerges=4") and include("3"))
   }
 
   it("probe_gate: bootstrap seeds the stored statistics (all kept); " +
