@@ -3170,43 +3170,23 @@ object SparkEntry {
     * scoring semantics), moments summed over the union (create batch +
     * append batch ≡ one pass, by associativity). */
   private lazy val Dq131Sql: String = {
-    val sw = graft.ext.QualityProbe.Stopwords.map(s => s"'$s'").mkString(", ")
     val terms =
       (for (i <- 0 until 4; j <- i until 4) yield (s"m_${i}_$j", s"x$i * x$j")) ++
         (0 until 4).map(i => (s"v_$i", s"x$i * y"))
     val unions = terms.map { case (t, e) =>
       s"SELECT '$t' AS term, CAST(sum($e) AS BIGINT) AS value FROM j"
     }.mkString("\n  UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
-      |    x -> len(x) > 0) toks FROM documents),
-      |hb AS (SELECT unnest(list_transform(range(1, len(toks)),
-      |    i -> toks[i] || ' ' || toks[i+1])) AS bg
-      |  FROM t WHERE doc_id % 5 <> 0 AND len(toks) >= 2),
-      |model AS (SELECT bg, CAST(count(*) AS BIGINT) c12 FROM hb GROUP BY 1),
-      |pc AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) c1
-      |  FROM model GROUP BY 1),
-      |m AS (SELECT bg, (1000000 * c12) // c1 AS micro
-      |  FROM model JOIN pc ON string_split(model.bg, ' ')[1] = pc.w1),
-      |ball AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-      |    i -> toks[i] || ' ' || toks[i+1])) AS bg
-      |  FROM t WHERE len(toks) >= 2),
-      |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) nb,
-      |    CAST(sum(COALESCE(micro, 0)) AS BIGINT) sm
-      |  FROM ball LEFT JOIN m USING (bg) GROUP BY 1),
-      |y AS (SELECT d.doc_id, COALESCE(s.sm // s.nb, 0) AS y
-      |  FROM documents d LEFT JOIN s USING (doc_id)),
-      |f AS (SELECT d.doc_id,
-      |    CAST(1 AS BIGINT) x0,
-      |    CASE WHEN len(t.toks) = 0 THEN 0
-      |      ELSE (1000 * CAST(list_sum(list_transform(t.toks, x -> len(x))) AS BIGINT))
-      |        // len(t.toks) END x1,
-      |    CASE WHEN len(t.toks) = 0 THEN 0
-      |      ELSE (1000 * len(list_filter(t.toks,
-      |        x -> list_contains([$sw], x)))) // len(t.toks) END x2,
-      |    CASE WHEN len(t.toks) = 0 THEN 0
-      |      ELSE (1000 * len(list_distinct(t.toks))) // len(t.toks) END x3
-      |  FROM documents d JOIN t USING (doc_id)),
-      |j AS (SELECT f.x0, f.x1, f.x2, f.x3, y.y FROM f JOIN y USING (doc_id))
+    // one definition of the probe blocks for the whole stored-probe
+    // family: dq131's frozen model trains on the %5<>0 history while
+    // features + targets span ALL documents (create batch + append)
+    s"""WITH hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      |${probeTokSql("hist", "hht")},
+      |${probeModelSql("hht", "fm")},
+      |${probeTokSql("documents", "ht")},
+      |${probeYSql("documents", "ht", "fm", "h")},
+      |${probeFeatSql("documents", "ht", "hf")},
+      |j AS (SELECT hf.x0, hf.x1, hf.x2, hf.x3, hy.y
+      |  FROM hf JOIN hy USING (doc_id))
       |SELECT term, value FROM (
       |  $unions
       |) ORDER BY term""".stripMargin

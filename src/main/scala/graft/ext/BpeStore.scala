@@ -4,9 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Stored statistics for [[BpeStore]]: advisory `wordRows` (count
-  * partials on disk, not distinct words) and the current model's
-  * `numMerges`. */
-final case class BpeStoreStats(wordRows: Long, numMerges: Int)
+  * partials on disk, not distinct words), the current model's ACTUAL
+  * merge count `numMerges` (training may drain the pair space before
+  * the budget is spent), and the `mergeBudget` it was trained with —
+  * the config-stage identity parameter ([[graft.plan.CurationConfig]]
+  * compares declared vs trained budgets, not drained actuals). */
+final case class BpeStoreStats(wordRows: Long, numMerges: Int,
+    mergeBudget: Int)
 
 /** PERSISTED BPE vocabulary — [[BpeTrain]]'s training state made a
   * stored incremental artifact, the seventh member of the index family:
@@ -51,7 +55,8 @@ final class BpeStore private (
   /** Current stored statistics (re-read per call — appends move it). */
   def stats: BpeStoreStats = {
     val r = spark.read.parquet(s"$path/stats").head()
-    BpeStoreStats(r.getAs[Long]("word_rows"), r.getAs[Int]("num_merges"))
+    BpeStoreStats(r.getAs[Long]("word_rows"), r.getAs[Int]("num_merges"),
+      r.getAs[Int]("merge_budget"))
   }
 
   private def visible(excludeToken: Option[String]): Seq[Manifest] =
@@ -105,8 +110,9 @@ final class BpeStore private (
     require(!first || added > 0,
       s"cannot build a stored BPE state at $path from a corpus with no words")
     log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
-    val prev = if (first) BpeStoreStats(0L, 0) else stats
-    val st = BpeStoreStats(prev.wordRows + added, prev.numMerges)
+    val prev = if (first) BpeStoreStats(0L, 0, 0) else stats
+    val st = BpeStoreStats(prev.wordRows + added, prev.numMerges,
+      prev.mergeBudget)
     BpeStore.writeStats(spark, path, st)
     maybeCompact()
     st
@@ -199,21 +205,24 @@ final class BpeStore private (
     val sup = ms.flatMap(_.supersedesCounts).toSet
     val prevModels = ms.flatMap(_.counts).filterNot(sup)
     log.commit(Manifest(Nil, Nil, Seq(id), prevModels, None), seq)
-    BpeStore.writeStats(spark, path, BpeStoreStats(stats.wordRows, numMerges))
+    BpeStore.writeStats(spark, path,
+      BpeStoreStats(stats.wordRows, m.merges.size, numMerges))
   }
 
   // ---------------- inference ----------------
 
-  /** (idCol, subtokens) under the STORED vocabulary — dq108's inference
-    * kernel ([[graft.functions.SubwordTokenize]], codegen'd, map-only)
-    * with the vocabulary read from the model dir instead of trained per
-    * call. */
-  def tokenize(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val v = model.vocab
-    df.select(col(idCol),
-      graft.functions.SubwordTokenize(
-        regexp_replace(lower(col(textCol)), "\\W+", " "), v).as("subtokens"))
-  }
+  /** The subtoken COLUMN under the STORED vocabulary — dq108's
+    * inference kernel ([[graft.functions.SubwordTokenize]], codegen'd,
+    * map-only) with the vocabulary read from the model dir instead of
+    * trained per call. A Column, so callers compose it without a join
+    * (duplicate-id inputs stay one-row-per-input). */
+  def tokenizeColumn(textCol: String): org.apache.spark.sql.Column =
+    graft.functions.SubwordTokenize(
+      regexp_replace(lower(col(textCol)), "\\W+", " "), model.vocab)
+
+  /** (idCol, subtokens) — [[tokenizeColumn]] projected over `df`. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokenizeColumn(textCol).as("subtokens"))
 }
 
 object BpeStore {
@@ -245,7 +254,8 @@ object BpeStore {
   private def writeStats(spark: SparkSession, path: String,
       st: BpeStoreStats): Unit = {
     import spark.implicits._
-    Seq((st.wordRows, st.numMerges)).toDF("word_rows", "num_merges")
+    Seq((st.wordRows, st.numMerges, st.mergeBudget))
+      .toDF("word_rows", "num_merges", "merge_budget")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 }

@@ -231,12 +231,14 @@ object CurationConfig {
           (BpeStore.create(seeded, textCol, path, numMerges), seeded)
         } else {
           val st = BpeStore.open(spark, path)
-          require(st.stats.numMerges == numMerges,
+          require(st.stats.mergeBudget == numMerges,
             s"bpe_tokenize at $path was trained with numMerges=" +
-              s"${st.stats.numMerges}; the config declares $numMerges")
+              s"${st.stats.mergeBudget}; the config declares $numMerges")
           (st, df)
         }
-      input.join(store.tokenize(input, idCol, textCol), Seq(idCol))
+      // a map-only column, NOT a join: duplicate ids (e.g. a preceding
+      // repeat_epochs stage) must stay one-row-per-input
+      input.withColumn("subtokens", store.tokenizeColumn(textCol))
     }
   }
 

@@ -294,6 +294,17 @@ class CurationConfigSpec extends GraftSpec {
       CurationConfig.parse(cfg("doc_id = 5", n = 3)).run(spark, d).count()
     }
     e.getMessage should (include("numMerges=4") and include("3"))
+    // tokenize is a map-only COLUMN, not a join: duplicate ids from a
+    // preceding repeat_epochs stage stay one-row-per-input (factor 2 ->
+    // exactly 2 rows per doc, never k^2)
+    val rep = s"""{"table":"documents","id":"doc_id","text":"text",
+      | "stages":[{"stage":"where","expr":"doc_id <= 4"},
+      |   {"stage":"repeat_epochs","factor":2},
+      |   {"stage":"bpe_tokenize","path":"$path","numMerges":4}]}""".stripMargin
+    val counts = CurationConfig.parse(rep).run(spark, d)
+      .groupBy("doc_id").count().select("count").as[Long].collect()
+    counts should have length 4
+    all(counts) shouldBe 2L
   }
 
   it("probe_gate: bootstrap seeds the stored statistics (all kept); " +
