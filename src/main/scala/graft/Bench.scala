@@ -453,6 +453,28 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq132 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq136: the stored BPE state's build/retrain canary — create
+      //    pays the one corpus word-count pass; retrain runs over the
+      //    summed distinct-word table only (the flat-vs-linear split
+      //    SCALE_BPESTORE measures; the per-run canary pins the walls).
+      if (!names.exists(_.startsWith("dq136"))) None
+      else try {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .localCheckpoint(true)
+        val path = graft.io.TempReaper.tempDir("graft-bench-bpeidx").toString + "/idx"
+        val buildLoad = loadAvg()
+        val tb0 = System.nanoTime()
+        val store = graft.ext.BpeStore.create(docs, "text", path, numMerges = 6)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        val tr0 = System.nanoTime()
+        val m = store.retrain(6)
+        val retrainSec = (System.nanoTime() - tr0) / 1e9
+        Some(f""""dq136_build_sec":$buildSec%.3f,"dq136_build_loadavg":$buildLoad%.2f,""" +
+          f""""dq136_retrain_sec":$retrainSec%.3f,""" +
+          s""""dq136_merges":${m.merges.size}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq136 evidence failed: ${e.getMessage}"); None
+      },
       //  - dq127: the stored inverted index's scale property — a search's
       //    posting scan prunes to the query terms' hash buckets at file
       //    listing, with the term predicate pushed to row groups.

@@ -2505,6 +2505,43 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ139 (EXT, §2.9): dq136's count folding STREAMED — the two
+    * held-out halves arrive as micro-batches through
+    * [[EventStream.runFoldIngest]] (exactly-once via batch tokens: a
+    * replayed micro-batch's `appendOnce` is a no-op), then one
+    * [[graft.ext.BpeStore.retrain]] over the summed table. Word counts
+    * are associative, so stream order is invisible and the result is
+    * the from-scratch chain over ALL documents — dq107's oracle
+    * verbatim, the third reuse (batch dq136 / stream here). */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val in = graft.io.TempReaper.tempDir("graft-dq139-in").toString
+    val b1 = docs.filter(col("doc_id") % 10 === 0)
+    val b2 = docs.filter(col("doc_id") % 10 === 5)
+    b1.coalesce(1).write.parquet(s"$in/b1.parquet")
+    b2.coalesce(1).write.parquet(s"$in/b2.parquet")
+    val later = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 120000L)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b2.parquet"))
+      .forEach(p => { java.nio.file.Files.setLastModifiedTime(p, later); () })
+    val path = graft.io.TempReaper.tempDir("graft-dq139-idx").toString + "/idx"
+    val store = graft.ext.BpeStore.create(
+      docs.filter(col("doc_id") % 5 =!= 0), "text", path,
+      numMerges = BpeMerges)
+    val incoming = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    EventStream.runFoldIngest(incoming, "dq139") { (batch, token) =>
+      store.appendOnce(batch, "text", token); ()
+    }
+    val model = store.retrain(BpeMerges)
+    s.createDataFrame(model.merges)
+      .select(col("step").cast("long").as("step"),
+        col("left").as("left_sym"), col("right").as("right_sym"),
+        col("pairCount").as("pair_count"))
+      .orderBy("step")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2681,7 +2718,8 @@ object SparkEntry {
     "dq135_config_curation_loop" -> (q135 _),
     "dq136_bpe_store"           -> (q136 _),
     "dq137_bpe_store_tokenize"  -> (q137 _),
-    "dq138_config_bpe_tokenize" -> (q138 _)
+    "dq138_config_bpe_tokenize" -> (q138 _),
+    "dq139_stream_bpe_fold"     -> (q139 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4084,6 +4122,9 @@ object SparkEntry {
     // documents), and the stored-vocabulary tokenize must equal the
     // per-call train+tokenize — both session oracles reused verbatim
     "dq136_bpe_store" -> Dq107Sql,
+    // the STREAMED count fold makes the same promise over micro-batched
+    // halves (exactly-once tokens; associativity hides stream order)
+    "dq139_stream_bpe_fold" -> Dq107Sql,
     "dq137_bpe_store_tokenize" -> Dq108Sql,
     // the declared curate-then-tokenize pipeline: chain + inference
     // recurrence over the dedup survivors of the selector

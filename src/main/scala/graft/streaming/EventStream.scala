@@ -160,6 +160,27 @@ object EventStream {
       .withColumn("batch", col("batch").cast(LongType) + 1L)
   }
 
+  /** The APPEND-ONLY sibling of [[runIndexedIngest]] for stores whose
+    * state is associative and ungated ([[graft.ext.BpeStore]] word
+    * counts): every micro-batch is folded in whole via `fold(batch,
+    * token)` — the callee's `appendOnce` under the batch token makes a
+    * replayed micro-batch a no-op, so the summed state after the stream
+    * equals one batch pass over the union of all micro-batches. */
+  def runFoldIngest(incoming: DataFrame, name: String)
+      (fold: (DataFrame, String) => Unit): Unit = {
+    val basePath = java.nio.file.Files.createTempDirectory(s"graft-foldingest-$name")
+    deleteOnExit(basePath)
+    val q = incoming.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        fold(batch, s"$name#$id")
+      }
+      .option("checkpointLocation", s"${basePath.toString}/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastRunStats = extractStats(q.recentProgress)
+  }
+
   /** Register a JVM-exit sweep of a temp tree. The result DataFrames these
     * runners return read their parquet lazily, so an eager delete after the
     * runner returns would race the caller's first action — exit-time reaping
