@@ -17,7 +17,11 @@ final case class Bm25StoreStats(docs: Long, dlSum: Long, buckets: Int)
   * / [[append]] time, into the exploded posting relation
   * `(term, __id, __dl, __tf)`, and every later query reads postings for
   * ITS OWN terms only. Document text is never re-read; corpus length
-  * statistics (N, Σdl) accumulate as exact Longs in `stats/`.
+  * statistics (N, Σdl) accumulate as exact Long PARTIALS in
+  * `statsparts/` — every batch document counts (zero-token docs
+  * included, matching the session scorer's corpus count), and the
+  * partial is written before the marker commit, so the summed stats can
+  * never disagree with the committed postings.
   *
   * == Layout ==
   *
@@ -30,7 +34,9 @@ final case class Bm25StoreStats(docs: Long, dlSum: Long, buckets: Int)
   *    term-sorted within each bucket, so the `term IN (...)` predicate
   *    additionally prunes at parquet row-group min/max;
   *  - `_commits/m<seq>` marker manifests (crashed appends invisible);
-  *  - `stats/` one [[Bm25StoreStats]] row.
+  *  - `statsparts/append=<id>/` one (docs, dl_sum) partial per append
+  *    (compaction folds them alongside the postings);
+  *  - `stats/` the static `buckets` row.
   *
   * == Query shape ==
   *
@@ -51,11 +57,25 @@ final case class Bm25StoreStats(docs: Long, dlSum: Long, buckets: Int)
 final class Bm25Store private (
     private val spark: SparkSession, val path: String) {
 
-  /** Current stored statistics (re-read per call — appends move it). */
-  def stats: Bm25StoreStats = {
-    val r = spark.read.parquet(s"$path/stats").head()
-    Bm25StoreStats(r.getAs[Long]("docs"), r.getAs[Long]("dl_sum"),
-      r.getAs[Int]("buckets"))
+  /** Current stored statistics: `buckets` from the static `stats/` row,
+    * docs/Σdl SUMMED from the committed per-append partials — stats can
+    * never disagree with the committed postings (there is no separate
+    * mutable total to fall behind). */
+  def stats: Bm25StoreStats = statsOf(excludeToken = None)
+
+  /** [[stats]] under the micro-batch replay view ([[search]] passes its
+    * `excludeToken` so a replayed gate scores with pre-append N/avgdl,
+    * matching the pruned posting relation it reads). */
+  def statsOf(excludeToken: Option[String]): Bm25StoreStats = {
+    val buckets = spark.read.parquet(s"$path/stats").head()
+      .getAs[Int]("buckets")
+    val ids = activeIds(visible(excludeToken))
+    require(ids.nonEmpty, s"no committed statsparts under $path")
+    val agg = spark.read.option("basePath", s"$path/statsparts")
+      .parquet(ids.map(id => s"$path/statsparts/append=$id"): _*)
+      .agg(coalesce(sum(col("docs")), lit(0L)),
+        coalesce(sum(col("dl_sum")), lit(0L))).head()
+    Bm25StoreStats(agg.getLong(0), agg.getLong(1), buckets)
   }
 
   private val log = new ManifestLog(spark, path)
@@ -102,29 +122,36 @@ final class Bm25Store private (
     val seq = before.size + 1
     val id = f"a$seq%06d"
     val dir = s"$path/postings/append=$id"
+    val sDir = s"$path/statsparts/append=$id"
     log.clearOrphan(dir)
+    log.clearOrphan(sDir)
     val posts = Bm25.postingsOf(df, idCol, textCol)
       .withColumn("tb", pmod(hash(col("term")), lit(prev.buckets)))
     posts.persist()
     try {
       posts.sortWithinPartitions("tb", "term")
         .write.partitionBy("tb").mode("errorifexists").parquet(dir)
-      // batch statistics off the cached postings: distinct docs + their dl
-      // (document order/shape never matters — (id, dl) pairs are unique)
-      val agg = posts.select(col("__id"), col("__dl")).distinct()
+      // batch statistics off the PRE-explode frame: EVERY batch document
+      // counts toward N and Σdl, including zero-token docs that produce
+      // no postings — the session scorer ([[Bm25.scores]]) counts all
+      // corpus rows, and stored-vs-session ranking parity requires the
+      // same N/avgdl. Written as a durable per-append PARTIAL before the
+      // marker commit (visibility is the manifest's — a crash between
+      // the two leaves both dirs invisible), so [[stats]] can never
+      // disagree with the committed postings.
+      val agg = df
+        .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("__dl"))
         .agg(count(lit(1)).as("n"), coalesce(sum(col("__dl")), lit(0L)).as("s"))
         .head()
       // a FIRST append with zero postings would leave the index unreadable
       // (every later read infers schema over only-empty dirs): refuse the
       // degenerate build with a clear error instead of wedging later
-      require(!first || agg.getLong(0) > 0,
+      require(!first || graft.io.ParquetMeta.rowCount(spark, dir) > 0,
         s"cannot build a stored index at $path from a corpus with no postings")
+      Bm25Store.writeStatsPart(spark, sDir, agg.getLong(0), agg.getLong(1))
       log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
-      val st = Bm25StoreStats(prev.docs + agg.getLong(0),
-        prev.dlSum + agg.getLong(1), prev.buckets)
-      Bm25Store.writeStats(spark, path, st)
       maybeCompact()
-      st
+      stats
     } finally { posts.unpersist(blocking = false); () }
   }
 
@@ -143,22 +170,33 @@ final class Bm25Store private (
       val seq = ms.size + 1
       val cid = f"c$seq%06d"
       val dir = s"$path/postings/append=$cid"
+      val sDir = s"$path/statsparts/append=$cid"
       log.clearOrphan(dir)
+      log.clearOrphan(sDir)
       spark.read.option("basePath", s"$path/postings")
         .parquet(foldable.map(id => s"$path/postings/append=$id"): _*)
         .select("term", "__id", "__dl", "__tf", "tb")
         .sortWithinPartitions("tb", "term")
         .write.partitionBy("tb").mode("errorifexists").parquet(dir)
+      // the folded dirs' stats partials fold into the same commit —
+      // activeIds excludes superseded ids from BOTH relations
+      val sAgg = spark.read.option("basePath", s"$path/statsparts")
+        .parquet(foldable.map(id => s"$path/statsparts/append=$id"): _*)
+        .agg(coalesce(sum(col("docs")), lit(0L)),
+          coalesce(sum(col("dl_sum")), lit(0L))).head()
+      Bm25Store.writeStatsPart(spark, sDir, sAgg.getLong(0), sAgg.getLong(1))
       log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)
     }
   }
 
-  /** Unlink posting dirs a compaction superseded, under the retention
-    * guard ([[ManifestLog.vacuumEligible]]). Single writer. Returns the
-    * number of dirs removed. */
+  /** Unlink posting + statspart dirs a compaction superseded, under the
+    * retention guard ([[ManifestLog.vacuumEligible]]). Single writer.
+    * Returns the number of posting dirs removed. */
   def vacuum(): Int = {
     val f = log.fileSystem
     log.vacuumEligible(_.supersedesDigests).count { id =>
+      f.delete(new org.apache.hadoop.fs.Path(
+        s"$path/statsparts/append=$id"), true)
       f.delete(new org.apache.hadoop.fs.Path(s"$path/postings/append=$id"), true)
     }
   }
@@ -174,7 +212,7 @@ final class Bm25Store private (
     * (qid, vid, score_micro, rnk), top-k per qid. */
   def search(queries: DataFrame, k: Int, k1: Double = 1.2,
       b: Double = 0.75, excludeToken: Option[String] = None): DataFrame = {
-    val st = stats
+    val st = statsOf(excludeToken)
     // query vocabulary with its buckets: a query-sized executor job (the
     // bucket function is the executor's hash — never reimplemented on the
     // driver), collected to literals for static pruning
@@ -235,6 +273,9 @@ object Bm25Store {
       buckets: Int = 16): Bm25Store = {
     require(buckets >= 1, "need buckets >= 1")
     val idx = new Bm25Store(corpus.sparkSession, path)
+    // the static buckets row first: writeBatch's closing stats read (and
+    // every later open) needs it; docs/Σdl live in per-append partials
+    writeBuckets(corpus.sparkSession, path, buckets)
     idx.writeBatch(corpus, idCol, textCol, Bm25StoreStats(0L, 0L, buckets),
       first = true, token = None)
     idx
@@ -247,11 +288,17 @@ object Bm25Store {
     idx
   }
 
-  private def writeStats(spark: SparkSession, path: String,
-      st: Bm25StoreStats): Unit = {
+  private def writeBuckets(spark: SparkSession, path: String,
+      buckets: Int): Unit = {
     import spark.implicits._
-    Seq((st.docs, st.dlSum, st.buckets))
-      .toDF("docs", "dl_sum", "buckets")
+    Seq(Tuple1(buckets)).toDF("buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  private[ext] def writeStatsPart(spark: SparkSession, dir: String,
+      docs: Long, dlSum: Long): Unit = {
+    import spark.implicits._
+    Seq((docs, dlSum)).toDF("docs", "dl_sum")
+      .coalesce(1).write.mode("errorifexists").parquet(dir)
   }
 }

@@ -180,9 +180,14 @@ final class IvfStore private (private val spark: SparkSession,
             org.apache.spark.sql.types.StructType(fields))
           .write.mode("errorifexists").parquet(dir)
       emptyOf(Seq(rows.schema("vid"), rows.schema("cell")), vDir)
-      emptyOf(Seq(rows.schema("vid"), rows.schema("cell"),
+      // the packed sidecar is cell-PARTITIONED in non-empty appends, so
+      // the empty one must keep the same leaf depth and data columns
+      // (vid, pemb under a cell= dir) — a flat file with cell as a data
+      // column would make partition discovery over mixed appends throw
+      // CONFLICTING_DIRECTORY_STRUCTURES
+      emptyOf(Seq(rows.schema("vid"),
         org.apache.spark.sql.types.StructField("pemb",
-          org.apache.spark.sql.types.BinaryType)), pDir)
+          org.apache.spark.sql.types.BinaryType)), s"$pDir/cell=0")
     } else {
       val back = spark.read.option("basePath", s"$path/assigned").parquet(aDir)
       back.select("vid", "cell").sort("vid")
@@ -444,9 +449,11 @@ final class IvfStore private (private val spark: SparkSession,
   def semanticKeepUnseen(batch: DataFrame, idCol: String, embCol: String,
       tau: Double, nprobe: Int,
       excludeToken: Option[String] = None): DataFrame = {
+    // reserved-name join key: the batch may itself carry a 'qid' column
+    // (the NearDupIndex.keepUnseen 'doc_inc' precedent)
     val dup = semanticPairs(batch, idCol, embCol, tau, nprobe, excludeToken)
-      .select(col("qid")).distinct()
-    batch.join(dup, batch(idCol) === col("qid"), "left_anti")
+      .select(col("qid").as("__gate_qid")).distinct()
+    batch.join(dup, batch(idCol) === col("__gate_qid"), "left_anti")
   }
 
   // ---------------- IngestIndex ----------------

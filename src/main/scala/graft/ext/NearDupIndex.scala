@@ -185,6 +185,11 @@ final class NearDupIndex private (
       // A fully-dropped batch leaves a zero-file dir — skip its read-back
       // (nothing to count) instead of failing schema inference.
       val batchDocs = nonEmpty.count()
+      // a FIRST build with zero shingled docs would leave every relation
+      // unreadable (schema inference over only-empty dirs): refuse with a
+      // clear error, like the other text-keyed stores
+      require(!first || batchDocs > 0,
+        s"cannot build a stored index at $path from a corpus with no shingles")
       val allKeys =
         if (first) spark.read.parquet(s"$path/counts/append=$id")
           .select("b", "bkey")

@@ -160,7 +160,11 @@ object QualityProbeStore {
     val store = new QualityProbeStore(spark, path)
     require(store.log.read().isEmpty,
       s"$path already holds a committed store (create() wants a fresh path)")
-    NgramLmStore.build(history, idCol, textCol, s"$path/lm")
+    // crash-replayable: a predecessor that died between the LM build and
+    // the first moments commit left a committed LM — reuse it (it was
+    // built from the same history; the moments log is still empty)
+    if (!NgramLmStore.exists(spark, s"$path/lm"))
+      NgramLmStore.build(history, idCol, textCol, s"$path/lm")
     store.writeBatch(history, idCol, textCol, token = None)
     store
   }

@@ -37,6 +37,21 @@ class Bm25StoreSpec extends GraftSpec {
     stored should not be empty
   }
 
+  it("zero-token documents count toward N and avgdl exactly as the " +
+     "session scorer counts them (stored-vs-session parity on a corpus " +
+     "with empty-token docs)") {
+    val withEmpty = docs.select($"doc_id", $"text")
+      .union(Seq((900001L, ""), (900002L, "!!! ...")).toDF("doc_id", "text"))
+    val store = Bm25Store.build(withEmpty, "doc_id", "text", tmp())
+    store.stats.docs shouldBe withEmpty.count()
+    val stored = store.search(queries, k = 3)
+      .orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq
+    val session = Bm25.topK(withEmpty, "doc_id", "text", queries, k = 3)
+      .orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq
+    stored shouldBe session
+    stored should not be empty
+  }
+
   it("build + append is split-invariant: an 80/20 split ranks exactly " +
      "like a one-shot build (stored df/N/avgdl equal corpus-wide values)") {
     val oneShot = Bm25Store.build(docs, "doc_id", "text", tmp())

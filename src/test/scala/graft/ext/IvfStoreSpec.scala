@@ -317,6 +317,21 @@ class IvfStoreSpec extends GraftSpec {
     store.gateKeep(emb.filter($"vec_id" === 1L)
       .select(($"vec_id" + 7777).as("vec_id"), $"embedding"),
       "vec_id", "embedding", None).count() shouldBe 0L // dup of stored 1
+    // the PACKED tier must survive the empty append too: its sidecar is
+    // cell-partitioned, so the empty dir must keep the same leaf depth
+    // (a flat file with cell as data column breaks partition discovery)
+    store.searchAllPacked(Seq(1L), topK = 3, nprobe = 2).count() shouldBe 3
+  }
+
+  it("the semantic gate tolerates a batch that itself carries a 'qid' " +
+     "column (reserved-name anti-join key)") {
+    val store = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
+    val batch = emb.filter($"vec_id" === 2L)
+      .select(($"vec_id" + 8888).as("vec_id"), $"embedding",
+        lit(42L).as("qid"))
+    // a stored-copy vector: dropped — and the extra qid column is inert
+    store.semanticKeepUnseen(batch, "vec_id", "embedding",
+      tau = 0.5, nprobe = 2).count() shouldBe 0L
   }
 
   it("open() restores centroids exactly; a missing layout is refused; " +

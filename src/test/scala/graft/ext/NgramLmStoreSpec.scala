@@ -94,6 +94,10 @@ class NgramLmStoreSpec extends GraftSpec {
     (intercept[IllegalArgumentException] {
       SubstrIndex.build(shorts, "doc_id", "text", tmp(), k = 8)
     }).getMessage should include("8-token windows")
+    (intercept[IllegalArgumentException] {
+      NearDupIndex.build(shorts, "doc_id", "text", tmp(),
+        numHashes = 16, bands = 4)
+    }).getMessage should include("no shingles")
   }
 
   it("scoring a batch scans ONLY the stored model — history text never " +

@@ -117,6 +117,16 @@ class QualityProbeStoreSpec extends GraftSpec {
     scans shouldBe empty
   }
 
+  it("create is crash-replayable: a predecessor that died between the " +
+     "LM build and the first moments commit is recovered, not wedged") {
+    val path = tmp()
+    // simulate the crash: the frozen LM exists, the moments log is empty
+    NgramLmStore.build(docs, "doc_id", "text", s"$path/lm")
+    val store = QualityProbeStore.create(docs, "doc_id", "text", path)
+    store.moments().count() shouldBe 14
+    store.milliWeights() should have length 4
+  }
+
   it("open() restores the store and its frozen LM; a missing layout is " +
      "refused; create refuses an occupied path") {
     val path = tmp()
