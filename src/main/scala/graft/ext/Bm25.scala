@@ -74,16 +74,25 @@ object Bm25 {
     * (document, term) — `(__id, __dl, term, __tf)`. This is what
     * [[Bm25Store]] persists; the session path derives it per call. */
   private[ext] def postingsOf(corpus: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val withLen = corpus.select(col(idCol).as("__id"),
+      textCol: String): DataFrame =
+    postingsFromTokens(tokenized(corpus, idCol, textCol))
+
+  /** The tokenized frame `(__id, __toks, __dl)` both the posting
+    * relation and the corpus statistics derive from — [[Bm25Store]]
+    * caches ONE instance of this per append so document text is
+    * tokenized exactly once per indexing pass. */
+  private[ext] def tokenized(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus.select(col(idCol).as("__id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("__id"), col("__toks"),
         size(col("__toks")).cast("long").as("__dl"))
+
+  private[ext] def postingsFromTokens(withLen: DataFrame): DataFrame =
     withLen.select(col("__id"), col("__dl"),
         explode(col("__toks")).as("term"))
       .groupBy("__id", "__dl", "term")
       .agg(count(lit(1)).as("__tf"))
-  }
 
   /** The shared scoring TAIL over a query-vocabulary-pruned posting
     * relation — one expression tree, used verbatim by the per-call path

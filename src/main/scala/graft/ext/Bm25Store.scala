@@ -125,10 +125,15 @@ final class Bm25Store private (
     val sDir = s"$path/statsparts/append=$id"
     log.clearOrphan(dir)
     log.clearOrphan(sDir)
-    val posts = Bm25.postingsOf(df, idCol, textCol)
-      .withColumn("tb", pmod(hash(col("term")), lit(prev.buckets)))
-    posts.persist()
+    // tokenize the batch text ONCE: the cached (__id, __toks, __dl)
+    // frame feeds both the posting write and the statistics partial —
+    // no second pass over document text (at corpus scale the extra
+    // tokenize pass, not the 14-row stats write, is the cost)
+    val toks = Bm25.tokenized(df, idCol, textCol)
+    toks.persist()
     try {
+      val posts = Bm25.postingsFromTokens(toks)
+        .withColumn("tb", pmod(hash(col("term")), lit(prev.buckets)))
       posts.sortWithinPartitions("tb", "term")
         .write.partitionBy("tb").mode("errorifexists").parquet(dir)
       // batch statistics off the PRE-explode frame: EVERY batch document
@@ -139,8 +144,7 @@ final class Bm25Store private (
       // marker commit (visibility is the manifest's — a crash between
       // the two leaves both dirs invisible), so [[stats]] can never
       // disagree with the committed postings.
-      val agg = df
-        .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("__dl"))
+      val agg = toks
         .agg(count(lit(1)).as("n"), coalesce(sum(col("__dl")), lit(0L)).as("s"))
         .head()
       // a FIRST append with zero postings would leave the index unreadable
@@ -152,7 +156,7 @@ final class Bm25Store private (
       log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
       maybeCompact()
       stats
-    } finally { posts.unpersist(blocking = false); () }
+    } finally { toks.unpersist(blocking = false); () }
   }
 
   /** Fold the posting dirs into one bucket-partitioned relation once the
