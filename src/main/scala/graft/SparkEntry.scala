@@ -2542,6 +2542,44 @@ object SparkEntry {
       .orderBy("step")
   }
 
+  /** DQ140 (EXT, §2.9): dq127's posting ingest STREAMED — the held-out
+    * 20% arrives as two micro-batches through
+    * [[EventStream.runFoldIngest]] (exactly-once posting + statistics
+    * appends via batch tokens: a replayed micro-batch's `appendOnce` is
+    * a no-op), then the same stored search. Postings and the N/Σdl
+    * partials are associative, so stream order and batch boundaries are
+    * invisible and the stored ranking equals session BM25 over the
+    * whole corpus — dq86's oracle, the third reuse (session dq86 /
+    * batch-built dq127 / stream here). Completes the retrieval
+    * modality's streamed twin: every stored layout now has one (gated
+    * loops dq109/121/123/129/133, fold loops dq139 and here). */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, 4)))
+          .as("term"))
+    val in = graft.io.TempReaper.tempDir("graft-dq140-in").toString
+    val b1 = docs.filter(col("doc_id") % 10 === 0)
+    val b2 = docs.filter(col("doc_id") % 10 === 5)
+    b1.coalesce(1).write.parquet(s"$in/b1.parquet")
+    b2.coalesce(1).write.parquet(s"$in/b2.parquet")
+    val later = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 120000L)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b2.parquet"))
+      .forEach(p => { java.nio.file.Files.setLastModifiedTime(p, later); () })
+    val path = graft.io.TempReaper.tempDir("graft-dq140-idx").toString + "/idx"
+    val store = graft.ext.Bm25Store.build(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", path)
+    val incoming = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    EventStream.runFoldIngest(incoming, "dq140") { (batch, token) =>
+      store.appendOnce(batch, "doc_id", "text", token); ()
+    }
+    store.search(queries, k = 3).orderBy("qid", "rnk")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2719,7 +2757,8 @@ object SparkEntry {
     "dq136_bpe_store"           -> (q136 _),
     "dq137_bpe_store_tokenize"  -> (q137 _),
     "dq138_config_bpe_tokenize" -> (q138 _),
-    "dq139_stream_bpe_fold"     -> (q139 _)
+    "dq139_stream_bpe_fold"     -> (q139 _),
+    "dq140_stream_bm25_fold"    -> (q140 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4125,6 +4164,7 @@ object SparkEntry {
     // the STREAMED count fold makes the same promise over micro-batched
     // halves (exactly-once tokens; associativity hides stream order)
     "dq139_stream_bpe_fold" -> Dq107Sql,
+    "dq140_stream_bm25_fold" -> Dq86Sql,
     "dq137_bpe_store_tokenize" -> Dq108Sql,
     // the declared curate-then-tokenize pipeline: chain + inference
     // recurrence over the dedup survivors of the selector

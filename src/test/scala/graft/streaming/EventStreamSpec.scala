@@ -403,4 +403,54 @@ class EventStreamSpec extends GraftSpec {
       } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
     }
   }
+
+  describe("runFoldIngest (append-only fold loop over an associative store)") {
+    it("folds each micro-batch under an exactly-once token and reaches " +
+      "the batch-built state (dq139/dq140's loop)") {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      val in = java.nio.file.Files
+        .createTempDirectory("graft-foldspec-in").toString
+      val b1 = docs.filter(col("doc_id") % 10 === 0)
+      val b2 = docs.filter(col("doc_id") % 10 === 5)
+      b1.coalesce(1).write.parquet(s"$in/b1.parquet")
+      b2.coalesce(1).write.parquet(s"$in/b2.parquet")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-foldspec-idx").toString + "/idx"
+      val store = graft.ext.Bm25Store.build(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", path)
+      var tokens = Vector.empty[String]
+      val incoming = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*")
+      EventStream.runFoldIngest(incoming, "foldspec") { (batch, token) =>
+        tokens :+= token
+        store.appendOnce(batch, "doc_id", "text", token); ()
+      }
+      tokens.size shouldBe 2 // one fold per micro-batch file
+      val st = store.stats
+      st.docs shouldBe docs.count()
+      // a replayed micro-batch (same token, ANY payload) is a no-op
+      tokens.foreach(tok =>
+        store.appendOnce(docs.limit(3), "doc_id", "text", tok))
+      store.stats shouldBe st
+      // the folded store equals ONE batch-built store over the union:
+      // same statistics, same search ranking (associativity — batch
+      // boundaries are invisible)
+      val full = graft.ext.Bm25Store.build(docs, "doc_id", "text",
+        java.nio.file.Files
+          .createTempDirectory("graft-foldspec-idx2").toString + "/idx")
+      st.docs shouldBe full.stats.docs
+      st.dlSum shouldBe full.stats.dlSum
+      val queries = docs.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("qid"), explode(array_distinct(
+          slice(graft.ext.TextAnalysis.tokens(col("text")), 1, 4))).as("term"))
+        .localCheckpoint(true)
+      def ranked(s: graft.ext.Bm25Store) =
+        s.search(queries, k = 3).collect()
+          .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getLong(2)))
+          .sortBy(x => (x._1, x._2))
+      ranked(store) shouldBe ranked(full)
+    }
+  }
 }
