@@ -94,6 +94,19 @@ object Bm25 {
       .groupBy("__id", "__dl", "term")
       .agg(count(lit(1)).as("__tf"))
 
+  /** [[postingsFromTokens]] with zero-token documents RETAINED as one
+    * null-term row (`explode_outer`): [[Bm25Store]] persists this ONE
+    * post-aggregation frame and derives both the posting write (null
+    * terms filtered out) and the exact corpus statistics (EVERY
+    * document present, so N/Σdl match the session scorer's corpus
+    * count) from it — one tokenize pass, and the cached layer is the
+    * compact aggregated relation, not per-document token arrays. */
+  private[ext] def postingsWithEmptyDocs(withLen: DataFrame): DataFrame =
+    withLen.select(col("__id"), col("__dl"),
+        explode_outer(col("__toks")).as("term"))
+      .groupBy("__id", "__dl", "term")
+      .agg(count(lit(1)).as("__tf"))
+
   /** The shared scoring TAIL over a query-vocabulary-pruned posting
     * relation — one expression tree, used verbatim by the per-call path
     * and the stored index ([[Bm25Store.search]]), so session and stored

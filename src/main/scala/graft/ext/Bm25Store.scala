@@ -125,38 +125,46 @@ final class Bm25Store private (
     val sDir = s"$path/statsparts/append=$id"
     log.clearOrphan(dir)
     log.clearOrphan(sDir)
-    // tokenize the batch text ONCE: the cached (__id, __toks, __dl)
-    // frame feeds both the posting write and the statistics partial —
-    // no second pass over document text (at corpus scale the extra
-    // tokenize pass, not the 14-row stats write, is the cost)
-    val toks = Bm25.tokenized(df, idCol, textCol)
-    toks.persist()
+    // tokenize the batch text ONCE into the null-term-retaining posting
+    // frame: the cached layer is the compact POST-aggregation relation
+    // (caching the per-document token arrays instead measurably doubled
+    // the large-corpus build — columnar array caching is the wrong
+    // shape), and it feeds both the posting write and the statistics
+    // partial with no second pass over document text.
+    val postsAll = Bm25.postingsWithEmptyDocs(
+      Bm25.tokenized(df, idCol, textCol))
+    postsAll.persist()
     try {
-      val posts = Bm25.postingsFromTokens(toks)
+      // a FIRST append with zero postings would leave the index
+      // unreadable (every later read infers schema over only-empty
+      // dirs): refuse the degenerate build BEFORE writing anything,
+      // off the cached frame — a limit-1 cache scan, NOT a footer walk
+      // of the written dir (serial footer opens over the
+      // tasks×buckets file fan-out measured ~14s, dwarfing the write)
+      if (first)
+        require(postsAll.where(col("term").isNotNull).head(1).nonEmpty,
+          s"cannot build a stored index at $path from a corpus with no postings")
+      postsAll.filter(col("term").isNotNull)
         .withColumn("tb", pmod(hash(col("term")), lit(prev.buckets)))
-      posts.sortWithinPartitions("tb", "term")
+        .sortWithinPartitions("tb", "term")
         .write.partitionBy("tb").mode("errorifexists").parquet(dir)
-      // batch statistics off the PRE-explode frame: EVERY batch document
-      // counts toward N and Σdl, including zero-token docs that produce
-      // no postings — the session scorer ([[Bm25.scores]]) counts all
-      // corpus rows, and stored-vs-session ranking parity requires the
-      // same N/avgdl. Written as a durable per-append PARTIAL before the
-      // marker commit (visibility is the manifest's — a crash between
-      // the two leaves both dirs invisible), so [[stats]] can never
-      // disagree with the committed postings.
-      val agg = toks
+      // batch statistics off the cached frame: EVERY batch document
+      // counts toward N and Σdl, including zero-token docs (their
+      // explode_outer null-term row keeps them present) — the session
+      // scorer ([[Bm25.scores]]) counts all corpus rows, and
+      // stored-vs-session ranking parity requires the same N/avgdl.
+      // Written as a durable per-append PARTIAL before the marker
+      // commit (visibility is the manifest's — a crash between the two
+      // leaves both dirs invisible), so [[stats]] can never disagree
+      // with the committed postings.
+      val agg = postsAll.select(col("__id"), col("__dl")).distinct()
         .agg(count(lit(1)).as("n"), coalesce(sum(col("__dl")), lit(0L)).as("s"))
         .head()
-      // a FIRST append with zero postings would leave the index unreadable
-      // (every later read infers schema over only-empty dirs): refuse the
-      // degenerate build with a clear error instead of wedging later
-      require(!first || graft.io.ParquetMeta.rowCount(spark, dir) > 0,
-        s"cannot build a stored index at $path from a corpus with no postings")
       Bm25Store.writeStatsPart(spark, sDir, agg.getLong(0), agg.getLong(1))
       log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
       maybeCompact()
       stats
-    } finally { toks.unpersist(blocking = false); () }
+    } finally { postsAll.unpersist(blocking = false); () }
   }
 
   /** Fold the posting dirs into one bucket-partitioned relation once the
