@@ -144,8 +144,14 @@ final class Bm25Store private (
       if (first)
         require(postsAll.where(col("term").isNotNull).head(1).nonEmpty,
           s"cannot build a stored index at $path from a corpus with no postings")
+      // cluster the write BY BUCKET before partitionBy: without it every
+      // write task fans out one file per bucket it touches — tasks ×
+      // buckets files per append (51k files for a 200-task, 256-bucket
+      // production append); the batch-sized shuffle caps it at ≤ buckets
+      // files per append, each term-sorted for row-group pruning
       postsAll.filter(col("term").isNotNull)
         .withColumn("tb", pmod(hash(col("term")), lit(prev.buckets)))
+        .repartition(col("tb"))
         .sortWithinPartitions("tb", "term")
         .write.partitionBy("tb").mode("errorifexists").parquet(dir)
       // batch statistics off the cached frame: EVERY batch document
@@ -188,6 +194,7 @@ final class Bm25Store private (
       spark.read.option("basePath", s"$path/postings")
         .parquet(foldable.map(id => s"$path/postings/append=$id"): _*)
         .select("term", "__id", "__dl", "__tf", "tb")
+        .repartition(col("tb"))
         .sortWithinPartitions("tb", "term")
         .write.partitionBy("tb").mode("errorifexists").parquet(dir)
       // the folded dirs' stats partials fold into the same commit —
