@@ -110,6 +110,9 @@ final class NgramLmStore private (
       .select(split(col("__bg"), " ").getItem(0).as("__w1"),
         col("__bg"), col("__c12"))
       .withColumn("wb", pmod(hash(col("__w1")), lit(prev.buckets)))
+      // cluster by bucket before partitionBy: caps the append at
+      // ≤ buckets files instead of tasks × buckets (the dq127 finding)
+      .repartition(col("wb"))
       .sortWithinPartitions("wb", "__w1", "__bg")
       .write.partitionBy("wb").mode("errorifexists").parquet(dir)
     val added = graft.io.ParquetMeta.rowCount(spark, dir)
@@ -147,6 +150,7 @@ final class NgramLmStore private (
         .groupBy("__w1", "__bg", "wb")
         .agg(sum(col("__c12")).as("__c12"))
         .select("__w1", "__bg", "__c12", "wb")
+        .repartition(col("wb"))
         .sortWithinPartitions("wb", "__w1", "__bg")
         .write.partitionBy("wb").mode("errorifexists").parquet(dir)
       log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)
