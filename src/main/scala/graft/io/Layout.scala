@@ -26,9 +26,18 @@ object Layout {
 
   /** Hive-style directory partitioning by `partCols` (dates, categories —
     * low-cardinality only: one directory per value).
+    *
+    * The write is clustered by the partition key first: an unclustered
+    * `partitionBy` emits one file per value PER TASK (tasks × values
+    * files — a 200-task write over a year of dates leaves ~73k files),
+    * while the batch-sized repartition caps it at one file per
+    * directory. Huge per-value volumes that need several files per
+    * directory should add a deterministic row-hash salt column to the
+    * clustering (not a `partitionBy` column) before calling this.
     */
   def partitionedWrite(df: DataFrame, path: String, partCols: String*): Unit =
-    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+    df.repartition(partCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
   /** [[partitionedWrite]] guarded by an input fingerprint — the production
     * layout lifecycle is "lay out once, query many", so the expensive
