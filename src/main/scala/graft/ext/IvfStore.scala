@@ -218,10 +218,16 @@ final class IvfStore private (private val spark: SparkSession,
     if (foldable.size > threshold) {
       val seq = ms.size + 1
       val cid = f"c$seq%06d"
+      // cluster the fold by cell: appends stay map-only (latency), but
+      // the compaction's whole purpose is merging the per-cell small
+      // files they accumulate — an unclustered rewrite would re-emit
+      // one file per cell per read task (the dq127 fan-out finding);
+      // clustered, the fold leaves ONE file per cell
       writeAssigned(
         spark.read.option("basePath", s"$path/assigned")
           .parquet(foldable.map(id => s"$path/assigned/append=$id"): _*)
-          .select("vid", "emb", "nrm", "cell"), cid, stats.packedScale)
+          .select("vid", "emb", "nrm", "cell")
+          .repartition(col("cell")), cid, stats.packedScale)
       log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)
     }
   }
