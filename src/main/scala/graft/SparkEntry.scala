@@ -2515,22 +2515,13 @@ object SparkEntry {
     * verbatim, the third reuse (batch dq136 / stream here). */
   private def q139(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val in = graft.io.TempReaper.tempDir("graft-dq139-in").toString
-    val b1 = docs.filter(col("doc_id") % 10 === 0)
-    val b2 = docs.filter(col("doc_id") % 10 === 5)
-    b1.coalesce(1).write.parquet(s"$in/b1.parquet")
-    b2.coalesce(1).write.parquet(s"$in/b2.parquet")
-    val later = java.nio.file.attribute.FileTime
-      .fromMillis(System.currentTimeMillis() + 120000L)
-    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b2.parquet"))
-      .forEach(p => { java.nio.file.Files.setLastModifiedTime(p, later); () })
+    val incoming = EventStream.twoFileBatchStream(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 === 5), "dq139")
     val path = graft.io.TempReaper.tempDir("graft-dq139-idx").toString + "/idx"
     val store = graft.ext.BpeStore.create(
       docs.filter(col("doc_id") % 5 =!= 0), "text", path,
       numMerges = BpeMerges)
-    val incoming = s.readStream.schema(b1.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$in/*")
     EventStream.runFoldIngest(incoming, "dq139") { (batch, token) =>
       store.appendOnce(batch, "text", token); ()
     }
@@ -2559,21 +2550,12 @@ object SparkEntry {
       .select(col("doc_id").as("qid"),
         explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, 4)))
           .as("term"))
-    val in = graft.io.TempReaper.tempDir("graft-dq140-in").toString
-    val b1 = docs.filter(col("doc_id") % 10 === 0)
-    val b2 = docs.filter(col("doc_id") % 10 === 5)
-    b1.coalesce(1).write.parquet(s"$in/b1.parquet")
-    b2.coalesce(1).write.parquet(s"$in/b2.parquet")
-    val later = java.nio.file.attribute.FileTime
-      .fromMillis(System.currentTimeMillis() + 120000L)
-    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b2.parquet"))
-      .forEach(p => { java.nio.file.Files.setLastModifiedTime(p, later); () })
+    val incoming = EventStream.twoFileBatchStream(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 === 5), "dq140")
     val path = graft.io.TempReaper.tempDir("graft-dq140-idx").toString + "/idx"
     val store = graft.ext.Bm25Store.build(docs.filter(col("doc_id") % 5 =!= 0),
       "doc_id", "text", path)
-    val incoming = s.readStream.schema(b1.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$in/*")
     EventStream.runFoldIngest(incoming, "dq140") { (batch, token) =>
       store.appendOnce(batch, "doc_id", "text", token); ()
     }

@@ -73,10 +73,6 @@ object Bm25 {
   /** The exploded posting relation of a corpus: one row per distinct
     * (document, term) — `(__id, __dl, term, __tf)`. This is what
     * [[Bm25Store]] persists; the session path derives it per call. */
-  private[ext] def postingsOf(corpus: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    postingsFromTokens(tokenized(corpus, idCol, textCol))
-
   /** The tokenized frame `(__id, __toks, __dl)` both the posting
     * relation and the corpus statistics derive from — [[Bm25Store]]
     * caches ONE instance of this per append so document text is
@@ -88,22 +84,22 @@ object Bm25 {
       .select(col("__id"), col("__toks"),
         size(col("__toks")).cast("long").as("__dl"))
 
-  private[ext] def postingsFromTokens(withLen: DataFrame): DataFrame =
+  /** The posting aggregation with ONE null-term MARKER row per batch
+    * row: every document row appends a null element to its token array
+    * before exploding, so after the `groupBy(__id, __dl, term)` the
+    * null-term rows carry the exact row MULTIPLICITY in `__tf` —
+    * zero-token docs, null-text docs, and duplicate document rows all
+    * included, which is precisely what the session scorer's
+    * `count(*)`-over-corpus-rows N demands (a distinct-id count would
+    * undercount a batch that carries the same document twice).
+    * [[Bm25Store]] persists this ONE post-aggregation frame and derives
+    * both the posting write (null terms filtered out) and the exact
+    * N/Σdl statistics from it — one tokenize pass, and the cached layer
+    * is the compact aggregated relation, not per-document token arrays. */
+  private[ext] def postingsWithRowMarkers(withLen: DataFrame): DataFrame =
     withLen.select(col("__id"), col("__dl"),
-        explode(col("__toks")).as("term"))
-      .groupBy("__id", "__dl", "term")
-      .agg(count(lit(1)).as("__tf"))
-
-  /** [[postingsFromTokens]] with zero-token documents RETAINED as one
-    * null-term row (`explode_outer`): [[Bm25Store]] persists this ONE
-    * post-aggregation frame and derives both the posting write (null
-    * terms filtered out) and the exact corpus statistics (EVERY
-    * document present, so N/Σdl match the session scorer's corpus
-    * count) from it — one tokenize pass, and the cached layer is the
-    * compact aggregated relation, not per-document token arrays. */
-  private[ext] def postingsWithEmptyDocs(withLen: DataFrame): DataFrame =
-    withLen.select(col("__id"), col("__dl"),
-        explode_outer(col("__toks")).as("term"))
+        explode_outer(concat(col("__toks"),
+          array(lit(null).cast("string")))).as("term"))
       .groupBy("__id", "__dl", "term")
       .agg(count(lit(1)).as("__tf"))
 

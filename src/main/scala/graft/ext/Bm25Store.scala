@@ -125,13 +125,13 @@ final class Bm25Store private (
     val sDir = s"$path/statsparts/append=$id"
     log.clearOrphan(dir)
     log.clearOrphan(sDir)
-    // tokenize the batch text ONCE into the null-term-retaining posting
+    // tokenize the batch text ONCE into the marker-carrying posting
     // frame: the cached layer is the compact POST-aggregation relation
     // (caching the per-document token arrays instead measurably doubled
     // the large-corpus build — columnar array caching is the wrong
     // shape), and it feeds both the posting write and the statistics
     // partial with no second pass over document text.
-    val postsAll = Bm25.postingsWithEmptyDocs(
+    val postsAll = Bm25.postingsWithRowMarkers(
       Bm25.tokenized(df, idCol, textCol))
     postsAll.persist()
     try {
@@ -154,17 +154,20 @@ final class Bm25Store private (
         .repartition(col("tb"))
         .sortWithinPartitions("tb", "term")
         .write.partitionBy("tb").mode("errorifexists").parquet(dir)
-      // batch statistics off the cached frame: EVERY batch document
-      // counts toward N and Σdl, including zero-token docs (their
-      // explode_outer null-term row keeps them present) — the session
-      // scorer ([[Bm25.scores]]) counts all corpus rows, and
-      // stored-vs-session ranking parity requires the same N/avgdl.
-      // Written as a durable per-append PARTIAL before the marker
-      // commit (visibility is the manifest's — a crash between the two
-      // leaves both dirs invisible), so [[stats]] can never disagree
-      // with the committed postings.
-      val agg = postsAll.select(col("__id"), col("__dl")).distinct()
-        .agg(count(lit(1)).as("n"), coalesce(sum(col("__dl")), lit(0L)).as("s"))
+      // batch statistics off the cached frame's null-term MARKER rows:
+      // their __tf is the exact row multiplicity, so EVERY batch row
+      // counts toward N and Σdl — zero-token docs, null-text docs, and
+      // a document sent twice in one batch all included, exactly as the
+      // session scorer ([[Bm25.scores]]) counts corpus rows (a
+      // distinct-id count would undercount duplicate rows and break
+      // stored-vs-session N/avgdl parity). Written as a durable
+      // per-append PARTIAL before the marker commit (visibility is the
+      // manifest's — a crash between the two leaves both dirs
+      // invisible), so [[stats]] can never disagree with the committed
+      // postings.
+      val agg = postsAll.filter(col("term").isNull)
+        .agg(coalesce(sum(col("__tf")), lit(0L)).as("n"),
+          coalesce(sum(col("__dl") * col("__tf")), lit(0L)).as("s"))
         .head()
       Bm25Store.writeStatsPart(spark, sDir, agg.getLong(0), agg.getLong(1))
       log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)

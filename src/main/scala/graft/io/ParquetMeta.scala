@@ -51,7 +51,16 @@ object ParquetMeta {
             }
           }: java.util.concurrent.Callable[Long]
         }.asJava
-      pool.invokeAll(tasks).asScala.map(_.get()).sum
+      pool.invokeAll(tasks).asScala.map { f =>
+        // surface the underlying IO/parquet error, not the executor's
+        // ExecutionException wrapper — callers see the same exception
+        // shape the serial walk threw
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }.sum
     } finally pool.shutdown()
   }
 }

@@ -166,6 +166,28 @@ object EventStream {
     * token)` — the callee's `appendOnce` under the batch token makes a
     * replayed micro-batch a no-op, so the summed state after the stream
     * equals one batch pass over the union of all micro-batches. */
+  /** Stage `b1`/`b2` as two single-file parquet batches under a fresh
+    * temp dir (`b2` stamped with a future mtime so the file source's
+    * modified-time ordering delivers it second) and return a stream
+    * reading them one file per micro-batch — the two-micro-batch
+    * fixture the streamed ingest queries share (dq139/dq140 and the
+    * fold-loop spec), kept in ONE place so the stream-ordering trick
+    * cannot silently diverge between copies. */
+  def twoFileBatchStream(b1: DataFrame, b2: DataFrame,
+      name: String): DataFrame = {
+    val spark = b1.sparkSession
+    val in = graft.io.TempReaper.tempDir(s"graft-$name-in").toString
+    b1.coalesce(1).write.parquet(s"$in/b1.parquet")
+    b2.coalesce(1).write.parquet(s"$in/b2.parquet")
+    val later = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 120000L)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b2.parquet"))
+      .forEach(p => { java.nio.file.Files.setLastModifiedTime(p, later); () })
+    spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+  }
+
   def runFoldIngest(incoming: DataFrame, name: String)
       (fold: (DataFrame, String) => Unit): Unit = {
     val basePath = java.nio.file.Files.createTempDirectory(s"graft-foldingest-$name")

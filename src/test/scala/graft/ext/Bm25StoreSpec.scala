@@ -52,6 +52,20 @@ class Bm25StoreSpec extends GraftSpec {
     stored should not be empty
   }
 
+  it("duplicate document rows in one batch count toward N/avgdl exactly " +
+     "as the session scorer counts corpus rows (row-marker multiplicity)") {
+    // 10 documents appear TWICE: session N counts every corpus row, so
+    // the stored statistics must too — a distinct-id count undercounts
+    val dup = docs.limit(50).union(docs.limit(10))
+    val store = Bm25Store.build(dup, "doc_id", "text", tmp())
+    store.stats.docs shouldBe dup.count()
+    val stored = store.search(queries, k = 3)
+      .orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq
+    val session = Bm25.topK(dup, "doc_id", "text", queries, k = 3)
+      .orderBy("qid", "rnk").as[(Long, Long, Long, Int)].collect().toSeq
+    stored shouldBe session
+  }
+
   it("build + append is split-invariant: an 80/20 split ranks exactly " +
      "like a one-shot build (stored df/N/avgdl equal corpus-wide values)") {
     val oneShot = Bm25Store.build(docs, "doc_id", "text", tmp())

@@ -409,20 +409,14 @@ class EventStreamSpec extends GraftSpec {
       "the batch-built state (dq139/dq140's loop)") {
       val docs = spark.read
         .parquet("/root/testdata/sf0.001/documents.parquet")
-      val in = java.nio.file.Files
-        .createTempDirectory("graft-foldspec-in").toString
-      val b1 = docs.filter(col("doc_id") % 10 === 0)
-      val b2 = docs.filter(col("doc_id") % 10 === 5)
-      b1.coalesce(1).write.parquet(s"$in/b1.parquet")
-      b2.coalesce(1).write.parquet(s"$in/b2.parquet")
+      val incoming = EventStream.twoFileBatchStream(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 === 5), "foldspec")
       val path = java.nio.file.Files
         .createTempDirectory("graft-foldspec-idx").toString + "/idx"
       val store = graft.ext.Bm25Store.build(
         docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", path)
       var tokens = Vector.empty[String]
-      val incoming = spark.readStream.schema(b1.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"$in/*")
       EventStream.runFoldIngest(incoming, "foldspec") { (batch, token) =>
         tokens :+= token
         store.appendOnce(batch, "doc_id", "text", token); ()
