@@ -2155,9 +2155,9 @@ object SparkEntry {
   private def q124(s: SparkSession, dir: String): DataFrame = {
     val path = graft.io.TempReaper.tempDir("graft-dq124-idx").toString + "/idx"
     val r1 = graft.plan.CurationConfig
-      .parse(dq124Config(path, "doc_id % 4 = 1")).run(s, dir)
+      .parse(dq124Config(path, "doc_id % 4 = 1")).run(s, dir, Some("r1"))
     val r2 = graft.plan.CurationConfig
-      .parse(dq124Config(path, "doc_id % 4 = 1 OR doc_id % 4 = 2")).run(s, dir)
+      .parse(dq124Config(path, "doc_id % 4 = 1 OR doc_id % 4 = 2")).run(s, dir, Some("r2"))
     r1.select(lit(1L).as("round"), col("doc_id"))
       .union(r2.select(lit(2L).as("round"), col("doc_id")))
       .orderBy("round", "doc_id")
@@ -2185,9 +2185,9 @@ object SparkEntry {
   private def q125(s: SparkSession, dir: String): DataFrame = {
     val path = graft.io.TempReaper.tempDir("graft-dq125-idx").toString + "/idx"
     val r1 = graft.plan.CurationConfig
-      .parse(dq125Config(path, "vec_id % 3 <> 0")).run(s, dir)
+      .parse(dq125Config(path, "vec_id % 3 <> 0")).run(s, dir, Some("r1"))
     val r2 = graft.plan.CurationConfig
-      .parse(dq125Config(path, "vec_id % 3 = 0")).run(s, dir)
+      .parse(dq125Config(path, "vec_id % 3 = 0")).run(s, dir, Some("r2"))
     r1.select(lit(1L).as("round"), col("vec_id"))
       .union(r2.select(lit(2L).as("round"), col("vec_id")))
       .orderBy("round", "vec_id")
@@ -2309,9 +2309,9 @@ object SparkEntry {
         |   {"stage": "where", "expr": "$whereExpr"},
         |   {"stage": "lm_gate", "path": "$path", "loMicro": 20000}]}"""
         .stripMargin
-    val r1 = graft.plan.CurationConfig.parse(cfg("doc_id % 4 = 1")).run(s, dir)
+    val r1 = graft.plan.CurationConfig.parse(cfg("doc_id % 4 = 1")).run(s, dir, Some("r1"))
     val r2 = graft.plan.CurationConfig
-      .parse(cfg("doc_id % 4 = 1 OR doc_id % 4 = 2")).run(s, dir)
+      .parse(cfg("doc_id % 4 = 1 OR doc_id % 4 = 2")).run(s, dir, Some("r2"))
     r1.select(lit(1L).as("round"), col("doc_id"))
       .union(r2.select(lit(2L).as("round"), col("doc_id")))
       .orderBy("round", "doc_id")
@@ -2400,9 +2400,9 @@ object SparkEntry {
         | "stages": [
         |   {"stage": "where", "expr": "$whereExpr"},
         |   {"stage": "probe_gate", "path": "$path"}]}""".stripMargin
-    val r1 = graft.plan.CurationConfig.parse(cfg("doc_id % 4 = 1")).run(s, dir)
+    val r1 = graft.plan.CurationConfig.parse(cfg("doc_id % 4 = 1")).run(s, dir, Some("r1"))
     val r2 = graft.plan.CurationConfig
-      .parse(cfg("doc_id % 4 = 1 OR doc_id % 4 = 2")).run(s, dir)
+      .parse(cfg("doc_id % 4 = 1 OR doc_id % 4 = 2")).run(s, dir, Some("r2"))
     r1.select(lit(1L).as("round"), col("doc_id"))
       .union(r2.select(lit(2L).as("round"), col("doc_id")))
       .orderBy("round", "doc_id")
@@ -2429,9 +2429,9 @@ object SparkEntry {
         |   {"stage": "substr_gate", "path": "$base/ss", "k": 8, "maxDupWindows": 0},
         |   {"stage": "lm_gate", "path": "$base/lm", "loMicro": 20000},
         |   {"stage": "probe_gate", "path": "$base/qp"}]}""".stripMargin
-    val r1 = graft.plan.CurationConfig.parse(cfg("doc_id % 4 = 1")).run(s, dir)
+    val r1 = graft.plan.CurationConfig.parse(cfg("doc_id % 4 = 1")).run(s, dir, Some("r1"))
     val r2 = graft.plan.CurationConfig
-      .parse(cfg("doc_id % 4 = 1 OR doc_id % 4 = 2")).run(s, dir)
+      .parse(cfg("doc_id % 4 = 1 OR doc_id % 4 = 2")).run(s, dir, Some("r2"))
     r1.select(lit(1L).as("round"), col("doc_id"))
       .union(r2.select(lit(2L).as("round"), col("doc_id")))
       .orderBy("round", "doc_id")

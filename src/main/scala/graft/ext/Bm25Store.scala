@@ -99,18 +99,33 @@ final class Bm25Store private (
 
   /** Index a document batch: tokenize, explode to postings, write one
     * bucket-partitioned `append=<id>` dir, one marker commit, stats
-    * accumulated as exact Longs. */
+    * accumulated as exact Longs.
+    *
+    * Document ids must be UNIQUE ACROSS APPENDS — the scope of the
+    * stored-vs-session parity claim: the same id appended in two batches
+    * yields two posting rows per (term, doc), which inflates that term's
+    * df by one and sums both copies into one (qid, vid) score, whereas
+    * the session scorer over the union corpus would see a single row
+    * with the combined tf. The store does not dedupe by id (an id-join
+    * against the full stored relation per append is exactly the
+    * corpus-sized re-read the layout exists to avoid); an ingest
+    * pipeline gets uniqueness for free from upstream exact dedup, and a
+    * replayed micro-batch from [[appendOnce]]'s token. */
   def append(df: DataFrame, idCol: String, textCol: String): Bm25StoreStats =
-    writeBatch(df, idCol, textCol, stats, first = false, token = None)
+    log.withWriteLock {
+      writeBatch(df, idCol, textCol, stats, first = false, token = None)
+    }
 
   /** [[append]] with an idempotence token — exactly-once: a committed
     * manifest carrying `token` makes the call a no-op. */
   def appendOnce(df: DataFrame, idCol: String, textCol: String,
       token: String): Bm25StoreStats = {
     require(token.nonEmpty && !token.contains("\n"), "token: non-empty, one line")
-    if (log.read().exists(_.token.contains(token))) stats
-    else writeBatch(df, idCol, textCol, stats, first = false,
-      token = Some(token))
+    log.withWriteLock {
+      if (log.read().exists(_.token.contains(token))) stats
+      else writeBatch(df, idCol, textCol, stats, first = false,
+        token = Some(token))
+    }
   }
 
   private def writeBatch(df: DataFrame, idCol: String, textCol: String,
@@ -212,9 +227,9 @@ final class Bm25Store private (
   }
 
   /** Unlink posting + statspart dirs a compaction superseded, under the
-    * retention guard ([[ManifestLog.vacuumEligible]]). Single writer.
+    * retention guard ([[ManifestLog.vacuumEligible]]). Locked writer.
     * Returns the number of posting dirs removed. */
-  def vacuum(): Int = {
+  def vacuum(): Int = log.withWriteLock {
     val f = log.fileSystem
     log.vacuumEligible(_.supersedesDigests).count { id =>
       f.delete(new org.apache.hadoop.fs.Path(
@@ -297,11 +312,19 @@ object Bm25Store {
     val idx = new Bm25Store(corpus.sparkSession, path)
     // the static buckets row first: writeBatch's closing stats read (and
     // every later open) needs it; docs/Σdl live in per-append partials
-    writeBuckets(corpus.sparkSession, path, buckets)
-    idx.writeBatch(corpus, idCol, textCol, Bm25StoreStats(0L, 0L, buckets),
-      first = true, token = None)
+    idx.log.withWriteLock {
+      writeBuckets(corpus.sparkSession, path, buckets)
+      idx.writeBatch(corpus, idCol, textCol, Bm25StoreStats(0L, 0L, buckets),
+        first = true, token = None)
+    }
     idx
   }
+
+  /** Whether `path` holds at least one committed index manifest — the
+    * build-if-absent probe (the family-wide [[SubstrIndex.exists]]
+    * contract). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    new ManifestLog(spark, path).read().nonEmpty
 
   /** Open a stored index; `buckets` comes from its `stats/` row. */
   def open(spark: SparkSession, path: String): Bm25Store = {

@@ -80,16 +80,21 @@ final class BpeStore private (
   // ---------------- writes ----------------
 
   /** Fold a batch's word counts into the store (the model is NOT
-    * retrained — vocabulary stability until an explicit [[retrain]]). */
+    * retrained — vocabulary stability until an explicit [[retrain]]).
+    * Serialized with every other writer on the layout
+    * ([[ManifestLog.withWriteLock]]). */
   def append(df: DataFrame, textCol: String): BpeStoreStats =
-    writeBatch(df, textCol, first = false, token = None)
+    log.withWriteLock { writeBatch(df, textCol, first = false, token = None) }
 
-  /** [[append]] with an idempotence token — exactly-once count updates. */
+  /** [[append]] with an idempotence token — exactly-once count updates
+    * (check-then-commit atomic under the writer lock). */
   def appendOnce(df: DataFrame, textCol: String,
       token: String): BpeStoreStats = {
     require(token.nonEmpty && !token.contains("\n"), "token: non-empty, one line")
-    if (log.read().exists(_.token.contains(token))) stats
-    else writeBatch(df, textCol, first = false, token = Some(token))
+    log.withWriteLock {
+      if (log.read().exists(_.token.contains(token))) stats
+      else writeBatch(df, textCol, first = false, token = Some(token))
+    }
   }
 
   private def writeBatch(df: DataFrame, textCol: String, first: Boolean,
@@ -109,11 +114,17 @@ final class BpeStore private (
     // build with a clear error instead of wedging later
     require(!first || added > 0,
       s"cannot build a stored BPE state at $path from a corpus with no words")
-    log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
     val prev = if (first) BpeStoreStats(0L, 0, 0) else stats
     val st = BpeStoreStats(prev.wordRows + added, prev.numMerges,
       prev.mergeBudget)
-    BpeStore.writeStats(spark, path, st)
+    // FIRST build: stats before the marker commit, so a crash in between
+    // leaves exists()=false (reseedable) instead of a committed layout
+    // open() cannot read; later appends write after the commit so the
+    // advisory `wordRows` can go STALE on a crash (self-heals next
+    // append) but never inflated (the NgramLmStore rule).
+    if (first) BpeStore.writeStats(spark, path, st)
+    log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
+    if (!first) BpeStore.writeStats(spark, path, st)
     maybeCompact()
     st
   }
@@ -142,8 +153,8 @@ final class BpeStore private (
   }
 
   /** Unlink word dirs a compaction superseded and model dirs a retrain
-    * superseded, under the retention guard. Single writer. */
-  def vacuum(): Int = {
+    * superseded, under the retention guard and the writer lock. */
+  def vacuum(): Int = log.withWriteLock {
     val f = log.fileSystem
     val words = log.vacuumEligible(_.supersedesDigests).count { id =>
       f.delete(new org.apache.hadoop.fs.Path(s"$path/words/append=$id"), true)
@@ -165,6 +176,18 @@ final class BpeStore private (
     ids.last
   }
 
+  /** Whether the store holds a committed model (merge table) — false in
+    * the crash window of a [[BpeStore.create]] that committed its seed
+    * word counts but died before the initial [[retrain]]; callers
+    * ([[BpeStore.create]] itself on rerun, the config `bpe_tokenize`
+    * stage) recover by retraining from the committed counts instead of
+    * failing on a wedged layout. */
+  def hasModel: Boolean = {
+    val ms = log.read()
+    val sup = ms.flatMap(_.supersedesCounts).toSet
+    ms.flatMap(_.counts).filterNot(sup).nonEmpty
+  }
+
   /** The stored CURRENT model — merge table + alphabet, no training. */
   def model: BpeTrain.Model = {
     val id = currentModelId
@@ -183,7 +206,12 @@ final class BpeStore private (
     * re-reading any text — and commit the result as the new current
     * model (superseding the old one, which [[vacuum]] may later
     * unlink). */
-  def retrain(numMerges: Int): BpeTrain.Model = {
+  def retrain(numMerges: Int): BpeTrain.Model =
+    log.withWriteLock { retrainLocked(numMerges) }
+
+  /** [[retrain]]'s body with the writer lock already held (NOT
+    * reentrant — [[BpeStore.create]] runs seed + retrain in one lock). */
+  private def retrainLocked(numMerges: Int): BpeTrain.Model = {
     val m = BpeTrain.learnFromCounts(wordCounts(), numMerges)
     writeModel(m, numMerges)
     m
@@ -229,12 +257,25 @@ object BpeStore {
 
   /** Build a new store at `path` (must be fresh): one word count over
     * the history corpus — the one time history text is read — then an
-    * initial [[BpeStore.retrain]] with `numMerges`. */
+    * initial [[BpeStore.retrain]] with `numMerges`.
+    *
+    * Crash-replayable (the [[QualityProbeStore.create]] rule): a
+    * predecessor that died between the seed word-count commit and the
+    * initial retrain left committed words but no committed model — a
+    * rerun runs the missing retrain from the committed counts (identical
+    * model: training consumes only the summed count table) instead of
+    * refusing on a wedged layout. */
   def create(history: DataFrame, textCol: String, path: String,
       numMerges: Int): BpeStore = {
     val store = new BpeStore(history.sparkSession, path)
-    store.writeBatch(history, textCol, first = true, token = None)
-    store.retrain(numMerges)
+    store.log.withWriteLock {
+      if (BpeStore.exists(history.sparkSession, path) && !store.hasModel)
+        store.retrainLocked(numMerges)
+      else {
+        store.writeBatch(history, textCol, first = true, token = None)
+        store.retrainLocked(numMerges)
+      }
+    }
     store
   }
 

@@ -23,4 +23,14 @@ trait IngestIndex {
     * a replay with the same token is a no-op. */
   def appendToken(df: DataFrame, idCol: String, textCol: String,
       token: String): Unit
+
+  /** Whether the store's FIRST committed manifest carries `token` — i.e.
+    * the run that minted this token SEEDED the store. A build-if-absent
+    * caller ([[graft.plan.CurationConfig]]'s gate stages) that crashed
+    * after its seed build uses this on rerun to recognize the store as
+    * its own seed (every row of the batch was kept) instead of gating
+    * the batch against a store that already contains it — which would
+    * silently emit an empty result from a dedup gate and double-fold a
+    * statistics gate. */
+  def seededBy(token: String): Boolean
 }

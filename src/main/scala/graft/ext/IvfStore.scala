@@ -117,17 +117,21 @@ final class IvfStore private (private val spark: SparkSession,
 
   /** Append a vector batch: assign to the frozen centroids, write one
     * `append=<id>` dir partitioned by cell (+ its vidmap sidecar), one
-    * marker commit. */
+    * marker commit. Serialized with every other writer on the layout
+    * ([[ManifestLog.withWriteLock]]). */
   def append(df: DataFrame, idCol: String, embCol: String): IvfStoreStats =
-    writeBatch(df, idCol, embCol, token = None)
+    log.withWriteLock { writeBatch(df, idCol, embCol, token = None) }
 
   /** [[append]] with an idempotence token: a committed manifest carrying
-    * `token` makes the call a no-op (micro-batch replay safe). */
+    * `token` makes the call a no-op (micro-batch replay safe;
+    * check-then-commit atomic under the writer lock). */
   def appendOnce(df: DataFrame, idCol: String, embCol: String,
       token: String): IvfStoreStats = {
     require(token.nonEmpty && !token.contains("\n"), "token: non-empty, one line")
-    if (log.read().exists(_.token.contains(token))) stats
-    else writeBatch(df, idCol, embCol, token = Some(token))
+    log.withWriteLock {
+      if (log.read().exists(_.token.contains(token))) stats
+      else writeBatch(df, idCol, embCol, token = Some(token))
+    }
   }
 
   private[ext] def writeBatch(df: DataFrame, idCol: String, embCol: String,
@@ -236,9 +240,9 @@ final class IvfStore private (private val spark: SparkSession,
     * retention guard ([[ManifestLog.vacuumEligible]]): only dirs whose
     * superseding commit is at least `spark.graft.index.vacuumRetentionMs`
     * old (default 1h) are touched, so a reader that planned its scan just
-    * before the compaction can't race an eager vacuum. Single writer.
-    * Returns the number of dirs removed. */
-  def vacuum(): Int = {
+    * before the compaction can't race an eager vacuum. Runs under the
+    * writer lock. Returns the number of dirs removed. */
+  def vacuum(): Int = log.withWriteLock {
     val f = log.fileSystem
     log.vacuumEligible(_.supersedesDigests).count { id =>
       val a = f.delete(
@@ -297,7 +301,14 @@ final class IvfStore private (private val spark: SparkSession,
       .select("vid", "emb", "nrm")
   }
 
-  /** The shared probe→prune→score→top-k tail of both search forms. */
+  /** The shared probe→prune→score→top-k tail of both search forms.
+    *
+    * Hot-cell note: unlike the gate's relation-vs-relation join
+    * ([[saltedCandidates]]), this join BROADCASTS the driver-sized probe
+    * rows — there is no shuffle key to skew: the candidate scan stays
+    * partitioned by its parquet splits (`maxPartitionBytes`), so a hot
+    * cell's rows are already spread across scan tasks and each task
+    * joins its split against the broadcast map. No salt needed. */
   private def searchRows(qRows: Seq[(Long, Seq[Float], Double)], topK: Int,
       nprobe: Int, excludeToken: Option[String]): DataFrame = {
     import spark.implicits._
@@ -431,6 +442,33 @@ final class IvfStore private (private val spark: SparkSession,
       .select(col("__qid"), col("__qemb"), col("__qnrm"),
         explode(col("__probes")).as("__probe"))
 
+  /** The gate's candidate space under the HOT-CELL SKEW GUARD (round-11
+    * verdict #1): the stored side is bucketed by
+    * `pmod(hash(vid), cellSalt)` and each probe row replicated once per
+    * salt bucket, so the in-cell join's shuffle key is (cell, salt) and
+    * a skewed cell — one dominant topic cluster, the common case in real
+    * embedding corpora — spreads across `cellSalt` tasks instead of
+    * funneling `|stored∩cell| × |probes∩cell|` work through one (the
+    * `hotDigestCap`/`maxBucket` treatment applied to the embedding
+    * modality). RESULT-IDENTICAL to the unsalted join by construction:
+    * every (stored, probe) pair matches exactly the one probe replica
+    * whose salt equals the stored row's. `spark.graft.ivfstore.cellSalt`
+    * defaults to 8; 1 restores the unsalted plan. The probe side is the
+    * replicated side — it is the daily batch (× nprobe × cellSalt rows),
+    * never the corpus. */
+  private def saltedCandidates(probes: DataFrame, cells: Seq[Int],
+      excludeToken: Option[String]): DataFrame = {
+    val s = IndexConf.strictInt(spark,
+      "spark.graft.ivfstore.cellSalt", default = 8, min = 1)
+    val stored = assignedRelOf(visible(excludeToken))
+      .where(col("cell").isin(cells: _*))
+      .withColumn("__vsalt", pmod(hash(col("vid")), lit(s)))
+    val probed = probes.withColumn("__qsalt",
+      explode(array((0 until s).map(i => lit(i)): _*)))
+    stored.join(probed,
+      col("cell") === col("__probe") && col("__vsalt") === col("__qsalt"))
+  }
+
   private def pairsPlan(probes: DataFrame, tau: Double,
       excludeToken: Option[String]): DataFrame = {
     val cells = probes.select("__probe").distinct()
@@ -440,13 +478,29 @@ final class IvfStore private (private val spark: SparkSession,
       // in the contract shape, id-typed from the batch itself
       return probes.select(col("__qid").as("qid"),
         col("__qid").cast("long").as("vid"), lit(0.0).as("sim"))
-    assignedRelOf(visible(excludeToken))
-      .where(col("cell").isin(cells: _*))
-      .join(probes, col("cell") === col("__probe"))
+    saltedCandidates(probes, cells, excludeToken)
       .select(col("__qid").as("qid"), col("vid"),
         (VectorFunctions.dot(col("emb"), col("__qemb")) /
           (col("nrm") * col("__qnrm"))).as("sim"))
       .filter(col("sim") > tau)
+  }
+
+  /** Per-(cell, salt) candidate counts of the gate join — the skew-guard
+    * evidence surface (the hot-cell spec and Bench's
+    * `dq122_max_cell_candidates`): with a hot cell holding F stored rows
+    * and P probe rows aimed at it, no single task's group exceeds
+    * ~F/cellSalt × P instead of F × P. */
+  def gateCandidateCounts(batch: DataFrame, idCol: String, embCol: String,
+      nprobe: Int, excludeToken: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val probes = probeProjection(batch, idCol, embCol, nprobe)
+    val cells = probes.select("__probe").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (cells.isEmpty)
+      spark.emptyDataset[(Int, Int, Long)].toDF("cell", "salt", "candidates")
+    else saltedCandidates(probes, cells, excludeToken)
+      .groupBy(col("cell"), col("__vsalt").as("salt"))
+      .agg(count(lit(1)).as("candidates"))
   }
 
   /** Keep only incoming embeddings that semantically duplicate NO stored
@@ -473,6 +527,9 @@ final class IvfStore private (private val spark: SparkSession,
 
   def appendToken(df: DataFrame, idCol: String, textCol: String,
       token: String): Unit = { appendOnce(df, idCol, textCol, token); () }
+
+  def seededBy(token: String): Boolean =
+    log.read().headOption.exists(_.token.contains(token))
 }
 
 object IvfStore {
@@ -484,7 +541,8 @@ object IvfStore {
     * `stats/`. */
   def create(df: DataFrame, idCol: String, embCol: String, path: String,
       k: Int, iters: Int = 2, gateTau: Double = 0.5,
-      gateNprobe: Int = 2, packedScale: Int = 127): IvfStore = {
+      gateNprobe: Int = 2, packedScale: Int = 127,
+      seedToken: Option[String] = None): IvfStore = {
     require(gateTau > 0.0 && gateTau < 1.0, "gateTau in (0, 1)")
     require(gateNprobe >= 1, "gateNprobe >= 1")
     require(packedScale >= 1 && packedScale <= 127, "packedScale in [1, 127]")
@@ -493,19 +551,26 @@ object IvfStore {
     try {
       import spark.implicits._
       val store = new IvfStore(spark, path, idx.centroids)
-      require(store.log.read().isEmpty,
-        s"$path already holds a committed index (create() wants a fresh path)")
-      idx.centroids.map { case (cell, c) => (cell, c.toSeq) }
-        .toDF("cell", "c")
-        .coalesce(1).write.mode("errorifexists").parquet(s"$path/centroids")
-      // the fit already computed the assignment; persist ITS rows rather
-      // than re-assigning (bit-identical either way — same centroids)
-      val n = store.writeAssigned(
-        idx.assigned.select("vid", "emb", "nrm", "cell"), "a000001",
-        packedScale)
-      store.log.commit(Manifest(Seq("a000001"), Nil, Nil, Nil, None), 1)
-      writeStats(spark, path, IvfStoreStats(idx.centroids.size,
-        idx.centroids.head._2.length, n, gateTau, gateNprobe, packedScale))
+      store.log.withWriteLock {
+        require(store.log.read().isEmpty,
+          s"$path already holds a committed index (create() wants a fresh path)")
+        // nothing is committed, so any centroids dir here is a crashed
+        // predecessor's orphan — clear it so the rerun can't wedge
+        store.log.clearOrphan(s"$path/centroids")
+        idx.centroids.map { case (cell, c) => (cell, c.toSeq) }
+          .toDF("cell", "c")
+          .coalesce(1).write.mode("errorifexists").parquet(s"$path/centroids")
+        // the fit already computed the assignment; persist ITS rows rather
+        // than re-assigning (bit-identical either way — same centroids)
+        val n = store.writeAssigned(
+          idx.assigned.select("vid", "emb", "nrm", "cell"), "a000001",
+          packedScale)
+        // stats BEFORE the first commit (the NgramLmStore first-build
+        // rule: a crash in between leaves exists()=false, reseedable)
+        writeStats(spark, path, IvfStoreStats(idx.centroids.size,
+          idx.centroids.head._2.length, n, gateTau, gateNprobe, packedScale))
+        store.log.commit(Manifest(Seq("a000001"), Nil, Nil, Nil, seedToken), 1)
+      }
       store
     } finally idx.release()
   }

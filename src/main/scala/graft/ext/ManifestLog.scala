@@ -42,9 +42,33 @@ private[ext] object Manifest {
   * `_commits/`, each staged to a dot-file then renamed (no-overwrite —
   * atomic on POSIX and HDFS) into place, so a multi-relation append
   * becomes visible all-or-nothing and a second concurrent writer FAILS
-  * its commit instead of publishing over the first (single-writer layout;
-  * readers always see the last committed set). Extracted from
-  * [[NearDupIndex]] so every persisted index shares one implementation.
+  * its commit instead of publishing over the first (readers always see
+  * the last committed set). Extracted from [[NearDupIndex]] so every
+  * persisted index shares one implementation.
+  *
+  * == Concurrency contract ==
+  *
+  * WRITERS serialize on [[withWriteLock]] — every mutating entry point of
+  * every store (append/appendOnce, build/create, retrain, vacuum) runs
+  * its read-modify-commit cycle under the layout's `.lock` file, so:
+  *  - two concurrent appends both land, in some order, neither lost (the
+  *    second waits, then reads a log that includes the first);
+  *  - appendOnce's token check-then-commit is atomic — two racers with
+  *    the SAME token fold the batch exactly once;
+  *  - compaction (called from an append, inside its lock) can never race
+  *    another append or another compaction, so a relation dir is
+  *    superseded by at most one fold and counts are never doubled;
+  *  - vacuum (locked) can never unlink a dir an in-flight WRITER is
+  *    folding. READERS take no lock at all: they resolve paths from a
+  *    committed manifest snapshot, and the vacuum retention guard
+  *    ([[vacuumEligible]]) keeps superseded dirs on disk for the
+  *    retention window, so a scan planned just before a compaction can
+  *    finish. A reader older than the retention window may see
+  *    `FileNotFoundException` — lengthen
+  *    `spark.graft.index.vacuumRetentionMs` to cover the longest query.
+  * The commit rename stays no-overwrite, so even a writer that BYPASSES
+  * the lock cannot publish over a committed manifest — it fails its
+  * commit instead (defense in depth, not the contract).
   */
 private[ext] final class ManifestLog(spark: SparkSession, path: String) {
 
@@ -75,10 +99,71 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
       }
   }
 
+  /** Run `body` holding this layout's writer lock — an atomic
+    * create-no-overwrite `.lock` file under `_commits/` (atomic on HDFS
+    * and object stores with conditional create; effectively atomic on
+    * POSIX). A held lock is waited on up to
+    * `spark.graft.index.lockWaitMs` (default 2 min), then the call fails
+    * fast NAMING the lock file; a lock older than
+    * `spark.graft.index.lockStaleMs` (default 10 min — raise it if a
+    * single append/retrain job can legitimately run longer) is presumed
+    * abandoned by a crashed writer and broken via a unique-name rename,
+    * so exactly one waiter wins the takeover. NOT reentrant: public
+    * store entry points acquire it once and call lock-free internals. */
+  def withWriteLock[T](body: => T): T = {
+    val waitMs = IndexConf.strictLong(spark,
+      "spark.graft.index.lockWaitMs", default = 120000L, min = 0L)
+    val staleMs = IndexConf.strictLong(spark,
+      "spark.graft.index.lockStaleMs", default = 600000L, min = 1L)
+    val f = fs
+    f.mkdirs(commitsDir)
+    val lock = new HPath(commitsDir, ".lock")
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      acquired =
+        try {
+          val out = f.create(lock, false)
+          try out.write(
+            s"pid=${ProcessHandle.current().pid()}\n".getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (!acquired) {
+        val st =
+          try Some(f.getFileStatus(lock))
+          catch { case _: java.io.FileNotFoundException => None }
+        st match {
+          case Some(s) if System.currentTimeMillis() - s.getModificationTime
+              >= staleMs =>
+            // presumed-dead holder: rename-then-delete so a racing waiter
+            // can't double-break (its rename fails once the source moved)
+            val broken = new HPath(commitsDir,
+              s".lock.broken.${System.nanoTime()}")
+            if (f.rename(lock, broken)) f.delete(broken, false)
+          case Some(_) =>
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"writer lock $lock is held (another writer on $path); " +
+                  "waited spark.graft.index.lockWaitMs — raise it, or " +
+                  "remove the file if its holder is known dead")
+            Thread.sleep(100L)
+          case None => () // released between our create and stat: retry now
+        }
+      }
+    }
+    try body finally f.delete(lock, false)
+  }
+
   /** The commit point: marker content staged to a dot-file, then renamed
     * (no-overwrite) into place — a second writer racing the same sequence
     * number fails here instead of publishing over us. */
   def commit(m: Manifest, seq: Int): Unit = {
+    ManifestLog.failCommitUnder.foreach { prefix =>
+      if (path.startsWith(prefix))
+        throw new IllegalStateException(
+          s"injected crash before commit under $path (test failpoint)")
+    }
     val f = fs
     f.mkdirs(commitsDir)
     val name = f"m$seq%06d"
@@ -88,7 +173,7 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
     if (!f.rename(tmp, new HPath(commitsDir, name)))
       throw new IllegalStateException(
         s"commit collision on $name under $path — concurrent writer? " +
-          "(the layout is single-writer)")
+          "(writers must hold the layout lock — see withWriteLock)")
   }
 
   /** Delete an UNCOMMITTED relation dir a crashed predecessor left behind
@@ -105,7 +190,7 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
     * at least `spark.graft.index.vacuumRetentionMs` old (default 1h). A
     * reader that planned its scan before the superseding compaction holds
     * the old paths; the age guard gives it the retention window to finish
-    * before the single writer may unlink them. Set the conf to 0 to
+    * before a (locked) vacuum may unlink them. Set the conf to 0 to
     * vacuum eagerly (tests; a quiesced pipeline). */
   def vacuumEligible(supersededOf: Manifest => Seq[String]): Seq[String] = {
     val retention = IndexConf.strictLong(spark,
@@ -116,6 +201,15 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
       .flatMap { case (m, _) => supersededOf(m) }
       .distinct
   }
+}
+
+private[ext] object ManifestLog {
+  /** TEST-ONLY failpoint: when set, any [[ManifestLog.commit]] under a
+    * path with this prefix throws BEFORE publishing — the
+    * post-write-pre-commit crash injection of the store crash-replay
+    * property sweep. Scoped by path prefix so nothing outside the
+    * injecting spec's temp dir is touched. */
+  @volatile private[ext] var failCommitUnder: Option[String] = None
 }
 
 /** Strict parsing for the persisted-index session confs — a junk value

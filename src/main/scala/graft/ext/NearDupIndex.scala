@@ -57,11 +57,13 @@ final case class NearDupIndexStats(docs: Long, bandKeys: Long,
   * still hold their paths) until [[vacuum]] unlinks them once no such
   * reader exists.
   *
-  * SINGLE WRITER assumed, as with any manifest-on-files layout this side
-  * of a lock service: marker names are sequential, and the atomic
-  * no-overwrite rename makes a second concurrent writer FAIL its commit
-  * (leaving only invisible orphan dirs) rather than corrupt the index.
-  * Readers are unaffected by writers (they see the last committed set).
+  * Writers SERIALIZE on the layout's writer lock
+  * ([[ManifestLog.withWriteLock]] — every mutating entry point takes it),
+  * so concurrent appends both land and compaction never races an append;
+  * the atomic no-overwrite marker rename remains as defense in depth (a
+  * lock-bypassing writer fails its commit, leaving only invisible orphan
+  * dirs, rather than corrupting the index). Readers take no lock (they
+  * see the last committed set).
   *
   * Query shape ([[pairsVs]]/[[keepUnseen]]), mirroring
   * [[MinHashLSH.nearDupPairsVsHistory]] stage for stage:
@@ -136,7 +138,9 @@ final class NearDupIndex private (
     * as history.
     */
   def append(df: DataFrame, idCol: String, textCol: String): NearDupIndexStats =
-    writeBatch(df, idCol, textCol, stats, first = false, token = None)
+    log.withWriteLock {
+      writeBatch(df, idCol, textCol, stats, first = false, token = None)
+    }
 
   /** [[append]] with an idempotence token — the EXACTLY-ONCE append for
     * streaming loops ([[graft.streaming.EventStream.runIndexedIngest]]): if
@@ -148,9 +152,11 @@ final class NearDupIndex private (
   def appendOnce(df: DataFrame, idCol: String, textCol: String,
       token: String): NearDupIndexStats = {
     require(token.nonEmpty && !token.contains("\n"), "token: non-empty, one line")
-    if (readManifests().exists(_.token.contains(token))) stats
-    else writeBatch(df, idCol, textCol, stats, first = false,
-      token = Some(token))
+    log.withWriteLock {
+      if (readManifests().exists(_.token.contains(token))) stats
+      else writeBatch(df, idCol, textCol, stats, first = false,
+        token = Some(token))
+    }
   }
 
   private def writeBatch(df: DataFrame, idCol: String, textCol: String,
@@ -242,9 +248,9 @@ final class NearDupIndex private (
     * compaction gets the window to finish. The manifest history is
     * untouched (readers resolve through manifests, so the superseded ids
     * simply keep pointing at nothing); data relations (`digests/`,
-    * `bands/`) are never superseded and never touched. Single writer.
+    * `bands/`) are never superseded and never touched. Locked writer.
     * Returns the number of dirs actually removed. */
-  def vacuum(): Int = {
+  def vacuum(): Int = log.withWriteLock {
     val f = log.fileSystem
     log.vacuumEligible(_.supersedesCounts).count { id =>
       f.delete(new org.apache.hadoop.fs.Path(s"$path/counts/append=$id"), true)
@@ -341,20 +347,28 @@ final class NearDupIndex private (
 
   def appendToken(df: DataFrame, idCol: String, textCol: String,
       token: String): Unit = { appendOnce(df, idCol, textCol, token); () }
+
+  def seededBy(token: String): Boolean =
+    readManifests().headOption.exists(_.token.contains(token))
 }
 
 object NearDupIndex {
 
   /** Build a new index at `path` (must not already hold one) from the
-    * history corpus — the one time history text is read.
+    * history corpus — the one time history text is read. `seedToken` (if
+    * any) rides the first commit so a build-if-absent caller can
+    * recognize its own seed on crash-replay ([[IngestIndex.seededBy]]).
     */
   def build(history: DataFrame, idCol: String, textCol: String, path: String,
-      numHashes: Int = 16, bands: Int = 4, maxBucket: Int = 100): NearDupIndex = {
+      numHashes: Int = 16, bands: Int = 4, maxBucket: Int = 100,
+      seedToken: Option[String] = None): NearDupIndex = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val idx = new NearDupIndex(history.sparkSession, path)
-    idx.writeBatch(history, idCol, textCol,
-      NearDupIndexStats(0L, 0L, numHashes, bands, maxBucket), first = true,
-      token = None)
+    idx.log.withWriteLock {
+      idx.writeBatch(history, idCol, textCol,
+        NearDupIndexStats(0L, 0L, numHashes, bands, maxBucket), first = true,
+        token = seedToken)
+    }
     idx
   }
 

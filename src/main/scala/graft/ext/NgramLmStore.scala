@@ -82,17 +82,24 @@ final class NgramLmStore private (
   // ---------------- writes ----------------
 
   /** Fold a batch's bigram counts into the model: one bucket-partitioned
-    * partials dir, one marker commit. */
+    * partials dir, one marker commit. Serialized with every other writer
+    * on the layout ([[ManifestLog.withWriteLock]]). */
   def append(df: DataFrame, idCol: String, textCol: String): NgramLmStoreStats =
-    writeBatch(df, idCol, textCol, stats, first = false, token = None)
+    log.withWriteLock {
+      writeBatch(df, idCol, textCol, stats, first = false, token = None)
+    }
 
-  /** [[append]] with an idempotence token — exactly-once model updates. */
+  /** [[append]] with an idempotence token — exactly-once model updates
+    * (the token check and the commit are atomic under the writer lock:
+    * two racers with the same token fold the batch once). */
   def appendOnce(df: DataFrame, idCol: String, textCol: String,
       token: String): NgramLmStoreStats = {
     require(token.nonEmpty && !token.contains("\n"), "token: non-empty, one line")
-    if (log.read().exists(_.token.contains(token))) stats
-    else writeBatch(df, idCol, textCol, stats, first = false,
-      token = Some(token))
+    log.withWriteLock {
+      if (log.read().exists(_.token.contains(token))) stats
+      else writeBatch(df, idCol, textCol, stats, first = false,
+        token = Some(token))
+    }
   }
 
   private def writeBatch(df: DataFrame, idCol: String, textCol: String,
@@ -121,10 +128,20 @@ final class NgramLmStore private (
     // degenerate build with a clear error instead of wedging later
     require(!first || added > 0,
       s"cannot build a stored model at $path from a corpus with no bigrams")
-    log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
     val st = NgramLmStoreStats(prev.bigramRows + added, prev.buckets,
       prev.loMicro, prev.hiMicro)
-    NgramLmStore.writeStats(spark, path, st)
+    // FIRST build: stats (the pinned buckets/band parameters) must be on
+    // disk BEFORE the marker commit — a crash between a first commit and
+    // a post-commit stats write would leave exists()=true with open()
+    // unable to read the layout (build-if-absent then never reseeds); a
+    // crash in the pre-commit order instead leaves exists()=false and the
+    // reseed overwrites the stats row. Later appends keep the
+    // write-after-commit order: `bigramRows` is advisory, and a
+    // post-commit crash leaves it STALE (self-heals on the next append)
+    // rather than inflated (which would not).
+    if (first) NgramLmStore.writeStats(spark, path, st)
+    log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
+    if (!first) NgramLmStore.writeStats(spark, path, st)
     maybeCompact()
     st
   }
@@ -158,8 +175,8 @@ final class NgramLmStore private (
   }
 
   /** Unlink count dirs a compaction superseded, under the retention guard
-    * ([[ManifestLog.vacuumEligible]]). Single writer. */
-  def vacuum(): Int = {
+    * ([[ManifestLog.vacuumEligible]]) and the writer lock. */
+  def vacuum(): Int = log.withWriteLock {
     val f = log.fileSystem
     log.vacuumEligible(_.supersedesDigests).count { id =>
       f.delete(new org.apache.hadoop.fs.Path(s"$path/counts/append=$id"), true)
@@ -236,23 +253,31 @@ final class NgramLmStore private (
 
   def appendToken(df: DataFrame, idCol: String, textCol: String,
       token: String): Unit = { appendOnce(df, idCol, textCol, token); () }
+
+  def seededBy(token: String): Boolean =
+    log.read().headOption.exists(_.token.contains(token))
 }
 
 object NgramLmStore {
 
   /** Build a new stored model at `path` (must not already hold one) from
     * the history corpus — the one time history text is read. `loMicro` /
-    * `hiMicro` pin the [[IngestIndex]] gate band. */
+    * `hiMicro` pin the [[IngestIndex]] gate band. `seedToken` (if any)
+    * rides the first commit so a build-if-absent caller can recognize
+    * its own seed on crash-replay ([[IngestIndex.seededBy]]). */
   def build(history: DataFrame, idCol: String, textCol: String, path: String,
       buckets: Int = 16, loMicro: Long = 0L,
-      hiMicro: Long = Long.MaxValue): NgramLmStore = {
+      hiMicro: Long = Long.MaxValue,
+      seedToken: Option[String] = None): NgramLmStore = {
     require(buckets >= 1, "need buckets >= 1")
     require(loMicro >= 0L && loMicro <= hiMicro,
       "need 0 <= loMicro <= hiMicro")
     val idx = new NgramLmStore(history.sparkSession, path)
-    idx.writeBatch(history, idCol, textCol,
-      NgramLmStoreStats(0L, buckets, loMicro, hiMicro), first = true,
-      token = None)
+    idx.log.withWriteLock {
+      idx.writeBatch(history, idCol, textCol,
+        NgramLmStoreStats(0L, buckets, loMicro, hiMicro), first = true,
+        token = seedToken)
+    }
     idx
   }
 

@@ -68,16 +68,20 @@ final class QualityProbeStore private (
 
   /** Fold a batch's moment partials into the store: features from the
     * batch text, `y` scored against the FROZEN reference LM, one
-    * 14-row partials dir, one marker commit. */
+    * 14-row partials dir, one marker commit. Serialized with every
+    * other writer on the layout ([[ManifestLog.withWriteLock]]). */
   def append(df: DataFrame, idCol: String, textCol: String): Unit =
-    writeBatch(df, idCol, textCol, token = None)
+    log.withWriteLock { writeBatch(df, idCol, textCol, token = None) }
 
-  /** [[append]] with an idempotence token — exactly-once statistics. */
+  /** [[append]] with an idempotence token — exactly-once statistics
+    * (check-then-commit atomic under the writer lock). */
   def appendOnce(df: DataFrame, idCol: String, textCol: String,
       token: String): Unit = {
     require(token.nonEmpty && !token.contains("\n"), "token: non-empty, one line")
-    if (!log.read().exists(_.token.contains(token)))
-      writeBatch(df, idCol, textCol, token = Some(token))
+    log.withWriteLock {
+      if (!log.read().exists(_.token.contains(token)))
+        writeBatch(df, idCol, textCol, token = Some(token))
+    }
   }
 
   private def writeBatch(df: DataFrame, idCol: String, textCol: String,
@@ -145,6 +149,9 @@ final class QualityProbeStore private (
 
   def appendToken(df: DataFrame, idCol: String, textCol: String,
       token: String): Unit = appendOnce(df, idCol, textCol, token)
+
+  def seededBy(token: String): Boolean =
+    log.read().headOption.exists(_.token.contains(token))
 }
 
 object QualityProbeStore {
@@ -155,17 +162,21 @@ object QualityProbeStore {
     * batch the frozen model IS the self-model, so the seed table equals
     * the per-call dq112 moments) become the first append. */
   def create(history: DataFrame, idCol: String, textCol: String,
-      path: String): QualityProbeStore = {
+      path: String, seedToken: Option[String] = None): QualityProbeStore = {
     val spark = history.sparkSession
     val store = new QualityProbeStore(spark, path)
-    require(store.log.read().isEmpty,
-      s"$path already holds a committed store (create() wants a fresh path)")
-    // crash-replayable: a predecessor that died between the LM build and
-    // the first moments commit left a committed LM — reuse it (it was
-    // built from the same history; the moments log is still empty)
-    if (!NgramLmStore.exists(spark, s"$path/lm"))
-      NgramLmStore.build(history, idCol, textCol, s"$path/lm")
-    store.writeBatch(history, idCol, textCol, token = None)
+    store.log.withWriteLock {
+      require(store.log.read().isEmpty,
+        s"$path already holds a committed store (create() wants a fresh path)")
+      // crash-replayable: a predecessor that died between the LM build and
+      // the first moments commit left a committed LM — reuse it (it was
+      // built from the same history; the moments log is still empty).
+      // The nested build locks path/lm's OWN log — a different lock file,
+      // no self-deadlock.
+      if (!NgramLmStore.exists(spark, s"$path/lm"))
+        NgramLmStore.build(history, idCol, textCol, s"$path/lm")
+      store.writeBatch(history, idCol, textCol, token = seedToken)
+    }
     store
   }
 

@@ -76,16 +76,20 @@ final class SubstrIndex private (
     * gate accepted, MATERIALIZED first (`localCheckpoint(true)`) — the
     * gate result's plan reads this index. */
   def append(df: DataFrame, idCol: String, textCol: String): SubstrIndexStats =
-    writeBatch(df, idCol, textCol, stats, first = false, token = None)
+    log.withWriteLock {
+      writeBatch(df, idCol, textCol, stats, first = false, token = None)
+    }
 
   /** [[append]] with an idempotence token — the exactly-once append: a
     * committed manifest carrying `token` makes the call a no-op. */
   def appendOnce(df: DataFrame, idCol: String, textCol: String,
       token: String): SubstrIndexStats = {
     require(token.nonEmpty && !token.contains("\n"), "token: non-empty, one line")
-    if (log.read().exists(_.token.contains(token))) stats
-    else writeBatch(df, idCol, textCol, stats, first = false,
-      token = Some(token))
+    log.withWriteLock {
+      if (log.read().exists(_.token.contains(token))) stats
+      else writeBatch(df, idCol, textCol, stats, first = false,
+        token = Some(token))
+    }
   }
 
   private def writeBatch(df: DataFrame, idCol: String, textCol: String,
@@ -150,9 +154,9 @@ final class SubstrIndex private (
     * guard ([[ManifestLog.vacuumEligible]]): only dirs whose superseding
     * commit is at least `spark.graft.index.vacuumRetentionMs` old
     * (default 1h) are touched — an in-flight reader that planned its scan
-    * before the compaction gets the window to finish. Single writer.
+    * before the compaction gets the window to finish. Locked writer.
     * Returns the number of dirs removed. */
-  def vacuum(): Int = {
+  def vacuum(): Int = log.withWriteLock {
     val f = log.fileSystem
     log.vacuumEligible(_.supersedesDigests).count { id =>
       f.delete(new org.apache.hadoop.fs.Path(s"$path/digests/append=$id"), true)
@@ -222,18 +226,25 @@ final class SubstrIndex private (
 
   def appendToken(df: DataFrame, idCol: String, textCol: String,
       token: String): Unit = { appendOnce(df, idCol, textCol, token); () }
+
+  def seededBy(token: String): Boolean =
+    log.read().headOption.exists(_.token.contains(token))
 }
 
 object SubstrIndex {
 
   /** Build a new index at `path` (must not already hold one) from the
-    * history corpus — the one time history text is read. */
+    * history corpus — the one time history text is read. `seedToken` (if
+    * any) rides the first commit so a build-if-absent caller can
+    * recognize its own seed on crash-replay ([[IngestIndex.seededBy]]). */
   def build(history: DataFrame, idCol: String, textCol: String, path: String,
-      k: Int = 8): SubstrIndex = {
+      k: Int = 8, seedToken: Option[String] = None): SubstrIndex = {
     require(k >= 2, "need k >= 2")
     val idx = new SubstrIndex(history.sparkSession, path)
-    idx.writeBatch(history, idCol, textCol, SubstrIndexStats(0L, k),
-      first = true, token = None)
+    idx.log.withWriteLock {
+      idx.writeBatch(history, idCol, textCol, SubstrIndexStats(0L, k),
+        first = true, token = seedToken)
+    }
     idx
   }
 

@@ -47,17 +47,24 @@ import graft.ext.{BpeStore, Dedup, IvfStore, NearDupIndex, NgramLm, NgramLmStore
 object CurationConfig {
 
   sealed trait Stage {
-    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame
+    /** Run the stage. `runToken` is this pipeline RUN's identity for this
+      * stage position (minted by [[PipelineDef.run]] from the caller's
+      * `runId`) — the persisted-index gate stages ride it for their
+      * exactly-once crash-replay contract; pure stages ignore it. */
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame
   }
 
   case object ExactDedup extends Stage {
-    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame =
       Dedup.exactByContent(df, textCol, idCol)
   }
 
   final case class QualityGate(minTokens: Long,
       maxTokens: Option[Long]) extends Stage {
-    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
       val n = size(TextAnalysis.tokens(col(textCol))).cast("long")
       val lo = df.filter(n >= minTokens)
       maxTokens.fold(lo)(mx => lo.filter(n <= mx))
@@ -65,7 +72,8 @@ object CurationConfig {
   }
 
   final case class FluencyBand(loMicro: Long, hiMicro: Long) extends Stage {
-    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
       val keep = NgramLm.fluencyReport(df, idCol, textCol)
         .filter(col("mean_micro").between(loMicro, hiMicro))
         .select(col(idCol))
@@ -75,14 +83,16 @@ object CurationConfig {
 
   final case class TokenBudget(strataCol: String,
       budgets: Map[String, Long]) extends Stage {
-    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame =
       Sampling.tokenBudgetPortable(df, strataCol, idCol, textCol, budgets)
   }
 
   /** Multiplies rows (adds `epoch`): declare it LAST — a dedup or gate
     * downstream of the repeat would see every copy. */
   final case class RepeatEpochs(factor: Double) extends Stage {
-    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame =
       Sampling.repeatEpochsPortable(df, idCol, factor)
   }
 
@@ -90,7 +100,8 @@ object CurationConfig {
     * the reference runner's WHERE as a pipeline stage (and the batch
     * selector in front of the persisted-index gates below). */
   final case class WhereExpr(exprStr: String) extends Stage {
-    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame =
       df.filter(expr(exprStr))
   }
 
@@ -103,28 +114,50 @@ object CurationConfig {
     * one ingest round; the index carries state across runs.
     *
     * Unlike the pure stages, a gate stage is a MATERIALIZATION BOUNDARY:
-    * its result is checkpointed before the append (the established
+    * its input and its result are checkpointed (the established
     * gate-then-append contract — appending underneath an unmaterialized
     * gate plan would let a re-evaluation see the batch's own rows), so
     * Catalyst composes the stages before and after it, not across it.
-    */
+    *
+    * When the caller names the run ([[PipelineDef.run]]'s `runId`), every
+    * gate round is CRASH-REPLAYABLE under the same token contract the
+    * streaming loop uses ([[graft.streaming.EventStream
+    * .runIndexedIngest]], whose batch ids play the runId role): the
+    * stage's token is `cfg:<runId>:s<stageIndex>`, the gate runs with
+    * `excludeToken` so a rerun of a crashed run sees the store WITHOUT
+    * its own already-committed append (a plain re-gate would emit an
+    * EMPTY result from a dedup gate and double-fold a statistics gate),
+    * and the append rides `appendOnce` so the fold lands exactly once. A
+    * rerun whose seed build already committed is recognized through
+    * [[graft.ext.IngestIndex.seededBy]] and keeps the whole batch, the
+    * seed round's answer. Reruns must reuse the crashed run's `runId`
+    * (the scheduler-retry contract — an Airflow/cron attempt keeps its
+    * logical run id); a run with NO `runId` keeps the historical plain
+    * semantics and is not safely rerunnable after a crash between a
+    * gate's append and the pipeline output's consumption. */
   final case class SubstrGate(path: String, k: Int,
       maxDupWindows: Long) extends Stage {
-    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
       val spark = df.sparkSession
-      if (!SubstrIndex.exists(spark, path)) {
-        val seeded = df.localCheckpoint(true)
-        SubstrIndex.build(seeded, idCol, textCol, path, k)
-        seeded
-      } else {
-        val idx = SubstrIndex.open(spark, path)
+      val existing =
+        if (SubstrIndex.exists(spark, path)) Some(SubstrIndex.open(spark, path))
+        else None
+      existing.foreach { idx =>
         require(idx.stats.k == k,
           s"substr_gate at $path was built with k=${idx.stats.k}; " +
             s"the config declares k=$k")
-        val kept = idx.keepFresh(df, idCol, textCol, maxDupWindows)
-          .localCheckpoint(true)
-        idx.append(kept, idCol, textCol)
-        kept
+      }
+      replayableRound(df, runToken, existing)(
+        (seeded, tok) =>
+          SubstrIndex.build(seeded, idCol, textCol, path, k, seedToken = tok))(
+        (idx, input, tok) =>
+          idx.keepFresh(input, idCol, textCol, maxDupWindows,
+            excludeToken = tok)) { (idx, kept, tok) =>
+        tok match {
+          case Some(t) => idx.appendOnce(kept, idCol, textCol, t); ()
+          case None => idx.append(kept, idCol, textCol); ()
+        }
       }
     }
   }
@@ -138,15 +171,13 @@ object CurationConfig {
     * declare-then-run form. */
   final case class SemanticGate(path: String, k: Int, tau: Double,
       nprobe: Int) extends Stage {
-    def apply(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    def apply(df: DataFrame, idCol: String, embCol: String,
+        runToken: Option[String]): DataFrame = {
       val spark = df.sparkSession
-      if (!IvfStore.exists(spark, path)) {
-        val seeded = df.localCheckpoint(true)
-        IvfStore.create(seeded, idCol, embCol, path, k, iters = 2,
-          gateTau = tau, gateNprobe = nprobe)
-        seeded
-      } else {
-        val store = IvfStore.open(spark, path)
+      val existing =
+        if (IvfStore.exists(spark, path)) Some(IvfStore.open(spark, path))
+        else None
+      existing.foreach { store =>
         val st = store.stats
         // `k` only parameterizes the CREATE-time training (stats.cells is
         // the LIVE cell count — Lloyd's may collapse empty cells below
@@ -155,10 +186,18 @@ object CurationConfig {
           s"semantic_gate at $path was built with (tau=${st.gateTau}, " +
             s"nprobe=${st.gateNprobe}); the config declares " +
             s"(tau=$tau, nprobe=$nprobe)")
-        val kept = store.gateKeep(df, idCol, embCol, excludeToken = None)
-          .localCheckpoint(true)
-        store.append(kept, idCol, embCol)
-        kept
+      }
+      replayableRound(df, runToken, existing)(
+        (seeded, tok) =>
+          IvfStore.create(seeded, idCol, embCol, path, k, iters = 2,
+            gateTau = tau, gateNprobe = nprobe, seedToken = tok))(
+        (store, input, tok) =>
+          store.gateKeep(input, idCol, embCol, excludeToken = tok)) {
+        (store, kept, tok) =>
+          tok match {
+            case Some(t) => store.appendOnce(kept, idCol, embCol, t); ()
+            case None => store.append(kept, idCol, embCol); ()
+          }
       }
     }
   }
@@ -170,23 +209,30 @@ object CurationConfig {
     * retrain replaced by incremental model maintenance. */
   final case class LmGate(path: String, loMicro: Long,
       hiMicro: Long) extends Stage {
-    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
       val spark = df.sparkSession
-      if (!NgramLmStore.exists(spark, path)) {
-        val seeded = df.localCheckpoint(true)
-        NgramLmStore.build(seeded, idCol, textCol, path,
-          loMicro = loMicro, hiMicro = hiMicro)
-        seeded
-      } else {
-        val store = NgramLmStore.open(spark, path)
+      val existing =
+        if (NgramLmStore.exists(spark, path))
+          Some(NgramLmStore.open(spark, path))
+        else None
+      existing.foreach { store =>
         val st = store.stats
         require(st.loMicro == loMicro && st.hiMicro == hiMicro,
           s"lm_gate at $path was built with band [${st.loMicro}, " +
             s"${st.hiMicro}]; the config declares [$loMicro, $hiMicro]")
-        val kept = store.gateKeep(df, idCol, textCol, excludeToken = None)
-          .localCheckpoint(true)
-        store.append(kept, idCol, textCol)
-        kept
+      }
+      replayableRound(df, runToken, existing)(
+        (seeded, tok) =>
+          NgramLmStore.build(seeded, idCol, textCol, path,
+            loMicro = loMicro, hiMicro = hiMicro, seedToken = tok))(
+        (store, input, tok) =>
+          store.gateKeep(input, idCol, textCol, excludeToken = tok)) {
+        (store, kept, tok) =>
+          tok match {
+            case Some(t) => store.appendOnce(kept, idCol, textCol, t); ()
+            case None => store.append(kept, idCol, textCol); ()
+          }
       }
     }
   }
@@ -200,18 +246,24 @@ object CurationConfig {
     * incremental statistics maintenance. No tunables: the threshold IS
     * the stored mean, derived from the moment table alone. */
   final case class ProbeGate(path: String) extends Stage {
-    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
       val spark = df.sparkSession
-      if (!QualityProbeStore.exists(spark, path)) {
-        val seeded = df.localCheckpoint(true)
-        QualityProbeStore.create(seeded, idCol, textCol, path)
-        seeded
-      } else {
-        val store = QualityProbeStore.open(spark, path)
-        val kept = store.gateKeep(df, idCol, textCol, excludeToken = None)
-          .localCheckpoint(true)
-        store.append(kept, idCol, textCol)
-        kept
+      val existing =
+        if (QualityProbeStore.exists(spark, path))
+          Some(QualityProbeStore.open(spark, path))
+        else None
+      replayableRound(df, runToken, existing)(
+        (seeded, tok) =>
+          QualityProbeStore.create(seeded, idCol, textCol, path,
+            seedToken = tok))(
+        (store, input, tok) =>
+          store.gateKeep(input, idCol, textCol, excludeToken = tok)) {
+        (store, kept, tok) =>
+          tok match {
+            case Some(t) => store.appendOnce(kept, idCol, textCol, t)
+            case None => store.append(kept, idCol, textCol)
+          }
       }
     }
   }
@@ -223,7 +275,8 @@ object CurationConfig {
     * all (vocabulary stability — the property a training pipeline
     * needs). Adds a `subtokens` column; id/text pass through. */
   final case class BpeTokenize(path: String, numMerges: Int) extends Stage {
-    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
       val spark = df.sparkSession
       val (store, input) =
         if (!BpeStore.exists(spark, path)) {
@@ -231,6 +284,11 @@ object CurationConfig {
           (BpeStore.create(seeded, textCol, path, numMerges), seeded)
         } else {
           val st = BpeStore.open(spark, path)
+          // a crashed create committed its seed word counts but died
+          // before the initial retrain: run the missing retrain (same
+          // model — training consumes only the committed counts) instead
+          // of failing the budget check on a wedged layout
+          if (!st.hasModel) st.retrain(numMerges)
           require(st.stats.mergeBudget == numMerges,
             s"bpe_tokenize at $path was trained with numMerges=" +
               s"${st.stats.mergeBudget}; the config declares $numMerges")
@@ -244,36 +302,77 @@ object CurationConfig {
 
   final case class NearDupGate(path: String, numHashes: Int, bands: Int,
       maxBucket: Int, threshold: Double) extends Stage {
-    def apply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
       val spark = df.sparkSession
-      if (!NearDupIndex.exists(spark, path)) {
-        val seeded = df.localCheckpoint(true)
-        NearDupIndex.build(seeded, idCol, textCol, path, numHashes, bands,
-          maxBucket)
-        seeded
-      } else {
-        val idx = NearDupIndex.open(spark, path)
+      val existing =
+        if (NearDupIndex.exists(spark, path))
+          Some(NearDupIndex.open(spark, path))
+        else None
+      existing.foreach { idx =>
         val st = idx.stats
         require(st.numHashes == numHashes && st.bands == bands &&
           st.maxBucket == maxBucket,
           s"neardup_gate at $path was built with (numHashes=${st.numHashes}, " +
             s"bands=${st.bands}, maxBucket=${st.maxBucket}); the config " +
             s"declares ($numHashes, $bands, $maxBucket)")
-        val kept = idx.keepUnseen(df, idCol, textCol, threshold)
-          .localCheckpoint(true)
-        idx.append(kept, idCol, textCol)
-        kept
+      }
+      replayableRound(df, runToken, existing)(
+        (seeded, tok) =>
+          NearDupIndex.build(seeded, idCol, textCol, path, numHashes, bands,
+            maxBucket, seedToken = tok))(
+        (idx, input, tok) =>
+          idx.keepUnseen(input, idCol, textCol, threshold,
+            excludeToken = tok)) { (idx, kept, tok) =>
+        tok match {
+          case Some(t) => idx.appendOnce(kept, idCol, textCol, t); ()
+          case None => idx.append(kept, idCol, textCol); ()
+        }
       }
     }
   }
 
+  /** The crash-replay skeleton every persisted-index gate stage shares
+    * (class doc of [[SubstrGate]]): seed / recognize-own-seed /
+    * gate+append exactly once under the run's stage token. With
+    * `runToken = None` every branch degenerates to the plain
+    * non-replayable round (gate over the full store, unconditional
+    * append) — the semantics of a run nobody named. */
+  private def replayableRound[I <: graft.ext.IngestIndex](df: DataFrame,
+      runToken: Option[String], existing: Option[I])(
+      seed: (DataFrame, Option[String]) => Unit)(
+      gate: (I, DataFrame, Option[String]) => DataFrame)(
+      append: (I, DataFrame, Option[String]) => Unit): DataFrame =
+    existing match {
+      case None =>
+        val seeded = df.localCheckpoint(true)
+        seed(seeded, runToken)
+        seeded
+      case Some(idx) if runToken.exists(idx.seededBy) => df
+      case Some(idx) =>
+        val kept = gate(idx, df, runToken).localCheckpoint(true)
+        append(idx, kept, runToken)
+        kept
+    }
+
   final case class PipelineDef(table: String, idCol: String, textCol: String,
       stages: List[Stage]) {
 
-    /** Load the table and fold every stage into one plan. */
-    def run(spark: SparkSession, dir: String): DataFrame = {
+    /** Load the table and fold every stage into one plan. `runId` names
+      * THIS pipeline run (a scheduler's logical run/attempt id): with it,
+      * every persisted-index gate stage gets the exactly-once
+      * crash-replay contract ([[SubstrGate]] class doc) under the token
+      * `cfg:<runId>:s<stageIndex>` — a rerun with the SAME runId
+      * reproduces the crashed run's survivors and folds nothing twice.
+      * Without it the gates keep the plain one-shot semantics. */
+    def run(spark: SparkSession, dir: String,
+        runId: Option[String] = None): DataFrame = {
+      runId.foreach(r => require(r.nonEmpty && !r.contains("\n"),
+        "runId: non-empty, one line"))
       val raw = spark.read.parquet(s"$dir/$table.parquet")
-      stages.foldLeft(raw)((df, st) => st(df, idCol, textCol))
+      stages.zipWithIndex.foldLeft(raw) { case (df, (st, i)) =>
+        st(df, idCol, textCol, runId.map(r => s"cfg:$r:s${i + 1}"))
+      }
     }
   }
 

@@ -104,4 +104,50 @@ class BpeStoreSpec extends GraftSpec {
       BpeStore.create(docs.filter(lit(false)), "text", tmp(), numMerges = 2)
     an[Exception] should be thrownBy BpeStore.open(spark, tmp())
   }
+
+  it("create is crash-replayable: a layout with committed seed words but " +
+     "no committed model (death before the initial retrain) recovers by " +
+     "running the missing retrain, not by refusing") {
+    val path = tmp()
+    val full = BpeStore.create(docs, "text", path, numMerges = 4)
+    val wordRows = full.stats.wordRows
+    // doctor the layout into the exact crash state the pre-retrain death
+    // leaves: seed words + pre-retrain stats committed, model absent
+    def rmr(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    rmr(s"$path/model"); rmr(s"$path/alphabet")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path/_commits/m000002"))
+    Seq((wordRows, 0, 0))
+      .toDF("word_rows", "num_merges", "merge_budget")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    BpeStore.exists(spark, path) shouldBe true
+    BpeStore.open(spark, path).hasModel shouldBe false
+    // rerun of create(): recovers via retrain from the committed counts
+    val recovered = BpeStore.create(docs, "text", path, numMerges = 4)
+    recovered.hasModel shouldBe true
+    recovered.stats.mergeBudget shouldBe 4
+    mergesOf(recovered.model) shouldBe
+      mergesOf(BpeTrain.learn(docs, "text", numMerges = 4))
+    // the config stage's own recovery line: open + retrain-if-modelless
+    // (the recovery retrain above committed m000002 — remove it again)
+    rmr(s"$path/model"); rmr(s"$path/alphabet")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path/_commits/m000002"))
+    Seq((wordRows, 0, 0))
+      .toDF("word_rows", "num_merges", "merge_budget")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val viaStage = graft.plan.CurationConfig
+      .parse(s"""{"table":"documents","id":"doc_id","text":"text",
+        | "stages":[{"stage":"bpe_tokenize","path":"$path",
+        |   "numMerges":4}]}""".stripMargin)
+      .run(spark, dir)
+    viaStage.columns should contain("subtokens")
+    viaStage.count() shouldBe docs.count()
+    BpeStore.open(spark, path).stats.mergeBudget shouldBe 4
+  }
 }

@@ -323,6 +323,61 @@ class IvfStoreSpec extends GraftSpec {
     store.searchAllPacked(Seq(1L), topK = 3, nprobe = 2).count() shouldBe 3
   }
 
+  it("hot-cell skew guard: a planted 90%-hot cell's gate candidates " +
+     "spread across every salt bucket with bounded per-task counts, and " +
+     "the salted result is IDENTICAL to the unsalted plan") {
+    // 200 stored vectors: 180 packed around one direction (the hot
+    // topic cluster), 20 spread across three others — Lloyd's puts the
+    // hot mass in one cell
+    def hot(i: Int): Seq[Float] =
+      Seq(1f, 0.001f * (i % 7), 0.001f * (i % 5), 0f)
+    def cold(i: Int): Seq[Float] = {
+      val axis = i % 3
+      Seq.tabulate(4)(j => if (j == axis + 1) 1f else 0.001f * (i % 3))
+    }
+    val corpus = ((0 until 180).map(i => (i.toLong, hot(i))) ++
+      (180 until 200).map(i => (i.toLong, cold(i))))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val store = IvfStore.create(corpus, "vec_id", "embedding", tmp(),
+      k = 4, gateTau = 0.999, gateNprobe = 1)
+    // 30 probes aimed at the hot cell
+    val batch = (1000 until 1030).map(i => (i.toLong, hot(i)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    def pairs(salt: Int): Seq[(Long, Long, Double)] = {
+      spark.conf.set("spark.graft.ivfstore.cellSalt", salt.toString)
+      try store.semanticPairs(batch, "vec_id", "embedding", tau = 0.5,
+          nprobe = 1).orderBy("qid", "vid")
+        .as[(Long, Long, Double)].collect().toSeq
+      finally spark.conf.unset("spark.graft.ivfstore.cellSalt")
+    }
+    // result invariance: the salted join is the unsalted join
+    val salted = pairs(8)
+    salted shouldBe pairs(1)
+    salted should not be empty
+    // bounded per-task work: each hot cell's candidates split across all
+    // 8 salt buckets, no bucket past 2x the even share, and the per-cell
+    // totals equal the unsalted counts (invariance at the count level)
+    def countsAt(salt: Int): Seq[(Int, Int, Long)] = {
+      spark.conf.set("spark.graft.ivfstore.cellSalt", salt.toString)
+      try store.gateCandidateCounts(batch, "vec_id", "embedding", nprobe = 1)
+        .as[(Int, Int, Long)].collect().toSeq
+      finally spark.conf.unset("spark.graft.ivfstore.cellSalt")
+    }
+    val totals = countsAt(1).map(c => c._1 -> c._3).toMap
+    val salted8 = countsAt(8)
+    salted8.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap shouldBe totals
+    // the planted skew is real: one cell dominates the candidate space
+    val hotTotal = totals.values.max
+    hotTotal should be >= (totals.values.sum * 8) / 10
+    salted8.groupBy(_._1).foreach { case (cell, groups) =>
+      val total = totals(cell)
+      if (total >= 80L) withClue(s"cell $cell (total $total): ") {
+        groups.map(_._2).toSet shouldBe (0 until 8).toSet
+        all(groups.map(_._3)) should be <= (total / 8) * 2
+      }
+    }
+  }
+
   it("the semantic gate tolerates a batch that itself carries a 'qid' " +
      "column (reserved-name anti-join key)") {
     val store = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)

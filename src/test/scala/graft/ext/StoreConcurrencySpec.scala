@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSpec
+
+/** The persisted-index writer lock ([[ManifestLog.withWriteLock]]):
+  * two interleaved writers both land their appends (none lost, tokens
+  * intact), a same-token race folds exactly once, a held lock fails
+  * fast naming the file, and a crashed holder's stale lock is broken.
+  * NgramLmStore is the probe modality — the whole family shares the one
+  * lock implementation.
+  */
+class StoreConcurrencySpec extends GraftSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-lock-spec")
+      .toString + "/idx"
+
+  private def df(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").localCheckpoint(true)
+
+  private val hist = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a stitch in time saves nine they say"))
+  private val b1 = Seq((10L, "north wind and warm sun argued loudly"))
+  private val b2 = Seq((20L, "rivers run downhill to the open sea"))
+
+  private def counts(store: NgramLmStore): Seq[(String, Long)] =
+    store.scoreBatch(df(hist ++ b1 ++ b2: _*), "doc_id", "text")
+      .select(col("doc_id").cast("string"), col("sum_micro"))
+      .as[(String, Long)].collect().sorted.toSeq
+
+  it("two interleaved writers: both appends land, neither lost, commits " +
+     "stay sequential") {
+    val path = tmp()
+    val store = NgramLmStore.build(df(hist: _*), "doc_id", "text", path)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = Seq(b1 -> "w#1", b2 -> "w#2").map { case (rows, tok) =>
+      new Thread(() => {
+        try { gate.await(); store.appendOnce(df(rows: _*), "doc_id", "text", tok) }
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join(120000))
+    errs.toArray shouldBe empty
+    // both tokens committed, three sequential markers, nothing lost
+    val markers = new java.io.File(s"$path/_commits").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getName).sorted
+    markers shouldBe Array("m000001", "m000002", "m000003")
+    // the replay view of each token still excludes exactly its own append
+    val without1 = store.scoreBatch(df(b1: _*), "doc_id", "text",
+      excludeToken = Some("w#1")).select("sum_micro").as[Long].head()
+    val with1 = store.scoreBatch(df(b1: _*), "doc_id", "text")
+      .select("sum_micro").as[Long].head()
+    with1 should be > without1 // its own bigrams count once appended
+    // summed model equals a serial build over the same three batches
+    val serial = tmp()
+    val sStore = NgramLmStore.build(df(hist: _*), "doc_id", "text", serial)
+    sStore.append(df(b1: _*), "doc_id", "text")
+    sStore.append(df(b2: _*), "doc_id", "text")
+    counts(store) shouldBe counts(sStore)
+  }
+
+  it("two racers with the SAME token fold the batch exactly once " +
+     "(check-then-commit is atomic under the lock)") {
+    val path = tmp()
+    val store = NgramLmStore.build(df(hist: _*), "doc_id", "text", path)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = (1 to 2).map(_ => new Thread(() => {
+      try { gate.await(); store.appendOnce(df(b1: _*), "doc_id", "text", "same#1") }
+      catch { case t: Throwable => errs.add(t) }
+    }))
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join(120000))
+    errs.toArray shouldBe empty
+    new java.io.File(s"$path/_commits").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith(".")) shouldBe 2
+    // model equals ONE fold of b1 (not two)
+    val serial = tmp()
+    val sStore = NgramLmStore.build(df(hist: _*), "doc_id", "text", serial)
+    sStore.append(df(b1: _*), "doc_id", "text")
+    counts(store) shouldBe counts(sStore)
+  }
+
+  it("a held lock fails fast past lockWaitMs, naming the lock file; a " +
+     "STALE lock (crashed holder) is broken and the append proceeds") {
+    val path = tmp()
+    val store = NgramLmStore.build(df(hist: _*), "doc_id", "text", path)
+    val lock = java.nio.file.Paths.get(s"$path/_commits/.lock")
+    java.nio.file.Files.write(lock, "pid=0\n".getBytes("UTF-8"))
+    spark.conf.set("spark.graft.index.lockWaitMs", "0")
+    try {
+      val e = intercept[IllegalStateException] {
+        store.append(df(b1: _*), "doc_id", "text")
+      }
+      e.getMessage should include(".lock")
+      // age the lock past lockStaleMs: the next writer breaks it
+      lock.toFile.setLastModified(
+        System.currentTimeMillis() - 3600L * 1000L) shouldBe true
+      store.append(df(b1: _*), "doc_id", "text")
+      java.nio.file.Files.exists(lock) shouldBe false
+    } finally {
+      spark.conf.unset("spark.graft.index.lockWaitMs")
+      java.nio.file.Files.deleteIfExists(lock)
+    }
+  }
+}

@@ -1,0 +1,206 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftSpec
+
+/** Generic crash-replay property sweep across the persisted-store
+  * family (round-11 verdict #3): drive three micro-batches through each
+  * of the five gated modalities ([[NearDupIndex]], [[SubstrIndex]],
+  * [[IvfStore]], [[NgramLmStore]], [[QualityProbeStore]] — the
+  * [[IngestIndex]] contract) and the two fold modalities ([[BpeStore]],
+  * [[Bm25Store]]), with a crash injected at a seed-chosen point —
+  * pre-commit (the [[ManifestLog]] failpoint: relation dirs written,
+  * marker absent) or post-commit (a full replay of the batch) — at a
+  * seed-chosen batch INCLUDING the seed build, then replay the batch
+  * and assert the run converges to the no-crash run: identical
+  * per-batch survivors, identical manifest log (dir ids + tokens),
+  * identical store observables. The per-store crash specs pin one
+  * planted point each; this sweep covers the combinatorial rest.
+  */
+class StoreCrashPropertySpec extends GraftSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-crash-$tag")
+      .toString + "/idx"
+
+  // ---------------- corpora ----------------
+
+  private val words = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "the", "and", "of", "to",
+    "in", "is", "rain", "sun", "wind", "sea")
+
+  /** Three text batches (12-doc seed, then 6-doc rounds) with ~30%
+    * verbatim replays of earlier documents — gates must actually drop. */
+  private def textBatches(rnd: java.util.Random): Seq[DataFrame] = {
+    var nextId = 0L
+    val history = scala.collection.mutable.ArrayBuffer[String]()
+    Seq(12, 6, 6).map { size =>
+      val rows = (0 until size).map { _ =>
+        nextId += 1
+        val text =
+          if (history.nonEmpty && rnd.nextDouble() < 0.3)
+            history(rnd.nextInt(history.size))
+          else {
+            val n = 5 + rnd.nextInt(9)
+            val t = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+            history += t
+            t
+          }
+        (nextId, text)
+      }
+      rows.toDF("doc_id", "text").localCheckpoint(true)
+    }
+  }
+
+  /** Three embedding batches with ~30% exact vector replays. */
+  private def embBatches(rnd: java.util.Random): Seq[DataFrame] = {
+    var nextId = 0L
+    val history = scala.collection.mutable.ArrayBuffer[Seq[Float]]()
+    Seq(12, 6, 6).map { size =>
+      val rows = (0 until size).map { _ =>
+        nextId += 1
+        val v =
+          if (history.nonEmpty && rnd.nextDouble() < 0.3)
+            history(rnd.nextInt(history.size))
+          else {
+            val x = Seq.fill(6)(rnd.nextDouble().toFloat * 2f - 1f)
+            history += x
+            x
+          }
+        (nextId, v)
+      }
+      rows.toDF("doc_id", "text").localCheckpoint(true)
+    }
+  }
+
+  // ---------------- harnesses ----------------
+
+  /** One modality: build-if-absent seed, a gated-or-fold batch step
+    * (returns survivor ids), and a canonical store observable. */
+  private final case class H(name: String,
+      mkBatches: java.util.Random => Seq[DataFrame],
+      seed: (String, DataFrame) => Unit,
+      step: (String, DataFrame, String) => Seq[Long],
+      observe: String => Seq[String])
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("doc_id").as[Long].collect().sorted.toSeq
+
+  /** The streaming loop's batch body ([[graft.streaming.EventStream
+    * .indexedIngestBatch]]): gate under the batch token, materialize,
+    * append once. */
+  private def gatedStep(open: String => IngestIndex)(
+      path: String, batch: DataFrame, token: String): Seq[Long] = {
+    val idx = open(path)
+    val kept = idx.gateKeep(batch, "doc_id", "text", Some(token))
+      .localCheckpoint(true)
+    idx.appendToken(kept, "doc_id", "text", token)
+    ids(kept)
+  }
+
+  private def manifestState(path: String): Seq[String] =
+    new ManifestLog(spark, path).read().map { m =>
+      (m.digests ++ m.bands ++ m.counts ++ m.supersedesCounts ++
+        m.supersedesDigests ++ m.token.toSeq).mkString("|")
+    }
+
+  private val harnesses = Seq(
+    H("neardup", textBatches,
+      (p, b0) => if (!NearDupIndex.exists(spark, p)) {
+        NearDupIndex.build(b0, "doc_id", "text", p); ()
+      },
+      gatedStep(p => NearDupIndex.open(spark, p)),
+      p => manifestState(p) :+
+        NearDupIndex.open(spark, p).stats.toString),
+    H("substr", textBatches,
+      (p, b0) => if (!SubstrIndex.exists(spark, p)) {
+        SubstrIndex.build(b0, "doc_id", "text", p, k = 4); ()
+      },
+      gatedStep(p => SubstrIndex.open(spark, p)),
+      p => manifestState(p) :+ SubstrIndex.open(spark, p).stats.toString),
+    H("semantic", embBatches,
+      (p, b0) => if (!IvfStore.exists(spark, p)) {
+        IvfStore.create(b0, "doc_id", "text", p, k = 4, iters = 2,
+          gateTau = 0.9, gateNprobe = 2); ()
+      },
+      gatedStep(p => IvfStore.open(spark, p)),
+      p => manifestState(p) :+ IvfStore.open(spark, p).stats.toString),
+    H("lm", textBatches,
+      (p, b0) => if (!NgramLmStore.exists(spark, p)) {
+        NgramLmStore.build(b0, "doc_id", "text", p, loMicro = 10000L); ()
+      },
+      gatedStep(p => NgramLmStore.open(spark, p)),
+      p => manifestState(p) :+ NgramLmStore.open(spark, p).stats.toString),
+    H("probe", textBatches,
+      (p, b0) => if (!QualityProbeStore.exists(spark, p)) {
+        QualityProbeStore.create(b0, "doc_id", "text", p); ()
+      },
+      gatedStep(p => QualityProbeStore.open(spark, p)),
+      p => manifestState(p) ++ QualityProbeStore.open(spark, p)
+        .moments().orderBy("term").as[(String, Long)].collect()
+        .map(_.toString)),
+    H("bpefold", textBatches,
+      (p, b0) => if (!BpeStore.exists(spark, p)) {
+        BpeStore.create(b0, "text", p, numMerges = 3); ()
+      },
+      (p, batch, token) => {
+        BpeStore.open(spark, p).appendOnce(batch, "text", token)
+        ids(batch)
+      },
+      p => manifestState(p) ++ BpeStore.open(spark, p).wordCounts()
+        .orderBy("word").as[(String, Long)].collect().map(_.toString)),
+    H("bm25fold", textBatches,
+      (p, b0) => if (!Bm25Store.exists(spark, p)) {
+        Bm25Store.build(b0, "doc_id", "text", p, buckets = 4); ()
+      },
+      (p, batch, token) => {
+        Bm25Store.open(spark, p).appendOnce(batch, "doc_id", "text", token)
+        ids(batch)
+      },
+      p => manifestState(p) :+ Bm25Store.open(spark, p).stats.toString))
+
+  /** Run the 3-batch ingest; `crashAt` (-1 = clean) names the crashed
+    * batch, `preCommit` the injection point. Returns per-batch survivor
+    * ids and the final observable. */
+  private def drive(h: H, batches: Seq[DataFrame], crashAt: Int,
+      preCommit: Boolean): (Seq[Seq[Long]], Seq[String]) = {
+    val path = tmp(h.name)
+    val survivors = batches.zipWithIndex.map { case (b, i) =>
+      def once(): Seq[Long] =
+        if (i == 0) { h.seed(path, b); ids(b) }
+        else h.step(path, b, s"crash#$i")
+      if (i == crashAt && preCommit) {
+        ManifestLog.failCommitUnder = Some(path)
+        try an[Exception] should be thrownBy once()
+        finally ManifestLog.failCommitUnder = None
+        once() // the rerun after the pre-commit death
+      } else if (i == crashAt) {
+        val first = once()
+        once() shouldBe first // the rerun after a post-commit death
+        first
+      } else once()
+    }
+    (survivors, h.observe(path))
+  }
+
+  it("every modality converges to the no-crash run from a random crash " +
+     "point (pre-commit and post-commit, seed builds included)") {
+    for (seed <- 0 until 2; h <- harnesses) {
+      withClue(s"modality=${h.name} seed=$seed: ") {
+        val rnd = new java.util.Random(9000L + seed)
+        val batches = h.mkBatches(new java.util.Random(77L + seed))
+        val crashAt = rnd.nextInt(3)
+        val preCommit = rnd.nextBoolean()
+        val (cleanSurv, cleanObs) = drive(h, batches, -1, preCommit)
+        val (surv, obs) = drive(h, batches, crashAt, preCommit)
+        withClue(s"(crashAt=$crashAt preCommit=$preCommit) ") {
+          surv shouldBe cleanSurv
+          obs shouldBe cleanObs
+        }
+      }
+    }
+  }
+}

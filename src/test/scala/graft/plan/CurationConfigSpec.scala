@@ -127,6 +127,42 @@ class CurationConfigSpec extends GraftSpec {
       .select("doc_id").as[Long].collect() shouldBe Array(4L)
   }
 
+  it("a NAMED run's gate rounds are crash-replayable: a rerun with the " +
+     "same runId reproduces the run's survivors and commits nothing " +
+     "twice — seed rounds and gate rounds both") {
+    val d = dir
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-rrd").toString + "/idx"
+    def commits(): Int = new java.io.File(s"$path/_commits").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("."))
+    // seed round under runId run1
+    val p1 = CurationConfig.parse(gateCfg(path, "doc_id <= 2"))
+    p1.run(spark, d, Some("run1"))
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+    val c1 = commits()
+    // a run that crashed AFTER its seed build reruns with the same id:
+    // the stage recognizes its own seed (whole batch kept), no new commit
+    p1.run(spark, d, Some("run1"))
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+    commits() shouldBe c1
+    // gate round under runId run2: doc 5 is fresh -> kept + appended
+    val p2 = CurationConfig.parse(gateCfg(path, "doc_id = 5"))
+    p2.run(spark, d, Some("run2"))
+      .select("doc_id").as[Long].collect() shouldBe Array(5L)
+    val c2 = commits()
+    c2 shouldBe c1 + 1
+    // a run that crashed AFTER its append reruns with the same id: the
+    // gate excludes its own committed append (doc 5 looks fresh again —
+    // a plain re-gate would emit an EMPTY batch downstream) and the
+    // append is a no-op
+    p2.run(spark, d, Some("run2"))
+      .select("doc_id").as[Long].collect() shouldBe Array(5L)
+    commits() shouldBe c2
+    // whereas a NEW run id (an intentional re-ingest of the same doc) is
+    // deduplicated against the stored corpus, as before
+    p2.run(spark, d, Some("run3")).count() shouldBe 0L
+  }
+
   it("a gate stage refuses a stored index whose parameters differ from " +
      "the config's (fail fast, naming both)") {
     val d = dir
