@@ -430,6 +430,34 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq122 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq142: the refit lifecycle — drift statistics (per-write cell
+      //    histograms; the L1 share-shift advisory) and the refit wall:
+      //    retrain + full re-assignment as a superseding generation, the
+      //    one deliberately corpus-sized maintenance operation.
+      if (!names.exists(_.startsWith("dq142"))) None
+      else try {
+        import org.apache.spark.sql.functions._
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val path = graft.io.TempReaper.tempDir("graft-bench-refit").toString + "/idx"
+        val store = graft.ext.IvfStore.create(
+          emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+          path, k = 8)
+        store.append(emb.filter(col("vec_id") % 5 === 0), "vec_id",
+          "embedding")
+        val driftRows = store.driftReport().count()
+        val advised = store.refitAdvised()
+        val t0 = System.nanoTime()
+        val st = store.refit(k = 8, iters = 2)
+        val refitSec = (System.nanoTime() - t0) / 1e9
+        Some(s""""dq142_drift_rows":$driftRows,""" +
+          s""""dq142_refit_advised_before":$advised,""" +
+          f""""dq142_refit_sec":$refitSec%.3f,""" +
+          s""""dq142_refit_cells":${st.cells},""" +
+          s""""dq142_refit_vectors":${st.vectors},""" +
+          s""""dq142_drift_rows_after":${store.driftReport().count()}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq142 evidence failed: ${e.getMessage}"); None
+      },
       //  - dq132: the STATISTICS gate's scale property — the model and
       //    its mean threshold come off the 14·appends-row moment table
       //    (one driver-sized read), so the gate plan over a checkpointed

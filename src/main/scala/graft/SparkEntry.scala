@@ -2562,6 +2562,54 @@ object SparkEntry {
     store.search(queries, k = 3).orderBy("qid", "rnk")
   }
 
+  /** DQ141 (EXT, runner): the CONFIG-DRIVEN near-dup ingest — the
+    * `neardup_gate` stage run for two pipeline rounds (round-11 verdict
+    * #7: the one gate stage without its own oracle-gated query): round 1
+    * seeds the stored [[graft.ext.NearDupIndex]] from its batch (all
+    * kept), round 2 re-sends round 1's slice (every doc an exact replay
+    * of a STORED doc — banded to its own bucket, digest Jaccard 1.0,
+    * dropped) plus a fresh slice gated for near-dups against the store.
+    * The oracle re-derives dq104's shingle→digest→band→cap→Jaccard chain
+    * ([[dq104Chain]], shared verbatim) over the two where-selected
+    * slices. */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.io.TempReaper.tempDir("graft-dq141-idx").toString + "/idx"
+    def cfg(whereExpr: String): String =
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "where", "expr": "$whereExpr"},
+        |   {"stage": "neardup_gate", "path": "$path", "numHashes": 16,
+        |    "bands": 4, "maxBucket": 100, "threshold": 0.8}]}""".stripMargin
+    val r1 = graft.plan.CurationConfig.parse(cfg("doc_id % 4 = 1"))
+      .run(s, dir, Some("r1"))
+    val r2 = graft.plan.CurationConfig
+      .parse(cfg("doc_id % 4 = 1 OR doc_id % 4 = 2")).run(s, dir, Some("r2"))
+    r1.select(lit(1L).as("round"), col("doc_id"))
+      .union(r2.select(lit(2L).as("round"), col("doc_id")))
+      .orderBy("round", "doc_id")
+  }
+
+  /** DQ142 (EXT): IVF REFIT — the index-lifecycle step of
+    * [[graft.ext.IvfStore]] (round-11 verdict #5): train on the 80%
+    * split, append the held-out 20% against the frozen generation-1
+    * centroids, then [[graft.ext.IvfStore.refit]] — retrain on the
+    * STORED corpus, re-assign every vector, commit a superseding
+    * GENERATION — and search. The oracle trains the dq51 Lloyd's chain
+    * on the FULL table: matching it proves refit-from-the-stored-relation
+    * equals a from-scratch create on the union corpus (the `retrain`
+    * precedent, dq136, applied to ANN), generation cut-over included. */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = graft.io.TempReaper.tempDir("graft-dq142-idx").toString + "/idx"
+    val store = graft.ext.IvfStore.create(emb.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", path, k = 8, iters = 2)
+    store.appendOnce(emb.filter(col("vec_id") % 5 === 0), "vec_id",
+      "embedding", "dq142#b1")
+    store.refit(k = 8, iters = 2)
+    store.searchAll(Seq(1L, 2L, 5L), topK = 5, nprobe = 2)
+      .orderBy("qid", "vid")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2740,7 +2788,9 @@ object SparkEntry {
     "dq137_bpe_store_tokenize"  -> (q137 _),
     "dq138_config_bpe_tokenize" -> (q138 _),
     "dq139_stream_bpe_fold"     -> (q139 _),
-    "dq140_stream_bm25_fold"    -> (q140 _)
+    "dq140_stream_bm25_fold"    -> (q140 _),
+    "dq141_config_neardup_ingest" -> (q141 _),
+    "dq142_ivf_refit"           -> (q142 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -2903,6 +2953,31 @@ object SparkEntry {
       |ORDER BY batch, doc_id""".stripMargin
   }
 
+  /** dq141: the config-declared near-dup ingest — round 1 seeds the store
+    * from the `doc_id % 4 = 1` slice (all kept), round 2 gates the union
+    * slice against it with dq104's chain verbatim (same shingle→digest→
+    * band→cap→Jaccard arithmetic over the where-selected relations). */
+  private lazy val Dq141Sql =
+    s"""WITH r1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+      |r2 AS (SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 4 = 1 OR doc_id % 4 = 2),
+      |${dq104Chain("r1", "h")},
+      |${dq104Chain("r2", "p")},
+      |hok AS (SELECT doc_id, b, bkey FROM
+      |    (SELECT doc_id, b, bkey, count(*) OVER (PARTITION BY b, bkey) c FROM hb)
+      |  WHERE c <= 100),
+      |c1 AS (SELECT DISTINCT i.doc_id inc_id, h.doc_id hist_id
+      |  FROM pb i JOIN hok h USING (b, bkey)),
+      |v1 AS (SELECT inc_id,
+      |    len(list_intersect(x.ds, y.ds))::DOUBLE / len(list_distinct(x.ds || y.ds)) jac
+      |  FROM c1 JOIN ps x ON x.doc_id = inc_id JOIN hs y ON y.doc_id = hist_id),
+      |k2 AS (SELECT doc_id FROM r2
+      |  WHERE doc_id NOT IN (SELECT inc_id FROM v1 WHERE jac > 0.8))
+      |SELECT CAST(1 AS BIGINT) AS round, doc_id FROM r1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS round, doc_id FROM k2
+      |ORDER BY round, doc_id""".stripMargin
+
   /** dq72's winnow shared-passage pairs as reusable SQL over a named
     * (doc_id, text) relation (no ORDER BY) — identical rolling-hash
     * arithmetic to `ext.Winnow` (same B^j mod M constants; integer-only, so
@@ -3017,6 +3092,25 @@ object SparkEntry {
     ivfChainSql(8, 2, 2, " WHERE vec_id % 5 <> 0",
       "SELECT vid qid, emb qemb FROM ef WHERE vid IN (1, 2, 5)",
       assignSql = "SELECT vec_id vid, embedding emb FROM embeddings") +
+      s""",
+      |scored AS (SELECT p.qid, a.vid,
+      |    list_sum(list_transform(range(1, 65), i -> a.emb[i]::DOUBLE * p.qemb[i]::DOUBLE))
+      |    / (sqrt(list_sum(list_transform(a.emb, x -> x::DOUBLE * x::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(p.qemb, x -> x::DOUBLE * x::DOUBLE)))) sim
+      |  FROM af a JOIN probe p ON a.cell = p.cell AND a.vid <> p.qid)
+      |SELECT qid, vid, sim FROM (SELECT qid, vid, sim,
+      |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) rnk FROM scored)
+      |WHERE rnk <= $topK ORDER BY qid, vid""".stripMargin
+  }
+
+  /** dq142: refit-from-the-stored-relation must equal a from-scratch
+    * create on the union corpus — so the oracle is simply the dq51/dq118
+    * Lloyd's chain trained on the FULL embeddings table (no eWhere), the
+    * full table assigned, queries incl. the appended vec_id 5. */
+  private val Dq142Sql: String = {
+    val topK = 5
+    ivfChainSql(8, 2, 2, "",
+      "SELECT vid qid, emb qemb FROM e WHERE vid IN (1, 2, 5)") +
       s""",
       |scored AS (SELECT p.qid, a.vid,
       |    list_sum(list_transform(range(1, 65), i -> a.emb[i]::DOUBLE * p.qemb[i]::DOUBLE))
@@ -4211,6 +4305,12 @@ object SparkEntry {
     // the stored IVF index: train-80% / assign-all against frozen
     // centroids / probe — matching the chain IS the frozen-append proof
     "dq118_ivf_store" -> Dq118Sql,
+    // refit generation: retrain-on-the-stored-relation must equal the
+    // from-scratch chain over the union corpus (full-table training)
+    "dq142_ivf_refit" -> Dq142Sql,
+    // the config-declared near-dup ingest: dq104's chain over the two
+    // where-selected rounds (seed round all kept, round 2 gated)
+    "dq141_config_neardup_ingest" -> Dq141Sql,
     // token-budget mixture: the oracle runs the NAIVE per-source running
     // sum over the full portable hash order; the Spark side's bucketed
     // two-phase form must land on the identical prefix

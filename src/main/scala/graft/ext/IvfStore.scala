@@ -25,8 +25,11 @@ final case class IvfStoreStats(cells: Int, dims: Int, vectors: Long,
   * append is map-only against the stored centroid matrix, never a refit.
   *
   * == Layout ==
-  *  - `centroids/`           (cell, c: array<double>) — k driver-sized rows,
-  *    written once at create (frozen thereafter; a refit is a new index);
+  *  - `centroids/`, `centroids_g<g>/` (cell, c: array<double>) — k
+  *    driver-sized rows per GENERATION: the create's training is
+  *    generation 1, each [[refit]] commits the next (manifest
+  *    `generation=` key); a query pairs the centroids of its manifest
+  *    snapshot's generation with that snapshot's dirs;
   *  - `assigned/append=<id>/cell=<c>/` (vid, emb, nrm) — the vector
   *    relation, PARTITIONED BY CELL: a probe of `nprobe` cells reads
   *    `nprobe/cells` of the files, falling out of partition pruning
@@ -42,6 +45,9 @@ final case class IvfStoreStats(cells: Int, dims: Int, vectors: Long,
   *    vector's unit form quantized to packed int8 at write time, so
   *    [[searchAllPacked]] scans 1 B/dim instead of 4 — a 4× cut of the
   *    candidate read on top of the nprobe/cells partition pruning;
+  *  - `drift/append=<id>/`   (cell, n) — each write's cell histogram
+  *    (≤ k tiny rows): [[refitAdvised]]'s input, the cheap statistic that
+  *    flags distribution drift away from the frozen centroids;
   *  - `_commits/m<seq>`      marker manifests (crashed appends invisible);
   *  - `stats/`               one [[IvfStoreStats]] row (advisory).
   *
@@ -68,8 +74,7 @@ final case class IvfStoreStats(cells: Int, dims: Int, vectors: Long,
   * exactly as it serves the two text modalities.
   */
 final class IvfStore private (private val spark: SparkSession,
-    val path: String, val centroids: Seq[(Int, Array[Double])])
-    extends IngestIndex {
+    val path: String) extends IngestIndex {
 
   def stats: IvfStoreStats = {
     val r = spark.read.parquet(s"$path/stats").head()
@@ -82,6 +87,35 @@ final class IvfStore private (private val spark: SparkSession,
 
   private def visible(excludeToken: Option[String]): Seq[Manifest] =
     log.read().filterNot(m => excludeToken.exists(m.token.contains))
+
+  // ---------------- centroid generations ----------------
+
+  /** The centroid GENERATION a manifest snapshot pins: 1 is the create's
+    * training; each [[refit]] commits the next. Every query resolves its
+    * centroids from the SAME snapshot it resolves relation dirs from, so
+    * an in-flight reader that planned before a refit keeps the old
+    * generation's centroids AND its (retention-guarded) old dirs — the
+    * cut-over is consistent by construction. */
+  private def genOf(ms: Seq[Manifest]): Int =
+    ms.flatMap(_.generation).maxOption.getOrElse(1)
+
+  private def centroidDir(g: Int): String =
+    if (g == 1) s"$path/centroids" else s"$path/centroids_g$g"
+
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Seq[(Int, Array[Double])]]
+
+  private[ext] def centroidsFor(g: Int): Seq[(Int, Array[Double])] =
+    centroidCache.getOrElseUpdate(g, {
+      val cs = spark.read.parquet(centroidDir(g)).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      require(cs.nonEmpty, s"no generation-$g centroids under $path")
+      cs
+    })
+
+  /** The CURRENT generation's centroids (k driver-sized rows). */
+  def centroids: Seq[(Int, Array[Double])] = centroidsFor(genOf(log.read()))
 
   /** Active assigned dir ids: all published, minus any a later compaction
     * superseded. */
@@ -110,8 +144,8 @@ final class IvfStore private (private val spark: SparkSession,
   /** Nearest STORED cell for an embedding column — the frozen-centroid
     * assignment every append rides (map-only; literal fold vs broadcast
     * kernel routed by k like every IVF surface). */
-  private def cellOf(emb: Column): Column =
-    element_at(IvfIndex.probeCells(emb, centroids, 1, spark), 1)
+  private def cellOf(emb: Column, cs: Seq[(Int, Array[Double])]): Column =
+    element_at(IvfIndex.probeCells(emb, cs, 1, spark), 1)
 
   // ---------------- writes ----------------
 
@@ -142,10 +176,11 @@ final class IvfStore private (private val spark: SparkSession,
     // a store instance only exists for a committed layout (create commits
     // the first append before returning), so prev stats always exist
     val prev = stats
+    val cs = centroidsFor(genOf(before)) // the CURRENT generation's frozen matrix
     val added = writeAssigned(
       df.select(col(idCol).as("vid"), col(embCol).as("emb"),
         VectorFunctions.l2Norm(col(embCol)).as("nrm"),
-        cellOf(col(embCol)).as("cell")), id, prev.packedScale)
+        cellOf(col(embCol), cs).as("cell")), id, prev.packedScale)
     log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
     val st = IvfStoreStats(prev.cells, prev.dims, prev.vectors + added,
       prev.gateTau, prev.gateNprobe, prev.packedScale)
@@ -166,9 +201,11 @@ final class IvfStore private (private val spark: SparkSession,
     val aDir = s"$path/assigned/append=$id"
     val vDir = s"$path/vidmap/append=$id"
     val pDir = s"$path/packed/append=$id"
+    val dDir = s"$path/drift/append=$id"
     log.clearOrphan(aDir)
     log.clearOrphan(vDir)
     log.clearOrphan(pDir)
+    log.clearOrphan(dDir)
     rows.sortWithinPartitions("cell", "vid")
       .write.partitionBy("cell").mode("errorifexists").parquet(aDir)
     val added = graft.io.ParquetMeta.rowCount(spark, aDir)
@@ -192,6 +229,9 @@ final class IvfStore private (private val spark: SparkSession,
       emptyOf(Seq(rows.schema("vid"),
         org.apache.spark.sql.types.StructField("pemb",
           org.apache.spark.sql.types.BinaryType)), s"$pDir/cell=0")
+      emptyOf(Seq(rows.schema("cell"),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType)), dDir)
     } else {
       val back = spark.read.option("basePath", s"$path/assigned").parquet(aDir)
       back.select("vid", "cell").sort("vid")
@@ -201,6 +241,12 @@ final class IvfStore private (private val spark: SparkSession,
             IvfIndex.unit(col("emb"), col("nrm")), scale).as("pemb"))
         .sortWithinPartitions("cell", "vid")
         .write.partitionBy("cell").mode("errorifexists").parquet(pDir)
+      // drift sidecar: this write's per-cell histogram (≤ k tiny rows) —
+      // the input of [[driftReport]]/[[refitAdvised]]; a compaction or
+      // refit writes the folded histogram, which is exactly the stored
+      // baseline the next appends are compared against
+      back.groupBy("cell").agg(count(lit(1)).as("n")).sort("cell")
+        .coalesce(1).write.mode("errorifexists").parquet(dDir)
     }
     added
   }
@@ -249,7 +295,106 @@ final class IvfStore private (private val spark: SparkSession,
         new org.apache.hadoop.fs.Path(s"$path/assigned/append=$id"), true)
       f.delete(new org.apache.hadoop.fs.Path(s"$path/vidmap/append=$id"), true)
       f.delete(new org.apache.hadoop.fs.Path(s"$path/packed/append=$id"), true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/drift/append=$id"), true)
       a
+      // superseded GENERATIONS' centroid dirs are kept forever: k tiny
+      // rows each, and a reader inside the retention window may still
+      // resolve them through its old manifest snapshot
+    }
+  }
+
+  // ---------------- drift + refit ----------------
+
+  /** RETRAIN the index on its own stored corpus and commit the result as
+    * a SUPERSEDING GENERATION — the lifecycle step frozen-centroid ANN
+    * eventually needs (the FAISS contract retrains when the ingested
+    * distribution drifts from the training sample; without it append-only
+    * recall silently decays): new centroids from [[IvfIndex.fit]] over
+    * the active relation (text/embeddings are re-read ONCE — this is the
+    * one deliberately corpus-sized operation of the store), every stored
+    * vector re-assigned, and ONE commit that publishes the new relation
+    * dir, supersedes all prior dirs, and bumps the generation. Because
+    * the fit's initialization orders on `(md5(vid), vid)` — data, not row
+    * order — refit over the stored relation equals a from-scratch
+    * [[IvfStore.create]] on the union corpus exactly (dq142's oracle).
+    *
+    * Cut-over is SAFE for in-flight readers: every query resolves
+    * centroids and relation dirs from one manifest snapshot ([[genOf]]),
+    * old dirs survive [[vacuum]] for the retention window, and old
+    * generations' centroid dirs are never deleted. Gate parameters and
+    * the packed scale carry over unchanged. */
+  def refit(k: Int, iters: Int = 2): IvfStoreStats = log.withWriteLock {
+    val ms = log.read()
+    val ids = activeIds(ms)
+    require(ids.nonEmpty, s"no committed assigned dirs under $path")
+    val prev = stats
+    val g = genOf(ms) + 1
+    val rel = spark.read.option("basePath", s"$path/assigned")
+      .parquet(ids.map(id => s"$path/assigned/append=$id"): _*)
+      .select("vid", "emb", "nrm")
+    val idx = IvfIndex.fit(rel, "vid", "emb", k, iters)
+    try {
+      import spark.implicits._
+      // a crashed refit's uncommitted generation dir must not wedge the
+      // retry (same g — computed from COMMITTED generations only)
+      log.clearOrphan(centroidDir(g))
+      idx.centroids.map { case (cell, c) => (cell, c.toSeq) }
+        .toDF("cell", "c")
+        .coalesce(1).write.mode("errorifexists").parquet(centroidDir(g))
+      val seq = ms.size + 1
+      val id = f"r$seq%06d"
+      val n = writeAssigned(
+        idx.assigned.select("vid", "emb", "nrm", "cell")
+          .repartition(col("cell")), id, prev.packedScale)
+      log.commit(Manifest(Seq(id), Nil, Nil, Nil, None,
+        supersedesDigests = ids, generation = Some(g)), seq)
+      val st = IvfStoreStats(idx.centroids.size,
+        idx.centroids.head._2.length, n, prev.gateTau, prev.gateNprobe,
+        prev.packedScale)
+      IvfStore.writeStats(spark, path, st)
+      centroidCache.put(g, idx.centroids)
+      st
+    } finally idx.release()
+  }
+
+  /** Per-active-write cell histograms `(cell, n, append)` — ≤ k tiny
+    * rows per committed write, the input of [[refitAdvised]]. After a
+    * refit only the refit's own (whole-corpus, new-generation) histogram
+    * is active — the drift trend restarts against the fresh baseline. */
+  def driftReport(): DataFrame = {
+    val ids = activeIds(log.read())
+    require(ids.nonEmpty, s"no committed drift dirs under $path")
+    spark.read.option("basePath", s"$path/drift")
+      .parquet(ids.map(id => s"$path/drift/append=$id"): _*)
+  }
+
+  /** TRUE when the NEWEST append's cell-share distribution has drifted
+    * from the prior stored corpus's by more than `l1ThresholdPpm`
+    * (Σ_cell |share_new − share_stored| in parts-per-million, driver-side
+    * over the ≤ k·appends drift rows) — the cheap statistic that says the
+    * frozen centroids no longer describe what is being ingested and a
+    * [[refit]] is due. False until at least one append follows the
+    * baseline. */
+  def refitAdvised(l1ThresholdPpm: Long = 500000L): Boolean = {
+    require(l1ThresholdPpm >= 0, "l1ThresholdPpm >= 0")
+    val rows = driftReport().collect()
+      .map(r => (r.getAs[String]("append"), r.getAs[Int]("cell"),
+        r.getAs[Long]("n")))
+    val byAppend = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    if (byAppend.size < 2) false
+    else {
+      val (_, last) = byAppend.last
+      val before = byAppend.dropRight(1).flatMap(_._2)
+      def shares(xs: Seq[(String, Int, Long)]): Map[Int, Long] = {
+        val total = xs.map(_._3).sum max 1L
+        xs.groupBy(_._2).map { case (c, g) =>
+          c -> g.map(_._3).sum * 1000000L / total }
+      }
+      val a = shares(last.toSeq)
+      val b = shares(before)
+      val l1 = (a.keySet ++ b.keySet).toSeq
+        .map(c => math.abs(a.getOrElse(c, 0L) - b.getOrElse(c, 0L))).sum
+      l1 > l1ThresholdPpm
     }
   }
 
@@ -312,14 +457,18 @@ final class IvfStore private (private val spark: SparkSession,
   private def searchRows(qRows: Seq[(Long, Seq[Float], Double)], topK: Int,
       nprobe: Int, excludeToken: Option[String]): DataFrame = {
     import spark.implicits._
+    // ONE manifest snapshot pins both the generation's centroids and the
+    // relation dirs — consistent across a concurrent refit cut-over
+    val ms = visible(excludeToken)
+    val cs = centroidsFor(genOf(ms))
     val probes = qRows.flatMap { case (qid, emb, nrm) =>
-      nearestCellsDriver(emb, nprobe).map(c => (qid, emb, nrm, c))
+      nearestCellsDriver(emb, nprobe, cs).map(c => (qid, emb, nrm, c))
     }
     if (probes.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)]
         .toDF("qid", "vid", "sim")
     val probeDf = probes.toDF("qid", "qemb", "qnrm", "probe")
-    val scored = assignedRelOf(visible(excludeToken))
+    val scored = assignedRelOf(ms)
       .where(col("cell").isin(probes.map(_._4).distinct: _*))
       .join(broadcast(probeDf),
         col("cell") === col("probe") && col("vid") =!= col("qid"))
@@ -366,8 +515,10 @@ final class IvfStore private (private val spark: SparkSession,
       topK: Int, nprobe: Int, excludeToken: Option[String]): DataFrame = {
     import spark.implicits._
     val scale = stats.packedScale
+    val ms = visible(excludeToken)
+    val cs = centroidsFor(genOf(ms))
     val probes = qRows.flatMap { case (qid, emb, nrm) =>
-      nearestCellsDriver(emb, nprobe).map(c => (qid, emb, nrm, c))
+      nearestCellsDriver(emb, nprobe, cs).map(c => (qid, emb, nrm, c))
     }
     if (probes.isEmpty)
       return spark.emptyDataset[(Long, Long, Long)]
@@ -379,7 +530,7 @@ final class IvfStore private (private val spark: SparkSession,
         QuantizedAnn.quantizePacked(
           IvfIndex.unit(col("qemb"), col("qnrm")), scale).as("qpemb"),
         col("probe"))
-    val scored = packedRelOf(visible(excludeToken))
+    val scored = packedRelOf(ms)
       .where(col("cell").isin(probes.map(_._4).distinct: _*))
       .join(broadcast(probeDf),
         col("cell") === col("probe") && col("vid") =!= col("qid"))
@@ -393,11 +544,12 @@ final class IvfStore private (private val spark: SparkSession,
     * the driver with EXACTLY the executor kernel's arithmetic (left-to-
     * right double accumulation of squared component deltas; ties to the
     * lower cell id). */
-  private def nearestCellsDriver(emb: Seq[Float], nprobe: Int): Seq[Int] = {
-    require(emb.length == centroids.head._2.length,
+  private def nearestCellsDriver(emb: Seq[Float], nprobe: Int,
+      cs: Seq[(Int, Array[Double])]): Seq[Int] = {
+    require(emb.length == cs.head._2.length,
       s"query vector has ${emb.length} dims, stored centroids have " +
-        s"${centroids.head._2.length}")
-    centroids.map { case (cell, c) =>
+        s"${cs.head._2.length}")
+    cs.map { case (cell, c) =>
       var acc = 0.0
       var i = 0
       while (i < emb.length) {
@@ -420,9 +572,11 @@ final class IvfStore private (private val spark: SparkSession,
   def semanticPairs(batch: DataFrame, idCol: String, embCol: String,
       tau: Double, nprobe: Int,
       excludeToken: Option[String] = None): DataFrame = {
-    val probes = probeProjection(batch, idCol, embCol, nprobe)
+    val ms = visible(excludeToken)
+    val probes = probeProjection(batch, idCol, embCol, nprobe,
+      centroidsFor(genOf(ms)))
     CacheScope.withCached(probes)(
-      pairsPlan(probes, tau, excludeToken))
+      pairsPlan(probes, tau, ms))
   }
 
   /** The gate's UN-materialized plan — plan-audit hook (the
@@ -430,14 +584,18 @@ final class IvfStore private (private val spark: SparkSession,
     * collapses its result with a call-scoped checkpoint before a spec
     * could walk it for the probed-cells-only scan property. */
   private[graft] def gatePlanFor(batch: DataFrame, idCol: String,
-      embCol: String, tau: Double, nprobe: Int): DataFrame =
-    pairsPlan(probeProjection(batch, idCol, embCol, nprobe), tau, None)
+      embCol: String, tau: Double, nprobe: Int): DataFrame = {
+    val ms = visible(None)
+    pairsPlan(probeProjection(batch, idCol, embCol, nprobe,
+      centroidsFor(genOf(ms))), tau, ms)
+  }
 
   private def probeProjection(batch: DataFrame, idCol: String,
-      embCol: String, nprobe: Int): DataFrame =
+      embCol: String, nprobe: Int,
+      cs: Seq[(Int, Array[Double])]): DataFrame =
     batch.select(col(idCol).as("__qid"), col(embCol).as("__qemb"),
         VectorFunctions.l2Norm(col(embCol)).as("__qnrm"),
-        IvfIndex.probeCells(col(embCol), centroids, nprobe, spark)
+        IvfIndex.probeCells(col(embCol), cs, nprobe, spark)
           .as("__probes"))
       .select(col("__qid"), col("__qemb"), col("__qnrm"),
         explode(col("__probes")).as("__probe"))
@@ -457,10 +615,10 @@ final class IvfStore private (private val spark: SparkSession,
     * replicated side — it is the daily batch (× nprobe × cellSalt rows),
     * never the corpus. */
   private def saltedCandidates(probes: DataFrame, cells: Seq[Int],
-      excludeToken: Option[String]): DataFrame = {
+      ms: Seq[Manifest]): DataFrame = {
     val s = IndexConf.strictInt(spark,
       "spark.graft.ivfstore.cellSalt", default = 8, min = 1)
-    val stored = assignedRelOf(visible(excludeToken))
+    val stored = assignedRelOf(ms)
       .where(col("cell").isin(cells: _*))
       .withColumn("__vsalt", pmod(hash(col("vid")), lit(s)))
     val probed = probes.withColumn("__qsalt",
@@ -470,7 +628,7 @@ final class IvfStore private (private val spark: SparkSession,
   }
 
   private def pairsPlan(probes: DataFrame, tau: Double,
-      excludeToken: Option[String]): DataFrame = {
+      ms: Seq[Manifest]): DataFrame = {
     val cells = probes.select("__probe").distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ k rows by construction
     if (cells.isEmpty)
@@ -478,7 +636,7 @@ final class IvfStore private (private val spark: SparkSession,
       // in the contract shape, id-typed from the batch itself
       return probes.select(col("__qid").as("qid"),
         col("__qid").cast("long").as("vid"), lit(0.0).as("sim"))
-    saltedCandidates(probes, cells, excludeToken)
+    saltedCandidates(probes, cells, ms)
       .select(col("__qid").as("qid"), col("vid"),
         (VectorFunctions.dot(col("emb"), col("__qemb")) /
           (col("nrm") * col("__qnrm"))).as("sim"))
@@ -493,12 +651,14 @@ final class IvfStore private (private val spark: SparkSession,
   def gateCandidateCounts(batch: DataFrame, idCol: String, embCol: String,
       nprobe: Int, excludeToken: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val probes = probeProjection(batch, idCol, embCol, nprobe)
+    val ms = visible(excludeToken)
+    val probes = probeProjection(batch, idCol, embCol, nprobe,
+      centroidsFor(genOf(ms)))
     val cells = probes.select("__probe").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (cells.isEmpty)
       spark.emptyDataset[(Int, Int, Long)].toDF("cell", "salt", "candidates")
-    else saltedCandidates(probes, cells, excludeToken)
+    else saltedCandidates(probes, cells, ms)
       .groupBy(col("cell"), col("__vsalt").as("salt"))
       .agg(count(lit(1)).as("candidates"))
   }
@@ -550,7 +710,8 @@ object IvfStore {
     val idx = IvfIndex.fit(df, idCol, embCol, k, iters)
     try {
       import spark.implicits._
-      val store = new IvfStore(spark, path, idx.centroids)
+      val store = new IvfStore(spark, path)
+      store.centroidCache.put(1, idx.centroids)
       store.log.withWriteLock {
         require(store.log.read().isEmpty,
           s"$path already holds a committed index (create() wants a fresh path)")
@@ -581,14 +742,12 @@ object IvfStore {
   def exists(spark: SparkSession, path: String): Boolean =
     new ManifestLog(spark, path).read().nonEmpty
 
-  /** Open a stored index: centroids re-read driver-side (k rows). */
+  /** Open a stored index: the current generation's centroids are re-read
+    * driver-side (k rows) to fail fast on a missing/foreign layout. */
   def open(spark: SparkSession, path: String): IvfStore = {
-    val cs = spark.read.parquet(s"$path/centroids")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).toSeq
-    require(cs.nonEmpty, s"no centroids under $path")
-    new IvfStore(spark, path, cs)
+    val store = new IvfStore(spark, path)
+    store.centroids
+    store
   }
 
   /** ‖v‖₂ with the executor kernel's exact arithmetic — [[VectorFunctions.l2Norm]]

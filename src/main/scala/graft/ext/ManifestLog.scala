@@ -12,12 +12,14 @@ import org.apache.spark.sql.SparkSession
   */
 private[ext] final case class Manifest(digests: Seq[String],
     bands: Seq[String], counts: Seq[String], supersedesCounts: Seq[String],
-    token: Option[String] = None, supersedesDigests: Seq[String] = Nil) {
+    token: Option[String] = None, supersedesDigests: Seq[String] = Nil,
+    generation: Option[Int] = None) {
   def render: String = (Seq(
     "digests" -> digests, "bands" -> bands, "counts" -> counts,
     "supersedes_counts" -> supersedesCounts,
     "supersedes_digests" -> supersedesDigests)
     .collect { case (k, v) if v.nonEmpty => s"$k=${v.mkString(",")}" } ++
+    generation.map(g => s"generation=$g") ++
     token.map(t => s"token=$t"))
     .mkString("\n")
 }
@@ -34,7 +36,8 @@ private[ext] object Manifest {
     def ids(k: String): Seq[String] =
       kv.get(k).map(_.split(",").toSeq).getOrElse(Nil)
     Manifest(ids("digests"), ids("bands"), ids("counts"),
-      ids("supersedes_counts"), kv.get("token"), ids("supersedes_digests"))
+      ids("supersedes_counts"), kv.get("token"), ids("supersedes_digests"),
+      kv.get("generation").map(_.toInt))
   }
 }
 

@@ -378,6 +378,66 @@ class IvfStoreSpec extends GraftSpec {
     }
   }
 
+  it("refit retrains on the STORED corpus as a superseding generation: " +
+     "search equals a from-scratch create on the union corpus (float and " +
+     "packed tiers), and post-refit appends assign to the NEW centroids") {
+    val path = tmp()
+    val store = IvfStore.create(emb.filter($"vec_id" % 5 =!= 0),
+      "vec_id", "embedding", path, k = 8)
+    store.appendOnce(emb.filter($"vec_id" % 5 === 0), "vec_id",
+      "embedding", "rf#1")
+    val st = store.refit(k = 8, iters = 2)
+    st.vectors shouldBe emb.count()
+    val fresh = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
+    def res(s: IvfStore) = s.searchAll(Seq(1L, 2L, 5L), topK = 5, nprobe = 2)
+      .orderBy("qid", "vid").as[(Long, Long, Double)].collect().toSeq
+    res(store) shouldBe res(fresh)
+    def resPacked(s: IvfStore) = s
+      .searchAllPacked(Seq(1L, 2L, 5L), topK = 5, nprobe = 2)
+      .orderBy("qid", "vid").as[(Long, Long, Long)].collect().toSeq
+    resPacked(store) shouldBe resPacked(fresh)
+    // a REOPENED handle resolves the new generation too
+    res(IvfStore.open(spark, path)) shouldBe res(fresh)
+    // the new generation's centroids are the union training's, not gen 1's
+    store.centroids.zip(fresh.centroids).foreach { case ((_, a), (_, b)) =>
+      a.toSeq shouldBe b.toSeq
+    }
+    // an append after the refit is gated/searchable against gen 2
+    val extra = emb.filter($"vec_id" === 7L)
+      .select(($"vec_id" + 9000).as("vec_id"), $"embedding")
+    store.appendOnce(extra, "vec_id", "embedding", "rf#2")
+    store.searchAll(Seq(9007L), topK = 1, nprobe = 8)
+      .select("vid").as[Long].head() shouldBe 7L // its exact copy
+  }
+
+  it("drift statistics: a same-distribution append does not advise a " +
+     "refit, a shifted-distribution append does, and a refit resets the " +
+     "baseline") {
+    def axis(a: Int, i: Int): Seq[Float] =
+      Seq.tabulate(4)(j => if (j == a) 1f else 0.001f * (i % 5))
+    val corpus = ((0 until 60).map(i => (i.toLong, axis(0, i))) ++
+      (60 until 120).map(i => (i.toLong, axis(1, i))))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val path = tmp()
+    val store = IvfStore.create(corpus, "vec_id", "embedding", path, k = 4)
+    // same mix as the corpus: tiny L1 distance between share distributions
+    val same = ((200 until 230).map(i => (i.toLong, axis(0, i))) ++
+      (230 until 260).map(i => (i.toLong, axis(1, i))))
+      .toDF("vec_id", "embedding")
+    store.append(same, "vec_id", "embedding")
+    store.refitAdvised() shouldBe false
+    // a batch from an unseen region: all rows funnel into whichever cell
+    // is nearest — the share distribution shifts almost entirely
+    val shifted = (300 until 360).map(i => (i.toLong, axis(2, i)))
+      .toDF("vec_id", "embedding")
+    store.append(shifted, "vec_id", "embedding")
+    store.refitAdvised() shouldBe true
+    // the refit folds everything into one new-generation baseline
+    store.refit(k = 4)
+    store.driftReport().select("append").distinct().count() shouldBe 1L
+    store.refitAdvised() shouldBe false
+  }
+
   it("the semantic gate tolerates a batch that itself carries a 'qid' " +
      "column (reserved-name anti-join key)") {
     val store = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
