@@ -82,6 +82,43 @@ class NgramLmStoreSpec extends GraftSpec {
     } finally spark.conf.unset(key)
   }
 
+  it("a reader PLANNED before a compaction still collects correctly " +
+     "after a default-retention vacuum (superseded dirs survive the " +
+     "window); only a zero-retention vacuum unlinks them — the documented " +
+     "failure mode for readers older than the window") {
+    val key = "spark.graft.ngramstore.compactThreshold"
+    spark.conf.set(key, "2")
+    try {
+      val path = tmp()
+      val store = NgramLmStore.build(docs.filter($"doc_id" % 4 === 0),
+        "doc_id", "text", path)
+      store.append(docs.filter($"doc_id" % 4 === 1), "doc_id", "text")
+      store.append(docs.filter($"doc_id" % 4 === 2), "doc_id", "text")
+      // pin a reader NOW: the plan's file index resolves the three
+      // pre-compaction dirs (a000001..a000003)
+      val pinned = store.scorePlanFor(batch, "doc_id", "text")
+      val expect = scoresOf(NgramLm.scoreAgainst(batch,
+        docs.filter($"doc_id" % 4 <= 2), "doc_id", "text"))
+      // the next append folds a000001..a000003 into a superseding dir
+      store.append(docs.filter($"doc_id" % 4 === 3), "doc_id", "text")
+      new java.io.File(s"$path/counts").listFiles()
+        .map(_.getName).count(_.startsWith("append=c")) should be >= 1
+      // DEFAULT retention (1h): vacuum may remove NOTHING yet...
+      store.vacuum() shouldBe 0
+      // ...so the pinned pre-compaction reader completes correctly
+      scoresOf(pinned) shouldBe expect
+      // past retention the superseded dirs ARE unlinked: a reader older
+      // than the window sees FileNotFoundException — the documented
+      // trade (ManifestLog concurrency contract: size
+      // spark.graft.index.vacuumRetentionMs to cover the longest query)
+      spark.conf.set("spark.graft.index.vacuumRetentionMs", "0")
+      try store.vacuum() should be >= 3
+      finally spark.conf.unset("spark.graft.index.vacuumRetentionMs")
+      new java.io.File(s"$path/counts").listFiles()
+        .map(_.getName).count(_.startsWith("append=a")) shouldBe 1 // newest
+    } finally spark.conf.unset(key)
+  }
+
   it("a degenerate FIRST build (no bigrams/postings/windows) is refused " +
      "with a clear error instead of wedging every later read") {
     val shorts = Seq((1L, "single"), (2L, "word")).toDF("doc_id", "text")
