@@ -1054,6 +1054,101 @@ object ScaleProbe {
         ()
       }
     }
+    // BPE training-DEPTH probe (round-11 verdict #4): dq107/dq136 train 6
+    // merges and SCALE_BPE stops at 60; "the production path for
+    // 30k-merge vocabularies" is a claim about the THOUSANDTH merge. One
+    // from-scratch batched training per depth on the 80k-doc corpus; the
+    // MARGINAL s/merge between consecutive depths is the cost AT that
+    // depth — flat marginals = no cliff as pair-count state grows with
+    // the vocabulary.
+    if (sys.env.get("SCALE_BPEDEPTH").contains("1")) {
+      val m = 16
+      // the mutation folds rep AND a doc_id residue into every 3rd token
+      // so the DISTINCT-WORD table reaches production-vocabulary size
+      // (~28k words here) — the plain "u<rep>" variant drains its pair
+      // space after ~600 merges, which would measure the drain, not the
+      // thousandth merge
+      val corpus = base.crossJoin(spark.range(m.toLong).toDF("rep"))
+        .select((col("doc_id") * m + col("rep")).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            (t, i) => when(i % 3 === 0,
+              concat(t, lit("u"), col("rep").cast("string"),
+                pmod(col("doc_id"), lit(53L)).cast("string")))
+              .otherwise(t)), " ").as("text"))
+        .localCheckpoint(true)
+      val n = corpus.count()
+      val words = graft.ext.BpeTrain.wordCounts(corpus, "text").count()
+      var prevMerges = 0
+      var prevSec = 0.0
+      for (d <- Seq(100, 250, 500, 1000)) {
+        val t0 = System.nanoTime()
+        val bat = graft.ext.BpeTrain.learnBatched(corpus, "text", numMerges = d)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val nm = bat.model.merges.size
+        val marginal =
+          if (nm > prevMerges) (sec - prevSec) / (nm - prevMerges) else -1.0
+        println(f"""{"probe":"bpedepth","docs":$n,"distinct_words":$words,"depth":$d,"merges":$nm,"rounds":${bat.roundSizes.size},"sec":$sec%.1f,"sec_per_merge":${sec / math.max(1, nm)}%.4f,"marginal_sec_per_merge":$marginal%.4f}""")
+        prevMerges = nm
+        prevSec = sec
+      }
+    }
+    // Curation-LOOP probe (round-11 verdict #6): the dq135 stage set
+    // (exact_dedup → substr_gate → lm_gate → probe_gate) run config-style
+    // for two rounds at 20k/80k docs — round 1 seeds the three stores
+    // from the m-scaled corpus (the priced corpus-sized pass), round 2
+    // gates a FIXED 10k-doc batch (half exact replays, half fresh).
+    // Per-stage walls + survivor counts; the flatness claim is round 2's
+    // gate walls across m while the stores grew 4x.
+    if (sys.env.get("SCALE_CURATION").contains("1")) {
+      import graft.plan.CurationConfig
+      for (m <- Seq(4, 16)) {
+        val corpus = base.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              (t, i) => when(i % 3 === 0, concat(t, lit("u"), col("rep")))
+                .otherwise(t)), " ").as("text"))
+        // fixed-size round-2 batch for every m: the rep=0 clones re-idd
+        // (exact replays of STORED docs) plus a differently-mutated fresh
+        // slice — the dedup stages must actually drop, the statistics
+        // stages must actually fold
+        val replays = corpus.filter(pmod(col("doc_id"), lit(m.toLong)) === 0)
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+        val fresh = base
+          .select((col("doc_id") + 200000000L).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              (t, i) => when(i % 4 === 0, concat(t, lit("z"))).otherwise(t)),
+              " ").as("text"))
+        val ddir = graft.io.TempReaper.tempDir("graft-scale-cur").toString
+        corpus.unionByName(replays).unionByName(fresh)
+          .write.parquet(s"$ddir/documents.parquet")
+        val idx = graft.io.TempReaper.tempDir("graft-scale-curidx").toString
+        def cfg(whereExpr: String): String =
+          s"""{"table":"documents","id":"doc_id","text":"text",
+            | "stages":[{"stage":"where","expr":"$whereExpr"},
+            |   {"stage":"exact_dedup"},
+            |   {"stage":"substr_gate","path":"$idx/ss","k":8,"maxDupWindows":0},
+            |   {"stage":"lm_gate","path":"$idx/lm","loMicro":0},
+            |   {"stage":"probe_gate","path":"$idx/qp"}]}""".stripMargin
+        // loMicro 0: the LM stage still SCORES every document against the
+        // stored model (the wall being measured) but keeps them, so the
+        // probe stage downstream also gates a real batch
+        def runRound(whereExpr: String, runId: String, round: Int): Unit = {
+          val p = CurationConfig.parse(cfg(whereExpr))
+          var df = spark.read.parquet(s"$ddir/documents.parquet")
+          p.stages.zipWithIndex.foreach { case (st, i) =>
+            val t0 = System.nanoTime()
+            val out = st(df, "doc_id", "text", Some(s"cfg:$runId:s${i + 1}"))
+              .localCheckpoint(true)
+            val rows = out.count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"""{"probe":"curation","m":$m,"round":$round,"stage":"${st.getClass.getSimpleName}","survivors":$rows,"sec":$sec%.2f}""")
+            df = out
+          }
+        }
+        runRound("doc_id < 100000000", s"scl$m-r1", 1)
+        runRound("doc_id >= 100000000", s"scl$m-r2", 2)
+      }
+    }
     spark.stop()
   }
 }

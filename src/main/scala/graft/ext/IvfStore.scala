@@ -182,6 +182,13 @@ final class IvfStore private (private val spark: SparkSession,
         VectorFunctions.l2Norm(col(embCol)).as("nrm"),
         cellOf(col(embCol), cs).as("cell")), id, prev.packedScale)
     log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
+    // INVARIANT: stats/ is ADVISORY — `prev` was read before the commit
+    // and the refreshed row lands after it, so a crash in this window
+    // leaves `vectors` one batch stale until the next [[refit]] (which
+    // recounts from parquet footers). Correctness never depends on it:
+    // queries/gates plan from the manifest + the relation dirs, never
+    // this row. Do not make the count load-bearing without moving this
+    // write under the commit.
     val st = IvfStoreStats(prev.cells, prev.dims, prev.vectors + added,
       prev.gateTau, prev.gateNprobe, prev.packedScale)
     IvfStore.writeStats(spark, path, st)
