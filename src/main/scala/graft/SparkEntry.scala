@@ -2610,6 +2610,60 @@ object SparkEntry {
       .orderBy("qid", "vid")
   }
 
+  /** dq143's pipeline — dq116's three curation stages behind a WHERE
+    * batch selector, run in AUDIT mode. */
+  private val Dq143Config =
+    """{"table": "documents", "id": "doc_id", "text": "text",
+      | "stages": [
+      |   {"stage": "where", "expr": "doc_id % 4 < 3"},
+      |   {"stage": "exact_dedup"},
+      |   {"stage": "quality_gate", "minTokens": 24, "maxTokens": 10000},
+      |   {"stage": "fluency_band", "loMicro": 33900, "hiMicro": 35300}]}"""
+      .stripMargin
+
+  /** DQ143 (EXT): the curation-loop DROP AUDIT
+    * ([[graft.plan.CurationConfig.PipelineDef.runAudited]]) — the
+    * accounting a production pipeline needs to answer "which stage
+    * dropped this document": every input row's fate as `(doc_id,
+    * stage_idx, stage)` — the 1-based index and config name of the
+    * dropping stage, or `(0, "kept")` for a survivor. Attribution is a
+    * generic id anti-join across each stage boundary, so it covers every
+    * stage kind (persisted-store gates included); here the four audited
+    * stages are dq116's chain behind a `where` selector so the oracle
+    * can re-derive each stage's drop set as CTEs. */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val pipeline = graft.plan.CurationConfig.parse(Dq143Config)
+    val (_, audit) = pipeline.runAudited(s, dir)
+    audit.orderBy("doc_id")
+  }
+
+  /** DQ144 (EXT): BENCHMARK DECONTAMINATION as a declared config stage
+    * ([[graft.plan.CurationConfig.DecontamGate]]) — the eval-leakage
+    * guard of a training pipeline in its production form: the stage's
+    * [[graft.ext.SubstrIndex]] is built ON FIRST USE from the declared
+    * benchmark slice (never from the batch) and batch documents sharing
+    * any verbatim 8-token window with it are dropped. The batch slice
+    * (doc_id % 5 = 0) CONTAINS the benchmark slice (doc_id % 10 = 0), so
+    * the verbatim benchmark members fall and the disjoint half survives.
+    * Gate-only ⇒ idempotent: round 2 re-sends the SAME batch against the
+    * frozen index and must return identical survivors (nothing was
+    * appended) — both rounds are the output. Oracle: the dq117 window
+    * chain, benchmark-vs-batch, emitted twice. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.io.TempReaper.tempDir("graft-dq144-idx").toString + "/idx"
+    val cfg =
+      s"""{"table":"documents","id":"doc_id","text":"text",
+        | "stages":[{"stage":"where","expr":"doc_id % 5 = 0"},
+        |   {"stage":"decontam_gate","path":"$path","k":8,
+        |    "benchmarkTable":"documents",
+        |    "benchmarkWhere":"doc_id % 10 = 0"}]}""".stripMargin
+    val pipeline = graft.plan.CurationConfig.parse(cfg)
+    def round(n: Long): DataFrame = pipeline.run(s, dir)
+      .select(lit(n).as("round"), col("doc_id"),
+        md5(col("text")).as("text_md5"))
+    round(1L).unionByName(round(2L)).orderBy("round", "doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2790,7 +2844,9 @@ object SparkEntry {
     "dq139_stream_bpe_fold"     -> (q139 _),
     "dq140_stream_bm25_fold"    -> (q140 _),
     "dq141_config_neardup_ingest" -> (q141 _),
-    "dq142_ivf_refit"           -> (q142 _)
+    "dq142_ivf_refit"           -> (q142 _),
+    "dq143_curation_drop_audit" -> (q143 _),
+    "dq144_decontam_gate_stage" -> (q144 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3651,6 +3707,31 @@ object SparkEntry {
       |  FROM b2 JOIN r2 USING (doc_id) WHERE r2.n_dup_windows = 0)
       |SELECT * FROM k ORDER BY batch, doc_id""".stripMargin
 
+  /** dq144: the benchmark slice's distinct window digests, the batch's
+    * windows joined against them, survivors = batch minus any-hit docs
+    * (docs under k tokens have no windows and pass — keepFresh's rule);
+    * the identical survivor set emitted for both rounds (the gate-only
+    * idempotence contract). */
+  private lazy val Dq144Sql: String =
+    """WITH wh AS (SELECT DISTINCT
+      |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+      |  FROM (SELECT list_filter(string_split_regex(text, '\s+'),
+      |      x -> len(x) > 0) toks FROM documents WHERE doc_id % 10 = 0) t,
+      |    unnest(range(1, len(toks) - 6)) r(i)),
+      |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |wt AS (SELECT doc_id,
+      |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |      x -> len(x) > 0) toks FROM batch) t,
+      |    unnest(range(1, len(toks) - 6)) r(i)),
+      |hit AS (SELECT DISTINCT doc_id FROM wt JOIN wh USING (dg)),
+      |k AS (SELECT doc_id, md5(text) AS text_md5 FROM batch
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM hit))
+      |SELECT round, doc_id, text_md5 FROM (
+      |  SELECT CAST(1 AS BIGINT) AS round, doc_id, text_md5 FROM k
+      |  UNION ALL SELECT CAST(2 AS BIGINT), doc_id, text_md5 FROM k) u
+      |ORDER BY round, doc_id""".stripMargin
+
   /** dq105: the cell-pruned semantic-decon report — dq51's trained chain
     * over the TRAIN split, dq91's eval battery probing `nprobe` cells, the
     * exact cosine threshold report on in-cell candidates only.
@@ -3802,15 +3883,15 @@ object SparkEntry {
       |FROM sc CROSS JOIN th ORDER BY doc_id""".stripMargin
   }
 
-  /** dq116: the configured pipeline's stages chained as CTEs — s1 the
+  /** dq116/dq143's shared stage chain as CTE text over `src` — s1 the
     * content dedup (lowest id per sha256), s2 the token-count band, then
     * the dq92 fluency chain TRAINED ON s2 (the composition the config
     * expresses), s3 the band gate. */
-  private lazy val Dq116Sql =
-    """WITH s1 AS (SELECT doc_id, text FROM (
+  private def curationChainSql(src: String): String =
+    raw"""s1 AS (SELECT doc_id, text FROM (
       |    SELECT doc_id, text,
       |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) rn
-      |    FROM documents) z WHERE rn = 1),
+      |    FROM $src) z WHERE rn = 1),
       |s2 AS (SELECT * FROM s1
       |  WHERE len(list_filter(regexp_split_to_array(lower(text), '\W+'),
       |    x -> len(x) > 0)) BETWEEN 24 AND 10000),
@@ -3830,8 +3911,29 @@ object SparkEntry {
       |y AS (SELECT s2.doc_id, COALESCE(fl.sum_micro // fl.n_bigrams, 0) AS mm
       |  FROM s2 LEFT JOIN fl USING (doc_id)),
       |s3 AS (SELECT s2.doc_id, s2.text FROM s2 JOIN y USING (doc_id)
-      |  WHERE y.mm BETWEEN 33900 AND 35300)
+      |  WHERE y.mm BETWEEN 33900 AND 35300)""".stripMargin
+
+  private lazy val Dq116Sql =
+    s"""WITH ${curationChainSql("documents")}
       |SELECT doc_id, md5(text) AS text_md5 FROM s3 ORDER BY doc_id""".stripMargin
+
+  /** dq143: the chain behind its `where` selector, then every stage's
+    * drop set re-derived as `input minus output` with the stage's
+    * 1-based index and config name, survivors tagged (0, 'kept'). */
+  private lazy val Dq143Sql =
+    s"""WITH s0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 < 3),
+      |${curationChainSql("s0")}
+      |SELECT doc_id, stage_idx, stage FROM (
+      |  SELECT doc_id, CAST(1 AS BIGINT) AS stage_idx, 'where' AS stage
+      |    FROM documents WHERE doc_id % 4 >= 3
+      |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT), 'exact_dedup' FROM s0
+      |    WHERE doc_id NOT IN (SELECT doc_id FROM s1)
+      |  UNION ALL SELECT doc_id, CAST(3 AS BIGINT), 'quality_gate' FROM s1
+      |    WHERE doc_id NOT IN (SELECT doc_id FROM s2)
+      |  UNION ALL SELECT doc_id, CAST(4 AS BIGINT), 'fluency_band' FROM s2
+      |    WHERE doc_id NOT IN (SELECT doc_id FROM s3)
+      |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT), 'kept' FROM s3) u
+      |ORDER BY doc_id""".stripMargin
 
   /** Merge count shared by dq107's training run, dq108's trained-vocab
     * tokenization, and their oracles' unrolled replay. */
@@ -4308,6 +4410,8 @@ object SparkEntry {
     // refit generation: retrain-on-the-stored-relation must equal the
     // from-scratch chain over the union corpus (full-table training)
     "dq142_ivf_refit" -> Dq142Sql,
+    "dq143_curation_drop_audit" -> Dq143Sql,
+    "dq144_decontam_gate_stage" -> Dq144Sql,
     // the config-declared near-dup ingest: dq104's chain over the two
     // where-selected rounds (seed round all kept, round 2 gated)
     "dq141_config_neardup_ingest" -> Dq141Sql,

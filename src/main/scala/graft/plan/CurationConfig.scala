@@ -53,6 +53,14 @@ object CurationConfig {
       * exactly-once crash-replay contract; pure stages ignore it. */
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame
+
+    /** The `dir`-aware form [[PipelineDef.run]] calls: stages that
+      * resolve AUXILIARY tables from the run's data directory (e.g.
+      * [[DecontamGate]]'s benchmark corpus) override this; the default
+      * ignores `dir`. */
+    def applyIn(dir: String)(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame =
+      apply(df, idCol, textCol, runToken)
   }
 
   case object ExactDedup extends Stage {
@@ -300,6 +308,51 @@ object CurationConfig {
     }
   }
 
+  /** BENCHMARK DECONTAMINATION as a declared stage — the eval-leakage
+    * guard every training pipeline needs (documents sharing a verbatim
+    * k-token window with an evaluation corpus must not reach training):
+    * the stage points at a [[SubstrIndex]] holding the BENCHMARK's
+    * window digests — built on first use from `benchmarkTable` (filtered
+    * by `benchmarkWhere`) in the run's data directory, NEVER from the
+    * batch — and drops batch documents with more than `maxDupWindows`
+    * stored windows. Unlike [[SubstrGate]] this is gate-ONLY: the
+    * benchmark is a frozen reference, survivors are never appended, so
+    * the stage is naturally idempotent (a crashed run's rerun re-gates
+    * against the same frozen set — no token machinery needed) and
+    * reruns of the same batch always return the same survivors. */
+  final case class DecontamGate(path: String, k: Int,
+      benchmarkTable: String, benchmarkWhere: String,
+      maxDupWindows: Long) extends Stage {
+    private def gate(df: DataFrame, idCol: String,
+        textCol: String): DataFrame = {
+      val idx = SubstrIndex.open(df.sparkSession, path)
+      require(idx.stats.k == k,
+        s"decontam_gate at $path was built with k=${idx.stats.k}; " +
+          s"the config declares k=$k")
+      idx.keepFresh(df, idCol, textCol, maxDupWindows, excludeToken = None)
+    }
+
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
+      require(SubstrIndex.exists(df.sparkSession, path),
+        s"decontam_gate at $path: no committed benchmark index — run the " +
+          "stage through PipelineDef.run so it can build one from " +
+          s"'$benchmarkTable'")
+      gate(df, idCol, textCol)
+    }
+
+    override def applyIn(dir: String)(df: DataFrame, idCol: String,
+        textCol: String, runToken: Option[String]): DataFrame = {
+      val spark = df.sparkSession
+      if (!SubstrIndex.exists(spark, path)) {
+        val bench = spark.read.parquet(s"$dir/$benchmarkTable.parquet")
+          .filter(expr(benchmarkWhere))
+        SubstrIndex.build(bench, idCol, textCol, path, k)
+      }
+      gate(df, idCol, textCol)
+    }
+  }
+
   final case class NearDupGate(path: String, numHashes: Int, bands: Int,
       maxBucket: Int, threshold: Double) extends Stage {
     def apply(df: DataFrame, idCol: String, textCol: String,
@@ -355,6 +408,25 @@ object CurationConfig {
         kept
     }
 
+  /** The config name of a stage — the string [[parse]] accepted for it
+    * (stable across refactors: it is the pipeline's own vocabulary, so
+    * audit rows and error messages speak the language of the config). */
+  private[graft] def stageName(st: Stage): String = st match {
+    case ExactDedup => "exact_dedup"
+    case _: QualityGate => "quality_gate"
+    case _: FluencyBand => "fluency_band"
+    case _: TokenBudget => "token_budget"
+    case _: RepeatEpochs => "repeat_epochs"
+    case _: WhereExpr => "where"
+    case _: SubstrGate => "substr_gate"
+    case _: DecontamGate => "decontam_gate"
+    case _: NearDupGate => "neardup_gate"
+    case _: SemanticGate => "semantic_gate"
+    case _: LmGate => "lm_gate"
+    case _: ProbeGate => "probe_gate"
+    case _: BpeTokenize => "bpe_tokenize"
+  }
+
   final case class PipelineDef(table: String, idCol: String, textCol: String,
       stages: List[Stage]) {
 
@@ -371,8 +443,45 @@ object CurationConfig {
         "runId: non-empty, one line"))
       val raw = spark.read.parquet(s"$dir/$table.parquet")
       stages.zipWithIndex.foldLeft(raw) { case (df, (st, i)) =>
-        st(df, idCol, textCol, runId.map(r => s"cfg:$r:s${i + 1}"))
+        st.applyIn(dir)(df, idCol, textCol,
+          runId.map(r => s"cfg:$r:s${i + 1}"))
       }
+    }
+
+    /** [[run]] with per-stage DROP ACCOUNTING — the audit a production
+      * curation pipeline needs to answer "which stage dropped this
+      * document". Returns the pipeline result plus an audit frame with
+      * one row per input-row fate: `(id, stage_idx, stage)` where a
+      * dropped row carries the 1-based index and config name of the
+      * stage that dropped it and a surviving row carries
+      * `(0, "kept")`. Attribution is generic (an id anti-join across
+      * each stage boundary), so it covers every stage kind including
+      * the persisted-store gates; each boundary is checkpointed —
+      * batch-sized frames, the gate stages' own materialization rule —
+      * so audit mode trades the cross-stage plan fusion of [[run]] for
+      * the accounting, and the RESULT is unchanged. Rows of a
+      * row-multiplying stage (`repeat_epochs`) share their id across
+      * copies, so audit such pipelines upstream of the repeat. */
+    def runAudited(spark: SparkSession, dir: String,
+        runId: Option[String] = None): (DataFrame, DataFrame) = {
+      runId.foreach(r => require(r.nonEmpty && !r.contains("\n"),
+        "runId: non-empty, one line"))
+      var df = spark.read.parquet(s"$dir/$table.parquet")
+        .localCheckpoint(true)
+      val drops = stages.zipWithIndex.map { case (st, i) =>
+        val out = st.applyIn(dir)(df, idCol, textCol,
+            runId.map(r => s"cfg:$r:s${i + 1}"))
+          .localCheckpoint(true)
+        val dropped = df.select(col(idCol))
+          .join(out.select(col(idCol)), Seq(idCol), "left_anti")
+          .withColumn("stage_idx", lit((i + 1).toLong))
+          .withColumn("stage", lit(stageName(st)))
+        df = out
+        dropped
+      }
+      val kept = df.select(col(idCol))
+        .withColumn("stage_idx", lit(0L)).withColumn("stage", lit("kept"))
+      (df, drops.foldLeft(kept)(_ unionByName _))
     }
   }
 
@@ -457,6 +566,29 @@ object CurationConfig {
         if (maxDup < 0)
           fail(s"stage 'substr_gate': maxDupWindows must be >= 0, got $maxDup")
         SubstrGate(path, k.toInt, maxDup)
+      case "decontam_gate" =>
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'decontam_gate' needs a non-empty 'path' string")
+        }
+        val k = long("k").getOrElse(fail("stage 'decontam_gate' needs 'k'"))
+        if (k < 2) fail(s"stage 'decontam_gate': k must be >= 2, got $k")
+        val bt = j \ "benchmarkTable" match {
+          case JString(t) if t.trim.nonEmpty => t
+          case _ =>
+            fail("stage 'decontam_gate' needs a non-empty 'benchmarkTable' " +
+              "string (the evaluation corpus it guards against)")
+        }
+        val bw = j \ "benchmarkWhere" match {
+          case JString(w) if w.trim.nonEmpty => w
+          case JNothing => "TRUE"
+          case other => fail("stage 'decontam_gate': 'benchmarkWhere' must " +
+            s"be a non-empty string, got $other")
+        }
+        val maxDup = long("maxDupWindows").getOrElse(0L)
+        if (maxDup < 0)
+          fail(s"stage 'decontam_gate': maxDupWindows must be >= 0, got $maxDup")
+        DecontamGate(path, k.toInt, bt, bw, maxDup)
       case "neardup_gate" =>
         val path = j \ "path" match {
           case JString(p) if p.trim.nonEmpty => p
@@ -528,8 +660,8 @@ object CurationConfig {
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
           "fluency_band | token_budget | repeat_epochs | where | " +
-          "substr_gate | neardup_gate | semantic_gate | lm_gate | " +
-          "probe_gate | bpe_tokenize)")
+          "substr_gate | decontam_gate | neardup_gate | semantic_gate | " +
+          "lm_gate | probe_gate | bpe_tokenize)")
     }
   }
 

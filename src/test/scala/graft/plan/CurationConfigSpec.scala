@@ -376,6 +376,101 @@ class CurationConfigSpec extends GraftSpec {
       .select("doc_id").as[Long].collect().sorted shouldBe expect
   }
 
+  it("decontam_gate: the benchmark index is built on FIRST use from the " +
+     "declared slice (never the batch), verbatim-contaminated docs drop, " +
+     "and the stage is gate-only — reruns of the same batch keep the " +
+     "same survivors because nothing is ever appended") {
+    val d = dir
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-dcg").toString + "/idx"
+    def cfg(batchWhere: String): String =
+      s"""{"table":"documents","id":"doc_id","text":"text",
+        | "stages":[{"stage":"where","expr":"$batchWhere"},
+        |   {"stage":"decontam_gate","path":"$path","k":8,
+        |    "benchmarkTable":"documents","benchmarkWhere":"doc_id <= 2"}]}"""
+        .stripMargin
+    val p = CurationConfig.parse(cfg("TRUE"))
+    // doc 1 is IN the benchmark (and 2 is its verbatim copy) → dropped;
+    // 3 is under k tokens (no windows) and 4/5 share no 8-token window
+    val r1 = p.run(spark, d).select("doc_id").as[Long].collect().sorted
+    r1 shouldBe Array(3L, 4L, 5L)
+    // gate-only: the survivors were NOT appended, so a re-send of the
+    // same batch keeps them again (a substr_gate would drop them all)
+    p.run(spark, d).select("doc_id").as[Long].collect().sorted shouldBe r1
+    // once built, the dir-less apply form gates against the same index
+    p.stages.last
+      .apply(spark.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+        None)
+      .select("doc_id").as[Long].collect().sorted shouldBe r1
+    // a drifted k is refused, naming the stored parameter
+    val e = intercept[IllegalArgumentException] {
+      CurationConfig.parse(cfg("TRUE").replace("\"k\":8", "\"k\":4"))
+        .run(spark, d).count()
+    }
+    e.getMessage should include("built with k=8")
+  }
+
+  it("decontam_gate without a committed index refuses the dir-less apply " +
+     "form with a pointer to PipelineDef.run, and parses strictly") {
+    val missing = java.nio.file.Files
+      .createTempDirectory("graft-curation-dcg2").toString + "/nothing"
+    val st = CurationConfig.DecontamGate(missing, 8, "documents", "TRUE", 0L)
+    val e = intercept[IllegalArgumentException] {
+      st(Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", None)
+    }
+    e.getMessage should include("PipelineDef.run")
+    def bad(json: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](CurationConfig.parse(json))
+      ex.getMessage should include(needle)
+    }
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"decontam_gate","k":8,
+          |   "benchmarkTable":"documents"}]}""".stripMargin, "'path'")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"decontam_gate","path":"/x","k":1,
+          |   "benchmarkTable":"documents"}]}""".stripMargin, "k must be >= 2")
+    bad("""{"table":"documents","id":"i","text":"t",
+          | "stages":[{"stage":"decontam_gate","path":"/x","k":8}]}"""
+      .stripMargin, "benchmarkTable")
+  }
+
+  it("runAudited attributes every input row's fate to the stage that " +
+     "dropped it — pure stages and persisted gates alike — without " +
+     "changing the pipeline result") {
+    val d = dir
+    val full =
+      """{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "exact_dedup"},
+        |   {"stage": "quality_gate", "minTokens": 5},
+        |   {"stage": "fluency_band", "loMicro": 600000, "hiMicro": 1000000}]}"""
+        .stripMargin
+    val p = CurationConfig.parse(full)
+    val (result, audit) = p.runAudited(spark, d)
+    // the result is run()'s result, audit or not
+    result.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 4L)
+    audit.select("doc_id", "stage_idx", "stage").orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq shouldBe Seq(
+      (1L, 0L, "kept"),
+      (2L, 1L, "exact_dedup"),   // the planted dup of doc 1
+      (3L, 2L, "quality_gate"),  // under minTokens
+      (4L, 0L, "kept"),
+      (5L, 3L, "fluency_band"))  // the rare-transition doc
+    // a persisted-gate stage attributes its drops the same way: seed
+    // round keeps everything, the replay round names the gate
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-audit").toString + "/idx"
+    CurationConfig.parse(gateCfg(path, "doc_id <= 2")).run(spark, d)
+    val (_, audit2) = CurationConfig.parse(gateCfg(path, "doc_id <= 4"))
+      .runAudited(spark, d)
+    audit2.select("doc_id", "stage_idx", "stage").orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq shouldBe Seq(
+      (1L, 2L, "substr_gate"), (2L, 2L, "substr_gate"),
+      (3L, 0L, "kept"),
+      (4L, 2L, "substr_gate"),  // shares the stored "the quick brown fox"
+      (5L, 1L, "where"))
+  }
+
   it("rejects unknown stages and bad parameters AT PARSE TIME, naming " +
      "the stage") {
     def bad(json: String, needle: String): Unit = {
