@@ -458,6 +458,22 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq142 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq143: the drop audit's accounting — the per-stage fate
+      //    histogram over the audited chain (which stage dropped how
+      //    many), the number a pipeline operator reads first. Overhead
+      //    of audit mode vs run() is priced in SCALE_AUDIT (PERF.md).
+      if (!names.exists(_.startsWith("dq143"))) None
+      else try {
+        val pipeline = graft.plan.CurationConfig.parse(SparkEntry.Dq143Config)
+        val (_, audit) = pipeline.runAudited(spark, sfDir)
+        val fates = audit.groupBy("stage_idx", "stage").count()
+          .orderBy("stage_idx").collect()
+        Some(fates.map(r =>
+          s""""dq143_fate_${r.getLong(0)}_${r.getString(1)}":${r.getLong(2)}""")
+          .mkString(","))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq143 evidence failed: ${e.getMessage}"); None
+      },
       //  - dq132: the STATISTICS gate's scale property — the model and
       //    its mean threshold come off the 14·appends-row moment table
       //    (one driver-sized read), so the gate plan over a checkpointed

@@ -1149,6 +1149,48 @@ object ScaleProbe {
         runRound("doc_id >= 100000000", s"scl$m-r2", 2)
       }
     }
+
+    // Audit overhead: PipelineDef.runAudited trades cross-stage plan
+    // fusion for per-boundary checkpoints plus one id anti-join per
+    // stage. Price that trade on dq143's pure-stage chain over m-scaled
+    // corpora (every 7th clone an exact copy so exact_dedup really
+    // drops), run() vs runAudited() walls plus the fate histogram.
+    if (sys.env.get("SCALE_AUDIT").contains("1")) {
+      import graft.plan.CurationConfig
+      for (m <- Seq(4, 16)) {
+        val mutated = array_join(transform(split(col("text"), " "),
+          (t, i) => when(i % 3 === 0, concat(t, lit("u"), col("rep")))
+            .otherwise(t)), " ")
+        val corpus = base.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            when(col("rep") % 7 === 0, col("text")).otherwise(mutated)
+              .as("text"))
+        val ddir = graft.io.TempReaper.tempDir("graft-scale-aud").toString
+        corpus.write.parquet(s"$ddir/documents.parquet")
+        val p = CurationConfig.parse(
+          """{"table":"documents","id":"doc_id","text":"text",
+            | "stages":[{"stage":"exact_dedup"},
+            |   {"stage":"quality_gate","minTokens":24,"maxTokens":10000},
+            |   {"stage":"fluency_band","loMicro":1,"hiMicro":10000000}]}"""
+            .stripMargin)
+        // band is wider than dq143's: the rep-mutated tokens shift the
+        // trained LM's micro-means down, and the probe wants a REAL
+        // survivor population so result-parity between run() and
+        // runAudited() is a non-vacuous check (the stage still trains
+        // and scores the full corpus — the wall being measured)
+        val t0 = System.nanoTime()
+        val plain = p.run(spark, ddir).count()
+        val t1 = System.nanoTime()
+        val (res, audit) = p.runAudited(spark, ddir)
+        val audited = res.count()
+        val fates = audit.groupBy("stage_idx", "stage").count()
+          .orderBy("stage_idx").collect()
+          .map(r => s""""${r.getString(1)}":${r.getLong(2)}""")
+          .mkString(",")
+        val t2 = System.nanoTime()
+        println(f"""{"probe":"audit","m":$m,"survivors_plain":$plain,"survivors_audited":$audited,"run_sec":${(t1 - t0) / 1e9}%.2f,"audited_sec":${(t2 - t1) / 1e9}%.2f,"fates":{$fates}}""")
+      }
+    }
     spark.stop()
   }
 }

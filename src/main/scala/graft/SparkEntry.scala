@@ -2612,7 +2612,7 @@ object SparkEntry {
 
   /** dq143's pipeline — dq116's three curation stages behind a WHERE
     * batch selector, run in AUDIT mode. */
-  private val Dq143Config =
+  private[graft] val Dq143Config =
     """{"table": "documents", "id": "doc_id", "text": "text",
       | "stages": [
       |   {"stage": "where", "expr": "doc_id % 4 < 3"},
