@@ -145,18 +145,20 @@ object CurationConfig {
     * gate's append and the pipeline output's consumption. */
   final case class SubstrGate(path: String, k: Int,
       maxDupWindows: Long) extends Stage {
+    private def openValidated(spark: SparkSession): SubstrIndex = {
+      val idx = SubstrIndex.open(spark, path)
+      require(idx.stats.k == k,
+        s"substr_gate at $path was built with k=${idx.stats.k}; " +
+          s"the config declares k=$k")
+      idx
+    }
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame = {
       val spark = df.sparkSession
       val existing =
-        if (SubstrIndex.exists(spark, path)) Some(SubstrIndex.open(spark, path))
+        if (SubstrIndex.exists(spark, path)) Some(openValidated(spark))
         else None
-      existing.foreach { idx =>
-        require(idx.stats.k == k,
-          s"substr_gate at $path was built with k=${idx.stats.k}; " +
-            s"the config declares k=$k")
-      }
-      replayableRound(df, runToken, existing)(
+      replayableRound(df, runToken, existing, () => openValidated(spark))(
         (seeded, tok) =>
           SubstrIndex.build(seeded, idCol, textCol, path, k, seedToken = tok))(
         (idx, input, tok) =>
@@ -179,23 +181,25 @@ object CurationConfig {
     * declare-then-run form. */
   final case class SemanticGate(path: String, k: Int, tau: Double,
       nprobe: Int) extends Stage {
+    private def openValidated(spark: SparkSession): IvfStore = {
+      val store = IvfStore.open(spark, path)
+      val st = store.stats
+      // `k` only parameterizes the CREATE-time training (stats.cells is
+      // the LIVE cell count — Lloyd's may collapse empty cells below
+      // the declared k); the gate's stored identity is (tau, nprobe)
+      require(st.gateTau == tau && st.gateNprobe == nprobe,
+        s"semantic_gate at $path was built with (tau=${st.gateTau}, " +
+          s"nprobe=${st.gateNprobe}); the config declares " +
+          s"(tau=$tau, nprobe=$nprobe)")
+      store
+    }
     def apply(df: DataFrame, idCol: String, embCol: String,
         runToken: Option[String]): DataFrame = {
       val spark = df.sparkSession
       val existing =
-        if (IvfStore.exists(spark, path)) Some(IvfStore.open(spark, path))
+        if (IvfStore.exists(spark, path)) Some(openValidated(spark))
         else None
-      existing.foreach { store =>
-        val st = store.stats
-        // `k` only parameterizes the CREATE-time training (stats.cells is
-        // the LIVE cell count — Lloyd's may collapse empty cells below
-        // the declared k); the gate's stored identity is (tau, nprobe)
-        require(st.gateTau == tau && st.gateNprobe == nprobe,
-          s"semantic_gate at $path was built with (tau=${st.gateTau}, " +
-            s"nprobe=${st.gateNprobe}); the config declares " +
-            s"(tau=$tau, nprobe=$nprobe)")
-      }
-      replayableRound(df, runToken, existing)(
+      replayableRound(df, runToken, existing, () => openValidated(spark))(
         (seeded, tok) =>
           IvfStore.create(seeded, idCol, embCol, path, k, iters = 2,
             gateTau = tau, gateNprobe = nprobe, seedToken = tok))(
@@ -217,20 +221,21 @@ object CurationConfig {
     * retrain replaced by incremental model maintenance. */
   final case class LmGate(path: String, loMicro: Long,
       hiMicro: Long) extends Stage {
+    private def openValidated(spark: SparkSession): NgramLmStore = {
+      val store = NgramLmStore.open(spark, path)
+      val st = store.stats
+      require(st.loMicro == loMicro && st.hiMicro == hiMicro,
+        s"lm_gate at $path was built with band [${st.loMicro}, " +
+          s"${st.hiMicro}]; the config declares [$loMicro, $hiMicro]")
+      store
+    }
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame = {
       val spark = df.sparkSession
       val existing =
-        if (NgramLmStore.exists(spark, path))
-          Some(NgramLmStore.open(spark, path))
+        if (NgramLmStore.exists(spark, path)) Some(openValidated(spark))
         else None
-      existing.foreach { store =>
-        val st = store.stats
-        require(st.loMicro == loMicro && st.hiMicro == hiMicro,
-          s"lm_gate at $path was built with band [${st.loMicro}, " +
-            s"${st.hiMicro}]; the config declares [$loMicro, $hiMicro]")
-      }
-      replayableRound(df, runToken, existing)(
+      replayableRound(df, runToken, existing, () => openValidated(spark))(
         (seeded, tok) =>
           NgramLmStore.build(seeded, idCol, textCol, path,
             loMicro = loMicro, hiMicro = hiMicro, seedToken = tok))(
@@ -261,7 +266,8 @@ object CurationConfig {
         if (QualityProbeStore.exists(spark, path))
           Some(QualityProbeStore.open(spark, path))
         else None
-      replayableRound(df, runToken, existing)(
+      replayableRound(df, runToken, existing,
+        () => QualityProbeStore.open(spark, path))(
         (seeded, tok) =>
           QualityProbeStore.create(seeded, idCol, textCol, path,
             seedToken = tok))(
@@ -283,25 +289,37 @@ object CurationConfig {
     * all (vocabulary stability — the property a training pipeline
     * needs). Adds a `subtokens` column; id/text pass through. */
   final case class BpeTokenize(path: String, numMerges: Int) extends Stage {
+    private def openValidated(spark: SparkSession): graft.ext.BpeStore = {
+      val st = BpeStore.open(spark, path)
+      // a crashed create committed its seed word counts but died
+      // before the initial retrain: run the missing retrain (same
+      // model — training consumes only the committed counts) instead
+      // of failing the budget check on a wedged layout
+      if (!st.hasModel) st.retrain(numMerges)
+      require(st.stats.mergeBudget == numMerges,
+        s"bpe_tokenize at $path was trained with numMerges=" +
+          s"${st.stats.mergeBudget}; the config declares $numMerges")
+      st
+    }
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame = {
       val spark = df.sparkSession
       val (store, input) =
         if (!BpeStore.exists(spark, path)) {
           val seeded = df.localCheckpoint(true)
-          (BpeStore.create(seeded, textCol, path, numMerges), seeded)
-        } else {
-          val st = BpeStore.open(spark, path)
-          // a crashed create committed its seed word counts but died
-          // before the initial retrain: run the missing retrain (same
-          // model — training consumes only the committed counts) instead
-          // of failing the budget check on a wedged layout
-          if (!st.hasModel) st.retrain(numMerges)
-          require(st.stats.mergeBudget == numMerges,
-            s"bpe_tokenize at $path was trained with numMerges=" +
-              s"${st.stats.mergeBudget}; the config declares $numMerges")
-          (st, df)
-        }
+          val st =
+            try BpeStore.create(seeded, textCol, path, numMerges)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                // lost a concurrent create race: tokenize against the
+                // winner's committed vocabulary (openValidated still
+                // enforces the declared merge budget); anything with no
+                // committed store underneath propagates
+                if (!BpeStore.exists(spark, path)) throw e
+                openValidated(spark)
+            }
+          (st, seeded)
+        } else (openValidated(spark), df)
       // a map-only column, NOT a join: duplicate ids (e.g. a preceding
       // repeat_epochs stage) must stay one-row-per-input
       input.withColumn("subtokens", store.tokenizeColumn(textCol))
@@ -347,7 +365,15 @@ object CurationConfig {
       if (!SubstrIndex.exists(spark, path)) {
         val bench = spark.read.parquet(s"$dir/$benchmarkTable.parquet")
           .filter(expr(benchmarkWhere))
-        SubstrIndex.build(bench, idCol, textCol, path, k)
+        try SubstrIndex.build(bench, idCol, textCol, path, k)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // a concurrent run won the first-use build race: the index is
+            // a deterministic function of the declared benchmark slice,
+            // so the winner's commit IS this run's index — gate against
+            // it; a failure with no committed index underneath propagates
+            if (!SubstrIndex.exists(spark, path)) throw e
+        }
       }
       gate(df, idCol, textCol)
     }
@@ -355,22 +381,23 @@ object CurationConfig {
 
   final case class NearDupGate(path: String, numHashes: Int, bands: Int,
       maxBucket: Int, threshold: Double) extends Stage {
+    private def openValidated(spark: SparkSession): NearDupIndex = {
+      val idx = NearDupIndex.open(spark, path)
+      val st = idx.stats
+      require(st.numHashes == numHashes && st.bands == bands &&
+        st.maxBucket == maxBucket,
+        s"neardup_gate at $path was built with (numHashes=${st.numHashes}, " +
+          s"bands=${st.bands}, maxBucket=${st.maxBucket}); the config " +
+          s"declares ($numHashes, $bands, $maxBucket)")
+      idx
+    }
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame = {
       val spark = df.sparkSession
       val existing =
-        if (NearDupIndex.exists(spark, path))
-          Some(NearDupIndex.open(spark, path))
+        if (NearDupIndex.exists(spark, path)) Some(openValidated(spark))
         else None
-      existing.foreach { idx =>
-        val st = idx.stats
-        require(st.numHashes == numHashes && st.bands == bands &&
-          st.maxBucket == maxBucket,
-          s"neardup_gate at $path was built with (numHashes=${st.numHashes}, " +
-            s"bands=${st.bands}, maxBucket=${st.maxBucket}); the config " +
-            s"declares ($numHashes, $bands, $maxBucket)")
-      }
-      replayableRound(df, runToken, existing)(
+      replayableRound(df, runToken, existing, () => openValidated(spark))(
         (seeded, tok) =>
           NearDupIndex.build(seeded, idCol, textCol, path, numHashes, bands,
             maxBucket, seedToken = tok))(
@@ -392,21 +419,41 @@ object CurationConfig {
     * non-replayable round (gate over the full store, unconditional
     * append) — the semantics of a run nobody named. */
   private def replayableRound[I <: graft.ext.IngestIndex](df: DataFrame,
-      runToken: Option[String], existing: Option[I])(
+      runToken: Option[String], existing: Option[I], reopen: () => I)(
       seed: (DataFrame, Option[String]) => Unit)(
       gate: (I, DataFrame, Option[String]) => DataFrame)(
-      append: (I, DataFrame, Option[String]) => Unit): DataFrame =
+      append: (I, DataFrame, Option[String]) => Unit): DataFrame = {
+    def gateRound(idx: I, input: DataFrame): DataFrame =
+      if (runToken.exists(idx.seededBy)) input
+      else {
+        val kept = gate(idx, input, runToken).localCheckpoint(true)
+        append(idx, kept, runToken)
+        kept
+      }
     existing match {
       case None =>
         val seeded = df.localCheckpoint(true)
-        seed(seeded, runToken)
-        seeded
-      case Some(idx) if runToken.exists(idx.seededBy) => df
-      case Some(idx) =>
-        val kept = gate(idx, df, runToken).localCheckpoint(true)
-        append(idx, kept, runToken)
-        kept
+        try { seed(seeded, runToken); seeded }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // The seed refused (or timed out on the writer lock) and a
+            // COMMITTED store is now visible at the path: this run LOST a
+            // concurrent create race (two pipeline runs bootstrapping the
+            // same store), so fall through to the gate round against the
+            // winner's store — the result lock-serialized runs would have
+            // produced. `reopen` re-validates the config's parameters; a
+            // seed failure with no committed store underneath (degenerate
+            // corpus, bad parameters, IO) propagates unchanged. If THIS
+            // run's own seed committed before failing (post-commit stats
+            // write), the token check recognizes it as the seed round.
+            scala.util.Try(reopen()).toOption match {
+              case Some(idx) => gateRound(idx, seeded)
+              case None => throw e
+            }
+        }
+      case Some(idx) => gateRound(idx, df)
     }
+  }
 
   /** The config name of a stage — the string [[parse]] accepted for it
     * (stable across refactors: it is the pipeline's own vocabulary, so

@@ -471,6 +471,64 @@ class CurationConfigSpec extends GraftSpec {
       (5L, 1L, "where"))
   }
 
+  it("two pipeline runs racing the same store's CREATE both converge: " +
+     "the loser of the seed race falls through to gating against the " +
+     "winner's committed store instead of failing the fresh-path require") {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val d = dir
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-race").toString + "/idx"
+    val start = new java.util.concurrent.CountDownLatch(2)
+    def racer(runId: String): Future[Array[Long]] = Future {
+      start.countDown(); start.await()
+      CurationConfig.parse(gateCfg(path, "TRUE"))
+        .run(spark, d, runId = Some(runId))
+        .select("doc_id").as[Long].collect().sorted
+    }
+    val (fa, fb) = (racer("raceA"), racer("raceB"))
+    val ra = Await.result(fa, 5.minutes)
+    val rb = Await.result(fb, 5.minutes)
+    // one run seeded (kept the whole batch); the other gated against the
+    // winner's store: every doc with k-token windows is a verbatim replay
+    // and drops, only windowless doc 3 survives (and appends no digests).
+    // Holds for EVERY interleaving — true race or degenerate sequential.
+    val all = Array(1L, 2L, 3L, 4L, 5L)
+    Set(ra.toSeq, rb.toSeq) shouldBe Set(all.toSeq, Seq(3L))
+    // the loser's round is replayable under its own token: a rerun with
+    // the same runId returns the same survivors (appendOnce + exclude)
+    val loser = if (ra.length == 1) "raceA" else "raceB"
+    CurationConfig.parse(gateCfg(path, "TRUE"))
+      .run(spark, d, runId = Some(loser))
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(3L)
+  }
+
+  it("a decontam_gate first-use build race is benign: the loser gates " +
+     "against the winner's benchmark index (deterministic from the " +
+     "declared slice) and both runs return the same survivors") {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val d = dir
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-dcgrace").toString + "/idx"
+    val cfg =
+      s"""{"table":"documents","id":"doc_id","text":"text",
+        | "stages":[{"stage":"decontam_gate","path":"$path","k":8,
+        |    "benchmarkTable":"documents","benchmarkWhere":"doc_id <= 2"}]}"""
+        .stripMargin
+    val start = new java.util.concurrent.CountDownLatch(2)
+    def racer(): Future[Array[Long]] = Future {
+      start.countDown(); start.await()
+      CurationConfig.parse(cfg).run(spark, d)
+        .select("doc_id").as[Long].collect().sorted
+    }
+    val (fa, fb) = (racer(), racer())
+    Await.result(fa, 5.minutes) shouldBe Array(3L, 4L, 5L)
+    Await.result(fb, 5.minutes) shouldBe Array(3L, 4L, 5L)
+  }
+
   it("rejects unknown stages and bad parameters AT PARSE TIME, naming " +
      "the stage") {
     def bad(json: String, needle: String): Unit = {
