@@ -2664,6 +2664,28 @@ object SparkEntry {
     round(1L).unionByName(round(2L)).orderBy("round", "doc_id")
   }
 
+  /** DQ145 (EXT): STREAMED benchmark decontamination
+    * ([[graft.streaming.EventStream.runFrozenGate]]) — the gate-ONLY
+    * twin of the generic ingest loop: every micro-batch is gated against
+    * the SAME frozen benchmark [[graft.ext.SubstrIndex]] (built once
+    * from the doc_id % 10 = 0 slice, NEVER appended to). Batch 2 sends
+    * the SAME documents as batch 1 and must return the IDENTICAL
+    * survivor set — an appending gate would return none of them —
+    * dq144's gate-only idempotence contract, streamed, with no token
+    * machinery at all (replays re-gate against an unchanged store). */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    val incoming = EventStream.twoFileBatchStream(batch, batch, "dq145")
+    val idxPath = graft.io.TempReaper.tempDir("graft-dq145-idx").toString + "/idx"
+    val idx = graft.ext.SubstrIndex.build(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", idxPath, k = 8)
+    EventStream.runFrozenGate(incoming, idx, "doc_id", "text", "dq145")
+      .select(col("batch"), col("doc_id"), md5(col("text")).as("text_md5"))
+      .orderBy("batch", "doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2846,7 +2868,8 @@ object SparkEntry {
     "dq141_config_neardup_ingest" -> (q141 _),
     "dq142_ivf_refit"           -> (q142 _),
     "dq143_curation_drop_audit" -> (q143 _),
-    "dq144_decontam_gate_stage" -> (q144 _)
+    "dq144_decontam_gate_stage" -> (q144 _),
+    "dq145_stream_decontam"     -> (q145 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3712,25 +3735,32 @@ object SparkEntry {
     * (docs under k tokens have no windows and pass — keepFresh's rule);
     * the identical survivor set emitted for both rounds (the gate-only
     * idempotence contract). */
-  private lazy val Dq144Sql: String =
-    """WITH wh AS (SELECT DISTINCT
+  private def decontamTwiceSql(label: String): String =
+    s"""WITH wh AS (SELECT DISTINCT
       |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
-      |  FROM (SELECT list_filter(string_split_regex(text, '\s+'),
+      |  FROM (SELECT list_filter(string_split_regex(text, '\\s+'),
       |      x -> len(x) > 0) toks FROM documents WHERE doc_id % 10 = 0) t,
       |    unnest(range(1, len(toks) - 6)) r(i)),
       |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
       |wt AS (SELECT doc_id,
       |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
-      |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
       |      x -> len(x) > 0) toks FROM batch) t,
       |    unnest(range(1, len(toks) - 6)) r(i)),
       |hit AS (SELECT DISTINCT doc_id FROM wt JOIN wh USING (dg)),
       |k AS (SELECT doc_id, md5(text) AS text_md5 FROM batch
       |  WHERE doc_id NOT IN (SELECT doc_id FROM hit))
-      |SELECT round, doc_id, text_md5 FROM (
-      |  SELECT CAST(1 AS BIGINT) AS round, doc_id, text_md5 FROM k
+      |SELECT $label, doc_id, text_md5 FROM (
+      |  SELECT CAST(1 AS BIGINT) AS $label, doc_id, text_md5 FROM k
       |  UNION ALL SELECT CAST(2 AS BIGINT), doc_id, text_md5 FROM k) u
-      |ORDER BY round, doc_id""".stripMargin
+      |ORDER BY $label, doc_id""".stripMargin
+
+  private lazy val Dq144Sql: String = decontamTwiceSql("round")
+
+  /** dq145: the same gate-only chain — the STREAMED loop's two
+    * micro-batches carry identical content and the frozen index never
+    * grows, so both batches keep the same survivor set. */
+  private lazy val Dq145Sql: String = decontamTwiceSql("batch")
 
   /** dq105: the cell-pruned semantic-decon report — dq51's trained chain
     * over the TRAIN split, dq91's eval battery probing `nprobe` cells, the
@@ -4412,6 +4442,8 @@ object SparkEntry {
     "dq142_ivf_refit" -> Dq142Sql,
     "dq143_curation_drop_audit" -> Dq143Sql,
     "dq144_decontam_gate_stage" -> Dq144Sql,
+    // the streamed frozen gate: identical survivors in both micro-batches
+    "dq145_stream_decontam" -> Dq145Sql,
     // the config-declared near-dup ingest: dq104's chain over the two
     // where-selected rounds (seed round all kept, round 2 gated)
     "dq141_config_neardup_ingest" -> Dq141Sql,

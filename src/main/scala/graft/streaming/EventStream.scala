@@ -116,16 +116,26 @@ object EventStream {
     * state — exactly-once without a transactional sink.
     */
   def indexedIngestBatch(idx: graft.ext.IngestIndex, idCol: String,
-      textCol: String, out: String, name: String)
-      (batch: DataFrame, id: Long): Unit = {
-    val token = s"$name#$id"
-    val kept = idx
-      .gateKeep(batch, idCol, textCol, excludeToken = Some(token))
-      .localCheckpoint(true) // materialize BEFORE appending underneath it
-    kept.write.mode("overwrite").parquet(s"$out/batch=$id")
-    idx.appendToken(kept, idCol, textCol, token)
-    ()
-  }
+      textCol: String, out: String, name: String,
+      appendSurvivors: Boolean = true)
+      (batch: DataFrame, id: Long): Unit =
+    if (!appendSurvivors) {
+      // FROZEN-reference gate (benchmark decontamination): the store is
+      // a fixed corpus, survivors are never appended — so there is no
+      // replay hazard and no token machinery: a re-processed batch
+      // re-gates against the unchanged store and overwrites its own
+      // batch dir with identical rows.
+      idx.gateKeep(batch, idCol, textCol, excludeToken = None)
+        .write.mode("overwrite").parquet(s"$out/batch=$id")
+    } else {
+      val token = s"$name#$id"
+      val kept = idx
+        .gateKeep(batch, idCol, textCol, excludeToken = Some(token))
+        .localCheckpoint(true) // materialize BEFORE appending underneath it
+      kept.write.mode("overwrite").parquet(s"$out/batch=$id")
+      idx.appendToken(kept, idCol, textCol, token)
+      ()
+    }
 
   /** [[runIngestGate]] upgraded to the STORED-index loop (dq104's batch
     * shape made streaming): every micro-batch gates against the persisted
@@ -137,14 +147,16 @@ object EventStream {
     * surviving rows with their 1-based batch number.
     */
   def runIndexedIngest(incoming: DataFrame, idx: graft.ext.IngestIndex,
-      idCol: String, textCol: String, name: String): DataFrame = {
+      idCol: String, textCol: String, name: String,
+      appendSurvivors: Boolean = true): DataFrame = {
     val spark = incoming.sparkSession
     val basePath = java.nio.file.Files.createTempDirectory(s"graft-ndingest-$name")
     deleteOnExit(basePath)
     val out = s"${basePath.toString}/out"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     val q = incoming.writeStream
-      .foreachBatch(indexedIngestBatch(idx, idCol, textCol, out, name) _)
+      .foreachBatch(
+        indexedIngestBatch(idx, idCol, textCol, out, name, appendSurvivors) _)
       .option("checkpointLocation", s"${basePath.toString}/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -159,6 +171,17 @@ object EventStream {
     else spark.read.parquet(out)
       .withColumn("batch", col("batch").cast(LongType) + 1L)
   }
+
+  /** The gate-ONLY twin of [[runIndexedIngest]]: every micro-batch is
+    * gated against the SAME frozen reference index and survivors are
+    * never appended — streamed benchmark decontamination
+    * ([[graft.plan.CurationConfig.DecontamGate]]'s semantics over a
+    * stream). Naturally idempotent (no tokens: replays re-gate against
+    * an unchanged store), and the store provably does not grow. */
+  def runFrozenGate(incoming: DataFrame, idx: graft.ext.IngestIndex,
+      idCol: String, textCol: String, name: String): DataFrame =
+    runIndexedIngest(incoming, idx, idCol, textCol, name,
+      appendSurvivors = false)
 
   /** The APPEND-ONLY sibling of [[runIndexedIngest]] for stores whose
     * state is associative and ungated ([[graft.ext.BpeStore]] word

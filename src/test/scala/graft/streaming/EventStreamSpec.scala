@@ -447,4 +447,36 @@ class EventStreamSpec extends GraftSpec {
       ranked(store) shouldBe ranked(full)
     }
   }
+
+  describe("runFrozenGate (gate-only loop over a frozen reference index)") {
+    it("gates every micro-batch against the SAME benchmark index, never " +
+      "grows it, and keeps identical survivors for identical batches " +
+      "(the streamed decontamination contract, dq145's loop)") {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-frzgate-idx").toString + "/idx"
+      val idx = graft.ext.SubstrIndex.build(bench, "doc_id", "text", path,
+        k = 8)
+      val before = idx.stats
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val out = EventStream.runFrozenGate(
+        EventStream.twoFileBatchStream(batch, batch, "frzgate"),
+        idx, "doc_id", "text", "frzgate")
+        .select("batch", "doc_id").as[(Long, Long)].collect().toSeq
+      val b1 = out.collect { case (1L, id) => id }.sorted
+      val b2 = out.collect { case (2L, id) => id }.sorted
+      // identical batches → identical survivors (an appending gate would
+      // have dropped every batch-2 doc); benchmark members themselves drop
+      b1 should not be empty
+      b2 shouldBe b1
+      bench.select("doc_id").as[Long].collect()
+        .filter(_ % 5 == 0).foreach(id => b1 should not contain id)
+      // the frozen store did not grow: same digest count, same manifest
+      idx.stats shouldBe before
+      graft.ext.SubstrIndex.open(spark, path).stats shouldBe before
+    }
+  }
 }
