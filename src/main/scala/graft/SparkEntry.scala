@@ -2686,6 +2686,24 @@ object SparkEntry {
       .orderBy("batch", "doc_id")
   }
 
+  /** DQ146 (EXT): TEMPERATURE-scaled source mixture
+    * ([[graft.ext.Sampling.temperatureMixPortable]]) — the GPT-3 / Pile
+    * mixing rule: per-source weight n_s^0.5 flattens the mixture toward
+    * rare sources, a target document count implies per-source acceptance
+    * rates, membership via the engine-portable md5 gate. The rate
+    * derivation is bit-exact cross-engine by construction: one correctly
+    * rounded sqrt per source, then pure integer (BigInt ↔ HUGEINT)
+    * arithmetic — the oracle re-derives every rate and every member. One
+    * driver-sized count aggregate + one gated scan; bodies never
+    * shuffle. */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ext.Sampling
+      .temperatureMixPortable(docs, "source", "doc_id", targetDocs = 200L)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2869,7 +2887,8 @@ object SparkEntry {
     "dq142_ivf_refit"           -> (q142 _),
     "dq143_curation_drop_audit" -> (q143 _),
     "dq144_decontam_gate_stage" -> (q144 _),
-    "dq145_stream_decontam"     -> (q145 _)
+    "dq145_stream_decontam"     -> (q145 _),
+    "dq146_temperature_mix"     -> (q146 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4444,6 +4463,24 @@ object SparkEntry {
     "dq144_decontam_gate_stage" -> Dq144Sql,
     // the streamed frozen gate: identical survivors in both micro-batches
     "dq145_stream_decontam" -> Dq145Sql,
+    // temperature mixture: floor(sqrt(n)*1e6) weights, HUGEINT rate floor
+    // division, the shared md5 gate — every member re-derived
+    "dq146_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        |  FROM c),
+        |tot AS (SELECT CAST(sum(w) AS HUGEINT) AS sw FROM w),
+        |r AS (SELECT source,
+        |    CAST(LEAST(CAST(1000000 AS HUGEINT),
+        |      (CAST(200 AS HUGEINT) * w * 1000000) // (sw * n)) AS BIGINT)
+        |      AS micro
+        |  FROM w, tot)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+        |  % 1000000 < r.micro
+        |ORDER BY d.doc_id""".stripMargin,
     // the config-declared near-dup ingest: dq104's chain over the two
     // where-selected rounds (seed round all kept, round 2 gated)
     "dq141_config_neardup_ingest" -> Dq141Sql,

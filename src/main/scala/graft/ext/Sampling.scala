@@ -105,6 +105,51 @@ object Sampling {
   def epochShuffleKey(idCol: Column, epoch: Int): Column =
     md5(concat_ws(":", lit(epoch), idCol))
 
+  /** TEMPERATURE-scaled source mixture (the GPT-3 / Pile mixing rule —
+    * Brown et al. 2020 §2.2, Gao et al. 2020 §2): source `s` with `n_s`
+    * documents receives mixture weight `n_s^0.5`, flattening the corpus
+    * mixture toward rare sources (alpha = 1 would be proportional; the
+    * canonical flattening exponent 0.5 is FIXED here because `sqrt` is
+    * the one power IEEE 754 requires correctly rounded, which is what
+    * makes the derived rates engine-portable — an arbitrary `pow` is
+    * not). A target of `targetDocs` total documents implies per-source
+    * acceptance `min(1, targetDocs · p_s / n_s)` with
+    * `p_s = w_s / Σ w_t`, applied via [[gatePortable]].
+    *
+    * 100 TB shape: ONE per-source count aggregate collected to the
+    * driver (strata-sized — #sources rows, the dq68/token-budget
+    * precedent), rates derived there, then ONE scan with a literal CASE
+    * gate; document bodies never shuffle.
+    *
+    * Exactness contract (the oracle re-derives membership bit-for-bit):
+    * weight `w_s = floor(sqrt(n_s) · 1e6)` as a Long — sqrt and the one
+    * double multiply are correctly rounded, so both engines produce the
+    * SAME integer; the normalizer `Σ w_t` is an exact integer sum
+    * (order-free); the per-source micro-rate
+    * `min(1e6, floor(targetDocs · w_s · 1e6 / (Σw · n_s)))` is BigInt on
+    * this side, HUGEINT on the oracle side — everything downstream of
+    * the sqrt is integer arithmetic.
+    */
+  def temperatureMixPortable(df: DataFrame, strataCol: String, idCol: String,
+      targetDocs: Long, seed: Long = 42L): DataFrame = {
+    require(targetDocs >= 0, "targetDocs must be >= 0")
+    // driver-sized by construction: one row per source (strata)
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val wts = counts.map { case (s, n) =>
+      (s, n, BigInt(math.floor(math.sqrt(n.toDouble) * 1e6).toLong))
+    }
+    val wsum = wts.map(_._3).sum
+    val micro = wts.map { case (s, n, w) =>
+      val r = (BigInt(targetDocs) * w * M) / (wsum * BigInt(n))
+      (s, r.min(BigInt(M)).toLong)
+    }
+    df.filter(gatePortable(col(idCol), seed) <
+      micro.foldLeft(lit(-1L)) { case (acc, (s, m)) =>
+        when(col(strataCol) === lit(s), lit(m)).otherwise(acc)
+      })
+  }
+
   /** CLUSTER-BALANCED subsampling: at most `perCell` representatives per
     * trained-IVF cell, ranked by the engine-portable md5 gate — the
     * "cluster, then cap per cluster" diversity-preserving subsample of

@@ -162,6 +162,41 @@ class SamplingSpec extends GraftSpec {
       .select("doc_id").as[Long].collect().sorted shouldBe gated
   }
 
+  it("temperatureMixPortable flattens the mixture toward rare sources " +
+     "with exactly re-derivable rates, capped at keep-all") {
+    val d = Seq.tabulate(90)(i => (i.toLong, "big")) ++
+      Seq.tabulate(10)(i => (100L + i, "rare"))
+    val df = d.toDF("doc_id", "source")
+    val kept = Sampling.temperatureMixPortable(df, "source", "doc_id",
+      targetDocs = 40L)
+    // re-derive the contract by hand: w = floor(sqrt(n)*1e6), integer sum,
+    // micro = min(1e6, floor(target*w*1e6 / (sw*n)))
+    def microOf(n: Long, sw: BigInt): Long =
+      ((BigInt(40L) * BigInt(math.floor(math.sqrt(n.toDouble) * 1e6).toLong)
+        * 1000000L) / (sw * BigInt(n))).min(BigInt(1000000L)).toLong
+    val sw = BigInt(math.floor(math.sqrt(90.0) * 1e6).toLong) +
+      BigInt(math.floor(math.sqrt(10.0) * 1e6).toLong)
+    val (mBig, mRare) = (microOf(90L, sw), microOf(10L, sw))
+    // alpha = 0.5 flattening: rare's ACCEPTANCE RATE is 3x big's
+    // (sqrt(90)/90 vs sqrt(10)/10), though big still contributes more docs
+    mRare.toDouble / mBig.toDouble shouldBe 3.0 +- 0.001
+    // membership = the portable gate under exactly those rates
+    val expect = d.filter { case (id, s) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:42".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1000000L <
+        (if (s == "big") mBig else mRare)
+    }.map(_._1).sorted
+    kept.select("doc_id").as[Long].collect().sorted shouldBe expect.toArray
+    // a target at or above the corpus keeps everything (rates cap at 1e6)
+    Sampling.temperatureMixPortable(df, "source", "doc_id", 1000L)
+      .count() shouldBe 100L
+    // layout independence
+    Sampling.temperatureMixPortable(df.repartition(7), "source", "doc_id",
+      40L).select("doc_id").as[Long].collect().sorted shouldBe expect.toArray
+  }
+
   it("clusterBalanced caps every IVF cell at perCell, deterministically") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val index = IvfIndex.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
