@@ -96,6 +96,17 @@ object CurationConfig {
       Sampling.tokenBudgetPortable(df, strataCol, idCol, textCol, budgets)
   }
 
+  /** Temperature-scaled source mixture
+    * ([[Sampling.temperatureMixPortable]]): flatten the mixture toward
+    * rare strata (n^0.5 weights) at a declared total-document target —
+    * the GPT-3/Pile mixing rule as a declared stage. */
+  final case class TemperatureMix(strataCol: String,
+      targetDocs: Long) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame =
+      Sampling.temperatureMixPortable(df, strataCol, idCol, targetDocs)
+  }
+
   /** Multiplies rows (adds `epoch`): declare it LAST — a dedup or gate
     * downstream of the repeat would see every copy. */
   final case class RepeatEpochs(factor: Double) extends Stage {
@@ -463,6 +474,7 @@ object CurationConfig {
     case _: QualityGate => "quality_gate"
     case _: FluencyBand => "fluency_band"
     case _: TokenBudget => "token_budget"
+    case _: TemperatureMix => "temperature_mix"
     case _: RepeatEpochs => "repeat_epochs"
     case _: WhereExpr => "where"
     case _: SubstrGate => "substr_gate"
@@ -587,6 +599,16 @@ object CurationConfig {
           case _ => fail("stage 'token_budget' needs a non-empty 'budgets' object")
         }
         TokenBudget(strata, budgets)
+      case "temperature_mix" =>
+        val strata = j \ "strata" match {
+          case JString(s) => s
+          case _ => fail("stage 'temperature_mix' needs a 'strata' column name")
+        }
+        val target = long("targetDocs").getOrElse(
+          fail("stage 'temperature_mix' needs 'targetDocs'"))
+        if (target < 0)
+          fail(s"stage 'temperature_mix': targetDocs must be >= 0, got $target")
+        TemperatureMix(strata, target)
       case "repeat_epochs" =>
         val f = j \ "factor" match {
           case JDouble(d) => d
@@ -706,9 +728,9 @@ object CurationConfig {
         BpeTokenize(path, n.toInt)
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
-          "fluency_band | token_budget | repeat_epochs | where | " +
-          "substr_gate | decontam_gate | neardup_gate | semantic_gate | " +
-          "lm_gate | probe_gate | bpe_tokenize)")
+          "fluency_band | token_budget | temperature_mix | repeat_epochs | " +
+          "where | substr_gate | decontam_gate | neardup_gate | " +
+          "semantic_gate | lm_gate | probe_gate | bpe_tokenize)")
     }
   }
 

@@ -471,6 +471,40 @@ class CurationConfigSpec extends GraftSpec {
       (5L, 1L, "where"))
   }
 
+  it("temperature_mix declares the GPT-3 flattening rule as a stage: " +
+     "membership equals the operator call, and parse is strict") {
+    val d = dir
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .withColumn("source",
+        when($"doc_id" <= 3, "srcA").otherwise("srcB"))
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft-curation-tm").toString
+    docs.write.parquet(s"$d2/documents.parquet")
+    val cfg =
+      """{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "temperature_mix", "strata": "source",
+        |    "targetDocs": 3}]}""".stripMargin
+    val got = CurationConfig.parse(cfg).run(spark, d2)
+      .select("doc_id").as[Long].collect().sorted
+    got shouldBe graft.ext.Sampling
+      .temperatureMixPortable(docs, "source", "doc_id", 3L)
+      .select("doc_id").as[Long].collect().sorted
+    def bad(json: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](CurationConfig.parse(json))
+      ex.getMessage should include(needle)
+    }
+    bad("""{"table":"d","id":"i","text":"t",
+          | "stages":[{"stage":"temperature_mix","targetDocs":3}]}"""
+      .stripMargin, "'strata'")
+    bad("""{"table":"d","id":"i","text":"t",
+          | "stages":[{"stage":"temperature_mix","strata":"source"}]}"""
+      .stripMargin, "targetDocs")
+    bad("""{"table":"d","id":"i","text":"t",
+          | "stages":[{"stage":"temperature_mix","strata":"source",
+          |   "targetDocs":-1}]}""".stripMargin, "must be >= 0")
+  }
+
   it("two pipeline runs racing the same store's CREATE both converge: " +
      "the loser of the seed race falls through to gating against the " +
      "winner's committed store instead of failing the fresh-path require") {
