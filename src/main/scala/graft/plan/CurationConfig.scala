@@ -96,6 +96,18 @@ object CurationConfig {
       Sampling.tokenBudgetPortable(df, strataCol, idCol, textCol, budgets)
   }
 
+  /** Language-ID gate ([[graft.ext.TextAnalysis.languageId]]): keep
+    * documents whose detected language is in the declared allow-list —
+    * the first filter of most real curation pipelines. Pure (per-row
+    * stopword-ratio argmax, one scan, nothing shuffles); 'und' rows are
+    * kept only if 'und' is declared. */
+  final case class LangGate(keep: Set[String]) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame =
+      df.filter(graft.ext.TextAnalysis.languageId(col(textCol))
+        .isin(keep.toSeq: _*))
+  }
+
   /** Temperature-scaled source mixture
     * ([[Sampling.temperatureMixPortable]]): flatten the mixture toward
     * rare strata (n^0.5 weights) at a declared total-document target —
@@ -475,6 +487,7 @@ object CurationConfig {
     case _: FluencyBand => "fluency_band"
     case _: TokenBudget => "token_budget"
     case _: TemperatureMix => "temperature_mix"
+    case _: LangGate => "lang_gate"
     case _: RepeatEpochs => "repeat_epochs"
     case _: WhereExpr => "where"
     case _: SubstrGate => "substr_gate"
@@ -599,6 +612,17 @@ object CurationConfig {
           case _ => fail("stage 'token_budget' needs a non-empty 'budgets' object")
         }
         TokenBudget(strata, budgets)
+      case "lang_gate" =>
+        val keep = j \ "keep" match {
+          case JArray(vs) if vs.nonEmpty => vs.map {
+            case JString(c) if c.trim.nonEmpty => c
+            case other => fail("stage 'lang_gate': 'keep' entries must be " +
+              s"non-empty language codes, got $other")
+          }.toSet
+          case _ => fail("stage 'lang_gate' needs a non-empty 'keep' array " +
+            "of language codes")
+        }
+        LangGate(keep)
       case "temperature_mix" =>
         val strata = j \ "strata" match {
           case JString(s) => s
@@ -728,8 +752,8 @@ object CurationConfig {
         BpeTokenize(path, n.toInt)
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
-          "fluency_band | token_budget | temperature_mix | repeat_epochs | " +
-          "where | substr_gate | decontam_gate | neardup_gate | " +
+          "fluency_band | lang_gate | token_budget | temperature_mix | " +
+          "repeat_epochs | where | substr_gate | decontam_gate | neardup_gate | " +
           "semantic_gate | lm_gate | probe_gate | bpe_tokenize)")
     }
   }

@@ -471,6 +471,42 @@ class CurationConfigSpec extends GraftSpec {
       (5L, 1L, "where"))
   }
 
+  it("lang_gate keeps only the declared languages (und included only if " +
+     "declared), matching the languageId operator; parse is strict") {
+    val docs = Seq(
+      (1L, "the cat and the dog ran to the house in a hurry"),
+      (2L, "der Hund und die Katze sind nicht auf der Straße"),
+      (3L, "el perro y el gato no se ven en la casa"),
+      (4L, "zzz qqq xxx www")) // no stopword hits -> 'und'
+      .toDF("doc_id", "text")
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft-curation-lg").toString
+    docs.write.parquet(s"$d2/documents.parquet")
+    def run(keep: String): Array[Long] = CurationConfig.parse(
+      s"""{"table":"documents","id":"doc_id","text":"text",
+        | "stages":[{"stage":"lang_gate","keep":[$keep]}]}""".stripMargin)
+      .run(spark, d2).select("doc_id").as[Long].collect().sorted
+    run("\"en\"") shouldBe Array(1L)
+    run("\"en\", \"es\"") shouldBe Array(1L, 3L)
+    run("\"en\", \"und\"") shouldBe Array(1L, 4L)
+    // membership = the operator, verbatim
+    run("\"de\"") shouldBe docs
+      .filter(graft.ext.TextAnalysis.languageId($"text") === "de")
+      .select("doc_id").as[Long].collect().sorted
+    def bad(json: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](CurationConfig.parse(json))
+      ex.getMessage should include(needle)
+    }
+    bad("""{"table":"d","id":"i","text":"t",
+          | "stages":[{"stage":"lang_gate"}]}""".stripMargin, "'keep'")
+    bad("""{"table":"d","id":"i","text":"t",
+          | "stages":[{"stage":"lang_gate","keep":[]}]}""".stripMargin,
+      "non-empty 'keep'")
+    bad("""{"table":"d","id":"i","text":"t",
+          | "stages":[{"stage":"lang_gate","keep":[3]}]}""".stripMargin,
+      "language codes")
+  }
+
   it("temperature_mix declares the GPT-3 flattening rule as a stage: " +
      "membership equals the operator call, and parse is strict") {
     val d = dir
