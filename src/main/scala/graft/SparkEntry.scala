@@ -2704,6 +2704,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ147 (EXT): the CANONICAL curation chain as ONE declared config —
+    * language gate → exact dedup → temperature-scaled mixture, the
+    * opening stages of every real LLM data pipeline, composed: the
+    * dedup sees only the kept language, and the mixture's per-source
+    * rates derive from the DEDUPED counts (the composition point — a
+    * source full of duplicates must not inflate its mixture weight).
+    * Oracle: dq16's language argmax as a filter, dq116's lowest-id
+    * content dedup, dq146's integer rate chain computed over the
+    * survivors. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val cfg =
+      """{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "lang_gate", "keep": ["en"]},
+        |   {"stage": "exact_dedup"},
+        |   {"stage": "temperature_mix", "strata": "source",
+        |    "targetDocs": 150}]}""".stripMargin
+    graft.plan.CurationConfig.parse(cfg).run(s, dir)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2888,7 +2910,8 @@ object SparkEntry {
     "dq143_curation_drop_audit" -> (q143 _),
     "dq144_decontam_gate_stage" -> (q144 _),
     "dq145_stream_decontam"     -> (q145 _),
-    "dq146_temperature_mix"     -> (q146 _)
+    "dq146_temperature_mix"     -> (q146 _),
+    "dq147_config_lang_mix"     -> (q147 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4463,6 +4486,40 @@ object SparkEntry {
     "dq144_decontam_gate_stage" -> Dq144Sql,
     // the streamed frozen gate: identical survivors in both micro-batches
     "dq145_stream_decontam" -> Dq145Sql,
+    // the composed chain: dq16's language argmax filters, dq116's dedup,
+    // then dq146's rate chain over the SURVIVOR counts
+    "dq147_config_lang_mix" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |      x -> len(x) > 0) toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id, source, text,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','sie'], x)))::DOUBLE / len(toks) END de,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE / len(toks) END en,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x)))::DOUBLE / len(toks) END es,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une','du','que'], x)))::DOUBLE / len(toks) END fr
+        | FROM t),
+        |lang AS (SELECT doc_id, source, text FROM sc
+        |  WHERE greatest(de,en,es,fr) > 0 AND de <> greatest(de,en,es,fr)
+        |    AND en = greatest(de,en,es,fr)),
+        |dd AS (SELECT doc_id, source FROM (
+        |    SELECT doc_id, source,
+        |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) rn
+        |    FROM lang) z WHERE rn = 1),
+        |c AS (SELECT source, count(*)::BIGINT AS n FROM dd GROUP BY source),
+        |w AS (SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        |  FROM c),
+        |tot AS (SELECT CAST(sum(w) AS HUGEINT) AS sw FROM w),
+        |r AS (SELECT source,
+        |    CAST(LEAST(CAST(1000000 AS HUGEINT),
+        |      (CAST(150 AS HUGEINT) * w * 1000000) // (sw * n)) AS BIGINT)
+        |      AS micro
+        |  FROM w, tot)
+        |SELECT d.doc_id, d.source FROM dd d JOIN r USING (source)
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+        |  % 1000000 < r.micro
+        |ORDER BY d.doc_id""".stripMargin,
     // temperature mixture: floor(sqrt(n)*1e6) weights, HUGEINT rate floor
     // division, the shared md5 gate — every member re-derived
     "dq146_temperature_mix" ->
