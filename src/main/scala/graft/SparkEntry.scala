@@ -2726,6 +2726,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ148 (EXT): per-SOURCE repetition factors
+    * ([[graft.ext.Sampling.repeatEpochsByStrata]]) — the LLaMA recipe's
+    * "epochs per dataset" table: even-numbered sources repeat 2.5×
+    * (two full epochs + a stable half-rate partial), odd-numbered 0.25×
+    * (a quarter-rate single pass). Factors chosen with exact binary
+    * fractions so the micro-rates (500000 / 250000) are the same
+    * integers in both engines; membership via the shared md5 gate. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val srcs = docs.select("source").distinct()
+      .collect().map(_.getString(0))
+    val factors = srcs.map { src =>
+      val tier = src.reverse.takeWhile(_.isDigit).reverse match {
+        case "" => 1L
+        case ds => ds.toLong % 2
+      }
+      src -> (if (tier == 0L) 2.5 else 0.25)
+    }.toMap
+    graft.ext.Sampling
+      .repeatEpochsByStrata(docs, "source", "doc_id", factors)
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2911,7 +2935,8 @@ object SparkEntry {
     "dq144_decontam_gate_stage" -> (q144 _),
     "dq145_stream_decontam"     -> (q145 _),
     "dq146_temperature_mix"     -> (q146 _),
-    "dq147_config_lang_mix"     -> (q147 _)
+    "dq147_config_lang_mix"     -> (q147 _),
+    "dq148_epochs_by_source"    -> (q148 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4486,6 +4511,23 @@ object SparkEntry {
     "dq144_decontam_gate_stage" -> Dq144Sql,
     // the streamed frozen gate: identical survivors in both micro-batches
     "dq145_stream_decontam" -> Dq145Sql,
+    // per-source epoch factors: floor full epochs + round(frac*1e6) gate
+    // (factors 2.5/0.25 have exact binary fractions -> identical integers)
+    "dq148_epochs_by_source" ->
+      """WITH f AS (SELECT doc_id, source,
+        |    CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
+        |      THEN 2.5 ELSE 0.25 END fac,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+        |      % 1000000 g
+        |  FROM documents),
+        |e AS (SELECT doc_id, source, g,
+        |    CAST(floor(fac) AS BIGINT) fl,
+        |    CAST(round((fac - floor(fac)) * 1000000) AS BIGINT) fr
+        |  FROM f)
+        |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+        |FROM e, unnest(range(1, fl + 2)) r(epoch)
+        |WHERE epoch <= fl OR g < fr
+        |ORDER BY doc_id, epoch""".stripMargin,
     // the composed chain: dq16's language argmax filters, dq116's dedup,
     // then dq146's rate chain over the SURVIVOR counts
     "dq147_config_lang_mix" ->

@@ -272,4 +272,35 @@ object Sampling {
     epochs.filter(col("epoch") <= full ||
       gatePortable(col(idCol), seed) < lit(math.round(frac * M)))
   }
+
+  /** Per-STRATUM repetition factors — the "epochs per dataset" table of
+    * the LLaMA recipe (each source repeats a different number of times
+    * in one training run): stratum `s` with factor `f_s` contributes
+    * `floor(f_s)` full epochs of every row plus a stable hash-gated
+    * partial epoch at rate `round((f_s − floor(f_s)) · 1e6)` — the
+    * [[repeatEpochsPortable]] rule applied per stratum. Strata missing
+    * from `factors` are dropped (the `sampleBy` convention shared with
+    * [[stratifiedByKeyHash]]). One explode + one gate on literal CASE
+    * columns: engine-portable membership, no shuffle, and the `epoch`
+    * column keeps the copies explicit for a downstream pack/shuffle.
+    */
+  def repeatEpochsByStrata(df: DataFrame, strataCol: String, idCol: String,
+      factors: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(factors.nonEmpty && factors.values.forall(_ > 0),
+      "factors must be a non-empty map of positive doubles")
+    val fullCol = factors.foldLeft(lit(-1L)) { case (acc, (s, f)) =>
+      when(col(strataCol) === lit(s), lit(math.floor(f).toLong))
+        .otherwise(acc)
+    }
+    val fracMicroCol = factors.foldLeft(lit(0L)) { case (acc, (s, f)) =>
+      when(col(strataCol) === lit(s),
+        lit(math.round((f - math.floor(f)) * M))).otherwise(acc)
+    }
+    df.withColumn("__full", fullCol).withColumn("__frm", fracMicroCol)
+      .filter(col("__full") >= 0L) // unlisted strata drop
+      .withColumn("epoch", explode(sequence(lit(1L), col("__full") + 1L)))
+      .filter(col("epoch") <= col("__full") ||
+        gatePortable(col(idCol), seed) < col("__frm"))
+      .drop("__full", "__frm")
+  }
 }

@@ -127,6 +127,16 @@ object CurationConfig {
       Sampling.repeatEpochsPortable(df, idCol, factor)
   }
 
+  /** [[RepeatEpochs]] with a per-stratum factor table
+    * ([[Sampling.repeatEpochsByStrata]]) — the LLaMA "epochs per
+    * dataset" recipe as a declared stage; same declare-it-LAST rule. */
+  final case class RepeatEpochsByStrata(strataCol: String,
+      factors: Map[String, Double]) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame =
+      Sampling.repeatEpochsByStrata(df, strataCol, idCol, factors)
+  }
+
   /** Row filter on a SQL boolean expression over the table's columns —
     * the reference runner's WHERE as a pipeline stage (and the batch
     * selector in front of the persisted-index gates below). */
@@ -489,6 +499,7 @@ object CurationConfig {
     case _: TemperatureMix => "temperature_mix"
     case _: LangGate => "lang_gate"
     case _: RepeatEpochs => "repeat_epochs"
+    case _: RepeatEpochsByStrata => "repeat_epochs"
     case _: WhereExpr => "where"
     case _: SubstrGate => "substr_gate"
     case _: DecontamGate => "decontam_gate"
@@ -634,15 +645,37 @@ object CurationConfig {
           fail(s"stage 'temperature_mix': targetDocs must be >= 0, got $target")
         TemperatureMix(strata, target)
       case "repeat_epochs" =>
-        val f = j \ "factor" match {
-          case JDouble(d) => d
-          case JInt(i) => i.toDouble
-          case JLong(l) => l.toDouble
-          case JDecimal(d) => d.toDouble
-          case _ => fail("stage 'repeat_epochs' needs a numeric 'factor'")
+        def num(v: JValue): Option[Double] = v match {
+          case JDouble(d) => Some(d)
+          case JInt(i) => Some(i.toDouble)
+          case JLong(l) => Some(l.toDouble)
+          case JDecimal(d) => Some(d.toDouble)
+          case _ => None
         }
-        if (f <= 0) fail(s"stage 'repeat_epochs': factor must be > 0, got $f")
-        RepeatEpochs(f)
+        (j \ "factors", j \ "strata") match {
+          case (JObject(fields), JString(strata)) if fields.nonEmpty =>
+            // the per-dataset epoch table form (LLaMA recipe)
+            val fs = fields.map { case (k, v) =>
+              val d = num(v).getOrElse(fail("stage 'repeat_epochs': factor " +
+                s"for '$k' must be numeric, got $v"))
+              if (d <= 0) fail("stage 'repeat_epochs': factor for " +
+                s"'$k' must be > 0, got $d")
+              k -> d
+            }.toMap
+            RepeatEpochsByStrata(strata, fs)
+          case (JObject(_), _) =>
+            fail("stage 'repeat_epochs': 'factors' needs a 'strata' column " +
+              "name (and a non-empty factors object)")
+          case (JNothing, _) =>
+            val f = num(j \ "factor").getOrElse(
+              fail("stage 'repeat_epochs' needs a numeric 'factor' (or a " +
+                "'strata' + 'factors' table)"))
+            if (f <= 0)
+              fail(s"stage 'repeat_epochs': factor must be > 0, got $f")
+            RepeatEpochs(f)
+          case (other, _) =>
+            fail(s"stage 'repeat_epochs': 'factors' must be an object, got $other")
+        }
       case "where" =>
         j \ "expr" match {
           case JString(e) if e.trim.nonEmpty => WhereExpr(e)

@@ -197,6 +197,26 @@ class SamplingSpec extends GraftSpec {
       40L).select("doc_id").as[Long].collect().sorted shouldBe expect.toArray
   }
 
+  it("repeatEpochsByStrata applies the per-stratum epoch table — each " +
+     "stratum equals repeatEpochsPortable over its slice; unlisted " +
+     "strata drop") {
+    val d = Seq.tabulate(40)(i =>
+      (i.toLong, if (i < 20) "a" else "b")) :+ ((100L, "c"))
+    val df = d.toDF("doc_id", "source")
+    val out = Sampling.repeatEpochsByStrata(df, "source", "doc_id",
+      Map("a" -> 2.5, "b" -> 0.25))
+      .select("doc_id", "source", "epoch").as[(Long, String, Long)]
+      .collect()
+    out.map(_._2).toSet shouldBe Set("a", "b") // 'c' unlisted -> dropped
+    def slice(src: String, f: Double): Array[(Long, Long)] =
+      Sampling.repeatEpochsPortable(df.filter($"source" === src), "doc_id", f)
+        .select("doc_id", "epoch").as[(Long, Long)].collect().sorted
+    out.filter(_._2 == "a").map(r => (r._1, r._3)).sorted shouldBe
+      slice("a", 2.5)
+    out.filter(_._2 == "b").map(r => (r._1, r._3)).sorted shouldBe
+      slice("b", 0.25)
+  }
+
   it("clusterBalanced caps every IVF cell at perCell, deterministically") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val index = IvfIndex.fit(emb, "vec_id", "embedding", k = 4, iters = 2)

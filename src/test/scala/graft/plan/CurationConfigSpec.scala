@@ -471,6 +471,44 @@ class CurationConfigSpec extends GraftSpec {
       (5L, 1L, "where"))
   }
 
+  it("repeat_epochs accepts a per-strata factors table (the LLaMA " +
+     "epochs-per-dataset form), matching the operator; parse is strict") {
+    val d = dir
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .withColumn("source",
+        when($"doc_id" <= 3, "srcA").otherwise("srcB"))
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft-curation-rebs").toString
+    docs.write.parquet(s"$d2/documents.parquet")
+    val cfg =
+      """{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "repeat_epochs", "strata": "source",
+        |    "factors": {"srcA": 2.5, "srcB": 0.25}}]}""".stripMargin
+    val got = CurationConfig.parse(cfg).run(spark, d2)
+      .select("doc_id", "epoch").as[(Long, Long)].collect().sorted
+    got shouldBe graft.ext.Sampling
+      .repeatEpochsByStrata(docs, "source", "doc_id",
+        Map("srcA" -> 2.5, "srcB" -> 0.25))
+      .select("doc_id", "epoch").as[(Long, Long)].collect().sorted
+    def bad(json: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException](CurationConfig.parse(json))
+      ex.getMessage should include(needle)
+    }
+    bad("""{"table":"d","id":"i","text":"t",
+          | "stages":[{"stage":"repeat_epochs",
+          |   "factors":{"a":2.0}}]}""".stripMargin, "'strata'")
+    bad("""{"table":"d","id":"i","text":"t",
+          | "stages":[{"stage":"repeat_epochs","strata":"source",
+          |   "factors":{"a":0}}]}""".stripMargin, "must be > 0")
+    bad("""{"table":"d","id":"i","text":"t",
+          | "stages":[{"stage":"repeat_epochs","strata":"source",
+          |   "factors":{"a":"x"}}]}""".stripMargin, "must be numeric")
+    bad("""{"table":"d","id":"i","text":"t",
+          | "stages":[{"stage":"repeat_epochs"}]}""".stripMargin,
+      "numeric 'factor'")
+  }
+
   it("lang_gate keeps only the declared languages (und included only if " +
      "declared), matching the languageId operator; parse is strict") {
     val docs = Seq(
