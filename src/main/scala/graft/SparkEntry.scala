@@ -2750,6 +2750,27 @@ object SparkEntry {
       .orderBy("doc_id", "epoch")
   }
 
+  /** DQ149 (EXT): STREAMED SEMANTIC decontamination —
+    * [[graft.streaming.EventStream.runFrozenGate]] over the persisted
+    * IVF store: the stored corpus is a FROZEN evaluation embedding set
+    * (the dq122 history slice), both micro-batches carry the SAME
+    * held-out slice, and survivors are the vectors with no stored
+    * neighbor above tau in their probed cells. Because the gate never
+    * appends, batch 2 must return batch 1's survivors verbatim — an
+    * appending gate would drop every one as a self-duplicate. The
+    * embedding twin of dq145's verbatim-window frozen gate: ONE generic
+    * loop, two frozen-reference modalities. */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val store = semStore(s, emb, "dq149")
+    val incoming = EventStream.twoFileBatchStream(batch, batch, "dq149")
+    EventStream.runFrozenGate(incoming, store, "vec_id", "embedding", "dq149")
+      .select(col("batch"), col("vec_id"))
+      .orderBy("batch", "vec_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2936,7 +2957,8 @@ object SparkEntry {
     "dq145_stream_decontam"     -> (q145 _),
     "dq146_temperature_mix"     -> (q146 _),
     "dq147_config_lang_mix"     -> (q147 _),
-    "dq148_epochs_by_source"    -> (q148 _)
+    "dq148_epochs_by_source"    -> (q148 _),
+    "dq149_stream_sem_decontam" -> (q149 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3336,6 +3358,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS round, qid AS vec_id FROM k1
         |ORDER BY round, vec_id""".stripMargin
+  }
+
+  /** dq149: dq125's gate chain — the SAME history training and the SAME
+    * held-out probe slice — but gate-only: k1 emitted for BOTH batches
+    * (the frozen store never grows between micro-batches). */
+  private lazy val Dq149Sql: String = {
+    def cos(a: String, q: String): String =
+      s"""list_sum(list_transform(range(1, 65), i -> $a.emb[i]::DOUBLE * $q.qemb[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform($a.emb, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform($q.qemb, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
+    ivfChainSql(8, 2, 2, " WHERE vec_id % 3 <> 0",
+      "SELECT vec_id qid, embedding qemb FROM embeddings WHERE vec_id % 3 = 0") +
+      s""",
+        |dup1 AS (SELECT DISTINCT p.qid FROM af a JOIN probe p ON a.cell = p.cell
+        |  WHERE ${cos("a", "p")} > 0.5),
+        |k1 AS (SELECT qid FROM q WHERE qid NOT IN (SELECT qid FROM dup1))
+        |SELECT CAST(1 AS BIGINT) AS batch, qid AS vec_id FROM k1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS batch, qid AS vec_id FROM k1
+        |ORDER BY batch, vec_id""".stripMargin
   }
 
   /** dq126: dq118's trained/appended store, searched on the SQ8 tier —
@@ -4645,6 +4687,8 @@ object SparkEntry {
     // config-driven SEMANTIC ingest: round 1 seeds (trains) the store on
     // the % 3 <> 0 batch; round 2 gates the held-out vectors against it
     "dq125_config_sem_ingest" -> Dq125Sql,
+    // the frozen semantic gate: dq125's chain, k1 emitted for both batches
+    "dq149_stream_sem_decontam" -> Dq149Sql,
     // the stored SQ8 candidate tier: same trained/appended layout as
     // dq118, integer ByteDot ranking over the packed relation
     "dq126_ivf_store_packed" -> Dq126Sql,
