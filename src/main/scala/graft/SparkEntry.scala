@@ -2771,6 +2771,29 @@ object SparkEntry {
       .orderBy("batch", "vec_id")
   }
 
+  /** DQ150 (EXT): the REFERENCE-LM quality filter, streamed — the CCNet
+    * shape (Wenzek et al. 2019: score candidate documents against a
+    * fixed LM trained on a trusted reference corpus) via
+    * [[graft.streaming.EventStream.runFrozenGate]] over the persisted
+    * [[graft.ext.NgramLmStore]]: the stored model is FROZEN (trained on
+    * the full documents corpus), both micro-batches carry dq128's
+    * mutated batch, and survivors are band-kept by their micro-mean
+    * against that model. Gate-only ⇒ batch 2 returns batch 1's
+    * survivors verbatim — the fold loop (dq129) would instead adapt the
+    * model between batches. Third frozen-reference modality through the
+    * ONE generic loop. */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (b1, _) = nearDupBatches(docs)
+    val path = graft.io.TempReaper.tempDir("graft-dq150-idx").toString + "/idx"
+    val store = graft.ext.NgramLmStore.build(docs, "doc_id", "text", path,
+      loMicro = 20000L)
+    val incoming = EventStream.twoFileBatchStream(b1, b1, "dq150")
+    EventStream.runFrozenGate(incoming, store, "doc_id", "text", "dq150")
+      .select(col("batch"), col("doc_id"))
+      .orderBy("batch", "doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2958,7 +2981,8 @@ object SparkEntry {
     "dq146_temperature_mix"     -> (q146 _),
     "dq147_config_lang_mix"     -> (q147 _),
     "dq148_epochs_by_source"    -> (q148 _),
-    "dq149_stream_sem_decontam" -> (q149 _)
+    "dq149_stream_sem_decontam" -> (q149 _),
+    "dq150_stream_reflm_gate"   -> (q150 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3449,36 +3473,49 @@ object SparkEntry {
     * absent bigrams 0-micro but counted), band-kept, survivors' counts
     * UNIONED into model 2, batch 2 scored against it. The batch fixture
     * is [[Dq104Sql]]'s b1/b2 verbatim. */
-  private lazy val Dq128Sql: String = {
-    def mut(step: Int, sfx: Char): String =
-      s"""array_to_string(list_transform(range(1, len(tk) + 1),
-        |      i -> CASE WHEN (i - 1) % $step = 0 THEN tk[i] || '$sfx' ELSE tk[i] END),
-        |      ' ')""".stripMargin
-    def grams(src: String, p: String): String =
-      s"""${p}t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
-        |    x -> len(x) > 0) toks FROM $src),
-        |${p}g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
-        |  FROM ${p}t WHERE len(toks) >= 2)""".stripMargin
-    def scoreRound(model: String, batchG: String, batch: String,
-        p: String): String =
-      s"""${p}m AS (SELECT bg, CAST(count(*) AS BIGINT) c12 FROM $model GROUP BY 1),
-        |${p}pc AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) c1
-        |  FROM ${p}m GROUP BY 1),
-        |${p}mm AS (SELECT bg, (1000000 * c12) // c1 AS micro
-        |  FROM ${p}m JOIN ${p}pc ON string_split(${p}m.bg, ' ')[1] = ${p}pc.w1),
-        |${p}s AS (SELECT doc_id, CAST(count(*) AS BIGINT) nb,
-        |    CAST(sum(COALESCE(micro, 0)) AS BIGINT) sm
-        |  FROM $batchG LEFT JOIN ${p}mm USING (bg) GROUP BY 1),
-        |${p}k AS (SELECT $batch.doc_id FROM $batch LEFT JOIN ${p}s USING (doc_id)
-        |  WHERE COALESCE(sm // nb, 0) >= 20000)""".stripMargin
-    s"""WITH b1 AS (
+  // ---- dq128/dq129/dq150 shared oracle blocks: token mutation, bigram
+  // extraction, and one frozen-model score-and-band round
+  private def lmMutSql(step: Int, sfx: Char): String =
+    s"""array_to_string(list_transform(range(1, len(tk) + 1),
+      |      i -> CASE WHEN (i - 1) % $step = 0 THEN tk[i] || '$sfx' ELSE tk[i] END),
+      |      ' ')""".stripMargin
+
+  private def lmGramsSql(src: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+      |    x -> len(x) > 0) toks FROM $src),
+      |${p}g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM ${p}t WHERE len(toks) >= 2)""".stripMargin
+
+  private def lmScoreRoundSql(model: String, batchG: String, batch: String,
+      p: String): String =
+    s"""${p}m AS (SELECT bg, CAST(count(*) AS BIGINT) c12 FROM $model GROUP BY 1),
+      |${p}pc AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) c1
+      |  FROM ${p}m GROUP BY 1),
+      |${p}mm AS (SELECT bg, (1000000 * c12) // c1 AS micro
+      |  FROM ${p}m JOIN ${p}pc ON string_split(${p}m.bg, ' ')[1] = ${p}pc.w1),
+      |${p}s AS (SELECT doc_id, CAST(count(*) AS BIGINT) nb,
+      |    CAST(sum(COALESCE(micro, 0)) AS BIGINT) sm
+      |  FROM $batchG LEFT JOIN ${p}mm USING (bg) GROUP BY 1),
+      |${p}k AS (SELECT $batch.doc_id FROM $batch LEFT JOIN ${p}s USING (doc_id)
+      |  WHERE COALESCE(sm // nb, 0) >= 20000)""".stripMargin
+
+  /** dq128's (and dq129's) round-1 batch as SQL — nearDupBatches' b1. */
+  private def lmB1Sql: String =
+    s"""b1 AS (
       |  SELECT doc_id + 100000 AS doc_id, source, text || ' zzztail' AS text
       |  FROM documents WHERE doc_id % 17 = 0
       |  UNION ALL
-      |  SELECT doc_id + 200000 AS doc_id, source, ${mut(3, 'x')} AS text
+      |  SELECT doc_id + 200000 AS doc_id, source, ${lmMutSql(3, 'x')} AS text
       |  FROM (SELECT doc_id, source, string_split(text, ' ') tk
-      |        FROM documents WHERE doc_id % 13 = 0)),
+      |        FROM documents WHERE doc_id % 13 = 0))""".stripMargin
+
+  private lazy val Dq128Sql: String = {
+    def mut(step: Int, sfx: Char): String = lmMutSql(step, sfx)
+    def grams(src: String, p: String): String = lmGramsSql(src, p)
+    def scoreRound(model: String, batchG: String, batch: String,
+        p: String): String = lmScoreRoundSql(model, batchG, batch, p)
+    s"""WITH $lmB1Sql,
       |b2 AS (
       |  SELECT doc_id + 300000 AS doc_id, source,
       |    ${mut(3, 'x')} || ' zzztail' AS text
@@ -3504,6 +3541,20 @@ object SparkEntry {
       |SELECT CAST(2 AS BIGINT) AS batch, doc_id FROM r2k
       |ORDER BY batch, doc_id""".stripMargin
   }
+
+  /** dq150: dq128's round-1 batch scored against the FROZEN corpus model
+    * — one score-and-band round, emitted for BOTH batches (gate-only:
+    * the reference LM never folds the batch in). */
+  private lazy val Dq150Sql: String =
+    s"""WITH $lmB1Sql,
+      |${lmGramsSql("documents", "h")},
+      |${lmGramsSql("b1", "p")},
+      |hbg AS (SELECT bg FROM hg),
+      |${lmScoreRoundSql("hbg", "pg", "b1", "r1")}
+      |SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM r1k
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS batch, doc_id FROM r1k
+      |ORDER BY batch, doc_id""".stripMargin
 
   /** dq131: the incremental moment table — features over ALL documents,
     * target `y` scored against the FROZEN history model (absent bigrams
@@ -4908,6 +4959,8 @@ object SparkEntry {
     // twin through the generic loop (stream/batch parity)
     "dq128_lm_store_gate" -> Dq128Sql,
     "dq129_stream_lm_loop" -> Dq128Sql,
+    // the frozen reference-LM filter: round 1's band, both batches
+    "dq150_stream_reflm_gate" -> Dq150Sql,
     // config-driven LM ingest: round 1 seeds the model (all kept), round
     // 2 band-gates the wider batch against it (dq92's integer scoring)
     "dq130_config_lm_ingest" ->
