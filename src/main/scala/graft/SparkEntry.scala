@@ -2794,6 +2794,33 @@ object SparkEntry {
       .orderBy("batch", "doc_id")
   }
 
+  /** DQ151 (EXT): the FROZEN QUALITY-CLASSIFIER filter, streamed — the
+    * quality-model gating of modern corpus curation (a classifier
+    * trained once on a trusted slice filters all candidates; the
+    * FineWeb-Edu shape) via [[graft.streaming.EventStream
+    * .runFrozenGate]] over the persisted
+    * [[graft.ext.QualityProbeStore]]: the stored moments (and therefore
+    * the Cramer weights AND the mean threshold) are frozen at the
+    * trusted slice, both micro-batches carry the same candidate set,
+    * survivors score at or above the frozen mean. Gate-only ⇒ identical
+    * survivors in both batches — dq133's fold loop would shift the
+    * threshold as batches fold in. FOURTH frozen-reference modality
+    * through the one generic loop: every gated store now has both an
+    * adaptive (fold) and a frozen (reference) streamed form. */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val path = graft.io.TempReaper.tempDir("graft-dq151-idx").toString + "/idx"
+    val store = graft.ext.QualityProbeStore.create(
+      docs.filter(col("doc_id") % 4 === 1), "doc_id", "text", path)
+    val batch = docs
+      .filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
+      .select(col("doc_id"), col("text"))
+    val incoming = EventStream.twoFileBatchStream(batch, batch, "dq151")
+    EventStream.runFrozenGate(incoming, store, "doc_id", "text", "dq151")
+      .select(col("batch"), col("doc_id"))
+      .orderBy("batch", "doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -2982,7 +3009,8 @@ object SparkEntry {
     "dq147_config_lang_mix"     -> (q147 _),
     "dq148_epochs_by_source"    -> (q148 _),
     "dq149_stream_sem_decontam" -> (q149 _),
-    "dq150_stream_reflm_gate"   -> (q150 _)
+    "dq150_stream_reflm_gate"   -> (q150 _),
+    "dq151_stream_frozen_probe" -> (q151 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3802,6 +3830,28 @@ object SparkEntry {
       |SELECT CAST(2 AS BIGINT) AS round, doc_id FROM r1k
       |ORDER BY round, doc_id""".stripMargin
 
+  /** dq151: dq134's round-2 gate — b2 scored under the weights AND mean
+    * threshold frozen at b1's moments — emitted for BOTH batches (the
+    * store never folds the candidates in). */
+  private lazy val Dq151Sql: String =
+    s"""WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
+      |b2 AS (SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 4 = 1 OR doc_id % 4 = 2),
+      |${probeTokSql("b1", "ht")},
+      |${probeModelSql("ht", "fm")},
+      |${probeYSql("b1", "ht", "fm", "h")},
+      |${probeFeatSql("b1", "ht", "hf")},
+      |j1 AS (SELECT hf.x0, hf.x1, hf.x2, hf.x3, hy.y
+      |  FROM hf JOIN hy USING (doc_id)),
+      |${probeCramerSql("r1", "j1")},
+      |${probeTokSql("b2", "b2t")},
+      |${probeFeatSql("b2", "b2t", "b2f")},
+      |${probeKeepSql("r1", "b2f")}
+      |SELECT CAST(1 AS BIGINT) AS batch, doc_id FROM r1k
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS batch, doc_id FROM r1k
+      |ORDER BY batch, doc_id""".stripMargin
+
   /** dq117/dq121 shared derivation: history window digests, batch-1
     * report vs them, fresh-survivor append, batch-2 report vs the grown
     * set (`source` carried for dq121's kept-row output). */
@@ -4552,6 +4602,8 @@ object SparkEntry {
     // config-driven probe ingest: round 1 seeds the statistics (all
     // kept), round 2 mean-gates the wider batch against them
     "dq134_config_probe_ingest" -> Dq134Sql,
+    // the frozen quality-classifier filter: dq134's gate round, both batches
+    "dq151_stream_frozen_probe" -> Dq151Sql,
     // the FULL declared curation loop: dedup + three persisted gates
     // chained in one config, two ingest rounds, every stage replayed
     "dq135_config_curation_loop" -> Dq135Sql,
