@@ -446,11 +446,14 @@ object Bench {
           "embedding")
         val driftRows = store.driftReport().count()
         val advised = store.refitAdvised()
+        val adv = store.driftAdvisory()
         val t0 = System.nanoTime()
         val st = store.refit(k = 8, iters = 2)
         val refitSec = (System.nanoTime() - t0) / 1e9
         Some(s""""dq142_drift_rows":$driftRows,""" +
           s""""dq142_refit_advised_before":$advised,""" +
+          s""""dq142_newest_l1_ppm":${adv.map(_.newestL1Ppm).getOrElse(-1L)},""" +
+          s""""dq142_cumulative_l1_ppm":${adv.map(_.cumulativeL1Ppm).getOrElse(-1L)},""" +
           f""""dq142_refit_sec":$refitSec%.3f,""" +
           s""""dq142_refit_cells":${st.cells},""" +
           s""""dq142_refit_vectors":${st.vectors},""" +

@@ -14,6 +14,15 @@ import graft.functions.VectorFunctions
 final case class IvfStoreStats(cells: Int, dims: Int, vectors: Long,
     gateTau: Double, gateNprobe: Int, packedScale: Int)
 
+/** The pair of drift statistics [[IvfStore.driftAdvisory]] derives from
+  * the stored per-write cell histograms (both L1 distances between
+  * cell-share distributions, parts-per-million): `newestL1Ppm` is the
+  * newest write vs the prior corpus (fast trigger), `cumulativeL1Ppm` is
+  * all writes since the generation baseline, summed, vs that baseline
+  * (slow trigger — catches N small same-direction drifts). */
+final case class DriftAdvisory(newestL1Ppm: Long, cumulativeL1Ppm: Long,
+    writesSinceBaseline: Int)
+
 /** PERSISTED IVF ANN index — [[IvfIndex]]'s session-lifetime model made a
   * stored layout, completing the index-maintenance story across the
   * modalities ([[NearDupIndex]] near-dup text, [[SubstrIndex]] verbatim
@@ -364,45 +373,96 @@ final class IvfStore private (private val spark: SparkSession,
     } finally idx.release()
   }
 
+  /** The active dir ids whose drift sidecar EXISTS on disk, in DATA-AGE
+    * order: folds first (a compaction `c…` or refit `r…` always holds
+    * strictly older data than every surviving append — [[maybeCompact]]
+    * excludes the then-newest append and [[refit]] supersedes everything,
+    * so at most one fold is ever active), then appends by sequence. Plain
+    * id sort is wrong once folds enter the mix (`c…`/`r…` sort after all
+    * `a…`), and manifest COMMIT order is wrong by one slot (a compaction
+    * commits after the append that survives it) — data age is the order
+    * the drift trend is defined over. A layout created before drift
+    * sidecars shipped (or one where only post-upgrade appends carry them)
+    * degrades to whatever statistics exist instead of throwing a
+    * path-not-found from the read. */
+  private def driftIds(): Seq[String] = {
+    val f = log.fileSystem
+    activeIds(log.read())
+      .filter(id =>
+        f.exists(new org.apache.hadoop.fs.Path(s"$path/drift/append=$id")))
+      .sortBy(id => (if (id.startsWith("a")) 1 else 0, id))
+  }
+
   /** Per-active-write cell histograms `(cell, n, append)` — ≤ k tiny
     * rows per committed write, the input of [[refitAdvised]]. After a
     * refit only the refit's own (whole-corpus, new-generation) histogram
-    * is active — the drift trend restarts against the fresh baseline. */
+    * is active — the drift trend restarts against the fresh baseline.
+    * Pre-sidecar active dirs are skipped; a layout with NO drift data at
+    * all fails with a clear message rather than a parquet listing error. */
   def driftReport(): DataFrame = {
-    val ids = activeIds(log.read())
-    require(ids.nonEmpty, s"no committed drift dirs under $path")
+    val ids = driftIds()
+    require(ids.nonEmpty, s"drift statistics unavailable under $path " +
+      "(layout predates drift sidecars; the next append records one)")
     spark.read.option("basePath", s"$path/drift")
       .parquet(ids.map(id => s"$path/drift/append=$id"): _*)
   }
 
-  /** TRUE when the NEWEST append's cell-share distribution has drifted
-    * from the prior stored corpus's by more than `l1ThresholdPpm`
-    * (Σ_cell |share_new − share_stored| in parts-per-million, driver-side
-    * over the ≤ k·appends drift rows) — the cheap statistic that says the
-    * frozen centroids no longer describe what is being ingested and a
-    * [[refit]] is due. False until at least one append follows the
-    * baseline. */
-  def refitAdvised(l1ThresholdPpm: Long = 500000L): Boolean = {
-    require(l1ThresholdPpm >= 0, "l1ThresholdPpm >= 0")
-    val rows = driftReport().collect()
-      .map(r => (r.getAs[String]("append"), r.getAs[Int]("cell"),
-        r.getAs[Long]("n")))
-    val byAppend = rows.groupBy(_._1).toSeq.sortBy(_._1)
-    if (byAppend.size < 2) false
+  /** The two driver-side drift statistics behind [[refitAdvised]], both
+    * L1 distances between cell-SHARE distributions in parts-per-million
+    * (Σ_cell |share_a − share_b|, max 2e6), computed over the ≤ k·appends
+    * drift rows in MANIFEST COMMIT ORDER (id strings don't sort
+    * chronologically once compactions `c…`/refits `r…` enter the mix):
+    *  - `newestL1Ppm`: the newest committed write vs everything stored
+    *    before it — the fast trigger a single anomalous batch trips;
+    *  - `cumulativeL1Ppm`: ALL writes since the baseline (the oldest
+    *    active histogram: the generation's refit fold, a compaction fold,
+    *    or the create), summed, vs that baseline — the slow trigger N
+    *    small same-direction drifts trip even when each stays under the
+    *    per-append threshold.
+    * None until at least one write follows the baseline (or when the
+    * layout has fewer than two drift sidecars to compare). */
+  def driftAdvisory(): Option[DriftAdvisory] = {
+    val ids = driftIds()
+    if (ids.size < 2) None
     else {
-      val (_, last) = byAppend.last
-      val before = byAppend.dropRight(1).flatMap(_._2)
+      val order = ids.zipWithIndex.toMap
+      val rows = spark.read.option("basePath", s"$path/drift")
+        .parquet(ids.map(id => s"$path/drift/append=$id"): _*)
+        .collect()
+        .map(r => (r.getAs[String]("append"), r.getAs[Int]("cell"),
+          r.getAs[Long]("n")))
+      val byAppend = rows.groupBy(_._1).toSeq.sortBy(p => order(p._1))
       def shares(xs: Seq[(String, Int, Long)]): Map[Int, Long] = {
         val total = xs.map(_._3).sum max 1L
         xs.groupBy(_._2).map { case (c, g) =>
           c -> g.map(_._3).sum * 1000000L / total }
       }
-      val a = shares(last.toSeq)
-      val b = shares(before)
-      val l1 = (a.keySet ++ b.keySet).toSeq
-        .map(c => math.abs(a.getOrElse(c, 0L) - b.getOrElse(c, 0L))).sum
-      l1 > l1ThresholdPpm
+      def l1(a: Map[Int, Long], b: Map[Int, Long]): Long =
+        (a.keySet ++ b.keySet).toSeq
+          .map(c => math.abs(a.getOrElse(c, 0L) - b.getOrElse(c, 0L))).sum
+      val newest = byAppend.last._2.toSeq
+      val beforeNewest = byAppend.dropRight(1).flatMap(_._2)
+      val baseline = byAppend.head._2.toSeq
+      val sinceBaseline = byAppend.drop(1).flatMap(_._2)
+      Some(DriftAdvisory(
+        newestL1Ppm = l1(shares(newest), shares(beforeNewest)),
+        cumulativeL1Ppm = l1(shares(sinceBaseline), shares(baseline)),
+        writesSinceBaseline = byAppend.size - 1))
     }
+  }
+
+  /** TRUE when either drift statistic of [[driftAdvisory]] exceeds
+    * `l1ThresholdPpm` — the cheap signal that the frozen centroids no
+    * longer describe what is being ingested and a [[refit]] is due. The
+    * cumulative arm catches slow drift: N small appends each under the
+    * threshold in the same direction still advise once their SUM against
+    * the generation baseline crosses it. False until at least one write
+    * follows the baseline, and false (not an error) on a layout without
+    * drift sidecars. */
+  def refitAdvised(l1ThresholdPpm: Long = 500000L): Boolean = {
+    require(l1ThresholdPpm >= 0, "l1ThresholdPpm >= 0")
+    driftAdvisory().exists(a =>
+      a.newestL1Ppm > l1ThresholdPpm || a.cumulativeL1Ppm > l1ThresholdPpm)
   }
 
   // ---------------- queries ----------------

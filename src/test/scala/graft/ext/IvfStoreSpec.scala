@@ -438,6 +438,87 @@ class IvfStoreSpec extends GraftSpec {
     store.refitAdvised() shouldBe false
   }
 
+  it("cumulative drift: five small same-direction appends each under the " +
+     "per-append threshold still trip the cumulative trigger") {
+    // two identical-point clusters so k=2 assigns deterministically: every
+    // axis-0 doc lands in one cell, every axis-1 doc in the other — cell
+    // SHARES are then exact fractions of the batch sizes below
+    def docs(ids: Range, a: Int) =
+      ids.map(i => (i.toLong, Seq.tabulate(4)(j => if (j == a) 1f else 0f)))
+    val base = (docs(0 until 10, 0) ++ docs(10 until 20, 1))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val store = IvfStore.create(base, "vec_id", "embedding", tmp(), k = 2)
+    // appends of 100 docs drifting toward axis 0 by +3 pp each: the
+    // rolling corpus follows the drift, so every newest-vs-prior L1 stays
+    // under 200k ppm (max ~159k at the 5th), while the appends-vs-baseline
+    // cumulative climbs 100k → 220k and crosses after the 5th
+    val T = 200000L
+    val shares = Seq(55, 58, 61, 64, 67)
+    shares.zipWithIndex.foreach { case (s, i) =>
+      val lo = 1000 + i * 200
+      val batch = (docs(lo until lo + s, 0) ++ docs(lo + s until lo + 100, 1))
+        .toDF("vec_id", "embedding")
+      store.append(batch, "vec_id", "embedding")
+      store.driftAdvisory().get.newestL1Ppm should be <= T
+      if (i < shares.size - 1) store.refitAdvised(T) shouldBe false
+    }
+    val fin = store.driftAdvisory().get
+    fin.writesSinceBaseline shouldBe 5
+    fin.newestL1Ppm should be <= T
+    fin.cumulativeL1Ppm should be > T
+    store.refitAdvised(T) shouldBe true
+  }
+
+  it("drift ordering survives a compaction: the fold is the baseline and " +
+     "the surviving append stays the newest, even though the fold's id " +
+     "and commit both come after it") {
+    def docs(ids: Range, a: Int) =
+      ids.map(i => (i.toLong, Seq.tabulate(4)(j => if (j == a) 1f else 0f)))
+    val base = (docs(0 until 30, 0) ++ docs(30 until 60, 1))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val path = tmp()
+    spark.conf.set("spark.graft.ivfstore.compactThreshold", "1")
+    try {
+      val store = IvfStore.create(base, "vec_id", "embedding", path, k = 2)
+      // three same-mix appends: enough to trigger folds at threshold 1;
+      // the LAST append is heavily shifted toward axis 0
+      Seq(0, 1).foreach { i =>
+        val lo = 1000 + i * 100
+        store.append(
+          (docs(lo until lo + 30, 0) ++ docs(lo + 30 until lo + 60, 1))
+            .toDF("vec_id", "embedding"), "vec_id", "embedding")
+      }
+      val shifted = docs(5000 until 5060, 0).toDF("vec_id", "embedding")
+      store.append(shifted, "vec_id", "embedding")
+      // active is now [fold, newest append]; a plain id sort would call the
+      // fold (c…, data = everything BEFORE the shifted batch) the newest
+      // and dilute the drift to zero — data-age order keeps the shifted
+      // batch as the newest and its 50→100% share jump is the statistic
+      val adv = store.driftAdvisory().get
+      adv.newestL1Ppm should be > 500000L
+      store.refitAdvised() shouldBe true
+    } finally spark.conf.unset("spark.graft.ivfstore.compactThreshold")
+  }
+
+  it("driftAdvisory degrades gracefully when active dirs predate the " +
+     "drift sidecar: missing dirs are skipped, none at all is a clear " +
+     "error for driftReport and a false from refitAdvised") {
+    val path = tmp()
+    val store = IvfStore.create(emb, "vec_id", "embedding", path, k = 8)
+    // simulate a pre-upgrade layout: unlink the create's drift sidecar
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$path/drift"), true)
+    store.driftAdvisory() shouldBe None
+    store.refitAdvised() shouldBe false
+    val err = intercept[IllegalArgumentException] { store.driftReport() }
+    err.getMessage should include("drift statistics unavailable")
+    // one post-upgrade append: report works again over just that dir
+    store.append(emb.limit(3), "vec_id", "embedding")
+    store.driftReport().select("append").distinct().count() shouldBe 1L
+    store.driftAdvisory() shouldBe None // a lone histogram: nothing to compare
+  }
+
   it("the semantic gate tolerates a batch that itself carries a 'qid' " +
      "column (reserved-name anti-join key)") {
     val store = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
