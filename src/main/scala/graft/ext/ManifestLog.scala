@@ -69,9 +69,14 @@ private[ext] object Manifest {
   *    finish. A reader older than the retention window may see
   *    `FileNotFoundException` — lengthen
   *    `spark.graft.index.vacuumRetentionMs` to cover the longest query.
-  * The commit rename stays no-overwrite, so even a writer that BYPASSES
-  * the lock cannot publish over a committed manifest — it fails its
-  * commit instead (defense in depth, not the contract).
+  * The commit publish stays no-overwrite (rename on HDFS; a hard link on
+  * the local scheme, where POSIX rename(2) would silently replace), so
+  * even a writer that BYPASSES the lock cannot publish over a committed
+  * manifest — it fails its commit instead (defense in depth, not the
+  * contract). Lock liveness: holders heartbeat the lock file
+  * ([[withWriteLock]]), so only a holder that has STOPPED beating for a
+  * whole `lockStaleMs` window is presumed dead and broken — a corpus-sized
+  * [[IvfStore.refit]] holds its lock for hours without any conf tuning.
   */
 private[ext] final class ManifestLog(spark: SparkSession, path: String) {
 
@@ -104,34 +109,46 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
 
   /** Run `body` holding this layout's writer lock — an atomic
     * create-no-overwrite `.lock` file under `_commits/` (atomic on HDFS
-    * and object stores with conditional create; effectively atomic on
-    * POSIX). A held lock is waited on up to
-    * `spark.graft.index.lockWaitMs` (default 2 min), then the call fails
-    * fast NAMING the lock file; a lock older than
-    * `spark.graft.index.lockStaleMs` (default 10 min — raise it if a
-    * single append/retrain job can legitimately run longer) is presumed
-    * abandoned by a crashed writer and broken via a unique-name rename,
-    * so exactly one waiter wins the takeover. NOT reentrant: public
-    * store entry points acquire it once and call lock-free internals. */
+    * and object stores with conditional create; on the local scheme the
+    * create goes through nio `CREATE_NEW` = O_EXCL, because Hadoop's
+    * RawLocalFileSystem `create(overwrite=false)` is exists-then-create
+    * and two same-process racers could both "win"). A held lock is waited
+    * on up to `spark.graft.index.lockWaitMs` (default 2 min), then the
+    * call fails fast NAMING the lock file.
+    *
+    * LIVENESS vs crashed holders: the holder HEARTBEATS — a driver-side
+    * daemon touches the lock file's mtime every
+    * `spark.graft.index.lockHeartbeatMs` (default 30 s), so staleness is
+    * judged on HEARTBEAT age, not acquisition age: a lock whose last
+    * heartbeat is older than `spark.graft.index.lockStaleMs` (default
+    * 10 min) is presumed abandoned by a crashed writer and broken via a
+    * unique-name rename (exactly one waiter wins the takeover), while a
+    * legitimately LONG holder — [[IvfStore.refit]] is corpus-sized by
+    * design — keeps its live lock for as long as it keeps beating. Keep
+    * the heartbeat period well under the stale window. The lock file
+    * carries an `owner=` nonce; release (and each beat) checks it, so a
+    * holder that was wrongly broken anyway (e.g. suspended longer than
+    * the stale window) cannot delete its successor's lock. NOT reentrant:
+    * public store entry points acquire it once and call lock-free
+    * internals. */
   def withWriteLock[T](body: => T): T = {
     val waitMs = IndexConf.strictLong(spark,
       "spark.graft.index.lockWaitMs", default = 120000L, min = 0L)
     val staleMs = IndexConf.strictLong(spark,
       "spark.graft.index.lockStaleMs", default = 600000L, min = 1L)
+    val hbMs = IndexConf.strictLong(spark,
+      "spark.graft.index.lockHeartbeatMs", default = 30000L, min = 1L)
     val f = fs
     f.mkdirs(commitsDir)
     val lock = new HPath(commitsDir, ".lock")
+    val owner = java.util.UUID.randomUUID().toString
+    val content =
+      s"pid=${ProcessHandle.current().pid()}\nowner=$owner\n"
+        .getBytes("UTF-8")
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
-      acquired =
-        try {
-          val out = f.create(lock, false)
-          try out.write(
-            s"pid=${ProcessHandle.current().pid()}\n".getBytes("UTF-8"))
-          finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+      acquired = tryCreateLock(f, lock, content)
       if (!acquired) {
         val st =
           try Some(f.getFileStatus(lock))
@@ -139,8 +156,9 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
         st match {
           case Some(s) if System.currentTimeMillis() - s.getModificationTime
               >= staleMs =>
-            // presumed-dead holder: rename-then-delete so a racing waiter
-            // can't double-break (its rename fails once the source moved)
+            // no heartbeat for a whole stale window: presumed-dead holder.
+            // Rename-then-delete so a racing waiter can't double-break
+            // (its rename fails once the source moved)
             val broken = new HPath(commitsDir,
               s".lock.broken.${System.nanoTime()}")
             if (f.rename(lock, broken)) f.delete(broken, false)
@@ -155,12 +173,65 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
         }
       }
     }
-    try body finally f.delete(lock, false)
+    val hb = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-lock-heartbeat-$owner")
+        t.setDaemon(true); t
+      })
+    hb.scheduleAtFixedRate(() => {
+      // refresh ONLY a lock we still own — never a successor's after a
+      // (wrong) break; any failure here is tolerable (a missed beat), the
+      // stale window is many periods wide
+      try if (lockOwner(f, lock).contains(owner))
+        f.setTimes(lock, System.currentTimeMillis(), -1)
+      catch { case _: Throwable => () }
+    }, hbMs, hbMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body finally {
+      hb.shutdownNow()
+      if (lockOwner(f, lock).contains(owner)) f.delete(lock, false)
+    }
   }
 
-  /** The commit point: marker content staged to a dot-file, then renamed
-    * (no-overwrite) into place — a second writer racing the same sequence
-    * number fails here instead of publishing over us. */
+  /** Atomic create-no-overwrite of the lock file: nio `CREATE_NEW`
+    * (O_CREAT|O_EXCL — kernel-atomic) on the local scheme, Hadoop
+    * `create(overwrite=false)` elsewhere (atomic on HDFS; conditional
+    * create on object stores). */
+  private def tryCreateLock(f: FileSystem, lock: HPath,
+      content: Array[Byte]): Boolean =
+    try {
+      if (f.getScheme == "file") {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(lock.toUri.getPath), content,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        ()
+      } else {
+        val out = f.create(lock, false)
+        try out.write(content) finally out.close()
+      }
+      true
+    } catch { case _: java.io.IOException => false }
+
+  /** The `owner=` nonce of the current lock file, None if absent/unreadable
+    * (a missing file, a mid-break rename, a pre-nonce lock). */
+  private def lockOwner(f: FileSystem, lock: HPath): Option[String] =
+    try {
+      val st = f.getFileStatus(lock)
+      val in = f.open(lock)
+      val bytes = new Array[Byte](st.getLen.toInt)
+      try in.readFully(bytes) finally in.close()
+      new String(bytes, "UTF-8").linesIterator
+        .collectFirst { case l if l.startsWith("owner=") => l.substring(6) }
+    } catch { case _: java.io.IOException => None }
+
+  /** The commit point: marker content staged to a dot-file, then published
+    * no-overwrite into place — a second writer racing the same sequence
+    * number fails here instead of publishing over us. On HDFS the publish
+    * is the usual no-overwrite rename; on the LOCAL scheme Hadoop's rename
+    * delegates to POSIX rename(2), which silently REPLACES an existing
+    * destination, so the publish is a hard LINK instead — link(2) fails
+    * with EEXIST, kernel-atomically, restoring the no-overwrite promise
+    * (the defense-in-depth behind the writer lock). */
   def commit(m: Manifest, seq: Int): Unit = {
     ManifestLog.failCommitUnder.foreach { prefix =>
       if (path.startsWith(prefix))
@@ -171,12 +242,29 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
     f.mkdirs(commitsDir)
     val name = f"m$seq%06d"
     val tmp = new HPath(commitsDir, s".$name.tmp")
-    val out = f.create(tmp, false)
-    try out.write(m.render.getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, new HPath(commitsDir, name)))
-      throw new IllegalStateException(
-        s"commit collision on $name under $path — concurrent writer? " +
-          "(writers must hold the layout lock — see withWriteLock)")
+    val dest = new HPath(commitsDir, name)
+    val bytes = m.render.getBytes("UTF-8")
+    def collision() = new IllegalStateException(
+      s"commit collision on $name under $path — concurrent writer? " +
+        "(writers must hold the layout lock — see withWriteLock)")
+    if (f.getScheme == "file") {
+      val tp = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val dp = java.nio.file.Paths.get(dest.toUri.getPath)
+      // a crashed predecessor's stage is invisible garbage — replace it
+      java.nio.file.Files.deleteIfExists(tp)
+      java.nio.file.Files.write(tp, bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      try java.nio.file.Files.createLink(dp, tp)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(collision().getMessage, e)
+      } finally java.nio.file.Files.deleteIfExists(tp)
+    } else {
+      val out = f.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      if (!f.rename(tmp, dest)) throw collision()
+    }
   }
 
   /** Delete an UNCOMMITTED relation dir a crashed predecessor left behind

@@ -107,4 +107,90 @@ class StoreConcurrencySpec extends GraftSpec {
       java.nio.file.Files.deleteIfExists(lock)
     }
   }
+
+  it("a slow holder's HEARTBEAT keeps its live lock past lockStaleMs — " +
+     "the waiter blocks until release instead of breaking it; a holder " +
+     "that stops beating is still broken") {
+    val path = tmp()
+    val log = new ManifestLog(spark, path)
+    spark.conf.set("spark.graft.index.lockStaleMs", "400")
+    spark.conf.set("spark.graft.index.lockHeartbeatMs", "50")
+    spark.conf.set("spark.graft.index.lockWaitMs", "30000")
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val holderIn = new java.util.concurrent.CountDownLatch(1)
+      val holderDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // the holder's body outlives lockStaleMs by 3×: without heartbeats
+      // the waiter would break the live lock and the bodies would overlap
+      val holder = new Thread(() => {
+        try log.withWriteLock {
+          holderIn.countDown()
+          Thread.sleep(1200)
+          holderDone.set(true)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      val waiter = new Thread(() => {
+        try {
+          holderIn.await()
+          log.withWriteLock { if (!holderDone.get()) overlapped.set(true) }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      holder.start(); waiter.start()
+      holder.join(30000); waiter.join(30000)
+      errs.toArray shouldBe empty
+      overlapped.get() shouldBe false
+      holderDone.get() shouldBe true
+      // and the release deleted the lock
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/_commits/.lock")) shouldBe false
+      // a DEAD holder (its lock never beats) is still broken: plant a
+      // foreign heartbeat-less lock, aged past the stale window, and race
+      // two waiters at it — the takeover serializes (bodies never overlap)
+      val lockP = java.nio.file.Paths.get(s"$path/_commits/.lock")
+      java.nio.file.Files.write(lockP,
+        "pid=0\nowner=dead-holder\n".getBytes("UTF-8"))
+      lockP.toFile.setLastModified(
+        System.currentTimeMillis() - 3600L * 1000L) shouldBe true
+      val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val clash = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val ws = (1 to 2).map(_ => new Thread(() => {
+        try {
+          gate.await()
+          log.withWriteLock {
+            if (inside.incrementAndGet() > 1) clash.set(true)
+            Thread.sleep(150)
+            inside.decrementAndGet()
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      }))
+      ws.foreach(_.start()); gate.countDown(); ws.foreach(_.join(30000))
+      errs.toArray shouldBe empty
+      clash.get() shouldBe false
+      java.nio.file.Files.exists(lockP) shouldBe false
+    } finally {
+      spark.conf.unset("spark.graft.index.lockStaleMs")
+      spark.conf.unset("spark.graft.index.lockHeartbeatMs")
+      spark.conf.unset("spark.graft.index.lockWaitMs")
+    }
+  }
+
+  it("the commit publish refuses to overwrite on the LOCAL scheme too " +
+     "(hard-link publish): a lock-bypassing writer fails its commit " +
+     "instead of replacing the committed manifest") {
+    val path = tmp()
+    val log = new ManifestLog(spark, path)
+    log.withWriteLock { log.commit(Manifest(Seq("a000001"), Nil, Nil, Nil), 1) }
+    // a rogue commit at the SAME sequence number must fail, byte-for-byte
+    // preserving the first manifest
+    val e = intercept[IllegalStateException] {
+      log.commit(Manifest(Seq("rogue"), Nil, Nil, Nil), 1)
+    }
+    e.getMessage should include("commit collision")
+    log.read().flatMap(_.digests) shouldBe Seq("a000001")
+    // and the stage file did not linger
+    new java.io.File(s"$path/_commits").listFiles()
+      .map(_.getName).filter(_.endsWith(".tmp")) shouldBe empty
+  }
 }
