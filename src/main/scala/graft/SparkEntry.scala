@@ -2805,8 +2805,7 @@ object SparkEntry {
     * survivors score at or above the frozen mean. Gate-only ⇒ identical
     * survivors in both batches — dq133's fold loop would shift the
     * threshold as batches fold in. FOURTH frozen-reference modality
-    * through the one generic loop: every gated store now has both an
-    * adaptive (fold) and a frozen (reference) streamed form. */
+    * through the one generic loop (dq152 closes the fifth). */
   private def q151(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val path = graft.io.TempReaper.tempDir("graft-dq151-idx").toString + "/idx"
@@ -2818,6 +2817,41 @@ object SparkEntry {
     val incoming = EventStream.twoFileBatchStream(batch, batch, "dq151")
     EventStream.runFrozenGate(incoming, store, "doc_id", "text", "dq151")
       .select(col("batch"), col("doc_id"))
+      .orderBy("batch", "doc_id")
+  }
+
+  /** DQ152 (EXT): FUZZY benchmark decontamination, streamed — the
+    * near-duplicate complement of dq145's verbatim windows (real eval
+    * leakage is usually paraphrased, which is exactly what MinHash sees
+    * and exact windows can miss): [[graft.streaming.EventStream
+    * .runFrozenGate]] over a [[graft.ext.NearDupIndex]] built ONCE from
+    * the frozen benchmark slice (doc_id % 10 = 0) and never appended to.
+    * The candidate batch carries light paraphrases of benchmark members
+    * (a one-token tail — Jaccard stays above the 0.8 gate, dropped),
+    * heavy rewrites (every 3rd token mutated — most shingles break,
+    * kept), and disjoint documents (kept); both micro-batches send the
+    * SAME candidates and must return the IDENTICAL survivor set. FIFTH
+    * frozen-reference modality: every gated store family now has both an
+    * adaptive (fold/append) and a frozen (reference) streamed form.
+    * Oracle: dq104's shingle→digest→band→cap→Jaccard chain verbatim,
+    * benchmark-vs-batch, emitted for both batch numbers. */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zzztail")).as("text"))
+      .union(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          mutateTokens(col("text"), 3, "x").as("text")))
+      .union(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+    val incoming = EventStream.twoFileBatchStream(batch, batch, "dq152")
+    val idxPath = graft.io.TempReaper.tempDir("graft-dq152-idx").toString + "/idx"
+    val idx = graft.ext.NearDupIndex.build(bench, "doc_id", "text", idxPath)
+    EventStream.runFrozenGate(incoming, idx, "doc_id", "text", "dq152")
+      .select(col("batch"), col("doc_id"), md5(col("text")).as("text_md5"))
       .orderBy("batch", "doc_id")
   }
 
@@ -3010,7 +3044,8 @@ object SparkEntry {
     "dq148_epochs_by_source"    -> (q148 _),
     "dq149_stream_sem_decontam" -> (q149 _),
     "dq150_stream_reflm_gate"   -> (q150 _),
-    "dq151_stream_frozen_probe" -> (q151 _)
+    "dq151_stream_frozen_probe" -> (q151 _),
+    "dq152_stream_fuzzy_decontam" -> (q152 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3830,6 +3865,44 @@ object SparkEntry {
       |SELECT CAST(2 AS BIGINT) AS round, doc_id FROM r1k
       |ORDER BY round, doc_id""".stripMargin
 
+  /** dq152: the frozen near-dup gate — dq104's shingle→digest→band→cap→
+    * Jaccard chain, benchmark slice vs candidate batch, gated ONCE and
+    * emitted for both batch numbers (the frozen index never grows, so
+    * the streamed loop's two micro-batches keep the same survivors). */
+  private lazy val Dq152Sql: String = {
+    def mut(step: Int, sfx: Char): String =
+      s"""array_to_string(list_transform(range(1, len(tk) + 1),
+        |      i -> CASE WHEN (i - 1) % $step = 0 THEN tk[i] || '$sfx' ELSE tk[i] END),
+        |      ' ')""".stripMargin
+    s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |inc AS (
+      |  SELECT doc_id + 100000 AS doc_id, text || ' zzztail' AS text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, ${mut(3, 'x')} AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') tk
+      |        FROM documents WHERE doc_id % 10 = 0)
+      |  UNION ALL
+      |  SELECT doc_id + 300000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 10 = 7),
+      |${dq104Chain("bench", "h")},
+      |${dq104Chain("inc", "p")},
+      |hok AS (SELECT doc_id, b, bkey FROM
+      |    (SELECT doc_id, b, bkey, count(*) OVER (PARTITION BY b, bkey) c FROM hb)
+      |  WHERE c <= 100),
+      |c1 AS (SELECT DISTINCT i.doc_id inc_id, h.doc_id hist_id
+      |  FROM pb i JOIN hok h USING (b, bkey)),
+      |v1 AS (SELECT inc_id,
+      |    len(list_intersect(x.ds, y.ds))::DOUBLE / len(list_distinct(x.ds || y.ds)) jac
+      |  FROM c1 JOIN ps x ON x.doc_id = inc_id JOIN hs y ON y.doc_id = hist_id),
+      |k AS (SELECT doc_id, md5(text) AS text_md5 FROM inc
+      |  WHERE doc_id NOT IN (SELECT inc_id FROM v1 WHERE jac > 0.8))
+      |SELECT CAST(1 AS BIGINT) AS batch, doc_id, text_md5 FROM k
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS batch, doc_id, text_md5 FROM k
+      |ORDER BY batch, doc_id""".stripMargin
+  }
+
   /** dq151: dq134's round-2 gate — b2 scored under the weights AND mean
     * threshold frozen at b1's moments — emitted for BOTH batches (the
     * store never folds the candidates in). */
@@ -4604,6 +4677,7 @@ object SparkEntry {
     "dq134_config_probe_ingest" -> Dq134Sql,
     // the frozen quality-classifier filter: dq134's gate round, both batches
     "dq151_stream_frozen_probe" -> Dq151Sql,
+    "dq152_stream_fuzzy_decontam" -> Dq152Sql,
     // the FULL declared curation loop: dedup + three persisted gates
     // chained in one config, two ingest rounds, every stage replayed
     "dq135_config_curation_loop" -> Dq135Sql,
