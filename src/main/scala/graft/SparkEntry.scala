@@ -2855,6 +2855,40 @@ object SparkEntry {
       .orderBy("batch", "doc_id")
   }
 
+  /** DQ153 (EXT, §2.9): the DECLARED curation pipeline STREAMED
+    * ([[graft.streaming.EventStream.runConfigPipeline]]) — dq135's full
+    * config chain (exact_dedup → substr_gate → lm_gate → probe_gate,
+    * three persisted stores) with the two ingest ROUNDS arriving as
+    * micro-batches of a file-source stream: batch 1 seeds all three
+    * stores through the declared stages (everything kept), batch 2 is
+    * gated against them and its survivors fold in — the capstone
+    * composition of the config workflow with the streaming loop, zero
+    * new gate code (each micro-batch runs `PipelineDef.applyStages`
+    * under runId `dq153:b<id>`, so the existing `cfg:<runId>:s<i>`
+    * stage tokens make micro-batch replay exactly-once per stage).
+    * Identical result contract to dq135's named batch rounds, so it
+    * shares the oracle SQL verbatim. */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = graft.io.TempReaper.tempDir("graft-dq153-idx").toString
+    val cfg =
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "exact_dedup"},
+        |   {"stage": "substr_gate", "path": "$base/ss", "k": 8, "maxDupWindows": 0},
+        |   {"stage": "lm_gate", "path": "$base/lm", "loMicro": 20000},
+        |   {"stage": "probe_gate", "path": "$base/qp"}]}""".stripMargin
+    val pipeline = graft.plan.CurationConfig.parse(cfg)
+    val b1 = docs.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("text"))
+    val b2 = docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
+      .select(col("doc_id"), col("text"))
+    val incoming = EventStream.twoFileBatchStream(b1, b2, "dq153")
+    EventStream.runConfigPipeline(incoming, pipeline, dir, "dq153")
+      .select(col("batch").as("round"), col("doc_id"))
+      .orderBy("round", "doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -3045,7 +3079,8 @@ object SparkEntry {
     "dq149_stream_sem_decontam" -> (q149 _),
     "dq150_stream_reflm_gate"   -> (q150 _),
     "dq151_stream_frozen_probe" -> (q151 _),
-    "dq152_stream_fuzzy_decontam" -> (q152 _)
+    "dq152_stream_fuzzy_decontam" -> (q152 _),
+    "dq153_stream_config_pipeline" -> (q153 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4678,6 +4713,9 @@ object SparkEntry {
     // the frozen quality-classifier filter: dq134's gate round, both batches
     "dq151_stream_frozen_probe" -> Dq151Sql,
     "dq152_stream_fuzzy_decontam" -> Dq152Sql,
+    // the streamed declared pipeline shares dq135's oracle verbatim: its
+    // two micro-batches ARE dq135's two named rounds (stream/batch parity)
+    "dq153_stream_config_pipeline" -> Dq135Sql,
     // the FULL declared curation loop: dedup + three persisted gates
     // chained in one config, two ingest rounds, every stage replayed
     "dq135_config_curation_loop" -> Dq135Sql,

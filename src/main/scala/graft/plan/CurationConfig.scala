@@ -521,12 +521,23 @@ object CurationConfig {
       * reproduces the crashed run's survivors and folds nothing twice.
       * Without it the gates keep the plain one-shot semantics. */
     def run(spark: SparkSession, dir: String,
+        runId: Option[String] = None): DataFrame =
+      applyStages(spark.read.parquet(s"$dir/$table.parquet"), dir, runId)
+
+    /** Fold the declared stage chain over an ARBITRARY batch frame — the
+      * core [[run]] applies to the declared table and the STREAMED
+      * runner ([[graft.streaming.EventStream.runConfigPipeline]]) applies
+      * to every micro-batch: same composition, same
+      * `cfg:<runId>:s<stageIndex>` stage tokens, so one micro-batch is
+      * exactly one (crash-replayable) pipeline run — a replayed
+      * micro-batch reuses its batch id, hence its runId, hence every
+      * gate's original answer. */
+    def applyStages(df: DataFrame, dir: String,
         runId: Option[String] = None): DataFrame = {
       runId.foreach(r => require(r.nonEmpty && !r.contains("\n"),
         "runId: non-empty, one line"))
-      val raw = spark.read.parquet(s"$dir/$table.parquet")
-      stages.zipWithIndex.foldLeft(raw) { case (df, (st, i)) =>
-        st.applyIn(dir)(df, idCol, textCol,
+      stages.zipWithIndex.foldLeft(df) { case (d, (st, i)) =>
+        st.applyIn(dir)(d, idCol, textCol,
           runId.map(r => s"cfg:$r:s${i + 1}"))
       }
     }

@@ -183,6 +183,49 @@ object EventStream {
     runIndexedIngest(incoming, idx, idCol, textCol, name,
       appendSurvivors = false)
 
+  /** The DECLARED curation pipeline STREAMED — the capstone composition:
+    * a [[graft.plan.CurationConfig.PipelineDef]] (dedup → stored gates →
+    * mix → tokenize, whatever the JSON declares) runs ONCE PER
+    * MICRO-BATCH via [[graft.plan.CurationConfig.PipelineDef
+    * .applyStages]], so the stores its gate stages point at are seeded by
+    * batch 1 and gate batch 2 — production ingest is a stream, and this
+    * locks the composition of the config workflow with the streaming
+    * loop. Exactly-once falls out of the EXISTING machinery, nothing
+    * new: each micro-batch runs under runId `<name>:b<id>`, and
+    * Structured Streaming replays a crashed micro-batch under the SAME
+    * id, so every gate stage's `cfg:<runId>:s<i>` token hands the replay
+    * its original answer (seed recognition, excludeToken gate view,
+    * appendOnce no-op) and the batch-dir rewrite is idempotent. Returns
+    * the union of per-batch results with their 1-based batch number. */
+  def runConfigPipeline(incoming: DataFrame,
+      pipeline: graft.plan.CurationConfig.PipelineDef, dir: String,
+      name: String): DataFrame = {
+    val spark = incoming.sparkSession
+    val basePath =
+      java.nio.file.Files.createTempDirectory(s"graft-cfgstream-$name")
+    deleteOnExit(basePath)
+    val out = s"${basePath.toString}/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val q = incoming.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        pipeline.applyStages(batch, dir, Some(s"$name:b$id"))
+          .write.mode("overwrite").parquet(s"$out/batch=$id")
+      }
+      .option("checkpointLocation", s"${basePath.toString}/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastRunStats = extractStats(q.recentProgress)
+    val batchDirs = Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("batch="))
+    if (batchDirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        incoming.schema.add("batch", LongType))
+    else spark.read.parquet(out)
+      .withColumn("batch", col("batch").cast(LongType) + 1L)
+  }
+
   /** The APPEND-ONLY sibling of [[runIndexedIngest]] for stores whose
     * state is associative and ungated ([[graft.ext.BpeStore]] word
     * counts): every micro-batch is folded in whole via `fold(batch,

@@ -678,4 +678,52 @@ class CurationConfigSpec extends GraftSpec {
     bad("""{"table":"documents","id":"i","text":"t",
           | "stages":[{"stage":"repeat_epochs"}]}""".stripMargin, "factor")
   }
+
+  it("runConfigPipeline streams the declared chain: batch 1 seeds the " +
+     "store through the stages, batch 2 gates against it — stream/batch " +
+     "parity with named runs, and a replayed micro-batch reproduces its " +
+     "survivors with no new commits") {
+    import graft.streaming.EventStream
+    val d = dir
+    def cfgAt(base: String): CurationConfig.PipelineDef =
+      CurationConfig.parse(
+        s"""{"table": "documents", "id": "doc_id", "text": "text",
+          | "stages": [
+          |   {"stage": "exact_dedup"},
+          |   {"stage": "substr_gate", "path": "$base/ss", "k": 4,
+          |    "maxDupWindows": 0}]}""".stripMargin)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    // b1: the dup pair (dedup keeps 1, store seeds from it); b2 carries a
+    // VERBATIM copy of the stored doc (2) and a doc sharing the 4-token
+    // window "the quick brown fox" with it (4) — both dropped by the
+    // window gate — plus the short doc (3, zero windows) and the fresh
+    // doc (5), kept
+    val b1 = docs.filter($"doc_id" <= 2).localCheckpoint(true)
+    val b2 = docs.filter($"doc_id" >= 2).localCheckpoint(true)
+    val streamBase = java.nio.file.Files
+      .createTempDirectory("graft-cfgstream-store").toString
+    val incoming = EventStream.twoFileBatchStream(b1, b2, "cfgstream")
+    val res = EventStream
+      .runConfigPipeline(incoming, cfgAt(streamBase), d, "cfgstream")
+      .select($"batch", $"doc_id").as[(Long, Long)].collect().sorted.toSeq
+    res shouldBe Seq((1L, 1L), (2L, 3L), (2L, 5L))
+    // stream/batch parity: the same two batches as NAMED batch runs over
+    // a separate store produce the same per-round survivors
+    val batchBase = java.nio.file.Files
+      .createTempDirectory("graft-cfgbatch-store").toString
+    val p = cfgAt(batchBase)
+    p.applyStages(b1, d, Some("r1")).select("doc_id")
+      .as[Long].collect().sorted shouldBe Array(1L)
+    p.applyStages(b2, d, Some("r2")).select("doc_id")
+      .as[Long].collect().sorted shouldBe Array(3L, 5L)
+    // crash-replay: re-running micro-batch 1 under ITS runId (the batch
+    // id Structured Streaming would replay it with) reproduces the
+    // survivors and commits nothing twice
+    def commits(): Int = new java.io.File(s"$streamBase/ss/_commits")
+      .listFiles().count(f => f.isFile && !f.getName.startsWith("."))
+    val c = commits()
+    cfgAt(streamBase).applyStages(b2, d, Some("cfgstream:b1"))
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(3L, 5L)
+    commits() shouldBe c
+  }
 }
