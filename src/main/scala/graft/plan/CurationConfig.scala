@@ -359,6 +359,32 @@ object CurationConfig {
     }
   }
 
+  /** INDEX MAINTENANCE as a declared stage — the lifecycle side of the
+    * declare-then-run workflow (the gates above keep a store GROWING;
+    * this keeps it HEALTHY): points at a committed [[IvfStore]], checks
+    * the stored drift statistics ([[IvfStore.refitAdvised]] — newest and
+    * cumulative L1 vs `l1ThresholdPpm`), runs the corpus-sized
+    * [[IvfStore.refit]] ONLY when they advise it, then (by default)
+    * [[IvfStore.vacuum]]s superseded dirs under the retention guard.
+    * Rows pass through untouched — declare it wherever the operational
+    * schedule wants the check (typically last). Naturally idempotent: a
+    * replayed run re-checks the advisory, and a refit RESETS the drift
+    * baseline, so the rerun no-ops instead of retraining twice. */
+  final case class IvfMaintain(path: String, k: Int, l1ThresholdPpm: Long,
+      vacuum: Boolean) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
+      val spark = df.sparkSession
+      require(IvfStore.exists(spark, path),
+        s"ivf_maintain at $path: no committed IVF store — maintenance " +
+          "declares lifecycle for a store some gate/ingest already built")
+      val store = IvfStore.open(spark, path)
+      if (store.refitAdvised(l1ThresholdPpm)) { store.refit(k, iters = 2); () }
+      if (vacuum) { store.vacuum(); () }
+      df
+    }
+  }
+
   /** BENCHMARK DECONTAMINATION as a declared stage — the eval-leakage
     * guard every training pipeline needs (documents sharing a verbatim
     * k-token window with an evaluation corpus must not reach training):
@@ -505,6 +531,7 @@ object CurationConfig {
     case _: DecontamGate => "decontam_gate"
     case _: NearDupGate => "neardup_gate"
     case _: SemanticGate => "semantic_gate"
+    case _: IvfMaintain => "ivf_maintain"
     case _: LmGate => "lm_gate"
     case _: ProbeGate => "probe_gate"
     case _: BpeTokenize => "bpe_tokenize"
@@ -769,6 +796,24 @@ object CurationConfig {
         if (nprobe < 1)
           fail(s"stage 'semantic_gate': nprobe must be >= 1, got $nprobe")
         SemanticGate(path, k.toInt, tau, nprobe.toInt)
+      case "ivf_maintain" =>
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'ivf_maintain' needs a non-empty 'path' string")
+        }
+        val k = long("k").getOrElse(fail("stage 'ivf_maintain' needs 'k' " +
+          "(the refit's training cell count)"))
+        if (k < 1) fail(s"stage 'ivf_maintain': k must be >= 1, got $k")
+        val thr = long("l1ThresholdPpm").getOrElse(500000L)
+        if (thr < 0)
+          fail(s"stage 'ivf_maintain': l1ThresholdPpm must be >= 0, got $thr")
+        val vac = j \ "vacuum" match {
+          case JBool(b) => b
+          case JNothing => true
+          case other =>
+            fail(s"stage 'ivf_maintain': 'vacuum' must be a boolean, got $other")
+        }
+        IvfMaintain(path, k.toInt, thr, vac)
       case "lm_gate" =>
         val path = j \ "path" match {
           case JString(p) if p.trim.nonEmpty => p
@@ -798,7 +843,7 @@ object CurationConfig {
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
           "fluency_band | lang_gate | token_budget | temperature_mix | " +
           "repeat_epochs | where | substr_gate | decontam_gate | neardup_gate | " +
-          "semantic_gate | lm_gate | probe_gate | bpe_tokenize)")
+          "semantic_gate | ivf_maintain | lm_gate | probe_gate | bpe_tokenize)")
     }
   }
 

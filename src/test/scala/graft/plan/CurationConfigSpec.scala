@@ -679,6 +679,78 @@ class CurationConfigSpec extends GraftSpec {
           | "stages":[{"stage":"repeat_epochs"}]}""".stripMargin, "factor")
   }
 
+  it("ivf_maintain declares the index lifecycle: not advised → no-op; " +
+     "drift past the threshold → refit (baseline resets) + vacuum of " +
+     "superseded dirs; a rerun no-ops; rows pass through; parse is " +
+     "strict") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-curation-maint").toString
+    def axis(a: Int): Seq[Float] = Seq.tabulate(4)(j => if (j == a) 1f else 0f)
+    val emb = ((0 until 20).map(i => (i.toLong, axis(0))) ++
+      (20 until 40).map(i => (i.toLong, axis(1))))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    emb.write.parquet(s"$d/embeddings.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-maintidx").toString + "/idx"
+    val store = graft.ext.IvfStore.create(emb, "vec_id", "embedding",
+      path, k = 2)
+    def commits(): Int = new java.io.File(s"$path/_commits").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("."))
+    def assignedDirs(): Seq[String] = new java.io.File(s"$path/assigned")
+      .listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+    val cfg =
+      s"""{"table":"embeddings","id":"vec_id","text":"embedding",
+        | "stages":[{"stage":"where","expr":"vec_id < 10"},
+        |   {"stage":"ivf_maintain","path":"$path","k":2}]}""".stripMargin
+    val p = CurationConfig.parse(cfg)
+    spark.conf.set("spark.graft.index.vacuumRetentionMs", "0")
+    try {
+      // a lone baseline histogram: nothing to compare → no-op
+      val c0 = commits()
+      p.run(spark, d).select("vec_id").as[Long].collect().sorted shouldBe
+        (0L until 10L).toArray
+      commits() shouldBe c0
+      // an entirely-shifted append trips the advisory → the declared
+      // maintenance refits (one superseding commit, baseline resets)
+      // and vacuums the superseded dirs
+      store.append(
+        (100 until 160).map(i => (i.toLong, axis(2)))
+          .toDF("vec_id", "embedding"), "vec_id", "embedding")
+      store.refitAdvised() shouldBe true
+      val c1 = commits()
+      p.run(spark, d).count() shouldBe 10L
+      commits() shouldBe c1 + 1
+      store.refitAdvised() shouldBe false
+      assignedDirs() should have size 1 // vacuumed down to the refit dir
+      assignedDirs().head should startWith("append=r")
+      // idempotent: the advisory is reset, a rerun maintains nothing
+      val c2 = commits()
+      p.run(spark, d).count() shouldBe 10L
+      commits() shouldBe c2
+    } finally spark.conf.unset("spark.graft.index.vacuumRetentionMs")
+    // a maintenance stage pointing at nothing fails naming itself
+    val missing = CurationConfig.parse(
+      s"""{"table":"embeddings","id":"vec_id","text":"embedding",
+        | "stages":[{"stage":"ivf_maintain","path":"$path-nope","k":2}]}"""
+        .stripMargin)
+    val e = intercept[IllegalArgumentException] { missing.run(spark, d).count() }
+    e.getMessage should include("no committed IVF store")
+    // strict parse: k required, threshold and vacuum typed
+    def bad(json: String, frag: String): Unit = {
+      val err = intercept[IllegalArgumentException] { CurationConfig.parse(json) }
+      err.getMessage should include(frag)
+    }
+    bad(s"""{"table":"e","id":"i","text":"t",
+          | "stages":[{"stage":"ivf_maintain","path":"$path"}]}""".stripMargin,
+      "'k'")
+    bad(s"""{"table":"e","id":"i","text":"t",
+          | "stages":[{"stage":"ivf_maintain","path":"$path","k":2,
+          |  "l1ThresholdPpm":-1}]}""".stripMargin, ">= 0")
+    bad(s"""{"table":"e","id":"i","text":"t",
+          | "stages":[{"stage":"ivf_maintain","path":"$path","k":2,
+          |  "vacuum":"yes"}]}""".stripMargin, "boolean")
+  }
+
   it("runConfigPipeline streams the declared chain: batch 1 seeds the " +
      "store through the stages, batch 2 gates against it — stream/batch " +
      "parity with named runs, and a replayed micro-batch reproduces its " +
