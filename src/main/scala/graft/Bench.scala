@@ -698,9 +698,16 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""passes":$passes,"disagreement":$disagreement,""" +
         f""""loadavg":$loads,"sf":"$sfDir",$provenance$evidence}"""
-    println(line)
     // sbt-forked stdout gets an "[info] " prefix; leave an undecorated copy
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    // the summary line must be the LAST stdout write (the driver parses
+    // it): stop Spark first — its state-store maintenance threads WARN
+    // asynchronously and have landed after the JSON in past rounds — and
+    // silence logging for the shutdown-hook tail before printing
     spark.stop()
+    org.apache.logging.log4j.core.config.Configurator
+      .setRootLevel(org.apache.logging.log4j.Level.OFF)
+    println(line)
+    System.out.flush()
   }
 }

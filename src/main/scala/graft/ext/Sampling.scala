@@ -133,9 +133,21 @@ object Sampling {
   def temperatureMixPortable(df: DataFrame, strataCol: String, idCol: String,
       targetDocs: Long, seed: Long = 42L): DataFrame = {
     require(targetDocs >= 0, "targetDocs must be >= 0")
+    // fail NAMING the column, not with a ClassCastException from the
+    // collect below; and refuse NULL strata outright — a NULL stratum
+    // would add its sqrt(n) weight to the normalizer while the literal
+    // CASE gate silently dropped its rows, depressing every other
+    // source's acceptance below the declared target
+    require(df.schema(strataCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"temperatureMix: strata column '$strataCol' must be STRING, got " +
+        df.schema(strataCol).dataType.simpleString)
     // driver-sized by construction: one row per source (strata)
     val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(counts.forall(_._1 != null),
+      s"temperatureMix: strata column '$strataCol' contains NULL — every " +
+        "document needs a source (filter or fill upstream)")
     val wts = counts.map { case (s, n) =>
       (s, n, BigInt(math.floor(math.sqrt(n.toDouble) * 1e6).toLong))
     }

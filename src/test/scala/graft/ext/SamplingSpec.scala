@@ -197,6 +197,22 @@ class SamplingSpec extends GraftSpec {
       40L).select("doc_id").as[Long].collect().sorted shouldBe expect.toArray
   }
 
+  it("temperatureMixPortable refuses a non-string strata column and NULL " +
+     "strata with clear errors (a NULL stratum would skew every other " +
+     "source's rate while its own rows silently dropped)") {
+    val typed = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixPortable(
+        Seq((1L, 7L)).toDF("doc_id", "source"), "source", "doc_id", 10L)
+    }
+    typed.getMessage should (include("source") and include("STRING"))
+    val nulls = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixPortable(
+        Seq((1L, "a"), (2L, null)).toDF("doc_id", "source"),
+        "source", "doc_id", 10L).count()
+    }
+    nulls.getMessage should include("NULL")
+  }
+
   it("repeatEpochsByStrata applies the per-stratum epoch table — each " +
      "stratum equals repeatEpochsPortable over its slice; unlisted " +
      "strata drop") {
