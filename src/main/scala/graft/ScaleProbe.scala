@@ -248,6 +248,91 @@ object ScaleProbe {
         ()
       }
     }
+    // Refit lifecycle scaling (round 13): the ONE deliberately
+    // corpus-sized maintenance pass, priced at real size across
+    // generations. Create on the base distribution, append an
+    // equally-sized DRIFTED batch (every component shifted +1 — the
+    // frozen centroids funnel it into a handful of hot cells), then:
+    //  - search cost + recall at nprobe=2 BEFORE the refit (hot-cell
+    //    candidate scans) vs AFTER (rebalanced cells);
+    //  - refit wall per generation == the writer-lock HOLD (refit runs
+    //    entirely under withWriteLock) — the number the heartbeat
+    //    design is sized against;
+    //  - a reader DURING the refit (readers take no lock; they resolve
+    //    the old generation from their manifest snapshot);
+    //  - max cell share before/after from the stored drift histograms.
+    if (sys.env.get("SCALE_REFIT").contains("1")) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      for (m <- Seq(5, 20)) {
+        def rep(offset: Int, shift: Float) = emb
+          .crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("vec_id") * (2 * m) + col("rep") + offset).as("vec_id"),
+            transform(col("embedding"),
+              x => x + (col("rep") % 10).cast("float") * lit(0.01f)
+                + lit(shift)).as("embedding"))
+          .localCheckpoint(true)
+        val base = rep(0, 0f)
+        val drifted = rep(m, 1f)
+        val path = graft.io.TempReaper.tempDir("graft-scale-refit")
+          .toString + "/idx"
+        val store = graft.ext.IvfStore.create(base, "vec_id", "embedding",
+          path, k = 32)
+        store.append(drifted, "vec_id", "embedding")
+        val n = store.stats.vectors
+        def maxSharePpm(): Long = {
+          val cells = store.driftReport().groupBy("cell")
+            .agg(sum("n").as("n")).collect().map(_.getLong(1))
+          cells.max * 1000000L / cells.sum
+        }
+        // 100 queries from the drifted region; exact = full-probe search
+        // (nprobe = k reads every cell: centroid-independent ground truth)
+        val qids = (1L to 100L).map(i => i * (2L * m) + m)
+        def topk(np: Int): Map[Long, Set[Long]] =
+          store.searchAll(qids, topK = 10, nprobe = np)
+            .select("qid", "vid").collect().groupBy(_.getLong(0))
+            .map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
+        def recall(got: Map[Long, Set[Long]],
+            exact: Map[Long, Set[Long]]): Double =
+          qids.map { q =>
+            val e = exact.getOrElse(q, Set.empty[Long])
+            if (e.isEmpty) 1.0
+            else (got.getOrElse(q, Set.empty[Long]) intersect e).size.toDouble / e.size
+          }.sum / qids.size
+        val exactBefore = topk(32)
+        val shareBefore = maxSharePpm()
+        val tb0 = System.nanoTime()
+        val beforeNp2 = topk(2)
+        val tb1 = System.nanoTime()
+        val recBefore = recall(beforeNp2, exactBefore)
+        val advised = store.refitAdvised()
+        // generation 2 in a background thread; a reader mid-refit
+        // resolves the OLD generation from its snapshot — no lock taken
+        val tr0 = System.nanoTime()
+        val fut = Future { store.refit(k = 32, iters = 2) }
+        Thread.sleep(500L)
+        val td0 = System.nanoTime()
+        val duringRows = store.searchAll(qids.take(10), topK = 10,
+          nprobe = 2).count()
+        val td1 = System.nanoTime()
+        Await.result(fut, scala.concurrent.duration.Duration.Inf)
+        val tr1 = System.nanoTime()
+        val exactAfter = topk(32)
+        val shareAfter = maxSharePpm()
+        val ta0 = System.nanoTime()
+        val afterNp2 = topk(2)
+        val ta1 = System.nanoTime()
+        val recAfter = recall(afterNp2, exactAfter)
+        // generation 3: refit cost per generation at fixed corpus
+        val tr2 = System.nanoTime()
+        store.refit(k = 32, iters = 2)
+        val tr3 = System.nanoTime()
+        println(f"""{"probe":"refit","vecs":$n,"k":32,"advised_before":$advised,"max_cell_share_before_ppm":$shareBefore,"max_cell_share_after_ppm":$shareAfter,"recall_np2_before":$recBefore%.3f,"recall_np2_after":$recAfter%.3f,"search_np2_before_sec":${(tb1 - tb0) / 1e9}%.2f,"search_np2_after_sec":${(ta1 - ta0) / 1e9}%.2f,"refit_gen2_sec":${(tr1 - tr0) / 1e9}%.1f,"refit_gen3_sec":${(tr3 - tr2) / 1e9}%.1f,"lock_hold_sec":${(tr1 - tr0) / 1e9}%.1f,"reader_during_refit_sec":${(td1 - td0) / 1e9}%.2f,"reader_during_refit_rows":$duringRows}""")
+        base.unpersist(); drifted.unpersist()
+        ()
+      }
+    }
     // Stored BM25 scaling (round 11): per-query cost of the persisted
     // inverted index vs the per-call session scorer as the corpus grows.
     // The session path re-tokenizes the WHOLE corpus every call (its one
