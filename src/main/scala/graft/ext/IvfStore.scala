@@ -338,11 +338,25 @@ final class IvfStore private (private val spark: SparkSession,
     * centroids and relation dirs from one manifest snapshot ([[genOf]]),
     * old dirs survive [[vacuum]] for the retention window, and old
     * generations' centroid dirs are never deleted. Gate parameters and
-    * the packed scale carry over unchanged. */
+    * the packed scale carry over unchanged.
+    *
+    * TOKEN-REPLAY WINDOW: compaction preserves it by never folding the
+    * newest dir; refit folds EVERYTHING, so it preserves it differently —
+    * the refit manifest CARRIES FORWARD the newest active token (if any).
+    * A replayed micro-batch's `excludeToken` view then excludes BOTH the
+    * original append's manifest and the refit's: the old manifests become
+    * un-superseded in that view, so the replay resolves the pre-append
+    * generation and its (retention-guarded) dirs and gets its original
+    * answer — without the carry, the visible refit relation would contain
+    * the replayed batch's own rows and a dedup gate would wrongly return
+    * empty. Self-propagating: a second refit carries the same token. */
   def refit(k: Int, iters: Int = 2): IvfStoreStats = log.withWriteLock {
     val ms = log.read()
     val ids = activeIds(ms)
     require(ids.nonEmpty, s"no committed assigned dirs under $path")
+    val active = ids.toSet
+    val carried = ms.filter(_.digests.exists(active)).flatMap(_.token)
+      .lastOption
     val prev = stats
     val g = genOf(ms) + 1
     val rel = spark.read.option("basePath", s"$path/assigned")
@@ -362,7 +376,7 @@ final class IvfStore private (private val spark: SparkSession,
       val n = writeAssigned(
         idx.assigned.select("vid", "emb", "nrm", "cell")
           .repartition(col("cell")), id, prev.packedScale)
-      log.commit(Manifest(Seq(id), Nil, Nil, Nil, None,
+      log.commit(Manifest(Seq(id), Nil, Nil, Nil, carried,
         supersedesDigests = ids, generation = Some(g)), seq)
       val st = IvfStoreStats(idx.centroids.size,
         idx.centroids.head._2.length, n, prev.gateTau, prev.gateNprobe,

@@ -182,9 +182,19 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
       // refresh ONLY a lock we still own — never a successor's after a
       // (wrong) break; any failure here is tolerable (a missed beat), the
       // stale window is many periods wide
-      try if (lockOwner(f, lock).contains(owner))
-        f.setTimes(lock, System.currentTimeMillis(), -1)
-      catch { case _: Throwable => () }
+      try if (lockOwner(f, lock).contains(owner)) {
+        try f.setTimes(lock, System.currentTimeMillis(), -1)
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            // filesystems without setTimes (some object stores): refresh
+            // by rewriting the lock content — still owner-checked above,
+            // and the stale window is many periods wide, so the
+            // overwrite-vs-break race is both tiny and self-healing (the
+            // loser's commit is no-overwrite)
+            val out = f.create(lock, true)
+            try out.write(content) finally out.close()
+        }
+      } catch { case _: Throwable => () }
     }, hbMs, hbMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body finally {
       hb.shutdownNow()

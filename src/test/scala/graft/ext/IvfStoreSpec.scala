@@ -519,6 +519,43 @@ class IvfStoreSpec extends GraftSpec {
     store.driftAdvisory() shouldBe None // a lone histogram: nothing to compare
   }
 
+  it("a token replay SURVIVES a refit: the refit manifest carries the " +
+     "newest append's token forward, so the excludeToken view resolves " +
+     "the pre-append generation and dirs and the replayed gate+append " +
+     "reproduce their original answer with no new commits") {
+    val store = IvfStore.create(emb.filter($"vec_id" % 5 =!= 0),
+      "vec_id", "embedding", tmp(), k = 8)
+    // one stored-copy vector (dropped by the gate) + the fresh rest (kept)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+      .select(($"vec_id" + 7000).as("vec_id"), $"embedding")
+      .union(emb.filter($"vec_id" === 2L)
+        .select(($"vec_id" + 8000).as("vec_id"), $"embedding"))
+      .localCheckpoint(true)
+    val tok = "rt#1"
+    val kept = store.gateKeep(batch, "vec_id", "embedding",
+      excludeToken = Some(tok)).localCheckpoint(true)
+    store.appendToken(kept, "vec_id", "embedding", tok)
+    val keptIds = kept.select("vec_id").as[Long].collect().sorted
+    keptIds should not contain 8002L // the stored copy dropped
+    // the refit folds EVERYTHING, including the token's append
+    store.refit(k = 8)
+    // ... and the replay still gets its original answer: without the
+    // token carry the visible refit relation would contain the batch's
+    // own rows and the dedup gate would return EMPTY
+    store.gateKeep(batch, "vec_id", "embedding", excludeToken = Some(tok))
+      .select("vec_id").as[Long].collect().sorted shouldBe keptIds
+    // and the replayed append is a committed no-op
+    val commits = new java.io.File(s"${store.path}/_commits").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("."))
+    store.appendToken(kept, "vec_id", "embedding", tok)
+    new java.io.File(s"${store.path}/_commits").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith(".")) shouldBe commits
+    // a SECOND refit self-propagates the carry
+    store.refit(k = 8)
+    store.gateKeep(batch, "vec_id", "embedding", excludeToken = Some(tok))
+      .select("vec_id").as[Long].collect().sorted shouldBe keptIds
+  }
+
   it("the semantic gate tolerates a batch that itself carries a 'qid' " +
      "column (reserved-name anti-join key)") {
     val store = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)

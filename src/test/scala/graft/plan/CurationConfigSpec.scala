@@ -751,6 +751,49 @@ class CurationConfigSpec extends GraftSpec {
           |  "vacuum":"yes"}]}""".stripMargin, "boolean")
   }
 
+  it("ivf_maintain composes with the STREAMED pipeline: the gate seeds " +
+     "and appends per micro-batch, and the declared maintenance refits " +
+     "at the batch whose drift trips the advisory — replaying that " +
+     "micro-batch afterwards still reproduces its survivors (the refit " +
+     "carries the token window forward)") {
+    import graft.streaming.EventStream
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-curation-maintstream").toString
+    def axis(a: Int): Seq[Float] = Seq.tabulate(8)(j => if (j == a) 1f else 0f)
+    // table exists only for the config contract; batches drive the stream
+    val b1 = ((0 until 20).map(i => (i.toLong, axis(0))) ++
+      (20 until 40).map(i => (i.toLong, axis(1))))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val b2 = (100 until 130).map(i => (i.toLong, axis(2)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    b1.unionByName(b2).write.parquet(s"$d/embeddings.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-maintstream-idx").toString + "/idx"
+    val pipeline = CurationConfig.parse(
+      s"""{"table":"embeddings","id":"vec_id","text":"embedding",
+        | "stages":[
+        |   {"stage":"semantic_gate","path":"$path","k":2,
+        |    "tau":0.5,"nprobe":1},
+        |   {"stage":"ivf_maintain","path":"$path","k":2}]}""".stripMargin)
+    val incoming = EventStream.twoFileBatchStream(b1, b2, "maintstream")
+    val res = EventStream.runConfigPipeline(incoming, pipeline, d,
+      "maintstream")
+    // batch 1 seeds (40 kept, maintenance no-ops on a lone baseline);
+    // batch 2 is orthogonal to everything stored (30 kept, appended) and
+    // its one-cell histogram trips the advisory → the declared
+    // maintenance refits
+    res.groupBy("batch").count().orderBy("batch")
+      .as[(Long, Long)].collect().toSeq shouldBe Seq((1L, 40L), (2L, 30L))
+    val store = graft.ext.IvfStore.open(spark, path)
+    store.refitAdvised() shouldBe false // baseline reset by the refit
+    store.driftReport().select("append").distinct().count() shouldBe 1L
+    // the replayed micro-batch (same runId the stream used) reproduces
+    // its survivors even though its append was folded into the refit
+    pipeline.applyStages(b2, d, Some("maintstream:b1"))
+      .select("vec_id").as[Long].collect().sorted shouldBe
+      (100L until 130L).toArray
+  }
+
   it("runConfigPipeline streams the declared chain: batch 1 seeds the " +
      "store through the stages, batch 2 gates against it — stream/batch " +
      "parity with named runs, and a replayed micro-batch reproduces its " +
