@@ -2889,6 +2889,41 @@ object SparkEntry {
       .orderBy("round", "doc_id")
   }
 
+  /** DQ154 (EXT, §2.9): the STREAMED drop audit
+    * ([[graft.streaming.EventStream.runConfigPipelineAudited]]) — dq143's
+    * per-stage fate accounting composed with dq153's streamed declared
+    * pipeline: every input row of every micro-batch gets `(round,
+    * doc_id, stage_idx, stage)` attributing its drop to the stage that
+    * dropped it (or `(0, "kept")`), over the FULL stored-gate chain —
+    * round 1 is the seed round (only the dedup can drop; every store
+    * seeds), round 2's drops attribute to the gating store stages. The
+    * production observability question — "which stage dropped this
+    * document, in which batch" — answered from the same tokenized,
+    * replayable loop. Oracle: the shared dq135 chain body with a fate
+    * SELECT per round instead of the survivor SELECT. */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = graft.io.TempReaper.tempDir("graft-dq154-idx").toString
+    val cfg =
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "exact_dedup"},
+        |   {"stage": "substr_gate", "path": "$base/ss", "k": 8, "maxDupWindows": 0},
+        |   {"stage": "lm_gate", "path": "$base/lm", "loMicro": 20000},
+        |   {"stage": "probe_gate", "path": "$base/qp"}]}""".stripMargin
+    val pipeline = graft.plan.CurationConfig.parse(cfg)
+    val b1 = docs.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("text"))
+    val b2 = docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
+      .select(col("doc_id"), col("text"))
+    val incoming = EventStream.twoFileBatchStream(b1, b2, "dq154")
+    val (_, audit) = EventStream
+      .runConfigPipelineAudited(incoming, pipeline, dir, "dq154")
+    audit.select(col("batch").as("round"), col("doc_id"),
+        col("stage_idx"), col("stage"))
+      .orderBy("round", "doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -3080,7 +3115,8 @@ object SparkEntry {
     "dq150_stream_reflm_gate"   -> (q150 _),
     "dq151_stream_frozen_probe" -> (q151 _),
     "dq152_stream_fuzzy_decontam" -> (q152 _),
-    "dq153_stream_config_pipeline" -> (q153 _)
+    "dq153_stream_config_pipeline" -> (q153 _),
+    "dq154_stream_drop_audit"     -> (q154 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3836,6 +3872,19 @@ object SparkEntry {
     * the s1-trained model, ≥ 20000), then the stored-statistics mean
     * gate (s1's Cramer weights + moments-only threshold). */
   private lazy val Dq135Sql: String =
+    s"""$Dq135ChainSql
+      |SELECT CAST(1 AS BIGINT) AS round, doc_id FROM s1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS round, doc_id FROM r1k
+      |ORDER BY round, doc_id""".stripMargin
+
+  /** dq135's full two-round store chain as a shared WITH body — the
+    * round-1 seed CTEs (b1 → dedup s1 → window set w1 + LM/probe models)
+    * and the round-2 gate CTEs (b2 → dedup d2 → substr s2 → LM s3 →
+    * probe r1k). [[Dq135Sql]] (and dq153 verbatim) select the per-round
+    * SURVIVORS from it; [[Dq154Sql]] selects the per-round, per-stage
+    * FATES — one audit row per input row per round. */
+  private lazy val Dq135ChainSql: String =
     s"""WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1),
       |s1 AS MATERIALIZED (SELECT doc_id, text FROM (
       |    SELECT doc_id, text,
@@ -3872,10 +3921,33 @@ object SparkEntry {
       |s3 AS MATERIALIZED (SELECT s2.doc_id, s2.text FROM s2
       |  JOIN qy USING (doc_id) WHERE qy.y >= 20000),
       |${probeFeatSql("s3", "s2t", "s3f")},
-      |${probeKeepSql("r1", "s3f")}
-      |SELECT CAST(1 AS BIGINT) AS round, doc_id FROM s1
-      |UNION ALL
-      |SELECT CAST(2 AS BIGINT) AS round, doc_id FROM r1k
+      |${probeKeepSql("r1", "s3f")}""".stripMargin
+
+  /** dq154: the streamed drop audit's fates, re-derived per round from
+    * the shared chain — round 1 is the seed round (only the dedup can
+    * drop), round 2 attributes each drop to its gating stage. */
+  private lazy val Dq154Sql: String =
+    s"""$Dq135ChainSql
+      |SELECT round, doc_id, stage_idx, stage FROM (
+      |  SELECT CAST(1 AS BIGINT) AS round, doc_id,
+      |      CAST(1 AS BIGINT) AS stage_idx, 'exact_dedup' AS stage
+      |    FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM s1)
+      |  UNION ALL SELECT CAST(1 AS BIGINT), doc_id, CAST(0 AS BIGINT),
+      |      'kept' FROM s1
+      |  UNION ALL SELECT CAST(2 AS BIGINT), doc_id, CAST(1 AS BIGINT),
+      |      'exact_dedup'
+      |    FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM d2)
+      |  UNION ALL SELECT CAST(2 AS BIGINT), doc_id, CAST(2 AS BIGINT),
+      |      'substr_gate'
+      |    FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM s2)
+      |  UNION ALL SELECT CAST(2 AS BIGINT), doc_id, CAST(3 AS BIGINT),
+      |      'lm_gate'
+      |    FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM s3)
+      |  UNION ALL SELECT CAST(2 AS BIGINT), doc_id, CAST(4 AS BIGINT),
+      |      'probe_gate'
+      |    FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM r1k)
+      |  UNION ALL SELECT CAST(2 AS BIGINT), doc_id, CAST(0 AS BIGINT),
+      |      'kept' FROM r1k) u
       |ORDER BY round, doc_id""".stripMargin
 
   /** dq134: the config-driven probe gate — round 1 (doc_id % 4 = 1)
@@ -4716,6 +4788,7 @@ object SparkEntry {
     // the streamed declared pipeline shares dq135's oracle verbatim: its
     // two micro-batches ARE dq135's two named rounds (stream/batch parity)
     "dq153_stream_config_pipeline" -> Dq135Sql,
+    "dq154_stream_drop_audit" -> Dq154Sql,
     // the FULL declared curation loop: dedup + three persisted gates
     // chained in one config, two ingest rounds, every stage replayed
     "dq135_config_curation_loop" -> Dq135Sql,

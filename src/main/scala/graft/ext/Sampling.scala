@@ -212,6 +212,14 @@ object Sampling {
       textCol: String, budgets: Map[String, Long],
       seed: Long = 42L): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    // the temperatureMix rule: fail naming the column, not with a
+    // ClassCastException from the driver-side cutoff fold (NULL strata
+    // are fine here — they miss the budget table and drop, the declared
+    // unlisted-stratum semantics)
+    require(df.schema(strataCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"tokenBudget: strata column '$strataCol' must be STRING, got " +
+        df.schema(strataCol).dataType.simpleString)
     val keyed = df
       .withColumn("__ok",
         md5(concat(col(idCol).cast("string"), lit(":" + seed))))

@@ -584,11 +584,18 @@ object CurationConfig {
       * row-multiplying stage (`repeat_epochs`) share their id across
       * copies, so audit such pipelines upstream of the repeat. */
     def runAudited(spark: SparkSession, dir: String,
+        runId: Option[String] = None): (DataFrame, DataFrame) =
+      applyStagesAudited(spark.read.parquet(s"$dir/$table.parquet"),
+        dir, runId)
+
+    /** [[applyStages]] with [[runAudited]]'s per-stage drop accounting —
+      * the streamed runner's audit form ([[graft.streaming.EventStream
+      * .runConfigPipelineAudited]] feeds each micro-batch through it). */
+    def applyStagesAudited(input: DataFrame, dir: String,
         runId: Option[String] = None): (DataFrame, DataFrame) = {
       runId.foreach(r => require(r.nonEmpty && !r.contains("\n"),
         "runId: non-empty, one line"))
-      var df = spark.read.parquet(s"$dir/$table.parquet")
-        .localCheckpoint(true)
+      var df = input.localCheckpoint(true)
       val drops = stages.zipWithIndex.map { case (st, i) =>
         val out = st.applyIn(dir)(df, idCol, textCol,
             runId.map(r => s"cfg:$r:s${i + 1}"))

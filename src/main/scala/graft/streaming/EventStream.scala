@@ -226,6 +226,45 @@ object EventStream {
       .withColumn("batch", col("batch").cast(LongType) + 1L)
   }
 
+  /** [[runConfigPipeline]] in AUDIT mode — each micro-batch runs
+    * [[graft.plan.CurationConfig.PipelineDef.applyStagesAudited]], so
+    * every input row of every micro-batch gets a fate row `(id,
+    * stage_idx, stage)` attributing its drop to the stage that dropped
+    * it (or `(0, "kept")`) — production observability for the streamed
+    * pipeline: "which stage dropped this document, in which batch".
+    * Returns (result, audit), both with the 1-based batch number; the
+    * result frame matches [[runConfigPipeline]]'s row for row (audit
+    * mode never changes the outcome — the [[graft.plan.CurationConfig
+    * .PipelineDef.runAudited]] contract). */
+  def runConfigPipelineAudited(incoming: DataFrame,
+      pipeline: graft.plan.CurationConfig.PipelineDef, dir: String,
+      name: String): (DataFrame, DataFrame) = {
+    val spark = incoming.sparkSession
+    val basePath =
+      java.nio.file.Files.createTempDirectory(s"graft-cfgaudit-$name")
+    deleteOnExit(basePath)
+    val out = s"${basePath.toString}/out"
+    val auditOut = s"${basePath.toString}/audit"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(auditOut))
+    val q = incoming.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val (res, audit) =
+          pipeline.applyStagesAudited(batch, dir, Some(s"$name:b$id"))
+        res.write.mode("overwrite").parquet(s"$out/batch=$id")
+        audit.write.mode("overwrite").parquet(s"$auditOut/batch=$id")
+      }
+      .option("checkpointLocation", s"${basePath.toString}/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastRunStats = extractStats(q.recentProgress)
+    def readBatched(root: String): DataFrame =
+      spark.read.parquet(root)
+        .withColumn("batch", col("batch").cast(LongType) + 1L)
+    (readBatched(out), readBatched(auditOut))
+  }
+
   /** The APPEND-ONLY sibling of [[runIndexedIngest]] for stores whose
     * state is associative and ungated ([[graft.ext.BpeStore]] word
     * counts): every micro-batch is folded in whole via `fold(batch,
