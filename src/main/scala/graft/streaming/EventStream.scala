@@ -259,10 +259,25 @@ object EventStream {
       .start()
     q.awaitTermination()
     lastRunStats = extractStats(q.recentProgress)
-    def readBatched(root: String): DataFrame =
-      spark.read.parquet(root)
+    def readBatched(root: String, empty: => DataFrame): DataFrame = {
+      val dirs = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith("batch="))
+      if (dirs.isEmpty) empty
+      else spark.read.parquet(root)
         .withColumn("batch", col("batch").cast(LongType) + 1L)
-    (readBatched(out), readBatched(auditOut))
+    }
+    def emptyOf(schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add("batch", LongType))
+    (readBatched(out, emptyOf(incoming.schema)),
+      readBatched(auditOut, emptyOf(org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField(pipeline.idCol,
+          org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("stage_idx",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("stage",
+            org.apache.spark.sql.types.StringType))))))
   }
 
   /** The APPEND-ONLY sibling of [[runIndexedIngest]] for stores whose
