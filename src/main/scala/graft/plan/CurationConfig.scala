@@ -385,6 +385,41 @@ object CurationConfig {
     }
   }
 
+  /** Retention-guarded VACUUM as a declared stage — [[IvfMaintain]]'s
+    * storage-lifecycle sibling for the whole store family: unlink the
+    * compaction-superseded dirs of the store at `path` once their
+    * superseding commit is older than
+    * `spark.graft.index.vacuumRetentionMs` (1h default — an in-flight
+    * reader that planned before the fold gets the window to finish).
+    * `kind` names the layout (each store owns its dir shapes); the
+    * quality-probe store deliberately has no vacuum — its state is a
+    * 14-row-per-append moment table, nothing ever supersedes. Rows pass
+    * through untouched; naturally idempotent (an already-vacuumed layout
+    * has nothing eligible). */
+  final case class StoreVacuum(kind: String, path: String) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
+      val spark = df.sparkSession
+      def need(ok: Boolean): Unit = require(ok,
+        s"store_vacuum at $path: no committed '$kind' store")
+      kind match {
+        case "substr" => need(SubstrIndex.exists(spark, path))
+          SubstrIndex.open(spark, path).vacuum()
+        case "neardup" => need(NearDupIndex.exists(spark, path))
+          NearDupIndex.open(spark, path).vacuum()
+        case "lm" => need(NgramLmStore.exists(spark, path))
+          NgramLmStore.open(spark, path).vacuum()
+        case "bm25" => need(graft.ext.Bm25Store.exists(spark, path))
+          graft.ext.Bm25Store.open(spark, path).vacuum()
+        case "bpe" => need(BpeStore.exists(spark, path))
+          BpeStore.open(spark, path).vacuum()
+        case "ivf" => need(IvfStore.exists(spark, path))
+          IvfStore.open(spark, path).vacuum()
+      }
+      df
+    }
+  }
+
   /** BENCHMARK DECONTAMINATION as a declared stage — the eval-leakage
     * guard every training pipeline needs (documents sharing a verbatim
     * k-token window with an evaluation corpus must not reach training):
@@ -532,6 +567,7 @@ object CurationConfig {
     case _: NearDupGate => "neardup_gate"
     case _: SemanticGate => "semantic_gate"
     case _: IvfMaintain => "ivf_maintain"
+    case _: StoreVacuum => "store_vacuum"
     case _: LmGate => "lm_gate"
     case _: ProbeGate => "probe_gate"
     case _: BpeTokenize => "bpe_tokenize"
@@ -803,6 +839,22 @@ object CurationConfig {
         if (nprobe < 1)
           fail(s"stage 'semantic_gate': nprobe must be >= 1, got $nprobe")
         SemanticGate(path, k.toInt, tau, nprobe.toInt)
+      case "store_vacuum" =>
+        val kinds = Set("substr", "neardup", "lm", "bm25", "bpe", "ivf")
+        val kind = j \ "kind" match {
+          case JString(k) if kinds(k) => k
+          case JString(k) => fail(s"stage 'store_vacuum': unknown kind " +
+            s"'$k' (${kinds.toSeq.sorted.mkString(" | ")}); the probe " +
+            "store needs no vacuum (append-only moment rows, nothing " +
+            "supersedes)")
+          case _ => fail("stage 'store_vacuum' needs a 'kind' string " +
+            s"(${kinds.toSeq.sorted.mkString(" | ")})")
+        }
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'store_vacuum' needs a non-empty 'path' string")
+        }
+        StoreVacuum(kind, path)
       case "ivf_maintain" =>
         val path = j \ "path" match {
           case JString(p) if p.trim.nonEmpty => p
@@ -850,7 +902,8 @@ object CurationConfig {
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
           "fluency_band | lang_gate | token_budget | temperature_mix | " +
           "repeat_epochs | where | substr_gate | decontam_gate | neardup_gate | " +
-          "semantic_gate | ivf_maintain | lm_gate | probe_gate | bpe_tokenize)")
+          "semantic_gate | ivf_maintain | store_vacuum | lm_gate | " +
+          "probe_gate | bpe_tokenize)")
     }
   }
 

@@ -751,6 +751,60 @@ class CurationConfigSpec extends GraftSpec {
           |  "vacuum":"yes"}]}""".stripMargin, "boolean")
   }
 
+  it("store_vacuum declares the retention-guarded vacuum for the store " +
+     "family: superseded dirs unlink once eligible, reruns no-op, rows " +
+     "pass through; parse is strict about kinds") {
+    val d = dir
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-vac").toString + "/idx"
+    // force folds: threshold 1 means the third append compacts history
+    spark.conf.set("spark.graft.ngramstore.compactThreshold", "1")
+    spark.conf.set("spark.graft.index.vacuumRetentionMs", "0")
+    try {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val store = graft.ext.NgramLmStore.build(
+        docs.filter($"doc_id" === 1L), "doc_id", "text", path)
+      store.append(docs.filter($"doc_id" === 4L), "doc_id", "text")
+      store.append(docs.filter($"doc_id" === 5L), "doc_id", "text")
+      def countDirs(): Int = new java.io.File(s"$path/counts")
+        .listFiles().count(_.isDirectory)
+      val before = countDirs()
+      val cfg =
+        s"""{"table":"documents","id":"doc_id","text":"text",
+          | "stages":[{"stage":"where","expr":"doc_id <= 2"},
+          |   {"stage":"store_vacuum","kind":"lm","path":"$path"}]}"""
+          .stripMargin
+      val p = CurationConfig.parse(cfg)
+      p.run(spark, d).select("doc_id").as[Long].collect().sorted shouldBe
+        Array(1L, 2L) // rows pass through
+      countDirs() should be < before // superseded folds unlinked
+      val after = countDirs()
+      p.run(spark, d).count() shouldBe 2L // idempotent rerun
+      countDirs() shouldBe after
+      // the model still answers (active dirs untouched)
+      store.scoreBatch(docs.filter($"doc_id" === 1L), "doc_id", "text")
+        .count() shouldBe 1L
+    } finally {
+      spark.conf.unset("spark.graft.ngramstore.compactThreshold")
+      spark.conf.unset("spark.graft.index.vacuumRetentionMs")
+    }
+    // a vacuum pointed at nothing fails naming the kind and path
+    val missing = CurationConfig.parse(
+      s"""{"table":"documents","id":"doc_id","text":"text",
+        | "stages":[{"stage":"store_vacuum","kind":"lm","path":"$path-x"}]}"""
+        .stripMargin)
+    intercept[IllegalArgumentException] { missing.run(spark, dir).count() }
+      .getMessage should include("no committed 'lm' store")
+    // strict parse: unknown kind names the options and the probe rule
+    val e = intercept[IllegalArgumentException] {
+      CurationConfig.parse(
+        """{"table":"t","id":"i","text":"x",
+          | "stages":[{"stage":"store_vacuum","kind":"probe","path":"/p"}]}"""
+          .stripMargin)
+    }
+    e.getMessage should (include("unknown kind") and include("probe"))
+  }
+
   it("ivf_maintain composes with the STREAMED pipeline: the gate seeds " +
      "and appends per micro-batch, and the declared maintenance refits " +
      "at the batch whose drift trips the advisory — replaying that " +
