@@ -333,6 +333,63 @@ object ScaleProbe {
         ()
       }
     }
+    // Streamed declared-pipeline scaling (round 13): dq153's composition
+    // priced at growing corpus — the full 4-stage store chain
+    // (exact_dedup → substr_gate → lm_gate → probe_gate) run as two
+    // NAMED batch rounds vs the same chain STREAMED (two micro-batches
+    // through runConfigPipeline). The question the number answers: what
+    // does the streaming machinery itself cost on top of the batch twin
+    // (availableNow planning, checkpoint dir, per-batch parquet
+    // round-trip), and does it stay CONSTANT as the corpus grows — the
+    // stage work is identical by the parity property.
+    if (sys.env.get("SCALE_CFGSTREAM").contains("1")) {
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      for (m <- Seq(4, 16)) {
+        val corpus = docs.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            concat(col("text"), lit(" r"), col("rep")).as("text"))
+          .localCheckpoint(true)
+        // slice by BASE doc (doc_id div m), not raw id: replicas of one
+        // base share their interior windows, so a raw-id slice would put
+        // a stored sibling behind every round-2 doc and the gate would
+        // (correctly) drop the whole batch — fine for parity, useless as
+        // a workload
+        val b1 = corpus.filter(expr(s"(doc_id div $m) % 4 = 1"))
+          .localCheckpoint(true)
+        val b2 = corpus.filter(expr(s"(doc_id div $m) % 4 in (1, 2)"))
+          .localCheckpoint(true)
+        val n = b1.count() + b2.count()
+        def cfgAt(base: String) = graft.plan.CurationConfig.parse(
+          s"""{"table": "documents", "id": "doc_id", "text": "text",
+            | "stages": [
+            |   {"stage": "exact_dedup"},
+            |   {"stage": "substr_gate", "path": "$base/ss", "k": 8,
+            |    "maxDupWindows": 0},
+            |   {"stage": "lm_gate", "path": "$base/lm", "loMicro": 20000},
+            |   {"stage": "probe_gate", "path": "$base/qp"}]}""".stripMargin)
+        val dir = "/root/testdata/sf0.1" // unused by these stages; contract arg
+        val bBase = graft.io.TempReaper.tempDir("graft-scale-cfgb").toString
+        val tb0 = System.nanoTime()
+        val pb = cfgAt(bBase)
+        val k1 = pb.applyStages(b1, dir, Some("r1")).count()
+        val k2 = pb.applyStages(b2, dir, Some("r2")).count()
+        val tb1 = System.nanoTime()
+        val sBase = graft.io.TempReaper.tempDir("graft-scale-cfgs").toString
+        val ts0 = System.nanoTime()
+        val streamed = graft.streaming.EventStream.runConfigPipeline(
+          graft.streaming.EventStream.twoFileBatchStream(b1, b2,
+            s"scale-cfgstream-$m"),
+          cfgAt(sBase), dir, s"scale-cfgstream-$m")
+        val s1 = streamed.filter(col("batch") === 1L).count()
+        val s2 = streamed.filter(col("batch") === 2L).count()
+        val ts1 = System.nanoTime()
+        require(s1 == k1 && s2 == k2,
+          s"stream/batch divergence: ($s1,$s2) vs ($k1,$k2)")
+        println(f"""{"probe":"cfgstream","docs":$n,"kept_b1":$k1,"kept_b2":$k2,"batch_sec":${(tb1 - tb0) / 1e9}%.2f,"stream_sec":${(ts1 - ts0) / 1e9}%.2f,"overhead_sec":${((ts1 - ts0) - (tb1 - tb0)) / 1e9}%.2f}""")
+        corpus.unpersist(); b1.unpersist(); b2.unpersist()
+        ()
+      }
+    }
     // Stored BM25 scaling (round 11): per-query cost of the persisted
     // inverted index vs the per-call session scorer as the corpus grows.
     // The session path re-tokenizes the WHOLE corpus every call (its one
