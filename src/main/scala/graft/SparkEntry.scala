@@ -2924,6 +2924,63 @@ object SparkEntry {
       .orderBy("round", "doc_id")
   }
 
+  /** DQ155 (S1/S2): the PROTO REPLAY-CACHE path under the full oracle —
+    * the reference's ingest surface end-to-end, previously spec- and
+    * Bench-evidenced only: `orders` is encoded into the proto3 wire
+    * format (varint / length-delimited / fixed64) and staged as the
+    * replay-cache layout DISTRIBUTED (every partition's file leads with
+    * the base64 query-text header the S2 validity check reads), then
+    * read back through the DSv2 source ([[graft.io.ProtoSource]]) with
+    * the `expectedQuery` header check on and the row gate pushed into
+    * the wire decoder (`o_totalprice > 400000` rejects ~80% of rows
+    * before full decode — the dq's Bench evidence records rowsGated),
+    * and compared BIT-EXACTLY against DuckDB over the original parquet:
+    * doubles round-trip through fixed64 bits, strings through UTF-8,
+    * int64 through varints. */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.ProtoIngest._
+    val msg = PMessage("order_row", Seq(
+      PField(1, "o_orderkey", PInt64),
+      PField(2, "o_orderstatus", PString),
+      PField(3, "o_custkey", PInt64),
+      PField(4, "o_totalprice", PDouble)))
+    val cache = graft.io.TempReaper.tempDir("graft-dq155").toString + "/cache"
+    val query = "SELECT order_row FROM orders"
+    val header =
+      java.util.Base64.getEncoder.encodeToString(query.getBytes("UTF-8"))
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_custkey", "o_totalprice")
+      .rdd.mapPartitions { rows =>
+        val b64 = java.util.Base64.getEncoder
+        Iterator(header) ++ rows.map { r =>
+          val out = new java.io.ByteArrayOutputStream()
+          def varint(v0: Long): Unit = {
+            var v = v0
+            while ((v & ~0x7fL) != 0) {
+              out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
+            }
+            out.write(v.toInt)
+          }
+          varint(8); varint(r.getLong(0))
+          val sb = r.getString(1).getBytes("UTF-8")
+          varint(18); varint(sb.length.toLong); out.write(sb, 0, sb.length)
+          varint(24); varint(r.getLong(2))
+          varint(33)
+          val bits = java.lang.Double.doubleToLongBits(r.getDouble(3))
+          var i = 0
+          while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+          b64.encodeToString(out.toByteArray)
+        }
+      }.saveAsTextFile(cache)
+    graft.io.ProtoSource.registerDescriptor("order_row", msg)
+    s.read.format("graft.io.ProtoSource")
+      .option("descriptor", "order_row")
+      .option("expectedQuery", query)
+      .load(cache)
+      .filter(col("o_totalprice") > 400000.0)
+      .orderBy("o_orderkey")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -3116,7 +3173,8 @@ object SparkEntry {
     "dq151_stream_frozen_probe" -> (q151 _),
     "dq152_stream_fuzzy_decontam" -> (q152 _),
     "dq153_stream_config_pipeline" -> (q153 _),
-    "dq154_stream_drop_audit"     -> (q154 _)
+    "dq154_stream_drop_audit"     -> (q154 _),
+    "dq155_proto_replay_report"   -> (q155 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4789,6 +4847,12 @@ object SparkEntry {
     // two micro-batches ARE dq135's two named rounds (stream/batch parity)
     "dq153_stream_config_pipeline" -> Dq135Sql,
     "dq154_stream_drop_audit" -> Dq154Sql,
+    // bit-exact round trip: int64 via varint, string via UTF-8, double
+    // via fixed64 bits — the oracle reads the ORIGINAL parquet
+    "dq155_proto_replay_report" ->
+      """SELECT o_orderkey, o_orderstatus, o_custkey, o_totalprice
+        |FROM orders WHERE o_totalprice > 400000
+        |ORDER BY o_orderkey""".stripMargin,
     // the FULL declared curation loop: dedup + three persisted gates
     // chained in one config, two ingest rounds, every stage replayed
     "dq135_config_curation_loop" -> Dq135Sql,
