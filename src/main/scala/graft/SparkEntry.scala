@@ -2937,18 +2937,28 @@ object SparkEntry {
     * and compared BIT-EXACTLY against DuckDB over the original parquet:
     * doubles round-trip through fixed64 bits, strings through UTF-8,
     * int64 through varints. */
-  private def q155(s: SparkSession, dir: String): DataFrame = {
+  private val OrderWireQuery = "SELECT order_row FROM orders"
+
+  /** The `order_row` wire descriptor dq155/dq156 share. */
+  private def orderWireMsg: graft.io.ProtoIngest.PMessage = {
     import graft.io.ProtoIngest._
-    val msg = PMessage("order_row", Seq(
+    PMessage("order_row", Seq(
       PField(1, "o_orderkey", PInt64),
       PField(2, "o_orderstatus", PString),
       PField(3, "o_custkey", PInt64),
       PField(4, "o_totalprice", PDouble)))
-    val cache = graft.io.TempReaper.tempDir("graft-dq155").toString + "/cache"
-    val query = "SELECT order_row FROM orders"
-    val header =
-      java.util.Base64.getEncoder.encodeToString(query.getBytes("UTF-8"))
-    t(s, dir, "orders")
+  }
+
+  /** Encode an `orders` slice into the proto3 wire format and stage it as
+    * replay-cache files under `destDir` with `prefix`-monotonic names —
+    * DISTRIBUTED (one file per partition, each leading with the base64
+    * query header the S2 validity check reads). */
+  private def stageOrderCache(slice: DataFrame, destDir: String,
+      prefix: String): Unit = {
+    val header = java.util.Base64.getEncoder
+      .encodeToString(OrderWireQuery.getBytes("UTF-8"))
+    val stage = graft.io.TempReaper.tempDir("graft-orderwire").toString + "/s"
+    slice
       .select("o_orderkey", "o_orderstatus", "o_custkey", "o_totalprice")
       .rdd.mapPartitions { rows =>
         val b64 = java.util.Base64.getEncoder
@@ -2971,13 +2981,61 @@ object SparkEntry {
           while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
           b64.encodeToString(out.toByteArray)
         }
-      }.saveAsTextFile(cache)
-    graft.io.ProtoSource.registerDescriptor("order_row", msg)
+      }.saveAsTextFile(stage)
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(destDir))
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(f"$destDir/$prefix-$i%05d.txt"))
+    }
+  }
+
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val cache = graft.io.TempReaper.tempDir("graft-dq155").toString + "/cache"
+    stageOrderCache(t(s, dir, "orders"), cache, "c0")
+    graft.io.ProtoSource.registerDescriptor("order_row", orderWireMsg)
     s.read.format("graft.io.ProtoSource")
       .option("descriptor", "order_row")
-      .option("expectedQuery", query)
+      .option("expectedQuery", OrderWireQuery)
       .load(cache)
       .filter(col("o_totalprice") > 400000.0)
+      .orderBy("o_orderkey")
+  }
+
+  /** DQ156 (S1, §2.9): the proto replay cache TAILED AS A STREAM under
+    * the full oracle — [[graft.io.ProtoSource]]'s `MicroBatchStream`
+    * (the streaming shape of the reference's gRPC iterator), exercised
+    * across a CHECKPOINT RESTART: run 1 consumes the first staged slice
+    * (availableNow), the second slice lands in the cache dir, run 2
+    * restarts from the checkpoint and must deliver ONLY the new files
+    * (the consumed-file offset), appending to the same parquet sink.
+    * The final sink holding exactly the full table — no loss, no
+    * duplication — IS the exactly-once evidence, checked bit-exactly by
+    * the plain full-table oracle. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.io.TempReaper.tempDir("graft-dq156").toString
+    val cache = s"$base/cache"
+    val orders = t(s, dir, "orders")
+    graft.io.ProtoSource.registerDescriptor("order_row", orderWireMsg)
+    def runOnce(): Unit = {
+      val q = s.readStream.format("graft.io.ProtoSource")
+        .option("descriptor", "order_row")
+        .option("expectedQuery", OrderWireQuery)
+        .load(cache)
+        .writeStream.format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stageOrderCache(orders.filter(col("o_orderkey") % 2 === 0), cache, "c0")
+    runOnce()
+    stageOrderCache(orders.filter(col("o_orderkey") % 2 === 1), cache, "c1")
+    runOnce()
+    s.read.parquet(s"$base/data")
+      .select("o_orderkey", "o_orderstatus", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
   }
 
@@ -3174,7 +3232,8 @@ object SparkEntry {
     "dq152_stream_fuzzy_decontam" -> (q152 _),
     "dq153_stream_config_pipeline" -> (q153 _),
     "dq154_stream_drop_audit"     -> (q154 _),
-    "dq155_proto_replay_report"   -> (q155 _)
+    "dq155_proto_replay_report"   -> (q155 _),
+    "dq156_proto_stream_tail"     -> (q156 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4853,6 +4912,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, o_custkey, o_totalprice
         |FROM orders WHERE o_totalprice > 400000
         |ORDER BY o_orderkey""".stripMargin,
+    // exactly-once across the checkpoint restart: the sink holds the FULL
+    // table — any lost file or re-delivered batch breaks the hash
+    "dq156_proto_stream_tail" ->
+      """SELECT o_orderkey, o_orderstatus, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // the FULL declared curation loop: dedup + three persisted gates
     // chained in one config, two ingest rounds, every stage replayed
     "dq135_config_curation_loop" -> Dq135Sql,
