@@ -136,8 +136,13 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
       "spark.graft.index.lockWaitMs", default = 120000L, min = 0L)
     val staleMs = IndexConf.strictLong(spark,
       "spark.graft.index.lockStaleMs", default = 600000L, min = 1L)
-    val hbMs = IndexConf.strictLong(spark,
-      "spark.graft.index.lockHeartbeatMs", default = 30000L, min = 1L)
+    // clamp the beat to a third of the stale window: a conf pair with
+    // hbMs >= staleMs would let a waiter break a LIVE holder between
+    // beats — the exact failure the heartbeat exists to prevent
+    val hbMs = math.min(
+      IndexConf.strictLong(spark,
+        "spark.graft.index.lockHeartbeatMs", default = 30000L, min = 1L),
+      math.max(1L, staleMs / 3))
     val f = fs
     f.mkdirs(commitsDir)
     val lock = new HPath(commitsDir, ".lock")

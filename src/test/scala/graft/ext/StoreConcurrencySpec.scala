@@ -113,8 +113,11 @@ class StoreConcurrencySpec extends GraftSpec {
      "that stops beating is still broken") {
     val path = tmp()
     val log = new ManifestLog(spark, path)
-    spark.conf.set("spark.graft.index.lockStaleMs", "400")
-    spark.conf.set("spark.graft.index.lockHeartbeatMs", "50")
+    // margins sized for a COLD JVM: first-beat classloading and GC pauses
+    // have been observed north of 400ms, so the stale window is 2s with a
+    // 100ms beat — a missed beat or three still leaves 10× headroom
+    spark.conf.set("spark.graft.index.lockStaleMs", "2000")
+    spark.conf.set("spark.graft.index.lockHeartbeatMs", "100")
     spark.conf.set("spark.graft.index.lockWaitMs", "30000")
     try {
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -126,7 +129,7 @@ class StoreConcurrencySpec extends GraftSpec {
       val holder = new Thread(() => {
         try log.withWriteLock {
           holderIn.countDown()
-          Thread.sleep(1200)
+          Thread.sleep(6000)
           holderDone.set(true)
         } catch { case t: Throwable => errs.add(t) }
       })
