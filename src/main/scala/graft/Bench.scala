@@ -477,6 +477,22 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq143 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq154: the STREAMED audit's accounting — per-(round, stage)
+      //    fate counts over the streamed stored-gate chain: round 1 is
+      //    the seed round (only the dedup drops), round 2's drops
+      //    attribute to the gating store stages. The stream-level twin
+      //    of the dq143 histogram.
+      if (!names.exists(_.startsWith("dq154"))) None
+      else try {
+        val fates = SparkEntry.queries("dq154_stream_drop_audit")(spark, sfDir)
+          .groupBy("round", "stage_idx", "stage").count()
+          .orderBy("round", "stage_idx").collect()
+        Some(fates.map(r =>
+          s""""dq154_fate_r${r.getLong(0)}_${r.getLong(1)}_${r.getString(2)}":${r.getLong(3)}""")
+          .mkString(","))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq154 evidence failed: ${e.getMessage}"); None
+      },
       //  - dq132: the STATISTICS gate's scale property — the model and
       //    its mean threshold come off the 14·appends-row moment table
       //    (one driver-sized read), so the gate plan over a checkpointed
