@@ -3039,6 +3039,49 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** DQ157 (S1/S2 + runner, §2.9): the reference's ENTIRE workflow as one
+    * declarative STREAMING job — cache → GAQL WHERE → projection → sink,
+    * all from config: the proto replay cache is tailed by
+    * [[graft.io.ProtoSource]]'s micro-batch stream, a declared
+    * [[graft.plan.ReportConfig]] report (fields + where) applies DIRECTLY
+    * to the streaming frame ([[graft.plan.ReportConfig.ReportDef
+    * .applyTo]] — the projection is stateless, so no foreachBatch, no
+    * custom loop; Catalyst plans the WHERE and the pruned decode INTO the
+    * streaming scan), and the parquet sink collects across a checkpoint
+    * restart (two availableNow runs, the second slice landing between —
+    * dq156's exactly-once shape). Oracle: the same report in SQL over the
+    * original parquet. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.io.TempReaper.tempDir("graft-dq157").toString
+    val cache = s"$base/cache"
+    val orders = t(s, dir, "orders")
+    graft.io.ProtoSource.registerDescriptor("order_row", orderWireMsg)
+    val report = graft.plan.ReportConfig.parse(
+      """{
+        |  "table": "orders",
+        |  "fields": ["o_orderkey", "o_totalprice"],
+        |  "where": "o_totalprice > 400000"
+        |}""".stripMargin)
+    def runOnce(): Unit = {
+      val q = report.applyTo(
+          s.readStream.format("graft.io.ProtoSource")
+            .option("descriptor", "order_row")
+            .option("expectedQuery", OrderWireQuery)
+            .load(cache))
+        .writeStream.format("parquet")
+        .option("path", s"$base/data")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stageOrderCache(orders.filter(col("o_orderkey") % 2 === 0), cache, "c0")
+    runOnce()
+    stageOrderCache(orders.filter(col("o_orderkey") % 2 === 1), cache, "c1")
+    runOnce()
+    s.read.parquet(s"$base/data").orderBy("o_orderkey")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -3233,7 +3276,8 @@ object SparkEntry {
     "dq153_stream_config_pipeline" -> (q153 _),
     "dq154_stream_drop_audit"     -> (q154 _),
     "dq155_proto_replay_report"   -> (q155 _),
-    "dq156_proto_stream_tail"     -> (q156 _)
+    "dq156_proto_stream_tail"     -> (q156 _),
+    "dq157_stream_config_report"  -> (q157 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4917,6 +4961,11 @@ object SparkEntry {
     "dq156_proto_stream_tail" ->
       """SELECT o_orderkey, o_orderstatus, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the declared report over the streamed cache: WHERE + projection,
+    // exactly-once across the restart — the reference's whole loop
+    "dq157_stream_config_report" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 400000 ORDER BY o_orderkey""".stripMargin,
     // the FULL declared curation loop: dedup + three persisted gates
     // chained in one config, two ingest rounds, every stage replayed
     "dq135_config_curation_loop" -> Dq135Sql,

@@ -48,10 +48,17 @@ object ReportConfig {
     /** Read the table from `dir`, apply the WHERE, run the projection —
       * the whole reference runner loop as one declarative plan.
       */
-    def run(spark: SparkSession, dir: String): DataFrame = {
-      val raw = spark.read.parquet(s"$dir/$table.parquet")
-      translator(where.fold(raw)(raw.filter))
-    }
+    def run(spark: SparkSession, dir: String): DataFrame =
+      applyTo(spark.read.parquet(s"$dir/$table.parquet"))
+
+    /** Apply the declared WHERE + projection to an ARBITRARY frame — the
+      * STREAMED entry point: the projection is stateless, so a STREAMING
+      * DataFrame (e.g. [[graft.io.ProtoSource]]'s micro-batch tail over
+      * the replay cache) passes through unchanged semantics and the whole
+      * reference workflow — cache → GAQL WHERE → projection → sink —
+      * becomes one declarative streaming job (dq157). */
+    def applyTo(df: DataFrame): DataFrame =
+      translator(where.fold(df)(df.filter))
 
     /** [[run]] then fan the result out to every declared sink — the
       * reference runner writes the same rows to Avro AND JSON
