@@ -3046,11 +3046,16 @@ object SparkEntry {
     * [[graft.plan.ReportConfig]] report (fields + where) applies DIRECTLY
     * to the streaming frame ([[graft.plan.ReportConfig.ReportDef
     * .applyTo]] — the projection is stateless, so no foreachBatch, no
-    * custom loop; Catalyst plans the WHERE and the pruned decode INTO the
-    * streaming scan), and the parquet sink collects across a checkpoint
+    * custom loop), and the parquet sink collects across a checkpoint
     * restart (two availableNow runs, the second slice landing between —
-    * dq156's exactly-once shape). Oracle: the same report in SQL over the
-    * original parquet. */
+    * dq156's exactly-once shape). Honest plan note (probed empirically,
+    * `ProtoStreamPushdownSpec`): Spark 4.1 does NOT run scan pushdown on
+    * STREAMING DSv2 relations — the micro-batch scan decodes every
+    * declared field and the WHERE filters above it (correctness
+    * unaffected; filters are residual even on the batch path). Pruning a
+    * stream is done at the DESCRIPTOR (declare only needed fields);
+    * batch reads of the same cache get the full pushdown (dq155).
+    * Oracle: the same report in SQL over the original parquet. */
   private def q157(s: SparkSession, dir: String): DataFrame = {
     val base = graft.io.TempReaper.tempDir("graft-dq157").toString
     val cache = s"$base/cache"
