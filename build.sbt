@@ -1,5 +1,13 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// No "[success] Total time: ..." trailer after a task finishes: the bench
+// harness parses the LAST stdout line as the summary JSON, and sbt's own
+// success banner printing after the forked JVM's output broke that parse
+// (exit code still reports success/failure to callers).
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task — the
+// unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 name := "prototoavroqlspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

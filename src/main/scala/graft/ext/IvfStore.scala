@@ -424,8 +424,10 @@ final class IvfStore private (private val spark: SparkSession,
   /** The two driver-side drift statistics behind [[refitAdvised]], both
     * L1 distances between cell-SHARE distributions in parts-per-million
     * (Σ_cell |share_a − share_b|, max 2e6), computed over the ≤ k·appends
-    * drift rows in MANIFEST COMMIT ORDER (id strings don't sort
-    * chronologically once compactions `c…`/refits `r…` enter the mix):
+    * drift rows in DATA-AGE ORDER (per [[driftIds]]: folds first, then
+    * appends by sequence — neither lexicographic id order nor manifest
+    * commit order is right, since a compaction COMMITS after the append
+    * that survives it but its data is OLDER):
     *  - `newestL1Ppm`: the newest committed write vs everything stored
     *    before it — the fast trigger a single anomalous batch trips;
     *  - `cumulativeL1Ppm`: ALL writes since the baseline (the oldest

@@ -2,6 +2,7 @@ package graft.plan
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -61,6 +62,28 @@ object CurationConfig {
     def applyIn(dir: String)(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame =
       apply(df, idCol, textCol, runToken)
+
+    /** True for stages whose semantics derive STATISTICS FROM THE INPUT
+      * FRAME (mixing rates from stratum counts, budget prefix sums, a
+      * self-trained fluency model): in a batch run the frame is the
+      * declared corpus, so those are corpus statistics; run per
+      * micro-batch they silently become batch statistics — a different
+      * answer with no error. The streamed runners
+      * ([[graft.streaming.EventStream.runConfigPipeline]] and its audit
+      * twin) REFUSE a pipeline containing one; the store-mediated gate
+      * stages are stream-correct precisely because their state lives in
+      * the store, and the per-row stages carry no state at all. */
+    def batchScoped: Boolean = false
+
+    /** The stage's output schema for a given input schema — the
+      * zero-batch contract of the streamed runners: a stream with no
+      * input files never fires a micro-batch, and the empty result's
+      * shape must be derived WITHOUT running the stage (a store-gate
+      * stage applied to an empty frame would attempt an empty SEED —
+      * a side effect, and a refused one). Identity for the
+      * row-preserving majority; the column-adding stages override. */
+    def outputSchema(in: StructType, idCol: String,
+        textCol: String): StructType = in
   }
 
   case object ExactDedup extends Stage {
@@ -87,6 +110,10 @@ object CurationConfig {
         .select(col(idCol))
       df.join(keep, Seq(idCol), "left_semi")
     }
+    // trains the LM on the current survivors FRAME — corpus statistics
+    // in a batch run, batch statistics per micro-batch (use lm_gate, the
+    // store-mediated form, in a stream)
+    override def batchScoped: Boolean = true
   }
 
   final case class TokenBudget(strataCol: String,
@@ -94,6 +121,8 @@ object CurationConfig {
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame =
       Sampling.tokenBudgetPortable(df, strataCol, idCol, textCol, budgets)
+    // prefix-sums stratum token totals of the input FRAME
+    override def batchScoped: Boolean = true
   }
 
   /** Language-ID gate ([[graft.ext.TextAnalysis.languageId]]): keep
@@ -117,6 +146,8 @@ object CurationConfig {
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame =
       Sampling.temperatureMixPortable(df, strataCol, idCol, targetDocs)
+    // derives per-stratum keep rates from counts of the input FRAME
+    override def batchScoped: Boolean = true
   }
 
   /** Multiplies rows (adds `epoch`): declare it LAST — a dedup or gate
@@ -125,6 +156,9 @@ object CurationConfig {
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame =
       Sampling.repeatEpochsPortable(df, idCol, factor)
+    override def outputSchema(in: StructType, idCol: String,
+        textCol: String): StructType =
+      in.add(StructField("epoch", LongType, nullable = false))
   }
 
   /** [[RepeatEpochs]] with a per-stratum factor table
@@ -135,6 +169,9 @@ object CurationConfig {
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame =
       Sampling.repeatEpochsByStrata(df, strataCol, idCol, factors)
+    override def outputSchema(in: StructType, idCol: String,
+        textCol: String): StructType =
+      in.add(StructField("epoch", LongType, nullable = false))
   }
 
   /** Row filter on a SQL boolean expression over the table's columns —
@@ -357,6 +394,13 @@ object CurationConfig {
       // repeat_epochs stage) must stay one-row-per-input
       input.withColumn("subtokens", store.tokenizeColumn(textCol))
     }
+    override def outputSchema(in: StructType, idCol: String,
+        textCol: String): StructType =
+      // SubwordTokenize is a UnaryExpression over the text column, so
+      // the column's nullability rides the text column's
+      in.add(StructField("subtokens",
+        ArrayType(StringType, containsNull = false),
+        nullable = in(textCol).nullable))
   }
 
   /** INDEX MAINTENANCE as a declared stage — the lifecycle side of the
@@ -604,6 +648,19 @@ object CurationConfig {
           runId.map(r => s"cfg:$r:s${i + 1}"))
       }
     }
+
+    /** The pipeline's OUTPUT schema for a given input schema — each
+      * stage's [[Stage.outputSchema]] folded in declaration order. The
+      * zero-batch contract of the streamed runners: derivable without
+      * running any stage (no store side effects), and pinned against the
+      * real [[applyStages]] output by `CurationConfigSpec`. */
+    def outputSchema(in: StructType): StructType =
+      stages.foldLeft(in)((s, st) => st.outputSchema(s, idCol, textCol))
+
+    /** The declared stages that are BATCH-SCOPED ([[Stage.batchScoped]]),
+      * by config name — what the streamed runners refuse. */
+    def batchScopedStages: Seq[String] =
+      stages.filter(_.batchScoped).map(stageName).distinct
 
     /** [[run]] with per-stage DROP ACCOUNTING — the audit a production
       * curation pipeline needs to answer "which stage dropped this

@@ -185,8 +185,8 @@ object EventStream {
 
   /** The DECLARED curation pipeline STREAMED — the capstone composition:
     * a [[graft.plan.CurationConfig.PipelineDef]] (dedup → stored gates →
-    * mix → tokenize, whatever the JSON declares) runs ONCE PER
-    * MICRO-BATCH via [[graft.plan.CurationConfig.PipelineDef
+    * tokenize, whatever STREAMABLE chain the JSON declares) runs ONCE
+    * PER MICRO-BATCH via [[graft.plan.CurationConfig.PipelineDef
     * .applyStages]], so the stores its gate stages point at are seeded by
     * batch 1 and gate batch 2 — production ingest is a stream, and this
     * locks the composition of the config workflow with the streaming
@@ -196,10 +196,21 @@ object EventStream {
     * id, so every gate stage's `cfg:<runId>:s<i>` token hands the replay
     * its original answer (seed recognition, excludeToken gate view,
     * appendOnce no-op) and the batch-dir rewrite is idempotent. Returns
-    * the union of per-batch results with their 1-based batch number. */
+    * the union of per-batch results with their 1-based batch number.
+    *
+    * BATCH-SCOPED stages are REFUSED up front
+    * ([[graft.plan.CurationConfig.Stage.batchScoped]] —
+    * `temperature_mix`, `token_budget`, `fluency_band`): they derive
+    * statistics from the input frame, and per-micro-batch statistics are
+    * not corpus statistics — running them here would silently break the
+    * stream/batch parity every streamed query in this library holds.
+    * Declare them in a BATCH pipeline over the materialized union (or
+    * use the store-mediated sibling, e.g. `lm_gate` for `fluency_band`).
+    */
   def runConfigPipeline(incoming: DataFrame,
       pipeline: graft.plan.CurationConfig.PipelineDef, dir: String,
       name: String): DataFrame = {
+    requireStreamable(pipeline)
     val spark = incoming.sparkSession
     val basePath =
       java.nio.file.Files.createTempDirectory(s"graft-cfgstream-$name")
@@ -219,11 +230,29 @@ object EventStream {
     val batchDirs = Option(new java.io.File(out).listFiles())
       .getOrElse(Array.empty).filter(_.getName.startsWith("batch="))
     if (batchDirs.isEmpty)
+      // zero input files → no batch ever fired; the empty result's shape
+      // is the PIPELINE's output schema (stages can add columns —
+      // bpe_tokenize, repeat_epochs), derived statically so no store
+      // side effect runs ([[graft.plan.CurationConfig.Stage.outputSchema]])
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        incoming.schema.add("batch", LongType))
+        pipeline.outputSchema(incoming.schema).add("batch", LongType))
     else spark.read.parquet(out)
       .withColumn("batch", col("batch").cast(LongType) + 1L)
+  }
+
+  /** Refuse a pipeline the streamed runners cannot run faithfully —
+    * see [[runConfigPipeline]]'s batch-scoped note. */
+  private def requireStreamable(
+      pipeline: graft.plan.CurationConfig.PipelineDef): Unit = {
+    val bad = pipeline.batchScopedStages
+    require(bad.isEmpty,
+      s"streamed config pipeline: stage(s) ${bad.mkString("'", "', '", "'")} " +
+        "derive statistics from the input frame — per-micro-batch " +
+        "statistics are not corpus statistics, so streaming them would " +
+        "silently diverge from the batch run. Declare them in a batch " +
+        "pipeline over the materialized union instead (or use the " +
+        "store-mediated sibling, e.g. lm_gate for fluency_band).")
   }
 
   /** [[runConfigPipeline]] in AUDIT mode — each micro-batch runs
@@ -239,6 +268,7 @@ object EventStream {
   def runConfigPipelineAudited(incoming: DataFrame,
       pipeline: graft.plan.CurationConfig.PipelineDef, dir: String,
       name: String): (DataFrame, DataFrame) = {
+    requireStreamable(pipeline)
     val spark = incoming.sparkSession
     val basePath =
       java.nio.file.Files.createTempDirectory(s"graft-cfgaudit-$name")
@@ -270,10 +300,14 @@ object EventStream {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.add("batch", LongType))
-    (readBatched(out, emptyOf(incoming.schema)),
+    // zero-batch shapes: the result carries the PIPELINE's output schema
+    // (stages add columns) and the audit's id column carries the
+    // pipeline's ACTUAL id type — both derived from incoming.schema, so
+    // an empty stream yields the same schema as a non-empty one
+    (readBatched(out, emptyOf(pipeline.outputSchema(incoming.schema))),
       readBatched(auditOut, emptyOf(org.apache.spark.sql.types.StructType(
         Seq(org.apache.spark.sql.types.StructField(pipeline.idCol,
-          org.apache.spark.sql.types.LongType),
+          incoming.schema(pipeline.idCol).dataType),
           org.apache.spark.sql.types.StructField("stage_idx",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("stage",

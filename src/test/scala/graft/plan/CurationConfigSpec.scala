@@ -895,4 +895,107 @@ class CurationConfigSpec extends GraftSpec {
       .select("doc_id").as[Long].collect().sorted shouldBe Array(3L, 5L)
     commits() shouldBe c
   }
+
+  it("the streamed runners REFUSE batch-scoped stages by name: " +
+     "per-micro-batch frame statistics are not corpus statistics") {
+    import graft.streaming.EventStream
+    val d = dir
+    val pipeline = CurationConfig.parse(
+      """{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "exact_dedup"},
+        |   {"stage": "temperature_mix", "strata": "text", "targetDocs": 3},
+        |   {"stage": "token_budget", "strata": "text", "budgets": {"a": 5}},
+        |   {"stage": "fluency_band", "loMicro": 0, "hiMicro": 1000000}]}"""
+        .stripMargin)
+    pipeline.batchScopedStages shouldBe
+      Seq("temperature_mix", "token_budget", "fluency_band")
+    // refusal is UP FRONT — before the stream starts, so the incoming
+    // frame is never touched (an empty-dir file stream suffices)
+    val emptyIn = java.nio.file.Files
+      .createTempDirectory("graft-refuse-in").toString
+    def incoming = spark.readStream
+      .schema(graft.streaming.EventStream.documentsSchema).parquet(emptyIn)
+    val e = intercept[IllegalArgumentException] {
+      EventStream.runConfigPipeline(incoming, pipeline, d, "refuse")
+    }
+    e.getMessage should (include("temperature_mix") and
+      include("token_budget") and include("fluency_band") and
+      include("not corpus statistics"))
+    val e2 = intercept[IllegalArgumentException] {
+      EventStream.runConfigPipelineAudited(incoming, pipeline, d, "refuse2")
+    }
+    e2.getMessage should include("temperature_mix")
+    // the same chain stays legal in the BATCH runner — the stages are
+    // refused only where their semantics would silently change
+    CurationConfig.parse(
+      """{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "exact_dedup"},
+        |   {"stage": "fluency_band", "loMicro": 0, "hiMicro": 1000000}]}"""
+        .stripMargin).run(spark, d).count() should be > 0L
+  }
+
+  it("PipelineDef.outputSchema matches the real applyStages output " +
+     "(column-adding stages included), and a ZERO-BATCH stream returns " +
+     "exactly that schema plus the batch column") {
+    import graft.streaming.EventStream
+    val d = dir
+    val bpePath = java.nio.file.Files
+      .createTempDirectory("graft-oschema-bpe").toString + "/bpe"
+    val p = CurationConfig.parse(
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "exact_dedup"},
+        |   {"stage": "repeat_epochs", "factor": 2},
+        |   {"stage": "bpe_tokenize", "path": "$bpePath", "numMerges": 3}]}"""
+        .stripMargin)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    val in = spark.read.parquet(s"$d/documents.parquet").schema
+    val real = p.run(spark, d) // trains the BPE store as a side effect
+    shape(real.schema) shouldBe shape(p.outputSchema(in))
+    // zero-batch: no input file ever fires a micro-batch, yet the
+    // streamed result carries the PIPELINE's schema (not the input's) —
+    // derived statically, no store side effect (the store at bpePath is
+    // NOT consulted; delete it to prove the derivation is static)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bpePath))
+    val emptyIn = java.nio.file.Files
+      .createTempDirectory("graft-zb-in").toString
+    val incoming = spark.readStream
+      .schema(EventStream.documentsSchema).parquet(emptyIn)
+    val res = EventStream.runConfigPipeline(incoming, p, d, "zb")
+    res.count() shouldBe 0L
+    shape(res.schema) shouldBe
+      shape(p.outputSchema(EventStream.documentsSchema)
+        .add("batch", org.apache.spark.sql.types.LongType))
+  }
+
+  it("zero-batch AUDIT stream types the audit id column from the " +
+     "pipeline's actual id type (string ids, not hardcoded long)") {
+    import graft.streaming.EventStream
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-zb-strid").toString
+    Seq(("a", "some text here"), ("b", "other text there"))
+      .toDF("doc_key", "text").write.parquet(s"$d/documents.parquet")
+    val p = CurationConfig.parse(
+      """{"table": "documents", "id": "doc_key", "text": "text",
+        | "stages": [{"stage": "exact_dedup"}]}""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val emptyIn = java.nio.file.Files
+      .createTempDirectory("graft-zb-strid-in").toString
+    val incoming = spark.readStream.schema(schema).parquet(emptyIn)
+    val (res, audit) =
+      EventStream.runConfigPipelineAudited(incoming, p, d, "zbstr")
+    res.count() shouldBe 0L
+    audit.count() shouldBe 0L
+    audit.schema("doc_key").dataType shouldBe
+      org.apache.spark.sql.types.StringType
+    res.schema("doc_key").dataType shouldBe
+      org.apache.spark.sql.types.StringType
+  }
 }
