@@ -118,17 +118,25 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
     *
     * LIVENESS vs crashed holders: the holder HEARTBEATS — a driver-side
     * daemon touches the lock file's mtime every
-    * `spark.graft.index.lockHeartbeatMs` (default 30 s), so staleness is
-    * judged on HEARTBEAT age, not acquisition age: a lock whose last
-    * heartbeat is older than `spark.graft.index.lockStaleMs` (default
-    * 10 min) is presumed abandoned by a crashed writer and broken via a
-    * unique-name rename (exactly one waiter wins the takeover), while a
-    * legitimately LONG holder — [[IvfStore.refit]] is corpus-sized by
-    * design — keeps its live lock for as long as it keeps beating. Keep
-    * the heartbeat period well under the stale window. The lock file
-    * carries an `owner=` nonce; release (and each beat) checks it, so a
-    * holder that was wrongly broken anyway (e.g. suspended longer than
-    * the stale window) cannot delete its successor's lock. NOT reentrant:
+    * `spark.graft.index.lockHeartbeatMs` (default 30 s); on filesystems
+    * whose setTimes can't do that (some object stores) it writes an
+    * owner-NAMED sidecar `.lock.hb.<owner>` instead, so the shared lock
+    * path is NEVER written after acquisition. Staleness is judged on
+    * HEARTBEAT age (max of lock mtime and the current owner's sidecar
+    * mtime), not acquisition age: a lock whose last heartbeat is older
+    * than `spark.graft.index.lockStaleMs` (default 10 min) is presumed
+    * abandoned by a crashed writer and broken via a unique-name rename
+    * (exactly one waiter wins the takeover, which also removes the dead
+    * owner's sidecar), while a legitimately LONG holder —
+    * [[IvfStore.refit]] is corpus-sized by design — keeps its live lock
+    * for as long as it keeps beating. Keep the heartbeat period well
+    * under the stale window. The lock file carries an `owner=` nonce;
+    * release (and each beat) checks it, so a holder that was wrongly
+    * broken anyway (e.g. suspended longer than the stale window) cannot
+    * delete its successor's lock — and since its beats only ever touch
+    * its OWN sidecar, it cannot clobber the successor's lock either.
+    * Release awaits the in-flight beat before the owner-checked delete,
+    * then removes its own sidecar. NOT reentrant:
     * public store entry points acquire it once and call lock-free
     * internals. */
   def withWriteLock[T](body: => T): T = {
@@ -159,14 +167,43 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
           try Some(f.getFileStatus(lock))
           catch { case _: java.io.FileNotFoundException => None }
         st match {
-          case Some(s) if System.currentTimeMillis() - s.getModificationTime
-              >= staleMs =>
-            // no heartbeat for a whole stale window: presumed-dead holder.
-            // Rename-then-delete so a racing waiter can't double-break
-            // (its rename fails once the source moved)
+          case Some(s) if System.currentTimeMillis() -
+              lastBeatMs(f, lock, s.getModificationTime) >= staleMs =>
+            // no heartbeat (lock mtime OR the owner's sidecar) for a whole
+            // stale window: presumed-dead holder. Rename-then-verify: the
+            // rename serializes breakers (a LOST race surfaces as
+            // rename=false or as FileNotFoundException — RawLocalFileSystem
+            // falls back to a copy when renameTo fails, and the copy stats
+            // the gone source), and the VERIFY closes the stat→rename
+            // TOCTOU: a racing waiter may have broken the stale lock and a
+            // new holder created a FRESH one in between, so we confirm the
+            // file we moved is the very stale file we statted (rename
+            // preserves mtime; a live sidecar-beating holder re-checks via
+            // its sidecar) and RESTORE it if not
             val broken = new HPath(commitsDir,
               s".lock.broken.${System.nanoTime()}")
-            if (f.rename(lock, broken)) f.delete(broken, false)
+            val won =
+              try f.rename(lock, broken)
+              catch { case _: java.io.FileNotFoundException => false }
+            if (won) {
+              val bOwner = lockOwner(f, broken)
+              val confirmedStale =
+                (try f.getFileStatus(broken).getModificationTime ==
+                  s.getModificationTime
+                catch { case _: java.io.IOException => false }) &&
+                System.currentTimeMillis() -
+                  lastBeatOf(f, s.getModificationTime, bOwner) >= staleMs
+              if (confirmedStale) {
+                f.delete(broken, false)
+                bOwner.foreach(o => f.delete(hbSidecar(o), false))
+              } else if (!f.rename(broken, lock)) {
+                // a new lock already appeared where we'd restore: the
+                // victim loses its lock file (its beats skip, its release
+                // no-ops) — a nanoseconds-wide double race, and commits
+                // stay safe regardless (no-overwrite publish)
+                f.delete(broken, false)
+              }
+            }
           case Some(_) =>
             if (System.currentTimeMillis() > deadline)
               throw new IllegalStateException(
@@ -178,6 +215,14 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
         }
       }
     }
+    // sweep heartbeat-sidecar litter: we hold the lock, a live holder
+    // deletes its own sidecar at release, so any sidecar but ours is a
+    // crashed predecessor's orphan
+    try f.listStatus(commitsDir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(".lock.hb.") &&
+        p.getName != s".lock.hb.$owner")
+      .foreach(p => f.delete(p, false))
+    catch { case _: java.io.IOException => () }
     val hb = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => {
         val t = new Thread(r, s"graft-lock-heartbeat-$owner")
@@ -186,25 +231,61 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
     hb.scheduleAtFixedRate(() => {
       // refresh ONLY a lock we still own — never a successor's after a
       // (wrong) break; any failure here is tolerable (a missed beat), the
-      // stale window is many periods wide
-      try if (lockOwner(f, lock).contains(owner)) {
-        try f.setTimes(lock, System.currentTimeMillis(), -1)
-        catch {
+      // stale window is many periods wide. The shared lock path is NEVER
+      // WRITTEN after acquisition: setTimes is a metadata touch, and the
+      // fallback for setTimes-less filesystems (some object stores) beats
+      // an owner-NAMED sidecar instead — a stale holder's in-flight beat
+      // can no longer clobber a successor's lock (round-13 finding #3)
+      try if (!hb.isShutdown && lockOwner(f, lock).contains(owner)) {
+        try {
+          if (ManifestLog.disableSetTimes)
+            throw new java.io.IOException("setTimes disabled (failpoint)")
+          f.setTimes(lock, System.currentTimeMillis(), -1)
+        } catch {
           case _: UnsupportedOperationException | _: java.io.IOException =>
-            // filesystems without setTimes (some object stores): refresh
-            // by rewriting the lock content — still owner-checked above,
-            // and the stale window is many periods wide, so the
-            // overwrite-vs-break race is both tiny and self-healing (the
-            // loser's commit is no-overwrite)
-            val out = f.create(lock, true)
-            try out.write(content) finally out.close()
+            val out = f.create(hbSidecar(owner), true)
+            try out.write(
+              s"owner=$owner\nts=${System.currentTimeMillis()}\n"
+                .getBytes("UTF-8"))
+            finally out.close()
         }
       } catch { case _: Throwable => () }
     }, hbMs, hbMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body finally {
       hb.shutdownNow()
+      // a beat that already passed its owner check must FINISH before the
+      // owner-checked delete below — shutdownNow alone does not wait, and
+      // a release racing its own last beat could otherwise interleave
+      // with the delete (ADVICE r13); the beat is sub-millisecond
+      try { hb.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS); () }
+      catch { case _: InterruptedException => Thread.currentThread().interrupt() }
       if (lockOwner(f, lock).contains(owner)) f.delete(lock, false)
+      f.delete(hbSidecar(owner), false) // only ever ours — unconditional
     }
+  }
+
+  /** The owner-named heartbeat sidecar: the beat target on filesystems
+    * whose setTimes can't touch the lock's mtime. Owner-unique, written
+    * only by its owner, deleted at release / takeover / the next
+    * acquirer's sweep. */
+  private def hbSidecar(owner: String): HPath =
+    new HPath(commitsDir, s".lock.hb.$owner")
+
+  /** The lock's last sign of life: the newer of its own mtime and its
+    * CURRENT owner's heartbeat-sidecar mtime. Foreign/orphaned sidecars
+    * never count — staleness always keys on the owner actually holding
+    * the lock. */
+  private def lastBeatMs(f: FileSystem, lock: HPath,
+      lockMtime: Long): Long =
+    lastBeatOf(f, lockMtime, lockOwner(f, lock))
+
+  private def lastBeatOf(f: FileSystem, lockMtime: Long,
+      owner: Option[String]): Long = {
+    val hbM = owner.flatMap { o =>
+      try Some(f.getFileStatus(hbSidecar(o)).getModificationTime)
+      catch { case _: java.io.IOException => None }
+    }
+    math.max(lockMtime, hbM.getOrElse(0L))
   }
 
   /** Atomic create-no-overwrite of the lock file: nio `CREATE_NEW`
@@ -316,6 +397,13 @@ private[ext] object ManifestLog {
     * property sweep. Scoped by path prefix so nothing outside the
     * injecting spec's temp dir is touched. */
   @volatile private[ext] var failCommitUnder: Option[String] = None
+
+  /** TEST-ONLY failpoint: pretend the filesystem has no usable setTimes
+    * (object-store semantics), forcing every heartbeat onto the
+    * owner-named sidecar path — the StoreConcurrencySpec scenarios
+    * re-run under it to prove lock liveness without ever writing the
+    * shared lock path. */
+  @volatile private[ext] var disableSetTimes: Boolean = false
 }
 
 /** Strict parsing for the persisted-index session confs — a junk value

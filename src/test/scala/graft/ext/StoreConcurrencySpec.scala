@@ -179,6 +179,134 @@ class StoreConcurrencySpec extends GraftSpec {
     }
   }
 
+  it("setTimes-less filesystems: heartbeats land on the owner-named " +
+     "SIDECAR — the shared lock path is never written after acquisition, " +
+     "a slow holder still survives past lockStaleMs, release removes the " +
+     "sidecar, and a takeover sweeps the dead owner's orphan") {
+    val path = tmp()
+    val log = new ManifestLog(spark, path)
+    spark.conf.set("spark.graft.index.lockStaleMs", "2000")
+    spark.conf.set("spark.graft.index.lockHeartbeatMs", "100")
+    spark.conf.set("spark.graft.index.lockWaitMs", "30000")
+    ManifestLog.disableSetTimes = true
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val commitsDir = java.nio.file.Paths.get(s"$path/_commits")
+      val lockP = commitsDir.resolve(".lock")
+      def sidecars(): Seq[String] =
+        Option(commitsDir.toFile.listFiles()).getOrElse(Array.empty)
+          .map(_.getName).filter(_.startsWith(".lock.hb.")).toSeq
+      val holderIn = new java.util.concurrent.CountDownLatch(1)
+      val holderDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      @volatile var lockBytesAtStart: Array[Byte] = Array.empty
+      @volatile var lockBytesMidHold: Array[Byte] = Array.empty
+      @volatile var lockMtimeAtStart = 0L
+      @volatile var lockMtimeMidHold = 0L
+      @volatile var sidecarsMidHold: Seq[String] = Nil
+      val holder = new Thread(() => {
+        try log.withWriteLock {
+          lockBytesAtStart = java.nio.file.Files.readAllBytes(lockP)
+          lockMtimeAtStart = lockP.toFile.lastModified()
+          holderIn.countDown()
+          Thread.sleep(6000) // 3× the stale window — only sidecar beats
+          lockBytesMidHold = java.nio.file.Files.readAllBytes(lockP)
+          lockMtimeMidHold = lockP.toFile.lastModified()
+          sidecarsMidHold = sidecars()
+          holderDone.set(true)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      val waiter = new Thread(() => {
+        try {
+          holderIn.await()
+          log.withWriteLock { if (!holderDone.get()) overlapped.set(true) }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      holder.start(); waiter.start()
+      holder.join(30000); waiter.join(30000)
+      errs.toArray shouldBe empty
+      overlapped.get() shouldBe false
+      holderDone.get() shouldBe true
+      // the shared lock path was never touched during the hold: same
+      // bytes, same mtime (every beat went to the sidecar)
+      lockBytesMidHold shouldBe lockBytesAtStart
+      lockMtimeMidHold shouldBe lockMtimeAtStart
+      // the holder WAS beating via its sidecar
+      sidecarsMidHold should have size 1
+      // release removed both the lock and the holder's sidecar (the
+      // waiter's release then removed its own too)
+      java.nio.file.Files.exists(lockP) shouldBe false
+      sidecars() shouldBe empty
+      // takeover of a DEAD holder sweeps its orphaned sidecar: plant an
+      // aged foreign lock with an aged matching sidecar
+      java.nio.file.Files.write(lockP,
+        "pid=0\nowner=dead-owner\n".getBytes("UTF-8"))
+      val orphan = commitsDir.resolve(".lock.hb.dead-owner")
+      java.nio.file.Files.write(orphan, "owner=dead-owner\n".getBytes("UTF-8"))
+      val old = System.currentTimeMillis() - 3600L * 1000L
+      lockP.toFile.setLastModified(old) shouldBe true
+      orphan.toFile.setLastModified(old) shouldBe true
+      log.withWriteLock { () } // breaks the stale lock, sweeps the orphan
+      java.nio.file.Files.exists(lockP) shouldBe false
+      sidecars() shouldBe empty
+    } finally {
+      ManifestLog.disableSetTimes = false
+      spark.conf.unset("spark.graft.index.lockStaleMs")
+      spark.conf.unset("spark.graft.index.lockHeartbeatMs")
+      spark.conf.unset("spark.graft.index.lockWaitMs")
+    }
+  }
+
+  it("a LIVE sidecar-beating holder is NOT broken even when the lock " +
+     "file's own mtime is ancient (staleness keys on max(lock, sidecar))") {
+    val path = tmp()
+    val log = new ManifestLog(spark, path)
+    spark.conf.set("spark.graft.index.lockStaleMs", "2000")
+    spark.conf.set("spark.graft.index.lockHeartbeatMs", "100")
+    spark.conf.set("spark.graft.index.lockWaitMs", "30000")
+    ManifestLog.disableSetTimes = true
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val lockP = java.nio.file.Paths.get(s"$path/_commits/.lock")
+      val holderIn = new java.util.concurrent.CountDownLatch(1)
+      val holderDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val holder = new Thread(() => {
+        try log.withWriteLock {
+          // wait for the first sidecar beat to land, THEN age the lock
+          // file itself WAY past the stale window: only the sidecar says
+          // we're alive from here on
+          val dir = new java.io.File(s"$path/_commits")
+          val limit = System.currentTimeMillis() + 5000
+          while (System.currentTimeMillis() < limit &&
+              !dir.listFiles().exists(_.getName.startsWith(".lock.hb.")))
+            Thread.sleep(20)
+          lockP.toFile.setLastModified(
+            System.currentTimeMillis() - 3600L * 1000L)
+          holderIn.countDown()
+          Thread.sleep(6000)
+          holderDone.set(true)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      val waiter = new Thread(() => {
+        try {
+          holderIn.await()
+          log.withWriteLock { if (!holderDone.get()) overlapped.set(true) }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      holder.start(); waiter.start()
+      holder.join(30000); waiter.join(30000)
+      errs.toArray shouldBe empty
+      overlapped.get() shouldBe false
+      holderDone.get() shouldBe true
+    } finally {
+      ManifestLog.disableSetTimes = false
+      spark.conf.unset("spark.graft.index.lockStaleMs")
+      spark.conf.unset("spark.graft.index.lockHeartbeatMs")
+      spark.conf.unset("spark.graft.index.lockWaitMs")
+    }
+  }
+
   it("the commit publish refuses to overwrite on the LOCAL scheme too " +
      "(hard-link publish): a lock-bypassing writer fails its commit " +
      "instead of replacing the committed manifest") {
