@@ -29,10 +29,17 @@ import org.apache.spark.sql.functions._
   *  - `_commits/m<seq>` marker manifests; `appendOnce` tokens make
   *    ingest-loop statistics updates exactly-once.
   *
-  * Reading the model is a 14·appends-row aggregation — no compaction
-  * needed at any realistic append count (a century of daily appends is
-  * ~500k tiny rows); [[moments]] sums the partials, [[milliWeights]]
-  * hands the summed table to the exact Cramer solve.
+  * Reading the model is a 14·appends-row aggregation — tiny rows, but
+  * each append is a new DIRECTORY, and at production cadence (one
+  * append per ingest batch, forever) the per-read file LISTING would
+  * come to dominate the 14-row sum. So the store compacts like its
+  * siblings: past `spark.graft.probestore.compactThreshold` active dirs
+  * the partials fold into ONE summed dir under a superseding commit
+  * (sum-identical by associativity — the moments are plain Long sums),
+  * the newest dir is never folded (the token-replay window), and
+  * [[vacuum]] unlinks superseded dirs under the family retention guard.
+  * [[moments]] sums the active partials, [[milliWeights]] hands the
+  * summed table to the exact Cramer solve.
   *
   * == Ingest gate ([[IngestIndex]]) ==
   *
@@ -58,8 +65,13 @@ final class QualityProbeStore private (
   private def visible(excludeToken: Option[String]): Seq[Manifest] =
     log.read().filterNot(m => excludeToken.exists(m.token.contains))
 
+  private def activeIds(ms: Seq[Manifest]): Seq[String] = {
+    val sup = ms.flatMap(_.supersedesDigests).toSet
+    ms.flatMap(_.digests).filterNot(sup)
+  }
+
   private def momentDirs(ms: Seq[Manifest]): Seq[String] = {
-    val ids = ms.flatMap(_.digests)
+    val ids = activeIds(ms)
     require(ids.nonEmpty, s"no committed moment dirs under $path")
     ids.map(id => s"$path/moments/append=$id")
   }
@@ -97,6 +109,42 @@ final class QualityProbeStore private (
     QualityProbe.moments(xy, "mean_micro")
       .coalesce(1).write.mode("errorifexists").parquet(dir)
     log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
+    maybeCompact()
+  }
+
+  /** Fold the moment-partial dirs into ONE summed dir once the active
+    * dir count passes `spark.graft.probestore.compactThreshold` (default
+    * 16) — bounds the per-read file listing (the one cost that grows
+    * with append count; the rows are 14 per dir). Newest dir never
+    * folded (token-replay window); superseded dirs stay for in-flight
+    * readers until [[vacuum]]. Sum-identical by associativity (the
+    * [[NgramLmStore]] compaction rule on a 14-term vocabulary). */
+  private def maybeCompact(): Unit = {
+    val threshold = IndexConf.strictInt(spark,
+      "spark.graft.probestore.compactThreshold", default = 16, min = 1)
+    val ms = log.read()
+    val foldable = activeIds(ms).dropRight(1)
+    if (foldable.size > threshold) {
+      val seq = ms.size + 1
+      val cid = f"c$seq%06d"
+      val dir = s"$path/moments/append=$cid"
+      log.clearOrphan(dir)
+      spark.read
+        .parquet(foldable.map(id => s"$path/moments/append=$id"): _*)
+        .groupBy("term").agg(sum(col("value")).cast("long").as("value"))
+        .coalesce(1).write.mode("errorifexists").parquet(dir)
+      log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)
+    }
+  }
+
+  /** Unlink moment dirs a compaction superseded, under the retention
+    * guard ([[ManifestLog.vacuumEligible]]) and the writer lock. */
+  def vacuum(): Int = log.withWriteLock {
+    val f = log.fileSystem
+    log.vacuumEligible(_.supersedesDigests).count { id =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/moments/append=$id"),
+        true)
+    }
   }
 
   // ---------------- reads ----------------

@@ -435,11 +435,10 @@ object CurationConfig {
     * superseding commit is older than
     * `spark.graft.index.vacuumRetentionMs` (1h default — an in-flight
     * reader that planned before the fold gets the window to finish).
-    * `kind` names the layout (each store owns its dir shapes); the
-    * quality-probe store deliberately has no vacuum — its state is a
-    * 14-row-per-append moment table, nothing ever supersedes. Rows pass
-    * through untouched; naturally idempotent (an already-vacuumed layout
-    * has nothing eligible). */
+    * `kind` names the layout (each store owns its dir shapes) — all
+    * seven compacting stores, the quality-probe store included. Rows
+    * pass through untouched; naturally idempotent (an already-vacuumed
+    * layout has nothing eligible). */
   final case class StoreVacuum(kind: String, path: String) extends Stage {
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame = {
@@ -459,6 +458,8 @@ object CurationConfig {
           BpeStore.open(spark, path).vacuum()
         case "ivf" => need(IvfStore.exists(spark, path))
           IvfStore.open(spark, path).vacuum()
+        case "probe" => need(QualityProbeStore.exists(spark, path))
+          QualityProbeStore.open(spark, path).vacuum()
       }
       df
     }
@@ -897,13 +898,12 @@ object CurationConfig {
           fail(s"stage 'semantic_gate': nprobe must be >= 1, got $nprobe")
         SemanticGate(path, k.toInt, tau, nprobe.toInt)
       case "store_vacuum" =>
-        val kinds = Set("substr", "neardup", "lm", "bm25", "bpe", "ivf")
+        val kinds =
+          Set("substr", "neardup", "lm", "bm25", "bpe", "ivf", "probe")
         val kind = j \ "kind" match {
           case JString(k) if kinds(k) => k
           case JString(k) => fail(s"stage 'store_vacuum': unknown kind " +
-            s"'$k' (${kinds.toSeq.sorted.mkString(" | ")}); the probe " +
-            "store needs no vacuum (append-only moment rows, nothing " +
-            "supersedes)")
+            s"'$k' (${kinds.toSeq.sorted.mkString(" | ")})")
           case _ => fail("stage 'store_vacuum' needs a 'kind' string " +
             s"(${kinds.toSeq.sorted.mkString(" | ")})")
         }

@@ -127,6 +127,46 @@ class QualityProbeStoreSpec extends GraftSpec {
     store.milliWeights() should have length 4
   }
 
+  it("compaction folds moment partials past the threshold into ONE summed " +
+     "dir (bit-exact table, newest dir never folded), and vacuum unlinks " +
+     "the superseded dirs without changing the model") {
+    val path = tmp()
+    def slice(r: Int) = docs.filter($"doc_id" % 7 === r)
+    spark.conf.set("spark.graft.probestore.compactThreshold", "3")
+    spark.conf.set("spark.graft.index.vacuumRetentionMs", "0")
+    try {
+      val store = QualityProbeStore.create(slice(1), "doc_id", "text", path)
+      (2 to 6).foreach(r =>
+        store.appendOnce(slice(r), "doc_id", "text", s"b#$r"))
+      // an identical store with compaction effectively off is the oracle
+      val twinPath = tmp()
+      spark.conf.set("spark.graft.probestore.compactThreshold", "1000")
+      val twin = QualityProbeStore.create(slice(1), "doc_id", "text", twinPath)
+      (2 to 6).foreach(r =>
+        twin.appendOnce(slice(r), "doc_id", "text", s"b#$r"))
+      tableOf(store.moments()) shouldBe tableOf(twin.moments())
+      store.milliWeights().toSeq shouldBe twin.milliWeights().toSeq
+      def dirs(p: String): Seq[String] =
+        new java.io.File(s"$p/moments").listFiles()
+          .map(_.getName).filter(_.startsWith("append=")).sorted.toSeq
+      // a compaction happened: a c-dir exists, and vacuum unlinks the
+      // superseded a-dirs (retention 0) leaving fewer dirs than the twin
+      dirs(path).exists(_.startsWith("append=c")) shouldBe true
+      store.vacuum() should be > 0
+      dirs(path).size should be < dirs(twinPath).size
+      tableOf(store.moments()) shouldBe tableOf(twin.moments())
+      // replay of an already-folded token is still a no-op post-compaction
+      val before = tableOf(store.moments())
+      store.appendOnce(slice(3), "doc_id", "text", "b#3")
+      tableOf(store.moments()) shouldBe before
+      // vacuum is idempotent
+      store.vacuum() shouldBe 0
+    } finally {
+      spark.conf.unset("spark.graft.probestore.compactThreshold")
+      spark.conf.unset("spark.graft.index.vacuumRetentionMs")
+    }
+  }
+
   it("open() restores the store and its frozen LM; a missing layout is " +
      "refused; create refuses an occupied path") {
     val path = tmp()

@@ -788,6 +788,33 @@ class CurationConfigSpec extends GraftSpec {
       spark.conf.unset("spark.graft.ngramstore.compactThreshold")
       spark.conf.unset("spark.graft.index.vacuumRetentionMs")
     }
+    // the probe store is part of the compacting family now: force a
+    // fold, declare kind "probe", superseded moment dirs unlink and the
+    // 14-row summed table still answers
+    val ppath = java.nio.file.Files
+      .createTempDirectory("graft-curation-vacp").toString + "/qp"
+    spark.conf.set("spark.graft.probestore.compactThreshold", "1")
+    spark.conf.set("spark.graft.index.vacuumRetentionMs", "0")
+    try {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val qp = graft.ext.QualityProbeStore.create(
+        docs.filter($"doc_id" <= 2), "doc_id", "text", ppath)
+      qp.append(docs.filter($"doc_id" === 3L), "doc_id", "text")
+      qp.append(docs.filter($"doc_id" === 4L), "doc_id", "text") // folds
+      def pDirs(): Int = new java.io.File(s"$ppath/moments")
+        .listFiles().count(_.isDirectory)
+      val pBefore = pDirs()
+      val pcfg = CurationConfig.parse(
+        s"""{"table":"documents","id":"doc_id","text":"text",
+          | "stages":[{"stage":"store_vacuum","kind":"probe","path":"$ppath"}]}"""
+          .stripMargin)
+      pcfg.run(spark, d).count() shouldBe 5L // rows pass through
+      pDirs() should be < pBefore
+      qp.moments().count() shouldBe 14L
+    } finally {
+      spark.conf.unset("spark.graft.probestore.compactThreshold")
+      spark.conf.unset("spark.graft.index.vacuumRetentionMs")
+    }
     // a vacuum pointed at nothing fails naming the kind and path
     val missing = CurationConfig.parse(
       s"""{"table":"documents","id":"doc_id","text":"text",
@@ -795,14 +822,16 @@ class CurationConfigSpec extends GraftSpec {
         .stripMargin)
     intercept[IllegalArgumentException] { missing.run(spark, dir).count() }
       .getMessage should include("no committed 'lm' store")
-    // strict parse: unknown kind names the options and the probe rule
+    // strict parse: unknown kind names the options (probe is a real kind
+    // now — the store compacts and vacuums like its siblings)
     val e = intercept[IllegalArgumentException] {
       CurationConfig.parse(
         """{"table":"t","id":"i","text":"x",
-          | "stages":[{"stage":"store_vacuum","kind":"probe","path":"/p"}]}"""
+          | "stages":[{"stage":"store_vacuum","kind":"rocks","path":"/p"}]}"""
           .stripMargin)
     }
-    e.getMessage should (include("unknown kind") and include("probe"))
+    e.getMessage should (include("unknown kind") and include("rocks") and
+      include("probe"))
   }
 
   it("ivf_maintain composes with the STREAMED pipeline: the gate seeds " +
