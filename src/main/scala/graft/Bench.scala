@@ -450,6 +450,10 @@ object Bench {
         val t0 = System.nanoTime()
         val st = store.refit(k = 8, iters = 2)
         val refitSec = (System.nanoTime() - t0) / 1e9
+        // the post-refit occupancy advisory: the operational "what nprobe
+        // now?" answer (round-13 verdict #6) — the refit's rebalance is
+        // readable from the store as imbalance/max-share/recommendation
+        val occAfter = scala.util.Try(store.occupancyAdvisory()).toOption
         Some(s""""dq142_drift_rows":$driftRows,""" +
           s""""dq142_refit_advised_before":$advised,""" +
           s""""dq142_newest_l1_ppm":${adv.map(_.newestL1Ppm).getOrElse(-1L)},""" +
@@ -457,7 +461,13 @@ object Bench {
           f""""dq142_refit_sec":$refitSec%.3f,""" +
           s""""dq142_refit_cells":${st.cells},""" +
           s""""dq142_refit_vectors":${st.vectors},""" +
-          s""""dq142_drift_rows_after":${store.driftReport().count()}""")
+          s""""dq142_drift_rows_after":${store.driftReport().count()},""" +
+          s""""dq142_imbalance_micro_after":${
+            occAfter.map(_.imbalanceMicro).getOrElse(-1L)},""" +
+          s""""dq142_max_cell_share_micro_after":${
+            occAfter.map(_.maxCellShareMicro).getOrElse(-1L)},""" +
+          s""""dq142_recommended_nprobe_after":${
+            occAfter.map(_.recommendedNprobe).getOrElse(-1)}""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq142 evidence failed: ${e.getMessage}"); None
       },

@@ -20,6 +20,13 @@ final case class IvfStoreStats(cells: Int, dims: Int, vectors: Long,
   * newest write vs the prior corpus (fast trigger), `cumulativeL1Ppm` is
   * all writes since the generation baseline, summed, vs that baseline
   * (slow trigger — catches N small same-direction drifts). */
+/** [[IvfStore.occupancyAdvisory]]'s row: the per-generation occupancy
+  * curve reduced to the numbers an operator acts on. */
+final case class OccupancyAdvisory(generation: Int, cells: Int,
+    vectors: Long, maxCellShareMicro: Long, imbalanceMicro: Long,
+    recommendedNprobe: Int, targetMassMicro: Long,
+    expectedMassMicroAtRecommended: Long)
+
 final case class DriftAdvisory(newestL1Ppm: Long, cumulativeL1Ppm: Long,
     writesSinceBaseline: Int)
 
@@ -479,6 +486,69 @@ final class IvfStore private (private val spark: SparkSession,
     require(l1ThresholdPpm >= 0, "l1ThresholdPpm >= 0")
     driftAdvisory().exists(a =>
       a.newestL1Ppm > l1ThresholdPpm || a.cumulativeL1Ppm > l1ThresholdPpm)
+  }
+
+  /** Per-cell occupancy of the CURRENT generation `(cell, count)`,
+    * summed from the drift sidecars — ≤ k·appends tiny driver rows; the
+    * assigned relation is never scanned. Cells with no vectors are
+    * absent. Refuses (naming the gap) when some active dir predates
+    * drift sidecars: a partial sum would silently understate occupancy. */
+  def cellOccupancy(): Seq[(Int, Long)] = {
+    val active = activeIds(log.read())
+    val withDrift = driftIds()
+    val missing = active.toSet -- withDrift.toSet
+    require(missing.isEmpty, s"cell occupancy unavailable under $path: " +
+      s"active dir(s) ${missing.toSeq.sorted.mkString(", ")} predate " +
+      "drift sidecars (a refit rebuilds full statistics)")
+    driftReport().groupBy("cell").agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+  }
+
+  /** The OPERATIONAL answer to "what nprobe do I need now?" — derived
+    * from the stored occupancy curve, so the post-refit recall cliff
+    * (`SCALE_REFIT`: recall@nprobe=2 fell from 1.0 to ~0.5 once the
+    * refit dissolved a hot cell that had been handing two probes half
+    * the corpus) is visible from the STORE, not a perf document:
+    *  - `imbalanceMicro`: k·Σ shareᵢ² in micro — FAISS's imbalance
+    *    factor; 1e6 is perfectly balanced, a hot cell inflates it;
+    *  - `expectedMassMicroAt(n)`: expected corpus share scanned by an
+    *    nprobe=n query DRAWN FROM THE STORED DISTRIBUTION — the query's
+    *    own cell modeled exactly (Σᵢ sᵢ·sᵢ), its other n−1 probes as
+    *    average remaining cells (each (1−sᵢ)/(k−1)); exactly n/k at the
+    *    balanced limit, and the hot-cell statistic at the other
+    *    (a query in a 50%-share cell scans half the corpus at n=1);
+    *  - `recommendedNprobe`: smallest n whose expected scanned mass
+    *    reaches `targetMassMicro` — a recall PROXY (true recall needs
+    *    labeled queries; scanned mass is the monotone store-derivable
+    *    stand-in: more candidate mass can only help).
+    * Empty cells count toward k (stats.cells): they dilute probes, which
+    * is exactly what the operator must know after a collapse-prone fit. */
+  def occupancyAdvisory(
+      targetMassMicro: Long = 500000L): OccupancyAdvisory = {
+    require(targetMassMicro >= 0 && targetMassMicro <= 1000000L,
+      "targetMassMicro in [0, 1e6]")
+    val occ = cellOccupancy()
+    val k = stats.cells
+    val total = math.max(1L, occ.map(_._2).sum)
+    val shares = occ.map(_._2.toDouble / total)
+    def expectedMass(n: Int): Double =
+      if (n >= k) 1.0
+      else shares.map { s =>
+        val others = if (k <= 1) 0.0 else (n - 1) * (1.0 - s) / (k - 1)
+        s * math.min(1.0, s + others)
+      }.sum
+    def micro(x: Double): Long = math.round(x * 1000000L)
+    val rec = (1 to k).find(n =>
+      micro(expectedMass(n)) >= targetMassMicro).getOrElse(k)
+    OccupancyAdvisory(
+      generation = genOf(log.read()),
+      cells = k,
+      vectors = total,
+      maxCellShareMicro = micro(shares.maxOption.getOrElse(0.0)),
+      imbalanceMicro = micro(k * shares.map(s => s * s).sum),
+      recommendedNprobe = rec,
+      targetMassMicro = targetMassMicro,
+      expectedMassMicroAtRecommended = micro(expectedMass(rec)))
   }
 
   // ---------------- queries ----------------

@@ -556,6 +556,62 @@ class IvfStoreSpec extends GraftSpec {
       .select("vec_id").as[Long].collect().sorted shouldBe keptIds
   }
 
+  it("occupancy advisory: a hot cell flatters low nprobe, a balanced " +
+     "store needs more probes for the same target mass — the post-refit " +
+     "'raise nprobe' lesson readable from the store") {
+    def docs(ids: Range, a: Int) =
+      ids.map(i => (i.toLong, Seq.tabulate(4)(j => if (j == a) 1f else 0f)))
+    // HOT: seed balanced 10/10 (two identical-point clusters — k=2
+    // provably lands one centroid per cluster on this base, the
+    // cumulative-drift fixture), then APPEND the 80-doc hot tail against
+    // the frozen centroids → 90/10 occupancy
+    val hot = IvfStore.create(
+      (docs(0 until 10, 0) ++ docs(10 until 20, 1))
+        .toDF("vec_id", "embedding").localCheckpoint(true),
+      "vec_id", "embedding", tmp(), k = 2)
+    hot.append(docs(100 until 180, 0).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    hot.cellOccupancy().map(_._2).sorted.reverse shouldBe Seq(90L, 10L)
+    val hotAdv = hot.occupancyAdvisory(targetMassMicro = 600000L)
+    hotAdv.cells shouldBe 2
+    hotAdv.vectors shouldBe 100L
+    hotAdv.maxCellShareMicro shouldBe 900000L
+    // imbalance k·Σs² = 2·(0.81+0.01) = 1.64e6; expected mass at n=1 is
+    // Σ s·s = 0.82 ≥ 0.6 → ONE probe "suffices" (the hot-cell flattery)
+    hotAdv.imbalanceMicro shouldBe 1640000L
+    hotAdv.recommendedNprobe shouldBe 1
+    hotAdv.expectedMassMicroAtRecommended shouldBe 820000L
+    // BALANCED: 50/50 — each probe covers half; the same target needs 2
+    val bal = IvfStore.create(
+      (docs(0 until 10, 0) ++ docs(10 until 20, 1))
+        .toDF("vec_id", "embedding").localCheckpoint(true),
+      "vec_id", "embedding", tmp(), k = 2)
+    bal.append(
+      (docs(100 until 140, 0) ++ docs(200 until 240, 1))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val balAdv = bal.occupancyAdvisory(targetMassMicro = 600000L)
+    balAdv.maxCellShareMicro shouldBe 500000L
+    balAdv.imbalanceMicro shouldBe 1000000L // perfectly balanced
+    balAdv.recommendedNprobe shouldBe 2
+    balAdv.expectedMassMicroAtRecommended shouldBe 1000000L
+    // appends fold into the occupancy; a refit bumps the generation and
+    // keeps full sidecar coverage (the refit writes its own histogram)
+    hot.append(docs(200 until 260, 1).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    hot.cellOccupancy().map(_._2).sum shouldBe 160L
+    hot.refit(k = 2)
+    val after = hot.occupancyAdvisory()
+    after.generation shouldBe 2
+    after.vectors shouldBe 160L
+    // a layout with NO drift sidecars refuses occupancy by name
+    val bare = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
+    val fsys = new org.apache.hadoop.fs.Path(bare.path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.delete(new org.apache.hadoop.fs.Path(s"${bare.path}/drift"), true)
+    intercept[IllegalArgumentException] { bare.cellOccupancy() }
+      .getMessage should include("cell occupancy unavailable")
+  }
+
   it("the semantic gate tolerates a batch that itself carries a 'qid' " +
      "column (reserved-name anti-join key)") {
     val store = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
