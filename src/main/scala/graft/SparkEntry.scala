@@ -3087,6 +3087,36 @@ object SparkEntry {
     s.read.parquet(s"$base/data").orderBy("o_orderkey")
   }
 
+  /** DQ158 (EXT/runner): TERMINAL SHARD MATERIALIZATION — the declared
+    * pipeline ends at the artifact a trainer's data loader consumes
+    * ([[graft.ext.ShardWriter]] as the `shard_write` stage): rows
+    * ordered by the portable epoch-shuffle key (dq101's md5 permutation),
+    * greedily packed into 4000-char shards per hex-prefix stream (dq66's
+    * capacity recurrence, 16 parallel streams), written as
+    * `stream=<s>/bin=<n>` parquet with a per-shard integrity report
+    * computed from the data READ BACK off disk, all under one marker
+    * commit. The query returns the PERSISTED report — stream, bin, doc
+    * count, unit total, and a content md5 over per-row `md5(id:text)` in
+    * key order — so the oracle re-derives the full chain (key → stream →
+    * greedy recurrence → ordered content hash) from the raw table and
+    * checks the bytes that landed. Exactly-once under the run's stage
+    * token (`cfg:dq158:s2`). */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val base =
+      graft.io.TempReaper.tempDir("graft-dq158-shards").toString + "/st"
+    val cfg =
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "where", "expr": "doc_id % 3 = 1"},
+        |   {"stage": "shard_write", "path": "$base", "capacity": 4000,
+        |    "units": "chars", "epoch": 1, "streams": 16}]}""".stripMargin
+    graft.plan.CurationConfig.parse(cfg).run(s, dir, Some("dq158"))
+    graft.ext.ShardWriter.report(s, base)
+      .select(col("stream"), col("bin"), col("n_docs"), col("units"),
+        col("content_md5"))
+      .orderBy("stream", "bin")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -3282,7 +3312,8 @@ object SparkEntry {
     "dq154_stream_drop_audit"     -> (q154 _),
     "dq155_proto_replay_report"   -> (q155 _),
     "dq156_proto_stream_tail"     -> (q156 _),
-    "dq157_stream_config_report"  -> (q157 _)
+    "dq157_stream_config_report"  -> (q157 _),
+    "dq158_shard_write"           -> (q158 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4971,6 +5002,34 @@ object SparkEntry {
     "dq157_stream_config_report" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 400000 ORDER BY o_orderkey""".stripMargin,
+    // the terminal shard materialization: re-derive the epoch-shuffle
+    // key, the hex-prefix stream, the per-stream greedy capacity
+    // recurrence (dq66's machinery), and the key-ordered content md5 of
+    // every shard — then compare against the report the engine computed
+    // from the parquet it actually wrote
+    "dq158_shard_write" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text, len(text)::BIGINT AS units,
+        |    md5('1:' || doc_id::VARCHAR) AS skey,
+        |    substr(md5('1:' || doc_id::VARCHAR), 1, 1) AS stream
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY stream ORDER BY skey) rn
+        |  FROM d),
+        |packed AS (
+        |  SELECT stream, skey, doc_id, text, units, rn,
+        |    CAST(0 AS BIGINT) AS bin, units AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.stream, r.skey, r.doc_id, r.text, r.units, r.rn,
+        |    CASE WHEN p.fill + r.units > 4000 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + r.units > 4000 THEN r.units
+        |         ELSE p.fill + r.units END
+        |  FROM r JOIN packed p ON r.stream = p.stream AND r.rn = p.rn + 1)
+        |SELECT stream, bin, count(*) AS n_docs,
+        |  CAST(sum(units) AS BIGINT) AS units,
+        |  md5(string_agg(md5(doc_id::VARCHAR || ':' || text), ''
+        |    ORDER BY skey)) AS content_md5
+        |FROM packed GROUP BY 1, 2 ORDER BY stream, bin""".stripMargin,
     // the FULL declared curation loop: dedup + three persisted gates
     // chained in one config, two ingest rounds, every stage replayed
     "dq135_config_curation_loop" -> Dq135Sql,

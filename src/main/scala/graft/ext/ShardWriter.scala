@@ -1,0 +1,188 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TRAINING-SHARD MATERIALIZATION (EXT) — the last meter of the curation
+  * pipeline: turn a curated (possibly tokenized, possibly epoch-repeated)
+  * document frame into the size-bounded, epoch-shuffled shard FILES plus
+  * manifest that a trainer's data loader actually consumes. The reference
+  * workflow is declare-then-run to a sink
+  * (/root/reference/src/runner/src/main/scala/Main.scala:205-217); this is
+  * that sink for the LLM-data shape, composed from pieces the suite has
+  * already verified one by one:
+  *
+  *  1. ORDER: every row gets the deterministic, engine-portable epoch
+  *     shuffle key `md5("<epoch>:<id>")` ([[Sampling.epochShuffleKey]],
+  *     dq101) — a reproducible permutation any engine re-derives from the
+  *     id alone. Rows carrying an `epoch` column (a `repeat_epochs` stage
+  *     upstream) shuffle per epoch; otherwise the declared epoch applies.
+  *  2. STREAM: the key's first `prefixLen` hex chars split the corpus
+  *     into 16^prefixLen independent STREAMS — the parallelism unit.
+  *     Greedy packing is inherently sequential, so the stream count is
+  *     the scale knob: 16 streams at test scale, 256+ at 100 TB, each
+  *     stream a partition-local pass after ONE hash shuffle.
+  *  3. PACK: within each stream, ascending-key greedy capacity packing
+  *     ([[Packing.packGreedy]], dq66: a doc that would overflow
+  *     `capacity` units starts the next bin; an oversized doc gets its
+  *     own bin). A shard is `(stream, bin)`.
+  *  4. WRITE: one `data/append=<id>/stream=<s>/bin=<n>/` parquet tree
+  *     (clustered before `partitionBy`, so files stay ≤ shards, the
+  *     dq127 rule), a per-shard REPORT computed from the data READ BACK
+  *     off disk (n_docs, units, and a content md5 in key order — the
+  *     loader's integrity manifest describes what is actually on disk,
+  *     not what the writer meant), and one [[ManifestLog]] marker commit
+  *     publishing both all-or-nothing.
+  *
+  * Exactly-once: a `token`-carrying write whose token is already
+  * committed is a no-op (the family `appendOnce` contract), so a replayed
+  * pipeline run — batch rerun or streamed micro-batch replay under
+  * `cfg:<runId>:s<i>` — lands one shard set, not two. A crashed write is
+  * invisible (no manifest) and its orphan dirs are cleared on retry.
+  * Each run appends its OWN shard set (`append=<id>`): production ingest
+  * shards per round, and a loader consumes the rounds it has seen
+  * committed.
+  *
+  * Size columns: `units = "chars"` measures `length(text)`;
+  * `"subtokens"` measures `size(subtokens)` — the real token-budget
+  * shape, fed by a `bpe_tokenize` stage upstream.
+  */
+object ShardWriter {
+
+  /** Columns this writer synthesizes into the shard files. Inputs must
+    * not already use them — refused by name rather than silently
+    * overwritten. */
+  private val Reserved = Seq("skey", "stream", "bin", "units")
+
+  private[ext] def unitsColumn(units: String, textCol: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column = units match {
+    case "chars" => length(col(textCol)).cast("long")
+    case "subtokens" =>
+      require(schema.fieldNames.contains("subtokens"),
+        "shard_write: units 'subtokens' needs a 'subtokens' column — " +
+          "declare a bpe_tokenize stage upstream")
+      size(col("subtokens")).cast("long")
+    case other => throw new IllegalArgumentException(
+      s"shard_write: unknown units '$other' (chars | subtokens)")
+  }
+
+  /** The shard ASSIGNMENT plan for a frame — (input columns) + `skey`,
+    * `stream`, `bin`, `units`; deterministic in the row set alone. Rows
+    * must be unique per (epoch, id): the key is their identity. */
+  def assign(df: DataFrame, idCol: String, textCol: String, units: String,
+      capacity: Long, epoch: Int, streams: Int): DataFrame = {
+    require(capacity >= 1, "capacity must be >= 1")
+    val prefixLen = streams match {
+      case 1 => 0
+      case 16 => 1
+      case 256 => 2
+      case other => throw new IllegalArgumentException(
+        s"shard_write: streams must be 1, 16 or 256 (hex-prefix " +
+          s"parallelism), got $other")
+    }
+    Reserved.filter(df.columns.contains).headOption.foreach(c =>
+      throw new IllegalArgumentException(
+        s"shard_write: input already has a '$c' column (reserved for " +
+          "the shard layout)"))
+    val epochCol =
+      if (df.columns.contains("epoch")) col("epoch").cast("string")
+      else lit(epoch.toString)
+    val keyed = df
+      .withColumn("skey", md5(concat_ws(":", epochCol, col(idCol))))
+      .withColumn("units", unitsColumn(units, textCol, df.schema))
+      .withColumn("stream",
+        if (prefixLen == 0) lit("all") else substring(col("skey"), 1, prefixLen))
+    val packed = Packing
+      .packGreedy(keyed, "stream", "skey", "units", capacity)
+      .select(col("skey"), col("bin"))
+    keyed.join(packed, "skey") // skey is unique per (epoch, id): 1:1
+      .select(df.columns.map(col) ++
+        Seq(col("skey"), col("units"), col("stream"), col("bin")): _*)
+  }
+
+  /** Materialize the frame's shard set under `path` and commit it. A
+    * committed `token` makes the call a no-op (replay). Returns the
+    * number of SHARDS written (0 on a recognized replay). */
+  def write(df: DataFrame, idCol: String, textCol: String, path: String,
+      capacity: Long, units: String = "chars", epoch: Int = 1,
+      streams: Int = 16, token: Option[String] = None): Long = {
+    token.foreach(t => require(t.nonEmpty && !t.contains("\n"),
+      "token: non-empty, one line"))
+    val spark = df.sparkSession
+    val log = new ManifestLog(spark, path)
+    log.withWriteLock {
+      val before = log.read()
+      if (token.exists(t => before.exists(_.token.contains(t)))) 0L
+      else {
+        val seq = before.size + 1
+        val id = f"a$seq%06d"
+        val dataDir = s"$path/data/append=$id"
+        val reportDir = s"$path/report/append=$id"
+        log.clearOrphan(dataDir)
+        log.clearOrphan(reportDir)
+        assign(df, idCol, textCol, units, capacity, epoch, streams)
+          .repartition(col("stream"), col("bin"))
+          .sortWithinPartitions("stream", "bin", "skey")
+          .write.partitionBy("stream", "bin").mode("errorifexists")
+          .parquet(dataDir)
+        // the report describes the BYTES ON DISK: read the shards back
+        // and aggregate — a write that lost rows would be caught here,
+        // not at training time
+        reportOf(spark.read.option("basePath", dataDir).parquet(dataDir),
+            idCol, textCol)
+          .coalesce(1).write.mode("errorifexists").parquet(reportDir)
+        log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
+        graft.io.ParquetMeta.rowCount(spark, reportDir) // tiny: shards
+      }
+    }
+  }
+
+  /** Per-shard integrity report of a shard frame: `(stream, bin, n_docs,
+    * units, content_md5)` where `content_md5` hashes the concatenation of
+    * per-row `md5(id:text)` in shuffle-key order — the loader's check
+    * that a shard's bytes are the committed bytes. The per-shard list is
+    * CAPACITY-bounded by construction (a shard holds at most `capacity`
+    * units), so the collect_list is shard-sized, never corpus-sized. */
+  def reportOf(shards: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    shards
+      .withColumn("__row_md5",
+        md5(concat(col(idCol).cast("string"), lit(":"), col(textCol))))
+      .groupBy(col("stream"), col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("units")).as("units"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("skey").as("k"),
+              col("__row_md5").as("m")))),
+            x => x.getField("m")),
+          "")).as("content_md5"))
+
+  /** All committed shard rows under `path` (every append), with their
+    * layout columns. */
+  def shards(spark: SparkSession, path: String): DataFrame = {
+    val ids = appendIds(spark, path)
+    require(ids.nonEmpty, s"no committed shard sets under $path")
+    spark.read.option("basePath", s"$path/data")
+      .parquet(ids.map(id => s"$path/data/append=$id"): _*)
+  }
+
+  /** The PERSISTED per-shard reports under `path` (every append, with
+    * the append id as `round` ordinal 1..n) — what a loader reads before
+    * touching data. */
+  def report(spark: SparkSession, path: String): DataFrame = {
+    val ids = appendIds(spark, path)
+    require(ids.nonEmpty, s"no committed shard sets under $path")
+    ids.zipWithIndex.map { case (id, i) =>
+      spark.read.parquet(s"$path/report/append=$id")
+        .withColumn("round", lit((i + 1).toLong))
+    }.reduce(_ unionByName _)
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    new ManifestLog(spark, path).read().nonEmpty
+
+  private def appendIds(spark: SparkSession, path: String): Seq[String] =
+    new ManifestLog(spark, path).read().flatMap(_.digests)
+}

@@ -403,6 +403,41 @@ object CurationConfig {
         nullable = in(textCol).nullable))
   }
 
+  /** TERMINAL SHARD MATERIALIZATION ([[graft.ext.ShardWriter]]) — the
+    * pipeline's last meter: curate → mix → tokenize → **materialize**.
+    * Orders the current frame by the portable epoch-shuffle key, packs
+    * it greedily into `capacity`-bounded shards per hex-prefix stream,
+    * writes `data/append=<id>/stream=<s>/bin=<n>` parquet plus a
+    * per-shard integrity report (computed from the data READ BACK), and
+    * publishes both under one marker commit. Declare it LAST: it is the
+    * sink. Rows pass through with their shard assignment columns
+    * (`skey`, `units`, `stream`, `bin`) appended, so a downstream report
+    * can audit the materialization it just produced. With a named run
+    * the write is exactly-once under the stage token (a replayed run —
+    * batch rerun or streamed micro-batch — recognizes its committed
+    * token and skips the rewrite); each distinct run appends its OWN
+    * shard set, the per-round production shape. The stage is a
+    * materialization boundary (the gate-stage rule): its input is
+    * checkpointed, so the write and the returned assignment see one
+    * row set. */
+  final case class ShardWrite(path: String, capacity: Long, units: String,
+      epoch: Int, streams: Int) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
+      val staged = df.localCheckpoint(true)
+      graft.ext.ShardWriter.write(staged, idCol, textCol, path, capacity,
+        units, epoch, streams, runToken)
+      graft.ext.ShardWriter.assign(staged, idCol, textCol, units, capacity,
+        epoch, streams)
+    }
+    override def outputSchema(in: StructType, idCol: String,
+        textCol: String): StructType = in
+      .add(StructField("skey", StringType, nullable = false))
+      .add(StructField("units", LongType, nullable = false))
+      .add(StructField("stream", StringType, nullable = false))
+      .add(StructField("bin", LongType, nullable = false))
+  }
+
   /** INDEX MAINTENANCE as a declared stage — the lifecycle side of the
     * declare-then-run workflow (the gates above keep a store GROWING;
     * this keeps it HEALTHY): points at a committed [[IvfStore]], checks
@@ -616,6 +651,7 @@ object CurationConfig {
     case _: LmGate => "lm_gate"
     case _: ProbeGate => "probe_gate"
     case _: BpeTokenize => "bpe_tokenize"
+    case _: ShardWrite => "shard_write"
   }
 
   final case class PipelineDef(table: String, idCol: String, textCol: String,
@@ -955,12 +991,35 @@ object CurationConfig {
           .getOrElse(fail("stage 'bpe_tokenize' needs 'numMerges'"))
         if (n < 1) fail(s"stage 'bpe_tokenize': numMerges must be >= 1, got $n")
         BpeTokenize(path, n.toInt)
+      case "shard_write" =>
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'shard_write' needs a non-empty 'path' string")
+        }
+        val capacity = long("capacity")
+          .getOrElse(fail("stage 'shard_write' needs 'capacity'"))
+        if (capacity < 1)
+          fail(s"stage 'shard_write': capacity must be >= 1, got $capacity")
+        val units = j \ "units" match {
+          case JString(u) if u == "chars" || u == "subtokens" => u
+          case JNothing => "chars"
+          case other => fail("stage 'shard_write': units must be 'chars' " +
+            s"or 'subtokens', got $other")
+        }
+        val epoch = long("epoch").getOrElse(1L)
+        if (epoch < 1 || epoch > Int.MaxValue)
+          fail(s"stage 'shard_write': epoch must be >= 1, got $epoch")
+        val streams = long("streams").getOrElse(16L)
+        if (streams != 1L && streams != 16L && streams != 256L)
+          fail("stage 'shard_write': streams must be 1, 16 or 256 " +
+            s"(hex-prefix parallelism), got $streams")
+        ShardWrite(path, capacity, units, epoch.toInt, streams.toInt)
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
           "fluency_band | lang_gate | token_budget | temperature_mix | " +
           "repeat_epochs | where | substr_gate | decontam_gate | neardup_gate | " +
           "semantic_gate | ivf_maintain | store_vacuum | lm_gate | " +
-          "probe_gate | bpe_tokenize)")
+          "probe_gate | bpe_tokenize | shard_write)")
     }
   }
 

@@ -1,0 +1,166 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSpec
+
+/** The terminal shard materialization ([[ShardWriter]] / the declared
+  * `shard_write` stage): deterministic assignment, integrity report
+  * computed from the bytes on disk, exactly-once tokens, crash replay,
+  * and the parameter surface.
+  */
+class ShardWriterSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-shard-spec")
+      .toString + "/st"
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+    .select("doc_id", "text")
+
+  it("the persisted report equals a recomputation from the shards read " +
+     "back, every row lands exactly once, and greedy capacity holds " +
+     "within every stream") {
+    val path = tmp()
+    ShardWriter.write(docs, "doc_id", "text", path, capacity = 2000)
+    val shards = ShardWriter.shards(spark, path)
+    shards.count() shouldBe docs.count()
+    shards.select("doc_id").distinct().count() shouldBe docs.count()
+    val persisted = ShardWriter.report(spark, path).drop("round")
+    val recomputed = ShardWriter.reportOf(shards, "doc_id", "text")
+    persisted.orderBy("stream", "bin").collect() shouldBe
+      recomputed.orderBy("stream", "bin").collect()
+    // capacity: every bin's units fit, except single-doc oversized bins
+    val over = persisted
+      .filter(col("units") > 2000 && col("n_docs") > 1).count()
+    over shouldBe 0L
+    // streams: 16 hex prefixes (or fewer if a prefix is empty at this SF)
+    persisted.select("stream").distinct().count() should be <= 16L
+  }
+
+  it("a token-carrying write is exactly-once: the replay recognizes the " +
+     "committed token and appends nothing; a different token appends a " +
+     "second round") {
+    val path = tmp()
+    ShardWriter.write(docs, "doc_id", "text", path, capacity = 2000,
+      token = Some("run#1")) should be > 0L
+    val firstRows = ShardWriter.shards(spark, path).count()
+    ShardWriter.write(docs, "doc_id", "text", path, capacity = 2000,
+      token = Some("run#1")) shouldBe 0L // replay: no-op
+    ShardWriter.shards(spark, path).count() shouldBe firstRows
+    ShardWriter.report(spark, path).select("round").distinct()
+      .count() shouldBe 1L
+    ShardWriter.write(docs.limit(5), "doc_id", "text", path,
+      capacity = 2000, token = Some("run#2")) should be > 0L
+    ShardWriter.report(spark, path).select("round").distinct()
+      .count() shouldBe 2L
+    ShardWriter.shards(spark, path).count() shouldBe firstRows + 5L
+  }
+
+  it("a crash BEFORE the commit leaves the layout invisible; the retry " +
+     "under the same token lands the set exactly once (orphans cleared)") {
+    val path = tmp()
+    ManifestLog.failCommitUnder = Some(path)
+    try {
+      intercept[IllegalStateException] {
+        ShardWriter.write(docs, "doc_id", "text", path, capacity = 2000,
+          token = Some("run#1"))
+      }
+      ShardWriter.exists(spark, path) shouldBe false
+    } finally ManifestLog.failCommitUnder = None
+    ShardWriter.write(docs, "doc_id", "text", path, capacity = 2000,
+      token = Some("run#1")) should be > 0L
+    ShardWriter.shards(spark, path).count() shouldBe docs.count()
+    // and the retry's replay is still a no-op
+    ShardWriter.write(docs, "doc_id", "text", path, capacity = 2000,
+      token = Some("run#1")) shouldBe 0L
+  }
+
+  it("units 'subtokens' sizes by the token array; an epoch column from a " +
+     "repeat stage gives every copy its own key; streams=1 packs one " +
+     "'all' stream; oversized docs get their own bin") {
+    val toks = Seq(
+      (1L, "a b", Seq("a", "b"), 1L), (1L, "a b", Seq("a", "b"), 2L),
+      (2L, "c d e", Seq("c", "d", "e"), 1L),
+      (3L, "f " * 40, Seq.fill(80)("f"), 1L))
+      .toDF("doc_id", "text", "subtokens", "epoch")
+    val a = ShardWriter.assign(toks, "doc_id", "text", "subtokens",
+      capacity = 4, epoch = 1, streams = 1)
+    a.select("stream").distinct().as[String].collect() shouldBe Array("all")
+    // epoch-distinct keys: the two copies of doc 1 have different skey
+    a.filter($"doc_id" === 1L).select("skey").distinct().count() shouldBe 2L
+    // units are token counts
+    a.filter($"doc_id" === 2L).select("units").as[Long].head() shouldBe 3L
+    // the 80-token doc exceeds capacity 4: it sits alone in its bin
+    val oversizedBin = a.filter($"doc_id" === 3L)
+      .select("bin").as[Long].head()
+    a.filter($"bin" === oversizedBin).count() shouldBe 1L
+    // every greedy bin respects capacity unless it is a lone oversize
+    val perBin = a.groupBy("bin")
+      .agg(sum("units").as("u"), count(lit(1)).as("n")).collect()
+    perBin.filter(r => r.getLong(1) > 4L && r.getLong(2) > 1L) shouldBe empty
+  }
+
+  it("parameter surface: reserved columns, unknown units, bad streams, " +
+     "and the declared stage's strict parse") {
+    intercept[IllegalArgumentException] {
+      ShardWriter.assign(docs.withColumn("bin", lit(1)), "doc_id", "text",
+        "chars", 100, 1, 16)
+    }.getMessage should include("reserved")
+    intercept[IllegalArgumentException] {
+      ShardWriter.assign(docs, "doc_id", "text", "bytes", 100, 1, 16)
+    }.getMessage should include("unknown units")
+    intercept[IllegalArgumentException] {
+      ShardWriter.assign(docs, "doc_id", "text", "chars", 100, 1, 7)
+    }.getMessage should include("streams")
+    intercept[IllegalArgumentException] {
+      ShardWriter.assign(docs, "doc_id", "text", "subtokens", 100, 1, 16)
+    }.getMessage should include("bpe_tokenize")
+    def bad(json: String, frag: String): Unit =
+      intercept[IllegalArgumentException] {
+        graft.plan.CurationConfig.parse(json)
+      }.getMessage should include(frag)
+    bad("""{"table":"t","id":"i","text":"x",
+        | "stages":[{"stage":"shard_write","path":"/p"}]}""".stripMargin,
+      "'capacity'")
+    bad("""{"table":"t","id":"i","text":"x",
+        | "stages":[{"stage":"shard_write","path":"/p","capacity":0}]}"""
+        .stripMargin, ">= 1")
+    bad("""{"table":"t","id":"i","text":"x",
+        | "stages":[{"stage":"shard_write","path":"/p","capacity":10,
+        |  "units":"bytes"}]}""".stripMargin, "units")
+    bad("""{"table":"t","id":"i","text":"x",
+        | "stages":[{"stage":"shard_write","path":"/p","capacity":10,
+        |  "streams":7}]}""".stripMargin, "streams")
+  }
+
+  it("the declared stage composes: bpe_tokenize feeds units 'subtokens', " +
+     "rows pass through with the assignment appended, and the streamed " +
+     "runner accepts the chain (per-micro-batch shard sets)") {
+    val d = dir
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-shard-stage").toString
+    val cfg =
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "bpe_tokenize", "path": "$base/bpe", "numMerges": 3},
+        |   {"stage": "shard_write", "path": "$base/st", "capacity": 64,
+        |    "units": "subtokens", "streams": 16}]}""".stripMargin
+    val p = graft.plan.CurationConfig.parse(cfg)
+    val full = spark.read.parquet(s"$d/documents.parquet")
+    val out = p.run(spark, d, Some("r1"))
+    out.count() shouldBe full.count()
+    out.columns should contain allOf ("skey", "units", "stream", "bin")
+    ShardWriter.shards(spark, s"$base/st").count() shouldBe full.count()
+    // outputSchema contract holds through the composed chain
+    val shape = p.outputSchema(full.schema).fields.map(f => (f.name, f.dataType))
+    out.schema.fields.map(f => (f.name, f.dataType)) shouldBe shape
+    // rerun under the same runId: the stage token makes the write a
+    // no-op — still one committed round
+    p.run(spark, d, Some("r1")).count() shouldBe docs.count()
+    ShardWriter.report(spark, s"$base/st").select("round").distinct()
+      .count() shouldBe 1L
+  }
+}
