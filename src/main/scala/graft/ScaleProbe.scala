@@ -386,6 +386,26 @@ object ScaleProbe {
         require(s1 == k1 && s2 == k2,
           s"stream/batch divergence: ($s1,$s2) vs ($k1,$k2)")
         println(f"""{"probe":"cfgstream","docs":$n,"kept_b1":$k1,"kept_b2":$k2,"batch_sec":${(tb1 - tb0) / 1e9}%.2f,"stream_sec":${(ts1 - ts0) / 1e9}%.2f,"overhead_sec":${((ts1 - ts0) - (tb1 - tb0)) / 1e9}%.2f}""")
+        // the AUDITED streamed form (dq154's path): per-stage drop
+        // accounting adds two localCheckpoints per stage per micro-batch
+        // — pin that its overhead stays batch-sized as the corpus grows
+        // (the SCALE_AUDIT result, now for the streamed runner)
+        val aBase = graft.io.TempReaper.tempDir("graft-scale-cfga").toString
+        val ta0 = System.nanoTime()
+        val (ares, audit) = graft.streaming.EventStream
+          .runConfigPipelineAudited(
+            graft.streaming.EventStream.twoFileBatchStream(b1, b2,
+              s"scale-cfgaudit-$m"),
+            cfgAt(aBase), dir, s"scale-cfgaudit-$m")
+        val a1 = ares.filter(col("batch") === 1L).count()
+        val a2 = ares.filter(col("batch") === 2L).count()
+        val auditRows = audit.count()
+        val ta1 = System.nanoTime()
+        require(a1 == k1 && a2 == k2,
+          s"audited-stream/batch divergence: ($a1,$a2) vs ($k1,$k2)")
+        require(auditRows == n,
+          s"audit fate rows $auditRows != input rows $n")
+        println(f"""{"probe":"cfgaudit","docs":$n,"audit_rows":$auditRows,"audit_stream_sec":${(ta1 - ta0) / 1e9}%.2f,"audit_overhead_vs_stream_sec":${((ta1 - ta0) - (ts1 - ts0)) / 1e9}%.2f}""")
         corpus.unpersist(); b1.unpersist(); b2.unpersist()
         ()
       }
