@@ -954,7 +954,7 @@ object SparkEntry {
     TextAnalysis.topTfIdfTerm(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
-  /** DQ70: config-driven report (`plan.ReportConfig`) — the reference
+  /** DQ70 (runner): config-driven report (`plan.ReportConfig`) — the reference
     * runner's declare-a-report-in-config workflow (Main.scala:28-39,146),
     * oracle-gated: table + fields + WHERE parsed from a JSON literal and
     * executed as one declarative plan. */
