@@ -3117,6 +3117,41 @@ object SparkEntry {
       .orderBy("stream", "bin")
   }
 
+  /** DQ159 (EXT/runner, §2.9): STORE-MEDIATED temperature mixing
+    * STREAMED (`CurationConfig.MixGate` over a
+    * [[graft.ext.StrataCountStore]]) — the stream-correct form of the
+    * batch-scoped `temperature_mix` the streamed runner refuses: the
+    * per-source rates derive from CORPUS-TO-DATE counts (the stored
+    * composition statistics plus the current batch), not the
+    * micro-batch frame, so mixing is finally legal in the streamed
+    * declared pipeline. Batch 1 seeds the count store (rates from the
+    * batch alone — plain dq146 semantics, which also makes a replayed
+    * seed round deterministic), batch 2's rates flatten over the UNION
+    * counts; raw batch counts fold exactly-once under the cfg stage
+    * tokens. The rate chain is [[graft.ext.Sampling]]'s exact integer
+    * arithmetic SHARED with the per-call operator, so the oracle is
+    * dq146's HUGEINT chain computed per round over the cumulative
+    * counts. */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base =
+      graft.io.TempReaper.tempDir("graft-dq159-mix").toString + "/sc"
+    val cfg =
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "mix_gate", "path": "$base", "strata": "source",
+        |    "targetDocs": 150}]}""".stripMargin
+    val pipeline = graft.plan.CurationConfig.parse(cfg)
+    val b1 = docs.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("source"))
+    val b2 = docs.filter(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3)
+      .select(col("doc_id"), col("source"))
+    val incoming = EventStream.twoFileBatchStream(b1, b2, "dq159")
+    EventStream.runConfigPipeline(incoming, pipeline, dir, "dq159")
+      .select(col("batch").as("round"), col("doc_id"), col("source"))
+      .orderBy("round", "doc_id")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -3313,7 +3348,8 @@ object SparkEntry {
     "dq155_proto_replay_report"   -> (q155 _),
     "dq156_proto_stream_tail"     -> (q156 _),
     "dq157_stream_config_report"  -> (q157 _),
-    "dq158_shard_write"           -> (q158 _)
+    "dq158_shard_write"           -> (q158 _),
+    "dq159_stream_mix_gate"       -> (q159 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -5002,6 +5038,47 @@ object SparkEntry {
     "dq157_stream_config_report" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 400000 ORDER BY o_orderkey""".stripMargin,
+    // store-mediated mixing streamed: round 1's rates from its own
+    // counts (the seed round — dq146's chain verbatim), round 2's from
+    // the CUMULATIVE counts (b1 ∪ b2), membership via the shared
+    // portable md5 gate
+    "dq159_stream_mix_gate" ->
+      """WITH b1 AS (SELECT doc_id, source FROM documents
+        |  WHERE doc_id % 4 = 1),
+        |b2 AS (SELECT doc_id, source FROM documents
+        |  WHERE doc_id % 4 IN (2, 3)),
+        |c1 AS (SELECT source, count(*)::BIGINT AS n FROM b1 GROUP BY source),
+        |w1 AS (SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        |  FROM c1),
+        |t1 AS (SELECT CAST(sum(w) AS HUGEINT) AS sw FROM w1),
+        |r1 AS (SELECT source,
+        |    CAST(LEAST(CAST(1000000 AS HUGEINT),
+        |      (CAST(150 AS HUGEINT) * w * 1000000) // (sw * n)) AS BIGINT)
+        |      AS micro
+        |  FROM w1, t1),
+        |c2 AS (SELECT source, count(*)::BIGINT AS n FROM
+        |  (SELECT * FROM b1 UNION ALL SELECT * FROM b2) GROUP BY source),
+        |w2 AS (SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        |  FROM c2),
+        |t2 AS (SELECT CAST(sum(w) AS HUGEINT) AS sw FROM w2),
+        |r2 AS (SELECT source,
+        |    CAST(LEAST(CAST(1000000 AS HUGEINT),
+        |      (CAST(150 AS HUGEINT) * w * 1000000) // (sw * n)) AS BIGINT)
+        |      AS micro
+        |  FROM w2, t2)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, d.doc_id, d.source
+        |  FROM b1 d JOIN r1 USING (source)
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+        |    % 1000000 < r1.micro
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), d.doc_id, d.source
+        |  FROM b2 d JOIN r2 USING (source)
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+        |    % 1000000 < r2.micro)
+        |ORDER BY round, doc_id""".stripMargin,
     // the terminal shard materialization: re-derive the epoch-shuffle
     // key, the hex-prefix stream, the per-stream greedy capacity
     // recurrence (dq66's machinery), and the key-ordered content md5 of

@@ -131,36 +131,56 @@ object Sampling {
     * the sqrt is integer arithmetic.
     */
   def temperatureMixPortable(df: DataFrame, strataCol: String, idCol: String,
-      targetDocs: Long, seed: Long = 42L): DataFrame = {
-    require(targetDocs >= 0, "targetDocs must be >= 0")
-    // fail NAMING the column, not with a ClassCastException from the
-    // collect below; and refuse NULL strata outright — a NULL stratum
-    // would add its sqrt(n) weight to the normalizer while the literal
-    // CASE gate silently dropped its rows, depressing every other
-    // source's acceptance below the declared target
+      targetDocs: Long, seed: Long = 42L): DataFrame =
+    temperatureGate(df, strataCol, idCol,
+      temperatureRatesMicro(strataCounts(df, strataCol), targetDocs), seed)
+
+  /** Per-stratum document counts, collected — driver-sized by
+    * construction (one row per source), with the STRING/NULL strata
+    * checks shared by every mixing form (a NULL stratum would add its
+    * sqrt(n) weight to the normalizer while the literal CASE gate
+    * silently dropped its rows). */
+  private[graft] def strataCounts(df: DataFrame,
+      strataCol: String): Seq[(String, Long)] = {
     require(df.schema(strataCol).dataType ==
       org.apache.spark.sql.types.StringType,
       s"temperatureMix: strata column '$strataCol' must be STRING, got " +
         df.schema(strataCol).dataType.simpleString)
-    // driver-sized by construction: one row per source (strata)
     val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     require(counts.forall(_._1 != null),
       s"temperatureMix: strata column '$strataCol' contains NULL — every " +
         "document needs a source (filter or fill upstream)")
+    counts
+  }
+
+  /** The RATE DERIVATION of [[temperatureMixPortable]] from counts
+    * alone — extracted so the stored form ([[graft.plan.CurationConfig]]'s
+    * `mix_gate` over a [[StrataCountStore]], whose counts are
+    * corpus-to-date rather than frame-local) shares the exact integer
+    * chain and can never drift from the per-call operator. */
+  private[graft] def temperatureRatesMicro(counts: Seq[(String, Long)],
+      targetDocs: Long): Seq[(String, Long)] = {
+    require(targetDocs >= 0, "targetDocs must be >= 0")
     val wts = counts.map { case (s, n) =>
       (s, n, BigInt(math.floor(math.sqrt(n.toDouble) * 1e6).toLong))
     }
     val wsum = wts.map(_._3).sum
-    val micro = wts.map { case (s, n, w) =>
+    wts.map { case (s, n, w) =>
       val r = (BigInt(targetDocs) * w * M) / (wsum * BigInt(n))
       (s, r.min(BigInt(M)).toLong)
     }
+  }
+
+  /** The membership gate of [[temperatureMixPortable]]: literal CASE
+    * rates + the engine-portable md5 gate. Strata absent from `rates`
+    * drop (rate −1). */
+  private[graft] def temperatureGate(df: DataFrame, strataCol: String,
+      idCol: String, rates: Seq[(String, Long)], seed: Long): DataFrame =
     df.filter(gatePortable(col(idCol), seed) <
-      micro.foldLeft(lit(-1L)) { case (acc, (s, m)) =>
+      rates.foldLeft(lit(-1L)) { case (acc, (s, m)) =>
         when(col(strataCol) === lit(s), lit(m)).otherwise(acc)
       })
-  }
 
   /** CLUSTER-BALANCED subsampling: at most `perCell` representatives per
     * trained-IVF cell, ranked by the engine-portable md5 gate — the

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField,
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.ext.{BpeStore, Dedup, IvfStore, NearDupIndex, NgramLm, NgramLmStore, QualityProbeStore, Sampling, SubstrIndex, TextAnalysis}
+import graft.ext.{BpeStore, Dedup, IvfStore, NearDupIndex, NgramLm, NgramLmStore, QualityProbeStore, Sampling, StrataCountStore, SubstrIndex, TextAnalysis}
 
 /** Config-driven CURATION pipeline — the EXT analogue of [[ReportConfig]]'s
   * declare-a-report-then-run workflow (the reference runner loads a typed
@@ -148,6 +148,67 @@ object CurationConfig {
       Sampling.temperatureMixPortable(df, strataCol, idCol, targetDocs)
     // derives per-stratum keep rates from counts of the input FRAME
     override def batchScoped: Boolean = true
+  }
+
+  /** STORE-MEDIATED temperature mixing — the stream-correct sibling of
+    * [[TemperatureMix]] (whose frame-derived rates make it batch-scoped
+    * and refused by the streamed runners): per-source rates derive from
+    * the CORPUS-TO-DATE counts in a [[StrataCountStore]] at `path`
+    * UNION the current batch's counts, the batch is gated with
+    * [[Sampling]]'s exact integer rate chain (shared code — the stored
+    * form can never drift from dq146's operator), and the batch's RAW
+    * counts (pre-gate: composition statistics track the corpus, not the
+    * sample) fold into the store exactly-once under the run token. The
+    * first round sees an absent store, so its rates come from the batch
+    * alone — plain `temperature_mix` semantics, which also makes a
+    * crash-replayed seed round deterministic without reading the store.
+    * Replays follow the family contract (reuse the crashed run's runId,
+    * replay before successor rounds run): the `excludeToken` view hands
+    * a rerun its original rate inputs and `appendOnce` folds nothing
+    * twice. Unlike the frame-local stage this one is legal in
+    * [[graft.streaming.EventStream.runConfigPipeline]] — its statistics
+    * live in the store. */
+  final case class MixGate(path: String, strataCol: String,
+      targetDocs: Long) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
+      val spark = df.sparkSession
+      val staged = df.localCheckpoint(true) // count + gate see one row set
+      val batchCounts = Sampling.strataCounts(staged, strataCol)
+      def gateWith(stored: Seq[(String, Long)]): DataFrame = {
+        val merged = (stored ++ batchCounts).groupBy(_._1).view
+          .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+        Sampling.temperatureGate(staged, strataCol, idCol,
+          Sampling.temperatureRatesMicro(merged, targetDocs), seed = 42L)
+      }
+      if (!StrataCountStore.exists(spark, path)) {
+        val kept = gateWith(Nil)
+        try { StrataCountStore.create(spark, path, batchCounts, runToken); () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // lost a concurrent create race: fold into the winner's store
+            if (!StrataCountStore.exists(spark, path)) throw e
+            runToken match {
+              case Some(t) =>
+                StrataCountStore.open(spark, path).appendOnce(batchCounts, t)
+              case None =>
+                StrataCountStore.open(spark, path).append(batchCounts)
+            }
+        }
+        kept
+      } else {
+        val store = StrataCountStore.open(spark, path)
+        if (runToken.exists(store.seededBy)) gateWith(Nil) // seed replay
+        else {
+          val kept = gateWith(store.counts(excludeToken = runToken))
+          runToken match {
+            case Some(t) => store.appendOnce(batchCounts, t)
+            case None => store.append(batchCounts)
+          }
+          kept
+        }
+      }
+    }
   }
 
   /** Multiplies rows (adds `epoch`): declare it LAST — a dedup or gate
@@ -638,6 +699,7 @@ object CurationConfig {
     case _: FluencyBand => "fluency_band"
     case _: TokenBudget => "token_budget"
     case _: TemperatureMix => "temperature_mix"
+    case _: MixGate => "mix_gate"
     case _: LangGate => "lang_gate"
     case _: RepeatEpochs => "repeat_epochs"
     case _: RepeatEpochsByStrata => "repeat_epochs"
@@ -819,6 +881,20 @@ object CurationConfig {
         if (target < 0)
           fail(s"stage 'temperature_mix': targetDocs must be >= 0, got $target")
         TemperatureMix(strata, target)
+      case "mix_gate" =>
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'mix_gate' needs a non-empty 'path' string")
+        }
+        val strata = j \ "strata" match {
+          case JString(s) => s
+          case _ => fail("stage 'mix_gate' needs a 'strata' column name")
+        }
+        val target = long("targetDocs").getOrElse(
+          fail("stage 'mix_gate' needs 'targetDocs'"))
+        if (target < 0)
+          fail(s"stage 'mix_gate': targetDocs must be >= 0, got $target")
+        MixGate(path, strata, target)
       case "repeat_epochs" =>
         def num(v: JValue): Option[Double] = v match {
           case JDouble(d) => Some(d)
@@ -1017,9 +1093,9 @@ object CurationConfig {
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
           "fluency_band | lang_gate | token_budget | temperature_mix | " +
-          "repeat_epochs | where | substr_gate | decontam_gate | neardup_gate | " +
-          "semantic_gate | ivf_maintain | store_vacuum | lm_gate | " +
-          "probe_gate | bpe_tokenize | shard_write)")
+          "mix_gate | repeat_epochs | where | substr_gate | decontam_gate | " +
+          "neardup_gate | semantic_gate | ivf_maintain | store_vacuum | " +
+          "lm_gate | probe_gate | bpe_tokenize | shard_write)")
     }
   }
 
