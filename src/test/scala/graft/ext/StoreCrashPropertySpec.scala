@@ -9,8 +9,10 @@ import graft.GraftSpec
   * family (round-11 verdict #3): drive three micro-batches through each
   * of the five gated modalities ([[NearDupIndex]], [[SubstrIndex]],
   * [[IvfStore]], [[NgramLmStore]], [[QualityProbeStore]] — the
-  * [[IngestIndex]] contract) and the two fold modalities ([[BpeStore]],
-  * [[Bm25Store]]), with a crash injected at a seed-chosen point —
+  * [[IngestIndex]] contract), the two fold modalities ([[BpeStore]],
+  * [[Bm25Store]]), the mixing count store ([[StrataCountStore]] through
+  * the declared `mix_gate` round), and the terminal shard writer
+  * ([[ShardWriter]]), with a crash injected at a seed-chosen point —
   * pre-commit (the [[ManifestLog]] failpoint: relation dirs written,
   * marker absent) or post-commit (a full replay of the batch) — at a
   * seed-chosen batch INCLUDING the seed build, then replay the batch
@@ -160,7 +162,33 @@ class StoreCrashPropertySpec extends GraftSpec {
         Bm25Store.open(spark, p).appendOnce(batch, "doc_id", "text", token)
         ids(batch)
       },
-      p => manifestState(p) :+ Bm25Store.open(spark, p).stats.toString))
+      p => manifestState(p) :+ Bm25Store.open(spark, p).stats.toString),
+    // the mixing count store, driven through the declared mix_gate round
+    // (gate with corpus-to-date ∪ batch rates, fold raw counts once)
+    H("stratamix", r => textBatches(r).map(_.withColumn("source",
+        concat(lit("s"), col("doc_id") % 3))),
+      (p, b0) => if (!StrataCountStore.exists(spark, p)) {
+        StrataCountStore.create(spark, p,
+          Sampling.strataCounts(b0, "source")); ()
+      },
+      (p, batch, token) => ids(graft.plan.CurationConfig
+        .MixGate(p, "source", targetDocs = 8L)
+        .apply(batch, "doc_id", "text", Some(token))),
+      p => manifestState(p) ++
+        StrataCountStore.open(spark, p).counts().map(_.toString)),
+    // the terminal shard writer: every batch materializes its own shard
+    // set exactly-once; the observable is the persisted integrity report
+    H("shardwrite", textBatches,
+      (p, b0) => if (!ShardWriter.exists(spark, p)) {
+        ShardWriter.write(b0, "doc_id", "text", p, capacity = 60); ()
+      },
+      (p, batch, token) => {
+        ShardWriter.write(batch, "doc_id", "text", p, capacity = 60,
+          token = Some(token))
+        ids(batch)
+      },
+      p => manifestState(p) ++ ShardWriter.report(spark, p)
+        .orderBy("round", "stream", "bin").collect().map(_.toString)))
 
   /** Run the 3-batch ingest; `crashAt` (-1 = clean) names the crashed
     * batch, `preCommit` the injection point. Returns per-batch survivor
