@@ -588,6 +588,37 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq127 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq158: the terminal shard materialization — shard count, wall,
+      //    and the file-discipline claim (cluster-before-partitionBy ⇒ a
+      //    loader opens ≤ one part file per shard), plus the capacity
+      //    invariant over multi-doc shards, all at the full sf corpus.
+      if (!names.exists(_.startsWith("dq158"))) None
+      else try {
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val path = graft.io.TempReaper.tempDir("graft-bench-shard")
+          .toString + "/st"
+        val t0 = System.nanoTime()
+        val shards = graft.ext.ShardWriter.write(docs, "doc_id", "text",
+          path, capacity = 20000, units = "chars")
+        val writeSec = (System.nanoTime() - t0) / 1e9
+        val rep = graft.ext.ShardWriter.report(spark, path)
+          .localCheckpoint(true)
+        val rows = graft.ext.ShardWriter.shards(spark, path).count()
+        val maxMulti = rep.filter(col("n_docs") > 1)
+          .agg(coalesce(max(col("units")), lit(0L))).head().getLong(0)
+        val partFiles = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(s"$path/data"))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .count()
+        Some(f""""dq158_shards":$shards,"dq158_rows":$rows,""" +
+          f""""dq158_write_sec":$writeSec%.3f,""" +
+          s""""dq158_part_files":$partFiles,""" +
+          s""""dq158_max_multidoc_units":$maxMulti""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq158 evidence failed: ${e.getMessage}"); None
+      },
       if (!names.exists(_.startsWith("dq59"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec

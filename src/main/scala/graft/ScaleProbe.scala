@@ -410,6 +410,37 @@ object ScaleProbe {
         ()
       }
     }
+    // Terminal shard materialization scaling (round 14): wall-clock and
+    // file discipline as the corpus grows. Greedy packing is sequential
+    // PER HEX-PREFIX STREAM (16 here — the 100 TB knob is the prefix
+    // length), so the packing pass stays parallel, and the
+    // cluster-before-partitionBy write leaves ≤ one part file per shard
+    // (what the trainer's loader opens).
+    if (sys.env.get("SCALE_SHARD").contains("1")) {
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      for (m <- Seq(4, 16)) {
+        val corpus = docs.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            concat(col("text"), lit(" r"), col("rep")).as("text"))
+          .localCheckpoint(true)
+        val n = corpus.count()
+        val path = graft.io.TempReaper.tempDir("graft-scale-shard")
+          .toString + "/st"
+        val t0 = System.nanoTime()
+        val shards = graft.ext.ShardWriter.write(corpus, "doc_id", "text",
+          path, capacity = 20000)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = graft.ext.ShardWriter.shards(spark, path).count()
+        require(rows == n, s"shard write lost rows: $rows != $n")
+        val partFiles = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(s"$path/data"))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .count()
+        println(f"""{"probe":"shardwrite","docs":$n,"shards":$shards,"part_files":$partFiles,"write_sec":$sec%.2f}""")
+        corpus.unpersist()
+        ()
+      }
+    }
     // Stored BM25 scaling (round 11): per-query cost of the persisted
     // inverted index vs the per-call session scorer as the corpus grows.
     // The session path re-tokenizes the WHOLE corpus every call (its one

@@ -38,6 +38,14 @@ class ShardWriterSpec extends GraftSpec {
     over shouldBe 0L
     // streams: 16 hex prefixes (or fewer if a prefix is empty at this SF)
     persisted.select("stream").distinct().count() should be <= 16L
+    // file discipline: the cluster-before-partitionBy write leaves at
+    // most ONE part file per shard (the dq127 fan-out rule) — a loader
+    // opens #shards files, not #tasks × #shards
+    val partFiles = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$path/data"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .count()
+    partFiles should be <= persisted.count()
   }
 
   it("a token-carrying write is exactly-once: the replay recognizes the " +
