@@ -93,6 +93,15 @@ object ShardWriter {
       .withColumn("units", unitsColumn(units, textCol, df.schema))
       .withColumn("stream",
         if (prefixLen == 0) lit("all") else substring(col("skey"), 1, prefixLen))
+    // the key IS row identity: a duplicated (epoch, id) would silently
+    // multiply rows through the assignment join below — refuse by name
+    // (a keys-only aggregation; document bodies don't ride this check)
+    val dup = keyed.groupBy("skey").count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dup == 0L,
+      s"shard_write: duplicate (epoch, $idCol) rows in the input — the " +
+        "shuffle key is row identity; dedup upstream (or repeat via " +
+        "repeat_epochs, whose epoch column keys every copy)")
     val packed = Packing
       .packGreedy(keyed, "stream", "skey", "units", capacity)
       .select(col("skey"), col("bin"))

@@ -126,6 +126,11 @@ class ShardWriterSpec extends GraftSpec {
     intercept[IllegalArgumentException] {
       ShardWriter.assign(docs, "doc_id", "text", "subtokens", 100, 1, 16)
     }.getMessage should include("bpe_tokenize")
+    // duplicated (epoch, id) rows are refused by name, not multiplied
+    intercept[IllegalArgumentException] {
+      ShardWriter.assign(docs.limit(3).unionByName(docs.limit(3)),
+        "doc_id", "text", "chars", 100, 1, 16).count()
+    }.getMessage should include("duplicate")
     def bad(json: String, frag: String): Unit =
       intercept[IllegalArgumentException] {
         graft.plan.CurationConfig.parse(json)
