@@ -3152,6 +3152,104 @@ object SparkEntry {
       .orderBy("round", "doc_id")
   }
 
+  /** DQ160 (EXT/runner, §2.9): TERMINAL SHARD MATERIALIZATION STREAMED —
+    * the declared pipeline's sink runs per micro-batch: each batch of the
+    * ingest stream packs and commits its OWN shard set
+    * ([[graft.ext.ShardWriter]] appends `append=<id>` under the batch's
+    * exactly-once stage token `cfg:dq160:b<id>:s1`) — the per-round
+    * production shape, where a trainer's loader consumes the rounds it
+    * has seen committed. The query returns the PERSISTED per-round
+    * integrity reports; the oracle re-derives BOTH rounds' full chains
+    * (epoch-shuffle key → hex-prefix stream → greedy capacity recurrence
+    * → key-ordered content md5) from the raw table and the known batch
+    * split. A replayed micro-batch recognizes its committed token and
+    * appends nothing (the dq153 streamed-runner replay contract plus
+    * [[graft.ext.ShardWriter.write]]'s appendOnce). */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base =
+      graft.io.TempReaper.tempDir("graft-dq160-shards").toString + "/st"
+    val cfg =
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "shard_write", "path": "$base", "capacity": 4000,
+        |    "units": "chars", "epoch": 1, "streams": 16}]}""".stripMargin
+    val pipeline = graft.plan.CurationConfig.parse(cfg)
+    val b1 = docs.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("text"))
+    val b2 = docs.filter(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3)
+      .select(col("doc_id"), col("text"))
+    val incoming = EventStream.twoFileBatchStream(b1, b2, "dq160")
+    EventStream.runConfigPipeline(incoming, pipeline, dir, "dq160")
+    graft.ext.ShardWriter.report(s, base)
+      .select(col("round"), col("stream"), col("bin"), col("n_docs"),
+        col("units"), col("content_md5"))
+      .orderBy("round", "stream", "bin")
+  }
+
+  /** DQ161 (EXT): LOADER-SIDE SHARD INTEGRITY over a MULTI-EPOCH
+    * materialization — `repeat_epochs 2` gives every kept document two
+    * epoch copies, `shard_write` keys each copy by its OWN epoch-shuffle
+    * key `md5('<epoch>:<id>')` (both training epochs landed up front,
+    * each a different reproducible permutation), and
+    * [[graft.ext.ShardWriter.verify]] re-reads the data tree, recomputes
+    * every shard's report row from the bytes on disk, and
+    * full-outer-joins it against the persisted manifest — the check a
+    * loader runs before consuming an append. Every shard verifies ok
+    * here; the oracle re-derives the epoch-expanded chain and asserts
+    * both hashes itself. Tampered / lost / orphaned shards are spec
+    * territory (`ShardWriterSpec` flips a row, orphans a directory, and
+    * deletes a shard) — parquet the SQL oracle cannot see. */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val base =
+      graft.io.TempReaper.tempDir("graft-dq161-epochs").toString + "/st"
+    val cfg =
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "where", "expr": "doc_id % 5 = 2"},
+        |   {"stage": "repeat_epochs", "factor": 2.0},
+        |   {"stage": "shard_write", "path": "$base", "capacity": 6000,
+        |    "units": "chars", "streams": 16}]}""".stripMargin
+    graft.plan.CurationConfig.parse(cfg).run(s, dir, Some("dq161"))
+    graft.ext.ShardWriter.verify(s, base, "doc_id", "text")
+      .select(col("round"), col("stream"), col("bin"), col("ok"),
+        col("n_docs"), col("units"), col("manifest_md5"), col("disk_md5"))
+      .orderBy("stream", "bin")
+  }
+
+  /** DQ162 (EXT): PRODUCT-QUANTIZED similarity search
+    * ([[graft.ext.PqAnn]] — Jégou et al. 2011, the PQ/ADC tier of the
+    * FAISS taxonomy): the 64-dim embeddings split into 16 subspaces, a
+    * 16-centroid codebook trained per subspace with the family's
+    * oracle-exact Lloyd's (seeded-hash init, (dist, cell) argmin
+    * tie-break, micro-integer means), every vector encoded as its 16
+    * nearest-sub-centroid ids (16 bytes instead of 256 — the 100 TB
+    * memory path), and queries 1–3 ranked by Asymmetric Distance
+    * Computation: per-subspace inner-product tables, score = the
+    * subspace-ordered sum of 16 table lookups, bounded-heap top-5. The
+    * oracle replays all sixteen subspace k-means chains, the code
+    * assignment, the ADC tables, and the left-associative add chain.
+    * (m=16 is the measured knee on this near-isotropic corpus: m=4/k=8
+    * recalls ~1/10 of the exact top-10, m=16/k=16 ~4/10 mean over the
+    * three queries — `PqAnnSpec` pins the floor.) */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = graft.ext.PqAnn.fit(emb, "vec_id", "embedding",
+      dims = 64, m = 16, k = 16)
+    // materialize the code relation (the m-bytes/vector table a
+    // deployment persists) so scoring scans 16-int rows, not a plan
+    // that re-encodes the corpus per consumer
+    val codes = graft.ext.PqAnn.encode(emb, "vec_id", "embedding", cb)
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    graft.ext.PqAnn.adcTopK(codes, cb, queries, topK = 5)
+      .select(col("qid"), col("vid"), col("score"))
+      .orderBy("qid", "vid")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -3349,7 +3447,10 @@ object SparkEntry {
     "dq156_proto_stream_tail"     -> (q156 _),
     "dq157_stream_config_report"  -> (q157 _),
     "dq158_shard_write"           -> (q158 _),
-    "dq159_stream_mix_gate"       -> (q159 _)
+    "dq159_stream_mix_gate"       -> (q159 _),
+    "dq160_stream_shard_write"    -> (q160 _),
+    "dq161_shard_verify_epochs"   -> (q161 _),
+    "dq162_pq_adc_topk"           -> (q162 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3660,6 +3761,86 @@ object SparkEntry {
       |SELECT qid, vid, sim FROM (SELECT qid, vid, sim,
       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) rnk FROM scored)
       |WHERE rnk <= $topK ORDER BY qid, vid""".stripMargin
+  }
+
+  /** dq162: the PQ/ADC oracle — FOUR independent subspace k-means chains
+    * (the ivfChainSql arithmetic applied to `emb[off+1 : off+16]`
+    * slices; the seed ranking `(md5(vid), vid)` is slice-independent, so
+    * one `s0` serves all four), the final per-subspace assignments as
+    * the code relation, per-query ADC tables (inner product vs every
+    * SURVIVING sub-centroid — empty Lloyd's cells die, lookups key on
+    * the cell id), and the parenthesized subspace-ordered add chain
+    * `((t0 + t1) + t2) + t3` — the exact order the engine folds —
+    * ranked (score desc, vid asc). */
+  private val Dq162Sql: String = {
+    val m = 16; val subDim = 4; val k = 16; val iters = 2; val topK = 5
+    def dist(emb: String, off: Int) =
+      s"list_sum(list_transform(range(1, ${subDim + 1}), " +
+        s"i -> ($emb[$off + i]::DOUBLE - c.c[i]) * ($emb[$off + i]::DOUBLE - c.c[i])))"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id vid, embedding emb FROM embeddings),
+      |s0 AS (SELECT vid, emb,
+      |  row_number() OVER (ORDER BY md5(vid::VARCHAR), vid) rn FROM e),
+      |q AS (SELECT vec_id qid, embedding qemb FROM embeddings
+      |  WHERE vec_id IN (1, 2, 3)),
+      |""".stripMargin
+    for (j <- 0 until m) {
+      val off = j * subDim
+      sb ++= s"""c${j}_0 AS (SELECT rn - 1 AS cell,
+        |  list_transform(range(1, ${subDim + 1}), i -> emb[$off + i]::DOUBLE) c
+        |  FROM s0 WHERE rn <= $k),
+        |""".stripMargin
+      for (it <- 1 to iters)
+        sb ++= s"""d${j}_$it AS (SELECT e.vid, e.emb, c.cell,
+          |    ${dist("e.emb", off)} dist
+          |  FROM e CROSS JOIN c${j}_${it - 1} c),
+          |a${j}_$it AS (SELECT vid, emb, cell FROM (SELECT vid, emb, cell,
+          |    row_number() OVER (PARTITION BY vid ORDER BY dist, cell) rn
+          |  FROM d${j}_$it) WHERE rn = 1),
+          |u${j}_$it AS (SELECT cell, d,
+          |    (SUM(CAST(FLOOR(emb[$off + d]::DOUBLE * 1000000) AS BIGINT))
+          |      / 1000000.0) / COUNT(*) cd
+          |  FROM a${j}_$it, unnest(range(1, ${subDim + 1})) t(d)
+          |  GROUP BY cell, d),
+          |c${j}_$it AS (SELECT cell, list(cd ORDER BY d) c FROM u${j}_$it
+          |  GROUP BY cell),
+          |""".stripMargin
+      sb ++= s"""fd$j AS (SELECT e.vid, c.cell, ${dist("e.emb", off)} dist
+        |  FROM e CROSS JOIN c${j}_$iters c),
+        |as$j AS (SELECT vid, cell FROM (SELECT vid, cell,
+        |    row_number() OVER (PARTITION BY vid ORDER BY dist, cell) rn
+        |  FROM fd$j) WHERE rn = 1),
+        |tq$j AS (SELECT q.qid, c.cell,
+        |    list_sum(list_transform(range(1, ${subDim + 1}),
+        |      i -> q.qemb[$off + i]::DOUBLE * c.c[i])) t
+        |  FROM q CROSS JOIN c${j}_$iters c),
+        |""".stripMargin
+    }
+    // one UNPIVOTED code/table pair + a single equi-join, NOT an m-way
+    // join of per-subspace relations: m tiny join inputs sharing a qid
+    // key invite the join-order optimizer into exponential
+    // tq0×tq1×…-first plans (measured: the 16-way form never finished
+    // at 500 rows; this form is sub-second). The per-(qid, vid) score
+    // folds the m terms in subspace order via list(t ORDER BY j) —
+    // list_sum walks the list sequentially, the same ((t0+t1)+t2)+…
+    // association the engine's reduceLeft builds.
+    val cu = (0 until m)
+      .map(j => s"SELECT vid, $j j, cell FROM as$j")
+      .mkString("\n  UNION ALL ")
+    val tq = (0 until m)
+      .map(j => s"SELECT qid, $j j, cell, t FROM tq$j")
+      .mkString("\n  UNION ALL ")
+    sb ++= s"""cu AS ($cu),
+      |tqall AS ($tq),
+      |scored AS (SELECT t.qid, c.vid, list_sum(list(t.t ORDER BY c.j)) score
+      |  FROM cu c JOIN tqall t ON t.j = c.j AND t.cell = c.cell
+      |  WHERE c.vid <> t.qid
+      |  GROUP BY t.qid, c.vid)
+      |SELECT qid, vid, score FROM (SELECT qid, vid, score,
+      |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) rnk
+      |  FROM scored)
+      |WHERE rnk <= $topK ORDER BY qid, vid""".stripMargin
+    sb.toString
   }
 
   /** dq142: refit-from-the-stored-relation must equal a from-scratch
@@ -5079,6 +5260,77 @@ object SparkEntry {
         |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
         |    % 1000000 < r2.micro)
         |ORDER BY round, doc_id""".stripMargin,
+    // the streamed terminal materialization: each micro-batch commits
+    // its OWN shard set, so the oracle derives dq158's full chain once
+    // per round over that round's batch rows
+    "dq160_stream_shard_write" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT 1::BIGINT AS round, doc_id, text,
+        |    len(text)::BIGINT AS units,
+        |    md5('1:' || doc_id::VARCHAR) AS skey,
+        |    substr(md5('1:' || doc_id::VARCHAR), 1, 1) AS stream
+        |  FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT 2::BIGINT, doc_id, text, len(text)::BIGINT,
+        |    md5('1:' || doc_id::VARCHAR),
+        |    substr(md5('1:' || doc_id::VARCHAR), 1, 1)
+        |  FROM documents WHERE doc_id % 4 IN (2, 3)),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY round, stream ORDER BY skey) rn
+        |  FROM d),
+        |packed AS (
+        |  SELECT round, stream, skey, doc_id, text, units, rn,
+        |    CAST(0 AS BIGINT) AS bin, units AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.round, r.stream, r.skey, r.doc_id, r.text, r.units,
+        |    r.rn,
+        |    CASE WHEN p.fill + r.units > 4000 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + r.units > 4000 THEN r.units
+        |         ELSE p.fill + r.units END
+        |  FROM r JOIN packed p
+        |    ON r.round = p.round AND r.stream = p.stream AND r.rn = p.rn + 1)
+        |SELECT round, stream, bin, count(*) AS n_docs,
+        |  CAST(sum(units) AS BIGINT) AS units,
+        |  md5(string_agg(md5(doc_id::VARCHAR || ':' || text), ''
+        |    ORDER BY skey)) AS content_md5
+        |FROM packed GROUP BY 1, 2, 3
+        |ORDER BY round, stream, bin""".stripMargin,
+    // loader-side integrity over a two-epoch materialization: the
+    // derivation expands each kept doc into its epoch copies (factor 2.0
+    // is exact — epochs 1 and 2, no fractional gate), keys each copy by
+    // its own epoch-shuffle key, re-runs the packing recurrence, and
+    // asserts manifest and disk hashes itself (ok = true by derivation)
+    "dq161_shard_verify_epochs" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text, len(text)::BIGINT AS units,
+        |    md5(ep.e::VARCHAR || ':' || doc_id::VARCHAR) AS skey,
+        |    substr(md5(ep.e::VARCHAR || ':' || doc_id::VARCHAR), 1, 1)
+        |      AS stream
+        |  FROM documents
+        |  CROSS JOIN (SELECT 1 AS e UNION ALL SELECT 2) ep
+        |  WHERE doc_id % 5 = 2),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY stream ORDER BY skey) rn
+        |  FROM d),
+        |packed AS (
+        |  SELECT stream, skey, doc_id, text, units, rn,
+        |    CAST(0 AS BIGINT) AS bin, units AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.stream, r.skey, r.doc_id, r.text, r.units, r.rn,
+        |    CASE WHEN p.fill + r.units > 6000 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + r.units > 6000 THEN r.units
+        |         ELSE p.fill + r.units END
+        |  FROM r JOIN packed p ON r.stream = p.stream AND r.rn = p.rn + 1)
+        |SELECT CAST(1 AS BIGINT) AS round, stream, bin, TRUE AS ok,
+        |  count(*) AS n_docs, CAST(sum(units) AS BIGINT) AS units,
+        |  md5(string_agg(md5(doc_id::VARCHAR || ':' || text), ''
+        |    ORDER BY skey)) AS manifest_md5,
+        |  md5(string_agg(md5(doc_id::VARCHAR || ':' || text), ''
+        |    ORDER BY skey)) AS disk_md5
+        |FROM packed GROUP BY stream, bin
+        |ORDER BY stream, bin""".stripMargin,
     // the terminal shard materialization: re-derive the epoch-shuffle
     // key, the hex-prefix stream, the per-stream greedy capacity
     // recurrence (dq66's machinery), and the key-ordered content md5 of
@@ -5152,6 +5404,9 @@ object SparkEntry {
     // the stored IVF index: train-80% / assign-all against frozen
     // centroids / probe — matching the chain IS the frozen-append proof
     "dq118_ivf_store" -> Dq118Sql,
+    // PQ/ADC: four subspace Lloyd's chains + code joins + table-lookup
+    // scoring (built programmatically — see Dq162Sql)
+    "dq162_pq_adc_topk" -> Dq162Sql,
     // refit generation: retrain-on-the-stored-relation must equal the
     // from-scratch chain over the union corpus (full-table training)
     "dq142_ivf_refit" -> Dq142Sql,

@@ -189,6 +189,52 @@ object ShardWriter {
     }.reduce(_ unionByName _)
   }
 
+  /** LOADER-SIDE INTEGRITY VERIFICATION — before a trainer consumes a
+    * shard set, confirm the bytes on disk are the bytes the manifest
+    * committed: recompute every shard's [[reportOf]] row from the data
+    * tree and full-outer-join it against the PERSISTED report on
+    * `(round, stream, bin)`. A shard is `ok` only when both sides exist
+    * and agree on doc count, unit total, AND the key-ordered content
+    * md5 — so a lost file, a truncated write, a flipped row, or an
+    * orphan directory the manifest never committed each surface as one
+    * named `(round, stream, bin, ok=false)` row with both hashes for
+    * the operator to diff. This is deliberately the ONE corpus-sized
+    * read in the shard lifecycle (like [[IvfStore]] refit): it re-reads
+    * every committed shard once, in one parallel scan per append — the
+    * loader runs it per NEW append (`rounds = Some(Seq(latest))`) at
+    * production cadence, not over all history. */
+  def verify(spark: SparkSession, path: String, idCol: String,
+      textCol: String, rounds: Option[Seq[Long]] = None): DataFrame = {
+    val ids = appendIds(spark, path)
+    require(ids.nonEmpty, s"no committed shard sets under $path")
+    val picked = ids.zipWithIndex
+      .map { case (id, i) => (id, (i + 1).toLong) }
+      .filter { case (_, r) => rounds.forall(_.contains(r)) }
+    require(picked.nonEmpty,
+      s"verify: no committed round matches ${rounds.getOrElse(Nil)} " +
+        s"(committed: 1..${ids.size})")
+    val disk = picked.map { case (id, round) =>
+      val dataDir = s"$path/data/append=$id"
+      reportOf(spark.read.option("basePath", dataDir).parquet(dataDir),
+          idCol, textCol)
+        .withColumn("round", lit(round))
+    }.reduce(_ unionByName _)
+    val manifest = report(spark, path)
+      .filter(col("round").isin(picked.map(_._2): _*))
+    manifest.alias("m")
+      .join(disk.alias("d"), Seq("round", "stream", "bin"), "full_outer")
+      .select(col("round"), col("stream"), col("bin"),
+        (col("m.content_md5").isNotNull &&
+          col("d.content_md5").isNotNull &&
+          col("m.n_docs") <=> col("d.n_docs") &&
+          col("m.units") <=> col("d.units") &&
+          col("m.content_md5") <=> col("d.content_md5")).as("ok"),
+        coalesce(col("m.n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("m.units"), lit(0L)).as("units"),
+        col("m.content_md5").as("manifest_md5"),
+        col("d.content_md5").as("disk_md5"))
+  }
+
   def exists(spark: SparkSession, path: String): Boolean =
     new ManifestLog(spark, path).read().nonEmpty
 

@@ -149,6 +149,73 @@ class ShardWriterSpec extends GraftSpec {
         |  "streams":7}]}""".stripMargin, "streams")
   }
 
+  it("verify: a fresh set is all ok; a flipped row, an orphan directory, " +
+     "and a lost shard each surface as one named ok=false row; 'rounds' " +
+     "scopes the read to one append") {
+    val path = tmp()
+    ShardWriter.write(docs, "doc_id", "text", path, capacity = 2000,
+      token = Some("run#1"))
+    val v1 = ShardWriter.verify(spark, path, "doc_id", "text")
+    v1.filter(!col("ok")).count() shouldBe 0L
+    v1.count() shouldBe ShardWriter.report(spark, path).count()
+
+    // flip one row's text inside one shard file: only that shard's
+    // disk-side content md5 can move (n_docs and the stored units don't)
+    val dataDir = java.nio.file.Paths.get(s"$path/data/append=a000001")
+    val victim = java.nio.file.Files.walk(dataDir)
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get().getParent
+    val bin = victim.getFileName.toString.stripPrefix("bin=").toLong
+    val stream = victim.getParent.getFileName.toString
+      .stripPrefix("stream=")
+    val flipped = spark.read.parquet(victim.toString)
+      .withColumn("text", concat(col("text"), lit("!bitflip")))
+      .localCheckpoint(true) // sever lineage before overwriting the files
+    flipped.coalesce(1).write.mode("overwrite").parquet(victim.toString)
+    val v2 = ShardWriter.verify(spark, path, "doc_id", "text")
+    val bad = v2.filter(!col("ok")).collect()
+    bad.length shouldBe 1
+    bad.head.getAs[String]("stream") shouldBe stream
+    bad.head.getAs[Long]("bin") shouldBe bin
+    bad.head.getAs[String]("manifest_md5") should not be
+      bad.head.getAs[String]("disk_md5")
+
+    // an orphan shard directory the manifest never committed, and a
+    // committed shard whose directory is gone: each is one named row
+    spark.read.parquet(victim.toString).limit(1)
+      .write.parquet(s"$path/data/append=a000001/stream=zz/bin=99")
+    val lost = java.nio.file.Files.walk(dataDir)
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map[java.nio.file.Path](_.getParent).distinct()
+      .filter(p => p != victim &&
+        !p.toString.contains("stream=zz")).findFirst().get()
+    val lostBin = lost.getFileName.toString.stripPrefix("bin=").toLong
+    val lostStream = lost.getParent.getFileName.toString
+      .stripPrefix("stream=")
+    java.nio.file.Files.walk(lost)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.delete(p); () })
+    val v3 = ShardWriter.verify(spark, path, "doc_id", "text")
+    v3.filter(!col("ok")).count() shouldBe 3L
+    v3.filter(col("stream") === "zz" && col("bin") === 99L)
+      .select("manifest_md5").head().isNullAt(0) shouldBe true
+    v3.filter(col("stream") === lostStream && col("bin") === lostBin)
+      .select("disk_md5").head().isNullAt(0) shouldBe true
+
+    // a second append verifies clean in isolation via 'rounds' — the
+    // per-new-append production cadence
+    ShardWriter.write(docs.limit(7), "doc_id", "text", path,
+      capacity = 2000, token = Some("run#2"))
+    val v4 = ShardWriter.verify(spark, path, "doc_id", "text",
+      rounds = Some(Seq(2L)))
+    v4.select("round").distinct().as[Long].collect() shouldBe Array(2L)
+    v4.filter(!col("ok")).count() shouldBe 0L
+    intercept[IllegalArgumentException] {
+      ShardWriter.verify(spark, path, "doc_id", "text",
+        rounds = Some(Seq(9L)))
+    }.getMessage should include("no committed round")
+  }
+
   it("the declared stage composes: bpe_tokenize feeds units 'subtokens', " +
      "rows pass through with the assignment appended, and the streamed " +
      "runner accepts the chain (per-micro-batch shard sets)") {
