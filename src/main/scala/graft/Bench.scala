@@ -619,6 +619,59 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq158 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq162: PQ/ADC — the at-rest compression the code relation buys
+      //    over float32 parquet at this SF, and the recall@10 it costs
+      //    against the exact inner-product scan (lossy by design; the
+      //    SCALE_PQ probe carries the growth curve).
+      if (!names.exists(_.startsWith("dq162"))) None
+      else try {
+        import org.apache.spark.sql.functions._
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val t0 = System.nanoTime()
+        val cb = graft.ext.PqAnn.fit(emb, "vec_id", "embedding", 64, 16, 16)
+        val codesDir = graft.io.TempReaper.tempDir("graft-bench-pq")
+          .toString
+        graft.ext.PqAnn.encode(emb, "vec_id", "embedding", cb)
+          .write.parquet(s"$codesDir/codes")
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        def bytes(p: String): Long = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(p))
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        val qs = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+          .sortBy(_._1)
+        val adc = graft.ext.PqAnn.adcTopK(
+          spark.read.parquet(s"$codesDir/codes"), cb, qs, topK = 10)
+          .collect()
+        val exactScored = qs.map { case (qid, q) =>
+          emb.select(lit(qid).as("qid"), col("vec_id").as("vid"),
+            aggregate(zip_with(col("embedding"), typedlit(q.toSeq),
+                (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0d), (a, v) => a + v).as("score"))
+            .filter(col("vid") =!= qid)
+        }.reduce(_ unionByName _)
+        graft.plans.GraftPlans.ensureInstalled(spark)
+        val exact = graft.plans.GraftPlans.topKPerKey(exactScored,
+          Seq(col("qid")), Seq(col("score").desc, col("vid").asc), 10)
+          .collect()
+        val recall = qs.map(_._1).map { qid =>
+          val a = adc.filter(_.getAs[Long]("qid") == qid)
+            .map(_.getAs[Long]("vid")).toSet
+          val e = exact.filter(_.getAs[Long]("qid") == qid)
+            .map(_.getAs[Long]("vid")).toSet
+          (a intersect e).size
+        }.sum / (qs.size * 10.0)
+        // float32 bytes measured from the source parquet itself
+        val floatBytes = bytes(s"$sfDir/embeddings.parquet")
+        Some(f""""dq162_build_sec":$buildSec%.3f,""" +
+          s""""dq162_code_bytes":${bytes(s"$codesDir/codes")},""" +
+          s""""dq162_float_bytes":$floatBytes,""" +
+          f""""dq162_recall10":$recall%.2f""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq162 evidence failed: ${e.getMessage}"); None
+      },
       if (!names.exists(_.startsWith("dq59"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec

@@ -441,6 +441,70 @@ object ScaleProbe {
         ()
       }
     }
+    // PQ/ADC probe (round 14): codebook fit is m·iters driver-sized
+    // aggregations over the corpus; encode is map-only; the scored scan
+    // reads the 16-B/vector code relation instead of 256-B floats. The
+    // numbers that matter: at-rest bytes ratio (codes vs float parquet),
+    // ADC query wall vs the exact float scan as the corpus grows, and
+    // the recall it costs (PQ is lossy by design).
+    if (sys.env.get("SCALE_PQ").contains("1")) {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      for (m <- Seq(1, 5)) {
+        val df = emb.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("vec_id") * m + col("rep")).as("vec_id"),
+            transform(col("embedding"),
+              x => x + (col("rep") % 10).cast("float") * lit(0.01f))
+              .as("embedding"))
+          .localCheckpoint(true)
+        val n = df.count()
+        val t0 = System.nanoTime()
+        val cb = graft.ext.PqAnn.fit(df, "vec_id", "embedding", 64, 16, 16)
+        val t1 = System.nanoTime()
+        val base = graft.io.TempReaper.tempDir("graft-scale-pq").toString
+        graft.ext.PqAnn.encode(df, "vec_id", "embedding", cb)
+          .write.parquet(s"$base/codes")
+        val t2 = System.nanoTime()
+        df.write.parquet(s"$base/float")
+        def bytes(p: String): Long = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(p))
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        val qs = df.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+          .sortBy(_._1)
+        val codes = spark.read.parquet(s"$base/codes")
+        val t3 = System.nanoTime()
+        val adc = graft.ext.PqAnn.adcTopK(codes, cb, qs, topK = 10)
+          .collect()
+        val t4 = System.nanoTime()
+        // the exact float scan over the same relation (inner product,
+        // bounded-heap top-k) — the baseline ADC replaces
+        val floats = spark.read.parquet(s"$base/float")
+        val exactScored = qs.map { case (qid, q) =>
+          floats.select(lit(qid).as("qid"), col("vec_id").as("vid"),
+            aggregate(zip_with(col("embedding"), typedlit(q.toSeq),
+                (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0d), (a, v) => a + v).as("score"))
+            .filter(col("vid") =!= qid)
+        }.reduce(_ unionByName _)
+        graft.plans.GraftPlans.ensureInstalled(spark)
+        val exact = graft.plans.GraftPlans.topKPerKey(exactScored,
+          Seq(col("qid")), Seq(col("score").desc, col("vid").asc), 10)
+          .collect()
+        val t5 = System.nanoTime()
+        val recall = qs.map(_._1).map { qid =>
+          val a = adc.filter(_.getAs[Long]("qid") == qid)
+            .map(_.getAs[Long]("vid")).toSet
+          val e = exact.filter(_.getAs[Long]("qid") == qid)
+            .map(_.getAs[Long]("vid")).toSet
+          (a intersect e).size
+        }.sum / (3.0 * 10.0)
+        println(f"""{"probe":"pq","vecs":$n,"fit_sec":${(t1 - t0) / 1e9}%.1f,"encode_sec":${(t2 - t1) / 1e9}%.1f,"code_bytes":${bytes(s"$base/codes")},"float_bytes":${bytes(s"$base/float")},"adc_sec":${(t4 - t3) / 1e9}%.1f,"exact_sec":${(t5 - t4) / 1e9}%.1f,"recall10":$recall%.2f}""")
+        df.unpersist()
+        ()
+      }
+    }
     // Stored BM25 scaling (round 11): per-query cost of the persisted
     // inverted index vs the per-call session scorer as the corpus grows.
     // The session path re-tokenizes the WHOLE corpus every call (its one
