@@ -3250,6 +3250,41 @@ object SparkEntry {
       .orderBy("qid", "vid")
   }
 
+  /** DQ163 (EXT): IVF-PQ — the two prunings COMPOSED (FAISS's
+    * IndexIVFPQ shape, here without residual encoding: the codebooks
+    * quantize raw vectors, the coarse index only prunes): dq51's
+    * 8-cell coarse quantizer assigns every vector a cell
+    * ([[graft.ext.IvfIndex.withCell]] riding through
+    * [[graft.ext.PqAnn.encode]]'s `keep`), dq162's 16 PQ codebooks give
+    * it a 16-byte code, and each query ADC-scores ONLY the vectors in
+    * its 2 probed cells — the scan touches ~nprobe/k of the corpus AND
+    * m bytes per candidate, multiplicative prunings. The oracle is the
+    * dq51 coarse chain and the dq162 PQ chains joined: candidates
+    * restricted to probed coarse cells, scored by the ordered table
+    * fold. */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val ivf = graft.ext.IvfIndex.fit(emb, "vec_id", "embedding", k = 8)
+    try {
+      val cb = graft.ext.PqAnn.fit(emb, "vec_id", "embedding",
+        dims = 64, m = 16, k = 16)
+      val rel = graft.ext.PqAnn.encode(ivf.withCell(emb, "embedding"),
+        "vec_id", "embedding", cb, keep = Seq("cell"))
+        .localCheckpoint(true)
+      val qrows = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+        .localCheckpoint(true)
+      val probes = qrows.select(col("vec_id"),
+          ivf.probesFor(col("embedding"), 2, s).as("p")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val queries = qrows.select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .sortBy(_._1)
+      graft.ext.PqAnn.adcTopKProbed(rel, cb, queries, probes, topK = 5)
+        .select(col("qid"), col("vid"), col("score"))
+        .orderBy("qid", "vid")
+    } finally ivf.release()
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -3450,7 +3485,8 @@ object SparkEntry {
     "dq159_stream_mix_gate"       -> (q159 _),
     "dq160_stream_shard_write"    -> (q160 _),
     "dq161_shard_verify_epochs"   -> (q161 _),
-    "dq162_pq_adc_topk"           -> (q162 _)
+    "dq162_pq_adc_topk"           -> (q162 _),
+    "dq163_ivfpq_topk"            -> (q163 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3772,17 +3808,22 @@ object SparkEntry {
     * the cell id), and the parenthesized subspace-ordered add chain
     * `((t0 + t1) + t2) + t3` — the exact order the engine folds —
     * ranked (score desc, vid asc). */
-  private val Dq162Sql: String = {
-    val m = 16; val subDim = 4; val k = 16; val iters = 2; val topK = 5
+  /** The per-subspace PQ chains shared by the dq162/dq163 oracles:
+    * assumes CTEs `e(vid, emb)` and `q(qid, qemb)` are already in
+    * scope; emits the shared seed ranking `s0`, each subspace's Lloyd's
+    * chain (the ivfChainSql arithmetic on `emb[off+1 : off+subDim]`
+    * slices), the final per-subspace assignments `as_j`, the per-query
+    * ADC tables `tq_j`, and the UNPIVOTED `cu`/`tqall` pair the scorer
+    * equi-joins (never an m-way join — see Dq162Sql's note). No leading
+    * WITH, no trailing comma. */
+  private def pqChainsSql(m: Int, subDim: Int, k: Int,
+      iters: Int): String = {
     def dist(emb: String, off: Int) =
       s"list_sum(list_transform(range(1, ${subDim + 1}), " +
         s"i -> ($emb[$off + i]::DOUBLE - c.c[i]) * ($emb[$off + i]::DOUBLE - c.c[i])))"
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT vec_id vid, embedding emb FROM embeddings),
-      |s0 AS (SELECT vid, emb,
+    sb ++= s"""s0 AS (SELECT vid, emb,
       |  row_number() OVER (ORDER BY md5(vid::VARCHAR), vid) rn FROM e),
-      |q AS (SELECT vec_id qid, embedding qemb FROM embeddings
-      |  WHERE vec_id IN (1, 2, 3)),
       |""".stripMargin
     for (j <- 0 until m) {
       val off = j * subDim
@@ -3816,14 +3857,6 @@ object SparkEntry {
         |  FROM q CROSS JOIN c${j}_$iters c),
         |""".stripMargin
     }
-    // one UNPIVOTED code/table pair + a single equi-join, NOT an m-way
-    // join of per-subspace relations: m tiny join inputs sharing a qid
-    // key invite the join-order optimizer into exponential
-    // tq0×tq1×…-first plans (measured: the 16-way form never finished
-    // at 500 rows; this form is sub-second). The per-(qid, vid) score
-    // folds the m terms in subspace order via list(t ORDER BY j) —
-    // list_sum walks the list sequentially, the same ((t0+t1)+t2)+…
-    // association the engine's reduceLeft builds.
     val cu = (0 until m)
       .map(j => s"SELECT vid, $j j, cell FROM as$j")
       .mkString("\n  UNION ALL ")
@@ -3831,17 +3864,52 @@ object SparkEntry {
       .map(j => s"SELECT qid, $j j, cell, t FROM tq$j")
       .mkString("\n  UNION ALL ")
     sb ++= s"""cu AS ($cu),
-      |tqall AS ($tq),
+      |tqall AS ($tq)""".stripMargin
+    sb.toString
+  }
+
+  /** The shared ADC rank tail: per-(qid, vid) score = the m terms folded
+    * in subspace order (`list_sum(list(t ORDER BY j))` — list_sum walks
+    * the list sequentially, the same ((t0+t1)+t2)+… association the
+    * engine's reduceLeft builds), row_number top-k. `extraJoins` narrows
+    * the candidate set (dq163's probe pruning). */
+  private def pqScoreTailSql(topK: Int, extraJoins: String = ""): String =
+    s""",
       |scored AS (SELECT t.qid, c.vid, list_sum(list(t.t ORDER BY c.j)) score
       |  FROM cu c JOIN tqall t ON t.j = c.j AND t.cell = c.cell
+      |  $extraJoins
       |  WHERE c.vid <> t.qid
       |  GROUP BY t.qid, c.vid)
       |SELECT qid, vid, score FROM (SELECT qid, vid, score,
       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) rnk
       |  FROM scored)
       |WHERE rnk <= $topK ORDER BY qid, vid""".stripMargin
-    sb.toString
-  }
+
+  /** dq162 tail: one UNPIVOTED code/table pair + a single equi-join, NOT
+    * an m-way join of per-subspace relations — m tiny join inputs
+    * sharing a qid key invite the join-order optimizer into exponential
+    * tq0×tq1×…-first plans (measured: the 16-way form never finished at
+    * 500 rows; this form is sub-second). */
+  private val Dq162Sql: String =
+    """WITH e AS (SELECT vec_id vid, embedding emb FROM embeddings),
+      |q AS (SELECT vec_id qid, embedding qemb FROM embeddings
+      |  WHERE vec_id IN (1, 2, 3)),
+      |""".stripMargin +
+      pqChainsSql(m = 16, subDim = 4, k = 16, iters = 2) +
+      pqScoreTailSql(topK = 5)
+
+  /** dq163: IVF-PQ — the dq51 coarse chain (af = every vector's coarse
+    * cell, probe = each query's 2 nearest cells) composed with the PQ
+    * chains; the scorer keeps only candidates whose coarse cell is
+    * probed by the query. ivfChainSql already defines `e` and `q`, so
+    * the PQ chains bolt on verbatim. */
+  private val Dq163Sql: String =
+    ivfChainSql(8, 2, 2, "",
+      "SELECT vid qid, emb qemb FROM e WHERE vid IN (1, 2, 3)") + ",\n" +
+      pqChainsSql(m = 16, subDim = 4, k = 16, iters = 2) +
+      pqScoreTailSql(topK = 5,
+        extraJoins = """JOIN af ON af.vid = c.vid
+          |  JOIN probe p ON p.qid = t.qid AND p.cell = af.cell""".stripMargin)
 
   /** dq142: refit-from-the-stored-relation must equal a from-scratch
     * create on the union corpus — so the oracle is simply the dq51/dq118
@@ -5404,9 +5472,11 @@ object SparkEntry {
     // the stored IVF index: train-80% / assign-all against frozen
     // centroids / probe — matching the chain IS the frozen-append proof
     "dq118_ivf_store" -> Dq118Sql,
-    // PQ/ADC: four subspace Lloyd's chains + code joins + table-lookup
-    // scoring (built programmatically — see Dq162Sql)
+    // PQ/ADC: sixteen subspace Lloyd's chains + unpivoted code/table
+    // equi-join scoring (built programmatically — see Dq162Sql)
     "dq162_pq_adc_topk" -> Dq162Sql,
+    // IVF-PQ: the dq51 coarse chain pruning the dq162 ADC scan
+    "dq163_ivfpq_topk" -> Dq163Sql,
     // refit generation: retrain-on-the-stored-relation must equal the
     // from-scratch chain over the union corpus (full-table training)
     "dq142_ivf_refit" -> Dq142Sql,

@@ -121,9 +121,11 @@ object PqAnn {
     * argmin runs through the [[graft.functions.NearestCells]] broadcast
     * kernel instead — m small call-scoped broadcasts, bit-identical
     * cells. This is the relation a 100 TB deployment persists
-    * (m bytes/vector). */
+    * (m bytes/vector). `keep` names input columns to carry through —
+    * the IVF-PQ composition surface, where [[IvfIndex.withCell]]'s
+    * coarse cell rides along so the scored scan can be probe-pruned. */
   def encode(df: DataFrame, idCol: String, embCol: String,
-      cb: Codebook): DataFrame = {
+      cb: Codebook, keep: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val literalBudget =
       spark.conf.get(IvfIndex.LiteralMaxKConf, "128").toInt
@@ -135,8 +137,9 @@ object PqAnn {
           sliceCol(col(embCol), j, cb.subDim),
           IvfIndex.bcMatrix(spark, cb.sub(j)),
           cb.sub(j).map(_._1).toArray, 1).getItem(0)
-    df.select(col(idCol).as("vid"),
-      array((0 until cb.m).map(subCode): _*).as("codes"))
+    df.select(col(idCol).as("vid") +:
+      array((0 until cb.m).map(subCode): _*).as("codes") +:
+      keep.map(col): _*)
   }
 
   /** ADC inner-product top-k over an encoded relation: for each query,
@@ -153,12 +156,40 @@ object PqAnn {
     * table a deployment stores) — scoring should scan codes, not
     * re-encode the corpus. */
   def adcTopK(codes: DataFrame, cb: Codebook,
-      queries: Seq[(Long, Array[Float])], topK: Int): DataFrame = {
+      queries: Seq[(Long, Array[Float])], topK: Int): DataFrame =
+    rankScored(scoredRows(codes, cb, queries), topK)
+
+  /** IVF-PQ: [[adcTopK]] restricted to each query's PROBED coarse cells
+    * — the FAISS IndexIVFPQ shape (here without residual encoding: the
+    * codebooks quantize raw vectors, the coarse index only prunes). The
+    * code relation must carry the vector's coarse `cell`
+    * ([[encode]]'s `keep` + [[IvfIndex.withCell]]); `probes` maps each
+    * query id to its probe-cell list ([[IvfIndex.probesFor]]). The scan
+    * touches ~nprobe/k of the corpus AND reads m bytes per candidate —
+    * the two prunings compose multiplicatively, which is the whole
+    * point of the layout at 100 TB. */
+  def adcTopKProbed(codes: DataFrame, cb: Codebook,
+      queries: Seq[(Long, Array[Float])], probes: Map[Long, Seq[Int]],
+      topK: Int): DataFrame = {
+    require(codes.columns.contains("cell"),
+      "adcTopKProbed: the code relation must carry the coarse 'cell' " +
+        "column (encode with keep = Seq(\"cell\") over IvfIndex.withCell)")
+    queries.foreach { case (qid, _) => require(probes.contains(qid),
+      s"adcTopKProbed: no probe cells for query $qid") }
+    val probed = scoredRows(codes, cb, queries, keep = Seq("cell"))
+      .filter(array_contains(
+        element_at(typedlit(probes), col("qid")), col("cell")))
+    rankScored(probed, topK).select(col("qid"), col("vid"), col("score"))
+  }
+
+  /** The shared ADC scoring scan: `(qid, vid, score [, keep…])`, one
+    * pass over `codes` with the per-query score structs exploded. */
+  private def scoredRows(codes: DataFrame, cb: Codebook,
+      queries: Seq[(Long, Array[Float])],
+      keep: Seq[String] = Nil): DataFrame = {
     require(queries.nonEmpty, "adcTopK: no query vectors")
-    require(topK >= 1, "topK must be >= 1")
     queries.foreach { case (_, q) => require(q.length == cb.dims,
       s"query dims ${q.length} != codebook dims ${cb.dims}") }
-    val spark = codes.sparkSession
     val qScores = queries.map { case (qid, q) =>
       val score = (0 until cb.m).map { j =>
         val table: Map[Int, Double] = cb.sub(j).map { case (cell, c) =>
@@ -174,12 +205,17 @@ object PqAnn {
       }.reduceLeft(_ + _)
       struct(lit(qid).as("qid"), score.as("score"))
     }
-    val scored = codes
-      .select(col("vid"), explode(array(qScores: _*)).as("qs"))
-      .select(col("qs").getField("qid").as("qid"), col("vid"),
-        col("qs").getField("score").as("score"))
+    codes
+      .select(col("vid") +: explode(array(qScores: _*)).as("qs") +:
+        keep.map(col): _*)
+      .select(Seq(col("qs").getField("qid").as("qid"), col("vid"),
+        col("qs").getField("score").as("score")) ++ keep.map(col): _*)
       .filter(col("vid") =!= col("qid"))
-    graft.plans.GraftPlans.ensureInstalled(spark)
+  }
+
+  private def rankScored(scored: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    graft.plans.GraftPlans.ensureInstalled(scored.sparkSession)
     graft.plans.GraftPlans.topKPerKey(scored, Seq(col("qid")),
       Seq(col("score").desc, col("vid").asc), topK)
   }

@@ -118,6 +118,42 @@ class PqAnnSpec extends GraftSpec {
     (64 * 4) / cb.m shouldBe 16
   }
 
+  it("IVF-PQ (dq163): the probed ADC equals the plain ADC restricted to " +
+     "the probed cells, and the contract refusals are named") {
+    val ivf = IvfIndex.fit(emb, "vec_id", "embedding", k = 8)
+    try {
+      val rel = PqAnn.encode(ivf.withCell(emb, "embedding"),
+        "vec_id", "embedding", cb, keep = Seq("cell"))
+        .localCheckpoint(true)
+      val q = emb.filter($"vec_id" === 1L).select($"embedding")
+        .as[Seq[Float]].head().toArray
+      val realProbes = Map(1L ->
+        emb.filter($"vec_id" === 1L)
+          .select(ivf.probesFor($"embedding", 2, spark))
+          .head().getSeq[Int](0).toSeq)
+      val probed = PqAnn
+        .adcTopKProbed(rel, cb, Seq((1L, q)), realProbes, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._2)
+      val manual = PqAnn.adcTopK(
+          rel.filter($"cell".isin(realProbes(1L): _*)).select("vid", "codes"),
+          cb, Seq((1L, q)), topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._2)
+      probed shouldBe manual
+      probed.length shouldBe 5
+      // refusals: a code relation without the coarse cell, and a query
+      // with no probe list
+      intercept[IllegalArgumentException] {
+        PqAnn.adcTopKProbed(rel.drop("cell"), cb, Seq((1L, q)),
+          realProbes, 5)
+      }.getMessage should include("'cell'")
+      intercept[IllegalArgumentException] {
+        PqAnn.adcTopKProbed(rel, cb, Seq((2L, q)), realProbes, 5)
+      }.getMessage should include("no probe cells")
+    } finally ivf.release()
+  }
+
   it("parameter surface: dims must split evenly, k is bounded, queries " +
      "must match dims, topK >= 1") {
     intercept[IllegalArgumentException] {
