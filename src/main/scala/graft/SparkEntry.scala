@@ -3285,6 +3285,33 @@ object SparkEntry {
     } finally ivf.release()
   }
 
+  /** DQ164 (EXT): the PERSISTED IVF-PQ store — dq163's layout made a
+    * STORED tier of the embedding index family
+    * ([[graft.ext.IvfStore]] `pqcodes/` + generation-keyed `pqbook/`):
+    * create trains the coarse centroids AND the 16 PQ codebooks on the
+    * 80% split (FAISS `train`), the 20% append encodes against the
+    * FROZEN books (`add` — map-only, never a retrain), and
+    * `searchAllPq` resolves stored query ids through the vidmap, probes
+    * 2 cells on the driver, scans ONLY probed `pqcodes/` cell
+    * partitions (m bytes/vector — 16× under float, 4× under the SQ8
+    * tier), and ADC-scores via [[graft.ext.PqAnn.adcTopKProbed]]. The
+    * oracle trains both tiers on the split, assigns/encodes the full
+    * table against the frozen results, and re-derives the probe-pruned
+    * table-fold ranking — matching the chain IS the frozen-append
+    * proof (the dq118 rule, now for codebooks too). */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val base =
+      graft.io.TempReaper.tempDir("graft-dq164-pqstore").toString + "/ivf"
+    val store = graft.ext.IvfStore.create(
+      emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", base,
+      k = 8, pqM = 16, pqK = 16)
+    store.appendOnce(emb.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", "dq164:b1")
+    store.searchAllPq(Seq(1L, 2L, 5L), topK = 5, nprobe = 2)
+      .orderBy("qid", "vid")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -3486,7 +3513,8 @@ object SparkEntry {
     "dq160_stream_shard_write"    -> (q160 _),
     "dq161_shard_verify_epochs"   -> (q161 _),
     "dq162_pq_adc_topk"           -> (q162 _),
-    "dq163_ivfpq_topk"            -> (q163 _)
+    "dq163_ivfpq_topk"            -> (q163 _),
+    "dq164_ivfpq_store"           -> (q164 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3815,9 +3843,12 @@ object SparkEntry {
     * slices), the final per-subspace assignments `as_j`, the per-query
     * ADC tables `tq_j`, and the UNPIVOTED `cu`/`tqall` pair the scorer
     * equi-joins (never an m-way join — see Dq162Sql's note). No leading
-    * WITH, no trailing comma. */
+    * WITH, no trailing comma. `assignFrom` is the relation the CODES are
+    * derived over — `e` for session PQ (train set == corpus), `ef` for
+    * the stored tier (train on the create split, encode everything
+    * against the FROZEN books — dq164's append contract). */
   private def pqChainsSql(m: Int, subDim: Int, k: Int,
-      iters: Int): String = {
+      iters: Int, assignFrom: String = "e"): String = {
     def dist(emb: String, off: Int) =
       s"list_sum(list_transform(range(1, ${subDim + 1}), " +
         s"i -> ($emb[$off + i]::DOUBLE - c.c[i]) * ($emb[$off + i]::DOUBLE - c.c[i])))"
@@ -3846,8 +3877,8 @@ object SparkEntry {
           |c${j}_$it AS (SELECT cell, list(cd ORDER BY d) c FROM u${j}_$it
           |  GROUP BY cell),
           |""".stripMargin
-      sb ++= s"""fd$j AS (SELECT e.vid, c.cell, ${dist("e.emb", off)} dist
-        |  FROM e CROSS JOIN c${j}_$iters c),
+      sb ++= s"""fd$j AS (SELECT x.vid, c.cell, ${dist("x.emb", off)} dist
+        |  FROM $assignFrom x CROSS JOIN c${j}_$iters c),
         |as$j AS (SELECT vid, cell FROM (SELECT vid, cell,
         |    row_number() OVER (PARTITION BY vid ORDER BY dist, cell) rn
         |  FROM fd$j) WHERE rn = 1),
@@ -3907,6 +3938,22 @@ object SparkEntry {
     ivfChainSql(8, 2, 2, "",
       "SELECT vid qid, emb qemb FROM e WHERE vid IN (1, 2, 3)") + ",\n" +
       pqChainsSql(m = 16, subDim = 4, k = 16, iters = 2) +
+      pqScoreTailSql(topK = 5,
+        extraJoins = """JOIN af ON af.vid = c.vid
+          |  JOIN probe p ON p.qid = t.qid AND p.cell = af.cell""".stripMargin)
+
+  /** dq164: the STORED IVF-PQ tier — coarse centroids AND PQ codebooks
+    * train on the create split (vec_id % 5 <> 0), everything (incl. the
+    * appended 20%) is assigned/encoded against the FROZEN results (af
+    * and as_j over `ef` — the FAISS train-then-add contract held by both
+    * tiers at once), queried at nprobe 2 from the code relation. */
+  private val Dq164Sql: String =
+    ivfChainSql(8, 2, 2, " WHERE vec_id % 5 <> 0",
+      "SELECT vid qid, emb qemb FROM ef WHERE vid IN (1, 2, 5)",
+      assignSql = "SELECT vec_id vid, embedding emb FROM embeddings") +
+      ",\n" +
+      pqChainsSql(m = 16, subDim = 4, k = 16, iters = 2,
+        assignFrom = "ef") +
       pqScoreTailSql(topK = 5,
         extraJoins = """JOIN af ON af.vid = c.vid
           |  JOIN probe p ON p.qid = t.qid AND p.cell = af.cell""".stripMargin)
@@ -5477,6 +5524,9 @@ object SparkEntry {
     "dq162_pq_adc_topk" -> Dq162Sql,
     // IVF-PQ: the dq51 coarse chain pruning the dq162 ADC scan
     "dq163_ivfpq_topk" -> Dq163Sql,
+    // the STORED IVF-PQ tier: both chains trained on the create split,
+    // everything encoded against the frozen results (dq118's rule)
+    "dq164_ivfpq_store" -> Dq164Sql,
     // refit generation: retrain-on-the-stored-relation must equal the
     // from-scratch chain over the union corpus (full-table training)
     "dq142_ivf_refit" -> Dq142Sql,

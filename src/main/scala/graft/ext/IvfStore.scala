@@ -133,6 +133,45 @@ final class IvfStore private (private val spark: SparkSession,
   /** The CURRENT generation's centroids (k driver-sized rows). */
   def centroids: Seq[(Int, Array[Double])] = centroidsFor(genOf(log.read()))
 
+  // ---------------- PQ codebook generations (optional tier) ----------------
+
+  private def pqBookDir(g: Int): String =
+    if (g == 1) s"$path/pqbook" else s"$path/pqbook_g$g"
+
+  private val pqBookCache = scala.collection.concurrent.TrieMap
+    .empty[Int, Option[PqAnn.Codebook]]
+
+  /** The generation's PQ codebooks ([[PqAnn.Codebook]]), None when the
+    * layout was created without the tier (`pqM = 0`): appends then skip
+    * the code sidecar and [[searchPq]] refuses with a named error —
+    * pre-tier layouts stay valid forever (the drift-sidecar upgrade
+    * rule). Like centroids, the books of superseded generations are kept
+    * on disk: an in-flight reader inside the retention window resolves
+    * its own snapshot's book. */
+  private[ext] def pqBookFor(g: Int): Option[PqAnn.Codebook] =
+    pqBookCache.getOrElseUpdate(g, {
+      val dir = pqBookDir(g)
+      if (!log.fileSystem.exists(new org.apache.hadoop.fs.Path(dir))) None
+      else {
+        val rows = spark.read.parquet(dir).collect()
+          .map(r => (r.getAs[Int]("j"), r.getAs[Int]("cell"),
+            r.getAs[Seq[Double]]("c").toArray))
+        val sub = rows.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (_, cs) =>
+            cs.sortBy(_._2).map(c => (c._2, c._3)).toSeq }
+          .toVector
+        Some(PqAnn.Codebook(sub.head.head._2.length * sub.size,
+          sub.size, sub))
+      }
+    })
+
+  /** The k the generation's books were TRAINED with (pinned in the book
+    * dir — surviving cells per subspace can be fewer, so it is not
+    * recoverable from the book itself); a [[refit]] retrains at the same
+    * k. */
+  private def pqTrainK(g: Int): Int =
+    spark.read.parquet(pqBookDir(g)).select("k0").head().getInt(0)
+
   /** Active assigned dir ids: all published, minus any a later compaction
     * superseded. */
   private def activeIds(ms: Seq[Manifest]): Seq[String] = {
@@ -192,11 +231,13 @@ final class IvfStore private (private val spark: SparkSession,
     // a store instance only exists for a committed layout (create commits
     // the first append before returning), so prev stats always exist
     val prev = stats
-    val cs = centroidsFor(genOf(before)) // the CURRENT generation's frozen matrix
+    val g = genOf(before)
+    val cs = centroidsFor(g) // the CURRENT generation's frozen matrix
     val added = writeAssigned(
       df.select(col(idCol).as("vid"), col(embCol).as("emb"),
         VectorFunctions.l2Norm(col(embCol)).as("nrm"),
-        cellOf(col(embCol), cs).as("cell")), id, prev.packedScale)
+        cellOf(col(embCol), cs).as("cell")), id, prev.packedScale,
+      pqBookFor(g)) // frozen codebooks — append never retrains (FAISS add)
     log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
     // INVARIANT: stats/ is ADVISORY — `prev` was read before the commit
     // and the refreshed row lands after it, so a crash in this window
@@ -220,15 +261,18 @@ final class IvfStore private (private val spark: SparkSession,
     * first (invisible by construction), so a replayed micro-batch can't
     * wedge on `errorifexists`. Returns the row count, summed from parquet
     * footers (no count job). */
-  private def writeAssigned(rows: DataFrame, id: String, scale: Int): Long = {
+  private def writeAssigned(rows: DataFrame, id: String, scale: Int,
+      book: Option[PqAnn.Codebook]): Long = {
     val aDir = s"$path/assigned/append=$id"
     val vDir = s"$path/vidmap/append=$id"
     val pDir = s"$path/packed/append=$id"
     val dDir = s"$path/drift/append=$id"
+    val qDir = s"$path/pqcodes/append=$id"
     log.clearOrphan(aDir)
     log.clearOrphan(vDir)
     log.clearOrphan(pDir)
     log.clearOrphan(dDir)
+    book.foreach(_ => log.clearOrphan(qDir))
     rows.sortWithinPartitions("cell", "vid")
       .write.partitionBy("cell").mode("errorifexists").parquet(aDir)
     val added = graft.io.ParquetMeta.rowCount(spark, aDir)
@@ -255,6 +299,13 @@ final class IvfStore private (private val spark: SparkSession,
       emptyOf(Seq(rows.schema("cell"),
         org.apache.spark.sql.types.StructField("n",
           org.apache.spark.sql.types.LongType)), dDir)
+      // the PQ code sidecar shares the packed tier's leaf-depth rule
+      book.foreach { _ =>
+        emptyOf(Seq(rows.schema("vid"),
+          org.apache.spark.sql.types.StructField("codes",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType))), s"$qDir/cell=0")
+      }
     } else {
       val back = spark.read.option("basePath", s"$path/assigned").parquet(aDir)
       back.select("vid", "cell").sort("vid")
@@ -270,6 +321,15 @@ final class IvfStore private (private val spark: SparkSession,
       // baseline the next appends are compared against
       back.groupBy("cell").agg(count(lit(1)).as("n")).sort("cell")
         .coalesce(1).write.mode("errorifexists").parquet(dDir)
+      // PQ code sidecar: every vector's m sub-centroid ids against the
+      // generation's FROZEN codebooks (map-only, same read-back), coarse-
+      // cell-partitioned like packed/ so searchPq prunes at file listing
+      book.foreach { b =>
+        PqAnn.encode(back.select("vid", "emb", "cell"), "vid", "emb", b,
+            keep = Seq("cell"))
+          .sortWithinPartitions("cell", "vid")
+          .write.partitionBy("cell").mode("errorifexists").parquet(qDir)
+      }
     }
     added
   }
@@ -300,7 +360,8 @@ final class IvfStore private (private val spark: SparkSession,
         spark.read.option("basePath", s"$path/assigned")
           .parquet(foldable.map(id => s"$path/assigned/append=$id"): _*)
           .select("vid", "emb", "nrm", "cell")
-          .repartition(col("cell")), cid, stats.packedScale)
+          .repartition(col("cell")), cid, stats.packedScale,
+        pqBookFor(genOf(ms))) // re-encode: frozen book, bit-identical codes
       log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)
     }
   }
@@ -319,6 +380,7 @@ final class IvfStore private (private val spark: SparkSession,
       f.delete(new org.apache.hadoop.fs.Path(s"$path/vidmap/append=$id"), true)
       f.delete(new org.apache.hadoop.fs.Path(s"$path/packed/append=$id"), true)
       f.delete(new org.apache.hadoop.fs.Path(s"$path/drift/append=$id"), true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/pqcodes/append=$id"), true)
       a
       // superseded GENERATIONS' centroid dirs are kept forever: k tiny
       // rows each, and a reader inside the retention window may still
@@ -378,11 +440,24 @@ final class IvfStore private (private val spark: SparkSession,
       idx.centroids.map { case (cell, c) => (cell, c.toSeq) }
         .toDF("cell", "c")
         .coalesce(1).write.mode("errorifexists").parquet(centroidDir(g))
+      // the PQ tier refits WITH the coarse index: same m, the create's
+      // pinned k, trained on the same stored corpus — so refit-then-query
+      // equals a from-scratch create on the union (the dq142 contract,
+      // extended to the codebooks)
+      val newBook = pqBookFor(genOf(ms)).map { ob =>
+        val k0 = pqTrainK(genOf(ms))
+        val b = PqAnn.fit(rel, "vid", "emb", ob.dims, ob.m, k0, iters)
+        log.clearOrphan(pqBookDir(g))
+        IvfStore.bookDf(spark, b, k0)
+          .write.mode("errorifexists").parquet(pqBookDir(g))
+        pqBookCache.put(g, Some(b))
+        b
+      }
       val seq = ms.size + 1
       val id = f"r$seq%06d"
       val n = writeAssigned(
         idx.assigned.select("vid", "emb", "nrm", "cell")
-          .repartition(col("cell")), id, prev.packedScale)
+          .repartition(col("cell")), id, prev.packedScale, newBook)
       log.commit(Manifest(Seq(id), Nil, Nil, Nil, carried,
         supersedesDigests = ids, generation = Some(g)), seq)
       val st = IvfStoreStats(idx.centroids.size,
@@ -693,6 +768,52 @@ final class IvfStore private (private val spark: SparkSession,
       .select("qid", "vid", "score")
   }
 
+  /** The stored PQ code relation over the active dir ids. */
+  private def pqcodesRelOf(ms: Seq[Manifest]): DataFrame = {
+    val ids = activeIds(ms)
+    require(ids.nonEmpty, s"no committed pqcodes dirs under $path")
+    spark.read.option("basePath", s"$path/pqcodes")
+      .parquet(ids.map(id => s"$path/pqcodes/append=$id"): _*)
+  }
+
+  /** [[search]] on the STORED PQ tier — IVF-PQ from disk: probe cells
+    * rank on the driver against the snapshot generation's centroids, the
+    * candidate scan reads ONLY probed `pqcodes/` cell partitions (m
+    * bytes per vector — 16× under float at m=16/dims=64, 4× under the
+    * SQ8 tier), and scoring is [[PqAnn.adcTopKProbed]]'s table-lookup
+    * ADC against the SAME generation's frozen codebooks. Output:
+    * (qid, vid, score: double — approximate inner product), top-k per
+    * qid. Refuses a layout created without the tier (pqM = 0). */
+  def searchPq(queries: Seq[(Long, Array[Float])], topK: Int,
+      nprobe: Int, excludeToken: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val ms = visible(excludeToken)
+    val g = genOf(ms)
+    val book = pqBookFor(g).getOrElse(throw new IllegalArgumentException(
+      s"no PQ tier under $path (layout created with pqM = 0; " +
+        "create(..., pqM = <subspaces>) stores the code relation)"))
+    if (queries.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)]
+        .toDF("qid", "vid", "score")
+    val cs = centroidsFor(g)
+    val probes = queries.map { case (qid, emb) =>
+      qid -> nearestCellsDriver(emb.toSeq, nprobe, cs)
+    }.toMap
+    val rel = pqcodesRelOf(ms)
+      .where(col("cell").isin(probes.values.flatten.toSeq.distinct: _*))
+    PqAnn.adcTopKProbed(rel, book, queries, probes, topK)
+  }
+
+  /** [[searchAll]]'s stored-id convenience form on the PQ tier — the
+    * vidmap-pruned lookup resolves the query vectors, the candidate scan
+    * switches to `pqcodes/`. */
+  def searchAllPq(queryIds: Seq[Long], topK: Int, nprobe: Int,
+      excludeToken: Option[String] = None): DataFrame =
+    searchPq(
+      lookupPlan(queryIds, excludeToken).collect().toSeq.map { r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray)
+      }, topK, nprobe, excludeToken)
+
   /** The `nprobe` nearest stored cells for one query vector, computed on
     * the driver with EXACTLY the executor kernel's arithmetic (left-to-
     * right double accumulation of squared component deltas; ties to the
@@ -855,14 +976,23 @@ object IvfStore {
   def create(df: DataFrame, idCol: String, embCol: String, path: String,
       k: Int, iters: Int = 2, gateTau: Double = 0.5,
       gateNprobe: Int = 2, packedScale: Int = 127,
-      seedToken: Option[String] = None): IvfStore = {
+      seedToken: Option[String] = None,
+      pqM: Int = 0, pqK: Int = 16): IvfStore = {
     require(gateTau > 0.0 && gateTau < 1.0, "gateTau in (0, 1)")
     require(gateNprobe >= 1, "gateNprobe >= 1")
     require(packedScale >= 1 && packedScale <= 127, "packedScale in [1, 127]")
+    require(pqM >= 0, "pqM >= 0 (0 = no PQ tier)")
     val spark = df.sparkSession
     val idx = IvfIndex.fit(df, idCol, embCol, k, iters)
     try {
       import spark.implicits._
+      // the optional PQ tier: per-subspace codebooks trained on the SAME
+      // create corpus (FAISS train, before any add), frozen for appends
+      val book =
+        if (pqM == 0) None
+        else Some(PqAnn.fit(df.select(col(idCol).as("vid"),
+            col(embCol).as("emb")), "vid", "emb",
+          idx.centroids.head._2.length, pqM, pqK, iters))
       val store = new IvfStore(spark, path)
       store.centroidCache.put(1, idx.centroids)
       store.log.withWriteLock {
@@ -874,11 +1004,17 @@ object IvfStore {
         idx.centroids.map { case (cell, c) => (cell, c.toSeq) }
           .toDF("cell", "c")
           .coalesce(1).write.mode("errorifexists").parquet(s"$path/centroids")
+        book.foreach { b =>
+          store.log.clearOrphan(s"$path/pqbook")
+          bookDf(spark, b, pqK)
+            .write.mode("errorifexists").parquet(s"$path/pqbook")
+          store.pqBookCache.put(1, Some(b))
+        }
         // the fit already computed the assignment; persist ITS rows rather
         // than re-assigning (bit-identical either way — same centroids)
         val n = store.writeAssigned(
           idx.assigned.select("vid", "emb", "nrm", "cell"), "a000001",
-          packedScale)
+          packedScale, book)
         // stats BEFORE the first commit (the NgramLmStore first-build
         // rule: a crash in between leaves exists()=false, reseedable)
         writeStats(spark, path, IvfStoreStats(idx.centroids.size,
@@ -916,6 +1052,17 @@ object IvfStore {
       i += 1
     }
     math.sqrt(s)
+  }
+
+  /** The PQ codebooks as their stored relation: `(j, cell, c, k0)` —
+    * m·(surviving k) driver-sized rows, with the trained k pinned so a
+    * refit retrains at the create's parameter. */
+  private def bookDf(spark: SparkSession, b: PqAnn.Codebook,
+      k0: Int): DataFrame = {
+    import spark.implicits._
+    b.sub.zipWithIndex.flatMap { case (cs, j) =>
+      cs.map { case (cell, c) => (j, cell, c.toSeq, k0) }
+    }.toDF("j", "cell", "c", "k0").coalesce(1)
   }
 
   private def writeStats(spark: SparkSession, path: String,

@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.GraftSpec
+
+/** The STORED PQ tier of [[IvfStore]] (dq164): session parity, the
+  * frozen-codebook append contract, probe pruning on the code relation,
+  * compaction/refit behavior, the empty-append sidecar, and the pqM=0
+  * refusal.
+  */
+class IvfPqStoreSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-ivfpq-spec")
+      .toString + "/idx"
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("qid", "vid").as[(Long, Long, Double)].collect().toSeq
+
+  it("stored searchPq equals the session IVF-PQ composition bit for bit " +
+     "(same coarse cells, same codebooks, same ADC fold)") {
+    val store = IvfStore.create(emb, "vec_id", "embedding", tmp(),
+      k = 8, pqM = 16, pqK = 16)
+    val ivf = IvfIndex.fit(emb, "vec_id", "embedding", k = 8)
+    try {
+      val cb = PqAnn.fit(emb, "vec_id", "embedding", 64, 16, 16)
+      val rel = PqAnn.encode(ivf.withCell(emb, "embedding"),
+        "vec_id", "embedding", cb, keep = Seq("cell"))
+        .localCheckpoint(true)
+      val qrows = emb.filter($"vec_id".isin(1L, 2L, 3L))
+      val probes = qrows.select($"vec_id",
+          ivf.probesFor($"embedding", 2, spark).as("p")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val queries = qrows.select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .sortBy(_._1)
+      val session = rows(
+        PqAnn.adcTopKProbed(rel, cb, queries, probes, topK = 5))
+      val stored = rows(store.searchPq(queries, topK = 5, nprobe = 2))
+      stored shouldBe session
+      stored shouldBe rows(
+        store.searchAllPq(Seq(1L, 2L, 3L), topK = 5, nprobe = 2))
+      stored.length shouldBe 15
+    } finally ivf.release()
+  }
+
+  it("append encodes against the FROZEN codebooks (the book relation is " +
+     "byte-identical before and after) and appended vectors rank") {
+    val path = tmp()
+    val store = IvfStore.create(emb.filter($"vec_id" % 5 =!= 0),
+      "vec_id", "embedding", path, k = 8, pqM = 16, pqK = 16)
+    val bookBefore = spark.read.parquet(s"$path/pqbook")
+      .orderBy("j", "cell").collect().toSeq
+    store.appendOnce(emb.filter($"vec_id" % 5 === 0),
+      "vec_id", "embedding", "b1")
+    spark.read.parquet(s"$path/pqbook").orderBy("j", "cell")
+      .collect().toSeq shouldBe bookBefore
+    // vec_id 5 was appended; it resolves as a stored query and appears
+    // as a candidate for others
+    val res = rows(store.searchAllPq(Seq(1L, 5L), topK = 5, nprobe = 2))
+    res.map(_._1).distinct shouldBe Seq(1L, 5L)
+    // exactly-once: the replay is a no-op (one manifest per token)
+    store.appendOnce(emb.filter($"vec_id" % 5 === 0),
+      "vec_id", "embedding", "b1")
+    rows(store.searchAllPq(Seq(1L, 5L), topK = 5, nprobe = 2)) shouldBe res
+  }
+
+  it("a PQ search scans ONLY the probed cell partitions of the code " +
+     "relation, and the scanned files carry m ints, not floats") {
+    val store = IvfStore.create(emb, "vec_id", "embedding", tmp(),
+      k = 8, pqM = 16, pqK = 16)
+    val q = emb.filter($"vec_id" === 1L).select($"embedding")
+      .as[Seq[Float]].head().toArray
+    val df = store.searchPq(Seq((1L, q)), topK = 5, nprobe = 2)
+    df.collect()
+    val scans = graft.plans.PlanWalk
+      .collectAll(df.queryExecution.executedPlan) {
+        case f: FileSourceScanExec => f
+      }
+    scans should not be empty
+    // the candidate scan reads pqcodes/ (never assigned/ or packed/)
+    scans.map(_.metadata.getOrElse("Location", "")).mkString should
+      include("pqcodes")
+    val partitionsRead =
+      scans.flatMap(_.metrics.get("numPartitions").map(_.value))
+    partitionsRead should not be empty
+    all(partitionsRead) should be <= 2L // nprobe cells of 8
+  }
+
+  it("refit retrains BOTH tiers on the stored corpus: post-refit PQ " +
+     "search equals a from-scratch create on the union (the dq142 " +
+     "contract extended to codebooks)") {
+    val path = tmp()
+    val store = IvfStore.create(emb.filter($"vec_id" % 5 =!= 0),
+      "vec_id", "embedding", path, k = 8, pqM = 16, pqK = 16)
+    store.append(emb.filter($"vec_id" % 5 === 0), "vec_id", "embedding")
+    store.refit(k = 8)
+    val fresh = IvfStore.create(emb, "vec_id", "embedding", tmp(),
+      k = 8, pqM = 16, pqK = 16)
+    rows(store.searchAllPq(Seq(1L, 2L, 5L), topK = 5, nprobe = 2)) shouldBe
+      rows(fresh.searchAllPq(Seq(1L, 2L, 5L), topK = 5, nprobe = 2))
+    // the new generation's book landed beside the old one (kept for
+    // in-flight readers, like centroid generations)
+    spark.read.parquet(s"$path/pqbook_g2").count() should be > 0L
+  }
+
+  it("compaction folds the code sidecars bit-identically (frozen book " +
+     "re-encode), and vacuum unlinks superseded pqcodes dirs") {
+    val path = tmp()
+    val key = "spark.graft.ivfstore.compactThreshold"
+    spark.conf.set(key, "1")
+    try {
+      val store = IvfStore.create(emb.filter($"vec_id" % 3 === 0),
+        "vec_id", "embedding", path, k = 4, pqM = 16, pqK = 16)
+      val before = rows(store.searchAllPq(Seq(3L), topK = 5, nprobe = 2))
+      store.append(emb.filter($"vec_id" % 3 === 1), "vec_id", "embedding")
+      store.append(emb.filter($"vec_id" % 3 === 2), "vec_id", "embedding")
+      // threshold 1: the second append folded everything but the newest
+      rows(store.searchAllPq(Seq(3L), topK = 5, nprobe = 2))
+        .map(_._1).distinct shouldBe Seq(3L)
+      before.foreach { case (qid, _, _) => qid shouldBe 3L }
+      spark.conf.set("spark.graft.index.vacuumRetentionMs", "0")
+      try store.vacuum() should be > 0
+      finally spark.conf.unset("spark.graft.index.vacuumRetentionMs")
+      // superseded pqcodes dirs are gone; the store still answers
+      rows(store.searchAllPq(Seq(3L), topK = 5, nprobe = 2))
+        .map(_._1).distinct shouldBe Seq(3L)
+    } finally spark.conf.unset(key)
+  }
+
+  it("an empty gated batch commits a schema-carrying empty code sidecar " +
+     "and the next search still plans over mixed appends") {
+    val store = IvfStore.create(emb, "vec_id", "embedding", tmp(),
+      k = 8, pqM = 16, pqK = 16)
+    store.appendOnce(emb.filter(lit(false)), "vec_id", "embedding", "e1")
+    rows(store.searchAllPq(Seq(1L), topK = 5, nprobe = 2))
+      .length shouldBe 5
+  }
+
+  it("a layout created without the tier refuses PQ search by name and " +
+     "appends skip the code sidecar") {
+    val path = tmp()
+    val store = IvfStore.create(emb, "vec_id", "embedding", path, k = 8)
+    intercept[IllegalArgumentException] {
+      store.searchAllPq(Seq(1L), topK = 5, nprobe = 2)
+    }.getMessage should include("pqM")
+    store.append(emb.limit(3).select($"vec_id" + 10000 as "vec_id",
+      $"embedding"), "vec_id", "embedding")
+    new java.io.File(s"$path/pqcodes").exists() shouldBe false
+  }
+}
