@@ -124,12 +124,20 @@ class StoreCrashPropertySpec extends GraftSpec {
       gatedStep(p => SubstrIndex.open(spark, p)),
       p => manifestState(p) :+ SubstrIndex.open(spark, p).stats.toString),
     H("semantic", embBatches,
+      // PQ tier ON (m=2 over the 6-dim vectors): the sweep's crashes now
+      // also land between the pqbook/pqcodes writes and the commit, and
+      // convergence includes the PQ search answer
       (p, b0) => if (!IvfStore.exists(spark, p)) {
         IvfStore.create(b0, "doc_id", "text", p, k = 4, iters = 2,
-          gateTau = 0.9, gateNprobe = 2); ()
+          gateTau = 0.9, gateNprobe = 2, pqM = 2, pqK = 4); ()
       },
       gatedStep(p => IvfStore.open(spark, p)),
-      p => manifestState(p) :+ IvfStore.open(spark, p).stats.toString),
+      p => {
+        val st = IvfStore.open(spark, p)
+        manifestState(p) :+ st.stats.toString :+
+          st.searchAllPq(Seq(1L), topK = 3, nprobe = 2)
+            .orderBy("vid").collect().mkString(",")
+      }),
     H("lm", textBatches,
       (p, b0) => if (!NgramLmStore.exists(spark, p)) {
         NgramLmStore.build(b0, "doc_id", "text", p, loMicro = 10000L); ()
