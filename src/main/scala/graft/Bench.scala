@@ -672,6 +672,41 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq162 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq164: the stored IVF-PQ tier — the probe's partition pruning
+      //    on the code relation (≤ nprobe of the coarse cells read at
+      //    file listing) and the at-rest size of what the search scans.
+      if (!names.exists(_.startsWith("dq164"))) None
+      else try {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val base = graft.io.TempReaper.tempDir("graft-bench-pqstore")
+          .toString + "/ivf"
+        val store = graft.ext.IvfStore.create(emb, "vec_id", "embedding",
+          base, k = 8, pqM = 16, pqK = 16)
+        val res = store.searchAllPq(Seq(1L, 2L, 3L), topK = 5, nprobe = 2)
+        res.collect()
+        val scans = graft.plans.PlanWalk
+          .collectAll(res.queryExecution.executedPlan) {
+            case f: FileSourceScanExec =>
+              (f.metadata.getOrElse("Location", ""),
+                f.metrics.get("numPartitions").map(_.value))
+          }
+        val codeParts = scans
+          .filter(_._1.contains("pqcodes")).flatMap(_._2)
+        def bytes(p: String): Long = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(p))
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        Some(s""""dq164_code_partitions_read":${codeParts
+            .reduceOption(_ max _).map(_.toString)
+            .getOrElse("\"metric unavailable\"")},""" +
+          s""""dq164_cells":8,""" +
+          s""""dq164_pqcodes_bytes":${bytes(s"$base/pqcodes")},""" +
+          s""""dq164_assigned_bytes":${bytes(s"$base/assigned")}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq164 evidence failed: ${e.getMessage}"); None
+      },
       if (!names.exists(_.startsWith("dq59"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec
