@@ -3312,6 +3312,40 @@ object SparkEntry {
       .orderBy("qid", "vid")
   }
 
+  /** DQ165 (EXT/runner): the CAPSTONE curation-to-artifact pipeline —
+    * the canonical real-world chain declared in ONE JSON config and run
+    * end to end: `lang_gate("en")` (dq16's argmax) → `exact_dedup`
+    * (dq116's lowest-id content rule) → `temperature_mix` (dq146's
+    * integer rate chain over DEDUPED counts) → `repeat_epochs 2` (both
+    * training epochs landed) → terminal `shard_write` (dq158's
+    * materialization, epoch-keyed) — then the query returns what a
+    * TRAINER would check before consuming the artifact:
+    * [[graft.ext.ShardWriter.verify]] over the committed shard set.
+    * Exactly-once under the run's stage tokens. The oracle chains the
+    * dq147 front half (lang → dedup → HUGEINT mix rates → md5 gate),
+    * expands the two epochs, re-runs the greedy packing recurrence per
+    * stream, and asserts both integrity hashes itself — five verified
+    * operators composed into one derivation. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val base =
+      graft.io.TempReaper.tempDir("graft-dq165-capstone").toString + "/st"
+    val cfg =
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "lang_gate", "keep": ["en"]},
+        |   {"stage": "exact_dedup"},
+        |   {"stage": "temperature_mix", "strata": "source",
+        |    "targetDocs": 150},
+        |   {"stage": "repeat_epochs", "factor": 2.0},
+        |   {"stage": "shard_write", "path": "$base", "capacity": 5000,
+        |    "units": "chars", "streams": 16}]}""".stripMargin
+    graft.plan.CurationConfig.parse(cfg).run(s, dir, Some("dq165"))
+    graft.ext.ShardWriter.verify(s, base, "doc_id", "text")
+      .select(col("round"), col("stream"), col("bin"), col("ok"),
+        col("n_docs"), col("units"), col("manifest_md5"), col("disk_md5"))
+      .orderBy("stream", "bin")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -3514,7 +3548,8 @@ object SparkEntry {
     "dq161_shard_verify_epochs"   -> (q161 _),
     "dq162_pq_adc_topk"           -> (q162 _),
     "dq163_ivfpq_topk"            -> (q163 _),
-    "dq164_ivfpq_store"           -> (q164 _)
+    "dq164_ivfpq_store"           -> (q164 _),
+    "dq165_capstone_pipeline"     -> (q165 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -5553,6 +5588,67 @@ object SparkEntry {
         |ORDER BY doc_id, epoch""".stripMargin,
     // the composed chain: dq16's language argmax filters, dq116's dedup,
     // then dq146's rate chain over the SURVIVOR counts
+    // the capstone: dq147's lang→dedup→mix chain (text carried through),
+    // two epochs expanded, dq158's greedy packing per stream at 5000
+    // chars, integrity hashes asserted by derivation (the dq161 form)
+    "dq165_capstone_pipeline" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |      x -> len(x) > 0) toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id, source, text,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','sie'], x)))::DOUBLE / len(toks) END de,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE / len(toks) END en,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x)))::DOUBLE / len(toks) END es,
+        |  CASE WHEN len(toks) = 0 THEN 0 ELSE len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une','du','que'], x)))::DOUBLE / len(toks) END fr
+        | FROM t),
+        |lang AS (SELECT doc_id, source, text FROM sc
+        |  WHERE greatest(de,en,es,fr) > 0 AND de <> greatest(de,en,es,fr)
+        |    AND en = greatest(de,en,es,fr)),
+        |dd AS (SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) rn
+        |    FROM lang) z WHERE rn = 1),
+        |c AS (SELECT source, count(*)::BIGINT AS n FROM dd GROUP BY source),
+        |w AS (SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        |  FROM c),
+        |tot AS (SELECT CAST(sum(w) AS HUGEINT) AS sw FROM w),
+        |rates AS (SELECT source,
+        |    CAST(LEAST(CAST(1000000 AS HUGEINT),
+        |      (CAST(150 AS HUGEINT) * w * 1000000) // (sw * n)) AS BIGINT)
+        |      AS micro
+        |  FROM w, tot),
+        |mixed AS (SELECT d.doc_id, d.text FROM dd d JOIN rates USING (source)
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+        |    % 1000000 < rates.micro),
+        |ex AS (SELECT m.doc_id, m.text, len(m.text)::BIGINT AS units,
+        |    md5(ep.e::VARCHAR || ':' || m.doc_id::VARCHAR) AS skey,
+        |    substr(md5(ep.e::VARCHAR || ':' || m.doc_id::VARCHAR), 1, 1)
+        |      AS stream
+        |  FROM mixed m
+        |  CROSS JOIN (SELECT 1 AS e UNION ALL SELECT 2) ep),
+        |rr AS (SELECT *,
+        |    row_number() OVER (PARTITION BY stream ORDER BY skey) rn
+        |  FROM ex),
+        |packed AS (
+        |  SELECT stream, skey, doc_id, text, units, rn,
+        |    CAST(0 AS BIGINT) AS bin, units AS fill
+        |  FROM rr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rr.stream, rr.skey, rr.doc_id, rr.text, rr.units, rr.rn,
+        |    CASE WHEN p.fill + rr.units > 5000 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + rr.units > 5000 THEN rr.units
+        |         ELSE p.fill + rr.units END
+        |  FROM rr JOIN packed p ON rr.stream = p.stream AND rr.rn = p.rn + 1)
+        |SELECT CAST(1 AS BIGINT) AS round, stream, bin, TRUE AS ok,
+        |  count(*) AS n_docs, CAST(sum(units) AS BIGINT) AS units,
+        |  md5(string_agg(md5(doc_id::VARCHAR || ':' || text), ''
+        |    ORDER BY skey)) AS manifest_md5,
+        |  md5(string_agg(md5(doc_id::VARCHAR || ':' || text), ''
+        |    ORDER BY skey)) AS disk_md5
+        |FROM packed GROUP BY stream, bin
+        |ORDER BY stream, bin""".stripMargin,
     "dq147_config_lang_mix" ->
       """WITH t AS (SELECT doc_id, source, text,
         |    list_filter(regexp_split_to_array(lower(text), '\W+'),
