@@ -469,7 +469,13 @@ object ScaleProbe {
           .walk(java.nio.file.Paths.get(p))
           .filter(java.nio.file.Files.isRegularFile(_))
           .mapToLong(java.nio.file.Files.size(_)).sum()
-        val qs = df.filter(col("vec_id").isin(1L, 2L, 3L))
+        // the SAME three original vectors at every scale point: id v
+        // replicates to v*m + rep, and rep 0 is the unperturbed copy —
+        // ids 1,2,3 at m>1 would be near-identical perturbations of
+        // original 0, silently swapping the query workload across the
+        // curve (r14 review finding)
+        val qids = Seq(1L, 2L, 3L).map(_ * m)
+        val qs = df.filter(col("vec_id").isin(qids: _*))
           .select(col("vec_id"), col("embedding")).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
           .sortBy(_._1)

@@ -3223,8 +3223,8 @@ object SparkEntry {
     * 16-centroid codebook trained per subspace with the family's
     * oracle-exact Lloyd's (seeded-hash init, (dist, cell) argmin
     * tie-break, micro-integer means), every vector encoded as its 16
-    * nearest-sub-centroid ids (16 bytes instead of 256 — the 100 TB
-    * memory path), and queries 1–3 ranked by Asymmetric Distance
+    * nearest-sub-centroid ids (~16 B at rest under parquet bit-packing vs
+    * 256 B of float32 — the 100 TB memory path; 4 B/code in flight), and queries 1–3 ranked by Asymmetric Distance
     * Computation: per-subspace inner-product tables, score = the
     * subspace-ordered sum of 16 table lookups, bounded-heap top-5. The
     * oracle replays all sixteen subspace k-means chains, the code
@@ -3258,7 +3258,7 @@ object SparkEntry {
     * [[graft.ext.PqAnn.encode]]'s `keep`), dq162's 16 PQ codebooks give
     * it a 16-byte code, and each query ADC-scores ONLY the vectors in
     * its 2 probed cells — the scan touches ~nprobe/k of the corpus AND
-    * m bytes per candidate, multiplicative prunings. The oracle is the
+    * m small codes per candidate, multiplicative prunings. The oracle is the
     * dq51 coarse chain and the dq162 PQ chains joined: candidates
     * restricted to probed coarse cells, scored by the ordered table
     * fold. */
@@ -3293,8 +3293,8 @@ object SparkEntry {
     * FROZEN books (`add` — map-only, never a retrain), and
     * `searchAllPq` resolves stored query ids through the vidmap, probes
     * 2 cells on the driver, scans ONLY probed `pqcodes/` cell
-    * partitions (m bytes/vector — 16× under float, 4× under the SQ8
-    * tier), and ADC-scores via [[graft.ext.PqAnn.adcTopKProbed]]. The
+    * partitions (m codes/vector — measured 17× under the float relation
+    * at rest, see the dq164 Bench evidence), and ADC-scores via [[graft.ext.PqAnn.adcTopKProbed]]. The
     * oracle trains both tiers on the split, assigns/encodes the full
     * table against the frozen results, and re-derives the probe-pruned
     * table-fold ranking — matching the chain IS the frozen-append
@@ -3862,16 +3862,7 @@ object SparkEntry {
       |WHERE rnk <= $topK ORDER BY qid, vid""".stripMargin
   }
 
-  /** dq162: the PQ/ADC oracle — FOUR independent subspace k-means chains
-    * (the ivfChainSql arithmetic applied to `emb[off+1 : off+16]`
-    * slices; the seed ranking `(md5(vid), vid)` is slice-independent, so
-    * one `s0` serves all four), the final per-subspace assignments as
-    * the code relation, per-query ADC tables (inner product vs every
-    * SURVIVING sub-centroid — empty Lloyd's cells die, lookups key on
-    * the cell id), and the parenthesized subspace-ordered add chain
-    * `((t0 + t1) + t2) + t3` — the exact order the engine folds —
-    * ranked (score desc, vid asc). */
-  /** The per-subspace PQ chains shared by the dq162/dq163 oracles:
+  /** The per-subspace PQ chains shared by the dq162/dq163/dq164 oracles:
     * assumes CTEs `e(vid, emb)` and `q(qid, qemb)` are already in
     * scope; emits the shared seed ranking `s0`, each subspace's Lloyd's
     * chain (the ivfChainSql arithmetic on `emb[off+1 : off+subDim]`

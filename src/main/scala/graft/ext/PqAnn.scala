@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -9,7 +10,8 @@ import graft.functions.SquaredDistance
   * path beyond scalar quantization: split each `dims`-float embedding
   * into `m` contiguous sub-vectors, learn a small k-means codebook PER
   * SUBSPACE, and store each vector as its `m` nearest-sub-centroid ids —
-  * `m` small ints instead of `4·dims` bytes (Jégou, Douze, Schmid,
+  * `m` small codes (~1 B each at rest under parquet bit-packing;
+  * 4 B in flight) instead of `4·dims` float bytes (Jégou, Douze, Schmid,
   * "Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
   * PQ/ADC tier of the FAISS taxonomy). A query never reconstructs a
   * vector: its inner product against every sub-centroid is tabulated
@@ -24,10 +26,12 @@ import graft.functions.SquaredDistance
   * train → encode → score → rank chain has a DuckDB oracle (dq162).
   *
   * 100 TB shape: training collects only `m·k` sub-centroids (driver-sized
-  * model, like [[IvfIndex.fit]]); encoding is MAP-ONLY (all m argmins are
-  * literal folds over one row — no shuffle, no join); the scored scan
-  * moves `m` bytes per vector instead of `4·dims` (64× smaller at
-  * dims=64/m=4), and ranking is the bounded-heap
+  * model, like [[IvfIndex.fit]]), ONE exploded aggregation job per
+  * Lloyd's iteration; encoding is MAP-ONLY (all m argmins over one row —
+  * no shuffle, no join — routed plan-literal vs broadcast-kernel by the
+  * `literalMaxK` budget); the scored scan reads the code relation
+  * instead of floats (20–26× smaller parquet measured at m=16/dims=64,
+  * `SCALE_PQ`), and ranking is the bounded-heap
   * [[graft.plans.TopKPerKeyExec]] — never a full sort. Compose with
   * [[IvfIndex]] cells for IVF-PQ (probe cells, then ADC inside them):
   * both sides are plain columns, so the composition is a filter.
@@ -40,12 +44,34 @@ object PqAnn {
 
   /** Per-subspace codebooks. `sub(j)` holds subspace j's surviving
     * `(cell, centroid)` pairs (empty Lloyd's cells die, so ids need not
-    * be contiguous — lookups key on the id, never the position). */
+    * be contiguous — lookups key on the id, never the position). The
+    * kernel-path broadcasts are MEMOIZED per codebook instance (the
+    * [[IvfIndex.matrixBroadcast]] rule — per-call re-broadcast
+    * accumulates executor-held copies on long-lived stores whose cached
+    * book encodes every append); `release()` destroys them. */
   final case class Codebook(dims: Int, m: Int,
       sub: Vector[Seq[(Int, Array[Double])]]) {
     require(m >= 1 && dims % m == 0,
       s"dims=$dims must split evenly into m=$m subspaces")
     def subDim: Int = dims / m
+
+    @transient private var bcs:
+      Array[org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]] = _
+
+    private[ext] def broadcastsFor(spark: org.apache.spark.sql.SparkSession)
+        : Array[org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]] =
+      synchronized {
+        if (bcs == null)
+          bcs = sub.map(cs => IvfIndex.bcMatrix(spark, cs)).toArray
+        bcs
+      }
+
+    /** Destroy the memoized kernel broadcasts (safe to skip — they are
+      * small and ContextCleaner reclaims unreferenced ones; call it on
+      * the original instance when the book's lifetime is known over). */
+    def release(): Unit = synchronized {
+      if (bcs != null) { bcs.foreach(_.destroy()); bcs = null }
+    }
   }
 
   private def sliceCol(embCol: Column, j: Int, subDim: Int): Column =
@@ -62,12 +88,35 @@ object PqAnn {
         lit(id).as("cell"))
     }: _*)).getField("cell")
 
+  /** The routed per-subspace argmin: plan-literal fold when the bundle
+    * fits the budget, the [[graft.functions.NearestCells]] broadcast
+    * kernel above it (both bit-identical — the [[IvfIndex.cellCol]]
+    * rule; a 16×16 bundle is 256 literal distance folds, past
+    * whole-stage codegen's 64 KB method limit). */
+  private def subCodeCol(embCol: Column, j: Int, subDim: Int,
+      cents: Seq[(Int, Array[Double])],
+      bc: Option[Broadcast[Array[Array[Double]]]]): Column = bc match {
+    case Some(b) => graft.functions.NearestCells(
+      sliceCol(embCol, j, subDim), b, cents.map(_._1).toArray, 1).getItem(0)
+    case None => nearestSub(sliceCol(embCol, j, subDim), cents)
+  }
+
+  private def literalBudget(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(IvfIndex.LiteralMaxKConf, "128").toInt
+
   /** Train the `m` codebooks — [[IvfIndex.fit]]'s exact arithmetic run
     * independently per sub-vector slice: the SAME seeded-hash init order
     * (ranked by `(md5(id), id)` — identical across subspaces, so one
     * pass serves all m), `iters` argmin/mean rounds with micro-integer
-    * sums, empty cells dying. One persisted base, `iters·m + 1`
-    * driver-sized collects (each ≤ k rows). */
+    * sums, empty cells dying. ONE exploded aggregation job per
+    * iteration updates ALL m books at once — `(j, cell)` keyed partials
+    * over each row's m (subspace, argmin, slice) structs — instead of
+    * m sequential corpus scans (the r14 review finding: 32 jobs at
+    * m=16/iters=2 dominated the dq162–164 bench wall). Grouping by
+    * `(j, cell)` partitions the sums exactly as the per-subspace
+    * formulation did, so the arithmetic (and the oracle) is unchanged.
+    * Per-iteration kernel broadcasts are call-scoped and destroyed
+    * after the update collect ([[IvfIndex.fit]]'s iterBc rule). */
   def fit(df: DataFrame, idCol: String, embCol: String, dims: Int,
       m: Int, k: Int, iters: Int = 2): Codebook = {
     require(k >= 1 && k <= 128,
@@ -77,6 +126,7 @@ object PqAnn {
       val cb = Codebook(dims, m, Vector.fill(m)(Nil)) // validates dims % m
       cb.subDim
     }
+    val spark = df.sparkSession
     val base = df.select(col(idCol).as("vid"), col(embCol).as("emb"))
       .persist()
     // ONE init collect: the k seed vectors (full dims), sliced per
@@ -86,26 +136,38 @@ object PqAnn {
       .orderBy(md5(col("vid").cast("string")), col("vid"))
       .limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val books = (0 until m).map { j =>
-      var cents: Seq[(Int, Array[Double])] = seeds.zipWithIndex.map {
-        case (v, i) => (i, v.slice(j * subDim, (j + 1) * subDim))
+    var books: Vector[Seq[(Int, Array[Double])]] = (0 until m).map { j =>
+      seeds.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(j * subDim, (j + 1) * subDim))
       }.toSeq
-      for (_ <- 1 to iters) {
-        val upd = base
-          .select(nearestSub(sliceCol(col("emb"), j, subDim), cents)
-              .as("cell"),
-            sliceCol(col("emb"), j, subDim).as("semb"))
-          .groupBy("cell")
-          .agg(graft.functions.VectorSumMicros.of(col("semb")).as("ms"),
-            count(lit(1)).as("n"))
-          .collect()
-        cents = upd.map { r =>
-          val n = r.getLong(2)
-          (r.getInt(0), r.getSeq[Long](1).map(x => (x / 1000000.0) / n).toArray)
-        }.toSeq.sortBy(_._1)
-      }
-      cents
     }.toVector
+    for (_ <- 1 to iters) {
+      val bcs =
+        if (books.map(_.size).sum <= literalBudget(spark)) None
+        else Some(books.map(cs => IvfIndex.bcMatrix(spark, cs)))
+      val structs = (0 until m).map { j =>
+        struct(lit(j).as("j"),
+          subCodeCol(col("emb"), j, subDim, books(j), bcs.map(_(j)))
+            .as("cell"),
+          sliceCol(col("emb"), j, subDim).as("semb"))
+      }
+      val upd = base
+        .select(explode(array(structs: _*)).as("s"))
+        .select(col("s").getField("j").as("j"),
+          col("s").getField("cell").as("cell"),
+          col("s").getField("semb").as("semb"))
+        .groupBy("j", "cell")
+        .agg(graft.functions.VectorSumMicros.of(col("semb")).as("ms"),
+          count(lit(1)).as("n"))
+        .collect()
+      bcs.foreach(_.foreach(_.destroy()))
+      books = (0 until m).map { j =>
+        upd.filter(_.getInt(0) == j).map { r =>
+          val n = r.getLong(3)
+          (r.getInt(1), r.getSeq[Long](2).map(x => (x / 1000000.0) / n).toArray)
+        }.toSeq.sortBy(_._1)
+      }.toVector
+    }
     base.unpersist(blocking = false)
     Codebook(dims, m, books)
   }
@@ -119,26 +181,25 @@ object PqAnn {
     * codegen's 64 KB method limit (a 16×16 codebook is 256 distance
     * folds — measured fallback to interpreted eval), so each subspace
     * argmin runs through the [[graft.functions.NearestCells]] broadcast
-    * kernel instead — m small call-scoped broadcasts, bit-identical
-    * cells. This is the relation a 100 TB deployment persists
-    * (m bytes/vector). `keep` names input columns to carry through —
-    * the IVF-PQ composition surface, where [[IvfIndex.withCell]]'s
-    * coarse cell rides along so the scored scan can be probe-pruned. */
+    * kernel instead — m small broadcasts MEMOIZED on the codebook
+    * ([[Codebook.broadcastsFor]]), so a store whose cached book encodes
+    * every append ships them once, not per batch. This is the relation
+    * a 100 TB deployment persists: m int codes — 4 B each in flight,
+    * bit-packed to ~1 B at rest by parquet (measured 20–26× under
+    * float32 parquet, `SCALE_PQ`). `keep` names input columns to carry
+    * through — the IVF-PQ composition surface, where
+    * [[IvfIndex.withCell]]'s coarse cell rides along so the scored scan
+    * can be probe-pruned. */
   def encode(df: DataFrame, idCol: String, embCol: String,
       cb: Codebook, keep: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
-    val literalBudget =
-      spark.conf.get(IvfIndex.LiteralMaxKConf, "128").toInt
-    val subCode: Int => Column =
-      if (cb.sub.map(_.size).sum <= literalBudget)
-        j => nearestSub(sliceCol(col(embCol), j, cb.subDim), cb.sub(j))
-      else
-        j => graft.functions.NearestCells(
-          sliceCol(col(embCol), j, cb.subDim),
-          IvfIndex.bcMatrix(spark, cb.sub(j)),
-          cb.sub(j).map(_._1).toArray, 1).getItem(0)
+    val bcs =
+      if (cb.sub.map(_.size).sum <= literalBudget(spark)) None
+      else Some(cb.broadcastsFor(spark))
     df.select(col(idCol).as("vid") +:
-      array((0 until cb.m).map(subCode): _*).as("codes") +:
+      array((0 until cb.m).map(j =>
+        subCodeCol(col(embCol), j, cb.subDim, cb.sub(j),
+          bcs.map(_(j)))): _*).as("codes") +:
       keep.map(col): _*)
   }
 
@@ -164,52 +225,74 @@ object PqAnn {
     * codebooks quantize raw vectors, the coarse index only prunes). The
     * code relation must carry the vector's coarse `cell`
     * ([[encode]]'s `keep` + [[IvfIndex.withCell]]); `probes` maps each
-    * query id to its probe-cell list ([[IvfIndex.probesFor]]). The scan
-    * touches ~nprobe/k of the corpus AND reads m bytes per candidate —
-    * the two prunings compose multiplicatively, which is the whole
-    * point of the layout at 100 TB. */
+    * query id to its probe-cell list ([[IvfIndex.probesFor]]). The
+    * probe filter runs BEFORE any scoring: each row explodes only the
+    * query ids that probe its cell (a literal array filter), and the
+    * score dispatches per surviving (query, row) pair through a lazy
+    * when-chain — m table lookups happen only for pairs the probe
+    * admits, so the two prunings compose multiplicatively in COMPUTE as
+    * well as I/O. */
   def adcTopKProbed(codes: DataFrame, cb: Codebook,
       queries: Seq[(Long, Array[Float])], probes: Map[Long, Seq[Int]],
       topK: Int): DataFrame = {
     require(codes.columns.contains("cell"),
       "adcTopKProbed: the code relation must carry the coarse 'cell' " +
         "column (encode with keep = Seq(\"cell\") over IvfIndex.withCell)")
-    queries.foreach { case (qid, _) => require(probes.contains(qid),
-      s"adcTopKProbed: no probe cells for query $qid") }
-    val probed = scoredRows(codes, cb, queries, keep = Seq("cell"))
-      .filter(array_contains(
-        element_at(typedlit(probes), col("qid")), col("cell")))
-    rankScored(probed, topK).select(col("qid"), col("vid"), col("score"))
+    require(queries.nonEmpty, "adcTopKProbed: no query vectors")
+    queries.foreach { case (qid, q) =>
+      require(q.length == cb.dims,
+        s"query dims ${q.length} != codebook dims ${cb.dims}")
+      require(probes.contains(qid),
+        s"adcTopKProbed: no probe cells for query $qid")
+    }
+    val probesLit = typedlit(probes)
+    val probingQids = filter(typedlit(queries.map(_._1)),
+      q => array_contains(element_at(probesLit, q), col("cell")))
+    val exploded = codes
+      .select(col("vid"), col("codes"), explode(probingQids).as("qid"))
+      .filter(col("vid") =!= col("qid"))
+    val score = queries.foldRight(lit(Double.NaN)) {
+      case ((qid, q), acc) =>
+        when(col("qid") === qid, scoreFor(cb, q)).otherwise(acc)
+    }
+    val scored = exploded
+      .select(col("qid"), col("vid"), score.as("score"))
+    rankScored(scored, topK)
   }
 
-  /** The shared ADC scoring scan: `(qid, vid, score [, keep…])`, one
-    * pass over `codes` with the per-query score structs exploded. */
+  /** One query's ADC score over the `codes` column: the SUBSPACE-ORDERED
+    * sum of its m table lookups — a binary add chain
+    * `((t0 + t1) + t2) + …`, the exact order the oracle writes; each
+    * table is m·k driver doubles, each entry a fixed left-to-right fold
+    * over subDim terms. */
+  private def scoreFor(cb: Codebook, q: Array[Float]): Column =
+    (0 until cb.m).map { j =>
+      val table: Map[Int, Double] = cb.sub(j).map { case (cell, c) =>
+        var s = 0.0
+        var i = 0
+        while (i < cb.subDim) {
+          s += q(j * cb.subDim + i).toDouble * c(i)
+          i += 1
+        }
+        cell -> s
+      }.toMap
+      element_at(typedlit(table), col("codes").getItem(j))
+    }.reduceLeft(_ + _)
+
+  /** The shared ADC scoring scan: `(qid, vid, score)`, one pass over
+    * `codes` with the per-query score structs exploded. */
   private def scoredRows(codes: DataFrame, cb: Codebook,
-      queries: Seq[(Long, Array[Float])],
-      keep: Seq[String] = Nil): DataFrame = {
+      queries: Seq[(Long, Array[Float])]): DataFrame = {
     require(queries.nonEmpty, "adcTopK: no query vectors")
     queries.foreach { case (_, q) => require(q.length == cb.dims,
       s"query dims ${q.length} != codebook dims ${cb.dims}") }
     val qScores = queries.map { case (qid, q) =>
-      val score = (0 until cb.m).map { j =>
-        val table: Map[Int, Double] = cb.sub(j).map { case (cell, c) =>
-          var s = 0.0
-          var i = 0
-          while (i < cb.subDim) {
-            s += q(j * cb.subDim + i).toDouble * c(i)
-            i += 1
-          }
-          cell -> s
-        }.toMap
-        element_at(typedlit(table), col("codes").getItem(j))
-      }.reduceLeft(_ + _)
-      struct(lit(qid).as("qid"), score.as("score"))
+      struct(lit(qid).as("qid"), scoreFor(cb, q).as("score"))
     }
     codes
-      .select(col("vid") +: explode(array(qScores: _*)).as("qs") +:
-        keep.map(col): _*)
-      .select(Seq(col("qs").getField("qid").as("qid"), col("vid"),
-        col("qs").getField("score").as("score")) ++ keep.map(col): _*)
+      .select(col("vid"), explode(array(qScores: _*)).as("qs"))
+      .select(col("qs").getField("qid").as("qid"), col("vid"),
+        col("qs").getField("score").as("score"))
       .filter(col("vid") =!= col("qid"))
   }
 

@@ -215,12 +215,46 @@ object ShardWriter {
         s"(committed: 1..${ids.size})")
     val disk = picked.map { case (id, round) =>
       val dataDir = s"$path/data/append=$id"
-      reportOf(spark.read.option("basePath", dataDir).parquet(dataDir),
+      // a LOST/EMPTY data tree must surface as ok=false rows for every
+      // manifest shard of the round — not as an AnalysisException (the
+      // loader's check reports damage, it doesn't crash on it)
+      val diskReport =
+        try reportOf(
+          spark.read.option("basePath", dataDir).parquet(dataDir),
           idCol, textCol)
-        .withColumn("round", lit(round))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(
+                Seq.empty[org.apache.spark.sql.Row], 1),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("stream",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("bin",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("n_docs",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("units",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("content_md5",
+                  org.apache.spark.sql.types.StringType))))
+        }
+      diskReport.withColumn("round", lit(round))
     }.reduce(_ unionByName _)
-    val manifest = report(spark, path)
-      .filter(col("round").isin(picked.map(_._2): _*))
+    // read ONLY the picked rounds' report dirs (a scoped verify of round
+    // N must not depend on other rounds' reports being readable); a
+    // PICKED round's unreadable report is a damaged manifest — that one
+    // IS a named error, since there is nothing to diff against
+    val manifest = picked.map { case (id, round) =>
+      (try spark.read.parquet(s"$path/report/append=$id")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"verify: committed report append=$id under $path is " +
+              "unreadable — the integrity manifest itself is damaged; " +
+              s"restore it before trusting this shard set (${e.getMessage})")
+      }).withColumn("round", lit(round))
+    }.reduce(_ unionByName _)
     manifest.alias("m")
       .join(disk.alias("d"), Seq("round", "stream", "bin"), "full_outer")
       .select(col("round"), col("stream"), col("bin"),

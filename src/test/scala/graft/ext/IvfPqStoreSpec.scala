@@ -111,27 +111,35 @@ class IvfPqStoreSpec extends GraftSpec {
   }
 
   it("compaction folds the code sidecars bit-identically (frozen book " +
-     "re-encode), and vacuum unlinks superseded pqcodes dirs") {
+     "re-encode — post-fold PQ search equals an uncompacted twin's), " +
+     "and vacuum unlinks superseded pqcodes dirs") {
     val path = tmp()
     val key = "spark.graft.ivfstore.compactThreshold"
     spark.conf.set(key, "1")
-    try {
-      val store = IvfStore.create(emb.filter($"vec_id" % 3 === 0),
-        "vec_id", "embedding", path, k = 4, pqM = 16, pqK = 16)
-      val before = rows(store.searchAllPq(Seq(3L), topK = 5, nprobe = 2))
-      store.append(emb.filter($"vec_id" % 3 === 1), "vec_id", "embedding")
-      store.append(emb.filter($"vec_id" % 3 === 2), "vec_id", "embedding")
-      // threshold 1: the second append folded everything but the newest
-      rows(store.searchAllPq(Seq(3L), topK = 5, nprobe = 2))
-        .map(_._1).distinct shouldBe Seq(3L)
-      before.foreach { case (qid, _, _) => qid shouldBe 3L }
-      spark.conf.set("spark.graft.index.vacuumRetentionMs", "0")
-      try store.vacuum() should be > 0
-      finally spark.conf.unset("spark.graft.index.vacuumRetentionMs")
-      // superseded pqcodes dirs are gone; the store still answers
-      rows(store.searchAllPq(Seq(3L), topK = 5, nprobe = 2))
-        .map(_._1).distinct shouldBe Seq(3L)
-    } finally spark.conf.unset(key)
+    val store =
+      try {
+        val s = IvfStore.create(emb.filter($"vec_id" % 3 === 0),
+          "vec_id", "embedding", path, k = 4, pqM = 16, pqK = 16)
+        s.append(emb.filter($"vec_id" % 3 === 1), "vec_id", "embedding")
+        s.append(emb.filter($"vec_id" % 3 === 2), "vec_id", "embedding")
+        s
+      } finally spark.conf.unset(key)
+    // threshold 1 folded everything but the newest append; an
+    // UNCOMPACTED twin over the same create/append sequence is the
+    // bit-identical reference
+    val twin = IvfStore.create(emb.filter($"vec_id" % 3 === 0),
+      "vec_id", "embedding", tmp(), k = 4, pqM = 16, pqK = 16)
+    twin.append(emb.filter($"vec_id" % 3 === 1), "vec_id", "embedding")
+    twin.append(emb.filter($"vec_id" % 3 === 2), "vec_id", "embedding")
+    val expected = rows(twin.searchAllPq(Seq(3L, 7L), topK = 5, nprobe = 2))
+    rows(store.searchAllPq(Seq(3L, 7L), topK = 5, nprobe = 2)) shouldBe
+      expected
+    spark.conf.set("spark.graft.index.vacuumRetentionMs", "0")
+    try store.vacuum() should be > 0
+    finally spark.conf.unset("spark.graft.index.vacuumRetentionMs")
+    // superseded pqcodes dirs are gone; the answer is unchanged
+    rows(store.searchAllPq(Seq(3L, 7L), topK = 5, nprobe = 2)) shouldBe
+      expected
   }
 
   it("an empty gated batch commits a schema-carrying empty code sidecar " +

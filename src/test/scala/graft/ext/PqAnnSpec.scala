@@ -114,7 +114,9 @@ class PqAnnSpec extends GraftSpec {
     // quality without flaking on a data refresh.
     overlaps.foreach(_ should be >= 1)
     overlaps.sum should be >= 6
-    // memory: 16 codes (1 byte each at k<=256) vs 64 float32s
+    // memory: 16 codes (4 B in flight; ~1 B at rest under parquet
+    // bit-packing — SCALE_PQ measures 20-26x under float parquet) vs
+    // 64 float32s = 256 B
     (64 * 4) / cb.m shouldBe 16
   }
 

@@ -214,6 +214,33 @@ class ShardWriterSpec extends GraftSpec {
       ShardWriter.verify(spark, path, "doc_id", "text",
         rounds = Some(Seq(9L)))
     }.getMessage should include("no committed round")
+
+    // a LOST round-1 data TREE: verify reports (doesn't crash) — every
+    // round-1 manifest shard flags ok=false with a null disk hash, and
+    // the round-2 scoped check is untouched by round-1 damage
+    def rmTree(p: String): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.delete(f); () })
+    rmTree(s"$path/data/append=a000001")
+    val round1Shards = ShardWriter.report(spark, path)
+      .filter(col("round") === 1L).count()
+    val v5 = ShardWriter.verify(spark, path, "doc_id", "text")
+    v5.filter(col("round") === 1L && col("ok")).count() shouldBe 0L
+    v5.filter(col("round") === 1L).count() shouldBe round1Shards
+    v5.filter(col("round") === 1L)
+      .select("disk_md5").collect().foreach(_.isNullAt(0) shouldBe true)
+    ShardWriter.verify(spark, path, "doc_id", "text",
+      rounds = Some(Seq(2L))).filter(!col("ok")).count() shouldBe 0L
+
+    // a damaged REPORT dir is the one named error (nothing to diff
+    // against) — and it still doesn't poison a verify scoped elsewhere
+    rmTree(s"$path/report/append=a000001")
+    intercept[IllegalStateException] {
+      ShardWriter.verify(spark, path, "doc_id", "text").collect()
+    }.getMessage should include("manifest itself is damaged")
+    ShardWriter.verify(spark, path, "doc_id", "text",
+      rounds = Some(Seq(2L))).filter(!col("ok")).count() shouldBe 0L
   }
 
   it("the declared stage composes: bpe_tokenize feeds units 'subtokens', " +
