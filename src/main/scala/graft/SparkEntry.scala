@@ -3346,6 +3346,44 @@ object SparkEntry {
       .orderBy("stream", "bin")
   }
 
+  /** DQ166 (EXT/runner, §2.9): the STREAMED capstone — the two
+    * stream-legal halves of the production tail COMPOSED in one
+    * declared config, once per micro-batch: `mix_gate` (store-mediated
+    * temperature mixing — round 1 seeds the count store, round 2's
+    * rates flatten over the CUMULATIVE raw counts, dq159) feeding a
+    * terminal `shard_write` (each batch commits its OWN shard set under
+    * its stage tokens, dq160). Mixing membership decides what each
+    * round MATERIALIZES, so the oracle derives both rounds' rate chains
+    * (dq146's HUGEINT arithmetic over batch-1 then union counts), gates
+    * the members, and re-runs the per-round packing recurrence over
+    * exactly the surviving documents — ingest-to-artifact as a stream,
+    * exactly-once end to end. */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sc =
+      graft.io.TempReaper.tempDir("graft-dq166-mix").toString + "/sc"
+    val st =
+      graft.io.TempReaper.tempDir("graft-dq166-shards").toString + "/st"
+    val cfg =
+      s"""{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [
+        |   {"stage": "mix_gate", "path": "$sc", "strata": "source",
+        |    "targetDocs": 150},
+        |   {"stage": "shard_write", "path": "$st", "capacity": 4000,
+        |    "units": "chars", "epoch": 1, "streams": 16}]}""".stripMargin
+    val pipeline = graft.plan.CurationConfig.parse(cfg)
+    val b1 = docs.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), col("source"), col("text"))
+    val b2 = docs.filter(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3)
+      .select(col("doc_id"), col("source"), col("text"))
+    val incoming = EventStream.twoFileBatchStream(b1, b2, "dq166")
+    EventStream.runConfigPipeline(incoming, pipeline, dir, "dq166")
+    graft.ext.ShardWriter.report(s, st)
+      .select(col("round"), col("stream"), col("bin"), col("n_docs"),
+        col("units"), col("content_md5"))
+      .orderBy("round", "stream", "bin")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -3549,7 +3587,8 @@ object SparkEntry {
     "dq162_pq_adc_topk"           -> (q162 _),
     "dq163_ivfpq_topk"            -> (q163 _),
     "dq164_ivfpq_store"           -> (q164 _),
-    "dq165_capstone_pipeline"     -> (q165 _)
+    "dq165_capstone_pipeline"     -> (q165 _),
+    "dq166_stream_mix_materialize" -> (q166 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -5579,6 +5618,74 @@ object SparkEntry {
         |ORDER BY doc_id, epoch""".stripMargin,
     // the composed chain: dq16's language argmax filters, dq116's dedup,
     // then dq146's rate chain over the SURVIVOR counts
+    // the streamed capstone: dq159's per-round rate chains (seed, then
+    // cumulative raw counts) decide each round's members; dq160's
+    // per-round packing recurrence materializes exactly those members
+    "dq166_stream_mix_materialize" ->
+      """WITH RECURSIVE b1 AS (SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 4 = 1),
+        |b2 AS (SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 4 IN (2, 3)),
+        |c1 AS (SELECT source, count(*)::BIGINT AS n FROM b1 GROUP BY source),
+        |w1 AS (SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        |  FROM c1),
+        |t1 AS (SELECT CAST(sum(w) AS HUGEINT) AS sw FROM w1),
+        |r1 AS (SELECT source,
+        |    CAST(LEAST(CAST(1000000 AS HUGEINT),
+        |      (CAST(150 AS HUGEINT) * w * 1000000) // (sw * n)) AS BIGINT)
+        |      AS micro
+        |  FROM w1, t1),
+        |c2 AS (SELECT source, count(*)::BIGINT AS n FROM
+        |  (SELECT * FROM b1 UNION ALL SELECT * FROM b2) GROUP BY source),
+        |w2 AS (SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        |  FROM c2),
+        |t2 AS (SELECT CAST(sum(w) AS HUGEINT) AS sw FROM w2),
+        |r2 AS (SELECT source,
+        |    CAST(LEAST(CAST(1000000 AS HUGEINT),
+        |      (CAST(150 AS HUGEINT) * w * 1000000) // (sw * n)) AS BIGINT)
+        |      AS micro
+        |  FROM w2, t2),
+        |m1 AS (SELECT d.doc_id, d.text FROM b1 d JOIN r1 USING (source)
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+        |    % 1000000 < r1.micro),
+        |m2 AS (SELECT d.doc_id, d.text FROM b2 d JOIN r2 USING (source)
+        |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+        |    % 1000000 < r2.micro),
+        |ex AS (
+        |  SELECT 1::BIGINT AS round, doc_id, text,
+        |    len(text)::BIGINT AS units,
+        |    md5('1:' || doc_id::VARCHAR) AS skey,
+        |    substr(md5('1:' || doc_id::VARCHAR), 1, 1) AS stream
+        |  FROM m1
+        |  UNION ALL
+        |  SELECT 2::BIGINT, doc_id, text, len(text)::BIGINT,
+        |    md5('1:' || doc_id::VARCHAR),
+        |    substr(md5('1:' || doc_id::VARCHAR), 1, 1)
+        |  FROM m2),
+        |rr AS (SELECT *,
+        |    row_number() OVER (PARTITION BY round, stream ORDER BY skey) rn
+        |  FROM ex),
+        |packed AS (
+        |  SELECT round, stream, skey, doc_id, text, units, rn,
+        |    CAST(0 AS BIGINT) AS bin, units AS fill
+        |  FROM rr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT rr.round, rr.stream, rr.skey, rr.doc_id, rr.text,
+        |    rr.units, rr.rn,
+        |    CASE WHEN p.fill + rr.units > 4000 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + rr.units > 4000 THEN rr.units
+        |         ELSE p.fill + rr.units END
+        |  FROM rr JOIN packed p
+        |    ON rr.round = p.round AND rr.stream = p.stream
+        |    AND rr.rn = p.rn + 1)
+        |SELECT round, stream, bin, count(*) AS n_docs,
+        |  CAST(sum(units) AS BIGINT) AS units,
+        |  md5(string_agg(md5(doc_id::VARCHAR || ':' || text), ''
+        |    ORDER BY skey)) AS content_md5
+        |FROM packed GROUP BY 1, 2, 3
+        |ORDER BY round, stream, bin""".stripMargin,
     // the capstone: dq147's lang→dedup→mix chain (text carried through),
     // two epochs expanded, dq158's greedy packing per stream at 5000
     // chars, integrity hashes asserted by derivation (the dq161 form)
