@@ -479,6 +479,10 @@ object ScaleProbe {
           .select(col("vec_id"), col("embedding")).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
           .sortBy(_._1)
+        // a query id missing from the replicated corpus must fail the
+        // probe loudly, not silently deflate the recall denominator
+        require(qs.size == qids.size,
+          s"SCALE_PQ: expected ${qids.size} query vectors, got ${qs.size}")
         val codes = spark.read.parquet(s"$base/codes")
         val t3 = System.nanoTime()
         val adc = graft.ext.PqAnn.adcTopK(codes, cb, qs, topK = 10)
@@ -505,7 +509,7 @@ object ScaleProbe {
           val e = exact.filter(_.getAs[Long]("qid") == qid)
             .map(_.getAs[Long]("vid")).toSet
           (a intersect e).size
-        }.sum / (3.0 * 10.0)
+        }.sum / (qs.size * 10.0)
         println(f"""{"probe":"pq","vecs":$n,"fit_sec":${(t1 - t0) / 1e9}%.1f,"encode_sec":${(t2 - t1) / 1e9}%.1f,"code_bytes":${bytes(s"$base/codes")},"float_bytes":${bytes(s"$base/float")},"adc_sec":${(t4 - t3) / 1e9}%.1f,"exact_sec":${(t5 - t4) / 1e9}%.1f,"recall10":$recall%.2f}""")
         df.unpersist()
         ()

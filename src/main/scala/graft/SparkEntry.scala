@@ -3384,6 +3384,83 @@ object SparkEntry {
       .orderBy("round", "stream", "bin")
   }
 
+  /** DQ167 (EXT/runner): MULTIMODAL INTO THE DECLARED PIPELINE — the
+    * verified header kernels finally feed the declare-then-run workflow
+    * (`media_gate`, r14 verdict #1): an image+caption frame (dq73's
+    * byte-exact PNG/JPEG synthesis riding as a real `binary` column
+    * beside the document text) flows through a declared
+    * `media_gate(image)` — keep rows whose payload PARSES and whose
+    * width/height fall in the declared band — into a terminal
+    * `shard_write` with `units: "bytes"` (`octet_length` of the payload:
+    * the multimodal packing meter, where image bytes dominate shard
+    * size, not caption chars). The query returns the per-document
+    * assignment — parsed header fields + byte units + hex-prefix stream
+    * + greedy bin — so the oracle re-derives the ENTIRE chain from raw
+    * ids: blob synthesis, the dq73 marker walk, the band, octet_length,
+    * the epoch-shuffle key, and the dq66 packing recurrence.
+    * Exactly-once under the run's stage token. */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val base =
+      graft.io.TempReaper.tempDir("graft-dq167-media").toString + "/st"
+    val media = t(s, dir, "documents").select(col("doc_id"),
+      graft.ext.Multimodal.syntheticImagePayload(col("doc_id"))
+        .as("payload"),
+      col("text").as("caption"))
+    val cfg =
+      s"""{"table": "documents", "id": "doc_id", "text": "caption",
+        | "stages": [
+        |   {"stage": "media_gate", "kind": "image", "binary": "payload",
+        |    "minWidth": 64, "maxWidth": 1600,
+        |    "minHeight": 64, "maxHeight": 1000},
+        |   {"stage": "shard_write", "path": "$base", "capacity": 512,
+        |    "units": "bytes", "binary": "payload", "epoch": 1,
+        |    "streams": 16}]}""".stripMargin
+    graft.plan.CurationConfig.parse(cfg)
+      .applyStages(media, dir, Some("dq167"))
+      .select(col("doc_id"), col("media_format"), col("media_w"),
+        col("media_h"), col("units"), col("stream"), col("bin"))
+      .orderBy("doc_id")
+  }
+
+  /** DQ168 (EXT/runner): the multimodal materialization VERIFIED — the
+    * video sibling of dq167 closed through the loader-side integrity
+    * check: `media_gate(video)` keeps clips whose MP4 box tree parses
+    * (dq80's nested walk) and whose duration lies in [5s, 600s] —
+    * compared EXACTLY as `duration·1e6 between lo·timescale and
+    * hi·timescale`, integer arithmetic any engine re-derives — then
+    * `shard_write(units: bytes)` materializes clip+caption rows into
+    * size-bounded shards whose integrity hashes COVER THE PAYLOAD BYTES
+    * (`md5(id:caption:hex(payload))`): a flipped clip byte now fails
+    * verification exactly like a flipped caption character. The query
+    * returns [[graft.ext.ShardWriter.verify]] over the committed set;
+    * the oracle re-derives blob synthesis, the box walk, the band
+    * gate, the packing recurrence, and BOTH payload-covering md5s. */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val base =
+      graft.io.TempReaper.tempDir("graft-dq168-clips").toString + "/st"
+    val media = t(s, dir, "documents").select(col("doc_id"),
+      graft.ext.Multimodal.syntheticMp4Payload(col("doc_id"))
+        .as("payload"),
+      col("text").as("caption"))
+    val cfg =
+      s"""{"table": "documents", "id": "doc_id", "text": "caption",
+        | "stages": [
+        |   {"stage": "media_gate", "kind": "video", "binary": "payload",
+        |    "minSecMicro": 5000000, "maxSecMicro": 600000000},
+        |   {"stage": "shard_write", "path": "$base", "capacity": 2048,
+        |    "units": "bytes", "binary": "payload", "epoch": 1,
+        |    "streams": 16}]}""".stripMargin
+    // applyStages runs the declared write eagerly (the shard_write
+    // stage is a materialization boundary); only verify's frame returns
+    graft.plan.CurationConfig.parse(cfg).applyStages(media, dir,
+      Some("dq168"))
+    graft.ext.ShardWriter.verify(s, base, "doc_id", "caption",
+        binaryCol = Some("payload"))
+      .select(col("round"), col("stream"), col("bin"), col("ok"),
+        col("n_docs"), col("units"), col("manifest_md5"), col("disk_md5"))
+      .orderBy("stream", "bin")
+  }
+
   /** DQ107 (EXT): BPE vocabulary TRAINING (Sennrich et al. 2016) — the
     * merge-learning loop over the documents corpus ([[graft.ext.BpeTrain]]):
     * 6 deterministic merges (argmax pair count, lexicographic tie-break),
@@ -3588,7 +3665,9 @@ object SparkEntry {
     "dq163_ivfpq_topk"            -> (q163 _),
     "dq164_ivfpq_store"           -> (q164 _),
     "dq165_capstone_pipeline"     -> (q165 _),
-    "dq166_stream_mix_materialize" -> (q166 _)
+    "dq166_stream_mix_materialize" -> (q166 _),
+    "dq167_media_gate_shards"     -> (q167 _),
+    "dq168_media_shard_verify"    -> (q168 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -5686,6 +5765,166 @@ object SparkEntry {
         |    ORDER BY skey)) AS content_md5
         |FROM packed GROUP BY 1, 2, 3
         |ORDER BY round, stream, bin""".stripMargin,
+    // multimodal into the declared pipeline: dq73's byte-identical blob
+    // synthesis + marker walk decides the media_gate survivors, then
+    // octet_length feeds the dq66 packing recurrence at 512 BYTES
+    "dq167_media_gate_shards" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id, doc_id % 1897 + 16 AS w0, (doc_id * 7) % 1061 + 16 AS h0,
+        |    doc_id % 8 + 14 AS ap, (doc_id * 3) % 5 + 2 AS cp
+        |  FROM documents),
+        |payload AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN ('not an image ' || doc_id::VARCHAR)::BLOB
+        |    WHEN doc_id % 2 = 0 THEN
+        |      unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
+        |        || lpad(to_hex(w0), 8, '0') || lpad(to_hex(h0), 8, '0') || '0806000000')
+        |    ELSE
+        |      unhex('FFD8' || 'FFE0' || lpad(to_hex(ap + 2), 4, '0') || repeat('4A', ap)
+        |        || 'FFFE' || lpad(to_hex(cp + 2), 4, '0') || repeat('43', cp)
+        |        || 'FFC0' || '000B' || '08'
+        |        || lpad(to_hex(h0), 4, '0') || lpad(to_hex(w0), 4, '0')
+        |        || '012200' || 'FFD9')
+        |    END AS payload
+        |  FROM m),
+        |hx AS (SELECT doc_id, upper(hex(payload)) AS h,
+        |    octet_length(payload)::BIGINT AS nb
+        |  FROM payload),
+        |j1 AS (SELECT doc_id, h, nb,
+        |    CASE WHEN substr(h, 1, 4) = 'FFD8'
+        |      THEN 5 + 4 + TRY_CAST(('0x' || substr(h, 9, 4)) AS BIGINT) * 2 END AS p2
+        |  FROM hx),
+        |j2 AS (SELECT doc_id, h, nb, p2,
+        |    CASE WHEN p2 IS NOT NULL
+        |      THEN p2 + 4 + TRY_CAST(('0x' || substr(h, p2::INT + 4, 4)) AS BIGINT) * 2
+        |    END AS p3
+        |  FROM j1),
+        |parsed AS (
+        |  SELECT doc_id, nb,
+        |    CASE
+        |      WHEN substr(h, 1, 16) = '89504E470D0A1A0A' AND substr(h, 17, 8) = '0000000D'
+        |           AND substr(h, 25, 8) = '49484452' THEN 'png'
+        |      WHEN p3 IS NOT NULL AND substr(h, p3::INT, 4) = 'FFC0' THEN 'jpeg'
+        |    END AS format,
+        |    CASE
+        |      WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+        |        THEN TRY_CAST(('0x' || substr(h, 33, 8)) AS BIGINT)
+        |      WHEN p3 IS NOT NULL AND substr(h, p3::INT, 4) = 'FFC0'
+        |        THEN TRY_CAST(('0x' || substr(h, p3::INT + 14, 4)) AS BIGINT)
+        |    END AS width,
+        |    CASE
+        |      WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+        |        THEN TRY_CAST(('0x' || substr(h, 41, 8)) AS BIGINT)
+        |      WHEN p3 IS NOT NULL AND substr(h, p3::INT, 4) = 'FFC0'
+        |        THEN TRY_CAST(('0x' || substr(h, p3::INT + 10, 4)) AS BIGINT)
+        |    END AS height
+        |  FROM j2),
+        |kept AS (
+        |  SELECT doc_id, format, width, height, nb AS units,
+        |    md5('1:' || doc_id::VARCHAR) AS skey,
+        |    substr(md5('1:' || doc_id::VARCHAR), 1, 1) AS stream
+        |  FROM parsed
+        |  WHERE format IS NOT NULL AND width BETWEEN 64 AND 1600
+        |    AND height BETWEEN 64 AND 1000),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY stream ORDER BY skey) rn
+        |  FROM kept),
+        |packed AS (
+        |  SELECT stream, skey, doc_id, format, width, height, units, rn,
+        |    CAST(0 AS BIGINT) AS bin, units AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.stream, r.skey, r.doc_id, r.format, r.width, r.height,
+        |    r.units, r.rn,
+        |    CASE WHEN p.fill + r.units > 512 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + r.units > 512 THEN r.units
+        |         ELSE p.fill + r.units END
+        |  FROM r JOIN packed p ON r.stream = p.stream AND r.rn = p.rn + 1)
+        |SELECT doc_id, format AS media_format,
+        |  CAST(width AS INTEGER) AS media_w,
+        |  CAST(height AS INTEGER) AS media_h,
+        |  CAST(units AS BIGINT) AS units, stream, bin
+        |FROM packed ORDER BY doc_id""".stripMargin,
+    // the video materialization verified: dq80's box walk + the exact
+    // integer duration band decide survivors; the packing recurrence
+    // runs at 2048 BYTES and both integrity hashes COVER the payload
+    // (md5(id:caption:hex(payload)) per row, concatenated in key order)
+    "dq168_media_shard_verify" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id, text AS caption,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |    doc_id % 16 + 8 AS fl,
+        |    (doc_id * 5) % 12 + 8 AS ul,
+        |    CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |      WHEN 2 THEN 24000 ELSE 90000 END AS ts,
+        |    (doc_id % 9000 + 30) * 100 AS dur
+        |  FROM documents),
+        |payload AS (
+        |  SELECT doc_id, caption,
+        |    CASE WHEN doc_id % 3 = 0 THEN ('not a video ' || doc_id::VARCHAR)::BLOB
+        |    ELSE
+        |      unhex('00000010') || 'ftyp'::BLOB || brand::BLOB || unhex('00000000') ||
+        |      unhex(lpad(to_hex(fl), 8, '0')) || 'free'::BLOB || repeat('J', fl - 8)::BLOB ||
+        |      unhex(lpad(to_hex(8 + ul + 108), 8, '0')) || 'moov'::BLOB ||
+        |      unhex(lpad(to_hex(ul), 8, '0')) || 'udta'::BLOB || repeat('C', ul - 8)::BLOB ||
+        |      unhex('0000006C') || 'mvhd'::BLOB || unhex('00000000') ||
+        |      unhex('00000000') || unhex('00000000') ||
+        |      unhex(lpad(to_hex(ts), 8, '0')) || unhex(lpad(to_hex(dur), 8, '0')) ||
+        |      unhex(repeat('00', 80))
+        |    END AS payload
+        |  FROM m),
+        |hx AS (SELECT doc_id, caption, upper(hex(payload)) AS h,
+        |    octet_length(payload)::BIGINT AS nb
+        |  FROM payload),
+        |v1 AS (SELECT doc_id, caption, h, nb,
+        |    CASE WHEN substr(h, 1, 8) = '00000010' AND substr(h, 9, 8) = '66747970'
+        |         AND substr(h, 41, 8) = '66726565'
+        |      THEN 33 + TRY_CAST(('0x' || substr(h, 33, 8)) AS BIGINT) * 2 END AS p1
+        |  FROM hx),
+        |v2 AS (SELECT doc_id, caption, h, nb, p1,
+        |    CASE WHEN p1 IS NOT NULL AND substr(h, p1::INT + 8, 8) = '6D6F6F76'
+        |         AND substr(h, p1::INT + 24, 8) = '75647461'
+        |      THEN p1 + 16 + TRY_CAST(('0x' || substr(h, p1::INT + 16, 8)) AS BIGINT) * 2
+        |    END AS q1
+        |  FROM v1),
+        |parsed AS (
+        |  SELECT doc_id, caption, h, nb,
+        |    CASE WHEN q1 IS NOT NULL AND substr(h, q1::INT + 8, 8) = '6D766864'
+        |         AND substr(h, q1::INT + 16, 2) = '00'
+        |      THEN decode(unhex(substr(h, 17, 8))) END AS brand,
+        |    TRY_CAST(('0x' || substr(h, q1::INT + 40, 8)) AS BIGINT) AS timescale,
+        |    TRY_CAST(('0x' || substr(h, q1::INT + 48, 8)) AS BIGINT) AS duration
+        |  FROM v2),
+        |kept AS (
+        |  SELECT doc_id, caption, h, nb AS units,
+        |    md5('1:' || doc_id::VARCHAR) AS skey,
+        |    substr(md5('1:' || doc_id::VARCHAR), 1, 1) AS stream
+        |  FROM parsed
+        |  WHERE brand IS NOT NULL
+        |    AND duration * 1000000 >= 5000000 * timescale
+        |    AND duration * 1000000 <= 600000000 * timescale),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY stream ORDER BY skey) rn
+        |  FROM kept),
+        |packed AS (
+        |  SELECT stream, skey, doc_id, caption, h, units, rn,
+        |    CAST(0 AS BIGINT) AS bin, units AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.stream, r.skey, r.doc_id, r.caption, r.h, r.units,
+        |    r.rn,
+        |    CASE WHEN p.fill + r.units > 2048 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + r.units > 2048 THEN r.units
+        |         ELSE p.fill + r.units END
+        |  FROM r JOIN packed p ON r.stream = p.stream AND r.rn = p.rn + 1)
+        |SELECT CAST(1 AS BIGINT) AS round, stream, bin, TRUE AS ok,
+        |  count(*) AS n_docs, CAST(sum(units) AS BIGINT) AS units,
+        |  md5(string_agg(md5(doc_id::VARCHAR || ':' || caption || ':' || h),
+        |    '' ORDER BY skey)) AS manifest_md5,
+        |  md5(string_agg(md5(doc_id::VARCHAR || ':' || caption || ':' || h),
+        |    '' ORDER BY skey)) AS disk_md5
+        |FROM packed GROUP BY stream, bin
+        |ORDER BY stream, bin""".stripMargin,
     // the capstone: dq147's lang→dedup→mix chain (text carried through),
     // two epochs expanded, dq158's greedy packing per stream at 5000
     // chars, integrity hashes asserted by derivation (the dq161 form)

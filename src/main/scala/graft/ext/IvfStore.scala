@@ -156,7 +156,15 @@ final class IvfStore private (private val spark: SparkSession,
         val rows = spark.read.parquet(dir).collect()
           .map(r => (r.getAs[Int]("j"), r.getAs[Int]("cell"),
             r.getAs[Seq[Double]]("c").toArray))
-        val sub = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        val grouped = rows.groupBy(_._1)
+        // a malformed book (a subspace with zero surviving rows, or a
+        // partial write) must be a named error, not silently re-indexed
+        // subspaces shifting positions under the positional sort
+        require(grouped.keySet == (0 until grouped.size).toSet,
+          s"PQ codebook at $dir is malformed: subspace ids " +
+            s"${grouped.keySet.toSeq.sorted.mkString(",")} are not " +
+            s"exactly 0 until ${grouped.size} — restore the book dir")
+        val sub = grouped.toSeq.sortBy(_._1)
           .map { case (_, cs) =>
             cs.sortBy(_._2).map(c => (c._2, c._3)).toSeq }
           .toVector
@@ -779,8 +787,10 @@ final class IvfStore private (private val spark: SparkSession,
   /** [[search]] on the STORED PQ tier — IVF-PQ from disk: probe cells
     * rank on the driver against the snapshot generation's centroids, the
     * candidate scan reads ONLY probed `pqcodes/` cell partitions (m
-    * bytes per vector — 16× under float at m=16/dims=64, 4× under the
-    * SQ8 tier), and scoring is [[PqAnn.adcTopKProbed]]'s table-lookup
+    * bytes per vector vs dims·4 — the theoretical 16× in-flight ratio at
+    * m=16/dims=64, 4× under the SQ8 tier; AT REST parquet measures
+    * 17–26× under the float relation: dq164 Bench evidence and the
+    * `SCALE_PQ` probe), and scoring is [[PqAnn.adcTopKProbed]]'s table-lookup
     * ADC against the SAME generation's frozen codebooks. Output:
     * (qid, vid, score: double — approximate inner product), top-k per
     * qid. Refuses a layout created without the tier (pqM = 0). */

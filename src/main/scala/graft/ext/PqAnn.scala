@@ -228,10 +228,14 @@ object PqAnn {
     * query id to its probe-cell list ([[IvfIndex.probesFor]]). The
     * probe filter runs BEFORE any scoring: each row explodes only the
     * query ids that probe its cell (a literal array filter), and the
-    * score dispatches per surviving (query, row) pair through a lazy
-    * when-chain — m table lookups happen only for pairs the probe
-    * admits, so the two prunings compose multiplicatively in COMPUTE as
-    * well as I/O. */
+    * score of each surviving (query, row) pair is m lookups into
+    * per-subspace TWO-LEVEL literal tables keyed on `(qid, code)` —
+    * O(m) work per admitted pair and a FIXED-SIZE expression however
+    * many queries ride the scan (the r14 lesson: a Q-deep `when`-chain
+    * embeds Q·m·k literals in one expression and re-creates the 64 KB
+    * whole-stage-codegen method trap at a few hundred queries; a map
+    * literal is one reference, not inline code). The two prunings
+    * compose multiplicatively in COMPUTE as well as I/O. */
   def adcTopKProbed(codes: DataFrame, cb: Codebook,
       queries: Seq[(Long, Array[Float])], probes: Map[Long, Seq[Int]],
       topK: Int): DataFrame = {
@@ -251,13 +255,41 @@ object PqAnn {
     val exploded = codes
       .select(col("vid"), col("codes"), explode(probingQids).as("qid"))
       .filter(col("vid") =!= col("qid"))
-    val score = queries.foldRight(lit(Double.NaN)) {
-      case ((qid, q), acc) =>
-        when(col("qid") === qid, scoreFor(cb, q)).otherwise(acc)
-    }
     val scored = exploded
-      .select(col("qid"), col("vid"), score.as("score"))
+      .select(col("qid"), col("vid"),
+        scoreForAll(cb, queries).as("score"))
     rankScored(scored, topK)
+  }
+
+  /** ADC score of the row's `codes` for the query named by the row's
+    * `qid` column: m lookups into per-subspace literal tables keyed on
+    * `qid * stride + code` (stride = one past the largest surviving
+    * sub-centroid id, so the composite key is collision-free). Each
+    * table value is the SAME driver double [[scoreFor]] tabulates —
+    * computed by the identical left-to-right fold — and the m lookups
+    * sum in the same subspace-ordered binary add chain, so this is
+    * bit-identical to dispatching [[scoreFor]] per query; the
+    * expression just stops growing with the query count. */
+  private def scoreForAll(cb: Codebook,
+      queries: Seq[(Long, Array[Float])]): Column = {
+    val stride: Long =
+      cb.sub.iterator.flatMap(_.iterator.map(_._1)).max.toLong + 1L
+    (0 until cb.m).map { j =>
+      val table: Map[Long, Double] = (for {
+        (qid, q) <- queries
+        (cell, c) <- cb.sub(j)
+      } yield {
+        var s = 0.0
+        var i = 0
+        while (i < cb.subDim) {
+          s += q(j * cb.subDim + i).toDouble * c(i)
+          i += 1
+        }
+        (qid * stride + cell) -> s
+      }).toMap
+      element_at(typedlit(table),
+        col("qid") * lit(stride) + col("codes").getItem(j).cast("long"))
+    }.reduceLeft(_ + _)
   }
 
   /** One query's ADC score over the `codes` column: the SUBSPACE-ORDERED

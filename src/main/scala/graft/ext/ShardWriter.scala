@@ -45,7 +45,14 @@ import org.apache.spark.sql.functions._
   *
   * Size columns: `units = "chars"` measures `length(text)`;
   * `"subtokens"` measures `size(subtokens)` — the real token-budget
-  * shape, fed by a `bpe_tokenize` stage upstream.
+  * shape, fed by a `bpe_tokenize` stage upstream; `"bytes"` measures
+  * `octet_length` of a DECLARED binary column (`binaryCol`) — the
+  * multimodal shape, where an image/audio/video payload dominates the
+  * shard size and caption text is noise. A declared `binaryCol` also
+  * folds the payload BYTES into every integrity hash (`md5(id:text:`
+  * `hex(payload))`) so a flipped payload byte is caught exactly like a
+  * flipped caption character; [[verify]] must be called with the same
+  * declaration.
   */
 object ShardWriter {
 
@@ -55,7 +62,8 @@ object ShardWriter {
   private val Reserved = Seq("skey", "stream", "bin", "units")
 
   private[ext] def unitsColumn(units: String, textCol: String,
-      schema: org.apache.spark.sql.types.StructType)
+      schema: org.apache.spark.sql.types.StructType,
+      binaryCol: Option[String] = None)
       : org.apache.spark.sql.Column = units match {
     case "chars" => length(col(textCol)).cast("long")
     case "subtokens" =>
@@ -63,15 +71,24 @@ object ShardWriter {
         "shard_write: units 'subtokens' needs a 'subtokens' column — " +
           "declare a bpe_tokenize stage upstream")
       size(col("subtokens")).cast("long")
+    case "bytes" =>
+      val b = binaryCol.getOrElse(throw new IllegalArgumentException(
+        "shard_write: units 'bytes' needs a declared binary column " +
+          "('binary' in the config)"))
+      require(schema.fieldNames.contains(b),
+        s"shard_write: units 'bytes' needs the declared binary column " +
+          s"'$b' in the input")
+      octet_length(col(b)).cast("long")
     case other => throw new IllegalArgumentException(
-      s"shard_write: unknown units '$other' (chars | subtokens)")
+      s"shard_write: unknown units '$other' (chars | subtokens | bytes)")
   }
 
   /** The shard ASSIGNMENT plan for a frame — (input columns) + `skey`,
     * `stream`, `bin`, `units`; deterministic in the row set alone. Rows
     * must be unique per (epoch, id): the key is their identity. */
   def assign(df: DataFrame, idCol: String, textCol: String, units: String,
-      capacity: Long, epoch: Int, streams: Int): DataFrame = {
+      capacity: Long, epoch: Int, streams: Int,
+      binaryCol: Option[String] = None): DataFrame = {
     require(capacity >= 1, "capacity must be >= 1")
     val prefixLen = streams match {
       case 1 => 0
@@ -90,7 +107,7 @@ object ShardWriter {
       else lit(epoch.toString)
     val keyed = df
       .withColumn("skey", md5(concat_ws(":", epochCol, col(idCol))))
-      .withColumn("units", unitsColumn(units, textCol, df.schema))
+      .withColumn("units", unitsColumn(units, textCol, df.schema, binaryCol))
       .withColumn("stream",
         if (prefixLen == 0) lit("all") else substring(col("skey"), 1, prefixLen))
     // the key IS row identity: a duplicated (epoch, id) would silently
@@ -115,7 +132,8 @@ object ShardWriter {
     * number of SHARDS written (0 on a recognized replay). */
   def write(df: DataFrame, idCol: String, textCol: String, path: String,
       capacity: Long, units: String = "chars", epoch: Int = 1,
-      streams: Int = 16, token: Option[String] = None): Long = {
+      streams: Int = 16, token: Option[String] = None,
+      binaryCol: Option[String] = None): Long = {
     token.foreach(t => require(t.nonEmpty && !t.contains("\n"),
       "token: non-empty, one line"))
     val spark = df.sparkSession
@@ -130,7 +148,8 @@ object ShardWriter {
         val reportDir = s"$path/report/append=$id"
         log.clearOrphan(dataDir)
         log.clearOrphan(reportDir)
-        assign(df, idCol, textCol, units, capacity, epoch, streams)
+        assign(df, idCol, textCol, units, capacity, epoch, streams,
+            binaryCol)
           .repartition(col("stream"), col("bin"))
           .sortWithinPartitions("stream", "bin", "skey")
           .write.partitionBy("stream", "bin").mode("errorifexists")
@@ -139,7 +158,7 @@ object ShardWriter {
         // and aggregate — a write that lost rows would be caught here,
         // not at training time
         reportOf(spark.read.option("basePath", dataDir).parquet(dataDir),
-            idCol, textCol)
+            idCol, textCol, binaryCol)
           .coalesce(1).write.mode("errorifexists").parquet(reportDir)
         log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
         graft.io.ParquetMeta.rowCount(spark, reportDir) // tiny: shards
@@ -154,10 +173,17 @@ object ShardWriter {
     * CAPACITY-bounded by construction (a shard holds at most `capacity`
     * units), so the collect_list is shard-sized, never corpus-sized. */
   def reportOf(shards: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+      textCol: String, binaryCol: Option[String] = None): DataFrame =
     shards
-      .withColumn("__row_md5",
-        md5(concat(col(idCol).cast("string"), lit(":"), col(textCol))))
+      .withColumn("__row_md5", binaryCol match {
+        case Some(b) =>
+          // the payload bytes ride the hash as hex — engine-portable
+          // (DuckDB: md5(id || ':' || text || ':' || hex(payload)))
+          md5(concat(col(idCol).cast("string"), lit(":"), col(textCol),
+            lit(":"), hex(col(b))))
+        case None =>
+          md5(concat(col(idCol).cast("string"), lit(":"), col(textCol)))
+      })
       .groupBy(col("stream"), col("bin").cast("long").as("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("units")).as("units"),
@@ -204,7 +230,8 @@ object ShardWriter {
     * loader runs it per NEW append (`rounds = Some(Seq(latest))`) at
     * production cadence, not over all history. */
   def verify(spark: SparkSession, path: String, idCol: String,
-      textCol: String, rounds: Option[Seq[Long]] = None): DataFrame = {
+      textCol: String, rounds: Option[Seq[Long]] = None,
+      binaryCol: Option[String] = None): DataFrame = {
     val ids = appendIds(spark, path)
     require(ids.nonEmpty, s"no committed shard sets under $path")
     val picked = ids.zipWithIndex
@@ -221,7 +248,7 @@ object ShardWriter {
       val diskReport =
         try reportOf(
           spark.read.option("basePath", dataDir).parquet(dataDir),
-          idCol, textCol)
+          idCol, textCol, binaryCol)
         catch {
           case _: org.apache.spark.sql.AnalysisException =>
             spark.createDataFrame(
@@ -263,8 +290,11 @@ object ShardWriter {
           col("m.n_docs") <=> col("d.n_docs") &&
           col("m.units") <=> col("d.units") &&
           col("m.content_md5") <=> col("d.content_md5")).as("ok"),
-        coalesce(col("m.n_docs"), lit(0L)).as("n_docs"),
-        coalesce(col("m.units"), lit(0L)).as("units"),
+        // coalesce across BOTH sides: an orphan shard (disk-only,
+        // manifest_md5 null) still reports its real disk-side size, so a
+        // damage diff never loses the orphan's counts
+        coalesce(col("m.n_docs"), col("d.n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("m.units"), col("d.units"), lit(0L)).as("units"),
         col("m.content_md5").as("manifest_md5"),
         col("d.content_md5").as("disk_md5"))
   }

@@ -137,6 +137,84 @@ object CurationConfig {
         .isin(keep.toSeq: _*))
   }
 
+  /** MULTIMODAL INGEST GATE — the declared form of the header kernels
+    * ([[graft.functions.ImageMeta]]/[[graft.functions.AudioMeta]]/
+    * [[graft.functions.VideoMeta]], dq73/79/80): keep rows whose binary
+    * payload PARSES as the declared modality AND whose headline
+    * dimension falls in the declared band — "the image decodes and is at
+    * least 64×64", the first filter of any multimodal curation pipeline.
+    * Per kind the band means:
+    *   - `image`: width in [loA, hiA] and height in [loB, hiB];
+    *   - `audio`: sample rate in [loA, hiA];
+    *   - `video`: duration in seconds×1e6 in [loA, hiA], compared
+    *     EXACTLY as `duration·1e6 between loA·timescale and
+    *     hiA·timescale` (integer arithmetic — no float division, so any
+    *     engine re-derives the same survivors).
+    * Unparseable payloads drop here (the audit runner counts them
+    * against this stage by name, like every gate); survivors carry the
+    * PARSED header fields as appended `media_*` columns so downstream
+    * stages and the oracle see what the gate saw. Pure per-row byte
+    * arithmetic — one scan, nothing shuffles, stream-safe. */
+  final case class MediaGate(kind: String, binaryCol: String,
+      loA: Long, hiA: Long, loB: Long, hiB: Long) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
+      require(df.columns.contains(binaryCol),
+        s"media_gate: no '$binaryCol' binary column in the input")
+      val out = df.columns.map(col)
+      kind match {
+        case "image" =>
+          val m = graft.functions.ImageMeta(col(binaryCol))
+          df.withColumn("__m", m)
+            .filter(col("__m").isNotNull &&
+              col("__m.width").between(loA, hiA) &&
+              col("__m.height").between(loB, hiB))
+            .select(out :+ col("__m.format").as("media_format") :+
+              col("__m.width").as("media_w") :+
+              col("__m.height").as("media_h"): _*)
+        case "audio" =>
+          val m = graft.functions.AudioMeta(col(binaryCol))
+          df.withColumn("__m", m)
+            .filter(col("__m").isNotNull &&
+              col("__m.sample_rate").between(loA, hiA))
+            .select(out :+ col("__m.channels").as("media_channels") :+
+              col("__m.sample_rate").as("media_rate"): _*)
+        case "video" =>
+          val m = graft.functions.VideoMeta(col(binaryCol))
+          df.withColumn("__m", m)
+            .filter(col("__m").isNotNull &&
+              col("__m.duration") * lit(1000000L) >=
+                lit(loA) * col("__m.timescale") &&
+              col("__m.duration") * lit(1000000L) <=
+                lit(hiA) * col("__m.timescale"))
+            .select(out :+ col("__m.brand").as("media_brand") :+
+              col("__m.timescale").as("media_timescale") :+
+              col("__m.duration").as("media_duration"): _*)
+      }
+    }
+    override def outputSchema(in: StructType, idCol: String,
+        textCol: String): StructType = kind match {
+      // survivors passed the null filter, so the appended fields are
+      // the kernels' non-null struct fields
+      case "image" => in
+        .add(StructField("media_format", StringType, nullable = false))
+        .add(StructField("media_w",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+        .add(StructField("media_h",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+      case "audio" => in
+        .add(StructField("media_channels",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+        .add(StructField("media_rate",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+      case _ => in
+        .add(StructField("media_brand", StringType, nullable = false))
+        .add(StructField("media_timescale",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+        .add(StructField("media_duration", LongType, nullable = false))
+    }
+  }
+
   /** Temperature-scaled source mixture
     * ([[Sampling.temperatureMixPortable]]): flatten the mixture toward
     * rare strata (n^0.5 weights) at a declared total-document target —
@@ -482,14 +560,15 @@ object CurationConfig {
     * checkpointed, so the write and the returned assignment see one
     * row set. */
   final case class ShardWrite(path: String, capacity: Long, units: String,
-      epoch: Int, streams: Int) extends Stage {
+      epoch: Int, streams: Int,
+      binaryCol: Option[String] = None) extends Stage {
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame = {
       val staged = df.localCheckpoint(true)
       graft.ext.ShardWriter.write(staged, idCol, textCol, path, capacity,
-        units, epoch, streams, runToken)
+        units, epoch, streams, runToken, binaryCol)
       graft.ext.ShardWriter.assign(staged, idCol, textCol, units, capacity,
-        epoch, streams)
+        epoch, streams, binaryCol)
     }
     override def outputSchema(in: StructType, idCol: String,
         textCol: String): StructType = in
@@ -532,9 +611,9 @@ object CurationConfig {
     * `spark.graft.index.vacuumRetentionMs` (1h default — an in-flight
     * reader that planned before the fold gets the window to finish).
     * `kind` names the layout (each store owns its dir shapes) — all
-    * seven compacting stores, the quality-probe store included. Rows
-    * pass through untouched; naturally idempotent (an already-vacuumed
-    * layout has nothing eligible). */
+    * eight compacting stores, the quality-probe and strata-count stores
+    * included. Rows pass through untouched; naturally idempotent (an
+    * already-vacuumed layout has nothing eligible). */
   final case class StoreVacuum(kind: String, path: String) extends Stage {
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame = {
@@ -556,6 +635,8 @@ object CurationConfig {
           IvfStore.open(spark, path).vacuum()
         case "probe" => need(QualityProbeStore.exists(spark, path))
           QualityProbeStore.open(spark, path).vacuum()
+        case "strata" => need(StrataCountStore.exists(spark, path))
+          StrataCountStore.open(spark, path).vacuum()
       }
       df
     }
@@ -701,6 +782,7 @@ object CurationConfig {
     case _: TemperatureMix => "temperature_mix"
     case _: MixGate => "mix_gate"
     case _: LangGate => "lang_gate"
+    case _: MediaGate => "media_gate"
     case _: RepeatEpochs => "repeat_epochs"
     case _: RepeatEpochsByStrata => "repeat_epochs"
     case _: WhereExpr => "where"
@@ -871,6 +953,39 @@ object CurationConfig {
             "of language codes")
         }
         LangGate(keep)
+      case "media_gate" =>
+        val kinds = Set("image", "audio", "video")
+        val kind = j \ "kind" match {
+          case JString(k) if kinds(k) => k
+          case JString(k) => fail(s"stage 'media_gate': unknown kind " +
+            s"'$k' (image | audio | video)")
+          case _ => fail("stage 'media_gate' needs a 'kind' string " +
+            "(image | audio | video)")
+        }
+        val binary = j \ "binary" match {
+          case JString(b) if b.trim.nonEmpty => b
+          case _ => fail("stage 'media_gate' needs a non-empty 'binary' " +
+            "column name (the payload bytes the header kernel parses)")
+        }
+        def band(loKey: String, hiKey: String): (Long, Long) = {
+          val lo = long(loKey).getOrElse(0L)
+          val hi = long(hiKey).getOrElse(Long.MaxValue)
+          if (lo < 0) fail(s"stage 'media_gate': $loKey must be >= 0, got $lo")
+          if (hi < lo) fail(s"stage 'media_gate': $hiKey ($hi) < $loKey ($lo)")
+          (lo, hi)
+        }
+        kind match {
+          case "image" =>
+            val (loW, hiW) = band("minWidth", "maxWidth")
+            val (loH, hiH) = band("minHeight", "maxHeight")
+            MediaGate("image", binary, loW, hiW, loH, hiH)
+          case "audio" =>
+            val (loR, hiR) = band("minRate", "maxRate")
+            MediaGate("audio", binary, loR, hiR, 0L, Long.MaxValue)
+          case _ =>
+            val (loS, hiS) = band("minSecMicro", "maxSecMicro")
+            MediaGate("video", binary, loS, hiS, 0L, Long.MaxValue)
+        }
       case "temperature_mix" =>
         val strata = j \ "strata" match {
           case JString(s) => s
@@ -1011,7 +1126,8 @@ object CurationConfig {
         SemanticGate(path, k.toInt, tau, nprobe.toInt)
       case "store_vacuum" =>
         val kinds =
-          Set("substr", "neardup", "lm", "bm25", "bpe", "ivf", "probe")
+          Set("substr", "neardup", "lm", "bm25", "bpe", "ivf", "probe",
+            "strata")
         val kind = j \ "kind" match {
           case JString(k) if kinds(k) => k
           case JString(k) => fail(s"stage 'store_vacuum': unknown kind " +
@@ -1077,11 +1193,24 @@ object CurationConfig {
         if (capacity < 1)
           fail(s"stage 'shard_write': capacity must be >= 1, got $capacity")
         val units = j \ "units" match {
-          case JString(u) if u == "chars" || u == "subtokens" => u
+          case JString(u)
+            if u == "chars" || u == "subtokens" || u == "bytes" => u
           case JNothing => "chars"
-          case other => fail("stage 'shard_write': units must be 'chars' " +
-            s"or 'subtokens', got $other")
+          case other => fail("stage 'shard_write': units must be 'chars', " +
+            s"'subtokens' or 'bytes', got $other")
         }
+        val binary = j \ "binary" match {
+          case JString(b) if b.trim.nonEmpty => Some(b)
+          case JNothing => None
+          case other => fail("stage 'shard_write': 'binary' must be a " +
+            s"non-empty column name, got $other")
+        }
+        if (units == "bytes" && binary.isEmpty)
+          fail("stage 'shard_write': units 'bytes' needs 'binary' (the " +
+            "payload column octet_length measures)")
+        if (units != "bytes" && binary.nonEmpty)
+          fail("stage 'shard_write': 'binary' is only meaningful with " +
+            s"units 'bytes' (got units '$units')")
         val epoch = long("epoch").getOrElse(1L)
         if (epoch < 1 || epoch > Int.MaxValue)
           fail(s"stage 'shard_write': epoch must be >= 1, got $epoch")
@@ -1089,13 +1218,15 @@ object CurationConfig {
         if (streams != 1L && streams != 16L && streams != 256L)
           fail("stage 'shard_write': streams must be 1, 16 or 256 " +
             s"(hex-prefix parallelism), got $streams")
-        ShardWrite(path, capacity, units, epoch.toInt, streams.toInt)
+        ShardWrite(path, capacity, units, epoch.toInt, streams.toInt,
+          binary)
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
-          "fluency_band | lang_gate | token_budget | temperature_mix | " +
-          "mix_gate | repeat_epochs | where | substr_gate | decontam_gate | " +
-          "neardup_gate | semantic_gate | ivf_maintain | store_vacuum | " +
-          "lm_gate | probe_gate | bpe_tokenize | shard_write)")
+          "fluency_band | lang_gate | media_gate | token_budget | " +
+          "temperature_mix | mix_gate | repeat_epochs | where | " +
+          "substr_gate | decontam_gate | neardup_gate | semantic_gate | " +
+          "ivf_maintain | store_vacuum | lm_gate | probe_gate | " +
+          "bpe_tokenize | shard_write)")
     }
   }
 

@@ -156,6 +156,70 @@ class PqAnnSpec extends GraftSpec {
     } finally ivf.release()
   }
 
+  it("probed ADC at ~100 queries (SCALE_PQ workload, r14 verdict #2): " +
+     "bit-identical to the driver-replicated table fold, FIXED plan " +
+     "expression size however many queries ride the scan, and the " +
+     "scoring stage compiles under CODEGEN_ONLY") {
+    val ivf = IvfIndex.fit(emb, "vec_id", "embedding", k = 8)
+    try {
+      val rel = PqAnn.encode(ivf.withCell(emb, "embedding"),
+        "vec_id", "embedding", cb, keep = Seq("cell"))
+        .localCheckpoint(true)
+      val vecs = emb.orderBy("vec_id").limit(100)
+        .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+        .collect().map { case (id, v) => (id, v.toArray) }.toSeq
+      val probeRows = emb.orderBy("vec_id").limit(100)
+        .select($"vec_id", ivf.probesFor($"embedding", 2, spark))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      def build(qs: Seq[(Long, Array[Float])]) = PqAnn.adcTopKProbed(
+        rel, cb, qs, probeRows.view.filterKeys(qs.map(_._1).toSet).toMap,
+        topK = 5)
+      // expression size must NOT grow with the query count — the r14
+      // finding was a Q-deep when-chain embedding Q·m·k literals in one
+      // expression (the 64 KB codegen method trap at a few hundred
+      // queries); the two-level map keys qid at runtime instead
+      def exprNodes(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect { case p =>
+          p.expressions.map(e => e.collect { case _ => 1 }.sum).sum
+        }.sum
+      val n3 = exprNodes(build(vecs.take(3)))
+      val n100 = exprNodes(build(vecs))
+      n100 should be <= (n3 + 50)
+      // the scoring expressions must COMPILE (no silent interpreted
+      // fallback hiding an oversized method)
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val got =
+        try build(vecs).collect()
+        finally spark.conf.unset("spark.sql.codegen.factoryMode")
+      // bit-identity oracle: replicate scoreFor's exact fold order on
+      // the driver — per-table entry a left-to-right fold over subDim,
+      // the row score the subspace-ordered binary add chain
+      val codeRows = rel.select($"vid", $"codes", $"cell").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2)))
+      val expected = vecs.flatMap { case (qid, q) =>
+        codeRows
+          .filter { case (vid, _, cell) =>
+            vid != qid && probeRows(qid).contains(cell) }
+          .map { case (vid, codes, _) =>
+            val s = (0 until M).map { j =>
+              val c = cb.sub(j).find(_._1 == codes(j)).get._2
+              var t = 0.0
+              var i = 0
+              while (i < SubDim) {
+                t += q(j * SubDim + i).toDouble * c(i); i += 1
+              }
+              t
+            }.reduceLeft(_ + _)
+            (qid, vid, s)
+          }
+          .sortBy { case (_, vid, s) => (-s, vid) }.take(5)
+      }.toSet
+      got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet shouldBe expected
+    } finally ivf.release()
+  }
+
   it("parameter surface: dims must split evenly, k is bounded, queries " +
      "must match dims, topK >= 1") {
     intercept[IllegalArgumentException] {

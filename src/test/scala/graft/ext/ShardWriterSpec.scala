@@ -111,6 +111,54 @@ class ShardWriterSpec extends GraftSpec {
     perBin.filter(r => r.getLong(1) > 4L && r.getLong(2) > 1L) shouldBe empty
   }
 
+  it("units 'bytes' sizes by the declared binary column's octet_length, " +
+     "the integrity hashes COVER the payload bytes (a flipped payload " +
+     "byte fails verify; an undeclared verify cannot match), and the " +
+     "report round-trips") {
+    val path = tmp()
+    val media = docs.select($"doc_id",
+      Multimodal.syntheticImagePayload($"doc_id").as("payload"),
+      $"text".as("caption"))
+    ShardWriter.write(media, "doc_id", "caption", path, capacity = 512,
+      units = "bytes", binaryCol = Some("payload"))
+    val shards = ShardWriter.shards(spark, path)
+    shards.count() shouldBe media.count()
+    // units are payload byte counts, never caption chars
+    shards.filter($"units" =!= octet_length($"payload").cast("long"))
+      .count() shouldBe 0L
+    // the persisted report equals a payload-covering recomputation
+    val persisted = ShardWriter.report(spark, path).drop("round")
+    val recomputed = ShardWriter.reportOf(shards, "doc_id", "caption",
+      binaryCol = Some("payload"))
+    persisted.orderBy("stream", "bin").collect() shouldBe
+      recomputed.orderBy("stream", "bin").collect()
+    // a verify with the same declaration is clean…
+    ShardWriter.verify(spark, path, "doc_id", "caption",
+      binaryCol = Some("payload")).filter(!col("ok")).count() shouldBe 0L
+    // …one WITHOUT it recomputes text-only hashes and cannot match the
+    // payload-covering manifest: the declaration is part of the contract
+    ShardWriter.verify(spark, path, "doc_id", "caption")
+      .filter(col("ok")).count() shouldBe 0L
+    // flip ONE payload byte in one shard file: exactly that shard fails
+    val dataDir = java.nio.file.Paths.get(s"$path/data/append=a000001")
+    val victim = java.nio.file.Files.walk(dataDir)
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get().getParent
+    val bin = victim.getFileName.toString.stripPrefix("bin=").toLong
+    val stream = victim.getParent.getFileName.toString
+      .stripPrefix("stream=")
+    val flipped = spark.read.parquet(victim.toString)
+      .withColumn("payload",
+        concat($"payload", lit(Array[Byte](0x7f))))
+      .localCheckpoint(true)
+    flipped.coalesce(1).write.mode("overwrite").parquet(victim.toString)
+    val bad = ShardWriter.verify(spark, path, "doc_id", "caption",
+      binaryCol = Some("payload")).filter(!col("ok")).collect()
+    bad.length shouldBe 1
+    bad.head.getAs[String]("stream") shouldBe stream
+    bad.head.getAs[Long]("bin") shouldBe bin
+  }
+
   it("parameter surface: reserved columns, unknown units, bad streams, " +
      "and the declared stage's strict parse") {
     intercept[IllegalArgumentException] {
@@ -118,8 +166,17 @@ class ShardWriterSpec extends GraftSpec {
         "chars", 100, 1, 16)
     }.getMessage should include("reserved")
     intercept[IllegalArgumentException] {
-      ShardWriter.assign(docs, "doc_id", "text", "bytes", 100, 1, 16)
+      ShardWriter.assign(docs, "doc_id", "text", "pixels", 100, 1, 16)
     }.getMessage should include("unknown units")
+    // 'bytes' is a real kind now, but needs the binary declaration…
+    intercept[IllegalArgumentException] {
+      ShardWriter.assign(docs, "doc_id", "text", "bytes", 100, 1, 16)
+    }.getMessage should include("binary")
+    // …and the declared column must exist in the input
+    intercept[IllegalArgumentException] {
+      ShardWriter.assign(docs, "doc_id", "text", "bytes", 100, 1, 16,
+        binaryCol = Some("payload"))
+    }.getMessage should include("'payload'")
     intercept[IllegalArgumentException] {
       ShardWriter.assign(docs, "doc_id", "text", "chars", 100, 1, 7)
     }.getMessage should include("streams")
@@ -147,6 +204,14 @@ class ShardWriterSpec extends GraftSpec {
     bad("""{"table":"t","id":"i","text":"x",
         | "stages":[{"stage":"shard_write","path":"/p","capacity":10,
         |  "streams":7}]}""".stripMargin, "streams")
+    // units 'bytes' and 'binary' travel together, both ways
+    bad("""{"table":"t","id":"i","text":"x",
+        | "stages":[{"stage":"shard_write","path":"/p","capacity":10,
+        |  "units":"bytes"}]}""".stripMargin, "'binary'")
+    bad("""{"table":"t","id":"i","text":"x",
+        | "stages":[{"stage":"shard_write","path":"/p","capacity":10,
+        |  "units":"chars","binary":"payload"}]}""".stripMargin,
+      "only meaningful")
   }
 
   it("verify: a fresh set is all ok; a flipped row, an orphan directory, " +

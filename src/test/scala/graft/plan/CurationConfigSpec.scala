@@ -815,6 +815,33 @@ class CurationConfigSpec extends GraftSpec {
       spark.conf.unset("spark.graft.probestore.compactThreshold")
       spark.conf.unset("spark.graft.index.vacuumRetentionMs")
     }
+    // the strata-count store completes the family (r14 verdict #3 —
+    // compaction + vacuum existed in code but the declared stage could
+    // not reach them): force a fold, declare kind "strata", superseded
+    // count dirs unlink and the summed counts still answer
+    val spath = java.nio.file.Files
+      .createTempDirectory("graft-curation-vacs").toString + "/sc"
+    spark.conf.set("spark.graft.stratastore.compactThreshold", "1")
+    spark.conf.set("spark.graft.index.vacuumRetentionMs", "0")
+    try {
+      val sc = graft.ext.StrataCountStore.create(spark, spath,
+        Seq(("en", 3L), ("de", 1L)))
+      sc.append(Seq(("en", 2L)))
+      sc.append(Seq(("fr", 5L))) // folds past threshold 1
+      def sDirs(): Int = new java.io.File(s"$spath/counts")
+        .listFiles().count(_.isDirectory)
+      val sBefore = sDirs()
+      val scfg = CurationConfig.parse(
+        s"""{"table":"documents","id":"doc_id","text":"text",
+          | "stages":[{"stage":"store_vacuum","kind":"strata","path":"$spath"}]}"""
+          .stripMargin)
+      scfg.run(spark, d).count() shouldBe 5L // rows pass through
+      sDirs() should be < sBefore
+      sc.counts() shouldBe Seq(("de", 1L), ("en", 5L), ("fr", 5L))
+    } finally {
+      spark.conf.unset("spark.graft.stratastore.compactThreshold")
+      spark.conf.unset("spark.graft.index.vacuumRetentionMs")
+    }
     // a vacuum pointed at nothing fails naming the kind and path
     val missing = CurationConfig.parse(
       s"""{"table":"documents","id":"doc_id","text":"text",
@@ -831,7 +858,66 @@ class CurationConfigSpec extends GraftSpec {
           .stripMargin)
     }
     e.getMessage should (include("unknown kind") and include("rocks") and
-      include("probe"))
+      include("probe") and include("strata"))
+  }
+
+  it("media_gate: the declared multimodal ingest gate keeps rows whose " +
+     "payload parses and whose headline dimension sits in the band, " +
+     "appends the parsed media_* columns (outputSchema pinned), is " +
+     "stream-legal, and the parse is strict") {
+    val d = java.nio.file.Files.createTempDirectory("graft-media").toString
+    // ids chosen so the WAV synthesis covers every (rate, reject) branch:
+    // rate = 8000/16000/22050/44100 by id%4, id%7==0 is not audio
+    spark.range(1, 41).select($"id".as("doc_id"),
+        concat(lit("clip "), $"id").as("text"))
+      .write.parquet(s"$d/documents.parquet")
+    val p = CurationConfig.parse(
+      """{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [{"stage": "media_gate", "kind": "audio",
+        |   "binary": "payload", "minRate": 10000, "maxRate": 30000}]}"""
+        .stripMargin)
+    // media_gate is PURE per-row byte arithmetic — stream-legal
+    p.batchScopedStages shouldBe empty
+    val media = spark.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id", $"text",
+        graft.ext.Multimodal.syntheticWavPayload($"doc_id").as("payload"))
+    val out = p.applyStages(media, d)
+    // survivors: parses (id % 7 != 0) AND rate in [10000, 30000]
+    // (rate 16000 at id%4==1, 22050 at id%4==2 — 8000 and 44100 band out)
+    val expected = (1L until 41L)
+      .filter(i => i % 7 != 0 && (i % 4 == 1 || i % 4 == 2))
+    out.select("doc_id").as[Long].collect().sorted shouldBe expected
+    // the appended columns are the kernel's parse, row for row
+    val gotMeta = out.select("doc_id", "media_channels", "media_rate")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val kernel = graft.ext.Multimodal
+      .audioMeta(media, "doc_id", "payload")
+      .filter($"sample_rate".between(10000, 30000))
+      .select("doc_id", "channels", "sample_rate")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    gotMeta shouldBe kernel
+    // outputSchema is the real schema (the zero-batch contract)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    shape(out.schema) shouldBe shape(p.outputSchema(media.schema))
+    // a missing binary column is refused by name
+    intercept[IllegalArgumentException] {
+      p.applyStages(media.drop("payload"), d).count()
+    }.getMessage should include("'payload'")
+    // strict parse: unknown kind, missing binary, inverted band
+    def bad(json: String, frag: String): Unit =
+      intercept[IllegalArgumentException] {
+        CurationConfig.parse(json)
+      }.getMessage should include(frag)
+    bad("""{"table":"t","id":"i","text":"x",
+        | "stages":[{"stage":"media_gate","kind":"pdf","binary":"b"}]}"""
+        .stripMargin, "unknown kind")
+    bad("""{"table":"t","id":"i","text":"x",
+        | "stages":[{"stage":"media_gate","kind":"image"}]}""".stripMargin,
+      "'binary'")
+    bad("""{"table":"t","id":"i","text":"x",
+        | "stages":[{"stage":"media_gate","kind":"image","binary":"b",
+        |  "minWidth":100,"maxWidth":10}]}""".stripMargin, "maxWidth")
   }
 
   it("ivf_maintain composes with the STREAMED pipeline: the gate seeds " +
