@@ -467,7 +467,19 @@ object Bench {
           s""""dq142_max_cell_share_micro_after":${
             occAfter.map(_.maxCellShareMicro).getOrElse(-1L)},""" +
           s""""dq142_recommended_nprobe_after":${
-            occAfter.map(_.recommendedNprobe).getOrElse(-1)}""")
+            occAfter.map(_.recommendedNprobe).getOrElse(-1)},""" +
+          // the advisory WIRED INTO SEARCH (r14 verdict #6): nprobe=None
+          // resolves this value and the auto-resolved answer matches the
+          // literal form (1L = parity held, 0L = diverged)
+          s""""dq142_auto_nprobe":${store.autoNprobe()},""" +
+          s""""dq142_auto_search_parity":${
+            val auto = store.searchAll(Seq(1L, 2L), topK = 3,
+              nprobe = None, excludeToken = None)
+              .orderBy("qid", "vid").collect().toSeq
+            val lit = store.searchAll(Seq(1L, 2L), topK = 3,
+              nprobe = store.autoNprobe())
+              .orderBy("qid", "vid").collect().toSeq
+            if (auto == lit) 1L else 0L}""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq142 evidence failed: ${e.getMessage}"); None
       },

@@ -418,7 +418,12 @@ object ScaleProbe {
     // (what the trainer's loader opens).
     if (sys.env.get("SCALE_SHARD").contains("1")) {
       val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-      for (m <- Seq(4, 16)) {
+      // (m, streams): corpus growth at 16 streams, PLUS the 100 TB knob
+      // itself — the same 16× corpus at 256 streams (round-14 verdict #7:
+      // the scale claim is "raise the prefix length"; measure it, don't
+      // assert it). The pack phase is per-stream sequential, so 16× the
+      // streams should divide the per-stream greedy chain 16 ways.
+      for ((m, streams) <- Seq((4, 16), (16, 16), (16, 256))) {
         val corpus = docs.crossJoin(spark.range(m.toLong).toDF("rep"))
           .select((col("doc_id") * m + col("rep")).as("doc_id"),
             concat(col("text"), lit(" r"), col("rep")).as("text"))
@@ -428,7 +433,7 @@ object ScaleProbe {
           .toString + "/st"
         val t0 = System.nanoTime()
         val shards = graft.ext.ShardWriter.write(corpus, "doc_id", "text",
-          path, capacity = 20000)
+          path, capacity = 20000, streams = streams)
         val sec = (System.nanoTime() - t0) / 1e9
         val rows = graft.ext.ShardWriter.shards(spark, path).count()
         require(rows == n, s"shard write lost rows: $rows != $n")
@@ -436,7 +441,14 @@ object ScaleProbe {
           .walk(java.nio.file.Paths.get(s"$path/data"))
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
           .count()
-        println(f"""{"probe":"shardwrite","docs":$n,"shards":$shards,"part_files":$partFiles,"write_sec":$sec%.2f}""")
+        // one file per shard must hold at EVERY stream count (the dq127
+        // file-discipline rule — a fan-out regression at 256 streams
+        // would multiply loader opens by the task count)
+        require(partFiles == shards,
+          s"file discipline broke: $partFiles files for $shards shards")
+        val streamsSeen = graft.ext.ShardWriter.report(spark, path)
+          .select("stream").distinct().count()
+        println(f"""{"probe":"shardwrite","docs":$n,"streams":$streams,"streams_seen":$streamsSeen,"shards":$shards,"part_files":$partFiles,"write_sec":$sec%.2f}""")
         corpus.unpersist()
         ()
       }

@@ -3285,6 +3285,47 @@ object SparkEntry {
     } finally ivf.release()
   }
 
+  /** DQ169 (EXT): RESIDUAL IVF-PQ — dq163 upgraded to the full FAISS
+    * IndexIVFPQ shape (Jégou et al. 2011 §IV: quantize `x − q1(x)`, not
+    * `x`): the PQ codebooks train on RESIDUALS against the frozen
+    * coarse generation ([[graft.ext.PqAnn.residualCol]] — exact double
+    * arithmetic, so any engine re-derives identical residuals), the
+    * stored codes are residual codes, and
+    * [[graft.ext.PqAnn.adcTopKProbedResidual]] re-adds the
+    * `q·centroid(cell)` term as a driver-sized `(qid, cell)` constant
+    * in front of the subspace fold. This is where IndexIVFPQ earns its
+    * recall at the same m·k — residuals concentrate near zero, so the
+    * codebook budget covers a smaller ball (`PqAnnSpec` pins recall ≥
+    * the raw-vector tier on the same fixture). The oracle is the dq163
+    * chain with the subtraction step (`re`) and the `qc` add-back. */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val ivf = graft.ext.IvfIndex.fit(emb, "vec_id", "embedding", k = 8)
+    try {
+      val resid = ivf.withCell(emb, "embedding")
+        .withColumn("__r", graft.ext.PqAnn.residualCol(col("embedding"),
+          col("cell"), ivf.centroids))
+        .localCheckpoint(true)
+      val cb = graft.ext.PqAnn.fit(resid, "vec_id", "__r",
+        dims = 64, m = 16, k = 16)
+      val rel = graft.ext.PqAnn.encode(resid, "vec_id", "__r", cb,
+        keep = Seq("cell"))
+        .localCheckpoint(true)
+      val qrows = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+        .localCheckpoint(true)
+      val probes = qrows.select(col("vec_id"),
+          ivf.probesFor(col("embedding"), 2, s).as("p")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val queries = qrows.select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .sortBy(_._1)
+      graft.ext.PqAnn.adcTopKProbedResidual(rel, cb, queries, probes,
+          ivf.centroids, topK = 5)
+        .select(col("qid"), col("vid"), col("score"))
+        .orderBy("qid", "vid")
+    } finally ivf.release()
+  }
+
   /** DQ164 (EXT): the PERSISTED IVF-PQ store — dq163's layout made a
     * STORED tier of the embedding index family
     * ([[graft.ext.IvfStore]] `pqcodes/` + generation-keyed `pqbook/`):
@@ -3308,6 +3349,32 @@ object SparkEntry {
       k = 8, pqM = 16, pqK = 16)
     store.appendOnce(emb.filter(col("vec_id") % 5 === 0),
       "vec_id", "embedding", "dq164:b1")
+    store.searchAllPq(Seq(1L, 2L, 5L), topK = 5, nprobe = 2)
+      .orderBy("qid", "vid")
+  }
+
+  /** DQ170 (EXT): the PERSISTED residual IVF-PQ tier — dq169's residual
+    * chain as dq164's stored layout (`create(..., pqResidual = true)`):
+    * coarse centroids AND residual codebooks train on the 80% split
+    * against generation-1 centroids; the 20% append subtracts the SAME
+    * frozen centroids before encoding against the FROZEN residual books
+    * (the generation rule extended: residual books are tied to the
+    * coarse generation whose centroids they subtract — a refit retrains
+    * BOTH against the new generation); `searchAllPq` detects the
+    * residual flag pinned in the book dir and scores
+    * `q·centroid(cell) + table fold`. Pre-residual layouts read as raw
+    * byte for byte (the flag column defaults absent→false). The oracle
+    * is the dq164 frozen-split chain with the `re`/`ret` subtraction
+    * CTEs and the `qc` add-back. */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val base =
+      graft.io.TempReaper.tempDir("graft-dq170-respq").toString + "/ivf"
+    val store = graft.ext.IvfStore.create(
+      emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", base,
+      k = 8, pqM = 16, pqK = 16, pqResidual = true)
+    store.appendOnce(emb.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", "dq170:b1")
     store.searchAllPq(Seq(1L, 2L, 5L), topK = 5, nprobe = 2)
       .orderBy("qid", "vid")
   }
@@ -3667,7 +3734,9 @@ object SparkEntry {
     "dq165_capstone_pipeline"     -> (q165 _),
     "dq166_stream_mix_materialize" -> (q166 _),
     "dq167_media_gate_shards"     -> (q167 _),
-    "dq168_media_shard_verify"    -> (q168 _)
+    "dq168_media_shard_verify"    -> (q168 _),
+    "dq169_residual_ivfpq"        -> (q169 _),
+    "dq170_residual_pq_store"     -> (q170 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -3992,13 +4061,15 @@ object SparkEntry {
     * the stored tier (train on the create split, encode everything
     * against the FROZEN books — dq164's append contract). */
   private def pqChainsSql(m: Int, subDim: Int, k: Int,
-      iters: Int, assignFrom: String = "e"): String = {
+      iters: Int, assignFrom: String = "e",
+      trainFrom: String = "e"): String = {
     def dist(emb: String, off: Int) =
       s"list_sum(list_transform(range(1, ${subDim + 1}), " +
         s"i -> ($emb[$off + i]::DOUBLE - c.c[i]) * ($emb[$off + i]::DOUBLE - c.c[i])))"
     val sb = new StringBuilder
     sb ++= s"""s0 AS (SELECT vid, emb,
-      |  row_number() OVER (ORDER BY md5(vid::VARCHAR), vid) rn FROM e),
+      |  row_number() OVER (ORDER BY md5(vid::VARCHAR), vid) rn
+      |  FROM $trainFrom),
       |""".stripMargin
     for (j <- 0 until m) {
       val off = j * subDim
@@ -4009,7 +4080,7 @@ object SparkEntry {
       for (it <- 1 to iters)
         sb ++= s"""d${j}_$it AS (SELECT e.vid, e.emb, c.cell,
           |    ${dist("e.emb", off)} dist
-          |  FROM e CROSS JOIN c${j}_${it - 1} c),
+          |  FROM $trainFrom e CROSS JOIN c${j}_${it - 1} c),
           |a${j}_$it AS (SELECT vid, emb, cell FROM (SELECT vid, emb, cell,
           |    row_number() OVER (PARTITION BY vid ORDER BY dist, cell) rn
           |  FROM d${j}_$it) WHERE rn = 1),
@@ -4085,6 +4156,81 @@ object SparkEntry {
       pqScoreTailSql(topK = 5,
         extraJoins = """JOIN af ON af.vid = c.vid
           |  JOIN probe p ON p.qid = t.qid AND p.cell = af.cell""".stripMargin)
+
+  /** dq169: RESIDUAL IVF-PQ — the full FAISS IndexIVFPQ shape: after
+    * the dq51 coarse chain, the PQ codebooks train on RESIDUALS
+    * `x − centroid(cell(x))` (the `re` CTE — exact double arithmetic)
+    * instead of raw vectors, codes are residual codes, and the score
+    * re-adds the `q·centroid(cell)` term the subtraction moved out
+    * (the `qc` table) in front of the subspace fold — the association
+    * `qcdot + list_sum(list(t ORDER BY j))` matching the engine's
+    * `const + reduceLeft` exactly. */
+  private val Dq169Sql: String =
+    ivfChainSql(8, 2, 2, "",
+      "SELECT vid qid, emb qemb FROM e WHERE vid IN (1, 2, 3)") + ",\n" +
+      """re AS (SELECT af.vid,
+        |    list_transform(range(1, 65), i -> af.emb[i]::DOUBLE - c.c[i])
+        |      emb,
+        |    af.cell
+        |  FROM af JOIN c2 c ON c.cell = af.cell),
+        |""".stripMargin +
+      pqChainsSql(m = 16, subDim = 4, k = 16, iters = 2,
+        assignFrom = "re", trainFrom = "re") +
+      s""",
+        |qc AS (SELECT q.qid, c.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> q.qemb[i]::DOUBLE * c.c[i])) qcdot
+        |  FROM q CROSS JOIN c2 c),
+        |scored AS (SELECT t.qid, c.vid,
+        |    any_value(qc.qcdot) + list_sum(list(t.t ORDER BY c.j)) score
+        |  FROM cu c JOIN tqall t ON t.j = c.j AND t.cell = c.cell
+        |  JOIN af ON af.vid = c.vid
+        |  JOIN probe p ON p.qid = t.qid AND p.cell = af.cell
+        |  JOIN qc ON qc.qid = t.qid AND qc.cell = af.cell
+        |  WHERE c.vid <> t.qid
+        |  GROUP BY t.qid, c.vid)
+        |SELECT qid, vid, score FROM (SELECT qid, vid, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY qid, vid""".stripMargin
+
+  /** dq170: the STORED residual tier — dq164's frozen-split chain (train
+    * on the 80%, assign/encode everything against the frozen result)
+    * with dq169's subtraction: residuals over the FULL assigned relation
+    * (`re` — appends subtract the frozen generation-1 centroids), books
+    * trained on the TRAIN SPLIT's residuals only (`ret` — the create
+    * corpus), scores re-add `q·centroid(cell)`. */
+  private val Dq170Sql: String =
+    ivfChainSql(8, 2, 2, " WHERE vec_id % 5 <> 0",
+      "SELECT vid qid, emb qemb FROM ef WHERE vid IN (1, 2, 5)",
+      assignSql = "SELECT vec_id vid, embedding emb FROM embeddings") +
+      ",\n" +
+      """re AS (SELECT af.vid,
+        |    list_transform(range(1, 65), i -> af.emb[i]::DOUBLE - c.c[i])
+        |      emb,
+        |    af.cell
+        |  FROM af JOIN c2 c ON c.cell = af.cell),
+        |ret AS (SELECT * FROM re WHERE vid % 5 <> 0),
+        |""".stripMargin +
+      pqChainsSql(m = 16, subDim = 4, k = 16, iters = 2,
+        assignFrom = "re", trainFrom = "ret") +
+      s""",
+        |qc AS (SELECT q.qid, c.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> q.qemb[i]::DOUBLE * c.c[i])) qcdot
+        |  FROM q CROSS JOIN c2 c),
+        |scored AS (SELECT t.qid, c.vid,
+        |    any_value(qc.qcdot) + list_sum(list(t.t ORDER BY c.j)) score
+        |  FROM cu c JOIN tqall t ON t.j = c.j AND t.cell = c.cell
+        |  JOIN af ON af.vid = c.vid
+        |  JOIN probe p ON p.qid = t.qid AND p.cell = af.cell
+        |  JOIN qc ON qc.qid = t.qid AND qc.cell = af.cell
+        |  WHERE c.vid <> t.qid
+        |  GROUP BY t.qid, c.vid)
+        |SELECT qid, vid, score FROM (SELECT qid, vid, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY qid, vid""".stripMargin
 
   /** dq164: the STORED IVF-PQ tier — coarse centroids AND PQ codebooks
     * train on the create split (vec_id % 5 <> 0), everything (incl. the
@@ -5671,6 +5817,8 @@ object SparkEntry {
     // the STORED IVF-PQ tier: both chains trained on the create split,
     // everything encoded against the frozen results (dq118's rule)
     "dq164_ivfpq_store" -> Dq164Sql,
+    "dq169_residual_ivfpq" -> Dq169Sql,
+    "dq170_residual_pq_store" -> Dq170Sql,
     // refit generation: retrain-on-the-stored-relation must equal the
     // from-scratch chain over the union corpus (full-table training)
     "dq142_ivf_refit" -> Dq142Sql,

@@ -180,6 +180,19 @@ final class IvfStore private (private val spark: SparkSession,
   private def pqTrainK(g: Int): Int =
     spark.read.parquet(pqBookDir(g)).select("k0").head().getInt(0)
 
+  /** Whether the generation's books were trained on RESIDUALS
+    * `x − centroid(cell)` against the generation's coarse centroids
+    * (the FAISS IndexIVFPQ form, `create(..., pqResidual = true)`).
+    * Pinned in the book dir like `k0`; a book written before the
+    * residual tier shipped lacks the column and reads as raw — the
+    * drift-sidecar upgrade rule, so pre-residual layouts stay valid
+    * byte for byte. */
+  private def pqResidualFor(g: Int): Boolean = {
+    val df = spark.read.parquet(pqBookDir(g))
+    df.columns.contains("residual") &&
+      df.select("residual").head().getBoolean(0)
+  }
+
   /** Active assigned dir ids: all published, minus any a later compaction
     * superseded. */
   private def activeIds(ms: Seq[Manifest]): Seq[String] = {
@@ -245,7 +258,10 @@ final class IvfStore private (private val spark: SparkSession,
       df.select(col(idCol).as("vid"), col(embCol).as("emb"),
         VectorFunctions.l2Norm(col(embCol)).as("nrm"),
         cellOf(col(embCol), cs).as("cell")), id, prev.packedScale,
-      pqBookFor(g)) // frozen codebooks — append never retrains (FAISS add)
+      // frozen codebooks — append never retrains (FAISS add); a residual
+      // tier subtracts the SAME frozen generation's centroids
+      pqBookFor(g),
+      if (pqBookFor(g).nonEmpty && pqResidualFor(g)) Some(cs) else None)
     log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
     // INVARIANT: stats/ is ADVISORY — `prev` was read before the commit
     // and the refreshed row lands after it, so a crash in this window
@@ -270,7 +286,8 @@ final class IvfStore private (private val spark: SparkSession,
     * wedge on `errorifexists`. Returns the row count, summed from parquet
     * footers (no count job). */
   private def writeAssigned(rows: DataFrame, id: String, scale: Int,
-      book: Option[PqAnn.Codebook]): Long = {
+      book: Option[PqAnn.Codebook],
+      resCents: Option[Seq[(Int, Array[Double])]] = None): Long = {
     val aDir = s"$path/assigned/append=$id"
     val vDir = s"$path/vidmap/append=$id"
     val pDir = s"$path/packed/append=$id"
@@ -331,10 +348,18 @@ final class IvfStore private (private val spark: SparkSession,
         .coalesce(1).write.mode("errorifexists").parquet(dDir)
       // PQ code sidecar: every vector's m sub-centroid ids against the
       // generation's FROZEN codebooks (map-only, same read-back), coarse-
-      // cell-partitioned like packed/ so searchPq prunes at file listing
+      // cell-partitioned like packed/ so searchPq prunes at file listing;
+      // a residual-tier book encodes x − centroid(cell) against the SAME
+      // generation's frozen coarse centroids (still map-only — the
+      // subtraction is a literal-map zip_with, no join)
       book.foreach { b =>
-        PqAnn.encode(back.select("vid", "emb", "cell"), "vid", "emb", b,
-            keep = Seq("cell"))
+        val enc = resCents match {
+          case Some(cs) => back.select(col("vid"),
+            PqAnn.residualCol(col("emb"), col("cell"), cs).as("emb"),
+            col("cell"))
+          case None => back.select("vid", "emb", "cell")
+        }
+        PqAnn.encode(enc, "vid", "emb", b, keep = Seq("cell"))
           .sortWithinPartitions("cell", "vid")
           .write.partitionBy("cell").mode("errorifexists").parquet(qDir)
       }
@@ -364,12 +389,17 @@ final class IvfStore private (private val spark: SparkSession,
       // files they accumulate — an unclustered rewrite would re-emit
       // one file per cell per read task (the dq127 fan-out finding);
       // clustered, the fold leaves ONE file per cell
+      val g = genOf(ms)
       writeAssigned(
         spark.read.option("basePath", s"$path/assigned")
           .parquet(foldable.map(id => s"$path/assigned/append=$id"): _*)
           .select("vid", "emb", "nrm", "cell")
           .repartition(col("cell")), cid, stats.packedScale,
-        pqBookFor(genOf(ms))) // re-encode: frozen book, bit-identical codes
+        // re-encode: frozen book (+ frozen centroids when residual),
+        // bit-identical codes
+        pqBookFor(g),
+        if (pqBookFor(g).nonEmpty && pqResidualFor(g))
+          Some(centroidsFor(g)) else None)
       log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)
     }
   }
@@ -452,11 +482,23 @@ final class IvfStore private (private val spark: SparkSession,
       // pinned k, trained on the same stored corpus — so refit-then-query
       // equals a from-scratch create on the union (the dq142 contract,
       // extended to the codebooks)
+      val wasResidual =
+        pqBookFor(genOf(ms)).nonEmpty && pqResidualFor(genOf(ms))
       val newBook = pqBookFor(genOf(ms)).map { ob =>
         val k0 = pqTrainK(genOf(ms))
-        val b = PqAnn.fit(rel, "vid", "emb", ob.dims, ob.m, k0, iters)
+        // a residual tier retrains on residuals against the NEW coarse
+        // generation (books are tied to their generation's centroids —
+        // the subtraction moves with the refit, so refit-then-query
+        // still equals a from-scratch residual create on the union)
+        val trainRel =
+          if (wasResidual)
+            idx.assigned.select(col("vid"),
+              PqAnn.residualCol(col("emb"), col("cell"), idx.centroids)
+                .as("emb"))
+          else rel
+        val b = PqAnn.fit(trainRel, "vid", "emb", ob.dims, ob.m, k0, iters)
         log.clearOrphan(pqBookDir(g))
-        IvfStore.bookDf(spark, b, k0)
+        IvfStore.bookDf(spark, b, k0, wasResidual)
           .write.mode("errorifexists").parquet(pqBookDir(g))
         pqBookCache.put(g, Some(b))
         b
@@ -465,7 +507,8 @@ final class IvfStore private (private val spark: SparkSession,
       val id = f"r$seq%06d"
       val n = writeAssigned(
         idx.assigned.select("vid", "emb", "nrm", "cell")
-          .repartition(col("cell")), id, prev.packedScale, newBook)
+          .repartition(col("cell")), id, prev.packedScale, newBook,
+        if (wasResidual) Some(idx.centroids) else None)
       log.commit(Manifest(Seq(id), Nil, Nil, Nil, carried,
         supersedesDigests = ids, generation = Some(g)), seq)
       val st = IvfStoreStats(idx.centroids.size,
@@ -652,6 +695,31 @@ final class IvfStore private (private val spark: SparkSession,
         (qid, emb.toSeq, IvfStore.l2NormDriver(emb))
       }, topK, nprobe, excludeToken)
 
+  /** ADVISORY-DRIVEN nprobe (round-14 verdict #6): resolve the probe
+    * count from the stored occupancy statistics instead of a caller
+    * literal — [[occupancyAdvisory]]'s `recommendedNprobe` at the
+    * configured target mass (`spark.graft.ivf.autoTargetMassMicro`,
+    * default 500000 = "expect to scan half the corpus mass"). A skewed
+    * store resolves FEWER probes (its hot cell already carries the
+    * mass), a balanced one more — the operational knob the r13 "raise
+    * nprobe after refit" lesson asked to make store-readable, now wired
+    * through every search form: pass `nprobe = None` to any of
+    * [[search]]/[[searchAll]]/[[searchPq]]/[[searchAllPq]]. Reads only
+    * the ≤ k·appends drift sidecar rows, never the vector relation. */
+  def autoNprobe(): Int = {
+    val target = IndexConf.strictLong(spark,
+      "spark.graft.ivf.autoTargetMassMicro", default = 500000L, min = 0L)
+    require(target <= 1000000L,
+      s"spark.graft.ivf.autoTargetMassMicro must be <= 1000000, got $target")
+    occupancyAdvisory(target).recommendedNprobe
+  }
+
+  /** [[search]] with [[autoNprobe]] resolution: `nprobe = None` reads
+    * the recommendation from the stored occupancy advisory. */
+  def search(queries: Seq[(Long, Array[Float])], topK: Int,
+      nprobe: Option[Int], excludeToken: Option[String]): DataFrame =
+    search(queries, topK, nprobe.getOrElse(autoNprobe()), excludeToken)
+
   /** Top-k cosine neighbors for every STORED query id — the convenience
     * form of [[search]]: the query vectors are resolved through the
     * `vidmap/` sidecar (home cells first, then a fetch pruned to those
@@ -663,6 +731,11 @@ final class IvfStore private (private val spark: SparkSession,
       lookupPlan(queryIds, excludeToken).collect().toSeq.map { r =>
         (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))
       }, topK, nprobe, excludeToken)
+
+  /** [[searchAll]] with [[autoNprobe]] resolution (`nprobe = None`). */
+  def searchAll(queryIds: Seq[Long], topK: Int, nprobe: Option[Int],
+      excludeToken: Option[String]): DataFrame =
+    searchAll(queryIds, topK, nprobe.getOrElse(autoNprobe()), excludeToken)
 
   /** The stored-id lookup BEFORE its collect — plan-audit hook: the spec
     * asserts its vector-relation scan is pruned to the queries' home
@@ -811,8 +884,18 @@ final class IvfStore private (private val spark: SparkSession,
     }.toMap
     val rel = pqcodesRelOf(ms)
       .where(col("cell").isin(probes.values.flatten.toSeq.distinct: _*))
-    PqAnn.adcTopKProbed(rel, book, queries, probes, topK)
+    // a residual-tier generation scores q·centroid(cell) + the residual
+    // table fold (the codes ARE residual codes — the add-back term is
+    // driver-sized, the scan shape identical)
+    if (pqResidualFor(g))
+      PqAnn.adcTopKProbedResidual(rel, book, queries, probes, cs, topK)
+    else PqAnn.adcTopKProbed(rel, book, queries, probes, topK)
   }
+
+  /** [[searchPq]] with [[autoNprobe]] resolution (`nprobe = None`). */
+  def searchPq(queries: Seq[(Long, Array[Float])], topK: Int,
+      nprobe: Option[Int], excludeToken: Option[String]): DataFrame =
+    searchPq(queries, topK, nprobe.getOrElse(autoNprobe()), excludeToken)
 
   /** [[searchAll]]'s stored-id convenience form on the PQ tier — the
     * vidmap-pruned lookup resolves the query vectors, the candidate scan
@@ -823,6 +906,12 @@ final class IvfStore private (private val spark: SparkSession,
       lookupPlan(queryIds, excludeToken).collect().toSeq.map { r =>
         (r.getLong(0), r.getSeq[Float](1).toArray)
       }, topK, nprobe, excludeToken)
+
+  /** [[searchAllPq]] with [[autoNprobe]] resolution (`nprobe = None`). */
+  def searchAllPq(queryIds: Seq[Long], topK: Int, nprobe: Option[Int],
+      excludeToken: Option[String]): DataFrame =
+    searchAllPq(queryIds, topK, nprobe.getOrElse(autoNprobe()),
+      excludeToken)
 
   /** The `nprobe` nearest stored cells for one query vector, computed on
     * the driver with EXACTLY the executor kernel's arithmetic (left-to-
@@ -987,19 +1076,28 @@ object IvfStore {
       k: Int, iters: Int = 2, gateTau: Double = 0.5,
       gateNprobe: Int = 2, packedScale: Int = 127,
       seedToken: Option[String] = None,
-      pqM: Int = 0, pqK: Int = 16): IvfStore = {
+      pqM: Int = 0, pqK: Int = 16, pqResidual: Boolean = false): IvfStore = {
     require(gateTau > 0.0 && gateTau < 1.0, "gateTau in (0, 1)")
     require(gateNprobe >= 1, "gateNprobe >= 1")
     require(packedScale >= 1 && packedScale <= 127, "packedScale in [1, 127]")
     require(pqM >= 0, "pqM >= 0 (0 = no PQ tier)")
+    require(!pqResidual || pqM > 0,
+      "pqResidual needs the PQ tier (pqM > 0)")
     val spark = df.sparkSession
     val idx = IvfIndex.fit(df, idCol, embCol, k, iters)
     try {
       import spark.implicits._
       // the optional PQ tier: per-subspace codebooks trained on the SAME
-      // create corpus (FAISS train, before any add), frozen for appends
+      // create corpus (FAISS train, before any add), frozen for appends;
+      // pqResidual trains on x − centroid(cell) against THIS generation's
+      // coarse centroids (the IndexIVFPQ form — see PqAnn.residualCol)
       val book =
         if (pqM == 0) None
+        else if (pqResidual)
+          Some(PqAnn.fit(idx.assigned.select(col("vid"),
+            PqAnn.residualCol(col("emb"), col("cell"), idx.centroids)
+              .as("emb")), "vid", "emb",
+            idx.centroids.head._2.length, pqM, pqK, iters))
         else Some(PqAnn.fit(df.select(col(idCol).as("vid"),
             col(embCol).as("emb")), "vid", "emb",
           idx.centroids.head._2.length, pqM, pqK, iters))
@@ -1016,7 +1114,7 @@ object IvfStore {
           .coalesce(1).write.mode("errorifexists").parquet(s"$path/centroids")
         book.foreach { b =>
           store.log.clearOrphan(s"$path/pqbook")
-          bookDf(spark, b, pqK)
+          bookDf(spark, b, pqK, pqResidual)
             .write.mode("errorifexists").parquet(s"$path/pqbook")
           store.pqBookCache.put(1, Some(b))
         }
@@ -1024,7 +1122,8 @@ object IvfStore {
         // than re-assigning (bit-identical either way — same centroids)
         val n = store.writeAssigned(
           idx.assigned.select("vid", "emb", "nrm", "cell"), "a000001",
-          packedScale, book)
+          packedScale, book,
+          if (pqResidual) Some(idx.centroids) else None)
         // stats BEFORE the first commit (the NgramLmStore first-build
         // rule: a crash in between leaves exists()=false, reseedable)
         writeStats(spark, path, IvfStoreStats(idx.centroids.size,
@@ -1068,11 +1167,11 @@ object IvfStore {
     * m·(surviving k) driver-sized rows, with the trained k pinned so a
     * refit retrains at the create's parameter. */
   private def bookDf(spark: SparkSession, b: PqAnn.Codebook,
-      k0: Int): DataFrame = {
+      k0: Int, residual: Boolean = false): DataFrame = {
     import spark.implicits._
     b.sub.zipWithIndex.flatMap { case (cs, j) =>
-      cs.map { case (cell, c) => (j, cell, c.toSeq, k0) }
-    }.toDF("j", "cell", "c", "k0").coalesce(1)
+      cs.map { case (cell, c) => (j, cell, c.toSeq, k0, residual) }
+    }.toDF("j", "cell", "c", "k0", "residual").coalesce(1)
   }
 
   private def writeStats(spark: SparkSession, path: String,

@@ -135,7 +135,9 @@ object PqAnn {
     val seeds = base.select(col("vid"), col("emb"))
       .orderBy(md5(col("vid").cast("string")), col("vid"))
       .limit(k).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      // float corpora AND double residual relations both train here
+      // (float→double widening is exact, so the arithmetic is one)
+      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray)
     var books: Vector[Seq[(Int, Array[Double])]] = (0 until m).map { j =>
       seeds.zipWithIndex.map { case (v, i) =>
         (i, v.slice(j * subDim, (j + 1) * subDim))
@@ -290,6 +292,72 @@ object PqAnn {
       element_at(typedlit(table),
         col("qid") * lit(stride) + col("codes").getItem(j).cast("long"))
     }.reduceLeft(_ + _)
+  }
+
+  /** The RESIDUAL column for residual IVF-PQ: `x − centroid(cell(x))`
+    * as exact double arithmetic (`array<double>` — float→double widening
+    * is exact, centroids are already doubles, so any engine re-derives
+    * the identical residuals). This is where FAISS IndexIVFPQ earns most
+    * of its recall at the same m·k: residuals concentrate near zero once
+    * the coarse quantizer has soaked up the vector's cell-level
+    * structure, so the SAME codebook budget spends its centroids on a
+    * much smaller ball. Feed the result to [[fit]]/[[encode]] in place
+    * of the raw embedding; score via [[adcTopKProbedResidual]], which
+    * adds the `q·centroid(cell)` term the subtraction moved out. */
+  def residualCol(embCol: Column, cellCol: Column,
+      coarse: Seq[(Int, Array[Double])]): Column = {
+    require(coarse.nonEmpty, "residualCol: empty coarse centroid set")
+    val cents = typedlit(coarse.map { case (id, c) => id -> c.toSeq }.toMap)
+    zip_with(embCol.cast("array<double>"), element_at(cents, cellCol),
+      (a, b) => a - b)
+  }
+
+  /** [[adcTopKProbed]] for RESIDUAL-encoded codes — the full FAISS
+    * IndexIVFPQ scoring shape: `q·x ≈ q·centroid(cell) + q·r̂` where
+    * `r̂` is the residual's ADC reconstruction. The first term is a
+    * driver-sized `(qid, cell)` constant table (Q·k doubles — the
+    * "centroid folded into the query tables" of the residual
+    * literature), added ONCE per surviving pair in front of the m-term
+    * subspace fold, so the association `const + ((t0+t1)+…)` is fixed
+    * and engine-portable. Probe pruning, the two-level literal-map
+    * dispatch, and the bounded-heap rank are [[adcTopKProbed]]'s. */
+  def adcTopKProbedResidual(codes: DataFrame, cb: Codebook,
+      queries: Seq[(Long, Array[Float])], probes: Map[Long, Seq[Int]],
+      coarse: Seq[(Int, Array[Double])], topK: Int): DataFrame = {
+    require(codes.columns.contains("cell"),
+      "adcTopKProbedResidual: the code relation must carry the coarse " +
+        "'cell' column (encode with keep = Seq(\"cell\"))")
+    require(queries.nonEmpty, "adcTopKProbedResidual: no query vectors")
+    require(coarse.nonEmpty, "adcTopKProbedResidual: empty coarse set")
+    queries.foreach { case (qid, q) =>
+      require(q.length == cb.dims,
+        s"query dims ${q.length} != codebook dims ${cb.dims}")
+      require(probes.contains(qid),
+        s"adcTopKProbedResidual: no probe cells for query $qid")
+    }
+    val strideC: Long = coarse.iterator.map(_._1).max.toLong + 1L
+    val qcTable: Map[Long, Double] = (for {
+      (qid, q) <- queries
+      (cell, c) <- coarse
+    } yield {
+      var s = 0.0
+      var i = 0
+      while (i < cb.dims) { s += q(i).toDouble * c(i); i += 1 }
+      (qid * strideC + cell) -> s
+    }).toMap
+    val probesLit = typedlit(probes)
+    val probingQids = filter(typedlit(queries.map(_._1)),
+      q => array_contains(element_at(probesLit, q), col("cell")))
+    val exploded = codes
+      .select(col("vid"), col("codes"), col("cell"),
+        explode(probingQids).as("qid"))
+      .filter(col("vid") =!= col("qid"))
+    val qcConst = element_at(typedlit(qcTable),
+      col("qid") * lit(strideC) + col("cell").cast("long"))
+    val scored = exploded
+      .select(col("qid"), col("vid"),
+        (qcConst + scoreForAll(cb, queries)).as("score"))
+    rankScored(scored, topK)
   }
 
   /** One query's ADC score over the `codes` column: the SUBSPACE-ORDERED

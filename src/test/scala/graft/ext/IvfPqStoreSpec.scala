@@ -151,6 +151,58 @@ class IvfPqStoreSpec extends GraftSpec {
       .length shouldBe 5
   }
 
+  it("the RESIDUAL tier (dq170): stored search equals the in-memory " +
+     "residual chain with frozen create semantics, the flag survives a " +
+     "fresh open, appends subtract the FROZEN generation's centroids, " +
+     "and refit equals a from-scratch residual create on the union") {
+    val path = tmp()
+    val train = emb.filter($"vec_id" % 5 =!= 0)
+    val store = IvfStore.create(train, "vec_id", "embedding", path,
+      k = 8, pqM = 16, pqK = 16, pqResidual = true)
+    store.appendOnce(emb.filter($"vec_id" % 5 === 0),
+      "vec_id", "embedding", "res:b1")
+    // in-memory replication of the frozen-split residual chain: coarse
+    // + residual books on the train split, EVERYTHING assigned and
+    // residual-encoded against the frozen results
+    val ivf = IvfIndex.fit(train, "vec_id", "embedding", k = 8)
+    try {
+      val residTrain = ivf.withCell(train, "embedding")
+        .withColumn("__r", PqAnn.residualCol($"embedding", $"cell",
+          ivf.centroids))
+      val cb = PqAnn.fit(residTrain, "vec_id", "__r", 64, 16, 16)
+      val residAll = ivf.withCell(emb, "embedding")
+        .withColumn("__r", PqAnn.residualCol($"embedding", $"cell",
+          ivf.centroids))
+      val rel = PqAnn.encode(residAll, "vec_id", "__r", cb,
+        keep = Seq("cell")).localCheckpoint(true)
+      val qrows = emb.filter($"vec_id".isin(1L, 2L, 5L))
+      val probes = qrows.select($"vec_id",
+          ivf.probesFor($"embedding", 2, spark).as("p")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val queries = qrows.select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .sortBy(_._1)
+      val session = rows(PqAnn.adcTopKProbedResidual(rel, cb, queries,
+        probes, ivf.centroids, topK = 5))
+      rows(store.searchPq(queries, topK = 5, nprobe = 2)) shouldBe session
+      // a FRESH open re-reads the flag from the book dir (no cache)
+      rows(IvfStore.open(spark, path)
+        .searchAllPq(Seq(1L, 2L, 5L), topK = 5, nprobe = 2)) shouldBe
+        session
+    } finally ivf.release()
+    // refit retrains coarse + residual books against the NEW generation:
+    // post-refit search equals a from-scratch residual create on the
+    // union (dq142 extended through the subtraction)
+    store.refit(k = 8)
+    val fresh = IvfStore.create(emb, "vec_id", "embedding", tmp(),
+      k = 8, pqM = 16, pqK = 16, pqResidual = true)
+    rows(store.searchAllPq(Seq(1L, 2L, 5L), topK = 5, nprobe = 2)) shouldBe
+      rows(fresh.searchAllPq(Seq(1L, 2L, 5L), topK = 5, nprobe = 2))
+    // the refit generation's book still carries the flag
+    spark.read.parquet(s"$path/pqbook_g2")
+      .select("residual").head().getBoolean(0) shouldBe true
+  }
+
   it("a layout created without the tier refuses PQ search by name and " +
      "appends skip the code sidecar") {
     val path = tmp()

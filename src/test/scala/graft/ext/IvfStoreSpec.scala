@@ -594,6 +594,24 @@ class IvfStoreSpec extends GraftSpec {
     balAdv.imbalanceMicro shouldBe 1000000L // perfectly balanced
     balAdv.recommendedNprobe shouldBe 2
     balAdv.expectedMassMicroAtRecommended shouldBe 1000000L
+    // the advisory WIRED THROUGH SEARCH (r14 verdict #6): nprobe = None
+    // resolves from the stored occupancy at the configured target mass —
+    // the skewed store probes 1 cell, the balanced one 2, and each
+    // auto-resolved answer is bit-identical to passing the
+    // recommendation as a literal
+    spark.conf.set("spark.graft.ivf.autoTargetMassMicro", "600000")
+    try {
+      hot.autoNprobe() shouldBe 1
+      bal.autoNprobe() shouldBe 2
+      def res(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("qid", "vid").collect().toSeq
+      res(hot.searchAll(Seq(0L), topK = 3, nprobe = None,
+        excludeToken = None)) shouldBe
+        res(hot.searchAll(Seq(0L), topK = 3, nprobe = 1))
+      res(bal.searchAll(Seq(0L), topK = 3, nprobe = None,
+        excludeToken = None)) shouldBe
+        res(bal.searchAll(Seq(0L), topK = 3, nprobe = 2))
+    } finally spark.conf.unset("spark.graft.ivf.autoTargetMassMicro")
     // appends fold into the occupancy; a refit bumps the generation and
     // keeps full sidecar coverage (the refit writes its own histogram)
     hot.append(docs(200 until 260, 1).toDF("vec_id", "embedding"),

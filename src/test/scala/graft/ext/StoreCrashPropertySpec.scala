@@ -124,12 +124,15 @@ class StoreCrashPropertySpec extends GraftSpec {
       gatedStep(p => SubstrIndex.open(spark, p)),
       p => manifestState(p) :+ SubstrIndex.open(spark, p).stats.toString),
     H("semantic", embBatches,
-      // PQ tier ON (m=2 over the 6-dim vectors): the sweep's crashes now
-      // also land between the pqbook/pqcodes writes and the commit, and
-      // convergence includes the PQ search answer
+      // PQ tier ON (m=2 over the 6-dim vectors) in its RESIDUAL form:
+      // the sweep's crashes now also land between the pqbook/pqcodes
+      // writes and the commit, convergence includes the PQ search
+      // answer, and every append's subtraction runs against the frozen
+      // generation
       (p, b0) => if (!IvfStore.exists(spark, p)) {
         IvfStore.create(b0, "doc_id", "text", p, k = 4, iters = 2,
-          gateTau = 0.9, gateNprobe = 2, pqM = 2, pqK = 4); ()
+          gateTau = 0.9, gateNprobe = 2, pqM = 2, pqK = 4,
+          pqResidual = true); ()
       },
       gatedStep(p => IvfStore.open(spark, p)),
       p => {
