@@ -3353,6 +3353,48 @@ object SparkEntry {
       .orderBy("qid", "vid")
   }
 
+  /** DQ171 (EXT/runner, §2.9): the MULTIMODAL pipeline STREAMED — dq167
+    * composed with the streamed declared runner (dq160's machinery):
+    * each micro-batch of an image+caption ingest stream flows through
+    * the declared `media_gate(image)` (pure per-row byte arithmetic —
+    * stream-legal, no batch-scoped statistics) into a per-round
+    * `shard_write(units: bytes)` that commits its OWN shard set under
+    * the batch's exactly-once stage token. The query returns the
+    * persisted per-round integrity reports, payload-covering hashes
+    * included; the oracle re-derives BOTH rounds from the raw table and
+    * the known batch split — blob synthesis, the dq73 marker walk, the
+    * band, octet_length units, the per-round packing recurrence, and
+    * `md5(id:caption:hex(payload))` content hashes. Streamed ≡
+    * sequential batch runs by per-round append semantics (the dq160
+    * rule). */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val st =
+      graft.io.TempReaper.tempDir("graft-dq171-mstream").toString + "/st"
+    val media = t(s, dir, "documents").select(col("doc_id"),
+      graft.ext.Multimodal.syntheticImagePayload(col("doc_id"))
+        .as("payload"),
+      col("text").as("caption"))
+    val cfg =
+      s"""{"table": "documents", "id": "doc_id", "text": "caption",
+        | "stages": [
+        |   {"stage": "media_gate", "kind": "image", "binary": "payload",
+        |    "minWidth": 64, "maxWidth": 1600,
+        |    "minHeight": 64, "maxHeight": 1000},
+        |   {"stage": "shard_write", "path": "$st", "capacity": 512,
+        |    "units": "bytes", "binary": "payload", "epoch": 1,
+        |    "streams": 16}]}""".stripMargin
+    val pipeline = graft.plan.CurationConfig.parse(cfg)
+    val b1 = media.filter(col("doc_id") % 4 === 1)
+    val b2 = media.filter(col("doc_id") % 4 === 2 ||
+      col("doc_id") % 4 === 3)
+    val incoming = EventStream.twoFileBatchStream(b1, b2, "dq171")
+    EventStream.runConfigPipeline(incoming, pipeline, dir, "dq171")
+    graft.ext.ShardWriter.report(s, st)
+      .select(col("round"), col("stream"), col("bin"), col("n_docs"),
+        col("units"), col("content_md5"))
+      .orderBy("round", "stream", "bin")
+  }
+
   /** DQ170 (EXT): the PERSISTED residual IVF-PQ tier — dq169's residual
     * chain as dq164's stored layout (`create(..., pqResidual = true)`):
     * coarse centroids AND residual codebooks train on the 80% split
@@ -3736,7 +3778,8 @@ object SparkEntry {
     "dq167_media_gate_shards"     -> (q167 _),
     "dq168_media_shard_verify"    -> (q168 _),
     "dq169_residual_ivfpq"        -> (q169 _),
-    "dq170_residual_pq_store"     -> (q170 _)
+    "dq170_residual_pq_store"     -> (q170 _),
+    "dq171_stream_media_shards"   -> (q171 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -5993,6 +6036,93 @@ object SparkEntry {
         |  CAST(height AS INTEGER) AS media_h,
         |  CAST(units AS BIGINT) AS units, stream, bin
         |FROM packed ORDER BY doc_id""".stripMargin,
+    // the multimodal pipeline streamed: the dq167 image chain decides
+    // each round's survivors (rounds = the known batch split), the
+    // per-round packing recurrence runs at 512 BYTES, and the content
+    // hashes cover the payload (md5(id:caption:hex(payload)))
+    "dq171_stream_media_shards" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id, text AS caption,
+        |    doc_id % 1897 + 16 AS w0, (doc_id * 7) % 1061 + 16 AS h0,
+        |    doc_id % 8 + 14 AS ap, (doc_id * 3) % 5 + 2 AS cp,
+        |    CASE WHEN doc_id % 4 = 1 THEN 1
+        |         WHEN doc_id % 4 IN (2, 3) THEN 2 END AS round
+        |  FROM documents),
+        |payload AS (
+        |  SELECT doc_id, caption, round,
+        |    CASE WHEN doc_id % 5 = 0 THEN ('not an image ' || doc_id::VARCHAR)::BLOB
+        |    WHEN doc_id % 2 = 0 THEN
+        |      unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
+        |        || lpad(to_hex(w0), 8, '0') || lpad(to_hex(h0), 8, '0') || '0806000000')
+        |    ELSE
+        |      unhex('FFD8' || 'FFE0' || lpad(to_hex(ap + 2), 4, '0') || repeat('4A', ap)
+        |        || 'FFFE' || lpad(to_hex(cp + 2), 4, '0') || repeat('43', cp)
+        |        || 'FFC0' || '000B' || '08'
+        |        || lpad(to_hex(h0), 4, '0') || lpad(to_hex(w0), 4, '0')
+        |        || '012200' || 'FFD9')
+        |    END AS payload
+        |  FROM m WHERE round IS NOT NULL),
+        |hx AS (SELECT doc_id, caption, round, upper(hex(payload)) AS h,
+        |    octet_length(payload)::BIGINT AS nb
+        |  FROM payload),
+        |j1 AS (SELECT doc_id, caption, round, h, nb,
+        |    CASE WHEN substr(h, 1, 4) = 'FFD8'
+        |      THEN 5 + 4 + TRY_CAST(('0x' || substr(h, 9, 4)) AS BIGINT) * 2 END AS p2
+        |  FROM hx),
+        |j2 AS (SELECT doc_id, caption, round, h, nb, p2,
+        |    CASE WHEN p2 IS NOT NULL
+        |      THEN p2 + 4 + TRY_CAST(('0x' || substr(h, p2::INT + 4, 4)) AS BIGINT) * 2
+        |    END AS p3
+        |  FROM j1),
+        |parsed AS (
+        |  SELECT doc_id, caption, round, h, nb,
+        |    CASE
+        |      WHEN substr(h, 1, 16) = '89504E470D0A1A0A' AND substr(h, 17, 8) = '0000000D'
+        |           AND substr(h, 25, 8) = '49484452' THEN 'png'
+        |      WHEN p3 IS NOT NULL AND substr(h, p3::INT, 4) = 'FFC0' THEN 'jpeg'
+        |    END AS format,
+        |    CASE
+        |      WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+        |        THEN TRY_CAST(('0x' || substr(h, 33, 8)) AS BIGINT)
+        |      WHEN p3 IS NOT NULL AND substr(h, p3::INT, 4) = 'FFC0'
+        |        THEN TRY_CAST(('0x' || substr(h, p3::INT + 14, 4)) AS BIGINT)
+        |    END AS width,
+        |    CASE
+        |      WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+        |        THEN TRY_CAST(('0x' || substr(h, 41, 8)) AS BIGINT)
+        |      WHEN p3 IS NOT NULL AND substr(h, p3::INT, 4) = 'FFC0'
+        |        THEN TRY_CAST(('0x' || substr(h, p3::INT + 10, 4)) AS BIGINT)
+        |    END AS height
+        |  FROM j2),
+        |kept AS (
+        |  SELECT round, doc_id, caption, h, nb AS units,
+        |    md5('1:' || doc_id::VARCHAR) AS skey,
+        |    substr(md5('1:' || doc_id::VARCHAR), 1, 1) AS stream
+        |  FROM parsed
+        |  WHERE format IS NOT NULL AND width BETWEEN 64 AND 1600
+        |    AND height BETWEEN 64 AND 1000),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY round, stream ORDER BY skey) rn
+        |  FROM kept),
+        |packed AS (
+        |  SELECT round, stream, skey, doc_id, caption, h, units, rn,
+        |    CAST(0 AS BIGINT) AS bin, units AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.round, r.stream, r.skey, r.doc_id, r.caption, r.h,
+        |    r.units, r.rn,
+        |    CASE WHEN p.fill + r.units > 512 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + r.units > 512 THEN r.units
+        |         ELSE p.fill + r.units END
+        |  FROM r JOIN packed p
+        |    ON r.round = p.round AND r.stream = p.stream
+        |    AND r.rn = p.rn + 1)
+        |SELECT round, stream, bin, count(*) AS n_docs,
+        |  CAST(sum(units) AS BIGINT) AS units,
+        |  md5(string_agg(md5(doc_id::VARCHAR || ':' || caption || ':' || h),
+        |    '' ORDER BY skey)) AS content_md5
+        |FROM packed GROUP BY 1, 2, 3
+        |ORDER BY round, stream, bin""".stripMargin,
     // the video materialization verified: dq80's box walk + the exact
     // integer duration band decide survivors; the packing recurrence
     // runs at 2048 BYTES and both integrity hashes COVER the payload
