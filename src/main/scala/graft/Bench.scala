@@ -719,6 +719,59 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq164 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq170: the RESIDUAL stored tier — same pruning shape as dq164
+      //    (the subtraction changes codes, not the scan), the stored flag
+      //    readable from the book dir, and recall@5 of residual vs raw
+      //    against the exact cosine top-5 on the SAME probes (honest
+      //    corpus-scale measurement: near-isotropic data is residual's
+      //    no-gain regime; the clustered-fixture gap lives in PqAnnSpec)
+      if (!names.exists(_.startsWith("dq170"))) None
+      else try {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val base = graft.io.TempReaper.tempDir("graft-bench-respq")
+          .toString + "/ivf"
+        val store = graft.ext.IvfStore.create(emb, "vec_id", "embedding",
+          base, k = 8, pqM = 16, pqK = 16, pqResidual = true)
+        val res = store.searchAllPq(Seq(1L, 2L, 3L), topK = 5, nprobe = 2)
+        val resRows = res.collect()
+        val codeParts = graft.plans.PlanWalk
+          .collectAll(res.queryExecution.executedPlan) {
+            case f: FileSourceScanExec =>
+              (f.metadata.getOrElse("Location", ""),
+                f.metrics.get("numPartitions").map(_.value))
+          }
+          .filter(_._1.contains("pqcodes")).flatMap(_._2)
+        val flag = spark.read.parquet(s"$base/pqbook")
+          .select("residual").head().getBoolean(0)
+        // recall vs the exact probed cosine ranking, raw tier beside it
+        val rawStore = graft.ext.IvfStore.create(emb, "vec_id",
+          "embedding",
+          graft.io.TempReaper.tempDir("graft-bench-rawpq").toString + "/ivf",
+          k = 8, pqM = 16, pqK = 16)
+        val rawRows = rawStore
+          .searchAllPq(Seq(1L, 2L, 3L), topK = 5, nprobe = 2).collect()
+        val exact = store.searchAll(Seq(1L, 2L, 3L), topK = 5, nprobe = 2)
+          .collect()
+        def byQ(rows: Array[org.apache.spark.sql.Row]) =
+          rows.groupBy(_.getLong(0)).view
+            .mapValues(_.map(_.getLong(1)).toSet).toMap
+        def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+          val e = byQ(exact); val g = byQ(rows)
+          e.keys.toSeq.map(q =>
+            (e(q) intersect g.getOrElse(q, Set.empty)).size).sum /
+            math.max(1.0, e.values.map(_.size).sum)
+        }
+        Some(s""""dq170_code_partitions_read":${codeParts
+            .reduceOption(_ max _).map(_.toString)
+            .getOrElse("\"metric unavailable\"")},""" +
+          s""""dq170_residual_flag":$flag,""" +
+          f""""dq170_recall5_residual":${recall(resRows)}%.2f,""" +
+          f""""dq170_recall5_raw":${recall(rawRows)}%.2f""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq170 evidence failed: ${e.getMessage}"); None
+      },
       if (!names.exists(_.startsWith("dq59"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec
