@@ -180,18 +180,24 @@ final class IvfStore private (private val spark: SparkSession,
   private def pqTrainK(g: Int): Int =
     spark.read.parquet(pqBookDir(g)).select("k0").head().getInt(0)
 
+  private val pqResidualCache = scala.collection.concurrent.TrieMap
+    .empty[Int, Boolean]
+
   /** Whether the generation's books were trained on RESIDUALS
     * `x − centroid(cell)` against the generation's coarse centroids
     * (the FAISS IndexIVFPQ form, `create(..., pqResidual = true)`).
     * Pinned in the book dir like `k0`; a book written before the
     * residual tier shipped lacks the column and reads as raw — the
     * drift-sidecar upgrade rule, so pre-residual layouts stay valid
-    * byte for byte. */
-  private def pqResidualFor(g: Int): Boolean = {
-    val df = spark.read.parquet(pqBookDir(g))
-    df.columns.contains("residual") &&
-      df.select("residual").head().getBoolean(0)
-  }
+    * byte for byte. Memoized per generation like the book itself (a
+    * generation's flag is immutable), so searches don't pay a
+    * driver-side parquet read per call. */
+  private def pqResidualFor(g: Int): Boolean =
+    pqResidualCache.getOrElseUpdate(g, {
+      val df = spark.read.parquet(pqBookDir(g))
+      df.columns.contains("residual") &&
+        df.select("residual").head().getBoolean(0)
+    })
 
   /** Active assigned dir ids: all published, minus any a later compaction
     * superseded. */
@@ -501,6 +507,7 @@ final class IvfStore private (private val spark: SparkSession,
         IvfStore.bookDf(spark, b, k0, wasResidual)
           .write.mode("errorifexists").parquet(pqBookDir(g))
         pqBookCache.put(g, Some(b))
+        pqResidualCache.put(g, wasResidual)
         b
       }
       val seq = ms.size + 1
@@ -1117,6 +1124,7 @@ object IvfStore {
           bookDf(spark, b, pqK, pqResidual)
             .write.mode("errorifexists").parquet(s"$path/pqbook")
           store.pqBookCache.put(1, Some(b))
+          store.pqResidualCache.put(1, pqResidual)
         }
         // the fit already computed the assignment; persist ITS rows rather
         // than re-assigning (bit-identical either way — same centroids)

@@ -157,10 +157,21 @@ object CurationConfig {
     * arithmetic — one scan, nothing shuffles, stream-safe. */
   final case class MediaGate(kind: String, binaryCol: String,
       loA: Long, hiA: Long, loB: Long, hiB: Long) extends Stage {
+    private def appended: Seq[String] = kind match {
+      case "image" => Seq("media_format", "media_w", "media_h")
+      case "audio" => Seq("media_channels", "media_rate")
+      case _ => Seq("media_brand", "media_timescale", "media_duration")
+    }
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame = {
       require(df.columns.contains(binaryCol),
         s"media_gate: no '$binaryCol' binary column in the input")
+      // the appended parse columns and the scratch struct are reserved
+      // (the ShardWriter rule: refuse by name, never silently replace)
+      (appended :+ "__m").filter(df.columns.contains).headOption
+        .foreach(c => throw new IllegalArgumentException(
+          s"media_gate: input already has a '$c' column (reserved for " +
+            "the parsed header fields)"))
       val out = df.columns.map(col)
       kind match {
         case "image" =>
@@ -181,12 +192,19 @@ object CurationConfig {
               col("__m.sample_rate").as("media_rate"): _*)
         case "video" =>
           val m = graft.functions.VideoMeta(col(binaryCol))
+          // an UNBOUNDED upper band must not materialize as
+          // Long.MaxValue * timescale (overflow — ANSI throws, legacy
+          // wraps negative and silently drops everything): an absent
+          // bound is simply no filter
+          val upper =
+            if (hiA == Long.MaxValue) lit(true)
+            else col("__m.duration") * lit(1000000L) <=
+              lit(hiA) * col("__m.timescale")
           df.withColumn("__m", m)
             .filter(col("__m").isNotNull &&
               col("__m.duration") * lit(1000000L) >=
                 lit(loA) * col("__m.timescale") &&
-              col("__m.duration") * lit(1000000L) <=
-                lit(hiA) * col("__m.timescale"))
+              upper)
             .select(out :+ col("__m.brand").as("media_brand") :+
               col("__m.timescale").as("media_timescale") :+
               col("__m.duration").as("media_duration"): _*)

@@ -904,6 +904,21 @@ class CurationConfigSpec extends GraftSpec {
     intercept[IllegalArgumentException] {
       p.applyStages(media.drop("payload"), d).count()
     }.getMessage should include("'payload'")
+    // the appended parse columns are reserved — refused, never replaced
+    intercept[IllegalArgumentException] {
+      p.applyStages(media.withColumn("media_rate", lit(1)), d).count()
+    }.getMessage should include("'media_rate'")
+    // a video gate with NO upper bound must not overflow
+    // Long.MaxValue * timescale — the absent bound is simply no filter
+    val vOpen = CurationConfig.parse(
+      """{"table": "documents", "id": "doc_id", "text": "text",
+        | "stages": [{"stage": "media_gate", "kind": "video",
+        |   "binary": "payload", "minSecMicro": 0}]}""".stripMargin)
+    val vids = spark.read.parquet(s"$d/documents.parquet")
+      .select($"doc_id", $"text",
+        graft.ext.Multimodal.syntheticMp4Payload($"doc_id").as("payload"))
+    vOpen.applyStages(vids, d).select("doc_id").as[Long].collect()
+      .sorted shouldBe (1L until 41L).filter(_ % 3 != 0) // parse-only
     // strict parse: unknown kind, missing binary, inverted band
     def bad(json: String, frag: String): Unit =
       intercept[IllegalArgumentException] {
