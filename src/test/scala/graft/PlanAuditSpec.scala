@@ -293,6 +293,60 @@ class PlanAuditSpec extends GraftSpec {
       _.isInstanceOf[org.apache.spark.sql.types.ArrayType])) should be <= 1
   }
 
+  it("media_gate is MAP-ONLY (no exchange of any kind) and its header " +
+      "kernel runs inside WholeStageCodegen — the 100 TB shape of a " +
+      "binary ingest gate: one scan, byte arithmetic, nothing shuffles") {
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.ext.Multimodal.syntheticImagePayload(col("doc_id"))
+          .as("payload"),
+        col("text").as("caption"))
+    val gated = graft.plan.CurationConfig.parse(
+      """{"table": "documents", "id": "doc_id", "text": "caption",
+        | "stages": [{"stage": "media_gate", "kind": "image",
+        |   "binary": "payload", "minWidth": 64, "maxWidth": 1600,
+        |   "minHeight": 64, "maxHeight": 1000}]}""".stripMargin)
+      .applyStages(media, dir)
+    gated.collect()
+    val p = physical(gated)
+    p should not include "Exchange"
+    p should include regex """\*\(\d+\) Project"""
+    p should include("image_meta")
+  }
+
+  it("shard assignment with units 'bytes' plans ONE hash exchange (the " +
+      "packGreedy stream shuffle) — octet_length and the epoch key ride " +
+      "the scan stage, the binary payload never shuffles for the metering") {
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.ext.Multimodal.syntheticImagePayload(col("doc_id"))
+          .as("payload"),
+        col("text").as("caption"))
+      .localCheckpoint(true)
+    val assigned = graft.ext.ShardWriter.assign(media, "doc_id",
+      "caption", "bytes", capacity = 512, epoch = 1, streams = 16,
+      binaryCol = Some("payload"))
+    assigned.collect()
+    val p = physical(assigned)
+    "Exchange hashpartitioning".r.findAllMatchIn(p).length should be >= 1
+    // inspect the exchanges' OUTPUT attributes (the plan line prints
+    // only partitioning keys): the pack shuffle moves (stream, skey,
+    // units, …) and NO exchange carries the binary payload — the
+    // assignment join broadcasts the bin-count-sized packed side, so
+    // payloads stay in their scan partitions at any corpus size
+    val shuffled = graft.plans.PlanWalk
+      .collectAll(assigned.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e.output.map(_.name)
+      }
+    shuffled should not be empty
+    shuffled.foreach(out => out should not contain "payload")
+    // the pack shuffle's projection: (stream, skey, __gsz) — key, id,
+    // and the long size, nothing else
+    shuffled.exists(out =>
+      out.contains("skey") && out.contains("__gsz")) shouldBe true
+  }
+
   it("custom expressions participate in whole-stage codegen") {
     import spark.implicits._
     // non-foldable input (range), so the projection can't constant-fold away
