@@ -34,11 +34,21 @@ class CurationStreamPropertySpec extends GraftSpec {
       // batch 2 re-sends some batch-1 texts under fresh ids: their k=4
       // windows are all stored by the seed round, so the gate must drop
       // them in BOTH the streamed and the named-batch form
-      val replays = rnd.shuffle(d1).take(5).zipWithIndex
-        .map { case ((_, t), j) => (1000L + j, t) }
-      val b1 = d1.toDF("doc_id", "text").localCheckpoint(true)
-      val b2 = (d2raw ++ replays).toDF("doc_id", "text")
+      val replaySrc = rnd.shuffle(d1).take(5).zipWithIndex
+        .map { case ((src, t), j) => (1000L + j, t, src) }
+      val replays = replaySrc.map { case (id, t, _) => (id, t) }
+      // every doc carries a deterministic binary payload: the random
+      // chain now runs the multimodal gate BETWEEN dedup and the store
+      // gate, so parity covers per-row byte arithmetic composed with
+      // stateful store gates in the stream (non-images and band
+      // rejects drop before the substr windows are ever computed)
+      def withPayload(rows: Seq[(Long, String)]) = rows
+        .toDF("doc_id", "text")
+        .withColumn("payload",
+          graft.ext.Multimodal.syntheticImagePayload(col("doc_id")))
         .localCheckpoint(true)
+      val b1 = withPayload(d1)
+      val b2 = withPayload(d2raw ++ replays)
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-csps-dir$trial").toString
       def cfgAt(base: String): CurationConfig.PipelineDef =
@@ -46,6 +56,8 @@ class CurationStreamPropertySpec extends GraftSpec {
           s"""{"table": "documents", "id": "doc_id", "text": "text",
             | "stages": [
             |   {"stage": "exact_dedup"},
+            |   {"stage": "media_gate", "kind": "image",
+            |    "binary": "payload", "minWidth": 16, "maxWidth": 1500},
             |   {"stage": "substr_gate", "path": "$base/ss", "k": 4,
             |    "maxDupWindows": 0}]}""".stripMargin)
       val sBase = java.nio.file.Files
@@ -62,8 +74,14 @@ class CurationStreamPropertySpec extends GraftSpec {
       val p = cfgAt(bBase)
       ids(p.applyStages(b1, dir, Some("r1"))) shouldBe s1
       ids(p.applyStages(b2, dir, Some("r2"))) shouldBe s2
-      // the planted replays all dropped (every window stored by batch 1)
-      s2.filter(_ >= 1000L) shouldBe empty
+      // every planted replay whose SOURCE doc survived batch 1 dropped
+      // (its windows are stored by the seed round); a replay of a
+      // gate-dropped source may legitimately survive — its text never
+      // reached the store (the media_gate sits before the substr gate)
+      val mustDrop = replaySrc
+        .filter { case (_, _, src) => s1.contains(src) }.map(_._1).toSet
+      mustDrop should not be empty
+      s2.filter(mustDrop) shouldBe empty
       // and batch 1 survivors are exactly its post-dedup set (seed round)
       s1 should not be empty
     }
