@@ -3395,6 +3395,30 @@ object SparkEntry {
       .orderBy("round", "stream", "bin")
   }
 
+  /** DQ172 (EXT/runner): the AUDIO media gate DECLARED — completes the
+    * modality triple on the declared surface (dq167 image, dq168
+    * video): WAV payloads (dq79's byte-exact chunk-table synthesis)
+    * through `media_gate(audio)` with a sample-rate band [10 kHz,
+    * 30 kHz] — keep clips that parse AND whose declared rate a speech
+    * pipeline accepts (16 kHz and 22.05 kHz pass; 8 kHz telephony and
+    * 44.1 kHz music band out). Survivors carry the parsed
+    * `media_channels`/`media_rate`; the oracle re-runs dq79's
+    * little-endian chunk walk and applies the same band. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents").select(col("doc_id"),
+      graft.ext.Multimodal.syntheticWavPayload(col("doc_id"))
+        .as("payload"),
+      col("text").as("caption"))
+    val cfg =
+      """{"table": "documents", "id": "doc_id", "text": "caption",
+        | "stages": [{"stage": "media_gate", "kind": "audio",
+        |   "binary": "payload", "minRate": 10000, "maxRate": 30000}]}"""
+        .stripMargin
+    graft.plan.CurationConfig.parse(cfg).applyStages(media, dir)
+      .select(col("doc_id"), col("media_channels"), col("media_rate"))
+      .orderBy("doc_id")
+  }
+
   /** DQ170 (EXT): the PERSISTED residual IVF-PQ tier — dq169's residual
     * chain as dq164's stored layout (`create(..., pqResidual = true)`):
     * coarse centroids AND residual codebooks train on the 80% split
@@ -3779,7 +3803,8 @@ object SparkEntry {
     "dq168_media_shard_verify"    -> (q168 _),
     "dq169_residual_ivfpq"        -> (q169 _),
     "dq170_residual_pq_store"     -> (q170 _),
-    "dq171_stream_media_shards"   -> (q171 _)
+    "dq171_stream_media_shards"   -> (q171 _),
+    "dq172_audio_gate"            -> (q172 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4236,6 +4261,62 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) rnk
         |  FROM scored)
         |WHERE rnk <= 5 ORDER BY qid, vid""".stripMargin
+
+  /** The dq79 WAV chunk-walk derivation (synthesis + little-endian
+    * re-parse up to the `parsed` CTE) — shared with dq172, whose
+    * declared `media_gate(audio)` adds the rate band on top. */
+  private val WavParseSql: String =
+    """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |    doc_id % 2 + 1 AS ch,
+        |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+        |    (doc_id % 9 + 2) * 2 AS ll,
+        |    doc_id % 997 + 10 AS ns
+        |  FROM documents),
+        |m2 AS (SELECT *, ch * (bits // 8) AS al, ns * ch * (bits // 8) AS ds FROM m),
+        |payload AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN ('not audio ' || doc_id::VARCHAR)::BLOB
+        |    ELSE
+        |      'RIFF'::BLOB ||
+        |      unhex(substr(lpad(to_hex(44 + ll + ds),8,'0'),7,2) || substr(lpad(to_hex(44 + ll + ds),8,'0'),5,2) || substr(lpad(to_hex(44 + ll + ds),8,'0'),3,2) || substr(lpad(to_hex(44 + ll + ds),8,'0'),1,2)) ||
+        |      'WAVE'::BLOB || 'LIST'::BLOB ||
+        |      unhex(substr(lpad(to_hex(ll),8,'0'),7,2) || substr(lpad(to_hex(ll),8,'0'),5,2) || substr(lpad(to_hex(ll),8,'0'),3,2) || substr(lpad(to_hex(ll),8,'0'),1,2)) ||
+        |      repeat('J', ll)::BLOB ||
+        |      'fmt '::BLOB || unhex('10000000') || unhex('0100') ||
+        |      unhex(substr(lpad(to_hex(ch),4,'0'),3,2) || substr(lpad(to_hex(ch),4,'0'),1,2)) ||
+        |      unhex(substr(lpad(to_hex(rate),8,'0'),7,2) || substr(lpad(to_hex(rate),8,'0'),5,2) || substr(lpad(to_hex(rate),8,'0'),3,2) || substr(lpad(to_hex(rate),8,'0'),1,2)) ||
+        |      unhex(substr(lpad(to_hex(rate*al),8,'0'),7,2) || substr(lpad(to_hex(rate*al),8,'0'),5,2) || substr(lpad(to_hex(rate*al),8,'0'),3,2) || substr(lpad(to_hex(rate*al),8,'0'),1,2)) ||
+        |      unhex(substr(lpad(to_hex(al),4,'0'),3,2) || substr(lpad(to_hex(al),4,'0'),1,2)) ||
+        |      unhex(substr(lpad(to_hex(bits),4,'0'),3,2) || substr(lpad(to_hex(bits),4,'0'),1,2)) ||
+        |      'data'::BLOB ||
+        |      unhex(substr(lpad(to_hex(ds),8,'0'),7,2) || substr(lpad(to_hex(ds),8,'0'),5,2) || substr(lpad(to_hex(ds),8,'0'),3,2) || substr(lpad(to_hex(ds),8,'0'),1,2))
+        |    END AS payload
+        |  FROM m2),
+        |hx AS (SELECT doc_id, upper(hex(payload)) AS h FROM payload),
+        |w1 AS (SELECT doc_id, h,
+        |    CASE WHEN substr(h,1,8) = '52494646' AND substr(h,17,8) = '57415645'
+        |         AND substr(h,25,8) = '4C495354'
+        |      THEN 41 + TRY_CAST(('0x' || substr(h,39,2) || substr(h,37,2) || substr(h,35,2) || substr(h,33,2)) AS BIGINT) * 2
+        |    END AS p2
+        |  FROM hx),
+        |w2 AS (SELECT doc_id, h, p2,
+        |    CASE WHEN p2 IS NOT NULL AND substr(h, p2::INT, 8) = '666D7420'
+        |         AND substr(h, p2::INT + 16, 4) = '0100'
+        |      THEN p2 + 48 END AS p3
+        |  FROM w1),
+        |parsed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN p3 IS NOT NULL AND substr(h, p3::INT, 8) = '64617461' THEN
+        |      TRY_CAST(('0x' || substr(h, p2::INT + 22, 2) || substr(h, p2::INT + 20, 2)) AS BIGINT)
+        |    END AS channels,
+        |    TRY_CAST(('0x' || substr(h, p2::INT + 30, 2) || substr(h, p2::INT + 28, 2) || substr(h, p2::INT + 26, 2) || substr(h, p2::INT + 24, 2)) AS BIGINT) AS sample_rate,
+        |    TRY_CAST(('0x' || substr(h, p2::INT + 46, 2) || substr(h, p2::INT + 44, 2)) AS BIGINT) AS bits,
+        |    TRY_CAST(('0x' || substr(h, p2::INT + 42, 2) || substr(h, p2::INT + 40, 2)) AS BIGINT) AS align,
+        |    TRY_CAST(('0x' || substr(h, p3::INT + 14, 2) || substr(h, p3::INT + 12, 2) || substr(h, p3::INT + 10, 2) || substr(h, p3::INT + 8, 2)) AS BIGINT) AS data_size
+        |  FROM w2)""".stripMargin
 
   /** dq170: the STORED residual tier — dq164's frozen-split chain (train
     * on the 80%, assign/encode everything against the frozen result)
@@ -7164,61 +7245,23 @@ object SparkEntry {
       // chunk walk reads LIST's length field to locate 'fmt ' (data-driven,
       // like dq73's JPEG walk) and every field decodes little-endian by
       // reversing hex byte pairs
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-        |      WHEN 2 THEN 22050 ELSE 44100 END AS rate,
-        |    doc_id % 2 + 1 AS ch,
-        |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
-        |    (doc_id % 9 + 2) * 2 AS ll,
-        |    doc_id % 997 + 10 AS ns
-        |  FROM documents),
-        |m2 AS (SELECT *, ch * (bits // 8) AS al, ns * ch * (bits // 8) AS ds FROM m),
-        |payload AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0 THEN ('not audio ' || doc_id::VARCHAR)::BLOB
-        |    ELSE
-        |      'RIFF'::BLOB ||
-        |      unhex(substr(lpad(to_hex(44 + ll + ds),8,'0'),7,2) || substr(lpad(to_hex(44 + ll + ds),8,'0'),5,2) || substr(lpad(to_hex(44 + ll + ds),8,'0'),3,2) || substr(lpad(to_hex(44 + ll + ds),8,'0'),1,2)) ||
-        |      'WAVE'::BLOB || 'LIST'::BLOB ||
-        |      unhex(substr(lpad(to_hex(ll),8,'0'),7,2) || substr(lpad(to_hex(ll),8,'0'),5,2) || substr(lpad(to_hex(ll),8,'0'),3,2) || substr(lpad(to_hex(ll),8,'0'),1,2)) ||
-        |      repeat('J', ll)::BLOB ||
-        |      'fmt '::BLOB || unhex('10000000') || unhex('0100') ||
-        |      unhex(substr(lpad(to_hex(ch),4,'0'),3,2) || substr(lpad(to_hex(ch),4,'0'),1,2)) ||
-        |      unhex(substr(lpad(to_hex(rate),8,'0'),7,2) || substr(lpad(to_hex(rate),8,'0'),5,2) || substr(lpad(to_hex(rate),8,'0'),3,2) || substr(lpad(to_hex(rate),8,'0'),1,2)) ||
-        |      unhex(substr(lpad(to_hex(rate*al),8,'0'),7,2) || substr(lpad(to_hex(rate*al),8,'0'),5,2) || substr(lpad(to_hex(rate*al),8,'0'),3,2) || substr(lpad(to_hex(rate*al),8,'0'),1,2)) ||
-        |      unhex(substr(lpad(to_hex(al),4,'0'),3,2) || substr(lpad(to_hex(al),4,'0'),1,2)) ||
-        |      unhex(substr(lpad(to_hex(bits),4,'0'),3,2) || substr(lpad(to_hex(bits),4,'0'),1,2)) ||
-        |      'data'::BLOB ||
-        |      unhex(substr(lpad(to_hex(ds),8,'0'),7,2) || substr(lpad(to_hex(ds),8,'0'),5,2) || substr(lpad(to_hex(ds),8,'0'),3,2) || substr(lpad(to_hex(ds),8,'0'),1,2))
-        |    END AS payload
-        |  FROM m2),
-        |hx AS (SELECT doc_id, upper(hex(payload)) AS h FROM payload),
-        |w1 AS (SELECT doc_id, h,
-        |    CASE WHEN substr(h,1,8) = '52494646' AND substr(h,17,8) = '57415645'
-        |         AND substr(h,25,8) = '4C495354'
-        |      THEN 41 + TRY_CAST(('0x' || substr(h,39,2) || substr(h,37,2) || substr(h,35,2) || substr(h,33,2)) AS BIGINT) * 2
-        |    END AS p2
-        |  FROM hx),
-        |w2 AS (SELECT doc_id, h, p2,
-        |    CASE WHEN p2 IS NOT NULL AND substr(h, p2::INT, 8) = '666D7420'
-        |         AND substr(h, p2::INT + 16, 4) = '0100'
-        |      THEN p2 + 48 END AS p3
-        |  FROM w1),
-        |parsed AS (
-        |  SELECT doc_id,
-        |    CASE WHEN p3 IS NOT NULL AND substr(h, p3::INT, 8) = '64617461' THEN
-        |      TRY_CAST(('0x' || substr(h, p2::INT + 22, 2) || substr(h, p2::INT + 20, 2)) AS BIGINT)
-        |    END AS channels,
-        |    TRY_CAST(('0x' || substr(h, p2::INT + 30, 2) || substr(h, p2::INT + 28, 2) || substr(h, p2::INT + 26, 2) || substr(h, p2::INT + 24, 2)) AS BIGINT) AS sample_rate,
-        |    TRY_CAST(('0x' || substr(h, p2::INT + 46, 2) || substr(h, p2::INT + 44, 2)) AS BIGINT) AS bits,
-        |    TRY_CAST(('0x' || substr(h, p2::INT + 42, 2) || substr(h, p2::INT + 40, 2)) AS BIGINT) AS align,
-        |    TRY_CAST(('0x' || substr(h, p3::INT + 14, 2) || substr(h, p3::INT + 12, 2) || substr(h, p3::INT + 10, 2) || substr(h, p3::INT + 8, 2)) AS BIGINT) AS data_size
-        |  FROM w2)
+      (WavParseSql +
+        """
         |SELECT doc_id, CAST(channels AS INTEGER) channels,
         |  CAST(sample_rate AS INTEGER) sample_rate, CAST(bits AS INTEGER) bits,
         |  CAST(data_size // align AS BIGINT) n_samples
-        |FROM parsed WHERE channels IS NOT NULL ORDER BY doc_id""".stripMargin,
+        |FROM parsed WHERE channels IS NOT NULL ORDER BY doc_id"""
+          .stripMargin),
+    // the declared audio gate: the same walk decides survivors, the
+    // declared band keeps rates in [10000, 30000]
+    "dq172_audio_gate" ->
+      (WavParseSql +
+        """
+        |SELECT doc_id, CAST(channels AS INTEGER) AS media_channels,
+        |  CAST(sample_rate AS INTEGER) AS media_rate
+        |FROM parsed WHERE channels IS NOT NULL
+        |  AND sample_rate BETWEEN 10000 AND 30000
+        |ORDER BY doc_id""".stripMargin),
     "dq78_sessions_tws" ->
       // dq26's session reconstruction + the streaming closure criterion:
       // emitted iff last_event + gap < final watermark, wm_us =
