@@ -274,6 +274,10 @@ object PqAnn {
     * expression just stops growing with the query count. */
   private def scoreForAll(cb: Codebook,
       queries: Seq[(Long, Array[Float])]): Column = {
+    // the qid keys the lookup tables: a duplicated id would silently
+    // keep one vector's scores for both — refuse by name instead
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids: each qid keys the ADC score tables")
     val stride: Long =
       cb.sub.iterator.flatMap(_.iterator.map(_._1)).max.toLong + 1L
     (0 until cb.m).map { j =>
