@@ -772,6 +772,37 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq170 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq173: the two-stage rerank's recall RECOVERY — top-5 overlap
+      //    vs the exact probed cosine ranking, ADC-only beside it (the
+      //    shortlist is exact within the net, so rerank >= ADC-only by
+      //    construction; the number says how much the net at 20 buys)
+      if (!names.exists(_.startsWith("dq173"))) None
+      else try {
+        import org.apache.spark.sql.functions._
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val base = graft.io.TempReaper.tempDir("graft-bench-rerank")
+          .toString + "/ivf"
+        val store = graft.ext.IvfStore.create(emb, "vec_id", "embedding",
+          base, k = 8, pqM = 16, pqK = 16, pqResidual = true)
+        val qids = Seq(1L, 2L, 3L)
+        def byQ(rows: Array[org.apache.spark.sql.Row]) =
+          rows.groupBy(_.getLong(0)).view
+            .mapValues(_.map(_.getLong(1)).toSet).toMap
+        val exact = byQ(
+          store.searchAll(qids, topK = 5, nprobe = 2).collect())
+        def recall(rows: Array[org.apache.spark.sql.Row]): Double =
+          exact.keys.toSeq.map(q =>
+            (exact(q) intersect byQ(rows).getOrElse(q, Set.empty)).size)
+            .sum / math.max(1.0, exact.values.map(_.size).sum)
+        val adc = recall(
+          store.searchAllPq(qids, topK = 5, nprobe = 2).collect())
+        val rr = recall(store.searchAllPqRerank(qids, topK = 5,
+          nprobe = 2, shortlist = 20).collect())
+        Some(f""""dq173_recall5_adc_only":$adc%.2f,""" +
+          f""""dq173_recall5_reranked":$rr%.2f""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq173 evidence failed: ${e.getMessage}"); None
+      },
       if (!names.exists(_.startsWith("dq59"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec

@@ -3395,6 +3395,32 @@ object SparkEntry {
       .orderBy("round", "stream", "bin")
   }
 
+  /** DQ173 (EXT): TWO-STAGE IVF-PQ search — ADC shortlist, EXACT
+    * re-rank ([[graft.ext.IvfStore.searchPqRerank]] — FAISS's
+    * search+refine pattern): stage 1 runs dq170's residual ADC at
+    * shortlist 20 over the probed code partitions; stage 2 fetches
+    * ONLY the shortlisted vectors from the float relation (probed-cell
+    * partition pruning + `vid IN` row-group pushdown) and re-scores
+    * them with the EXACT cosine, so quantization error can exclude a
+    * candidate from the net but never reorder the final top-5. The
+    * oracle chains dq170's full derivation with the shortlist window
+    * and dq118's exact cosine tail. Recall recovery is measured in the
+    * Bench evidence (rerank ≥ ADC-only against the exhaustive probed
+    * ranking). */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val base =
+      graft.io.TempReaper.tempDir("graft-dq173-rerank").toString + "/ivf"
+    val store = graft.ext.IvfStore.create(
+      emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", base,
+      k = 8, pqM = 16, pqK = 16, pqResidual = true)
+    store.appendOnce(emb.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", "dq173:b1")
+    store.searchAllPqRerank(Seq(1L, 2L, 5L), topK = 5, nprobe = 2,
+        shortlist = 20)
+      .orderBy("qid", "vid")
+  }
+
   /** DQ172 (EXT/runner): the AUDIO media gate DECLARED — completes the
     * modality triple on the declared surface (dq167 image, dq168
     * video): WAV payloads (dq79's byte-exact chunk-table synthesis)
@@ -3804,7 +3830,8 @@ object SparkEntry {
     "dq169_residual_ivfpq"        -> (q169 _),
     "dq170_residual_pq_store"     -> (q170 _),
     "dq171_stream_media_shards"   -> (q171 _),
-    "dq172_audio_gate"            -> (q172 _)
+    "dq172_audio_gate"            -> (q172 _),
+    "dq173_pq_rerank"             -> (q173 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4324,7 +4351,7 @@ object SparkEntry {
     * (`re` — appends subtract the frozen generation-1 centroids), books
     * trained on the TRAIN SPLIT's residuals only (`ret` — the create
     * corpus), scores re-add `q·centroid(cell)`. */
-  private val Dq170Sql: String =
+  private val Dq170ChainSql: String =
     ivfChainSql(8, 2, 2, " WHERE vec_id % 5 <> 0",
       "SELECT vid qid, emb qemb FROM ef WHERE vid IN (1, 2, 5)",
       assignSql = "SELECT vec_id vid, embedding emb FROM embeddings") +
@@ -4350,10 +4377,33 @@ object SparkEntry {
         |  JOIN probe p ON p.qid = t.qid AND p.cell = af.cell
         |  JOIN qc ON qc.qid = t.qid AND qc.cell = af.cell
         |  WHERE c.vid <> t.qid
-        |  GROUP BY t.qid, c.vid)
+        |  GROUP BY t.qid, c.vid)""".stripMargin
+
+  private val Dq170Sql: String =
+    Dq170ChainSql +
+      """
         |SELECT qid, vid, score FROM (SELECT qid, vid, score,
         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) rnk
         |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY qid, vid""".stripMargin
+
+  /** dq173: the TWO-STAGE search — dq170's ADC chain shortlists 20 per
+    * query, then the EXACT probed cosine (dq118's formula) re-ranks
+    * ONLY the shortlisted pairs to the true top-5. */
+  private val Dq173Sql: String =
+    Dq170ChainSql +
+      """,
+        |sl AS (SELECT qid, vid FROM (SELECT qid, vid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) rnk
+        |  FROM scored) WHERE rnk <= 20),
+        |rr AS (SELECT s.qid, a.vid,
+        |    list_sum(list_transform(range(1, 65), i -> a.emb[i]::DOUBLE * q.qemb[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(a.emb, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(q.qemb, x -> x::DOUBLE * x::DOUBLE)))) sim
+        |  FROM sl s JOIN af a ON a.vid = s.vid JOIN q ON q.qid = s.qid)
+        |SELECT qid, vid, sim FROM (SELECT qid, vid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) rnk
+        |  FROM rr)
         |WHERE rnk <= 5 ORDER BY qid, vid""".stripMargin
 
   /** dq164: the STORED IVF-PQ tier — coarse centroids AND PQ codebooks
@@ -5943,6 +5993,7 @@ object SparkEntry {
     "dq164_ivfpq_store" -> Dq164Sql,
     "dq169_residual_ivfpq" -> Dq169Sql,
     "dq170_residual_pq_store" -> Dq170Sql,
+    "dq173_pq_rerank" -> Dq173Sql,
     // refit generation: retrain-on-the-stored-relation must equal the
     // from-scratch chain over the union corpus (full-table training)
     "dq142_ivf_refit" -> Dq142Sql,

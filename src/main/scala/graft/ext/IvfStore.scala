@@ -904,6 +904,66 @@ final class IvfStore private (private val spark: SparkSession,
       nprobe: Option[Int], excludeToken: Option[String]): DataFrame =
     searchPq(queries, topK, nprobe.getOrElse(autoNprobe()), excludeToken)
 
+  /** TWO-STAGE IVF-PQ search — ADC shortlist, then EXACT re-rank: the
+    * production recall-recovery pattern (FAISS's `search` + refine):
+    * stage 1 runs [[searchPq]] at `shortlist` ≥ topK (m-byte codes,
+    * probed cells only — the cheap wide net); stage 2 re-scores ONLY
+    * the shortlisted `(qid, vid)` pairs with the EXACT cosine of the
+    * float relation ([[search]]'s arithmetic verbatim, so a re-ranked
+    * pair scores bit-identically to the exhaustive probed search) and
+    * keeps the true top-k. The float fetch prunes to the queries'
+    * probed cell partitions AND pushes `vid IN (shortlist)` into the
+    * parquet row groups — it reads candidate rows, never the cells'
+    * full mass. Cost: the ADC scan + Q·shortlist exact dot products;
+    * recall: exact WITHIN the shortlist (quantization error can no
+    * longer reorder the final top-k, only exclude a candidate from the
+    * net — widen `shortlist` to close that gap, measured in the dq173
+    * Bench evidence). Output: (qid, vid, sim: cosine), top-k per qid.
+    * Works on both raw-vector and residual generations (stage 1
+    * routes by the stored flag). */
+  def searchPqRerank(queries: Seq[(Long, Array[Float])], topK: Int,
+      nprobe: Int, shortlist: Int,
+      excludeToken: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(shortlist >= topK,
+      s"searchPqRerank: shortlist ($shortlist) must be >= topK ($topK)")
+    val ms = visible(excludeToken)
+    val cs = centroidsFor(genOf(ms))
+    val short = searchPq(queries, shortlist, nprobe, excludeToken)
+      .select("qid", "vid").as[(Long, Long)].collect()
+    if (short.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)]
+        .toDF("qid", "vid", "sim")
+    // Q·shortlist pairs — driver-sized by contract (queries are a
+    // driver-side Seq, shortlist a small constant)
+    val pairDf = short.toSeq.toDF("qid", "vid")
+    val qDf = queries.map { case (qid, emb) =>
+      (qid, emb.toSeq, IvfStore.l2NormDriver(emb))
+    }.toDF("qid", "qemb", "qnrm")
+    val cells = queries
+      .flatMap { case (_, emb) => nearestCellsDriver(emb.toSeq, nprobe, cs) }
+      .distinct
+    val reranked = assignedRelOf(ms)
+      .where(col("cell").isin(cells: _*) &&
+        col("vid").isin(short.map(_._2).distinct.toSeq: _*))
+      .join(broadcast(pairDf), Seq("vid"))
+      .join(broadcast(qDf), Seq("qid"))
+      .select(col("qid"), col("vid"),
+        (VectorFunctions.dot(col("emb"), col("qemb")) /
+          (col("nrm") * col("qnrm"))).as("sim"))
+    CandidateTopK.topPerQuery(reranked, "sim", topK)
+      .select("qid", "vid", "sim")
+  }
+
+  /** [[searchPqRerank]]'s stored-id convenience form (the
+    * [[searchAllPq]] lookup shape). */
+  def searchAllPqRerank(queryIds: Seq[Long], topK: Int, nprobe: Int,
+      shortlist: Int, excludeToken: Option[String] = None): DataFrame =
+    searchPqRerank(
+      lookupPlan(queryIds, excludeToken).collect().toSeq.map { r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray)
+      }, topK, nprobe, shortlist, excludeToken)
+
   /** [[searchAll]]'s stored-id convenience form on the PQ tier — the
     * vidmap-pruned lookup resolves the query vectors, the candidate scan
     * switches to `pqcodes/`. */

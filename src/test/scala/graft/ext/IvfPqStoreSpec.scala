@@ -203,6 +203,41 @@ class IvfPqStoreSpec extends GraftSpec {
       .select("residual").head().getBoolean(0) shouldBe true
   }
 
+  it("two-stage rerank (dq173): a full-width shortlist makes rerank " +
+     "BIT-IDENTICAL to the exact probed cosine search; a narrow " +
+     "shortlist's recall is >= ADC-only against that exact ranking; " +
+     "shortlist < topK is refused") {
+    val path = tmp()
+    val store = IvfStore.create(emb.filter($"vec_id" % 5 =!= 0),
+      "vec_id", "embedding", path, k = 8, pqM = 16, pqK = 16,
+      pqResidual = true)
+    store.appendOnce(emb.filter($"vec_id" % 5 === 0),
+      "vec_id", "embedding", "rr:b1")
+    val qids = Seq(1L, 2L, 5L)
+    // exact probed cosine — what stage 2 would compute over EVERYTHING
+    val exact = rows(store.searchAll(qids, topK = 5, nprobe = 2))
+    // a shortlist wider than any probed cell mass nets every candidate:
+    // rerank == the exact search, bit for bit (same snapshot, same
+    // cosine arithmetic, same tie-break)
+    rows(store.searchAllPqRerank(qids, topK = 5, nprobe = 2,
+      shortlist = 10000)) shouldBe exact
+    // a production-width shortlist: exact WITHIN the net, so its top-5
+    // overlap vs the exact ranking is >= the ADC-only tier's
+    def overlap(got: Seq[(Long, Long, Double)]): Int = qids.map { q =>
+      val e = exact.filter(_._1 == q).map(_._2).toSet
+      val g = got.filter(_._1 == q).map(_._2).toSet
+      (e intersect g).size
+    }.sum
+    val adcOnly = rows(
+      store.searchAllPq(qids, topK = 5, nprobe = 2))
+    val reranked = rows(store.searchAllPqRerank(qids, topK = 5,
+      nprobe = 2, shortlist = 20))
+    overlap(reranked) should be >= overlap(adcOnly)
+    intercept[IllegalArgumentException] {
+      store.searchAllPqRerank(qids, topK = 5, nprobe = 2, shortlist = 3)
+    }.getMessage should include("shortlist")
+  }
+
   it("a layout created without the tier refuses PQ search by name and " +
      "appends skip the code sidecar") {
     val path = tmp()
