@@ -19,6 +19,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver may invoke `sbt "runMain graft.Bench"` BARE (not via
+// scripts/bench.sh) and parse the last stdout line as JSON. A forked JVM's
+// stdout normally routes through sbt's logger, decorating every line with
+// "[info] " and breaking that parse. StdoutOutput makes the forked process
+// inherit the real stdout, bypassing the logger entirely.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
