@@ -798,8 +798,15 @@ object Bench {
           store.searchAllPq(qids, topK = 5, nprobe = 2).collect())
         val rr = recall(store.searchAllPqRerank(qids, topK = 5,
           nprobe = 2, shortlist = 20).collect())
+        // the advisory-resolved form (nprobe = None → occupancy
+        // recommendation, shortlist = None → 4·topK): the probe count a
+        // production caller gets without choosing a literal
+        val resolved = store.autoNprobe()
+        store.searchAllPqRerank(qids, topK = 5, nprobe = None,
+          shortlist = None, excludeToken = None).collect()
         Some(f""""dq173_recall5_adc_only":$adc%.2f,""" +
-          f""""dq173_recall5_reranked":$rr%.2f""")
+          f""""dq173_recall5_reranked":$rr%.2f,""" +
+          s""""dq173_nprobe_resolved":$resolved""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq173 evidence failed: ${e.getMessage}"); None
       },

@@ -875,9 +875,17 @@ final class IvfStore private (private val spark: SparkSession,
     * (qid, vid, score: double — approximate inner product), top-k per
     * qid. Refuses a layout created without the tier (pqM = 0). */
   def searchPq(queries: Seq[(Long, Array[Float])], topK: Int,
-      nprobe: Int, excludeToken: Option[String] = None): DataFrame = {
+      nprobe: Int, excludeToken: Option[String] = None): DataFrame =
+    searchPqMs(visible(excludeToken), queries, topK, nprobe)
+
+  /** [[searchPq]] against an ALREADY-RESOLVED manifest snapshot — the
+    * shared body, so [[searchPqRerank]]'s two stages read ONE snapshot
+    * (a commit landing between them can no longer rerank stage 1's
+    * shortlist against a different generation's centroids). */
+  private def searchPqMs(ms: Seq[Manifest],
+      queries: Seq[(Long, Array[Float])], topK: Int,
+      nprobe: Int): DataFrame = {
     import spark.implicits._
-    val ms = visible(excludeToken)
     val g = genOf(ms)
     val book = pqBookFor(g).getOrElse(throw new IllegalArgumentException(
       s"no PQ tier under $path (layout created with pqM = 0; " +
@@ -920,7 +928,9 @@ final class IvfStore private (private val spark: SparkSession,
     * net — widen `shortlist` to close that gap, measured in the dq173
     * Bench evidence). Output: (qid, vid, sim: cosine), top-k per qid.
     * Works on both raw-vector and residual generations (stage 1
-    * routes by the stored flag). */
+    * routes by the stored flag). BOTH stages read ONE manifest
+    * snapshot, resolved here — a commit (append/compact/refit) landing
+    * between them cannot split the generations. */
   def searchPqRerank(queries: Seq[(Long, Array[Float])], topK: Int,
       nprobe: Int, shortlist: Int,
       excludeToken: Option[String] = None): DataFrame = {
@@ -929,7 +939,7 @@ final class IvfStore private (private val spark: SparkSession,
       s"searchPqRerank: shortlist ($shortlist) must be >= topK ($topK)")
     val ms = visible(excludeToken)
     val cs = centroidsFor(genOf(ms))
-    val short = searchPq(queries, shortlist, nprobe, excludeToken)
+    val short = searchPqMs(ms, queries, shortlist, nprobe)
       .select("qid", "vid").as[(Long, Long)].collect()
     if (short.isEmpty)
       return spark.emptyDataset[(Long, Long, Double)]
@@ -955,6 +965,18 @@ final class IvfStore private (private val spark: SparkSession,
       .select("qid", "vid", "sim")
   }
 
+  /** [[searchPqRerank]] with ADVISORY resolution — the production entry
+    * point (rerank is the path a caller should prefer; it must not be
+    * the one form still demanding literals): `nprobe = None` resolves
+    * through [[autoNprobe]] exactly like every other search form, and
+    * `shortlist = None` defaults to 4·topK (FAISS's refine `k_factor`
+    * convention). */
+  def searchPqRerank(queries: Seq[(Long, Array[Float])], topK: Int,
+      nprobe: Option[Int], shortlist: Option[Int],
+      excludeToken: Option[String]): DataFrame =
+    searchPqRerank(queries, topK, nprobe.getOrElse(autoNprobe()),
+      shortlist.getOrElse(4 * topK), excludeToken)
+
   /** [[searchPqRerank]]'s stored-id convenience form (the
     * [[searchAllPq]] lookup shape). */
   def searchAllPqRerank(queryIds: Seq[Long], topK: Int, nprobe: Int,
@@ -963,6 +985,14 @@ final class IvfStore private (private val spark: SparkSession,
       lookupPlan(queryIds, excludeToken).collect().toSeq.map { r =>
         (r.getLong(0), r.getSeq[Float](1).toArray)
       }, topK, nprobe, shortlist, excludeToken)
+
+  /** [[searchAllPqRerank]] with advisory resolution (`nprobe = None` →
+    * [[autoNprobe]], `shortlist = None` → 4·topK). */
+  def searchAllPqRerank(queryIds: Seq[Long], topK: Int,
+      nprobe: Option[Int], shortlist: Option[Int],
+      excludeToken: Option[String]): DataFrame =
+    searchAllPqRerank(queryIds, topK, nprobe.getOrElse(autoNprobe()),
+      shortlist.getOrElse(4 * topK), excludeToken)
 
   /** [[searchAll]]'s stored-id convenience form on the PQ tier — the
     * vidmap-pruned lookup resolves the query vectors, the candidate scan

@@ -192,18 +192,21 @@ object CurationConfig {
               col("__m.sample_rate").as("media_rate"): _*)
         case "video" =>
           val m = graft.functions.VideoMeta(col(binaryCol))
-          // an UNBOUNDED upper band must not materialize as
-          // Long.MaxValue * timescale (overflow — ANSI throws, legacy
-          // wraps negative and silently drops everything): an absent
-          // bound is simply no filter
+          // the band products can exceed Long for ANY large declared
+          // bound (bound × timescale, timescale up to 2^31−1 from
+          // untrusted bytes) and for a hostile v1 duration (duration ×
+          // 1e6, duration up to Long.MaxValue) — legacy mode would wrap
+          // negative and silently invert the gate, ANSI would throw.
+          // Decimal(38,0) holds both products exactly (< 1e29), so the
+          // comparison is the same integer arithmetic, just wide enough.
+          val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+          val secMicro = col("__m.duration").cast(dec) * lit(1000000L)
           val upper =
             if (hiA == Long.MaxValue) lit(true)
-            else col("__m.duration") * lit(1000000L) <=
-              lit(hiA) * col("__m.timescale")
+            else secMicro <= lit(hiA).cast(dec) * col("__m.timescale")
           df.withColumn("__m", m)
             .filter(col("__m").isNotNull &&
-              col("__m.duration") * lit(1000000L) >=
-                lit(loA) * col("__m.timescale") &&
+              secMicro >= lit(loA).cast(dec) * col("__m.timescale") &&
               upper)
             .select(out :+ col("__m.brand").as("media_brand") :+
               col("__m.timescale").as("media_timescale") :+
@@ -212,24 +215,26 @@ object CurationConfig {
     }
     override def outputSchema(in: StructType, idCol: String,
         textCol: String): StructType = kind match {
-      // survivors passed the null filter, so the appended fields are
-      // the kernels' non-null struct fields
+      // survivors passed the null filter, so the appended VALUES are
+      // never null — but apply() extracts them from the kernel's
+      // NULLABLE struct, which Spark types nullable = true; the
+      // zero-batch contract schema must say what a real batch says
       case "image" => in
-        .add(StructField("media_format", StringType, nullable = false))
+        .add(StructField("media_format", StringType, nullable = true))
         .add(StructField("media_w",
-          org.apache.spark.sql.types.IntegerType, nullable = false))
+          org.apache.spark.sql.types.IntegerType, nullable = true))
         .add(StructField("media_h",
-          org.apache.spark.sql.types.IntegerType, nullable = false))
+          org.apache.spark.sql.types.IntegerType, nullable = true))
       case "audio" => in
         .add(StructField("media_channels",
-          org.apache.spark.sql.types.IntegerType, nullable = false))
+          org.apache.spark.sql.types.IntegerType, nullable = true))
         .add(StructField("media_rate",
-          org.apache.spark.sql.types.IntegerType, nullable = false))
+          org.apache.spark.sql.types.IntegerType, nullable = true))
       case _ => in
-        .add(StructField("media_brand", StringType, nullable = false))
+        .add(StructField("media_brand", StringType, nullable = true))
         .add(StructField("media_timescale",
-          org.apache.spark.sql.types.IntegerType, nullable = false))
-        .add(StructField("media_duration", LongType, nullable = false))
+          org.apache.spark.sql.types.IntegerType, nullable = true))
+        .add(StructField("media_duration", LongType, nullable = true))
     }
   }
 

@@ -238,6 +238,62 @@ class IvfPqStoreSpec extends GraftSpec {
     }.getMessage should include("shortlist")
   }
 
+  it("rerank under the token-replay view: excludeToken hides a pending " +
+     "append from BOTH stages even across a refit — centroids, " +
+     "codebooks AND stage 2's float fetch resolve the pre-append " +
+     "generation, so the excluded answer is bit-identical to the " +
+     "pre-append answer") {
+    val store = IvfStore.create(emb.filter($"vec_id" % 5 =!= 0),
+      "vec_id", "embedding", tmp(), k = 8, pqM = 16, pqK = 16)
+    val qids = Seq(1L, 2L, 3L)
+    val before = rows(store.searchAllPqRerank(qids, topK = 5,
+      nprobe = 2, shortlist = 20))
+    store.appendOnce(emb.filter($"vec_id" % 5 === 0),
+      "vec_id", "embedding", "rk:t1")
+    // a replayed micro-batch mid-append sees only committed-before-me
+    // state: the shortlist, the rerank cosine, and the query lookup all
+    // read the excluded snapshot
+    rows(store.searchAllPqRerank(qids, topK = 5, nprobe = 2,
+      shortlist = 20, excludeToken = Some("rk:t1"))) shouldBe before
+    // the refit folds everything but CARRIES the newest token — the
+    // excluded view then resolves the pre-append generation's dirs
+    // through both stages (the r15 two-snapshot hazard, now impossible:
+    // one manifest snapshot is threaded through stage 1 and stage 2)
+    store.refit(k = 8)
+    rows(store.searchAllPqRerank(qids, topK = 5, nprobe = 2,
+      shortlist = 20, excludeToken = Some("rk:t1"))) shouldBe before
+  }
+
+  it("advisory-resolved rerank: nprobe = None resolves through the " +
+     "stored occupancy advisory (a target-mass flip changes the probe " +
+     "count) and shortlist = None defaults to 4·topK — each None form " +
+     "bit-identical to its literal form") {
+    val store = IvfStore.create(emb, "vec_id", "embedding", tmp(),
+      k = 8, pqM = 16, pqK = 16)
+    val qids = Seq(1L, 2L, 5L)
+    val conf = "spark.graft.ivf.autoTargetMassMicro"
+    def resolvedAt(target: String): Int = {
+      spark.conf.set(conf, target)
+      try store.autoNprobe() finally spark.conf.unset(conf)
+    }
+    // the flip: a small target mass needs few probes, a near-total one
+    // needs (nearly) all cells — the advisory, not a literal, decides
+    val lowN = resolvedAt("100000")
+    val highN = resolvedAt("990000")
+    lowN should be < highN
+    for ((target, n) <- Seq("100000" -> lowN, "990000" -> highN)) {
+      spark.conf.set(conf, target)
+      try {
+        // nprobe = None → the advisory's recommendation; shortlist =
+        // None → 4·topK: both resolved forms equal the literal calls
+        rows(store.searchAllPqRerank(qids, topK = 5, nprobe = None,
+          shortlist = None, excludeToken = None)) shouldBe
+          rows(store.searchAllPqRerank(qids, topK = 5, nprobe = n,
+            shortlist = 20))
+      } finally spark.conf.unset(conf)
+    }
+  }
+
   it("a layout created without the tier refuses PQ search by name and " +
      "appends skip the code sidecar") {
     val path = tmp()

@@ -139,6 +139,12 @@ class StoreCrashPropertySpec extends GraftSpec {
         val st = IvfStore.open(spark, p)
         manifestState(p) :+ st.stats.toString :+
           st.searchAllPq(Seq(1L), topK = 3, nprobe = 2)
+            .orderBy("vid").collect().mkString(",") :+
+          // the TWO-STAGE search converges too: a crash-replayed run's
+          // rerank (ADC shortlist + exact refine over one snapshot)
+          // answers identically to the clean run's
+          st.searchAllPqRerank(Seq(1L), topK = 3, nprobe = 2,
+              shortlist = 6)
             .orderBy("vid").collect().mkString(",")
       }),
     H("lm", textBatches,
