@@ -3421,6 +3421,72 @@ object SparkEntry {
       .orderBy("qid", "vid")
   }
 
+  /** DQ174 (EXT/runner): EXACT BINARY-PAYLOAD DEDUP DECLARED (r15
+    * verdict #1a — until now two byte-identical images with different
+    * captions passed every gate, because the whole dedup family keys on
+    * text): payloads synthesized from `doc_id % 97` (so documents
+    * sharing a group carry BYTE-IDENTICAL image payloads under distinct
+    * captions) flow through a declared `media_dedup` stage
+    * ([[graft.ext.MediaDedup.exactByPayload]]) — keep the lowest-id row
+    * per payload digest. Digests shuffle, payloads don't: the keep
+    * decision returns as an anti-join against the losers. The oracle
+    * re-synthesizes the payload bytes (dq167's PNG/JPEG hex synthesis,
+    * group-keyed), re-derives the hex-domain digest `md5(hex(payload))`,
+    * and keeps min(doc_id) per digest. */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents").select(col("doc_id"),
+      graft.ext.Multimodal.syntheticImagePayload(col("doc_id") % 97)
+        .as("payload"),
+      col("text").as("caption"))
+    val cfg =
+      """{"table": "documents", "id": "doc_id", "text": "caption",
+        | "stages": [{"stage": "media_dedup", "binary": "payload"}]}"""
+        .stripMargin
+    graft.plan.CurationConfig.parse(cfg).applyStages(media, dir)
+      .select(col("doc_id"),
+        graft.ext.MediaDedup.payloadDigest(col("payload"))
+          .as("payload_md5"),
+        octet_length(col("payload")).cast("long").as("nb"))
+      .orderBy("doc_id")
+  }
+
+  /** DQ175 (EXT/runner): NEAR-dup BINARY dedup DECLARED — the blocked
+    * byte signature ([[graft.ext.MediaDedup.nearDupPairsBytes]]: the
+    * SimHash pigeonhole applied to bytes): payloads are eight 32-byte
+    * blocks; documents in the same `doc_id % 60` group share blocks
+    * 0..6 and differ (by `(doc_id DIV 60) % 3`) only in block 7 —
+    * 7 of 8 matches ≥ the declared minMatch 6, so every group collapses
+    * to its min id through [[graft.ext.Dedup.keepCanonical]]'s
+    * transitive closure; `doc_id % 7 = 0` rows salt EVERY block with
+    * their own id (no bucket ever pairs them) and all survive. The
+    * oracle re-derives the block bytes, the hex-slice md5 signature,
+    * the capped (length, index, hash) buckets, the ≥ minMatch pair
+    * rule, and the recursive-CTE closure (dq47's pattern). */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val g = col("doc_id") % 60
+    val v = expr("doc_id DIV 60") % 3
+    val solo = col("doc_id") % 7 === 0
+    def blk(j: Int): Column =
+      when(solo, md5(concat_ws(":", lit("solo"), col("doc_id"), lit(j))))
+        .otherwise(
+          if (j == 7) md5(concat_ws(":", lit("mb"), g, lit(j), v))
+          else md5(concat_ws(":", lit("mb"), g, lit(j))))
+    val media = t(s, dir, "documents").select(col("doc_id"),
+      concat((0 to 7).map(blk): _*).cast("binary").as("payload"),
+      col("text").as("caption"))
+    val cfg =
+      """{"table": "documents", "id": "doc_id", "text": "caption",
+        | "stages": [{"stage": "media_dedup", "mode": "near",
+        |   "binary": "payload", "blocks": 8, "minMatch": 6,
+        |   "maxBucket": 100}]}""".stripMargin
+    graft.plan.CurationConfig.parse(cfg).applyStages(media, dir)
+      .select(col("doc_id"),
+        graft.ext.MediaDedup.payloadDigest(col("payload"))
+          .as("payload_md5"),
+        octet_length(col("payload")).cast("long").as("nb"))
+      .orderBy("doc_id")
+  }
+
   /** DQ172 (EXT/runner): the AUDIO media gate DECLARED — completes the
     * modality triple on the declared surface (dq167 image, dq168
     * video): WAV payloads (dq79's byte-exact chunk-table synthesis)
@@ -3831,7 +3897,9 @@ object SparkEntry {
     "dq170_residual_pq_store"     -> (q170 _),
     "dq171_stream_media_shards"   -> (q171 _),
     "dq172_audio_gate"            -> (q172 _),
-    "dq173_pq_rerank"             -> (q173 _)
+    "dq173_pq_rerank"             -> (q173 _),
+    "dq174_media_dedup_exact"     -> (q174 _),
+    "dq175_media_dedup_near"      -> (q175 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -5994,6 +6062,78 @@ object SparkEntry {
     "dq169_residual_ivfpq" -> Dq169Sql,
     "dq170_residual_pq_store" -> Dq170Sql,
     "dq173_pq_rerank" -> Dq173Sql,
+    // exact binary-payload dedup: re-synthesize the group-keyed image
+    // bytes (dq167's hex synthesis at g = doc_id % 97), re-derive the
+    // hex-domain digest md5(hex(payload)), keep min(doc_id) per digest
+    "dq174_media_dedup_exact" ->
+      """WITH m AS (SELECT doc_id, doc_id % 97 AS g FROM documents),
+        |p AS (SELECT doc_id, g, g % 1897 + 16 AS w0,
+        |    (g * 7) % 1061 + 16 AS h0,
+        |    g % 8 + 14 AS ap, (g * 3) % 5 + 2 AS cp FROM m),
+        |payload AS (SELECT doc_id,
+        |    CASE WHEN g % 5 = 0 THEN ('not an image ' || g::VARCHAR)::BLOB
+        |    WHEN g % 2 = 0 THEN
+        |      unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
+        |        || lpad(to_hex(w0), 8, '0') || lpad(to_hex(h0), 8, '0')
+        |        || '0806000000')
+        |    ELSE
+        |      unhex('FFD8' || 'FFE0' || lpad(to_hex(ap + 2), 4, '0')
+        |        || repeat('4A', ap)
+        |        || 'FFFE' || lpad(to_hex(cp + 2), 4, '0') || repeat('43', cp)
+        |        || 'FFC0' || '000B' || '08'
+        |        || lpad(to_hex(h0), 4, '0') || lpad(to_hex(w0), 4, '0')
+        |        || '012200' || 'FFD9')
+        |    END AS payload
+        |  FROM p),
+        |d AS (SELECT doc_id, md5(upper(hex(payload))) AS payload_md5,
+        |    octet_length(payload)::BIGINT AS nb FROM payload),
+        |k AS (SELECT doc_id, payload_md5, nb,
+        |    min(doc_id) OVER (PARTITION BY payload_md5) AS keep FROM d)
+        |SELECT doc_id, payload_md5, nb FROM k WHERE doc_id = keep
+        |ORDER BY doc_id""".stripMargin,
+    // near-dup binary dedup: eight 32-byte blocks per payload, the
+    // hex-slice md5 signature, capped (length, index, hash) buckets,
+    // the >= minMatch pair rule, and dq47's recursive-CTE closure
+    "dq175_media_dedup_near" ->
+      """WITH RECURSIVE docs2 AS (SELECT doc_id, doc_id % 60 AS g,
+        |    (doc_id // 60) % 3 AS v, (doc_id % 7 = 0) AS solo
+        |  FROM documents),
+        |blkj AS (SELECT doc_id, g, v, solo, unnest(range(0, 8)) AS j
+        |  FROM docs2),
+        |blks AS (SELECT doc_id, j,
+        |    CASE WHEN solo THEN md5('solo:' || doc_id::VARCHAR || ':' || j)
+        |      WHEN j = 7 THEN md5('mb:' || g::VARCHAR || ':' || j
+        |        || ':' || v::VARCHAR)
+        |      ELSE md5('mb:' || g::VARCHAR || ':' || j) END AS b
+        |  FROM blkj),
+        |payload AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS ps
+        |  FROM blks GROUP BY doc_id),
+        |hx AS (SELECT doc_id, upper(hex(ps::BLOB)) AS h,
+        |    octet_length(ps::BLOB)::BIGINT AS nb FROM payload),
+        |sigi AS (SELECT doc_id, nb, h, unnest(range(0, 8)) AS i FROM hx),
+        |sig AS (SELECT doc_id, nb, i,
+        |    md5(substr(h, (i * 64 + 1)::INT, 64)) AS bh FROM sigi),
+        |bucket AS (SELECT nb, i, bh, count(*) AS c FROM sig
+        |  GROUP BY 1, 2, 3),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b
+        |    ON a.nb = b.nb AND a.i = b.i AND a.bh = b.bh
+        |    AND a.doc_id < b.doc_id
+        |  JOIN bucket k ON k.nb = a.nb AND k.i = a.i AND k.bh = a.bh
+        |  WHERE k.c BETWEEN 2 AND 100
+        |  GROUP BY 1, 2 HAVING count(*) >= 6),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        |  UNION SELECT doc_b, doc_a FROM pr),
+        |verts AS (SELECT DISTINCT a AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM verts
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |clusters AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        |SELECT h2.doc_id, md5(h2.h) AS payload_md5, h2.nb AS nb
+        |FROM hx h2 LEFT JOIN clusters c ON h2.doc_id = c.id
+        |WHERE c.id IS NULL OR h2.doc_id = c.rep
+        |ORDER BY h2.doc_id""".stripMargin,
     // refit generation: retrain-on-the-stored-relation must equal the
     // from-scratch chain over the union corpus (full-table training)
     "dq142_ivf_refit" -> Dq142Sql,

@@ -1,0 +1,166 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Content-level deduplication for BINARY payload columns (EXT,
+  * SURVEY §2.10 U3 — the multimodal complement of [[Dedup]]): the text
+  * dedup family keys on the caption, so two byte-identical images with
+  * different captions sail through every text gate. These operators key
+  * on the PAYLOAD BYTES.
+  *
+  * Two forms, mirroring the text family's split:
+  *  - EXACT ([[exactByPayload]]): one digest per payload; keep the
+  *    lowest-id row per byte-identical payload.
+  *  - NEAR ([[nearDupPairsBytes]] → [[keepNearCanonical]]): a blocked
+  *    byte signature — the payload's hex encoding is cut into a fixed
+  *    number of equal-stride blocks, each block md5-hashed; two
+  *    same-length payloads are near-duplicates when ≥ `minMatch` of
+  *    their `blocks` block hashes agree AT THE SAME OFFSET (the SimHash
+  *    pigeonhole applied to bytes: payloads differing in ≤
+  *    blocks−minMatch localized byte runs always share enough blocks).
+  *    Candidates come from bucketing on (length, block index, block
+  *    hash) — never an all-pairs comparison — and the canonical keep is
+  *    [[Dedup.keepCanonical]]'s transitive-closure min-id rule.
+  *
+  * Scale design (the 100 TB shape):
+  *  - payload bytes NEVER ride a shuffle: both forms project to
+  *    (id, digest)/(id, length, block hashes) — tens of bytes per row —
+  *    before any exchange, and return the keep decision to the full
+  *    frame as an anti-join against the LOSERS (∝ duplicates, which AQE
+  *    converts to a broadcast at runtime) or [[Dedup.keepByClusters]]'s
+  *    duplicate-proportional cluster join;
+  *  - bucket expansion is capped ([[Pairs.explodeSortedIdPairs]] after a
+  *    size filter), the standard LSH guard — a degenerate block value
+  *    (a run of zeros shared by half the corpus) cannot go quadratic;
+  *  - every hash is hex-domain md5 over substrings of `hex(payload)` —
+  *    pure string/integer arithmetic any engine reproduces bit-for-bit
+  *    (the DuckDB oracle re-derives digests AND buckets).
+  *
+  * Stream legality: both forms are WITHIN-FRAME (per micro-batch in a
+  * stream), exactly like the declared `exact_dedup` — batch-local
+  * semantics with no corpus statistics, so the streamed runners accept
+  * them. CROSS-BATCH gating ("drop payloads seen in any earlier batch")
+  * is store-mediated like every other history gate — that form lives in
+  * the persisted-index family, not here.
+  */
+object MediaDedup {
+
+  /** The payload's content digest, defined in the HEX-STRING domain:
+    * md5 over `hex(payload)` (Spark and DuckDB both produce uppercase
+    * hex, so the digest — md5 of that string's UTF-8 bytes — is the
+    * same 32-char answer on both engines). This string IS the binary
+    * dedup identity. */
+  def payloadDigest(payload: Column): Column = md5(hex(payload))
+
+  /** EXACT payload dedup: keep, per byte-identical payload, the row with
+    * the smallest `idCol`. Winner resolution shuffles (id, digest) rows
+    * only; the keep decision returns via [[Dedup.keepUnseen]]'s Bloom
+    * split — a broadcast filter over the LOSER ids (∝ duplicates) passes
+    * the definitely-kept majority map-only (no false negatives ⇒ a row
+    * the filter rejects provably has no loser entry), and only the
+    * might-loser minority rides the exact anti-join. The loser relation
+    * is call-scope cached and counted, so the planner sees its true
+    * (tiny) size and broadcasts the anti-join statically — payload
+    * bytes cross NO exchange on the common low-duplication path, and a
+    * pathological all-dup corpus degrades to a duplicate-proportional
+    * shuffle, never a corpus-wide one. */
+  def exactByPayload(df: DataFrame, payloadCol: String,
+      idCol: String): DataFrame = {
+    val losers = df
+      .select(col(idCol).as("__md_id"),
+        payloadDigest(col(payloadCol)).as("__md_d"))
+      .withColumn("__md_keep",
+        min(col("__md_id")).over(Window.partitionBy(col("__md_d"))))
+      .filter(col("__md_id") =!= col("__md_keep"))
+      .select(col("__md_id"))
+    dropLosers(df, idCol, losers)
+  }
+
+  /** Drop the loser rows from `df` without ever shuffling its payload
+    * column: Bloom filter over the loser ids broadcast and split (the
+    * definitely-kept majority passes map-only — no false negatives ⇒ a
+    * rejected id provably has no loser entry), exact anti-join for the
+    * might-loser minority against the call-scope-cached loser relation
+    * (counted, so the planner sees its true size and broadcasts
+    * statically on the common path). */
+  private def dropLosers(df: DataFrame, idCol: String,
+      losers: DataFrame): DataFrame =
+    CacheScope.withCached(losers) {
+      val items = math.max(1L, losers.count())
+      val filter = BloomPrune.buildFilter(losers, "__md_id", items)
+      val (maybeLoser, definitelyKept) = BloomPrune.split(df, idCol, filter)
+      val verifiedKept = maybeLoser
+        .join(losers, col(idCol) === col("__md_id"), "left_anti")
+      definitelyKept.union(
+        verifiedKept.select(definitelyKept.columns.map(col): _*))
+    }
+
+  /** The blocked byte-signature rows: (doc_id, nb, i, bh) — `nb` the
+    * payload byte length, `i` the block index in [0, blocks), `bh` the
+    * md5 of block i's hex slice. The stride is `ceil(nb / blocks)`
+    * BYTES (so ×2 in hex chars), byte-aligned; the last block may be
+    * short, and blocks past the payload hash the empty string (equal
+    * lengths hash equally — harmless, length is part of the bucket
+    * key). */
+  def signatureRows(df: DataFrame, idCol: String, payloadCol: String,
+      blocks: Int): DataFrame = {
+    require(blocks >= 2, s"blocks must be >= 2, got $blocks")
+    val nb = octet_length(col(payloadCol)).cast("long")
+    df.select(col(idCol).as("doc_id"), nb.as("nb"),
+        hex(col(payloadCol)).as("__h"))
+      // ceil(nb / blocks) bytes = ×2 hex chars, in INTEGER arithmetic
+      // (Column./ is double division — a truncation hazard, and the
+      // oracle's // is integral)
+      .withColumn("__s",
+        (expr(s"(nb + ${blocks - 1}) DIV $blocks") * 2).cast("int"))
+      .select(col("doc_id"), col("nb"),
+        posexplode(transform(sequence(lit(0), lit(blocks - 1)), i =>
+          md5(col("__h").substr(i * col("__s") + 1, col("__s"))))))
+      .toDF("doc_id", "nb", "i", "bh")
+  }
+
+  /** NEAR-dup candidate pairs over the blocked signature: `(doc_a,
+    * doc_b)` with a < b for same-length payloads sharing ≥ `minMatch`
+    * of `blocks` block hashes at the same index. Buckets on (nb, i, bh)
+    * sized outside [2, maxBucket] are dropped before pair expansion
+    * (the LSH cap — degenerate shared blocks cannot go quadratic); the
+    * per-pair match count is the number of surviving shared buckets. */
+  def nearDupPairsBytes(df: DataFrame, idCol: String, payloadCol: String,
+      blocks: Int = 8, minMatch: Int = 6,
+      maxBucket: Int = 100): DataFrame = {
+    require(minMatch >= 1 && minMatch <= blocks,
+      s"minMatch must be in [1, blocks=$blocks], got $minMatch")
+    Pairs.explodeSortedIdPairs(
+      signatureRows(df, idCol, payloadCol, blocks)
+        .groupBy(col("nb"), col("i"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, maxBucket)),
+      "ids")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= minMatch)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** The complete near-dup keep decision: detector pairs → transitive
+    * closure ([[ConnectedComponents]], min-id representative —
+    * [[Dedup.keepCanonical]]'s rule) — one surviving row per duplicate
+    * group plus every ungrouped row. The keep-join is [[dropLosers]]'
+    * Bloom split rather than [[Dedup.keepByClusters]]' outer join, so
+    * the payload column stays out of the exchange even when AQE
+    * pre-materializes a join stage. */
+  def keepNearCanonical(df: DataFrame, idCol: String, payloadCol: String,
+      blocks: Int = 8, minMatch: Int = 6,
+      maxBucket: Int = 100): DataFrame = {
+    val clusters = ConnectedComponents.run(
+      nearDupPairsBytes(df, idCol, payloadCol, blocks, minMatch, maxBucket),
+      "doc_a", "doc_b")
+    // same survivors as keepByClusters: rows in no cluster, plus each
+    // cluster's min-id representative — i.e. drop members ≠ component
+    val losers = clusters.filter(col("id") =!= col("component"))
+      .select(col("id").as("__md_id"))
+    dropLosers(df, idCol, losers)
+  }
+}

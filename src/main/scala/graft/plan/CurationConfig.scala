@@ -238,6 +238,37 @@ object CurationConfig {
     }
   }
 
+  /** BINARY-PAYLOAD CONTENT DEDUP — the multimodal gate the text family
+    * cannot provide (every text dedup keys on the caption, so two
+    * byte-identical images with different captions pass them all):
+    *  - `mode: "exact"` ([[graft.ext.MediaDedup.exactByPayload]]): keep
+    *    the lowest-id row per byte-identical payload — one digest
+    *    shuffle, payloads never ride an exchange;
+    *  - `mode: "near"` ([[graft.ext.MediaDedup.keepNearCanonical]]):
+    *    blocked byte signatures (`blocks` equal-stride hex-slice md5s)
+    *    bucketed on (length, block index, block hash) with the
+    *    [2, maxBucket] LSH cap; same-length payloads sharing ≥
+    *    `minMatch` blocks at the same offset are near-duplicates, and
+    *    the keep is the transitive-closure min-id rule.
+    * WITHIN-FRAME semantics exactly like `exact_dedup` (per micro-batch
+    * in a stream — batch-local, no corpus statistics, stream-legal);
+    * cross-batch payload gating is the store-mediated form. */
+  final case class MediaDedupStage(mode: String, binaryCol: String,
+      blocks: Int, minMatch: Int, maxBucket: Int) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
+      require(df.columns.contains(binaryCol),
+        s"media_dedup: no '$binaryCol' binary column in the input")
+      mode match {
+        case "exact" =>
+          graft.ext.MediaDedup.exactByPayload(df, binaryCol, idCol)
+        case _ =>
+          graft.ext.MediaDedup.keepNearCanonical(df, idCol, binaryCol,
+            blocks, minMatch, maxBucket)
+      }
+    }
+  }
+
   /** Temperature-scaled source mixture
     * ([[Sampling.temperatureMixPortable]]): flatten the mixture toward
     * rare strata (n^0.5 weights) at a declared total-document target —
@@ -806,6 +837,7 @@ object CurationConfig {
     case _: MixGate => "mix_gate"
     case _: LangGate => "lang_gate"
     case _: MediaGate => "media_gate"
+    case _: MediaDedupStage => "media_dedup"
     case _: RepeatEpochs => "repeat_epochs"
     case _: RepeatEpochsByStrata => "repeat_epochs"
     case _: WhereExpr => "where"
@@ -1009,6 +1041,32 @@ object CurationConfig {
             val (loS, hiS) = band("minSecMicro", "maxSecMicro")
             MediaGate("video", binary, loS, hiS, 0L, Long.MaxValue)
         }
+      case "media_dedup" =>
+        val binary = j \ "binary" match {
+          case JString(b) if b.trim.nonEmpty => b
+          case _ => fail("stage 'media_dedup' needs a non-empty 'binary' " +
+            "column name (the payload bytes the dedup keys on)")
+        }
+        val mode = j \ "mode" match {
+          case JString(m) if m == "exact" || m == "near" => m
+          case JString(m) => fail(s"stage 'media_dedup': unknown mode " +
+            s"'$m' (exact | near)")
+          case JNothing => "exact"
+          case _ => fail("stage 'media_dedup' 'mode' must be a string " +
+            "(exact | near)")
+        }
+        val blocks = long("blocks").getOrElse(8L)
+        if (blocks < 2 || blocks > 256)
+          fail(s"stage 'media_dedup': blocks must be in [2, 256], got $blocks")
+        val minMatch = long("minMatch").getOrElse(blocks * 3 / 4)
+        if (minMatch < 1 || minMatch > blocks)
+          fail(s"stage 'media_dedup': minMatch must be in [1, blocks=" +
+            s"$blocks], got $minMatch")
+        val maxBucket = long("maxBucket").getOrElse(100L)
+        if (maxBucket < 2)
+          fail(s"stage 'media_dedup': maxBucket must be >= 2, got $maxBucket")
+        MediaDedupStage(mode, binary, blocks.toInt, minMatch.toInt,
+          maxBucket.toInt)
       case "temperature_mix" =>
         val strata = j \ "strata" match {
           case JString(s) => s
@@ -1245,7 +1303,8 @@ object CurationConfig {
           binary)
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
-          "fluency_band | lang_gate | media_gate | token_budget | " +
+          "fluency_band | lang_gate | media_gate | media_dedup | " +
+          "token_budget | " +
           "temperature_mix | mix_gate | repeat_epochs | where | " +
           "substr_gate | decontam_gate | neardup_gate | semantic_gate | " +
           "ivf_maintain | store_vacuum | lm_gate | probe_gate | " +
