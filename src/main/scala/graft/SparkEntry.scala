@@ -3487,6 +3487,59 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** DQ176 (EXT, §2.9): the BINARY-payload history gate STREAMED — the
+    * [[graft.ext.MediaDigestIndex]] as the SIXTH modality of the ONE
+    * generic ingest loop ([[EventStream.runIndexedIngest]] over the
+    * [[graft.ext.IngestIndex]] contract): history payloads are digested
+    * once at build; each micro-batch drops rows whose payload digest is
+    * already stored (byte-identical to any earlier round — batch 1's
+    * history copies drop, batch 2's copies of batch 1's fresh payloads
+    * drop ONLY because the loop appended them) and appends its
+    * survivors' digests, exactly-once via batch tokens + the
+    * replay-view gate. The oracle re-derives every payload's hex-domain
+    * digest from the synthesized bytes and replays the two-round
+    * seen-set recurrence. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    def pay(c: Column): Column = concat(
+      md5(concat_ws(":", lit("pay"), c)),
+      md5(concat_ws(":", lit("pay2"), c))).cast("binary")
+    val withP = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("payload", pay(col("doc_id")))
+    val hist = withP.filter(col("doc_id") % 3 =!= 0)
+    val b1 = hist.filter(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 10000).as("doc_id"), col("payload"),
+        col("source"))
+      .union(withP.filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id"), col("payload"), col("source")))
+    val b2 = withP.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 30000).as("doc_id"), col("payload"),
+        col("source"))
+      .union(hist.filter(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 40000).as("doc_id"), col("payload"),
+          col("source")))
+      .union(withP.filter(col("doc_id") % 6 === 3)
+        .select(col("doc_id"), col("payload"), col("source")))
+    val in = graft.io.TempReaper.tempDir("graft-dq176-in").toString
+    b1.coalesce(1).write.parquet(s"$in/b1.parquet")
+    b2.coalesce(1).write.parquet(s"$in/b2.parquet")
+    val later = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 120000L)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b2.parquet"))
+      .forEach(p => { java.nio.file.Files.setLastModifiedTime(p, later); () })
+    val idxPath =
+      graft.io.TempReaper.tempDir("graft-dq176-idx").toString + "/idx"
+    val idx = graft.ext.MediaDigestIndex.build(hist, "doc_id", "payload",
+      idxPath)
+    val incoming = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    EventStream.runIndexedIngest(incoming, idx, "doc_id", "payload",
+        "dq176")
+      .select(col("batch"), col("doc_id"), col("source"))
+      .orderBy("batch", "doc_id")
+  }
+
   /** DQ172 (EXT/runner): the AUDIO media gate DECLARED — completes the
     * modality triple on the declared surface (dq167 image, dq168
     * video): WAV payloads (dq79's byte-exact chunk-table synthesis)
@@ -3899,7 +3952,8 @@ object SparkEntry {
     "dq172_audio_gate"            -> (q172 _),
     "dq173_pq_rerank"             -> (q173 _),
     "dq174_media_dedup_exact"     -> (q174 _),
-    "dq175_media_dedup_near"      -> (q175 _)
+    "dq175_media_dedup_near"      -> (q175 _),
+    "dq176_stream_media_digest"   -> (q176 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -6134,6 +6188,39 @@ object SparkEntry {
         |FROM hx h2 LEFT JOIN clusters c ON h2.doc_id = c.id
         |WHERE c.id IS NULL OR h2.doc_id = c.rep
         |ORDER BY h2.doc_id""".stripMargin,
+    // the payload-digest history gate streamed: re-derive every
+    // synthesized payload's hex-domain digest and replay the two-round
+    // seen-set recurrence (history ∪ batch-1 survivors gates batch 2)
+    "dq176_stream_media_digest" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    md5('pay:' || doc_id::VARCHAR)
+        |      || md5('pay2:' || doc_id::VARCHAR) AS ps
+        |  FROM documents),
+        |d AS (SELECT doc_id, source, md5(upper(hex(ps::BLOB))) AS dg
+        |  FROM p),
+        |hist AS (SELECT DISTINCT dg FROM d WHERE doc_id % 3 <> 0),
+        |b1 AS (
+        |  SELECT doc_id + 10000 AS doc_id, source, dg FROM d
+        |    WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, source, dg FROM d WHERE doc_id % 6 = 0),
+        |k1 AS (SELECT doc_id, source, dg FROM b1
+        |  WHERE dg NOT IN (SELECT dg FROM hist)),
+        |seen2 AS (SELECT dg FROM hist UNION SELECT dg FROM k1),
+        |b2 AS (
+        |  SELECT doc_id + 30000 AS doc_id, source, dg FROM d
+        |    WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 40000, source, dg FROM d
+        |    WHERE doc_id % 3 <> 0 AND doc_id % 7 = 2
+        |  UNION ALL
+        |  SELECT doc_id, source, dg FROM d WHERE doc_id % 6 = 3),
+        |k2 AS (SELECT doc_id, source FROM b2
+        |  WHERE dg NOT IN (SELECT dg FROM seen2))
+        |SELECT CAST(1 AS BIGINT) AS batch, doc_id, source FROM k1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, source FROM k2
+        |ORDER BY batch, doc_id""".stripMargin,
     // refit generation: retrain-on-the-stored-relation must equal the
     // from-scratch chain over the union corpus (full-table training)
     "dq142_ivf_refit" -> Dq142Sql,

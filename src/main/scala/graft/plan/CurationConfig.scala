@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField,
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.ext.{BpeStore, Dedup, IvfStore, NearDupIndex, NgramLm, NgramLmStore, QualityProbeStore, Sampling, StrataCountStore, SubstrIndex, TextAnalysis}
+import graft.ext.{BpeStore, Dedup, IvfStore, MediaDigestIndex, NearDupIndex, NgramLm, NgramLmStore, QualityProbeStore, Sampling, StrataCountStore, SubstrIndex, TextAnalysis}
 
 /** Config-driven CURATION pipeline — the EXT analogue of [[ReportConfig]]'s
   * declare-a-report-then-run workflow (the reference runner loads a typed
@@ -435,6 +435,41 @@ object CurationConfig {
     }
   }
 
+  /** The BINARY-payload history gate ([[MediaDigestIndex]]): round 1
+    * seeds the digest store from the batch's payloads; later rounds
+    * drop rows whose payload digest is already STORED (byte-identical
+    * to any earlier round's payload — the cross-batch complement of the
+    * within-frame `media_dedup` stage) and append the survivors'
+    * digests. History-only semantics: batch-internal copies both pass —
+    * compose `media_dedup` before this gate to collapse them. Same
+    * exactly-once replayable-round machinery as every stored gate. */
+  final case class MediaDigestGate(path: String,
+      binaryCol: String) extends Stage {
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
+      require(df.columns.contains(binaryCol),
+        s"media_digest_gate: no '$binaryCol' binary column in the input")
+      val spark = df.sparkSession
+      val existing =
+        if (MediaDigestIndex.exists(spark, path))
+          Some(MediaDigestIndex.open(spark, path))
+        else None
+      replayableRound(df, runToken, existing,
+        () => MediaDigestIndex.open(spark, path))(
+        (seeded, tok) =>
+          MediaDigestIndex.build(seeded, idCol, binaryCol, path,
+            seedToken = tok))(
+        (idx, input, tok) =>
+          idx.keepUnseenPayloads(input, idCol, binaryCol,
+            excludeToken = tok)) { (idx, kept, tok) =>
+        tok match {
+          case Some(t) => idx.appendOnce(kept, idCol, binaryCol, t); ()
+          case None => idx.append(kept, idCol, binaryCol); ()
+        }
+      }
+    }
+  }
+
   /** The EMBEDDING-modality gate ([[IvfStore]]'s semantic dedup): the
     * pipeline's `text` column is the embedding `array<float>` column
     * here. Round 1 seeds the store (trains the frozen centroids on the
@@ -691,6 +726,8 @@ object CurationConfig {
           QualityProbeStore.open(spark, path).vacuum()
         case "strata" => need(StrataCountStore.exists(spark, path))
           StrataCountStore.open(spark, path).vacuum()
+        case "mediadigest" => need(MediaDigestIndex.exists(spark, path))
+          MediaDigestIndex.open(spark, path).vacuum()
       }
       df
     }
@@ -838,6 +875,7 @@ object CurationConfig {
     case _: LangGate => "lang_gate"
     case _: MediaGate => "media_gate"
     case _: MediaDedupStage => "media_dedup"
+    case _: MediaDigestGate => "media_digest_gate"
     case _: RepeatEpochs => "repeat_epochs"
     case _: RepeatEpochsByStrata => "repeat_epochs"
     case _: WhereExpr => "where"
@@ -1067,6 +1105,18 @@ object CurationConfig {
           fail(s"stage 'media_dedup': maxBucket must be >= 2, got $maxBucket")
         MediaDedupStage(mode, binary, blocks.toInt, minMatch.toInt,
           maxBucket.toInt)
+      case "media_digest_gate" =>
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'media_digest_gate' needs a non-empty " +
+            "'path' string (the stored digest index location)")
+        }
+        val binary = j \ "binary" match {
+          case JString(b) if b.trim.nonEmpty => b
+          case _ => fail("stage 'media_digest_gate' needs a non-empty " +
+            "'binary' column name (the payload bytes the gate keys on)")
+        }
+        MediaDigestGate(path, binary)
       case "temperature_mix" =>
         val strata = j \ "strata" match {
           case JString(s) => s
@@ -1208,7 +1258,7 @@ object CurationConfig {
       case "store_vacuum" =>
         val kinds =
           Set("substr", "neardup", "lm", "bm25", "bpe", "ivf", "probe",
-            "strata")
+            "strata", "mediadigest")
         val kind = j \ "kind" match {
           case JString(k) if kinds(k) => k
           case JString(k) => fail(s"stage 'store_vacuum': unknown kind " +
@@ -1304,7 +1354,7 @@ object CurationConfig {
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
           "fluency_band | lang_gate | media_gate | media_dedup | " +
-          "token_budget | " +
+          "media_digest_gate | token_budget | " +
           "temperature_mix | mix_gate | repeat_epochs | where | " +
           "substr_gate | decontam_gate | neardup_gate | semantic_gate | " +
           "ivf_maintain | store_vacuum | lm_gate | probe_gate | " +

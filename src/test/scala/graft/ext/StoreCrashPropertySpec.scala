@@ -147,6 +147,19 @@ class StoreCrashPropertySpec extends GraftSpec {
               shortlist = 6)
             .orderBy("vid").collect().mkString(",")
       }),
+    // the binary-payload digest gate: the same text corpus riding as
+    // payload BYTES (text cast to binary) — byte-identical replays drop,
+    // and the crash sweep covers the seed/gate/append/commit points of
+    // the sixth gated modality
+    H("mediadigest", r => textBatches(r).map(b =>
+        b.withColumn("text", col("text").cast("binary"))
+          .localCheckpoint(true)),
+      (p, b0) => if (!MediaDigestIndex.exists(spark, p)) {
+        MediaDigestIndex.build(b0, "doc_id", "text", p); ()
+      },
+      gatedStep(p => MediaDigestIndex.open(spark, p)),
+      p => manifestState(p) :+
+        MediaDigestIndex.open(spark, p).stats.toString),
     H("lm", textBatches,
       (p, b0) => if (!NgramLmStore.exists(spark, p)) {
         NgramLmStore.build(b0, "doc_id", "text", p, loMicro = 10000L); ()
