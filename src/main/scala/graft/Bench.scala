@@ -810,6 +810,42 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq173 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq177: OPQ-lite recall — residual+permuted vs residual-only
+      //    at the same m·k, both against the exact probed cosine
+      //    ranking (honest numbers: the synthetic draw is near-isotropic,
+      //    so the permutation's win here bounds below its win on real
+      //    skewed-variance embeddings — the structured-fixture spec
+      //    measures that regime: 25 vs 7 of 30)
+      if (!names.exists(_.startsWith("dq177"))) None
+      else try {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        def mk(permute: Boolean) = graft.ext.IvfStore.create(emb,
+          "vec_id", "embedding",
+          graft.io.TempReaper.tempDir(s"graft-bench-opq$permute")
+            .toString + "/ivf",
+          k = 8, pqM = 16, pqK = 16, pqResidual = true,
+          pqPermute = permute)
+        val pstore = mk(true)
+        val rstore = mk(false)
+        val qids = Seq(1L, 2L, 3L)
+        def byQ(rows: Array[org.apache.spark.sql.Row]) =
+          rows.groupBy(_.getLong(0)).view
+            .mapValues(_.map(_.getLong(1)).toSet).toMap
+        val exact = byQ(
+          pstore.searchAll(qids, topK = 5, nprobe = 2).collect())
+        def recall(rows: Array[org.apache.spark.sql.Row]): Double =
+          exact.keys.toSeq.map(q =>
+            (exact(q) intersect byQ(rows).getOrElse(q, Set.empty)).size)
+            .sum / math.max(1.0, exact.values.map(_.size).sum)
+        val permuted = recall(
+          pstore.searchAllPq(qids, topK = 5, nprobe = 2).collect())
+        val residualOnly = recall(
+          rstore.searchAllPq(qids, topK = 5, nprobe = 2).collect())
+        Some(f""""dq177_recall5_permuted_residual":$permuted%.2f,""" +
+          f""""dq177_recall5_residual_only":$residualOnly%.2f""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq177 evidence failed: ${e.getMessage}"); None
+      },
       if (!names.exists(_.startsWith("dq59"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec

@@ -3540,6 +3540,39 @@ object SparkEntry {
       .orderBy("batch", "doc_id")
   }
 
+  /** DQ177 (EXT): OPQ-LITE SUBSPACE BALANCING — dq162's PQ chain over a
+    * VARIANCE-BALANCED coordinate permutation
+    * ([[graft.ext.PqAnn.balancedPermutation]], the deterministic cousin
+    * of OPQ's learned rotation): dimensions rank by exact-integer
+    * per-dim variance (micro sums, `n·Σx² − (Σx)²` in BigInt, ties to
+    * the lower dim) and deal round-robin into the m subspaces, so every
+    * subspace carries one dimension from each variance stratum instead
+    * of whatever contiguous slicing dealt it. A fixed permutation is
+    * orthogonal — inner products are unchanged — so recall moves only
+    * through better codebook allocation. Codes encode permuted vectors;
+    * ADC tables read permuted queries. The oracle re-derives the
+    * ranking (HUGEINT arithmetic), the round-robin positions, the
+    * permuted relation, and dq162's full train/encode/score chain over
+    * it. */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val perm = graft.ext.PqAnn.balancedPermutation(
+      emb, "embedding", dims = 64, m = 16)
+    val pdf = emb.select(col("vec_id").as("vid"),
+      graft.ext.PqAnn.applyPerm(col("embedding"), perm).as("emb"))
+    val cb = graft.ext.PqAnn.fit(pdf, "vid", "emb",
+      dims = 64, m = 16, k = 16)
+    val codes = graft.ext.PqAnn.encode(pdf, "vid", "emb", cb)
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    graft.ext.PqAnn.adcTopK(codes, cb, queries, topK = 5, Some(perm))
+      .select(col("qid"), col("vid"), col("score"))
+      .orderBy("qid", "vid")
+  }
+
   /** DQ172 (EXT/runner): the AUDIO media gate DECLARED — completes the
     * modality triple on the declared surface (dq167 image, dq168
     * video): WAV payloads (dq79's byte-exact chunk-table synthesis)
@@ -3953,7 +3986,8 @@ object SparkEntry {
     "dq173_pq_rerank"             -> (q173 _),
     "dq174_media_dedup_exact"     -> (q174 _),
     "dq175_media_dedup_near"      -> (q175 _),
-    "dq176_stream_media_digest"   -> (q176 _)
+    "dq176_stream_media_digest"   -> (q176 _),
+    "dq177_pq_permuted"           -> (q177 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4357,6 +4391,36 @@ object SparkEntry {
     """WITH e AS (SELECT vec_id vid, embedding emb FROM embeddings),
       |q AS (SELECT vec_id qid, embedding qemb FROM embeddings
       |  WHERE vec_id IN (1, 2, 3)),
+      |""".stripMargin +
+      pqChainsSql(m = 16, subDim = 4, k = 16, iters = 2) +
+      pqScoreTailSql(topK = 5)
+
+  /** dq177: the OPQ-lite permutation CTEs in front of dq162's chain —
+    * per-dim micro-integer sums, the HUGEINT variance score
+    * `n·Σ⌊x²·1e6⌋ − (Σ⌊x·1e6⌋)²` ranked desc with ties to the lower
+    * dim, the round-robin position `(r % m)·subDim + r/m`, and the
+    * permuted e/q relations the unchanged PQ chain then consumes. */
+  private val Dq177Sql: String =
+    """WITH e0 AS (SELECT vec_id vid, embedding emb FROM embeddings),
+      |q0 AS (SELECT vec_id qid, embedding qemb FROM embeddings
+      |  WHERE vec_id IN (1, 2, 3)),
+      |vs AS (SELECT d,
+      |    SUM(CAST(FLOOR(emb[d]::DOUBLE * 1000000) AS BIGINT)) sx,
+      |    SUM(CAST(FLOOR(emb[d]::DOUBLE * emb[d]::DOUBLE * 1000000)
+      |      AS BIGINT)) sxx,
+      |    COUNT(*) n
+      |  FROM e0, unnest(range(1, 65)) t(d) GROUP BY d),
+      |rk AS (SELECT d, row_number() OVER (
+      |    ORDER BY (n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT)
+      |      DESC, d) - 1 AS r
+      |  FROM vs),
+      |pm AS (SELECT list(d ORDER BY (r % 16) * 4 + r // 16) pl FROM rk),
+      |e AS (SELECT vid,
+      |    list_transform(range(1, 65), p -> emb[pl[p]]) emb
+      |  FROM e0, pm),
+      |q AS (SELECT qid,
+      |    list_transform(range(1, 65), p -> qemb[pl[p]]) qemb
+      |  FROM q0, pm),
       |""".stripMargin +
       pqChainsSql(m = 16, subDim = 4, k = 16, iters = 2) +
       pqScoreTailSql(topK = 5)
@@ -6108,6 +6172,8 @@ object SparkEntry {
     // PQ/ADC: sixteen subspace Lloyd's chains + unpivoted code/table
     // equi-join scoring (built programmatically — see Dq162Sql)
     "dq162_pq_adc_topk" -> Dq162Sql,
+    // OPQ-lite: the permutation CTEs in front of the same chain
+    "dq177_pq_permuted" -> Dq177Sql,
     // IVF-PQ: the dq51 coarse chain pruning the dq162 ADC scan
     "dq163_ivfpq_topk" -> Dq163Sql,
     // the STORED IVF-PQ tier: both chains trained on the create split,

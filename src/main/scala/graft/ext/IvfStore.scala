@@ -199,6 +199,28 @@ final class IvfStore private (private val spark: SparkSession,
         df.select("residual").head().getBoolean(0)
     })
 
+  private val pqPermCache = scala.collection.concurrent.TrieMap
+    .empty[Int, Option[Array[Int]]]
+
+  /** The generation's OPQ-lite coordinate permutation
+    * ([[PqAnn.balancedPermutation]], `create(..., pqPermute = true)`) —
+    * the books were trained on PERMUTED vectors (or permuted residuals),
+    * so encode and the query-side ADC tables must see the same
+    * permutation. Generation-keyed like `residual` (a refit recomputes
+    * it from the new training relation); a book written before the
+    * permute tier shipped lacks the column and reads as identity — the
+    * drift-sidecar upgrade rule, pre-permute layouts stay valid byte
+    * for byte. */
+  private def pqPermFor(g: Int): Option[Array[Int]] =
+    pqPermCache.getOrElseUpdate(g, {
+      val df = spark.read.parquet(pqBookDir(g))
+      if (!df.columns.contains("perm")) None
+      else {
+        val r = df.select("perm").head()
+        if (r.isNullAt(0)) None else Some(r.getSeq[Int](0).toArray)
+      }
+    })
+
   /** Active assigned dir ids: all published, minus any a later compaction
     * superseded. */
   private def activeIds(ms: Seq[Manifest]): Seq[String] = {
@@ -265,9 +287,11 @@ final class IvfStore private (private val spark: SparkSession,
         VectorFunctions.l2Norm(col(embCol)).as("nrm"),
         cellOf(col(embCol), cs).as("cell")), id, prev.packedScale,
       // frozen codebooks — append never retrains (FAISS add); a residual
-      // tier subtracts the SAME frozen generation's centroids
+      // tier subtracts the SAME frozen generation's centroids, a
+      // permuted tier encodes under the SAME frozen permutation
       pqBookFor(g),
-      if (pqBookFor(g).nonEmpty && pqResidualFor(g)) Some(cs) else None)
+      if (pqBookFor(g).nonEmpty && pqResidualFor(g)) Some(cs) else None,
+      if (pqBookFor(g).nonEmpty) pqPermFor(g) else None)
     log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
     // INVARIANT: stats/ is ADVISORY — `prev` was read before the commit
     // and the refreshed row lands after it, so a crash in this window
@@ -293,7 +317,8 @@ final class IvfStore private (private val spark: SparkSession,
     * footers (no count job). */
   private def writeAssigned(rows: DataFrame, id: String, scale: Int,
       book: Option[PqAnn.Codebook],
-      resCents: Option[Seq[(Int, Array[Double])]] = None): Long = {
+      resCents: Option[Seq[(Int, Array[Double])]] = None,
+      perm: Option[Array[Int]] = None): Long = {
     val aDir = s"$path/assigned/append=$id"
     val vDir = s"$path/vidmap/append=$id"
     val pDir = s"$path/packed/append=$id"
@@ -359,12 +384,16 @@ final class IvfStore private (private val spark: SparkSession,
       // generation's frozen coarse centroids (still map-only — the
       // subtraction is a literal-map zip_with, no join)
       book.foreach { b =>
-        val enc = resCents match {
+        val encBase = resCents match {
           case Some(cs) => back.select(col("vid"),
             PqAnn.residualCol(col("emb"), col("cell"), cs).as("emb"),
             col("cell"))
           case None => back.select("vid", "emb", "cell")
         }
+        // a permuted-tier book was trained on permuted (residual)
+        // vectors: encode sees the same fixed coordinate order
+        val enc = perm.fold(encBase)(p => encBase.select(col("vid"),
+          PqAnn.applyPerm(col("emb"), p).as("emb"), col("cell")))
         PqAnn.encode(enc, "vid", "emb", b, keep = Seq("cell"))
           .sortWithinPartitions("cell", "vid")
           .write.partitionBy("cell").mode("errorifexists").parquet(qDir)
@@ -401,11 +430,12 @@ final class IvfStore private (private val spark: SparkSession,
           .parquet(foldable.map(id => s"$path/assigned/append=$id"): _*)
           .select("vid", "emb", "nrm", "cell")
           .repartition(col("cell")), cid, stats.packedScale,
-        // re-encode: frozen book (+ frozen centroids when residual),
-        // bit-identical codes
+        // re-encode: frozen book (+ frozen centroids when residual,
+        // frozen permutation when permuted), bit-identical codes
         pqBookFor(g),
         if (pqBookFor(g).nonEmpty && pqResidualFor(g))
-          Some(centroidsFor(g)) else None)
+          Some(centroidsFor(g)) else None,
+        if (pqBookFor(g).nonEmpty) pqPermFor(g) else None)
       log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)
     }
   }
@@ -490,6 +520,9 @@ final class IvfStore private (private val spark: SparkSession,
       // extended to the codebooks)
       val wasResidual =
         pqBookFor(genOf(ms)).nonEmpty && pqResidualFor(genOf(ms))
+      val wasPermuted =
+        pqBookFor(genOf(ms)).nonEmpty && pqPermFor(genOf(ms)).nonEmpty
+      var newPerm: Option[Array[Int]] = None
       val newBook = pqBookFor(genOf(ms)).map { ob =>
         val k0 = pqTrainK(genOf(ms))
         // a residual tier retrains on residuals against the NEW coarse
@@ -502,12 +535,22 @@ final class IvfStore private (private val spark: SparkSession,
               PqAnn.residualCol(col("emb"), col("cell"), idx.centroids)
                 .as("emb"))
           else rel
-        val b = PqAnn.fit(trainRel, "vid", "emb", ob.dims, ob.m, k0, iters)
+        // a permuted tier recomputes its balanced permutation from the
+        // NEW training relation (generation-keyed like the books), so
+        // refit-then-query equals a from-scratch permuted create
+        newPerm =
+          if (wasPermuted)
+            Some(PqAnn.balancedPermutation(trainRel, "emb", ob.dims, ob.m))
+          else None
+        val fitRel = newPerm.fold(trainRel)(p => trainRel.select(
+          col("vid"), PqAnn.applyPerm(col("emb"), p).as("emb")))
+        val b = PqAnn.fit(fitRel, "vid", "emb", ob.dims, ob.m, k0, iters)
         log.clearOrphan(pqBookDir(g))
-        IvfStore.bookDf(spark, b, k0, wasResidual)
+        IvfStore.bookDf(spark, b, k0, wasResidual, newPerm)
           .write.mode("errorifexists").parquet(pqBookDir(g))
         pqBookCache.put(g, Some(b))
         pqResidualCache.put(g, wasResidual)
+        pqPermCache.put(g, newPerm)
         b
       }
       val seq = ms.size + 1
@@ -515,7 +558,7 @@ final class IvfStore private (private val spark: SparkSession,
       val n = writeAssigned(
         idx.assigned.select("vid", "emb", "nrm", "cell")
           .repartition(col("cell")), id, prev.packedScale, newBook,
-        if (wasResidual) Some(idx.centroids) else None)
+        if (wasResidual) Some(idx.centroids) else None, newPerm)
       log.commit(Manifest(Seq(id), Nil, Nil, Nil, carried,
         supersedesDigests = ids, generation = Some(g)), seq)
       val st = IvfStoreStats(idx.centroids.size,
@@ -901,10 +944,14 @@ final class IvfStore private (private val spark: SparkSession,
       .where(col("cell").isin(probes.values.flatten.toSeq.distinct: _*))
     // a residual-tier generation scores q·centroid(cell) + the residual
     // table fold (the codes ARE residual codes — the add-back term is
-    // driver-sized, the scan shape identical)
+    // driver-sized, the scan shape identical); a permuted-tier
+    // generation builds its subspace tables from permuted queries (the
+    // coarse add-back stays in original coordinates)
+    val perm = pqPermFor(g)
     if (pqResidualFor(g))
-      PqAnn.adcTopKProbedResidual(rel, book, queries, probes, cs, topK)
-    else PqAnn.adcTopKProbed(rel, book, queries, probes, topK)
+      PqAnn.adcTopKProbedResidual(rel, book, queries, probes, cs, topK,
+        perm)
+    else PqAnn.adcTopKProbed(rel, book, queries, probes, topK, perm)
   }
 
   /** [[searchPq]] with [[autoNprobe]] resolution (`nprobe = None`). */
@@ -1173,13 +1220,16 @@ object IvfStore {
       k: Int, iters: Int = 2, gateTau: Double = 0.5,
       gateNprobe: Int = 2, packedScale: Int = 127,
       seedToken: Option[String] = None,
-      pqM: Int = 0, pqK: Int = 16, pqResidual: Boolean = false): IvfStore = {
+      pqM: Int = 0, pqK: Int = 16, pqResidual: Boolean = false,
+      pqPermute: Boolean = false): IvfStore = {
     require(gateTau > 0.0 && gateTau < 1.0, "gateTau in (0, 1)")
     require(gateNprobe >= 1, "gateNprobe >= 1")
     require(packedScale >= 1 && packedScale <= 127, "packedScale in [1, 127]")
     require(pqM >= 0, "pqM >= 0 (0 = no PQ tier)")
     require(!pqResidual || pqM > 0,
       "pqResidual needs the PQ tier (pqM > 0)")
+    require(!pqPermute || pqM > 0,
+      "pqPermute needs the PQ tier (pqM > 0)")
     val spark = df.sparkSession
     val idx = IvfIndex.fit(df, idCol, embCol, k, iters)
     try {
@@ -1187,17 +1237,28 @@ object IvfStore {
       // the optional PQ tier: per-subspace codebooks trained on the SAME
       // create corpus (FAISS train, before any add), frozen for appends;
       // pqResidual trains on x − centroid(cell) against THIS generation's
-      // coarse centroids (the IndexIVFPQ form — see PqAnn.residualCol)
+      // coarse centroids (the IndexIVFPQ form — see PqAnn.residualCol);
+      // pqPermute first deals the TRAINING relation's coordinates into
+      // variance-balanced subspaces (OPQ-lite — the permutation is
+      // computed on what gets encoded: residuals when both flags are on)
+      val trainRel =
+        if (pqM == 0) null
+        else if (pqResidual)
+          idx.assigned.select(col("vid"),
+            PqAnn.residualCol(col("emb"), col("cell"), idx.centroids)
+              .as("emb"))
+        else df.select(col(idCol).as("vid"), col(embCol).as("emb"))
+      val dims = idx.centroids.head._2.length
+      val perm =
+        if (pqM > 0 && pqPermute)
+          Some(PqAnn.balancedPermutation(trainRel, "emb", dims, pqM))
+        else None
       val book =
         if (pqM == 0) None
-        else if (pqResidual)
-          Some(PqAnn.fit(idx.assigned.select(col("vid"),
-            PqAnn.residualCol(col("emb"), col("cell"), idx.centroids)
-              .as("emb")), "vid", "emb",
-            idx.centroids.head._2.length, pqM, pqK, iters))
-        else Some(PqAnn.fit(df.select(col(idCol).as("vid"),
-            col(embCol).as("emb")), "vid", "emb",
-          idx.centroids.head._2.length, pqM, pqK, iters))
+        else Some(PqAnn.fit(
+          perm.fold(trainRel)(p => trainRel.select(col("vid"),
+            PqAnn.applyPerm(col("emb"), p).as("emb"))),
+          "vid", "emb", dims, pqM, pqK, iters))
       val store = new IvfStore(spark, path)
       store.centroidCache.put(1, idx.centroids)
       store.log.withWriteLock {
@@ -1211,17 +1272,18 @@ object IvfStore {
           .coalesce(1).write.mode("errorifexists").parquet(s"$path/centroids")
         book.foreach { b =>
           store.log.clearOrphan(s"$path/pqbook")
-          bookDf(spark, b, pqK, pqResidual)
+          bookDf(spark, b, pqK, pqResidual, perm)
             .write.mode("errorifexists").parquet(s"$path/pqbook")
           store.pqBookCache.put(1, Some(b))
           store.pqResidualCache.put(1, pqResidual)
+          store.pqPermCache.put(1, perm)
         }
         // the fit already computed the assignment; persist ITS rows rather
         // than re-assigning (bit-identical either way — same centroids)
         val n = store.writeAssigned(
           idx.assigned.select("vid", "emb", "nrm", "cell"), "a000001",
           packedScale, book,
-          if (pqResidual) Some(idx.centroids) else None)
+          if (pqResidual) Some(idx.centroids) else None, perm)
         // stats BEFORE the first commit (the NgramLmStore first-build
         // rule: a crash in between leaves exists()=false, reseedable)
         writeStats(spark, path, IvfStoreStats(idx.centroids.size,
@@ -1265,11 +1327,13 @@ object IvfStore {
     * m·(surviving k) driver-sized rows, with the trained k pinned so a
     * refit retrains at the create's parameter. */
   private def bookDf(spark: SparkSession, b: PqAnn.Codebook,
-      k0: Int, residual: Boolean = false): DataFrame = {
+      k0: Int, residual: Boolean = false,
+      perm: Option[Array[Int]] = None): DataFrame = {
     import spark.implicits._
     b.sub.zipWithIndex.flatMap { case (cs, j) =>
-      cs.map { case (cell, c) => (j, cell, c.toSeq, k0, residual) }
-    }.toDF("j", "cell", "c", "k0", "residual").coalesce(1)
+      cs.map { case (cell, c) =>
+        (j, cell, c.toSeq, k0, residual, perm.map(_.toSeq)) }
+    }.toDF("j", "cell", "c", "k0", "residual", "perm").coalesce(1)
   }
 
   private def writeStats(spark: SparkSession, path: String,

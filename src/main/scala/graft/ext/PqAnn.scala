@@ -77,6 +77,68 @@ object PqAnn {
   private def sliceCol(embCol: Column, j: Int, subDim: Int): Column =
     slice(embCol, j * subDim + 1, subDim)
 
+  /** OPQ-LITE SUBSPACE BALANCING (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013 — the cheap deterministic cousin of the
+    * learned rotation): contiguous slicing can hand one subspace all the
+    * high-variance coordinates and another only noise, wasting half the
+    * codebook budget. Sort dimensions by per-dimension variance
+    * (descending) and DEAL them round-robin into the m subspaces —
+    * subspace j receives variance ranks j, j+m, j+2m, …, so every
+    * subspace carries one dimension from each variance stratum. A fixed
+    * coordinate permutation is orthogonal, so ADC inner products over
+    * permuted vectors equal the originals' exactly — recall can only
+    * move through better codebook allocation.
+    *
+    * Bit-portable by construction: the variance ORDER is computed from
+    * micro-integer sums (per-dim Σ⌊x·1e6⌋ and Σ⌊x²·1e6⌋, both exact
+    * Longs) compared as exact BigInt `n·Σx² − (Σx)²` with ties to the
+    * lower dimension — any engine re-derives the identical permutation
+    * (the DuckDB oracle's HUGEINT arithmetic, dq177). One aggregation
+    * over the corpus (m·dims driver longs), driver-side sort.
+    *
+    * Returns `perm` where OUTPUT position p reads INPUT dimension
+    * `perm(p)` (0-based): rank r lands at position (r % m)·subDim + r/m.
+    */
+  def balancedPermutation(df: DataFrame, embCol: String, dims: Int,
+      m: Int): Array[Int] = {
+    require(m >= 1 && dims % m == 0,
+      s"dims=$dims must split evenly into m=$m subspaces")
+    val subDim = dims / m
+    val emb = col(embCol)
+    val r = df.agg(
+      graft.functions.VectorSumMicros.of(emb).as("sx"),
+      graft.functions.VectorSumMicros.of(
+        transform(emb, v => v.cast("double") * v.cast("double"))).as("sxx"),
+      count(lit(1)).as("n")).head()
+    val sx = r.getSeq[Long](0)
+    val sxx = r.getSeq[Long](1)
+    val n = BigInt(r.getLong(2))
+    require(sx.length == dims,
+      s"balancedPermutation: embeddings have ${sx.length} dims, not $dims")
+    // n·Σx² − (Σx)² ∝ variance; exact integer compare, ties → lower dim
+    val ranked = (0 until dims)
+      .map(d => (n * BigInt(sxx(d)) - BigInt(sx(d)) * BigInt(sx(d)), d))
+      .sortBy { case (score, d) => (-score, d) }
+    val perm = new Array[Int](dims)
+    for ((r2, (_, d)) <- ranked.zipWithIndex.map(_.swap))
+      perm((r2 % m) * subDim + r2 / m) = d
+    perm
+  }
+
+  /** Apply a [[balancedPermutation]] to an embedding column: output
+    * element p = input element perm(p) (element type preserved — float
+    * corpora and double residual relations both route through here). */
+  def applyPerm(embCol: Column, perm: Array[Int]): Column =
+    array(perm.map(d => embCol.getItem(d)): _*)
+
+  /** The queries as the codebook saw them: permuted when the books were
+    * trained on permuted vectors (a permutation is orthogonal, so the
+    * permuted inner product IS the original). */
+  private def permutedQueries(queries: Seq[(Long, Array[Float])],
+      perm: Option[Array[Int]]): Seq[(Long, Array[Float])] =
+    perm.fold(queries)(p =>
+      queries.map { case (qid, q) => (qid, p.map(q(_))) })
+
   /** Nearest sub-centroid id with the family's deterministic tie-break:
     * squared distance first, then cell id ([[IvfIndex.cellDistances]]'s
     * struct-min trick, literal-k formulation — PQ codebooks are small by
@@ -219,8 +281,9 @@ object PqAnn {
     * table a deployment stores) — scoring should scan codes, not
     * re-encode the corpus. */
   def adcTopK(codes: DataFrame, cb: Codebook,
-      queries: Seq[(Long, Array[Float])], topK: Int): DataFrame =
-    rankScored(scoredRows(codes, cb, queries), topK)
+      queries: Seq[(Long, Array[Float])], topK: Int,
+      perm: Option[Array[Int]] = None): DataFrame =
+    rankScored(scoredRows(codes, cb, permutedQueries(queries, perm)), topK)
 
   /** IVF-PQ: [[adcTopK]] restricted to each query's PROBED coarse cells
     * — the FAISS IndexIVFPQ shape (here without residual encoding: the
@@ -240,7 +303,7 @@ object PqAnn {
     * compose multiplicatively in COMPUTE as well as I/O. */
   def adcTopKProbed(codes: DataFrame, cb: Codebook,
       queries: Seq[(Long, Array[Float])], probes: Map[Long, Seq[Int]],
-      topK: Int): DataFrame = {
+      topK: Int, perm: Option[Array[Int]] = None): DataFrame = {
     require(codes.columns.contains("cell"),
       "adcTopKProbed: the code relation must carry the coarse 'cell' " +
         "column (encode with keep = Seq(\"cell\") over IvfIndex.withCell)")
@@ -259,7 +322,7 @@ object PqAnn {
       .filter(col("vid") =!= col("qid"))
     val scored = exploded
       .select(col("qid"), col("vid"),
-        scoreForAll(cb, queries).as("score"))
+        scoreForAll(cb, permutedQueries(queries, perm)).as("score"))
     rankScored(scored, topK)
   }
 
@@ -327,7 +390,8 @@ object PqAnn {
     * dispatch, and the bounded-heap rank are [[adcTopKProbed]]'s. */
   def adcTopKProbedResidual(codes: DataFrame, cb: Codebook,
       queries: Seq[(Long, Array[Float])], probes: Map[Long, Seq[Int]],
-      coarse: Seq[(Int, Array[Double])], topK: Int): DataFrame = {
+      coarse: Seq[(Int, Array[Double])], topK: Int,
+      perm: Option[Array[Int]] = None): DataFrame = {
     require(codes.columns.contains("cell"),
       "adcTopKProbedResidual: the code relation must carry the coarse " +
         "'cell' column (encode with keep = Seq(\"cell\"))")
@@ -358,9 +422,13 @@ object PqAnn {
       .filter(col("vid") =!= col("qid"))
     val qcConst = element_at(typedlit(qcTable),
       col("qid") * lit(strideC) + col("cell").cast("long"))
+    // the q·centroid(cell) table uses the ORIGINAL coordinates (coarse
+    // centroids live in original space); only the subspace tables see
+    // the permutation the residual codes were encoded under
     val scored = exploded
       .select(col("qid"), col("vid"),
-        (qcConst + scoreForAll(cb, queries)).as("score"))
+        (qcConst + scoreForAll(cb, permutedQueries(queries, perm)))
+          .as("score"))
     rankScored(scored, topK)
   }
 

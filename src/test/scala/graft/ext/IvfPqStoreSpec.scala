@@ -294,6 +294,84 @@ class IvfPqStoreSpec extends GraftSpec {
     }
   }
 
+  it("the PERMUTED tier (dq177): stored searchPq on a pqPermute layout " +
+     "equals the session chain over the permuted relation; the " +
+     "permutation survives a fresh open; appends encode under the " +
+     "FROZEN permutation; refit recomputes it and equals a " +
+     "from-scratch permuted create on the union") {
+    val path = tmp()
+    val create8 = emb.filter($"vec_id" % 5 =!= 0).localCheckpoint(true)
+    val store = IvfStore.create(create8, "vec_id", "embedding", path,
+      k = 8, pqM = 16, pqK = 16, pqPermute = true)
+    val queries = emb.filter($"vec_id".isin(1L, 2L, 3L))
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    // session twin: same permutation derivation, same fit, same probes
+    val perm = PqAnn.balancedPermutation(create8, "embedding", 64, 16)
+    val ivf = IvfIndex.fit(create8, "vec_id", "embedding", k = 8)
+    try {
+      val pdf = create8.select($"vec_id".as("vid"),
+        PqAnn.applyPerm($"embedding", perm).as("emb"))
+      val cb = PqAnn.fit(pdf, "vid", "emb", 64, 16, 16)
+      val rel = PqAnn.encode(
+        ivf.withCell(create8, "embedding")
+          .select($"vec_id".as("vid"),
+            PqAnn.applyPerm($"embedding", perm).as("emb"), $"cell"),
+        "vid", "emb", cb, keep = Seq("cell")).localCheckpoint(true)
+      val probes = queries.map { case (qid, _) =>
+        qid -> create8.filter($"vec_id" === qid)
+          .select(ivf.probesFor($"embedding", 2, spark))
+          .head().getSeq[Int](0).toSeq
+      }.toMap
+      rows(store.searchPq(queries, topK = 5, nprobe = 2)) shouldBe
+        rows(PqAnn.adcTopKProbed(rel, cb, queries, probes, 5, Some(perm)))
+    } finally ivf.release()
+    // the permutation is a stored, generation-keyed fact
+    rows(IvfStore.open(spark, path)
+      .searchPq(queries, topK = 5, nprobe = 2)) shouldBe
+      rows(store.searchPq(queries, topK = 5, nprobe = 2))
+    // append encodes under the FROZEN permutation (and frozen books):
+    // the book relation is byte-identical before and after
+    val bookBefore = spark.read.parquet(s"$path/pqbook")
+      .orderBy("j", "cell").collect().toSeq
+    store.appendOnce(emb.filter($"vec_id" % 5 === 0),
+      "vec_id", "embedding", "pm:b1")
+    spark.read.parquet(s"$path/pqbook")
+      .orderBy("j", "cell").collect().toSeq shouldBe bookBefore
+    // refit recomputes the permutation from the union and equals a
+    // from-scratch permuted create on the same corpus
+    store.refit(k = 8)
+    val scratch = IvfStore.create(emb, "vec_id", "embedding", tmp(),
+      k = 8, pqM = 16, pqK = 16, pqPermute = true)
+    rows(store.searchPq(queries, topK = 5, nprobe = 2)) shouldBe
+      rows(scratch.searchPq(queries, topK = 5, nprobe = 2))
+  }
+
+  it("residual + permuted compose (the full OPQ-lite IndexIVFPQ): the " +
+     "permutation is computed on the RESIDUAL relation, the coarse " +
+     "add-back stays in original coordinates, and the stored search " +
+     "equals a from-scratch twin bit for bit") {
+    val store = IvfStore.create(emb, "vec_id", "embedding", tmp(),
+      k = 8, pqM = 16, pqK = 16, pqResidual = true, pqPermute = true)
+    val twin = IvfStore.create(emb, "vec_id", "embedding", tmp(),
+      k = 8, pqM = 16, pqK = 16, pqResidual = true, pqPermute = true)
+    val qids = Seq(1L, 2L, 3L)
+    val got = rows(store.searchAllPq(qids, topK = 5, nprobe = 2))
+    got shouldBe rows(twin.searchAllPq(qids, topK = 5, nprobe = 2))
+    got.length shouldBe 15
+    // the rerank path rides the permuted stage 1 unchanged: full-width
+    // shortlist == the exact probed cosine search
+    rows(store.searchAllPqRerank(qids, topK = 5, nprobe = 2,
+      shortlist = 10000)) shouldBe
+      rows(store.searchAll(qids, topK = 5, nprobe = 2))
+    // pqPermute without the tier is refused by name
+    intercept[IllegalArgumentException] {
+      IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8,
+        pqPermute = true)
+    }.getMessage should include("pqPermute")
+  }
+
   it("a layout created without the tier refuses PQ search by name and " +
      "appends skip the code sidecar") {
     val path = tmp()

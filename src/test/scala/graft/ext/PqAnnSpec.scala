@@ -277,6 +277,94 @@ class PqAnnSpec extends GraftSpec {
     } finally ivf.release()
   }
 
+  it("balancedPermutation (dq177): a true permutation, deterministic, " +
+     "and variance-BALANCED — a fixture whose energy sits entirely in " +
+     "dims 0..15 gets exactly one of them dealt into each subspace") {
+    // dims 0..15 swing ±0.5 by an integer-hash sign; dims 16..63 are a
+    // tiny id-scaled ramp (nonzero variance, orders of magnitude less)
+    val rows = (0L until 200L).map { i =>
+      val v = Array.tabulate(64) { d =>
+        if (d < 16) (if ((i * 31 + d * 7) % 2 == 0) 0.5f else -0.5f)
+        else (i % 13).toFloat * 1e-4f + d * 1e-6f
+      }
+      (i, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val perm = PqAnn.balancedPermutation(df, "embedding", 64, M)
+    perm.sorted.toSeq shouldBe (0 until 64)
+    PqAnn.balancedPermutation(df, "embedding", 64, M).toSeq shouldBe
+      perm.toSeq
+    // round-robin dealing: each 4-dim subspace holds exactly one of the
+    // 16 high-variance dims — contiguous slicing would give subspaces
+    // 0..3 all sixteen and subspaces 4..15 none
+    for (j <- 0 until M) {
+      val sub = perm.slice(j * SubDim, (j + 1) * SubDim)
+      sub.count(_ < 16) shouldBe 1
+    }
+    // the high-variance dims land at in-subspace position 0 (ranks 0..15
+    // are dealt first)
+    (0 until M).map(j => perm(j * SubDim)).sorted shouldBe (0 until 16)
+  }
+
+  it("permuted recall >= contiguous recall on variance-skewed data " +
+     "(dq177, the regime OPQ exists for): same m·k budget, the " +
+     "balanced dealing spends it on the informative coordinates") {
+    // energy concentrated in dims 0..15: an 8-way sign pattern keyed on
+    // the id's group (the retrieval structure) + a small integer-hash
+    // ramp; dims 16..63 near-constant. Contiguous slicing gives
+    // subspaces 0..3 four informative dims each (4 bits of codebook for
+    // 4 structured dims) and subspaces 4..15 nothing to learn.
+    val rows = (0L until 400L).map { i =>
+      val g = (i % 8).toInt
+      val v = Array.tabulate(64) { d =>
+        if (d < 16)
+          (if (((g >> (d % 3)) & 1) == 0) 1.0f else -1.0f) +
+            (((i * 31 + d * 17) % 97) / 970.0f - 0.05f)
+        else (((i * 13 + d * 5) % 89) / 8900.0f)
+      }
+      (i, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val perm = PqAnn.balancedPermutation(df, "embedding", 64, M)
+    val pdf = df.select($"vec_id".as("vid"),
+      PqAnn.applyPerm($"embedding", perm).as("emb")).localCheckpoint(true)
+    val cbRaw = PqAnn.fit(df, "vec_id", "embedding", 64, M, 16)
+    val cbPerm = PqAnn.fit(pdf, "vid", "emb", 64, M, 16)
+    val relRaw = PqAnn.encode(df, "vec_id", "embedding", cbRaw)
+      .localCheckpoint(true)
+    val relPerm = PqAnn.encode(pdf, "vid", "emb", cbPerm)
+      .localCheckpoint(true)
+    val all = rows.map { case (id, v) => (id, v.toArray) }
+    val queries = Seq(0L, 1L, 2L).map(q => (q, all.find(_._1 == q).get._2))
+    def tops(df2: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df2.select("qid", "vid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def overlap(top: Map[Long, Set[Long]]): Int = queries.map {
+      case (qid, q) =>
+        val exact = all.filter(_._1 != qid)
+          .map { case (vid, v) =>
+            var s = 0.0
+            var i = 0
+            while (i < 64) { s += q(i).toDouble * v(i).toDouble; i += 1 }
+            (vid, s)
+          }
+          .sortBy { case (vid, s) => (-s, vid) }.take(10).map(_._1).toSet
+        (exact intersect top(qid)).size
+    }.sum
+    val rawOverlap = overlap(tops(
+      PqAnn.adcTopK(relRaw, cbRaw, queries, topK = 10)))
+    val permOverlap = overlap(tops(
+      PqAnn.adcTopK(relPerm, cbPerm, queries, topK = 10, Some(perm))))
+    info(s"permuted recall $permOverlap vs contiguous $rawOverlap of 30")
+    withClue(s"permuted $permOverlap vs contiguous $rawOverlap of 30: ") {
+      permOverlap should be >= rawOverlap
+    }
+  }
+
   it("probed ADC at ~100 queries (SCALE_PQ workload, r14 verdict #2): " +
      "bit-identical to the driver-replicated table fold, FIXED plan " +
      "expression size however many queries ride the scan, and the " +
