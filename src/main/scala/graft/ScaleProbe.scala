@@ -227,12 +227,20 @@ object ScaleProbe {
         val n = corpus.count()
         val path = graft.io.TempReaper.tempDir("graft-scale-semgate")
           .toString + "/idx"
+        // PQ tier ON (residual form): the float gate's plan is untouched
+        // by the tier's presence; the PQ gate reads the code relation
         val store = graft.ext.IvfStore.create(corpus, "vec_id", "embedding",
-          path, k = 32)
+          path, k = 32, pqM = 16, pqK = 16, pqResidual = true)
         val tg0 = System.nanoTime()
         val kept = store.semanticKeepUnseen(batch, "vec_id", "embedding",
           tau = 0.9, nprobe = 2).count()
         val tg1 = System.nanoTime()
+        // the PQ-TIER gate (r15 #5): m-byte wide net + exact refine —
+        // the wide net reads pqcodes/ partitions instead of the float
+        // relation (the at-rest byte ratio below IS the net's I/O drop)
+        val keptPq = store.semanticKeepUnseenPq(batch, "vec_id",
+          "embedding", tau = 0.9, nprobe = 2, shortlist = 64).count()
+        val tg1b = System.nanoTime()
         // brute force: every batch vector against the FULL corpus
         val bf = corpus.select(col("vec_id").as("cvid"),
             col("embedding").as("cemb"))
@@ -243,7 +251,11 @@ object ScaleProbe {
           .filter(col("sim") > 0.9)
           .select("qid").distinct().count()
         val tg2 = System.nanoTime()
-        println(f"""{"probe":"semgate","corpus":$n,"batch":500,"k":32,"nprobe":2,"kept":$kept,"gate_sec":${(tg1 - tg0) / 1e9}%.2f,"bruteforce_dropped":$bf,"bruteforce_sec":${(tg2 - tg1) / 1e9}%.2f}""")
+        def bytes(p: String): Long = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(p))
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        println(f"""{"probe":"semgate","corpus":$n,"batch":500,"k":32,"nprobe":2,"kept":$kept,"gate_sec":${(tg1 - tg0) / 1e9}%.2f,"kept_pq":$keptPq,"gate_pq_sec":${(tg1b - tg1) / 1e9}%.2f,"float_bytes":${bytes(s"$path/assigned")},"code_bytes":${bytes(s"$path/pqcodes")},"bruteforce_dropped":$bf,"bruteforce_sec":${(tg2 - tg1b) / 1e9}%.2f}""")
         corpus.unpersist()
         ()
       }

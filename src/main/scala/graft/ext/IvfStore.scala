@@ -1180,6 +1180,117 @@ final class IvfStore private (private val spark: SparkSession,
       .agg(count(lit(1)).as("candidates"))
   }
 
+  /** [[semanticPairs]] THROUGH THE PQ TIER (r15 verdict #5 — the
+    * float-relation gate re-reads dims·4 bytes per stored vector in
+    * every probed cell; with the residual+rerank tier proven, the
+    * gate's WIDE NET can read the m-byte code relation instead and
+    * refine exactly):
+    *  - stage 1 joins the batch's probe rows against the probed
+    *    `pqcodes/` cell partitions (same hot-cell salt as the float
+    *    gate) and scores each candidate with the DISTRIBUTED ADC kernel
+    *    ([[PqAnn.adcDotCol]] — the batch is an arbitrary-size frame, so
+    *    the driver literal tables of the search path cannot exist;
+    *    residual generations add the `q·centroid(cell)` term, permuted
+    *    generations permute the query side), keeping the top
+    *    `shortlist` candidates per batch row (bounded heap);
+    *  - stage 2 re-scores ONLY the shortlisted pairs with the EXACT
+    *    cosine of the float relation (probed-cell pruning + `vid IN`
+    *    row-group pushdown — the [[searchPqRerank]] fetch shape) and
+    *    emits pairs above `tau`.
+    * A pair the net misses is a pair the gate misses (the FAISS recall
+    * trade — widen `shortlist` to close it); at a shortlist covering
+    * every probed candidate the result is BIT-IDENTICAL to
+    * [[semanticPairs]] (spec-gated). The shortlisted candidate ids are
+    * collected for the pushdown — batch·shortlist driver longs, the
+    * micro-batch gate contract (the same driver-size class as
+    * [[searchPqRerank]]'s shortlist; a corpus-sized "batch" belongs in
+    * front of the float gate, not here). */
+  def semanticPairsPq(batch: DataFrame, idCol: String, embCol: String,
+      tau: Double, nprobe: Int, shortlist: Int,
+      excludeToken: Option[String] = None): DataFrame = {
+    require(shortlist >= 1, "shortlist must be >= 1")
+    val ms = visible(excludeToken)
+    val g = genOf(ms)
+    val book = pqBookFor(g).getOrElse(throw new IllegalArgumentException(
+      s"no PQ tier under $path (layout created with pqM = 0; " +
+        "the PQ-tier gate needs the code relation)"))
+    val cs = centroidsFor(g)
+    val probes = probeProjection(batch, idCol, embCol, nprobe, cs)
+    CacheScope.withCached(probes) {
+      val cells = probes.select("__probe").distinct()
+        .collect().map(_.getInt(0)).toSeq // ≤ k rows by construction
+      if (cells.isEmpty)
+        // empty batch (the streaming loop's schema probe): an empty
+        // result in the contract shape, id-typed from the batch itself
+        probes.select(col("__qid").as("qid"),
+          col("__qid").cast("long").as("vid"), lit(0.0).as("sim"))
+      else pairsPlanPqNonEmpty(probes, tau, shortlist, ms, g, book, cells)
+    }
+  }
+
+  private def pairsPlanPqNonEmpty(probes: DataFrame, tau: Double,
+      shortlist: Int, ms: Seq[Manifest], g: Int, book: PqAnn.Codebook,
+      cells: Seq[Int]): DataFrame = {
+    val cs = centroidsFor(g)
+    locally {
+      val s = IndexConf.strictInt(spark,
+        "spark.graft.ivfstore.cellSalt", default = 8, min = 1)
+      // stage 1: the m-byte wide net over probed code partitions
+      val codes = pqcodesRelOf(ms)
+        .where(col("cell").isin(cells: _*))
+        .withColumn("__vsalt", pmod(hash(col("vid")), lit(s)))
+      val qp = pqPermFor(g).fold(col("__qemb"))(p =>
+        PqAnn.applyPerm(col("__qemb"), p))
+      val probed = probes
+        .withColumn("__qp", qp)
+        .withColumn("__qsalt",
+          explode(array((0 until s).map(i => lit(i)): _*)))
+      val adc = PqAnn.adcDotCol(col("__qp"), col("codes"), book, spark)
+      val est =
+        if (pqResidualFor(g)) {
+          val cLit = typedlit(cs.map { case (id, c) => id -> c.toSeq }.toMap)
+          VectorFunctions.dot(col("__qemb"),
+            element_at(cLit, col("cell"))) + adc
+        } else adc
+      val scored = codes
+        .join(probed,
+          col("cell") === col("__probe") && col("__vsalt") === col("__qsalt")
+            && col("vid") =!= col("__qid"))
+        .select(col("__qid").as("qid"), col("vid"), est.as("est"))
+      graft.plans.GraftPlans.ensureInstalled(spark)
+      val short = graft.plans.GraftPlans.topKPerKey(scored,
+        Seq(col("qid")), Seq(col("est").desc, col("vid").asc), shortlist)
+        .select("qid", "vid").localCheckpoint(true)
+      // stage 2: exact cosine over ONLY the shortlisted float rows
+      val shortIds = short.select("vid").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val floats = assignedRelOf(ms)
+        .where(col("cell").isin(cells: _*) &&
+          col("vid").isin(shortIds: _*))
+        .select(col("vid"), col("emb"), col("nrm"))
+      val qRows = probes
+        .select(col("__qid"), col("__qemb"), col("__qnrm"))
+        .dropDuplicates("__qid")
+      short.join(floats, Seq("vid"))
+        .join(qRows, col("qid") === col("__qid"))
+        .select(col("qid"), col("vid"),
+          (VectorFunctions.dot(col("emb"), col("__qemb")) /
+            (col("nrm") * col("__qnrm"))).as("sim"))
+        .filter(col("sim") > tau)
+    }
+  }
+
+  /** [[semanticKeepUnseen]] with [[semanticPairsPq]]'s two-stage
+    * evidence — the same keep rule over the cheaper net. */
+  def semanticKeepUnseenPq(batch: DataFrame, idCol: String, embCol: String,
+      tau: Double, nprobe: Int, shortlist: Int,
+      excludeToken: Option[String] = None): DataFrame = {
+    val dup = semanticPairsPq(batch, idCol, embCol, tau, nprobe,
+      shortlist, excludeToken)
+      .select(col("qid").as("__gate_qid")).distinct()
+    batch.join(dup, batch(idCol) === col("__gate_qid"), "left_anti")
+  }
+
   /** Keep only incoming embeddings that semantically duplicate NO stored
     * vector (max probed-cell cosine ≤ `tau`) — the embedding-modality
     * ingest gate, SemDeDup's rule against a persisted corpus. */

@@ -58,6 +58,9 @@ object PqAnn {
     @transient private var bcs:
       Array[org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]] = _
 
+    @transient private var denseBc:
+      org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]] = _
+
     private[ext] def broadcastsFor(spark: org.apache.spark.sql.SparkSession)
         : Array[org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]] =
       synchronized {
@@ -66,11 +69,30 @@ object PqAnn {
         bcs
       }
 
+    /** The [[graft.functions.PqAdcDot]] kernel's dense id-indexed books
+      * (`[m][maxCellId+1][subDim]`, dead Lloyd's cells as null slots —
+      * a code never references one, it was never emitted), memoized per
+      * instance like the per-subspace matrices. */
+    private[ext] def denseBroadcastFor(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]] =
+      synchronized {
+        if (denseBc == null) {
+          val arr = sub.map { cs =>
+            val a = new Array[Array[Double]](cs.map(_._1).max + 1)
+            cs.foreach { case (id, c) => a(id) = c }
+            a
+          }.toArray
+          denseBc = spark.sparkContext.broadcast(arr)
+        }
+        denseBc
+      }
+
     /** Destroy the memoized kernel broadcasts (safe to skip — they are
       * small and ContextCleaner reclaims unreferenced ones; call it on
       * the original instance when the book's lifetime is known over). */
     def release(): Unit = synchronized {
       if (bcs != null) { bcs.foreach(_.destroy()); bcs = null }
+      if (denseBc != null) { denseBc.destroy(); denseBc = null }
     }
   }
 
@@ -431,6 +453,20 @@ object PqAnn {
           .as("score"))
     rankScored(scored, topK)
   }
+
+  /** The DISTRIBUTED ADC score column — [[graft.functions.PqAdcDot]]
+    * against this codebook's dense broadcast: for rows that carry BOTH a
+    * query embedding and a code array (a gate's batch-probe join, where
+    * the "queries" are an arbitrary-size incoming batch and the literal
+    * tables of [[adcTopKProbed]] cannot exist). Bit-identical to the
+    * literal-table lookup (spec-gated): same per-subspace left-to-right
+    * fold, same subspace-ordered accumulation. The CALLER permutes
+    * `qemb` when the book is a permuted tier ([[applyPerm]] — codes
+    * live in permuted space). */
+  def adcDotCol(qemb: Column, codes: Column, cb: Codebook,
+      spark: org.apache.spark.sql.SparkSession): Column =
+    graft.functions.PqAdcDot(qemb, codes,
+      cb.denseBroadcastFor(spark), cb.subDim)
 
   /** One query's ADC score over the `codes` column: the SUBSPACE-ORDERED
     * sum of its m table lookups — a binary add chain

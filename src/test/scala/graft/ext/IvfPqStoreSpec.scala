@@ -372,6 +372,48 @@ class IvfPqStoreSpec extends GraftSpec {
     }.getMessage should include("pqPermute")
   }
 
+  it("the PQ-TIER semantic gate (r15 #5): at a full-width shortlist the " +
+     "two-stage net+refine emits EXACTLY the float gate's pairs and " +
+     "keeps exactly its survivors (residual+permuted store included); " +
+     "a narrow net can only keep MORE rows (missed evidence), never " +
+     "drop extra; a no-tier layout is refused by name") {
+    val hist = emb.filter($"vec_id" % 3 =!= 0).localCheckpoint(true)
+    val store = IvfStore.create(hist, "vec_id", "embedding", tmp(),
+      k = 8, gateTau = 0.9, gateNprobe = 2, pqM = 16, pqK = 16,
+      pqResidual = true, pqPermute = true)
+    // a batch of exact stored copies (sim 1.0 — must drop) + fresh rows
+    val batch = hist.filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+      .union(emb.filter($"vec_id" % 6 === 0)
+        .select($"vec_id", $"embedding"))
+      .localCheckpoint(true)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("vec_id").as[Long].collect().sorted.toSeq
+    val floatKept = ids(store.semanticKeepUnseen(batch, "vec_id",
+      "embedding", tau = 0.9, nprobe = 2))
+    val pqKept = ids(store.semanticKeepUnseenPq(batch, "vec_id",
+      "embedding", tau = 0.9, nprobe = 2, shortlist = 100000))
+    pqKept shouldBe floatKept
+    // the evidence pairs are bit-identical at full width, not just the
+    // keep decision
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "vid").as[(Long, Long, Double)].collect().toSeq
+    pairs(store.semanticPairsPq(batch, "vec_id", "embedding",
+      tau = 0.9, nprobe = 2, shortlist = 100000)) shouldBe
+      pairs(store.semanticPairs(batch, "vec_id", "embedding",
+        tau = 0.9, nprobe = 2))
+    // a narrow net misses evidence at worst: survivors ⊇ the float
+    // gate's (nothing is invented above tau by the exact stage 2)
+    val narrow = ids(store.semanticKeepUnseenPq(batch, "vec_id",
+      "embedding", tau = 0.9, nprobe = 2, shortlist = 1))
+    floatKept.toSet.subsetOf(narrow.toSet) shouldBe true
+    // no PQ tier → the gate refuses by name
+    val bare = IvfStore.create(hist, "vec_id", "embedding", tmp(), k = 8)
+    intercept[IllegalArgumentException] {
+      bare.semanticPairsPq(batch, "vec_id", "embedding", 0.9, 2, 10)
+    }.getMessage should include("pqM")
+  }
+
   it("a layout created without the tier refuses PQ search by name and " +
      "appends skip the code sidecar") {
     val path = tmp()

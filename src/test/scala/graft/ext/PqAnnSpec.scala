@@ -365,6 +365,39 @@ class PqAnnSpec extends GraftSpec {
     }
   }
 
+  it("the DISTRIBUTED ADC kernel (PqAdcDot) equals the literal score " +
+     "tables bit for bit — same per-subspace fold, same subspace-order " +
+     "accumulation — and runs inside WholeStageCodegen") {
+    val codes = PqAnn.encode(emb, "vec_id", "embedding", cb)
+      .localCheckpoint(true)
+    val queries = emb.filter($"vec_id".isin(1L, 2L, 3L))
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    // literal-table scores for EVERY row (topK = corpus width)
+    val literal = PqAnn.adcTopK(codes, cb, queries, topK = 100000)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3)
+      .toMap
+    // kernel scores: each query's embedding as a literal column beside
+    // the code rows — the gate's row-side shape
+    val kernel = queries.flatMap { case (qid, q) =>
+      val scored = codes.filter($"vid" =!= qid)
+        .select($"vid",
+          PqAnn.adcDotCol(typedlit(q.toSeq), $"codes", cb, spark)
+            .as("score"))
+      // the `*(n)` span prefix marks whole-stage codegen
+      scored.queryExecution.executedPlan.toString should
+        include regex """\*\(\d+\) Project"""
+      scored.as[(Long, Double)].collect()
+        .map { case (vid, s) => (qid, vid) -> s }
+    }.toMap
+    kernel.keySet shouldBe literal.keySet
+    for ((k, v) <- kernel) {
+      // bit-identical, not approximately equal
+      java.lang.Double.doubleToLongBits(v) shouldBe
+        java.lang.Double.doubleToLongBits(literal(k))
+    }
+  }
+
   it("probed ADC at ~100 queries (SCALE_PQ workload, r14 verdict #2): " +
      "bit-identical to the driver-replicated table fold, FIXED plan " +
      "expression size however many queries ride the scan, and the " +
