@@ -539,6 +539,101 @@ object ScaleProbe {
         ()
       }
     }
+    // Binary-units shard packing at payload volume (round 16, r15
+    // verdict #6): dq167's media_gate → shard_write(units: bytes) chain
+    // priced at 1× and 10× sf0.1 payload volume, with REAL-sized
+    // payloads (a parseable image header + 4 KB of body). The probe's
+    // first run CAUGHT a scale bug in the r15 shape: packing on the
+    // (group, id, size) projection and joining the assignment back
+    // moved the fat rows TWICE — AQE only sometimes broadcast the
+    // corpus-sized assignment side (it did at 1×, shuffled 130 MB of
+    // payloads at 10×), and the placement repartition moved them again.
+    // The pack now CARRIES the rows (Packing.packGreedyCarry): ONE
+    // exchange total, which IS the placement move. Runtime assertions:
+    //  - the assignment plan holds exactly ONE shuffle, and the WHOLE
+    //    write job's shuffle bytes stay under 2× the payload bytes
+    //    (one fused move, never two);
+    //  - file discipline + row conservation at both scale points.
+    if (sys.env.get("SCALE_MEDIA").contains("1")) {
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      for (m <- Seq(1, 10)) {
+        val corpus = docs.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"),
+            col("text").as("caption"))
+          // body = 2 KB of md5-chained bytes: INCOMPRESSIBLE, so the
+          // (lz4-compressed) shuffle-write metric below measures real
+          // payload movement — a constant filler would compress ~20×
+          // and make the one-move assertion vacuous
+          .withColumn("payload", concat(
+            graft.ext.Multimodal.syntheticImagePayload(col("doc_id")) +:
+            (0 until 128).map(i => unhex(md5(
+              concat_ws(":", lit("body"), col("doc_id"), lit(i))))): _*))
+          .localCheckpoint(true)
+        val gated = graft.plan.CurationConfig
+          .MediaGate("image", "payload", 64, 1600, 64, 1000)
+          .apply(corpus, "doc_id", "caption", None)
+          .localCheckpoint(true)
+        val kept = gated.count()
+        // the bytes that MUST move: the gate's survivors' payloads
+        val payloadBytes = gated
+          .agg(sum(octet_length(col("payload")).cast("long"))).head().getLong(0)
+        // static shape: ONE exchange in the assignment plan (the fused
+        // pack+placement shuffle)
+        val assigned = graft.ext.ShardWriter.assign(gated, "doc_id",
+          "caption", "bytes", capacity = 1L << 20, epoch = 1,
+          streams = 16, binaryCol = Some("payload"))
+        val exchanges = graft.plans.PlanWalk
+          .collectAll(assigned.queryExecution.executedPlan) {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }
+        require(exchanges.length == 1,
+          s"SCALE_MEDIA: expected ONE fused pack+placement exchange, " +
+            s"found ${exchanges.length}")
+        // runtime bytes: total shuffle write across the WHOLE terminal
+        // write — one payload move means < 2× payload bytes
+        val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null) {
+              shuffled.addAndGet(
+                t.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+            }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val path = graft.io.TempReaper.tempDir("graft-scale-media")
+          .toString + "/st"
+        val t0 = System.nanoTime()
+        val shards = graft.ext.ShardWriter.write(gated, "doc_id",
+          "caption", path, capacity = 1L << 20, units = "bytes",
+          streams = 16, binaryCol = Some("payload"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.Bridge.waitListeners(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(listener)
+        val shuffleBytes = shuffled.get()
+        // one move of incompressible payloads: the job's total shuffle
+        // write sits in (payload/2, payload*2) — a second payload move
+        // (the pre-fusion join-back shape) lands at ~2× and fails high;
+        // a vacuous metric fails low
+        require(shuffleBytes > payloadBytes / 2,
+          s"SCALE_MEDIA: shuffle metrics implausibly low " +
+            s"($shuffleBytes vs $payloadBytes payload bytes)")
+        require(shuffleBytes < payloadBytes * 2,
+          s"SCALE_MEDIA: the write shuffled $shuffleBytes bytes — more " +
+            s"than one move of the $payloadBytes payload bytes")
+        val rows = graft.ext.ShardWriter.shards(spark, path).count()
+        require(rows == kept, s"shard write lost rows: $rows != $kept")
+        val partFiles = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(s"$path/data"))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .count()
+        require(partFiles == shards,
+          s"file discipline broke: $partFiles files for $shards shards")
+        println(f"""{"probe":"mediashard","docs":${corpus.count()},"kept":$kept,"payload_mb":${payloadBytes / 1e6}%.1f,"write_shuffle_mb":${shuffleBytes / 1e6}%.1f,"shards":$shards,"part_files":$partFiles,"write_sec":$sec%.2f}""")
+        corpus.unpersist(); gated.unpersist()
+        ()
+      }
+    }
     // Stored BM25 scaling (round 11): per-query cost of the persisted
     // inverted index vs the per-call session scorer as the corpus grows.
     // The session path re-tokenizes the WHOLE corpus every call (its one

@@ -28,6 +28,46 @@ object Packing {
     * `sizeCol` must be a non-negative integral column (e.g. `n_chars` or a
     * token count).
     */
+  /** [[packGreedy]] CARRYING the full row — the terminal-materialization
+    * form ([[ShardWriter.assign]]): the greedy state machine is
+    * identical (same per-group reset, same overflow rule, same
+    * ascending-id order, so bins are value-identical to the projection
+    * form), but the input rows ride the ONE group-key exchange and come
+    * out with `bin` appended — clustered by group and sorted by
+    * (group, id), which is (group, bin, id) order since bins are
+    * non-decreasing per group. A downstream partitioned write can then
+    * land the rows WITHOUT a second exchange. The projection form +
+    * join-back it replaces moved the fat rows TWICE at scale (the
+    * assignment join's key exchange — AQE only sometimes broadcast the
+    * assignment side, and a corpus-sized assignment can never broadcast
+    * — and the placement repartition; caught by the SCALE_MEDIA runtime
+    * bytes audit). `sizeCol` must already be an integral column. */
+  def packGreedyCarry(df: DataFrame, groupCol: String, idCol: String,
+      sizeCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val gIdx = df.schema.fieldIndex(groupCol)
+    val sIdx = df.schema.fieldIndex(sizeCol)
+    val outSchema =
+      df.schema.add(StructField("bin", LongType, nullable = false))
+    df.withColumn(sizeCol, col(sizeCol).cast("long"))
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(idCol))
+      .mapPartitions { rows =>
+        var cur: Any = null
+        var started = false
+        var bin = 0L
+        var fill = 0L
+        rows.map { r =>
+          val g = r.get(gIdx)
+          val n = r.getLong(sIdx)
+          if (!started || g != cur) { cur = g; started = true; bin = 0L; fill = n }
+          else if (fill + n > capacity) { bin += 1; fill = n }
+          else fill += n
+          Row.fromSeq(r.toSeq :+ bin)
+        }
+      }(Encoders.row(outSchema))
+  }
+
   def packGreedy(df: DataFrame, groupCol: String, idCol: String,
       sizeCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")

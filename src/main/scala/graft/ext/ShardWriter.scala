@@ -119,10 +119,15 @@ object ShardWriter {
       s"shard_write: duplicate (epoch, $idCol) rows in the input — the " +
         "shuffle key is row identity; dedup upstream (or repeat via " +
         "repeat_epochs, whose epoch column keys every copy)")
-    val packed = Packing
-      .packGreedy(keyed, "stream", "skey", "units", capacity)
-      .select(col("skey"), col("bin"))
-    keyed.join(packed, "skey") // skey is unique per (epoch, id): 1:1
+    // pack CARRYING the rows (one exchange total — the group-key shuffle
+    // IS the placement move): the projection+join-back form moved the
+    // fat rows twice at scale (the assignment join's skey exchange plus
+    // the placement repartition — AQE only sometimes broadcast the
+    // corpus-sized assignment side; caught by SCALE_MEDIA's runtime
+    // bytes audit). Output comes back clustered by stream in
+    // (stream, bin, skey) order, so the terminal write lands it with
+    // no further exchange.
+    Packing.packGreedyCarry(keyed, "stream", "skey", "units", capacity)
       .select(df.columns.map(col) ++
         Seq(col("skey"), col("units"), col("stream"), col("bin")): _*)
   }
@@ -148,10 +153,11 @@ object ShardWriter {
         val reportDir = s"$path/report/append=$id"
         log.clearOrphan(dataDir)
         log.clearOrphan(reportDir)
+        // assign's output is already stream-clustered in
+        // (stream, bin, skey) order (packGreedyCarry) — the partitioned
+        // write lands it directly, no second payload exchange
         assign(df, idCol, textCol, units, capacity, epoch, streams,
             binaryCol)
-          .repartition(col("stream"), col("bin"))
-          .sortWithinPartitions("stream", "bin", "skey")
           .write.partitionBy("stream", "bin").mode("errorifexists")
           .parquet(dataDir)
         // the report describes the BYTES ON DISK: read the shards back

@@ -38,6 +38,12 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.planner.strategies.contains(strategy)
 
+  /** Drain the listener bus (`listenerBus` is `private[spark]`) — a
+    * probe reading metrics accumulated by a SparkListener must flush
+    * in-flight events before the read, or the assertion races the bus. */
+  def waitListeners(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Eagerly convert a Column to a catalyst Expression (the plain
     * [[expression]] returns a LAZY ColumnNode wrapper that only the
     * Dataset-API operators convert during their own construction — inside a

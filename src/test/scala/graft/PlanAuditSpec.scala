@@ -314,9 +314,11 @@ class PlanAuditSpec extends GraftSpec {
     p should include("image_meta")
   }
 
-  it("shard assignment with units 'bytes' plans ONE hash exchange (the " +
-      "packGreedy stream shuffle) — octet_length and the epoch key ride " +
-      "the scan stage, the binary payload never shuffles for the metering") {
+  it("shard assignment with units 'bytes' plans EXACTLY ONE exchange — " +
+      "the fused pack+placement shuffle (round 16: the projection+join " +
+      "form moved payloads TWICE at scale, the skey join exchange plus " +
+      "the placement repartition; payloads now ride the ONE stream " +
+      "shuffle that lands them, and the terminal write adds none)") {
     val media = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         graft.ext.Multimodal.syntheticImagePayload(col("doc_id"))
@@ -327,24 +329,17 @@ class PlanAuditSpec extends GraftSpec {
       "caption", "bytes", capacity = 512, epoch = 1, streams = 16,
       binaryCol = Some("payload"))
     assigned.collect()
-    val p = physical(assigned)
-    "Exchange hashpartitioning".r.findAllMatchIn(p).length should be >= 1
-    // inspect the exchanges' OUTPUT attributes (the plan line prints
-    // only partitioning keys): the pack shuffle moves (stream, skey,
-    // units, …) and NO exchange carries the binary payload — the
-    // assignment join broadcasts the bin-count-sized packed side, so
-    // payloads stay in their scan partitions at any corpus size
-    val shuffled = graft.plans.PlanWalk
+    val exchanges = graft.plans.PlanWalk
       .collectAll(assigned.queryExecution.executedPlan) {
         case e: org.apache.spark.sql.execution.exchange
-            .ShuffleExchangeExec => e.output.map(_.name)
+            .ShuffleExchangeExec => e
       }
-    shuffled should not be empty
-    shuffled.foreach(out => out should not contain "payload")
-    // the pack shuffle's projection: (stream, skey, __gsz) — key, id,
-    // and the long size, nothing else
-    shuffled.exists(out =>
-      out.contains("skey") && out.contains("__gsz")) shouldBe true
+    // one fused move: ANY second exchange would re-move the payloads
+    exchanges.length shouldBe 1
+    // it is the stream-keyed pack shuffle carrying the full rows (the
+    // placement move — the write's partitionBy adds no repartition)
+    exchanges.head.outputPartitioning.toString should include("stream")
+    exchanges.head.output.map(_.name) should contain("payload")
   }
 
   it("custom expressions participate in whole-stage codegen") {
