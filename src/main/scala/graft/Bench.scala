@@ -334,6 +334,45 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq117 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq176: the payload-digest gate's history side — every file
+      //    scan in the gate plan lives under the index layout (32-char
+      //    digests); history payload BYTES are never re-read.
+      if (!names.exists(_.startsWith("dq176"))) None
+      else try {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.functions._
+        val media = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"),
+            graft.ext.Multimodal.syntheticImagePayload(col("doc_id"))
+              .as("payload"))
+          .localCheckpoint(true) // in-memory: index files are the only scans
+        val path = graft.io.TempReaper.tempDir("graft-bench-mdidx")
+          .toString + "/idx"
+        val buildLoad = loadAvg()
+        val tb0 = System.nanoTime()
+        val idx = graft.ext.MediaDigestIndex.build(media, "doc_id",
+          "payload", path)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        val batch = media.limit(200)
+          .select((col("doc_id") + 500000).as("doc_id"), col("payload"))
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val gate = idx.keepUnseenPayloads(batch, "doc_id", "payload")
+        val kept = gate.collect().length
+        val gateSec = (System.nanoTime() - t0) / 1e9
+        val scans = graft.plans.PlanWalk
+          .collectAll(gate.queryExecution.executedPlan) {
+            case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.map(_.toString)
+          }.flatten
+        val outside = scans.count(!_.contains(path))
+        Some(f""""dq176_build_sec":$buildSec%.3f,"dq176_build_loadavg":$buildLoad%.2f,""" +
+          f""""dq176_gate_sec":$gateSec%.3f,"dq176_gate_kept":$kept,""" +
+          s""""dq176_gate_file_scans":${scans.length},""" +
+          s""""dq176_nonindex_file_scans":$outside""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq176 evidence failed: ${e.getMessage}"); None
+      },
       if (!names.exists(_.startsWith("dq118"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec

@@ -3573,6 +3573,37 @@ object SparkEntry {
       .orderBy("qid", "vid")
   }
 
+  /** DQ178 (EXT): the SEMANTIC GATE THROUGH THE PQ TIER (r15 verdict
+    * #5 — [[graft.ext.IvfStore.semanticPairsPq]]): the gate's wide net
+    * reads the probed `pqcodes/` partitions (m-byte codes, 17–26×
+    * under the float relation) scored by the DISTRIBUTED ADC kernel
+    * ([[graft.functions.PqAdcDot]] — the batch is an arbitrary-size
+    * frame, so the search path's driver literal tables cannot exist),
+    * keeps the ADC-top-`shortlist` candidates per batch row (bounded
+    * heap), and re-scores ONLY those with the exact float cosine.
+    * A NARROW net (shortlist 4) is declared so the oracle must
+    * re-derive the ADC ranking itself: the frozen PQ chain (dq162's
+    * arithmetic trained on the create corpus), the probe-pruned
+    * estimate per (batch row, stored vector), the top-4 window, the
+    * exact cosine on exactly those pairs, and the tau filter. Output:
+    * the gate's evidence pairs (qid, vid, sim > 0.5). */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val hist = emb.filter(col("vec_id") % 3 =!= 0)
+    val base =
+      graft.io.TempReaper.tempDir("graft-dq178-pqgate").toString + "/ivf"
+    val store = graft.ext.IvfStore.create(hist, "vec_id", "embedding",
+      base, k = 8, pqM = 16, pqK = 16)
+    val batch = hist.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      .union(emb.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id"), col("embedding")))
+      .localCheckpoint(true)
+    store.semanticPairsPq(batch, "vec_id", "embedding",
+        tau = 0.5, nprobe = 2, shortlist = 4)
+      .orderBy("qid", "vid")
+  }
+
   /** DQ172 (EXT/runner): the AUDIO media gate DECLARED — completes the
     * modality triple on the declared surface (dq167 image, dq168
     * video): WAV payloads (dq79's byte-exact chunk-table synthesis)
@@ -3987,7 +4018,8 @@ object SparkEntry {
     "dq174_media_dedup_exact"     -> (q174 _),
     "dq175_media_dedup_near"      -> (q175 _),
     "dq176_stream_media_digest"   -> (q176 _),
-    "dq177_pq_permuted"           -> (q177 _)
+    "dq177_pq_permuted"           -> (q177 _),
+    "dq178_pq_gate"               -> (q178 _)
   )
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
@@ -4715,6 +4747,40 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT) AS batch, qid AS vec_id FROM k1
         |ORDER BY batch, vec_id""".stripMargin
+  }
+
+  /** dq178: the PQ-tier gate at a NARROW shortlist — the dq122 gate
+    * fixture's round-1 shape, with the wide net re-derived through the
+    * frozen PQ chain: per-(batch row, stored vector) ADC estimate over
+    * probed cells, the top-4 window (est desc, vid asc — the bounded
+    * heap's order), exact cosine on exactly those pairs, tau filter. */
+  private lazy val Dq178Sql: String = {
+    def cos(a: String, q: String): String =
+      s"""list_sum(list_transform(range(1, 65), i -> $a.emb[i]::DOUBLE * $q.qemb[i]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform($a.emb, x -> x::DOUBLE * x::DOUBLE)))
+        |       * sqrt(list_sum(list_transform($q.qemb, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
+    ivfChainSql(8, 2, 2, " WHERE vec_id % 3 <> 0",
+      """SELECT vec_id + 100000 qid, embedding qemb FROM embeddings
+        |    WHERE vec_id % 3 <> 0 AND vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id, embedding FROM embeddings
+        |    WHERE vec_id % 3 = 0""".stripMargin) + ",\n" +
+      pqChainsSql(m = 16, subDim = 4, k = 16, iters = 2,
+        assignFrom = "af", trainFrom = "e") +
+      s""",
+        |est AS (SELECT t.qid, c.vid, list_sum(list(t.t ORDER BY c.j)) est
+        |  FROM cu c JOIN tqall t ON t.j = c.j AND t.cell = c.cell
+        |  JOIN af ON af.vid = c.vid
+        |  JOIN probe p ON p.qid = t.qid AND p.cell = af.cell
+        |  WHERE c.vid <> t.qid
+        |  GROUP BY t.qid, c.vid),
+        |short AS (SELECT qid, vid FROM (SELECT qid, vid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY est DESC, vid) rn
+        |  FROM est) WHERE rn <= 4),
+        |refined AS (SELECT s.qid, s.vid, ${cos("a", "q")} sim
+        |  FROM short s JOIN af a ON a.vid = s.vid JOIN q ON q.qid = s.qid)
+        |SELECT qid, vid, sim FROM refined WHERE sim > 0.5
+        |ORDER BY qid, vid""".stripMargin
   }
 
   /** dq126: dq118's trained/appended store, searched on the SQ8 tier —
@@ -6174,6 +6240,9 @@ object SparkEntry {
     "dq162_pq_adc_topk" -> Dq162Sql,
     // OPQ-lite: the permutation CTEs in front of the same chain
     "dq177_pq_permuted" -> Dq177Sql,
+    // the PQ-tier semantic gate at a narrow net: ADC top-4 window +
+    // exact refine + tau, fully re-derived
+    "dq178_pq_gate" -> Dq178Sql,
     // IVF-PQ: the dq51 coarse chain pruning the dq162 ADC scan
     "dq163_ivfpq_topk" -> Dq163Sql,
     // the STORED IVF-PQ tier: both chains trained on the create split,

@@ -88,13 +88,21 @@ object MediaDedup {
   private def dropLosers(df: DataFrame, idCol: String,
       losers: DataFrame): DataFrame =
     CacheScope.withCached(losers) {
-      val items = math.max(1L, losers.count())
-      val filter = BloomPrune.buildFilter(losers, "__md_id", items)
-      val (maybeLoser, definitelyKept) = BloomPrune.split(df, idCol, filter)
-      val verifiedKept = maybeLoser
-        .join(losers, col(idCol) === col("__md_id"), "left_anti")
-      definitelyKept.union(
-        verifiedKept.select(definitelyKept.columns.map(col): _*))
+      val items = losers.count()
+      // a duplicate-free frame has NO losers — and Spark's
+      // stat.bloomFilter over zero rows returns a filter with null bits
+      // that throws on every probe, so the empty case must short-circuit
+      // (common in streamed micro-batches)
+      if (items == 0L) df
+      else {
+        val filter = BloomPrune.buildFilter(losers, "__md_id", items)
+        val (maybeLoser, definitelyKept) =
+          BloomPrune.split(df, idCol, filter)
+        val verifiedKept = maybeLoser
+          .join(losers, col(idCol) === col("__md_id"), "left_anti")
+        definitelyKept.union(
+          verifiedKept.select(definitelyKept.columns.map(col): _*))
+      }
     }
 
   /** The blocked byte-signature rows: (doc_id, nb, i, bh) — `nb` the

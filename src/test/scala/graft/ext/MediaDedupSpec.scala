@@ -45,6 +45,19 @@ class MediaDedupSpec extends GraftSpec {
       "dup-early"
   }
 
+  it("a duplicate-free frame passes BOTH modes unchanged — the empty " +
+     "loser set short-circuits (Spark's bloomFilter over zero rows " +
+     "returns null bits that throw on probe; a streamed micro-batch " +
+     "with no dups hit exactly that)") {
+    val df = frame(
+      (1L, blocksOf("a"), "x"), (2L, blocksOf("b"), "y"),
+      (3L, blocksOf("c"), "z"))
+    ids(MediaDedup.exactByPayload(df, "payload", "doc_id")) shouldBe
+      Seq(1L, 2L, 3L)
+    ids(MediaDedup.keepNearCanonical(df, "doc_id", "payload",
+      blocks = 8, minMatch = 6)) shouldBe Seq(1L, 2L, 3L)
+  }
+
   it("the blocked-signature pigeonhole: payloads differing in <= " +
      "blocks - minMatch blocks pair; more differing blocks don't; " +
      "different lengths never pair") {

@@ -37,15 +37,16 @@ class CurationStreamPropertySpec extends GraftSpec {
       val replaySrc = rnd.shuffle(d1).take(5).zipWithIndex
         .map { case ((src, t), j) => (1000L + j, t, src) }
       val replays = replaySrc.map { case (id, t, _) => (id, t) }
-      // every doc carries a deterministic binary payload: the random
-      // chain now runs the multimodal gate BETWEEN dedup and the store
-      // gate, so parity covers per-row byte arithmetic composed with
-      // stateful store gates in the stream (non-images and band
-      // rejects drop before the substr windows are ever computed)
+      // every doc carries a deterministic binary payload KEYED ON
+      // doc_id % 23 — groups share byte-identical payloads, so the
+      // chain's media_dedup (within-frame) and media_digest_gate
+      // (cross-batch store) both have real work: the random chain now
+      // covers per-row byte arithmetic AND binary-payload dedup
+      // composed with stateful store gates in the stream
       def withPayload(rows: Seq[(Long, String)]) = rows
         .toDF("doc_id", "text")
         .withColumn("payload",
-          graft.ext.Multimodal.syntheticImagePayload(col("doc_id")))
+          graft.ext.Multimodal.syntheticImagePayload(col("doc_id") % 23))
         .localCheckpoint(true)
       val b1 = withPayload(d1)
       val b2 = withPayload(d2raw ++ replays)
@@ -56,10 +57,13 @@ class CurationStreamPropertySpec extends GraftSpec {
           s"""{"table": "documents", "id": "doc_id", "text": "text",
             | "stages": [
             |   {"stage": "exact_dedup"},
+            |   {"stage": "media_dedup", "binary": "payload"},
             |   {"stage": "media_gate", "kind": "image",
             |    "binary": "payload", "minWidth": 16, "maxWidth": 1500},
             |   {"stage": "substr_gate", "path": "$base/ss", "k": 4,
-            |    "maxDupWindows": 0}]}""".stripMargin)
+            |    "maxDupWindows": 0},
+            |   {"stage": "media_digest_gate", "path": "$base/md",
+            |    "binary": "payload"}]}""".stripMargin)
       val sBase = java.nio.file.Files
         .createTempDirectory(s"graft-csps-s$trial").toString
       val bBase = java.nio.file.Files
