@@ -2193,6 +2193,36 @@ object SparkEntry {
       .orderBy("round", "vec_id")
   }
 
+  /** DQ179 (EXT/runner): the PQ-TIER semantic gate DECLARED — dq125's
+    * two-round config with `tier: "pq"` (the gate's wide net reads
+    * m-byte codes through the declared surface — the scale path as a
+    * config knob, residual+permuted, dq178's engine route) at a
+    * FULL-WIDTH shortlist, which the parity spec pins bit-identical to
+    * the float gate — so the oracle IS dq125's chain (the dq84→dq51 and
+    * dq127→dq86 same-oracle precedent: a differently-executed query
+    * whose answer the contract fixes). The NARROW-net form is dq178's
+    * own oracle. Round 1 seeds the store WITH the tier (codes +
+    * residual books + balanced permutation trained on the seed batch);
+    * round 2 gates the held-out selector through ADC + exact refine. */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.io.TempReaper.tempDir("graft-dq179-idx").toString + "/idx"
+    def cfg(whereExpr: String): String =
+      s"""{"table": "embeddings", "id": "vec_id", "text": "embedding",
+        | "stages": [
+        |   {"stage": "where", "expr": "$whereExpr"},
+        |   {"stage": "semantic_gate", "path": "$path", "k": 8,
+        |    "tau": 0.5, "nprobe": 2, "tier": "pq", "pqM": 16,
+        |    "pqK": 16, "pqResidual": true, "pqPermute": true,
+        |    "shortlist": 100000}]}""".stripMargin
+    val r1 = graft.plan.CurationConfig
+      .parse(cfg("vec_id % 3 <> 0")).run(s, dir, Some("r1"))
+    val r2 = graft.plan.CurationConfig
+      .parse(cfg("vec_id % 3 = 0")).run(s, dir, Some("r2"))
+    r1.select(lit(1L).as("round"), col("vec_id"))
+      .union(r2.select(lit(2L).as("round"), col("vec_id")))
+      .orderBy("round", "vec_id")
+  }
+
   /** DQ126 (EXT): the STORED SQ8 candidate tier of the persisted IVF
     * index ([[graft.ext.IvfStore.searchAllPacked]]) — dq118's layout with
     * the search moved onto the `packed/` relation: every stored vector's
@@ -3967,6 +3997,7 @@ object SparkEntry {
     "dq123_stream_sem_loop"     -> (q123 _),
     "dq124_config_ingest"       -> (q124 _),
     "dq125_config_sem_ingest"   -> (q125 _),
+    "dq179_config_pq_gate"      -> (q179 _),
     "dq126_ivf_store_packed"    -> (q126 _),
     "dq127_bm25_store"          -> (q127 _),
     "dq128_lm_store_gate"       -> (q128 _),
@@ -4772,7 +4803,6 @@ object SparkEntry {
         |  FROM cu c JOIN tqall t ON t.j = c.j AND t.cell = c.cell
         |  JOIN af ON af.vid = c.vid
         |  JOIN probe p ON p.qid = t.qid AND p.cell = af.cell
-        |  WHERE c.vid <> t.qid
         |  GROUP BY t.qid, c.vid),
         |short AS (SELECT qid, vid FROM (SELECT qid, vid,
         |    row_number() OVER (PARTITION BY qid ORDER BY est DESC, vid) rn
@@ -6873,6 +6903,10 @@ object SparkEntry {
     // config-driven SEMANTIC ingest: round 1 seeds (trains) the store on
     // the % 3 <> 0 batch; round 2 gates the held-out vectors against it
     "dq125_config_sem_ingest" -> Dq125Sql,
+    // the DECLARED pq-tier gate at a full-width shortlist: the parity
+    // contract makes the answer dq125's chain exactly (same-oracle
+    // precedent: dq84 -> Dq51Sql, dq127 -> Dq86Sql)
+    "dq179_config_pq_gate" -> Dq125Sql,
     // the frozen semantic gate: dq125's chain, k1 emitted for both batches
     "dq149_stream_sem_decontam" -> Dq149Sql,
     // the stored SQ8 candidate tier: same trained/appended layout as

@@ -199,6 +199,11 @@ final class IvfStore private (private val spark: SparkSession,
         df.select("residual").head().getBoolean(0)
     })
 
+  /** Whether the CURRENT generation carries the PQ tier — the
+    * config-surface probe ([[graft.plan.CurationConfig.SemanticGate]]
+    * validates a declared `tier: "pq"` at open, not at first query). */
+  def hasPqTier: Boolean = pqBookFor(genOf(log.read())).nonEmpty
+
   private val pqPermCache = scala.collection.concurrent.TrieMap
     .empty[Int, Option[Array[Int]]]
 
@@ -1252,10 +1257,14 @@ final class IvfStore private (private val spark: SparkSession,
           VectorFunctions.dot(col("__qemb"),
             element_at(cLit, col("cell"))) + adc
         } else adc
+      // NO self-id exclusion — the SEARCH path excludes qid==vid (a
+      // query shouldn't return itself), but the GATE's contract is the
+      // float gate's: a stored row with the batch row's own id IS
+      // duplicate evidence (that's how a replayed id drops through its
+      // own append)
       val scored = codes
         .join(probed,
-          col("cell") === col("__probe") && col("__vsalt") === col("__qsalt")
-            && col("vid") =!= col("__qid"))
+          col("cell") === col("__probe") && col("__vsalt") === col("__qsalt"))
         .select(col("__qid").as("qid"), col("vid"), est.as("est"))
       graft.plans.GraftPlans.ensureInstalled(spark)
       val short = graft.plans.GraftPlans.topKPerKey(scored,

@@ -478,7 +478,10 @@ object CurationConfig {
     * survivors — all three persisted-index modalities now have the same
     * declare-then-run form. */
   final case class SemanticGate(path: String, k: Int, tau: Double,
-      nprobe: Int) extends Stage {
+      nprobe: Int, tier: String = "float", pqM: Int = 16, pqK: Int = 16,
+      pqResidual: Boolean = true, pqPermute: Boolean = false,
+      shortlist: Int = 64) extends Stage {
+    private def pq: Boolean = tier == "pq"
     private def openValidated(spark: SparkSession): IvfStore = {
       val store = IvfStore.open(spark, path)
       val st = store.stats
@@ -489,6 +492,12 @@ object CurationConfig {
         s"semantic_gate at $path was built with (tau=${st.gateTau}, " +
           s"nprobe=${st.gateNprobe}); the config declares " +
           s"(tau=$tau, nprobe=$nprobe)")
+      // a pq-tier gate against a store created without the code
+      // relation must fail at OPEN with the config's vocabulary, not
+      // at query time with the engine's
+      require(!pq || store.hasPqTier,
+        s"semantic_gate at $path declares tier 'pq' but the stored " +
+          "layout has no PQ tier (created with pqM = 0)")
       store
     }
     def apply(df: DataFrame, idCol: String, embCol: String,
@@ -500,9 +509,17 @@ object CurationConfig {
       replayableRound(df, runToken, existing, () => openValidated(spark))(
         (seeded, tok) =>
           IvfStore.create(seeded, idCol, embCol, path, k, iters = 2,
-            gateTau = tau, gateNprobe = nprobe, seedToken = tok))(
+            gateTau = tau, gateNprobe = nprobe, seedToken = tok,
+            pqM = if (pq) pqM else 0, pqK = pqK,
+            pqResidual = pq && pqResidual,
+            pqPermute = pq && pqPermute))(
         (store, input, tok) =>
-          store.gateKeep(input, idCol, embCol, excludeToken = tok)) {
+          // tier 'pq': the m-byte wide net + exact refine
+          // (IvfStore.semanticKeepUnseenPq — dq178); tier 'float':
+          // the direct probed-cosine gate
+          if (pq) store.semanticKeepUnseenPq(input, idCol, embCol,
+            tau, nprobe, shortlist, excludeToken = tok)
+          else store.gateKeep(input, idCol, embCol, excludeToken = tok)) {
         (store, kept, tok) =>
           tok match {
             case Some(t) => store.appendOnce(kept, idCol, embCol, t); ()
@@ -1254,7 +1271,34 @@ object CurationConfig {
         val nprobe = long("nprobe").getOrElse(2L)
         if (nprobe < 1)
           fail(s"stage 'semantic_gate': nprobe must be >= 1, got $nprobe")
-        SemanticGate(path, k.toInt, tau, nprobe.toInt)
+        val tier = j \ "tier" match {
+          case JString(t) if t == "float" || t == "pq" => t
+          case JString(t) => fail(s"stage 'semantic_gate': unknown tier " +
+            s"'$t' (float | pq)")
+          case JNothing => "float"
+          case _ => fail("stage 'semantic_gate' 'tier' must be a string " +
+            "(float | pq)")
+        }
+        val pqM = long("pqM").getOrElse(16L)
+        if (pqM < 1) fail(s"stage 'semantic_gate': pqM must be >= 1, got $pqM")
+        val pqK = long("pqK").getOrElse(16L)
+        if (pqK < 1 || pqK > 128)
+          fail(s"stage 'semantic_gate': pqK must be in [1, 128], got $pqK")
+        val pqResidual = j \ "pqResidual" match {
+          case JBool(b) => b
+          case JNothing => true
+          case _ => fail("stage 'semantic_gate' 'pqResidual' must be a boolean")
+        }
+        val pqPermute = j \ "pqPermute" match {
+          case JBool(b) => b
+          case JNothing => false
+          case _ => fail("stage 'semantic_gate' 'pqPermute' must be a boolean")
+        }
+        val shortlist = long("shortlist").getOrElse(64L)
+        if (shortlist < 1)
+          fail(s"stage 'semantic_gate': shortlist must be >= 1, got $shortlist")
+        SemanticGate(path, k.toInt, tau, nprobe.toInt, tier, pqM.toInt,
+          pqK.toInt, pqResidual, pqPermute, shortlist.toInt)
       case "store_vacuum" =>
         val kinds =
           Set("substr", "neardup", "lm", "bm25", "bpe", "ivf", "probe",

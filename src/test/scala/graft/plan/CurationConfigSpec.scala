@@ -210,6 +210,60 @@ class CurationConfigSpec extends GraftSpec {
     e.getMessage should (include("tau=0.5") and include("tau=0.7"))
   }
 
+  it("semantic_gate tier 'pq' (dq179): the declared scale path — seed " +
+     "creates the store WITH the code tier, gate rounds route through " +
+     "the m-byte net + exact refine, a full-width shortlist answers " +
+     "exactly like the float gate, and tier mismatches are refused by " +
+     "name at open") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-curation-pqsem").toString
+    def oneHot(i: Int): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == i) 1f else 0f)
+    Seq((1L, oneHot(0)), (2L, oneHot(1)), (3L, oneHot(2)), (4L, oneHot(3)),
+        (5L, oneHot(0)), (11L, oneHot(0)), (12L, oneHot(5)))
+      .toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-curation-pqsemg").toString + "/idx"
+    def cfg(whereExpr: String, tier: String = "pq"): String =
+      s"""{"table":"embeddings","id":"vec_id","text":"embedding",
+        | "stages":[{"stage":"where","expr":"$whereExpr"},
+        |   {"stage":"semantic_gate","path":"$path","k":4,
+        |    "tau":0.5,"nprobe":2,"tier":"$tier","pqM":16,"pqK":4,
+        |    "shortlist":10000}]}""".stripMargin
+    CurationConfig.parse(cfg("vec_id <= 5")).run(spark, d)
+      .select("vec_id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 3L, 4L, 5L) // bootstrap: trained + seeded, all kept
+    // the float gate's exact semantics through the pq route: 11
+    // duplicates stored e1 → dropped, 12 orthogonal → kept + appended
+    CurationConfig.parse(cfg("vec_id > 10")).run(spark, d)
+      .select("vec_id").as[Long].collect() shouldBe Array(12L)
+    CurationConfig.parse(cfg("vec_id = 12")).run(spark, d)
+      .count() shouldBe 0L
+    // a FLOAT-declared round against the same store still works (the
+    // tier only picks the gate route; the layout carries both)...
+    CurationConfig.parse(cfg("vec_id = 11", tier = "float")).run(spark, d)
+      .count() shouldBe 0L
+    // ...but a pq-declared round against a TIERLESS store is refused
+    // at open with the config's vocabulary
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft-curation-pqbare").toString + "/idx"
+    def bareCfg(tier: String): String =
+      s"""{"table":"embeddings","id":"vec_id","text":"embedding",
+        | "stages":[{"stage":"semantic_gate","path":"$bare","k":4,
+        |    "tau":0.5,"nprobe":2,"tier":"$tier"}]}""".stripMargin
+    CurationConfig.parse(bareCfg("float")).run(spark, d).count() shouldBe 7L
+    intercept[IllegalArgumentException] {
+      CurationConfig.parse(bareCfg("pq")).run(spark, d).count()
+    }.getMessage should include("no PQ tier")
+    // parser strictness
+    intercept[IllegalArgumentException] {
+      CurationConfig.parse(
+        """{"table":"e","id":"i","text":"t",
+          | "stages":[{"stage":"semantic_gate","path":"/tmp/x","k":4,
+          |  "tier":"sq8"}]}""".stripMargin)
+    }.getMessage should include("unknown tier")
+  }
+
   it("lm_gate: bootstrap seeds the stored model (all kept); later runs " +
      "band-gate against it; a drifted band is refused") {
     val d = dir
