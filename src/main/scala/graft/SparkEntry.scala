@@ -3634,6 +3634,62 @@ object SparkEntry {
       .orderBy("qid", "vid")
   }
 
+  /** DQ180 (EXT, §2.9): the NEAR-dup BINARY-payload gate STREAMED —
+    * [[graft.ext.MediaSigIndex]] as the SEVENTH modality of the ONE
+    * generic ingest loop (the blocked-signature sibling of dq176's
+    * exact digest gate): history payloads are signature'd once (eight
+    * 32-byte blocks, hex-slice md5s); each micro-batch drops rows
+    * sharing ≥ 6 of 8 block hashes at the same offset with a
+    * same-length stored payload — batch 1's single-block variants of
+    * history payloads drop (7/8 matches), batch 2's variants of batch
+    * 1's FRESH payloads drop ONLY because the loop appended their
+    * signatures — and appends its survivors' signatures, exactly-once
+    * via batch tokens + the replay-view gate. The oracle re-derives
+    * every payload's block bytes, the hex-slice signature, the
+    * ≥ minMatch pair rule, and the two-round seen-set recurrence. */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    def pay(g: Column, v: Int): Column = concat((0 to 7).map(j =>
+      if (j == 7) md5(concat_ws(":", lit("mb"), g, lit(j), lit(v)))
+      else md5(concat_ws(":", lit("mb"), g, lit(j)))): _*).cast("binary")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val hist = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), pay(col("doc_id"), 0).as("payload"),
+        col("source"))
+    val b1 = docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        pay(col("doc_id"), 1).as("payload"), col("source"))
+      .union(docs.filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id"), pay(col("doc_id"), 0).as("payload"),
+          col("source")))
+    val b2 = docs.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        pay(col("doc_id"), 2).as("payload"), col("source"))
+      .union(docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          pay(col("doc_id"), 1).as("payload"), col("source")))
+      .union(docs.filter(col("doc_id") % 6 === 3)
+        .select(col("doc_id"), pay(col("doc_id"), 0).as("payload"),
+          col("source")))
+    val in = graft.io.TempReaper.tempDir("graft-dq180-in").toString
+    b1.coalesce(1).write.parquet(s"$in/b1.parquet")
+    b2.coalesce(1).write.parquet(s"$in/b2.parquet")
+    val later = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 120000L)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(s"$in/b2.parquet"))
+      .forEach(p => { java.nio.file.Files.setLastModifiedTime(p, later); () })
+    val idxPath =
+      graft.io.TempReaper.tempDir("graft-dq180-idx").toString + "/idx"
+    val idx = graft.ext.MediaSigIndex.build(hist, "doc_id", "payload",
+      idxPath, blocks = 8, minMatch = 6, maxBucket = 100)
+    val incoming = s.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    EventStream.runIndexedIngest(incoming, idx, "doc_id", "payload",
+        "dq180")
+      .select(col("batch"), col("doc_id"), col("source"))
+      .orderBy("batch", "doc_id")
+  }
+
   /** DQ172 (EXT/runner): the AUDIO media gate DECLARED — completes the
     * modality triple on the declared surface (dq167 image, dq168
     * video): WAV payloads (dq79's byte-exact chunk-table synthesis)
@@ -3998,6 +4054,7 @@ object SparkEntry {
     "dq124_config_ingest"       -> (q124 _),
     "dq125_config_sem_ingest"   -> (q125 _),
     "dq179_config_pq_gate"      -> (q179 _),
+    "dq180_stream_media_sig"    -> (q180 _),
     "dq126_ivf_store_packed"    -> (q126 _),
     "dq127_bm25_store"          -> (q127 _),
     "dq128_lm_store_gate"       -> (q128 _),
@@ -6353,6 +6410,61 @@ object SparkEntry {
         |FROM hx h2 LEFT JOIN clusters c ON h2.doc_id = c.id
         |WHERE c.id IS NULL OR h2.doc_id = c.rep
         |ORDER BY h2.doc_id""".stripMargin,
+    // the NEAR-dup payload gate streamed: re-derive every payload's
+    // block bytes, the hex-slice signature, the >= minMatch pair rule,
+    // and the two-round seen-set recurrence over stored signatures
+    "dq180_stream_media_sig" ->
+      """WITH roles AS (
+        |  SELECT doc_id, source, doc_id AS g, 0 AS v, 'h' AS grp
+        |    FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000, source, doc_id, 1, 'b1'
+        |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, source, doc_id, 0, 'b1'
+        |    FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000, source, doc_id, 2, 'b2'
+        |    FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 40000, source, doc_id, 1, 'b2'
+        |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 2
+        |  UNION ALL
+        |  SELECT doc_id, source, doc_id, 0, 'b2'
+        |    FROM documents WHERE doc_id % 6 = 3),
+        |blk AS (SELECT doc_id, grp, j,
+        |    CASE WHEN j = 7 THEN md5('mb:' || g::VARCHAR || ':' || j
+        |      || ':' || v::VARCHAR)
+        |    ELSE md5('mb:' || g::VARCHAR || ':' || j) END AS b
+        |  FROM roles, unnest(range(0, 8)) AS t(j)),
+        |pays AS (SELECT doc_id, grp, string_agg(b, '' ORDER BY j) ps
+        |  FROM blk GROUP BY 1, 2),
+        |hx AS (SELECT doc_id, grp, upper(hex(ps::BLOB)) h,
+        |    octet_length(ps::BLOB)::BIGINT nb FROM pays),
+        |sigi AS (SELECT doc_id, grp, nb, h, unnest(range(0, 8)) i FROM hx),
+        |sig AS (SELECT doc_id, grp, nb, i,
+        |    md5(substr(h, (i * 64 + 1)::INT, 64)) bh FROM sigi),
+        |h0 AS (SELECT doc_id, nb, i, bh FROM sig WHERE grp = 'h'),
+        |d1 AS (SELECT b.doc_id FROM sig b
+        |  JOIN h0 ON b.nb = h0.nb AND b.i = h0.i AND b.bh = h0.bh
+        |  WHERE b.grp = 'b1'
+        |  GROUP BY b.doc_id, h0.doc_id HAVING count(*) >= 6),
+        |k1 AS (SELECT doc_id, source FROM roles WHERE grp = 'b1'
+        |  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM d1)),
+        |h1 AS (SELECT doc_id, nb, i, bh FROM h0
+        |  UNION ALL
+        |  SELECT s.doc_id, s.nb, s.i, s.bh FROM sig s
+        |    JOIN k1 ON s.doc_id = k1.doc_id WHERE s.grp = 'b1'),
+        |d2 AS (SELECT b.doc_id FROM sig b
+        |  JOIN h1 ON b.nb = h1.nb AND b.i = h1.i AND b.bh = h1.bh
+        |  WHERE b.grp = 'b2'
+        |  GROUP BY b.doc_id, h1.doc_id HAVING count(*) >= 6),
+        |k2 AS (SELECT doc_id, source FROM roles WHERE grp = 'b2'
+        |  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM d2))
+        |SELECT CAST(1 AS BIGINT) AS batch, doc_id, source FROM k1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, source FROM k2
+        |ORDER BY batch, doc_id""".stripMargin,
     // the payload-digest history gate streamed: re-derive every
     // synthesized payload's hex-domain digest and replay the two-round
     // seen-set recurrence (history ∪ batch-1 survivors gates batch 2)

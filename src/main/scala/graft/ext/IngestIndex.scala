@@ -6,11 +6,12 @@ import org.apache.spark.sql.DataFrame
   * loop ([[graft.streaming.EventStream.runIndexedIngest]]): gate a batch
   * against the stored layout (excluding the batch's OWN possibly-committed
   * append on replay), then append the survivors idempotently under the
-  * batch token. Six modalities implement it — [[NearDupIndex]]
+  * batch token. Seven modalities implement it — [[NearDupIndex]]
   * (near-duplicate documents), [[SubstrIndex]] (verbatim window
   * overlap), [[IvfStore]] (semantic cosine dedup), [[NgramLmStore]]
-  * (fluency band), [[QualityProbeStore]] (mean-quality gate), and
-  * [[MediaDigestIndex]] (byte-identical binary payloads) — so ONE
+  * (fluency band), [[QualityProbeStore]] (mean-quality gate),
+  * [[MediaDigestIndex]] (byte-identical binary payloads), and
+  * [[MediaSigIndex]] (near-identical binary payloads) — so ONE
   * streaming loop serves every gated curation modality.
   */
 trait IngestIndex {

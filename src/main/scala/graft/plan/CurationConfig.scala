@@ -470,6 +470,52 @@ object CurationConfig {
     }
   }
 
+  /** The NEAR-dup BINARY-payload history gate ([[MediaSigIndex]]): the
+    * blocked-signature sibling of [[MediaDigestGate]] — round 1 seeds
+    * the signature store; later rounds drop rows whose payload shares
+    * ≥ `minMatch` of `blocks` block hashes at the same offset with a
+    * same-length STORED payload (byte-identical payloads share all
+    * blocks, so this subsumes the exact gate at the same parameters)
+    * and append the survivors' signatures. The parameters are the
+    * stored identity — a drifted config is refused at open. */
+  final case class MediaSigGate(path: String, binaryCol: String,
+      blocks: Int, minMatch: Int, maxBucket: Int) extends Stage {
+    private def openValidated(spark: SparkSession): graft.ext.MediaSigIndex = {
+      val idx = graft.ext.MediaSigIndex.open(spark, path)
+      val st = idx.stats
+      require(st.blocks == blocks && st.minMatch == minMatch &&
+        st.maxBucket == maxBucket,
+        s"media_sig_gate at $path was built with (blocks=${st.blocks}, " +
+          s"minMatch=${st.minMatch}, maxBucket=${st.maxBucket}); the " +
+          s"config declares (blocks=$blocks, minMatch=$minMatch, " +
+          s"maxBucket=$maxBucket)")
+      idx
+    }
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
+      require(df.columns.contains(binaryCol),
+        s"media_sig_gate: no '$binaryCol' binary column in the input")
+      val spark = df.sparkSession
+      val existing =
+        if (graft.ext.MediaSigIndex.exists(spark, path))
+          Some(openValidated(spark))
+        else None
+      replayableRound(df, runToken, existing,
+        () => openValidated(spark))(
+        (seeded, tok) =>
+          graft.ext.MediaSigIndex.build(seeded, idCol, binaryCol, path,
+            blocks, minMatch, maxBucket, seedToken = tok))(
+        (idx, input, tok) =>
+          idx.keepFarPayloads(input, idCol, binaryCol,
+            excludeToken = tok)) { (idx, kept, tok) =>
+        tok match {
+          case Some(t) => idx.appendOnce(kept, idCol, binaryCol, t); ()
+          case None => idx.append(kept, idCol, binaryCol); ()
+        }
+      }
+    }
+  }
+
   /** The EMBEDDING-modality gate ([[IvfStore]]'s semantic dedup): the
     * pipeline's `text` column is the embedding `array<float>` column
     * here. Round 1 seeds the store (trains the frozen centroids on the
@@ -745,6 +791,8 @@ object CurationConfig {
           StrataCountStore.open(spark, path).vacuum()
         case "mediadigest" => need(MediaDigestIndex.exists(spark, path))
           MediaDigestIndex.open(spark, path).vacuum()
+        case "mediasig" => need(graft.ext.MediaSigIndex.exists(spark, path))
+          graft.ext.MediaSigIndex.open(spark, path).vacuum()
       }
       df
     }
@@ -893,6 +941,7 @@ object CurationConfig {
     case _: MediaGate => "media_gate"
     case _: MediaDedupStage => "media_dedup"
     case _: MediaDigestGate => "media_digest_gate"
+    case _: MediaSigGate => "media_sig_gate"
     case _: RepeatEpochs => "repeat_epochs"
     case _: RepeatEpochsByStrata => "repeat_epochs"
     case _: WhereExpr => "where"
@@ -1134,6 +1183,31 @@ object CurationConfig {
             "'binary' column name (the payload bytes the gate keys on)")
         }
         MediaDigestGate(path, binary)
+      case "media_sig_gate" =>
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'media_sig_gate' needs a non-empty " +
+            "'path' string (the stored signature index location)")
+        }
+        val binary = j \ "binary" match {
+          case JString(b) if b.trim.nonEmpty => b
+          case _ => fail("stage 'media_sig_gate' needs a non-empty " +
+            "'binary' column name (the payload bytes the gate keys on)")
+        }
+        val blocks = long("blocks").getOrElse(8L)
+        if (blocks < 2 || blocks > 256)
+          fail(s"stage 'media_sig_gate': blocks must be in [2, 256], " +
+            s"got $blocks")
+        val minMatch = long("minMatch").getOrElse(blocks * 3 / 4)
+        if (minMatch < 1 || minMatch > blocks)
+          fail(s"stage 'media_sig_gate': minMatch must be in [1, " +
+            s"blocks=$blocks], got $minMatch")
+        val maxBucket = long("maxBucket").getOrElse(100L)
+        if (maxBucket < 2)
+          fail(s"stage 'media_sig_gate': maxBucket must be >= 2, " +
+            s"got $maxBucket")
+        MediaSigGate(path, binary, blocks.toInt, minMatch.toInt,
+          maxBucket.toInt)
       case "temperature_mix" =>
         val strata = j \ "strata" match {
           case JString(s) => s
@@ -1302,7 +1376,7 @@ object CurationConfig {
       case "store_vacuum" =>
         val kinds =
           Set("substr", "neardup", "lm", "bm25", "bpe", "ivf", "probe",
-            "strata", "mediadigest")
+            "strata", "mediadigest", "mediasig")
         val kind = j \ "kind" match {
           case JString(k) if kinds(k) => k
           case JString(k) => fail(s"stage 'store_vacuum': unknown kind " +
@@ -1398,7 +1472,7 @@ object CurationConfig {
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
           "fluency_band | lang_gate | media_gate | media_dedup | " +
-          "media_digest_gate | token_budget | " +
+          "media_digest_gate | media_sig_gate | token_budget | " +
           "temperature_mix | mix_gate | repeat_epochs | where | " +
           "substr_gate | decontam_gate | neardup_gate | semantic_gate | " +
           "ivf_maintain | store_vacuum | lm_gate | probe_gate | " +

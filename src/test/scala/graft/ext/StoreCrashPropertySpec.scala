@@ -160,6 +160,18 @@ class StoreCrashPropertySpec extends GraftSpec {
       gatedStep(p => MediaDigestIndex.open(spark, p)),
       p => manifestState(p) :+
         MediaDigestIndex.open(spark, p).stats.toString),
+    // the NEAR-dup payload gate (blocked signatures): byte-identical
+    // replays share all 8 blocks and drop; the sweep covers the
+    // seventh gated modality's seed/gate/append/commit points
+    H("mediasig", r => textBatches(r).map(b =>
+        b.withColumn("text", col("text").cast("binary"))
+          .localCheckpoint(true)),
+      (p, b0) => if (!MediaSigIndex.exists(spark, p)) {
+        MediaSigIndex.build(b0, "doc_id", "text", p); ()
+      },
+      gatedStep(p => MediaSigIndex.open(spark, p)),
+      p => manifestState(p) :+
+        MediaSigIndex.open(spark, p).stats.toString),
     H("lm", textBatches,
       (p, b0) => if (!NgramLmStore.exists(spark, p)) {
         NgramLmStore.build(b0, "doc_id", "text", p, loMicro = 10000L); ()
