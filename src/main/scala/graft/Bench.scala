@@ -373,6 +373,57 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq176 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq180: the blocked-signature gate's history side — NO file
+      //    scan outside the index layout (the sig relation itself rides
+      //    the call-scoped cache, so the visible plan may read zero
+      //    files at all; nonindex == 0 is the claim), and the
+      //    near-variant drop is visible (half the batch is single-block
+      //    variants of stored payloads — must drop; half fresh — kept).
+      if (!names.exists(_.startsWith("dq180"))) None
+      else try {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.functions._
+        def pay(v: Int) = concat((0 to 7).map(j =>
+          if (j == 7) md5(concat_ws(":", lit("mb"), col("doc_id"),
+            lit(j), lit(v)))
+          else md5(concat_ws(":", lit("mb"), col("doc_id"), lit(j)))): _*)
+          .cast("binary")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"))
+        val media = docs.withColumn("payload", pay(0))
+          .localCheckpoint(true) // in-memory: index files are the only scans
+        val path = graft.io.TempReaper.tempDir("graft-bench-msidx")
+          .toString + "/idx"
+        val buildLoad = loadAvg()
+        val tb0 = System.nanoTime()
+        val idx = graft.ext.MediaSigIndex.build(media, "doc_id",
+          "payload", path)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        // half the batch: single-block variants of stored payloads
+        // (7/8 matches — must drop); half: fresh ids (must pass)
+        val batch = docs.limit(200)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            when(col("doc_id") % 2 === 0, pay(1))
+              .otherwise(concat(md5(concat_ws(":", lit("fresh"),
+                col("doc_id"))), pay(0))).as("payload"))
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val gate = idx.keepFarPayloads(batch, "doc_id", "payload")
+        val kept = gate.collect().length
+        val gateSec = (System.nanoTime() - t0) / 1e9
+        val scans = graft.plans.PlanWalk
+          .collectAll(gate.queryExecution.executedPlan) {
+            case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.map(_.toString)
+          }.flatten
+        val outside = scans.count(!_.contains(path))
+        Some(f""""dq180_build_sec":$buildSec%.3f,"dq180_build_loadavg":$buildLoad%.2f,""" +
+          f""""dq180_gate_sec":$gateSec%.3f,"dq180_gate_kept":$kept,""" +
+          s""""dq180_gate_file_scans":${scans.length},""" +
+          s""""dq180_nonindex_file_scans":$outside""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq180 evidence failed: ${e.getMessage}"); None
+      },
       if (!names.exists(_.startsWith("dq118"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec
