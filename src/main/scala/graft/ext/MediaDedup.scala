@@ -68,7 +68,13 @@ object MediaDedup {
     * shuffle, never a corpus-wide one. */
   def exactByPayload(df: DataFrame, payloadCol: String,
       idCol: String): DataFrame = {
+    // null payloads carry NO identity: they must not collapse into one
+    // "duplicate group" of each other (the stored gates already pass
+    // them — keepUnseenPayloads/keepFarPayloads — and the family must
+    // agree on what a null payload means), so they never enter the
+    // loser derivation and always survive
     val losers = df
+      .filter(col(payloadCol).isNotNull)
       .select(col(idCol).as("__md_id"),
         payloadDigest(col(payloadCol)).as("__md_d"))
       .withColumn("__md_keep",
@@ -116,7 +122,12 @@ object MediaDedup {
       blocks: Int): DataFrame = {
     require(blocks >= 2, s"blocks must be >= 2, got $blocks")
     val nb = octet_length(col(payloadCol)).cast("long")
-    df.select(col(idCol).as("doc_id"), nb.as("nb"),
+    // null payloads emit NO signature rows (hex(null) is null — its
+    // "blocks" would all be null and bucket together, pairing every
+    // null payload with every other; the family contract is that a
+    // null payload carries no identity and always survives)
+    df.filter(col(payloadCol).isNotNull)
+      .select(col(idCol).as("doc_id"), nb.as("nb"),
         hex(col(payloadCol)).as("__h"))
       // ceil(nb / blocks) bytes = ×2 hex chars, in INTEGER arithmetic
       // (Column./ is double division — a truncation hazard, and the

@@ -173,23 +173,35 @@ final class MediaSigIndex private (
       .filter(col("__c") <= st.maxBucket)
       .drop("__c")
     CacheScope.withCached(hw) {
-      val keyStr = concat_ws("|", col("nb"), col("i"), col("bh"))
-      val bloom = BloomPrune.buildFilter(hw.select(keyStr.as("__k")),
-        "__k", math.max(1L, st.sigRows), fpp)
-      val bs = MediaDedup.signatureRows(
-        batch.filter(col(payloadCol).isNotNull), idCol, payloadCol,
-        st.blocks)
-        .withColumnRenamed("doc_id", "__b_id")
-        .withColumn("__k", keyStr)
-      val (maybeSeen, _) = BloomPrune.split(bs, "__k", bloom)
-      val dup = maybeSeen
-        .join(hw.select(col("vid").as("__h_id"), col("nb"), col("i"),
-          col("bh")), Seq("nb", "i", "bh"))
-        .groupBy(col("__b_id"), col("__h_id"))
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= st.minMatch)
-        .select(col("__b_id")).distinct()
-      batch.join(dup, batch(idCol) === col("__b_id"), "left_anti")
+      // a degenerate store (every bucket over the cap) leaves the capped
+      // relation EMPTY — no stored key can match anything, and Spark's
+      // stat.bloomFilter over zero rows is the null-bits filter that
+      // throws on every probe, so the empty case must short-circuit
+      if (hw.head(1).isEmpty) batch
+      else {
+        val keyStr = concat_ws("|", col("nb"), col("i"), col("bh"))
+        val bloom = BloomPrune.buildFilter(hw.select(keyStr.as("__k")),
+          "__k", math.max(1L, st.sigRows), fpp)
+        val bs = MediaDedup.signatureRows(
+          batch.filter(col(payloadCol).isNotNull), idCol, payloadCol,
+          st.blocks)
+          .withColumnRenamed("doc_id", "__b_id")
+          .withColumn("__k", keyStr)
+        val (maybeSeen, _) = BloomPrune.split(bs, "__k", bloom)
+        val dup = maybeSeen
+          .join(hw.select(col("vid").as("__h_id"), col("nb"), col("i"),
+            col("bh")), Seq("nb", "i", "bh"))
+          .groupBy(col("__b_id"), col("__h_id"))
+          // distinct BLOCK INDICES, not joined rows: the plain append()
+          // path can store the same signature rows twice (compaction's
+          // straight union preserves them), and double-counted rows
+          // would let a payload sharing only minMatch/2 real blocks
+          // with a twice-stored payload be falsely dropped
+          .agg(countDistinct(col("i")).as("__n"))
+          .filter(col("__n") >= st.minMatch)
+          .select(col("__b_id")).distinct()
+        batch.join(dup, batch(idCol) === col("__b_id"), "left_anti")
+      }
     }
   }
 

@@ -45,11 +45,17 @@ object Packing {
   def packGreedyCarry(df: DataFrame, groupCol: String, idCol: String,
       sizeCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val gIdx = df.schema.fieldIndex(groupCol)
-    val sIdx = df.schema.fieldIndex(sizeCol)
+    // the encoder schema must describe the frame AFTER the long cast:
+    // deriving it from df.schema would declare the size column's
+    // ORIGINAL type (e.g. int) while the rows carry java.lang.Long —
+    // a runtime "not a valid external type" failure for any caller
+    // whose size column is not already long
+    val casted = df.withColumn(sizeCol, col(sizeCol).cast("long"))
+    val gIdx = casted.schema.fieldIndex(groupCol)
+    val sIdx = casted.schema.fieldIndex(sizeCol)
     val outSchema =
-      df.schema.add(StructField("bin", LongType, nullable = false))
-    df.withColumn(sizeCol, col(sizeCol).cast("long"))
+      casted.schema.add(StructField("bin", LongType, nullable = false))
+    casted
       .repartition(col(groupCol))
       .sortWithinPartitions(col(groupCol), col(idCol))
       .mapPartitions { rows =>

@@ -55,7 +55,11 @@ case class PqAdcDot(
     var j = 0
     val m = math.min(bs.length, ca.numElements())
     while (j < m) {
-      val cent = bs(j)(ca.getInt(j))
+      val code = ca.getInt(j)
+      if (code < 0 || code >= bs(j).length || bs(j)(code) == null)
+        throw new IllegalArgumentException(PqAdcDot.badCode(code, j,
+          bs(j).length))
+      val cent = bs(j)(code)
       var t = 0.0
       var i = 0
       while (i < subDim) {
@@ -88,12 +92,19 @@ case class PqAdcDot(
       val t = ctx.freshName("t")
       val i = ctx.freshName("i")
       val p = ctx.freshName("p")
+      val code = ctx.freshName("code")
       s"""
          |if ($bs == null) { $bs = (double[][][]) $bcRef.value(); }
          |double $acc = 0.0;
          |int $m = java.lang.Math.min($bs.length, $c.numElements());
          |for (int $j = 0; $j < $m; $j++) {
-         |  double[] $cent = $bs[$j][$c.getInt($j)];
+         |  int $code = $c.getInt($j);
+         |  if ($code < 0 || $code >= $bs[$j].length
+         |      || $bs[$j][$code] == null) {
+         |    throw new IllegalArgumentException(
+         |      graft.functions.PqAdcDot.badCode($code, $j, $bs[$j].length));
+         |  }
+         |  double[] $cent = $bs[$j][$code];
          |  double $t = 0.0;
          |  for (int $i = 0; $i < $subDim; $i++) {
          |    int $p = $j * $subDim + $i;
@@ -121,6 +132,16 @@ case class PqAdcDot(
 }
 
 object PqAdcDot {
+  /** The named error for a code naming no live centroid — a FOREIGN or
+    * corrupted code relation (a dead Lloyd's cell is a null slot that
+    * no emitted code references; an out-of-range code was never
+    * emitted at all). Without the guard this surfaced as a bare
+    * executor NPE/ArrayIndexOutOfBounds deep inside codegen. */
+  def badCode(code: Int, subspace: Int, size: Int): String =
+    s"pq_adc_dot: code $code in subspace $subspace names no live " +
+      s"codebook centroid (codebook size $size) — the code relation " +
+      "does not belong to this store's codebooks"
+
   /** Column API: the ADC inner-product estimate of `codes` for `qemb`. */
   def apply(qemb: org.apache.spark.sql.Column,
       codes: org.apache.spark.sql.Column,

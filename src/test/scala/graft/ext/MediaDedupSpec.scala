@@ -161,4 +161,21 @@ class MediaDedupSpec extends GraftSpec {
         .stages.head.apply(df, "doc_id", "tag", None)
     }.getMessage should include("nope")
   }
+
+  it("null payloads carry NO identity and always survive BOTH modes — " +
+     "the family contract the stored gates already honor (two null " +
+     "payloads are not duplicates of each other)") {
+    val df = frame(
+      (1L, blocksOf("a"), "dup"), (2L, blocksOf("a"), "dup"),
+      (5L, blocksOf("b"), "solo"))
+      .union(frame((3L, blocksOf("x"), "null-1"),
+        (4L, blocksOf("y"), "null-2"))
+        .withColumn("payload", lit(null).cast(BinaryType)))
+    // exact: the two nulls must NOT collapse into one
+    ids(MediaDedup.exactByPayload(df, "payload", "doc_id")) shouldBe
+      Seq(1L, 3L, 4L, 5L)
+    // near: nulls emit no signature rows, so they can never pair
+    ids(MediaDedup.keepNearCanonical(df, "doc_id", "payload",
+      blocks = 8, minMatch = 6)) shouldBe Seq(1L, 3L, 4L, 5L)
+  }
 }

@@ -130,4 +130,37 @@ class MediaSigIndexSpec extends GraftSpec {
         |   "path": "$path"}]}""".stripMargin).stages.head
     ids(vac.apply(r1, "doc_id", "caption", None)) shouldBe Seq(1L, 2L)
   }
+
+  it("a degenerate store (every bucket over the cap) passes the batch " +
+     "unchanged instead of crashing: the capped relation is empty, and " +
+     "an empty-relation Bloom filter would throw on every probe") {
+    // three byte-identical payloads: every (nb, i, bh) bucket holds 3
+    // rows > maxBucket = 2, so the cap empties the stored relation
+    val idx = MediaSigIndex.build(
+      frame((1L, "a", Set()), (2L, "a", Set()), (3L, "a", Set())),
+      "doc_id", "payload", tmp(), blocks = 8, minMatch = 6,
+      maxBucket = 2)
+    // even an exact replay passes: no stored key survives the cap
+    ids(idx.keepFarPayloads(frame((10L, "a", Set()), (11L, "z", Set())),
+      "doc_id", "payload")) shouldBe Seq(10L, 11L)
+  }
+
+  it("duplicate stored signature rows do not double the match count: " +
+     "the per-(batch, stored) evidence is DISTINCT block indices, so a " +
+     "payload sharing only minMatch/2 blocks with a twice-appended " +
+     "payload survives") {
+    val idx = MediaSigIndex.build(frame((1L, "a", Set())), "doc_id",
+      "payload", tmp(), blocks = 8, minMatch = 6, maxBucket = 100)
+    // the same rows again via the UNTOKENED append: vid 1's signature
+    // rows are now stored twice (compaction's straight union keeps them)
+    idx.append(frame((1L, "a", Set())).localCheckpoint(true), "doc_id",
+      "payload")
+    // shares blocks 5, 6, 7 with stored a — 3 distinct < minMatch 6;
+    // a row-count rule would see 3 x 2 = 6 and falsely drop it
+    ids(idx.keepFarPayloads(frame((20L, "a", Set(0, 1, 2, 3, 4))),
+      "doc_id", "payload")) shouldBe Seq(20L)
+    // a true 6-block match still drops through the doubled store
+    ids(idx.keepFarPayloads(frame((21L, "a", Set(0, 7))),
+      "doc_id", "payload")) shouldBe Seq()
+  }
 }

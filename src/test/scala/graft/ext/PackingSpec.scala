@@ -79,4 +79,31 @@ class PackingSpec extends GraftSpec {
       }
     }
   }
+
+  describe("Packing.packGreedyCarry") {
+    it("accepts a non-long integral size column: the encoder schema " +
+       "must describe the frame AFTER the long cast (deriving it from " +
+       "the input schema declared int while the rows carried Long — a " +
+       "runtime 'not a valid external type' crash)") {
+      val df = Seq(("g1", 1L, 3), ("g1", 2L, 3), ("g1", 3L, 5),
+        ("g2", 4L, 9)).toDF("src", "id", "n") // n is INT, not long
+      val out = Packing.packGreedyCarry(df, "src", "id", "n", 6L)
+      out.schema("n").dataType.typeName shouldBe "long"
+      out.select("src", "id", "bin").as[(String, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq shouldBe Seq(
+        ("g1", 1L, 0L), ("g1", 2L, 0L), ("g1", 3L, 1L), ("g2", 4L, 0L))
+    }
+
+    it("carries every input column through with `bin` appended and " +
+       "matches packGreedy's assignment bit for bit") {
+      val df = Seq(("g1", 1L, 4L, "a"), ("g1", 2L, 4L, "b"),
+        ("g2", 3L, 7L, "c")).toDF("src", "id", "n", "tag")
+      val carry = Packing.packGreedyCarry(df, "src", "id", "n", 6L)
+      carry.columns.toSeq shouldBe Seq("src", "id", "n", "tag", "bin")
+      val proj = Packing.packGreedy(df, "src", "id", "n", 6L)
+        .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      carry.select("src", "id", "bin").as[(String, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq shouldBe proj
+    }
+  }
 }

@@ -398,6 +398,26 @@ class PqAnnSpec extends GraftSpec {
     }
   }
 
+  it("a code naming no live centroid raises the NAMED error, not a bare " +
+     "executor NPE/AIOOBE inside codegen — a foreign or corrupted code " +
+     "relation must be diagnosable") {
+    val q = emb.filter($"vec_id" === 1L).select($"embedding")
+      .as[Seq[Float]].head().toArray
+    // a valid row's codes with subspace 0 replaced by an impossible id
+    val good = PqAnn.encode(emb.limit(1), "vec_id", "embedding", cb)
+      .select($"vid", $"codes").as[(Long, Seq[Int])].head()
+    val bad = Seq((good._1, good._2.updated(0, 9999)))
+      .toDF("vid", "codes")
+    val ex = intercept[Exception] {
+      bad.select(PqAnn.adcDotCol(typedlit(q.toSeq), $"codes", cb, spark))
+        .collect()
+    }
+    // local mode may surface the error raw or SparkException-wrapped
+    Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString("\n") should
+      include("names no live codebook centroid")
+  }
+
   it("probed ADC at ~100 queries (SCALE_PQ workload, r14 verdict #2): " +
      "bit-identical to the driver-replicated table fold, FIXED plan " +
      "expression size however many queries ride the scan, and the " +
