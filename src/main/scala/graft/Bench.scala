@@ -931,10 +931,47 @@ object Bench {
           pstore.searchAllPq(qids, topK = 5, nprobe = 2).collect())
         val residualOnly = recall(
           rstore.searchAllPq(qids, topK = 5, nprobe = 2).collect())
+        // the r16 #2 advisory: the sf corpus is near-isotropic, so the
+        // store itself should now SAY the flag won't pay here
+        val adv = rstore.permuteAdvisory()
         Some(f""""dq177_recall5_permuted_residual":$permuted%.2f,""" +
-          f""""dq177_recall5_residual_only":$residualOnly%.2f""")
+          f""""dq177_recall5_residual_only":$residualOnly%.2f,""" +
+          s""""dq177_permute_advised":${adv.advised},""" +
+          s""""dq177_permute_skew_micro":${adv.skewMicro}""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq177 evidence failed: ${e.getMessage}"); None
+      },
+      //  - dq178: the PQ-gate driver-size guard (r16 verdict #1) — an
+      //    over-cap run must take the semi-join fetch and keep exactly
+      //    the inline path's survivors
+      if (!names.exists(_.startsWith("dq178"))) None
+      else try {
+        import org.apache.spark.sql.functions._
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val hist = emb.filter(col("vec_id") % 3 =!= 0)
+          .localCheckpoint(true)
+        val store = graft.ext.IvfStore.create(hist, "vec_id",
+          "embedding",
+          graft.io.TempReaper.tempDir("graft-bench-slcap").toString
+            + "/ivf",
+          k = 8, pqM = 16, pqK = 16)
+        val batch = emb.filter(col("vec_id") % 6 === 0)
+          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        def kept() = store.semanticKeepUnseenPq(batch, "vec_id",
+          "embedding", tau = 0.5, nprobe = 2, shortlist = 8)
+          .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+        val inline = kept()
+        val inlinePath = store.lastShortlistFetchPath.map(_._2)
+        spark.conf.set("spark.graft.ivfstore.maxShortlistIds", "1")
+        val (capped, capPath) =
+          try (kept(), store.lastShortlistFetchPath.map(_._2))
+          finally spark.conf.unset("spark.graft.ivfstore.maxShortlistIds")
+        Some(s""""dq178_fetch_path_default":"${inlinePath
+            .getOrElse("?")}",""" +
+          s""""dq178_fetch_path_capped":"${capPath.getOrElse("?")}",""" +
+          s""""dq178_cap_survivors_match":${capped == inline}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq178 evidence failed: ${e.getMessage}"); None
       },
       if (!names.exists(_.startsWith("dq59"))) None
       else try {

@@ -3574,7 +3574,8 @@ object SparkEntry {
     * VARIANCE-BALANCED coordinate permutation
     * ([[graft.ext.PqAnn.balancedPermutation]], the deterministic cousin
     * of OPQ's learned rotation): dimensions rank by exact-integer
-    * per-dim variance (micro sums, `n·Σx² − (Σx)²` in BigInt, ties to
+    * per-dim variance (micro sums, `n·Σ⌊x²·1e6⌋·1e6 − (Σ⌊x·1e6⌋)²` in
+    * BigInt — micro² on both terms — ties to
     * the lower dim) and deal round-robin into the m subspaces, so every
     * subspace carries one dimension from each variance stratum instead
     * of whatever contiguous slicing dealt it. A fixed permutation is
@@ -4517,7 +4518,9 @@ object SparkEntry {
 
   /** dq177: the OPQ-lite permutation CTEs in front of dq162's chain —
     * per-dim micro-integer sums, the HUGEINT variance score
-    * `n·Σ⌊x²·1e6⌋ − (Σ⌊x·1e6⌋)²` ranked desc with ties to the lower
+    * `n·Σ⌊x²·1e6⌋·1e6 − (Σ⌊x·1e6⌋)²` (both terms micro² — the unit
+    * fix that keeps nonzero-mean dims ranked by VARIANCE, not by mean
+    * magnitude) ranked desc with ties to the lower
     * dim, the round-robin position `(r % m)·subDim + r/m`, and the
     * permuted e/q relations the unchanged PQ chain then consumes. */
   private val Dq177Sql: String =
@@ -4531,7 +4534,8 @@ object SparkEntry {
       |    COUNT(*) n
       |  FROM e0, unnest(range(1, 65)) t(d) GROUP BY d),
       |rk AS (SELECT d, row_number() OVER (
-      |    ORDER BY (n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT)
+      |    ORDER BY (n::HUGEINT * sxx::HUGEINT * 1000000::HUGEINT
+      |      - sx::HUGEINT * sx::HUGEINT)
       |      DESC, d) - 1 AS r
       |  FROM vs),
       |pm AS (SELECT list(d ORDER BY (r % 16) * 4 + r // 16) pl FROM rk),

@@ -30,6 +30,20 @@ final case class OccupancyAdvisory(generation: Int, cells: Int,
 final case class DriftAdvisory(newestL1Ppm: Long, cumulativeL1Ppm: Long,
     writesSinceBaseline: Int)
 
+/** [[IvfStore.permuteAdvisory]]'s row — "does `pqPermute` pay HERE?"
+  * made store-readable (the r16 finding: dq177 proved the permutation
+  * wins 25/30 vs 7/30 on variance-skewed coordinates and is isotropic
+  * noise otherwise, but nothing an operator could read said which
+  * regime their store is in): `skewMicro` is the hottest CONTIGUOUS
+  * subspace's variance share over the mean subspace share
+  * (parts-per-million of 1.0; 1e6 = perfectly even, the isotropic
+  * regime; ≥ the threshold = contiguous slicing wastes codebook budget
+  * and the balanced permutation is advised). Derived entirely from the
+  * per-generation stored variance spectrum — no corpus pass. */
+final case class PermuteAdvisory(generation: Int, subspaces: Int,
+    skewMicro: Long, thresholdMicro: Long, advised: Boolean,
+    permuted: Boolean)
+
 /** PERSISTED IVF ANN index — [[IvfIndex]]'s session-lifetime model made a
   * stored layout, completing the index-maintenance story across the
   * modalities ([[NearDupIndex]] near-dup text, [[SubstrIndex]] verbatim
@@ -100,6 +114,12 @@ final class IvfStore private (private val spark: SparkSession,
   }
 
   private val log = new ManifestLog(spark, path)
+
+  /** Which exact-refine fetch the LAST PQ-tier gate used — `(distinct
+    * shortlist ids, "inline" | "semi-join")`: the driver-size guard's
+    * observable (evidence/specs read it; advisory-style, never input
+    * to a decision). */
+  @volatile var lastShortlistFetchPath: Option[(Long, String)] = None
 
   private def visible(excludeToken: Option[String]): Seq[Manifest] =
     log.read().filterNot(m => excludeToken.exists(m.token.contains))
@@ -203,6 +223,73 @@ final class IvfStore private (private val spark: SparkSession,
     * config-surface probe ([[graft.plan.CurationConfig.SemanticGate]]
     * validates a declared `tier: "pq"` at open, not at first query). */
   def hasPqTier: Boolean = pqBookFor(genOf(log.read())).nonEmpty
+
+  private[ext] def varspecDir(g: Int): String =
+    if (g == 1) s"$path/varspec" else s"$path/varspec_g$g"
+
+  /** "Does `pqPermute` pay on THIS corpus?" from the generation's
+    * STORED variance spectrum ([[PqAnn.varianceMicroSums]], persisted
+    * at create/refit beside the books — dims tiny rows, no corpus
+    * pass): the per-dim exact-integer variance scores
+    * `n·Σ⌊x²·1e6⌋·1e6 − (Σ⌊x·1e6⌋)²`
+    * are summed over the CONTIGUOUS subspace slices the non-permuted
+    * encoder would use, and `skewMicro` is the hottest slice over the
+    * mean slice. Isotropic corpora sit near 1e6 (the permutation is
+    * noise — dq177's honest sf0.1 numbers); a skewed spectrum
+    * (PCA-ordered or structured embeddings) concentrates variance in
+    * few adjacent dims and the advisory flips. The spectrum is of the
+    * TRAINING relation in ORIGINAL coordinate order (residuals for a
+    * residual tier, pre-permutation always), so the statistic answers
+    * the same question for permuted and non-permuted stores. */
+  def permuteAdvisory(
+      thresholdMicro: Long = 2000000L): PermuteAdvisory = {
+    require(thresholdMicro >= 1000000L,
+      s"thresholdMicro must be >= 1000000 (1.0x), got $thresholdMicro")
+    val g = genOf(log.read())
+    val book = pqBookFor(g).getOrElse(throw new IllegalArgumentException(
+      s"no PQ tier under $path (layout created with pqM = 0) — " +
+        "permute advice is about the tier's subspace allocation"))
+    val dir = varspecDir(g)
+    require(log.fileSystem.exists(new org.apache.hadoop.fs.Path(dir)),
+      s"no stored variance spectrum for generation $g under $path " +
+        "(layout predates varspec) — refit() records one")
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Int]("d"), r.getAs[Long]("sx"),
+        r.getAs[Long]("sxx"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    val dims = rows.length
+    require(dims == book.dims && dims % book.m == 0,
+      s"variance spectrum at $dir has $dims dims; the generation-$g " +
+        s"book expects ${book.dims} split into ${book.m} subspaces")
+    val n = BigInt(rows.headOption.map(_._4).getOrElse(0L))
+    // the unit-consistent exact variance score (micro² on both terms —
+    // see PqAnn.balancedPermutationFromSums); flooring can leave it a
+    // hair negative on near-constant dims, clamped
+    val score = rows.map(r =>
+      (n * BigInt(r._3) * BigInt(1000000) -
+        BigInt(r._2) * BigInt(r._2)).max(BigInt(0)))
+    val subDim = dims / book.m
+    val subVar = (0 until book.m)
+      .map(j => score.slice(j * subDim, (j + 1) * subDim).sum)
+    val total = subVar.sum
+    val skewMicro =
+      if (total <= 0) 1000000L // a constant corpus: nothing to balance
+      else (subVar.max * book.m * 1000000 / total).toLong
+    PermuteAdvisory(g, book.m, skewMicro, thresholdMicro,
+      advised = total > 0 && skewMicro >= thresholdMicro,
+      permuted = pqPermFor(g).nonEmpty)
+  }
+
+  /** [[permuteAdvisory]] reduced to the flag, at the configured
+    * threshold (`spark.graft.ivf.permuteSkewThresholdMicro`, default
+    * 2e6 = "the hottest contiguous subspace carries ≥ 2x the mean") —
+    * the [[refitAdvised]]/[[autoNprobe]] shape. */
+  def permuteAdvised(): Boolean = {
+    val t = IndexConf.strictLong(spark,
+      "spark.graft.ivf.permuteSkewThresholdMicro", default = 2000000L,
+      min = 1000000L)
+    permuteAdvisory(t).advised
+  }
 
   private val pqPermCache = scala.collection.concurrent.TrieMap
     .empty[Int, Option[Array[Int]]]
@@ -542,10 +629,17 @@ final class IvfStore private (private val spark: SparkSession,
           else rel
         // a permuted tier recomputes its balanced permutation from the
         // NEW training relation (generation-keyed like the books), so
-        // refit-then-query equals a from-scratch permuted create
+        // refit-then-query equals a from-scratch permuted create; the
+        // refreshed variance spectrum is persisted for every PQ refit
+        // (permuteAdvisory reads the current generation's)
+        val sums = PqAnn.varianceMicroSums(trainRel, "emb")
+        log.clearOrphan(varspecDir(g))
+        IvfStore.varspecDf(spark, sums._1, sums._2, sums._3)
+          .write.mode("errorifexists").parquet(varspecDir(g))
         newPerm =
           if (wasPermuted)
-            Some(PqAnn.balancedPermutation(trainRel, "emb", ob.dims, ob.m))
+            Some(PqAnn.balancedPermutationFromSums(sums._1, sums._2,
+              sums._3, ob.dims, ob.m))
           else None
         val fitRel = newPerm.fold(trainRel)(p => trainRel.select(
           col("vid"), PqAnn.applyPerm(col("emb"), p).as("emb")))
@@ -1270,13 +1364,33 @@ final class IvfStore private (private val spark: SparkSession,
       val short = graft.plans.GraftPlans.topKPerKey(scored,
         Seq(col("qid")), Seq(col("est").desc, col("vid").asc), shortlist)
         .select("qid", "vid").localCheckpoint(true)
-      // stage 2: exact cosine over ONLY the shortlisted float rows
-      val shortIds = short.select("vid").distinct()
-        .collect().map(_.getLong(0)).toSeq
-      val floats = assignedRelOf(ms)
-        .where(col("cell").isin(cells: _*) &&
-          col("vid").isin(shortIds: _*))
-        .select(col("vid"), col("emb"), col("nrm"))
+      // stage 2: exact cosine over ONLY the shortlisted float rows.
+      // The driver-size contract is ENFORCED, not just documented
+      // (r16 verdict #1): the inline `vid IN` pushdown collects
+      // batch·shortlist ids to the driver — fine for the micro-batch
+      // gate, a multi-million-literal plan for a corpus-sized batch —
+      // so over the cap the fetch degrades to a LEFT-SEMI join on vid
+      // (same probed-cell partition pruning, trades only the
+      // row-group pushdown; survivors are bit-identical, spec-gated).
+      val maxIds = IndexConf.strictLong(spark,
+        "spark.graft.ivfstore.maxShortlistIds", default = 1000000L,
+        min = 1L)
+      val distinctVids = short.select("vid").distinct()
+      val nIds = distinctVids.count()
+      val floatsBase = assignedRelOf(ms)
+        .where(col("cell").isin(cells: _*))
+      val floats = (if (nIds <= maxIds) {
+        lastShortlistFetchPath = Some((nIds, "inline"))
+        val shortIds = distinctVids.collect().map(_.getLong(0)).toSeq
+        floatsBase.where(col("vid").isin(shortIds: _*))
+      } else {
+        System.err.println(s"[graft] PQ-gate shortlist has $nIds " +
+          "distinct ids > spark.graft.ivfstore.maxShortlistIds=" +
+          s"$maxIds - degrading the exact-refine fetch to a vid " +
+          "semi-join (cell pruning kept, row-group pushdown traded)")
+        lastShortlistFetchPath = Some((nIds, "semi-join"))
+        floatsBase.join(distinctVids, Seq("vid"), "left_semi")
+      }).select(col("vid"), col("emb"), col("nrm"))
       val qRows = probes
         .select(col("__qid"), col("__qemb"), col("__qnrm"))
         .dropDuplicates("__qid")
@@ -1369,9 +1483,22 @@ object IvfStore {
               .as("emb"))
         else df.select(col(idCol).as("vid"), col(embCol).as("emb"))
       val dims = idx.centroids.head._2.length
+      // the tier's variance spectrum is persisted for EVERY PQ create
+      // (permuted or not): permuteAdvisory answers "would the balanced
+      // permutation pay here?" from these dims tiny rows, and the
+      // permuted path derives its permutation from the SAME sums (one
+      // corpus aggregation either way)
+      val varSums =
+        if (pqM == 0) None
+        else Some(PqAnn.varianceMicroSums(trainRel, "emb"))
+      varSums.foreach { case (sx, _, _) =>
+        require(sx.length == dims,
+          s"embeddings have ${sx.length} dims, not $dims")
+      }
       val perm =
         if (pqM > 0 && pqPermute)
-          Some(PqAnn.balancedPermutation(trainRel, "emb", dims, pqM))
+          varSums.map { case (sx, sxx, n) =>
+            PqAnn.balancedPermutationFromSums(sx, sxx, n, dims, pqM) }
         else None
       val book =
         if (pqM == 0) None
@@ -1397,6 +1524,11 @@ object IvfStore {
           store.pqBookCache.put(1, Some(b))
           store.pqResidualCache.put(1, pqResidual)
           store.pqPermCache.put(1, perm)
+        }
+        varSums.foreach { case (sx, sxx, n) =>
+          store.log.clearOrphan(s"$path/varspec")
+          varspecDf(spark, sx, sxx, n)
+            .write.mode("errorifexists").parquet(s"$path/varspec")
         }
         // the fit already computed the assignment; persist ITS rows rather
         // than re-assigning (bit-identical either way — same centroids)
@@ -1454,6 +1586,17 @@ object IvfStore {
       cs.map { case (cell, c) =>
         (j, cell, c.toSeq, k0, residual, perm.map(_.toSeq)) }
     }.toDF("j", "cell", "c", "k0", "residual", "perm").coalesce(1)
+  }
+
+  /** The per-generation variance spectrum as its stored relation:
+    * `(d, sx, sxx, n)` — dims tiny rows of exact micro-integer moment
+    * sums ([[PqAnn.varianceMicroSums]]), [[IvfStore.permuteAdvisory]]'s
+    * only input. */
+  private[ext] def varspecDf(spark: SparkSession, sx: Seq[Long],
+      sxx: Seq[Long], n: Long): DataFrame = {
+    import spark.implicits._
+    sx.indices.map(d => (d, sx(d), sxx(d), n))
+      .toDF("d", "sx", "sxx", "n").coalesce(1)
   }
 
   private def writeStats(spark: SparkSession, path: String,

@@ -113,7 +113,8 @@ object PqAnn {
     *
     * Bit-portable by construction: the variance ORDER is computed from
     * micro-integer sums (per-dim Σ⌊x·1e6⌋ and Σ⌊x²·1e6⌋, both exact
-    * Longs) compared as exact BigInt `n·Σx² − (Σx)²` with ties to the
+    * Longs) compared as exact BigInt `n·Σ⌊x²·1e6⌋·1e6 − (Σ⌊x·1e6⌋)²`
+    * (both terms in micro² units) with ties to the
     * lower dimension — any engine re-derives the identical permutation
     * (the DuckDB oracle's HUGEINT arithmetic, dq177). One aggregation
     * over the corpus (m·dims driver longs), driver-side sort.
@@ -123,23 +124,48 @@ object PqAnn {
     */
   def balancedPermutation(df: DataFrame, embCol: String, dims: Int,
       m: Int): Array[Int] = {
-    require(m >= 1 && dims % m == 0,
-      s"dims=$dims must split evenly into m=$m subspaces")
-    val subDim = dims / m
+    val (sx, sxx, n) = varianceMicroSums(df, embCol)
+    require(sx.length == dims,
+      s"balancedPermutation: embeddings have ${sx.length} dims, not $dims")
+    balancedPermutationFromSums(sx, sxx, n, dims, m)
+  }
+
+  /** The per-dimension micro-integer moment sums the variance ranking
+    * is defined over — per-dim `Σ⌊x·1e6⌋` and `Σ⌊x²·1e6⌋` (exact
+    * Longs) plus the row count. ONE aggregation over the corpus
+    * (2·dims driver longs); also the store-persisted "variance
+    * spectrum" behind [[IvfStore.permuteAdvisory]]. */
+  def varianceMicroSums(df: DataFrame,
+      embCol: String): (Seq[Long], Seq[Long], Long) = {
     val emb = col(embCol)
     val r = df.agg(
       graft.functions.VectorSumMicros.of(emb).as("sx"),
       graft.functions.VectorSumMicros.of(
         transform(emb, v => v.cast("double") * v.cast("double"))).as("sxx"),
       count(lit(1)).as("n")).head()
-    val sx = r.getSeq[Long](0)
-    val sxx = r.getSeq[Long](1)
-    val n = BigInt(r.getLong(2))
-    require(sx.length == dims,
-      s"balancedPermutation: embeddings have ${sx.length} dims, not $dims")
-    // n·Σx² − (Σx)² ∝ variance; exact integer compare, ties → lower dim
+    (r.getSeq[Long](0), r.getSeq[Long](1), r.getLong(2))
+  }
+
+  /** [[balancedPermutation]] from pre-computed [[varianceMicroSums]] —
+    * lets a caller that already paid the corpus aggregation (the store
+    * create/refit, which persists the spectrum) derive the identical
+    * permutation without a second pass. */
+  def balancedPermutationFromSums(sx: Seq[Long], sxx: Seq[Long],
+      rows: Long, dims: Int, m: Int): Array[Int] = {
+    require(m >= 1 && dims % m == 0,
+      s"dims=$dims must split evenly into m=$m subspaces")
+    require(sx.length == dims && sxx.length == dims,
+      s"moment sums have ${sx.length}/${sxx.length} dims, not $dims")
+    val subDim = dims / m
+    val n = BigInt(rows)
+    // n·Σ⌊x²·1e6⌋·1e6 − (Σ⌊x·1e6⌋)² ∝ variance — the 1e6 factor puts
+    // both terms in micro² units (Σ⌊x²·1e6⌋ is micro¹, its square
+    // partner micro²; without it any dim with a nonzero MEAN scores
+    // −(Σx)² and the "variance" ranking silently becomes a
+    // mean-magnitude ranking). Exact integer compare, ties → lower dim
     val ranked = (0 until dims)
-      .map(d => (n * BigInt(sxx(d)) - BigInt(sx(d)) * BigInt(sx(d)), d))
+      .map(d => (n * BigInt(sxx(d)) * BigInt(1000000) -
+        BigInt(sx(d)) * BigInt(sx(d)), d))
       .sortBy { case (score, d) => (-score, d) }
     val perm = new Array[Int](dims)
     for ((r2, (_, d)) <- ranked.zipWithIndex.map(_.swap))

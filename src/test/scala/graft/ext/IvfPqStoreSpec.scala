@@ -414,6 +414,82 @@ class IvfPqStoreSpec extends GraftSpec {
     }.getMessage should include("pqM")
   }
 
+  it("permuteAdvisory (r16 #2): a variance-skewed corpus advises the " +
+     "flag, an isotropic one does not, the spectrum is generation-keyed " +
+     "(refit refreshes it), a permuted store reports itself, and a " +
+     "no-tier layout is refused by name") {
+    // dims 0..3 carry structured ±1 energy, the rest near-constant —
+    // contiguous subspace 0 would swallow the whole spectrum
+    val skewRows = (0L until 200L).map { i =>
+      val v = Array.tabulate(64) { d =>
+        if (d < 4) (if (((i >> d) & 1L) == 0L) 1.0f else -1.0f)
+        else (((i * 13 + d * 5) % 89) / 8900.0f)
+      }
+      (i, v.toSeq)
+    }
+    val skew = skewRows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val sstore = IvfStore.create(skew, "vec_id", "embedding", tmp(),
+      k = 4, pqM = 16, pqK = 16)
+    val sa = sstore.permuteAdvisory()
+    sa.advised shouldBe true
+    sa.skewMicro should be > 2000000L
+    sa.permuted shouldBe false
+    // the near-isotropic synthetic embeddings: even spectrum, no advice
+    val istore = IvfStore.create(emb, "vec_id", "embedding", tmp(),
+      k = 8, pqM = 16, pqK = 16)
+    val ia = istore.permuteAdvisory()
+    ia.advised shouldBe false
+    ia.skewMicro should be < 2000000L
+    istore.permuteAdvised() shouldBe false
+    // refit records generation 2's spectrum — the advisory follows it
+    sstore.refit(k = 4)
+    val sa2 = sstore.permuteAdvisory()
+    sa2.generation shouldBe 2
+    sa2.advised shouldBe true
+    // a permuted store reports the operator already acted on the advice
+    IvfStore.create(skew, "vec_id", "embedding", tmp(), k = 4,
+      pqM = 16, pqK = 16, pqPermute = true)
+      .permuteAdvisory().permuted shouldBe true
+    val bare = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
+    intercept[IllegalArgumentException] { bare.permuteAdvisory() }
+      .getMessage should include("pqM")
+  }
+
+  it("the PQ-gate driver-size contract is ENFORCED (r16 verdict #1): " +
+     "over spark.graft.ivfstore.maxShortlistIds the exact-refine fetch " +
+     "degrades to a vid SEMI-JOIN with bit-identical pairs — no " +
+     "multi-million-literal plan, and the path taken is observable") {
+    val hist = emb.filter($"vec_id" % 3 =!= 0).localCheckpoint(true)
+    val store = IvfStore.create(hist, "vec_id", "embedding", tmp(),
+      k = 8, gateTau = 0.9, gateNprobe = 2, pqM = 16, pqK = 16)
+    val batch = hist.filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+      .union(emb.filter($"vec_id" % 6 === 0)
+        .select($"vec_id", $"embedding"))
+      .localCheckpoint(true)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "vid").as[(Long, Long, Double)].collect().toSeq
+    val inline = pairs(store.semanticPairsPq(batch, "vec_id",
+      "embedding", tau = 0.9, nprobe = 2, shortlist = 8))
+    store.lastShortlistFetchPath.map(_._2) shouldBe Some("inline")
+    val inlineIds = store.lastShortlistFetchPath.get._1
+    inlineIds should be > 1L
+    spark.conf.set("spark.graft.ivfstore.maxShortlistIds", "1")
+    try {
+      val joined = pairs(store.semanticPairsPq(batch, "vec_id",
+        "embedding", tau = 0.9, nprobe = 2, shortlist = 8))
+      store.lastShortlistFetchPath shouldBe Some((inlineIds, "semi-join"))
+      joined shouldBe inline
+      // a junk cap is refused naming the conf, not a bare parse error
+      spark.conf.set("spark.graft.ivfstore.maxShortlistIds", "lots")
+      intercept[IllegalArgumentException] {
+        store.semanticPairsPq(batch, "vec_id", "embedding", 0.9, 2, 8)
+      }.getMessage should include("maxShortlistIds")
+    } finally spark.conf.unset("spark.graft.ivfstore.maxShortlistIds")
+  }
+
   it("a layout created without the tier refuses PQ search by name and " +
      "appends skip the code sidecar") {
     val path = tmp()
