@@ -516,6 +516,91 @@ object CurationConfig {
     }
   }
 
+  /** BENCHMARK DECONTAMINATION FOR BINARY PAYLOADS — the multimodal
+    * member of the frozen-reference family (r16 verdict #1: the frozen
+    * gates covered verbatim windows, semantic, LM, probe, and fuzzy
+    * text near-dup, so a benchmark IMAGE in the training corpus passed
+    * every declared gate): the stage points at a FROZEN payload store
+    * built ON FIRST USE from the declared benchmark table/slice — never
+    * from the batch — and drops batch rows whose payload collides with
+    * it:
+    *  - `mode: "exact"` — a [[MediaDigestIndex]] of benchmark payload
+    *    digests; byte-identical payloads drop;
+    *  - `mode: "near"`  — a [[graft.ext.MediaSigIndex]] of blocked byte
+    *    signatures; payloads sharing ≥ `minMatch` of `blocks` block
+    *    hashes at the same offset with a same-length benchmark payload
+    *    drop (subsumes exact at the same parameters).
+    * Gate-ONLY like [[DecontamGate]]: survivors are never appended, the
+    * benchmark set is frozen, reruns and streamed micro-batches re-gate
+    * against the same store — naturally idempotent, no token machinery,
+    * stream-legal. */
+  final case class MediaDecontamGate(path: String, mode: String,
+      binaryCol: String, benchmarkTable: String, benchmarkWhere: String,
+      blocks: Int, minMatch: Int, maxBucket: Int) extends Stage {
+
+    private def gate(df: DataFrame, idCol: String): DataFrame = {
+      require(df.columns.contains(binaryCol),
+        s"media_decontam_gate: no '$binaryCol' binary column in the input")
+      val spark = df.sparkSession
+      mode match {
+        case "exact" =>
+          MediaDigestIndex.open(spark, path)
+            .keepUnseenPayloads(df, idCol, binaryCol)
+        case _ =>
+          val idx = graft.ext.MediaSigIndex.open(spark, path)
+          val st = idx.stats
+          require(st.blocks == blocks && st.minMatch == minMatch &&
+            st.maxBucket == maxBucket,
+            s"media_decontam_gate at $path was built with (blocks=" +
+              s"${st.blocks}, minMatch=${st.minMatch}, maxBucket=" +
+              s"${st.maxBucket}); the config declares (blocks=$blocks, " +
+              s"minMatch=$minMatch, maxBucket=$maxBucket)")
+          idx.keepFarPayloads(df, idCol, binaryCol)
+      }
+    }
+
+    private def storeExists(spark: SparkSession): Boolean =
+      if (mode == "exact") MediaDigestIndex.exists(spark, path)
+      else graft.ext.MediaSigIndex.exists(spark, path)
+
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
+      require(storeExists(df.sparkSession),
+        s"media_decontam_gate at $path: no committed benchmark store — " +
+          "run the stage through PipelineDef.run so it can build one " +
+          s"from '$benchmarkTable'")
+      gate(df, idCol)
+    }
+
+    override def applyIn(dir: String)(df: DataFrame, idCol: String,
+        textCol: String, runToken: Option[String]): DataFrame = {
+      val spark = df.sparkSession
+      if (!storeExists(spark)) {
+        val bench = spark.read.parquet(s"$dir/$benchmarkTable.parquet")
+          .filter(expr(benchmarkWhere))
+        require(bench.columns.contains(binaryCol),
+          s"media_decontam_gate: benchmark table '$benchmarkTable' has " +
+            s"no '$binaryCol' binary column")
+        try {
+          if (mode == "exact")
+            MediaDigestIndex.build(bench, idCol, binaryCol, path)
+          else {
+            graft.ext.MediaSigIndex.build(bench, idCol, binaryCol, path,
+              blocks, minMatch, maxBucket)
+            ()
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // a concurrent run won the first-use build race: the store
+            // is a deterministic function of the declared benchmark
+            // slice, so the winner's commit IS this run's store
+            if (!storeExists(spark)) throw e
+        }
+      }
+      gate(df, idCol)
+    }
+  }
+
   /** The EMBEDDING-modality gate ([[IvfStore]]'s semantic dedup): the
     * pipeline's `text` column is the embedding `array<float>` column
     * here. Round 1 seeds the store (trains the frozen centroids on the
@@ -942,6 +1027,7 @@ object CurationConfig {
     case _: MediaDedupStage => "media_dedup"
     case _: MediaDigestGate => "media_digest_gate"
     case _: MediaSigGate => "media_sig_gate"
+    case _: MediaDecontamGate => "media_decontam_gate"
     case _: RepeatEpochs => "repeat_epochs"
     case _: RepeatEpochsByStrata => "repeat_epochs"
     case _: WhereExpr => "where"
@@ -1208,6 +1294,52 @@ object CurationConfig {
             s"got $maxBucket")
         MediaSigGate(path, binary, blocks.toInt, minMatch.toInt,
           maxBucket.toInt)
+      case "media_decontam_gate" =>
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'media_decontam_gate' needs a non-empty " +
+            "'path' string (the frozen benchmark store location)")
+        }
+        val mode = j \ "mode" match {
+          case JString("exact") => "exact"
+          case JString("near") => "near"
+          case JNothing => "exact"
+          case JString(m) => fail("stage 'media_decontam_gate': unknown " +
+            s"mode '$m' (exact | near)")
+          case _ => fail("stage 'media_decontam_gate' 'mode' must be a " +
+            "string (exact | near)")
+        }
+        val binary = j \ "binary" match {
+          case JString(b) if b.trim.nonEmpty => b
+          case _ => fail("stage 'media_decontam_gate' needs a non-empty " +
+            "'binary' column name (the payload bytes the gate keys on)")
+        }
+        val bt = j \ "benchmarkTable" match {
+          case JString(t) if t.trim.nonEmpty => t
+          case _ => fail("stage 'media_decontam_gate' needs a non-empty " +
+            "'benchmarkTable' string (the evaluation corpus it guards " +
+            "against)")
+        }
+        val bw = j \ "benchmarkWhere" match {
+          case JString(w) if w.trim.nonEmpty => w
+          case JNothing => "TRUE"
+          case other => fail("stage 'media_decontam_gate': " +
+            s"'benchmarkWhere' must be a non-empty string, got $other")
+        }
+        val blocks = long("blocks").getOrElse(8L)
+        if (blocks < 2 || blocks > 256)
+          fail(s"stage 'media_decontam_gate': blocks must be in " +
+            s"[2, 256], got $blocks")
+        val minMatch = long("minMatch").getOrElse(blocks * 3 / 4)
+        if (minMatch < 1 || minMatch > blocks)
+          fail(s"stage 'media_decontam_gate': minMatch must be in [1, " +
+            s"blocks=$blocks], got $minMatch")
+        val maxBucket = long("maxBucket").getOrElse(100L)
+        if (maxBucket < 2)
+          fail(s"stage 'media_decontam_gate': maxBucket must be >= 2, " +
+            s"got $maxBucket")
+        MediaDecontamGate(path, mode, binary, bt, bw, blocks.toInt,
+          minMatch.toInt, maxBucket.toInt)
       case "temperature_mix" =>
         val strata = j \ "strata" match {
           case JString(s) => s
@@ -1472,7 +1604,8 @@ object CurationConfig {
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
           "fluency_band | lang_gate | media_gate | media_dedup | " +
-          "media_digest_gate | media_sig_gate | token_budget | " +
+          "media_digest_gate | media_sig_gate | media_decontam_gate | " +
+          "token_budget | " +
           "temperature_mix | mix_gate | repeat_epochs | where | " +
           "substr_gate | decontam_gate | neardup_gate | semantic_gate | " +
           "ivf_maintain | store_vacuum | lm_gate | probe_gate | " +

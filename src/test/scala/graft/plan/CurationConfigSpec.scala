@@ -464,6 +464,91 @@ class CurationConfigSpec extends GraftSpec {
     e.getMessage should include("built with k=8")
   }
 
+  it("media_decontam_gate: frozen stores build on FIRST use from the " +
+     "declared benchmark table, byte-exact copies drop at the exact " +
+     "stage, single-block variants at the near stage, far/fresh/null " +
+     "payloads survive, and reruns keep identical survivors (gate-only)") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-curation-mdg").toString
+    def blocks(key: String, diff: Set[Int] = Set.empty,
+        salt: String = "v"): String =
+      (0 to 7).map(j =>
+        (if (diff(j)) s"BLK$salt$j" else s"BLK$key$j").padTo(32, '_'))
+        .mkString("")
+    Seq((900L, blocks("a")), (901L, blocks("b")))
+      .toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("payload"))
+      .write.parquet(s"$d/media_bench.parquet")
+    val batch = Seq(
+      (1L, blocks("a")),                       // byte-exact copy -> exact
+      (2L, blocks("b", Set(7))),               // 7/8 vs b -> near
+      (3L, blocks("a", Set(0, 3, 7))),         // 5/8 -> survives
+      (4L, blocks("zz")))                      // fresh -> survives
+      .toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("payload"))
+      .union(Seq(5L).toDF("doc_id")
+        .select(col("doc_id"),
+          lit(null).cast("binary").as("payload"))) // null -> survives
+      .withColumn("caption", lit("c"))
+    val cfg =
+      s"""{"table":"documents","id":"doc_id","text":"caption",
+        | "stages":[
+        |  {"stage":"media_decontam_gate","path":"$d/ex","binary":"payload",
+        |   "benchmarkTable":"media_bench"},
+        |  {"stage":"media_decontam_gate","mode":"near","path":"$d/nr",
+        |   "binary":"payload","benchmarkTable":"media_bench",
+        |   "blocks":8,"minMatch":6,"maxBucket":100}]}""".stripMargin
+    val p = CurationConfig.parse(cfg)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    val r1 = ids(p.applyStages(batch, d))
+    r1 shouldBe Seq(3L, 4L, 5L)
+    // gate-only: nothing appended — an exact re-send survives again
+    ids(p.applyStages(batch, d)) shouldBe r1
+    // the dir-less apply form gates against the now-built stores
+    ids(p.stages.head.apply(batch, "doc_id", "caption", None)) shouldBe
+      Seq(2L, 3L, 4L, 5L)
+    // drifted near parameters are refused naming both sides
+    intercept[IllegalArgumentException] {
+      CurationConfig.parse(cfg.replace("\"minMatch\":6", "\"minMatch\":7"))
+        .applyStages(batch, d).count()
+    }.getMessage should (include("minMatch=6") and include("minMatch=7"))
+    // a missing store refuses the dir-less form with the run pointer
+    intercept[IllegalArgumentException] {
+      CurationConfig.MediaDecontamGate(s"$d/nope", "exact", "payload",
+        "media_bench", "TRUE", 8, 6, 100)
+        .apply(batch, "doc_id", "caption", None)
+    }.getMessage should include("PipelineDef.run")
+    // a benchmark table without the declared binary column is refused
+    Seq((1L, "x")).toDF("doc_id", "text")
+      .write.parquet(s"$d/no_bin.parquet")
+    intercept[IllegalArgumentException] {
+      CurationConfig.MediaDecontamGate(s"$d/nb", "exact", "payload",
+        "no_bin", "TRUE", 8, 6, 100)
+        .applyIn(d)(batch, "doc_id", "caption", None)
+    }.getMessage should include("no 'payload' binary column")
+    // strict parse: mode, path, binary, benchmarkTable, minMatch
+    def bad(json: String, needle: String): Unit =
+      intercept[IllegalArgumentException](CurationConfig.parse(json))
+        .getMessage should include(needle)
+    bad("""{"table":"d","id":"i","text":"t","stages":[
+        |  {"stage":"media_decontam_gate","binary":"p",
+        |   "benchmarkTable":"b"}]}""".stripMargin, "'path'")
+    bad("""{"table":"d","id":"i","text":"t","stages":[
+        |  {"stage":"media_decontam_gate","path":"/x",
+        |   "benchmarkTable":"b"}]}""".stripMargin, "'binary'")
+    bad("""{"table":"d","id":"i","text":"t","stages":[
+        |  {"stage":"media_decontam_gate","path":"/x","binary":"p"}]}"""
+      .stripMargin, "benchmarkTable")
+    bad("""{"table":"d","id":"i","text":"t","stages":[
+        |  {"stage":"media_decontam_gate","path":"/x","binary":"p",
+        |   "benchmarkTable":"b","mode":"fuzzy"}]}""".stripMargin,
+      "unknown mode")
+    bad("""{"table":"d","id":"i","text":"t","stages":[
+        |  {"stage":"media_decontam_gate","path":"/x","binary":"p",
+        |   "benchmarkTable":"b","minMatch":9}]}""".stripMargin, "minMatch")
+  }
+
   it("decontam_gate without a committed index refuses the dir-less apply " +
      "form with a pointer to PipelineDef.run, and parses strictly") {
     val missing = java.nio.file.Files
