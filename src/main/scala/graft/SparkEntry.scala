@@ -3795,6 +3795,112 @@ object SparkEntry {
       .orderBy("batch", "doc_id")
   }
 
+  /** The dq183/dq184 multimodal-capstone fixture: 33-byte PNG payloads
+    * whose width/height are lattice functions of the group id — width
+    * `g%100·8 + 64` (≡ 0 mod 8), height `(7g)%100·4 + 64` (≡ 0 mod 4)
+    * — so off-lattice offsets (+4 width, +2 height) provably match NO
+    * stored dimension, and under the 8-block signature of a 33-byte
+    * payload "shares width or height" is exactly a 7-of-8 match
+    * ([[graft.ext.Multimodal.syntheticPngPayload]]). Round 1: the
+    * `% 12 = 1` groups, each payload sent TWICE (within-frame exact
+    * dup) plus `% 12 = 5` non-image junk. Round 2: byte-exact replays,
+    * height-offset near variants (7/8 — drop), width+height-offset far
+    * variants (6/8 — keep), and the `% 12 = 7` fresh groups (disjoint
+    * dimension lattice classes mod 4 — keep). */
+  private def mediaCapstoneRounds(
+      docs: DataFrame): (DataFrame, DataFrame) = {
+    val g = col("doc_id")
+    def png(dw: Int, dh: Int): Column =
+      graft.ext.Multimodal.syntheticPngPayload(
+        g % 100 * 8 + 64 + dw, (g * 7) % 100 * 4 + 64 + dh)
+    val s1 = docs.filter(col("doc_id") % 12 === 1)
+    val s2 = docs.filter(col("doc_id") % 12 === 7)
+    def cap(df: DataFrame): DataFrame =
+      df.withColumn("caption", concat(lit("cap:"), col("doc_id")))
+    val b1 = cap(s1.select(col("doc_id"), png(0, 0).as("payload"))
+      .union(s1.select((col("doc_id") + 100000).as("doc_id"),
+        png(0, 0).as("payload")))
+      .union(docs.filter(col("doc_id") % 12 === 5)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(lit("junk "), g.cast("string")).cast("binary")
+            .as("payload"))))
+    val b2 = cap(s1.select((col("doc_id") + 300000).as("doc_id"),
+        png(0, 0).as("payload"))
+      .union(s1.select((col("doc_id") + 400000).as("doc_id"),
+        png(0, 2).as("payload")))
+      .union(s1.select((col("doc_id") + 500000).as("doc_id"),
+        png(4, 2).as("payload")))
+      .union(s2.select(col("doc_id"), png(0, 0).as("payload"))))
+    (b1, b2)
+  }
+
+  private def mediaCapstoneCfg(sg: String, st: String): String =
+    s"""{"table": "documents", "id": "doc_id", "text": "caption",
+      | "stages": [
+      |   {"stage": "media_dedup", "binary": "payload"},
+      |   {"stage": "media_gate", "kind": "image", "binary": "payload",
+      |    "minWidth": 64, "maxWidth": 1600,
+      |    "minHeight": 64, "maxHeight": 1000},
+      |   {"stage": "media_sig_gate", "path": "$sg", "binary": "payload",
+      |    "blocks": 8, "minMatch": 7, "maxBucket": 100},
+      |   {"stage": "shard_write", "path": "$st", "capacity": 512,
+      |    "units": "bytes", "binary": "payload", "epoch": 1,
+      |    "streams": 16}]}""".stripMargin
+
+  /** DQ183 (EXT/runner): the MULTIMODAL CAPSTONE — round 16's payload
+    * operators COMPOSED in one declared JSON, the dq165 arc for binary
+    * payloads (r16 verdict #2): `media_dedup` (within-frame exact —
+    * round 1's doubled payloads collapse) → `media_gate(image)` (junk
+    * payloads die at the parse+band) → `media_sig_gate` (store-mediated
+    * cross-batch: round 1 seeds the signature store, round 2's
+    * byte-exact replays AND height-only near variants drop at
+    * minMatch 7, off-lattice far variants and fresh groups survive) →
+    * terminal `shard_write(units: "bytes")` — then the query returns
+    * what a trainer checks: [[graft.ext.ShardWriter.verify]] over BOTH
+    * committed rounds, integrity hashes covering the payload bytes.
+    * Exactly-once under each round's stage tokens. The oracle chains
+    * the proven dq174/dq180/dq167/dq168 derivations: PNG synthesis,
+    * digest dedup, the header parse, the signature recurrence, the
+    * packing recurrence, and both md5s. */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val (b1, b2) = mediaCapstoneRounds(docs)
+    val base = graft.io.TempReaper.tempDir("graft-dq183").toString
+    val pipeline = graft.plan.CurationConfig.parse(
+      mediaCapstoneCfg(s"$base/sig", s"$base/shards"))
+    pipeline.applyStages(b1, dir, Some("dq183r1"))
+    pipeline.applyStages(b2, dir, Some("dq183r2"))
+    graft.ext.ShardWriter.verify(s, s"$base/shards", "doc_id", "caption",
+        binaryCol = Some("payload"))
+      .select(col("round"), col("stream"), col("bin"), col("ok"),
+        col("n_docs"), col("units"), col("manifest_md5"), col("disk_md5"))
+      .orderBy("round", "stream", "bin")
+  }
+
+  /** DQ184 (EXT/runner, §2.9): the MULTIMODAL CAPSTONE STREAMED — the
+    * dq183 chain run once per micro-batch through
+    * [[graft.streaming.EventStream.runConfigPipeline]] (the dq166 arc
+    * for binary payloads): batch 1 seeds the signature store through
+    * the declared `media_sig_gate`, batch 2's replays and near
+    * variants drop THROUGH BATCH 1'S APPENDED SIGNATURES, and each
+    * batch commits its own byte-unit shard set exactly-once under the
+    * micro-batch stage tokens. Identical survivor/shard contract to
+    * dq183's named rounds, so the oracle differs only in the report
+    * shape (content hashes instead of the verify pair). */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val (b1, b2) = mediaCapstoneRounds(docs)
+    val base = graft.io.TempReaper.tempDir("graft-dq184").toString
+    val pipeline = graft.plan.CurationConfig.parse(
+      mediaCapstoneCfg(s"$base/sig", s"$base/shards"))
+    val incoming = EventStream.twoFileBatchStream(b1, b2, "dq184")
+    EventStream.runConfigPipeline(incoming, pipeline, dir, "dq184")
+    graft.ext.ShardWriter.report(s, s"$base/shards")
+      .select(col("round"), col("stream"), col("bin"), col("n_docs"),
+        col("units"), col("content_md5"))
+      .orderBy("round", "stream", "bin")
+  }
+
   /** DQ172 (EXT/runner): the AUDIO media gate DECLARED — completes the
     * modality triple on the declared surface (dq167 image, dq168
     * video): WAV payloads (dq79's byte-exact chunk-table synthesis)
@@ -4214,8 +4320,81 @@ object SparkEntry {
     "dq177_pq_permuted"           -> (q177 _),
     "dq178_pq_gate"               -> (q178 _),
     "dq181_media_decontam_gate"   -> (q181 _),
-    "dq182_stream_media_decontam" -> (q182 _)
+    "dq182_stream_media_decontam" -> (q182 _),
+    "dq183_media_capstone"        -> (q183 _),
+    "dq184_stream_media_capstone" -> (q184 _)
   )
+
+  /** The dq183/dq184 shared oracle body: PNG synthesis on the dimension
+    * lattice, per-round digest dedup, the header parse + band, the
+    * blocked-signature recurrence at minMatch 7 (round 1 seeds, round 2
+    * gates), and the per-round packing recurrence at 512 bytes —
+    * everything up to the `packed` relation the two report tails read. */
+  private val MediaCapstoneSqlBody: String =
+    """WITH RECURSIVE s1 AS (SELECT doc_id AS g FROM documents
+      |  WHERE doc_id % 12 = 1),
+      |s2 AS (SELECT doc_id AS g FROM documents WHERE doc_id % 12 = 7),
+      |roles AS (
+      |  SELECT g AS id, g, 0 AS dw, 0 AS dh, 'png' AS kind, 1 AS round
+      |    FROM s1
+      |  UNION ALL SELECT g + 100000, g, 0, 0, 'png', 1 FROM s1
+      |  UNION ALL SELECT doc_id + 200000, doc_id, 0, 0, 'junk', 1
+      |    FROM documents WHERE doc_id % 12 = 5
+      |  UNION ALL SELECT g + 300000, g, 0, 0, 'png', 2 FROM s1
+      |  UNION ALL SELECT g + 400000, g, 0, 2, 'png', 2 FROM s1
+      |  UNION ALL SELECT g + 500000, g, 4, 2, 'png', 2 FROM s1
+      |  UNION ALL SELECT g, g, 0, 0, 'png', 2 FROM s2),
+      |payload AS (SELECT id, round,
+      |    CASE WHEN kind = 'junk' THEN ('junk ' || g::VARCHAR)::BLOB
+      |    ELSE unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
+      |      || lpad(to_hex(g % 100 * 8 + 64 + dw), 8, '0')
+      |      || lpad(to_hex((g * 7) % 100 * 4 + 64 + dh), 8, '0')
+      |      || '0806000000') END AS payload
+      |  FROM roles),
+      |hx AS (SELECT id, round, upper(hex(payload)) h,
+      |    octet_length(payload)::BIGINT nb FROM payload),
+      |dd AS (SELECT id, round, h, nb FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY round, md5(h) ORDER BY id) rn FROM hx) z
+      |  WHERE rn = 1),
+      |gated AS (SELECT id, round, h, nb FROM dd
+      |  WHERE substr(h, 1, 16) = '89504E470D0A1A0A'
+      |    AND substr(h, 17, 8) = '0000000D'
+      |    AND substr(h, 25, 8) = '49484452'
+      |    AND TRY_CAST(('0x' || substr(h, 33, 8)) AS BIGINT)
+      |      BETWEEN 64 AND 1600
+      |    AND TRY_CAST(('0x' || substr(h, 41, 8)) AS BIGINT)
+      |      BETWEEN 64 AND 1000),
+      |sigi AS (SELECT id, round, nb, h, unnest(range(0, 8)) i FROM gated),
+      |sig AS (SELECT id, round, nb, i,
+      |    md5(substr(h, (i * 10 + 1)::INT, 10)) bh FROM sigi),
+      |d2 AS (SELECT b.id FROM sig b
+      |  JOIN (SELECT id hid, nb, i, bh FROM sig WHERE round = 1) h0
+      |    ON b.nb = h0.nb AND b.i = h0.i AND b.bh = h0.bh
+      |  WHERE b.round = 2
+      |  GROUP BY b.id, h0.hid HAVING count(*) >= 7),
+      |surv AS (SELECT id, round, h, nb FROM gated
+      |  WHERE round = 1
+      |    OR id NOT IN (SELECT DISTINCT id FROM d2)),
+      |kept AS (SELECT round, id, h, nb AS units,
+      |    md5('1:' || id::VARCHAR) skey,
+      |    substr(md5('1:' || id::VARCHAR), 1, 1) stream
+      |  FROM surv),
+      |r AS (SELECT *, row_number() OVER (
+      |    PARTITION BY round, stream ORDER BY skey) rn FROM kept),
+      |packed AS (
+      |  SELECT round, stream, skey, id, h, units, rn,
+      |    CAST(0 AS BIGINT) AS bin, units AS fill
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.round, r.stream, r.skey, r.id, r.h, r.units, r.rn,
+      |    CASE WHEN p.fill + r.units > 512 THEN p.bin + 1 ELSE p.bin END,
+      |    CASE WHEN p.fill + r.units > 512 THEN r.units
+      |         ELSE p.fill + r.units END
+      |  FROM r JOIN packed p
+      |    ON r.round = p.round AND r.stream = p.stream
+      |    AND r.rn = p.rn + 1)
+      |""".stripMargin
 
   /** dq19's pipeline as reusable SQL (no ORDER BY) — dq45 embeds it as the
     * edge list of its clustering oracle, so the two stay in lockstep. */
@@ -6706,6 +6885,30 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), doc_id, payload_md5 FROM k
         |ORDER BY batch, doc_id""".stripMargin,
+    // the multimodal capstone: dedup -> image gate -> stored signature
+    // gate (round 1 seeds, round 2 drops replays and near variants) ->
+    // byte-unit shards, verify's payload-covering hashes re-derived
+    "dq183_media_capstone" -> (MediaCapstoneSqlBody +
+      """SELECT round, stream, bin, TRUE AS ok, count(*) AS n_docs,
+        |  CAST(sum(units) AS BIGINT) AS units,
+        |  md5(string_agg(
+        |    md5(id::VARCHAR || ':cap:' || id::VARCHAR || ':' || h),
+        |    '' ORDER BY skey)) AS manifest_md5,
+        |  md5(string_agg(
+        |    md5(id::VARCHAR || ':cap:' || id::VARCHAR || ':' || h),
+        |    '' ORDER BY skey)) AS disk_md5
+        |FROM packed GROUP BY round, stream, bin
+        |ORDER BY round, stream, bin""".stripMargin),
+    // the streamed capstone: identical chain per micro-batch (batch 1
+    // seeds the signature store, batch 2 drops through its appends)
+    "dq184_stream_media_capstone" -> (MediaCapstoneSqlBody +
+      """SELECT round, stream, bin, count(*) AS n_docs,
+        |  CAST(sum(units) AS BIGINT) AS units,
+        |  md5(string_agg(
+        |    md5(id::VARCHAR || ':cap:' || id::VARCHAR || ':' || h),
+        |    '' ORDER BY skey)) AS content_md5
+        |FROM packed GROUP BY round, stream, bin
+        |ORDER BY round, stream, bin""".stripMargin),
     // refit generation: retrain-on-the-stored-relation must equal the
     // from-scratch chain over the union corpus (full-table training)
     "dq142_ivf_refit" -> Dq142Sql,

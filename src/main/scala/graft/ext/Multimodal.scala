@@ -113,6 +113,21 @@ object Multimodal {
     * the DuckDB oracle builds byte-identical blobs and re-parses them
     * independently.
     */
+  /** A REAL byte-layout PNG header with EXPLICIT dimensions — the
+    * [[syntheticImagePayload]] PNG branch with (w, h) as parameters,
+    * for fixtures that need precise near-duplicate control: every PNG
+    * from this helper is 33 bytes, so under an 8-block byte signature
+    * ([[MediaDedup.signatureRows]]) blocks 0-2 and 5-7 are constant,
+    * block 3 carries only the width and block 4 only the height —
+    * "same width or same height" is exactly a 7-of-8 block match. */
+  def syntheticPngPayload(w: Column, h: Column): Column =
+    concat(
+      unhex(lit("89504E470D0A1A0A")), // signature
+      unhex(lit("0000000D")),         // IHDR length (13)
+      unhex(lit("49484452")),         // "IHDR"
+      unhex(lpad(hex(w), 8, "0")), unhex(lpad(hex(h), 8, "0")),
+      unhex(lit("0806000000")))       // bit depth, color type, ...
+
   def syntheticImagePayload(docId: Column): Column = {
     def be(v: Column, hexChars: Int): Column =
       unhex(lpad(hex(v), hexChars, "0"))

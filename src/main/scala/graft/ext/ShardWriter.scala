@@ -190,7 +190,13 @@ object ShardWriter {
         case None =>
           md5(concat(col(idCol).cast("string"), lit(":"), col(textCol)))
       })
-      .groupBy(col("stream"), col("bin").cast("long").as("bin"))
+      // stream/bin come back as PARTITION columns on the read-back
+      // frame, and partition-type inference is content-dependent: a
+      // small round whose hex prefixes are all digits infers `stream`
+      // as INT, and a later union with an alphabetic prefix ('f')
+      // fails the cast — pin both to their layout types here
+      .groupBy(col("stream").cast("string").as("stream"),
+        col("bin").cast("long").as("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("units")).as("units"),
         md5(array_join(
@@ -207,6 +213,10 @@ object ShardWriter {
     require(ids.nonEmpty, s"no committed shard sets under $path")
     spark.read.option("basePath", s"$path/data")
       .parquet(ids.map(id => s"$path/data/append=$id"): _*)
+      // pin the partition columns' layout types (inference is
+      // content-dependent — an all-digit-prefix append infers INT)
+      .withColumn("stream", col("stream").cast("string"))
+      .withColumn("bin", col("bin").cast("long"))
   }
 
   /** The PERSISTED per-shard reports under `path` (every append, with

@@ -57,6 +57,55 @@ class StoreCrashPropertySpec extends GraftSpec {
     }
   }
 
+  /** Three image-payload batches (PNGs on the dq183 dimension lattice,
+    * ~30% byte-exact replays, ~15% non-image junk) for the COMPOSED
+    * capstone round. */
+  private def pngBatches(rnd: java.util.Random): Seq[DataFrame] = {
+    var nextId = 0L
+    val history = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    Seq(12, 6, 6).map { size =>
+      val rows = (0 until size).map { _ =>
+        nextId += 1
+        val junk = rnd.nextDouble() < 0.15
+        val (w, h) =
+          if (!junk && history.nonEmpty && rnd.nextDouble() < 0.3)
+            history(rnd.nextInt(history.size))
+          else {
+            val p = (64 + rnd.nextInt(100) * 8, 64 + rnd.nextInt(100) * 4)
+            if (!junk) history += p
+            p
+          }
+        (nextId, w, h, junk)
+      }
+      rows.toDF("doc_id", "w", "h", "junk")
+        .select(col("doc_id"),
+          when(col("junk"),
+            concat(lit("junk "), col("doc_id").cast("string"))
+              .cast("binary"))
+            .otherwise(Multimodal.syntheticPngPayload(col("w"), col("h")))
+            .as("payload"),
+          concat(lit("cap:"), col("doc_id")).as("caption"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** The dq183 composed config over base path `p` (sig store + shard
+    * store both under it, so the failpoint covers both commits). */
+  private def capstonePipeline(p: String) =
+    graft.plan.CurationConfig.parse(
+      s"""{"table": "documents", "id": "doc_id", "text": "caption",
+        | "stages": [
+        |   {"stage": "media_dedup", "binary": "payload"},
+        |   {"stage": "media_gate", "kind": "image", "binary": "payload",
+        |    "minWidth": 64, "maxWidth": 1600,
+        |    "minHeight": 64, "maxHeight": 1000},
+        |   {"stage": "media_sig_gate", "path": "$p/sig",
+        |    "binary": "payload", "blocks": 8, "minMatch": 7,
+        |    "maxBucket": 100},
+        |   {"stage": "shard_write", "path": "$p/shards", "capacity": 100,
+        |    "units": "bytes", "binary": "payload", "epoch": 1,
+        |    "streams": 16}]}""".stripMargin)
+
   /** Three embedding batches with ~30% exact vector replays. */
   private def embBatches(rnd: java.util.Random): Seq[DataFrame] = {
     var nextId = 0L
@@ -218,6 +267,20 @@ class StoreCrashPropertySpec extends GraftSpec {
         .apply(batch, "doc_id", "text", Some(token))),
       p => manifestState(p) ++
         StrataCountStore.open(spark, p).counts().map(_.toString)),
+    // the COMPOSED capstone round (r16 verdict #2): media_dedup ->
+    // media_gate(image) -> media_sig_gate -> shard_write in ONE
+    // declared config — crash points land between the sig-store append
+    // and the shard commit, so convergence covers the cross-store
+    // composition, not each store alone
+    H("mediacapstone", pngBatches,
+      (p, b0) => { capstonePipeline(p).applyStages(b0, p, Some("seed")); () },
+      (p, batch, token) => ids(
+        capstonePipeline(p).applyStages(batch, p, Some(token))),
+      p => manifestState(s"$p/sig") ++ manifestState(s"$p/shards") ++
+        (manifestState(s"$p/sig").map(_ =>
+          MediaSigIndex.open(spark, s"$p/sig").stats.toString).take(1)) ++
+        ShardWriter.report(spark, s"$p/shards")
+          .orderBy("round", "stream", "bin").collect().map(_.toString)),
     // the terminal shard writer: every batch materializes its own shard
     // set exactly-once; the observable is the persisted integrity report
     H("shardwrite", textBatches,
