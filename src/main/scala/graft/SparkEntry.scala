@@ -3847,6 +3847,88 @@ object SparkEntry {
       |    "units": "bytes", "binary": "payload", "epoch": 1,
       |    "streams": 16}]}""".stripMargin
 
+  /** DQ185 (EXT/runner): the BINARY-payload digest gate's OWN declared
+    * two-round query (r16 verdict #5 — `media_digest_gate` was
+    * spec-covered and stream-dq'd through the generic loop (dq176) but
+    * had no declared-round dq, the dq141 precedent): round 1 seeds the
+    * [[graft.ext.MediaDigestIndex]] from its batch through the declared
+    * stage (all kept), round 2 re-sends round 1's payloads under fresh
+    * ids (byte-identical to STORED → dropped) plus a fresh slice
+    * (kept, appended). Exactly-once under each round's stage tokens.
+    * Oracle: dq176's digest recurrence without the stream — round 2
+    * gates against exactly round 1's distinct digests. */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    def pay(c: Column): Column = concat(
+      md5(concat_ws(":", lit("pay"), c)),
+      md5(concat_ws(":", lit("pay2"), c))).cast("binary")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val path =
+      graft.io.TempReaper.tempDir("graft-dq185-idx").toString + "/idx"
+    val p = graft.plan.CurationConfig.parse(
+      s"""{"table": "documents", "id": "doc_id", "text": "caption",
+        | "stages": [{"stage": "media_digest_gate", "path": "$path",
+        |   "binary": "payload"}]}""".stripMargin)
+    val b1 = docs.filter(col("doc_id") % 5 === 1)
+      .select(col("doc_id"), pay(col("doc_id")).as("payload"),
+        col("source"))
+      .withColumn("caption", lit("c"))
+    val b2 = docs.filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        pay(col("doc_id")).as("payload"), col("source"))
+      .union(docs.filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id"), pay(col("doc_id")).as("payload"),
+          col("source")))
+      .withColumn("caption", lit("c"))
+    val r1 = p.applyStages(b1, dir, Some("dq185r1"))
+    val r2 = p.applyStages(b2, dir, Some("dq185r2"))
+    r1.select(lit(1L).as("round"), col("doc_id"), col("source"))
+      .union(r2.select(lit(2L).as("round"), col("doc_id"), col("source")))
+      .orderBy("round", "doc_id")
+  }
+
+  /** DQ186 (EXT/runner): the NEAR-dup payload gate's OWN declared
+    * two-round query (r16 verdict #5, the blocked-signature sibling of
+    * dq185): round 1 seeds the [[graft.ext.MediaSigIndex]] through the
+    * declared `media_sig_gate`; round 2 sends byte-exact replays (8/8
+    * blocks — drop), single-block variants (7/8 ≥ minMatch 6 — drop),
+    * three-block variants (5/8 — keep), and a fresh slice (keep, both
+    * appended). Oracle: dq180's signature chain without the stream. */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    def pay(g: Column, v: Int): Column = concat((0 to 7).map(j =>
+      if (j == 7) md5(concat_ws(":", lit("mb"), g, lit(j), lit(v)))
+      else md5(concat_ws(":", lit("mb"), g, lit(j)))): _*).cast("binary")
+    def payFar(g: Column): Column = concat((0 to 7).map(j =>
+      if (j >= 5) md5(concat_ws(":", lit("fv"), g, lit(j)))
+      else md5(concat_ws(":", lit("mb"), g, lit(j)))): _*).cast("binary")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val path =
+      graft.io.TempReaper.tempDir("graft-dq186-idx").toString + "/idx"
+    val p = graft.plan.CurationConfig.parse(
+      s"""{"table": "documents", "id": "doc_id", "text": "caption",
+        | "stages": [{"stage": "media_sig_gate", "path": "$path",
+        |   "binary": "payload", "blocks": 8, "minMatch": 6,
+        |   "maxBucket": 100}]}""".stripMargin)
+    val a = docs.filter(col("doc_id") % 5 === 1)
+    val b1 = a.select(col("doc_id"), pay(col("doc_id"), 0).as("payload"),
+        col("source"))
+      .withColumn("caption", lit("c"))
+    val b2 = a.select((col("doc_id") + 30000).as("doc_id"),
+        pay(col("doc_id"), 0).as("payload"), col("source"))
+      .union(a.select((col("doc_id") + 40000).as("doc_id"),
+        pay(col("doc_id"), 1).as("payload"), col("source")))
+      .union(a.select((col("doc_id") + 50000).as("doc_id"),
+        payFar(col("doc_id")).as("payload"), col("source")))
+      .union(docs.filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id"), pay(col("doc_id"), 0).as("payload"),
+          col("source")))
+      .withColumn("caption", lit("c"))
+    val r1 = p.applyStages(b1, dir, Some("dq186r1"))
+    val r2 = p.applyStages(b2, dir, Some("dq186r2"))
+    r1.select(lit(1L).as("round"), col("doc_id"), col("source"))
+      .union(r2.select(lit(2L).as("round"), col("doc_id"), col("source")))
+      .orderBy("round", "doc_id")
+  }
+
   /** DQ183 (EXT/runner): the MULTIMODAL CAPSTONE — round 16's payload
     * operators COMPOSED in one declared JSON, the dq165 arc for binary
     * payloads (r16 verdict #2): `media_dedup` (within-frame exact —
@@ -4322,7 +4404,9 @@ object SparkEntry {
     "dq181_media_decontam_gate"   -> (q181 _),
     "dq182_stream_media_decontam" -> (q182 _),
     "dq183_media_capstone"        -> (q183 _),
-    "dq184_stream_media_capstone" -> (q184 _)
+    "dq184_stream_media_capstone" -> (q184 _),
+    "dq185_config_media_digest"   -> (q185 _),
+    "dq186_config_media_sig"      -> (q186 _)
   )
 
   /** The dq183/dq184 shared oracle body: PNG synthesis on the dimension
@@ -6909,6 +6993,72 @@ object SparkEntry {
         |    '' ORDER BY skey)) AS content_md5
         |FROM packed GROUP BY round, stream, bin
         |ORDER BY round, stream, bin""".stripMargin),
+    // the digest gate's declared rounds: round 2 gates against exactly
+    // round 1's distinct digests (dq176's recurrence, no stream)
+    "dq185_config_media_digest" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    md5(upper(hex((md5('pay:' || doc_id::VARCHAR)
+        |      || md5('pay2:' || doc_id::VARCHAR))::BLOB))) AS dg
+        |  FROM documents),
+        |r1 AS (SELECT doc_id, source, dg FROM d WHERE doc_id % 5 = 1),
+        |b2 AS (
+        |  SELECT doc_id + 30000 AS doc_id, source, dg FROM d
+        |    WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, source, dg FROM d WHERE doc_id % 5 = 2),
+        |k2 AS (SELECT doc_id, source FROM b2
+        |  WHERE dg NOT IN (SELECT dg FROM r1))
+        |SELECT CAST(1 AS BIGINT) AS round, doc_id, source FROM r1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, source FROM k2
+        |ORDER BY round, doc_id""".stripMargin,
+    // the signature gate's declared rounds: dq180's blocked-signature
+    // chain, round 2 vs round 1's stored signature rows (no stream)
+    "dq186_config_media_sig" ->
+      """WITH roles AS (
+        |  SELECT doc_id, source, doc_id AS g, 0 AS v, 'p' AS kind,
+        |      1 AS round
+        |    FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 30000, source, doc_id, 0, 'p', 2
+        |    FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 40000, source, doc_id, 1, 'p', 2
+        |    FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 50000, source, doc_id, 0, 'f', 2
+        |    FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, source, doc_id, 0, 'p', 2
+        |    FROM documents WHERE doc_id % 5 = 2),
+        |blk AS (SELECT doc_id, source, round, j,
+        |    CASE WHEN kind = 'f' AND j >= 5
+        |      THEN md5('fv:' || g::VARCHAR || ':' || j)
+        |    WHEN j = 7 THEN md5('mb:' || g::VARCHAR || ':' || j
+        |      || ':' || v::VARCHAR)
+        |    ELSE md5('mb:' || g::VARCHAR || ':' || j) END AS b
+        |  FROM roles, unnest(range(0, 8)) t(j)),
+        |pays AS (SELECT doc_id, source, round,
+        |    string_agg(b, '' ORDER BY j) ps
+        |  FROM blk GROUP BY 1, 2, 3),
+        |hx AS (SELECT doc_id, source, round, upper(hex(ps::BLOB)) h,
+        |    octet_length(ps::BLOB)::BIGINT nb FROM pays),
+        |sigi AS (SELECT doc_id, round, nb, h, unnest(range(0, 8)) i
+        |  FROM hx),
+        |sig AS (SELECT doc_id, round, nb, i,
+        |    md5(substr(h, (i * 64 + 1)::INT, 64)) bh FROM sigi),
+        |d2 AS (SELECT b.doc_id FROM sig b
+        |  JOIN (SELECT doc_id hd, nb, i, bh FROM sig WHERE round = 1) h0
+        |    ON b.nb = h0.nb AND b.i = h0.i AND b.bh = h0.bh
+        |  WHERE b.round = 2
+        |  GROUP BY b.doc_id, h0.hd HAVING count(*) >= 6)
+        |SELECT CAST(1 AS BIGINT) AS round, doc_id, source FROM hx
+        |  WHERE round = 1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, source FROM hx
+        |  WHERE round = 2
+        |    AND doc_id NOT IN (SELECT DISTINCT doc_id FROM d2)
+        |ORDER BY round, doc_id""".stripMargin,
     // refit generation: retrain-on-the-stored-relation must equal the
     // from-scratch chain over the union corpus (full-table training)
     "dq142_ivf_refit" -> Dq142Sql,
