@@ -3929,6 +3929,48 @@ object SparkEntry {
       .orderBy("round", "doc_id")
   }
 
+  /** DQ187 (EXT/runner): LENGTH-ROBUST payload near-dup DECLARED — the
+    * content-defined-chunking mode of `media_dedup` (r16 verdict #6:
+    * the blocked signature's equal strides make a ONE-BYTE insertion
+    * shift every block, so a same-content-different-length variant can
+    * NEVER pair — the length fence is structural): chunk boundaries
+    * cut where the payload's own bytes say so (md5 of the 4-byte
+    * window opens with hex '0'), so an insertion perturbs only the
+    * chunk containing it and boundaries re-synchronize. The fixture
+    * sends each high-entropy payload beside its one-byte-PREFIX
+    * variant (257 vs 256 bytes — the exact pair the blocked form
+    * provably misses, spec-pinned) plus disjoint solo payloads; pairs
+    * share ≥ 3 distinct chunk hashes and collapse to the min id. The
+    * oracle re-derives every boundary position, the chunk slices, the
+    * capped buckets, the shared-chunk rule, and the recursive-CTE
+    * closure. */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    def body(tag: String, g: Column): Column = concat((0 to 7).map(j =>
+      md5(concat_ws(":", lit(tag), g, lit(j)))): _*)
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val a = docs.filter(col("doc_id") % 6 === 1)
+    val media = a.select(col("doc_id"),
+        body("cd", col("doc_id")).cast("binary").as("payload"))
+      .union(a.select((col("doc_id") + 70000).as("doc_id"),
+        concat(lit("X"), body("cd", col("doc_id"))).cast("binary")
+          .as("payload")))
+      .union(docs.filter(col("doc_id") % 6 === 4)
+        .select(col("doc_id"),
+          body("sl", col("doc_id")).cast("binary").as("payload")))
+      .withColumn("caption", lit("c"))
+    val cfg =
+      """{"table": "documents", "id": "doc_id", "text": "caption",
+        | "stages": [{"stage": "media_dedup", "mode": "cdc",
+        |   "binary": "payload", "window": 4, "minShared": 3,
+        |   "maxBucket": 100}]}""".stripMargin
+    graft.plan.CurationConfig.parse(cfg).applyStages(media, dir)
+      .select(col("doc_id"),
+        graft.ext.MediaDedup.payloadDigest(col("payload"))
+          .as("payload_md5"),
+        octet_length(col("payload")).cast("long").as("nb"))
+      .orderBy("doc_id")
+  }
+
   /** DQ183 (EXT/runner): the MULTIMODAL CAPSTONE — round 16's payload
     * operators COMPOSED in one declared JSON, the dq165 arc for binary
     * payloads (r16 verdict #2): `media_dedup` (within-frame exact —
@@ -4406,7 +4448,8 @@ object SparkEntry {
     "dq183_media_capstone"        -> (q183 _),
     "dq184_stream_media_capstone" -> (q184 _),
     "dq185_config_media_digest"   -> (q185 _),
-    "dq186_config_media_sig"      -> (q186 _)
+    "dq186_config_media_sig"      -> (q186 _),
+    "dq187_media_dedup_cdc"       -> (q187 _)
   )
 
   /** The dq183/dq184 shared oracle body: PNG synthesis on the dimension
@@ -7059,6 +7102,62 @@ object SparkEntry {
         |  WHERE round = 2
         |    AND doc_id NOT IN (SELECT DISTINCT doc_id FROM d2)
         |ORDER BY round, doc_id""".stripMargin,
+    // content-defined chunking: every boundary position (window-md5
+    // opens with '0'), the chunk slices, capped buckets, the >= 3
+    // shared-chunk rule, and the closure — insertion variants pair
+    "dq187_media_dedup_cdc" ->
+      """WITH RECURSIVE roles AS (
+        |  SELECT doc_id AS id, doc_id AS g, FALSE AS ins, 'cd' AS tag
+        |    FROM documents WHERE doc_id % 6 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 70000, doc_id, TRUE, 'cd'
+        |    FROM documents WHERE doc_id % 6 = 1
+        |  UNION ALL
+        |  SELECT doc_id, doc_id, FALSE, 'sl'
+        |    FROM documents WHERE doc_id % 6 = 4),
+        |blk AS (SELECT id, ins, j,
+        |    md5(tag || ':' || g::VARCHAR || ':' || j) AS b
+        |  FROM roles, unnest(range(0, 8)) t(j)),
+        |pays AS (SELECT id,
+        |    (CASE WHEN ins THEN 'X' ELSE '' END)
+        |      || string_agg(b, '' ORDER BY j) AS ps
+        |  FROM blk GROUP BY id, ins),
+        |hx AS (SELECT id, upper(hex(ps::BLOB)) h,
+        |    octet_length(ps::BLOB)::INT nb FROM pays),
+        |pos AS (SELECT id, p + 4 AS cut
+        |  FROM hx, unnest(range(0, nb - 3)) t(p)
+        |  WHERE substr(md5(substr(h, (p * 2 + 1)::INT, 8)), 1, 1) = '0'),
+        |starts AS (
+        |  SELECT id, CAST(0 AS BIGINT) AS s FROM hx
+        |  UNION
+        |  SELECT pos.id, pos.cut FROM pos JOIN hx USING (id)
+        |    WHERE pos.cut < hx.nb),
+        |w AS (SELECT id, s,
+        |    lead(s) OVER (PARTITION BY id ORDER BY s) nxt FROM starts),
+        |chunks AS (SELECT w.id,
+        |    md5(substr(hx.h, (w.s * 2 + 1)::INT,
+        |      ((COALESCE(w.nxt, hx.nb) - w.s) * 2)::INT)) ch
+        |  FROM w JOIN hx USING (id)),
+        |dch AS (SELECT DISTINCT id, ch FROM chunks),
+        |bucket AS (SELECT ch, count(*) c FROM dch GROUP BY 1),
+        |pr AS (SELECT a.id AS doc_a, b.id AS doc_b FROM dch a
+        |  JOIN dch b ON a.ch = b.ch AND a.id < b.id
+        |  JOIN bucket k ON k.ch = a.ch
+        |  WHERE k.c BETWEEN 2 AND 100
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        |  UNION SELECT doc_b, doc_a FROM pr),
+        |verts AS (SELECT DISTINCT a AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM verts
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |clusters AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        |SELECT hx.id AS doc_id, md5(hx.h) AS payload_md5,
+        |  hx.nb::BIGINT AS nb
+        |FROM hx LEFT JOIN clusters c ON hx.id = c.id
+        |WHERE c.id IS NULL OR hx.id = c.rep
+        |ORDER BY doc_id""".stripMargin,
     // refit generation: retrain-on-the-stored-relation must equal the
     // from-scratch chain over the union corpus (full-table training)
     "dq142_ivf_refit" -> Dq142Sql,

@@ -254,7 +254,8 @@ object CurationConfig {
     * in a stream — batch-local, no corpus statistics, stream-legal);
     * cross-batch payload gating is the store-mediated form. */
   final case class MediaDedupStage(mode: String, binaryCol: String,
-      blocks: Int, minMatch: Int, maxBucket: Int) extends Stage {
+      blocks: Int, minMatch: Int, maxBucket: Int, window: Int = 4,
+      minShared: Int = 3) extends Stage {
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame = {
       require(df.columns.contains(binaryCol),
@@ -262,6 +263,11 @@ object CurationConfig {
       mode match {
         case "exact" =>
           graft.ext.MediaDedup.exactByPayload(df, binaryCol, idCol)
+        case "cdc" =>
+          // the LENGTH-ROBUST near form: content-defined chunk overlap
+          // (an insertion/truncation variant still pairs)
+          graft.ext.MediaDedup.keepNearCanonicalCdc(df, idCol, binaryCol,
+            window, minShared, maxBucket)
         case _ =>
           graft.ext.MediaDedup.keepNearCanonical(df, idCol, binaryCol,
             blocks, minMatch, maxBucket)
@@ -1238,12 +1244,12 @@ object CurationConfig {
             "column name (the payload bytes the dedup keys on)")
         }
         val mode = j \ "mode" match {
-          case JString(m) if m == "exact" || m == "near" => m
+          case JString(m) if m == "exact" || m == "near" || m == "cdc" => m
           case JString(m) => fail(s"stage 'media_dedup': unknown mode " +
-            s"'$m' (exact | near)")
+            s"'$m' (exact | near | cdc)")
           case JNothing => "exact"
           case _ => fail("stage 'media_dedup' 'mode' must be a string " +
-            "(exact | near)")
+            "(exact | near | cdc)")
         }
         val blocks = long("blocks").getOrElse(8L)
         if (blocks < 2 || blocks > 256)
@@ -1255,8 +1261,16 @@ object CurationConfig {
         val maxBucket = long("maxBucket").getOrElse(100L)
         if (maxBucket < 2)
           fail(s"stage 'media_dedup': maxBucket must be >= 2, got $maxBucket")
+        val window = long("window").getOrElse(4L)
+        if (window < 1 || window > 64)
+          fail(s"stage 'media_dedup': window must be in [1, 64], " +
+            s"got $window")
+        val minShared = long("minShared").getOrElse(3L)
+        if (minShared < 1)
+          fail(s"stage 'media_dedup': minShared must be >= 1, " +
+            s"got $minShared")
         MediaDedupStage(mode, binary, blocks.toInt, minMatch.toInt,
-          maxBucket.toInt)
+          maxBucket.toInt, window.toInt, minShared.toInt)
       case "media_digest_gate" =>
         val path = j \ "path" match {
           case JString(p) if p.trim.nonEmpty => p

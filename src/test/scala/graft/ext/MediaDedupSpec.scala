@@ -162,6 +162,50 @@ class MediaDedupSpec extends GraftSpec {
     }.getMessage should include("nope")
   }
 
+  it("content-defined chunking pairs a one-byte-INSERTION variant the " +
+     "blocked signature provably misses (the length fence shifts every " +
+     "block), and boundaries re-synchronize after the edit") {
+    // high-entropy content: the boundary condition is content-defined,
+    // so a low-entropy body (repeated padding) has few distinct windows
+    // and may legitimately produce one whole-body chunk
+    def entropic(seed: Int): String =
+      new scala.util.Random(seed).alphanumeric.take(256).mkString
+    val base = entropic(42)
+    val df = Seq(
+      (1L, base),             // the original
+      (2L, "X" + base),       // one byte inserted at the front
+      (3L, entropic(7)))
+      .toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("payload"))
+    // the blocked form: different lengths -> no bucket ever pairs them
+    MediaDedup.nearDupPairsBytes(df, "doc_id", "payload",
+      blocks = 8, minMatch = 6).count() shouldBe 0L
+    // CDC: the insertion perturbs only the first chunk; every chunk
+    // after the first content-defined cut is byte-identical
+    val pairs = MediaDedup.nearDupPairsCdc(df, "doc_id", "payload",
+      window = 4, minShared = 3)
+      .as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L))
+    // shared chunks are the EXPECTED overlap: all of doc 1's chunks
+    // except (at most) the one containing the insertion point
+    val c1 = MediaDedup.cdcChunkRows(df.filter($"doc_id" === 1L),
+      "doc_id", "payload").select("ch").as[String].collect().toSet
+    val c2 = MediaDedup.cdcChunkRows(df.filter($"doc_id" === 2L),
+      "doc_id", "payload").select("ch").as[String].collect().toSet
+    (c1 intersect c2).size should be >= (c1.size - 1)
+    // the canonical keep collapses the insertion pair to the min id
+    ids(MediaDedup.keepNearCanonicalCdc(df, "doc_id", "payload",
+      window = 4, minShared = 3)) shouldBe Seq(1L, 3L)
+    // sub-window and null payloads: whole-body chunk / no identity
+    val tiny = Seq((7L, "ab"), (8L, "ab"), (9L, "cd"))
+      .toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("payload"))
+    MediaDedup.cdcChunkRows(tiny, "doc_id", "payload", window = 4)
+      .count() shouldBe 3L
+    ids(MediaDedup.keepNearCanonicalCdc(tiny, "doc_id", "payload",
+      window = 4, minShared = 1)) shouldBe Seq(7L, 9L)
+  }
+
   it("null payloads carry NO identity and always survive BOTH modes — " +
      "the family contract the stored gates already honor (two null " +
      "payloads are not duplicates of each other)") {
