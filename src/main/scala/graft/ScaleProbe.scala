@@ -637,6 +637,101 @@ object ScaleProbe {
     // Stored BM25 scaling (round 11): per-query cost of the persisted
     // inverted index vs the per-call session scorer as the corpus grows.
     // The session path re-tokenizes the WHOLE corpus every call (its one
+    // The signature-gate path at 1x and 10x payload volume (r16 verdict
+    // #7 — dq175/dq180 measured only sf0.1 volume, and SCALE_MEDIA's
+    // catch says don't trust the plan audit alone): 4 KB incompressible
+    // payloads, a FIXED 2k-row batch (1k single-block near variants of
+    // stored payloads + 1k fresh) gated against the stored signatures.
+    // Asserted: (a) the gate's total shuffle write stays ≪ the history
+    // payload volume — signatures are ~0.5 KB of rows per 4 KB payload,
+    // so sig/bucket exchanges land near 15%, a second-payload-move bug
+    // lands at ≥ 100%; (b) the batch's own payloads never ride an
+    // exchange (gate shuffle < batch payload bytes); (c) gate wall is
+    // history-flat up to the signature-relation scan (tiny rows — the
+    // payload bytes are provably not re-read, or (a) would fail).
+    if (sys.env.get("SCALE_MEDIASIG").contains("1")) {
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      def pay(key: org.apache.spark.sql.Column, tag: String,
+          mut: Int): org.apache.spark.sql.Column = concat(
+        (0 until 256).map(i =>
+          if (i == mut) unhex(md5(concat_ws(":", lit("mut"), key, lit(i))))
+          else unhex(md5(concat_ws(":", lit(tag), key, lit(i))))): _*)
+      var baseSec = 0.0
+      for (m <- Seq(1, 10)) {
+        val hist = docs.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"))
+          .withColumn("payload", pay(col("doc_id"), "body", -1))
+          .localCheckpoint(true)
+        val histBytes = hist
+          .agg(sum(octet_length(col("payload")).cast("long")))
+          .head().getLong(0)
+        val path = graft.io.TempReaper.tempDir("graft-scale-mediasig")
+          .toString + "/idx"
+        val bt0 = System.nanoTime()
+        val idx = graft.ext.MediaSigIndex.build(hist, "doc_id", "payload",
+          path, blocks = 8, minMatch = 6, maxBucket = 100)
+        val buildSec = (System.nanoTime() - bt0) / 1e9
+        // near variants mutate body block 128 — 16 bytes inside ONE
+        // 512-byte signature block (stride ceil(4096/8)), so exactly
+        // 7/8 blocks match the stored payload: a deterministic drop
+        val batchN = 1000
+        val batch = docs.filter(col("doc_id").between(1, batchN))
+          .select((col("doc_id") + 9000000).as("doc_id"),
+            pay(col("doc_id") * m, "body", 128).as("payload"))
+          .union(docs.filter(col("doc_id").between(1, batchN))
+            .select((col("doc_id") + 9500000).as("doc_id"),
+              pay(col("doc_id"), "fresh", -1).as("payload")))
+          .localCheckpoint(true)
+        val batchBytes = batch
+          .agg(sum(octet_length(col("payload")).cast("long")))
+          .head().getLong(0)
+        val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null) {
+              shuffled.addAndGet(
+                t.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+            }
+        }
+        def measureGate(b: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+          shuffled.set(0L)
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          val kept = idx.keepFarPayloads(b, "doc_id", "payload").count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.sql.graft.Bridge.waitListeners(spark.sparkContext)
+          spark.sparkContext.removeSparkListener(listener)
+          (kept, shuffled.get(), sec)
+        }
+        // differential audit: the 10-row probe batch isolates the
+        // HISTORY-driven shuffle (the signature relation's cap window +
+        // match join — tiny rows, grows with history); the full batch's
+        // DELTA is what the batch itself adds, and a batch whose
+        // payloads ride an exchange adds >= batchBytes
+        val (_, s0, _) = measureGate(batch.limit(10).localCheckpoint(true))
+        val (kept, s1, sec) = measureGate(batch)
+        require(kept == batchN,
+          s"SCALE_MEDIASIG: expected the $batchN fresh rows to survive, " +
+            s"got $kept (near variants must all drop at 7/8)")
+        require(s1 < histBytes / 4,
+          s"SCALE_MEDIASIG: the gate shuffled $s1 bytes vs $histBytes " +
+            "history payload bytes — signature exchanges should move " +
+            "~15% of payload volume; payloads are riding an exchange")
+        require(s1 - s0 < batchBytes / 2,
+          s"SCALE_MEDIASIG: the full batch added ${s1 - s0} shuffle " +
+            s"bytes over the 10-row probe vs $batchBytes batch payload " +
+            "bytes — the batch's payloads must return via the Bloom " +
+            "split, not an exchange")
+        if (m == 1) baseSec = sec
+        else require(sec < baseSec * 3 + 2.0,
+          f"SCALE_MEDIASIG: gate wall $sec%.1fs at 10x history vs " +
+            f"$baseSec%.1fs at 1x — not history-flat")
+        println(f"""{"probe":"mediasig","mult":$m,"hist_mb":${histBytes / 1e6}%.1f,"batch_mb":${batchBytes / 1e6}%.1f,"gate_shuffle_mb":${s1 / 1e6}%.1f,"probe10_shuffle_mb":${s0 / 1e6}%.1f,"gate_sec":$sec%.2f,"build_sec":$buildSec%.2f,"kept":$kept}""")
+        hist.unpersist(); batch.unpersist()
+        ()
+      }
+    }
     // corpus-sized pass); the stored search reads only the query terms'
     // bucket partitions — per-query cost bounded by query vocabulary × df,
     // independent of corpus size. Build is the once-per-document cost.

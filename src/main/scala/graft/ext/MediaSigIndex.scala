@@ -200,7 +200,16 @@ final class MediaSigIndex private (
           .agg(countDistinct(col("i")).as("__n"))
           .filter(col("__n") >= st.minMatch)
           .select(col("__b_id")).distinct()
-        batch.join(dup, batch(idCol) === col("__b_id"), "left_anti")
+        // cache + count the (tiny, ≤ batch ids) drop relation so the
+        // planner sees its true size and broadcasts the anti-join
+        // STATICALLY: a fresh aggregation has no statistics, the static
+        // plan is a sort-merge join, and the batch's PAYLOAD bytes take
+        // the shuffle write even when AQE later converts to broadcast —
+        // caught by SCALE_MEDIASIG's runtime-bytes audit
+        CacheScope.withCached(dup) {
+          if (dup.count() == 0L) batch
+          else batch.join(dup, batch(idCol) === col("__b_id"), "left_anti")
+        }
       }
     }
   }
