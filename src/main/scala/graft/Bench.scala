@@ -424,6 +424,43 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq180 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq182: the FROZEN payload gate — two passes of the same
+      //    batch against the benchmark store return IDENTICAL
+      //    survivors and the store provably does not grow (gate-only:
+      //    no appends, no tokens)
+      if (!names.exists(_.startsWith("dq182"))) None
+      else try {
+        import org.apache.spark.sql.functions._
+        def pay(v: Int) = concat((0 to 7).map(j =>
+          if (j == 7) md5(concat_ws(":", lit("mb"), col("doc_id"),
+            lit(j), lit(v)))
+          else md5(concat_ws(":", lit("mb"), col("doc_id"), lit(j)))): _*)
+          .cast("binary")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"))
+        val bench = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("payload", pay(0)).localCheckpoint(true)
+        val path = graft.io.TempReaper.tempDir("graft-bench-frzsig")
+          .toString + "/idx"
+        val idx = graft.ext.MediaSigIndex.build(bench, "doc_id",
+          "payload", path)
+        val before = idx.stats.sigRows
+        val batch = docs.filter(col("doc_id") % 10 === 0).limit(200)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            when(col("doc_id") % 2 === 0, pay(1))
+              .otherwise(concat(md5(concat_ws(":", lit("fresh"),
+                col("doc_id"))), pay(0))).as("payload"))
+          .localCheckpoint(true)
+        def pass() = idx.keepFarPayloads(batch, "doc_id", "payload")
+          .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        val p1 = pass()
+        val p2 = pass()
+        Some(s""""dq182_frozen_survivors_stable":${p1 == p2},""" +
+          s""""dq182_frozen_kept":${p1.length},""" +
+          s""""dq182_store_grew":${idx.stats.sigRows != before}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq182 evidence failed: ${e.getMessage}"); None
+      },
       if (!names.exists(_.startsWith("dq118"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec

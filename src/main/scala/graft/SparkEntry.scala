@@ -3929,6 +3929,110 @@ object SparkEntry {
       .orderBy("round", "doc_id")
   }
 
+  /** The dq188/dq189 payload body: eight md5 hex blocks keyed
+    * `(tag, g, j)` — 256 bytes of high-entropy content any engine
+    * re-derives (the CDC boundary condition is content-defined, so the
+    * fixture needs real entropy — dq187's lesson). */
+  private def cdcBody(tag: String, g: Column): Column =
+    concat((0 to 7).map(j =>
+      md5(concat_ws(":", lit(tag), g, lit(j)))): _*)
+
+  /** DQ188 (EXT, §2.9): the LENGTH-ROBUST payload gate STREAMED —
+    * [[graft.ext.MediaCdcIndex]] as the EIGHTH modality of the ONE
+    * generic ingest loop (round 17; the store-mediated form of dq187's
+    * content-defined chunking, closing the cross-batch hole the
+    * blocked-signature store structurally cannot: its length fence
+    * passes any insertion/truncation VARIANT of a stored payload):
+    * history payloads are chunked once (`chunks/` holds (vid, ch) rows
+    * on the ManifestLog skeleton); each micro-batch drops rows sharing
+    * ≥ 3 distinct chunk hashes with a single stored payload — batch
+    * 1's one-byte-insertion variants of HISTORY payloads drop, batch
+    * 2's two-byte variants of batch 1's FRESH payloads drop ONLY
+    * because the loop appended their chunks — and appends its
+    * survivors' chunks, exactly-once via batch tokens + the
+    * replay-view gate. The oracle re-derives every boundary position,
+    * the chunk slices, and the two-round seen-set recurrence. */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val hist = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"),
+        cdcBody("cd", col("doc_id")).cast("binary").as("payload"),
+        col("source"))
+    val b1 = docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(lit("X"), cdcBody("cd", col("doc_id"))).cast("binary")
+          .as("payload"), col("source"))
+      .union(docs.filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id"),
+          cdcBody("n1", col("doc_id")).cast("binary").as("payload"),
+          col("source")))
+    val b2 = docs.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        concat(lit("XY"), cdcBody("n1", col("doc_id"))).cast("binary")
+          .as("payload"), col("source"))
+      .union(docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(lit("X"), cdcBody("cd", col("doc_id"))).cast("binary")
+            .as("payload"), col("source")))
+      .union(docs.filter(col("doc_id") % 6 === 3)
+        .select(col("doc_id"),
+          cdcBody("n2", col("doc_id")).cast("binary").as("payload"),
+          col("source")))
+    val idxPath =
+      graft.io.TempReaper.tempDir("graft-dq188-idx").toString + "/idx"
+    val idx = graft.ext.MediaCdcIndex.build(hist, "doc_id", "payload",
+      idxPath, window = 4, minShared = 3, maxBucket = 100)
+    val incoming = EventStream.twoFileBatchStream(b1, b2, "dq188")
+    EventStream.runIndexedIngest(incoming, idx, "doc_id", "payload",
+        "dq188")
+      .select(col("batch"), col("doc_id"), col("source"))
+      .orderBy("batch", "doc_id")
+  }
+
+  /** DQ189 (EXT/runner): the CDC payload gate's declared two-round
+    * query (round 17, the dq186 pattern on content-defined chunks):
+    * round 1 seeds the [[graft.ext.MediaCdcIndex]] through the
+    * declared `media_cdc_gate`; round 2 sends byte-exact replays
+    * (every chunk shared — drop; CDC subsumes exact), one-byte
+    * INSERTION variants (the rows the signature gate's length fence
+    * would pass — drop), and two fresh slices (keep, appended). The
+    * oracle replays the chunk derivation and the round-2-vs-stored
+    * shared-count rule. */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val path =
+      graft.io.TempReaper.tempDir("graft-dq189-idx").toString + "/idx"
+    val p = graft.plan.CurationConfig.parse(
+      s"""{"table": "documents", "id": "doc_id", "text": "caption",
+        | "stages": [{"stage": "media_cdc_gate", "path": "$path",
+        |   "binary": "payload", "window": 4, "minShared": 3,
+        |   "maxBucket": 100}]}""".stripMargin)
+    val a = docs.filter(col("doc_id") % 5 === 1)
+    val b1 = a.select(col("doc_id"),
+        cdcBody("cd", col("doc_id")).cast("binary").as("payload"),
+        col("source"))
+      .withColumn("caption", lit("c"))
+    val b2 = a.select((col("doc_id") + 30000).as("doc_id"),
+        cdcBody("cd", col("doc_id")).cast("binary").as("payload"),
+        col("source"))
+      .union(a.select((col("doc_id") + 40000).as("doc_id"),
+        concat(lit("X"), cdcBody("cd", col("doc_id"))).cast("binary")
+          .as("payload"), col("source")))
+      .union(a.select((col("doc_id") + 50000).as("doc_id"),
+        cdcBody("fv", col("doc_id")).cast("binary").as("payload"),
+        col("source")))
+      .union(docs.filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id"),
+          cdcBody("cd2", col("doc_id")).cast("binary").as("payload"),
+          col("source")))
+      .withColumn("caption", lit("c"))
+    val r1 = p.applyStages(b1, dir, Some("dq189r1"))
+    val r2 = p.applyStages(b2, dir, Some("dq189r2"))
+    r1.select(lit(1L).as("round"), col("doc_id"), col("source"))
+      .union(r2.select(lit(2L).as("round"), col("doc_id"), col("source")))
+      .orderBy("round", "doc_id")
+  }
+
   /** DQ187 (EXT/runner): LENGTH-ROBUST payload near-dup DECLARED — the
     * content-defined-chunking mode of `media_dedup` (r16 verdict #6:
     * the blocked signature's equal strides make a ONE-BYTE insertion
@@ -4449,8 +4553,43 @@ object SparkEntry {
     "dq184_stream_media_capstone" -> (q184 _),
     "dq185_config_media_digest"   -> (q185 _),
     "dq186_config_media_sig"      -> (q186 _),
-    "dq187_media_dedup_cdc"       -> (q187 _)
+    "dq187_media_dedup_cdc"       -> (q187 _),
+    "dq188_stream_media_cdc"      -> (q188 _),
+    "dq189_config_media_cdc"      -> (q189 _)
   )
+
+  /** The shared CDC chunk-derivation CTE fragment (dq188/dq189):
+    * assumes a `roles(id, source, g, tag, pre, grp)` relation and
+    * produces `hx(id, source, grp, h, nb)` and the DISTINCT per-payload
+    * chunk rows `dch(id, grp, ch)` — every boundary position where the
+    * 4-byte window's md5 opens with '0', the lead()-paired chunk
+    * slices, and their md5s ([[graft.ext.MediaDedup.cdcChunkRows]]'s
+    * exact arithmetic). */
+  private val CdcChainSql: String =
+    """blk AS (SELECT id, source, grp, pre, j,
+      |    md5(tag || ':' || g::VARCHAR || ':' || j) AS b
+      |  FROM roles, unnest(range(0, 8)) t(j)),
+      |pays AS (SELECT id, source, grp,
+      |    pre || string_agg(b, '' ORDER BY j) AS ps
+      |  FROM blk GROUP BY id, source, grp, pre),
+      |hx AS (SELECT id, source, grp, upper(hex(ps::BLOB)) h,
+      |    octet_length(ps::BLOB)::INT nb FROM pays),
+      |pos AS (SELECT id, p + 4 AS cut
+      |  FROM hx, unnest(range(0, nb - 3)) t(p)
+      |  WHERE substr(md5(substr(h, (p * 2 + 1)::INT, 8)), 1, 1) = '0'),
+      |starts AS (
+      |  SELECT id, CAST(0 AS BIGINT) AS s FROM hx
+      |  UNION
+      |  SELECT pos.id, pos.cut FROM pos JOIN hx USING (id)
+      |    WHERE pos.cut < hx.nb),
+      |w AS (SELECT id, s,
+      |    lead(s) OVER (PARTITION BY id ORDER BY s) nxt FROM starts),
+      |chunks AS (SELECT w.id, hx.grp,
+      |    md5(substr(hx.h, (w.s * 2 + 1)::INT,
+      |      ((COALESCE(w.nxt, hx.nb) - w.s) * 2)::INT)) ch
+      |  FROM w JOIN hx USING (id)),
+      |dch AS (SELECT DISTINCT id, grp, ch FROM chunks),
+      |""".stripMargin
 
   /** The dq183/dq184 shared oracle body: PNG synthesis on the dimension
     * lattice, per-round digest dedup, the header parse + band, the
@@ -7102,6 +7241,82 @@ object SparkEntry {
         |  WHERE round = 2
         |    AND doc_id NOT IN (SELECT DISTINCT doc_id FROM d2)
         |ORDER BY round, doc_id""".stripMargin,
+    // the CDC store streamed: chunk derivation + the two-round
+    // seen-set recurrence (insertion variants of history drop in
+    // batch 1; variants of batch-1 survivors drop in batch 2 only
+    // through the appended chunks)
+    "dq188_stream_media_cdc" ->
+      ("""WITH roles AS (
+        |  SELECT doc_id AS id, source, doc_id AS g, 'cd' AS tag,
+        |      '' AS pre, 'h' AS grp
+        |    FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000, source, doc_id, 'cd', 'X', 'b1'
+        |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, source, doc_id, 'n1', '', 'b1'
+        |    FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000, source, doc_id, 'n1', 'XY', 'b2'
+        |    FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 40000, source, doc_id, 'cd', 'X', 'b2'
+        |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 2
+        |  UNION ALL
+        |  SELECT doc_id, source, doc_id, 'n2', '', 'b2'
+        |    FROM documents WHERE doc_id % 6 = 3),
+        |""".stripMargin + CdcChainSql +
+      """h0 AS (SELECT id AS hid, ch FROM dch WHERE grp = 'h'),
+        |d1 AS (SELECT b.id FROM dch b
+        |  JOIN h0 ON b.ch = h0.ch WHERE b.grp = 'b1'
+        |  GROUP BY b.id, h0.hid HAVING count(DISTINCT b.ch) >= 3),
+        |k1 AS (SELECT id, source FROM hx WHERE grp = 'b1'
+        |  AND id NOT IN (SELECT DISTINCT id FROM d1)),
+        |h1 AS (SELECT hid, ch FROM h0
+        |  UNION ALL
+        |  SELECT d.id, d.ch FROM dch d JOIN k1 ON d.id = k1.id
+        |    WHERE d.grp = 'b1'),
+        |d2 AS (SELECT b.id FROM dch b
+        |  JOIN h1 ON b.ch = h1.ch WHERE b.grp = 'b2'
+        |  GROUP BY b.id, h1.hid HAVING count(DISTINCT b.ch) >= 3),
+        |k2 AS (SELECT id, source FROM hx WHERE grp = 'b2'
+        |  AND id NOT IN (SELECT DISTINCT id FROM d2))
+        |SELECT CAST(1 AS BIGINT) AS batch, id AS doc_id, source FROM k1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), id, source FROM k2
+        |ORDER BY batch, doc_id""".stripMargin),
+    // the CDC gate's declared rounds: replays share every chunk,
+    // insertion variants share all but the edited one (both drop);
+    // fresh content folds in
+    "dq189_config_media_cdc" ->
+      ("""WITH roles AS (
+        |  SELECT doc_id AS id, source, doc_id AS g, 'cd' AS tag,
+        |      '' AS pre, 'r1' AS grp
+        |    FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 30000, source, doc_id, 'cd', '', 'r2'
+        |    FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 40000, source, doc_id, 'cd', 'X', 'r2'
+        |    FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 50000, source, doc_id, 'fv', '', 'r2'
+        |    FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, source, doc_id, 'cd2', '', 'r2'
+        |    FROM documents WHERE doc_id % 5 = 2),
+        |""".stripMargin + CdcChainSql +
+      """h0 AS (SELECT id AS hid, ch FROM dch WHERE grp = 'r1'),
+        |d2 AS (SELECT b.id FROM dch b
+        |  JOIN h0 ON b.ch = h0.ch WHERE b.grp = 'r2'
+        |  GROUP BY b.id, h0.hid HAVING count(DISTINCT b.ch) >= 3)
+        |SELECT CAST(1 AS BIGINT) AS round, id AS doc_id, source FROM hx
+        |  WHERE grp = 'r1'
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), id, source FROM hx
+        |  WHERE grp = 'r2'
+        |    AND id NOT IN (SELECT DISTINCT id FROM d2)
+        |ORDER BY round, doc_id""".stripMargin),
     // content-defined chunking: every boundary position (window-md5
     // opens with '0'), the chunk slices, capped buckets, the >= 3
     // shared-chunk rule, and the closure — insertion variants pair

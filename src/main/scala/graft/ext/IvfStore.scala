@@ -585,8 +585,18 @@ final class IvfStore private (private val spark: SparkSession,
     * answer — without the carry, the visible refit relation would contain
     * the replayed batch's own rows and a dedup gate would wrongly return
     * empty. Self-propagating: a second refit carries the same token. */
-  def refit(k: Int, iters: Int = 2): IvfStoreStats = log.withWriteLock {
+  /** `enablePermute` TURNS ON the OPQ-lite tier at this refit (the
+    * [[permuteAdvisory]] acted on — an already-permuted store keeps
+    * its tier either way): the refit trains its books on the permuted
+    * union relation exactly as a from-scratch `pqPermute = true`
+    * create would, so the refit-equals-scratch contract extends to the
+    * flip. Refused by name on a layout without the PQ tier. */
+  def refit(k: Int, iters: Int = 2,
+      enablePermute: Boolean = false): IvfStoreStats = log.withWriteLock {
     val ms = log.read()
+    require(!enablePermute || pqBookFor(genOf(ms)).nonEmpty,
+      s"refit(enablePermute): no PQ tier under $path (pqM = 0) — the " +
+        "permutation is a property of the tier's subspace allocation")
     val ids = activeIds(ms)
     require(ids.nonEmpty, s"no committed assigned dirs under $path")
     val active = ids.toSet
@@ -637,7 +647,7 @@ final class IvfStore private (private val spark: SparkSession,
         IvfStore.varspecDf(spark, sums._1, sums._2, sums._3)
           .write.mode("errorifexists").parquet(varspecDir(g))
         newPerm =
-          if (wasPermuted)
+          if (wasPermuted || enablePermute)
             Some(PqAnn.balancedPermutationFromSums(sums._1, sums._2,
               sums._3, ob.dims, ob.m))
           else None

@@ -522,6 +522,52 @@ object CurationConfig {
     }
   }
 
+  /** The LENGTH-ROBUST payload history gate ([[graft.ext.MediaCdcIndex]]):
+    * the content-defined-chunk sibling of [[MediaSigGate]] — round 1
+    * seeds the chunk store; later rounds drop rows whose payload shares
+    * ≥ `minShared` DISTINCT chunk hashes with a single STORED payload
+    * (an insertion/truncation variant of a stored payload still drops —
+    * the blocked signature's length fence cannot see it) and append the
+    * survivors' chunks. The parameters are the stored identity — a
+    * drifted config is refused at open. */
+  final case class MediaCdcGate(path: String, binaryCol: String,
+      window: Int, minShared: Int, maxBucket: Int) extends Stage {
+    private def openValidated(spark: SparkSession): graft.ext.MediaCdcIndex = {
+      val idx = graft.ext.MediaCdcIndex.open(spark, path)
+      val st = idx.stats
+      require(st.window == window && st.minShared == minShared &&
+        st.maxBucket == maxBucket,
+        s"media_cdc_gate at $path was built with (window=${st.window}, " +
+          s"minShared=${st.minShared}, maxBucket=${st.maxBucket}); the " +
+          s"config declares (window=$window, minShared=$minShared, " +
+          s"maxBucket=$maxBucket)")
+      idx
+    }
+    def apply(df: DataFrame, idCol: String, textCol: String,
+        runToken: Option[String]): DataFrame = {
+      require(df.columns.contains(binaryCol),
+        s"media_cdc_gate: no '$binaryCol' binary column in the input")
+      val spark = df.sparkSession
+      val existing =
+        if (graft.ext.MediaCdcIndex.exists(spark, path))
+          Some(openValidated(spark))
+        else None
+      replayableRound(df, runToken, existing,
+        () => openValidated(spark))(
+        (seeded, tok) =>
+          graft.ext.MediaCdcIndex.build(seeded, idCol, binaryCol, path,
+            window, minShared, maxBucket, seedToken = tok))(
+        (idx, input, tok) =>
+          idx.keepFarPayloads(input, idCol, binaryCol,
+            excludeToken = tok)) { (idx, kept, tok) =>
+        tok match {
+          case Some(t) => idx.appendOnce(kept, idCol, binaryCol, t); ()
+          case None => idx.append(kept, idCol, binaryCol); ()
+        }
+      }
+    }
+  }
+
   /** BENCHMARK DECONTAMINATION FOR BINARY PAYLOADS — the multimodal
     * member of the frozen-reference family (r16 verdict #1: the frozen
     * gates covered verbatim windows, semantic, LM, probe, and fuzzy
@@ -542,7 +588,8 @@ object CurationConfig {
     * stream-legal. */
   final case class MediaDecontamGate(path: String, mode: String,
       binaryCol: String, benchmarkTable: String, benchmarkWhere: String,
-      blocks: Int, minMatch: Int, maxBucket: Int) extends Stage {
+      blocks: Int, minMatch: Int, maxBucket: Int, window: Int = 4,
+      minShared: Int = 3) extends Stage {
 
     private def gate(df: DataFrame, idCol: String): DataFrame = {
       require(df.columns.contains(binaryCol),
@@ -552,6 +599,19 @@ object CurationConfig {
         case "exact" =>
           MediaDigestIndex.open(spark, path)
             .keepUnseenPayloads(df, idCol, binaryCol)
+        case "cdc" =>
+          // LENGTH-ROBUST benchmark decontamination: a re-encoded /
+          // trimmed copy of a benchmark payload still collides on its
+          // content-defined chunks
+          val idx = graft.ext.MediaCdcIndex.open(spark, path)
+          val st = idx.stats
+          require(st.window == window && st.minShared == minShared &&
+            st.maxBucket == maxBucket,
+            s"media_decontam_gate at $path was built with (window=" +
+              s"${st.window}, minShared=${st.minShared}, maxBucket=" +
+              s"${st.maxBucket}); the config declares (window=$window, " +
+              s"minShared=$minShared, maxBucket=$maxBucket)")
+          idx.keepFarPayloads(df, idCol, binaryCol)
         case _ =>
           val idx = graft.ext.MediaSigIndex.open(spark, path)
           val st = idx.stats
@@ -565,9 +625,11 @@ object CurationConfig {
       }
     }
 
-    private def storeExists(spark: SparkSession): Boolean =
-      if (mode == "exact") MediaDigestIndex.exists(spark, path)
-      else graft.ext.MediaSigIndex.exists(spark, path)
+    private def storeExists(spark: SparkSession): Boolean = mode match {
+      case "exact" => MediaDigestIndex.exists(spark, path)
+      case "cdc" => graft.ext.MediaCdcIndex.exists(spark, path)
+      case _ => graft.ext.MediaSigIndex.exists(spark, path)
+    }
 
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame = {
@@ -588,12 +650,15 @@ object CurationConfig {
           s"media_decontam_gate: benchmark table '$benchmarkTable' has " +
             s"no '$binaryCol' binary column")
         try {
-          if (mode == "exact")
-            MediaDigestIndex.build(bench, idCol, binaryCol, path)
-          else {
-            graft.ext.MediaSigIndex.build(bench, idCol, binaryCol, path,
-              blocks, minMatch, maxBucket)
-            ()
+          mode match {
+            case "exact" =>
+              MediaDigestIndex.build(bench, idCol, binaryCol, path); ()
+            case "cdc" =>
+              graft.ext.MediaCdcIndex.build(bench, idCol, binaryCol,
+                path, window, minShared, maxBucket); ()
+            case _ =>
+              graft.ext.MediaSigIndex.build(bench, idCol, binaryCol,
+                path, blocks, minMatch, maxBucket); ()
           }
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -833,7 +898,7 @@ object CurationConfig {
     * replayed run re-checks the advisory, and a refit RESETS the drift
     * baseline, so the rerun no-ops instead of retraining twice. */
   final case class IvfMaintain(path: String, k: Int, l1ThresholdPpm: Long,
-      vacuum: Boolean) extends Stage {
+      vacuum: Boolean, permute: String = "keep") extends Stage {
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame = {
       val spark = df.sparkSession
@@ -841,7 +906,18 @@ object CurationConfig {
         s"ivf_maintain at $path: no committed IVF store — maintenance " +
           "declares lifecycle for a store some gate/ingest already built")
       val store = IvfStore.open(spark, path)
-      if (store.refitAdvised(l1ThresholdPpm)) { store.refit(k, iters = 2); () }
+      // permute: "auto" honors the stored variance-spectrum advisory
+      // (r16 verdict #2/#4): when the spectrum is skewed and the tier
+      // is not yet permuted, the next refit turns the OPQ-lite tier on
+      // — and the advisory itself becomes a refit TRIGGER (a drift-calm
+      // store with a skewed spectrum still benefits)
+      val flipPermute = permute == "auto" && store.hasPqTier && {
+        val adv = store.permuteAdvisory()
+        adv.advised && !adv.permuted
+      }
+      if (store.refitAdvised(l1ThresholdPpm) || flipPermute) {
+        store.refit(k, iters = 2, enablePermute = flipPermute); ()
+      }
       if (vacuum) { store.vacuum(); () }
       df
     }
@@ -884,6 +960,8 @@ object CurationConfig {
           MediaDigestIndex.open(spark, path).vacuum()
         case "mediasig" => need(graft.ext.MediaSigIndex.exists(spark, path))
           graft.ext.MediaSigIndex.open(spark, path).vacuum()
+        case "mediacdc" => need(graft.ext.MediaCdcIndex.exists(spark, path))
+          graft.ext.MediaCdcIndex.open(spark, path).vacuum()
       }
       df
     }
@@ -1033,6 +1111,7 @@ object CurationConfig {
     case _: MediaDedupStage => "media_dedup"
     case _: MediaDigestGate => "media_digest_gate"
     case _: MediaSigGate => "media_sig_gate"
+    case _: MediaCdcGate => "media_cdc_gate"
     case _: MediaDecontamGate => "media_decontam_gate"
     case _: RepeatEpochs => "repeat_epochs"
     case _: RepeatEpochsByStrata => "repeat_epochs"
@@ -1308,6 +1387,31 @@ object CurationConfig {
             s"got $maxBucket")
         MediaSigGate(path, binary, blocks.toInt, minMatch.toInt,
           maxBucket.toInt)
+      case "media_cdc_gate" =>
+        val path = j \ "path" match {
+          case JString(p) if p.trim.nonEmpty => p
+          case _ => fail("stage 'media_cdc_gate' needs a non-empty " +
+            "'path' string (the stored chunk index location)")
+        }
+        val binary = j \ "binary" match {
+          case JString(b) if b.trim.nonEmpty => b
+          case _ => fail("stage 'media_cdc_gate' needs a non-empty " +
+            "'binary' column name (the payload bytes the gate keys on)")
+        }
+        val window = long("window").getOrElse(4L)
+        if (window < 1 || window > 64)
+          fail(s"stage 'media_cdc_gate': window must be in [1, 64], " +
+            s"got $window")
+        val minShared = long("minShared").getOrElse(3L)
+        if (minShared < 1)
+          fail(s"stage 'media_cdc_gate': minShared must be >= 1, " +
+            s"got $minShared")
+        val maxBucket = long("maxBucket").getOrElse(100L)
+        if (maxBucket < 2)
+          fail(s"stage 'media_cdc_gate': maxBucket must be >= 2, " +
+            s"got $maxBucket")
+        MediaCdcGate(path, binary, window.toInt, minShared.toInt,
+          maxBucket.toInt)
       case "media_decontam_gate" =>
         val path = j \ "path" match {
           case JString(p) if p.trim.nonEmpty => p
@@ -1317,11 +1421,12 @@ object CurationConfig {
         val mode = j \ "mode" match {
           case JString("exact") => "exact"
           case JString("near") => "near"
+          case JString("cdc") => "cdc"
           case JNothing => "exact"
           case JString(m) => fail("stage 'media_decontam_gate': unknown " +
-            s"mode '$m' (exact | near)")
+            s"mode '$m' (exact | near | cdc)")
           case _ => fail("stage 'media_decontam_gate' 'mode' must be a " +
-            "string (exact | near)")
+            "string (exact | near | cdc)")
         }
         val binary = j \ "binary" match {
           case JString(b) if b.trim.nonEmpty => b
@@ -1352,8 +1457,16 @@ object CurationConfig {
         if (maxBucket < 2)
           fail(s"stage 'media_decontam_gate': maxBucket must be >= 2, " +
             s"got $maxBucket")
+        val window = long("window").getOrElse(4L)
+        if (window < 1 || window > 64)
+          fail(s"stage 'media_decontam_gate': window must be in " +
+            s"[1, 64], got $window")
+        val minShared = long("minShared").getOrElse(3L)
+        if (minShared < 1)
+          fail(s"stage 'media_decontam_gate': minShared must be >= 1, " +
+            s"got $minShared")
         MediaDecontamGate(path, mode, binary, bt, bw, blocks.toInt,
-          minMatch.toInt, maxBucket.toInt)
+          minMatch.toInt, maxBucket.toInt, window.toInt, minShared.toInt)
       case "temperature_mix" =>
         val strata = j \ "strata" match {
           case JString(s) => s
@@ -1522,7 +1635,7 @@ object CurationConfig {
       case "store_vacuum" =>
         val kinds =
           Set("substr", "neardup", "lm", "bm25", "bpe", "ivf", "probe",
-            "strata", "mediadigest", "mediasig")
+            "strata", "mediadigest", "mediasig", "mediacdc")
         val kind = j \ "kind" match {
           case JString(k) if kinds(k) => k
           case JString(k) => fail(s"stage 'store_vacuum': unknown kind " +
@@ -1552,7 +1665,16 @@ object CurationConfig {
           case other =>
             fail(s"stage 'ivf_maintain': 'vacuum' must be a boolean, got $other")
         }
-        IvfMaintain(path, k.toInt, thr, vac)
+        val perm = j \ "permute" match {
+          case JString("keep") => "keep"
+          case JString("auto") => "auto"
+          case JNothing => "keep"
+          case JString(m) => fail("stage 'ivf_maintain': unknown " +
+            s"permute mode '$m' (keep | auto)")
+          case other => fail("stage 'ivf_maintain': 'permute' must be " +
+            s"a string (keep | auto), got $other")
+        }
+        IvfMaintain(path, k.toInt, thr, vac, perm)
       case "lm_gate" =>
         val path = j \ "path" match {
           case JString(p) if p.trim.nonEmpty => p
@@ -1618,8 +1740,8 @@ object CurationConfig {
       case other =>
         fail(s"unknown stage '$other' (exact_dedup | quality_gate | " +
           "fluency_band | lang_gate | media_gate | media_dedup | " +
-          "media_digest_gate | media_sig_gate | media_decontam_gate | " +
-          "token_budget | " +
+          "media_digest_gate | media_sig_gate | media_cdc_gate | " +
+          "media_decontam_gate | token_budget | " +
           "temperature_mix | mix_gate | repeat_epochs | where | " +
           "substr_gate | decontam_gate | neardup_gate | semantic_gate | " +
           "ivf_maintain | store_vacuum | lm_gate | probe_gate | " +

@@ -455,6 +455,34 @@ class IvfPqStoreSpec extends GraftSpec {
     val bare = IvfStore.create(emb, "vec_id", "embedding", tmp(), k = 8)
     intercept[IllegalArgumentException] { bare.permuteAdvisory() }
       .getMessage should include("pqM")
+    // ivf_maintain permute:"auto" HONORS the advisory: the skewed
+    // store's next maintenance refit turns the tier on (and the
+    // advisory alone is a refit trigger), equal to a from-scratch
+    // permuted create on the same corpus; the isotropic store is
+    // left untouched
+    val input = skew.withColumnRenamed("vec_id", "doc_id")
+      .withColumnRenamed("embedding", "text")
+    def maintain(p: String, k: Int) = graft.plan.CurationConfig.parse(
+      s"""{"table":"documents","id":"doc_id","text":"text",
+        | "stages":[{"stage":"ivf_maintain","path":"$p","k":$k,
+        |  "permute":"auto"}]}""".stripMargin)
+      .stages.head.apply(input, "doc_id", "text", None)
+    maintain(sstore.path, 4)
+    val flipped = sstore.permuteAdvisory()
+    flipped.permuted shouldBe true
+    flipped.generation shouldBe 3
+    val scratch = IvfStore.create(skew, "vec_id", "embedding", tmp(),
+      k = 4, pqM = 16, pqK = 16, pqPermute = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "vid").collect().toSeq
+    rows(sstore.searchAllPq(Seq(1L, 2L), topK = 3, nprobe = 2)) shouldBe
+      rows(scratch.searchAllPq(Seq(1L, 2L), topK = 3, nprobe = 2))
+    maintain(istore.path, 8)
+    istore.permuteAdvisory().permuted shouldBe false
+    // enablePermute without the tier is refused by name
+    intercept[IllegalArgumentException] {
+      bare.refit(k = 8, enablePermute = true)
+    }.getMessage should include("enablePermute")
   }
 
   it("the PQ-gate driver-size contract is ENFORCED (r16 verdict #1): " +

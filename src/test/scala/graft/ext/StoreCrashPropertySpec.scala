@@ -221,6 +221,18 @@ class StoreCrashPropertySpec extends GraftSpec {
       gatedStep(p => MediaSigIndex.open(spark, p)),
       p => manifestState(p) :+
         MediaSigIndex.open(spark, p).stats.toString),
+    // the length-robust CDC payload gate: same byte corpus, minShared 1
+    // (short low-entropy texts often carve a single chunk — one shared
+    // chunk must suffice for replays to actually drop in the sweep)
+    H("mediacdc", r => textBatches(r).map(b =>
+        b.withColumn("text", col("text").cast("binary"))
+          .localCheckpoint(true)),
+      (p, b0) => if (!MediaCdcIndex.exists(spark, p)) {
+        MediaCdcIndex.build(b0, "doc_id", "text", p, minShared = 1); ()
+      },
+      gatedStep(p => MediaCdcIndex.open(spark, p)),
+      p => manifestState(p) :+
+        MediaCdcIndex.open(spark, p).stats.toString),
     H("lm", textBatches,
       (p, b0) => if (!NgramLmStore.exists(spark, p)) {
         NgramLmStore.build(b0, "doc_id", "text", p, loMicro = 10000L); ()
