@@ -461,6 +461,62 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq182 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq188: the CDC (content-defined-chunk) gate's history side —
+      //    no file scan outside the index layout, and the LENGTH-
+      //    PERTURBED drop is visible: half the batch is insertion
+      //    variants of stored payloads (a fresh 32-byte block PREPENDED
+      //    to a stored payload — the exact shape the blocked-signature
+      //    gate passes by its length fence, dq180's "fresh" half) and
+      //    must DROP here; half is fully fresh content and must pass.
+      if (!names.exists(_.startsWith("dq188"))) None
+      else try {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.functions._
+        def payStr(v: Int) = concat((0 to 7).map(j =>
+          if (j == 7) md5(concat_ws(":", lit("mb"), col("doc_id"),
+            lit(j), lit(v)))
+          else md5(concat_ws(":", lit("mb"), col("doc_id"), lit(j)))): _*)
+        val payFresh = concat((0 to 7).map(j =>
+          md5(concat_ws(":", lit("cdcfresh"), col("doc_id"), lit(j)))): _*)
+          .cast("binary")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"))
+        val media = docs.withColumn("payload", payStr(0).cast("binary"))
+          .localCheckpoint(true) // in-memory: index files are the only scans
+        val path = graft.io.TempReaper.tempDir("graft-bench-mcidx")
+          .toString + "/idx"
+        val buildLoad = loadAvg()
+        val tb0 = System.nanoTime()
+        val idx = graft.ext.MediaCdcIndex.build(media, "doc_id",
+          "payload", path)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        // half the batch: insertion variants (288 bytes vs the stored
+        // 256 — shares every chunk past the edit, must drop); half:
+        // fully fresh content (no shared chunks, must pass)
+        val batch = docs.limit(200)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            when(col("doc_id") % 2 === 0,
+              concat(md5(concat_ws(":", lit("ins"), col("doc_id"))),
+                payStr(0)).cast("binary"))
+              .otherwise(payFresh).as("payload"))
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val gate = idx.keepFarPayloads(batch, "doc_id", "payload")
+        val kept = gate.collect().length
+        val gateSec = (System.nanoTime() - t0) / 1e9
+        val scans = graft.plans.PlanWalk
+          .collectAll(gate.queryExecution.executedPlan) {
+            case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.map(_.toString)
+          }.flatten
+        val outside = scans.count(!_.contains(path))
+        Some(f""""dq188_build_sec":$buildSec%.3f,"dq188_build_loadavg":$buildLoad%.2f,""" +
+          f""""dq188_gate_sec":$gateSec%.3f,"dq188_gate_kept":$kept,""" +
+          s""""dq188_gate_file_scans":${scans.length},""" +
+          s""""dq188_nonindex_file_scans":$outside""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq188 evidence failed: ${e.getMessage}"); None
+      },
       if (!names.exists(_.startsWith("dq118"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec

@@ -732,6 +732,129 @@ object ScaleProbe {
         ()
       }
     }
+    // SCALE_MEDIACDC — the CDC payload gate at 10x volume (round 17:
+    // dq188/dq190 are oracle-gated at byte scale; this is the
+    // runtime-bytes audit at media volume, the SCALE_MEDIASIG shape on
+    // the length-robust store). 4 KB incompressible payloads; the
+    // STORAGE DIAL is the headline: at zeros=1 the stored chunk
+    // relation outweighs the payloads (~2x — 16-byte mean chunks, each
+    // a 32-hex hash row), at zeros=2 it lands near 20% (256-byte mean
+    // chunks) — measured on disk, both printed. The gate points: a
+    // FIXED 2k-row batch (1k PREFIX-INSERTION variants of stored
+    // payloads — the rows the signature gate's length fence passes —
+    // + 1k fresh) against the zeros=2 store; asserted (a) gate shuffle
+    // ≪ history payload volume, (b) the batch's payloads never ride an
+    // exchange (delta over a 10-row probe < batch payload bytes),
+    // (c) gate wall history-flat.
+    if (sys.env.get("SCALE_MEDIACDC").contains("1")) {
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      def pay(key: org.apache.spark.sql.Column,
+          tag: String): org.apache.spark.sql.Column = concat(
+        (0 until 256).map(i =>
+          unhex(md5(concat_ws(":", lit(tag), key, lit(i))))): _*)
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(p))
+      }
+      var baseSec = 0.0
+      for (m <- Seq(1, 10)) {
+        // repartition BEFORE the payload synthesis: the single-row-group
+        // testdata parquet otherwise leaves the whole corpus in one
+        // partition, and the CDC boundary scan (~4k window-md5s per
+        // payload — 500x the sig probe's per-row work) runs one-core
+        val hist = docs.crossJoin(spark.range(m.toLong).toDF("rep"))
+          .select((col("doc_id") * m + col("rep")).as("doc_id"))
+          .repartition(64)
+          .withColumn("payload", pay(col("doc_id"), "body"))
+          .localCheckpoint(true)
+        val histBytes = hist
+          .agg(sum(octet_length(col("payload")).cast("long")))
+          .head().getLong(0)
+        val base = graft.io.TempReaper.tempDir("graft-scale-mediacdc")
+          .toString
+        // the storage dial, measured on disk at m=1 (the ratio is
+        // per-payload, volume-independent): zeros=1 stores 16-byte mean
+        // chunks (hash rows OUTWEIGH payloads), zeros=2 stores 256-byte
+        // mean chunks (~20%) — the 100 TB knob
+        if (m == 1) {
+          graft.ext.MediaCdcIndex.build(hist, "doc_id", "payload",
+            s"$base/z1", zeros = 1)
+          graft.ext.MediaCdcIndex.build(hist, "doc_id", "payload",
+            s"$base/z2", zeros = 2)
+          val r1 = dirBytes(s"$base/z1") / histBytes.toDouble
+          val r2 = dirBytes(s"$base/z2") / histBytes.toDouble
+          require(r2 < r1 / 3 && r2 < 0.6,
+            f"SCALE_MEDIACDC: zeros=2 stored/payload ratio $r2%.2f vs " +
+              f"zeros=1 $r1%.2f — the storage dial is not dialing")
+          println(f"""{"probe":"mediacdc_storage","z1_ratio":$r1%.3f,"z2_ratio":$r2%.3f}""")
+        }
+        val path = s"$base/idx"
+        val bt0 = System.nanoTime()
+        val idx = graft.ext.MediaCdcIndex.build(hist, "doc_id", "payload",
+          path, window = 4, minShared = 3, maxBucket = 100, zeros = 2)
+        val buildSec = (System.nanoTime() - bt0) / 1e9
+        val batchN = 1000
+        val batch = docs.filter(col("doc_id").between(1, batchN))
+          .select((col("doc_id") + 9000000).as("doc_id"),
+            concat(unhex(md5(concat_ws(":", lit("ins"), col("doc_id")))),
+              pay(col("doc_id") * m, "body")).as("payload"))
+          .union(docs.filter(col("doc_id").between(1, batchN))
+            .select((col("doc_id") + 9500000).as("doc_id"),
+              pay(col("doc_id"), "fresh").as("payload")))
+          .repartition(32)
+          .localCheckpoint(true)
+        val batchBytes = batch
+          .agg(sum(octet_length(col("payload")).cast("long")))
+          .head().getLong(0)
+        val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null) {
+              shuffled.addAndGet(
+                t.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+            }
+        }
+        def measureGate(b: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+          shuffled.set(0L)
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          val kept = idx.keepFarPayloads(b, "doc_id", "payload").count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.sql.graft.Bridge.waitListeners(spark.sparkContext)
+          spark.sparkContext.removeSparkListener(listener)
+          (kept, shuffled.get(), sec)
+        }
+        val (_, s0, _) = measureGate(batch.limit(10).localCheckpoint(true))
+        val (kept, s1, sec) = measureGate(batch)
+        // ~16 chunks per 4 KB payload at zeros=2: an insertion variant
+        // shares all but the chunk holding the edit — a payload with
+        // < minShared total chunks (Poisson tail) can structurally
+        // never drop, so allow single-digit survivors among the 1k
+        require(kept >= batchN && kept <= batchN + 10,
+          s"SCALE_MEDIACDC: expected ~$batchN fresh survivors (+ rare " +
+            s"few-chunk variants), got $kept")
+        require(s1 < histBytes / 2,
+          s"SCALE_MEDIACDC: the gate shuffled $s1 bytes vs $histBytes " +
+            "history payload bytes — chunk-relation exchanges should " +
+            "move ~20-30% of payload volume at zeros=2; payloads are " +
+            "riding an exchange")
+        require(s1 - s0 < batchBytes / 2,
+          s"SCALE_MEDIACDC: the full batch added ${s1 - s0} shuffle " +
+            s"bytes over the 10-row probe vs $batchBytes batch payload " +
+            "bytes — the batch's payloads must return via the Bloom " +
+            "split, not an exchange")
+        if (m == 1) baseSec = sec
+        else require(sec < baseSec * 3 + 2.0,
+          f"SCALE_MEDIACDC: gate wall $sec%.1fs at 10x history vs " +
+            f"$baseSec%.1fs at 1x — not history-flat")
+        println(f"""{"probe":"mediacdc","mult":$m,"hist_mb":${histBytes / 1e6}%.1f,"batch_mb":${batchBytes / 1e6}%.1f,"gate_shuffle_mb":${s1 / 1e6}%.1f,"probe10_shuffle_mb":${s0 / 1e6}%.1f,"gate_sec":$sec%.2f,"build_sec":$buildSec%.2f,"kept":$kept}""")
+        hist.unpersist(); batch.unpersist()
+        ()
+      }
+    }
     // corpus-sized pass); the stored search reads only the query terms'
     // bucket partitions — per-query cost bounded by query vocabulary × df,
     // independent of corpus size. Build is the once-per-document cost.

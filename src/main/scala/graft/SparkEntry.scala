@@ -3933,8 +3933,8 @@ object SparkEntry {
     * `(tag, g, j)` — 256 bytes of high-entropy content any engine
     * re-derives (the CDC boundary condition is content-defined, so the
     * fixture needs real entropy — dq187's lesson). */
-  private def cdcBody(tag: String, g: Column): Column =
-    concat((0 to 7).map(j =>
+  private def cdcBody(tag: String, g: Column, blocks: Int = 8): Column =
+    concat((0 until blocks).map(j =>
       md5(concat_ws(":", lit(tag), g, lit(j)))): _*)
 
   /** DQ188 (EXT, §2.9): the LENGTH-ROBUST payload gate STREAMED —
@@ -4031,6 +4031,150 @@ object SparkEntry {
     r1.select(lit(1L).as("round"), col("doc_id"), col("source"))
       .union(r2.select(lit(2L).as("round"), col("doc_id"), col("source")))
       .orderBy("round", "doc_id")
+  }
+
+  /** DQ190 (EXT/runner): the CDC gate's STORAGE DIAL declared — the
+    * dq189 arc at `zeros: 2` (round 17: coarser content-defined
+    * boundaries, 16^zeros-byte mean chunks, so the stored `chunks/`
+    * relation carries ~nb/256 hash rows per payload instead of ~nb/16
+    * — the ratio that keeps a 100 TB media store's chunk relation at
+    * ~1–10% of payload volume instead of 2× it). Payloads here are
+    * 2 KB (64 md5 blocks) so the coarse boundary still yields ~8
+    * chunks ≫ minShared: round 1 seeds through the declared
+    * `media_cdc_gate {zeros: 2}`; round 2 sends byte-exact replays
+    * (drop), one-byte insertion variants (drop — length-robust at ANY
+    * zeros), and a fresh slice (keep, appended). The oracle replays
+    * the coarse-boundary chunk derivation (`substr(md5(window),1,2) =
+    * '00'`) and the round-2-vs-stored shared-count rule. */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val path =
+      graft.io.TempReaper.tempDir("graft-dq190-idx").toString + "/idx"
+    val p = graft.plan.CurationConfig.parse(
+      s"""{"table": "documents", "id": "doc_id", "text": "caption",
+        | "stages": [{"stage": "media_cdc_gate", "path": "$path",
+        |   "binary": "payload", "window": 4, "minShared": 3,
+        |   "maxBucket": 100, "zeros": 2}]}""".stripMargin)
+    val a = docs.filter(col("doc_id") % 11 === 3)
+    val b1 = a.select(col("doc_id"),
+        cdcBody("cz", col("doc_id"), 64).cast("binary").as("payload"),
+        col("source"))
+      .withColumn("caption", lit("c"))
+    val b2 = a.select((col("doc_id") + 60000).as("doc_id"),
+        cdcBody("cz", col("doc_id"), 64).cast("binary").as("payload"),
+        col("source"))
+      .union(a.select((col("doc_id") + 70000).as("doc_id"),
+        concat(lit("X"), cdcBody("cz", col("doc_id"), 64)).cast("binary")
+          .as("payload"), col("source")))
+      .union(a.select((col("doc_id") + 80000).as("doc_id"),
+        cdcBody("fz", col("doc_id"), 64).cast("binary").as("payload"),
+        col("source")))
+      .withColumn("caption", lit("c"))
+    val r1 = p.applyStages(b1, dir, Some("dq190r1"))
+    val r2 = p.applyStages(b2, dir, Some("dq190r2"))
+    r1.select(lit(1L).as("round"), col("doc_id"), col("source"))
+      .union(r2.select(lit(2L).as("round"), col("doc_id"), col("source")))
+      .orderBy("round", "doc_id")
+  }
+
+  /** The dq191/dq192 shared fixture: one batch carrying BOTH
+    * modalities. `A` rows are real documents (text contaminated ⟺
+    * doc_id % 10 = 0 — the row IS a benchmark member, dq144's natural
+    * contamination) whose payloads are insertion variants of benchmark
+    * payloads exactly when doc_id % 20 = 0; `B` rows are
+    * payload-ONLY-contaminated (fresh 3-token text no 8-window can
+    * hit, a DIFFERENT insertion variant of a benchmark payload); `C`
+    * rows are clean in both modalities. */
+  private def composedDecontamBatch(docs: DataFrame): DataFrame = {
+    val a = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 20 === 0,
+          concat(lit("X"), cdcBody("mb", col("doc_id"))))
+          .otherwise(cdcBody("fp", col("doc_id")))
+          .cast("binary").as("payload"))
+    val b = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", lit("payload"), lit("only"), col("doc_id"))
+          .as("text"),
+        concat(lit("XY"), cdcBody("mb", col("doc_id"))).cast("binary")
+          .as("payload"))
+    val c = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", lit("clean"), lit("doc"), col("doc_id")).as("text"),
+        cdcBody("fq", col("doc_id")).cast("binary").as("payload"))
+    a.unionByName(b).unionByName(c)
+  }
+
+  /** The dq191/dq192 config dir: BOTH frozen benchmark tables under
+    * one root — the text benchmark is the documents table itself
+    * (copied verbatim so `decontam_gate` resolves it beside the media
+    * table), the media benchmark the doc_id % 10 = 0 payload slice. */
+  private def composedDecontamDir(docs: DataFrame, tag: String): String = {
+    val base = graft.io.TempReaper.tempDir(s"graft-$tag").toString
+    docs.write.mode("overwrite").parquet(s"$base/documents.parquet")
+    docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        cdcBody("mb", col("doc_id")).cast("binary").as("payload"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/media_bench.parquet")
+    base
+  }
+
+  private def composedDecontamCfg(base: String): String =
+    s"""{"table": "documents", "id": "doc_id", "text": "text",
+      | "stages": [
+      |  {"stage": "decontam_gate", "path": "$base/txt_idx", "k": 8,
+      |   "benchmarkTable": "documents",
+      |   "benchmarkWhere": "doc_id % 10 = 0"},
+      |  {"stage": "media_decontam_gate", "mode": "cdc",
+      |   "path": "$base/cdc_idx", "binary": "payload",
+      |   "benchmarkTable": "media_bench"}]}""".stripMargin
+
+  /** DQ191 (EXT/runner): the DECONTAMINATION CAPSTONE — both frozen
+    * benchmark modalities composed in ONE declared config (round 17:
+    * the missing composition lock over the frozen family — dq144
+    * proves the text gate, dq181 the payload gate, but a real
+    * curation run needs BOTH, and a benchmark row contaminating only
+    * ONE modality must still drop): `decontam_gate` (verbatim 8-token
+    * windows vs the benchmark text slice) then `media_decontam_gate`
+    * mode `cdc` (content-defined chunks vs the benchmark payload
+    * slice — length-robust, an insertion variant still collides).
+    * Survivors are rows clean in BOTH modalities; the oracle replays
+    * the dq144 window derivation AND the dq189 chunk chain and
+    * intersects. Both gates are gate-only (frozen stores, no appends)
+    * — a rerun returns the identical set. */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = composedDecontamDir(docs, "dq191")
+    val batch = composedDecontamBatch(docs)
+    graft.plan.CurationConfig.parse(composedDecontamCfg(base))
+      .applyStages(batch, base)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        graft.ext.MediaDedup.payloadDigest(col("payload"))
+          .as("payload_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DQ192 (EXT, §2.9): the decontamination capstone STREAMED —
+    * [[graft.streaming.EventStream.runConfigPipeline]] over the SAME
+    * composed two-gate config, two micro-batches carrying the SAME
+    * candidate set: both frozen stores are seeded from the declared
+    * benchmark tables on first use (never from the batch) and neither
+    * gate appends, so batch 2 must return the IDENTICAL survivor set
+    * — the dq145/dq182 gate-only idempotence contract, now across TWO
+    * modalities in one declared pipeline. */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = composedDecontamDir(docs, "dq192")
+    val batch = composedDecontamBatch(docs)
+    val incoming = EventStream.twoFileBatchStream(batch, batch, "dq192")
+    EventStream.runConfigPipeline(incoming,
+        graft.plan.CurationConfig.parse(composedDecontamCfg(base)),
+        base, "dq192")
+      .select(col("batch"), col("doc_id"), md5(col("text")).as("text_md5"),
+        graft.ext.MediaDedup.payloadDigest(col("payload"))
+          .as("payload_md5"))
+      .orderBy("batch", "doc_id")
   }
 
   /** DQ187 (EXT/runner): LENGTH-ROBUST payload near-dup DECLARED — the
@@ -4555,39 +4699,45 @@ object SparkEntry {
     "dq186_config_media_sig"      -> (q186 _),
     "dq187_media_dedup_cdc"       -> (q187 _),
     "dq188_stream_media_cdc"      -> (q188 _),
-    "dq189_config_media_cdc"      -> (q189 _)
+    "dq189_config_media_cdc"      -> (q189 _),
+    "dq190_config_media_cdc_coarse" -> (q190 _),
+    "dq191_decontam_capstone"     -> (q191 _),
+    "dq192_stream_decontam_capstone" -> (q192 _)
   )
 
-  /** The shared CDC chunk-derivation CTE fragment (dq188/dq189):
-    * assumes a `roles(id, source, g, tag, pre, grp)` relation and
+  /** The shared CDC chunk-derivation CTE fragment (dq188-dq192):
+    * assumes a `roles(id, source, g, tag, pre, grp)` relation — `(id,
+    * grp)` is the payload key, so one id may carry DIFFERENT payloads
+    * in different groups (dq191's batch-vs-benchmark overlap) — and
     * produces `hx(id, source, grp, h, nb)` and the DISTINCT per-payload
     * chunk rows `dch(id, grp, ch)` — every boundary position where the
     * 4-byte window's md5 opens with '0', the lead()-paired chunk
     * slices, and their md5s ([[graft.ext.MediaDedup.cdcChunkRows]]'s
     * exact arithmetic). */
-  private val CdcChainSql: String =
-    """blk AS (SELECT id, source, grp, pre, j,
+  private def cdcChainSql(blocks: Int = 8, zeros: Int = 1): String =
+    s"""blk AS (SELECT id, source, grp, pre, j,
       |    md5(tag || ':' || g::VARCHAR || ':' || j) AS b
-      |  FROM roles, unnest(range(0, 8)) t(j)),
+      |  FROM roles, unnest(range(0, $blocks)) t(j)),
       |pays AS (SELECT id, source, grp,
       |    pre || string_agg(b, '' ORDER BY j) AS ps
       |  FROM blk GROUP BY id, source, grp, pre),
       |hx AS (SELECT id, source, grp, upper(hex(ps::BLOB)) h,
       |    octet_length(ps::BLOB)::INT nb FROM pays),
-      |pos AS (SELECT id, p + 4 AS cut
+      |pos AS (SELECT id, grp, p + 4 AS cut
       |  FROM hx, unnest(range(0, nb - 3)) t(p)
-      |  WHERE substr(md5(substr(h, (p * 2 + 1)::INT, 8)), 1, 1) = '0'),
+      |  WHERE substr(md5(substr(h, (p * 2 + 1)::INT, 8)), 1, $zeros) =
+      |    '${"0" * zeros}'),
       |starts AS (
-      |  SELECT id, CAST(0 AS BIGINT) AS s FROM hx
+      |  SELECT id, grp, CAST(0 AS BIGINT) AS s FROM hx
       |  UNION
-      |  SELECT pos.id, pos.cut FROM pos JOIN hx USING (id)
+      |  SELECT pos.id, pos.grp, pos.cut FROM pos JOIN hx USING (id, grp)
       |    WHERE pos.cut < hx.nb),
-      |w AS (SELECT id, s,
-      |    lead(s) OVER (PARTITION BY id ORDER BY s) nxt FROM starts),
+      |w AS (SELECT id, grp, s,
+      |    lead(s) OVER (PARTITION BY id, grp ORDER BY s) nxt FROM starts),
       |chunks AS (SELECT w.id, hx.grp,
       |    md5(substr(hx.h, (w.s * 2 + 1)::INT,
       |      ((COALESCE(w.nxt, hx.nb) - w.s) * 2)::INT)) ch
-      |  FROM w JOIN hx USING (id)),
+      |  FROM w JOIN hx USING (id, grp)),
       |dch AS (SELECT DISTINCT id, grp, ch FROM chunks),
       |""".stripMargin
 
@@ -6034,6 +6184,52 @@ object SparkEntry {
 
   private lazy val Dq144Sql: String = decontamTwiceSql("round")
 
+  /** The dq191/dq192 composed-decontamination chain: the dq144 verbatim
+    * 8-token-window hit set over the TEXT modality, the dq189 CDC
+    * chunk-recurrence drop set over the PAYLOAD modality, survivors =
+    * the candidate rows in NEITHER. */
+  private def composedDecontamSql(tail: String): String =
+    """WITH wh AS (SELECT DISTINCT
+      |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+      |  FROM (SELECT list_filter(string_split_regex(text, '\s+'),
+      |      x -> len(x) > 0) toks FROM documents WHERE doc_id % 10 = 0) t,
+      |    unnest(range(1, len(toks) - 6)) r(i)),
+      |cand AS (
+      |  SELECT doc_id AS id, text, doc_id AS g,
+      |      CASE WHEN doc_id % 20 = 0 THEN 'X' ELSE '' END AS pre,
+      |      CASE WHEN doc_id % 20 = 0 THEN 'mb' ELSE 'fp' END AS tag
+      |    FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, 'payload only ' || doc_id::VARCHAR,
+      |      doc_id, 'XY', 'mb'
+      |    FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, 'clean doc ' || doc_id::VARCHAR,
+      |      doc_id, '', 'fq'
+      |    FROM documents WHERE doc_id % 20 = 0),
+      |wt AS (SELECT id,
+      |    md5(array_to_string(toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) dg
+      |  FROM (SELECT id, list_filter(string_split_regex(text, '\s+'),
+      |      x -> len(x) > 0) toks FROM cand) t,
+      |    unnest(range(1, len(toks) - 6)) r(i)),
+      |thit AS (SELECT DISTINCT id FROM wt JOIN wh USING (dg)),
+      |roles AS (
+      |  SELECT id, '' AS source, g, tag, pre, 'b' AS grp FROM cand
+      |  UNION ALL
+      |  SELECT doc_id, '', doc_id, 'mb', '', 'bench'
+      |    FROM documents WHERE doc_id % 10 = 0),
+      |""".stripMargin + cdcChainSql() +
+    """h0 AS (SELECT id AS hid, ch FROM dch WHERE grp = 'bench'),
+      |mdrop AS (SELECT b.id FROM dch b
+      |  JOIN h0 ON b.ch = h0.ch WHERE b.grp = 'b'
+      |  GROUP BY b.id, h0.hid HAVING count(DISTINCT b.ch) >= 3),
+      |keep AS (SELECT c.id, md5(c.text) AS text_md5,
+      |    md5(hx.h) AS payload_md5
+      |  FROM cand c JOIN hx ON hx.id = c.id AND hx.grp = 'b'
+      |  WHERE c.id NOT IN (SELECT id FROM thit)
+      |    AND c.id NOT IN (SELECT DISTINCT id FROM mdrop))
+      |""".stripMargin + tail
+
   /** dq145: the same gate-only chain — the STREAMED loop's two
     * micro-batches carry identical content and the frozen index never
     * grows, so both batches keep the same survivor set. */
@@ -7265,7 +7461,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, source, doc_id, 'n2', '', 'b2'
         |    FROM documents WHERE doc_id % 6 = 3),
-        |""".stripMargin + CdcChainSql +
+        |""".stripMargin + cdcChainSql() +
       """h0 AS (SELECT id AS hid, ch FROM dch WHERE grp = 'h'),
         |d1 AS (SELECT b.id FROM dch b
         |  JOIN h0 ON b.ch = h0.ch WHERE b.grp = 'b1'
@@ -7305,7 +7501,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, source, doc_id, 'cd2', '', 'r2'
         |    FROM documents WHERE doc_id % 5 = 2),
-        |""".stripMargin + CdcChainSql +
+        |""".stripMargin + cdcChainSql() +
       """h0 AS (SELECT id AS hid, ch FROM dch WHERE grp = 'r1'),
         |d2 AS (SELECT b.id FROM dch b
         |  JOIN h0 ON b.ch = h0.ch WHERE b.grp = 'r2'
@@ -7317,6 +7513,50 @@ object SparkEntry {
         |  WHERE grp = 'r2'
         |    AND id NOT IN (SELECT DISTINCT id FROM d2)
         |ORDER BY round, doc_id""".stripMargin),
+    // the storage dial: the same declared arc at zeros=2 over 2 KB
+    // payloads — the oracle's boundary rule is the COARSE one
+    // (substr(md5(window),1,2) = '00'), insertion variants still drop
+    "dq190_config_media_cdc_coarse" ->
+      ("""WITH roles AS (
+        |  SELECT doc_id AS id, source, doc_id AS g, 'cz' AS tag,
+        |      '' AS pre, 'r1' AS grp
+        |    FROM documents WHERE doc_id % 11 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 60000, source, doc_id, 'cz', '', 'r2'
+        |    FROM documents WHERE doc_id % 11 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 70000, source, doc_id, 'cz', 'X', 'r2'
+        |    FROM documents WHERE doc_id % 11 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 80000, source, doc_id, 'fz', '', 'r2'
+        |    FROM documents WHERE doc_id % 11 = 3),
+        |""".stripMargin + cdcChainSql(blocks = 64, zeros = 2) +
+      """h0 AS (SELECT id AS hid, ch FROM dch WHERE grp = 'r1'),
+        |d2 AS (SELECT b.id FROM dch b
+        |  JOIN h0 ON b.ch = h0.ch WHERE b.grp = 'r2'
+        |  GROUP BY b.id, h0.hid HAVING count(DISTINCT b.ch) >= 3)
+        |SELECT CAST(1 AS BIGINT) AS round, id AS doc_id, source FROM hx
+        |  WHERE grp = 'r1'
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), id, source FROM hx
+        |  WHERE grp = 'r2'
+        |    AND id NOT IN (SELECT DISTINCT id FROM d2)
+        |ORDER BY round, doc_id""".stripMargin),
+    // the composed frozen gates: a row drops on EITHER modality —
+    // verbatim text windows vs the benchmark slice OR >= 3 shared
+    // content-defined chunks vs a benchmark payload
+    "dq191_decontam_capstone" -> composedDecontamSql(
+      """SELECT id AS doc_id, text_md5, payload_md5 FROM keep
+        |ORDER BY doc_id""".stripMargin),
+    // streamed: both micro-batches gate against the same frozen
+    // stores (seeded from the benchmark tables, never appended) ->
+    // identical survivor sets
+    "dq192_stream_decontam_capstone" -> composedDecontamSql(
+      """SELECT CAST(1 AS BIGINT) AS batch, id AS doc_id, text_md5,
+        |    payload_md5 FROM keep
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), id, text_md5, payload_md5 FROM keep
+        |ORDER BY batch, doc_id""".stripMargin),
     // content-defined chunking: every boundary position (window-md5
     // opens with '0'), the chunk slices, capped buckets, the >= 3
     // shared-chunk rule, and the closure — insertion variants pair

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * parameters, pinned so a reader can't probe a stored index with
   * mismatched boundaries. */
 final case class MediaCdcIndexStats(chunkRows: Long, window: Int,
-    minShared: Int, maxBucket: Int)
+    minShared: Int, maxBucket: Int, zeros: Int)
 
 /** PERSISTED content-defined-chunk gate index — the LENGTH-ROBUST
   * sibling of [[MediaSigIndex]] (r16 verdict #6 taken cross-batch: the
@@ -17,7 +17,9 @@ final case class MediaCdcIndexStats(chunkRows: Long, window: Int,
   * VARIANT of a stored payload sails through the history gate; chunk
   * boundaries that the payload's own bytes define survive the edit):
   * history payloads are chunked ONCE ([[MediaDedup.cdcChunkRows]] —
-  * boundaries where the `window`-byte slice's md5 opens with hex '0')
+  * boundaries where the `window`-byte slice's md5 opens with `zeros`
+  * hex '0's, so the stored relation is ~nb/16^zeros hashes per payload:
+  * `zeros` is the storage/granularity dial, 16^zeros-byte mean chunks)
   * and every later batch drops rows whose payload shares ≥ `minShared`
   * DISTINCT chunk hashes with some single stored payload. History
   * payload BYTES are never read again; the gate's only history input is
@@ -54,7 +56,8 @@ final class MediaCdcIndex private (
   def stats: MediaCdcIndexStats = {
     val r = spark.read.parquet(s"$path/stats").head()
     MediaCdcIndexStats(r.getAs[Long]("chunk_rows"), r.getAs[Int]("window"),
-      r.getAs[Int]("min_shared"), r.getAs[Int]("max_bucket"))
+      r.getAs[Int]("min_shared"), r.getAs[Int]("max_bucket"),
+      r.getAs[Int]("zeros"))
   }
 
   private val log = new ManifestLog(spark, path)
@@ -105,7 +108,7 @@ final class MediaCdcIndex private (
     val seq = before.size + 1
     val id = f"a$seq%06d"
     val chunks = MediaDedup.cdcChunkRows(df, idCol, payloadCol,
-        prev.window)
+        prev.window, prev.zeros)
       .withColumnRenamed("doc_id", "vid")
       .distinct() // repeated content inside ONE payload is one fact
     log.clearOrphan(s"$path/chunks/append=$id")
@@ -117,7 +120,7 @@ final class MediaCdcIndex private (
         "non-null payloads")
     log.commit(Manifest(Seq(id), Nil, Nil, Nil, token), seq)
     val st = MediaCdcIndexStats(prev.chunkRows + added, prev.window,
-      prev.minShared, prev.maxBucket)
+      prev.minShared, prev.maxBucket, prev.zeros)
     MediaCdcIndex.writeStats(spark, path, st)
     maybeCompact()
     st
@@ -180,7 +183,7 @@ final class MediaCdcIndex private (
         val bloom = BloomPrune.buildFilter(hw.select(col("ch").as("__k")),
           "__k", math.max(1L, st.chunkRows), fpp)
         val bs = MediaDedup.cdcChunkRows(batch, idCol, payloadCol,
-          st.window)
+          st.window, st.zeros)
           .withColumnRenamed("doc_id", "__b_id")
           .distinct()
           .withColumn("__k", col("ch"))
@@ -226,15 +229,16 @@ object MediaCdcIndex {
     * `stats/` and every later gate/append uses them. */
   def build(history: DataFrame, idCol: String, payloadCol: String,
       path: String, window: Int = 4, minShared: Int = 3,
-      maxBucket: Int = 100,
+      maxBucket: Int = 100, zeros: Int = 1,
       seedToken: Option[String] = None): MediaCdcIndex = {
     require(window >= 1 && window <= 64, s"window in [1, 64], got $window")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxBucket >= 2, "maxBucket must be >= 2")
+    require(zeros >= 1 && zeros <= 8, s"zeros in [1, 8], got $zeros")
     val idx = new MediaCdcIndex(history.sparkSession, path)
     idx.log.withWriteLock {
       idx.writeBatch(history, idCol, payloadCol,
-        MediaCdcIndexStats(0L, window, minShared, maxBucket),
+        MediaCdcIndexStats(0L, window, minShared, maxBucket, zeros),
         first = true, token = seedToken)
     }
     idx
@@ -254,8 +258,8 @@ object MediaCdcIndex {
   private def writeStats(spark: SparkSession, path: String,
       st: MediaCdcIndexStats): Unit = {
     import spark.implicits._
-    Seq((st.chunkRows, st.window, st.minShared, st.maxBucket))
-      .toDF("chunk_rows", "window", "min_shared", "max_bucket")
+    Seq((st.chunkRows, st.window, st.minShared, st.maxBucket, st.zeros))
+      .toDF("chunk_rows", "window", "min_shared", "max_bucket", "zeros")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 }

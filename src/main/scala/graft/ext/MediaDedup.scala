@@ -192,36 +192,49 @@ object MediaDedup {
     * same-content-different-length payloads can never pair): chunk
     * boundaries are cut where the payload's own bytes say so — after
     * byte `p+window−1` whenever the md5 of the `window`-byte slice at
-    * `p` starts with hex '0' (a 1-in-16 content condition ⇒ mean chunk
-    * ≈ window+16 bytes; the gear/rolling-hash CDC idea with md5 as the
-    * portable hash — Muthitacharoen et al., LBFS, SOSP 2001) — so an
-    * insertion perturbs only the chunk containing it and boundaries
-    * RE-SYNCHRONIZE at the next content-defined cut. `ch` is the md5 of
-    * the chunk's hex slice: pure string/integer arithmetic, the DuckDB
-    * oracle re-derives every cut and chunk (dq187).
+    * `p` starts with `zeros` hex '0's (a 1-in-16^zeros content
+    * condition ⇒ mean chunk ≈ window+16^zeros bytes; the
+    * gear/rolling-hash CDC idea with md5 as the portable hash —
+    * Muthitacharoen et al., LBFS, SOSP 2001) — so an insertion perturbs
+    * only the chunk containing it and boundaries RE-SYNCHRONIZE at the
+    * next content-defined cut. `ch` is the md5 of the chunk's hex
+    * slice: pure string/integer arithmetic, the DuckDB oracle
+    * re-derives every cut and chunk (dq187).
+    *
+    * `zeros` is the STORAGE/GRANULARITY dial: the chunk relation
+    * carries ~nb/16^zeros 32-hex-char hashes per payload, so at
+    * zeros=1 it outweighs the payload (~2× nb — right for the
+    * byte-scale fixtures the oracles replay) while zeros=3 stores
+    * ~1% of payload volume at ~4 KB mean chunks — the ratio a
+    * 100 TB media store needs. Coarser chunks trade edit
+    * granularity: a payload with fewer than `minShared` total chunks
+    * can never match, so size `zeros` to payloads ≫
+    * minShared·16^zeros bytes.
     *
     * Scale shape: the boundary scan materializes one int per byte
     * position per row (`transform` over `sequence`) — payload-size
-    * bounded, embarrassingly parallel, no shuffle; only the ~nb/16
-    * chunk hashes leave the row. Payloads shorter than `window` (and
-    * cut-free payloads) emit their whole body as one chunk; null
-    * payloads emit nothing (the family contract). */
+    * bounded, embarrassingly parallel, no shuffle; only the
+    * ~nb/16^zeros chunk hashes leave the row. Payloads shorter than
+    * `window` (and cut-free payloads) emit their whole body as one
+    * chunk; null payloads emit nothing (the family contract). */
   def cdcChunkRows(df: DataFrame, idCol: String, payloadCol: String,
-      window: Int = 4): DataFrame = {
+      window: Int = 4, zeros: Int = 1): DataFrame = {
     require(window >= 1 && window <= 64, s"window in [1, 64], got $window")
+    require(zeros >= 1 && zeros <= 8, s"zeros in [1, 8], got $zeros")
     val w = window
+    val zs = "0" * zeros
     df.filter(col(payloadCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         octet_length(col(payloadCol)).cast("int").as("nb"),
         hex(col(payloadCol)).as("__h"))
       // cut positions (byte index the chunk ENDS before): p + w for
-      // every window position p whose slice-md5 opens with '0'
+      // every window position p whose slice-md5 opens with `zeros` '0's
       .withColumn("__cuts",
         when(col("nb") < w, array().cast("array<int>"))
           .otherwise(filter(
             transform(sequence(lit(0), col("nb") - w), p =>
               when(substring(md5(col("__h").substr(p * 2 + 1, lit(w * 2))),
-                1, 1) === "0", p + w).otherwise(lit(-1))),
+                1, zeros) === zs, p + w).otherwise(lit(-1))),
             x => x >= 0)))
       // starts = 0 ∪ interior cuts; ends = interior cuts ∪ nb (a cut at
       // exactly nb closes the last chunk, it does not open an empty one)
@@ -241,10 +254,10 @@ object MediaDedup {
     * the standard [2, maxBucket] LSH cap. */
   def nearDupPairsCdc(df: DataFrame, idCol: String, payloadCol: String,
       window: Int = 4, minShared: Int = 3,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100, zeros: Int = 1): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     Pairs.explodeSortedIdPairs(
-      cdcChunkRows(df, idCol, payloadCol, window).distinct()
+      cdcChunkRows(df, idCol, payloadCol, window, zeros).distinct()
         .groupBy(col("ch"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")).between(2, maxBucket)),
@@ -260,7 +273,8 @@ object MediaDedup {
     * bytes never ride a shuffle). */
   def keepNearCanonicalCdc(df: DataFrame, idCol: String,
       payloadCol: String, window: Int = 4, minShared: Int = 3,
-      maxBucket: Int = 100): DataFrame =
+      maxBucket: Int = 100, zeros: Int = 1): DataFrame =
     keepCanonicalByPairs(df, idCol,
-      nearDupPairsCdc(df, idCol, payloadCol, window, minShared, maxBucket))
+      nearDupPairsCdc(df, idCol, payloadCol, window, minShared,
+        maxBucket, zeros))
 }

@@ -255,7 +255,7 @@ object CurationConfig {
     * cross-batch payload gating is the store-mediated form. */
   final case class MediaDedupStage(mode: String, binaryCol: String,
       blocks: Int, minMatch: Int, maxBucket: Int, window: Int = 4,
-      minShared: Int = 3) extends Stage {
+      minShared: Int = 3, zeros: Int = 1) extends Stage {
     def apply(df: DataFrame, idCol: String, textCol: String,
         runToken: Option[String]): DataFrame = {
       require(df.columns.contains(binaryCol),
@@ -267,7 +267,7 @@ object CurationConfig {
           // the LENGTH-ROBUST near form: content-defined chunk overlap
           // (an insertion/truncation variant still pairs)
           graft.ext.MediaDedup.keepNearCanonicalCdc(df, idCol, binaryCol,
-            window, minShared, maxBucket)
+            window, minShared, maxBucket, zeros)
         case _ =>
           graft.ext.MediaDedup.keepNearCanonical(df, idCol, binaryCol,
             blocks, minMatch, maxBucket)
@@ -531,16 +531,17 @@ object CurationConfig {
     * survivors' chunks. The parameters are the stored identity — a
     * drifted config is refused at open. */
   final case class MediaCdcGate(path: String, binaryCol: String,
-      window: Int, minShared: Int, maxBucket: Int) extends Stage {
+      window: Int, minShared: Int, maxBucket: Int,
+      zeros: Int = 1) extends Stage {
     private def openValidated(spark: SparkSession): graft.ext.MediaCdcIndex = {
       val idx = graft.ext.MediaCdcIndex.open(spark, path)
       val st = idx.stats
       require(st.window == window && st.minShared == minShared &&
-        st.maxBucket == maxBucket,
+        st.maxBucket == maxBucket && st.zeros == zeros,
         s"media_cdc_gate at $path was built with (window=${st.window}, " +
-          s"minShared=${st.minShared}, maxBucket=${st.maxBucket}); the " +
-          s"config declares (window=$window, minShared=$minShared, " +
-          s"maxBucket=$maxBucket)")
+          s"minShared=${st.minShared}, maxBucket=${st.maxBucket}, " +
+          s"zeros=${st.zeros}); the config declares (window=$window, " +
+          s"minShared=$minShared, maxBucket=$maxBucket, zeros=$zeros)")
       idx
     }
     def apply(df: DataFrame, idCol: String, textCol: String,
@@ -556,7 +557,7 @@ object CurationConfig {
         () => openValidated(spark))(
         (seeded, tok) =>
           graft.ext.MediaCdcIndex.build(seeded, idCol, binaryCol, path,
-            window, minShared, maxBucket, seedToken = tok))(
+            window, minShared, maxBucket, zeros, seedToken = tok))(
         (idx, input, tok) =>
           idx.keepFarPayloads(input, idCol, binaryCol,
             excludeToken = tok)) { (idx, kept, tok) =>
@@ -589,7 +590,7 @@ object CurationConfig {
   final case class MediaDecontamGate(path: String, mode: String,
       binaryCol: String, benchmarkTable: String, benchmarkWhere: String,
       blocks: Int, minMatch: Int, maxBucket: Int, window: Int = 4,
-      minShared: Int = 3) extends Stage {
+      minShared: Int = 3, zeros: Int = 1) extends Stage {
 
     private def gate(df: DataFrame, idCol: String): DataFrame = {
       require(df.columns.contains(binaryCol),
@@ -606,11 +607,12 @@ object CurationConfig {
           val idx = graft.ext.MediaCdcIndex.open(spark, path)
           val st = idx.stats
           require(st.window == window && st.minShared == minShared &&
-            st.maxBucket == maxBucket,
+            st.maxBucket == maxBucket && st.zeros == zeros,
             s"media_decontam_gate at $path was built with (window=" +
               s"${st.window}, minShared=${st.minShared}, maxBucket=" +
-              s"${st.maxBucket}); the config declares (window=$window, " +
-              s"minShared=$minShared, maxBucket=$maxBucket)")
+              s"${st.maxBucket}, zeros=${st.zeros}); the config declares " +
+              s"(window=$window, minShared=$minShared, " +
+              s"maxBucket=$maxBucket, zeros=$zeros)")
           idx.keepFarPayloads(df, idCol, binaryCol)
         case _ =>
           val idx = graft.ext.MediaSigIndex.open(spark, path)
@@ -655,7 +657,7 @@ object CurationConfig {
               MediaDigestIndex.build(bench, idCol, binaryCol, path); ()
             case "cdc" =>
               graft.ext.MediaCdcIndex.build(bench, idCol, binaryCol,
-                path, window, minShared, maxBucket); ()
+                path, window, minShared, maxBucket, zeros); ()
             case _ =>
               graft.ext.MediaSigIndex.build(bench, idCol, binaryCol,
                 path, blocks, minMatch, maxBucket); ()
@@ -1348,8 +1350,12 @@ object CurationConfig {
         if (minShared < 1)
           fail(s"stage 'media_dedup': minShared must be >= 1, " +
             s"got $minShared")
+        val mzeros = long("zeros").getOrElse(1L)
+        if (mzeros < 1 || mzeros > 8)
+          fail(s"stage 'media_dedup': zeros must be in [1, 8], " +
+            s"got $mzeros")
         MediaDedupStage(mode, binary, blocks.toInt, minMatch.toInt,
-          maxBucket.toInt, window.toInt, minShared.toInt)
+          maxBucket.toInt, window.toInt, minShared.toInt, mzeros.toInt)
       case "media_digest_gate" =>
         val path = j \ "path" match {
           case JString(p) if p.trim.nonEmpty => p
@@ -1410,8 +1416,12 @@ object CurationConfig {
         if (maxBucket < 2)
           fail(s"stage 'media_cdc_gate': maxBucket must be >= 2, " +
             s"got $maxBucket")
+        val zeros = long("zeros").getOrElse(1L)
+        if (zeros < 1 || zeros > 8)
+          fail(s"stage 'media_cdc_gate': zeros must be in [1, 8], " +
+            s"got $zeros")
         MediaCdcGate(path, binary, window.toInt, minShared.toInt,
-          maxBucket.toInt)
+          maxBucket.toInt, zeros.toInt)
       case "media_decontam_gate" =>
         val path = j \ "path" match {
           case JString(p) if p.trim.nonEmpty => p
@@ -1465,8 +1475,13 @@ object CurationConfig {
         if (minShared < 1)
           fail(s"stage 'media_decontam_gate': minShared must be >= 1, " +
             s"got $minShared")
+        val dzeros = long("zeros").getOrElse(1L)
+        if (dzeros < 1 || dzeros > 8)
+          fail(s"stage 'media_decontam_gate': zeros must be in [1, 8], " +
+            s"got $dzeros")
         MediaDecontamGate(path, mode, binary, bt, bw, blocks.toInt,
-          minMatch.toInt, maxBucket.toInt, window.toInt, minShared.toInt)
+          minMatch.toInt, maxBucket.toInt, window.toInt, minShared.toInt,
+          dzeros.toInt)
       case "temperature_mix" =>
         val strata = j \ "strata" match {
           case JString(s) => s

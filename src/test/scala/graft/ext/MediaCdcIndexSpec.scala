@@ -101,6 +101,38 @@ class MediaCdcIndexSpec extends GraftSpec {
     }
   }
 
+  it("the zeros dial: a coarser boundary (16^zeros-byte mean chunks) " +
+     "stores an order of magnitude fewer chunk rows, still drops " +
+     "length-perturbed variants, and a zeros drift is refused by name") {
+    val long1 = new scala.util.Random(41).alphanumeric.take(4096).mkString
+    val long2 = new scala.util.Random(42).alphanumeric.take(4096).mkString
+    val fine = MediaCdcIndex.build(frame((1L, long1), (2L, long2)),
+      "doc_id", "payload", tmp(), zeros = 1)
+    val path = tmp()
+    val coarse = MediaCdcIndex.build(frame((1L, long1), (2L, long2)),
+      "doc_id", "payload", path, zeros = 2)
+    coarse.stats.zeros shouldBe 2
+    // the storage dial: ~16x fewer stored hash rows at zeros=2 (mean
+    // chunk 16 -> 256 bytes); the stored relation is what a 100 TB
+    // media store keeps, so this ratio IS the operator's scale story
+    coarse.stats.chunkRows.toDouble should be <
+      (fine.stats.chunkRows.toDouble / 4)
+    // the length-robust drop survives the coarser boundary
+    ids(coarse.keepFarPayloads(frame(
+      (10L, "X" + long1),   // insertion variant — drop
+      (11L, entropic(9))),  // fresh — keep
+      "doc_id", "payload")) shouldBe Seq(11L)
+    // declared stage: a zeros drift is refused by name
+    val st = graft.plan.CurationConfig.parse(
+      s"""{"table": "documents", "id": "doc_id", "text": "caption",
+        | "stages": [{"stage": "media_cdc_gate", "path": "$path",
+        |   "binary": "payload", "zeros": 1}]}""".stripMargin).stages.head
+    intercept[IllegalArgumentException] {
+      st.apply(frame((20L, entropic(3))).withColumn("caption", lit("c")),
+        "doc_id", "caption", Some("rz"))
+    }.getMessage should (include("zeros=2") and include("zeros=1"))
+  }
+
   it("the declared media_cdc_gate stage: seed, gate+append, replayed " +
      "rounds, drifted parameters refused by name, store_vacuum kind " +
      "'mediacdc', and the frozen media_decontam_gate mode 'cdc'") {
