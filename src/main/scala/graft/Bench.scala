@@ -517,6 +517,32 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dq188 evidence failed: ${e.getMessage}"); None
       },
+      //  - dq190: the CDC STORAGE DIAL — stored chunk rows per payload
+      //    at zeros=1 vs zeros=2 on the same corpus (the on-disk ratio
+      //    is SCALE_MEDIACDC's measurement; the row ratio is the same
+      //    fact, cheap enough for the per-round record): ~16x fewer
+      //    hash rows per payload byte at zeros=2
+      if (!names.exists(_.startsWith("dq190"))) None
+      else try {
+        import org.apache.spark.sql.functions._
+        val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+          .repartition(8)
+          .withColumn("payload", concat((0 to 63).map(j =>
+            md5(concat_ws(":", lit("zd"), col("doc_id"), lit(j)))): _*)
+            .cast("binary"))
+          .localCheckpoint(true)
+        val base = graft.io.TempReaper.tempDir("graft-bench-cdczeros")
+          .toString
+        val z1 = graft.ext.MediaCdcIndex.build(corpus, "doc_id",
+          "payload", s"$base/z1", zeros = 1).stats.chunkRows
+        val z2 = graft.ext.MediaCdcIndex.build(corpus, "doc_id",
+          "payload", s"$base/z2", zeros = 2).stats.chunkRows
+        Some(s""""dq190_chunkrows_z1":$z1,"dq190_chunkrows_z2":$z2,""" +
+          f""""dq190_zeros_row_ratio":${z1.toDouble / math.max(1L, z2)}%.1f""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dq190 evidence failed: ${e.getMessage}"); None
+      },
       if (!names.exists(_.startsWith("dq118"))) None
       else try {
         import org.apache.spark.sql.execution.FileSourceScanExec

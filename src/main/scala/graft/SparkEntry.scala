@@ -4055,7 +4055,10 @@ object SparkEntry {
         | "stages": [{"stage": "media_cdc_gate", "path": "$path",
         |   "binary": "payload", "window": 4, "minShared": 3,
         |   "maxBucket": 100, "zeros": 2}]}""".stripMargin)
-    val a = docs.filter(col("doc_id") % 11 === 3)
+    // repartition BEFORE the 2 KB payload synthesis: the single-row-group
+    // testdata parquet otherwise leaves the whole boundary scan (one
+    // window-md5 per payload byte) on one core (the SCALE_MEDIACDC trap)
+    val a = docs.filter(col("doc_id") % 11 === 3).repartition(32)
     val b1 = a.select(col("doc_id"),
         cdcBody("cz", col("doc_id"), 64).cast("binary").as("payload"),
         col("source"))

@@ -152,7 +152,9 @@ class MediaDedupSpec extends GraftSpec {
         ("""{"stage": "media_dedup", "binary": "payload",
            | "minMatch": 9}""".stripMargin, "minMatch"),
         ("""{"stage": "media_dedup", "binary": "payload",
-           | "maxBucket": 1}""".stripMargin, "maxBucket")))
+           | "maxBucket": 1}""".stripMargin, "maxBucket"),
+        ("""{"stage": "media_dedup", "binary": "payload",
+           | "zeros": 9}""".stripMargin, "zeros")))
       intercept[IllegalArgumentException] { cfg(bad) }
         .getMessage should include(msg)
     // a frame without the declared binary column is refused by name
