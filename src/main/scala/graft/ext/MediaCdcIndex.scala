@@ -40,7 +40,11 @@ final case class MediaCdcIndexStats(chunkRows: Long, window: Int,
   * buckets replaced by bare chunk hashes — no length key, no offset
   * rule, which is the point: stored buckets larger than `maxBucket`
   * are dropped at read (the LSH guard — a ubiquitous boilerplate chunk
-  * cannot go quadratic), a Bloom filter over the surviving hashes
+  * cannot go quadratic, and the SAME guard defuses tiny chunks:
+  * consecutive boundary positions legitimately emit 1-byte chunks
+  * whose 256-value content space is shared corpus-wide, so at scale
+  * they exceed the cap and fall out of the match relation instead of
+  * minting false ≥ minShared pairs), a Bloom filter over the surviving hashes
   * passes provably-fresh batch chunks without any join, and only the
   * might-seen minority rides the chunk equi-join; a batch row drops
   * when any single stored vid accumulates ≥ `minShared` distinct

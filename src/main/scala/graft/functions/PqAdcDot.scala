@@ -80,7 +80,16 @@ case class PqAdcDot(
       ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("pqAdcBooksBc", books,
       "org.apache.spark.broadcast.Broadcast")
-    val bs = ctx.addMutableState("double[][][]", "pqAdcBooks")
+    // ONLY single-dimension array types appear in the generated code:
+    // Janino refuses multi-dimensional array declarations ("')'
+    // expected" at the declaration) whether as a mutable state OR a
+    // local — every plan carrying this expression silently fell back
+    // to interpreted projection until round 17's cold-cache probe made
+    // the slowdown visible (and the spec now pins CODEGEN_ONLY). The
+    // codebook rides as Object and is unwrapped one dimension at a
+    // time: Object -> Object[] (subspaces) -> Object[] (centroids) ->
+    // double[].
+    val bsObj = ctx.addMutableState("java.lang.Object", "pqAdcBooks")
     val getter =
       if (qIsFloat) (v: String, i: String) => s"(double) $v.getFloat($i)"
       else (v: String, i: String) => s"$v.getDouble($i)"
@@ -93,18 +102,21 @@ case class PqAdcDot(
       val i = ctx.freshName("i")
       val p = ctx.freshName("p")
       val code = ctx.freshName("code")
+      val bs = ctx.freshName("books")
+      val sub = ctx.freshName("sub")
       s"""
-         |if ($bs == null) { $bs = (double[][][]) $bcRef.value(); }
+         |if ($bsObj == null) { $bsObj = $bcRef.value(); }
+         |java.lang.Object[] $bs = (java.lang.Object[]) $bsObj;
          |double $acc = 0.0;
          |int $m = java.lang.Math.min($bs.length, $c.numElements());
          |for (int $j = 0; $j < $m; $j++) {
          |  int $code = $c.getInt($j);
-         |  if ($code < 0 || $code >= $bs[$j].length
-         |      || $bs[$j][$code] == null) {
+         |  java.lang.Object[] $sub = (java.lang.Object[]) $bs[$j];
+         |  if ($code < 0 || $code >= $sub.length || $sub[$code] == null) {
          |    throw new IllegalArgumentException(
-         |      graft.functions.PqAdcDot.badCode($code, $j, $bs[$j].length));
+         |      graft.functions.PqAdcDot.badCode($code, $j, $sub.length));
          |  }
-         |  double[] $cent = $bs[$j][$code];
+         |  double[] $cent = (double[]) $sub[$code];
          |  double $t = 0.0;
          |  for (int $i = 0; $i < $subDim; $i++) {
          |    int $p = $j * $subDim + $i;

@@ -378,8 +378,14 @@ class PqAnnSpec extends GraftSpec {
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3)
       .toMap
     // kernel scores: each query's embedding as a literal column beside
-    // the code rows — the gate's row-side shape
-    val kernel = queries.flatMap { case (qid, q) =>
+    // the code rows — the gate's row-side shape. CODEGEN_ONLY + no
+    // fallback: the generated Java must actually COMPILE — the plan
+    // string showing a `*(n)` span is not enough (a Janino failure
+    // falls back to interpreted projection silently; the round-17
+    // multi-dim-array mutable state did exactly that in every run)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val kernel = try queries.flatMap { case (qid, q) =>
       val scored = codes.filter($"vid" =!= qid)
         .select($"vid",
           PqAnn.adcDotCol(typedlit(q.toSeq), $"codes", cb, spark)
@@ -389,7 +395,10 @@ class PqAnnSpec extends GraftSpec {
         include regex """\*\(\d+\) Project"""
       scored.as[(Long, Double)].collect()
         .map { case (vid, s) => (qid, vid) -> s }
-    }.toMap
+    }.toMap finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
     kernel.keySet shouldBe literal.keySet
     for ((k, v) <- kernel) {
       // bit-identical, not approximately equal
