@@ -319,11 +319,11 @@ object ScaleProbe {
       val (_, coldScanC) = timed(scanCodes())
       // full gates, cold: REPORTED, not ordered-asserted — at this SF
       // the PQ gate's exact-refine stage re-reads probed float
-      // partitions at PARTITION granularity (a 200-query shortlist
-      // scatters vids across every cell, so row-group pushdown prunes
-      // nothing), which hands the float relation's cold cost back to
-      // the PQ gate; the at-scale crossover needs vid-clustered row
-      // groups inside cells (PERF.md round 17)
+      // partitions at PARTITION granularity: each ~3 MB cell file is
+      // one row group (the vid-sorted layout has nothing to skip yet)
+      // and a 200·64-id IN list is over the parquet pushdown
+      // threshold, degrading to a min/max range a scattered shortlist
+      // spans (PERF.md round 17 has the full analysis)
       dropCaches()
       val (kept, coldFloat) = timed(floatGate())
       dropCaches()
