@@ -221,6 +221,23 @@ object MediaDedup {
       window: Int = 4, zeros: Int = 1): DataFrame = {
     require(window >= 1 && window <= 64, s"window in [1, 64], got $window")
     require(zeros >= 1 && zeros <= 8, s"zeros in [1, 8], got $zeros")
+    df.filter(col(payloadCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.CdcChunks(col(payloadCol), window, zeros))
+          .as("ch"))
+  }
+
+  /** The Column-expression formulation of [[cdcChunkRows]] — the
+    * executable spec the [[graft.functions.CdcChunks]] kernel is
+    * property-pinned against (`MediaCdcKernelSpec`), retained verbatim
+    * from the shape that shipped dq187: per-position `transform` lambdas
+    * evaluate INTERPRETED (an Md5.eval + UTF8String substring per byte
+    * position), which the kernel collapses into one JVM loop per row.
+    * Bit-identical by the parity property; do not call on a hot path. */
+  private[graft] def cdcChunkRowsSpec(df: DataFrame, idCol: String,
+      payloadCol: String, window: Int = 4, zeros: Int = 1): DataFrame = {
+    require(window >= 1 && window <= 64, s"window in [1, 64], got $window")
+    require(zeros >= 1 && zeros <= 8, s"zeros in [1, 8], got $zeros")
     val w = window
     val zs = "0" * zeros
     df.filter(col(payloadCol).isNotNull)
