@@ -61,7 +61,8 @@ final class Bm25Store private (
     * docs/Σdl SUMMED from the committed per-append partials — stats can
     * never disagree with the committed postings (there is no separate
     * mutable total to fall behind). */
-  def stats: Bm25StoreStats = statsOf(excludeToken = None)
+  def stats: Bm25StoreStats =
+    StoreStats.cached(log, path)(statsOf(excludeToken = None))
 
   /** [[stats]] under the micro-batch replay view ([[search]] passes its
     * `excludeToken` so a replayed gate scores with pre-append N/avgdl,
@@ -338,6 +339,7 @@ object Bm25Store {
     import spark.implicits._
     Seq(Tuple1(buckets)).toDF("buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    StoreStats.invalidate(path)
   }
 
   private[ext] def writeStatsPart(spark: SparkSession, dir: String,

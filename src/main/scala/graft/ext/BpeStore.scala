@@ -52,8 +52,10 @@ final class BpeStore private (
 
   private val log = new ManifestLog(spark, path)
 
-  /** Current stored statistics (re-read per call — appends move it). */
-  def stats: BpeStoreStats = {
+  /** Current stored statistics (appends move it; served from the
+    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark
+    * jobs and gate/append cycles ask several times per call). */
+  def stats: BpeStoreStats = StoreStats.cached(log, path) {
     val r = spark.read.parquet(s"$path/stats").head()
     BpeStoreStats(r.getAs[Long]("word_rows"), r.getAs[Int]("num_merges"),
       r.getAs[Int]("merge_budget"))
@@ -298,5 +300,6 @@ object BpeStore {
     Seq((st.wordRows, st.numMerges, st.mergeBudget))
       .toDF("word_rows", "num_merges", "merge_budget")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    StoreStats.invalidate(path)
   }
 }

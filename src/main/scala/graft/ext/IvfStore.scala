@@ -106,7 +106,10 @@ final case class PermuteAdvisory(generation: Int, subspaces: Int,
 final class IvfStore private (private val spark: SparkSession,
     val path: String) extends IngestIndex {
 
-  def stats: IvfStoreStats = {
+  /** Current stored statistics (refits move it; served from the
+    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark jobs
+    * and search/gate cycles ask several times per call). */
+  def stats: IvfStoreStats = StoreStats.cached(log, path) {
     val r = spark.read.parquet(s"$path/stats").head()
     IvfStoreStats(r.getAs[Int]("cells"), r.getAs[Int]("dims"),
       r.getAs[Long]("vectors"), r.getAs[Double]("gate_tau"),
@@ -1617,5 +1620,6 @@ object IvfStore {
       .toDF("cells", "dims", "vectors", "gate_tau", "gate_nprobe",
         "packed_scale")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    StoreStats.invalidate(path)
   }
 }

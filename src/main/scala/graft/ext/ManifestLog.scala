@@ -88,6 +88,19 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
 
   def read(): Seq[Manifest] = readWithMtimes().map(_._1)
 
+  /** The NEWEST committed marker's file name (None before any commit) —
+    * one FS listing, no file reads, no Spark job. The cache key of
+    * [[StoreStats]]: a store's `stats/` sidecar is rewritten only around
+    * a commit, so an unchanged newest-commit name means a re-read would
+    * parse the same value. */
+  def latestCommitName(): Option[String] = {
+    val f = fs
+    if (!f.exists(commitsDir)) None
+    else f.listStatus(commitsDir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).maxOption
+  }
+
   /** Manifests with their commit files' modification times — the vacuum
     * retention guard's input: a superseded dir may only be unlinked once
     * its SUPERSEDING commit is older than the retention window (an
@@ -404,6 +417,41 @@ private[ext] object ManifestLog {
     * re-run under it to prove lock liveness without ever writing the
     * shared lock path. */
   @volatile private[ext] var disableSetTimes: Boolean = false
+}
+
+/** Driver-side cache of each store's parsed `stats/` sidecar, keyed by
+  * the layout's newest commit marker. The uncached shape cost TWO Spark
+  * jobs per read (parquet schema inference + head) and a gate/append
+  * cycle reads stats several times — measured 10 of SubstrGate's 33 jobs
+  * (~0.8s of a 3s stage at sf0.1); at production cadence every one of
+  * those jobs is a driver round-trip serialized inside the ingest loop.
+  *
+  * Freshness: the key is [[ManifestLog.latestCommitName]] (one FS
+  * listing, no job), and every writer rewrites `stats/` around a commit
+  * and then [[invalidate]]s, so a cached value can only be observed
+  * stale in the commit→stats-rewrite window a concurrent UNCACHED reader
+  * already had (stats are advisory sizing feeds plus parameter pins that
+  * never change after build — the staleness-costs-filter-bits contract,
+  * [[SubstrIndex]] class doc). A foreign process's append lands a new
+  * commit marker, which re-keys and re-reads. */
+private[ext] object StoreStats {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Any)]()
+
+  def cached[T](log: ManifestLog, path: String)(load: => T): T =
+    log.latestCommitName() match {
+      case None => load // pre-commit layouts are never cached
+      case Some(key) =>
+        Option(cache.get(path)) match {
+          case Some((k, v)) if k == key => v.asInstanceOf[T]
+          case _ =>
+            val v = load
+            cache.put(path, (key, v))
+            v
+        }
+    }
+
+  def invalidate(path: String): Unit = { cache.remove(path); () }
 }
 
 /** Strict parsing for the persisted-index session confs — a junk value

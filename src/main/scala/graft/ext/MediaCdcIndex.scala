@@ -56,8 +56,10 @@ final case class MediaCdcIndexStats(chunkRows: Long, window: Int,
 final class MediaCdcIndex private (
     private val spark: SparkSession, val path: String) extends IngestIndex {
 
-  /** Current stored statistics (re-read per call — appends move it). */
-  def stats: MediaCdcIndexStats = {
+  /** Current stored statistics (appends move it; served from the
+    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark
+    * jobs and gate/append cycles ask several times per call). */
+  def stats: MediaCdcIndexStats = StoreStats.cached(log, path) {
     val r = spark.read.parquet(s"$path/stats").head()
     MediaCdcIndexStats(r.getAs[Long]("chunk_rows"), r.getAs[Int]("window"),
       r.getAs[Int]("min_shared"), r.getAs[Int]("max_bucket"),
@@ -265,5 +267,6 @@ object MediaCdcIndex {
     Seq((st.chunkRows, st.window, st.minShared, st.maxBucket, st.zeros))
       .toDF("chunk_rows", "window", "min_shared", "max_bucket", "zeros")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    StoreStats.invalidate(path)
   }
 }

@@ -50,8 +50,10 @@ final case class MediaDigestIndexStats(digests: Long)
 final class MediaDigestIndex private (
     private val spark: SparkSession, val path: String) extends IngestIndex {
 
-  /** Current stored statistics (re-read per call — appends move it). */
-  def stats: MediaDigestIndexStats = {
+  /** Current stored statistics (appends move it; served from the
+    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark
+    * jobs and gate/append cycles ask several times per call). */
+  def stats: MediaDigestIndexStats = StoreStats.cached(log, path) {
     val r = spark.read.parquet(s"$path/stats").head()
     MediaDigestIndexStats(r.getAs[Long]("digests"))
   }
@@ -234,5 +236,6 @@ object MediaDigestIndex {
     import spark.implicits._
     Seq(st.digests).toDF("digests")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    StoreStats.invalidate(path)
   }
 }

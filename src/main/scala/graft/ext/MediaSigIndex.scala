@@ -49,8 +49,10 @@ final case class MediaSigIndexStats(sigRows: Long, blocks: Int,
 final class MediaSigIndex private (
     private val spark: SparkSession, val path: String) extends IngestIndex {
 
-  /** Current stored statistics (re-read per call — appends move it). */
-  def stats: MediaSigIndexStats = {
+  /** Current stored statistics (appends move it; served from the
+    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark
+    * jobs and gate/append cycles ask several times per call). */
+  def stats: MediaSigIndexStats = StoreStats.cached(log, path) {
     val r = spark.read.parquet(s"$path/stats").head()
     MediaSigIndexStats(r.getAs[Long]("sig_rows"), r.getAs[Int]("blocks"),
       r.getAs[Int]("min_match"), r.getAs[Int]("max_bucket"))
@@ -267,5 +269,6 @@ object MediaSigIndex {
     Seq((st.sigRows, st.blocks, st.minMatch, st.maxBucket))
       .toDF("sig_rows", "blocks", "min_match", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    StoreStats.invalidate(path)
   }
 }

@@ -82,8 +82,10 @@ final case class NearDupIndexStats(docs: Long, bandKeys: Long,
 final class NearDupIndex private (
     private val spark: SparkSession, val path: String) extends IngestIndex {
 
-  /** Current stored statistics (re-read per call — appends move it). */
-  def stats: NearDupIndexStats = {
+  /** Current stored statistics (appends move it; served from the
+    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark
+    * jobs and gate/append cycles ask several times per call). */
+  def stats: NearDupIndexStats = StoreStats.cached(log, path) {
     val r = spark.read.parquet(s"$path/stats").head()
     NearDupIndexStats(r.getAs[Long]("docs"), r.getAs[Long]("band_keys"),
       r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
@@ -391,5 +393,6 @@ object NearDupIndex {
     Seq((st.docs, st.bandKeys, st.numHashes, st.bands, st.maxBucket))
       .toDF("docs", "band_keys", "num_hashes", "bands", "max_bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    StoreStats.invalidate(path)
   }
 }

@@ -55,8 +55,10 @@ final case class NgramLmStoreStats(bigramRows: Long, buckets: Int,
 final class NgramLmStore private (
     private val spark: SparkSession, val path: String) extends IngestIndex {
 
-  /** Current stored statistics (re-read per call — appends move it). */
-  def stats: NgramLmStoreStats = {
+  /** Current stored statistics (appends move it; served from the
+    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark
+    * jobs and gate/append cycles ask several times per call). */
+  def stats: NgramLmStoreStats = StoreStats.cached(log, path) {
     val r = spark.read.parquet(s"$path/stats").head()
     NgramLmStoreStats(r.getAs[Long]("bigram_rows"), r.getAs[Int]("buckets"),
       r.getAs[Long]("lo_micro"), r.getAs[Long]("hi_micro"))
@@ -300,5 +302,6 @@ object NgramLmStore {
     Seq((st.bigramRows, st.buckets, st.loMicro, st.hiMicro))
       .toDF("bigram_rows", "buckets", "lo_micro", "hi_micro")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    StoreStats.invalidate(path)
   }
 }

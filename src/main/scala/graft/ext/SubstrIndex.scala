@@ -45,13 +45,15 @@ final case class SubstrIndexStats(digests: Long, k: Int)
 final class SubstrIndex private (
     private val spark: SparkSession, val path: String) extends IngestIndex {
 
-  /** Current stored statistics (re-read per call — appends move it). */
-  def stats: SubstrIndexStats = {
+  private val log = new ManifestLog(spark, path)
+
+  /** Current stored statistics (appends move it; served from the
+    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark jobs
+    * and gate/append cycles ask several times per call). */
+  def stats: SubstrIndexStats = StoreStats.cached(log, path) {
     val r = spark.read.parquet(s"$path/stats").head()
     SubstrIndexStats(r.getAs[Long]("digests"), r.getAs[Int]("k"))
   }
-
-  private val log = new ManifestLog(spark, path)
 
   private def visible(excludeToken: Option[String]): Seq[Manifest] =
     log.read().filterNot(m => excludeToken.exists(m.token.contains))
@@ -267,5 +269,6 @@ object SubstrIndex {
     import spark.implicits._
     Seq((st.digests, st.k)).toDF("digests", "k")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    StoreStats.invalidate(path)
   }
 }
