@@ -72,8 +72,9 @@ final class Bm25Store private (
       .getAs[Int]("buckets")
     val ids = activeIds(visible(excludeToken))
     require(ids.nonEmpty, s"no committed statsparts under $path")
-    val agg = spark.read.option("basePath", s"$path/statsparts")
-      .parquet(ids.map(id => s"$path/statsparts/append=$id"): _*)
+    val agg = RelRead.read(spark, s"$path#statsparts",
+      ids.map(id => s"$path/statsparts/append=$id"),
+      basePath = Some(s"$path/statsparts"))
       .agg(coalesce(sum(col("docs")), lit(0L)),
         coalesce(sum(col("dl_sum")), lit(0L))).head()
     Bm25StoreStats(agg.getLong(0), agg.getLong(1), buckets)
@@ -92,8 +93,9 @@ final class Bm25Store private (
   private def postingsRelOf(ms: Seq[Manifest]): DataFrame = {
     val ids = activeIds(ms)
     require(ids.nonEmpty, s"no committed posting dirs under $path")
-    spark.read.option("basePath", s"$path/postings")
-      .parquet(ids.map(id => s"$path/postings/append=$id"): _*)
+    RelRead.read(spark, s"$path#postings",
+      ids.map(id => s"$path/postings/append=$id"),
+      basePath = Some(s"$path/postings"))
   }
 
   // ---------------- writes ----------------
@@ -218,8 +220,9 @@ final class Bm25Store private (
         .write.partitionBy("tb").mode("errorifexists").parquet(dir)
       // the folded dirs' stats partials fold into the same commit —
       // activeIds excludes superseded ids from BOTH relations
-      val sAgg = spark.read.option("basePath", s"$path/statsparts")
-        .parquet(foldable.map(id => s"$path/statsparts/append=$id"): _*)
+      val sAgg = RelRead.read(spark, s"$path#statsparts",
+        foldable.map(id => s"$path/statsparts/append=$id"),
+        basePath = Some(s"$path/statsparts"))
         .agg(coalesce(sum(col("docs")), lit(0L)),
           coalesce(sum(col("dl_sum")), lit(0L))).head()
       Bm25Store.writeStatsPart(spark, sDir, sAgg.getLong(0), sAgg.getLong(1))

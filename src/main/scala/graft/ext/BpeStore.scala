@@ -74,8 +74,9 @@ final class BpeStore private (
   def wordCounts(excludeToken: Option[String] = None): DataFrame = {
     val ids = activeWordIds(visible(excludeToken))
     require(ids.nonEmpty, s"no committed word-count dirs under $path")
-    spark.read.option("basePath", s"$path/words")
-      .parquet(ids.map(id => s"$path/words/append=$id"): _*)
+    RelRead.read(spark, s"$path#words",
+      ids.map(id => s"$path/words/append=$id"),
+      basePath = Some(s"$path/words"))
       .groupBy("word").agg(sum(col("cnt")).cast("long").as("cnt"))
   }
 
@@ -146,8 +147,9 @@ final class BpeStore private (
       val cid = f"c$seq%06d"
       val dir = s"$path/words/append=$cid"
       log.clearOrphan(dir)
-      spark.read.option("basePath", s"$path/words")
-        .parquet(foldable.map(id => s"$path/words/append=$id"): _*)
+      RelRead.read(spark, s"$path#words",
+        foldable.map(id => s"$path/words/append=$id"),
+        basePath = Some(s"$path/words"))
         .groupBy("word").agg(sum(col("cnt")).as("cnt"))
         .coalesce(1).write.mode("errorifexists").parquet(dir)
       log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)

@@ -454,6 +454,41 @@ private[ext] object StoreStats {
   def invalidate(path: String): Unit = { cache.remove(path); () }
 }
 
+/** Schema-cached parquet reads of store RELATION dirs. Spark's parquet
+  * schema inference over a multi-file read runs as a one-task Spark job —
+  * one driver round-trip per gate/append relation read, several per
+  * ingest cycle. A store relation's schema is invariant for the life of
+  * its layout (written by the same code on every append/compaction), so
+  * the FIRST read's inferred schema is cached per (store path, relation)
+  * and every later read passes it explicitly, skipping the inference job.
+  * Temp-dir store paths are unique per creation ([[graft.io.TempReaper]]),
+  * so a cached schema can never describe a different layout reusing the
+  * path within one driver. */
+private[ext] object RelRead {
+  private val schemas = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  /** Read `paths` as parquet, inferring the schema only on the first read
+    * of `key` (= "<store path>#<relation>"). `basePath`, when set, is the
+    * partition-discovery root (the `append=<id>` column rides the cached
+    * schema on later reads exactly as it rode the inferred one). */
+  def read(spark: SparkSession, key: String, paths: Seq[String],
+      basePath: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    def reader = {
+      val r = spark.read
+      basePath.foreach(b => r.option("basePath", b))
+      r
+    }
+    Option(schemas.get(key)) match {
+      case Some(s) => reader.schema(s).parquet(paths: _*)
+      case None =>
+        val df = reader.parquet(paths: _*)
+        schemas.put(key, df.schema)
+        df
+    }
+  }
+}
+
 /** Strict parsing for the persisted-index session confs — a junk value
   * fails NAMING the conf and its constraint at the call site, instead of
   * an anonymous NumberFormatException from inside a committed append

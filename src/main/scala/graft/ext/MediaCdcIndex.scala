@@ -79,7 +79,8 @@ final class MediaCdcIndex private (
   private def chunksRelOf(ms: Seq[Manifest]): DataFrame = {
     val ids = activeIds(ms)
     require(ids.nonEmpty, s"no committed chunk dirs under $path")
-    spark.read.parquet(ids.map(id => s"$path/chunks/append=$id"): _*)
+    RelRead.read(spark, s"$path#chunks",
+      ids.map(id => s"$path/chunks/append=$id"))
   }
 
   // ---------------- writes ----------------
@@ -146,7 +147,8 @@ final class MediaCdcIndex private (
       val seq = ms.size + 1
       val cid = f"c$seq%06d"
       log.clearOrphan(s"$path/chunks/append=$cid")
-      spark.read.parquet(foldable.map(id => s"$path/chunks/append=$id"): _*)
+      RelRead.read(spark, s"$path#chunks",
+        foldable.map(id => s"$path/chunks/append=$id"))
         .coalesce(4)
         .write.mode("errorifexists").parquet(s"$path/chunks/append=$cid")
       log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)

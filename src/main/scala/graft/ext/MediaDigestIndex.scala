@@ -71,7 +71,8 @@ final class MediaDigestIndex private (
   private def digestsRelOf(ms: Seq[Manifest]): DataFrame = {
     val ids = activeIds(ms)
     require(ids.nonEmpty, s"no committed digest dirs under $path")
-    spark.read.parquet(ids.map(id => s"$path/digests/append=$id"): _*)
+    RelRead.read(spark, s"$path#digests",
+      ids.map(id => s"$path/digests/append=$id"))
   }
 
   // ---------------- writes ----------------
@@ -142,7 +143,8 @@ final class MediaDigestIndex private (
       val seq = ms.size + 1
       val cid = f"c$seq%06d"
       log.clearOrphan(s"$path/digests/append=$cid")
-      spark.read.parquet(foldable.map(id => s"$path/digests/append=$id"): _*)
+      RelRead.read(spark, s"$path#digests",
+        foldable.map(id => s"$path/digests/append=$id"))
         .distinct()
         .coalesce(4)
         .write.mode("errorifexists").parquet(s"$path/digests/append=$cid")

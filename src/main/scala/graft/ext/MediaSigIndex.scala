@@ -71,7 +71,8 @@ final class MediaSigIndex private (
   private def sigsRelOf(ms: Seq[Manifest]): DataFrame = {
     val ids = activeIds(ms)
     require(ids.nonEmpty, s"no committed signature dirs under $path")
-    spark.read.parquet(ids.map(id => s"$path/sigs/append=$id"): _*)
+    RelRead.read(spark, s"$path#sigs",
+      ids.map(id => s"$path/sigs/append=$id"))
   }
 
   // ---------------- writes ----------------
@@ -137,7 +138,8 @@ final class MediaSigIndex private (
       val seq = ms.size + 1
       val cid = f"c$seq%06d"
       log.clearOrphan(s"$path/sigs/append=$cid")
-      spark.read.parquet(foldable.map(id => s"$path/sigs/append=$id"): _*)
+      RelRead.read(spark, s"$path#sigs",
+        foldable.map(id => s"$path/sigs/append=$id"))
         .coalesce(4)
         .write.mode("errorifexists").parquet(s"$path/sigs/append=$cid")
       log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)

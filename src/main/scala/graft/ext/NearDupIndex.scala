@@ -108,7 +108,8 @@ final class NearDupIndex private (
 
   private def rel(name: String, ids: Seq[String]): DataFrame = {
     require(ids.nonEmpty, s"no committed $name dirs under $path")
-    spark.read.parquet(ids.map(id => s"$path/$name/append=$id"): _*)
+    RelRead.read(spark, s"$path#$name",
+      ids.map(id => s"$path/$name/append=$id"))
   }
 
   /** Manifests visible to a gate, with the dirs of `excludeToken`'s

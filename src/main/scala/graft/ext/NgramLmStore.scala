@@ -77,8 +77,9 @@ final class NgramLmStore private (
   private def countsRelOf(ms: Seq[Manifest]): DataFrame = {
     val ids = activeIds(ms)
     require(ids.nonEmpty, s"no committed count dirs under $path")
-    spark.read.option("basePath", s"$path/counts")
-      .parquet(ids.map(id => s"$path/counts/append=$id"): _*)
+    RelRead.read(spark, s"$path#counts",
+      ids.map(id => s"$path/counts/append=$id"),
+      basePath = Some(s"$path/counts"))
   }
 
   // ---------------- writes ----------------
@@ -164,8 +165,9 @@ final class NgramLmStore private (
       val cid = f"c$seq%06d"
       val dir = s"$path/counts/append=$cid"
       log.clearOrphan(dir)
-      spark.read.option("basePath", s"$path/counts")
-        .parquet(foldable.map(id => s"$path/counts/append=$id"): _*)
+      RelRead.read(spark, s"$path#counts",
+        foldable.map(id => s"$path/counts/append=$id"),
+        basePath = Some(s"$path/counts"))
         .groupBy("__w1", "__bg", "wb")
         .agg(sum(col("__c12")).as("__c12"))
         .select("__w1", "__bg", "__c12", "wb")

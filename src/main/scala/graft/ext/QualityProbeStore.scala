@@ -129,8 +129,8 @@ final class QualityProbeStore private (
       val cid = f"c$seq%06d"
       val dir = s"$path/moments/append=$cid"
       log.clearOrphan(dir)
-      spark.read
-        .parquet(foldable.map(id => s"$path/moments/append=$id"): _*)
+      RelRead.read(spark, s"$path#moments",
+        foldable.map(id => s"$path/moments/append=$id"))
         .groupBy("term").agg(sum(col("value")).cast("long").as("value"))
         .coalesce(1).write.mode("errorifexists").parquet(dir)
       log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)
@@ -152,7 +152,8 @@ final class QualityProbeStore private (
   /** The SUMMED moment table (term, value) over every committed append —
     * [[QualityProbe.moments]]'s contract over the stored partials. */
   def moments(excludeToken: Option[String] = None): DataFrame =
-    spark.read.parquet(momentDirs(visible(excludeToken)): _*)
+    RelRead.read(spark, s"$path#moments",
+      momentDirs(visible(excludeToken)))
       .groupBy("term").agg(sum(col("value")).cast("long").as("value"))
 
   /** The probe's EXACT milli-weights from the stored statistics
