@@ -1220,16 +1220,31 @@ object Bench {
         else "unknown"
       } else head.take(12)
     } catch { case _: Throwable => "unknown" }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val provenance =
       s""""provenance":{"git_sha":"$gitSha","ts_ms":${System.currentTimeMillis()},""" +
         f""""loadavg_start":$load0%.2f,"loadavg_end":$load4%.2f,""" +
+        s""""cpus":$cpus,""" +
         s""""host_cores":${Runtime.getRuntime.availableProcessors()}}"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""passes":$passes,"disagreement":$disagreement,""" +
-        f""""loadavg":$loads,"sf":"$sfDir",$provenance$evidence}"""
+        f""""loadavg":$loads,"sf":"$sfDir","cpus":$cpus,$provenance$evidence}"""
     // sbt-forked stdout gets an "[info] " prefix; leave an undecorated copy
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    // ROUND-DURABLE copy (r17 verdict #2): bench_out.json is overwritten
+    // by every run — the driver's low-core scaling run used to clobber
+    // the 32-core per-query record, leaving PERF_r*.json with
+    // per_query:{} and no geomean. A (sha, cpus)-stamped copy keeps every
+    // run's full per-query record available after the fact.
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("bench_records"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        s"bench_records/bench_${gitSha}_c$cpus.json"), line + "\n")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] stamped record write failed: ${e.getMessage}")
+    }
     // The driver captures only a ~2 KB TAIL of stdout (round-14 verdict
     // #1: the 14.7 KB full record arrived head-truncated and unparseable
     // three rounds running). So the LAST stdout write is a COMPACT
@@ -1240,7 +1255,8 @@ object Bench {
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
         f""""n":${results.size},"queries_ok":$ok,"git_sha":"$gitSha",""" +
-        f""""loadavg_end":$load4%.2f,"full_record":"bench_out.json"}"""
+        f""""cpus":$cpus,"loadavg_end":$load4%.2f,""" +
+        f""""full_record":"bench_records/bench_${gitSha}_c$cpus.json"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_summary.json"), compact + "\n")
     // the summary line must be the LAST stdout write (the driver parses

@@ -68,8 +68,7 @@ final class Bm25Store private (
     * `excludeToken` so a replayed gate scores with pre-append N/avgdl,
     * matching the pruned posting relation it reads). */
   def statsOf(excludeToken: Option[String]): Bm25StoreStats = {
-    val buckets = spark.read.parquet(s"$path/stats").head()
-      .getAs[Int]("buckets")
+    val buckets = StatsSidecar.read(spark, path)("buckets").toInt
     val ids = activeIds(visible(excludeToken))
     require(ids.nonEmpty, s"no committed statsparts under $path")
     val agg = RelRead.read(spark, s"$path#statsparts",
@@ -338,12 +337,8 @@ object Bm25Store {
   }
 
   private def writeBuckets(spark: SparkSession, path: String,
-      buckets: Int): Unit = {
-    import spark.implicits._
-    Seq(Tuple1(buckets)).toDF("buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    StoreStats.invalidate(path)
-  }
+      buckets: Int): Unit =
+    StatsSidecar.write(spark, path, Seq("buckets" -> buckets.toString))
 
   private[ext] def writeStatsPart(spark: SparkSession, dir: String,
       docs: Long, dlSum: Long): Unit = {

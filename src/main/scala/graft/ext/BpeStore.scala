@@ -52,13 +52,12 @@ final class BpeStore private (
 
   private val log = new ManifestLog(spark, path)
 
-  /** Current stored statistics (appends move it; served from the
-    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark
-    * jobs and gate/append cycles ask several times per call). */
-  def stats: BpeStoreStats = StoreStats.cached(log, path) {
-    val r = spark.read.parquet(s"$path/stats").head()
-    BpeStoreStats(r.getAs[Long]("word_rows"), r.getAs[Int]("num_merges"),
-      r.getAs[Int]("merge_budget"))
+  /** Current stored statistics (appends move it; a driver-side
+    * [[StatsSidecar]] parse — zero Spark jobs per read). */
+  def stats: BpeStoreStats = {
+    val kv = StatsSidecar.read(spark, path)
+    BpeStoreStats(kv("word_rows").toLong, kv("num_merges").toInt,
+      kv("merge_budget").toInt)
   }
 
   private def visible(excludeToken: Option[String]): Seq[Manifest] =
@@ -297,11 +296,9 @@ object BpeStore {
   }
 
   private def writeStats(spark: SparkSession, path: String,
-      st: BpeStoreStats): Unit = {
-    import spark.implicits._
-    Seq((st.wordRows, st.numMerges, st.mergeBudget))
-      .toDF("word_rows", "num_merges", "merge_budget")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    StoreStats.invalidate(path)
-  }
+      st: BpeStoreStats): Unit =
+    StatsSidecar.write(spark, path, Seq(
+      "word_rows" -> st.wordRows.toString,
+      "num_merges" -> st.numMerges.toString,
+      "merge_budget" -> st.mergeBudget.toString))
 }

@@ -106,14 +106,13 @@ final case class PermuteAdvisory(generation: Int, subspaces: Int,
 final class IvfStore private (private val spark: SparkSession,
     val path: String) extends IngestIndex {
 
-  /** Current stored statistics (refits move it; served from the
-    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark jobs
-    * and search/gate cycles ask several times per call). */
-  def stats: IvfStoreStats = StoreStats.cached(log, path) {
-    val r = spark.read.parquet(s"$path/stats").head()
-    IvfStoreStats(r.getAs[Int]("cells"), r.getAs[Int]("dims"),
-      r.getAs[Long]("vectors"), r.getAs[Double]("gate_tau"),
-      r.getAs[Int]("gate_nprobe"), r.getAs[Int]("packed_scale"))
+  /** Current stored statistics (refits move it; a driver-side
+    * [[StatsSidecar]] parse — zero Spark jobs per read). */
+  def stats: IvfStoreStats = {
+    val kv = StatsSidecar.read(spark, path)
+    IvfStoreStats(kv("cells").toInt, kv("dims").toInt,
+      kv("vectors").toLong, kv("gate_tau").toDouble,
+      kv("gate_nprobe").toInt, kv("packed_scale").toInt)
   }
 
   private val log = new ManifestLog(spark, path)
@@ -1613,13 +1612,12 @@ object IvfStore {
   }
 
   private def writeStats(spark: SparkSession, path: String,
-      st: IvfStoreStats): Unit = {
-    import spark.implicits._
-    Seq((st.cells, st.dims, st.vectors, st.gateTau, st.gateNprobe,
-        st.packedScale))
-      .toDF("cells", "dims", "vectors", "gate_tau", "gate_nprobe",
-        "packed_scale")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    StoreStats.invalidate(path)
-  }
+      st: IvfStoreStats): Unit =
+    StatsSidecar.write(spark, path, Seq(
+      "cells" -> st.cells.toString, "dims" -> st.dims.toString,
+      "vectors" -> st.vectors.toString,
+      // Double.toString/ toDouble round-trip exactly for every double
+      "gate_tau" -> st.gateTau.toString,
+      "gate_nprobe" -> st.gateNprobe.toString,
+      "packed_scale" -> st.packedScale.toString))
 }

@@ -90,15 +90,18 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
 
   /** The NEWEST committed marker's file name (None before any commit) —
     * one FS listing, no file reads, no Spark job. The cache key of
-    * [[StoreStats]]: a store's `stats/` sidecar is rewritten only around
-    * a commit, so an unchanged newest-commit name means a re-read would
-    * parse the same value. */
+    * [[StoreStats]]: the cached value is a pure aggregate of the
+    * committed relation set, so an unchanged newest-commit name means a
+    * re-read would compute the same value. Newest is judged on the
+    * NUMERIC sequence (not lexicographically): at seq 1,000,000 the
+    * `m%06d` name widens to 7 digits and "m999999" > "m1000000" as
+    * strings, which would freeze a lexicographic key forever. */
   def latestCommitName(): Option[String] = {
     val f = fs
     if (!f.exists(commitsDir)) None
     else f.listStatus(commitsDir).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-      .map(_.getPath.getName).maxOption
+      .map(_.getPath.getName).maxByOption(ManifestLog.commitSeqOf)
   }
 
   /** Manifests with their commit files' modification times — the vacuum
@@ -111,7 +114,7 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
     if (!f.exists(commitsDir)) Nil
     else f.listStatus(commitsDir).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
+      .sortBy(s => ManifestLog.commitSeqOf(s.getPath.getName))
       .map { s =>
         val in = f.open(s.getPath)
         val bytes = new Array[Byte](s.getLen.toInt)
@@ -404,6 +407,14 @@ private[ext] final class ManifestLog(spark: SparkSession, path: String) {
 }
 
 private[ext] object ManifestLog {
+  /** Numeric sequence of a commit-marker name (`m%06d`, widening past a
+    * million): the sort/max key of the marker listing. Non-numeric names
+    * (never written by [[ManifestLog.commit]]) sort first. */
+  private[ext] def commitSeqOf(name: String): Long = {
+    val digits = name.dropWhile(!_.isDigit)
+    if (digits.nonEmpty && digits.forall(_.isDigit)) digits.toLong else -1L
+  }
+
   /** TEST-ONLY failpoint: when set, any [[ManifestLog.commit]] under a
     * path with this prefix throws BEFORE publishing — the
     * post-write-pre-commit crash injection of the store crash-replay
@@ -419,22 +430,95 @@ private[ext] object ManifestLog {
   @volatile private[ext] var disableSetTimes: Boolean = false
 }
 
-/** Driver-side cache of each store's parsed `stats/` sidecar, keyed by
-  * the layout's newest commit marker. The uncached shape cost TWO Spark
-  * jobs per read (parquet schema inference + head) and a gate/append
-  * cycle reads stats several times — measured 10 of SubstrGate's 33 jobs
-  * (~0.8s of a 3s stage at sf0.1); at production cadence every one of
-  * those jobs is a driver round-trip serialized inside the ingest loop.
+/** Driver-side stats SIDECAR: one small `key=value` text file under
+  * `<path>/stats/`, written and parsed on the driver — ZERO Spark jobs
+  * per access. The predecessor layout (a 1-row parquet dir) cost two
+  * driver round-trip jobs to read (parquet schema inference + head) and
+  * one to write (`coalesce(1).write`), and a gate/append cycle touches
+  * stats several times; at production cadence every one of those jobs
+  * is a driver round-trip serialized inside the ingest loop (guide §5:
+  * the driver should do almost no data work — and a 1-row parquet job
+  * per cycle is exactly that).
   *
-  * Freshness: the key is [[ManifestLog.latestCommitName]] (one FS
-  * listing, no job), and every writer rewrites `stats/` around a commit
-  * and then [[invalidate]]s, so a cached value can only be observed
-  * stale in the commit→stats-rewrite window a concurrent UNCACHED reader
-  * already had (stats are advisory sizing feeds plus parameter pins that
-  * never change after build — the staleness-costs-filter-bits contract,
-  * [[SubstrIndex]] class doc). A foreign process's append lands a new
-  * commit marker, which re-keys and re-reads. */
+  * Freshness: there is no cache — every read parses the current file
+  * (tens of bytes), so a reader can never observe a value staler than
+  * the file itself; the old commit-keyed cache's stale window (caching
+  * a predecessor's sidecar under the successor's commit key during the
+  * commit→rewrite gap) is gone by construction. Writers run under the
+  * store's writer lock ([[ManifestLog.withWriteLock]]) and publish via
+  * stage-then-rename, so a reader never sees a torn file; the
+  * delete→rename swap window surfaces as a (briefly retried) missing
+  * file. */
+private[ext] object StatsSidecar {
+  private def dest(path: String) = new HPath(s"$path/stats/stats.kv")
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Publish `kv` as the store's stats sidecar (stage + swap; callers
+    * hold the store's writer lock). */
+  def write(spark: SparkSession, path: String,
+      kv: Seq[(String, String)]): Unit = {
+    val f = fsOf(spark, path)
+    val d = dest(path)
+    f.mkdirs(d.getParent)
+    val tmp = new HPath(d.getParent, ".stats.kv.tmp")
+    val out = f.create(tmp, true)
+    try out.write(kv.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    f.delete(d, false)
+    if (!f.rename(tmp, d))
+      throw new IllegalStateException(s"could not publish stats sidecar $d")
+  }
+
+  /** Parse the store's stats sidecar. A missing file fails fast naming
+    * the path (the open()-on-a-foreign-layout contract); a miss inside
+    * another writer's delete→rename swap window is retried briefly. */
+  def read(spark: SparkSession, path: String): Map[String, String] = {
+    val f = fsOf(spark, path)
+    val d = dest(path)
+    def once(): Map[String, String] = {
+      val st = f.getFileStatus(d)
+      val in = f.open(d)
+      val bytes = new Array[Byte](st.getLen.toInt)
+      try in.readFully(bytes) finally in.close()
+      new String(bytes, "UTF-8").linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); (k, v) }
+        .toMap
+    }
+    var attempt = 0
+    var out: Map[String, String] = null
+    while (out == null) {
+      try out = once()
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          // a missing stats DIR is a foreign/uncommitted layout — fail
+          // fast (the open() contract); a missing file under an existing
+          // dir is (briefly) retried as a writer's swap window
+          if (!f.exists(d.getParent) || attempt > 20)
+            throw new IllegalArgumentException(
+              s"no stats sidecar under $path — not a committed store layout?",
+              e)
+          Thread.sleep(25L)
+      }
+    }
+    out
+  }
+}
+
+/** Driver-side cache of DERIVED store statistics that cost a real Spark
+  * aggregation to compute ([[Bm25Store]]'s summed statsparts), keyed by
+  * the layout's newest commit marker. The cached value must be a pure
+  * function of the COMMITTED relation set — never of a mutable sidecar —
+  * so an unchanged newest-commit name always implies an identical
+  * recompute (no stale-sidecar window by construction). Size-bounded:
+  * store paths are unique per creation ([[graft.io.TempReaper]]), so a
+  * long-lived ingest driver creating many short-lived stores would
+  * otherwise accumulate dead entries forever. */
 private[ext] object StoreStats {
+  private val MaxEntries = 1024
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Any)]()
 
@@ -446,6 +530,7 @@ private[ext] object StoreStats {
           case Some((k, v)) if k == key => v.asInstanceOf[T]
           case _ =>
             val v = load
+            if (cache.size >= MaxEntries) cache.clear() // dead temp stores
             cache.put(path, (key, v))
             v
         }
@@ -454,38 +539,81 @@ private[ext] object StoreStats {
   def invalidate(path: String): Unit = { cache.remove(path); () }
 }
 
-/** Schema-cached parquet reads of store RELATION dirs. Spark's parquet
+/** Schema-declared parquet reads of store RELATION dirs. Spark's parquet
   * schema inference over a multi-file read runs as a one-task Spark job —
   * one driver round-trip per gate/append relation read, several per
   * ingest cycle. A store relation's schema is invariant for the life of
   * its layout (written by the same code on every append/compaction), so
-  * the FIRST read's inferred schema is cached per (store path, relation)
-  * and every later read passes it explicitly, skipping the inference job.
-  * Temp-dir store paths are unique per creation ([[graft.io.TempReaper]]),
-  * so a cached schema can never describe a different layout reusing the
-  * path within one driver. */
+  * callers that know it pass it as `schema` and NO read of that relation
+  * ever runs an inference job — including the first of a fresh store,
+  * the common case in per-batch ingest loops whose store paths are
+  * unique per creation ([[graft.io.TempReaper]]). Declared schemas are
+  * pinned against the written layout by `StoreRelationSchemaSpec`, and
+  * a compaction rewriting a relation under a declared schema can no
+  * longer silently drift from it (the schema is code, not a cached
+  * first impression — closes the stale-cached-schema hazard of the
+  * earlier infer-once design). Callers without a declared schema fall
+  * back to infer-once-per-`key` ("<store path>#<relation>"), bounded. */
 private[ext] object RelRead {
+  private val MaxEntries = 1024
   private val schemas = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
 
-  /** Read `paths` as parquet, inferring the schema only on the first read
-    * of `key` (= "<store path>#<relation>"). `basePath`, when set, is the
-    * partition-discovery root (the `append=<id>` column rides the cached
-    * schema on later reads exactly as it rode the inferred one). */
+  /** Read `paths` as parquet under the declared `schema` (no inference
+    * job, ever), or — when absent — inferring only on the first read of
+    * `key`. `basePath`, when set, is the partition-discovery root (the
+    * partition column must then be declared in `schema`, last, exactly
+    * as inference would place it). */
   def read(spark: SparkSession, key: String, paths: Seq[String],
-      basePath: Option[String] = None): org.apache.spark.sql.DataFrame = {
+      basePath: Option[String] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : org.apache.spark.sql.DataFrame = {
     def reader = {
       val r = spark.read
       basePath.foreach(b => r.option("basePath", b))
       r
     }
-    Option(schemas.get(key)) match {
+    schema.orElse(Option(schemas.get(key))) match {
       case Some(s) => reader.schema(s).parquet(paths: _*)
       case None =>
         val df = reader.parquet(paths: _*)
+        if (schemas.size >= MaxEntries) schemas.clear() // dead temp stores
         schemas.put(key, df.schema)
         df
     }
+  }
+
+  /** Register `key`'s read schema from the WRITER side — the writer just
+    * wrote the relation and knows its exact shape, so the common
+    * build→gate→append loop (one JVM) never pays the first-read
+    * inference job either. Call with the READ-side schema: the written
+    * frame's, nullable (parquet file sources surface every column
+    * nullable), for unpartitioned relation dirs. Cross-JVM readers of a
+    * foreign store still fall back to infer-once. */
+  def seed(key: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    if (schemas.size >= MaxEntries) schemas.clear()
+    schemas.put(key, allNullable(schema))
+    ()
+  }
+
+  /** File sources surface every column (and every nested element)
+    * nullable; register the same shape so a seeded schema matches what
+    * inference would have produced. */
+  private def allNullable(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def conv(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f =>
+          f.copy(dataType = conv(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(conv(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(conv(m.keyType), conv(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    conv(st).asInstanceOf[StructType]
   }
 }
 

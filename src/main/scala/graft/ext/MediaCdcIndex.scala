@@ -56,14 +56,12 @@ final case class MediaCdcIndexStats(chunkRows: Long, window: Int,
 final class MediaCdcIndex private (
     private val spark: SparkSession, val path: String) extends IngestIndex {
 
-  /** Current stored statistics (appends move it; served from the
-    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark
-    * jobs and gate/append cycles ask several times per call). */
-  def stats: MediaCdcIndexStats = StoreStats.cached(log, path) {
-    val r = spark.read.parquet(s"$path/stats").head()
-    MediaCdcIndexStats(r.getAs[Long]("chunk_rows"), r.getAs[Int]("window"),
-      r.getAs[Int]("min_shared"), r.getAs[Int]("max_bucket"),
-      r.getAs[Int]("zeros"))
+  /** Current stored statistics (appends move it; a driver-side
+    * [[StatsSidecar]] parse — zero Spark jobs per read). */
+  def stats: MediaCdcIndexStats = {
+    val kv = StatsSidecar.read(spark, path)
+    MediaCdcIndexStats(kv("chunk_rows").toLong, kv("window").toInt,
+      kv("min_shared").toInt, kv("max_bucket").toInt, kv("zeros").toInt)
   }
 
   private val log = new ManifestLog(spark, path)
@@ -120,6 +118,7 @@ final class MediaCdcIndex private (
       .distinct() // repeated content inside ONE payload is one fact
     log.clearOrphan(s"$path/chunks/append=$id")
     chunks.write.mode("errorifexists").parquet(s"$path/chunks/append=$id")
+    RelRead.seed(s"$path#chunks", chunks.schema) // same-JVM gate skips inference
     val added = graft.io.ParquetMeta.rowCount(spark,
       s"$path/chunks/append=$id")
     require(!first || added > 0,
@@ -264,11 +263,11 @@ object MediaCdcIndex {
   }
 
   private def writeStats(spark: SparkSession, path: String,
-      st: MediaCdcIndexStats): Unit = {
-    import spark.implicits._
-    Seq((st.chunkRows, st.window, st.minShared, st.maxBucket, st.zeros))
-      .toDF("chunk_rows", "window", "min_shared", "max_bucket", "zeros")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    StoreStats.invalidate(path)
-  }
+      st: MediaCdcIndexStats): Unit =
+    StatsSidecar.write(spark, path, Seq(
+      "chunk_rows" -> st.chunkRows.toString,
+      "window" -> st.window.toString,
+      "min_shared" -> st.minShared.toString,
+      "max_bucket" -> st.maxBucket.toString,
+      "zeros" -> st.zeros.toString))
 }

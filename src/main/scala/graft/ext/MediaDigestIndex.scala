@@ -50,13 +50,10 @@ final case class MediaDigestIndexStats(digests: Long)
 final class MediaDigestIndex private (
     private val spark: SparkSession, val path: String) extends IngestIndex {
 
-  /** Current stored statistics (appends move it; served from the
-    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark
-    * jobs and gate/append cycles ask several times per call). */
-  def stats: MediaDigestIndexStats = StoreStats.cached(log, path) {
-    val r = spark.read.parquet(s"$path/stats").head()
-    MediaDigestIndexStats(r.getAs[Long]("digests"))
-  }
+  /** Current stored statistics (appends move it; a driver-side
+    * [[StatsSidecar]] parse — zero Spark jobs per read). */
+  def stats: MediaDigestIndexStats =
+    MediaDigestIndexStats(StatsSidecar.read(spark, path)("digests").toLong)
 
   private val log = new ManifestLog(spark, path)
 
@@ -114,6 +111,7 @@ final class MediaDigestIndex private (
       .distinct()
     log.clearOrphan(s"$path/digests/append=$id")
     dgs.write.mode("errorifexists").parquet(s"$path/digests/append=$id")
+    RelRead.seed(s"$path#digests", dgs.schema) // same-JVM gate skips inference
     val added = graft.io.ParquetMeta.rowCount(spark,
       s"$path/digests/append=$id")
     // a FIRST append with zero digests would leave the index unreadable
@@ -234,10 +232,7 @@ object MediaDigestIndex {
   }
 
   private def writeStats(spark: SparkSession, path: String,
-      st: MediaDigestIndexStats): Unit = {
-    import spark.implicits._
-    Seq(st.digests).toDF("digests")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    StoreStats.invalidate(path)
-  }
+      st: MediaDigestIndexStats): Unit =
+    StatsSidecar.write(spark, path,
+      Seq("digests" -> st.digests.toString))
 }

@@ -49,13 +49,12 @@ final case class MediaSigIndexStats(sigRows: Long, blocks: Int,
 final class MediaSigIndex private (
     private val spark: SparkSession, val path: String) extends IngestIndex {
 
-  /** Current stored statistics (appends move it; served from the
-    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark
-    * jobs and gate/append cycles ask several times per call). */
-  def stats: MediaSigIndexStats = StoreStats.cached(log, path) {
-    val r = spark.read.parquet(s"$path/stats").head()
-    MediaSigIndexStats(r.getAs[Long]("sig_rows"), r.getAs[Int]("blocks"),
-      r.getAs[Int]("min_match"), r.getAs[Int]("max_bucket"))
+  /** Current stored statistics (appends move it; a driver-side
+    * [[StatsSidecar]] parse — zero Spark jobs per read). */
+  def stats: MediaSigIndexStats = {
+    val kv = StatsSidecar.read(spark, path)
+    MediaSigIndexStats(kv("sig_rows").toLong, kv("blocks").toInt,
+      kv("min_match").toInt, kv("max_bucket").toInt)
   }
 
   private val log = new ManifestLog(spark, path)
@@ -112,6 +111,7 @@ final class MediaSigIndex private (
       .withColumnRenamed("doc_id", "vid")
     log.clearOrphan(s"$path/sigs/append=$id")
     sigs.write.mode("errorifexists").parquet(s"$path/sigs/append=$id")
+    RelRead.seed(s"$path#sigs", sigs.schema) // same-JVM gate skips inference
     val added = graft.io.ParquetMeta.rowCount(spark,
       s"$path/sigs/append=$id")
     require(!first || added > 0,
@@ -266,11 +266,9 @@ object MediaSigIndex {
   }
 
   private def writeStats(spark: SparkSession, path: String,
-      st: MediaSigIndexStats): Unit = {
-    import spark.implicits._
-    Seq((st.sigRows, st.blocks, st.minMatch, st.maxBucket))
-      .toDF("sig_rows", "blocks", "min_match", "max_bucket")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    StoreStats.invalidate(path)
-  }
+      st: MediaSigIndexStats): Unit =
+    StatsSidecar.write(spark, path, Seq(
+      "sig_rows" -> st.sigRows.toString, "blocks" -> st.blocks.toString,
+      "min_match" -> st.minMatch.toString,
+      "max_bucket" -> st.maxBucket.toString))
 }

@@ -82,14 +82,12 @@ final case class NearDupIndexStats(docs: Long, bandKeys: Long,
 final class NearDupIndex private (
     private val spark: SparkSession, val path: String) extends IngestIndex {
 
-  /** Current stored statistics (appends move it; served from the
-    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark
-    * jobs and gate/append cycles ask several times per call). */
-  def stats: NearDupIndexStats = StoreStats.cached(log, path) {
-    val r = spark.read.parquet(s"$path/stats").head()
-    NearDupIndexStats(r.getAs[Long]("docs"), r.getAs[Long]("band_keys"),
-      r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
-      r.getAs[Int]("max_bucket"))
+  /** Current stored statistics (appends move it; a driver-side
+    * [[StatsSidecar]] parse — zero Spark jobs per read). */
+  def stats: NearDupIndexStats = {
+    val kv = StatsSidecar.read(spark, path)
+    NearDupIndexStats(kv("docs").toLong, kv("band_keys").toLong,
+      kv("num_hashes").toInt, kv("bands").toInt, kv("max_bucket").toInt)
   }
 
   // ---------------- manifest plumbing ([[ManifestLog]]) ----------------
@@ -187,8 +185,14 @@ final class NearDupIndex private (
       val bk = MinHashLSH.bandedKeysFromDigests(nonEmpty, prev.numHashes,
         prev.bands)
       bk.write.mode("errorifexists").parquet(s"$path/bands/append=$id")
-      bk.groupBy("b", "bkey").agg(count(lit(1)).as("c"))
-        .write.mode("errorifexists").parquet(s"$path/counts/append=$id")
+      val ct = bk.groupBy("b", "bkey").agg(count(lit(1)).as("c"))
+      ct.write.mode("errorifexists").parquet(s"$path/counts/append=$id")
+      // writer-side schema registration: the gate/append reads of these
+      // relations (same JVM, the ingest-loop shape) skip the first-read
+      // schema-inference job
+      RelRead.seed(s"$path#digests", nonEmpty.schema)
+      RelRead.seed(s"$path#bands", bk.schema)
+      RelRead.seed(s"$path#counts", ct.schema)
       // stats inputs BEFORE the marker: the new partials are read off their
       // (not yet visible) dir directly; everything else off committed dirs.
       // A fully-dropped batch leaves a zero-file dir — skip its read-back
@@ -199,13 +203,13 @@ final class NearDupIndex private (
       // clear error, like the other text-keyed stores
       require(!first || batchDocs > 0,
         s"cannot build a stored index at $path from a corpus with no shingles")
+      def newCounts = RelRead.read(spark, s"$path#counts",
+        Seq(s"$path/counts/append=$id"))
       val allKeys =
-        if (first) spark.read.parquet(s"$path/counts/append=$id")
-          .select("b", "bkey")
+        if (first) newCounts.select("b", "bkey")
         else if (batchDocs == 0) countsRel.select("b", "bkey")
         else countsRel.select("b", "bkey")
-          .union(spark.read.parquet(s"$path/counts/append=$id")
-            .select("b", "bkey"))
+          .union(newCounts.select("b", "bkey"))
       val bandKeys = allKeys.distinct().count()
       val docs = prev.docs + batchDocs
       commit(Manifest(Seq(id), Seq(id), Seq(id), Nil, token), seq) // now visible
@@ -389,11 +393,9 @@ object NearDupIndex {
   }
 
   private def writeStats(spark: SparkSession, path: String,
-      st: NearDupIndexStats): Unit = {
-    import spark.implicits._
-    Seq((st.docs, st.bandKeys, st.numHashes, st.bands, st.maxBucket))
-      .toDF("docs", "band_keys", "num_hashes", "bands", "max_bucket")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    StoreStats.invalidate(path)
-  }
+      st: NearDupIndexStats): Unit =
+    StatsSidecar.write(spark, path, Seq(
+      "docs" -> st.docs.toString, "band_keys" -> st.bandKeys.toString,
+      "num_hashes" -> st.numHashes.toString, "bands" -> st.bands.toString,
+      "max_bucket" -> st.maxBucket.toString))
 }

@@ -55,13 +55,12 @@ final case class NgramLmStoreStats(bigramRows: Long, buckets: Int,
 final class NgramLmStore private (
     private val spark: SparkSession, val path: String) extends IngestIndex {
 
-  /** Current stored statistics (appends move it; served from the
-    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark
-    * jobs and gate/append cycles ask several times per call). */
-  def stats: NgramLmStoreStats = StoreStats.cached(log, path) {
-    val r = spark.read.parquet(s"$path/stats").head()
-    NgramLmStoreStats(r.getAs[Long]("bigram_rows"), r.getAs[Int]("buckets"),
-      r.getAs[Long]("lo_micro"), r.getAs[Long]("hi_micro"))
+  /** Current stored statistics (appends move it; a driver-side
+    * [[StatsSidecar]] parse — zero Spark jobs per read). */
+  def stats: NgramLmStoreStats = {
+    val kv = StatsSidecar.read(spark, path)
+    NgramLmStoreStats(kv("bigram_rows").toLong, kv("buckets").toInt,
+      kv("lo_micro").toLong, kv("hi_micro").toLong)
   }
 
   private val log = new ManifestLog(spark, path)
@@ -79,7 +78,8 @@ final class NgramLmStore private (
     require(ids.nonEmpty, s"no committed count dirs under $path")
     RelRead.read(spark, s"$path#counts",
       ids.map(id => s"$path/counts/append=$id"),
-      basePath = Some(s"$path/counts"))
+      basePath = Some(s"$path/counts"),
+      schema = Some(NgramLmStore.countsSchema))
   }
 
   // ---------------- writes ----------------
@@ -167,7 +167,8 @@ final class NgramLmStore private (
       log.clearOrphan(dir)
       RelRead.read(spark, s"$path#counts",
         foldable.map(id => s"$path/counts/append=$id"),
-        basePath = Some(s"$path/counts"))
+        basePath = Some(s"$path/counts"),
+        schema = Some(NgramLmStore.countsSchema))
         .groupBy("__w1", "__bg", "wb")
         .agg(sum(col("__c12")).as("__c12"))
         .select("__w1", "__bg", "__c12", "wb")
@@ -264,6 +265,21 @@ final class NgramLmStore private (
 
 object NgramLmStore {
 
+  /** The `counts/` relation's schema as written (data columns in write
+    * order, then the discovered partition columns `append`, `wb` exactly
+    * as inference would place them) — declared so no read of the
+    * relation ever runs a schema-inference job; pinned against the real
+    * layout by `StoreRelationSchemaSpec`. */
+  private[ext] val countsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("__w1", StringType),
+      StructField("__bg", StringType),
+      StructField("__c12", LongType),
+      StructField("append", StringType),
+      StructField("wb", IntegerType)))
+  }
+
   /** Build a new stored model at `path` (must not already hold one) from
     * the history corpus — the one time history text is read. `loMicro` /
     * `hiMicro` pin the [[IngestIndex]] gate band. `seedToken` (if any)
@@ -299,11 +315,10 @@ object NgramLmStore {
   }
 
   private def writeStats(spark: SparkSession, path: String,
-      st: NgramLmStoreStats): Unit = {
-    import spark.implicits._
-    Seq((st.bigramRows, st.buckets, st.loMicro, st.hiMicro))
-      .toDF("bigram_rows", "buckets", "lo_micro", "hi_micro")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    StoreStats.invalidate(path)
-  }
+      st: NgramLmStoreStats): Unit =
+    StatsSidecar.write(spark, path, Seq(
+      "bigram_rows" -> st.bigramRows.toString,
+      "buckets" -> st.buckets.toString,
+      "lo_micro" -> st.loMicro.toString,
+      "hi_micro" -> st.hiMicro.toString))
 }

@@ -130,7 +130,8 @@ final class QualityProbeStore private (
       val dir = s"$path/moments/append=$cid"
       log.clearOrphan(dir)
       RelRead.read(spark, s"$path#moments",
-        foldable.map(id => s"$path/moments/append=$id"))
+        foldable.map(id => s"$path/moments/append=$id"),
+        schema = Some(QualityProbeStore.momentsSchema))
         .groupBy("term").agg(sum(col("value")).cast("long").as("value"))
         .coalesce(1).write.mode("errorifexists").parquet(dir)
       log.commit(Manifest(Seq(cid), Nil, Nil, Nil, None, foldable), seq)
@@ -153,7 +154,8 @@ final class QualityProbeStore private (
     * [[QualityProbe.moments]]'s contract over the stored partials. */
   def moments(excludeToken: Option[String] = None): DataFrame =
     RelRead.read(spark, s"$path#moments",
-      momentDirs(visible(excludeToken)))
+      momentDirs(visible(excludeToken)),
+      schema = Some(QualityProbeStore.momentsSchema))
       .groupBy("term").agg(sum(col("value")).cast("long").as("value"))
 
   /** The probe's EXACT milli-weights from the stored statistics
@@ -204,6 +206,17 @@ final class QualityProbeStore private (
 }
 
 object QualityProbeStore {
+
+  /** The `moments/` relation's schema as written ([[QualityProbe
+    * .moments]]'s stack projection) — declared so no read of the
+    * relation ever runs a schema-inference job; pinned against the real
+    * layout by `StoreRelationSchemaSpec`. */
+  private[ext] val momentsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("term", StringType),
+      StructField("value", LongType)))
+  }
 
   /** Build a new statistics store at `path` (must be fresh): the frozen
     * reference LM trains on `history` under `path/lm`, and history's own

@@ -47,12 +47,11 @@ final class SubstrIndex private (
 
   private val log = new ManifestLog(spark, path)
 
-  /** Current stored statistics (appends move it; served from the
-    * commit-keyed [[StoreStats]] cache — a re-read costs two Spark jobs
-    * and gate/append cycles ask several times per call). */
-  def stats: SubstrIndexStats = StoreStats.cached(log, path) {
-    val r = spark.read.parquet(s"$path/stats").head()
-    SubstrIndexStats(r.getAs[Long]("digests"), r.getAs[Int]("k"))
+  /** Current stored statistics (appends move it; a driver-side
+    * [[StatsSidecar]] parse — zero Spark jobs per read). */
+  def stats: SubstrIndexStats = {
+    val kv = StatsSidecar.read(spark, path)
+    SubstrIndexStats(kv("digests").toLong, kv("k").toInt)
   }
 
   private def visible(excludeToken: Option[String]): Seq[Manifest] =
@@ -69,7 +68,8 @@ final class SubstrIndex private (
     val ids = activeIds(ms)
     require(ids.nonEmpty, s"no committed digest dirs under $path")
     RelRead.read(spark, s"$path#digests",
-      ids.map(id => s"$path/digests/append=$id"))
+      ids.map(id => s"$path/digests/append=$id"),
+      schema = Some(SubstrIndex.digestsSchema))
   }
 
   // ---------------- writes ----------------
@@ -146,7 +146,8 @@ final class SubstrIndex private (
       val cid = f"c$seq%06d"
       log.clearOrphan(s"$path/digests/append=$cid")
       RelRead.read(spark, s"$path#digests",
-        foldable.map(id => s"$path/digests/append=$id"))
+        foldable.map(id => s"$path/digests/append=$id"),
+        schema = Some(SubstrIndex.digestsSchema))
         .distinct()
         .coalesce(4)
         .write.mode("errorifexists").parquet(s"$path/digests/append=$cid")
@@ -237,6 +238,15 @@ final class SubstrIndex private (
 
 object SubstrIndex {
 
+  /** The `digests/` relation's schema as written ([[ExactSubstring
+    * .windowDigestsOf]]'s `dg` projection) — declared so no read of the
+    * relation ever runs a schema-inference job; pinned against the real
+    * layout by `StoreRelationSchemaSpec`. */
+  private[ext] val digestsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dg",
+        org.apache.spark.sql.types.StringType)))
+
   /** Build a new index at `path` (must not already hold one) from the
     * history corpus — the one time history text is read. `seedToken` (if
     * any) rides the first commit so a build-if-absent caller can
@@ -267,10 +277,7 @@ object SubstrIndex {
   }
 
   private def writeStats(spark: SparkSession, path: String,
-      st: SubstrIndexStats): Unit = {
-    import spark.implicits._
-    Seq((st.digests, st.k)).toDF("digests", "k")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    StoreStats.invalidate(path)
-  }
+      st: SubstrIndexStats): Unit =
+    StatsSidecar.write(spark, path, Seq(
+      "digests" -> st.digests.toString, "k" -> st.k.toString))
 }

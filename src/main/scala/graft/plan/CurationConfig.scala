@@ -1055,6 +1055,21 @@ object CurationConfig {
     }
   }
 
+  /** Materialize `df` unless it already IS a materialized checkpoint
+    * (its analyzed plan is a bare LogicalRDD — the exact shape
+    * `localCheckpoint(eager = true)` returns). Gate stages and the audit
+    * runner meet at stage boundaries where the previous step has already
+    * checkpointed; re-checkpointing copies the cached rows into a second
+    * block-manager cache for no semantic gain — the requirement is only
+    * that the frame cannot re-read a store a later append mutates, and a
+    * LogicalRDD (an opaque RDD, no file scan) satisfies it. One job per
+    * avoided re-checkpoint, several per audited pipeline run. */
+  private def materialized(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => df.localCheckpoint(true)
+    }
+
   /** The crash-replay skeleton every persisted-index gate stage shares
     * (class doc of [[SubstrGate]]): seed / recognize-own-seed /
     * gate+append exactly once under the run's stage token. With
@@ -1075,7 +1090,7 @@ object CurationConfig {
       }
     existing match {
       case None =>
-        val seeded = df.localCheckpoint(true)
+        val seeded = materialized(df)
         try { seed(seeded, runToken); seeded }
         catch {
           case scala.util.control.NonFatal(e) =>
@@ -1201,11 +1216,10 @@ object CurationConfig {
         runId: Option[String] = None): (DataFrame, DataFrame) = {
       runId.foreach(r => require(r.nonEmpty && !r.contains("\n"),
         "runId: non-empty, one line"))
-      var df = input.localCheckpoint(true)
+      var df = materialized(input)
       val drops = stages.zipWithIndex.map { case (st, i) =>
-        val out = st.applyIn(dir)(df, idCol, textCol,
-            runId.map(r => s"cfg:$r:s${i + 1}"))
-          .localCheckpoint(true)
+        val out = materialized(st.applyIn(dir)(df, idCol, textCol,
+          runId.map(r => s"cfg:$r:s${i + 1}")))
         val dropped = df.select(col(idCol))
           .join(out.select(col(idCol)), Seq(idCol), "left_anti")
           .withColumn("stage_idx", lit((i + 1).toLong))

@@ -123,9 +123,8 @@ class BpeStoreSpec extends GraftSpec {
     }
     rmr(s"$path/model"); rmr(s"$path/alphabet")
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path/_commits/m000002"))
-    Seq((wordRows, 0, 0))
-      .toDF("word_rows", "num_merges", "merge_budget")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    StatsSidecar.write(spark, path, Seq("word_rows" -> wordRows.toString,
+      "num_merges" -> "0", "merge_budget" -> "0"))
     BpeStore.exists(spark, path) shouldBe true
     BpeStore.open(spark, path).hasModel shouldBe false
     // rerun of create(): recovers via retrain from the committed counts
@@ -138,9 +137,8 @@ class BpeStoreSpec extends GraftSpec {
     // (the recovery retrain above committed m000002 — remove it again)
     rmr(s"$path/model"); rmr(s"$path/alphabet")
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path/_commits/m000002"))
-    Seq((wordRows, 0, 0))
-      .toDF("word_rows", "num_merges", "merge_budget")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    StatsSidecar.write(spark, path, Seq("word_rows" -> wordRows.toString,
+      "num_merges" -> "0", "merge_budget" -> "0"))
     val viaStage = graft.plan.CurationConfig
       .parse(s"""{"table":"documents","id":"doc_id","text":"text",
         | "stages":[{"stage":"bpe_tokenize","path":"$path",
