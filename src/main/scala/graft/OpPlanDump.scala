@@ -54,5 +54,42 @@ object OpPlanDump {
         graft.ext.MediaDedup.cdcChunkRows(media, "doc_id", "payload",
           4, 2))
     }
+
+    if (ops("shard_assign")) {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      write("op_shard_assign",
+        "== ShardWriter.assign plan (r18 evidence for the r16 claim: " +
+          "pack CARRIES the rows, so the document payload rides exactly " +
+          "ONE Exchange — the stream-key repartition that IS the " +
+          "placement move; the r18 change also folded the duplicate-id " +
+          "refusal into this same pass, so no standalone keys-only " +
+          "aggregation job runs per shard write) ==",
+        graft.ext.ShardWriter.assign(docs, "doc_id", "text", "chars",
+          4000, 1, 16))
+    }
+
+    if (ops("neardup_gate")) {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val path = graft.io.TempReaper.tempDir("graft-opdump-nd")
+        .toString + "/idx"
+      val idx = graft.ext.NearDupIndex.build(docs, "doc_id", "text", path)
+      val batch = docs.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"), col("source"),
+          concat(col("text"), lit(" zzztail")).as("text"))
+        .localCheckpoint(true)
+      write("op_neardup_gate",
+        "== NearDupIndex gate plan (pairsPlanFor — the dq104/dq109/" +
+          "dq141 per-cycle shuffle audit): exchanges are (1) incoming " +
+          "repartition/shingle fan-out, (2) counts aggregation (tiny " +
+          "partials), (3) band-key join of incoming keys vs stored " +
+          "bands, (4) candidate-pair distinct, then the digest " +
+          "verification joins — candidate-sized, AQE broadcasts them " +
+          "at micro-batch scale. Every file scan lives under the index " +
+          "path; history text is never read ==",
+        idx.pairsPlanFor(batch, "doc_id", "text"))
+    }
   }
 }

@@ -107,7 +107,8 @@ final class NgramLmStore private (
 
   private def writeBatch(df: DataFrame, idCol: String, textCol: String,
       prev: NgramLmStoreStats, first: Boolean,
-      token: Option[String]): NgramLmStoreStats = {
+      token: Option[String],
+      bgOverride: Option[DataFrame] = None): NgramLmStoreStats = {
     val before = log.read()
     require(!first || before.isEmpty,
       s"$path already holds a committed model (build() wants a fresh path)")
@@ -115,7 +116,13 @@ final class NgramLmStore private (
     val id = f"a$seq%06d"
     val dir = s"$path/counts/append=$id"
     log.clearOrphan(dir)
-    NgramLm.bigramsOf(df, textCol)
+    // bgOverride: a CALLER-computed (persisted) bigram-occurrence frame
+    // of the same df — the create-path fusion hook
+    // ([[QualityProbeStore.create]] tokenizes the history corpus once
+    // and feeds both this build and its seed scoring; the grouped
+    // counts are identical by construction)
+    bgOverride.getOrElse(NgramLm.bigramsOf(df, textCol))
+      .select(col("__bg"))
       .groupBy("__bg").agg(count(lit(1)).as("__c12"))
       .select(split(col("__bg"), " ").getItem(0).as("__w1"),
         col("__bg"), col("__c12"))
@@ -202,6 +209,15 @@ final class NgramLmStore private (
     CacheScope.withCached(bg)(
       scorePlan(batch, bg, idCol, excludeToken))
   }
+
+  /** [[scoreBatch]] over a CALLER-computed (and caller-persisted)
+    * per-doc bigram frame — the create-path fusion hook
+    * ([[QualityProbeStore.create]] tokenizes the history once and feeds
+    * both the frozen-LM build and this seed scoring). Result
+    * materialized exactly like [[scoreBatch]]'s. */
+  private[ext] def scoreBatchWith(batch: DataFrame, bg: DataFrame,
+      idCol: String, excludeToken: Option[String] = None): DataFrame =
+    scorePlan(batch, bg, idCol, excludeToken).localCheckpoint(true)
 
   /** The score's UN-materialized plan — plan-audit hook (the family's
     * `pairsPlanFor` precedent): every file scan must live under the model
@@ -297,6 +313,22 @@ object NgramLmStore {
       idx.writeBatch(history, idCol, textCol,
         NgramLmStoreStats(0L, buckets, loMicro, hiMicro), first = true,
         token = seedToken)
+    }
+    idx
+  }
+
+  /** [[build]] over a CALLER-computed bigram-occurrence frame of the
+    * same history (must carry `__bg`; caller persists it) — the
+    * create-path fusion hook, see `bgOverride` in `writeBatch`. */
+  private[ext] def buildFromBigrams(history: DataFrame, bg: DataFrame,
+      path: String, buckets: Int = 16, loMicro: Long = 0L,
+      hiMicro: Long = Long.MaxValue,
+      seedToken: Option[String] = None): NgramLmStore = {
+    val idx = new NgramLmStore(history.sparkSession, path)
+    idx.log.withWriteLock {
+      idx.writeBatch(history, "", "", // id/text unused under bgOverride
+        NgramLmStoreStats(0L, buckets, loMicro, hiMicro), first = true,
+        token = seedToken, bgOverride = Some(bg))
     }
     idx
   }

@@ -43,7 +43,8 @@ object Packing {
     * — and the placement repartition; caught by the SCALE_MEDIA runtime
     * bytes audit). `sizeCol` must already be an integral column. */
   def packGreedyCarry(df: DataFrame, groupCol: String, idCol: String,
-      sizeCol: String, capacity: Long): DataFrame = {
+      sizeCol: String, capacity: Long,
+      duplicateIdError: Option[String] = None): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     // the encoder schema must describe the frame AFTER the long cast:
     // deriving it from df.schema would declare the size column's
@@ -52,6 +53,7 @@ object Packing {
     // whose size column is not already long
     val casted = df.withColumn(sizeCol, col(sizeCol).cast("long"))
     val gIdx = casted.schema.fieldIndex(groupCol)
+    val iIdx = casted.schema.fieldIndex(idCol)
     val sIdx = casted.schema.fieldIndex(sizeCol)
     val outSchema =
       casted.schema.add(StructField("bin", LongType, nullable = false))
@@ -60,12 +62,23 @@ object Packing {
       .sortWithinPartitions(col(groupCol), col(idCol))
       .mapPartitions { rows =>
         var cur: Any = null
+        var curId: Any = null
         var started = false
         var bin = 0L
         var fill = 0L
         rows.map { r =>
           val g = r.get(gIdx)
           val n = r.getLong(sIdx)
+          // duplicate-id detection rides the pack's own (group, id) sort
+          // for free — equal ids land adjacent in the same group — so a
+          // caller whose id is row identity ([[ShardWriter.assign]]) no
+          // longer pays a separate keys-only aggregation job per write
+          duplicateIdError.foreach { msg =>
+            val i = r.get(iIdx)
+            if (started && g == cur && i == curId)
+              throw new IllegalArgumentException(msg)
+            curId = i
+          }
           if (!started || g != cur) { cur = g; started = true; bin = 0L; fill = n }
           else if (fill + n > capacity) { bin += 1; fill = n }
           else fill += n

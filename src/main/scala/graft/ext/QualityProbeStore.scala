@@ -97,13 +97,19 @@ final class QualityProbeStore private (
   }
 
   private def writeBatch(df: DataFrame, idCol: String, textCol: String,
-      token: Option[String]): Unit = {
+      token: Option[String],
+      bgOverride: Option[DataFrame] = None): Unit = {
     val before = log.read()
     val seq = before.size + 1
     val id = f"a$seq%06d"
     val dir = s"$path/moments/append=$id"
     log.clearOrphan(dir)
-    val y = referenceLm.scoreBatch(df, idCol, textCol)
+    // bgOverride: the create-path fusion hook — the seed scoring reuses
+    // the bigram frame the frozen-LM build already computed (one
+    // tokenize+explode pass over the history corpus instead of two)
+    val y = bgOverride
+      .fold(referenceLm.scoreBatch(df, idCol, textCol))(bg =>
+        referenceLm.scoreBatchWith(df, bg, idCol))
       .select(col(idCol), col("mean_micro"))
     val xy = QualityProbe.features(df, idCol, textCol).join(y, idCol)
     QualityProbe.moments(xy, "mean_micro")
@@ -230,14 +236,25 @@ object QualityProbeStore {
     store.log.withWriteLock {
       require(store.log.read().isEmpty,
         s"$path already holds a committed store (create() wants a fresh path)")
-      // crash-replayable: a predecessor that died between the LM build and
-      // the first moments commit left a committed LM — reuse it (it was
-      // built from the same history; the moments log is still empty).
-      // The nested build locks path/lm's OWN log — a different lock file,
-      // no self-deadlock.
-      if (!NgramLmStore.exists(spark, s"$path/lm"))
-        NgramLmStore.build(history, idCol, textCol, s"$path/lm")
-      store.writeBatch(history, idCol, textCol, token = seedToken)
+      // ONE tokenize+explode pass over the history corpus feeds BOTH the
+      // frozen-LM build (its grouped counts) and the seed scoring (its
+      // per-doc bigrams) — the per-path form ran the corpus-sized
+      // bigramsOf twice per create (guide §1.2: don't compute things
+      // twice). Grouped counts off the per-doc frame are identical by
+      // construction, so the stored model and the seed moments are
+      // bit-unchanged (oracle-gated).
+      val bg = NgramLm.bigramsOf(history, textCol, col(idCol)).persist()
+      try {
+        // crash-replayable: a predecessor that died between the LM build
+        // and the first moments commit left a committed LM — reuse it (it
+        // was built from the same history; the moments log is still
+        // empty). The nested build locks path/lm's OWN log — a different
+        // lock file, no self-deadlock.
+        if (!NgramLmStore.exists(spark, s"$path/lm"))
+          NgramLmStore.buildFromBigrams(history, bg, s"$path/lm")
+        store.writeBatch(history, idCol, textCol, token = seedToken,
+          bgOverride = Some(bg))
+      } finally { bg.unpersist(blocking = false); () }
     }
     store
   }

@@ -110,15 +110,6 @@ object ShardWriter {
       .withColumn("units", unitsColumn(units, textCol, df.schema, binaryCol))
       .withColumn("stream",
         if (prefixLen == 0) lit("all") else substring(col("skey"), 1, prefixLen))
-    // the key IS row identity: a duplicated (epoch, id) would silently
-    // multiply rows through the assignment join below — refuse by name
-    // (a keys-only aggregation; document bodies don't ride this check)
-    val dup = keyed.groupBy("skey").count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dup == 0L,
-      s"shard_write: duplicate (epoch, $idCol) rows in the input — the " +
-        "shuffle key is row identity; dedup upstream (or repeat via " +
-        "repeat_epochs, whose epoch column keys every copy)")
     // pack CARRYING the rows (one exchange total — the group-key shuffle
     // IS the placement move): the projection+join-back form moved the
     // fat rows twice at scale (the assignment join's skey exchange plus
@@ -126,8 +117,17 @@ object ShardWriter {
     // corpus-sized assignment side; caught by SCALE_MEDIA's runtime
     // bytes audit). Output comes back clustered by stream in
     // (stream, bin, skey) order, so the terminal write lands it with
-    // no further exchange.
-    Packing.packGreedyCarry(keyed, "stream", "skey", "units", capacity)
+    // no further exchange. The key IS row identity: a duplicated
+    // (epoch, id) would silently multiply shard rows — refused by name
+    // INSIDE the pack's own (stream, skey) sort (equal keys are
+    // adjacent), which replaced the earlier standalone keys-only
+    // aggregation job per write; the refusal now surfaces at the
+    // consuming action, wrapped in Spark's task-failure error.
+    Packing.packGreedyCarry(keyed, "stream", "skey", "units", capacity,
+        duplicateIdError = Some(
+          s"shard_write: duplicate (epoch, $idCol) rows in the input — " +
+            "the shuffle key is row identity; dedup upstream (or repeat " +
+            "via repeat_epochs, whose epoch column keys every copy)"))
       .select(df.columns.map(col) ++
         Seq(col("skey"), col("units"), col("stream"), col("bin")): _*)
   }

@@ -183,11 +183,17 @@ class ShardWriterSpec extends GraftSpec {
     intercept[IllegalArgumentException] {
       ShardWriter.assign(docs, "doc_id", "text", "subtokens", 100, 1, 16)
     }.getMessage should include("bpe_tokenize")
-    // duplicated (epoch, id) rows are refused by name, not multiplied
-    intercept[IllegalArgumentException] {
+    // duplicated (epoch, id) rows are refused by name, not multiplied —
+    // the check rides the pack's own sort (r18: no standalone dup-check
+    // job), so the refusal surfaces at the consuming action wrapped in
+    // Spark's task-failure error; the named message is preserved
+    val dupEx = intercept[Exception] {
       ShardWriter.assign(docs.limit(3).unionByName(docs.limit(3)),
         "doc_id", "text", "chars", 100, 1, 16).count()
-    }.getMessage should include("duplicate")
+    }
+    (Iterator.iterate(dupEx: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+      should include("duplicate"))
     def bad(json: String, frag: String): Unit =
       intercept[IllegalArgumentException] {
         graft.plan.CurationConfig.parse(json)
